@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Core relational surface: scan, aggregate, lookup-join, top-k.
+  *
+  * These mirror the reference's bread-and-butter generated patterns:
+  * source scan (/root/reference/mapping/enhanced_json_mapper.py:1547-1713),
+  * Aggregate (:2004-2018), Lookup join (:1845-1934), Sort (:1936-1967).
+  */
+object CoreQueries extends QueryPack {
+
+  /** round(x*100) as exact integer cents — deterministic across engines. */
+  def cents(c: Column): Column = round(c * lit(100)).cast("long")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> { (s, dir) =>
+      val li = graft.Tables.load(s, dir, "lineitem")
+      li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          (sum(cents(col("l_quantity"))).cast("double") / lit(100.0)).as("sum_qty"),
+          (sum(cents(col("l_extendedprice"))).cast("double") / lit(100.0)).as("sum_base_price"),
+          (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+            .cast("double") / lit(10000.0)).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // SSIS Lookup, CacheType=FULL, NoMatchBehavior=ignore → broadcast left join
+    // (reference: data_engineering_parser.py:919-994, enhanced_json_mapper.py:1845-1934)
+    "q2_lookup_join" -> { (s, dir) =>
+      val orders = graft.Tables.load(s, dir, "orders")
+      val cust = graft.Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      orders
+        .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"), "left_outer")
+        .select(col("o_orderkey"), col("o_totalprice"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    "q3_topk" -> { (s, dir) =>
+      val orders = graft.Tables.load(s, dir, "orders")
+      val cust = graft.Tables.load(s, dir, "customer")
+      orders.groupBy(col("o_custkey"))
+        .agg((sum(cents(col("o_totalprice"))).cast("double") / lit(100.0)).as("total_spend"),
+             count(lit(1)).as("n_orders"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "inner")
+        .select(col("c_custkey"), col("c_name"), col("total_spend"), col("n_orders"))
+        .orderBy(col("total_spend").desc, col("c_custkey"))
+        .limit(10)
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_base_price,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_lookup_join" ->
+      """SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_orderkey""".stripMargin,
+    "q3_topk" ->
+      """SELECT c.c_custkey, c.c_name,
+        |  CAST(SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_spend,
+        |  COUNT(*) AS n_orders
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_custkey, c.c_name
+        |ORDER BY total_spend DESC, c.c_custkey
+        |LIMIT 10""".stripMargin
+  )
+}

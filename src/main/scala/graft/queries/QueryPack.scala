@@ -1,0 +1,22 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One group of driver-checkable queries.
+  *
+  * Conventions (driver compare contract, see builder prompt):
+  *   - every query is deterministic: explicit orderBy on a unique,
+  *     non-null key set (Spark sorts nulls first, DuckDB last — so
+  *     sort keys must be non-null or the oracle says NULLS FIRST);
+  *   - money aggregates go through integer cents
+  *     (`round(x*100)::bigint`) so Spark and DuckDB sums are
+  *     bit-identical, then back to double via exact IEEE ops;
+  *   - column names are aliased identically in the Spark plan and
+  *     the oracle SQL (driver sorts columns by name before hashing).
+  */
+trait QueryPack {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+  /** DuckDB-runnable ANSI SQL per query key; omit a key for
+    * non-SQL-expressible ops (driver falls back to rows>0 check). */
+  def oracles: Map[String, String]
+}
