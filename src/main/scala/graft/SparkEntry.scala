@@ -9,7 +9,8 @@ object SparkEntry {
   /** Query packs are added per milestone; later packs may not shadow
     * earlier keys (asserted in tests). */
   private def packs: Seq[QueryPack] = Seq(
-    CoreQueries
+    CoreQueries,
+    TransformQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
