@@ -1,0 +1,103 @@
+package graft.dag
+
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.types.StructType
+import scala.collection.mutable
+import scala.util.{Failure, Success, Try}
+import graft.ir._
+import graft.ir.CfTask._
+import graft.expr.Compiler
+
+/** Control-flow DAG executor: tasks ordered by precedence constraints
+  * with Success/Failure/Completion/Expression conditions — the runtime
+  * counterpart of the reference's topo-sorted codegen
+  * (enhanced_json_mapper.py:867-953) and constraint mapping
+  * (control_flow_mapper.py:138-149).
+  */
+object ControlFlowExec {
+
+  sealed trait TaskStatus
+  case object Succeeded extends TaskStatus
+  final case class Errored(e: Throwable) extends TaskStatus
+  case object Skipped extends TaskStatus
+
+  final case class RunResult(statuses: Map[String, TaskStatus],
+                             variables: Map[String, Any]) {
+    def succeeded(name: String): Boolean = statuses.get(name).contains(Succeeded)
+  }
+
+  def run(spec: PipelineSpec, ctx: PipelineContext): RunResult = {
+    ctx.variables ++= spec.variables
+    val statuses = mutable.Map.empty[String, TaskStatus]
+    val byName = spec.tasks.map(t => t.name -> t).toMap
+    require(byName.size == spec.tasks.size, "duplicate task names")
+    spec.edges.foreach { e =>
+      require(byName.contains(e.from), s"edge from unknown task ${e.from}")
+      require(byName.contains(e.to), s"edge to unknown task ${e.to}")
+    }
+
+    // Kahn order over precedence edges
+    val indeg = mutable.Map(spec.tasks.map(t => t.name -> 0): _*)
+    spec.edges.foreach(e => indeg(e.to) += 1)
+    val queue = mutable.Queue(spec.tasks.map(_.name).filter(indeg(_) == 0): _*)
+    val order = mutable.Buffer.empty[String]
+    while (queue.nonEmpty) {
+      val n = queue.dequeue()
+      order += n
+      spec.edges.filter(_.from == n).foreach { e =>
+        indeg(e.to) -= 1
+        if (indeg(e.to) == 0) queue += e.to
+      }
+    }
+    require(order.size == spec.tasks.size, s"cycle in control flow ${spec.name}")
+
+    def edgeSatisfied(e: PrecedenceEdge): Boolean = {
+      def statusOk(c: EdgeCondition): Boolean = c match {
+        case EdgeCondition.OnSuccess => statuses.get(e.from).contains(Succeeded)
+        case EdgeCondition.OnFailure => statuses.get(e.from).exists(_.isInstanceOf[Errored])
+        case EdgeCondition.OnCompletion => statuses.get(e.from).exists(_ != Skipped)
+        case EdgeCondition.ExpressionEdge(expr, and) =>
+          statusOk(and) && evalDriverExpr(expr, ctx)
+      }
+      statusOk(e.condition)
+    }
+
+    for (name <- order) {
+      val incoming = spec.edges.filter(_.to == name)
+      // SSIS default: LogicalAnd — every incoming constraint must hold
+      val runnable = incoming.forall(edgeSatisfied)
+      statuses(name) =
+        if (!runnable) Skipped
+        else Try(runTask(byName(name), ctx, statuses)) match {
+          case Success(_) => Succeeded
+          case Failure(ex) => Errored(ex)
+        }
+    }
+    RunResult(statuses.toMap, ctx.vars)
+  }
+
+  private def runTask(task: CfTask, ctx: PipelineContext,
+                      statuses: mutable.Map[String, TaskStatus]): Unit = task match {
+    case SqlTask(_, sql, resultInto) =>
+      val df = ctx.spark.sql(sql)
+      // DDL/DML commands run eagerly inside spark.sql(); only a SELECT
+      // bound to a variable needs an explicit action.
+      resultInto.foreach(variable => ctx.variables(variable) = df.head().get(0))
+    case DataFlowTask(_, flow) =>
+      DataFlowExec.run(flow, ctx)
+    case ForEach(_, variable, values, body) =>
+      values.foreach { v =>
+        ctx.variables(variable) = v
+        body.foreach(t => runTask(t, ctx, statuses))
+      }
+    case Sequence(_, body) =>
+      body.foreach(t => runTask(t, ctx, statuses))
+  }
+
+  /** Evaluate an expression-edge condition against pipeline variables —
+    * driver-side, via the same SSIS compiler on a literal plan. */
+  def evalDriverExpr(expr: String, ctx: PipelineContext): Boolean = {
+    val c = Compiler.compile(expr, new StructType(), ctx.vars)
+    ctx.spark.range(1).select(c.cast("boolean").as("v")).head.getBoolean(0)
+  }
+}

@@ -1,0 +1,329 @@
+package graft.dag
+
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import scala.collection.mutable
+import graft.ir._
+import graft.ir.Component._
+import graft.expr.Compiler
+
+/** Runtime services shared by a pipeline run: table resolution, sinks,
+  * and the package-variable context (reference: models.py:85,
+  * control_flow_mapper.py:101-176 — variables are driver-side scalars,
+  * injected into plans as literals).
+  */
+final class PipelineContext(
+    val spark: SparkSession,
+    val resolveTable: String => DataFrame,
+    val writeTable: (String, DataFrame, WriteMode) => Unit,
+    val variables: mutable.Map[String, Any]) {
+  /** Row-count taps registered during the flow; drained after actions. */
+  val observations: mutable.Buffer[(Observation, String)] = mutable.Buffer.empty
+  def vars: Map[String, Any] = variables.toMap
+}
+
+object PipelineContext {
+  /** Context over a TESTDATA scale-factor directory; sinks land in temp
+    * views (tests) — production would register parquet/JDBC writers. */
+  def overDir(spark: SparkSession, dir: String): PipelineContext =
+    new PipelineContext(
+      spark,
+      name => graft.Tables.load(spark, dir, name),
+      (name, df, mode) => {
+        val out = mode match {
+          case WriteMode.Overwrite => df
+          case WriteMode.Append =>
+            val existing = spark.sessionState.catalog
+              .getTempView(name).map(_ => spark.table(name))
+            existing.map(_.unionByName(df)).getOrElse(df)
+        }
+        // Materialize so sink contents are stable (and actions actually
+        // run, filling observations) — local analog of a table write.
+        out.localCheckpoint(true).createOrReplaceTempView(name)
+      },
+      mutable.Map.empty)
+}
+
+/** Executes a DataFlow DAG of Components connected by Paths.
+  *
+  * The reference topologically sorts components and emits code in that
+  * order (enhanced_json_mapper.py:1029-1312, with fuzzy name matching
+  * and a leftovers fallback). We run the same Kahn scheduling but
+  * strict: unknown names or cycles are errors, not best-effort appends.
+  */
+object DataFlowExec {
+
+  /** Run the flow; returns every dangling (unconsumed) output port as
+    * `"component.port" → DataFrame`, after sinks have executed. */
+  def run(flow: DataFlow, ctx: PipelineContext): Map[String, DataFrame] = {
+    val byName = flow.components.map(c => c.name -> c).toMap
+    require(byName.size == flow.components.size, "duplicate component names")
+    flow.paths.foreach { p =>
+      require(byName.contains(p.from), s"path from unknown component ${p.from}")
+      require(byName.contains(p.to), s"path to unknown component ${p.to}")
+    }
+
+    // Kahn topological order (as enhanced_json_mapper.py:904-932, strict)
+    val indeg = mutable.Map(flow.components.map(c => c.name -> 0): _*)
+    flow.paths.foreach(p => indeg(p.to) += 1)
+    val queue = mutable.Queue(flow.components.map(_.name).filter(indeg(_) == 0).sorted: _*)
+    val order = mutable.Buffer.empty[String]
+    while (queue.nonEmpty) {
+      val n = queue.dequeue()
+      order += n
+      flow.paths.filter(_.from == n).foreach { p =>
+        indeg(p.to) -= 1
+        if (indeg(p.to) == 0) queue += p.to
+      }
+    }
+    require(order.size == flow.components.size,
+      s"cycle in data flow ${flow.name}: ${indeg.filter(_._2 > 0).keys.mkString(",")}")
+
+    // consumers per (component, port) — fan-out > 1 gets persisted
+    val consumers = flow.paths.groupBy(p => (p.from, p.fromPort)).view.mapValues(_.size).toMap
+
+    val outputs = mutable.Map.empty[(String, String), DataFrame]
+    for (name <- order) {
+      val comp = byName(name)
+      val inPaths = flow.paths.filter(_.to == name)
+      val inputs: Map[String, Seq[DataFrame]] = inPaths
+        .groupBy(_.toPort)
+        .view.mapValues(_.map(p => outputs.getOrElse((p.from, p.fromPort),
+          sys.error(s"component ${p.from} produced no output port ${p.fromPort}"))))
+        .toMap
+      val outs = execute(comp, inputs, ctx)
+      outs.foreach { case (port, df) =>
+        val persisted =
+          if (consumers.getOrElse((name, port), 0) > 1)
+            df.persist(StorageLevel.MEMORY_AND_DISK)
+          else df
+        outputs((name, port)) = persisted
+      }
+    }
+
+    // drain row-count taps into variables (observe → no extra job;
+    // getOrEmpty so an unactioned branch doesn't hang the run)
+    ctx.observations.foreach { case (obs, variable) =>
+      obs.getOrEmpty.get("rows").foreach(v => ctx.variables(variable) = v)
+    }
+    ctx.observations.clear()
+
+    val consumed = flow.paths.map(p => (p.from, p.fromPort)).toSet
+    outputs.collect {
+      case ((c, port), df) if !consumed((c, port)) => s"$c.$port" -> df
+    }.toMap
+  }
+
+  private def single(inputs: Map[String, Seq[DataFrame]], comp: Component): DataFrame =
+    inputs.getOrElse("in", Nil) match {
+      case Seq(df) => df
+      case other => sys.error(s"${comp.name}: expected exactly 1 input, got ${other.size}")
+    }
+
+  def execute(comp: Component, inputs: Map[String, Seq[DataFrame]],
+              ctx: PipelineContext): Map[String, DataFrame] = comp match {
+
+    case SourceTable(_, table, columns, filterExpr) =>
+      var df = ctx.resolveTable(table)
+      filterExpr.foreach(e => df = df.filter(Compiler.compile(e, df.schema, ctx.vars)))
+      if (columns.nonEmpty) df = df.select(columns.map(col): _*)
+      Map("out" -> df)
+
+    case SourceQuery(_, sql) =>
+      Map("out" -> ctx.spark.sql(sql))
+
+    case DerivedColumn(_, exprs) =>
+      var df = single(inputs, comp)
+      exprs.foreach { case (c, e) =>
+        df = df.withColumn(c, Compiler.compile(e, df.schema, ctx.vars))
+      }
+      Map("out" -> df)
+
+    case DataConversion(_, casts) =>
+      var df = single(inputs, comp)
+      casts.foreach { case (in, dtName, out) =>
+        val dt = Compiler.toDataType(parseDt(dtName))
+        df = df.withColumn(out, col(in).cast(dt))
+      }
+      Map("out" -> df)
+
+    case CopyColumn(_, copies) =>
+      var df = single(inputs, comp)
+      copies.foreach { case (in, out) => df = df.withColumn(out, col(in)) }
+      Map("out" -> df)
+
+    case CharacterMap(_, maps) =>
+      var df = single(inputs, comp)
+      maps.foreach { case (c, op, out) =>
+        val mapped = op.toLowerCase match {
+          case "uppercase" => upper(col(c))
+          case "lowercase" => lower(col(c))
+          case other => sys.error(s"CharacterMap: unsupported op $other")
+        }
+        df = df.withColumn(out, mapped)
+      }
+      Map("out" -> df)
+
+    case Checksum(_, columns, outCol) =>
+      val df = single(inputs, comp)
+      val cols = if (columns.nonEmpty) columns.map(col) else df.columns.toSeq.map(col)
+      Map("out" -> df.withColumn(outCol, hash(cols: _*)))
+
+    case Audit(_, columns) =>
+      var df = single(inputs, comp)
+      columns.foreach { case (c, e) =>
+        df = df.withColumn(c, Compiler.compile(e, df.schema, ctx.vars))
+      }
+      Map("out" -> df)
+
+    case lk @ Lookup(_, refTable, joinKeys, copyColumns, noMatch, cacheFull) =>
+      val stream = single(inputs, comp)
+      val refRaw = ctx.resolveTable(refTable)
+      // prune the reference to join keys + copied columns (column pruning
+      // the reference codegen never does)
+      val needed = (joinKeys.map(_._2) ++ copyColumns.map(_._1)).distinct
+      val matchFlag = s"__graft_matched_${lk.name}"
+      var ref = refRaw.select(needed.map(col): _*).withColumn(matchFlag, lit(true))
+      // dedupe reference on the key (SSIS FULL cache keeps first match)
+      ref = ref.dropDuplicates(joinKeys.map(_._2))
+      val refSide = if (cacheFull) broadcast(ref) else ref
+      val cond = joinKeys.map { case (sc, rc) => stream(sc) === refSide(rc) }.reduce(_ && _)
+      val joined = stream.join(refSide, cond, "left_outer")
+      val copied = copyColumns.map { case (rc, alias) =>
+        val c = refSide(rc)
+        noMatch match {
+          case NoMatchBehavior.Fail =>
+            // distributed no-match assertion: raises inside codegen, no
+            // extra pass (vs. the reference's count()-guard pattern)
+            when(col(matchFlag).isNull,
+              raise_error(concat(lit(s"Lookup ${lk.name}: no match for key "),
+                concat_ws(",", joinKeys.map(k => stream(k._1).cast("string")): _*))))
+              .otherwise(c).as(alias)
+          case NoMatchBehavior.Ignore => c.as(alias)
+        }
+      }
+      Map("out" -> joined.select(stream.columns.map(stream(_)) ++ copied: _*))
+
+    case MergeJoin(_, joinType, keys, nullsEqual, leftSel, rightSel) =>
+      val left = inputs.getOrElse("left", Nil).headOption.getOrElse(sys.error(s"${comp.name}: missing left input"))
+      val right = inputs.getOrElse("right", Nil).headOption.getOrElse(sys.error(s"${comp.name}: missing right input"))
+      def project(df: DataFrame, sel: Seq[(String, String)]): DataFrame =
+        if (sel.isEmpty) df else df.select(sel.map { case (c, a) => col(c).as(a) }: _*)
+      def renamed(sel: Seq[(String, String)], c: String): String =
+        sel.collectFirst { case (`c`, a) => a }.getOrElse(c)
+      val l = project(left, leftSel)
+      val r = project(right, rightSel)
+      val dup = l.columns.toSet.intersect(r.columns.toSet)
+      require(dup.isEmpty, s"${comp.name}: colliding output columns $dup — rename via side selects")
+      val cond = keys.map { case (lk0, rk0) =>
+        val (lc, rc) = (l(renamed(leftSel, lk0)), r(renamed(rightSel, rk0)))
+        if (nullsEqual) lc <=> rc else lc === rc
+      }.reduce(_ && _)
+      val how = joinType.toLowerCase match {
+        case "inner" | "0" => "inner"
+        case "left" | "1" => "left_outer"
+        case "full" | "2" => "full_outer"
+        case other => sys.error(s"${comp.name}: unknown join type $other")
+      }
+      Map("out" -> l.join(r, cond, how))
+
+    case MergeSorted(_, sortKeys) =>
+      val ins = inputs.getOrElse("in", Nil)
+      require(ins.size >= 2, s"${comp.name}: merge needs >=2 inputs")
+      Map("out" -> ins.reduce(_ unionByName _).orderBy(sortKeys.map(col): _*))
+
+    case ConditionalSplit(_, cases, defaultOut) =>
+      val df = single(inputs, comp)
+      // first-match-wins: label each row once via a when-cascade, then
+      // filter per port — conditions are evaluated once per row, and the
+      // labeled parent is persisted by the fan-out rule above.
+      val branch = "__graft_branch"
+      val labeled = df.withColumn(branch,
+        cases.foldRight(lit(defaultOut)) { case ((port, cond), els) =>
+          // fold right so earlier cases take precedence in the cascade
+          when(Compiler.compile(cond, df.schema, ctx.vars), lit(port)).otherwise(els)
+        }).persist(StorageLevel.MEMORY_AND_DISK)
+      val ports = cases.map(_._1) :+ defaultOut
+      ports.map(p => p -> labeled.filter(col(branch) === lit(p)).drop(branch)).toMap
+
+    case Multicast(_, outs) =>
+      val df = single(inputs, comp)
+      val persisted = if (outs.size > 1) df.persist(StorageLevel.MEMORY_AND_DISK) else df
+      outs.map(o => o -> persisted).toMap
+
+    case UnionAll(_) =>
+      val ins = inputs.getOrElse("in", Nil)
+      require(ins.nonEmpty, s"${comp.name}: union needs inputs")
+      Map("out" -> ins.reduce(_ unionByName _))
+
+    case Aggregate(_, groupBy, aggs) =>
+      val df = single(inputs, comp)
+      val aggCols = aggs.map { case (op, c, alias) =>
+        (op.toLowerCase match {
+          case "sum" => sum(col(c))
+          case "avg" | "average" => avg(col(c))
+          case "min" => min(col(c))
+          case "max" => max(col(c))
+          case "count" => count(col(c))
+          case "count_star" => count(lit(1))
+          case "count_distinct" | "countdistinct" => countDistinct(col(c))
+          case other => sys.error(s"Aggregate: unsupported op $other")
+        }).as(alias)
+      }
+      val out = if (groupBy.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
+                else df.groupBy(groupBy.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+      Map("out" -> out)
+
+    case Sort(_, keys, dedup) =>
+      var df = single(inputs, comp)
+      if (dedup) df = df.dropDuplicates(keys.map(_._1))
+      Map("out" -> df.orderBy(keys.map { case (c, asc) =>
+        if (asc) col(c).asc else col(c).desc }: _*))
+
+    case Sampling(_, keyColumn, buckets, keep) =>
+      val df = single(inputs, comp)
+      Map("out" -> df.filter(pmod(col(keyColumn), lit(buckets)) < lit(keep)))
+
+    case Pivot(_, groupBy, pivotCol, pivotValues, valueCol, aggOp) =>
+      val df = single(inputs, comp)
+      val agg = aggOp.toLowerCase match {
+        case "first" => first(col(valueCol))
+        case "sum" => sum(col(valueCol))
+        case "min" => min(col(valueCol))
+        case "max" => max(col(valueCol))
+        case "count" => count(col(valueCol))
+        case other => sys.error(s"Pivot: unsupported agg $other")
+      }
+      // explicit pivot values → single-pass, no distinct-values job
+      Map("out" -> df.groupBy(groupBy.map(col): _*)
+        .pivot(pivotCol, pivotValues).agg(agg))
+
+    case Unpivot(_, idCols, valueCols, keyName, valueName) =>
+      val df = single(inputs, comp)
+      Map("out" -> df.unpivot(idCols.map(col).toArray, valueCols.map(col).toArray,
+        keyName, valueName))
+
+    case RowCount(name, variable) =>
+      val df = single(inputs, comp)
+      val obs = Observation(s"rowcount_$name")
+      val tapped = df.observe(obs, count(lit(1)).as("rows"))
+      ctx.observations += ((obs, variable))
+      Map("out" -> tapped)
+
+    case Destination(_, target, mode) =>
+      val df = single(inputs, comp)
+      ctx.writeTable(target, df, mode)
+      Map.empty
+
+    case TrashDestination(_, countInto) =>
+      val df = single(inputs, comp)
+      countInto.foreach(v => ctx.variables(v) = df.count())
+      Map.empty
+  }
+
+  private def parseDt(s: String): graft.expr.DtType = {
+    val parts = s.split("[(),\\s]+").filter(_.nonEmpty)
+    graft.expr.DtType(parts.head.toUpperCase, parts.tail.map(_.toInt).toSeq)
+  }
+}

@@ -1,0 +1,165 @@
+package graft.ir
+
+/** Typed pipeline IR — the executable counterpart of the reference's
+  * parsed-JSON package model (/root/reference/models.py:9-133 and the
+  * parser output of parsing/data_engineering_parser.py). Where the
+  * reference stringifies each component into PySpark source text, these
+  * nodes execute directly as DataFrame transformations (see
+  * graft.dag.DataFlowExec).
+  *
+  * Expressions are SSIS expression-language strings, compiled against
+  * the input schema by graft.expr.Compiler at plan-build time.
+  */
+sealed trait Component { def name: String }
+
+object Component {
+  // ---- sources (SURVEY §2.1) ----
+  /** Full-table scan; `columns` non-empty → projection pushed to the scan. */
+  final case class SourceTable(name: String, table: String,
+      columns: Seq[String] = Nil, filter: Option[String] = None) extends Component
+  /** AccessMode=2 source: arbitrary SQL over registered tables
+    * (reference: enhanced_json_mapper.py:112-133). */
+  final case class SourceQuery(name: String, sql: String) extends Component
+
+  // ---- row-wise transforms (§2.3) ----
+  /** `(column, ssisExpression)` pairs, applied in order; an existing
+    * column name means replace (SSIS "Replace 'Col'" semantics). */
+  final case class DerivedColumn(name: String, exprs: Seq[(String, String)]) extends Component
+  /** Cast columns: (input column, DT_* type literal, output column —
+    * same as input to replace in place). */
+  final case class DataConversion(name: String,
+      casts: Seq[(String, String, String)]) extends Component
+  final case class CopyColumn(name: String, copies: Seq[(String, String)]) extends Component
+  /** SSIS Character Map ops: Uppercase / Lowercase (inPlace or new col). */
+  final case class CharacterMap(name: String,
+      maps: Seq[(String, String, String)]) extends Component // (col, op, outCol)
+  /** Murmur3 hash of `columns` into `outColumn` — the scalable change-
+    * detection checksum (reference emits hash(*cols),
+    * enhanced_json_mapper.py:2529-2539). */
+  final case class Checksum(name: String, columns: Seq[String],
+      outColumn: String = "CheckSum") extends Component
+  /** Audit columns: run id, package name, timestamps etc. as literals
+    * from the pipeline variable context. */
+  final case class Audit(name: String, columns: Seq[(String, String)]) extends Component
+
+  // ---- joins & lookups (§2.4) ----
+  sealed trait NoMatchBehavior
+  object NoMatchBehavior {
+    /** SSIS NoMatchBehavior=0: unmatched row fails the pipeline. */
+    case object Fail extends NoMatchBehavior
+    /** =1: pass through with nulls (left join). */
+    case object Ignore extends NoMatchBehavior
+  }
+  /** Equi-join the stream against a reference table.
+    * `cacheFull=true` (SSIS CacheType=FULL) → broadcast the reference.
+    * `copyColumns`: (refColumn, outputAlias). */
+  final case class Lookup(name: String, refTable: String,
+      joinKeys: Seq[(String, String)],            // (streamCol, refCol)
+      copyColumns: Seq[(String, String)],
+      noMatch: NoMatchBehavior = NoMatchBehavior.Ignore,
+      cacheFull: Boolean = true) extends Component
+
+  /** Merge Join: JoinType 0=inner/1=left/2=full (reference:
+    * data_engineering_parser.py:738-741); keys paired positionally;
+    * `nullsEqual` → `<=>` (TreatNullsAsEqual, :808). Per-side projection/
+    * rename maps (InputColumnID output map, Sample_Medium_Package.dtsx:426-483). */
+  final case class MergeJoin(name: String, joinType: String,
+      keys: Seq[(String, String)], nullsEqual: Boolean = false,
+      leftSelect: Seq[(String, String)] = Nil,
+      rightSelect: Seq[(String, String)] = Nil) extends Component
+
+  /** Merge = union of two sorted inputs preserving order (NOT a join;
+    * reference: data_engineering_parser.py:812-871). */
+  final case class MergeSorted(name: String, sortKeys: Seq[String]) extends Component
+
+  // ---- routing & set ops (§2.5) ----
+  /** Order-sensitive multi-way router. TRUE SSIS semantics: first match
+    * wins — output k receives rows matching cond_k and none of
+    * cond_1..cond_{k-1}; `defaultOutput` receives the rest. (The
+    * reference emits plain independent filters, which double-sends rows
+    * matching two conditions — SURVEY §2.5 caveat.) */
+  final case class ConditionalSplit(name: String,
+      cases: Seq[(String, String)],               // (outputPort, ssisCondition)
+      defaultOutput: String = "default") extends Component
+  /** Fan one input out to N identical outputs; parent persisted when
+    * the fan-out is consumed more than once. */
+  final case class Multicast(name: String, outputs: Seq[String]) extends Component
+  final case class UnionAll(name: String) extends Component
+
+  // ---- rowset ops (§2.6) ----
+  final case class Aggregate(name: String, groupBy: Seq[String],
+      aggs: Seq[(String, String, String)]) extends Component // (op, col, alias)
+  final case class Sort(name: String, keys: Seq[(String, Boolean)],
+      eliminateDuplicates: Boolean = false) extends Component
+  /** Deterministic sampling by key-hash bucket (scale-safe analog of
+    * SSIS Percentage Sampling; rand()-based sampling can't be oracle-
+    * checked). */
+  final case class Sampling(name: String, keyColumn: String,
+      buckets: Int, keep: Int) extends Component
+  final case class Pivot(name: String, groupBy: Seq[String], pivotColumn: String,
+      pivotValues: Seq[String], valueColumn: String, aggOp: String = "first") extends Component
+  final case class Unpivot(name: String, idColumns: Seq[String],
+      valueColumns: Seq[String], keyName: String = "key",
+      valueName: String = "value") extends Component
+
+  // ---- audit / counters (§2.7) ----
+  /** Row count into a pipeline variable via `observe` — no extra job
+    * (SURVEY §2.7: preferred over count() at 100 TB). */
+  final case class RowCount(name: String, variable: String) extends Component
+
+  // ---- sinks (§2.2) ----
+  sealed trait WriteMode
+  object WriteMode { case object Append extends WriteMode
+                     case object Overwrite extends WriteMode }
+  final case class Destination(name: String, target: String,
+      mode: WriteMode = WriteMode.Append) extends Component
+  /** Terminates a path, optionally counting (reference trash destination,
+    * enhanced_json_mapper.py:368-377). */
+  final case class TrashDestination(name: String,
+      countInto: Option[String] = None) extends Component
+}
+
+/** An edge in the data-flow DAG: `from`'s output port feeds `to`'s input
+  * port. Ports: most components expose "out"; ConditionalSplit exposes
+  * its case ports + default; Multicast its declared outputs; MergeJoin
+  * consumes "left"/"right"; UnionAll/MergeSorted consume any number of
+  * edges on "in". */
+final case class Path(from: String, to: String,
+    fromPort: String = "out", toPort: String = "in")
+
+final case class DataFlow(name: String, components: Seq[Component], paths: Seq[Path])
+
+// ---------------- control flow (§2.7) ----------------
+
+sealed trait CfTask { def name: String }
+object CfTask {
+  /** Execute SQL Task: DDL/DML/SELECT against the session catalog
+    * (reference: enhanced_json_mapper.py:380-438). `resultInto` binds a
+    * scalar SELECT result to a variable. */
+  final case class SqlTask(name: String, sql: String,
+      resultInto: Option[String] = None) extends CfTask
+  final case class DataFlowTask(name: String, flow: DataFlow) extends CfTask
+  /** Driver-side foreach over a value list, binding `variable` per
+    * iteration (SSIS Foreach Loop container). */
+  final case class ForEach(name: String, variable: String, values: Seq[Any],
+      body: Seq[CfTask]) extends CfTask
+  final case class Sequence(name: String, body: Seq[CfTask]) extends CfTask
+}
+
+sealed trait EdgeCondition
+object EdgeCondition {
+  case object OnSuccess extends EdgeCondition
+  case object OnFailure extends EdgeCondition
+  case object OnCompletion extends EdgeCondition
+  /** Expression constraint over pipeline variables, e.g.
+    * `@[User::SourceRowCount] > 0` (Sample_Medium_Package.dtsx:905). */
+  final case class ExpressionEdge(expr: String,
+      and: EdgeCondition = OnSuccess) extends EdgeCondition
+}
+
+final case class PrecedenceEdge(from: String, to: String,
+    condition: EdgeCondition = EdgeCondition.OnSuccess)
+
+final case class PipelineSpec(name: String, tasks: Seq[CfTask],
+    edges: Seq[PrecedenceEdge],
+    variables: Map[String, Any] = Map.empty)
