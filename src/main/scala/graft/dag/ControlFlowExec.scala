@@ -84,7 +84,10 @@ object ControlFlowExec {
       // bound to a variable needs an explicit action.
       resultInto.foreach(variable => ctx.variables(variable) = df.head().get(0))
     case DataFlowTask(_, flow) =>
-      DataFlowExec.run(flow, ctx)
+      // sinks have executed when run() returns; release cached parents so
+      // a long multi-flow pipeline doesn't accumulate persisted frames
+      try DataFlowExec.run(flow, ctx)
+      finally ctx.unpersistAll()
     case ForEach(_, variable, values, body) =>
       values.foreach { v =>
         ctx.variables(variable) = v

@@ -19,9 +19,23 @@ final class PipelineContext(
     val writeTable: (String, DataFrame, WriteMode) => Unit,
     val variables: mutable.Map[String, Any]) {
   /** Row-count taps registered during the flow; drained after actions. */
-  val observations: mutable.Buffer[(Observation, String)] = mutable.Buffer.empty
+  val observations: mutable.Buffer[ObsTap] = mutable.Buffer.empty
+  /** Frames persisted by fan-out/split during a flow; unpersisted by
+    * ControlFlowExec once the flow's sinks have run (leak fix — a long
+    * multi-flow pipeline must not accumulate cached parents). */
+  val persisted: mutable.Buffer[DataFrame] = mutable.Buffer.empty
   def vars: Map[String, Any] = variables.toMap
+  def unpersistAll(): Unit = {
+    persisted.foreach(_.unpersist(false))
+    persisted.clear()
+  }
 }
+
+/** A RowCount tap: the Observation, the target variable, the tapping
+  * component's name (for sink-reachability), and the tapped frame (count
+  * fallback when no downstream action ever fills the observation). */
+final case class ObsTap(obs: Observation, variable: String,
+    component: String, tapped: DataFrame)
 
 object PipelineContext {
   /** Context over a TESTDATA scale-factor directory; sinks land in temp
@@ -95,19 +109,47 @@ object DataFlowExec {
       val outs = execute(comp, inputs, ctx)
       outs.foreach { case (port, df) =>
         val persisted =
-          if (consumers.getOrElse((name, port), 0) > 1)
-            df.persist(StorageLevel.MEMORY_AND_DISK)
-          else df
+          if (consumers.getOrElse((name, port), 0) > 1) {
+            val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+            ctx.persisted += p
+            p
+          } else df
         outputs((name, port)) = persisted
       }
     }
 
-    // drain row-count taps into variables (observe → no extra job;
-    // getOrEmpty so an unactioned branch doesn't hang the run)
-    ctx.observations.foreach { case (obs, variable) =>
-      obs.getOrEmpty.get("rows").foreach(v => ctx.variables(variable) = v)
+    // Drain row-count taps into variables. An Observation fills only
+    // after an action evaluates the observed plan; this flow's actions
+    // are its sinks (writeTable / trash). Blocking `get` is safe exactly
+    // when a sink is reachable downstream of the tap; a dangling tap
+    // falls back to one count() job on the tapped frame.
+    if (ctx.observations.nonEmpty) {
+      val sinks = flow.components.collect {
+        case c: Destination => c.name
+        case c: TrashDestination => c.name
+      }.toSet
+      val adj = flow.paths.groupBy(_.from).view.mapValues(_.map(_.to)).toMap
+      def reachesSink(start: String): Boolean = {
+        if (sinks(start)) return true
+        val seen = mutable.Set(start)
+        val stack = mutable.Stack(start)
+        while (stack.nonEmpty) {
+          for (next <- adj.getOrElse(stack.pop(), Nil) if seen.add(next)) {
+            if (sinks(next)) return true
+            stack.push(next)
+          }
+        }
+        false
+      }
+      ctx.observations.foreach { tap =>
+        val rows: Any =
+          if (reachesSink(tap.component))
+            tap.obs.get.getOrElse("rows", tap.tapped.count())
+          else tap.tapped.count()
+        ctx.variables(tap.variable) = rows
+      }
+      ctx.observations.clear()
     }
-    ctx.observations.clear()
 
     val consumed = flow.paths.map(p => (p.from, p.fromPort)).toSet
     outputs.collect {
@@ -244,6 +286,7 @@ object DataFlowExec {
           // fold right so earlier cases take precedence in the cascade
           when(Compiler.compile(cond, df.schema, ctx.vars), lit(port)).otherwise(els)
         }).persist(StorageLevel.MEMORY_AND_DISK)
+      ctx.persisted += labeled
       val ports = cases.map(_._1) :+ defaultOut
       ports.map(p => p -> labeled.filter(col(branch) === lit(p)).drop(branch)).toMap
 
@@ -308,7 +351,7 @@ object DataFlowExec {
       val df = single(inputs, comp)
       val obs = Observation(s"rowcount_$name")
       val tapped = df.observe(obs, count(lit(1)).as("rows"))
-      ctx.observations += ((obs, variable))
+      ctx.observations += ObsTap(obs, variable, name, tapped)
       Map("out" -> tapped)
 
     case Destination(_, target, mode) =>

@@ -79,7 +79,7 @@ object Compiler {
     case Ternary(_, t, f) =>
       val tt = infer(t, schema, vars)
       if (tt != SUnknown) tt else infer(f, schema, vars)
-    case Call(name, _) => name match {
+    case Call(name, cargs) => name match {
       case "LEN" | "FINDSTRING" | "CODEPOINT" | "TOKENCOUNT" | "DATEDIFF" | "DATEPART" |
            "DAY" | "MONTH" | "YEAR" | "SIGN" => SInt
       case "ABS" | "CEILING" | "EXP" | "FLOOR" | "LN" | "LOG" | "POWER" | "ROUND" |
@@ -88,6 +88,8 @@ object Compiler {
            "REPLICATE" | "REVERSE" | "RIGHT" | "LEFT" | "TOKEN" | "HEX" => SStr
       case "GETDATE" | "GETUTCDATE" | "DATEADD" => STime
       case "ISNULL" => SBool
+      case "IIF" if cargs.length == 3 =>
+        infer(Ternary(cargs(0), cargs(1), cargs(2)), schema, vars)
       case _ => SUnknown
     }
   }
@@ -184,6 +186,9 @@ object Compiler {
       if (args.length != n)
         throw new ExprParseException(s"$name expects $n args, got ${args.length}")
     name match {
+      // IIF(c,t,f) — same semantics as the ?: ternary
+      // (reference: expression_translator.py:59)
+      case "IIF" => arity(3); when(args(0), args(1)).otherwise(args(2))
       // ---- math (SSIS math function set) ----
       case "ABS" => arity(1); abs(args(0))
       case "CEILING" => arity(1); ceil(args(0))

@@ -27,9 +27,13 @@ object Mutations {
     * (equivalent: MERGE WHEN MATCHED THEN UPDATE SET ...). */
   def applyUpdate(target: DataFrame, updates: DataFrame,
                   keys: Seq[String], setCols: Seq[String]): DataFrame = {
+    // explicit match witness: joins use <=>, so a NULL business key can
+    // legitimately match — key-isNotNull would miss that row
+    val flag = "__graft_matched"
     val u = updates.dropDuplicates(keys) // one command per key, like a keyed MERGE
+      .withColumn(flag, lit(true))
     val joined = target.join(u, keyCond(target, u, keys), "left_outer")
-    val matched = u(keys.head).isNotNull // key cols are the match witness
+    val matched = u(flag) === lit(true)
     val cols = target.columns.map { c =>
       if (setCols.contains(c)) when(matched, u(c)).otherwise(target(c)).as(c)
       else target(c).as(c)
@@ -68,9 +72,11 @@ object Mutations {
     val current = target.filter(col(isCurrent))
     val history = target.filter(!col(isCurrent))
 
-    val changedCond = trackedCols.map(c => !(current(c) <=> f(c))).reduce(_ || _)
-    val joined = current.join(f, keyCond(current, f, keys), "left_outer")
-    val feedMatched = f(keys.head).isNotNull
+    val flag = "__graft_matched"
+    val fFlagged = f.withColumn(flag, lit(true))
+    val changedCond = trackedCols.map(c => !(current(c) <=> fFlagged(c))).reduce(_ || _)
+    val joined = current.join(fFlagged, keyCond(current, fFlagged, keys), "left_outer")
+    val feedMatched = fFlagged(flag) === lit(true)
 
     // current rows: expire when the feed disagrees on any tracked column
     val expireRow = feedMatched && changedCond
