@@ -12,6 +12,13 @@ import graft.expr.Compiler
   * and the package-variable context (reference: models.py:85,
   * control_flow_mapper.py:101-176 — variables are driver-side scalars,
   * injected into plans as literals).
+  *
+  * Contract for `writeTable` implementations: run exactly ONE Spark
+  * action on the incoming frame. A RowCount upstream taps the plan with
+  * `observe`; the sink's action fills the Observation. Actioning the
+  * SAME Dataset twice re-reads its (checkpointed/cached) result without
+  * refilling the CollectMetrics accumulator, and the async execution
+  * listener can then complete the Observation with a spurious 0.
   */
 final class PipelineContext(
     val spark: SparkSession,

@@ -1,0 +1,141 @@
+package graft.dag
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.collection.mutable
+import graft.TestSpark
+import graft.ir._
+import graft.ir.Component._
+import graft.ir.CfTask._
+
+/** Engine-level execution: DataFlowExec DAG runs and ControlFlowExec
+  * precedence semantics — the composition layer the round-1 oracle
+  * queries never exercised. */
+class DagSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  private def ctx(tables: Map[String, DataFrame]): PipelineContext = {
+    val sunk = mutable.Map.empty[String, DataFrame]
+    new PipelineContext(
+      spark,
+      name => tables.getOrElse(name, sys.error(s"unknown table $name")),
+      (name, df, mode) => {
+        val out = mode match {
+          case WriteMode.Overwrite => df
+          case WriteMode.Append => sunk.get(name).map(_.unionByName(df)).getOrElse(df)
+        }
+        // exactly ONE action on the incoming frame: a second action on the
+        // same Dataset re-reads the checkpointed RDD without refilling the
+        // CollectMetrics accumulator, and the listener may then complete a
+        // RowCount Observation with 0 (see PipelineContext.writeTable doc)
+        val cp = out.localCheckpoint(true)
+        sunk(name) = cp
+        cp.createOrReplaceTempView(name)
+      },
+      mutable.Map.empty)
+  }
+
+  private val people = {
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("grp", StringType),
+      StructField("x", IntegerType)))
+    spark.createDataFrame(java.util.List.of(
+      Row(1, "a", 10), Row(2, "a", 25), Row(3, "b", 40), Row(4, null, 55)), schema)
+  }
+
+  test("ConditionalSplit is first-match-wins; default gets the rest") {
+    val flow = DataFlow("f", Seq(
+      SourceTable("src", "people"),
+      // x > 20 matches rows 2,3,4; x > 30 would also match 3,4 but must
+      // receive nothing the first case already claimed
+      ConditionalSplit("split", Seq("hi" -> "x > 20", "vh" -> "x > 30"), "rest")),
+      Seq(Path("src", "split")))
+    val out = DataFlowExec.run(flow, ctx(Map("people" -> people)))
+    assert(out("split.hi").select("id").collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 3, 4))
+    assert(out("split.vh").count() == 0)
+    assert(out("split.rest").select("id").collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
+  test("RowCount via observe fills variable when a sink runs; dangling tap falls back") {
+    val c = ctx(Map("people" -> people))
+    val flow = DataFlow("f", Seq(
+      SourceTable("src", "people"),
+      RowCount("rc", "User::N"),
+      Destination("dst", "out_t", WriteMode.Overwrite),
+      // dangling branch: tapped but never actioned
+      SourceTable("src2", "people", filter = Some("x > 20")),
+      RowCount("rc2", "User::M")),
+      Seq(Path("src", "rc"), Path("rc", "dst"), Path("src2", "rc2")))
+    DataFlowExec.run(flow, c)
+    assert(c.variables("User::N") == 4L)
+    assert(c.variables("User::M") == 3L)
+  }
+
+  test("MergeJoin full outer with nullsEqual matches NULL keys") {
+    val l = people.select(people("grp").as("lg"), people("id").as("lid"))
+    val r = people.select(people("grp").as("rg"), people("x").as("rx"))
+    val flow = DataFlow("f", Seq(
+      SourceTable("ls", "l"), SourceTable("rs", "r"),
+      MergeJoin("mj", "full", Seq("lg" -> "rg"), nullsEqual = true)),
+      Seq(Path("ls", "mj", toPort = "left"), Path("rs", "mj", toPort = "right")))
+    val out = DataFlowExec.run(flow, ctx(Map("l" -> l, "r" -> r)))("mj.out")
+    // NULL grp row joins itself under <=>: no unmatched null-side rows
+    assert(out.filter(out("lg").isNull && out("rg").isNull).count() == 1)
+    assert(out.filter(out("lid").isNull || out("rx").isNull).count() == 0)
+  }
+
+  test("Lookup NoMatch=Fail raises on unmatched key") {
+    val ref = people.filter(people("grp") === "a")
+      .select(people("grp").as("g"), people("x").as("refx"))
+    val flow = DataFlow("f", Seq(
+      SourceTable("src", "people"),
+      Lookup("lk", "ref", Seq("grp" -> "g"), Seq("refx" -> "refx"),
+        NoMatchBehavior.Fail)),
+      Seq(Path("src", "lk")))
+    val ex = intercept[Exception] {
+      DataFlowExec.run(flow, ctx(Map("people" -> people, "ref" -> ref)))("lk.out").collect()
+    }
+    assert(ex.getMessage.contains("no match") || ex.getMessage.contains("Lookup"))
+  }
+
+  test("control flow: OnFailure edge runs only after failure; expression edge gates on variables") {
+    val c = ctx(Map("people" -> people))
+    val spec = PipelineSpec("p",
+      tasks = Seq(
+        SqlTask("bad", "SELECT * FROM nonexistent_table_xyz"),
+        SqlTask("onfail", "SELECT 1", resultInto = Some("User::Ran")),
+        SqlTask("onok", "SELECT 2", resultInto = Some("User::NotRan")),
+        SqlTask("count", "SELECT 41", resultInto = Some("User::C")),
+        SqlTask("gated", "SELECT 99", resultInto = Some("User::G")),
+        SqlTask("gatedOff", "SELECT -1", resultInto = Some("User::GOff"))),
+      edges = Seq(
+        PrecedenceEdge("bad", "onfail", EdgeCondition.OnFailure),
+        PrecedenceEdge("bad", "onok", EdgeCondition.OnSuccess),
+        PrecedenceEdge("count", "gated",
+          EdgeCondition.ExpressionEdge("@[User::C] > 40")),
+        PrecedenceEdge("count", "gatedOff",
+          EdgeCondition.ExpressionEdge("@[User::C] > 100"))))
+    val res = ControlFlowExec.run(spec, c)
+    assert(res.statuses("bad").isInstanceOf[ControlFlowExec.Errored])
+    assert(res.variables("User::Ran") == 1)
+    assert(!res.variables.contains("User::NotRan"))
+    assert(res.statuses("onok") == ControlFlowExec.Skipped)
+    assert(res.variables("User::G") == 99)
+    assert(!res.variables.contains("User::GOff"))
+  }
+
+  test("ForEach binds loop variable per iteration; data flows through DataFlowTask") {
+    val c = ctx(Map("people" -> people))
+    val flow = DataFlow("body", Seq(
+      SourceTable("src", "people", filter = Some("x > @[User::Min]")),
+      Destination("dst", "loop_out", WriteMode.Append)),
+      Seq(Path("src", "dst")))
+    val spec = PipelineSpec("p",
+      tasks = Seq(ForEach("loop", "User::Min", Seq(20, 50), Seq(DataFlowTask("dft", flow)))),
+      edges = Nil)
+    ControlFlowExec.run(spec, c)
+    // pass 1: x>20 → 3 rows; pass 2: x>50 → 1 row; appended = 4
+    assert(spark.table("loop_out").count() == 4)
+  }
+}

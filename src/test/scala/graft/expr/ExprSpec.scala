@@ -54,6 +54,12 @@ class ExprSpec extends AnyFunSuite {
     assert(eval("i != j") == true)
   }
 
+  test("IIF is the ?: ternary (reference: expression_translator.py:59)") {
+    assert(eval("IIF(i > j, \"yes\", \"no\")") == "yes")
+    assert(eval("IIF(i < j, 1, 0)") == 0)
+    assert(eval("IIF(ISNULL(nullI), -1, nullI)") == -1)
+  }
+
   test("nested ternaries (the reference's regex translator breaks here)") {
     assert(eval("i > 1 ? (j > 1 ? \"both\" : \"only-i\") : \"none\"") == "both")
     assert(eval("i > 100 ? \"big\" : i > 5 ? \"mid\" : \"small\"") == "mid")
