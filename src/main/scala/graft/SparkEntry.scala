@@ -10,7 +10,8 @@ object SparkEntry {
     * earlier keys (asserted in tests). */
   private def packs: Seq[QueryPack] = Seq(
     CoreQueries,
-    TransformQueries
+    TransformQueries,
+    EngineQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

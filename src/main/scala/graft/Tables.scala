@@ -15,8 +15,13 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
+    // rejects; read nanos as epoch-nano longs (convert where a query
+    // needs wall-clock: timestamp_micros(col / 1000)).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** Register every table as a temp view so spark.sql(...) works — the
     * engine's analog of the reference's Execute SQL Task surface. */
