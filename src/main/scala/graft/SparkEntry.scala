@@ -11,7 +11,8 @@ object SparkEntry {
   private def packs: Seq[QueryPack] = Seq(
     CoreQueries,
     TransformQueries,
-    EngineQueries
+    EngineQueries,
+    GoldenQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
