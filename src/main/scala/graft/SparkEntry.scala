@@ -12,7 +12,8 @@ object SparkEntry {
     CoreQueries,
     TransformQueries,
     EngineQueries,
-    GoldenQueries
+    GoldenQueries,
+    ExtQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

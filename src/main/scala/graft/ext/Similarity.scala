@@ -1,0 +1,100 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (Array[Float]) — the
+  * BASELINE ANN extension, which also powers Fuzzy Lookup/Grouping-style
+  * matching when paired with Dedup's LSH.
+  *
+  * Two tiers:
+  *   - brute-force cosine top-k: exact, O(|Q|·|C|) — the baseline, and
+  *     the right choice whenever |Q| is small (broadcast the queries);
+  *   - random-hyperplane LSH buckets: approximate, candidates share a
+  *     signature band, so the join is bucket-local — the 100 TB path.
+  *
+  * All math is native expressions: zip_with/aggregate fold the vectors
+  * in a fixed left-to-right order (deterministic sums, no UDF).
+  */
+object Similarity {
+
+  /** Dot product of two array<float/double> columns in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact top-k cosine neighbors of each query vector.
+    * `queries`/`corpus`: (idCol, vecCol). Queries are broadcast — at
+    * scale keep |Q| bounded (or use [[lshTopK]]). Excludes self-matches
+    * when ids collide. Output: (query_id, neighbor_id, cosine_sim, rank).
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      l2Norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      l2Norm(col(vecCol)).as("cn"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic random hyperplanes: `numPlanes` unit-free normals of
+    * dimension `dim`, seeded — same planes on every run/executor. */
+  def hyperplanes(dim: Int, numPlanes: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit signature of a vector against the planes, packed into a
+    * long per band of `bitsPerBand` planes. Returns
+    * array<struct<band:int,key:long>> for explode+bucket-join. */
+  def lshBandKeys(vec: Column, planes: Seq[Seq[Double]], bitsPerBand: Int): Column = {
+    val bits: Seq[Column] = planes.map { p =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(vec, planeCol) >= 0, lit(1L)).otherwise(lit(0L))
+    }
+    val bands = bits.grouped(bitsPerBand).toSeq
+    array(bands.zipWithIndex.map { case (bs, i) =>
+      val key = bs.zipWithIndex.map { case (b, j) =>
+        when(b === 1L, lit(1L << j)).otherwise(lit(0L))
+      }.reduce((x, y) => x.bitwiseOR(y))
+      struct(lit(i).as("band"), key.as("key"))
+    }: _*)
+  }
+
+  /** Approximate top-k: candidates are corpus vectors sharing ≥1 LSH
+    * band with the query; exact cosine ranks the candidates. The join
+    * shuffles on (band, key) — bucket-local, never all-pairs. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, numPlanes: Int = 16,
+      bitsPerBand: Int = 4, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(dim, numPlanes, seed)
+    def banded(df: DataFrame, id: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(s"${id}_v"),
+          explode(lshBandKeys(col(vecCol), planes, bitsPerBand)).as("bk"))
+        .select(col(id), col(s"${id}_v"), col("bk.band").as("band"),
+          col("bk.key").as("key"))
+    val qb = banded(queries, "query_id")
+    val cb = banded(corpus, "neighbor_id")
+    val cand = qb.join(cb, Seq("band", "key"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("query_id_v").as("qv"), col("neighbor_id_v").as("cv"))
+      .distinct()
+    val scored = cand.select(col("query_id"), col("neighbor_id"),
+      cosine(col("qv"), col("cv")).as("cosine_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,119 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting. The
+  * reference only recognizes Term Lookup/Extraction
+  * (data_engineering_parser.py:1119-1120); this is the executing
+  * surface, all native expressions (no UDFs — every op stays inside
+  * whole-stage codegen or native higher-order functions).
+  */
+object TextAnalysis {
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  // ---------- language ID ----------
+
+  /** Marker stopwords per language for the n-gram-free heuristic.
+    * Deliberately tiny and deterministic; real corpora would use a
+    * char-n-gram profile, same plan shape. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "and", "of"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "est"),
+    "es" -> Seq("el", "los", "y", "es", "las"))
+
+  /** Count of tokens that are in `words`. */
+  private def markerHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => words.map(w => t === lit(w)).reduce(_ || _)))
+
+  /** Per-language marker-hit scores as columns `score_<lang>`. */
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val t = tokens(text)
+    langMarkers.map { case (lang, words) => lang -> markerHits(t, words) }
+  }
+
+  /** Predicted language: argmax marker score, ties broken by the
+    * declaration order above, 'und' (undetermined) when all zero. */
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), els) =>
+      when(s === best && best > 0, lit(lang)).otherwise(els)
+    }
+  }
+
+  // ---------- quality scoring ----------
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "is", "and", "of", "to", "in", "that", "it", "for")
+
+  def nTokens(text: Column): Column = size(tokens(text))
+
+  def meanTokenLen(text: Column): Column =
+    (length(text) - nTokens(text) + lit(1)).cast("double") / nTokens(text)
+
+  def stopwordRatio(text: Column): Column =
+    markerHits(tokens(text), stopwords).cast("double") / nTokens(text)
+
+  def alphaRatio(text: Column): Column =
+    (length(regexp_replace(text, "[^A-Za-z]", ""))).cast("double") /
+      greatest(length(text), lit(1))
+
+  /** Composite quality gate in the C4/Gopher style: enough tokens, sane
+    * mean token length, some stopword mass. */
+  def qualityOk(text: Column): Column =
+    nTokens(text).between(10, 100000) &&
+      meanTokenLen(text).between(2.0, 12.0) &&
+      stopwordRatio(text) >= 0.01
+
+  // ---------- token counting ----------
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column = nTokens(text)
+
+  /** BPE-ish token estimate: word pieces of ≤4 chars — ceil(len/4) per
+    * whitespace token plus one per non-alnum char. Both terms are exact
+    * integer arithmetic, reproducible in any engine. */
+  def tokenCountBpeIsh(text: Column): Column = {
+    val pieces = aggregate(tokens(text), lit(0L),
+      (acc, t) => acc + ceil(length(t).cast("double") / lit(4.0)).cast("long"))
+    val punct = length(regexp_replace(text, "[A-Za-z0-9 ]", "")).cast("long")
+    pieces + punct
+  }
+
+  // ---------- fingerprinting ----------
+
+  /** Whole-document fingerprint: md5 of the whitespace-normalized,
+    * lowercased text. */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Min-hash-of-words fingerprint (1-gram winnow): the smallest md5
+    * over the distinct token set — survives token reordering. */
+  def minWordFingerprint(text: Column): Column =
+    array_min(transform(array_distinct(tokens(text)), t => md5(t)))
+
+  // ---------- term extraction ----------
+
+  /** Term frequencies over a corpus: explode tokens → count — the
+    * Term Extraction analog (one shuffle on the term). */
+  def termFrequencies(df: org.apache.spark.sql.DataFrame, textCol: String,
+      minCount: Long = 1L): org.apache.spark.sql.DataFrame =
+    df.select(explode(tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term").agg(count(lit(1)).as("term_count"))
+      .filter(col("term_count") >= minCount)
+
+  /** Term Lookup: keep only rows whose text contains at least one term
+    * from the (broadcast) term list; adds the matched terms. */
+  def termLookup(df: org.apache.spark.sql.DataFrame, textCol: String,
+      terms: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val termArr = array(terms.map(lit): _*)
+    df.withColumn("matched_terms",
+        array_intersect(array_distinct(tokens(col(textCol))), termArr))
+      .filter(size(col("matched_terms")) > 0)
+  }
+}

@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** BASELINE extension queries over documents/embeddings: dedup (exact,
+  * MinHash-LSH, SimHash, n-gram Jaccard), similarity search (brute-force
+  * and hyperplane-LSH ANN), text analysis (language ID, quality, token
+  * counts, fingerprints, term extraction/lookup), and multimodal binary
+  * plumbing. Oracle-checked wherever the math is engine-portable;
+  * hash-based ops (xxhash64 signatures, cosine ranking) are rows-only
+  * entries by design.
+  */
+object ExtQueries extends QueryPack {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q19_dedup_exact" -> { (s, dir) =>
+      Dedup.exactKeepFirst(docs(s, dir), Seq("lang"), "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("lang"))
+    },
+
+    "q20_minhash_pairs" -> { (s, dir) =>
+      Dedup.minhashNearDupPairs(docs(s, dir), "doc_id", "text",
+          k = 3, numHashes = 64, bands = 16, threshold = 0.10)
+        .orderBy(col("ida"), col("idb"))
+    },
+
+    "q21_jaccard_block" -> { (s, dir) =>
+      val d = docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          array_distinct(Dedup.tokens(col("text"))).as("ws"))
+      val a = d.alias("a")
+      val b = d.alias("b")
+      a.join(b, col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
+          col("a.lang").as("lang"),
+          Dedup.jaccard(col("a.ws"), col("b.ws")).as("jaccard_sim"))
+        .filter(col("jaccard_sim") >= 0.9)
+        .orderBy(col("ida"), col("idb"))
+    },
+
+    "q22_simhash_pairs" -> { (s, dir) =>
+      Dedup.simhashNearDupPairs(docs(s, dir), "doc_id", "text", maxHamming = 12)
+        .orderBy(col("ida"), col("idb"))
+    },
+
+    "q23_langid" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val scores = TextAnalysis.langScores(col("text"))
+        .map { case (lang, c) => c.as(s"score_$lang") }
+      d.select((col("doc_id") +: scores :+
+          TextAnalysis.langId(col("text")).as("pred_lang")): _*)
+        .orderBy(col("doc_id"))
+    },
+
+    "q24_quality" -> { (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          TextAnalysis.nTokens(col("text")).as("n_tokens"),
+          TextAnalysis.meanTokenLen(col("text")).as("mean_token_len"),
+          TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+          TextAnalysis.alphaRatio(col("text")).as("alpha_ratio"),
+          TextAnalysis.qualityOk(col("text")).as("quality_ok"))
+        .orderBy(col("doc_id"))
+    },
+
+    "q25_tokens" -> { (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          TextAnalysis.tokenCountWs(col("text")).as("n_ws_tokens"),
+          TextAnalysis.tokenCountBpeIsh(col("text")).as("n_bpeish_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
+    "q26_fingerprint" -> { (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("doc_fp"),
+          TextAnalysis.minWordFingerprint(col("text")).as("min_word_fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    "q27_ann_brute" -> { (s, dir) =>
+      val e = embs(s, dir)
+      Similarity.bruteForceTopK(e.filter(col("vec_id") < 20), e,
+          "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("cosine_sim"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    "q28_ann_lsh" -> { (s, dir) =>
+      val e = embs(s, dir)
+      Similarity.lshTopK(e.filter(col("vec_id") < 20), e,
+          "vec_id", "embedding", k = 5, dim = 64, numPlanes = 16, bitsPerBand = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cosine_sim"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    "q29_multimodal_meta" -> { (s, dir) =>
+      val items = Multimodal.asMediaItems(docs(s, dir), "doc_id", "text")
+      Multimodal.extractFeatures(items).toDF()
+        .select(col("media_id"), col("n_bytes"), col("digest"), col("ok"))
+        .orderBy(col("media_id"))
+    },
+
+    "q30_term_freq" -> { (s, dir) =>
+      TextAnalysis.termFrequencies(docs(s, dir), "text", minCount = 100L)
+        .orderBy(col("term"))
+    },
+
+    "q31_term_lookup" -> { (s, dir) =>
+      TextAnalysis.termLookup(docs(s, dir), "text", Seq("spark", "vector", "stream"))
+        .select(col("doc_id"), size(col("matched_terms")).as("n_matched"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q19_dedup_exact" ->
+      """SELECT d.doc_id, d.lang, d.source, d.n_chars
+        |FROM documents d
+        |JOIN (SELECT lang, MIN(doc_id) AS doc_id FROM documents GROUP BY lang) k
+        |  ON d.doc_id = k.doc_id
+        |ORDER BY d.lang""".stripMargin,
+    // q20/q22/q27/q28 are xxhash64/fp-ranking based → rows-only checks.
+    "q21_jaccard_block" ->
+      """WITH s AS (SELECT doc_id, lang,
+        |    list_distinct(string_split(text, ' ')) AS ws FROM documents)
+        |SELECT a.doc_id AS ida, b.doc_id AS idb, a.lang AS lang,
+        |  len(list_intersect(a.ws, b.ws)) * 1.0
+        |    / len(list_distinct(list_concat(a.ws, b.ws))) AS jaccard_sim
+        |FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.ws, b.ws)) * 1.0
+        |    / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.9
+        |ORDER BY ida, idb""".stripMargin,
+    "q23_langid" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sc AS (SELECT doc_id,
+        |  len(list_filter(t, w -> w IN ('the','a','is','and','of'))) AS score_en,
+        |  len(list_filter(t, w -> w IN ('der','die','und','das','ist'))) AS score_de,
+        |  len(list_filter(t, w -> w IN ('le','la','et','les','est'))) AS score_fr,
+        |  len(list_filter(t, w -> w IN ('el','los','y','es','las'))) AS score_es
+        |  FROM s)
+        |SELECT doc_id, score_en, score_de, score_fr, score_es,
+        |  CASE
+        |    WHEN score_en >= score_de AND score_en >= score_fr
+        |         AND score_en >= score_es AND score_en > 0 THEN 'en'
+        |    WHEN score_de >= score_fr AND score_de >= score_es
+        |         AND score_de > 0 THEN 'de'
+        |    WHEN score_fr >= score_es AND score_fr > 0 THEN 'fr'
+        |    WHEN score_es > 0 THEN 'es'
+        |    ELSE 'und' END AS pred_lang
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "q24_quality" ->
+      """WITH s AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+        |m AS (SELECT doc_id,
+        |  len(t) AS n_tokens,
+        |  (length(text) - len(t) + 1) * 1.0 / len(t) AS mean_token_len,
+        |  len(list_filter(t, w -> w IN ('the','a','is','and','of','to','in','that','it','for'))) * 1.0 / len(t) AS stopword_ratio,
+        |  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+        |    / greatest(length(text), 1) AS alpha_ratio
+        |  FROM s)
+        |SELECT doc_id, n_tokens, mean_token_len, stopword_ratio, alpha_ratio,
+        |  (n_tokens BETWEEN 10 AND 100000)
+        |    AND (mean_token_len BETWEEN 2.0 AND 12.0)
+        |    AND stopword_ratio >= 0.01 AS quality_ok
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q25_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_ws_tokens,
+        |  list_aggregate(list_transform(string_split(text, ' '),
+        |      t -> CAST(ceil(len(t) / 4.0) AS BIGINT)), 'sum')
+        |    + length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS n_bpeish_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q26_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS doc_fp,
+        |  list_aggregate(list_transform(list_distinct(string_split(text, ' ')),
+        |      t -> md5(t)), 'min') AS min_word_fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q29_multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  md5(text) AS digest,
+        |  octet_length(encode(text)) > 0 AS ok
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "q30_term_freq" ->
+      """SELECT term, COUNT(*) AS term_count FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |WHERE length(term) > 0
+        |GROUP BY term HAVING COUNT(*) >= 100
+        |ORDER BY term""".stripMargin,
+    "q31_term_lookup" ->
+      """SELECT doc_id,
+        |  len(list_filter(list_distinct(string_split(text, ' ')),
+        |      w -> w IN ('spark','vector','stream'))) AS n_matched
+        |FROM documents
+        |WHERE len(list_filter(list_distinct(string_split(text, ' ')),
+        |      w -> w IN ('spark','vector','stream'))) > 0
+        |ORDER BY doc_id""".stripMargin
+  )
+}

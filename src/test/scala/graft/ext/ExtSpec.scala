@@ -1,0 +1,150 @@
+package graft.ext
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Extension operators: dedup signatures, similarity math, text
+  * analysis, multimodal decode plumbing. */
+class ExtSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docSchema = StructType(Seq(
+    StructField("id", LongType), StructField("text", StringType)))
+  private def docs(rows: (Long, String)*) =
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r => Row(r._1, r._2)): _*), docSchema)
+
+  test("exactKeepFirst keeps the smallest-order row per key") {
+    val df = docs((3L, "aa"), (1L, "aa"), (2L, "bb"))
+      .withColumn("k", length(col("text")))
+    val out = Dedup.exactKeepFirst(df, Seq("text"), "id")
+      .select("id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 2L))
+  }
+
+  test("exactByContent dedups identical content via hash") {
+    val df = docs((10L, "same text"), (11L, "same text"), (12L, "other"))
+    val out = Dedup.exactByContent(df, "text", "id")
+      .select("id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(10L, 12L))
+  }
+
+  test("jaccard and shingles") {
+    val df = docs((1L, "a b c d"), (2L, "a b c e"))
+    val sets = df.select(Dedup.shingles(col("text"), 2).as("sh"))
+      .collect().map(_.getSeq[String](0).toSet)
+    // shingles of 'a b c d' with k=2: ab, bc, cd (joined w/ )
+    assert(sets(0).size == 3)
+    val j = df.agg(collect_list(col("text"))).as[Seq[String]].head()
+    val sim = docs((1L, "a b c d")).crossJoin(docs((2L, "a b c e")).select(col("text").as("t2")))
+      .select(Dedup.jaccard(
+        array_distinct(Dedup.tokens(col("text"))),
+        array_distinct(Dedup.tokens(col("t2")))).as("j"))
+      .as[Double].head()
+    assert(math.abs(sim - 3.0 / 5.0) < 1e-12) // {a,b,c} / {a,b,c,d,e}
+  }
+
+  test("minhash near-dup finds a true near-duplicate and skips unrelated") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"w$i").mkString(" ") + " x1 x2"
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val df = docs((1L, base), (2L, nearDup), (3L, other))
+    val pairs = Dedup.minhashNearDupPairs(df, "id", "text",
+      k = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    val deduped = Dedup.minhashDedup(df, "id", "text",
+      k = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .select("id").as[Long].collect().sorted
+    assert(deduped.toSeq == Seq(1L, 3L))
+  }
+
+  test("simhash: identical docs have distance 0, near docs small, far docs large") {
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val c = "zq zw ze zr zt zy zu zi zo zp za zs zd zf"
+    val df = docs((1L, a), (2L, a), (3L, b), (4L, c))
+    val fp = df.select(col("id"), Dedup.simhash64(col("text")).as("fp"))
+    val m = fp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(m(1L), m(2L)) == 0)
+    assert(ham(m(1L), m(3L)) < ham(m(1L), m(4L)))
+    val pairs = Dedup.simhashNearDupPairs(df, "id", "text", maxHamming = 3)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("cosine and dot are exact on known vectors") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", ArrayType(FloatType))))
+    val df = spark.createDataFrame(java.util.List.of(
+      Row(1L, Seq(1.0f, 0.0f)), Row(2L, Seq(0.0f, 2.0f)), Row(3L, Seq(3.0f, 0.0f))),
+      schema)
+    val sims = Similarity.bruteForceTopK(df.filter(col("id") === 1), df, "id", "v", 2)
+      .select("neighbor_id", "cosine_sim").as[(Long, Double)].collect().toMap
+    assert(math.abs(sims(3L) - 1.0) < 1e-12)   // parallel vector
+    assert(math.abs(sims(2L) - 0.0) < 1e-12)   // orthogonal
+  }
+
+  test("lsh topk recall against brute force on clustered vectors") {
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    // two tight clusters — LSH must recover within-cluster neighbors
+    def near(center: Array[Double]) =
+      center.map(x => (x + rnd.nextGaussian() * 0.01).toFloat).toSeq
+    val c1 = Array.fill(dim)(1.0); val c2 = Array.fill(dim)(-1.0)
+    val rows = (0L until 10L).map(i => Row(i, near(if (i < 5) c1 else c2)))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", ArrayType(FloatType))))
+    val df = spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    val out = Similarity.lshTopK(df, df, "id", "v", k = 4, dim = dim,
+      numPlanes = 8, bitsPerBand = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    val byQ = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // query 0's cluster-mates are 1..4; hyperplane buckets keep the cluster together
+    assert(byQ(0L) == Set(1L, 2L, 3L, 4L))
+    assert(byQ(7L) == Set(5L, 6L, 8L, 9L))
+  }
+
+  test("langId picks the language with most marker hits") {
+    val df = docs(
+      (1L, "the cat is on a mat and the dog"),
+      (2L, "der hund und die katze ist das tier"),
+      (3L, "xyz abc qqq"))
+    val out = df.select(col("id"), TextAnalysis.langId(col("text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "en"); assert(out(2L) == "de"); assert(out(3L) == "und")
+  }
+
+  test("token counts: whitespace and bpe-ish") {
+    val df = docs((1L, "hello world, ok"))
+    val (ws, bpe) = df.select(
+      TextAnalysis.tokenCountWs(col("text")),
+      TextAnalysis.tokenCountBpeIsh(col("text"))).as[(Int, Long)].head()
+    assert(ws == 3)
+    // hello→2, world,→2 (6 chars /4), ok→1 pieces; 1 punct (,)
+    assert(bpe == 2 + 2 + 1 + 1)
+  }
+
+  test("multimodal decode stub: deterministic features, batch path") {
+    val df = docs((1L, "abc"), (2L, ""))
+    val items = Multimodal.asMediaItems(df, "id", "text")
+    val feats = Multimodal.extractFeatures(items).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats(1L).n_bytes == 3)
+    assert(feats(1L).digest == "900150983cd24fb0d6963f7d28e17f72") // md5("abc")
+    assert(feats(1L).width >= 1 && feats(1L).width <= 1920)
+    assert(feats(1L).height >= 1 && feats(1L).height <= 1080)
+    assert(feats(1L).ok)
+    assert(!feats(2L).ok)
+    // rerun → identical (stub is deterministic)
+    val again = Multimodal.extractFeatures(items).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(again(1L) == feats(1L))
+  }
+}
