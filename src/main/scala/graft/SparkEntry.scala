@@ -13,7 +13,8 @@ object SparkEntry {
     TransformQueries,
     EngineQueries,
     GoldenQueries,
-    ExtQueries
+    ExtQueries,
+    IoQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -133,6 +133,7 @@ object DataFlowExec {
     if (ctx.observations.nonEmpty) {
       val sinks = flow.components.collect {
         case c: Destination => c.name
+        case c: FileDestination => c.name
         case c: TrashDestination => c.name
       }.toSet
       val adj = flow.paths.groupBy(_.from).view.mapValues(_.map(_.to)).toMap
@@ -181,6 +182,20 @@ object DataFlowExec {
 
     case SourceQuery(_, sql) =>
       Map("out" -> ctx.spark.sql(sql))
+
+    case SourceCsv(_, path, options, schemaDdl) =>
+      val r = ctx.spark.read.options(options)
+      Map("out" -> schemaDdl.fold(r)(d => r.schema(d)).csv(path))
+
+    case SourceJson(_, path, options, schemaDdl) =>
+      val r = ctx.spark.read.options(options)
+      Map("out" -> schemaDdl.fold(r)(d => r.schema(d)).json(path))
+
+    case SourceText(_, path) =>
+      Map("out" -> ctx.spark.read.text(path))
+
+    case SourceParquet(_, path) =>
+      Map("out" -> ctx.spark.read.parquet(path))
 
     case DerivedColumn(_, exprs) =>
       var df = single(inputs, comp)
@@ -364,6 +379,17 @@ object DataFlowExec {
     case Destination(_, target, mode) =>
       val df = single(inputs, comp)
       ctx.writeTable(target, df, mode)
+      Map.empty
+
+    case FileDestination(_, path, format, mode, options, partitionBy) =>
+      val df = single(inputs, comp)
+      val m = mode match {
+        case WriteMode.Overwrite => "overwrite"
+        case WriteMode.Append => "append"
+      }
+      var w = df.write.format(format).options(options).mode(m)
+      if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
+      w.save(path)
       Map.empty
 
     case TrashDestination(_, countInto) =>

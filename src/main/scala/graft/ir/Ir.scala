@@ -21,6 +21,23 @@ object Component {
     * (reference: enhanced_json_mapper.py:112-133). */
   final case class SourceQuery(name: String, sql: String) extends Component
 
+  /** CSV file source with header/sep/etc. options (reference:
+    * enhanced_json_mapper.py:71-79,166-175). Prefer an explicit
+    * `schemaDdl` ("a INT, b STRING") — inferSchema is an extra full
+    * pass over the files, wrong at scale. */
+  final case class SourceCsv(name: String, path: String,
+      options: Map[String, String] = Map("header" -> "true"),
+      schemaDdl: Option[String] = None) extends Component
+  /** JSON/REST-payload source (reference: enhanced_json_mapper.py:134-152
+    * fetches then builds a frame; file-based here — zero-egress build). */
+  final case class SourceJson(name: String, path: String,
+      options: Map[String, String] = Map.empty,
+      schemaDdl: Option[String] = None) extends Component
+  /** Flat file → one `value` column (reference: component_mapper.py:353). */
+  final case class SourceText(name: String, path: String) extends Component
+  /** Direct parquet path scan (not via the catalog). */
+  final case class SourceParquet(name: String, path: String) extends Component
+
   // ---- row-wise transforms (§2.3) ----
   /** `(column, ssisExpression)` pairs, applied in order; an existing
     * column name means replace (SSIS "Replace 'Col'" semantics). */
@@ -113,6 +130,13 @@ object Component {
                      case object Overwrite extends WriteMode }
   final case class Destination(name: String, target: String,
       mode: WriteMode = WriteMode.Append) extends Component
+  /** File sink via DataFrameWriter (reference writes CSV/Parquet/Delta,
+    * enhanced_json_mapper.py:442-493, 2042-2138). `format`:
+    * parquet|csv|json. */
+  final case class FileDestination(name: String, path: String,
+      format: String = "parquet", mode: WriteMode = WriteMode.Overwrite,
+      options: Map[String, String] = Map.empty,
+      partitionBy: Seq[String] = Nil) extends Component
   /** Terminates a path, optionally counting (reference trash destination,
     * enhanced_json_mapper.py:368-377). */
   final case class TrashDestination(name: String,

@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ir._
+import graft.ir.Component._
+import graft.dag.{DataFlowExec, PipelineContext}
+
+/** File source/sink surface (SURVEY §2.1-2.2): each query round-trips a
+  * catalog table through an engine FileDestination and reads it back
+  * through the matching engine file source — exercising the writer
+  * registry and the readers end-to-end, with the original table as the
+  * oracle. CSV reads use explicit schemas: inferSchema is a second full
+  * pass over the data, never acceptable at scale.
+  */
+object IoQueries extends QueryPack {
+
+  private def run(s: SparkSession, dir: String, flow: DataFlow): Map[String, DataFrame] =
+    DataFlowExec.run(flow, PipelineContext.overDir(s, dir))
+
+  private def tmp(name: String) =
+    s"${System.getProperty("java.io.tmpdir")}/graft_io/$name"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // CSV write → CSV read (header on, explicit schema on read).
+    "q32_csv_roundtrip" -> { (s, dir) =>
+      val path = tmp("nation_csv")
+      run(s, dir, DataFlow("q32w", Seq(
+        SourceTable("src", "nation"),
+        FileDestination("dst", path, "csv", WriteMode.Overwrite,
+          Map("header" -> "true"))),
+        Seq(Path("src", "dst"))))
+      run(s, dir, DataFlow("q32r", Seq(
+        SourceCsv("src", path, Map("header" -> "true"),
+          Some("n_nationkey INT, n_name STRING, n_regionkey INT"))),
+        Nil))("src.out")
+        .orderBy(col("n_nationkey"))
+    },
+
+    // JSON write → JSON read (schema pinned: JSON key order is not).
+    "q33_json_roundtrip" -> { (s, dir) =>
+      val path = tmp("supplier_json")
+      run(s, dir, DataFlow("q33w", Seq(
+        SourceTable("src", "supplier"),
+        FileDestination("dst", path, "json", WriteMode.Overwrite)),
+        Seq(Path("src", "dst"))))
+      run(s, dir, DataFlow("q33r", Seq(
+        SourceJson("src", path, Map.empty,
+          Some("s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE"))),
+        Nil))("src.out")
+        .orderBy(col("s_suppkey"))
+    },
+
+    // Flat-file text source: one line per document (corpus has no
+    // embedded newlines; lines are unique).
+    "q34_text_source" -> { (s, dir) =>
+      val path = tmp("documents_text")
+      run(s, dir, DataFlow("q34w", Seq(
+        SourceTable("src", "documents", columns = Seq("text")),
+        FileDestination("dst", path, "text", WriteMode.Overwrite)),
+        Seq(Path("src", "dst"))))
+      run(s, dir, DataFlow("q34r", Seq(
+        SourceText("src", path)),
+        Nil))("src.out")
+        .orderBy(col("value"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q32_csv_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "q33_json_roundtrip" ->
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
+    "q34_text_source" ->
+      "SELECT text AS value FROM documents ORDER BY value"
+  )
+}

@@ -1,0 +1,73 @@
+package graft.dag
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.collection.mutable
+import graft.TestSpark
+import graft.ir._
+import graft.ir.Component._
+
+/** File source/sink edge cases: quoting, custom separators, append mode. */
+class IoSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ctx = new PipelineContext(spark,
+    n => sys.error(s"no table $n"), (_, _, _) => (), mutable.Map.empty)
+
+  private val schema = StructType(Seq(
+    StructField("id", IntegerType), StructField("s", StringType)))
+  private val tricky = spark.createDataFrame(java.util.List.of(
+    Row(1, "plain"), Row(2, "has,comma"), Row(3, "has\"quote"),
+    Row(4, "has|pipe")), schema)
+
+  private def tmpDir(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_io_$tag")
+    d.toFile.deleteOnExit(); d.toString + "/data"
+  }
+
+  test("csv round-trip preserves quoted separators and quotes") {
+    val path = tmpDir("csvq")
+    tricky.createOrReplaceTempView("tricky_src")
+    DataFlowExec.run(DataFlow("w", Seq(
+      SourceQuery("src", "SELECT * FROM tricky_src"),
+      FileDestination("dst", path, "csv", WriteMode.Overwrite,
+        Map("header" -> "true"))),
+      Seq(Path("src", "dst"))), ctx)
+    val back = DataFlowExec.run(DataFlow("r", Seq(
+      SourceCsv("src", path, Map("header" -> "true"), Some("id INT, s STRING"))),
+      Nil), ctx)("src.out")
+    assert(back.collect().map(r => (r.getInt(0), r.getString(1))).toSet ==
+      Set((1, "plain"), (2, "has,comma"), (3, "has\"quote"), (4, "has|pipe")))
+  }
+
+  test("csv custom separator") {
+    val path = tmpDir("csvsep")
+    tricky.createOrReplaceTempView("tricky_src")
+    DataFlowExec.run(DataFlow("w", Seq(
+      SourceQuery("src", "SELECT * FROM tricky_src"),
+      FileDestination("dst", path, "csv", WriteMode.Overwrite,
+        Map("header" -> "true", "sep" -> "|"))),
+      Seq(Path("src", "dst"))), ctx)
+    val back = DataFlowExec.run(DataFlow("r", Seq(
+      SourceCsv("src", path, Map("header" -> "true", "sep" -> "|"),
+        Some("id INT, s STRING"))),
+      Nil), ctx)("src.out")
+    assert(back.count() == 4)
+    assert(back.filter(back("s") === "has|pipe").count() == 1)
+  }
+
+  test("parquet append mode accumulates") {
+    val path = tmpDir("pqapp")
+    tricky.createOrReplaceTempView("tricky_src")
+    val flowOnce = (m: WriteMode) => DataFlow("w", Seq(
+      SourceQuery("src", "SELECT * FROM tricky_src"),
+      FileDestination("dst", path, "parquet", m)),
+      Seq(Path("src", "dst")))
+    DataFlowExec.run(flowOnce(WriteMode.Overwrite), ctx)
+    DataFlowExec.run(flowOnce(WriteMode.Append), ctx)
+    val back = DataFlowExec.run(DataFlow("r", Seq(
+      SourceParquet("src", path)), Nil), ctx)("src.out")
+    assert(back.count() == 8)
+  }
+}
