@@ -1,23 +1,46 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-round benchmark main: times every SparkEntry query at the given
+  * scale factor and prints ONE JSON line.
+  *
+  * The timed action hashes EVERY projected column (xxhash64 over a
+  * struct of the full row) and sums the hashes — a bare count() lets
+  * Catalyst prune unreferenced projections, so expression-heavy queries
+  * would measure parquet-scan speed instead of their own work. */
 object Bench {
+  private def evalAll(df: DataFrame): Unit = {
+    // bit_xor, not sum: summing 64-bit hashes overflows under ANSI mode
+    val h = xxhash64(struct(df.columns.map(col): _*))
+    df.select(h.as("h")).agg(expr("bit_xor(h)")).collect()
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // untimed warmup: JVM/codegen/parquet-footer paths
+    evalAll(Tables.load(spark, sfDir, "nation"))
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try evalAll(fn(spark, sfDir))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

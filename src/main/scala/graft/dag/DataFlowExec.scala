@@ -137,8 +137,9 @@ object DataFlowExec {
         case c: TrashDestination => c.name
       }.toSet
       val adj = flow.paths.groupBy(_.from).view.mapValues(_.map(_.to)).toMap
+      // STRICT descendants only: a TrashDestination tap is itself a sink
+      // but runs no action, so it must take the count() fallback.
       def reachesSink(start: String): Boolean = {
-        if (sinks(start)) return true
         val seen = mutable.Set(start)
         val stack = mutable.Stack(start)
         while (stack.nonEmpty) {
@@ -251,7 +252,15 @@ object DataFlowExec {
       var ref = refRaw.select(needed.map(col): _*).withColumn(matchFlag, lit(true))
       // dedupe reference on the key (SSIS FULL cache keeps first match)
       ref = ref.dropDuplicates(joinKeys.map(_._2))
-      val refSide = if (cacheFull) broadcast(ref) else ref
+      // SSIS FULL cache maps to a broadcast — but only under a size gate:
+      // an unconditional broadcast of an unbounded reference OOMs the
+      // driver at scale. Over the threshold we fall back to a plain
+      // shuffle join and let AQE pick the strategy.
+      val threshold = ctx.spark.sessionState.conf.autoBroadcastJoinThreshold
+      val refBytes = ref.queryExecution.optimizedPlan.stats.sizeInBytes
+      val refSide =
+        if (cacheFull && threshold > 0 && refBytes <= threshold) broadcast(ref)
+        else ref
       val cond = joinKeys.map { case (sc, rc) => stream(sc) === refSide(rc) }.reduce(_ && _)
       val joined = stream.join(refSide, cond, "left_outer")
       val copied = copyColumns.map { case (rc, alias) =>
@@ -392,9 +401,17 @@ object DataFlowExec {
       w.save(path)
       Map.empty
 
-    case TrashDestination(_, countInto) =>
+    case TrashDestination(name, countInto) =>
       val df = single(inputs, comp)
-      countInto.foreach(v => ctx.variables(v) = df.count())
+      // Deferred count: register a tap and let the drain phase count it
+      // AFTER real sinks have run — if the trash shares a persisted
+      // split/fan-out parent, the count then reads the cache instead of
+      // forcing the first (cold) materialization mid-flow.
+      countInto.foreach { v =>
+        val obs = Observation(s"trash_$name")
+        ctx.observations += ObsTap(obs, v, name,
+          df.observe(obs, count(lit(1)).as("rows")))
+      }
       Map.empty
   }
 
