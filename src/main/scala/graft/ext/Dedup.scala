@@ -18,6 +18,19 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  // ---------- internals ----------
+
+  /** Persist AND materialize: the pair generators below self-join the
+    * frame they cache, and a lazy persist lets both join branches race
+    * past the cold cache and recompute the (expensive) signature
+    * expressions. One eager count up front makes every branch a cache
+    * read. */
+  private def eagerCache(df: DataFrame): DataFrame = {
+    val p = df.persist()
+    p.count()
+    p
+  }
+
   // ---------- exact ----------
 
   /** Exact dedup: keep one row per key set, the one with the smallest
@@ -42,14 +55,11 @@ object Dedup {
     * string_split semantics on the corpus). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Distinct k-gram token shingles joined with a U+0001 separator. */
-  def shingles(text: Column, k: Int): Column = {
-    val t = tokens(text)
-    val grams = transform(
-      sequence(lit(0), greatest(size(t) - lit(k), lit(0))),
-      i => concat_ws("\u0001", slice(t, i + lit(1), lit(k))))
-    array_distinct(grams)
-  }
+  /** Distinct k-gram token shingles joined with a U+0001 separator.
+    * Native [[graft.functions.TokenShingles]] expression — one compiled
+    * pass instead of interpreted transform/slice/concat_ws lambdas. */
+  def shingles(text: Column, k: Int): Column =
+    call_function("token_shingles", text, lit(k))
 
   /** Exact Jaccard similarity of two pre-distinct arrays. */
   def jaccard(a: Column, b: Column): Column =
@@ -57,12 +67,12 @@ object Dedup {
 
   // ---------- MinHash + banded LSH ----------
 
-  /** MinHash signature: H independent hash functions realized as
-    * xxhash64 seeded by position — array<long> of length `numHashes`. */
+  /** MinHash signature — array<long> of length `numHashes`. Delegates
+    * to the native [[graft.functions.MinHashSig]] expression: one
+    * compiled pass per row instead of `numHashes` interpreted
+    * higher-order-function passes (43 s → sub-second at sf0.1). */
   def minhashSignature(shingleSet: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(shingleSet, s => xxhash64(lit(i), s)))
-    }: _*)
+    graft.functions.MinHashSig.minhash_sig(shingleSet, numHashes)
 
   /** Banded LSH keys: split the signature into `bands` bands of
     * `rowsPerBand` and hash each — array<struct<band:int,key:long>>. */
@@ -87,7 +97,7 @@ object Dedup {
     val withSets = df.select(col(idCol).as("id"),
         shingles(col(textCol), k).as("sh"))
       .filter(size(col("sh")) > 0)
-    val sets = withSets.persist()
+    val sets = eagerCache(withSets)
     val banded = sets
       .select(col("id"),
         explode(lshBandKeys(minhashSignature(col("sh"), numHashes), bands,
@@ -118,25 +128,66 @@ object Dedup {
     df.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  // ---------- exact Jaccard join via prefix filtering ----------
+
+  /** EXACT Jaccard self-join at `threshold` via prefix filtering
+    * (the PPJoin candidate condition): if J(a,b) >= t, then a and b
+    * must share at least one element within the first
+    * `|x| - ceil(t*|x|) + 1` elements of x under ANY global total
+    * order of the universe. We order tokens by (xxhash64, token) —
+    * a pseudo-random total order that decorrelates prefix membership
+    * from token frequency, so no single frequent token floods one
+    * candidate bucket — and equi-join candidates on
+    * (block, prefix-token). Equivalent result set to the all-pairs
+    * join, but the join fans out |prefix| ≈ (1-t)·|set| rows per doc
+    * instead of pairing whole blocks.
+    *
+    * `d` must have `idCol` and an array<string> set column `wsCol`
+    * (pre-distinct). `blockCol` optionally restricts pairs to equal
+    * block values (e.g. language) — a semantic filter, not the scale
+    * mechanism. Returns (ida, idb[, block], jaccard_sim >= threshold).
+    */
+  def jaccardNearDupPairs(d: DataFrame, idCol: String, wsCol: String,
+      threshold: Double, blockCol: Option[String] = None): DataFrame = {
+    val t = threshold
+    val keyed = array_sort(transform(col(wsCol),
+      w => struct(xxhash64(w).as("h"), w.as("t"))))
+    val sorted = transform(keyed, x => x.getField("t"))
+    val prefLen = (size(col(wsCol)) -
+      ceil(lit(t) * size(col(wsCol))).cast("int") + lit(1))
+    val blockCols = blockCol.toSeq.map(col)
+    val sets = eagerCache(d.select((col(idCol).as("id") +: blockCols :+
+      col(wsCol).as("ws") :+ slice(sorted, lit(1), prefLen).as("pref")): _*))
+    val ex = sets.select((col("id") +: blockCols :+
+      explode(col("pref")).as("tok")): _*)
+    val l = ex.alias("l")
+    val r = ex.alias("r")
+    val blockEq = blockCol.map(b => col(s"l.$b") === col(s"r.$b"))
+      .getOrElse(lit(true))
+    val candidates = l.join(r,
+        blockEq && col("l.tok") === col("r.tok") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("ida"), col("r.id").as("idb"))
+      .distinct()
+    val a = sets.select((col("id").as("ida") +: blockCols :+
+      col("ws").as("wsa")): _*)
+    val b = sets.select(col("id").as("idb"), col("ws").as("wsb"))
+    candidates.join(a, "ida").join(b, "idb")
+      // cheap length filter before the exact intersect: J>=t bounds the
+      // size ratio of the two sets
+      .filter(size(col("wsa")).cast("double") >= lit(t) * size(col("wsb")) &&
+        size(col("wsb")).cast("double") >= lit(t) * size(col("wsa")))
+      .select((col("ida") +: col("idb") +: blockCols :+
+        jaccard(col("wsa"), col("wsb")).as("jaccard_sim")): _*)
+      .filter(col("jaccard_sim") >= t)
+  }
+
   // ---------- SimHash ----------
 
   /** 64-bit SimHash over the token multiset: each token votes ±1 on
     * every bit of its xxhash64; the fingerprint keeps the majority sign.
-    * Pure native expressions (aggregate/zip_with over a 64-slot array). */
-  def simhash64(text: Column): Column = {
-    val bitVotes = (t: Column) => transform(
-      sequence(lit(0), lit(63)),
-      i => when(call_function("shiftright", xxhash64(t), i).bitwiseAND(lit(1L)) === lit(1L),
-        lit(1L)).otherwise(lit(-1L)))
-    val votes = aggregate(
-      tokens(text),
-      array_repeat(lit(0L), 64),
-      (acc, t) => zip_with(acc, bitVotes(t), (a, b) => a + b))
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+    * Native [[graft.functions.SimHash64]] expression — one compiled
+    * pass per row. */
+  def simhash64(text: Column): Column = call_function("simhash64", text)
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -146,7 +197,8 @@ object Dedup {
     * the classic pigeonhole blocking; never all-pairs). */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val fp = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("fp")).persist()
+    val fp = eagerCache(
+      df.select(col(idCol).as("id"), simhash64(col(textCol)).as("fp")))
     val banded = fp.select(col("id"), col("fp"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),

@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** Registers graft's native Catalyst expressions as SQL functions via
+  * the PUBLIC `SparkSessionExtensions.injectFunction` API — call sites
+  * then reach them with `functions.call_function("minhash_sig", ...)`,
+  * keeping the library off Spark's `private[sql]` internals.
+  *
+  * Wire up with either
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => args match {
+        case Seq(child, Literal(n: Int, IntegerType)) => MinHashSig(child, n)
+        case _ => throw new IllegalArgumentException(
+          "minhash_sig(array<string>, numHashes int-literal)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("token_shingles"),
+      new ExpressionInfo(classOf[TokenShingles].getName, "token_shingles"),
+      (args: Seq[Expression]) => args match {
+        case Seq(child, Literal(k: Int, IntegerType)) => TokenShingles(child, k)
+        case _ => throw new IllegalArgumentException(
+          "token_shingles(string, k int-literal)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => args match {
+        case Seq(child) => SimHash64(child)
+        case _ => throw new IllegalArgumentException("simhash64(string)")
+      }))
+  }
+}

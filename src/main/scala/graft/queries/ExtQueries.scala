@@ -35,16 +35,14 @@ object ExtQueries extends QueryPack {
     },
 
     "q21_jaccard_block" -> { (s, dir) =>
+      // EXACT same result set as the naive per-lang all-pairs join (the
+      // oracle), but candidates come from PPJoin prefix filtering — the
+      // all-pairs form was 48 s at sf0.1 and O(N²/langs) at scale.
       val d = docs(s, dir)
         .select(col("doc_id"), col("lang"),
           array_distinct(Dedup.tokens(col("text"))).as("ws"))
-      val a = d.alias("a")
-      val b = d.alias("b")
-      a.join(b, col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
-          col("a.lang").as("lang"),
-          Dedup.jaccard(col("a.ws"), col("b.ws")).as("jaccard_sim"))
-        .filter(col("jaccard_sim") >= 0.9)
+      Dedup.jaccardNearDupPairs(d, "doc_id", "ws",
+          threshold = 0.9, blockCol = Some("lang"))
         .orderBy(col("ida"), col("idb"))
     },
 
