@@ -14,7 +14,8 @@ object SparkEntry {
     EngineQueries,
     GoldenQueries,
     ExtQueries,
-    IoQueries
+    IoQueries,
+    FuzzyQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

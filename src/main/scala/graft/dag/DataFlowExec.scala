@@ -306,6 +306,56 @@ object DataFlowExec {
       require(ins.size >= 2, s"${comp.name}: merge needs >=2 inputs")
       Map("out" -> ins.reduce(_ unionByName _).orderBy(sortKeys.map(col): _*))
 
+    case FuzzyLookup(name, refTable, streamKey, refId, refKey, copyCols, minSim, simCol) =>
+      val stream = single(inputs, comp)
+      val ref = ctx.resolveTable(refTable)
+      // collapse duplicate reference keys up front: equal keys give equal
+      // similarity, and the (sim DESC, bid ASC) tie-break always picks
+      // the smallest bid — so matching against (key, min bid) is
+      // result-identical and shrinks the candidate join on
+      // duplicate-heavy references
+      val rb = ref.select(col(refId).as("bid"),
+          graft.ext.Fuzzy.normalize(col(refKey)).as("bkey"))
+        .groupBy("bkey").agg(min("bid").as("bid"))
+      val keys = stream
+        .select(graft.ext.Fuzzy.normalize(col(streamKey)).as("akey")).distinct()
+      val best = graft.ext.Fuzzy.bestMatchPerKey(keys, rb, minSim)
+      val copies = ref.select(col(refId).as("bid") +:
+        copyCols.map { case (c, a) => col(c).as(a) }: _*)
+      val enriched = best.join(copies, Seq("bid"), "inner")
+        .select(col("akey").as(s"__graft_akey_$name") +:
+          copyCols.map(c => col(c._2)) :+ col("similarity").as(simCol): _*)
+      val out = stream
+        .withColumn(s"__graft_akey_$name", graft.ext.Fuzzy.normalize(col(streamKey)))
+        .join(enriched, Seq(s"__graft_akey_$name"), "left_outer")
+        .drop(s"__graft_akey_$name")
+      Map("out" -> out)
+
+    case FuzzyGrouping(_, idCol, keyCol, minSim, keyOut) =>
+      val df = single(inputs, comp)
+      val labels = graft.ext.Fuzzy.groupLabels(df, idCol, keyCol, minSim)
+        .withColumnRenamed("key_out", keyOut)
+      Map("out" -> df.join(labels, Seq(idCol)))
+
+    case TermExtraction(_, textCol, minCount) =>
+      Map("out" -> graft.ext.TextAnalysis.termFrequencies(
+        single(inputs, comp), textCol, minCount))
+
+    case TermLookup(_, idCol, textCol, terms, refTable, termColumn) =>
+      val df = single(inputs, comp)
+      val toks = df.select(col(idCol),
+        explode(graft.ext.TextAnalysis.tokens(col(textCol))).as("term"))
+      val matched =
+        if (refTable.nonEmpty) {
+          // term list joined, not collected — Catalyst/AQE broadcasts a
+          // bounded term table on its own
+          val t = ctx.resolveTable(refTable)
+            .select(col(termColumn).as("term")).distinct()
+          toks.join(t, Seq("term"))
+        } else toks.filter(col("term").isin(terms: _*))
+      Map("out" -> matched.groupBy(col(idCol), col("term"))
+        .agg(count(lit(1)).as("term_freq")))
+
     case ConditionalSplit(_, cases, defaultOut) =>
       val df = single(inputs, comp)
       // first-match-wins: label each row once via a when-cascade, then

@@ -89,6 +89,41 @@ object Component {
     * reference: data_engineering_parser.py:812-871). */
   final case class MergeSorted(name: String, sortKeys: Seq[String]) extends Component
 
+  /** Fuzzy Lookup (reference recognize-only,
+    * data_engineering_parser.py:1204-1207): best approximate match of
+    * `streamKey` against `refTable.refKey` by normalized edit
+    * similarity, ties broken by smallest `refIdColumn`. Unmatched rows
+    * pass through with nulls. Candidates come from lossless q-gram
+    * blocking (graft.ext.Fuzzy), never all-pairs; stream keys are
+    * deduplicated before matching. `copyColumns`: (refCol, alias). */
+  final case class FuzzyLookup(name: String, refTable: String,
+      streamKey: String, refIdColumn: String, refKey: String,
+      copyColumns: Seq[(String, String)] = Nil,
+      minSimilarity: Double = 0.8,
+      simColumn: String = "_Similarity") extends Component
+
+  /** Fuzzy Grouping (reference recognize-only, :1114): adds
+    * `keyOutColumn` = smallest `idColumn` in the row's near-duplicate
+    * connected component (edges = verified pairs at
+    * editSimilarity >= minSimilarity over `keyColumn`). */
+  final case class FuzzyGrouping(name: String, idColumn: String,
+      keyColumn: String, minSimilarity: Double = 0.8,
+      keyOutColumn: String = "_key_out") extends Component
+
+  /** Term Extraction (reference recognize-only, :1119): corpus term
+    * frequencies of `textColumn` — one shuffle on the term. Output:
+    * (term, term_count). */
+  final case class TermExtraction(name: String, textColumn: String,
+      minCount: Long = 1L) extends Component
+
+  /** Term Lookup (reference recognize-only, :1120): per-row frequency
+    * of each reference term in `textColumn`; one output row per
+    * (idColumn, term) match. Terms come from `refTable.termColumn`
+    * when set, else the inline `terms` list. */
+  final case class TermLookup(name: String, idColumn: String,
+      textColumn: String, terms: Seq[String] = Nil,
+      refTable: String = "", termColumn: String = "") extends Component
+
   // ---- routing & set ops (§2.5) ----
   /** Order-sensitive multi-way router. TRUE SSIS semantics: first match
     * wins — output k receives rows matching cond_k and none of

@@ -1,0 +1,78 @@
+package graft.ext
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Fuzzy matching: q-gram blocking exactness, best-match lookup,
+  * connected-component grouping. */
+class FuzzySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("key", StringType)))
+  private def frame(rows: (Long, String)*) =
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r => Row(r._1, r._2)): _*), schema)
+
+  test("candidatePairs is a lossless superset of brute-force pairs (incl. short strings)") {
+    // adversarial corpus: short strings, near-dups, length boundary
+    // around minGramLen(3, 0.8) = the q-gram bound's blind spot
+    val rnd = new scala.util.Random(13)
+    val vocab = "abcde"
+    def randStr(n: Int) = (1 to n).map(_ => vocab(rnd.nextInt(vocab.length))).mkString
+    val base = (1L to 40L).map(i => i -> randStr(1 + rnd.nextInt(12)))
+    val mutated = base.take(20).map { case (i, s) =>
+      (i + 100L) -> (if (s.length > 1) s.init + "z" else s)
+    }
+    val rows = base ++ mutated
+    val t = 0.8
+    val d = frame(rows: _*)
+    val a = d.select(col("id").as("aid"), Fuzzy.normalize(col("key")).as("akey"))
+    val b = d.select(col("id").as("bid"), Fuzzy.normalize(col("key")).as("bkey"))
+    val cand = Fuzzy.candidatePairs(a, b, t)
+      .as[(Long, Long)].collect().toSet
+    val brute = a.crossJoin(b)
+      .filter(Fuzzy.editSimilarity(col("akey"), col("bkey")) >= t)
+      .select(col("aid"), col("bid")).as[(Long, Long)].collect().toSet
+    val missed = brute -- cand
+    assert(missed.isEmpty, s"blocking dropped true pairs: $missed")
+  }
+
+  test("bestMatchPerKey finds the nearest reference key with smallest-id ties") {
+    val ref = frame((1L, "stormy apple crate"), (2L, "sunny apple crate"),
+      (3L, "completely different thing"))
+      .select(col("id").as("bid"), Fuzzy.normalize(col("key")).as("bkey"))
+    val keys = Seq("sunny apple crat", "no match at all zzz").toDF("akey")
+    val best = Fuzzy.bestMatchPerKey(keys, ref, minSim = 0.8)
+      .select("akey", "bid").as[(String, Long)].collect().toMap
+    assert(best("sunny apple crat") == 2L)
+    assert(!best.contains("no match at all zzz"))
+  }
+
+  test("groupLabels produces transitive components with min-id canonical") {
+    // chain: a ~ b ~ c (a !~ c directly) must share one component
+    val d = frame(
+      (5L, "abcdefghij"), (2L, "abcdefghiz"), (9L, "abcdefghzz"),
+      (7L, "qqqqqqqqqq"))
+    val labels = Fuzzy.groupLabels(d, "id", "key", minSim = 0.8)
+      .as[(Long, Long)].collect().toMap
+    assert(labels(5L) == 2L && labels(2L) == 2L && labels(9L) == 2L)
+    assert(labels(7L) == 7L)
+  }
+
+  test("connectedComponents fixpoint on a longer chain (driver and distributed paths agree)") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 9L).toDF("id")
+    val edges = Seq((6L, 5L), (5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L))
+      .toDF("src", "dst")
+    val viaDriver = Fuzzy.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    val viaLoop = Fuzzy.connectedComponents(nodes, edges, driverLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(viaDriver == viaLoop)
+    assert(viaDriver(6L) == 1L && viaDriver(9L) == 9L)
+  }
+}
