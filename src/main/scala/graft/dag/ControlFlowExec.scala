@@ -93,6 +93,15 @@ object ControlFlowExec {
         ctx.variables(variable) = v
         body.foreach(t => runTask(t, ctx, statuses))
       }
+    case ForLoop(name, variable, init, whileExpr, assign, body) =>
+      init.foreach(e => ctx.variables(variable) = evalDriverValue(e, ctx))
+      var iters = 0
+      while (evalDriverExpr(whileExpr, ctx)) {
+        body.foreach(t => runTask(t, ctx, statuses))
+        assign.foreach(e => ctx.variables(variable) = evalDriverValue(e, ctx))
+        iters += 1
+        require(iters < 1000000, s"ForLoop $name: runaway loop (no progress)")
+      }
     case Sequence(_, body) =>
       body.foreach(t => runTask(t, ctx, statuses))
   }
@@ -102,5 +111,12 @@ object ControlFlowExec {
   def evalDriverExpr(expr: String, ctx: PipelineContext): Boolean = {
     val c = Compiler.compile(expr, new StructType(), ctx.vars)
     ctx.spark.range(1).select(c.cast("boolean").as("v")).head.getBoolean(0)
+  }
+
+  /** Evaluate an SSIS value expression over pipeline variables (ForLoop
+    * init/assign). */
+  def evalDriverValue(expr: String, ctx: PipelineContext): Any = {
+    val c = Compiler.compile(expr, new StructType(), ctx.vars)
+    ctx.spark.range(1).select(c.as("v")).head.get(0)
   }
 }

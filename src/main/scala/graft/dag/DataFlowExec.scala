@@ -198,6 +198,13 @@ object DataFlowExec {
     case SourceParquet(_, path) =>
       Map("out" -> ctx.spark.read.parquet(path))
 
+    case SourceExcel(_, path, sheet, header, schemaDdl) =>
+      Map("out" -> graft.sources.Excel.read(ctx.spark, path, sheet, header, schemaDdl))
+
+    case SourceXml(_, path, rowTag, options, schemaDdl) =>
+      val r = ctx.spark.read.options(options).option("rowTag", rowTag)
+      Map("out" -> schemaDdl.fold(r)(d => r.schema(d)).format("xml").load(path))
+
     case DerivedColumn(_, exprs) =>
       var df = single(inputs, comp)
       exprs.foreach { case (c, e) =>
@@ -449,6 +456,10 @@ object DataFlowExec {
       var w = df.write.format(format).options(options).mode(m)
       if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
       w.save(path)
+      Map.empty
+
+    case ExcelDestination(_, path, sheetName) =>
+      graft.sources.Excel.write(single(inputs, comp), path, sheetName)
       Map.empty
 
     case TrashDestination(name, countInto) =>

@@ -37,6 +37,16 @@ object Component {
   final case class SourceText(name: String, path: String) extends Component
   /** Direct parquet path scan (not via the catalog). */
   final case class SourceParquet(name: String, path: String) extends Component
+  /** Excel .xlsx source via the native OOXML reader (reference reads
+    * Excel at enhanced_json_mapper.py:62-69,154-164); `schemaDdl`
+    * applies positionally like the CSV source. */
+  final case class SourceExcel(name: String, path: String, sheet: Int = 0,
+      header: Boolean = true, schemaDdl: Option[String] = None) extends Component
+  /** XML source via Spark's built-in xml datasource; `rowTag` names the
+    * repeating record element. */
+  final case class SourceXml(name: String, path: String, rowTag: String,
+      options: Map[String, String] = Map.empty,
+      schemaDdl: Option[String] = None) extends Component
 
   // ---- row-wise transforms (§2.3) ----
   /** `(column, ssisExpression)` pairs, applied in order; an existing
@@ -172,6 +182,11 @@ object Component {
       format: String = "parquet", mode: WriteMode = WriteMode.Overwrite,
       options: Map[String, String] = Map.empty,
       partitionBy: Seq[String] = Nil) extends Component
+  /** Excel .xlsx sink via the native OOXML writer (reference writes
+    * Excel, enhanced_json_mapper.py:2042-2138). Driver-side by design:
+    * the format's grid caps at ~1M rows. */
+  final case class ExcelDestination(name: String, path: String,
+      sheetName: String = "Sheet1") extends Component
   /** Terminates a path, optionally counting (reference trash destination,
     * enhanced_json_mapper.py:368-377). */
   final case class TrashDestination(name: String,
@@ -201,6 +216,13 @@ object CfTask {
   /** Driver-side foreach over a value list, binding `variable` per
     * iteration (SSIS Foreach Loop container). */
   final case class ForEach(name: String, variable: String, values: Seq[Any],
+      body: Seq[CfTask]) extends CfTask
+  /** SSIS For Loop container (reference: models.py:18-20): driver-side
+    * loop over `variable` — `init`/`assign` are SSIS value expressions
+    * for the variable (the assignment RHS), `whileExpr` the
+    * EvalExpression gate. */
+  final case class ForLoop(name: String, variable: String,
+      init: Option[String], whileExpr: String, assign: Option[String],
       body: Seq[CfTask]) extends CfTask
   final case class Sequence(name: String, body: Seq[CfTask]) extends CfTask
 }

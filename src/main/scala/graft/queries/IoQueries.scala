@@ -64,6 +64,36 @@ object IoQueries extends QueryPack {
         SourceText("src", path)),
         Nil))("src.out")
         .orderBy(col("value"))
+    },
+
+    // Excel write → Excel read through the native OOXML reader/writer.
+    "q39_excel_roundtrip" -> { (s, dir) =>
+      val path = tmp("region_xlsx/region.xlsx")
+      run(s, dir, DataFlow("q39w", Seq(
+        SourceTable("src", "region"),
+        ExcelDestination("dst", path)),
+        Seq(Path("src", "dst"))))
+      run(s, dir, DataFlow("q39r", Seq(
+        SourceExcel("src", path,
+          schemaDdl = Some("r_regionkey INT, r_name STRING"))),
+        Nil))("src.out")
+        .orderBy(col("r_regionkey"))
+    },
+
+    // XML write → XML read via Spark's built-in xml datasource.
+    "q40_xml_roundtrip" -> { (s, dir) =>
+      val path = tmp("nation_xml")
+      run(s, dir, DataFlow("q40w", Seq(
+        SourceTable("src", "nation"),
+        FileDestination("dst", path, "xml", WriteMode.Overwrite,
+          Map("rowTag" -> "nation"))),
+        Seq(Path("src", "dst"))))
+      run(s, dir, DataFlow("q40r", Seq(
+        SourceXml("src", path, rowTag = "nation",
+          schemaDdl = Some("n_nationkey INT, n_name STRING, n_regionkey INT"))),
+        Nil))("src.out")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_nationkey"))
     }
   )
 
@@ -73,6 +103,10 @@ object IoQueries extends QueryPack {
     "q33_json_roundtrip" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
     "q34_text_source" ->
-      "SELECT text AS value FROM documents ORDER BY value"
+      "SELECT text AS value FROM documents ORDER BY value",
+    "q39_excel_roundtrip" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "q40_xml_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
   )
 }

@@ -138,4 +138,19 @@ class DagSpec extends AnyFunSuite {
     // pass 1: x>20 → 3 rows; pass 2: x>50 → 1 row; appended = 4
     assert(spark.table("loop_out").count() == 4)
   }
+
+  test("ForLoop runs init/eval/assign over a pipeline variable") {
+    val c = ctx(Map("people" -> people))
+    val spec = PipelineSpec("p",
+      tasks = Seq(ForLoop("fl", "User::I",
+        init = Some("0"), whileExpr = "@[User::I] < 3",
+        assign = Some("@[User::I] + 1"),
+        body = Seq(SqlTask("accum",
+          "SELECT 10", resultInto = Some("User::Last"))))),
+      edges = Nil)
+    val res = ControlFlowExec.run(spec, c)
+    assert(res.statuses("fl") == ControlFlowExec.Succeeded)
+    assert(res.variables("User::I") == 3)
+    assert(res.variables("User::Last") == 10)
+  }
 }

@@ -57,6 +57,46 @@ class IoSpec extends AnyFunSuite {
     assert(back.filter(back("s") === "has|pipe").count() == 1)
   }
 
+  test("excel round-trip: types, nulls, XML-hostile strings") {
+    val path = tmpDir("xlsx") + "/t.xlsx"
+    val s2 = StructType(Seq(StructField("id", IntegerType),
+      StructField("s", StringType), StructField("d", DoubleType),
+      StructField("b", BooleanType)))
+    val df = spark.createDataFrame(java.util.List.of(
+      Row(1, "a<b&c>\"d\"", 1.5, true),
+      Row(2, null, null, false),
+      Row(3, "  spaced  ", -2.25, null)), s2)
+    df.createOrReplaceTempView("xlsx_src")
+    DataFlowExec.run(DataFlow("w", Seq(
+      SourceQuery("src", "SELECT * FROM xlsx_src"),
+      ExcelDestination("dst", path)),
+      Seq(Path("src", "dst"))), ctx)
+    val back = DataFlowExec.run(DataFlow("r", Seq(
+      SourceExcel("src", path,
+        schemaDdl = Some("id INT, s STRING, d DOUBLE, b BOOLEAN"))),
+      Nil), ctx)("src.out")
+    val got = back.collect().map(r => (r.get(0), r.get(1), r.get(2), r.get(3))).toSet
+    assert(got == Set(
+      (1, "a<b&c>\"d\"", 1.5, true),
+      (2, null, null, false),
+      (3, "  spaced  ", -2.25, null)))
+  }
+
+  test("xml round-trip via built-in datasource") {
+    val path = tmpDir("xml")
+    tricky.createOrReplaceTempView("tricky_src")
+    DataFlowExec.run(DataFlow("w", Seq(
+      SourceQuery("src", "SELECT * FROM tricky_src"),
+      FileDestination("dst", path, "xml", WriteMode.Overwrite,
+        Map("rowTag" -> "rec"))),
+      Seq(Path("src", "dst"))), ctx)
+    val back = DataFlowExec.run(DataFlow("r", Seq(
+      SourceXml("src", path, rowTag = "rec", schemaDdl = Some("id INT, s STRING"))),
+      Nil), ctx)("src.out")
+    assert(back.collect().map(r => (r.getInt(0), r.getString(1))).toSet ==
+      Set((1, "plain"), (2, "has,comma"), (3, "has\"quote"), (4, "has|pipe")))
+  }
+
   test("parquet append mode accumulates") {
     val path = tmpDir("pqapp")
     tricky.createOrReplaceTempView("tricky_src")
