@@ -15,7 +15,8 @@ object SparkEntry {
     GoldenQueries,
     ExtQueries,
     IoQueries,
-    FuzzyQueries
+    FuzzyQueries,
+    EventQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

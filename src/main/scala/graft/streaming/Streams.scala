@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface — beyond-reference extension (the
+  * reference is batch-only, SURVEY §0): the same event transforms as
+  * the batch queries, expressed so ONE definition runs in both modes.
+  * Batch/streaming parity is the test: each operator's streaming result
+  * over incrementally-arriving files must equal its batch result over
+  * the same rows (StreamingSpec).
+  *
+  * Scale notes: watermarks bound state; tumbling/session windows use
+  * Spark's native state store (RocksDB-backed on a real cluster);
+  * dedup state is (key → seen) pruned by the watermark — the streaming
+  * analog of the exact-dedup operator in graft.ext.Dedup.
+  */
+object Streams {
+
+  /** Apply a watermark when streaming; no-op wall-clock batch pass-through. */
+  private def watermarked(df: DataFrame, tsCol: String, delay: String): DataFrame =
+    if (df.isStreaming) df.withWatermark(tsCol, delay) else df
+
+  /** Tumbling-window counts + value cents per event type. */
+  def tumblingAgg(events: DataFrame, tsCol: String = "ts",
+      duration: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    watermarked(events, tsCol, watermark)
+      .groupBy(window(col(tsCol), duration).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(col("w.start").as("ws"), col("event_type"),
+        col("n"), col("value_cents"))
+
+  /** Gap-based session windows per user (native session_window — one
+    * shuffle on user, state bounded by the watermark when streaming). */
+  def sessionAgg(events: DataFrame, tsCol: String = "ts",
+      gap: String = "30 minutes", watermark: String = "2 hours"): DataFrame =
+    watermarked(events, tsCol, watermark)
+      .groupBy(col("user_id"), session_window(col(tsCol), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("n_events"))
+
+  /** Streaming exact dedup on `keys`: watermark-pruned state, the
+    * streaming analog of Dedup.exactByContent. */
+  def dedup(events: DataFrame, tsCol: String, watermark: String,
+      keys: Seq[String]): DataFrame =
+    watermarked(events, tsCol, watermark).dropDuplicates(keys)
+
+  final case class UserTotal(user_id: Long, n_events: Long, total_cents: Long)
+
+  /** Custom keyed state via mapGroupsWithState: running per-user event
+    * count + value total, emitted as an update per micro-batch. */
+  def runningUserTotals(events: DataFrame): Dataset[UserTotal] = {
+    implicit val rowEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    implicit val outEnc = Encoders.product[UserTotal]
+    val typed = events.select(col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, Long)]
+    typed.groupByKey(_._1)(Encoders.scalaLong)
+      .mapGroupsWithState[UserTotal, UserTotal](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(user, 0L, 0L))
+          val batch = rows.toSeq
+          val next = UserTotal(user, prev.n_events + batch.size,
+            prev.total_cents + batch.map(_._2).sum)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Output mode each operator needs on an unbounded sink. */
+  val outputModes: Map[String, OutputMode] = Map(
+    "tumblingAgg" -> OutputMode.Complete(),
+    "sessionAgg" -> OutputMode.Complete(),
+    "dedup" -> OutputMode.Append(),
+    "runningUserTotals" -> OutputMode.Update())
+}

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Batch/stream parity: each Streams operator, run as a Structured
+  * Streaming query over incrementally-arriving parquet files (public
+  * file source — no test-only internals), must converge to the same
+  * result as its batch run over the same rows. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  private def ts(minute: Int) = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private val batch1 = Seq(
+    Row(1L, ts(0), 7L, "click", 1.10),
+    Row(2L, ts(5), 7L, "view", 2.25),
+    Row(3L, ts(7), 8L, "click", 0.40))
+  private val batch2 = Seq(
+    Row(4L, ts(50), 7L, "click", 3.00), // > 30 min after event 2 → new session
+    Row(5L, ts(55), 8L, "view", 1.75),
+    Row(2L, ts(5), 7L, "view", 2.25))   // duplicate event_id for dedup
+
+  private def frame(rows: Seq[Row]): DataFrame =
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+
+  private def runStreaming(name: String, op: DataFrame => DataFrame): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_stream_$name")
+    dir.toFile.deleteOnExit()
+    val src = dir.toString + "/in"
+    frame(batch1).write.mode(SaveMode.Append).parquet(src)
+    val stream = spark.readStream.schema(schema).parquet(src)
+    val sink = s"stream_sink_$name"
+    val q = op(stream).writeStream.format("memory").queryName(sink)
+      .outputMode(Streams.outputModes(name)).start()
+    try {
+      q.processAllAvailable()
+      frame(batch2).write.mode(SaveMode.Append).parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(sink)
+  }
+
+  test("tumblingAgg: streaming result equals batch result") {
+    val streamed = runStreaming("tumblingAgg", df => Streams.tumblingAgg(df))
+      .select("ws", "event_type", "n", "value_cents")
+      .collect().toSet
+    val batch = Streams.tumblingAgg(frame(batch1 ++ batch2))
+      .collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
+  test("sessionAgg: streaming sessions equal batch sessions") {
+    val streamed = runStreaming("sessionAgg", df => Streams.sessionAgg(df))
+      .select("user_id", "session_start", "n_events")
+      .collect().toSet
+    val batch = Streams.sessionAgg(frame(batch1 ++ batch2)).collect().toSet
+    // user 7: sessions {10:00,10:05} and {10:50}; user 8: {10:07} {10:55}
+    assert(streamed == batch && batch.size == 4)
+  }
+
+  test("dedup: duplicate event_id across micro-batches emitted once") {
+    val streamed = runStreaming("dedup",
+      df => Streams.dedup(df, "ts", "2 hours", Seq("event_id")))
+    assert(streamed.count() == 5)
+    assert(streamed.filter(col("event_id") === 2L).count() == 1)
+  }
+
+  test("runningUserTotals: mapGroupsWithState accumulates across micro-batches") {
+    val streamed = runStreaming("runningUserTotals",
+      df => Streams.runningUserTotals(df).toDF())
+    // update mode: take the LAST update per user
+    val last = streamed.groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("total_cents"))).as("s"))
+      .select(col("user_id"), col("s.n_events"), col("s.total_cents"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (u, n, c) => u -> ((n, c)) }.toMap
+    assert(last(7L) == (4L, 110L + 225L + 300L + 225L))
+    assert(last(8L) == (2L, 40L + 175L))
+  }
+}
