@@ -64,6 +64,35 @@ object PipelineContext {
         out.localCheckpoint(true).createOrReplaceTempView(name)
       },
       mutable.Map.empty)
+
+  /** Context over the session catalog: tables resolve via
+    * `spark.table`, sinks write managed tables. Incoming frames are
+    * aligned to an existing target's schema (SSIS semantics: unmapped
+    * destination columns get NULL). Appends checkpoint first — a dtsx
+    * flow may append to a table it also reads (the medium fixture
+    * writes its own source), and the checkpoint both breaks that
+    * self-reference and is the single action that fills upstream
+    * RowCount observations. */
+  def overCatalog(spark: SparkSession): PipelineContext =
+    new PipelineContext(
+      spark,
+      name => spark.table(name),
+      (name, df, mode) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        val target = scala.util.Try(spark.table(name).schema).toOption
+        val aligned = target.fold(df) { sch =>
+          df.select(sch.fields.map { f =>
+            if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }.toSeq: _*)
+        }
+        val m = mode match {
+          case WriteMode.Append => "append"
+          case WriteMode.Overwrite => "overwrite"
+        }
+        aligned.localCheckpoint(true).write.mode(m).saveAsTable(name)
+      },
+      mutable.Map.empty)
 }
 
 /** Executes a DataFlow DAG of Components connected by Paths.
@@ -181,8 +210,9 @@ object DataFlowExec {
       if (columns.nonEmpty) df = df.select(columns.map(col): _*)
       Map("out" -> df)
 
-    case SourceQuery(_, sql) =>
-      Map("out" -> ctx.spark.sql(sql))
+    case SourceQuery(_, sql, columnsAs) =>
+      val df = ctx.spark.sql(sql)
+      Map("out" -> (if (columnsAs.isEmpty) df else df.toDF(columnsAs: _*)))
 
     case SourceCsv(_, path, options, schemaDdl) =>
       val r = ctx.spark.read.options(options)
@@ -249,9 +279,9 @@ object DataFlowExec {
       }
       Map("out" -> df)
 
-    case lk @ Lookup(_, refTable, joinKeys, copyColumns, noMatch, cacheFull) =>
+    case lk @ Lookup(_, refTable, joinKeys, copyColumns, noMatch, cacheFull, refSql) =>
       val stream = single(inputs, comp)
-      val refRaw = ctx.resolveTable(refTable)
+      val refRaw = refSql.map(ctx.spark.sql).getOrElse(ctx.resolveTable(refTable))
       // prune the reference to join keys + copied columns (column pruning
       // the reference codegen never does)
       val needed = (joinKeys.map(_._2) ++ copyColumns.map(_._1)).distinct
@@ -442,9 +472,12 @@ object DataFlowExec {
       ctx.observations += ObsTap(obs, variable, name, tapped)
       Map("out" -> tapped)
 
-    case Destination(_, target, mode) =>
+    case Destination(_, target, mode, columnMap) =>
       val df = single(inputs, comp)
-      ctx.writeTable(target, df, mode)
+      val projected =
+        if (columnMap.isEmpty) df
+        else df.select(columnMap.map { case (c, e) => col(c).as(e) }: _*)
+      ctx.writeTable(target, projected, mode)
       Map.empty
 
     case FileDestination(_, path, format, mode, options, partitionBy) =>
@@ -457,6 +490,12 @@ object DataFlowExec {
       if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
       w.save(path)
       Map.empty
+
+    case StagedCommand(_, table, columns) =>
+      val df = single(inputs, comp)
+      val staged = if (columns.isEmpty) df else df.select(columns.map(col): _*)
+      ctx.writeTable(table, staged, WriteMode.Append)
+      Map("out" -> df)
 
     case ExcelDestination(_, path, sheetName) =>
       graft.sources.Excel.write(single(inputs, comp), path, sheetName)

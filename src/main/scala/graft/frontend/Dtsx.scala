@@ -1,0 +1,312 @@
+package graft.frontend
+
+import scala.xml.{Attribute, Elem, Node, XML}
+
+import graft.ir._
+import graft.ir.Component._
+import graft.ir.CfTask._
+
+/** .dtsx package frontend: parses the SSIS XML package format into the
+  * executable IR (PipelineSpec / DataFlow) — the runtime counterpart of
+  * the reference's parsing/data_engineering_parser.py:28-59 pipeline.
+  * Parsed packages run directly on DataFlowExec/ControlFlowExec; tested
+  * end-to-end against the reference's own fixture packages
+  * (input-sample packages/Sample_Simple_Package.dtsx, Sample_Medium_Package.dtsx).
+  *
+  * Deliberate semantic choices (both documented deviations from the
+  * reference's translator, consistent with SURVEY §2.5's caveat):
+  *   - MergeJoin JoinType uses the REAL SSIS encoding 0=full / 1=left /
+  *     2=inner. The reference maps 0→inner
+  *     (data_engineering_parser.py:738-741), which would make the
+  *     medium fixture's incremental-upsert pattern (INSERT = "not in
+  *     existing") structurally impossible — a full-outer join is the
+  *     only join under which its split conditions are reachable.
+  *   - ConditionalSplit gets first-match-wins semantics via the IR
+  *     component (the reference emits overlapping filters).
+  *   - OLE DB Command (per-row DML/proc) becomes [[Component.StagedCommand]]:
+  *     parameters staged set-based in one write, input passed through.
+  *
+  * T-SQL in SqlCommand/SqlStatementSource is normalized minimally
+  * ([brackets]/dbo. stripped, BIT→BOOLEAN, GETDATE→current_timestamp);
+  * statements beyond Spark SQL (EXEC procedures) surface as task
+  * errors at run time rather than silent mistranslation.
+  */
+object Dtsx {
+
+  // ---------- helpers ----------
+
+  /** Attribute by local name, any namespace (DTS:, SQLTask:, plain). */
+  private def attr(n: Node, local: String): Option[String] = {
+    val it = n.attributes.iterator.collectFirst {
+      case a: Attribute if a.key == local => a.value.text
+    }
+    it.filter(_.nonEmpty)
+  }
+
+  private def lastSegment(ref: String): String =
+    ref.substring(ref.lastIndexOf('\\') + 1)
+
+  /** "Pkg\Flow\Comp.Outputs[Port]" → (Comp, Port). */
+  private def splitPortRef(ref: String, kind: String): (String, String) = {
+    val i = ref.lastIndexOf(s".$kind[")
+    require(i > 0 && ref.endsWith("]"), s"malformed $kind ref: $ref")
+    val comp = lastSegment(ref.substring(0, i))
+    val port = ref.substring(i + kind.length + 2, ref.length - 1)
+    (comp, port)
+  }
+
+  /** Minimal T-SQL → Spark SQL normalization. */
+  def translateSql(tsql: String): String = {
+    var s = tsql
+    s = s.replaceAll("\\[dbo\\]\\.", "").replaceAll("\\bdbo\\.", "")
+    s = s.replaceAll("\\[([^\\]]+)\\]", "$1")
+    s = s.replaceAll("(?i)\\bAS BIT\\b", "AS BOOLEAN")
+    s = s.replaceAll("(?i)\\bGETDATE\\(\\)", "current_timestamp()")
+    s
+  }
+
+  private def cleanTable(t: String): String =
+    translateSql(t).split('.').last.trim
+
+  // ---------- package level ----------
+
+  def parseFile(path: String): PipelineSpec = parse(XML.loadFile(path))
+
+  def parse(root: Elem): PipelineSpec = {
+    val name = attr(root, "ObjectName").getOrElse("package")
+    val tasks = (root \ "Executables" \ "Executable").map(parseExecutable)
+    val edges = (root \ "PrecedenceConstraints" \ "PrecedenceConstraint")
+      .map(parseConstraint)
+    val vars = (root \\ "Variables" \ "Variable").map { v =>
+      val key = attr(v, "Namespace").getOrElse("User") + "::" +
+        attr(v, "ObjectName").getOrElse("var")
+      val vv = (v \ "VariableValue").headOption
+      val raw = vv.map(_.text).getOrElse("")
+      val value: Any = vv.flatMap(attr(_, "DataType")) match {
+        case Some("3") => raw.toInt          // VT_I4
+        case Some("20") => raw.toLong        // VT_I8
+        case Some("5") => raw.toDouble       // VT_R8
+        case Some("11") => raw.toBoolean     // VT_BOOL
+        case _ => raw
+      }
+      key -> value
+    }.toMap
+    PipelineSpec(name, tasks, edges, vars)
+  }
+
+  private def parseConstraint(c: Node): PrecedenceEdge = {
+    val from = lastSegment(attr(c, "From").get)
+    val to = lastSegment(attr(c, "To").get)
+    val statusCond = attr(c, "Value") match {
+      case Some("1") => EdgeCondition.OnFailure
+      case Some("2") => EdgeCondition.OnCompletion
+      case _ => EdgeCondition.OnSuccess
+    }
+    // EvalOp: 1=Expression, 2=Constraint, 3=ExpressionAndConstraint
+    // (4=Or approximated as And — fixtures don't use it)
+    val cond = attr(c, "EvalOp") match {
+      case Some("1") =>
+        EdgeCondition.ExpressionEdge(attr(c, "Expression").get,
+          and = EdgeCondition.OnCompletion)
+      case Some("3") | Some("4") =>
+        EdgeCondition.ExpressionEdge(attr(c, "Expression").get, and = statusCond)
+      case _ => statusCond
+    }
+    PrecedenceEdge(from, to, cond)
+  }
+
+  private def parseExecutable(e: Node): CfTask = {
+    val name = attr(e, "ObjectName").get
+    attr(e, "ExecutableType").get match {
+      case "Microsoft.ExecuteSQLTask" =>
+        val data = (e \ "ObjectData" \ "SqlTaskData").head
+        val sql = translateSql(attr(data, "SqlStatementSource").getOrElse(""))
+        val resultInto = (data \ "ResultBinding").headOption
+          .flatMap(attr(_, "DtsVariableName"))
+        SqlTask(name, sql, resultInto)
+      case "Microsoft.Pipeline" =>
+        val p = (e \ "ObjectData" \ "pipeline").head
+        DataFlowTask(name, parsePipeline(p, name))
+      case t if t.toUpperCase.endsWith("SEQUENCE") =>
+        Sequence(name, (e \ "Executables" \ "Executable").map(parseExecutable))
+      case other => sys.error(s"dtsx: unsupported executable type $other ($name)")
+    }
+  }
+
+  // ---------- pipeline level ----------
+
+  private def parsePipeline(p: Node, name: String): DataFlow = {
+    val compNodes = (p \ "components" \ "component")
+    val classOf: Map[String, String] = compNodes.flatMap { c =>
+      for (n <- attr(c, "name"); cls <- attr(c, "componentClassID")) yield n -> cls
+    }.toMap
+    val components = compNodes.map(parseComponent)
+    val paths = (p \ "paths" \ "path").map { pn =>
+      val (fromComp, fromPortRaw) = splitPortRef(attr(pn, "startId").get, "Outputs")
+      val (toComp, toPortRaw) = splitPortRef(attr(pn, "endId").get, "Inputs")
+      val fromPort = classOf.get(fromComp) match {
+        case Some("Microsoft.ConditionalSplit") => fromPortRaw
+        case _ => "out"
+      }
+      val toPort = classOf.get(toComp) match {
+        case Some("Microsoft.MergeJoin") =>
+          if (toPortRaw.toLowerCase.contains("left")) "left" else "right"
+        case _ => "in"
+      }
+      Path(fromComp, toComp, fromPort, toPort)
+    }
+    DataFlow(name, components, paths)
+  }
+
+  private def props(c: Node): Map[String, String] =
+    (c \ "properties" \ "property").flatMap { pr =>
+      attr(pr, "name").map(_ -> pr.text)
+    }.toMap
+
+  private def inputCols(c: Node): Seq[Node] =
+    (c \ "inputs" \ "input" \ "inputColumns" \ "inputColumn")
+
+  private def outputCols(c: Node): Seq[Node] =
+    (c \ "outputs" \ "output" \ "outputColumns" \ "outputColumn")
+
+  /** Derived-column expression for a column node: the FriendlyExpression
+    * (column names) preferred, lineage-id Expression otherwise (the
+    * lexer resolves #{...Columns[X]} refs to X). */
+  private def colExpr(col: Node): Option[String] = {
+    val ps = props(col)
+    ps.get("FriendlyExpression").orElse(ps.get("Expression"))
+  }
+
+  private def parseComponent(c: Node): Component = {
+    val name = attr(c, "name").get
+    val pr = props(c)
+    attr(c, "componentClassID").get match {
+
+      case "Microsoft.OLEDBSource" =>
+        val sql = pr.getOrElse("SqlCommand", "").trim
+        if (pr.get("AccessMode").contains("2") && sql.nonEmpty) {
+          // declared output schema renames the SELECT list positionally
+          val outNames = outputCols(c).flatMap(attr(_, "name"))
+          SourceQuery(name, translateSql(sql), outNames)
+        } else
+          SourceTable(name, cleanTable(pr.getOrElse("OpenRowset",
+            sys.error(s"dtsx source $name: no SqlCommand or OpenRowset"))))
+
+      case "Microsoft.OLEDBDestination" =>
+        // cached→external column mapping; unmapped target columns NULL
+        val columnMap = inputCols(c).flatMap { ic =>
+          for {
+            cached <- attr(ic, "cachedName")
+            extId <- attr(ic, "externalMetadataColumnId")
+          } yield cached -> extId.substring(
+            extId.lastIndexOf("ExternalColumns[") + 16, extId.length - 1)
+        }
+        Destination(name, cleanTable(pr("OpenRowset")), WriteMode.Append, columnMap)
+
+      case "Microsoft.RowCount" =>
+        RowCount(name, pr("VariableName"))
+
+      case "Microsoft.Lookup" =>
+        val joinKeys = inputCols(c).flatMap { ic =>
+          props(ic).get("JoinToReferenceColumn")
+            .map(ref => attr(ic, "cachedName").get -> ref)
+        }
+        val copies = outputCols(c).flatMap { oc =>
+          props(oc).get("CopyFromReferenceColumn")
+            .map(ref => ref -> attr(oc, "name").get)
+        }
+        Lookup(name, refTable = "", joinKeys = joinKeys, copyColumns = copies,
+          noMatch = if (pr.get("NoMatchBehavior").contains("0"))
+            NoMatchBehavior.Fail else NoMatchBehavior.Ignore,
+          cacheFull = pr.get("CacheType").forall(_ == "0"),
+          refSql = Some(translateSql(pr("SqlCommand"))))
+
+      case "Microsoft.Sort" =>
+        val keys = inputCols(c).flatMap { ic =>
+          props(ic).get("NewSortKeyPosition").map(_.toInt)
+            .filter(_ > 0)
+            .map(pos => (pos, attr(ic, "cachedName").get,
+              !attr(ic, "cachedSortOrder").contains("Descending")))
+        }.sortBy(_._1).map(k => (k._2, k._3))
+        Sort(name, keys,
+          eliminateDuplicates = pr.get("EliminateDuplicates").contains("true"))
+
+      case "Microsoft.DerivedColumn" =>
+        // readWrite input columns replace in place; output columns add
+        val replaces = inputCols(c).flatMap(ic =>
+          colExpr(ic).map(e => attr(ic, "cachedName").get -> e))
+        val adds = outputCols(c).flatMap(oc =>
+          colExpr(oc).map(e => attr(oc, "name").get -> e))
+        DerivedColumn(name, replaces ++ adds)
+
+      case "Microsoft.MergeJoin" =>
+        // REAL SSIS JoinType encoding (see object scaladoc): 0=full
+        val joinType = pr.getOrElse("JoinType", "0") match {
+          case "0" => "full"
+          case "1" => "left"
+          case "2" => "inner"
+          case other => sys.error(s"dtsx MergeJoin $name: JoinType $other")
+        }
+        val numKeys = pr.getOrElse("NumKeyColumns", "1").toInt
+        val ins = (c \ "inputs" \ "input")
+        def side(sel: String => Boolean): Node =
+          ins.find(i => sel(attr(i, "name").getOrElse("").toLowerCase))
+            .getOrElse(sys.error(s"dtsx MergeJoin $name: missing input"))
+        val left = side(_.contains("left"))
+        val right = side(_.contains("right"))
+        def sortKeys(in: Node): Seq[String] =
+          (in \ "inputColumns" \ "inputColumn").flatMap { ic =>
+            attr(ic, "cachedSortKeyPosition").map(_.toInt)
+              .filter(p => p > 0 && p <= numKeys)
+              .map(p => (p, attr(ic, "cachedName").get))
+          }.sortBy(_._1).map(_._2)
+        val keys = sortKeys(left).zip(sortKeys(right))
+        require(keys.size == numKeys,
+          s"dtsx MergeJoin $name: expected $numKeys keys, found ${keys.size}")
+        // output columns: InputColumnID names the source side + column
+        def selects(inputName: String): Seq[(String, String)] =
+          outputCols(c).flatMap { oc =>
+            props(oc).get("InputColumnID")
+              .filter(_.contains(s"Inputs[$inputName]"))
+              .map { ref =>
+                val src = ref.substring(ref.lastIndexOf("Columns[") + 8,
+                  ref.length - 2) // strip trailing ]}
+                src -> attr(oc, "name").get
+              }
+          }
+        MergeJoin(name, joinType, keys,
+          nullsEqual = pr.get("TreatNullsAsEqual").contains("true"),
+          leftSelect = selects(attr(left, "name").get),
+          rightSelect = selects(attr(right, "name").get))
+
+      case "Microsoft.ConditionalSplit" =>
+        val outs = (c \ "outputs" \ "output")
+        val default = outs.find(o => props(o).get("IsDefaultOut").contains("true"))
+          .flatMap(attr(_, "name")).getOrElse("default")
+        val cases = outs.flatMap { o =>
+          val ps = props(o)
+          for {
+            ord <- ps.get("EvaluationOrder").map(_.toInt)
+            ex <- ps.get("FriendlyExpression").orElse(ps.get("Expression"))
+          } yield (ord, attr(o, "name").get, ex)
+        }.sortBy(_._1).map(t => (t._2, t._3))
+        ConditionalSplit(name, cases, default)
+
+      case "Microsoft.OLEDBCommand" =>
+        // per-row proc/DML → set-based staging (see object scaladoc);
+        // staging table named after the command target
+        val cmd = translateSql(pr.getOrElse("SqlCommand", ""))
+        val words = cmd.trim.split("[^A-Za-z0-9_]+").filter(_.nonEmpty).toList
+        val target = words.map(_.toUpperCase) match {
+          case ("EXEC" | "EXECUTE" | "UPDATE") :: _ => words(1)
+          case "DELETE" :: "FROM" :: _ => words(2)
+          case "INSERT" :: "INTO" :: _ => words(2)
+          case _ => name
+        }
+        val cols = inputCols(c).flatMap(attr(_, "cachedName"))
+        StagedCommand(name, s"${target}_calls", cols)
+
+      case other => sys.error(s"dtsx: unsupported component class $other ($name)")
+    }
+  }
+}

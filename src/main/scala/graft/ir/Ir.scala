@@ -18,8 +18,11 @@ object Component {
   final case class SourceTable(name: String, table: String,
       columns: Seq[String] = Nil, filter: Option[String] = None) extends Component
   /** AccessMode=2 source: arbitrary SQL over registered tables
-    * (reference: enhanced_json_mapper.py:112-133). */
-  final case class SourceQuery(name: String, sql: String) extends Component
+    * (reference: enhanced_json_mapper.py:112-133). `columnsAs` renames
+    * the result positionally — dtsx sources declare their output schema
+    * as outputColumn names that may differ from the SELECT list. */
+  final case class SourceQuery(name: String, sql: String,
+      columnsAs: Seq[String] = Nil) extends Component
 
   /** CSV file source with header/sep/etc. options (reference:
     * enhanced_json_mapper.py:71-79,166-175). Prefer an explicit
@@ -84,7 +87,10 @@ object Component {
       joinKeys: Seq[(String, String)],            // (streamCol, refCol)
       copyColumns: Seq[(String, String)],
       noMatch: NoMatchBehavior = NoMatchBehavior.Ignore,
-      cacheFull: Boolean = true) extends Component
+      cacheFull: Boolean = true,
+      /** reference side as SQL (dtsx Lookup SqlCommand) — overrides
+        * refTable when set */
+      refSql: Option[String] = None) extends Component
 
   /** Merge Join: JoinType 0=inner/1=left/2=full (reference:
     * data_engineering_parser.py:738-741); keys paired positionally;
@@ -173,8 +179,12 @@ object Component {
   sealed trait WriteMode
   object WriteMode { case object Append extends WriteMode
                      case object Overwrite extends WriteMode }
+  /** `columnMap` (inputCol, targetCol) projects+renames before the
+    * write (dtsx destinations map cached→external columns; unmapped
+    * target columns are the sink's concern — overCatalog fills NULL). */
   final case class Destination(name: String, target: String,
-      mode: WriteMode = WriteMode.Append) extends Component
+      mode: WriteMode = WriteMode.Append,
+      columnMap: Seq[(String, String)] = Nil) extends Component
   /** File sink via DataFrameWriter (reference writes CSV/Parquet/Delta,
     * enhanced_json_mapper.py:442-493, 2042-2138). `format`:
     * parquet|csv|json. */
@@ -182,6 +192,15 @@ object Component {
       format: String = "parquet", mode: WriteMode = WriteMode.Overwrite,
       options: Map[String, String] = Map.empty,
       partitionBy: Seq[String] = Nil) extends Component
+  /** OLE DB Command rewritten set-based (reference rewrites per-row
+    * DML/proc calls, enhanced_json_mapper.py — RBAR is not a Spark
+    * shape): stages the per-row parameter tuples into `table` in ONE
+    * write instead of a call per row, and passes its input through
+    * like the SSIS component does. `columns` projects the staged
+    * parameters in declaration order. */
+  final case class StagedCommand(name: String, table: String,
+      columns: Seq[String] = Nil) extends Component
+
   /** Excel .xlsx sink via the native OOXML writer (reference writes
     * Excel, enhanced_json_mapper.py:2042-2138). Driver-side by design:
     * the format's grid caps at ~1M rows. */
