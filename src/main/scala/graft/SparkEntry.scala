@@ -16,7 +16,8 @@ object SparkEntry {
     ExtQueries,
     IoQueries,
     FuzzyQueries,
-    EventQueries
+    EventQueries,
+    MutationQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -28,15 +28,20 @@ object Mutations {
   def applyUpdate(target: DataFrame, updates: DataFrame,
                   keys: Seq[String], setCols: Seq[String]): DataFrame = {
     // explicit match witness: joins use <=>, so a NULL business key can
-    // legitimately match — key-isNotNull would miss that row
+    // legitimately match — key-isNotNull would miss that row. Sides are
+    // alias-qualified: target and updates often derive from the same
+    // upstream frame, and df("col") refs then share attribute ids.
     val flag = "__graft_matched"
+    val t = target.alias("__mut_t")
     val u = updates.dropDuplicates(keys) // one command per key, like a keyed MERGE
-      .withColumn(flag, lit(true))
-    val joined = target.join(u, keyCond(target, u, keys), "left_outer")
-    val matched = u(flag) === lit(true)
+      .withColumn(flag, lit(true)).alias("__mut_u")
+    def tc(n: String) = col(s"__mut_t.$n")
+    def uc(n: String) = col(s"__mut_u.$n")
+    val joined = t.join(u, keys.map(k => tc(k) <=> uc(k)).reduce(_ && _), "left_outer")
+    val matched = uc(flag) === lit(true)
     val cols = target.columns.map { c =>
-      if (setCols.contains(c)) when(matched, u(c)).otherwise(target(c)).as(c)
-      else target(c).as(c)
+      if (setCols.contains(c)) when(matched, uc(c)).otherwise(tc(c)).as(c)
+      else tc(c).as(c)
     }
     joined.select(cols.toIndexedSeq: _*)
   }
@@ -60,46 +65,56 @@ object Mutations {
     * carries (`validFrom`, `validTo`, `isCurrent`) metadata columns;
     * `trackedCols` drive change detection among current rows.
     *
-    * At scale: one shuffle of each side on the business key; no windows.
+    * At scale: ONE full-outer join of current-vs-feed on the business
+    * key — each side shuffles exactly once — and both output rows of an
+    * expire+insert (the expired current version AND its replacement)
+    * come out of the same joined row via an explode over candidate row
+    * structs. No second join, no window.
     */
   def scdType2(target: DataFrame, feed: DataFrame, keys: Seq[String],
                trackedCols: Seq[String], runStamp: String,
                validFrom: String = "valid_from", validTo: String = "valid_to",
                isCurrent: String = "is_current"): DataFrame = {
-    val dataCols = target.columns.filterNot(Seq(validFrom, validTo, isCurrent).contains)
+    val metaCols = Seq(validFrom, validTo, isCurrent)
+    val dataCols = target.columns.filterNot(metaCols.contains).toSeq
     val f = feed.dropDuplicates(keys)
 
     val current = target.filter(col(isCurrent))
     val history = target.filter(!col(isCurrent))
 
-    val flag = "__graft_matched"
-    val fFlagged = f.withColumn(flag, lit(true))
-    val changedCond = trackedCols.map(c => !(current(c) <=> fFlagged(c))).reduce(_ || _)
-    val joined = current.join(fFlagged, keyCond(current, fFlagged, keys), "left_outer")
-    val feedMatched = fFlagged(flag) === lit(true)
+    // explicit presence witnesses on both sides (keys may be NULL and
+    // still match under <=> — isNotNull tests would lie). Sides are
+    // alias-qualified: target and feed commonly derive from the SAME
+    // upstream frame, and df("col") references then share attribute ids
+    // and silently bind to the wrong side.
+    val cFlag = "__graft_cur"
+    val fFlag = "__graft_feed"
+    val c = current.withColumn(cFlag, lit(true)).alias("__scd_c")
+    val ff = f.withColumn(fFlag, lit(true)).alias("__scd_f")
+    def cc(n: String) = col(s"__scd_c.$n")
+    def fc(n: String) = col(s"__scd_f.$n")
+    val joined = c.join(ff, keys.map(k => cc(k) <=> fc(k)).reduce(_ && _), "full_outer")
+    val curPresent = cc(cFlag) === lit(true)
+    val feedPresent = fc(fFlag) === lit(true)
+    val changed = trackedCols.map(tc => !(cc(tc) <=> fc(tc))).reduce(_ || _)
+    val expireRow = curPresent && feedPresent && changed
 
-    // current rows: expire when the feed disagrees on any tracked column
-    val expireRow = feedMatched && changedCond
-    val keptCurrent = joined.select(
-      (dataCols.map(c => current(c).as(c)) ++ Seq(
-        current(validFrom).as(validFrom),
-        when(expireRow, lit(runStamp)).otherwise(current(validTo)).as(validTo),
-        when(expireRow, lit(false)).otherwise(current(isCurrent)).as(isCurrent))).toIndexedSeq: _*)
-
-    // feed rows that are new keys or changed versions → fresh current rows
-    val currentForAnti = current.select(
-      (keys.map(col) ++ trackedCols.map(col)).toIndexedSeq: _*)
-    val fresh = f.join(currentForAnti,
-        keys.map(k => f(k) <=> currentForAnti(k)).reduce(_ && _) &&
-          trackedCols.map(c => f(c) <=> currentForAnti(c)).reduce(_ && _),
-        "left_anti")
-      .select(dataCols.map(col).toIndexedSeq: _*)
-      .withColumn(validFrom, lit(runStamp))
-      .withColumn(validTo, lit(null).cast("string"))
-      .withColumn(isCurrent, lit(true))
+    // candidate output rows from one joined row, as same-schema structs
+    val keptS = when(curPresent, struct(
+      (dataCols.map(dc => cc(dc).as(dc)) ++ Seq(
+        cc(validFrom).as(validFrom),
+        when(expireRow, lit(runStamp)).otherwise(cc(validTo)).as(validTo),
+        when(expireRow, lit(false)).otherwise(cc(isCurrent)).as(isCurrent))): _*))
+    val freshS = when(feedPresent && (!curPresent || changed), struct(
+      (dataCols.map(dc => fc(dc).as(dc)) ++ Seq(
+        lit(runStamp).as(validFrom),
+        lit(null).cast("string").as(validTo),
+        lit(true).as(isCurrent))): _*))
+    val emitted = joined
+      .select(explode(array_compact(array(keptS, freshS))).as("__r"))
+      .select((dataCols ++ metaCols).map(n => col(s"__r.$n").as(n)): _*)
 
     history.select(target.columns.map(col).toIndexedSeq: _*)
-      .unionByName(keptCurrent.select(target.columns.map(col).toIndexedSeq: _*))
-      .unionByName(fresh.select(target.columns.map(col).toIndexedSeq: _*))
+      .unionByName(emitted.select(target.columns.map(col).toIndexedSeq: _*))
   }
 }

@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Mutations
+
+/** SCD Type 1/2 under the oracle gate (VERDICT r1 §2.7 row 36: "no
+  * query"). Target snapshot, history rows, and the feed (changed /
+  * unchanged / brand-new keys) all derive deterministically from the
+  * customer table so DuckDB can reproduce the exact expected output.
+  * Money runs through integer cents. */
+object MutationQueries extends QueryPack {
+
+  private def base(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "customer").select(
+      col("c_custkey"), col("c_name"),
+      round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+
+  // current snapshot + pre-existing history rows for every 7th key
+  private def target2(cur: DataFrame): DataFrame = {
+    val current = cur
+      .withColumn("valid_from", lit("2020-01-01"))
+      .withColumn("valid_to", lit(null).cast("string"))
+      .withColumn("is_current", lit(true))
+    val history = cur.filter(col("c_custkey") % 7 === 0)
+      .withColumn("bal_cents", col("bal_cents") - 5)
+      .withColumn("valid_from", lit("2019-01-01"))
+      .withColumn("valid_to", lit("2019-12-31"))
+      .withColumn("is_current", lit(false))
+    current.unionByName(history)
+  }
+
+  // every 3rd key changes balance; every 5th key also appears as a new
+  // (unseen) business key
+  private def feed(cur: DataFrame): DataFrame =
+    cur.withColumn("bal_cents",
+        col("bal_cents") + when(col("c_custkey") % 3 === 0, 1000).otherwise(0))
+      .unionByName(cur.filter(col("c_custkey") % 5 === 0).select(
+        (col("c_custkey") + 1000000).as("c_custkey"),
+        lit("new customer").as("c_name"),
+        lit(123L).as("bal_cents")))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q44_scd2" -> { (s, dir) =>
+      val cur = base(s, dir)
+      Mutations.scdType2(target2(cur), feed(cur),
+          keys = Seq("c_custkey"), trackedCols = Seq("bal_cents"),
+          runStamp = "2024-06-01")
+        .orderBy(col("c_custkey"), col("valid_from"))
+    },
+
+    "q45_scd1" -> { (s, dir) =>
+      val cur = base(s, dir)
+      // partial feed: only the changed rows and the new keys
+      val f = feed(cur).filter(col("c_custkey") % 3 === 0 ||
+        col("c_custkey") >= 1000000)
+      Mutations.scdType1(cur, f, keys = Seq("c_custkey"))
+        .orderBy(col("c_custkey"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q44_scd2" ->
+      """WITH cur AS (
+        |  SELECT c_custkey, c_name,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer)
+        |SELECT * FROM (
+        |  -- history passes through untouched
+        |  SELECT c_custkey, c_name, bal_cents - 5 AS bal_cents,
+        |    '2019-01-01' AS valid_from, '2019-12-31' AS valid_to,
+        |    false AS is_current
+        |  FROM cur WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  -- changed keys: expired old version
+        |  SELECT c_custkey, c_name, bal_cents,
+        |    '2020-01-01', '2024-06-01', false
+        |  FROM cur WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  -- unchanged keys: kept current
+        |  SELECT c_custkey, c_name, bal_cents,
+        |    '2020-01-01', CAST(NULL AS VARCHAR), true
+        |  FROM cur WHERE c_custkey % 3 <> 0
+        |  UNION ALL
+        |  -- changed keys: fresh version
+        |  SELECT c_custkey, c_name, bal_cents + 1000,
+        |    '2024-06-01', CAST(NULL AS VARCHAR), true
+        |  FROM cur WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  -- brand-new business keys
+        |  SELECT c_custkey + 1000000, 'new customer', 123,
+        |    '2024-06-01', CAST(NULL AS VARCHAR), true
+        |  FROM cur WHERE c_custkey % 5 = 0)
+        |ORDER BY c_custkey, valid_from""".stripMargin,
+    "q45_scd1" ->
+      """WITH cur AS (
+        |  SELECT c_custkey, c_name,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer)
+        |SELECT c_custkey, c_name,
+        |  bal_cents + CASE WHEN c_custkey % 3 = 0 THEN 1000 ELSE 0 END AS bal_cents
+        |FROM cur
+        |UNION ALL
+        |SELECT c_custkey + 1000000, 'new customer', 123
+        |FROM cur WHERE c_custkey % 5 = 0
+        |ORDER BY c_custkey""".stripMargin
+  )
+}
