@@ -267,6 +267,47 @@ object DataFlowExec {
       }
       Map("out" -> df)
 
+    case ImportColumn(_, pathColumn, contentColumn, baseDir) =>
+      val df = single(inputs, comp)
+      val files = ctx.spark.read.format("binaryFile").load(baseDir)
+        .select(regexp_replace(col("path"), "^file:", "").as("__graft_path"),
+          col("content").as(contentColumn))
+      Map("out" -> df
+        .withColumn("__graft_path", col(pathColumn))
+        .join(files, Seq("__graft_path"), "left_outer")
+        .drop("__graft_path"))
+
+    case ExportColumn(_, pathColumn, contentColumn) =>
+      val df = single(inputs, comp)
+      val idx = df.columns.indexOf(pathColumn)
+      val cidx = df.columns.indexOf(contentColumn)
+      require(idx >= 0 && cidx >= 0,
+        s"${comp.name}: missing $pathColumn/$contentColumn")
+      df.select(col(pathColumn), col(contentColumn)).foreachPartition {
+        (rows: Iterator[org.apache.spark.sql.Row]) =>
+          rows.foreach { r =>
+            if (!r.isNullAt(0)) {
+              val bytes = r.get(1) match {
+                case null => Array.empty[Byte]
+                case b: Array[Byte] => b
+                case s: String => s.getBytes("UTF-8")
+                case other => other.toString.getBytes("UTF-8")
+              }
+              val f = new java.io.File(r.getString(0))
+              Option(f.getParentFile).foreach(_.mkdirs())
+              java.nio.file.Files.write(f.toPath, bytes)
+            }
+          }
+      }
+      Map("out" -> df)
+
+    case CacheTransform(_, cacheName) =>
+      val df = single(inputs, comp)
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      ctx.persisted += p
+      p.createOrReplaceTempView(cacheName)
+      Map("out" -> p)
+
     case Checksum(_, columns, outCol) =>
       val df = single(inputs, comp)
       val cols = if (columns.nonEmpty) columns.map(col) else df.columns.toSeq.map(col)
@@ -298,22 +339,30 @@ object DataFlowExec {
       val refSide =
         if (cacheFull && threshold > 0 && refBytes <= threshold) broadcast(ref)
         else ref
-      val cond = joinKeys.map { case (sc, rc) => stream(sc) === refSide(rc) }.reduce(_ && _)
-      val joined = stream.join(refSide, cond, "left_outer")
+      // alias-qualified sides: stream and reference may derive from the
+      // SAME upstream frame (self-lookup), where df("col") refs share
+      // attribute ids and either mis-bind or trip the ambiguous-self-
+      // join detector
+      val s = stream.alias("__lk_s")
+      val r = refSide.alias("__lk_r")
+      def sc0(n: String) = col(s"__lk_s.$n")
+      def rc0(n: String) = col(s"__lk_r.$n")
+      val cond = joinKeys.map { case (sc, rc) => sc0(sc) === rc0(rc) }.reduce(_ && _)
+      val joined = s.join(r, cond, "left_outer")
       val copied = copyColumns.map { case (rc, alias) =>
-        val c = refSide(rc)
+        val c = rc0(rc)
         noMatch match {
           case NoMatchBehavior.Fail =>
             // distributed no-match assertion: raises inside codegen, no
             // extra pass (vs. the reference's count()-guard pattern)
-            when(col(matchFlag).isNull,
+            when(rc0(matchFlag).isNull,
               raise_error(concat(lit(s"Lookup ${lk.name}: no match for key "),
-                concat_ws(",", joinKeys.map(k => stream(k._1).cast("string")): _*))))
+                concat_ws(",", joinKeys.map(k => sc0(k._1).cast("string")): _*))))
               .otherwise(c).as(alias)
           case NoMatchBehavior.Ignore => c.as(alias)
         }
       }
-      Map("out" -> joined.select(stream.columns.map(stream(_)) ++ copied: _*))
+      Map("out" -> joined.select(stream.columns.map(n => sc0(n).as(n)) ++ copied: _*))
 
     case MergeJoin(_, joinType, keys, nullsEqual, leftSel, rightSel) =>
       val left = inputs.getOrElse("left", Nil).headOption.getOrElse(sys.error(s"${comp.name}: missing left input"))

@@ -63,6 +63,24 @@ object Component {
   /** SSIS Character Map ops: Uppercase / Lowercase (inPlace or new col). */
   final case class CharacterMap(name: String,
       maps: Seq[(String, String, String)]) extends Component // (col, op, outCol)
+  /** Import Column (SSIS §2.3, reference recognize-only): adds the
+    * contents of the file named by `pathColumn` as binary
+    * `contentColumn`. Distributed: the files under `baseDir` are read
+    * via Spark's binaryFile source and equi-joined on the normalized
+    * path — no driver-side file loop. Missing files → NULL. */
+  final case class ImportColumn(name: String, pathColumn: String,
+      contentColumn: String, baseDir: String) extends Component
+  /** Export Column (SSIS §2.3, recognize-only): writes each row's
+    * `contentColumn` (binary or string) to the file named by
+    * `pathColumn` — executor-side per-partition writes, input passed
+    * through. */
+  final case class ExportColumn(name: String, pathColumn: String,
+      contentColumn: String) extends Component
+  /** Cache Transform (SSIS §2.4, reference maps to df.cache): persists
+    * the input and registers it as `cacheName` for downstream Lookups
+    * (`Lookup(refSql = Some("SELECT * FROM cacheName"))`). */
+  final case class CacheTransform(name: String, cacheName: String) extends Component
+
   /** Murmur3 hash of `columns` into `outColumn` — the scalable change-
     * detection checksum (reference emits hash(*cols),
     * enhanced_json_mapper.py:2529-2539). */

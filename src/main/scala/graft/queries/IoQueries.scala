@@ -80,6 +80,26 @@ object IoQueries extends QueryPack {
         .orderBy(col("r_regionkey"))
     },
 
+    // Export Column → Import Column round-trip: each document's text
+    // goes to its own file, then comes back as a binary column joined
+    // via the distributed binaryFile source.
+    "q46_import_export" -> { (s, dir) =>
+      val base = tmp("doc_files")
+      val flow = DataFlow("q46", Seq(
+        SourceTable("src", "documents", columns = Seq("doc_id", "text"),
+          filter = Some("doc_id < 200")),
+        DerivedColumn("mkpath", Seq("fpath" ->
+          s""""$base/doc_" + (DT_WSTR, 20)doc_id + ".txt"""")),
+        ExportColumn("export", pathColumn = "fpath", contentColumn = "text"),
+        ImportColumn("import", pathColumn = "fpath",
+          contentColumn = "content", baseDir = base)),
+        Seq(Path("src", "mkpath"), Path("mkpath", "export"),
+          Path("export", "import")))
+      run(s, dir, flow)("import.out")
+        .select(col("doc_id"), decode(col("content"), "UTF-8").as("text2"))
+        .orderBy(col("doc_id"))
+    },
+
     // XML write → XML read via Spark's built-in xml datasource.
     "q40_xml_roundtrip" -> { (s, dir) =>
       val path = tmp("nation_xml")
@@ -106,6 +126,8 @@ object IoQueries extends QueryPack {
       "SELECT text AS value FROM documents ORDER BY value",
     "q39_excel_roundtrip" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "q46_import_export" ->
+      "SELECT doc_id, text AS text2 FROM documents WHERE doc_id < 200 ORDER BY doc_id",
     "q40_xml_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
   )

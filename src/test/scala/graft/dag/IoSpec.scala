@@ -97,6 +97,39 @@ class IoSpec extends AnyFunSuite {
       Set((1, "plain"), (2, "has,comma"), (3, "has\"quote"), (4, "has|pipe")))
   }
 
+  test("export/import column round-trip through per-row files") {
+    val base = tmpDir("expimp")
+    tricky.createOrReplaceTempView("tricky_src")
+    val out = DataFlowExec.run(DataFlow("f", Seq(
+      SourceQuery("src", "SELECT id, s, " +
+        s"concat('$base/row_', id, '.bin') AS fpath FROM tricky_src"),
+      ExportColumn("exp", pathColumn = "fpath", contentColumn = "s"),
+      ImportColumn("imp", pathColumn = "fpath", contentColumn = "content",
+        baseDir = base)),
+      Seq(Path("src", "exp"), Path("exp", "imp"))), ctx)("imp.out")
+    val got = out.selectExpr("id", "decode(content, 'UTF-8')")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(got == Set((1, "plain"), (2, "has,comma"),
+      (3, "has\"quote"), (4, "has|pipe")))
+    assert(new java.io.File(s"$base/row_2.bin").exists())
+  }
+
+  test("cache transform feeds a downstream lookup via refSql") {
+    val base = spark.range(1, 6).selectExpr("id", "id * 10 AS tens")
+    base.createOrReplaceTempView("cache_src")
+    val out = DataFlowExec.run(DataFlow("f", Seq(
+      SourceQuery("ref", "SELECT id AS k, tens FROM cache_src"),
+      CacheTransform("ct", cacheName = "my_cache"),
+      TrashDestination("trash"),
+      SourceQuery("stream", "SELECT id FROM cache_src WHERE id <= 3"),
+      Lookup("lk", refTable = "", joinKeys = Seq("id" -> "k"),
+        copyColumns = Seq("tens" -> "tens"),
+        refSql = Some("SELECT * FROM my_cache"))),
+      Seq(Path("ref", "ct"), Path("ct", "trash"), Path("stream", "lk"))), ctx)("lk.out")
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 10L), (2L, 20L), (3L, 30L)))
+  }
+
   test("parquet append mode accumulates") {
     val path = tmpDir("pqapp")
     tricky.createOrReplaceTempView("tricky_src")
