@@ -163,6 +163,9 @@ object DataFlowExec {
       val sinks = flow.components.collect {
         case c: Destination => c.name
         case c: FileDestination => c.name
+        case c: ExcelDestination => c.name
+        case c: StagedCommand => c.name
+        case c: ExportColumn => c.name
         case c: TrashDestination => c.name
       }.toSet
       val adj = flow.paths.groupBy(_.from).view.mapValues(_.map(_.to)).toMap

@@ -19,14 +19,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two array<float/double> columns in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Dot product of two array<float/double> columns in double — native
+    * [[graft.functions.VecDot]] expression, one compiled pass. */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Cosine similarity — native [[graft.functions.VecCosine]]: dot and
+    * both norms in a single compiled pass per pair. */
+  def cosine(a: Column, b: Column): Column = call_function("vec_cosine", a, b)
 
   /** Exact top-k cosine neighbors of each query vector.
     * `queries`/`corpus`: (idCol, vecCol). Queries are broadcast — at
@@ -46,6 +47,50 @@ object Similarity {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** EXACT cosine near-duplicate pairs at `threshold` — the embedding
+    * analog of Dedup's text near-dup operators. Blocking is a grid over
+    * the first `gridDims` coordinates of the L2-normalized vectors with
+    * cell width `w >= sqrt(2 - 2*threshold)`: two unit vectors at
+    * cosine >= t are within L2 distance sqrt(2-2t), so every
+    * normalized coordinate differs by at most w and the pair sits in
+    * the same or an adjacent cell in each grid dim. Probing the
+    * 3^gridDims neighboring cells therefore generates EVERY qualifying
+    * pair — lossless, never all-pairs (an IVF-style coarse quantizer
+    * used as an exact filter) — and exact cosine verifies candidates.
+    * Returns (ida, idb, cosine_sim), ida < idb. */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, gridDims: Int = 4): DataFrame = {
+    require(threshold > 0.5 && threshold < 1.0,
+      s"threshold $threshold: grid blocking needs a tight cosine bound")
+    val w = math.sqrt(2.0 - 2.0 * threshold) * 1.000001 // float slack
+    val nrm = l2Norm(col(vecCol))
+    def cellOf(i: Int) =
+      floor(element_at(col(vecCol), i + 1).cast("double") / nrm / lit(w)).cast("long")
+    val base = df.select(Seq(col(idCol).as("id"), col(vecCol).as("v")) ++
+        (0 until gridDims).map(i => cellOf(i).as(s"c$i")): _*)
+      .persist()
+    base.count()
+    val index = base.select(col("id"), col("v"),
+      concat_ws(",", (0 until gridDims).map(i => col(s"c$i")): _*).as("cell"))
+    val combos = (1 to gridDims).foldLeft(Seq(Seq.empty[Int])) {
+      (acc, _) => acc.flatMap(s => Seq(-1, 0, 1).map(o => s :+ o))
+    }
+    val probeKeys = array(combos.map { c =>
+      concat_ws(",", c.zipWithIndex.map { case (o, i) => col(s"c$i") + lit(o) }: _*)
+    }: _*)
+    val probe = base.select(col("id"), col("v"), explode(probeKeys).as("cell"))
+    val cand = probe.alias("p").join(index.alias("x"),
+        col("p.cell") === col("x.cell") && col("p.id") < col("x.id"))
+      .select(col("p.id").as("ida"), col("x.id").as("idb"),
+        col("p.v").as("va"), col("x.v").as("vb"))
+      .distinct()
+    val out = cand
+      .select(col("ida"), col("idb"), cosine(col("va"), col("vb")).as("cosine_sim"))
+      .filter(col("cosine_sim") >= threshold)
+    base.unpersist(false)
+    out
   }
 
   /** Deterministic random hyperplanes: `numPlanes` unit-free normals of

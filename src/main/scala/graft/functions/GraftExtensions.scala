@@ -39,5 +39,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(child) => SimHash64(child)
         case _ => throw new IllegalArgumentException("simhash64(string)")
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => VecDot(a, b)
+        case _ => throw new IllegalArgumentException("vec_dot(a, b)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_cosine"),
+      new ExpressionInfo(classOf[VecCosine].getName, "vec_cosine"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => VecCosine(a, b)
+        case _ => throw new IllegalArgumentException("vec_cosine(a, b)")
+      }))
   }
 }

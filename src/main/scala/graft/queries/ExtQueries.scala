@@ -100,6 +100,23 @@ object ExtQueries extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // Embedding-cosine near-dup: the corpus has no natural near-dups,
+    // so each vector gets a perturbed twin planted in-query; the
+    // grid-blocked engine result must equal the all-pairs oracle
+    // EXACTLY (the blocking is lossless at the threshold).
+    "q47_embed_neardup" -> { (s, dir) =>
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val pert = e.select((col("vec_id") + 100000).as("vec_id"),
+        concat(
+          array((element_at(col("embedding"), 1).cast("double") + lit(0.001))
+            .cast("float")),
+          slice(col("embedding"), 2, 1000)).as("embedding"))
+      val all = e.unionByName(pert)
+      Similarity.cosineNearDupPairs(all, "vec_id", "embedding", threshold = 0.99)
+        .select(col("ida"), col("idb"))
+        .orderBy(col("ida"), col("idb"))
+    },
+
     "q29_multimodal_meta" -> { (s, dir) =>
       val items = Multimodal.asMediaItems(docs(s, dir), "doc_id", "text")
       Multimodal.extractFeatures(items).toDF()
@@ -182,6 +199,16 @@ object ExtQueries extends QueryPack {
         |  list_aggregate(list_transform(list_distinct(string_split(text, ' ')),
         |      t -> md5(t)), 'min') AS min_word_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q47_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |p AS (SELECT vec_id + 100000 AS vec_id,
+        |    list_prepend(CAST(embedding[1] + 0.001 AS FLOAT), embedding[2:])
+        |      AS embedding FROM e),
+        |a AS (SELECT * FROM e UNION ALL SELECT * FROM p)
+        |SELECT x.vec_id AS ida, y.vec_id AS idb
+        |FROM a x JOIN a y ON x.vec_id < y.vec_id
+        |WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.99
+        |ORDER BY ida, idb""".stripMargin,
     "q29_multimodal_meta" ->
       """SELECT doc_id AS media_id,
         |  octet_length(encode(text)) AS n_bytes,

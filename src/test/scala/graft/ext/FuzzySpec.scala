@@ -64,6 +64,29 @@ class FuzzySpec extends AnyFunSuite {
     assert(labels(7L) == 7L)
   }
 
+  test("cosineNearDupPairs grid blocking is lossless vs brute force") {
+    val rnd = new scala.util.Random(11)
+    val dim = 8
+    def vec() = Seq.fill(dim)((rnd.nextGaussian()).toFloat)
+    val baseVecs = (1L to 30L).map(i => (i, vec()))
+    // twins at tiny perturbation + unrelated vectors
+    val twins = baseVecs.take(15).map { case (i, v) =>
+      (i + 100L, v.updated(0, v.head + 0.001f)) }
+    val vschema = StructType(Seq(StructField("id", LongType),
+      StructField("v", ArrayType(FloatType))))
+    val df = spark.createDataFrame(java.util.Arrays.asList(
+      (baseVecs ++ twins).map(r => Row(r._1, r._2)): _*), vschema)
+    val t = 0.99
+    val blocked = Similarity.cosineNearDupPairs(df, "id", "v", t)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    val a = df.select(col("id").as("ida"), col("v").as("va"))
+    val b = df.select(col("id").as("idb"), col("v").as("vb"))
+    val brute = a.join(b, col("ida") < col("idb"))
+      .filter(Similarity.cosine(col("va"), col("vb")) >= t)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(blocked == brute && brute.nonEmpty)
+  }
+
   test("connectedComponents fixpoint on a longer chain (driver and distributed paths agree)") {
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 9L).toDF("id")
     val edges = Seq((6L, 5L), (5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L))
