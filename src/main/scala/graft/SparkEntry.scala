@@ -17,7 +17,8 @@ object SparkEntry {
     IoQueries,
     FuzzyQueries,
     EventQueries,
-    MutationQueries
+    MutationQueries,
+    RedirectQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

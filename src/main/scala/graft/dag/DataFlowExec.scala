@@ -238,12 +238,36 @@ object DataFlowExec {
       val r = ctx.spark.read.options(options).option("rowTag", rowTag)
       Map("out" -> schemaDdl.fold(r)(d => r.schema(d)).format("xml").load(path))
 
-    case DerivedColumn(_, exprs) =>
+    case DerivedColumn(name, exprs, errorOutput) =>
       var df = single(inputs, comp)
-      exprs.foreach { case (c, e) =>
-        df = df.withColumn(c, Compiler.compile(e, df.schema, ctx.vars))
+      errorOutput match {
+        case None =>
+          exprs.foreach { case (c, e) =>
+            df = df.withColumn(c, Compiler.compile(e, df.schema, ctx.vars))
+          }
+          Map("out" -> df)
+        case Some(errPort) =>
+          // error-row redirection: each expression evaluates inside
+          // try_capture; a row with ANY captured error leaves on the
+          // error port with the first error message
+          val inputCols = df.columns.toSeq
+          val caps = exprs.map { case (c, _) => c -> s"__graft_cap_${name}_$c" }.toMap
+          exprs.foreach { case (c, e) =>
+            val compiled = Compiler.compile(e, df.schema, ctx.vars)
+            df = df.withColumn(caps(c), call_function("try_capture", compiled))
+              .withColumn(c, col(s"${caps(c)}.value"))
+          }
+          val err = coalesce(exprs.map { case (c, _) => col(s"${caps(c)}.error") }: _*)
+          val labeled = df.withColumn(s"__graft_err_$name", err)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          ctx.persisted += labeled
+          val clean = labeled.filter(col(s"__graft_err_$name").isNull)
+            .drop(caps.values.toSeq :+ s"__graft_err_$name": _*)
+          val errRows = labeled.filter(col(s"__graft_err_$name").isNotNull)
+            .select(inputCols.map(col) :+
+              col(s"__graft_err_$name").as("ErrorMessage"): _*)
+          Map("out" -> clean, errPort -> errRows)
       }
-      Map("out" -> df)
 
     case DataConversion(_, casts) =>
       var df = single(inputs, comp)
@@ -362,10 +386,22 @@ object DataFlowExec {
               raise_error(concat(lit(s"Lookup ${lk.name}: no match for key "),
                 concat_ws(",", joinKeys.map(k => sc0(k._1).cast("string")): _*))))
               .otherwise(c).as(alias)
-          case NoMatchBehavior.Ignore => c.as(alias)
+          case _ => c.as(alias)
         }
       }
-      Map("out" -> joined.select(stream.columns.map(n => sc0(n).as(n)) ++ copied: _*))
+      val streamCols = stream.columns.map(n => sc0(n).as(n))
+      noMatch match {
+        case NoMatchBehavior.Redirect =>
+          val labeled = joined.persist(StorageLevel.MEMORY_AND_DISK)
+          ctx.persisted += labeled
+          Map(
+            "out" -> labeled.filter(rc0(matchFlag) === lit(true))
+              .select(streamCols ++ copied: _*),
+            "nomatch" -> labeled.filter(rc0(matchFlag).isNull)
+              .select(streamCols: _*))
+        case _ =>
+          Map("out" -> joined.select(streamCols ++ copied: _*))
+      }
 
     case MergeJoin(_, joinType, keys, nullsEqual, leftSel, rightSel) =>
       val left = inputs.getOrElse("left", Nil).headOption.getOrElse(sys.error(s"${comp.name}: missing left input"))

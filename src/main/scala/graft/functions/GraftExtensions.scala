@@ -40,6 +40,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException("simhash64(string)")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("try_capture"),
+      new ExpressionInfo(classOf[TryCapture].getName, "try_capture"),
+      (args: Seq[Expression]) => args match {
+        case Seq(child) => TryCapture(child)
+        case _ => throw new IllegalArgumentException("try_capture(expr)")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (args: Seq[Expression]) => args match {

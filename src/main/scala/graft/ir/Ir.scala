@@ -53,8 +53,14 @@ object Component {
 
   // ---- row-wise transforms (§2.3) ----
   /** `(column, ssisExpression)` pairs, applied in order; an existing
-    * column name means replace (SSIS "Replace 'Col'" semantics). */
-  final case class DerivedColumn(name: String, exprs: Seq[(String, String)]) extends Component
+    * column name means replace (SSIS "Replace 'Col'" semantics).
+    * `errorOutput`: SSIS errorRowDisposition=RedirectRow — when set,
+    * rows whose expressions raise (ANSI cast/arithmetic errors) are
+    * routed to that port with an `ErrorMessage` column instead of
+    * failing the flow; expressions run inside the native `try_capture`
+    * expression so the success path stays in whole-stage codegen. */
+  final case class DerivedColumn(name: String, exprs: Seq[(String, String)],
+      errorOutput: Option[String] = None) extends Component
   /** Cast columns: (input column, DT_* type literal, output column —
     * same as input to replace in place). */
   final case class DataConversion(name: String,
@@ -97,6 +103,9 @@ object Component {
     case object Fail extends NoMatchBehavior
     /** =1: pass through with nulls (left join). */
     case object Ignore extends NoMatchBehavior
+    /** Redirect-to-no-match-output: matched rows leave on "out",
+      * unmatched stream rows on "nomatch". */
+    case object Redirect extends NoMatchBehavior
   }
   /** Equi-join the stream against a reference table.
     * `cacheFull=true` (SSIS CacheType=FULL) → broadcast the reference.
