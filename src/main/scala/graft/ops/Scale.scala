@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale utilities for the two shuffle patterns the operator layer
+  * can't fix declaratively: repeated co-located joins (bucketing) and
+  * skewed keys (salting). SURVEY §7.4 item 5 calls both out for the
+  * 100 TB posture of the incremental-load pattern.
+  */
+object Scale {
+
+  /** Write `df` as a bucketed+sorted managed table: a join or aggregate
+    * on `keys` between tables bucketed the same way needs NO shuffle —
+    * the scan's output partitioning already satisfies the join's
+    * requirement (verified by ScaleSpec: the joint plan has no
+    * Exchange). This is the persisted analog of `repartition` for
+    * pipelines that hit the same fact table repeatedly. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+      keys: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+
+  /** Skew-safe inner equi-join: every left row gets a random salt in
+    * [0, saltFactor); the right side is replicated across all salts, so
+    * one hot key spreads over `saltFactor` reducers instead of one.
+    * AQE's skew-join split handles sort-merge cases adaptively at
+    * runtime; explicit salting is for the planned-ahead case (known hot
+    * keys, or aggregations AQE can't split). The salt is internal —
+    * output columns equal a plain inner join's. */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      saltFactor: Int): DataFrame = {
+    require(saltFactor > 0, "saltFactor must be positive")
+    val l = left.withColumn("__graft_salt",
+      (rand(42L) * saltFactor).cast("int"))
+    val r = right.withColumn("__graft_salt",
+      explode(array((0 until saltFactor).map(lit): _*)))
+    l.join(r, keys :+ "__graft_salt", "inner").drop("__graft_salt")
+  }
+
+  /** Deterministic variant for tests/oracles: salt from a hash of
+    * `saltOn` instead of rand(). */
+  def saltedJoinBy(left: DataFrame, right: DataFrame, keys: Seq[String],
+      saltFactor: Int, saltOn: Column): DataFrame = {
+    val l = left.withColumn("__graft_salt",
+      pmod(xxhash64(saltOn), lit(saltFactor.toLong)).cast("int"))
+    val r = right.withColumn("__graft_salt",
+      explode(array((0 until saltFactor).map(lit): _*)))
+    l.join(r, keys :+ "__graft_salt", "inner").drop("__graft_salt")
+  }
+}

@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Scale utilities: bucketed joins must not shuffle; salted joins must
+  * equal their unsalted counterpart. */
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("join of co-bucketed tables plans without a shuffle exchange") {
+    val facts = spark.range(0, 1000).select(col("id").as("k"),
+      (col("id") * 2).as("v1"))
+    val dims = spark.range(0, 100).select(col("id").as("k"),
+      (col("id") * 3).as("v2"))
+    spark.sql("DROP TABLE IF EXISTS bkt_facts")
+    spark.sql("DROP TABLE IF EXISTS bkt_dims")
+    Scale.writeBucketed(facts, "bkt_facts", 4, Seq("k"))
+    Scale.writeBucketed(dims, "bkt_dims", 4, Seq("k"))
+    // disable auto-broadcast so the join would otherwise shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bkt_facts").join(spark.table("bkt_dims"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() == 100)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("salted join equals the plain join result") {
+    // one hot key (0) with many rows, plus a long tail
+    val left = spark.range(0, 2000)
+      .select(when(col("id") < 1000, 0L).otherwise(col("id")).as("k"),
+        col("id").as("payload"))
+    val right = Seq((0L, "hot"), (1500L, "cold"), (9999L, "unmatched"))
+      .toDF("k", "name")
+    val plain = left.join(right, Seq("k"), "inner")
+      .select("k", "payload", "name").collect().toSet
+    val salted = Scale.saltedJoin(left, right, Seq("k"), saltFactor = 8)
+      .select("k", "payload", "name").collect().toSet
+    assert(salted == plain && plain.size == 1001)
+    val saltedDet = Scale.saltedJoinBy(left, right, Seq("k"), 8, col("payload"))
+      .select("k", "payload", "name").collect().toSet
+    assert(saltedDet == plain)
+  }
+}
