@@ -150,14 +150,12 @@ object Dedup {
   def jaccardNearDupPairs(d: DataFrame, idCol: String, wsCol: String,
       threshold: Double, blockCol: Option[String] = None): DataFrame = {
     val t = threshold
-    val keyed = array_sort(transform(col(wsCol),
-      w => struct(xxhash64(w).as("h"), w.as("t"))))
-    val sorted = transform(keyed, x => x.getField("t"))
-    val prefLen = (size(col(wsCol)) -
-      ceil(lit(t) * size(col(wsCol))).cast("int") + lit(1))
+    // native hash-ordered prefix (graft.functions.JaccardPrefix): one
+    // compiled pass instead of interpreted sort-of-structs lambdas
+    val pref = call_function("jaccard_prefix", col(wsCol), lit(t))
     val blockCols = blockCol.toSeq.map(col)
     val sets = eagerCache(d.select((col(idCol).as("id") +: blockCols :+
-      col(wsCol).as("ws") :+ slice(sorted, lit(1), prefLen).as("pref")): _*))
+      col(wsCol).as("ws") :+ pref.as("pref")): _*))
     val ex = sets.select((col("id") +: blockCols :+
       explode(col("pref")).as("tok")): _*)
     val l = ex.alias("l")

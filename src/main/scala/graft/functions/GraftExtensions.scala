@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
 
 /** Registers graft's native Catalyst expressions as SQL functions via
   * the PUBLIC `SparkSessionExtensions.injectFunction` API — call sites
@@ -38,6 +38,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => args match {
         case Seq(child) => SimHash64(child)
         case _ => throw new IllegalArgumentException("simhash64(string)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("jaccard_prefix"),
+      new ExpressionInfo(classOf[JaccardPrefix].getName, "jaccard_prefix"),
+      (args: Seq[Expression]) => args match {
+        case Seq(child, Literal(t: Double, DoubleType)) => JaccardPrefix(child, t)
+        case _ => throw new IllegalArgumentException(
+          "jaccard_prefix(array<string>, threshold double-literal)")
       }))
     ext.injectFunction((
       new FunctionIdentifier("try_capture"),

@@ -67,6 +67,60 @@ object TokenShingles {
   }
 }
 
+/** Hash-ordered prefix for PPJoin-style Jaccard prefix filtering:
+  * sorts the (pre-distinct) token array by (xxhash64(token), token) —
+  * a pseudo-random global total order — and keeps the first
+  * `n - ceil(t*n) + 1` elements. One compiled pass replaces the
+  * interpreted array_sort-of-structs + slice formulation —
+  * `jaccard_prefix(tokens, t)` → `array<string>`. */
+case class JaccardPrefix(child: Expression, threshold: Double) extends UnaryExpression {
+  require(threshold > 0.0 && threshold <= 1.0, "threshold in (0,1]")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"jaccard_prefix expects array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "jaccard_prefix"
+
+  override def nullSafeEval(input: Any): Any =
+    JaccardPrefix.compute(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      threshold)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.JaccardPrefix$$.MODULE$$.compute($c, $threshold)")
+
+  override protected def withNewChildInternal(newChild: Expression): JaccardPrefix =
+    copy(child = newChild)
+}
+
+object JaccardPrefix {
+  /** Shared by interpreted eval and generated Java (via MODULE$).
+    * Ordering matches `array_sort(struct(xxhash64(tok), tok))`:
+    * by hash, ties by token. */
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      threshold: Double): GenericArrayData = {
+    val n = arr.numElements()
+    val toks = new Array[UTF8String](n)
+    val hashes = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      toks(i) = arr.getUTF8String(i)
+      hashes(i) = XXH64.hashUTF8String(toks(i), 42L)
+      i += 1
+    }
+    val order = (0 until n).sortWith { (a, b) =>
+      if (hashes(a) != hashes(b)) hashes(a) < hashes(b)
+      else toks(a).compareTo(toks(b)) < 0
+    }
+    val prefLen = math.min(n, n - math.ceil(threshold * n).toInt + 1)
+    new GenericArrayData(
+      order.take(math.max(prefLen, 0)).map(toks(_): Any).toArray)
+  }
+}
+
 /** 64-bit SimHash over the whitespace token multiset: each token's
   * xxhash64 (seed 42, matching `functions.xxhash64`) votes ±1 on every
   * bit; the fingerprint keeps the majority sign — `simhash64(text)` →
