@@ -249,8 +249,14 @@ object DataFlowExec {
         case Some(errPort) =>
           // error-row redirection: each expression evaluates inside
           // try_capture; a row with ANY captured error leaves on the
-          // error port with the first error message
+          // error port with the first error message. SSIS error output
+          // carries the ORIGINAL row — replace-in-place columns are
+          // stashed before being overwritten so the error port shows
+          // the offending input value, not the NULL the capture left.
           val inputCols = df.columns.toSeq
+          val replaced = exprs.map(_._1).filter(inputCols.contains)
+          val stash = replaced.map(c => c -> s"__graft_orig_${name}_$c").toMap
+          replaced.foreach(c => df = df.withColumn(stash(c), col(c)))
           val caps = exprs.map { case (c, _) => c -> s"__graft_cap_${name}_$c" }.toMap
           exprs.foreach { case (c, e) =>
             val compiled = Compiler.compile(e, df.schema, ctx.vars)
@@ -262,9 +268,10 @@ object DataFlowExec {
             .persist(StorageLevel.MEMORY_AND_DISK)
           ctx.persisted += labeled
           val clean = labeled.filter(col(s"__graft_err_$name").isNull)
-            .drop(caps.values.toSeq :+ s"__graft_err_$name": _*)
+            .drop(caps.values.toSeq ++ stash.values.toSeq :+ s"__graft_err_$name": _*)
           val errRows = labeled.filter(col(s"__graft_err_$name").isNotNull)
-            .select(inputCols.map(col) :+
+            .select(inputCols.map(c =>
+              stash.get(c).fold(col(c))(s => col(s).as(c))) :+
               col(s"__graft_err_$name").as("ErrorMessage"): _*)
           Map("out" -> clean, errPort -> errRows)
       }
@@ -305,11 +312,17 @@ object DataFlowExec {
         .drop("__graft_path"))
 
     case ExportColumn(_, pathColumn, contentColumn) =>
-      val df = single(inputs, comp)
-      val idx = df.columns.indexOf(pathColumn)
-      val cidx = df.columns.indexOf(contentColumn)
+      // persist before the eager write action: the downstream consumer
+      // re-reads this frame, and without the cache a nondeterministic
+      // upstream could diverge between the exported files and the rows
+      // passed through
+      val raw = single(inputs, comp)
+      val idx = raw.columns.indexOf(pathColumn)
+      val cidx = raw.columns.indexOf(contentColumn)
       require(idx >= 0 && cidx >= 0,
         s"${comp.name}: missing $pathColumn/$contentColumn")
+      val df = raw.persist(StorageLevel.MEMORY_AND_DISK)
+      ctx.persisted += df
       df.select(col(pathColumn), col(contentColumn)).foreachPartition {
         (rows: Iterator[org.apache.spark.sql.Row]) =>
           rows.foreach { r =>
@@ -329,6 +342,10 @@ object DataFlowExec {
       Map("out" -> df)
 
     case CacheTransform(_, cacheName) =>
+      // the cache-name dependency is invisible to the topological sort:
+      // a consumer's Lookup(refSql over cacheName) MUST be ordered after
+      // this component with an explicit Path into its "cache" port
+      // (data-less ordering edge; Lookup ignores that port's frames)
       val df = single(inputs, comp)
       val p = df.persist(StorageLevel.MEMORY_AND_DISK)
       ctx.persisted += p

@@ -86,11 +86,12 @@ object Similarity {
       .select(col("p.id").as("ida"), col("x.id").as("idb"),
         col("p.v").as("va"), col("x.v").as("vb"))
       .distinct()
-    val out = cand
-      .select(col("ida"), col("idb"), cosine(col("va"), col("vb")).as("cosine_sim"))
+    // base stays cached until the caller's action consumes the result —
+    // an eager unpersist here would evict before the self-join branches
+    // ever read it and force full recomputation
+    cand.select(col("ida"), col("idb"),
+        cosine(col("va"), col("vb")).as("cosine_sim"))
       .filter(col("cosine_sim") >= threshold)
-    base.unpersist(false)
-    out
   }
 
   /** Deterministic random hyperplanes: `numPlanes` unit-free normals of

@@ -146,6 +146,8 @@ object Dtsx {
       val (toComp, toPortRaw) = splitPortRef(attr(pn, "endId").get, "Inputs")
       val fromPort = classOf.get(fromComp) match {
         case Some("Microsoft.ConditionalSplit") => fromPortRaw
+        case Some("Microsoft.Lookup")
+          if fromPortRaw.toLowerCase.contains("no match") => "nomatch"
         case _ => "out"
       }
       val toPort = classOf.get(toComp) match {
@@ -155,7 +157,19 @@ object Dtsx {
       }
       Path(fromComp, toComp, fromPort, toPort)
     }
-    DataFlow(name, components, paths)
+    // a connected no-match output means redirect semantics — upgrade the
+    // Lookup so unmatched rows leave on "nomatch" instead of flowing
+    // down the match branch with NULLs
+    val redirected = paths.collect {
+      case pa if pa.fromPort == "nomatch" => pa.from
+    }.toSet
+    val upgraded = components.map {
+      case lk: Lookup if redirected(lk.name) &&
+          lk.noMatch == NoMatchBehavior.Ignore =>
+        lk.copy(noMatch = NoMatchBehavior.Redirect)
+      case other => other
+    }
+    DataFlow(name, upgraded, paths)
   }
 
   private def props(c: Node): Map[String, String] =
@@ -166,8 +180,13 @@ object Dtsx {
   private def inputCols(c: Node): Seq[Node] =
     (c \ "inputs" \ "input" \ "inputColumns" \ "inputColumn")
 
+  /** Output columns of NON-error outputs — SSIS serializes an error
+    * output (ErrorCode/ErrorColumn) on most components, which must not
+    * leak into schemas or copy lists. */
   private def outputCols(c: Node): Seq[Node] =
-    (c \ "outputs" \ "output" \ "outputColumns" \ "outputColumn")
+    (c \ "outputs" \ "output")
+      .filterNot(o => attr(o, "isErrorOut").contains("true"))
+      .flatMap(o => o \ "outputColumns" \ "outputColumn")
 
   /** Derived-column expression for a column node: the FriendlyExpression
     * (column names) preferred, lineage-id Expression otherwise (the

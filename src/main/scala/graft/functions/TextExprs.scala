@@ -102,22 +102,25 @@ object JaccardPrefix {
     * by hash, ties by token. */
   def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData,
       threshold: Double): GenericArrayData = {
+    // null elements are skipped (the replaced Column formulation
+    // tolerated them); prefix length still derives from the FULL array
+    // size so the bound matches the verification's set size
     val n = arr.numElements()
-    val toks = new Array[UTF8String](n)
-    val hashes = new Array[Long](n)
+    val toks = Array.newBuilder[UTF8String]
     var i = 0
     while (i < n) {
-      toks(i) = arr.getUTF8String(i)
-      hashes(i) = XXH64.hashUTF8String(toks(i), 42L)
+      if (!arr.isNullAt(i)) toks += arr.getUTF8String(i)
       i += 1
     }
-    val order = (0 until n).sortWith { (a, b) =>
+    val ts = toks.result()
+    val hashes = ts.map(XXH64.hashUTF8String(_, 42L))
+    val order = ts.indices.sortWith { (a, b) =>
       if (hashes(a) != hashes(b)) hashes(a) < hashes(b)
-      else toks(a).compareTo(toks(b)) < 0
+      else ts(a).compareTo(ts(b)) < 0
     }
-    val prefLen = math.min(n, n - math.ceil(threshold * n).toInt + 1)
+    val prefLen = math.min(ts.length, n - math.ceil(threshold * n).toInt + 1)
     new GenericArrayData(
-      order.take(math.max(prefLen, 0)).map(toks(_): Any).toArray)
+      order.take(math.max(prefLen, 0)).map(ts(_): Any).toArray)
   }
 }
 

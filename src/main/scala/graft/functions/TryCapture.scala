@@ -51,7 +51,7 @@ case class TryCapture(child: Expression) extends UnaryExpression {
         |  $values[1] = null;
         |} catch (Throwable $t) {
         |  $values[0] = null;
-        |  $values[1] = graft.functions.TryCapture$$.MODULE$$.describe($t);
+        |  $values[1] = graft.functions.TryCapture$$.MODULE$$.capture($t);
         |}
         |final InternalRow ${ev.value} = new $rowClass($values);
       """.stripMargin
@@ -63,9 +63,15 @@ case class TryCapture(child: Expression) extends UnaryExpression {
 }
 
 object TryCapture {
-  /** Exception → compact message (shared by eval and generated code). */
+  /** Exception → compact message. */
   def describe(e: Throwable): UTF8String =
     UTF8String.fromString(
       e.getClass.getSimpleName + ": " +
         Option(e.getMessage).map(_.linesIterator.next()).getOrElse(""))
+
+  /** Generated-code catch handler: NonFatal errors become data, fatal
+    * VM errors (OOM, StackOverflow) rethrow — matching the interpreted
+    * eval's NonFatal semantics. */
+  def capture(t: Throwable): UTF8String =
+    if (NonFatal(t)) describe(t) else throw t
 }

@@ -58,9 +58,20 @@ object VecExprs {
   @inline private def get(a: ArrayData, i: Int, isFloat: Boolean): Double =
     if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
 
+  /** Ragged pairs are CORRUPT DATA, not a prefix to silently score —
+    * a partial dot over the common dims looks plausible and can cross
+    * similarity thresholds. Fail loudly (try_capture redirects if the
+    * pipeline wants rows, not failures). */
+  @inline private def sameLength(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    if (n != b.numElements()) throw new IllegalArgumentException(
+      s"vec op on vectors of different lengths: $n vs ${b.numElements()}")
+    n
+  }
+
   /** Shared by interpreted eval and generated Java (via MODULE$). */
   def dot(a: ArrayData, b: ArrayData, af: Boolean, bf: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = sameLength(a, b)
     var s = 0.0
     var i = 0
     while (i < n) { s += get(a, i, af) * get(b, i, bf); i += 1 }
@@ -69,7 +80,7 @@ object VecExprs {
 
   /** Matches `dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b)))`. */
   def cosine(a: ArrayData, b: ArrayData, af: Boolean, bf: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = sameLength(a, b)
     var s = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {

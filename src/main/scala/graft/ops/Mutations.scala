@@ -19,9 +19,6 @@ import org.apache.spark.sql.functions._
   */
 object Mutations {
 
-  private def keyCond(l: DataFrame, r: DataFrame, keys: Seq[String]): Column =
-    keys.map(k => l(k) <=> r(k)).reduce(_ && _)
-
   /** UPDATE-shaped command: for target rows whose key appears in
     * `updates`, replace `setCols` with the update row's values
     * (equivalent: MERGE WHEN MATCHED THEN UPDATE SET ...). */

@@ -125,9 +125,32 @@ class IoSpec extends AnyFunSuite {
       Lookup("lk", refTable = "", joinKeys = Seq("id" -> "k"),
         copyColumns = Seq("tens" -> "tens"),
         refSql = Some("SELECT * FROM my_cache"))),
-      Seq(Path("ref", "ct"), Path("ct", "trash"), Path("stream", "lk"))), ctx)("lk.out")
+      Seq(Path("ref", "ct"), Path("ct", "trash"),
+        // data-less ordering edge: the cache-name dependency is
+        // invisible to the topo sort without it
+        Path("ct", "lk", toPort = "cache"),
+        Path("stream", "lk"))), ctx)("lk.out")
     assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
       Set((1L, 10L), (2L, 20L), (3L, 30L)))
+  }
+
+  test("error redirection preserves the ORIGINAL value of replaced columns") {
+    tricky.createOrReplaceTempView("tricky_src")
+    val out = DataFlowExec.run(DataFlow("f", Seq(
+      SourceQuery("src",
+        "SELECT id, CASE WHEN id % 2 = 0 THEN '41' ELSE s END AS s FROM tricky_src"),
+      // replace-in-place: s := (DT_I4)s — odd rows carry non-numeric s
+      DerivedColumn("conv", Seq("s" -> "(DT_I4)s"),
+        errorOutput = Some("err"))),
+      Seq(Path("src", "conv"))), ctx)
+    val ok = out("conv.out").selectExpr("id", "s").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(ok == Set((2, 41), (4, 41)))
+    val err = out("conv.err").selectExpr("id", "s", "ErrorMessage").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2) != null))
+    // error port must show the offending ORIGINAL strings, not NULLs
+    assert(err.map(e => (e._1, e._2)).toSet == Set((1, "plain"), (3, "has\"quote")))
+    assert(err.forall(_._3))
   }
 
   test("parquet append mode accumulates") {
