@@ -18,7 +18,8 @@ object SparkEntry {
     FuzzyQueries,
     EventQueries,
     MutationQueries,
-    RedirectQueries
+    RedirectQueries,
+    DtsxQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.dag.{ControlFlowExec, PipelineContext}
+import graft.frontend.Dtsx
+
+/** The dtsx frontend under the driver's oracle gate: q51 builds the
+  * medium fixture's catalog tables deterministically from testdata
+  * (nation x region), executes the reference's ACTUAL
+  * Sample_Medium_Package.dtsx through parse -> ControlFlowExec, and
+  * returns the staged UPDATE-command table. The DuckDB oracle
+  * re-implements the package's full semantics (lookup chain, checksum,
+  * full-outer merge join, null sentinels, first-match-wins 5-way split)
+  * as one SQL query over the same derivations — any parser or executor
+  * drift shows up as a hash mismatch.
+  */
+object DtsxQueries extends QueryPack {
+
+  private val PackagePath =
+    "/root/reference/input-sample packages/Sample_Medium_Package.dtsx"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q51_dtsx_medium" -> { (s, dir) =>
+      val n = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").cast("int").as("n"), col("n_name"))
+      val r = Tables.load(s, dir, "region")
+        .select(col("r_regionkey").cast("int").as("r"))
+      val grid = n.crossJoin(r)
+
+      grid.select((lit(100) + col("r")).as("CategoryCode"),
+          col("n_name").as("CountryCode"),
+          concat(lit("desc_"), col("n")).as("Status"))
+        .write.mode("overwrite").saveAsTable("SRC_InputTable")
+      n.select((col("n") + 1000).as("LocalCategoryID"),
+          concat(lit("desc_"), col("n")).as("CategoryDescription"))
+        .write.mode("overwrite").saveAsTable("LKP_LocalCategoryTable")
+      r.select(col("r").as("CategoryID"), (col("r") + 100).as("CategoryCode"))
+        .write.mode("overwrite").saveAsTable("LKP_CategoryTable")
+      n.select(col("n").as("CountryID"), col("n_name").as("CountryCode"))
+        .write.mode("overwrite").saveAsTable("LKP_CountryTable")
+      // existing table: 2/3 of the grid (some matching checksums, some
+      // stale), plus the default row and one key outside the feed
+      val existing = grid.filter((col("n") + col("r")) % 3 =!= 2)
+        .select(col("n").as("CountryID"), col("r").as("CategoryID"),
+          when((col("n") + col("r")) % 2 === 0,
+            lit(1000) + col("n") * 2 + col("r")).otherwise(lit(999))
+            .as("ETLCheckSum"),
+          when(col("n") % 4 === 0, 1).otherwise(0).as("DeletedFlag"))
+        .unionByName(s.range(1).select(lit(-1).as("CountryID"),
+          lit(0).as("CategoryID"), lit(77).as("ETLCheckSum"),
+          lit(0).as("DeletedFlag")))
+        .unionByName(s.range(1).select(lit(999).as("CountryID"),
+          lit(999).as("CategoryID"), lit(555).as("ETLCheckSum"),
+          lit(0).as("DeletedFlag")))
+      existing.write.mode("overwrite").saveAsTable("DST_GenericTable")
+      s.sql("DROP TABLE IF EXISTS sp_GenericUpdate_calls")
+      s.sql("DROP TABLE IF EXISTS sp_GenericHardDelete_calls")
+
+      val spec = Dtsx.parseFile(PackagePath)
+      ControlFlowExec.run(spec, PipelineContext.overCatalog(s))
+
+      s.table("sp_GenericUpdate_calls")
+        .orderBy(col("CountryID_OLD"), col("CategoryID_OLD"),
+          col("LocalCategoryID"), col("CheckSum_New"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q51_dtsx_medium" ->
+      """WITH n AS (SELECT CAST(n_nationkey AS INT) AS n, n_name FROM nation),
+        |r AS (SELECT CAST(r_regionkey AS INT) AS r FROM region),
+        |feed AS (
+        |  SELECT n.n, r.r, 1000 + n.n AS local_id,
+        |    1000 + 2 * n.n + r.r AS cs_new
+        |  FROM n CROSS JOIN r),
+        |dst AS (
+        |  SELECT n AS dn, r AS dr,
+        |    CASE WHEN (n + r) % 2 = 0 THEN 1000 + 2 * n + r ELSE 999 END AS ets
+        |  FROM feed WHERE (n + r) % 3 <> 2
+        |  UNION ALL SELECT -1, 0, 77
+        |  UNION ALL SELECT 999, 999, 555),
+        |joined AS (
+        |  SELECT f.n AS fn, f.local_id, f.cs_new, d.dn, d.dr, d.ets
+        |  FROM feed f FULL JOIN dst d ON f.n = d.dn AND f.r = d.dr)
+        |SELECT -1 AS WorkHistoryID,
+        |  CASE WHEN fn IS NULL THEN NULL ELSE 0 END AS DeletedFlag,
+        |  CASE WHEN fn IS NULL THEN NULL ELSE 0 END AS TemplateFlag,
+        |  dn AS CountryID_OLD, dr AS CategoryID_OLD,
+        |  local_id AS LocalCategoryID,
+        |  CASE WHEN fn IS NULL THEN -1 ELSE cs_new END AS CheckSum_New
+        |FROM joined
+        |WHERE NOT coalesce(dn IN (-1, -2), false)
+        |  AND coalesce(cs_new, -1) <> coalesce(ets, -1)
+        |ORDER BY CountryID_OLD NULLS FIRST, CategoryID_OLD NULLS FIRST,
+        |  LocalCategoryID NULLS FIRST, CheckSum_New""".stripMargin
+  )
+}
