@@ -38,6 +38,103 @@ class DtsxSpec extends AnyFunSuite {
     assert(res.variables("User::VAR_RowCount") == 3L)
   }
 
+  test("synthetic package: connected no-match output upgrades Lookup to Redirect; error outputs filtered") {
+    val xml =
+      <DTS:Executable xmlns:DTS="www.microsoft.com/SqlServer/Dts" DTS:ObjectName="synth">
+        <DTS:Executables>
+          <DTS:Executable DTS:ObjectName="DFT" DTS:ExecutableType="Microsoft.Pipeline">
+            <DTS:ObjectData>
+              <pipeline>
+                <components>
+                  <component componentClassID="Microsoft.OLEDBSource" name="SRC">
+                    <properties>
+                      <property name="SqlCommand">SELECT k, payload FROM synth_stream</property>
+                      <property name="AccessMode">2</property>
+                    </properties>
+                    <outputs>
+                      <output name="Out">
+                        <outputColumns>
+                          <outputColumn name="k"/>
+                          <outputColumn name="payload"/>
+                        </outputColumns>
+                      </output>
+                      <output name="Err" isErrorOut="true">
+                        <outputColumns>
+                          <outputColumn name="ErrorCode"/>
+                          <outputColumn name="ErrorColumn"/>
+                        </outputColumns>
+                      </output>
+                    </outputs>
+                  </component>
+                  <component componentClassID="Microsoft.Lookup" name="LKP">
+                    <properties>
+                      <property name="SqlCommand">SELECT rk, rv FROM synth_ref</property>
+                      <property name="CacheType">0</property>
+                      <property name="NoMatchBehavior">1</property>
+                    </properties>
+                    <inputs>
+                      <input name="Lookup Input">
+                        <inputColumns>
+                          <inputColumn cachedName="k">
+                            <properties>
+                              <property name="JoinToReferenceColumn">rk</property>
+                            </properties>
+                          </inputColumn>
+                        </inputColumns>
+                      </input>
+                    </inputs>
+                    <outputs>
+                      <output name="Lookup Match Output">
+                        <outputColumns>
+                          <outputColumn name="rv">
+                            <properties>
+                              <property name="CopyFromReferenceColumn">rv</property>
+                            </properties>
+                          </outputColumn>
+                        </outputColumns>
+                      </output>
+                      <output name="Lookup No Match Output"/>
+                    </outputs>
+                  </component>
+                  <component componentClassID="Microsoft.OLEDBDestination" name="DST_M">
+                    <properties>
+                      <property name="OpenRowset">matched_t</property>
+                      <property name="AccessMode">3</property>
+                    </properties>
+                  </component>
+                  <component componentClassID="Microsoft.OLEDBDestination" name="DST_N">
+                    <properties>
+                      <property name="OpenRowset">nomatch_t</property>
+                      <property name="AccessMode">3</property>
+                    </properties>
+                  </component>
+                </components>
+                <paths>
+                  <path startId="P\DFT\SRC.Outputs[Out]" endId="P\DFT\LKP.Inputs[Lookup Input]"/>
+                  <path startId="P\DFT\LKP.Outputs[Lookup Match Output]" endId="P\DFT\DST_M.Inputs[In]"/>
+                  <path startId="P\DFT\LKP.Outputs[Lookup No Match Output]" endId="P\DFT\DST_N.Inputs[In]"/>
+                </paths>
+              </pipeline>
+            </DTS:ObjectData>
+          </DTS:Executable>
+        </DTS:Executables>
+      </DTS:Executable>
+    sql(
+      "DROP TABLE IF EXISTS synth_stream", "DROP TABLE IF EXISTS synth_ref",
+      "DROP TABLE IF EXISTS matched_t", "DROP TABLE IF EXISTS nomatch_t",
+      "CREATE TABLE synth_stream (k INT, payload STRING) USING parquet",
+      "INSERT INTO synth_stream VALUES (1, 'a'), (2, 'b'), (3, 'c')",
+      "CREATE TABLE synth_ref (rk INT, rv STRING) USING parquet",
+      "INSERT INTO synth_ref VALUES (1, 'one'), (3, 'three')")
+    val spec = Dtsx.parse(xml)
+    // the error output's ErrorCode/ErrorColumn must not leak into the
+    // source's positional rename
+    val res = ControlFlowExec.run(spec, PipelineContext.overCatalog(spark))
+    assert(res.statuses.values.forall(_ == ControlFlowExec.Succeeded), res.statuses)
+    assert(spark.table("matched_t").count() == 2)
+    assert(spark.table("nomatch_t").select("k").collect().map(_.getInt(0)).toSeq == Seq(2))
+  }
+
   test("Sample_Medium_Package: lookups -> sort -> checksum -> full merge join -> 5-way split") {
     sql(
       "DROP TABLE IF EXISTS SRC_InputTable",
