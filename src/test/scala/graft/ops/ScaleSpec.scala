@@ -30,6 +30,28 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("changedKeys prefilter: downstream output equals the unfiltered pipeline") {
+    val target = spark.range(0, 1000).select(col("id").as("k"),
+      (col("id") % 7).as("payload"), (col("id") % 7).as("cs"))
+    // feed: keys 100..1099; payload changed for k % 10 == 0
+    val feed = spark.range(100, 1100).select(col("id").as("k"),
+      when(col("id") % 10 === 0, lit(99L)).otherwise(col("id") % 7).as("payload"))
+      .withColumn("cs", col("payload"))
+    def upserted(f: org.apache.spark.sql.DataFrame,
+        t: org.apache.spark.sql.DataFrame) =
+      f.alias("f").join(t.alias("t"), Seq("k"), "full_outer")
+        .filter(!(col("f.cs") <=> col("t.cs")))
+        .select(col("k"),
+          coalesce(col("f.payload"), col("t.payload")).as("payload"))
+    val plain = upserted(feed, target).collect().toSet
+    val (fc, tc) = Scale.changedKeys(feed, target, Seq("k"),
+      col("cs"), col("cs"))
+    val filtered = upserted(fc, tc).collect().toSet
+    assert(filtered == plain && plain.nonEmpty)
+    // the prefilter really prunes: unchanged matching keys are gone
+    assert(fc.count() < feed.count() && tc.count() < target.count())
+  }
+
   test("salted join equals the plain join result") {
     // one hot key (0) with many rows, plus a long tail
     val left = spark.range(0, 2000)
