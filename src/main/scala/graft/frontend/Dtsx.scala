@@ -129,6 +129,37 @@ object Dtsx {
         DataFlowTask(name, parsePipeline(p, name))
       case t if t.toUpperCase.endsWith("SEQUENCE") =>
         Sequence(name, (e \ "Executables" \ "Executable").map(parseExecutable))
+      case t if t.toUpperCase.endsWith("FORLOOP") =>
+        // InitExpression/AssignExpression are "@[User::X] = <expr>"
+        // assignments; EvalExpression is the loop gate
+        def assignment(a: Option[String]): Option[(String, String)] =
+          a.map { s =>
+            val i = s.indexOf('=')
+            require(i > 0 && (i + 1 >= s.length || s(i + 1) != '='),
+              s"dtsx ForLoop $name: expected '@var = expr', got '$s'")
+            val target = s.substring(0, i).trim
+              .stripPrefix("@[").stripSuffix("]").stripPrefix("@")
+            target -> s.substring(i + 1).trim
+          }
+        val init = assignment(attr(e, "InitExpression"))
+        val assign = assignment(attr(e, "AssignExpression"))
+        val variable = init.orElse(assign).map(_._1)
+          .getOrElse(sys.error(s"dtsx ForLoop $name: no init/assign expression"))
+        ForLoop(name, variable, init.map(_._2),
+          attr(e, "EvalExpression").getOrElse(
+            sys.error(s"dtsx ForLoop $name: no EvalExpression")),
+          assign.map(_._2),
+          (e \ "Executables" \ "Executable").map(parseExecutable))
+      case t if t.toUpperCase.endsWith("FOREACHLOOP") =>
+        // Item enumerator values + the first variable mapping
+        val items: Seq[Any] =
+          (e \ "ForEachEnumerator" \ "ObjectData" \\ "FEIEItemValue")
+            .map(v => attr(v, "Value").getOrElse(""): Any)
+        val variable = (e \ "ForEachVariableMappings" \ "ForEachVariableMapping")
+          .headOption.flatMap(attr(_, "VariableName"))
+          .getOrElse(sys.error(s"dtsx ForEach $name: no variable mapping"))
+        ForEach(name, variable, items,
+          (e \ "Executables" \ "Executable").map(parseExecutable))
       case other => sys.error(s"dtsx: unsupported executable type $other ($name)")
     }
   }

@@ -135,6 +135,58 @@ class DtsxSpec extends AnyFunSuite {
     assert(spark.table("nomatch_t").select("k").collect().map(_.getInt(0)).toSeq == Seq(2))
   }
 
+  test("synthetic containers: FORLOOP and FOREACHLOOP parse and execute") {
+    val xml =
+      <DTS:Executable xmlns:DTS="www.microsoft.com/SqlServer/Dts" DTS:ObjectName="loops">
+        <DTS:Executables>
+          <DTS:Executable DTS:ObjectName="FL" DTS:ExecutableType="STOCK:FORLOOP"
+              DTS:InitExpression="@[User::I] = 0" DTS:EvalExpression="@[User::I] &lt; 3"
+              DTS:AssignExpression="@[User::I] = @[User::I] + 1">
+            <DTS:Executables>
+              <DTS:Executable DTS:ObjectName="S1" DTS:ExecutableType="Microsoft.ExecuteSQLTask">
+                <DTS:ObjectData>
+                  <SQLTask:SqlTaskData SQLTask:SqlStatementSource="INSERT INTO loop_sink VALUES (1)"
+                    xmlns:SQLTask="www.microsoft.com/sqlserver/dts/tasks/sqltask"/>
+                </DTS:ObjectData>
+              </DTS:Executable>
+            </DTS:Executables>
+          </DTS:Executable>
+          <DTS:Executable DTS:ObjectName="FE" DTS:ExecutableType="STOCK:FOREACHLOOP">
+            <DTS:ForEachEnumerator>
+              <DTS:ObjectData>
+                <FEIEItems>
+                  <FEIEItem><FEIEItemValue DTS:Value="10"/></FEIEItem>
+                  <FEIEItem><FEIEItemValue DTS:Value="20"/></FEIEItem>
+                </FEIEItems>
+              </DTS:ObjectData>
+            </DTS:ForEachEnumerator>
+            <DTS:ForEachVariableMappings>
+              <DTS:ForEachVariableMapping DTS:VariableName="User::Item"/>
+            </DTS:ForEachVariableMappings>
+            <DTS:Executables>
+              <DTS:Executable DTS:ObjectName="S2" DTS:ExecutableType="Microsoft.ExecuteSQLTask">
+                <DTS:ObjectData>
+                  <SQLTask:SqlTaskData SQLTask:SqlStatementSource="SELECT 5"
+                    xmlns:SQLTask="www.microsoft.com/sqlserver/dts/tasks/sqltask">
+                    <SQLTask:ResultBinding SQLTask:ResultName="x" SQLTask:DtsVariableName="User::Last"/>
+                  </SQLTask:SqlTaskData>
+                </DTS:ObjectData>
+              </DTS:Executable>
+            </DTS:Executables>
+          </DTS:Executable>
+        </DTS:Executables>
+      </DTS:Executable>
+    sql("DROP TABLE IF EXISTS loop_sink",
+      "CREATE TABLE loop_sink (v INT) USING parquet")
+    val res = ControlFlowExec.run(Dtsx.parse(xml),
+      PipelineContext.overCatalog(spark))
+    assert(res.statuses.values.forall(_ == ControlFlowExec.Succeeded), res.statuses)
+    assert(spark.table("loop_sink").count() == 3)   // ForLoop ran 3 times
+    assert(res.variables("User::I") == 3)
+    assert(res.variables("User::Item") == "20")     // last ForEach item
+    assert(res.variables("User::Last") == 5)
+  }
+
   test("Sample_Medium_Package: lookups -> sort -> checksum -> full merge join -> 5-way split") {
     sql(
       "DROP TABLE IF EXISTS SRC_InputTable",
