@@ -34,17 +34,28 @@ object Bench {
     // untimed warmup: JVM/codegen/parquet-footer paths
     evalAll(Tables.load(spark, sfDir, "nation"))
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try evalAll(fn(spark, sfDir))
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // a failed query reports null (NOT its elapsed-until-failure time —
+    // that silently masks breakage as a timing) and is excluded from the
+    // total; the failure list rides along explicitly
+    val results: Seq[(String, Option[Double])] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val timing = try { evalAll(fn(spark, sfDir));
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: " +
+            s"${e.getClass.getName}: ${e.getMessage}")
+          e.getStackTrace.take(12).foreach(f => System.err.println(s"  at $f"))
+          None
+        }
+        name -> timing
+      }
+    val qs = results.map { case (k, v) =>
+      s"\"" + k + "\":" + v.fold("null")(_.toString) }.mkString("{", ",", "}")
+    val total = results.flatMap(_._2).sum
+    val failed = results.collect { case (k, None) => s"\"$k\"" }
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

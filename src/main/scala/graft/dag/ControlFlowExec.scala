@@ -56,8 +56,9 @@ object ControlFlowExec {
         case EdgeCondition.OnSuccess => statuses.get(e.from).contains(Succeeded)
         case EdgeCondition.OnFailure => statuses.get(e.from).exists(_.isInstanceOf[Errored])
         case EdgeCondition.OnCompletion => statuses.get(e.from).exists(_ != Skipped)
-        case EdgeCondition.ExpressionEdge(expr, and) =>
-          statusOk(and) && evalDriverExpr(expr, ctx)
+        case EdgeCondition.ExpressionEdge(expr, c, orMode) =>
+          if (orMode) statusOk(c) || evalDriverExpr(expr, ctx)
+          else statusOk(c) && evalDriverExpr(expr, ctx)
       }
       statusOk(e.condition)
     }

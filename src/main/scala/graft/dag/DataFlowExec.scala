@@ -160,17 +160,18 @@ object DataFlowExec {
     // when a sink is reachable downstream of the tap; a dangling tap
     // falls back to one count() job on the tapped frame.
     if (ctx.observations.nonEmpty) {
+      // TrashDestination is deliberately NOT a sink here: it runs no
+      // Spark action, so a tap whose only downstream "sink" is a trash
+      // would block forever on an Observation nothing fills — such taps
+      // must take the count() fallback instead.
       val sinks = flow.components.collect {
         case c: Destination => c.name
         case c: FileDestination => c.name
         case c: ExcelDestination => c.name
         case c: StagedCommand => c.name
         case c: ExportColumn => c.name
-        case c: TrashDestination => c.name
       }.toSet
       val adj = flow.paths.groupBy(_.from).view.mapValues(_.map(_.to)).toMap
-      // STRICT descendants only: a TrashDestination tap is itself a sink
-      // but runs no action, so it must take the count() fallback.
       def reachesSink(start: String): Boolean = {
         val seen = mutable.Set(start)
         val stack = mutable.Stack(start)
@@ -371,7 +372,8 @@ object DataFlowExec {
       // the reference codegen never does)
       val needed = (joinKeys.map(_._2) ++ copyColumns.map(_._1)).distinct
       val matchFlag = s"__graft_matched_${lk.name}"
-      var ref = refRaw.select(needed.map(col): _*).withColumn(matchFlag, lit(true))
+      var ref = refRaw.select(needed.map(n => col(DataFlowExec.bq(n))): _*)
+        .withColumn(matchFlag, lit(true))
       // dedupe reference on the key (SSIS FULL cache keeps first match)
       ref = ref.dropDuplicates(joinKeys.map(_._2))
       // SSIS FULL cache maps to a broadcast — but only under a size gate:
@@ -389,8 +391,10 @@ object DataFlowExec {
       // join detector
       val s = stream.alias("__lk_s")
       val r = refSide.alias("__lk_r")
-      def sc0(n: String) = col(s"__lk_s.$n")
-      def rc0(n: String) = col(s"__lk_r.$n")
+      // backtick-quote the column part: a dotted column name would
+      // otherwise parse as struct access
+      def sc0(n: String) = col(s"__lk_s.${DataFlowExec.bq(n)}")
+      def rc0(n: String) = col(s"__lk_r.${DataFlowExec.bq(n)}")
       val cond = joinKeys.map { case (sc, rc) => sc0(sc) === rc0(rc) }.reduce(_ && _)
       val joined = s.join(r, cond, "left_outer")
       val copied = copyColumns.map { case (rc, alias) =>
@@ -619,6 +623,10 @@ object DataFlowExec {
       }
       Map.empty
   }
+
+  /** Backtick-quote a column name for use after a dataset alias
+    * qualifier (dots and backticks in the name survive). */
+  private[graft] def bq(n: String): String = "`" + n.replace("`", "``") + "`"
 
   private def parseDt(s: String): graft.expr.DtType = {
     val parts = s.split("[(),\\s]+").filter(_.nonEmpty)

@@ -71,8 +71,9 @@ object TextAnalysis {
 
   // ---------- token counting ----------
 
-  /** Whitespace token count. */
-  def tokenCountWs(text: Column): Column = nTokens(text)
+  /** Whitespace token count — long, matching the BIGINT every SQL
+    * engine returns for a list length. */
+  def tokenCountWs(text: Column): Column = nTokens(text).cast("long")
 
   /** BPE-ish token estimate: word pieces of ≤4 chars — ceil(len/4) per
     * whitespace token plus one per non-alnum char. Both terms are exact

@@ -102,14 +102,18 @@ object Dtsx {
       case Some("2") => EdgeCondition.OnCompletion
       case _ => EdgeCondition.OnSuccess
     }
-    // EvalOp: 1=Expression, 2=Constraint, 3=ExpressionAndConstraint
-    // (4=Or approximated as And — fixtures don't use it)
+    // EvalOp: 1=Expression, 2=Constraint, 3=ExpressionAndConstraint,
+    // 4=ExpressionOrConstraint (control_flow_mapper.py:138-149 maps the
+    // same four modes)
     val cond = attr(c, "EvalOp") match {
       case Some("1") =>
         EdgeCondition.ExpressionEdge(attr(c, "Expression").get,
           and = EdgeCondition.OnCompletion)
-      case Some("3") | Some("4") =>
+      case Some("3") =>
         EdgeCondition.ExpressionEdge(attr(c, "Expression").get, and = statusCond)
+      case Some("4") =>
+        EdgeCondition.ExpressionEdge(attr(c, "Expression").get,
+          and = statusCond, orMode = true)
       case _ => statusCond
     }
     PrecedenceEdge(from, to, cond)

@@ -279,9 +279,12 @@ object EdgeCondition {
   case object OnFailure extends EdgeCondition
   case object OnCompletion extends EdgeCondition
   /** Expression constraint over pipeline variables, e.g.
-    * `@[User::SourceRowCount] > 0` (Sample_Medium_Package.dtsx:905). */
+    * `@[User::SourceRowCount] > 0` (Sample_Medium_Package.dtsx:905).
+    * `orMode=false` → expression AND status constraint (EvalOp=3);
+    * `orMode=true` → expression OR status constraint (EvalOp=4). */
   final case class ExpressionEdge(expr: String,
-      and: EdgeCondition = OnSuccess) extends EdgeCondition
+      and: EdgeCondition = OnSuccess,
+      orMode: Boolean = false) extends EdgeCondition
 }
 
 final case class PrecedenceEdge(from: String, to: String,

@@ -32,8 +32,10 @@ object Mutations {
     val t = target.alias("__mut_t")
     val u = updates.dropDuplicates(keys) // one command per key, like a keyed MERGE
       .withColumn(flag, lit(true)).alias("__mut_u")
-    def tc(n: String) = col(s"__mut_t.$n")
-    def uc(n: String) = col(s"__mut_u.$n")
+    // backtick-quote the column part — dotted names must not parse as
+    // struct access
+    def tc(n: String) = col(s"__mut_t.${graft.dag.DataFlowExec.bq(n)}")
+    def uc(n: String) = col(s"__mut_u.${graft.dag.DataFlowExec.bq(n)}")
     val joined = t.join(u, keys.map(k => tc(k) <=> uc(k)).reduce(_ && _), "left_outer")
     val matched = uc(flag) === lit(true)
     val cols = target.columns.map { c =>
@@ -88,8 +90,8 @@ object Mutations {
     val fFlag = "__graft_feed"
     val c = current.withColumn(cFlag, lit(true)).alias("__scd_c")
     val ff = f.withColumn(fFlag, lit(true)).alias("__scd_f")
-    def cc(n: String) = col(s"__scd_c.$n")
-    def fc(n: String) = col(s"__scd_f.$n")
+    def cc(n: String) = col(s"__scd_c.${graft.dag.DataFlowExec.bq(n)}")
+    def fc(n: String) = col(s"__scd_f.${graft.dag.DataFlowExec.bq(n)}")
     val joined = c.join(ff, keys.map(k => cc(k) <=> fc(k)).reduce(_ && _), "full_outer")
     val curPresent = cc(cFlag) === lit(true)
     val feedPresent = fc(fFlag) === lit(true)

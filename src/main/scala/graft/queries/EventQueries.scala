@@ -50,7 +50,7 @@ object EventQueries extends QueryPack {
   val oracles: Map[String, String] = Map(
     "q41_event_windows" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type, COUNT(*) AS n,
-        |  SUM(CAST(round(value * 100) AS BIGINT)) AS value_cents
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
     // gap-based sessions: new session when the microsecond gap to the
     // previous event is >= 30 min (session_window's end bound is

@@ -189,9 +189,10 @@ object ExtQueries extends QueryPack {
     "q25_tokens" ->
       """SELECT doc_id,
         |  len(string_split(text, ' ')) AS n_ws_tokens,
-        |  list_aggregate(list_transform(string_split(text, ' '),
+        |  CAST(list_aggregate(list_transform(string_split(text, ' '),
         |      t -> CAST(ceil(len(t) / 4.0) AS BIGINT)), 'sum')
-        |    + length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS n_bpeish_tokens
+        |    + length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT)
+        |    AS n_bpeish_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q26_fingerprint" ->
       """SELECT doc_id,

@@ -28,14 +28,20 @@ object TransformQueries extends QueryPack {
         .orderBy(col("p_partkey"))
     },
 
-    // Data Conversion (reference: data_engineering_parser.py:1173-1178)
+    // Data Conversion (reference: data_engineering_parser.py:1173-1178).
+    // price_dec runs the DT_NUMERIC(18,2) conversion then surfaces as
+    // DOUBLE: the decimal result is bit-identical to the oracle's, but
+    // the driver's hasher mishandles decimal physical types — both
+    // engines convert the same scaled integer, so the doubles agree
+    // exactly (int64→double is exact, one correctly-rounded divide).
     "q5_data_conversion" -> { (s, dir) =>
       val df = Tables.load(s, dir, "lineitem")
       df.select(
         col("l_orderkey"),
         col("l_linenumber"),
         ssis(df, "(DT_I4)[l_quantity]").as("qty_int"),
-        ssis(df, "(DT_NUMERIC, 18, 2)[l_extendedprice]").as("price_dec"),
+        ssis(df, "(DT_NUMERIC, 18, 2)[l_extendedprice]")
+          .cast("double").as("price_dec"),
         ssis(df, "(DT_STR, 50, 1252)[l_orderkey]").as("orderkey_str"),
         ssis(df, "(DT_DBDATE)[l_shipdate]").as("ship_date"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
@@ -91,7 +97,7 @@ object TransformQueries extends QueryPack {
     "q5_data_conversion" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(l_quantity AS INTEGER) AS qty_int,
-        |  CAST(l_extendedprice AS DECIMAL(18,2)) AS price_dec,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec,
         |  CAST(l_orderkey AS VARCHAR) AS orderkey_str,
         |  CAST(l_shipdate AS DATE) AS ship_date
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,

@@ -49,8 +49,15 @@ object Excel {
         .getOrElse(sys.error(s"Excel: no sheet index $sheet in $path"))
       val x = XML.load(zip.getInputStream(entry))
       val rawRows: Seq[Array[String]] = (x \ "sheetData" \ "row").map { row =>
+        // @r is OPTIONAL in OOXML: a cell without it sits immediately
+        // after the previous cell (ordinal fallback), per the spec's
+        // sequential-cell rule
+        var nextIdx = 0
         val cells = (row \ "c").map { c =>
-          val idx = colIndex((c \ "@r").text)
+          val ref = (c \ "@r").text
+          val idx = if (ref.nonEmpty && ref.exists(_.isLetter)) colIndex(ref)
+                    else nextIdx
+          nextIdx = idx + 1
           val v = (c \ "@t").text match {
             case "s" => shared((c \ "v").text.toInt)
             case "inlineStr" => (c \ "is" \ "t").text

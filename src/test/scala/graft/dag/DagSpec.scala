@@ -72,6 +72,40 @@ class DagSpec extends AnyFunSuite {
     assert(c.variables("User::M") == 3L)
   }
 
+  test("RowCount whose only downstream sink is a Trash does not hang") {
+    // the canonical SSIS count-and-discard: RowCount → Trash. The trash
+    // runs no Spark action, so the tap must take the count() fallback
+    // instead of blocking forever on an unfilled Observation.
+    val c = ctx(Map("people" -> people))
+    val flow = DataFlow("f", Seq(
+      SourceTable("src", "people"),
+      RowCount("rc", "User::N"),
+      TrashDestination("tr", countInto = Some("User::T"))),
+      Seq(Path("src", "rc"), Path("rc", "tr")))
+    val done = java.util.concurrent.Executors.newSingleThreadExecutor()
+    try {
+      val fut = done.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = { DataFlowExec.run(flow, c); () }
+      })
+      fut.get(60, java.util.concurrent.TimeUnit.SECONDS) // hang = timeout
+    } finally done.shutdownNow()
+    assert(c.variables("User::N") == 4L)
+    assert(c.variables("User::T") == 4L)
+  }
+
+  test("Lookup handles dotted column names (alias-qualified refs quoted)") {
+    val stream = people.select(people("grp").as("k.dotted"), people("id"))
+    val ref = people.select(people("grp").as("r.key"), people("x").as("r.x"))
+      .filter(people("grp") === "a")
+    val flow = DataFlow("f", Seq(
+      SourceTable("src", "s"),
+      Lookup("lk", "ref", Seq("k.dotted" -> "r.key"), Seq("r.x" -> "out.x"))),
+      Seq(Path("src", "lk")))
+    val out = DataFlowExec.run(flow, ctx(Map("s" -> stream, "ref" -> ref)))("lk.out")
+    assert(out.columns.toSeq == Seq("k.dotted", "id", "out.x"))
+    assert(out.filter(out("`out.x`").isNotNull).count() == 2)
+  }
+
   test("MergeJoin full outer with nullsEqual matches NULL keys") {
     val l = people.select(people("grp").as("lg"), people("id").as("lid"))
     val r = people.select(people("grp").as("rg"), people("x").as("rx"))
@@ -123,6 +157,30 @@ class DagSpec extends AnyFunSuite {
     assert(res.statuses("onok") == ControlFlowExec.Skipped)
     assert(res.variables("User::G") == 99)
     assert(!res.variables.contains("User::GOff"))
+  }
+
+  test("EvalOp=4: expression OR constraint — either satisfies the edge") {
+    val c = ctx(Map("people" -> people))
+    val spec = PipelineSpec("p",
+      tasks = Seq(
+        SqlTask("setv", "SELECT 50", resultInto = Some("User::V")),
+        SqlTask("bad", "SELECT * FROM nonexistent_table_xyz"),
+        SqlTask("orTrue", "SELECT 1", resultInto = Some("User::OrTrue")),
+        SqlTask("orFalse", "SELECT 2", resultInto = Some("User::OrFalse"))),
+      edges = Seq(
+        PrecedenceEdge("setv", "bad"),
+        // upstream FAILED, but the expression holds → OR runs the task
+        PrecedenceEdge("bad", "orTrue",
+          EdgeCondition.ExpressionEdge("@[User::V] > 40",
+            and = EdgeCondition.OnSuccess, orMode = true)),
+        // upstream failed AND the expression is false → skipped
+        PrecedenceEdge("bad", "orFalse",
+          EdgeCondition.ExpressionEdge("@[User::V] > 100",
+            and = EdgeCondition.OnSuccess, orMode = true))))
+    val res = ControlFlowExec.run(spec, c)
+    assert(res.variables("User::OrTrue") == 1)
+    assert(!res.variables.contains("User::OrFalse"))
+    assert(res.statuses("orFalse") == ControlFlowExec.Skipped)
   }
 
   test("ForEach binds loop variable per iteration; data flows through DataFlowTask") {

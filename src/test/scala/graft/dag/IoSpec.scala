@@ -82,6 +82,37 @@ class IoSpec extends AnyFunSuite {
       (3, "  spaced  ", -2.25, null)))
   }
 
+  test("excel reader handles cells without the optional @r attribute") {
+    // legal OOXML: cells may omit r= and sit sequentially after the
+    // previous cell — build such a sheet by hand
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_nor")
+    dir.toFile.deleteOnExit()
+    val path = dir.toString + "/nor.xlsx"
+    val zos = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    val ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    put("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+      """<Default Extension="xml" ContentType="application/xml"/></Types>""")
+    put("xl/worksheets/sheet1.xml",
+      s"""<?xml version="1.0"?><worksheet xmlns="$ns"><sheetData>""" +
+      // header row with refs; data rows WITHOUT @r (sequential), one
+      // mixing a ref'd cell (C2) after two ref-less cells
+      """<row r="1"><c r="A1" t="inlineStr"><is><t>a</t></is></c><c r="B1" t="inlineStr"><is><t>b</t></is></c><c r="C1" t="inlineStr"><is><t>c</t></is></c></row>""" +
+      """<row><c><v>1</v></c><c><v>2</v></c><c r="C2"><v>3</v></c></row>""" +
+      """<row><c><v>4</v></c><c><v>5</v></c><c><v>6</v></c></row>""" +
+      "</sheetData></worksheet>")
+    zos.close()
+    val df = graft.sources.Excel.read(spark, path,
+      schemaDdl = Some("a INT, b INT, c INT"))
+    assert(df.collect().map(r => (r.get(0), r.get(1), r.get(2))).toSet ==
+      Set((1, 2, 3), (4, 5, 6)))
+  }
+
   test("xml round-trip via built-in datasource") {
     val path = tmpDir("xml")
     tricky.createOrReplaceTempView("tricky_src")

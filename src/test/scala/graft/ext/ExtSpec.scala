@@ -125,8 +125,8 @@ class ExtSpec extends AnyFunSuite {
     val df = docs((1L, "hello world, ok"))
     val (ws, bpe) = df.select(
       TextAnalysis.tokenCountWs(col("text")),
-      TextAnalysis.tokenCountBpeIsh(col("text"))).as[(Int, Long)].head()
-    assert(ws == 3)
+      TextAnalysis.tokenCountBpeIsh(col("text"))).as[(Long, Long)].head()
+    assert(ws == 3L)
     // hello→2, world,→2 (6 chars /4), ok→1 pieces; 1 punct (,)
     assert(bpe == 2 + 2 + 1 + 1)
   }

@@ -41,6 +41,18 @@ class MutationsSpec extends AnyFunSuite {
       Set((1, "a", 10), (3, "c", 30)))
   }
 
+  test("applyUpdate handles dotted column names (alias refs quoted)") {
+    val dotted = StructType(Seq(
+      StructField("key.id", IntegerType), StructField("val.x", StringType)))
+    val target = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1, "a"), Row(2, "b")), dotted)
+    val updates = spark.createDataFrame(
+      java.util.Arrays.asList(Row(2, "B!")), dotted)
+    val out = Mutations.applyUpdate(target, updates, Seq("key.id"), Seq("val.x"))
+    assert(out.collect().map(r => (r.get(0), r.get(1))).toSet ==
+      Set((1, "a"), (2, "B!")))
+  }
+
   test("scdType1 upserts: matched rows replaced, new keys appended") {
     val target = frame(Row(1, "a", 10), Row(2, "b", 20))
     val feed = frame(Row(2, "B", 21), Row(3, "c", 30))
