@@ -226,6 +226,9 @@ object DataFlowExec {
       val r = ctx.spark.read.options(options)
       Map("out" -> schemaDdl.fold(r)(d => r.schema(d)).json(path))
 
+    case SourceRest(_, url, jsonPath, schemaDdl) =>
+      Map("out" -> graft.sources.Rest.read(ctx.spark, url, jsonPath, schemaDdl))
+
     case SourceText(_, path) =>
       Map("out" -> ctx.spark.read.text(path))
 
@@ -452,25 +455,31 @@ object DataFlowExec {
       require(ins.size >= 2, s"${comp.name}: merge needs >=2 inputs")
       Map("out" -> ins.reduce(_ unionByName _).orderBy(sortKeys.map(col): _*))
 
-    case FuzzyLookup(name, refTable, streamKey, refId, refKey, copyCols, minSim, simCol) =>
+    case FuzzyLookup(name, refTable, streamKey, refId, refKey, copyCols,
+        minSim, simCol, maxMatches) =>
       val stream = single(inputs, comp)
       val ref = ctx.resolveTable(refTable)
       // collapse duplicate reference keys up front: equal keys give equal
       // similarity, and the (sim DESC, bid ASC) tie-break always picks
       // the smallest bid — so matching against (key, min bid) is
       // result-identical and shrinks the candidate join on
-      // duplicate-heavy references
+      // duplicate-heavy references. (With maxMatches > 1 a duplicated
+      // reference key still surfaces once — SSIS dedupes the fuzzy
+      // index the same way.)
       val rb = ref.select(col(refId).as("bid"),
           graft.ext.Fuzzy.normalize(col(refKey)).as("bkey"))
         .groupBy("bkey").agg(min("bid").as("bid"))
       val keys = stream
         .select(graft.ext.Fuzzy.normalize(col(streamKey)).as("akey")).distinct()
-      val best = graft.ext.Fuzzy.bestMatchPerKey(keys, rb, minSim)
+      val best = graft.ext.Fuzzy.topMatchesPerKey(keys, rb, minSim, maxMatches)
       val copies = ref.select(col(refId).as("bid") +:
         copyCols.map { case (c, a) => col(c).as(a) }: _*)
+      val rankCols =
+        if (maxMatches > 1) Seq(col("match_rank").as(s"${simCol}_rank")) else Nil
       val enriched = best.join(copies, Seq("bid"), "inner")
         .select(col("akey").as(s"__graft_akey_$name") +:
-          copyCols.map(c => col(c._2)) :+ col("similarity").as(simCol): _*)
+          (copyCols.map(c => col(c._2)) ++
+            (col("similarity").as(simCol) +: rankCols)): _*)
       val out = stream
         .withColumn(s"__graft_akey_$name", graft.ext.Fuzzy.normalize(col(streamKey)))
         .join(enriched, Seq(s"__graft_akey_$name"), "left_outer")

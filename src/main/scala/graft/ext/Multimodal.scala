@@ -5,10 +5,10 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video payloads ride as opaque
   * `binary` columns with typed metadata, and per-item decode/feature
-  * work runs batched per partition. The Spark-side shape — schema,
-  * partitioning, batch iteration — is real; the actual codec call is a
-  * clearly-marked stub (no image/audio libraries in this build), wired
-  * so a real decoder drops in without touching the plan.
+  * work runs batched per partition. Image decode is REAL — pure-JVM
+  * `javax.imageio` header reads for PNG/JPEG/GIF/BMP (the JDK ships the
+  * codecs; no external library). Audio/video would slot into the same
+  * batch shape with their own codec init.
   *
   * Reference only maps DT_BYTES/DT_IMAGE to a type
   * (Sample dtsx usage; our expr/Compiler.scala handles the cast); this
@@ -19,17 +19,41 @@ object Multimodal {
   /** One media item: id + opaque payload + source-declared metadata. */
   final case class MediaItem(media_id: Long, payload: Array[Byte], mime: String)
 
-  /** Decoded features. Real decoders replace [[decodeStub]]; the schema
-    * and batch shape stay. */
+  /** Decoded features. `ok` = the payload decoded as an image;
+    * non-image payloads keep their byte metadata with (0, 0, false). */
   final case class MediaFeatures(media_id: Long, n_bytes: Long, digest: String,
       width: Int, height: Int, ok: Boolean)
 
-  /** STUB decoder — deterministic fake in place of an image codec.
-    * Derives "dimensions" from the payload hash so tests are stable.
-    * Swap body for e.g. javax.imageio / ffmpeg bindings in production. */
-  def decodeStub(payload: Array[Byte]): (Int, Int, Boolean) = {
-    val h = java.util.Arrays.hashCode(payload)
-    (1 + math.floorMod(h, 1920), 1 + math.floorMod(h >> 8, 1080), payload.nonEmpty)
+  /** Real image decode via `javax.imageio`: reads ONLY the header —
+    * getWidth/getHeight on an ImageReader never decodes pixel data, so
+    * per-item cost is a few hundred bytes of parsing regardless of
+    * image size. Unrecognized payloads → (0, 0, false). */
+  def decodeImage(payload: Array[Byte]): (Int, Int, Boolean) = {
+    if (payload == null || payload.isEmpty) return (0, 0, false)
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) (0, 0, false)
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          (r.getWidth(0), r.getHeight(0), true)
+        } catch { case _: Exception => (0, 0, false) }
+        finally r.dispose()
+      }
+    } finally iis.close()
+  }
+
+  /** Deterministic tiny PNG (solid fill) — fixture generator for tests
+    * and oracle queries; runs executor-side. */
+  def syntheticPng(width: Int, height: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   private def md5Hex(bytes: Array[Byte]): String =
@@ -43,9 +67,10 @@ object Multimodal {
   def extractFeatures(items: Dataset[MediaItem]): Dataset[MediaFeatures] = {
     import items.sparkSession.implicits._
     items.mapPartitions { it =>
-      // per-partition init of the (stub) codec context would go here
+      // per-partition codec init would go here (ImageIO registry is
+      // JVM-global and already warm)
       it.map { m =>
-        val (w, h, ok) = decodeStub(m.payload)
+        val (w, h, ok) = decodeImage(m.payload)
         MediaFeatures(m.media_id, m.payload.length.toLong, md5Hex(m.payload), w, h, ok)
       }
     }

@@ -36,6 +36,14 @@ object Component {
   final case class SourceJson(name: String, path: String,
       options: Map[String, String] = Map.empty,
       schemaDdl: Option[String] = None) extends Component
+  /** REST API / JSON-payload source with a JSONPath-subset filter
+    * (reference: data_engineering_parser.py:566-577,
+    * enhanced_json_mapper.py:134-152 — fetch, filter, frame). `url`
+    * accepts file:// in this zero-egress build; `jsonPath` supports
+    * `$`, `.field`, `[*]`; `schemaDdl` casts result columns by name. */
+  final case class SourceRest(name: String, url: String,
+      jsonPath: String = "$",
+      schemaDdl: Option[String] = None) extends Component
   /** Flat file → one `value` column (reference: component_mapper.py:353). */
   final case class SourceText(name: String, path: String) extends Component
   /** Direct parquet path scan (not via the catalog). */
@@ -133,17 +141,21 @@ object Component {
   final case class MergeSorted(name: String, sortKeys: Seq[String]) extends Component
 
   /** Fuzzy Lookup (reference recognize-only,
-    * data_engineering_parser.py:1204-1207): best approximate match of
+    * data_engineering_parser.py:1204-1207): top approximate matches of
     * `streamKey` against `refTable.refKey` by normalized edit
     * similarity, ties broken by smallest `refIdColumn`. Unmatched rows
     * pass through with nulls. Candidates come from lossless q-gram
     * blocking (graft.ext.Fuzzy), never all-pairs; stream keys are
-    * deduplicated before matching. `copyColumns`: (refCol, alias). */
+    * deduplicated before matching. `copyColumns`: (refCol, alias).
+    * `maxMatches` is SSIS `MaxOutputMatchesPerInput`
+    * (data_engineering_parser.py:1204-1207): N>1 emits up to N rows per
+    * input row, ranked in `simColumn + "_rank"`. */
   final case class FuzzyLookup(name: String, refTable: String,
       streamKey: String, refIdColumn: String, refKey: String,
       copyColumns: Seq[(String, String)] = Nil,
       minSimilarity: Double = 0.8,
-      simColumn: String = "_Similarity") extends Component
+      simColumn: String = "_Similarity",
+      maxMatches: Int = 1) extends Component
 
   /** Fuzzy Grouping (reference recognize-only, :1114): adds
     * `keyOutColumn` = smallest `idColumn` in the row's near-duplicate

@@ -9,9 +9,10 @@ import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
   * MinHash-LSH, SimHash, n-gram Jaccard), similarity search (brute-force
   * and hyperplane-LSH ANN), text analysis (language ID, quality, token
   * counts, fingerprints, term extraction/lookup), and multimodal binary
-  * plumbing. Oracle-checked wherever the math is engine-portable;
-  * hash-based ops (xxhash64 signatures, cosine ranking) are rows-only
-  * entries by design.
+  * plumbing. Oracle-checked wherever the math is engine-portable
+  * (incl. brute-force ANN via 1e-6-rounded cosine ranks); hash-based
+  * ops (xxhash64 signatures, LSH bucketing) are rows-only entries by
+  * design.
   */
 object ExtQueries extends QueryPack {
 
@@ -84,11 +85,21 @@ object ExtQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Brute-force ANN is exact math, so it CAN be oracle-checked: both
+    // sides surface cosine rounded to 1e-6 and rank over (rounded sim,
+    // neighbor_id) — float-sum-order noise between engines lives at
+    // ~1e-15 relative, far under the rounding grid, so display values
+    // and ranks agree deterministically.
     "q27_ann_brute" -> { (s, dir) =>
       val e = embs(s, dir)
-      Similarity.bruteForceTopK(e.filter(col("vec_id") < 20), e,
-          "vec_id", "embedding", k = 5)
-        .select(col("query_id"), col("neighbor_id"), col("cosine_sim"), col("rank"))
+      val topk = Similarity.bruteForceTopK(e.filter(col("vec_id") < 20), e,
+        "vec_id", "embedding", k = 5)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(round(col("cosine_sim"), 6).desc, col("neighbor_id"))
+      topk.select(col("query_id"), col("neighbor_id"),
+          round(col("cosine_sim"), 6).as("cosine_sim"))
+        .withColumn("rank", row_number().over(w))
         .orderBy(col("query_id"), col("rank"))
     },
 
@@ -117,10 +128,29 @@ object ExtQueries extends QueryPack {
         .orderBy(col("ida"), col("idb"))
     },
 
+    // Byte-level metadata over NON-image payloads: text bytes are not a
+    // decodable image, so ok=false and dims are 0 — the honest decode
+    // contract (n_bytes/digest still verified byte-exactly).
     "q29_multimodal_meta" -> { (s, dir) =>
       val items = Multimodal.asMediaItems(docs(s, dir), "doc_id", "text")
       Multimodal.extractFeatures(items).toDF()
-        .select(col("media_id"), col("n_bytes"), col("digest"), col("ok"))
+        .select(col("media_id"), col("n_bytes"), col("digest"),
+          col("width"), col("height"), col("ok"))
+        .orderBy(col("media_id"))
+    },
+
+    // REAL image decode: synthetic PNGs with doc_id-derived dimensions
+    // generated executor-side, decoded by javax.imageio header reads —
+    // the oracle recomputes the dimension formula independently.
+    "q55_image_decode" -> { (s, dir) =>
+      import s.implicits._
+      val items = docs(s, dir).select(col("doc_id").cast("long"))
+        .filter(col("doc_id") < 200).as[Long]
+        .map(id => Multimodal.MediaItem(id,
+          Multimodal.syntheticPng((1 + id % 64).toInt, (1 + id % 48).toInt),
+          "image/png"))
+      Multimodal.extractFeatures(items).toDF()
+        .select(col("media_id"), col("width"), col("height"), col("ok"))
         .orderBy(col("media_id"))
     },
 
@@ -143,7 +173,22 @@ object ExtQueries extends QueryPack {
         |JOIN (SELECT lang, MIN(doc_id) AS doc_id FROM documents GROUP BY lang) k
         |  ON d.doc_id = k.doc_id
         |ORDER BY d.lang""".stripMargin,
-    // q20/q22/q27/q28 are xxhash64/fp-ranking based → rows-only checks.
+    // q20/q22/q28 are xxhash64/LSH based → rows-only checks.
+    "q27_ann_brute" ->
+      """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |    FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.v, c.v) AS cs
+        |  FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id),
+        |top5 AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cs DESC, neighbor_id) AS rn FROM s)
+        |  WHERE rn <= 5)
+        |SELECT query_id, neighbor_id, round(cs, 6) AS cosine_sim,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY round(cs, 6) DESC, neighbor_id) AS INT) AS rank
+        |FROM top5 ORDER BY query_id, rank""".stripMargin,
     "q21_jaccard_block" ->
       """WITH s AS (SELECT doc_id, lang,
         |    list_distinct(string_split(text, ' ')) AS ws FROM documents)
@@ -214,8 +259,14 @@ object ExtQueries extends QueryPack {
       """SELECT doc_id AS media_id,
         |  octet_length(encode(text)) AS n_bytes,
         |  md5(text) AS digest,
-        |  octet_length(encode(text)) > 0 AS ok
+        |  0 AS width, 0 AS height, FALSE AS ok
         |FROM documents ORDER BY media_id""".stripMargin,
+    "q55_image_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(1 + doc_id % 64 AS INT) AS width,
+        |  CAST(1 + doc_id % 48 AS INT) AS height,
+        |  TRUE AS ok
+        |FROM documents WHERE doc_id < 200 ORDER BY media_id""".stripMargin,
     "q30_term_freq" ->
       """SELECT term, COUNT(*) AS term_count FROM (
         |  SELECT unnest(string_split(text, ' ')) AS term FROM documents)

@@ -42,6 +42,27 @@ object FuzzyQueries extends QueryPack {
         .orderBy(col("p_partkey"))
     },
 
+    // MaxOutputMatchesPerInput > 1 (reference parses it at
+    // data_engineering_parser.py:1204-1207): up to 2 ranked matches per
+    // input row; the reference side is deduped on the normalized key
+    // (min partkey per key) exactly as the engine's fuzzy index is.
+    "q54_fuzzy_topn" -> { (s, dir) =>
+      val flow = DataFlow("q54", Seq(
+        SourceTable("src", "part", columns = Seq("p_partkey", "p_name"),
+          filter = Some("p_partkey <= 400")),
+        DerivedColumn("mangle",
+          Seq("sname" -> "SUBSTRING(p_name, 1, LEN(p_name) - 2)")),
+        FuzzyLookup("fl", refTable = "part",
+          streamKey = "sname", refIdColumn = "p_partkey", refKey = "p_name",
+          copyColumns = Seq("p_partkey" -> "matched_partkey"),
+          minSimilarity = 0.8, simColumn = "similarity", maxMatches = 2)),
+        Seq(Path("src", "mangle"), Path("mangle", "fl")))
+      run(s, dir, flow)("fl.out")
+        .select(col("p_partkey"), col("sname"), col("matched_partkey"),
+          col("similarity"), col("similarity_rank"))
+        .orderBy(col("p_partkey"), col("similarity_rank"))
+    },
+
     "q36_fuzzy_group" -> { (s, dir) =>
       val flow = DataFlow("q36", Seq(
         SourceTable("orig", "part", columns = Seq("p_partkey", "p_name")),
@@ -98,6 +119,28 @@ object FuzzyQueries extends QueryPack {
         |  b.bname AS matched_name, b.sim AS similarity
         |FROM stream s LEFT JOIN best b ON lower(trim(s.sname)) = b.akey
         |ORDER BY s.p_partkey""".stripMargin,
+    "q54_fuzzy_topn" ->
+      """WITH stream AS (
+        |  SELECT p_partkey, substr(p_name, 1, length(p_name) - 2) AS sname
+        |  FROM part WHERE p_partkey <= 400),
+        |keys AS (SELECT DISTINCT lower(trim(sname)) AS akey FROM stream),
+        |refk AS (SELECT lower(trim(p_name)) AS bkey, min(p_partkey) AS bid
+        |  FROM part GROUP BY 1),
+        |cand AS (
+        |  SELECT k.akey, r.bid,
+        |    1.0 - levenshtein(k.akey, r.bkey) * 1.0
+        |      / greatest(length(k.akey), length(r.bkey), 1) AS sim
+        |  FROM keys k CROSS JOIN refk r),
+        |top AS (
+        |  SELECT akey, bid, sim, rn FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY akey
+        |        ORDER BY sim DESC, bid) AS rn
+        |    FROM cand WHERE sim >= 0.8)
+        |  WHERE rn <= 2)
+        |SELECT s.p_partkey, s.sname, t.bid AS matched_partkey,
+        |  t.sim AS similarity, CAST(t.rn AS INT) AS similarity_rank
+        |FROM stream s LEFT JOIN top t ON lower(trim(s.sname)) = t.akey
+        |ORDER BY s.p_partkey, similarity_rank""".stripMargin,
     "q36_fuzzy_group" ->
       """WITH RECURSIVE all_rows AS (
         |  SELECT p_partkey, lower(trim(p_name)) AS key FROM part

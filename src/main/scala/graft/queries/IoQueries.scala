@@ -100,6 +100,27 @@ object IoQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // REST/JSON payload source: a nested API-style envelope
+    // {"source": ..., "rows": [...]} staged as a file:// fixture, read
+    // back through SourceRest with a JSONPath filter — the reference's
+    // fetch→JSONPath→frame shape (data_engineering_parser.py:566-577).
+    "q53_rest_source" -> { (s, dir) =>
+      val payload = graft.Tables.load(s, dir, "nation")
+        .agg(to_json(struct(
+          lit("nation-api").as("source"),
+          collect_list(struct(col("n_nationkey"), col("n_name"),
+            col("n_regionkey"))).as("rows"))).as("doc"))
+        .head().getString(0)
+      val f = new java.io.File(tmp("nation_rest/payload.json"))
+      Option(f.getParentFile).foreach(_.mkdirs())
+      java.nio.file.Files.write(f.toPath, payload.getBytes("UTF-8"))
+      run(s, dir, DataFlow("q53r", Seq(
+        SourceRest("src", s"file://${f.getAbsolutePath}", "$.rows[*]",
+          Some("n_nationkey INT, n_name STRING, n_regionkey INT"))),
+        Nil))("src.out")
+        .orderBy(col("n_nationkey"))
+    },
+
     // XML write → XML read via Spark's built-in xml datasource.
     "q40_xml_roundtrip" -> { (s, dir) =>
       val path = tmp("nation_xml")
@@ -128,6 +149,8 @@ object IoQueries extends QueryPack {
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "q46_import_export" ->
       "SELECT doc_id, text AS text2 FROM documents WHERE doc_id < 200 ORDER BY doc_id",
+    "q53_rest_source" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "q40_xml_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
   )

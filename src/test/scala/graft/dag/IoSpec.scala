@@ -113,6 +113,33 @@ class IoSpec extends AnyFunSuite {
       Set((1, 2, 3), (4, 5, 6)))
   }
 
+  test("rest source: JSONPath navigation over a file:// payload") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rest")
+    dir.toFile.deleteOnExit()
+    val nested = dir.resolve("nested.json")
+    java.nio.file.Files.write(nested,
+      """{"meta": {"ok": true}, "data": {"items": [
+        |  {"id": 1, "name": "a"}, {"id": 2, "name": "b"}
+        |]}}""".stripMargin.getBytes("UTF-8"))
+    val df = graft.sources.Rest.read(spark, s"file://$nested",
+      "$.data.items[*]", Some("id INT, name STRING"))
+    assert(df.collect().map(r => (r.getInt(0), r.getString(1))).toSet ==
+      Set((1, "a"), (2, "b")))
+
+    // top-level array: leading [*] is identity over pre-exploded rows
+    val arr = dir.resolve("arr.json")
+    java.nio.file.Files.write(arr,
+      """[{"id": 10}, {"id": 20}]""".getBytes("UTF-8"))
+    val df2 = graft.sources.Rest.read(spark, arr.toString, "$[*]")
+    assert(df2.select("id").collect().map(_.getLong(0)).toSet == Set(10L, 20L))
+
+    // zero-egress build: http URLs must fail loudly, not misread
+    val ex = intercept[RuntimeException] {
+      graft.sources.Rest.read(spark, "http://example.invalid/x.json", "$")
+    }
+    assert(ex.getMessage.contains("zero egress"))
+  }
+
   test("xml round-trip via built-in datasource") {
     val path = tmpDir("xml")
     tricky.createOrReplaceTempView("tricky_src")

@@ -131,20 +131,26 @@ class ExtSpec extends AnyFunSuite {
     assert(bpe == 2 + 2 + 1 + 1)
   }
 
-  test("multimodal decode stub: deterministic features, batch path") {
+  test("multimodal decode: real imageio dims for PNG, honest failure for text") {
+    // real decode path: a synthetic PNG decodes to its exact dimensions
+    val png = Multimodal.syntheticPng(37, 21)
+    assert(Multimodal.decodeImage(png) == ((37, 21, true)))
+    // non-image payloads keep byte metadata, ok=false
     val df = docs((1L, "abc"), (2L, ""))
     val items = Multimodal.asMediaItems(df, "id", "text")
     val feats = Multimodal.extractFeatures(items).collect()
       .map(f => f.media_id -> f).toMap
     assert(feats(1L).n_bytes == 3)
     assert(feats(1L).digest == "900150983cd24fb0d6963f7d28e17f72") // md5("abc")
-    assert(feats(1L).width >= 1 && feats(1L).width <= 1920)
-    assert(feats(1L).height >= 1 && feats(1L).height <= 1080)
-    assert(feats(1L).ok)
+    assert(feats(1L) == Multimodal.MediaFeatures(1L, 3L,
+      "900150983cd24fb0d6963f7d28e17f72", 0, 0, false))
     assert(!feats(2L).ok)
-    // rerun → identical (stub is deterministic)
-    val again = Multimodal.extractFeatures(items).collect()
-      .map(f => f.media_id -> f).toMap
-    assert(again(1L) == feats(1L))
+    // the distributed batch path decodes PNG payloads end-to-end
+    import spark.implicits._
+    val pngFeats = Multimodal.extractFeatures(
+      Seq(Multimodal.MediaItem(7L, Multimodal.syntheticPng(64, 8), "image/png"))
+        .toDS().repartition(2)).collect()
+    assert(pngFeats.head.width == 64 && pngFeats.head.height == 8
+      && pngFeats.head.ok)
   }
 }
