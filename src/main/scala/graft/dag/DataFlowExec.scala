@@ -68,11 +68,13 @@ object PipelineContext {
   /** Context over the session catalog: tables resolve via
     * `spark.table`, sinks write managed tables. Incoming frames are
     * aligned to an existing target's schema (SSIS semantics: unmapped
-    * destination columns get NULL). Appends checkpoint first — a dtsx
-    * flow may append to a table it also reads (the medium fixture
-    * writes its own source), and the checkpoint both breaks that
-    * self-reference and is the single action that fills upstream
-    * RowCount observations. */
+    * destination columns get NULL). A write whose plan READS the table
+    * it writes (the medium fixture appends to its own source) is
+    * checkpointed first to break the self-reference; every other write
+    * runs as one plain saveAsTable — an unconditional checkpoint would
+    * double-materialize EVERY sink. Either way exactly ONE action runs
+    * on the incoming frame, which is what fills upstream RowCount
+    * observations (see the PipelineContext contract above). */
   def overCatalog(spark: SparkSession): PipelineContext =
     new PipelineContext(
       spark,
@@ -90,7 +92,15 @@ object PipelineContext {
           case WriteMode.Append => "append"
           case WriteMode.Overwrite => "overwrite"
         }
-        aligned.localCheckpoint(true).write.mode(m).saveAsTable(name)
+        val selfRef = aligned.queryExecution.analyzed.exists {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.catalogTable.exists(_.identifier.table.equalsIgnoreCase(name))
+          case r: org.apache.spark.sql.catalyst.catalog.HiveTableRelation =>
+            r.tableMeta.identifier.table.equalsIgnoreCase(name)
+          case _ => false
+        }
+        val out = if (selfRef) aligned.localCheckpoint(true) else aligned
+        out.write.mode(m).saveAsTable(name)
       },
       mutable.Map.empty)
 }
@@ -450,10 +460,11 @@ object DataFlowExec {
       }
       Map("out" -> l.join(r, cond, how))
 
-    case MergeSorted(_, sortKeys) =>
+    case MergeSorted(_, sortKeys, sortOutput) =>
       val ins = inputs.getOrElse("in", Nil)
       require(ins.size >= 2, s"${comp.name}: merge needs >=2 inputs")
-      Map("out" -> ins.reduce(_ unionByName _).orderBy(sortKeys.map(col): _*))
+      val u = ins.reduce(_ unionByName _)
+      Map("out" -> (if (sortOutput) u.orderBy(sortKeys.map(col): _*) else u))
 
     case FuzzyLookup(name, refTable, streamKey, refId, refKey, copyCols,
         minSim, simCol, maxMatches) =>

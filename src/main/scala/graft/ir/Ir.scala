@@ -137,8 +137,13 @@ object Component {
       rightSelect: Seq[(String, String)] = Nil) extends Component
 
   /** Merge = union of two sorted inputs preserving order (NOT a join;
-    * reference: data_engineering_parser.py:812-871). */
-  final case class MergeSorted(name: String, sortKeys: Seq[String]) extends Component
+    * reference: data_engineering_parser.py:812-871). `sortOutput=false`
+    * defers the global sort: SSIS Merge's order contract rarely matters
+    * downstream (a consuming join/agg re-shuffles anyway), and a global
+    * orderBy is a range-partition + sort — the single most expensive
+    * thing to do to 100 TB. The keys remain the declared contract. */
+  final case class MergeSorted(name: String, sortKeys: Seq[String],
+      sortOutput: Boolean = true) extends Component
 
   /** Fuzzy Lookup (reference recognize-only,
     * data_engineering_parser.py:1204-1207): top approximate matches of

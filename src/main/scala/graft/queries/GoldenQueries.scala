@@ -105,6 +105,61 @@ object GoldenQueries extends QueryPack {
       Path("cspl", "tr_nodel", fromPort = "NOCHG_DELETED")))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The 100 TB posture of the incremental pattern (SURVEY §7.4(5)):
+    // same final dimension state as q18, but the expensive wide-row
+    // full-outer merge is PREFILTERED by ops.Scale.changedKeys — only
+    // keys whose checksum differs between feed and target shuffle their
+    // full rows; at 1% churn that is a ~100x reduction in shuffled
+    // bytes. The oracle is the SAME final-state SQL as q18's, so this
+    // row certifies prefiltered == unfiltered end-to-end.
+    "q52_golden_incremental" -> { (s, dir) =>
+      import graft.ops.Scale
+      val feedColsQ = feedCols.map(col)
+      val cust = graft.Tables.load(s, dir, "customer").select(feedColsQ: _*)
+      val nat = graft.Tables.load(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      def enrich(df: DataFrame): DataFrame =
+        df.join(nat, df("c_nationkey") === nat("n_nationkey"), "left_outer")
+          .drop("n_nationkey")
+      val feed = enrich(cust.filter(col("c_custkey") > 240))
+        .withColumn("CheckSum", hash(tracked.map(col): _*))
+      val target = enrich(cust.filter(col("c_custkey") <= 1200))
+        .withColumn("c_acctbal", when(col("c_custkey") % 10 === 3,
+          col("c_acctbal") + 5.0).otherwise(col("c_acctbal")))
+        .withColumn("DeletedFlag",
+          when(col("c_custkey") % 10 === 7, 1).otherwise(0))
+        .withColumn("CheckSum", hash(tracked.map(col): _*))
+
+      // narrow (key, checksum) pre-join finds the churn; full rows of
+      // unchanged keys never leave their scan
+      val (feedChanged, targetChanged) = Scale.changedKeys(
+        feed, target, Seq("c_custkey"), col("CheckSum"), col("CheckSum"))
+
+      // churn-only full outer: INSERT / UPDATE / DELETE / NOCHG_DELETED
+      val f2 = feedChanged
+        .select(("c_custkey" +: tracked).map(c => col(c).as(s"f_$c")): _*)
+        .withColumn("__in_feed", lit(true))
+      val t2 = targetChanged.withColumn("__in_tgt", lit(true))
+      val j = f2.join(t2, col("f_c_custkey") <=> col("c_custkey"), "full_outer")
+      val outCols = ("c_custkey" +: tracked) :+ "DeletedFlag"
+      val inserted = j.filter(col("__in_tgt").isNull)
+        .select(col("f_c_custkey").as("c_custkey") +:
+          (tracked.map(c => col(s"f_$c").as(c)) :+ lit(0).as("DeletedFlag")): _*)
+      val updated = j.filter(col("__in_feed").isNotNull && col("__in_tgt").isNotNull)
+        .select(col("c_custkey") +:
+          (tracked.map(c => col(s"f_$c").as(c)) :+ col("DeletedFlag")): _*)
+      val keptDeleted = j.filter(col("__in_feed").isNull &&
+          col("__in_tgt").isNotNull && col("DeletedFlag") === 1)
+        .select(outCols.map(col): _*)
+      val untouched = target
+        .join(targetChanged.select("c_custkey"), Seq("c_custkey"), "left_anti")
+        .select(outCols.map(col): _*)
+
+      untouched.unionByName(updated).unionByName(inserted)
+        .unionByName(keptDeleted)
+        .orderBy(col("c_custkey"))
+    },
+
     "q18_golden_medium" -> { (s, dir) =>
       val ctx = PipelineContext.overDir(s, dir)
       val spec = PipelineSpec("golden",
@@ -136,35 +191,40 @@ object GoldenQueries extends QueryPack {
     }
   )
 
+  private val finalStateSql =
+    """WITH tgt AS (
+      |  SELECT c.c_custkey, c.c_name, c.c_nationkey,
+      |    CASE WHEN c.c_custkey % 10 = 3 THEN c.c_acctbal + 5.0 ELSE c.c_acctbal END AS c_acctbal,
+      |    c.c_mktsegment, n.n_name,
+      |    CASE WHEN c.c_custkey % 10 = 7 THEN 1 ELSE 0 END AS DeletedFlag
+      |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  WHERE c.c_custkey <= 1200),
+      |feed AS (
+      |  SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal,
+      |    c.c_mktsegment, n.n_name
+      |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  WHERE c.c_custkey > 240)
+      |SELECT f.c_custkey, f.c_name, f.c_nationkey, f.c_acctbal,
+      |       f.c_mktsegment, f.n_name, t.DeletedFlag
+      |FROM feed f JOIN tgt t ON f.c_custkey = t.c_custkey
+      |UNION ALL
+      |SELECT f.c_custkey, f.c_name, f.c_nationkey, f.c_acctbal,
+      |       f.c_mktsegment, f.n_name, 0 AS DeletedFlag
+      |FROM feed f WHERE f.c_custkey > 1200
+      |UNION ALL
+      |SELECT t.c_custkey, t.c_name, t.c_nationkey, t.c_acctbal,
+      |       t.c_mktsegment, t.n_name, t.DeletedFlag
+      |FROM tgt t WHERE t.c_custkey <= 240 AND t.c_custkey % 10 = 7
+      |ORDER BY c_custkey""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // q52 must land on the SAME final state as q18 — one oracle text,
+    // two execution strategies (prefiltered vs full merge).
+    "q52_golden_incremental" -> finalStateSql,
     // Final dimension state, derived directly (see query doc): common keys
     // take the feed's tracked values (UPDATE or values already equal) and
     // keep the target's DeletedFlag; keys only in the feed are inserts;
     // keys only in the target survive only if already soft-deleted.
-    "q18_golden_medium" ->
-      """WITH tgt AS (
-        |  SELECT c.c_custkey, c.c_name, c.c_nationkey,
-        |    CASE WHEN c.c_custkey % 10 = 3 THEN c.c_acctbal + 5.0 ELSE c.c_acctbal END AS c_acctbal,
-        |    c.c_mktsegment, n.n_name,
-        |    CASE WHEN c.c_custkey % 10 = 7 THEN 1 ELSE 0 END AS DeletedFlag
-        |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-        |  WHERE c.c_custkey <= 1200),
-        |feed AS (
-        |  SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal,
-        |    c.c_mktsegment, n.n_name
-        |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-        |  WHERE c.c_custkey > 240)
-        |SELECT f.c_custkey, f.c_name, f.c_nationkey, f.c_acctbal,
-        |       f.c_mktsegment, f.n_name, t.DeletedFlag
-        |FROM feed f JOIN tgt t ON f.c_custkey = t.c_custkey
-        |UNION ALL
-        |SELECT f.c_custkey, f.c_name, f.c_nationkey, f.c_acctbal,
-        |       f.c_mktsegment, f.n_name, 0 AS DeletedFlag
-        |FROM feed f WHERE f.c_custkey > 1200
-        |UNION ALL
-        |SELECT t.c_custkey, t.c_name, t.c_nationkey, t.c_acctbal,
-        |       t.c_mktsegment, t.n_name, t.DeletedFlag
-        |FROM tgt t WHERE t.c_custkey <= 240 AND t.c_custkey % 10 = 7
-        |ORDER BY c_custkey""".stripMargin
+    "q18_golden_medium" -> finalStateSql
   )
 }
