@@ -65,8 +65,12 @@ object ControlFlowExec {
 
     for (name <- order) {
       val incoming = spec.edges.filter(_.to == name)
-      // SSIS default: LogicalAnd — every incoming constraint must hold
-      val runnable = incoming.forall(edgeSatisfied)
+      // SSIS default: LogicalAnd — every incoming constraint must hold;
+      // any edge with LogicalAnd=False switches the task to OR-across-
+      // edges (one satisfied constraint suffices)
+      val runnable =
+        if (incoming.exists(!_.logicalAnd)) incoming.exists(edgeSatisfied)
+        else incoming.forall(edgeSatisfied)
       statuses(name) =
         if (!runnable) Skipped
         else Try(runTask(byName(name), ctx, statuses)) match {

@@ -178,6 +178,7 @@ object DataFlowExec {
         case c: Destination => c.name
         case c: FileDestination => c.name
         case c: ExcelDestination => c.name
+        case c: JdbcDestination => c.name
         case c: StagedCommand => c.name
         case c: ExportColumn => c.name
       }.toSet
@@ -238,6 +239,10 @@ object DataFlowExec {
 
     case SourceRest(_, url, jsonPath, schemaDdl) =>
       Map("out" -> graft.sources.Rest.read(ctx.spark, url, jsonPath, schemaDdl))
+
+    case SourceJdbc(_, conn, dbtable, partitioning, fetchSize) =>
+      Map("out" -> graft.sources.Jdbc.read(ctx.spark, conn, dbtable,
+        partitioning, fetchSize))
 
     case SourceText(_, path) =>
       Map("out" -> ctx.spark.read.text(path))
@@ -522,6 +527,9 @@ object DataFlowExec {
       Map("out" -> matched.groupBy(col(idCol), col("term"))
         .agg(count(lit(1)).as("term_freq")))
 
+    case ScriptComponent(_, transform) =>
+      Map("out" -> transform(single(inputs, comp)))
+
     case ConditionalSplit(_, cases, defaultOut) =>
       val df = single(inputs, comp)
       // first-match-wins: label each row once via a when-cascade, then
@@ -628,6 +636,10 @@ object DataFlowExec {
 
     case ExcelDestination(_, path, sheetName) =>
       graft.sources.Excel.write(single(inputs, comp), path, sheetName)
+      Map.empty
+
+    case JdbcDestination(_, conn, dbtable, mode, batchSize) =>
+      graft.sources.Jdbc.write(single(inputs, comp), conn, dbtable, mode, batchSize)
       Map.empty
 
     case TrashDestination(name, countInto) =>

@@ -116,7 +116,9 @@ object Dtsx {
           and = statusCond, orMode = true)
       case _ => statusCond
     }
-    PrecedenceEdge(from, to, cond)
+    // LogicalAnd=False → OR across the target task's incoming edges
+    val logicalAnd = !attr(c, "LogicalAnd").map(_.toLowerCase).contains("false")
+    PrecedenceEdge(from, to, cond, logicalAnd)
   }
 
   private def parseExecutable(e: Node): CfTask = {

@@ -44,6 +44,14 @@ object Component {
   final case class SourceRest(name: String, url: String,
       jsonPath: String = "$",
       schemaDdl: Option[String] = None) extends Component
+  /** JDBC source (reference: enhanced_json_mapper.py:1611-1713):
+    * partitioned range read over a connection-manager config. The
+    * sandbox ships no driver jar — the option shape and wiring are
+    * tested; see graft.sources.Jdbc. */
+  final case class SourceJdbc(name: String,
+      conn: graft.sources.Jdbc.ConnectionDef, dbtable: String,
+      partitioning: Option[graft.sources.Jdbc.JdbcPartitioning] = None,
+      fetchSize: Int = 10000) extends Component
   /** Flat file → one `value` column (reference: component_mapper.py:353). */
   final case class SourceText(name: String, path: String) extends Component
   /** Direct parquet path scan (not via the catalog). */
@@ -184,6 +192,17 @@ object Component {
       textColumn: String, terms: Seq[String] = Nil,
       refTable: String = "", termColumn: String = "") extends Component
 
+  /** Script Component escape hatch (SURVEY §2.9: SSIS script bodies are
+    * NOT auto-translatable — the reference also only recognizes them,
+    * data_engineering_parser.py:1242-1245). A migration supplies the
+    * hand-ported logic as a Scala function over the input frame; the
+    * DAG wiring, ports, and scheduling stay declarative. The function
+    * must be a pure frame transformation (no driver-side actions) so
+    * the component composes like any other. */
+  final case class ScriptComponent(name: String,
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+    extends Component
+
   // ---- routing & set ops (§2.5) ----
   /** Order-sensitive multi-way router. TRUE SSIS semantics: first match
     * wins — output k receives rows matching cond_k and none of
@@ -245,6 +264,14 @@ object Component {
   final case class StagedCommand(name: String, table: String,
       columns: Seq[String] = Nil) extends Component
 
+  /** JDBC sink (reference: enhanced_json_mapper.py:2076-2138): batched
+    * inserts through a connection-manager config; see graft.sources.Jdbc
+    * for the no-driver-jar caveat and the staging-table guidance. */
+  final case class JdbcDestination(name: String,
+      conn: graft.sources.Jdbc.ConnectionDef, dbtable: String,
+      mode: WriteMode = WriteMode.Append,
+      batchSize: Int = 10000) extends Component
+
   /** Excel .xlsx sink via the native OOXML writer (reference writes
     * Excel, enhanced_json_mapper.py:2042-2138). Driver-side by design:
     * the format's grid caps at ~1M rows. */
@@ -304,8 +331,12 @@ object EdgeCondition {
       orMode: Boolean = false) extends EdgeCondition
 }
 
+/** `logicalAnd=false` is SSIS LogicalAnd=False: when ANY incoming edge
+  * of a task carries it, ONE satisfied incoming constraint suffices
+  * (OR across edges) instead of all (the SSIS default). */
 final case class PrecedenceEdge(from: String, to: String,
-    condition: EdgeCondition = EdgeCondition.OnSuccess)
+    condition: EdgeCondition = EdgeCondition.OnSuccess,
+    logicalAnd: Boolean = true)
 
 final case class PipelineSpec(name: String, tasks: Seq[CfTask],
     edges: Seq[PrecedenceEdge],

@@ -183,6 +183,40 @@ class DagSpec extends AnyFunSuite {
     assert(res.statuses("orFalse") == ControlFlowExec.Skipped)
   }
 
+  test("ScriptComponent escape hatch: hand-ported lambda composes in the DAG") {
+    val flow = DataFlow("f", Seq(
+      SourceTable("src", "people"),
+      ScriptComponent("script", df =>
+        df.withColumn("xx", df("x") * 2).filter(df("x") > 10)),
+      ConditionalSplit("split", Seq("hi" -> "xx > 79"), "rest")),
+      Seq(Path("src", "script"), Path("script", "split")))
+    val out = DataFlowExec.run(flow, ctx(Map("people" -> people)))
+    // x>10 keeps ids 2,3,4 (xx = 50, 80, 110); xx>79 routes 3 and 4
+    assert(out("split.hi").select("id").collect().map(_.getInt(0)).sorted.toSeq == Seq(3, 4))
+    assert(out("split.rest").select("id").collect().map(_.getInt(0)).toSeq == Seq(2))
+  }
+
+  test("LogicalAnd=false: one satisfied incoming edge suffices (OR across edges)") {
+    val c = ctx(Map("people" -> people))
+    val spec = PipelineSpec("p",
+      tasks = Seq(
+        SqlTask("ok", "SELECT 1"),
+        SqlTask("bad", "SELECT * FROM nonexistent_table_xyz"),
+        SqlTask("orTask", "SELECT 7", resultInto = Some("User::Or")),
+        SqlTask("andTask", "SELECT 8", resultInto = Some("User::And"))),
+      edges = Seq(
+        // OR: bad's OnSuccess edge fails, ok's holds → runs
+        PrecedenceEdge("ok", "orTask", logicalAnd = false),
+        PrecedenceEdge("bad", "orTask", logicalAnd = false),
+        // AND (default): same pair of edges → skipped
+        PrecedenceEdge("ok", "andTask"),
+        PrecedenceEdge("bad", "andTask")))
+    val res = ControlFlowExec.run(spec, c)
+    assert(res.variables("User::Or") == 7)
+    assert(!res.variables.contains("User::And"))
+    assert(res.statuses("andTask") == ControlFlowExec.Skipped)
+  }
+
   test("ForEach binds loop variable per iteration; data flows through DataFlowTask") {
     val c = ctx(Map("people" -> people))
     val flow = DataFlow("body", Seq(

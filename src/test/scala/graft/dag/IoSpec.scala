@@ -211,6 +211,36 @@ class IoSpec extends AnyFunSuite {
     assert(err.forall(_._3))
   }
 
+  test("jdbc option shape: partitioned read and batched write configs") {
+    import graft.sources.Jdbc
+    val conn = Jdbc.ConnectionDef("jdbc:postgresql://host/db",
+      "org.postgresql.Driver", Some("u"), Some("p"),
+      props = Map("ssl" -> "true"))
+    val ro = Jdbc.readOptions(conn, "public.orders",
+      Some(Jdbc.JdbcPartitioning("o_orderkey", 0L, 6000000L, 64)),
+      fetchSize = 5000)
+    assert(ro("url") == "jdbc:postgresql://host/db")
+    assert(ro("driver") == "org.postgresql.Driver")
+    assert(ro("dbtable") == "public.orders")
+    assert(ro("fetchsize") == "5000")
+    assert(ro("partitionColumn") == "o_orderkey")
+    assert(ro("lowerBound") == "0" && ro("upperBound") == "6000000")
+    assert(ro("numPartitions") == "64")
+    assert(ro("user") == "u" && ro("password") == "p" && ro("ssl") == "true")
+    val wo = Jdbc.writeOptions(conn, "stage.orders", batchSize = 20000)
+    assert(wo("batchsize") == "20000" && wo("isolationLevel") == "NONE")
+    // wiring is live up to the driver lookup (no jar in this sandbox):
+    // the failure names the missing driver class, not a graft error
+    val ex = intercept[Throwable] {
+      DataFlowExec.run(DataFlow("j", Seq(
+        SourceJdbc("src", conn, "public.orders")), Nil), ctx)("src.out")
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(ex).exists(_.getMessage != null) &&
+      chain(ex).map(_.toString).mkString.contains("postgresql"))
+  }
+
   test("parquet append mode accumulates") {
     val path = tmpDir("pqapp")
     tricky.createOrReplaceTempView("tricky_src")
