@@ -88,21 +88,34 @@ object Dedup {
     *
     * Scale shape: the exploded band table is (id, band, key) — 20 bytes
     * a row — and the candidate join shuffles on (band, key). Skewed
-    * buckets (a degenerate shingle shared by everything) are the one
-    * hazard; cap bucket width upstream if the corpus has boilerplate.
-    */
+    * buckets (a degenerate band key shared by boilerplate-heavy docs)
+    * are the one hazard: a bucket of width w contributes w²/2 candidate
+    * pairs, so ONE boilerplate bucket can turn the join quadratic.
+    * `maxBucket` drops buckets wider than the cap — LSH recall is
+    * already probabilistic across `bands` independent bands, so a
+    * dropped bucket only removes one of a pair's several chances to
+    * collide, and the exact-Jaccard verify step is untouched. Set 0 to
+    * disable. */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucket: Int = 10000): DataFrame = {
     val withSets = df.select(col(idCol).as("id"),
         shingles(col(textCol), k).as("sh"))
       .filter(size(col("sh")) > 0)
     val sets = eagerCache(withSets)
-    val banded = sets
+    val allBanded = sets
       .select(col("id"),
         explode(lshBandKeys(minhashSignature(col("sh"), numHashes), bands,
           numHashes / bands)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    // bucket-width cap via a window over the SAME (band, key) keys the
+    // join shuffles on — one partitioning, no extra join
+    val banded =
+      if (maxBucket <= 0) allBanded
+      else allBanded
+        .withColumn("__w",
+          count(lit(1)).over(Window.partitionBy("band", "key")))
+        .filter(col("__w") <= maxBucket).drop("__w")
     val l = banded.alias("l")
     val r = banded.alias("r")
     val candidates = l.join(r,
@@ -122,8 +135,9 @@ object Dedup {
     * smaller id (the canonical survivor is the earliest). */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
-    val dupIds = minhashNearDupPairs(df, idCol, textCol, k, numHashes, bands, threshold)
+      threshold: Double = 0.5, maxBucket: Int = 10000): DataFrame = {
+    val dupIds = minhashNearDupPairs(df, idCol, textCol, k, numHashes, bands,
+        threshold, maxBucket)
       .select(col("idb").as(idCol)).distinct()
     df.join(dupIds, Seq(idCol), "left_anti")
   }

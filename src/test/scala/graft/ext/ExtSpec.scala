@@ -33,6 +33,28 @@ class ExtSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(10L, 12L))
   }
 
+  test("minhash bucket cap drops degenerate buckets, keeps narrow ones") {
+    // 20 identical boilerplate docs: every band bucket they form has
+    // width 20; one near-dup pair forms width-2 buckets
+    val boiler = (100L until 120L).map(i =>
+      i -> "the same boilerplate text repeated in every single document here")
+    val pair = Seq(
+      1L -> "a genuinely unique document about spark executors and shuffles",
+      2L -> "a genuinely unique document about spark executors and shuffle")
+    val df = docs(boiler ++ pair: _*)
+    def pairs(cap: Int) =
+      Dedup.minhashNearDupPairs(df, "id", "text", k = 3, numHashes = 64,
+          bands = 16, threshold = 0.5, maxBucket = cap)
+        .select("ida", "idb").as[(Long, Long)].collect().toSet
+    val uncapped = pairs(0)
+    assert(uncapped.contains((1L, 2L)))
+    assert(uncapped.exists(p => p._1 >= 100L)) // boilerplate clique found
+    val capped = pairs(5)
+    // width-20 buckets dropped → clique pairs gone (documented recall
+    // trade); the narrow-bucket pair survives
+    assert(capped == Set((1L, 2L)))
+  }
+
   test("jaccard and shingles") {
     val df = docs((1L, "a b c d"), (2L, "a b c e"))
     val sets = df.select(Dedup.shingles(col("text"), 2).as("sh"))
