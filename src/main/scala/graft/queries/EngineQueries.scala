@@ -27,6 +27,50 @@ object EngineQueries extends QueryPack {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Cache Transform feeding a Lookup over the cached view (SSIS cache
+    // connection manager pattern) — the ordering edge into the Lookup's
+    // "cache" port is the data-less dependency the topo sort needs.
+    "q56_cache_lookup" -> { (s, dir) =>
+      val flow = DataFlow("q56", Seq(
+        SourceTable("ref", "nation"),
+        CacheTransform("ct", cacheName = "q56_nation_cache"),
+        TrashDestination("tr"),
+        SourceTable("stream", "customer",
+          columns = Seq("c_custkey", "c_nationkey"),
+          filter = Some("c_custkey <= 2000")),
+        Lookup("lk", refTable = "",
+          joinKeys = Seq("c_nationkey" -> "n_nationkey"),
+          copyColumns = Seq("n_name" -> "n_name"),
+          refSql = Some("SELECT * FROM q56_nation_cache"))),
+        Seq(Path("ref", "ct"), Path("ct", "tr"),
+          Path("ct", "lk", toPort = "cache"), Path("stream", "lk")))
+      run(s, dir, flow)("lk.out").orderBy(col("c_custkey"))
+    },
+
+    // ForLoop container driving a DataFlow per iteration: the loop
+    // variable reaches the flow through expression compilation, appends
+    // accumulate across iterations (container + variable plumbing under
+    // the oracle gate, not just unit tests).
+    "q57_forloop_append" -> { (s, dir) =>
+      import graft.ir.CfTask._
+      import graft.dag.ControlFlowExec
+      s.catalog.dropTempView("q57_sink")
+      val body = DataFlow("body", Seq(
+        SourceTable("src", "nation",
+          filter = Some("n_nationkey == @[User::I]")),
+        Destination("dst", "q57_sink", WriteMode.Append)),
+        Seq(Path("src", "dst")))
+      val spec = PipelineSpec("q57", tasks = Seq(
+        ForLoop("loop", "User::I", init = Some("0"),
+          whileExpr = "@[User::I] < 5", assign = Some("@[User::I] + 1"),
+          body = Seq(DataFlowTask("dft", body)))),
+        edges = Nil)
+      val res = ControlFlowExec.run(spec,
+        PipelineContext.overDir(s, dir))
+      require(res.succeeded("loop"), s"loop failed: ${res.statuses("loop")}")
+      s.table("q57_sink").orderBy(col("n_nationkey"))
+    },
+
     // ConditionalSplit: a row with o_totalprice > 200000 also satisfies
     // "> 100000" — first-match-wins must route it ONLY to 'big'.
     "q9_split" -> { (s, dir) =>
@@ -167,6 +211,14 @@ object EngineQueries extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q56_cache_lookup" ->
+      """SELECT c.c_custkey, c.c_nationkey, n.n_name
+        |FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE c.c_custkey <= 2000
+        |ORDER BY c.c_custkey""".stripMargin,
+    "q57_forloop_append" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_nationkey < 5 ORDER BY n_nationkey""".stripMargin,
     "q9_split" ->
       """SELECT o_orderkey, o_totalprice,
         |  CASE WHEN o_totalprice > 200000 THEN 'big'
