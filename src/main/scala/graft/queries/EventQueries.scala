@@ -44,6 +44,15 @@ object EventQueries extends QueryPack {
           get_json_object(col("props"), "$.k").cast("int").as("k"))
         .filter(col("k") > 50)
         .orderBy(col("event_id"))
+    },
+
+    // Custom keyed state (mapGroupsWithState) under the oracle gate: in
+    // batch mode each group passes through the state function once, so
+    // the running totals equal the plain aggregate — the same
+    // definition streams with per-micro-batch updates (StreamingSpec).
+    "q58_user_totals" -> { (s, dir) =>
+      Streams.runningUserTotals(events(s, dir)).toDF()
+        .orderBy(col("user_id"))
     }
   )
 
@@ -71,6 +80,10 @@ object EventQueries extends QueryPack {
     "q43_json_props" ->
       """SELECT event_id, CAST(props->>'$.k' AS INT) AS k FROM events
         |WHERE CAST(props->>'$.k' AS INT) > 50
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+    "q58_user_totals" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -62,9 +62,11 @@ object Streams {
       .mapGroupsWithState[UserTotal, UserTotal](GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[(Long, Long)], state: GroupState[UserTotal]) =>
           val prev = state.getOption.getOrElse(UserTotal(user, 0L, 0L))
-          val batch = rows.toSeq
-          val next = UserTotal(user, prev.n_events + batch.size,
-            prev.total_cents + batch.map(_._2).sum)
+          // stream the iterator — materializing a group (rows.toSeq)
+          // would hold one user's whole batch in memory at once
+          var n = 0L; var cents = 0L
+          rows.foreach { r => n += 1; cents += r._2 }
+          val next = UserTotal(user, prev.n_events + n, prev.total_cents + cents)
           state.update(next)
           next
       }
