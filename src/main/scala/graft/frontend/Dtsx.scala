@@ -183,6 +183,7 @@ object Dtsx {
       val (toComp, toPortRaw) = splitPortRef(attr(pn, "endId").get, "Inputs")
       val fromPort = classOf.get(fromComp) match {
         case Some("Microsoft.ConditionalSplit") => fromPortRaw
+        case Some("Microsoft.Multicast") => fromPortRaw
         case Some("Microsoft.Lookup")
           if fromPortRaw.toLowerCase.contains("no match") => "nomatch"
         case _ => "out"
@@ -232,6 +233,38 @@ object Dtsx {
     val ps = props(col)
     ps.get("FriendlyExpression").orElse(ps.get("Expression"))
   }
+
+  /** dtsx column @dataType short name → DT_* literal for the expression
+    * compiler's type lattice (the serialized names are the DTS type
+    * enum's wire form: i4, r8, str, wstr, numeric, dbDate, ...). */
+  private def dtNameOf(comp: String, col: String, dataType: String,
+      precision: Option[String], scale: Option[String],
+      length: Option[String], codePage: Option[String]): String =
+    dataType match {
+      case "i1" => "DT_I1"
+      case "i2" => "DT_I2"
+      case "i4" => "DT_I4"
+      case "i8" => "DT_I8"
+      case "ui1" => "DT_UI1"
+      case "ui2" => "DT_UI2"
+      case "ui4" => "DT_UI4"
+      case "ui8" => "DT_UI8"
+      case "r4" => "DT_R4"
+      case "r8" => "DT_R8"
+      case "bool" => "DT_BOOL"
+      case "cy" => "DT_CY"
+      case "guid" => "DT_GUID"
+      case "numeric" | "decimal" =>
+        s"DT_NUMERIC(${precision.getOrElse("18")},${scale.getOrElse("0")})"
+      case "str" =>
+        s"DT_STR(${length.getOrElse("255")},${codePage.getOrElse("1252")})"
+      case "wstr" => s"DT_WSTR(${length.getOrElse("255")})"
+      case "bytes" | "image" => "DT_BYTES"
+      case "dbDate" => "DT_DBDATE"
+      case "dbTimeStamp" | "dbTimeStamp2" => "DT_DBTIMESTAMP"
+      case other =>
+        sys.error(s"dtsx DataConvert $comp: unsupported dataType '$other' for $col")
+    }
 
   private def parseComponent(c: Node): Component = {
     val name = attr(c, "name").get
@@ -347,6 +380,65 @@ object Dtsx {
           } yield (ord, attr(o, "name").get, ex)
         }.sortBy(_._1).map(t => (t._2, t._3))
         ConditionalSplit(name, cases, default)
+
+      case "Microsoft.Multicast" =>
+        // outputs are the declared (non-error) output port names; paths
+        // reference them verbatim, so the IR must carry the same names
+        val outs = (c \ "outputs" \ "output")
+          .filterNot(o => attr(o, "isErrorOut").contains("true"))
+          .flatMap(attr(_, "name"))
+        Multicast(name, outs)
+
+      case "Microsoft.UnionAll" =>
+        UnionAll(name)
+
+      case "Microsoft.Merge" =>
+        // sorted union: keys = first input's sort-key columns in order
+        val firstIn = (c \ "inputs" \ "input").headOption
+          .getOrElse(sys.error(s"dtsx Merge $name: no inputs"))
+        val keys = (firstIn \ "inputColumns" \ "inputColumn").flatMap { ic =>
+          attr(ic, "cachedSortKeyPosition").map(_.toInt).filter(_ > 0)
+            .map(p => (p, attr(ic, "cachedName").get))
+        }.sortBy(_._1).map(_._2)
+        MergeSorted(name, keys)
+
+      case "Microsoft.DataConvert" =>
+        // each non-error outputColumn: target DT type from its
+        // dataType/precision/scale/length/codePage attrs; source column
+        // from the SourceInputColumnLineageId ref's Columns[X] tail
+        val casts = outputCols(c).map { oc =>
+          val out = attr(oc, "name").get
+          val src = props(oc).get("SourceInputColumnLineageId")
+            .orElse(props(oc).get("SourceInputColumnLineageID"))
+            .flatMap { ref =>
+              val i = ref.lastIndexOf("Columns[")
+              if (i < 0) None
+              else Some(ref.substring(i + 8, ref.indexOf(']', i + 8)))
+            }
+            .getOrElse(sys.error(
+              s"dtsx DataConvert $name: no source lineage for $out"))
+          val dt = dtNameOf(name, out, attr(oc, "dataType").getOrElse(""),
+            attr(oc, "precision"), attr(oc, "scale"), attr(oc, "length"),
+            attr(oc, "codePage"))
+          (src, dt, out)
+        }
+        DataConversion(name, casts)
+
+      case "Microsoft.ManagedComponentHost" =>
+        // managed components dispatch on UserComponentTypeName — same
+        // name-based routing as the reference
+        // (data_engineering_parser.py:657-676)
+        val utn = pr.getOrElse("UserComponentTypeName", "")
+        if (utn.contains("TrashDestination"))
+          TrashDestination(name, countInto = pr.get("VariableName"))
+        else if (utn.contains("RowCount"))
+          RowCount(name, pr.getOrElse("VariableName",
+            sys.error(s"dtsx RowCount $name: no VariableName")))
+        else if (utn.contains("Checksum"))
+          Checksum(name, inputCols(c).flatMap(attr(_, "cachedName")),
+            outputCols(c).flatMap(attr(_, "name")).headOption
+              .getOrElse("CheckSum"))
+        else sys.error(s"dtsx: unsupported managed component $utn ($name)")
 
       case "Microsoft.OLEDBCommand" =>
         // per-row proc/DML → set-based staging (see object scaladoc);

@@ -135,6 +135,131 @@ class DtsxSpec extends AnyFunSuite {
     assert(spark.table("nomatch_t").select("k").collect().map(_.getInt(0)).toSeq == Seq(2))
   }
 
+  test("synthetic package: Merge, Multicast, UnionAll, DataConvert, managed RowCount/Trash") {
+    val xml =
+      <DTS:Executable xmlns:DTS="www.microsoft.com/SqlServer/Dts" DTS:ObjectName="wide">
+        <DTS:Executables>
+          <DTS:Executable DTS:ObjectName="DFT" DTS:ExecutableType="Microsoft.Pipeline">
+            <DTS:ObjectData>
+              <pipeline>
+                <components>
+                  <component componentClassID="Microsoft.OLEDBSource" name="SRC1">
+                    <properties>
+                      <property name="SqlCommand">SELECT k, v FROM mc_src WHERE k &lt;= 2</property>
+                      <property name="AccessMode">2</property>
+                    </properties>
+                    <outputs>
+                      <output name="Out">
+                        <outputColumns>
+                          <outputColumn name="k"/>
+                          <outputColumn name="v"/>
+                        </outputColumns>
+                      </output>
+                    </outputs>
+                  </component>
+                  <component componentClassID="Microsoft.OLEDBSource" name="SRC2">
+                    <properties>
+                      <property name="SqlCommand">SELECT k, v FROM mc_src WHERE k &gt;= 3</property>
+                      <property name="AccessMode">2</property>
+                    </properties>
+                    <outputs>
+                      <output name="Out">
+                        <outputColumns>
+                          <outputColumn name="k"/>
+                          <outputColumn name="v"/>
+                        </outputColumns>
+                      </output>
+                    </outputs>
+                  </component>
+                  <component componentClassID="Microsoft.Merge" name="MRG">
+                    <inputs>
+                      <input name="Merge Input 1">
+                        <inputColumns>
+                          <inputColumn cachedName="k" cachedSortKeyPosition="1"/>
+                          <inputColumn cachedName="v"/>
+                        </inputColumns>
+                      </input>
+                      <input name="Merge Input 2">
+                        <inputColumns>
+                          <inputColumn cachedName="k" cachedSortKeyPosition="1"/>
+                          <inputColumn cachedName="v"/>
+                        </inputColumns>
+                      </input>
+                    </inputs>
+                  </component>
+                  <component componentClassID="Microsoft.Multicast" name="MC">
+                    <outputs>
+                      <output name="Multicast Output 1"/>
+                      <output name="Multicast Output 2"/>
+                    </outputs>
+                  </component>
+                  <component componentClassID="Microsoft.DataConvert" name="DC">
+                    <outputs>
+                      <output name="Data Conversion Output">
+                        <outputColumns>
+                          <outputColumn name="k_str" dataType="str" length="10" codePage="1252">
+                            <properties>
+                              <property name="SourceInputColumnLineageId">#{{P\DFT\MRG.Outputs[Merge Output].Columns[k]}}</property>
+                            </properties>
+                          </outputColumn>
+                        </outputColumns>
+                      </output>
+                      <output name="Err" isErrorOut="true">
+                        <outputColumns>
+                          <outputColumn name="ErrorCode"/>
+                        </outputColumns>
+                      </output>
+                    </outputs>
+                  </component>
+                  <component componentClassID="Microsoft.OLEDBDestination" name="DST_A">
+                    <properties>
+                      <property name="OpenRowset">conv_t</property>
+                      <property name="AccessMode">3</property>
+                    </properties>
+                  </component>
+                  <component componentClassID="Microsoft.ManagedComponentHost" name="RC">
+                    <properties>
+                      <property name="UserComponentTypeName">Acme.Pipeline.RowCountTask, Acme</property>
+                      <property name="VariableName">User::MCount</property>
+                    </properties>
+                  </component>
+                  <component componentClassID="Microsoft.UnionAll" name="UA"/>
+                  <component componentClassID="Microsoft.ManagedComponentHost" name="TRASH">
+                    <properties>
+                      <property name="UserComponentTypeName">Acme.Pipeline.TrashDestination, Acme</property>
+                    </properties>
+                  </component>
+                </components>
+                <paths>
+                  <path startId="P\DFT\SRC1.Outputs[Out]" endId="P\DFT\MRG.Inputs[Merge Input 1]"/>
+                  <path startId="P\DFT\SRC2.Outputs[Out]" endId="P\DFT\MRG.Inputs[Merge Input 2]"/>
+                  <path startId="P\DFT\MRG.Outputs[Merge Output]" endId="P\DFT\MC.Inputs[Multicast Input 1]"/>
+                  <path startId="P\DFT\MC.Outputs[Multicast Output 1]" endId="P\DFT\DC.Inputs[Data Conversion Input]"/>
+                  <path startId="P\DFT\DC.Outputs[Data Conversion Output]" endId="P\DFT\DST_A.Inputs[In]"/>
+                  <path startId="P\DFT\MC.Outputs[Multicast Output 2]" endId="P\DFT\RC.Inputs[Row Count Input 1]"/>
+                  <path startId="P\DFT\RC.Outputs[Row Count Output 1]" endId="P\DFT\UA.Inputs[Union All Input 1]"/>
+                  <path startId="P\DFT\UA.Outputs[Union All Output 1]" endId="P\DFT\TRASH.Inputs[Trash Input]"/>
+                </paths>
+              </pipeline>
+            </DTS:ObjectData>
+          </DTS:Executable>
+        </DTS:Executables>
+      </DTS:Executable>
+    sql(
+      "DROP TABLE IF EXISTS mc_src", "DROP TABLE IF EXISTS conv_t",
+      "CREATE TABLE mc_src (k INT, v STRING) USING parquet",
+      "INSERT INTO mc_src VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd')",
+      "CREATE TABLE conv_t (k INT, v STRING, k_str STRING) USING parquet")
+    val res = ControlFlowExec.run(Dtsx.parse(xml),
+      PipelineContext.overCatalog(spark))
+    assert(res.statuses.values.forall(_ == ControlFlowExec.Succeeded), res.statuses)
+    val conv = spark.table("conv_t").collect()
+      .map(r => (r.getInt(0), r.getString(2))).toSet
+    assert(conv == Set((1, "1"), (2, "2"), (3, "3"), (4, "4")))
+    // the managed RowCount's only downstream is a trash — count fallback
+    assert(res.variables("User::MCount") == 4L)
+  }
+
   test("synthetic containers: FORLOOP and FOREACHLOOP parse and execute") {
     val xml =
       <DTS:Executable xmlns:DTS="www.microsoft.com/SqlServer/Dts" DTS:ObjectName="loops">
