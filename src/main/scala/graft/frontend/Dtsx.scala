@@ -68,13 +68,64 @@ object Dtsx {
   private def cleanTable(t: String): String =
     translateSql(t).split('.').last.trim
 
+  // ---------- connection managers ----------
+
+  /** Connection-manager metadata: creation name (FLATFILE/EXCEL/OLEDB),
+    * connection string, the inner element's attributes, and flat-file
+    * column specs (reference resolves component connections the same
+    * way, data_engineering_parser.py connections pass). */
+  private final case class ConnDef(creationName: String,
+      connectionString: String, attrs: Map[String, String],
+      columns: Seq[FlatCol])
+  private final case class FlatCol(name: String, delimiter: String)
+
+  /** Decode dtsx `_xHHHH_` character escapes (`_x002C_` → ','). */
+  private[frontend] def decodeDtsChars(s: String): String =
+    "_x([0-9A-Fa-f]{4})_".r.replaceAllIn(s, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        Integer.parseInt(m.group(1), 16).toChar.toString))
+
+  private def parseConnections(root: Elem): Map[String, ConnDef] =
+    (root \ "ConnectionManagers" \ "ConnectionManager").flatMap { cm =>
+      attr(cm, "ObjectName").map { name =>
+        val inner = (cm \ "ObjectData" \ "ConnectionManager").headOption
+        val attrsMap = inner.map(_.attributes.iterator.collect {
+          case a: Attribute => a.key -> a.value.text
+        }.toMap).getOrElse(Map.empty)
+        val cols = inner.toSeq
+          .flatMap(i => i \ "FlatFileColumns" \ "FlatFileColumn")
+          .map(fc => FlatCol(attr(fc, "ObjectName").getOrElse(""),
+            decodeDtsChars(attr(fc, "ColumnDelimiter").getOrElse(","))))
+        name -> ConnDef(attr(cm, "CreationName").getOrElse(""),
+          inner.flatMap(attr(_, "ConnectionString")).getOrElse(""),
+          attrsMap, cols)
+      }
+    }.toMap
+
+  /** The connection manager a component references, by the `[name]`
+    * tail of its connectionManagerID/RefId. */
+  private def connOf(c: Node, conns: Map[String, ConnDef],
+      comp: String): ConnDef = {
+    val ref = (c \ "connections" \ "connection").headOption
+      .flatMap(cn => attr(cn, "connectionManagerRefId")
+        .orElse(attr(cn, "connectionManagerID")))
+      .getOrElse(sys.error(s"dtsx $comp: no connection reference"))
+    val i = ref.lastIndexOf('[')
+    val name = if (i >= 0 && ref.endsWith("]"))
+      ref.substring(i + 1, ref.length - 1) else ref
+    conns.getOrElse(name,
+      sys.error(s"dtsx $comp: unknown connection manager '$name'"))
+  }
+
   // ---------- package level ----------
 
   def parseFile(path: String): PipelineSpec = parse(XML.loadFile(path))
 
   def parse(root: Elem): PipelineSpec = {
     val name = attr(root, "ObjectName").getOrElse("package")
-    val tasks = (root \ "Executables" \ "Executable").map(parseExecutable)
+    val conns = parseConnections(root)
+    val tasks = (root \ "Executables" \ "Executable")
+      .map(parseExecutable(_, conns))
     val edges = (root \ "PrecedenceConstraints" \ "PrecedenceConstraint")
       .map(parseConstraint)
     val vars = (root \\ "Variables" \ "Variable").map { v =>
@@ -121,7 +172,7 @@ object Dtsx {
     PrecedenceEdge(from, to, cond, logicalAnd)
   }
 
-  private def parseExecutable(e: Node): CfTask = {
+  private def parseExecutable(e: Node, conns: Map[String, ConnDef]): CfTask = {
     val name = attr(e, "ObjectName").get
     attr(e, "ExecutableType").get match {
       case "Microsoft.ExecuteSQLTask" =>
@@ -132,9 +183,9 @@ object Dtsx {
         SqlTask(name, sql, resultInto)
       case "Microsoft.Pipeline" =>
         val p = (e \ "ObjectData" \ "pipeline").head
-        DataFlowTask(name, parsePipeline(p, name))
+        DataFlowTask(name, parsePipeline(p, name, conns))
       case t if t.toUpperCase.endsWith("SEQUENCE") =>
-        Sequence(name, (e \ "Executables" \ "Executable").map(parseExecutable))
+        Sequence(name, (e \ "Executables" \ "Executable").map(parseExecutable(_, conns)))
       case t if t.toUpperCase.endsWith("FORLOOP") =>
         // InitExpression/AssignExpression are "@[User::X] = <expr>"
         // assignments; EvalExpression is the loop gate
@@ -155,7 +206,7 @@ object Dtsx {
           attr(e, "EvalExpression").getOrElse(
             sys.error(s"dtsx ForLoop $name: no EvalExpression")),
           assign.map(_._2),
-          (e \ "Executables" \ "Executable").map(parseExecutable))
+          (e \ "Executables" \ "Executable").map(parseExecutable(_, conns)))
       case t if t.toUpperCase.endsWith("FOREACHLOOP") =>
         // Item enumerator values + the first variable mapping
         val items: Seq[Any] =
@@ -165,19 +216,20 @@ object Dtsx {
           .headOption.flatMap(attr(_, "VariableName"))
           .getOrElse(sys.error(s"dtsx ForEach $name: no variable mapping"))
         ForEach(name, variable, items,
-          (e \ "Executables" \ "Executable").map(parseExecutable))
+          (e \ "Executables" \ "Executable").map(parseExecutable(_, conns)))
       case other => sys.error(s"dtsx: unsupported executable type $other ($name)")
     }
   }
 
   // ---------- pipeline level ----------
 
-  private def parsePipeline(p: Node, name: String): DataFlow = {
+  private def parsePipeline(p: Node, name: String,
+      conns: Map[String, ConnDef]): DataFlow = {
     val compNodes = (p \ "components" \ "component")
     val classOf: Map[String, String] = compNodes.flatMap { c =>
       for (n <- attr(c, "name"); cls <- attr(c, "componentClassID")) yield n -> cls
     }.toMap
-    val components = compNodes.map(parseComponent)
+    val components = compNodes.map(parseComponent(_, conns))
     val paths = (p \ "paths" \ "path").map { pn =>
       val (fromComp, fromPortRaw) = splitPortRef(attr(pn, "startId").get, "Outputs")
       val (toComp, toPortRaw) = splitPortRef(attr(pn, "endId").get, "Inputs")
@@ -266,7 +318,30 @@ object Dtsx {
         sys.error(s"dtsx DataConvert $comp: unsupported dataType '$other' for $col")
     }
 
-  private def parseComponent(c: Node): Component = {
+  /** dtsx column @dataType short name → Spark DDL type, for file-source
+    * schemas (mirrors expr.Compiler.toDataType's DT_* table). */
+  private def ddlTypeOf(comp: String, col: String, dataType: String,
+      precision: Option[String], scale: Option[String]): String =
+    dataType match {
+      case "i1" => "TINYINT"
+      case "i2" | "ui1" => "SMALLINT"
+      case "i4" | "ui2" => "INT"
+      case "i8" | "ui4" => "BIGINT"
+      case "r4" => "FLOAT"
+      case "r8" => "DOUBLE"
+      case "bool" => "BOOLEAN"
+      case "cy" => "DECIMAL(19,4)"
+      case "numeric" | "decimal" =>
+        s"DECIMAL(${precision.getOrElse("18")},${scale.getOrElse("0")})"
+      case "str" | "wstr" | "text" | "ntext" | "guid" => "STRING"
+      case "bytes" | "image" => "BINARY"
+      case "dbDate" => "DATE"
+      case "dbTimeStamp" | "dbTimeStamp2" => "TIMESTAMP"
+      case other =>
+        sys.error(s"dtsx $comp: unsupported dataType '$other' for $col")
+    }
+
+  private def parseComponent(c: Node, conns: Map[String, ConnDef]): Component = {
     val name = attr(c, "name").get
     val pr = props(c)
     attr(c, "componentClassID").get match {
@@ -423,6 +498,35 @@ object Dtsx {
           (src, dt, out)
         }
         DataConversion(name, casts)
+
+      case "Microsoft.FlatFileSource" =>
+        val conn = connOf(c, conns, name)
+        val header = conn.attrs.get("ColumnNamesInFirstDataRow")
+          .exists(_.equalsIgnoreCase("true"))
+        // field separator = the first column's delimiter (the LAST
+        // column's delimiter is the row terminator in FLATFILE managers)
+        val sep = conn.columns.headOption.map(_.delimiter).getOrElse(",")
+        val quote = conn.attrs.get("TextQualifier").map(decodeDtsChars)
+          .filterNot(q => q.isEmpty || q == "<none>")
+        val ddl = outputCols(c).map { oc =>
+          val n = attr(oc, "name").get
+          s"`$n` ${ddlTypeOf(name, n, attr(oc, "dataType").getOrElse("wstr"),
+            attr(oc, "precision"), attr(oc, "scale"))}"
+        }.mkString(", ")
+        SourceCsv(name, conn.connectionString,
+          Map("header" -> header.toString, "sep" -> sep) ++
+            quote.map("quote" -> _),
+          schemaDdl = if (ddl.nonEmpty) Some(ddl) else None)
+
+      case "Microsoft.FlatFileDestination" =>
+        val conn = connOf(c, conns, name)
+        val header = conn.attrs.get("ColumnNamesInFirstDataRow")
+          .exists(_.equalsIgnoreCase("true"))
+        val sep = conn.columns.headOption.map(_.delimiter).getOrElse(",")
+        val mode = if (pr.get("Overwrite").exists(_.equalsIgnoreCase("true")))
+          WriteMode.Overwrite else WriteMode.Append
+        FileDestination(name, conn.connectionString, "csv", mode,
+          Map("header" -> header.toString, "sep" -> sep))
 
       case "Microsoft.ManagedComponentHost" =>
         // managed components dispatch on UserComponentTypeName — same

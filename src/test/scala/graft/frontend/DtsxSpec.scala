@@ -260,6 +260,85 @@ class DtsxSpec extends AnyFunSuite {
     assert(res.variables("User::MCount") == 4L)
   }
 
+  test("synthetic package: flat-file source/destination via connection managers") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dtsx_ff")
+    dir.toFile.deleteOnExit()
+    val inPath = dir.resolve("in.csv").toString
+    val outPath = dir.resolve("out_csv").toString
+    // pipe-separated with header; TextQualifier quotes the second field
+    java.nio.file.Files.write(java.nio.file.Paths.get(inPath),
+      "id|name\n1|\"x|y\"\n2|plain\n".getBytes("UTF-8"))
+    val xml =
+      <DTS:Executable xmlns:DTS="www.microsoft.com/SqlServer/Dts" DTS:ObjectName="ff">
+        <DTS:ConnectionManagers>
+          <DTS:ConnectionManager DTS:ObjectName="FF_IN" DTS:CreationName="FLATFILE">
+            <DTS:ObjectData>
+              <DTS:ConnectionManager DTS:ConnectionString={inPath}
+                  DTS:Format="Delimited" DTS:ColumnNamesInFirstDataRow="True"
+                  DTS:TextQualifier="_x0022_">
+                <DTS:FlatFileColumns>
+                  <DTS:FlatFileColumn DTS:ObjectName="id" DTS:ColumnDelimiter="_x007C_"/>
+                  <DTS:FlatFileColumn DTS:ObjectName="name" DTS:ColumnDelimiter="_x000D__x000A_"/>
+                </DTS:FlatFileColumns>
+              </DTS:ConnectionManager>
+            </DTS:ObjectData>
+          </DTS:ConnectionManager>
+          <DTS:ConnectionManager DTS:ObjectName="FF_OUT" DTS:CreationName="FLATFILE">
+            <DTS:ObjectData>
+              <DTS:ConnectionManager DTS:ConnectionString={outPath}
+                  DTS:Format="Delimited" DTS:ColumnNamesInFirstDataRow="True">
+                <DTS:FlatFileColumns>
+                  <DTS:FlatFileColumn DTS:ObjectName="id" DTS:ColumnDelimiter="_x002C_"/>
+                </DTS:FlatFileColumns>
+              </DTS:ConnectionManager>
+            </DTS:ObjectData>
+          </DTS:ConnectionManager>
+        </DTS:ConnectionManagers>
+        <DTS:Executables>
+          <DTS:Executable DTS:ObjectName="DFT" DTS:ExecutableType="Microsoft.Pipeline">
+            <DTS:ObjectData>
+              <pipeline>
+                <components>
+                  <component componentClassID="Microsoft.FlatFileSource" name="FFSRC">
+                    <connections>
+                      <connection connectionManagerID="Package.ConnectionManagers[FF_IN]"/>
+                    </connections>
+                    <outputs>
+                      <output name="Flat File Source Output">
+                        <outputColumns>
+                          <outputColumn name="id" dataType="i4"/>
+                          <outputColumn name="name" dataType="wstr" length="50"/>
+                        </outputColumns>
+                      </output>
+                    </outputs>
+                  </component>
+                  <component componentClassID="Microsoft.FlatFileDestination" name="FFDST">
+                    <properties>
+                      <property name="Overwrite">true</property>
+                    </properties>
+                    <connections>
+                      <connection connectionManagerID="Package.ConnectionManagers[FF_OUT]"/>
+                    </connections>
+                  </component>
+                </components>
+                <paths>
+                  <path startId="P\DFT\FFSRC.Outputs[Flat File Source Output]" endId="P\DFT\FFDST.Inputs[In]"/>
+                </paths>
+              </pipeline>
+            </DTS:ObjectData>
+          </DTS:Executable>
+        </DTS:Executables>
+      </DTS:Executable>
+    val res = ControlFlowExec.run(Dtsx.parse(xml),
+      PipelineContext.overCatalog(spark))
+    assert(res.statuses.values.forall(_ == ControlFlowExec.Succeeded), res.statuses)
+    // read back what the destination wrote: comma-separated, header on
+    val back = spark.read.options(Map("header" -> "true", "sep" -> ","))
+      .schema("id INT, name STRING").csv(outPath).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(back == Set((1, "x|y"), (2, "plain")))
+  }
+
   test("synthetic containers: FORLOOP and FOREACHLOOP parse and execute") {
     val xml =
       <DTS:Executable xmlns:DTS="www.microsoft.com/SqlServer/Dts" DTS:ObjectName="loops">
