@@ -250,8 +250,9 @@ object DataFlowExec {
     case SourceParquet(_, path) =>
       Map("out" -> ctx.spark.read.parquet(path))
 
-    case SourceExcel(_, path, sheet, header, schemaDdl) =>
-      Map("out" -> graft.sources.Excel.read(ctx.spark, path, sheet, header, schemaDdl))
+    case SourceExcel(_, path, sheet, header, schemaDdl, sheetName) =>
+      val idx = sheetName.fold(sheet)(n => graft.sources.Excel.sheetIndexOf(path, n))
+      Map("out" -> graft.sources.Excel.read(ctx.spark, path, idx, header, schemaDdl))
 
     case SourceXml(_, path, rowTag, options, schemaDdl) =>
       val r = ctx.spark.read.options(options).option("rowTag", rowTag)

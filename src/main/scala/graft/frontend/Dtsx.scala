@@ -318,6 +318,17 @@ object Dtsx {
         sys.error(s"dtsx DataConvert $comp: unsupported dataType '$other' for $col")
     }
 
+  /** The workbook path of an EXCEL connection manager: either a bare
+    * path or an OLE DB string ("Provider=...;Data Source=<path>;..."). */
+  private def excelPath(conn: ConnDef, comp: String): String = {
+    val cs = conn.connectionString
+    if (!cs.contains("=")) cs
+    else cs.split(';').map(_.trim)
+      .collectFirst { case kv if kv.toLowerCase.startsWith("data source=") =>
+        kv.substring(kv.indexOf('=') + 1).trim }
+      .getOrElse(sys.error(s"dtsx $comp: no Data Source in '$cs'"))
+  }
+
   /** dtsx column @dataType short name → Spark DDL type, for file-source
     * schemas (mirrors expr.Compiler.toDataType's DT_* table). */
   private def ddlTypeOf(comp: String, col: String, dataType: String,
@@ -527,6 +538,22 @@ object Dtsx {
           WriteMode.Overwrite else WriteMode.Append
         FileDestination(name, conn.connectionString, "csv", mode,
           Map("header" -> header.toString, "sep" -> sep))
+
+      case "Microsoft.ExcelSource" =>
+        val conn = connOf(c, conns, name)
+        val ddl = outputCols(c).map { oc =>
+          val n = attr(oc, "name").get
+          s"`$n` ${ddlTypeOf(name, n, attr(oc, "dataType").getOrElse("wstr"),
+            attr(oc, "precision"), attr(oc, "scale"))}"
+        }.mkString(", ")
+        SourceExcel(name, excelPath(conn, name),
+          schemaDdl = if (ddl.nonEmpty) Some(ddl) else None,
+          sheetName = pr.get("OpenRowset"))
+
+      case "Microsoft.ExcelDestination" =>
+        val conn = connOf(c, conns, name)
+        ExcelDestination(name, excelPath(conn, name),
+          sheetName = pr.getOrElse("OpenRowset", "Sheet1").stripSuffix("$"))
 
       case "Microsoft.ManagedComponentHost" =>
         // managed components dispatch on UserComponentTypeName — same

@@ -58,9 +58,12 @@ object Component {
   final case class SourceParquet(name: String, path: String) extends Component
   /** Excel .xlsx source via the native OOXML reader (reference reads
     * Excel at enhanced_json_mapper.py:62-69,154-164); `schemaDdl`
-    * applies positionally like the CSV source. */
+    * applies positionally like the CSV source. `sheetName` (the OLE DB
+    * "Sheet1$" form is accepted) overrides the `sheet` index, resolved
+    * against the workbook at read time. */
   final case class SourceExcel(name: String, path: String, sheet: Int = 0,
-      header: Boolean = true, schemaDdl: Option[String] = None) extends Component
+      header: Boolean = true, schemaDdl: Option[String] = None,
+      sheetName: Option[String] = None) extends Component
   /** XML source via Spark's built-in xml datasource; `rowTag` names the
     * repeating record element. */
   final case class SourceXml(name: String, path: String, rowTag: String,

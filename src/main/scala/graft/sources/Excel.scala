@@ -36,6 +36,22 @@ object Excel {
   private[sources] def colIndex(ref: String): Int =
     ref.takeWhile(_.isLetter).foldLeft(0)((acc, ch) => acc * 26 + (ch - 'A' + 1)) - 1
 
+  /** Sheet index of `sheetName` per the workbook's declared sheet order
+    * (a trailing `$` — the OLE DB rowset form "Sheet1$" — is ignored). */
+  def sheetIndexOf(path: String, sheetName: String): Int = {
+    val clean = sheetName.stripSuffix("$")
+    val zip = new ZipFile(path)
+    try {
+      val wb = Option(zip.getEntry("xl/workbook.xml"))
+        .getOrElse(sys.error(s"Excel: no workbook.xml in $path"))
+      val names = (XML.load(zip.getInputStream(wb)) \ "sheets" \ "sheet")
+        .map(s => (s \ "@name").text)
+      val i = names.indexOf(clean)
+      require(i >= 0, s"Excel: no sheet '$clean' in $path (sheets: $names)")
+      i
+    } finally zip.close()
+  }
+
   def read(spark: SparkSession, path: String, sheet: Int = 0,
       header: Boolean = true, schemaDdl: Option[String] = None): DataFrame = {
     val zip = new ZipFile(path)

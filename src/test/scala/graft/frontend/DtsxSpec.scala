@@ -339,6 +339,104 @@ class DtsxSpec extends AnyFunSuite {
     assert(back == Set((1, "x|y"), (2, "plain")))
   }
 
+  test("synthetic package: excel source/destination via EXCEL connection manager") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dtsx_xl")
+    dir.toFile.deleteOnExit()
+    val xlPath = dir.resolve("book.xlsx").toString
+    val xml =
+      <DTS:Executable xmlns:DTS="www.microsoft.com/SqlServer/Dts" DTS:ObjectName="xl">
+        <DTS:ConnectionManagers>
+          <DTS:ConnectionManager DTS:ObjectName="XL_CM" DTS:CreationName="EXCEL">
+            <DTS:ObjectData>
+              <DTS:ConnectionManager DTS:ConnectionString={
+                s"Provider=Microsoft.ACE.OLEDB.12.0;Data Source=$xlPath;Extended Properties=Excel 12.0 XML"}/>
+            </DTS:ObjectData>
+          </DTS:ConnectionManager>
+        </DTS:ConnectionManagers>
+        <DTS:Executables>
+          <DTS:Executable DTS:ObjectName="DFT_W" DTS:ExecutableType="Microsoft.Pipeline">
+            <DTS:ObjectData>
+              <pipeline>
+                <components>
+                  <component componentClassID="Microsoft.OLEDBSource" name="S">
+                    <properties>
+                      <property name="SqlCommand">SELECT k, v FROM xl_src</property>
+                      <property name="AccessMode">2</property>
+                    </properties>
+                    <outputs>
+                      <output name="Out">
+                        <outputColumns>
+                          <outputColumn name="k"/>
+                          <outputColumn name="v"/>
+                        </outputColumns>
+                      </output>
+                    </outputs>
+                  </component>
+                  <component componentClassID="Microsoft.ExcelDestination" name="XD">
+                    <properties>
+                      <property name="OpenRowset">Data$</property>
+                    </properties>
+                    <connections>
+                      <connection connectionManagerID="Package.ConnectionManagers[XL_CM]"/>
+                    </connections>
+                  </component>
+                </components>
+                <paths>
+                  <path startId="P\DFT_W\S.Outputs[Out]" endId="P\DFT_W\XD.Inputs[In]"/>
+                </paths>
+              </pipeline>
+            </DTS:ObjectData>
+          </DTS:Executable>
+          <DTS:Executable DTS:ObjectName="DFT_R" DTS:ExecutableType="Microsoft.Pipeline">
+            <DTS:ObjectData>
+              <pipeline>
+                <components>
+                  <component componentClassID="Microsoft.ExcelSource" name="XS">
+                    <properties>
+                      <property name="OpenRowset">Data$</property>
+                    </properties>
+                    <connections>
+                      <connection connectionManagerID="Package.ConnectionManagers[XL_CM]"/>
+                    </connections>
+                    <outputs>
+                      <output name="Excel Source Output">
+                        <outputColumns>
+                          <outputColumn name="k" dataType="i4"/>
+                          <outputColumn name="v" dataType="wstr" length="50"/>
+                        </outputColumns>
+                      </output>
+                    </outputs>
+                  </component>
+                  <component componentClassID="Microsoft.OLEDBDestination" name="D">
+                    <properties>
+                      <property name="OpenRowset">xl_out</property>
+                      <property name="AccessMode">3</property>
+                    </properties>
+                  </component>
+                </components>
+                <paths>
+                  <path startId="P\DFT_R\XS.Outputs[Excel Source Output]" endId="P\DFT_R\D.Inputs[In]"/>
+                </paths>
+              </pipeline>
+            </DTS:ObjectData>
+          </DTS:Executable>
+        </DTS:Executables>
+        <DTS:PrecedenceConstraints>
+          <DTS:PrecedenceConstraint DTS:From="xl\DFT_W" DTS:To="xl\DFT_R"/>
+        </DTS:PrecedenceConstraints>
+      </DTS:Executable>
+    sql(
+      "DROP TABLE IF EXISTS xl_src", "DROP TABLE IF EXISTS xl_out",
+      "CREATE TABLE xl_src (k INT, v STRING) USING parquet",
+      "INSERT INTO xl_src VALUES (1, 'uno'), (2, 'dos')",
+      "CREATE TABLE xl_out (k INT, v STRING) USING parquet")
+    val res = ControlFlowExec.run(Dtsx.parse(xml),
+      PipelineContext.overCatalog(spark))
+    assert(res.statuses.values.forall(_ == ControlFlowExec.Succeeded), res.statuses)
+    assert(spark.table("xl_out").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet == Set((1, "uno"), (2, "dos")))
+  }
+
   test("synthetic containers: FORLOOP and FOREACHLOOP parse and execute") {
     val xml =
       <DTS:Executable xmlns:DTS="www.microsoft.com/SqlServer/Dts" DTS:ObjectName="loops">
