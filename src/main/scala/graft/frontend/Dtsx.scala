@@ -510,6 +510,23 @@ object Dtsx {
         }
         DataConversion(name, casts)
 
+      case "Microsoft.SSISADONETSrc" =>
+        // ADO NET source: same table-or-SQL shape as OLE DB, different
+        // property names (TableOrViewName / SqlCommand)
+        val sql = pr.getOrElse("SqlCommand", "").trim
+        if (sql.nonEmpty) {
+          val outNames = outputCols(c).flatMap(attr(_, "name"))
+          SourceQuery(name, translateSql(sql), outNames)
+        } else
+          SourceTable(name, cleanTable(pr.getOrElse("TableOrViewName",
+            sys.error(s"dtsx ADO NET source $name: no SqlCommand or TableOrViewName"))))
+
+      case "Microsoft.SSISADONETDst" =>
+        Destination(name,
+          cleanTable(pr.getOrElse("TableOrViewName",
+            sys.error(s"dtsx ADO NET destination $name: no TableOrViewName"))),
+          WriteMode.Append)
+
       case "Microsoft.FlatFileSource" =>
         val conn = connOf(c, conns, name)
         val header = conn.attrs.get("ColumnNamesInFirstDataRow")

@@ -437,6 +437,45 @@ class DtsxSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getString(1))).toSet == Set((1, "uno"), (2, "dos")))
   }
 
+  test("synthetic package: ADO NET source and destination classes") {
+    val xml =
+      <DTS:Executable xmlns:DTS="www.microsoft.com/SqlServer/Dts" DTS:ObjectName="adonet">
+        <DTS:Executables>
+          <DTS:Executable DTS:ObjectName="DFT" DTS:ExecutableType="Microsoft.Pipeline">
+            <DTS:ObjectData>
+              <pipeline>
+                <components>
+                  <component componentClassID="Microsoft.SSISADONETSrc" name="AS">
+                    <properties>
+                      <property name="TableOrViewName">[dbo].[ado_src]</property>
+                    </properties>
+                  </component>
+                  <component componentClassID="Microsoft.SSISADONETDst" name="AD">
+                    <properties>
+                      <property name="TableOrViewName">[dbo].[ado_dst]</property>
+                    </properties>
+                  </component>
+                </components>
+                <paths>
+                  <path startId="P\DFT\AS.Outputs[Out]" endId="P\DFT\AD.Inputs[In]"/>
+                </paths>
+              </pipeline>
+            </DTS:ObjectData>
+          </DTS:Executable>
+        </DTS:Executables>
+      </DTS:Executable>
+    sql(
+      "DROP TABLE IF EXISTS ado_src", "DROP TABLE IF EXISTS ado_dst",
+      "CREATE TABLE ado_src (k INT, v STRING) USING parquet",
+      "INSERT INTO ado_src VALUES (7, 'x'), (8, 'y')",
+      "CREATE TABLE ado_dst (k INT, v STRING) USING parquet")
+    val res = ControlFlowExec.run(Dtsx.parse(xml),
+      PipelineContext.overCatalog(spark))
+    assert(res.statuses.values.forall(_ == ControlFlowExec.Succeeded), res.statuses)
+    assert(spark.table("ado_dst").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet == Set((7, "x"), (8, "y")))
+  }
+
   test("synthetic containers: FORLOOP and FOREACHLOOP parse and execute") {
     val xml =
       <DTS:Executable xmlns:DTS="www.microsoft.com/SqlServer/Dts" DTS:ObjectName="loops">
