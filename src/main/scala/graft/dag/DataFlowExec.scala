@@ -584,6 +584,10 @@ object DataFlowExec {
       val df = single(inputs, comp)
       Map("out" -> df.filter(pmod(col(keyColumn), lit(buckets)) < lit(keep)))
 
+    case RandomSampling(_, percent, seed) =>
+      val df = single(inputs, comp)
+      Map("out" -> df.sample(withReplacement = false, percent / 100.0, seed))
+
     case Pivot(_, groupBy, pivotCol, pivotValues, valueCol, aggOp) =>
       val df = single(inputs, comp)
       val agg = aggOp.toLowerCase match {

@@ -510,6 +510,55 @@ object Dtsx {
         }
         DataConversion(name, casts)
 
+      case "Microsoft.PercentageSampling" =>
+        RandomSampling(name,
+          percent = pr.getOrElse("SamplingValue", "10").toDouble,
+          seed = pr.get("SamplingSeed").filter(_.nonEmpty)
+            .map(_.toLong).getOrElse(0L))
+
+      case "Microsoft.CharacterMap" =>
+        // MapFlags is the DTSCSCharacterMapFlags bitmask: LowerCase=1,
+        // UpperCase=2 (the only two ops the engine implements; other
+        // bits — byte reversal, kana, width — error loudly).
+        // readWrite input columns map in place; output columns add.
+        def op(flags: String): String = flags.trim match {
+          case "1" => "lowercase"
+          case "2" => "uppercase"
+          case other =>
+            sys.error(s"dtsx CharacterMap $name: unsupported MapFlags $other")
+        }
+        val inPlace = inputCols(c).flatMap { ic =>
+          props(ic).get("MapFlags").map { f =>
+            val n = attr(ic, "cachedName").get
+            (n, op(f), n)
+          }
+        }
+        val added = outputCols(c).flatMap { oc =>
+          val ps = props(oc)
+          for {
+            f <- ps.get("MapFlags")
+            ref <- ps.get("InputColumnLineageId")
+              .orElse(ps.get("SourceInputColumnLineageId"))
+          } yield {
+            val i = ref.lastIndexOf("Columns[")
+            require(i >= 0, s"dtsx CharacterMap $name: bad lineage ref $ref")
+            (ref.substring(i + 8, ref.indexOf(']', i + 8)),
+              op(f), attr(oc, "name").get)
+          }
+        }
+        CharacterMap(name, inPlace ++ added)
+
+      case "Microsoft.CopyMap" =>
+        val copies = outputCols(c).flatMap { oc =>
+          props(oc).get("copyColumnId").orElse(props(oc).get("CopyColumnId"))
+            .map { ref =>
+              val i = ref.lastIndexOf("Columns[")
+              require(i >= 0, s"dtsx CopyColumn $name: bad lineage ref $ref")
+              ref.substring(i + 8, ref.indexOf(']', i + 8)) -> attr(oc, "name").get
+            }
+        }
+        CopyColumn(name, copies)
+
       case "Microsoft.SSISADONETSrc" =>
         // ADO NET source: same table-or-SQL shape as OLE DB, different
         // property names (TableOrViewName / SqlCommand)

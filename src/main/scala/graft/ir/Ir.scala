@@ -230,6 +230,12 @@ object Component {
     * checked). */
   final case class Sampling(name: String, keyColumn: String,
       buckets: Int, keep: Int) extends Component
+  /** SSIS Percentage Sampling proper: seeded Bernoulli sample —
+    * deterministic per (seed, partitioning) but not engine-portable, so
+    * unit-tested rather than oracle-checked. Prefer [[Sampling]] when
+    * reproducibility across engines matters. */
+  final case class RandomSampling(name: String, percent: Double,
+      seed: Long) extends Component
   final case class Pivot(name: String, groupBy: Seq[String], pivotColumn: String,
       pivotValues: Seq[String], valueColumn: String, aggOp: String = "first") extends Component
   final case class Unpivot(name: String, idColumns: Seq[String],

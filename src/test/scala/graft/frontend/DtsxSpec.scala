@@ -476,6 +476,105 @@ class DtsxSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getString(1))).toSet == Set((7, "x"), (8, "y")))
   }
 
+  test("synthetic package: CharacterMap, CopyColumn, PercentageSampling") {
+    val xml =
+      <DTS:Executable xmlns:DTS="www.microsoft.com/SqlServer/Dts" DTS:ObjectName="rowops">
+        <DTS:Executables>
+          <DTS:Executable DTS:ObjectName="DFT" DTS:ExecutableType="Microsoft.Pipeline">
+            <DTS:ObjectData>
+              <pipeline>
+                <components>
+                  <component componentClassID="Microsoft.OLEDBSource" name="S">
+                    <properties>
+                      <property name="SqlCommand">SELECT k, v FROM ro_src</property>
+                      <property name="AccessMode">2</property>
+                    </properties>
+                    <outputs>
+                      <output name="Out">
+                        <outputColumns>
+                          <outputColumn name="k"/>
+                          <outputColumn name="v"/>
+                        </outputColumns>
+                      </output>
+                    </outputs>
+                  </component>
+                  <component componentClassID="Microsoft.CharacterMap" name="CM">
+                    <inputs>
+                      <input name="Character Map Input">
+                        <inputColumns>
+                          <inputColumn cachedName="v">
+                            <properties>
+                              <property name="MapFlags">2</property>
+                            </properties>
+                          </inputColumn>
+                        </inputColumns>
+                      </input>
+                    </inputs>
+                    <outputs>
+                      <output name="Character Map Output">
+                        <outputColumns>
+                          <outputColumn name="v_lower">
+                            <properties>
+                              <property name="MapFlags">1</property>
+                              <property name="InputColumnLineageId">#{{P\DFT\S.Outputs[Out].Columns[v]}}</property>
+                            </properties>
+                          </outputColumn>
+                        </outputColumns>
+                      </output>
+                    </outputs>
+                  </component>
+                  <component componentClassID="Microsoft.CopyMap" name="CP">
+                    <outputs>
+                      <output name="Copy Column Output">
+                        <outputColumns>
+                          <outputColumn name="k_copy">
+                            <properties>
+                              <property name="copyColumnId">#{{P\DFT\S.Outputs[Out].Columns[k]}}</property>
+                            </properties>
+                          </outputColumn>
+                        </outputColumns>
+                      </output>
+                    </outputs>
+                  </component>
+                  <component componentClassID="Microsoft.PercentageSampling" name="PS">
+                    <properties>
+                      <property name="SamplingValue">100</property>
+                      <property name="SamplingSeed">42</property>
+                    </properties>
+                  </component>
+                  <component componentClassID="Microsoft.OLEDBDestination" name="D">
+                    <properties>
+                      <property name="OpenRowset">ro_out</property>
+                      <property name="AccessMode">3</property>
+                    </properties>
+                  </component>
+                </components>
+                <paths>
+                  <path startId="P\DFT\S.Outputs[Out]" endId="P\DFT\CM.Inputs[In]"/>
+                  <path startId="P\DFT\CM.Outputs[Out]" endId="P\DFT\CP.Inputs[In]"/>
+                  <path startId="P\DFT\CP.Outputs[Out]" endId="P\DFT\PS.Inputs[In]"/>
+                  <path startId="P\DFT\PS.Outputs[Out]" endId="P\DFT\D.Inputs[In]"/>
+                </paths>
+              </pipeline>
+            </DTS:ObjectData>
+          </DTS:Executable>
+        </DTS:Executables>
+      </DTS:Executable>
+    sql(
+      "DROP TABLE IF EXISTS ro_src", "DROP TABLE IF EXISTS ro_out",
+      "CREATE TABLE ro_src (k INT, v STRING) USING parquet",
+      "INSERT INTO ro_src VALUES (1, 'MiXeD'), (2, 'other')",
+      "CREATE TABLE ro_out (k INT, v STRING, v_lower STRING, k_copy INT) USING parquet")
+    val res = ControlFlowExec.run(Dtsx.parse(xml),
+      PipelineContext.overCatalog(spark))
+    assert(res.statuses.values.forall(_ == ControlFlowExec.Succeeded), res.statuses)
+    // MapFlags=2 uppercases v in place; MapFlags=1 adds lowercase copy;
+    // CopyColumn duplicates k; 100% sampling keeps both rows
+    val out = spark.table("ro_out").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getInt(3))).toSet
+    assert(out == Set((1, "MIXED", "mixed", 1), (2, "OTHER", "other", 2)))
+  }
+
   test("synthetic containers: FORLOOP and FOREACHLOOP parse and execute") {
     val xml =
       <DTS:Executable xmlns:DTS="www.microsoft.com/SqlServer/Dts" DTS:ObjectName="loops">
