@@ -510,6 +510,32 @@ object Dtsx {
         }
         DataConversion(name, casts)
 
+      case "Microsoft.Aggregate" =>
+        // AggregationType enum: GroupBy=0, Count=1, CountAll=2,
+        // CountDistinct=3, Sum=4, Average=5, Minimum=6, Maximum=7;
+        // source column via the AggregationColumnId lineage ref
+        val entries = outputCols(c).map { oc =>
+          val ps = props(oc)
+          val outName = attr(oc, "name").get
+          val src = ps.get("AggregationColumnId").flatMap { ref =>
+            val i = ref.lastIndexOf("Columns[")
+            if (i < 0) None
+            else Some(ref.substring(i + 8, ref.indexOf(']', i + 8)))
+          }.getOrElse(outName)
+          (outName, ps.getOrElse("AggregationType", "0").trim, src)
+        }
+        val ops = Map("1" -> "count", "2" -> "count_star",
+          "3" -> "count_distinct", "4" -> "sum", "5" -> "avg",
+          "6" -> "min", "7" -> "max")
+        entries.collectFirst {
+          case (n, t, _) if t != "0" && !ops.contains(t) =>
+            sys.error(s"dtsx Aggregate $name: unsupported AggregationType $t ($n)")
+        }
+        Aggregate(name,
+          groupBy = entries.collect { case (_, "0", src) => src },
+          aggs = entries.collect { case (n, t, src) if t != "0" =>
+            (ops(t), if (t == "2") "" else src, n) })
+
       case "Microsoft.PercentageSampling" =>
         RandomSampling(name,
           percent = pr.getOrElse("SamplingValue", "10").toDouble,

@@ -575,6 +575,82 @@ class DtsxSpec extends AnyFunSuite {
     assert(out == Set((1, "MIXED", "mixed", 1), (2, "OTHER", "other", 2)))
   }
 
+  test("synthetic package: Aggregate component (group by + sum + count)") {
+    val xml =
+      <DTS:Executable xmlns:DTS="www.microsoft.com/SqlServer/Dts" DTS:ObjectName="aggp">
+        <DTS:Executables>
+          <DTS:Executable DTS:ObjectName="DFT" DTS:ExecutableType="Microsoft.Pipeline">
+            <DTS:ObjectData>
+              <pipeline>
+                <components>
+                  <component componentClassID="Microsoft.OLEDBSource" name="S">
+                    <properties>
+                      <property name="SqlCommand">SELECT g, x FROM agg_src</property>
+                      <property name="AccessMode">2</property>
+                    </properties>
+                    <outputs>
+                      <output name="Out">
+                        <outputColumns>
+                          <outputColumn name="g"/>
+                          <outputColumn name="x"/>
+                        </outputColumns>
+                      </output>
+                    </outputs>
+                  </component>
+                  <component componentClassID="Microsoft.Aggregate" name="AGG">
+                    <outputs>
+                      <output name="Aggregate Output 1">
+                        <outputColumns>
+                          <outputColumn name="g">
+                            <properties>
+                              <property name="AggregationType">0</property>
+                              <property name="AggregationColumnId">#{{P\DFT\S.Outputs[Out].Columns[g]}}</property>
+                            </properties>
+                          </outputColumn>
+                          <outputColumn name="x_sum">
+                            <properties>
+                              <property name="AggregationType">4</property>
+                              <property name="AggregationColumnId">#{{P\DFT\S.Outputs[Out].Columns[x]}}</property>
+                            </properties>
+                          </outputColumn>
+                          <outputColumn name="n">
+                            <properties>
+                              <property name="AggregationType">2</property>
+                            </properties>
+                          </outputColumn>
+                        </outputColumns>
+                      </output>
+                    </outputs>
+                  </component>
+                  <component componentClassID="Microsoft.OLEDBDestination" name="D">
+                    <properties>
+                      <property name="OpenRowset">agg_out</property>
+                      <property name="AccessMode">3</property>
+                    </properties>
+                  </component>
+                </components>
+                <paths>
+                  <path startId="P\DFT\S.Outputs[Out]" endId="P\DFT\AGG.Inputs[In]"/>
+                  <path startId="P\DFT\AGG.Outputs[Aggregate Output 1]" endId="P\DFT\D.Inputs[In]"/>
+                </paths>
+              </pipeline>
+            </DTS:ObjectData>
+          </DTS:Executable>
+        </DTS:Executables>
+      </DTS:Executable>
+    sql(
+      "DROP TABLE IF EXISTS agg_src", "DROP TABLE IF EXISTS agg_out",
+      "CREATE TABLE agg_src (g STRING, x INT) USING parquet",
+      "INSERT INTO agg_src VALUES ('a', 1), ('a', 2), ('b', 5)",
+      "CREATE TABLE agg_out (g STRING, x_sum BIGINT, n BIGINT) USING parquet")
+    val res = ControlFlowExec.run(Dtsx.parse(xml),
+      PipelineContext.overCatalog(spark))
+    assert(res.statuses.values.forall(_ == ControlFlowExec.Succeeded), res.statuses)
+    assert(spark.table("agg_out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
+      Set(("a", 3L, 2L), ("b", 5L, 1L)))
+  }
+
   test("synthetic containers: FORLOOP and FOREACHLOOP parse and execute") {
     val xml =
       <DTS:Executable xmlns:DTS="www.microsoft.com/SqlServer/Dts" DTS:ObjectName="loops">
