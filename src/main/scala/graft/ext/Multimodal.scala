@@ -56,6 +56,44 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Real image resize (pure JVM): decode, scale to fit within
+    * (maxW, maxH) preserving aspect ratio, re-encode as PNG. Returns
+    * the original payload untouched when it is not a decodable image
+    * or already fits. Video frame-sampling is NOT offered — the JVM
+    * ships no video codecs; it would slot into the same per-partition
+    * batch shape. */
+  def resizeImage(payload: Array[Byte], maxW: Int, maxH: Int): Array[Byte] = {
+    val img = try javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    catch { case _: Exception => null }
+    if (img == null || (img.getWidth <= maxW && img.getHeight <= maxH)) payload
+    else {
+      val scale = math.min(maxW.toDouble / img.getWidth,
+        maxH.toDouble / img.getHeight)
+      val w = math.max(1, (img.getWidth * scale).round.toInt)
+      val h = math.max(1, (img.getHeight * scale).round.toInt)
+      val out = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Batched per-partition resize — same executor-local shape as
+    * [[extractFeatures]]; non-image payloads pass through unchanged. */
+  def resizeAll(items: Dataset[MediaItem], maxW: Int, maxH: Int): Dataset[MediaItem] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions(_.map(m =>
+      m.copy(payload = resizeImage(m.payload, maxW, maxH))))
+  }
+
   private def md5Hex(bytes: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5").digest(bytes)
       .map("%02x".format(_)).mkString

@@ -154,6 +154,22 @@ object ExtQueries extends QueryPack {
         .orderBy(col("media_id"))
     },
 
+    // Resize path under the gate: synthetic PNGs → real bilinear resize
+    // (fit 16x16, aspect preserved) → real header decode. The oracle
+    // recomputes the scale formula with the SAME IEEE double ops, so
+    // the decoded output dimensions must match exactly.
+    "q59_image_resize" -> { (s, dir) =>
+      import s.implicits._
+      val items = docs(s, dir).select(col("doc_id").cast("long"))
+        .filter(col("doc_id") < 200).as[Long]
+        .map(id => Multimodal.MediaItem(id,
+          Multimodal.syntheticPng((1 + id % 64).toInt, (1 + id % 48).toInt),
+          "image/png"))
+      Multimodal.extractFeatures(Multimodal.resizeAll(items, 16, 16)).toDF()
+        .select(col("media_id"), col("width"), col("height"), col("ok"))
+        .orderBy(col("media_id"))
+    },
+
     "q30_term_freq" -> { (s, dir) =>
       TextAnalysis.termFrequencies(docs(s, dir), "text", minCount = 100L)
         .orderBy(col("term"))
@@ -267,6 +283,19 @@ object ExtQueries extends QueryPack {
         |  CAST(1 + doc_id % 48 AS INT) AS height,
         |  TRUE AS ok
         |FROM documents WHERE doc_id < 200 ORDER BY media_id""".stripMargin,
+    "q59_image_resize" ->
+      """WITH src AS (SELECT doc_id AS media_id,
+        |    1 + doc_id % 64 AS w0, 1 + doc_id % 48 AS h0
+        |  FROM documents WHERE doc_id < 200),
+        |s AS (SELECT media_id, w0, h0,
+        |    least(16.0 / w0, 16.0 / h0) AS sc FROM src)
+        |SELECT media_id,
+        |  CAST(CASE WHEN w0 <= 16 AND h0 <= 16 THEN w0
+        |    ELSE greatest(1, round(w0 * sc)) END AS INT) AS width,
+        |  CAST(CASE WHEN w0 <= 16 AND h0 <= 16 THEN h0
+        |    ELSE greatest(1, round(h0 * sc)) END AS INT) AS height,
+        |  TRUE AS ok
+        |FROM s ORDER BY media_id""".stripMargin,
     "q30_term_freq" ->
       """SELECT term, COUNT(*) AS term_count FROM (
         |  SELECT unnest(string_split(text, ' ')) AS term FROM documents)

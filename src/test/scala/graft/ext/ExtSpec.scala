@@ -175,4 +175,21 @@ class ExtSpec extends AnyFunSuite {
     assert(pngFeats.head.width == 64 && pngFeats.head.height == 8
       && pngFeats.head.ok)
   }
+
+  test("multimodal resize: aspect-preserving fit, pass-through for non-images") {
+    val big = Multimodal.syntheticPng(64, 48)
+    val resized = Multimodal.resizeImage(big, 32, 32)
+    assert(Multimodal.decodeImage(resized) == ((32, 24, true)))
+    // already fits / not an image → untouched payload
+    val small = Multimodal.syntheticPng(10, 10)
+    assert(Multimodal.resizeImage(small, 32, 32) eq small)
+    val text = "not an image".getBytes("UTF-8")
+    assert(Multimodal.resizeImage(text, 32, 32) eq text)
+    // batch path over a distributed dataset
+    import spark.implicits._
+    val out = Multimodal.resizeAll(
+      Seq(Multimodal.MediaItem(1L, big, "image/png")).toDS().repartition(2),
+      16, 16).collect()
+    assert(Multimodal.decodeImage(out.head.payload) == ((16, 12, true)))
+  }
 }
