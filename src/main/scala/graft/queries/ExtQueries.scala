@@ -47,6 +47,19 @@ object ExtQueries extends QueryPack {
         .orderBy(col("ida"), col("idb"))
     },
 
+    // n-gram (3-token shingle) Jaccard near-dup: same lossless PPJoin
+    // blocking as q21 but over shingle sets — order-sensitive where the
+    // word-set form is bag-of-words. Oracle recomputes the exact
+    // shingle construction and the all-pairs join.
+    "q60_ngram_jaccard" -> { (s, dir) =>
+      val d = docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          Dedup.shingles(col("text"), 3).as("sh"))
+      Dedup.jaccardNearDupPairs(d, "doc_id", "sh",
+          threshold = 0.8, blockCol = Some("lang"))
+        .orderBy(col("ida"), col("idb"))
+    },
+
     "q22_simhash_pairs" -> { (s, dir) =>
       Dedup.simhashNearDupPairs(docs(s, dir), "doc_id", "text", maxHamming = 12)
         .orderBy(col("ida"), col("idb"))
@@ -214,6 +227,22 @@ object ExtQueries extends QueryPack {
         |FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.ws, b.ws)) * 1.0
         |    / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.9
+        |ORDER BY ida, idb""".stripMargin,
+    "q60_ngram_jaccard" ->
+      """WITH s AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+        |    FROM documents),
+        |sh AS (SELECT doc_id, lang,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(w) - 3, 0) + 1),
+        |      i -> array_to_string(w[i : least(i + 2, len(w))], chr(1))))
+        |      AS sh
+        |  FROM s)
+        |SELECT a.doc_id AS ida, b.doc_id AS idb, a.lang AS lang,
+        |  len(list_intersect(a.sh, b.sh)) * 1.0
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard_sim
+        |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
         |ORDER BY ida, idb""".stripMargin,
     "q23_langid" ->
       """WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
