@@ -251,8 +251,8 @@ object DataFlowExec {
       Map("out" -> ctx.spark.read.parquet(path))
 
     case SourceExcel(_, path, sheet, header, schemaDdl, sheetName) =>
-      val idx = sheetName.fold(sheet)(n => graft.sources.Excel.sheetIndexOf(path, n))
-      Map("out" -> graft.sources.Excel.read(ctx.spark, path, idx, header, schemaDdl))
+      Map("out" -> graft.sources.Excel.read(ctx.spark, path, sheet, header,
+        schemaDdl, sheetName))
 
     case SourceXml(_, path, rowTag, options, schemaDdl) =>
       val r = ctx.spark.read.options(options).option("rowTag", rowTag)
@@ -585,8 +585,15 @@ object DataFlowExec {
       Map("out" -> df.filter(pmod(col(keyColumn), lit(buckets)) < lit(keep)))
 
     case RandomSampling(_, percent, seed) =>
+      // one seeded draw per row, persisted so the two ports partition
+      // the input consistently even across separate downstream actions
       val df = single(inputs, comp)
-      Map("out" -> df.sample(withReplacement = false, percent / 100.0, seed))
+      val drawn = df.withColumn("__graft_rs", rand(seed) < lit(percent / 100.0))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      ctx.persisted += drawn
+      Map(
+        "out" -> drawn.filter(col("__graft_rs")).drop("__graft_rs"),
+        "unselected" -> drawn.filter(!col("__graft_rs")).drop("__graft_rs"))
 
     case Pivot(_, groupBy, pivotCol, pivotValues, valueCol, aggOp) =>
       val df = single(inputs, comp)

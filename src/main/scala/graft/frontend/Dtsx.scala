@@ -238,6 +238,8 @@ object Dtsx {
         case Some("Microsoft.Multicast") => fromPortRaw
         case Some("Microsoft.Lookup")
           if fromPortRaw.toLowerCase.contains("no match") => "nomatch"
+        case Some("Microsoft.PercentageSampling")
+          if fromPortRaw.toLowerCase.contains("unselected") => "unselected"
         case _ => "out"
       }
       val toPort = classOf.get(toComp) match {

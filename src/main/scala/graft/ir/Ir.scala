@@ -232,7 +232,9 @@ object Component {
       buckets: Int, keep: Int) extends Component
   /** SSIS Percentage Sampling proper: seeded Bernoulli sample —
     * deterministic per (seed, partitioning) but not engine-portable, so
-    * unit-tested rather than oracle-checked. Prefer [[Sampling]] when
+    * unit-tested rather than oracle-checked. Emits BOTH SSIS ports:
+    * "out" (selected) and "unselected" (the complement — every row
+    * leaves on exactly one port). Prefer [[Sampling]] when
     * reproducibility across engines matters. */
   final case class RandomSampling(name: String, percent: Double,
       seed: Long) extends Component

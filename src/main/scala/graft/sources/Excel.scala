@@ -36,24 +36,49 @@ object Excel {
   private[sources] def colIndex(ref: String): Int =
     ref.takeWhile(_.isLetter).foldLeft(0)((acc, ch) => acc * 26 + (ch - 'A' + 1)) - 1
 
-  /** Sheet index of `sheetName` per the workbook's declared sheet order
-    * (a trailing `$` — the OLE DB rowset form "Sheet1$" — is ignored). */
-  def sheetIndexOf(path: String, sheetName: String): Int = {
-    val clean = sheetName.stripSuffix("$")
-    val zip = new ZipFile(path)
-    try {
-      val wb = Option(zip.getEntry("xl/workbook.xml"))
-        .getOrElse(sys.error(s"Excel: no workbook.xml in $path"))
-      val names = (XML.load(zip.getInputStream(wb)) \ "sheets" \ "sheet")
-        .map(s => (s \ "@name").text)
-      val i = names.indexOf(clean)
-      require(i >= 0, s"Excel: no sheet '$clean' in $path (sheets: $names)")
-      i
-    } finally zip.close()
+  /** The worksheet part for a sheet selected by name or declared-order
+    * index. Resolution goes through the workbook's relationship table
+    * (sheet → r:id → rels target): the `sheetN.xml` part names are
+    * assigned at creation and do NOT track reordering or deletion, so
+    * positional part naming is only a fallback for workbooks without a
+    * rels part. A trailing `$` on the name (the OLE DB rowset form
+    * "Sheet1$") is ignored. */
+  private def sheetPart(zip: ZipFile, path: String, sheet: Int,
+      sheetName: Option[String]): String = {
+    val viaRels = for {
+      wbE <- Option(zip.getEntry("xl/workbook.xml"))
+      relsE <- Option(zip.getEntry("xl/_rels/workbook.xml.rels"))
+    } yield {
+      val sheets = XML.load(zip.getInputStream(wbE)) \ "sheets" \ "sheet"
+      val chosen = sheetName match {
+        case Some(n) =>
+          val clean = n.stripSuffix("$")
+          sheets.find(s => (s \ "@name").text == clean).getOrElse(
+            sys.error(s"Excel: no sheet '$clean' in $path " +
+              s"(sheets: ${sheets.map(s => (s \ "@name").text)})"))
+        case None => sheets.lift(sheet).getOrElse(
+          sys.error(s"Excel: no sheet index $sheet in $path"))
+      }
+      val rid = chosen.attributes.iterator.collectFirst {
+        case a: scala.xml.Attribute if a.key == "id" => a.value.text
+      }.getOrElse(sys.error(s"Excel: sheet without r:id in $path"))
+      val rels = XML.load(zip.getInputStream(relsE)) \ "Relationship"
+      val target = rels.find(r => (r \ "@Id").text == rid)
+        .map(r => (r \ "@Target").text)
+        .getOrElse(sys.error(s"Excel: no relationship $rid in $path"))
+      if (target.startsWith("/")) target.stripPrefix("/")
+      else "xl/" + target
+    }
+    viaRels.getOrElse {
+      require(sheetName.isEmpty,
+        s"Excel: cannot resolve sheet by name without workbook rels in $path")
+      s"xl/worksheets/sheet${sheet + 1}.xml"
+    }
   }
 
   def read(spark: SparkSession, path: String, sheet: Int = 0,
-      header: Boolean = true, schemaDdl: Option[String] = None): DataFrame = {
+      header: Boolean = true, schemaDdl: Option[String] = None,
+      sheetName: Option[String] = None): DataFrame = {
     val zip = new ZipFile(path)
     try {
       val shared: IndexedSeq[String] =
@@ -61,8 +86,9 @@ object Excel {
           val x = XML.load(zip.getInputStream(e))
           (x \ "si").map(si => (si \\ "t").map(_.text).mkString).toIndexedSeq
         }.getOrElse(IndexedSeq.empty)
-      val entry = Option(zip.getEntry(s"xl/worksheets/sheet${sheet + 1}.xml"))
-        .getOrElse(sys.error(s"Excel: no sheet index $sheet in $path"))
+      val part = sheetPart(zip, path, sheet, sheetName)
+      val entry = Option(zip.getEntry(part))
+        .getOrElse(sys.error(s"Excel: missing worksheet part $part in $path"))
       val x = XML.load(zip.getInputStream(entry))
       val rawRows: Seq[Array[String]] = (x \ "sheetData" \ "row").map { row =>
         // @r is OPTIONAL in OOXML: a cell without it sits immediately
