@@ -92,14 +92,49 @@ object PipelineContext {
           case WriteMode.Append => "append"
           case WriteMode.Overwrite => "overwrite"
         }
-        val selfRef = aligned.queryExecution.analyzed.exists {
+        // Self-read detection resolves BOTH sides to (database, table):
+        // a qualified sink like "db.tbl" must match identifier.table +
+        // database, and a same-named table in another database must NOT
+        // false-positive into a needless checkpoint. DSv2 relations are
+        // matched via their Identifier; an Overwrite whose plan contains
+        // a relation we cannot identify keeps the checkpoint as the
+        // conservative fallback (a missed self-read under Overwrite is
+        // Spark's cannot-overwrite-a-path-being-read error or truncated
+        // data — strictly worse than one extra materialization).
+        val parts = spark.sessionState.sqlParser.parseMultipartIdentifier(name)
+        val sinkTable = parts.last
+        val sinkDb =
+          if (parts.length > 1) parts(parts.length - 2)
+          else spark.catalog.currentDatabase
+        def matches(db: Option[String], table: String): Boolean =
+          table.equalsIgnoreCase(sinkTable) &&
+            db.getOrElse(spark.catalog.currentDatabase).equalsIgnoreCase(sinkDb)
+        var selfRef = false
+        var unknownRel = false
+        aligned.queryExecution.analyzed.foreach {
           case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-            lr.catalogTable.exists(_.identifier.table.equalsIgnoreCase(name))
+            // catalogTable=None is a path-based scan: it has no catalog
+            // identity and cannot alias a managed-table NAME — not unknown
+            lr.catalogTable.foreach { ct =>
+              if (matches(ct.identifier.database, ct.identifier.table))
+                selfRef = true
+            }
           case r: org.apache.spark.sql.catalyst.catalog.HiveTableRelation =>
-            r.tableMeta.identifier.table.equalsIgnoreCase(name)
-          case _ => false
+            if (matches(r.tableMeta.identifier.database,
+                r.tableMeta.identifier.table)) selfRef = true
+          case v2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+            v2.identifier match {
+              case Some(id) =>
+                val ns = id.namespace()
+                if (matches(ns.lastOption, id.name())) selfRef = true
+              case None => unknownRel = true
+            }
+          case _ => ()
         }
-        val out = if (selfRef) aligned.localCheckpoint(true) else aligned
+        val out =
+          if (selfRef || (m == "overwrite" && unknownRel))
+            aligned.localCheckpoint(true)
+          else aligned
         out.write.mode(m).saveAsTable(name)
       },
       mutable.Map.empty)
@@ -470,7 +505,9 @@ object DataFlowExec {
       val ins = inputs.getOrElse("in", Nil)
       require(ins.size >= 2, s"${comp.name}: merge needs >=2 inputs")
       val u = ins.reduce(_ unionByName _)
-      Map("out" -> (if (sortOutput) u.orderBy(sortKeys.map(col): _*) else u))
+      val order = sortKeys.map { case (k, asc) =>
+        if (asc) col(k).asc else col(k).desc }
+      Map("out" -> (if (sortOutput) u.orderBy(order: _*) else u))
 
     case FuzzyLookup(name, refTable, streamKey, refId, refKey, copyCols,
         minSim, simCol, maxMatches) =>

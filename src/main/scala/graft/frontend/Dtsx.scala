@@ -340,6 +340,9 @@ object Dtsx {
       case "i2" | "ui1" => "SMALLINT"
       case "i4" | "ui2" => "INT"
       case "i8" | "ui4" => "BIGINT"
+      // unsigned 64-bit exceeds BIGINT's top half; DECIMAL(20,0) holds
+      // the full range (keep in sync with dtNameOf's ui8 mapping)
+      case "ui8" => "DECIMAL(20,0)"
       case "r4" => "FLOAT"
       case "r8" => "DOUBLE"
       case "bool" => "BOOLEAN"
@@ -431,9 +434,12 @@ object Dtsx {
             .getOrElse(sys.error(s"dtsx MergeJoin $name: missing input"))
         val left = side(_.contains("left"))
         val right = side(_.contains("right"))
+        // |position| identifies the key slot; a negative position means
+        // the input was sorted descending — irrelevant to the equi-join
+        // itself, but the key must not be dropped.
         def sortKeys(in: Node): Seq[String] =
           (in \ "inputColumns" \ "inputColumn").flatMap { ic =>
-            attr(ic, "cachedSortKeyPosition").map(_.toInt)
+            attr(ic, "cachedSortKeyPosition").map(p => math.abs(p.toInt))
               .filter(p => p > 0 && p <= numKeys)
               .map(p => (p, attr(ic, "cachedName").get))
           }.sortBy(_._1).map(_._2)
@@ -481,13 +487,15 @@ object Dtsx {
         UnionAll(name)
 
       case "Microsoft.Merge" =>
-        // sorted union: keys = first input's sort-key columns in order
+        // sorted union: keys = first input's sort-key columns in order.
+        // SSIS encodes a DESCENDING key as a negative position — order
+        // by |position| and keep the sign as the direction.
         val firstIn = (c \ "inputs" \ "input").headOption
           .getOrElse(sys.error(s"dtsx Merge $name: no inputs"))
         val keys = (firstIn \ "inputColumns" \ "inputColumn").flatMap { ic =>
-          attr(ic, "cachedSortKeyPosition").map(_.toInt).filter(_ > 0)
-            .map(p => (p, attr(ic, "cachedName").get))
-        }.sortBy(_._1).map(_._2)
+          attr(ic, "cachedSortKeyPosition").map(_.toInt).filter(_ != 0)
+            .map(p => (math.abs(p), attr(ic, "cachedName").get, p > 0))
+        }.sortBy(_._1).map(k => (k._2, k._3))
         MergeSorted(name, keys)
 
       case "Microsoft.DataConvert" =>
@@ -515,7 +523,15 @@ object Dtsx {
       case "Microsoft.Aggregate" =>
         // AggregationType enum: GroupBy=0, Count=1, CountAll=2,
         // CountDistinct=3, Sum=4, Average=5, Minimum=6, Maximum=7;
-        // source column via the AggregationColumnId lineage ref
+        // source column via the AggregationColumnId lineage ref.
+        // The designer supports MULTIPLE aggregation outputs (independent
+        // group-bys in one component); flattening them would silently
+        // merge their keys — refuse until multi-output is modeled.
+        val aggOuts = (c \ "outputs" \ "output")
+          .filterNot(o => attr(o, "isErrorOut").contains("true"))
+        if (aggOuts.size > 1)
+          sys.error(s"dtsx Aggregate $name: ${aggOuts.size} aggregation " +
+            "outputs — multi-output Aggregate is not supported")
         val entries = outputCols(c).map { oc =>
           val ps = props(oc)
           val outName = attr(oc, "name").get

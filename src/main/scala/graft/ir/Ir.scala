@@ -152,8 +152,11 @@ object Component {
     * defers the global sort: SSIS Merge's order contract rarely matters
     * downstream (a consuming join/agg re-shuffles anyway), and a global
     * orderBy is a range-partition + sort — the single most expensive
-    * thing to do to 100 TB. The keys remain the declared contract. */
-  final case class MergeSorted(name: String, sortKeys: Seq[String],
+    * thing to do to 100 TB. The keys remain the declared contract.
+    * Each key carries its direction (true = ascending): SSIS encodes a
+    * descending sort key as a NEGATIVE cachedSortKeyPosition, so the
+    * frontend must not lose the sign. */
+  final case class MergeSorted(name: String, sortKeys: Seq[(String, Boolean)],
       sortOutput: Boolean = true) extends Component
 
   /** Fuzzy Lookup (reference recognize-only,

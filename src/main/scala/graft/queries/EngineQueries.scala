@@ -204,7 +204,7 @@ object EngineQueries extends QueryPack {
       val flow = DataFlow("q17", Seq(
         SourceTable("lo", "supplier", filter = Some("s_nationkey < 12")),
         SourceTable("hi", "supplier", filter = Some("s_nationkey >= 12")),
-        MergeSorted("m", sortKeys = Seq("s_suppkey"))),
+        MergeSorted("m", sortKeys = Seq("s_suppkey" -> true))),
         Seq(Path("lo", "m"), Path("hi", "m")))
       run(s, dir, flow)("m.out")
     }

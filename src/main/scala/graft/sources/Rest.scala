@@ -55,11 +55,47 @@ object Rest {
   }
 
   private def localPath(url: String): String =
-    if (url.startsWith("file://")) url.stripPrefix("file://")
-    else if (url.startsWith("http://") || url.startsWith("https://"))
+    if (url.startsWith("file:")) {
+      // java.net.URI so file:///p and authority forms both resolve to an
+      // absolute path — a naive stripPrefix("file://") turns
+      // file://host/p into the RELATIVE path "host/p"
+      val u = new java.net.URI(url)
+      val auth = Option(u.getAuthority).getOrElse("")
+      require(auth.isEmpty || auth.equalsIgnoreCase("localhost"),
+        s"Rest: non-local file URL authority '$auth' in $url")
+      Option(u.getPath).filter(_.nonEmpty)
+        .getOrElse(sys.error(s"Rest: no path in file URL $url"))
+    } else if (url.startsWith("http://") || url.startsWith("https://"))
       sys.error(s"Rest: http(s) fetch is not available in this build " +
         s"(zero egress) — stage the payload and use a file:// URL: $url")
     else url
+
+  /** Whether the payload document(s) at `path` are top-level JSON
+    * arrays. Peeks only the first non-whitespace byte of each file via
+    * the Hadoop FS (driver-side, O(files) tiny reads — the data path
+    * stays distributed); mixed array/object payload sets are an error. */
+  private def topLevelIsArray(spark: SparkSession, path: String): Boolean = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.getFileStatus(hPath)
+    val files =
+      if (root.isDirectory)
+        fs.listStatus(hPath).filter(st => st.isFile &&
+          !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+      else Array(root)
+    val flags = files.map { st =>
+      val in = fs.open(st.getPath)
+      try {
+        var c = in.read()
+        while (c != -1 && Character.isWhitespace(c)) c = in.read()
+        c == '['.toInt
+      } finally in.close()
+    }.toSeq.distinct
+    require(flags.size <= 1,
+      s"Rest: payload set at $path mixes top-level arrays and objects")
+    flags.headOption.getOrElse(false)
+  }
 
   /** Read a JSON payload at `url`, navigate `jsonPath`, return a frame
     * of the selected records. `schemaDdl` casts the result columns by
@@ -68,12 +104,18 @@ object Rest {
       schemaDdl: Option[String] = None): DataFrame = {
     // multiLine: a REST payload is one JSON document, not JSON-lines —
     // Spark surfaces a top-level array as one row per element
-    val raw = spark.read.option("multiLine", "true").json(localPath(url))
+    val path = localPath(url)
+    val raw = spark.read.option("multiLine", "true").json(path)
     val steps0 = parsePath(jsonPath)
-    // a leading [*] on a top-level-array document is identity: the
-    // reader already exploded the array into rows
+    // a leading [*] on a top-level-ARRAY document is identity (the
+    // reader already exploded the array into rows); over a top-level
+    // object it is a path error, not a silent identity
     val steps = steps0 match {
-      case Wildcard +: rest => rest
+      case Wildcard +: rest =>
+        if (!topLevelIsArray(spark, path))
+          sys.error(s"JSONPath $jsonPath applies [*] to a top-level " +
+            s"JSON object (payload at $url is not an array)")
+        rest
       case other => other
     }
     var df = raw.select(struct(col("*")).as("__v"))

@@ -245,4 +245,34 @@ class DagSpec extends AnyFunSuite {
     assert(res.variables("User::I") == 3)
     assert(res.variables("User::Last") == 10)
   }
+
+  test("catalog write: DATABASE-qualified self-read is checkpoint-broken; same name elsewhere is not") {
+    val cat = PipelineContext.overCatalog(spark)
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_dag_db")
+    spark.sql("DROP TABLE IF EXISTS graft_dag_db.selfref")
+    spark.sql("CREATE TABLE graft_dag_db.selfref (k INT) USING parquet")
+    spark.sql("INSERT INTO graft_dag_db.selfref VALUES (1), (2)")
+    // a plan that READS graft_dag_db.selfref, overwritten back into the
+    // SAME qualified name: without identifier-resolved self-read
+    // detection this is Spark's cannot-overwrite-a-path-being-read error
+    import org.apache.spark.sql.functions.col
+    val bumped = spark.table("graft_dag_db.selfref")
+      .withColumn("k", col("k") + 1)
+    cat.writeTable("graft_dag_db.selfref", bumped, WriteMode.Overwrite)
+    assert(spark.table("graft_dag_db.selfref").collect()
+      .map(_.getInt(0)).toSet == Set(2, 3))
+
+    // same-named table in the CURRENT database: reading it must not
+    // block overwriting the db-qualified one (no false-positive), and
+    // writing it while reading the qualified one must also succeed
+    spark.sql("DROP TABLE IF EXISTS selfref")
+    spark.sql("CREATE TABLE selfref (k INT) USING parquet")
+    spark.sql("INSERT INTO selfref VALUES (10)")
+    val cross = spark.table("graft_dag_db.selfref")
+    cat.writeTable("selfref", cross, WriteMode.Overwrite)
+    assert(spark.table("selfref").collect().map(_.getInt(0)).toSet == Set(2, 3))
+    spark.sql("DROP TABLE IF EXISTS selfref")
+    spark.sql("DROP TABLE IF EXISTS graft_dag_db.selfref")
+    spark.sql("DROP DATABASE IF EXISTS graft_dag_db")
+  }
 }

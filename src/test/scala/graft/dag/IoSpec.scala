@@ -138,6 +138,22 @@ class IoSpec extends AnyFunSuite {
       graft.sources.Rest.read(spark, "http://example.invalid/x.json", "$")
     }
     assert(ex.getMessage.contains("zero egress"))
+
+    // authority-form file URL: file://localhost/p resolves to /p (a
+    // naive stripPrefix would produce the relative path "localhost/p")
+    val df3 = graft.sources.Rest.read(spark, s"file://localhost$arr", "$[*]")
+    assert(df3.select("id").collect().map(_.getLong(0)).toSet == Set(10L, 20L))
+    // non-local authority is an error, not a silent misread
+    val exAuth = intercept[Exception] {
+      graft.sources.Rest.read(spark, s"file://remotehost$arr", "$[*]")
+    }
+    assert(exAuth.getMessage.contains("authority"))
+
+    // leading [*] over a top-level OBJECT is a path error, not identity
+    val exObj = intercept[RuntimeException] {
+      graft.sources.Rest.read(spark, nested.toString, "$[*]")
+    }
+    assert(exObj.getMessage.contains("top-level"))
   }
 
   test("xml round-trip via built-in datasource") {

@@ -759,4 +759,215 @@ class DtsxSpec extends AnyFunSuite {
     // INSERT branch was empty — destination unchanged
     assert(spark.table("DST_GenericTable").count() == 4)
   }
+
+  test("dtsx Merge: negative cachedSortKeyPosition = descending key, kept with direction") {
+    val xml =
+      <DTS:Executable xmlns:DTS="www.microsoft.com/SqlServer/Dts" DTS:ObjectName="mdesc">
+        <DTS:Executables>
+          <DTS:Executable DTS:ObjectName="DFT" DTS:ExecutableType="Microsoft.Pipeline">
+            <DTS:ObjectData>
+              <pipeline>
+                <components>
+                  <component componentClassID="Microsoft.OLEDBSource" name="SRC1">
+                    <properties>
+                      <property name="SqlCommand">SELECT k, v FROM mdesc_src WHERE k &lt;= 2</property>
+                      <property name="AccessMode">2</property>
+                    </properties>
+                    <outputs>
+                      <output name="Out">
+                        <outputColumns>
+                          <outputColumn name="k"/>
+                          <outputColumn name="v"/>
+                        </outputColumns>
+                      </output>
+                    </outputs>
+                  </component>
+                  <component componentClassID="Microsoft.OLEDBSource" name="SRC2">
+                    <properties>
+                      <property name="SqlCommand">SELECT k, v FROM mdesc_src WHERE k &gt;= 3</property>
+                      <property name="AccessMode">2</property>
+                    </properties>
+                    <outputs>
+                      <output name="Out">
+                        <outputColumns>
+                          <outputColumn name="k"/>
+                          <outputColumn name="v"/>
+                        </outputColumns>
+                      </output>
+                    </outputs>
+                  </component>
+                  <component componentClassID="Microsoft.Merge" name="MRG">
+                    <inputs>
+                      <input name="Merge Input 1">
+                        <inputColumns>
+                          <inputColumn cachedName="k" cachedSortKeyPosition="-1"/>
+                          <inputColumn cachedName="v" cachedSortKeyPosition="2"/>
+                        </inputColumns>
+                      </input>
+                      <input name="Merge Input 2">
+                        <inputColumns>
+                          <inputColumn cachedName="k" cachedSortKeyPosition="-1"/>
+                          <inputColumn cachedName="v" cachedSortKeyPosition="2"/>
+                        </inputColumns>
+                      </input>
+                    </inputs>
+                  </component>
+                </components>
+                <paths>
+                  <path startId="P\DFT\SRC1.Outputs[Out]" endId="P\DFT\MRG.Inputs[Merge Input 1]"/>
+                  <path startId="P\DFT\SRC2.Outputs[Out]" endId="P\DFT\MRG.Inputs[Merge Input 2]"/>
+                </paths>
+              </pipeline>
+            </DTS:ObjectData>
+          </DTS:Executable>
+        </DTS:Executables>
+      </DTS:Executable>
+    val spec = Dtsx.parse(xml)
+    val flow = spec.tasks.collect { case graft.ir.CfTask.DataFlowTask(_, f) => f }.head
+    val ms = flow.components.collectFirst { case m: graft.ir.Component.MergeSorted => m }.get
+    assert(ms.sortKeys == Seq("k" -> false, "v" -> true))
+    sql(
+      "DROP TABLE IF EXISTS mdesc_src",
+      "CREATE TABLE mdesc_src (k INT, v STRING) USING parquet",
+      "INSERT INTO mdesc_src VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd')")
+    val out = graft.dag.DataFlowExec.run(flow,
+      PipelineContext.overCatalog(spark))("MRG.out")
+    assert(out.select("k").collect().map(_.getInt(0)).toSeq == Seq(4, 3, 2, 1))
+  }
+
+  test("dtsx MergeJoin: negative sort-key positions still pair the join keys") {
+    val xml =
+      <DTS:Executable xmlns:DTS="www.microsoft.com/SqlServer/Dts" DTS:ObjectName="mjdesc">
+        <DTS:Executables>
+          <DTS:Executable DTS:ObjectName="DFT" DTS:ExecutableType="Microsoft.Pipeline">
+            <DTS:ObjectData>
+              <pipeline>
+                <components>
+                  <component componentClassID="Microsoft.MergeJoin" name="MJ">
+                    <properties>
+                      <property name="JoinType">2</property>
+                      <property name="NumKeyColumns">1</property>
+                    </properties>
+                    <inputs>
+                      <input name="Merge Join Left Input">
+                        <inputColumns>
+                          <inputColumn cachedName="lk" cachedSortKeyPosition="-1"/>
+                        </inputColumns>
+                      </input>
+                      <input name="Merge Join Right Input">
+                        <inputColumns>
+                          <inputColumn cachedName="rk" cachedSortKeyPosition="-1"/>
+                        </inputColumns>
+                      </input>
+                    </inputs>
+                    <outputs>
+                      <output name="Merge Join Output">
+                        <outputColumns>
+                          <outputColumn name="lk">
+                            <properties>
+                              <property name="InputColumnID">#{{P\DFT\MJ.Inputs[Merge Join Left Input].Columns[lk]}}</property>
+                            </properties>
+                          </outputColumn>
+                        </outputColumns>
+                      </output>
+                    </outputs>
+                  </component>
+                </components>
+                <paths/>
+              </pipeline>
+            </DTS:ObjectData>
+          </DTS:Executable>
+        </DTS:Executables>
+      </DTS:Executable>
+    val flow = Dtsx.parse(xml).tasks
+      .collect { case graft.ir.CfTask.DataFlowTask(_, f) => f }.head
+    val mj = flow.components.collectFirst { case m: graft.ir.Component.MergeJoin => m }.get
+    assert(mj.keys == Seq("lk" -> "rk"))
+  }
+
+  test("dtsx Aggregate: multiple aggregation outputs are rejected loudly") {
+    val xml =
+      <DTS:Executable xmlns:DTS="www.microsoft.com/SqlServer/Dts" DTS:ObjectName="magg">
+        <DTS:Executables>
+          <DTS:Executable DTS:ObjectName="DFT" DTS:ExecutableType="Microsoft.Pipeline">
+            <DTS:ObjectData>
+              <pipeline>
+                <components>
+                  <component componentClassID="Microsoft.Aggregate" name="AGG">
+                    <outputs>
+                      <output name="Aggregate Output 1">
+                        <outputColumns>
+                          <outputColumn name="k">
+                            <properties>
+                              <property name="AggregationType">0</property>
+                            </properties>
+                          </outputColumn>
+                        </outputColumns>
+                      </output>
+                      <output name="Aggregate Output 2">
+                        <outputColumns>
+                          <outputColumn name="n">
+                            <properties>
+                              <property name="AggregationType">2</property>
+                            </properties>
+                          </outputColumn>
+                        </outputColumns>
+                      </output>
+                    </outputs>
+                  </component>
+                </components>
+                <paths/>
+              </pipeline>
+            </DTS:ObjectData>
+          </DTS:Executable>
+        </DTS:Executables>
+      </DTS:Executable>
+    val ex = intercept[RuntimeException](Dtsx.parse(xml))
+    assert(ex.getMessage.contains("multi-output Aggregate"))
+  }
+
+  test("dtsx flat-file ui8 column maps to DECIMAL(20,0) (full unsigned-64 range)") {
+    val xml =
+      <DTS:Executable xmlns:DTS="www.microsoft.com/SqlServer/Dts" DTS:ObjectName="ui8p">
+        <DTS:ConnectionManagers>
+          <DTS:ConnectionManager DTS:ObjectName="FF" DTS:CreationName="FLATFILE">
+            <DTS:ObjectData>
+              <DTS:ConnectionManager DTS:ConnectionString="/tmp/nowhere.csv"
+                  DTS:Format="Delimited" DTS:ColumnNamesInFirstDataRow="True">
+                <DTS:FlatFileColumns>
+                  <DTS:FlatFileColumn DTS:ObjectName="big" DTS:ColumnDelimiter="_x002C_"/>
+                </DTS:FlatFileColumns>
+              </DTS:ConnectionManager>
+            </DTS:ObjectData>
+          </DTS:ConnectionManager>
+        </DTS:ConnectionManagers>
+        <DTS:Executables>
+          <DTS:Executable DTS:ObjectName="DFT" DTS:ExecutableType="Microsoft.Pipeline">
+            <DTS:ObjectData>
+              <pipeline>
+                <components>
+                  <component componentClassID="Microsoft.FlatFileSource" name="FFS">
+                    <connections>
+                      <connection connectionManagerID="Package.ConnectionManagers[FF]"/>
+                    </connections>
+                    <outputs>
+                      <output name="Out">
+                        <outputColumns>
+                          <outputColumn name="big" dataType="ui8"/>
+                        </outputColumns>
+                      </output>
+                    </outputs>
+                  </component>
+                </components>
+                <paths/>
+              </pipeline>
+            </DTS:ObjectData>
+          </DTS:Executable>
+        </DTS:Executables>
+      </DTS:Executable>
+    val flow = Dtsx.parse(xml).tasks
+      .collect { case graft.ir.CfTask.DataFlowTask(_, f) => f }.head
+    val src = flow.components.collectFirst { case s: graft.ir.Component.SourceCsv => s }.get
+    assert(src.schemaDdl.exists(_.contains("DECIMAL(20,0)")))
+  }
 }
