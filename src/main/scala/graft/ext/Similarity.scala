@@ -143,4 +143,64 @@ object Similarity {
       .orderBy(col("cosine_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** IVF (inverted-file) top-k — the classic coarse-quantizer ANN index
+    * as a DataFrame pipeline. Corpus vectors are assigned to their
+    * single nearest of `nlist` coarse centroids (the index build: ONE
+    * scan + a broadcast of nlist centroids); each query then probes only
+    * its `nprobe` nearest centroids' lists, so the candidate join
+    * shuffles on centroid_id — list-local, never all-pairs. Exact cosine
+    * ranks the candidates.
+    *
+    * Centroids are a deterministic hash-picked sample of the corpus
+    * itself rather than k-means iterations: at scale the assignment scan
+    * dominates the build either way, sampled quantizers are the standard
+    * cheap baseline, and determinism keeps the operator reproducible
+    * across runs/executors. Swapping in trained centroids touches only
+    * the `cents` frame.
+    *
+    * `nprobe = nlist` probes every list — the search degenerates to
+    * exhaustive and returns EXACTLY [[bruteForceTopK]]'s result (same
+    * cosine math, same (sim DESC, id) tie-break), which is what puts
+    * this operator under the DuckDB oracle gate; `nprobe < nlist` is the
+    * approximate scale path. Output: (query_id, neighbor_id, cosine_sim,
+    * rank). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int, nprobe: Int): DataFrame = {
+    require(nlist > 0 && nprobe > 0 && nprobe <= nlist,
+      s"need 0 < nprobe <= nlist, got nprobe=$nprobe nlist=$nlist")
+    // index build: nlist hash-picked corpus vectors become centroids
+    // 0..nlist-1 (xxhash64 order = a deterministic uniform sample)
+    val cents = corpus
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+      .withColumn("h", xxhash64(col("cid")))
+      .orderBy(col("h"), col("cid")).limit(nlist)
+      .withColumn("centroid_id",
+        row_number().over(Window.orderBy(col("h"), col("cid"))) - 1)
+      .select(col("centroid_id"), col("cv"))
+    // nearest-centroid rank of every vector, reused for both sides;
+    // ties broken by centroid_id for determinism
+    def centroidRanks(df: DataFrame, id: String): DataFrame = {
+      val w = Window.partitionBy(id)
+        .orderBy(cosine(col("v"), col("cv")).desc, col("centroid_id"))
+      df.select(col(idCol).as(id), col(vecCol).as("v"))
+        .crossJoin(broadcast(cents))
+        .withColumn("crank", row_number().over(w))
+    }
+    // inverted lists: each corpus vector in exactly its nearest list
+    val lists = centroidRanks(corpus, "neighbor_id")
+      .filter(col("crank") === 1)
+      .select(col("centroid_id"), col("neighbor_id"), col("v").as("nv"))
+    // each query probes its nprobe nearest lists
+    val probes = centroidRanks(queries, "query_id")
+      .filter(col("crank") <= nprobe)
+      .select(col("centroid_id"), col("query_id"), col("v").as("qv"))
+    val scored = probes.join(lists, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("nv")).as("cosine_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

@@ -116,6 +116,23 @@ object ExtQueries extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // IVF ANN with nprobe = nlist probes every inverted list, so the
+    // search is exhaustive and must EXACTLY reproduce the brute-force
+    // oracle (same rounding discipline as q27); nprobe < nlist is the
+    // approximate scale path, exercised in ExtSpec.
+    "q61_ann_ivf" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val topk = Similarity.ivfTopK(e.filter(col("vec_id") < 20), e,
+        "vec_id", "embedding", k = 5, nlist = 8, nprobe = 8)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(round(col("cosine_sim"), 6).desc, col("neighbor_id"))
+      topk.select(col("query_id"), col("neighbor_id"),
+          round(col("cosine_sim"), 6).as("cosine_sim"))
+        .withColumn("rank", row_number().over(w))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     "q28_ann_lsh" -> { (s, dir) =>
       val e = embs(s, dir)
       Similarity.lshTopK(e.filter(col("vec_id") < 20), e,
@@ -181,6 +198,44 @@ object ExtQueries extends QueryPack {
       Multimodal.extractFeatures(Multimodal.resizeAll(items, 16, 16)).toDF()
         .select(col("media_id"), col("width"), col("height"), col("ok"))
         .orderBy(col("media_id"))
+    },
+
+    // REAL audio decode: synthetic PCM-16 WAVs with doc_id-derived
+    // stream parameters, parsed back by javax.sound.sampled header
+    // reads; duration uses integer math so the oracle reproduces it.
+    "q62_audio_decode" -> { (s, dir) =>
+      import s.implicits._
+      val items = docs(s, dir).select(col("doc_id").cast("long"))
+        .filter(col("doc_id") < 200).as[Long]
+        .map(id => Multimodal.MediaItem(id,
+          Multimodal.syntheticWav((8000 + (id % 8) * 1000).toInt,
+            (1 + id % 2).toInt, (1000 + (id % 500) * 4).toInt),
+          "audio/wav"))
+      Multimodal.extractAudioFeatures(items).toDF()
+        .select(col("media_id"), col("sample_rate"), col("channels"),
+          col("bits_per_sample"), col("n_frames"), col("duration_ms"),
+          col("ok"))
+        .orderBy(col("media_id"))
+    },
+
+    // Video frame sampling: GVID containers of doc_id-derived PNG
+    // frames, demuxed per partition, every 2nd frame decoded to dims.
+    // The oracle recomputes frame indices and the dimension formulas.
+    "q63_frame_sample" -> { (s, dir) =>
+      import s.implicits._
+      val items = docs(s, dir).select(col("doc_id").cast("long"))
+        .filter(col("doc_id") < 100).as[Long]
+        .map { id =>
+          val n = (3 + id % 4).toInt
+          val frames = (0 until n).map(f => Multimodal.syntheticPng(
+            (4 + ((id + f) % 8)).toInt, (3 + ((id + f) % 6)).toInt))
+          Multimodal.MediaItem(id, Multimodal.syntheticVideo(frames),
+            "video/x-gvid")
+        }
+      Multimodal.sampleFrames(items, stride = 2).toDF()
+        .select(col("media_id"), col("frame_index"), col("width"),
+          col("height"), col("ok"))
+        .orderBy(col("media_id"), col("frame_index"))
     },
 
     "q30_term_freq" -> { (s, dir) =>
@@ -325,6 +380,44 @@ object ExtQueries extends QueryPack {
         |    ELSE greatest(1, round(h0 * sc)) END AS INT) AS height,
         |  TRUE AS ok
         |FROM s ORDER BY media_id""".stripMargin,
+    // q61 full-probe IVF is exhaustive — the brute-force oracle applies
+    // verbatim (same rounding and tie-break discipline as q27).
+    "q61_ann_ivf" ->
+      """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |    FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.v, c.v) AS cs
+        |  FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id),
+        |top5 AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cs DESC, neighbor_id) AS rn FROM s)
+        |  WHERE rn <= 5)
+        |SELECT query_id, neighbor_id, round(cs, 6) AS cosine_sim,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY round(cs, 6) DESC, neighbor_id) AS INT) AS rank
+        |FROM top5 ORDER BY query_id, rank""".stripMargin,
+    "q62_audio_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS INT) AS channels,
+        |  CAST(16 AS INT) AS bits_per_sample,
+        |  CAST(1000 + (doc_id % 500) * 4 AS BIGINT) AS n_frames,
+        |  CAST((1000 + (doc_id % 500) * 4) * 1000
+        |    // (8000 + (doc_id % 8) * 1000) AS BIGINT) AS duration_ms,
+        |  TRUE AS ok
+        |FROM documents WHERE doc_id < 200 ORDER BY media_id""".stripMargin,
+    "q63_frame_sample" ->
+      """WITH d AS (SELECT doc_id AS media_id, 3 + doc_id % 4 AS nf
+        |    FROM documents WHERE doc_id < 100),
+        |f AS (SELECT media_id,
+        |    unnest(generate_series(0, nf - 1)) AS frame_index FROM d)
+        |SELECT media_id, frame_index,
+        |  CAST(4 + (media_id + frame_index) % 8 AS INT) AS width,
+        |  CAST(3 + (media_id + frame_index) % 6 AS INT) AS height,
+        |  TRUE AS ok
+        |FROM f WHERE frame_index % 2 = 0
+        |ORDER BY media_id, frame_index""".stripMargin,
     "q30_term_freq" ->
       """SELECT term, COUNT(*) AS term_count FROM (
         |  SELECT unnest(string_split(text, ' ')) AS term FROM documents)

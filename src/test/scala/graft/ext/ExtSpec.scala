@@ -192,4 +192,66 @@ class ExtSpec extends AnyFunSuite {
       16, 16).collect()
     assert(Multimodal.decodeImage(out.head.payload) == ((16, 12, true)))
   }
+
+  test("audio decode: real WAV header round-trip, honest failure for non-audio") {
+    val wav = Multimodal.syntheticWav(16000, 2, 1234)
+    assert(Multimodal.decodeAudio(wav) == ((16000, 2, 16, 1234L, true)))
+    assert(Multimodal.decodeAudio("not audio".getBytes("UTF-8")) ==
+      ((0, 0, 0, 0L, false)))
+    // batch path: duration = frames * 1000 / rate in integer math
+    import spark.implicits._
+    val feats = Multimodal.extractAudioFeatures(
+      Seq(Multimodal.MediaItem(1L, wav, "audio/wav")).toDS().repartition(2))
+      .collect().head
+    assert(feats == Multimodal.AudioFeatures(1L, 16000, 2, 16, 1234L,
+      1234L * 1000 / 16000, true))
+  }
+
+  test("video frame sampling: GVID demux, stride selection, per-frame dims") {
+    val frames = (0 until 5).map(f => Multimodal.syntheticPng(10 + f, 7 + f))
+    val vid = Multimodal.syntheticVideo(frames)
+    // container parse recovers every frame byte-exactly
+    val parsed = Multimodal.parseVideo(vid)
+    assert(parsed.map(_._1) == (0L until 5L))
+    assert(parsed.forall { case (i, b) => b.sameElements(frames(i.toInt)) })
+    // non-GVID payloads demux to zero frames, not an error
+    assert(Multimodal.parseVideo("plain text".getBytes("UTF-8")).isEmpty)
+    // distributed stride-2 sampling keeps frames 0, 2, 4 with real dims
+    import spark.implicits._
+    val out = Multimodal.sampleFrames(
+      Seq(Multimodal.MediaItem(3L, vid, "video/x-gvid")).toDS().repartition(2),
+      stride = 2).collect().sortBy(_.frame_index)
+    assert(out.map(_.frame_index).toSeq == Seq(0L, 2L, 4L))
+    assert(out.map(f => (f.width, f.height)).toSeq ==
+      Seq((10, 7), (12, 9), (14, 11)))
+    assert(out.forall(_.ok))
+  }
+
+  test("ivf topk: full probe equals brute force; partial probe stays list-local") {
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val rows = (0L until 40L).map(i =>
+      Row(i, Seq.fill(dim)(rnd.nextGaussian().toFloat)))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", ArrayType(FloatType))))
+    val df = spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    val queries = df.filter(col("id") < 5)
+    def canon(out: org.apache.spark.sql.DataFrame) =
+      out.select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    val brute = canon(Similarity.bruteForceTopK(queries, df, "id", "v", 3))
+    // nprobe = nlist → exhaustive → EXACT brute-force equality
+    val full = canon(Similarity.ivfTopK(queries, df, "id", "v",
+      k = 3, nlist = 4, nprobe = 4))
+    assert(full == brute)
+    // partial probe: well-formed approximate output — ≤ k rows per
+    // query, ranks contiguous from 1, sims exact for the pairs returned
+    val part = Similarity.ivfTopK(queries, df, "id", "v",
+        k = 3, nlist = 4, nprobe = 1)
+      .select("query_id", "neighbor_id", "cosine_sim", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    val byQ = part.groupBy(_._1)
+    assert(byQ.values.forall(g =>
+      g.length <= 3 && g.map(_._4).sorted.toSeq == (1 to g.length)))
+  }
 }
