@@ -144,6 +144,21 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Symmetric int8 scalar quantization of an embedding column — the
+    * standard 4× storage/bandwidth shrink before an embedding corpus is
+    * indexed or shipped. Per vector: scale = 127 / max|v_i|, code_i =
+    * round(v_i * scale). All math in double with order-independent
+    * reductions (max), so codes are exactly reproducible across
+    * engines; an all-zero vector quantizes to all-zero codes. Returns
+    * array<int> (int8 value range). Dequantize: code_i / scale. */
+  def quantizeInt8(vec: Column): Column = {
+    val maxAbs = array_max(transform(vec, x => abs(x.cast("double"))))
+    val scale = lit(127.0) / maxAbs
+    when(maxAbs === 0.0, transform(vec, _ => lit(0)))
+      .otherwise(transform(vec, x =>
+        round(x.cast("double") * scale).cast("int")))
+  }
+
   /** IVF (inverted-file) top-k — the classic coarse-quantizer ANN index
     * as a DataFrame pipeline. Corpus vectors are assigned to their
     * single nearest of `nlist` coarse centroids (the index build: ONE

@@ -238,6 +238,41 @@ object ExtQueries extends QueryPack {
         .orderBy(col("media_id"), col("frame_index"))
     },
 
+    // End-to-end curation pass: quality gate → exact content dedup
+    // (normalized-text fingerprint, keep smallest doc_id) → token
+    // budget. ONE scan of documents and ONE shuffle (the fingerprint
+    // window) — the composed shape a pre-training data curation
+    // pipeline runs at 100 TB, certified against a full SQL oracle.
+    "q64_curation_pipeline" -> { (s, dir) =>
+      val kept = docs(s, dir)
+        .filter(TextAnalysis.qualityOk(col("text")))
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.fingerprint(col("text")).as("doc_fp"),
+          TextAnalysis.tokenCountWs(col("text")).as("n_ws_tokens"),
+          TextAnalysis.tokenCountBpeIsh(col("text")).as("n_bpeish_tokens"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_fp")).orderBy(col("doc_id"))
+      kept.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("n_ws_tokens"),
+          col("n_bpeish_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
+    // int8 embedding quantization: codes are exact integers (double
+    // math, order-independent reductions), so the oracle recomputes
+    // them and integer summaries compare exactly.
+    "q65_embed_quantize" -> { (s, dir) =>
+      embs(s, dir)
+        .select(col("vec_id"),
+          Similarity.quantizeInt8(col("embedding")).as("codes"))
+        .select(col("vec_id"),
+          aggregate(col("codes"), lit(0L), (a, x) => a + x.cast("long"))
+            .as("code_sum"),
+          array_min(col("codes")).as("code_min"),
+          array_max(col("codes")).as("code_max"))
+        .orderBy(col("vec_id"))
+    },
+
     "q30_term_freq" -> { (s, dir) =>
       TextAnalysis.termFrequencies(docs(s, dir), "text", minCount = 100L)
         .orderBy(col("term"))
@@ -418,6 +453,44 @@ object ExtQueries extends QueryPack {
         |  TRUE AS ok
         |FROM f WHERE frame_index % 2 = 0
         |ORDER BY media_id, frame_index""".stripMargin,
+    "q65_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |    FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |    127.0 / list_max(list_transform(v, x -> abs(x))) AS sc FROM e),
+        |c AS (SELECT vec_id,
+        |    list_transform(v, x -> CAST(round(x * sc) AS BIGINT)) AS codes
+        |  FROM s)
+        |SELECT vec_id,
+        |  CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum,
+        |  CAST(list_aggregate(codes, 'min') AS INT) AS code_min,
+        |  CAST(list_aggregate(codes, 'max') AS INT) AS code_max
+        |FROM c ORDER BY vec_id""".stripMargin,
+    "q64_curation_pipeline" ->
+      """WITH s AS (SELECT doc_id, lang, text, string_split(text, ' ') AS t
+        |    FROM documents),
+        |m AS (SELECT doc_id, lang, text, t,
+        |    len(t) AS n_tokens,
+        |    (length(text) - len(t) + 1) * 1.0 / len(t) AS mean_token_len,
+        |    len(list_filter(t, w -> w IN ('the','a','is','and','of','to',
+        |        'in','that','it','for'))) * 1.0 / len(t) AS stopword_ratio
+        |  FROM s),
+        |q AS (SELECT doc_id, lang, text, t FROM m
+        |  WHERE (n_tokens BETWEEN 10 AND 100000)
+        |    AND (mean_token_len BETWEEN 2.0 AND 12.0)
+        |    AND stopword_ratio >= 0.01),
+        |f AS (SELECT doc_id, lang,
+        |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS doc_fp,
+        |    len(t) AS n_ws_tokens,
+        |    CAST(list_aggregate(list_transform(t,
+        |        x -> CAST(ceil(len(x) / 4.0) AS BIGINT)), 'sum')
+        |      + length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+        |      AS BIGINT) AS n_bpeish_tokens
+        |  FROM q),
+        |d AS (SELECT *, row_number() OVER (PARTITION BY doc_fp
+        |    ORDER BY doc_id) AS rn FROM f)
+        |SELECT doc_id, lang, n_ws_tokens, n_bpeish_tokens
+        |FROM d WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q30_term_freq" ->
       """SELECT term, COUNT(*) AS term_count FROM (
         |  SELECT unnest(string_split(text, ' ')) AS term FROM documents)

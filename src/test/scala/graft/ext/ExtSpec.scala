@@ -227,6 +227,31 @@ class ExtSpec extends AnyFunSuite {
     assert(out.forall(_.ok))
   }
 
+  test("int8 quantization: known codes, zero-vector guard, dequant error bound") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", ArrayType(FloatType))))
+    val df = spark.createDataFrame(java.util.List.of(
+      Row(1L, Seq(1.0f, -0.5f, 0.25f)), Row(2L, Seq(0.0f, 0.0f, 0.0f))),
+      schema)
+    val out = df.select(col("id"), Similarity.quantizeInt8(col("v")).as("c"))
+      .as[(Long, Seq[Int])].collect().toMap
+    // scale = 127/1.0: codes = round(127*v)
+    assert(out(1L) == Seq(127, -64, 32))
+    assert(out(2L) == Seq(0, 0, 0))
+    // codes stay in int8 range and dequantization error <= 0.5/scale
+    val rnd = new scala.util.Random(5)
+    val vec = Seq.fill(64)(rnd.nextGaussian().toFloat)
+    val df2 = spark.createDataFrame(
+      java.util.List.of(Row(9L, vec)), schema)
+    val codes = df2.select(Similarity.quantizeInt8(col("v")))
+      .as[Seq[Int]].head()
+    assert(codes.forall(c => c >= -127 && c <= 127))
+    val scale = 127.0 / vec.map(x => math.abs(x.toDouble)).max
+    vec.zip(codes).foreach { case (x, c) =>
+      assert(math.abs(c / scale - x) <= 0.5 / scale + 1e-12)
+    }
+  }
+
   test("ivf topk: full probe equals brute force; partial probe stays list-local") {
     val rnd = new scala.util.Random(11)
     val dim = 16
