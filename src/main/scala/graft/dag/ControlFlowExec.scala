@@ -27,6 +27,20 @@ object ControlFlowExec {
   }
 
   def run(spec: PipelineSpec, ctx: PipelineContext): RunResult = {
+    // SSIS seeds system variables automatically; the Audit component
+    // (and any @[System::X] expression) reads them from the same
+    // variable context as User:: variables. Package-declared values win.
+    ctx.variables ++= Map[String, Any](
+      "System::PackageName" -> spec.name,
+      "System::PackageID" -> spec.name,
+      "System::VersionID" -> "1.0",
+      "System::ExecutionInstanceGUID" -> java.util.UUID.randomUUID().toString,
+      "System::StartTime" -> new java.sql.Timestamp(System.currentTimeMillis()),
+      "System::MachineName" ->
+        scala.util.Try(java.net.InetAddress.getLocalHost.getHostName)
+          .getOrElse("localhost"),
+      "System::UserName" -> System.getProperty("user.name", "unknown"),
+      "System::TaskName" -> "", "System::TaskID" -> "")
     ctx.variables ++= spec.variables
     val statuses = mutable.Map.empty[String, TaskStatus]
     val byName = spec.tasks.map(t => t.name -> t).toMap
@@ -73,9 +87,13 @@ object ControlFlowExec {
         else incoming.forall(edgeSatisfied)
       statuses(name) =
         if (!runnable) Skipped
-        else Try(runTask(byName(name), ctx, statuses)) match {
-          case Success(_) => Succeeded
-          case Failure(ex) => Errored(ex)
+        else {
+          ctx.variables("System::TaskName") = name
+          ctx.variables("System::TaskID") = name
+          Try(runTask(byName(name), ctx, statuses)) match {
+            case Success(_) => Succeeded
+            case Failure(ex) => Errored(ex)
+          }
         }
     }
     RunResult(statuses.toMap, ctx.vars)

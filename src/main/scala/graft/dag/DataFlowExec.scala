@@ -632,7 +632,7 @@ object DataFlowExec {
         "out" -> drawn.filter(col("__graft_rs")).drop("__graft_rs"),
         "unselected" -> drawn.filter(!col("__graft_rs")).drop("__graft_rs"))
 
-    case Pivot(_, groupBy, pivotCol, pivotValues, valueCol, aggOp) =>
+    case Pivot(_, groupBy, pivotCol, pivotValues, valueCol, aggOp, renames) =>
       val df = single(inputs, comp)
       val agg = aggOp.toLowerCase match {
         case "first" => first(col(valueCol))
@@ -643,13 +643,34 @@ object DataFlowExec {
         case other => sys.error(s"Pivot: unsupported agg $other")
       }
       // explicit pivot values → single-pass, no distinct-values job
-      Map("out" -> df.groupBy(groupBy.map(col): _*)
-        .pivot(pivotCol, pivotValues).agg(agg))
+      val pivoted = df.groupBy(groupBy.map(col): _*)
+        .pivot(pivotCol, pivotValues).agg(agg)
+      Map("out" -> renames.foldLeft(pivoted) { case (d, (v, out)) =>
+        if (v == out) d else d.withColumnRenamed(v, out) })
 
-    case Unpivot(_, idCols, valueCols, keyName, valueName) =>
+    case Unpivot(_, idCols, valueCols, keyName, valueName, keyValues) =>
       val df = single(inputs, comp)
-      Map("out" -> df.unpivot(idCols.map(col).toArray, valueCols.map(col).toArray,
-        keyName, valueName))
+      val up = df.unpivot(idCols.map(col).toArray, valueCols.map(col).toArray,
+        keyName, valueName)
+      // custom pivot-key values: map each source column NAME to its
+      // declared key value (identity entries are free)
+      val remap = keyValues.filter { case (c, v) => c != v }
+      Map("out" -> (if (remap.isEmpty) up
+        else up.withColumn(keyName, remap.foldLeft(col(keyName)) {
+          case (e, (c, v)) => when(col(keyName) === lit(c), lit(v)).otherwise(e)
+        })))
+
+    case RowCountSampling(_, rows, seed) =>
+      // TakeOrderedAndProject: per-partition top-N + an N-row driver
+      // merge — never a global sort (see the IR scaladoc). The sampled
+      // N rows persist so both SSIS ports partition consistently;
+      // "unselected" = exceptAll(sampled) is built lazily and costs
+      // nothing unless the port is consumed.
+      val df = single(inputs, comp)
+      val sampled = df.orderBy(rand(seed)).limit(rows)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      ctx.persisted += sampled
+      Map("out" -> sampled, "unselected" -> df.exceptAll(sampled))
 
     case RowCount(name, variable) =>
       val df = single(inputs, comp)

@@ -238,7 +238,7 @@ object Dtsx {
         case Some("Microsoft.Multicast") => fromPortRaw
         case Some("Microsoft.Lookup")
           if fromPortRaw.toLowerCase.contains("no match") => "nomatch"
-        case Some("Microsoft.PercentageSampling")
+        case Some("Microsoft.PercentageSampling") | Some("Microsoft.RowSampling")
           if fromPortRaw.toLowerCase.contains("unselected") => "unselected"
         case _ => "out"
       }
@@ -559,6 +559,210 @@ object Dtsx {
           percent = pr.getOrElse("SamplingValue", "10").toDouble,
           seed = pr.get("SamplingSeed").filter(_.nonEmpty)
             .map(_.toLong).getOrElse(0L))
+
+      case "Microsoft.RowSampling" =>
+        RowCountSampling(name,
+          rows = pr.getOrElse("SamplingValue", "10").toInt,
+          seed = pr.get("SamplingSeed").filter(_.nonEmpty)
+            .map(_.toLong).getOrElse(0L))
+
+      case "Microsoft.Pivot" =>
+        // PivotUsage on input columns: 0 = pass-through, 1 = set key
+        // (group-by), 2 = pivot key, 3 = pivoted value; each output
+        // column holds the pivot-key value in its PivotKeyValue
+        // property (and may be named differently — carried as renames).
+        val ics = inputCols(c)
+        def usage(ic: Node): String = props(ic).getOrElse("PivotUsage", "0")
+        val groupBy = ics.filter(usage(_) == "1").flatMap(attr(_, "cachedName"))
+        val pivotKey = ics.find(usage(_) == "2").flatMap(attr(_, "cachedName"))
+          .getOrElse(sys.error(s"dtsx Pivot $name: no PivotUsage=2 column"))
+        val valueCol = ics.find(usage(_) == "3").flatMap(attr(_, "cachedName"))
+          .getOrElse(sys.error(s"dtsx Pivot $name: no PivotUsage=3 column"))
+        val outs = outputCols(c).flatMap { oc =>
+          props(oc).get("PivotKeyValue").map(_ -> attr(oc, "name").get)
+        }
+        if (outs.isEmpty)
+          sys.error(s"dtsx Pivot $name: no output PivotKeyValue columns")
+        Pivot(name, groupBy, pivotKey, pivotValues = outs.map(_._1),
+          valueColumn = valueCol, renames = outs)
+
+      case "Microsoft.UnPivot" =>
+        // Input columns WITH a PivotKeyValue are unpivoted: their
+        // DestinationColumn refs all point at the single value output
+        // column; columns without one pass through as ids. The
+        // pivot-key output column is the non-error output column no
+        // DestinationColumn references.
+        val ics = inputCols(c)
+        val unpiv = ics.flatMap { ic =>
+          props(ic).get("PivotKeyValue").map(kv =>
+            (attr(ic, "cachedName").get, kv,
+              props(ic).get("DestinationColumn").getOrElse("")))
+        }
+        if (unpiv.isEmpty)
+          sys.error(s"dtsx UnPivot $name: no PivotKeyValue input columns")
+        val idCols = ics.filter(ic => props(ic).get("PivotKeyValue").isEmpty)
+          .flatMap(attr(_, "cachedName"))
+        val destIds = unpiv.map(_._3).toSet
+        def colIdOf(oc: Node): String =
+          attr(oc, "refId").orElse(attr(oc, "id")).getOrElse("")
+        val valueName = outputCols(c)
+          .find(oc => destIds.contains(colIdOf(oc)))
+          .flatMap(attr(_, "name"))
+          .getOrElse(sys.error(s"dtsx UnPivot $name: no destination column"))
+        val keyName = outputCols(c)
+          .find(oc => !destIds.contains(colIdOf(oc)))
+          .flatMap(attr(_, "name")).getOrElse("Pivot Key Value")
+        Unpivot(name, idColumns = idCols, valueColumns = unpiv.map(_._1),
+          keyName = keyName, valueName = valueName,
+          keyValues = unpiv.map(u => (u._1, u._2)))
+
+      case "Microsoft.Audit" =>
+        // DTSAuditType per output column → the matching System::
+        // variable (seeded by ControlFlowExec at run start, as SSIS
+        // seeds its system variables): 0=ExecutionInstanceGUID,
+        // 1=PackageID, 2=PackageName, 3=VersionID, 4=StartTime,
+        // 5=MachineName, 6=UserName, 7=TaskName, 8=TaskID.
+        val sysVars = Map(
+          "0" -> "@[System::ExecutionInstanceGUID]",
+          "1" -> "@[System::PackageID]",
+          "2" -> "@[System::PackageName]",
+          "3" -> "@[System::VersionID]",
+          "4" -> "@[System::StartTime]",
+          "5" -> "@[System::MachineName]",
+          "6" -> "@[System::UserName]",
+          "7" -> "@[System::TaskName]",
+          "8" -> "@[System::TaskID]")
+        val cols = outputCols(c).flatMap { oc =>
+          props(oc).get("AuditType").map { t =>
+            attr(oc, "name").get -> sysVars.getOrElse(t.trim,
+              sys.error(s"dtsx Audit $name: unknown AuditType $t"))
+          }
+        }
+        if (cols.isEmpty) sys.error(s"dtsx Audit $name: no AuditType columns")
+        Audit(name, cols)
+
+      case "Microsoft.TermExtraction" =>
+        TermExtraction(name,
+          textColumn = inputCols(c).headOption.flatMap(attr(_, "cachedName"))
+            .getOrElse(sys.error(s"dtsx TermExtraction $name: no input column")),
+          minCount = pr.get("FrequencyThreshold").filter(_.nonEmpty)
+            .map(_.toLong).getOrElse(1L))
+
+      case "Microsoft.TermLookup" =>
+        // InputColumnType custom property: 0 = pass-through only,
+        // 1 = lookup only, 2 = both; the engine scans the lookup column
+        // and keys output rows by the first pass-through column.
+        val ics = inputCols(c)
+        def colType(ic: Node): String =
+          props(ic).getOrElse("InputColumnType", "0")
+        val textCol = ics.find(ic => colType(ic) == "1" || colType(ic) == "2")
+          .flatMap(attr(_, "cachedName"))
+          .getOrElse(sys.error(s"dtsx TermLookup $name: no lookup column"))
+        val idCol = ics.find(ic => colType(ic) == "0" || colType(ic) == "2")
+          .flatMap(attr(_, "cachedName"))
+          .getOrElse(sys.error(s"dtsx TermLookup $name: no pass-through column"))
+        TermLookup(name, idColumn = idCol, textColumn = textCol,
+          refTable = cleanTable(pr.getOrElse("RefTermTable",
+            sys.error(s"dtsx TermLookup $name: no RefTermTable"))),
+          termColumn = pr.getOrElse("RefTermColumn", "Term"))
+
+      case "Microsoft.FuzzyLookup" =>
+        // Component props per the reference's extraction
+        // (data_engineering_parser.py:1204-1207); the fuzzy-joined
+        // input column carries JoinToReferenceColumn and copied outputs
+        // CopyFromReferenceColumn, like exact Lookup. The reference key
+        // column itself is the match tie-break id (smallest key wins —
+        // SSIS's fuzzy-index id is internal and not in the dtsx).
+        val joinKeys = inputCols(c).flatMap { ic =>
+          props(ic).get("JoinToReferenceColumn")
+            .map(r => attr(ic, "cachedName").get -> r)
+        }
+        if (joinKeys.size != 1)
+          sys.error(s"dtsx FuzzyLookup $name: expected exactly one fuzzy " +
+            s"join column, found ${joinKeys.size}")
+        val copies = outputCols(c).flatMap { oc =>
+          props(oc).get("CopyFromReferenceColumn")
+            .map(r => r -> attr(oc, "name").get)
+        }
+        FuzzyLookup(name,
+          refTable = cleanTable(pr.getOrElse("ReferenceTableName",
+            sys.error(s"dtsx FuzzyLookup $name: no ReferenceTableName"))),
+          streamKey = joinKeys.head._1,
+          refIdColumn = joinKeys.head._2, refKey = joinKeys.head._2,
+          copyColumns = copies,
+          minSimilarity = pr.get("MinSimilarity").filter(_.nonEmpty)
+            .map(_.toDouble).getOrElse(0.8),
+          maxMatches = pr.get("MaxOutputMatchesPerInput").filter(_.nonEmpty)
+            .map(_.toInt).getOrElse(1))
+
+      case "Microsoft.FuzzyGrouping" =>
+        // The input column with ToBeCleaned=true is the grouping key;
+        // the first non-cleaned column is the stable row id the engine
+        // keys _key_out by (SSIS's _key_in is generated internally).
+        val ics = inputCols(c)
+        def cleaned(ic: Node): Boolean =
+          props(ic).get("ToBeCleaned").exists(_.equalsIgnoreCase("true"))
+        val keyCol = ics.find(cleaned).flatMap(attr(_, "cachedName"))
+          .getOrElse(sys.error(s"dtsx FuzzyGrouping $name: no ToBeCleaned column"))
+        val idCol = ics.find(!cleaned(_)).flatMap(attr(_, "cachedName"))
+          .getOrElse(sys.error(s"dtsx FuzzyGrouping $name: no id column"))
+        FuzzyGrouping(name, idColumn = idCol, keyColumn = keyCol,
+          minSimilarity = pr.get("MinSimilarity").filter(_.nonEmpty)
+            .map(_.toDouble).getOrElse(0.8))
+
+      case "Microsoft.Cache" =>
+        // Cache Transform writes the CACHE connection manager the
+        // downstream Lookups reference; the manager's name is the
+        // engine-side cache name.
+        val ref = (c \ "connections" \ "connection").headOption
+          .flatMap(cn => attr(cn, "connectionManagerRefId")
+            .orElse(attr(cn, "connectionManagerID")))
+        val cacheName = ref.map { r =>
+          val i = r.lastIndexOf('[')
+          if (i >= 0 && r.endsWith("]")) r.substring(i + 1, r.length - 1) else r
+        }.getOrElse(name)
+        CacheTransform(name, cacheName)
+
+      case "Microsoft.ExportColumn" =>
+        // The path input column's FileDataColumnID names the content
+        // column (by lineage ref) whose bytes are written per row.
+        val ics = inputCols(c)
+        val pathAndContent = ics.flatMap { ic =>
+          props(ic).get("FileDataColumnID").map { ref =>
+            val i = ref.lastIndexOf("Columns[")
+            val content =
+              if (i < 0) ref
+              else ref.substring(i + 8, ref.indexOf(']', i + 8))
+            (attr(ic, "cachedName").get, content)
+          }
+        }
+        pathAndContent.headOption.map { case (pathCol, contentCol) =>
+          ExportColumn(name, pathColumn = pathCol, contentColumn = contentCol)
+        }.getOrElse(sys.error(
+          s"dtsx ExportColumn $name: no FileDataColumnID input column"))
+
+      case "Microsoft.ImportColumn" =>
+        // As ExportColumn but FileDataColumnID points at the OUTPUT
+        // column receiving the bytes. SSIS path values are absolute;
+        // the engine's distributed binaryFile join needs a common scan
+        // root — the BaseDirectory property (engine extension, required).
+        val ics = inputCols(c)
+        val pathAndOut = ics.flatMap { ic =>
+          props(ic).get("FileDataColumnID").map { ref =>
+            val i = ref.lastIndexOf("Columns[")
+            val out =
+              if (i < 0) ref
+              else ref.substring(i + 8, ref.indexOf(']', i + 8))
+            (attr(ic, "cachedName").get, out)
+          }
+        }
+        pathAndOut.headOption.map { case (pathCol, outCol) =>
+          ImportColumn(name, pathColumn = pathCol, contentColumn = outCol,
+            baseDir = pr.getOrElse("BaseDirectory", sys.error(
+              s"dtsx ImportColumn $name: BaseDirectory property required " +
+                "(engine extension — names the binaryFile scan root)")))
+        }.getOrElse(sys.error(
+          s"dtsx ImportColumn $name: no FileDataColumnID input column"))
 
       case "Microsoft.CharacterMap" =>
         // MapFlags is the DTSCSCharacterMapFlags bitmask: LowerCase=1,

@@ -241,11 +241,23 @@ object Component {
     * reproducibility across engines matters. */
   final case class RandomSampling(name: String, percent: Double,
       seed: Long) extends Component
+  /** SSIS Row Sampling: exactly `rows` random rows (seeded). Executes
+    * as orderBy(rand(seed)).limit(n) — Spark's TakeOrderedAndProject
+    * keeps only the per-partition top-N and merges N rows on the
+    * driver, so no global sort materializes at scale. */
+  final case class RowCountSampling(name: String, rows: Int,
+      seed: Long) extends Component
+  /** `renames`: (pivotValue, outputName) — SSIS Pivot output columns
+    * may be named differently from the pivot-key value they hold. */
   final case class Pivot(name: String, groupBy: Seq[String], pivotColumn: String,
-      pivotValues: Seq[String], valueColumn: String, aggOp: String = "first") extends Component
+      pivotValues: Seq[String], valueColumn: String, aggOp: String = "first",
+      renames: Seq[(String, String)] = Nil) extends Component
+  /** `keyValues`: (valueColumn, pivotKeyValue) — SSIS Unpivot lets each
+    * unpivoted column emit a custom key value (default: its own name). */
   final case class Unpivot(name: String, idColumns: Seq[String],
       valueColumns: Seq[String], keyName: String = "key",
-      valueName: String = "value") extends Component
+      valueName: String = "value",
+      keyValues: Seq[(String, String)] = Nil) extends Component
 
   // ---- audit / counters (§2.7) ----
   /** Row count into a pipeline variable via `observe` — no extra job

@@ -926,6 +926,487 @@ class DtsxSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("multi-output Aggregate"))
   }
 
+  test("dtsx Pivot -> UnPivot -> Audit chain and RowSampling ports execute end-to-end") {
+    val xml =
+      <DTS:Executable xmlns:DTS="www.microsoft.com/SqlServer/Dts" DTS:ObjectName="pva">
+        <DTS:Executables>
+          <DTS:Executable DTS:ObjectName="DFT" DTS:ExecutableType="Microsoft.Pipeline">
+            <DTS:ObjectData>
+              <pipeline>
+                <components>
+                  <component componentClassID="Microsoft.OLEDBSource" name="SRC">
+                    <properties>
+                      <property name="SqlCommand">SELECT k, cat, v FROM pivot_src</property>
+                      <property name="AccessMode">2</property>
+                    </properties>
+                    <outputs>
+                      <output name="Out">
+                        <outputColumns>
+                          <outputColumn name="k"/>
+                          <outputColumn name="cat"/>
+                          <outputColumn name="v"/>
+                        </outputColumns>
+                      </output>
+                    </outputs>
+                  </component>
+                  <component componentClassID="Microsoft.Pivot" name="PVT">
+                    <inputs>
+                      <input name="Pivot Default Input">
+                        <inputColumns>
+                          <inputColumn cachedName="k">
+                            <properties><property name="PivotUsage">1</property></properties>
+                          </inputColumn>
+                          <inputColumn cachedName="cat">
+                            <properties><property name="PivotUsage">2</property></properties>
+                          </inputColumn>
+                          <inputColumn cachedName="v">
+                            <properties><property name="PivotUsage">3</property></properties>
+                          </inputColumn>
+                        </inputColumns>
+                      </input>
+                    </inputs>
+                    <outputs>
+                      <output name="Pivot Default Output">
+                        <outputColumns>
+                          <outputColumn name="val_a">
+                            <properties><property name="PivotKeyValue">a</property></properties>
+                          </outputColumn>
+                          <outputColumn name="val_b">
+                            <properties><property name="PivotKeyValue">b</property></properties>
+                          </outputColumn>
+                        </outputColumns>
+                      </output>
+                    </outputs>
+                  </component>
+                  <component componentClassID="Microsoft.UnPivot" name="UNP">
+                    <inputs>
+                      <input name="UnPivot Input">
+                        <inputColumns>
+                          <inputColumn cachedName="k"/>
+                          <inputColumn cachedName="val_a">
+                            <properties>
+                              <property name="PivotKeyValue">a</property>
+                              <property name="DestinationColumn">P\DFT\UNP.Outputs[UnPivot Output].Columns[v]</property>
+                            </properties>
+                          </inputColumn>
+                          <inputColumn cachedName="val_b">
+                            <properties>
+                              <property name="PivotKeyValue">b</property>
+                              <property name="DestinationColumn">P\DFT\UNP.Outputs[UnPivot Output].Columns[v]</property>
+                            </properties>
+                          </inputColumn>
+                        </inputColumns>
+                      </input>
+                    </inputs>
+                    <outputs>
+                      <output name="UnPivot Output">
+                        <outputColumns>
+                          <outputColumn refId="P\DFT\UNP.Outputs[UnPivot Output].Columns[v]" name="v"/>
+                          <outputColumn refId="P\DFT\UNP.Outputs[UnPivot Output].Columns[cat]" name="cat"/>
+                        </outputColumns>
+                      </output>
+                    </outputs>
+                  </component>
+                  <component componentClassID="Microsoft.Audit" name="AUD">
+                    <outputs>
+                      <output name="Audit Output">
+                        <outputColumns>
+                          <outputColumn name="pkg">
+                            <properties><property name="AuditType">2</property></properties>
+                          </outputColumn>
+                          <outputColumn name="task">
+                            <properties><property name="AuditType">7</property></properties>
+                          </outputColumn>
+                        </outputColumns>
+                      </output>
+                    </outputs>
+                  </component>
+                  <component componentClassID="Microsoft.OLEDBDestination" name="DST">
+                    <properties>
+                      <property name="OpenRowset">pva_t</property>
+                      <property name="AccessMode">3</property>
+                    </properties>
+                  </component>
+                </components>
+                <paths>
+                  <path startId="P\DFT\SRC.Outputs[Out]" endId="P\DFT\PVT.Inputs[Pivot Default Input]"/>
+                  <path startId="P\DFT\PVT.Outputs[Pivot Default Output]" endId="P\DFT\UNP.Inputs[UnPivot Input]"/>
+                  <path startId="P\DFT\UNP.Outputs[UnPivot Output]" endId="P\DFT\AUD.Inputs[Audit Input]"/>
+                  <path startId="P\DFT\AUD.Outputs[Audit Output]" endId="P\DFT\DST.Inputs[In]"/>
+                </paths>
+              </pipeline>
+            </DTS:ObjectData>
+          </DTS:Executable>
+          <DTS:Executable DTS:ObjectName="DFT_RS" DTS:ExecutableType="Microsoft.Pipeline">
+            <DTS:ObjectData>
+              <pipeline>
+                <components>
+                  <component componentClassID="Microsoft.OLEDBSource" name="SRC2">
+                    <properties>
+                      <property name="SqlCommand">SELECT k FROM rsamp_src</property>
+                      <property name="AccessMode">2</property>
+                    </properties>
+                    <outputs>
+                      <output name="Out">
+                        <outputColumns><outputColumn name="k"/></outputColumns>
+                      </output>
+                    </outputs>
+                  </component>
+                  <component componentClassID="Microsoft.RowSampling" name="RS">
+                    <properties>
+                      <property name="SamplingValue">3</property>
+                      <property name="SamplingSeed">42</property>
+                    </properties>
+                  </component>
+                  <component componentClassID="Microsoft.OLEDBDestination" name="DST_S">
+                    <properties>
+                      <property name="OpenRowset">rsamp_sel</property>
+                      <property name="AccessMode">3</property>
+                    </properties>
+                  </component>
+                  <component componentClassID="Microsoft.OLEDBDestination" name="DST_U">
+                    <properties>
+                      <property name="OpenRowset">rsamp_uns</property>
+                      <property name="AccessMode">3</property>
+                    </properties>
+                  </component>
+                </components>
+                <paths>
+                  <path startId="P\DFT_RS\SRC2.Outputs[Out]" endId="P\DFT_RS\RS.Inputs[In]"/>
+                  <path startId="P\DFT_RS\RS.Outputs[Sampling Selected Output]" endId="P\DFT_RS\DST_S.Inputs[In]"/>
+                  <path startId="P\DFT_RS\RS.Outputs[Sampling Unselected Output]" endId="P\DFT_RS\DST_U.Inputs[In]"/>
+                </paths>
+              </pipeline>
+            </DTS:ObjectData>
+          </DTS:Executable>
+        </DTS:Executables>
+      </DTS:Executable>
+    sql(
+      "DROP TABLE IF EXISTS pivot_src", "DROP TABLE IF EXISTS pva_t",
+      "DROP TABLE IF EXISTS rsamp_src", "DROP TABLE IF EXISTS rsamp_sel",
+      "DROP TABLE IF EXISTS rsamp_uns",
+      "CREATE TABLE pivot_src (k INT, cat STRING, v INT) USING parquet",
+      "INSERT INTO pivot_src VALUES (1,'a',10), (1,'b',11), (2,'a',20), (2,'b',21)",
+      "CREATE TABLE pva_t (k INT, cat STRING, v INT, pkg STRING, task STRING) USING parquet",
+      "CREATE TABLE rsamp_src (k INT) USING parquet",
+      "INSERT INTO rsamp_src VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9)",
+      "CREATE TABLE rsamp_sel (k INT) USING parquet",
+      "CREATE TABLE rsamp_uns (k INT) USING parquet")
+    val res = ControlFlowExec.run(Dtsx.parse(xml),
+      PipelineContext.overCatalog(spark))
+    assert(res.statuses.values.forall(_ == ControlFlowExec.Succeeded), res.statuses)
+    // pivot→unpivot round-trips the rows; audit columns carry the
+    // seeded System:: variables (package name, executing task name)
+    val back = spark.table("pva_t").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2),
+        r.getString(3), r.getString(4))).toSet
+    assert(back == Set((1, "a", 10, "pva", "DFT"), (1, "b", 11, "pva", "DFT"),
+      (2, "a", 20, "pva", "DFT"), (2, "b", 21, "pva", "DFT")))
+    // row sampling: exactly N selected, the complement unselected
+    val sel = spark.table("rsamp_sel").collect().map(_.getInt(0)).toSet
+    val uns = spark.table("rsamp_uns").collect().map(_.getInt(0)).toSet
+    assert(sel.size == 3 && uns.size == 7)
+    assert((sel ++ uns) == (0 to 9).toSet && (sel & uns).isEmpty)
+  }
+
+  test("dtsx TermExtraction, TermLookup, FuzzyLookup, FuzzyGrouping, Cache classes") {
+    val xml =
+      <DTS:Executable xmlns:DTS="www.microsoft.com/SqlServer/Dts" DTS:ObjectName="txt">
+        <DTS:Executables>
+          <DTS:Executable DTS:ObjectName="DFT_TE" DTS:ExecutableType="Microsoft.Pipeline">
+            <DTS:ObjectData>
+              <pipeline>
+                <components>
+                  <component componentClassID="Microsoft.OLEDBSource" name="S1">
+                    <properties>
+                      <property name="SqlCommand">SELECT id, txt FROM te_docs</property>
+                      <property name="AccessMode">2</property>
+                    </properties>
+                    <outputs>
+                      <output name="Out">
+                        <outputColumns>
+                          <outputColumn name="id"/>
+                          <outputColumn name="txt"/>
+                        </outputColumns>
+                      </output>
+                    </outputs>
+                  </component>
+                  <component componentClassID="Microsoft.TermExtraction" name="TE">
+                    <properties>
+                      <property name="FrequencyThreshold">2</property>
+                    </properties>
+                    <inputs>
+                      <input name="Term Extraction Input">
+                        <inputColumns>
+                          <inputColumn cachedName="txt"/>
+                        </inputColumns>
+                      </input>
+                    </inputs>
+                  </component>
+                  <component componentClassID="Microsoft.OLEDBDestination" name="D1">
+                    <properties>
+                      <property name="OpenRowset">te_out</property>
+                      <property name="AccessMode">3</property>
+                    </properties>
+                  </component>
+                  <component componentClassID="Microsoft.Cache" name="CCH">
+                    <connections>
+                      <connection connectionManagerID="Package.ConnectionManagers[TermCache]"/>
+                    </connections>
+                  </component>
+                </components>
+                <paths>
+                  <path startId="P\DFT_TE\S1.Outputs[Out]" endId="P\DFT_TE\TE.Inputs[Term Extraction Input]"/>
+                  <path startId="P\DFT_TE\TE.Outputs[Out]" endId="P\DFT_TE\CCH.Inputs[In]"/>
+                  <path startId="P\DFT_TE\CCH.Outputs[Out]" endId="P\DFT_TE\D1.Inputs[In]"/>
+                </paths>
+              </pipeline>
+            </DTS:ObjectData>
+          </DTS:Executable>
+          <DTS:Executable DTS:ObjectName="DFT_TL" DTS:ExecutableType="Microsoft.Pipeline">
+            <DTS:ObjectData>
+              <pipeline>
+                <components>
+                  <component componentClassID="Microsoft.OLEDBSource" name="S2">
+                    <properties>
+                      <property name="SqlCommand">SELECT id, txt FROM te_docs</property>
+                      <property name="AccessMode">2</property>
+                    </properties>
+                    <outputs>
+                      <output name="Out">
+                        <outputColumns>
+                          <outputColumn name="id"/>
+                          <outputColumn name="txt"/>
+                        </outputColumns>
+                      </output>
+                    </outputs>
+                  </component>
+                  <component componentClassID="Microsoft.TermLookup" name="TL">
+                    <properties>
+                      <property name="RefTermTable">[dbo].[term_ref]</property>
+                      <property name="RefTermColumn">Term</property>
+                    </properties>
+                    <inputs>
+                      <input name="Term Lookup Input">
+                        <inputColumns>
+                          <inputColumn cachedName="id">
+                            <properties><property name="InputColumnType">0</property></properties>
+                          </inputColumn>
+                          <inputColumn cachedName="txt">
+                            <properties><property name="InputColumnType">1</property></properties>
+                          </inputColumn>
+                        </inputColumns>
+                      </input>
+                    </inputs>
+                  </component>
+                  <component componentClassID="Microsoft.OLEDBDestination" name="D2">
+                    <properties>
+                      <property name="OpenRowset">tl_out</property>
+                      <property name="AccessMode">3</property>
+                    </properties>
+                  </component>
+                </components>
+                <paths>
+                  <path startId="P\DFT_TL\S2.Outputs[Out]" endId="P\DFT_TL\TL.Inputs[Term Lookup Input]"/>
+                  <path startId="P\DFT_TL\TL.Outputs[Out]" endId="P\DFT_TL\D2.Inputs[In]"/>
+                </paths>
+              </pipeline>
+            </DTS:ObjectData>
+          </DTS:Executable>
+          <DTS:Executable DTS:ObjectName="DFT_FZ" DTS:ExecutableType="Microsoft.Pipeline">
+            <DTS:ObjectData>
+              <pipeline>
+                <components>
+                  <component componentClassID="Microsoft.OLEDBSource" name="S3">
+                    <properties>
+                      <property name="SqlCommand">SELECT rid, cname FROM fz_stream</property>
+                      <property name="AccessMode">2</property>
+                    </properties>
+                    <outputs>
+                      <output name="Out">
+                        <outputColumns>
+                          <outputColumn name="rid"/>
+                          <outputColumn name="cname"/>
+                        </outputColumns>
+                      </output>
+                    </outputs>
+                  </component>
+                  <component componentClassID="Microsoft.FuzzyLookup" name="FL">
+                    <properties>
+                      <property name="ReferenceTableName">[dbo].[fz_ref]</property>
+                      <property name="MinSimilarity">0.8</property>
+                      <property name="MaxOutputMatchesPerInput">1</property>
+                    </properties>
+                    <inputs>
+                      <input name="Fuzzy Lookup Input">
+                        <inputColumns>
+                          <inputColumn cachedName="cname">
+                            <properties><property name="JoinToReferenceColumn">refname</property></properties>
+                          </inputColumn>
+                        </inputColumns>
+                      </input>
+                    </inputs>
+                    <outputs>
+                      <output name="Fuzzy Lookup Output">
+                        <outputColumns>
+                          <outputColumn name="ref_city">
+                            <properties><property name="CopyFromReferenceColumn">city</property></properties>
+                          </outputColumn>
+                        </outputColumns>
+                      </output>
+                    </outputs>
+                  </component>
+                  <component componentClassID="Microsoft.FuzzyGrouping" name="FG">
+                    <properties>
+                      <property name="MinSimilarity">0.8</property>
+                    </properties>
+                    <inputs>
+                      <input name="Fuzzy Grouping Input">
+                        <inputColumns>
+                          <inputColumn cachedName="rid"/>
+                          <inputColumn cachedName="cname">
+                            <properties><property name="ToBeCleaned">true</property></properties>
+                          </inputColumn>
+                        </inputColumns>
+                      </input>
+                    </inputs>
+                  </component>
+                  <component componentClassID="Microsoft.OLEDBDestination" name="D3">
+                    <properties>
+                      <property name="OpenRowset">fz_out</property>
+                      <property name="AccessMode">3</property>
+                    </properties>
+                  </component>
+                </components>
+                <paths>
+                  <path startId="P\DFT_FZ\S3.Outputs[Out]" endId="P\DFT_FZ\FL.Inputs[Fuzzy Lookup Input]"/>
+                  <path startId="P\DFT_FZ\FL.Outputs[Fuzzy Lookup Output]" endId="P\DFT_FZ\FG.Inputs[Fuzzy Grouping Input]"/>
+                  <path startId="P\DFT_FZ\FG.Outputs[Out]" endId="P\DFT_FZ\D3.Inputs[In]"/>
+                </paths>
+              </pipeline>
+            </DTS:ObjectData>
+          </DTS:Executable>
+        </DTS:Executables>
+      </DTS:Executable>
+    sql(
+      "DROP TABLE IF EXISTS te_docs", "DROP TABLE IF EXISTS te_out",
+      "DROP TABLE IF EXISTS term_ref", "DROP TABLE IF EXISTS tl_out",
+      "DROP TABLE IF EXISTS fz_stream", "DROP TABLE IF EXISTS fz_ref",
+      "DROP TABLE IF EXISTS fz_out",
+      "CREATE TABLE te_docs (id INT, txt STRING) USING parquet",
+      "INSERT INTO te_docs VALUES (1, 'spark spark flink'), (2, 'spark beam')",
+      "CREATE TABLE te_out (term STRING, term_count BIGINT) USING parquet",
+      "CREATE TABLE term_ref (Term STRING) USING parquet",
+      "INSERT INTO term_ref VALUES ('spark'), ('beam')",
+      "CREATE TABLE tl_out (id INT, term STRING, term_freq BIGINT) USING parquet",
+      "CREATE TABLE fz_stream (rid INT, cname STRING) USING parquet",
+      "INSERT INTO fz_stream VALUES (1, 'acme corp'), (2, 'acme c0rp'), (3, 'zzz inc')",
+      "CREATE TABLE fz_ref (refname STRING, city STRING) USING parquet",
+      "INSERT INTO fz_ref VALUES ('acme corp', 'berlin'), ('zzz inc', 'oslo')",
+      "CREATE TABLE fz_out (rid INT, cname STRING, ref_city STRING, _Similarity DOUBLE, _key_out INT) USING parquet")
+    val res = ControlFlowExec.run(Dtsx.parse(xml),
+      PipelineContext.overCatalog(spark))
+    assert(res.statuses.values.forall(_ == ControlFlowExec.Succeeded), res.statuses)
+    // term extraction at threshold 2: only 'spark' (count 3) survives
+    val te = spark.table("te_out").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(te == Set(("spark", 3L)))
+    // term lookup: per-doc frequencies of the reference terms
+    val tl = spark.table("tl_out").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(tl == Set((1, "spark", 2L), (2, "spark", 1L), (2, "beam", 1L)))
+    // fuzzy lookup enriched the near-match; fuzzy grouping keyed the
+    // 'acme' near-dups to the smallest rid
+    val fz = spark.table("fz_out").collect()
+      .map(r => (r.getInt(0), r.getString(2), r.getInt(4))).toSet
+    assert(fz == Set((1, "berlin", 1), (2, "berlin", 1), (3, "oslo", 3)))
+  }
+
+  test("dtsx ExportColumn writes files that ImportColumn reads back") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dtsx_blob")
+    dir.toFile.deleteOnExit()
+    val xml =
+      <DTS:Executable xmlns:DTS="www.microsoft.com/SqlServer/Dts" DTS:ObjectName="blob">
+        <DTS:Executables>
+          <DTS:Executable DTS:ObjectName="DFT" DTS:ExecutableType="Microsoft.Pipeline">
+            <DTS:ObjectData>
+              <pipeline>
+                <components>
+                  <component componentClassID="Microsoft.OLEDBSource" name="S">
+                    <properties>
+                      <property name="SqlCommand">SELECT fname, payload FROM blob_src</property>
+                      <property name="AccessMode">2</property>
+                    </properties>
+                    <outputs>
+                      <output name="Out">
+                        <outputColumns>
+                          <outputColumn name="fname"/>
+                          <outputColumn name="payload"/>
+                        </outputColumns>
+                      </output>
+                    </outputs>
+                  </component>
+                  <component componentClassID="Microsoft.ExportColumn" name="EXP">
+                    <inputs>
+                      <input name="Export Column Input">
+                        <inputColumns>
+                          <inputColumn cachedName="fname">
+                            <properties>
+                              <property name="FileDataColumnID">P\DFT\EXP.Inputs[Export Column Input].Columns[payload]</property>
+                            </properties>
+                          </inputColumn>
+                          <inputColumn cachedName="payload"/>
+                        </inputColumns>
+                      </input>
+                    </inputs>
+                  </component>
+                  <component componentClassID="Microsoft.ImportColumn" name="IMP">
+                    <properties>
+                      <property name="BaseDirectory">{dir.toString}</property>
+                    </properties>
+                    <inputs>
+                      <input name="Import Column Input">
+                        <inputColumns>
+                          <inputColumn cachedName="fname">
+                            <properties>
+                              <property name="FileDataColumnID">P\DFT\IMP.Outputs[Import Column Output].Columns[blob]</property>
+                            </properties>
+                          </inputColumn>
+                        </inputColumns>
+                      </input>
+                    </inputs>
+                  </component>
+                  <component componentClassID="Microsoft.OLEDBDestination" name="D">
+                    <properties>
+                      <property name="OpenRowset">blob_t</property>
+                      <property name="AccessMode">3</property>
+                    </properties>
+                  </component>
+                </components>
+                <paths>
+                  <path startId="P\DFT\S.Outputs[Out]" endId="P\DFT\EXP.Inputs[Export Column Input]"/>
+                  <path startId="P\DFT\EXP.Outputs[Out]" endId="P\DFT\IMP.Inputs[Import Column Input]"/>
+                  <path startId="P\DFT\IMP.Outputs[Out]" endId="P\DFT\D.Inputs[In]"/>
+                </paths>
+              </pipeline>
+            </DTS:ObjectData>
+          </DTS:Executable>
+        </DTS:Executables>
+      </DTS:Executable>
+    sql(
+      "DROP TABLE IF EXISTS blob_src", "DROP TABLE IF EXISTS blob_t",
+      "CREATE TABLE blob_src (fname STRING, payload STRING) USING parquet",
+      s"INSERT INTO blob_src VALUES ('$dir/a.bin', 'alpha'), ('$dir/b.bin', 'beta')",
+      "CREATE TABLE blob_t (fname STRING, payload STRING, blob BINARY) USING parquet")
+    val res = ControlFlowExec.run(Dtsx.parse(xml),
+      PipelineContext.overCatalog(spark))
+    assert(res.statuses.values.forall(_ == ControlFlowExec.Succeeded), res.statuses)
+    val back = spark.table("blob_t").collect()
+      .map(r => (r.getString(0).split('/').last,
+        new String(r.getAs[Array[Byte]](2), "UTF-8"))).toSet
+    assert(back == Set(("a.bin", "alpha"), ("b.bin", "beta")))
+  }
+
   test("dtsx flat-file ui8 column maps to DECIMAL(20,0) (full unsigned-64 range)") {
     val xml =
       <DTS:Executable xmlns:DTS="www.microsoft.com/SqlServer/Dts" DTS:ObjectName="ui8p">
