@@ -53,6 +53,39 @@ object EventQueries extends QueryPack {
     "q58_user_totals" -> { (s, dir) =>
       Streams.runningUserTotals(events(s, dir)).toDF()
         .orderBy(col("user_id"))
+    },
+
+    // As-of join (point-in-time): each purchase enriched with the
+    // user's most recent prior view — DuckDB's native ASOF JOIN is the
+    // oracle. Views are pre-deduped per (user, ts) so the tie winner
+    // is pinned in both engines.
+    "q66_asof_join" -> { (s, dir) =>
+      val e = events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts").as("vts"))
+        .agg(max(col("event_id")).as("view_id"))
+      graft.ops.Joins.asofJoin(purchases, views, Seq("user_id"),
+          "ts", "vts",
+          select = Seq("view_id" -> "last_view_id", "vts" -> "last_view_ts"),
+          rightTieBreak = Some("view_id"))
+        .orderBy(col("event_id"))
+    },
+
+    // Range/band join via integer-bucket blocking: an equi-join plus
+    // exact range filter, never a cross product; the oracle runs the
+    // naive inequality join.
+    "q67_band_join" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val bands = Seq(("low", 0.0, 10.0), ("mid", 10.0, 25.0),
+        ("high", 25.0, 100.0)).toDF("band", "lo", "hi")
+      graft.ops.Joins.bandJoin(li, bands, "l_quantity", "lo", "hi",
+          step = 10.0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("band"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
     }
   )
 
@@ -84,6 +117,24 @@ object EventQueries extends QueryPack {
     "q58_user_totals" ->
       """SELECT user_id, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q66_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |    WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts AS vts, max(event_id) AS view_id
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+        |SELECT p.event_id, p.user_id, p.ts,
+        |  v.view_id AS last_view_id, v.vts AS last_view_ts
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.ts >= v.vts
+        |ORDER BY p.event_id""".stripMargin,
+    "q67_band_join" ->
+      """WITH b AS (SELECT * FROM (VALUES
+        |    ('low', 0.0, 10.0), ('mid', 10.0, 25.0), ('high', 25.0, 100.0))
+        |  AS t(band, lo, hi))
+        |SELECT l.l_orderkey, l.l_linenumber, b.band
+        |FROM lineitem l JOIN b
+        |  ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin
   )
 }
