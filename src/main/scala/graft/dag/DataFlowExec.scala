@@ -672,6 +672,20 @@ object DataFlowExec {
       ctx.persisted += sampled
       Map("out" -> sampled, "unselected" -> df.exceptAll(sampled))
 
+    case ScdRouter(_, refTable, keys, changing, historical, fixed) =>
+      // label once, persist, filter per port (same discipline as
+      // ConditionalSplit: conditions evaluate once per row)
+      val feed = single(inputs, comp)
+      val routeCol = "__graft_scd_route"
+      val labeled = graft.ops.Mutations.scdRoute(feed,
+          ctx.resolveTable(refTable), keys, changing, historical, fixed,
+          routeCol)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      ctx.persisted += labeled
+      Seq("new", "fixedattr", "historical", "changed", "unchanged")
+        .map(p => p -> labeled.filter(col(routeCol) === p).drop(routeCol))
+        .toMap
+
     case RowCount(name, variable) =>
       val df = single(inputs, comp)
       val obs = Observation(s"rowcount_$name")

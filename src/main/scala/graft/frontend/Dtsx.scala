@@ -240,6 +240,15 @@ object Dtsx {
           if fromPortRaw.toLowerCase.contains("no match") => "nomatch"
         case Some("Microsoft.PercentageSampling") | Some("Microsoft.RowSampling")
           if fromPortRaw.toLowerCase.contains("unselected") => "unselected"
+        case Some("Microsoft.SCD") =>
+          // wizard output names → router ports, by keyword
+          val p = fromPortRaw.toLowerCase
+          if (p.contains("new")) "new"
+          else if (p.contains("fixed")) "fixedattr"
+          else if (p.contains("historic")) "historical"
+          else if (p.contains("unchanged")) "unchanged" // before "changed": substring
+          else if (p.contains("changing") || p.contains("changed")) "changed"
+          else sys.error(s"dtsx SCD $fromComp: unrecognized output '$fromPortRaw'")
         case _ => "out"
       }
       val toPort = classOf.get(toComp) match {
@@ -709,6 +718,26 @@ object Dtsx {
         FuzzyGrouping(name, idColumn = idCol, keyColumn = keyCol,
           minSimilarity = pr.get("MinSimilarity").filter(_.nonEmpty)
             .map(_.toDouble).getOrElse(0.8))
+
+      case "Microsoft.SCD" =>
+        // Input columns carry the wizard's role assignment in the
+        // ColumnType custom property: 1 = business Key, 2 = Changing
+        // attribute (Type 1), 3 = Fixed attribute, 4 = Historical
+        // attribute (Type 2); 0/absent = other. The dimension table
+        // comes from OpenRowset (as destinations) or ReferenceTableName.
+        val byRole = inputCols(c).flatMap { ic =>
+          attr(ic, "cachedName").map(n =>
+            props(ic).getOrElse("ColumnType", "0") -> n)
+        }
+        def role(t: String): Seq[String] = byRole.collect { case (`t`, n) => n }
+        val keys = role("1")
+        if (keys.isEmpty) sys.error(s"dtsx SCD $name: no ColumnType=1 key column")
+        ScdRouter(name,
+          refTable = cleanTable(pr.get("OpenRowset")
+            .orElse(pr.get("ReferenceTableName"))
+            .getOrElse(sys.error(s"dtsx SCD $name: no dimension table"))),
+          keys = keys, changing = role("2"),
+          historical = role("4"), fixed = role("3"))
 
       case "Microsoft.Cache" =>
         // Cache Transform writes the CACHE connection manager the

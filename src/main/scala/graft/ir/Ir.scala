@@ -259,6 +259,17 @@ object Component {
       valueName: String = "value",
       keyValues: Seq[(String, String)] = Nil) extends Component
 
+  /** SSIS Slowly Changing Dimension component (§2.7, reference
+    * recognize-only): a ROUTER comparing each feed row against
+    * `refTable` on `keys` — ports "new", "fixedattr" (violation),
+    * "historical" (Type-2 attrs), "changed" (Type-1 attrs),
+    * "unchanged", by SSIS precedence (see ops.Mutations.scdRoute).
+    * Downstream destinations implement the actual Type-1/Type-2 writes. */
+  final case class ScdRouter(name: String, refTable: String,
+      keys: Seq[String], changing: Seq[String],
+      historical: Seq[String] = Nil,
+      fixed: Seq[String] = Nil) extends Component
+
   // ---- audit / counters (§2.7) ----
   /** Row count into a pipeline variable via `observe` — no extra job
     * (SURVEY §2.7: preferred over count() at 100 TB). */

@@ -60,6 +60,40 @@ object Mutations {
     kept.unionByName(f.select(target.columns.map(col).toIndexedSeq: _*))
   }
 
+  /** SSIS Slowly Changing Dimension COMPONENT semantics: the SCD
+    * transformation is a ROUTER — each feed row is compared against the
+    * dimension on the business key and labeled for the output its
+    * downstream destination should handle (reference recognizes SCD and
+    * extracts exactly these column roles,
+    * data_engineering_parser.py:1228-1232; the Type-1/Type-2 apply
+    * operations above are what those destinations then run).
+    *
+    * Routes, by SSIS precedence: "new" (key absent from the dim),
+    * "fixedattr" (a fixed attribute differs — a violation output),
+    * "historical" (a Type-2 tracked attribute differs), "changed"
+    * (a Type-1 attribute differs), "unchanged". ONE left equi-join on
+    * the key — each side shuffles exactly once, AQE splits skew. */
+  def scdRoute(feed: DataFrame, dim: DataFrame, keys: Seq[String],
+               changing: Seq[String], historical: Seq[String] = Nil,
+               fixed: Seq[String] = Nil,
+               routeCol: String = "scd_route"): DataFrame = {
+    val compared = (keys ++ changing ++ historical ++ fixed).distinct
+    val flag = "__graft_dim_present"
+    val d = dim.dropDuplicates(keys)
+      .select(compared.map(c => col(c).as(s"__d_$c")) :+ lit(true).as(flag): _*)
+    val joined = feed.join(d,
+      keys.map(k => col(k) <=> col(s"__d_$k")).reduce(_ && _), "left_outer")
+    def differs(cols: Seq[String]): Column =
+      cols.map(c => !(col(c) <=> col(s"__d_$c")))
+        .reduceOption(_ || _).getOrElse(lit(false))
+    val route = when(col(flag).isNull, lit("new"))
+      .when(differs(fixed), lit("fixedattr"))
+      .when(differs(historical), lit("historical"))
+      .when(differs(changing), lit("changed"))
+      .otherwise(lit("unchanged"))
+    joined.select(feed.columns.map(col) :+ route.as(routeCol): _*)
+  }
+
   /** SCD Type 2: expire changed rows, insert new versions. The target
     * carries (`validFrom`, `validTo`, `isCurrent`) metadata columns;
     * `trackedCols` drive change detection among current rows.

@@ -58,6 +58,30 @@ object MutationQueries extends QueryPack {
         col("c_custkey") >= 1000000)
       Mutations.scdType1(cur, f, keys = Seq("c_custkey"))
         .orderBy(col("c_custkey"))
+    },
+
+    // The SSIS SCD COMPONENT is a router; q68 certifies the routing
+    // itself. Key-derived perturbations exercise every port: %10==3 →
+    // new key, ==0 → changing attr, ==1 → historical attr, ==2 →
+    // fixed-attr violation, rest unchanged.
+    "q68_scd_router" -> { (s, dir) =>
+      val dim = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          col("c_nationkey"))
+      val k = col("c_custkey")
+      val f = dim.select(
+        when(k % 10 === 3, k + 1000000).otherwise(k).as("c_custkey"),
+        when(k % 10 === 0, concat(col("c_name"), lit("_X")))
+          .otherwise(col("c_name")).as("c_name"),
+        when(k % 10 === 1, concat(col("c_mktsegment"), lit("_Y")))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+        when(k % 10 === 2, col("c_nationkey") + 1)
+          .otherwise(col("c_nationkey")).as("c_nationkey"))
+      Mutations.scdRoute(f, dim, keys = Seq("c_custkey"),
+          changing = Seq("c_name"), historical = Seq("c_mktsegment"),
+          fixed = Seq("c_nationkey"))
+        .select(col("c_custkey"), col("scd_route"))
+        .orderBy(col("c_custkey"))
     }
   )
 
@@ -105,6 +129,27 @@ object MutationQueries extends QueryPack {
         |UNION ALL
         |SELECT c_custkey + 1000000, 'new customer', 123
         |FROM cur WHERE c_custkey % 5 = 0
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+    "q68_scd_router" ->
+      """WITH dim AS (SELECT c_custkey, c_name, c_mktsegment, c_nationkey
+        |    FROM customer),
+        |f AS (SELECT
+        |    CASE WHEN c_custkey % 10 = 3 THEN c_custkey + 1000000
+        |      ELSE c_custkey END AS c_custkey,
+        |    CASE WHEN c_custkey % 10 = 0 THEN c_name || '_X'
+        |      ELSE c_name END AS c_name,
+        |    CASE WHEN c_custkey % 10 = 1 THEN c_mktsegment || '_Y'
+        |      ELSE c_mktsegment END AS c_mktsegment,
+        |    CASE WHEN c_custkey % 10 = 2 THEN c_nationkey + 1
+        |      ELSE c_nationkey END AS c_nationkey
+        |  FROM dim)
+        |SELECT f.c_custkey,
+        |  CASE WHEN d.c_custkey IS NULL THEN 'new'
+        |    WHEN f.c_nationkey IS DISTINCT FROM d.c_nationkey THEN 'fixedattr'
+        |    WHEN f.c_mktsegment IS DISTINCT FROM d.c_mktsegment THEN 'historical'
+        |    WHEN f.c_name IS DISTINCT FROM d.c_name THEN 'changed'
+        |    ELSE 'unchanged' END AS scd_route
+        |FROM f LEFT JOIN dim d ON f.c_custkey = d.c_custkey
+        |ORDER BY f.c_custkey""".stripMargin
   )
 }

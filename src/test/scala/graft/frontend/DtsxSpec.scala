@@ -1322,6 +1322,116 @@ class DtsxSpec extends AnyFunSuite {
     assert(fz == Set((1, "berlin", 1), (2, "berlin", 1), (3, "oslo", 3)))
   }
 
+  test("dtsx SCD component routes new/changed/historical/fixed/unchanged outputs") {
+    val xml =
+      <DTS:Executable xmlns:DTS="www.microsoft.com/SqlServer/Dts" DTS:ObjectName="scd">
+        <DTS:Executables>
+          <DTS:Executable DTS:ObjectName="DFT" DTS:ExecutableType="Microsoft.Pipeline">
+            <DTS:ObjectData>
+              <pipeline>
+                <components>
+                  <component componentClassID="Microsoft.OLEDBSource" name="S">
+                    <properties>
+                      <property name="SqlCommand">SELECT bk, t1attr, t2attr, fixattr FROM scd_feed</property>
+                      <property name="AccessMode">2</property>
+                    </properties>
+                    <outputs>
+                      <output name="Out">
+                        <outputColumns>
+                          <outputColumn name="bk"/>
+                          <outputColumn name="t1attr"/>
+                          <outputColumn name="t2attr"/>
+                          <outputColumn name="fixattr"/>
+                        </outputColumns>
+                      </output>
+                    </outputs>
+                  </component>
+                  <component componentClassID="Microsoft.SCD" name="SCD">
+                    <properties>
+                      <property name="OpenRowset">scd_dim</property>
+                    </properties>
+                    <inputs>
+                      <input name="Slowly Changing Dimension Input">
+                        <inputColumns>
+                          <inputColumn cachedName="bk">
+                            <properties><property name="ColumnType">1</property></properties>
+                          </inputColumn>
+                          <inputColumn cachedName="t1attr">
+                            <properties><property name="ColumnType">2</property></properties>
+                          </inputColumn>
+                          <inputColumn cachedName="fixattr">
+                            <properties><property name="ColumnType">3</property></properties>
+                          </inputColumn>
+                          <inputColumn cachedName="t2attr">
+                            <properties><property name="ColumnType">4</property></properties>
+                          </inputColumn>
+                        </inputColumns>
+                      </input>
+                    </inputs>
+                  </component>
+                  <component componentClassID="Microsoft.OLEDBDestination" name="D_NEW">
+                    <properties>
+                      <property name="OpenRowset">scd_new</property>
+                      <property name="AccessMode">3</property>
+                    </properties>
+                  </component>
+                  <component componentClassID="Microsoft.OLEDBDestination" name="D_CHG">
+                    <properties>
+                      <property name="OpenRowset">scd_chg</property>
+                      <property name="AccessMode">3</property>
+                    </properties>
+                  </component>
+                  <component componentClassID="Microsoft.OLEDBDestination" name="D_HIS">
+                    <properties>
+                      <property name="OpenRowset">scd_his</property>
+                      <property name="AccessMode">3</property>
+                    </properties>
+                  </component>
+                  <component componentClassID="Microsoft.OLEDBDestination" name="D_FIX">
+                    <properties>
+                      <property name="OpenRowset">scd_fix</property>
+                      <property name="AccessMode">3</property>
+                    </properties>
+                  </component>
+                </components>
+                <paths>
+                  <path startId="P\DFT\S.Outputs[Out]" endId="P\DFT\SCD.Inputs[Slowly Changing Dimension Input]"/>
+                  <path startId="P\DFT\SCD.Outputs[New Output]" endId="P\DFT\D_NEW.Inputs[In]"/>
+                  <path startId="P\DFT\SCD.Outputs[Changing Attribute Updates Output]" endId="P\DFT\D_CHG.Inputs[In]"/>
+                  <path startId="P\DFT\SCD.Outputs[Historical Attribute Inserts Output]" endId="P\DFT\D_HIS.Inputs[In]"/>
+                  <path startId="P\DFT\SCD.Outputs[Fixed Attribute Output]" endId="P\DFT\D_FIX.Inputs[In]"/>
+                </paths>
+              </pipeline>
+            </DTS:ObjectData>
+          </DTS:Executable>
+        </DTS:Executables>
+      </DTS:Executable>
+    sql(
+      "DROP TABLE IF EXISTS scd_dim", "DROP TABLE IF EXISTS scd_feed",
+      "DROP TABLE IF EXISTS scd_new", "DROP TABLE IF EXISTS scd_chg",
+      "DROP TABLE IF EXISTS scd_his", "DROP TABLE IF EXISTS scd_fix",
+      "CREATE TABLE scd_dim (bk INT, t1attr STRING, t2attr STRING, fixattr STRING) USING parquet",
+      "INSERT INTO scd_dim VALUES (1,'a','p','f'), (2,'b','q','f'), (3,'c','r','f'), (4,'d','s','f')",
+      "CREATE TABLE scd_feed (bk INT, t1attr STRING, t2attr STRING, fixattr STRING) USING parquet",
+      // 1: unchanged; 2: type-1 change; 3: type-2 change; 4: fixed-attr
+      // violation; 9: new key
+      """INSERT INTO scd_feed VALUES (1,'a','p','f'), (2,'B','q','f'),
+        |(3,'c','R','f'), (4,'d','s','F'), (9,'z','z','f')""".stripMargin,
+      "CREATE TABLE scd_new (bk INT, t1attr STRING, t2attr STRING, fixattr STRING) USING parquet",
+      "CREATE TABLE scd_chg (bk INT, t1attr STRING, t2attr STRING, fixattr STRING) USING parquet",
+      "CREATE TABLE scd_his (bk INT, t1attr STRING, t2attr STRING, fixattr STRING) USING parquet",
+      "CREATE TABLE scd_fix (bk INT, t1attr STRING, t2attr STRING, fixattr STRING) USING parquet")
+    val res = ControlFlowExec.run(Dtsx.parse(xml),
+      PipelineContext.overCatalog(spark))
+    assert(res.statuses.values.forall(_ == ControlFlowExec.Succeeded), res.statuses)
+    def keys(t: String): Set[Int] =
+      spark.table(t).select("bk").collect().map(_.getInt(0)).toSet
+    assert(keys("scd_new") == Set(9))
+    assert(keys("scd_chg") == Set(2))
+    assert(keys("scd_his") == Set(3))
+    assert(keys("scd_fix") == Set(4))
+  }
+
   test("dtsx ExportColumn writes files that ImportColumn reads back") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dtsx_blob")
     dir.toFile.deleteOnExit()

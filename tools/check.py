@@ -32,6 +32,12 @@ def main(out_dir, sf_dir):
     results = {}
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
+    # a query that failed inside Verify leaves no dump — without this, a
+    # throwing query would silently vanish from the gate (it happened:
+    # a q with an unresolved column still showed "N/N pass")
+    for name in oracles:
+        if name not in names:
+            results[name] = "MISSING-DUMP (query threw in Verify?)"
     for name in names:
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not files:
