@@ -251,6 +251,26 @@ object DataFlowExec {
       case other => sys.error(s"${comp.name}: expected exactly 1 input, got ${other.size}")
     }
 
+  /** One group-by over `df` — shared by Aggregate and each
+    * MultiAggregate output port. */
+  private def buildAggregate(df: DataFrame, groupBy: Seq[String],
+      aggs: Seq[(String, String, String)]): DataFrame = {
+    val aggCols = aggs.map { case (op, c, alias) =>
+      (op.toLowerCase match {
+        case "sum" => sum(col(c))
+        case "avg" | "average" => avg(col(c))
+        case "min" => min(col(c))
+        case "max" => max(col(c))
+        case "count" => count(col(c))
+        case "count_star" => count(lit(1))
+        case "count_distinct" | "countdistinct" => countDistinct(col(c))
+        case other => sys.error(s"Aggregate: unsupported op $other")
+      }).as(alias)
+    }
+    if (groupBy.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
+    else df.groupBy(groupBy.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+  }
+
   def execute(comp: Component, inputs: Map[String, Seq[DataFrame]],
               ctx: PipelineContext): Map[String, DataFrame] = comp match {
 
@@ -594,22 +614,19 @@ object DataFlowExec {
       Map("out" -> ins.reduce(_ unionByName _))
 
     case Aggregate(_, groupBy, aggs) =>
+      Map("out" -> buildAggregate(single(inputs, comp), groupBy, aggs))
+
+    case MultiAggregate(_, outs) =>
       val df = single(inputs, comp)
-      val aggCols = aggs.map { case (op, c, alias) =>
-        (op.toLowerCase match {
-          case "sum" => sum(col(c))
-          case "avg" | "average" => avg(col(c))
-          case "min" => min(col(c))
-          case "max" => max(col(c))
-          case "count" => count(col(c))
-          case "count_star" => count(lit(1))
-          case "count_distinct" | "countdistinct" => countDistinct(col(c))
-          case other => sys.error(s"Aggregate: unsupported op $other")
-        }).as(alias)
-      }
-      val out = if (groupBy.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
-                else df.groupBy(groupBy.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
-      Map("out" -> out)
+      val parent =
+        if (outs.size > 1) {
+          val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+          ctx.persisted += p
+          p
+        } else df
+      outs.map { case (port, groupBy, aggs) =>
+        port -> buildAggregate(parent, groupBy, aggs)
+      }.toMap
 
     case Sort(_, keys, dedup) =>
       var df = single(inputs, comp)

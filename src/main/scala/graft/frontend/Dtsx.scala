@@ -230,12 +230,15 @@ object Dtsx {
       for (n <- attr(c, "name"); cls <- attr(c, "componentClassID")) yield n -> cls
     }.toMap
     val components = compNodes.map(parseComponent(_, conns))
+    // a multi-output Aggregate keys its ports by the raw output names
+    val multiAgg = components.collect { case m: MultiAggregate => m.name }.toSet
     val paths = (p \ "paths" \ "path").map { pn =>
       val (fromComp, fromPortRaw) = splitPortRef(attr(pn, "startId").get, "Outputs")
       val (toComp, toPortRaw) = splitPortRef(attr(pn, "endId").get, "Inputs")
       val fromPort = classOf.get(fromComp) match {
         case Some("Microsoft.ConditionalSplit") => fromPortRaw
         case Some("Microsoft.Multicast") => fromPortRaw
+        case Some("Microsoft.Aggregate") if multiAgg(fromComp) => fromPortRaw
         case Some("Microsoft.Lookup")
           if fromPortRaw.toLowerCase.contains("no match") => "nomatch"
         case Some("Microsoft.PercentageSampling") | Some("Microsoft.RowSampling")
@@ -533,35 +536,41 @@ object Dtsx {
         // AggregationType enum: GroupBy=0, Count=1, CountAll=2,
         // CountDistinct=3, Sum=4, Average=5, Minimum=6, Maximum=7;
         // source column via the AggregationColumnId lineage ref.
-        // The designer supports MULTIPLE aggregation outputs (independent
-        // group-bys in one component); flattening them would silently
-        // merge their keys — refuse until multi-output is modeled.
-        val aggOuts = (c \ "outputs" \ "output")
-          .filterNot(o => attr(o, "isErrorOut").contains("true"))
-        if (aggOuts.size > 1)
-          sys.error(s"dtsx Aggregate $name: ${aggOuts.size} aggregation " +
-            "outputs — multi-output Aggregate is not supported")
-        val entries = outputCols(c).map { oc =>
-          val ps = props(oc)
-          val outName = attr(oc, "name").get
-          val src = ps.get("AggregationColumnId").flatMap { ref =>
-            val i = ref.lastIndexOf("Columns[")
-            if (i < 0) None
-            else Some(ref.substring(i + 8, ref.indexOf(']', i + 8)))
-          }.getOrElse(outName)
-          (outName, ps.getOrElse("AggregationType", "0").trim, src)
-        }
+        // The designer supports MULTIPLE aggregation outputs — each
+        // becomes an independent port running its own group-by over
+        // the shared (persisted-once) input.
         val ops = Map("1" -> "count", "2" -> "count_star",
           "3" -> "count_distinct", "4" -> "sum", "5" -> "avg",
           "6" -> "min", "7" -> "max")
-        entries.collectFirst {
-          case (n, t, _) if t != "0" && !ops.contains(t) =>
-            sys.error(s"dtsx Aggregate $name: unsupported AggregationType $t ($n)")
+        def parseAggOutput(o: Node)
+            : (String, Seq[String], Seq[(String, String, String)]) = {
+          val entries = (o \ "outputColumns" \ "outputColumn").map { oc =>
+            val ps = props(oc)
+            val outName = attr(oc, "name").get
+            val src = ps.get("AggregationColumnId").flatMap { ref =>
+              val i = ref.lastIndexOf("Columns[")
+              if (i < 0) None
+              else Some(ref.substring(i + 8, ref.indexOf(']', i + 8)))
+            }.getOrElse(outName)
+            (outName, ps.getOrElse("AggregationType", "0").trim, src)
+          }
+          entries.collectFirst {
+            case (n, t, _) if t != "0" && !ops.contains(t) =>
+              sys.error(s"dtsx Aggregate $name: unsupported AggregationType $t ($n)")
+          }
+          (attr(o, "name").get,
+            entries.collect { case (_, "0", src) => src },
+            entries.collect { case (n, t, src) if t != "0" =>
+              (ops(t), if (t == "2") "" else src, n) })
         }
-        Aggregate(name,
-          groupBy = entries.collect { case (_, "0", src) => src },
-          aggs = entries.collect { case (n, t, src) if t != "0" =>
-            (ops(t), if (t == "2") "" else src, n) })
+        val aggOuts = (c \ "outputs" \ "output")
+          .filterNot(o => attr(o, "isErrorOut").contains("true"))
+        if (aggOuts.size <= 1) {
+          val (_, groupBy, aggs) = parseAggOutput(aggOuts.headOption
+            .getOrElse(sys.error(s"dtsx Aggregate $name: no output")))
+          Aggregate(name, groupBy, aggs)
+        } else
+          MultiAggregate(name, aggOuts.map(parseAggOutput))
 
       case "Microsoft.PercentageSampling" =>
         RandomSampling(name,

@@ -226,6 +226,14 @@ object Component {
   // ---- rowset ops (§2.6) ----
   final case class Aggregate(name: String, groupBy: Seq[String],
       aggs: Seq[(String, String, String)]) extends Component // (op, col, alias)
+  /** SSIS Aggregate with MULTIPLE aggregation outputs (a supported
+    * designer feature): each output port runs an independent group-by
+    * over the SAME input. `outputs`: (portName, groupBy, aggs). The
+    * input persists when more than one port exists, so the scan isn't
+    * repeated per aggregation. */
+  final case class MultiAggregate(name: String,
+      outputs: Seq[(String, Seq[String], Seq[(String, String, String)])])
+    extends Component
   final case class Sort(name: String, keys: Seq[(String, Boolean)],
       eliminateDuplicates: Boolean = false) extends Component
   /** Deterministic sampling by key-hash bucket (scale-safe analog of

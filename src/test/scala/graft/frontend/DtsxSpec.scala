@@ -885,7 +885,7 @@ class DtsxSpec extends AnyFunSuite {
     assert(mj.keys == Seq("lk" -> "rk"))
   }
 
-  test("dtsx Aggregate: multiple aggregation outputs are rejected loudly") {
+  test("dtsx Aggregate: multiple aggregation outputs run independent group-bys") {
     val xml =
       <DTS:Executable xmlns:DTS="www.microsoft.com/SqlServer/Dts" DTS:ObjectName="magg">
         <DTS:Executables>
@@ -893,18 +893,38 @@ class DtsxSpec extends AnyFunSuite {
             <DTS:ObjectData>
               <pipeline>
                 <components>
+                  <component componentClassID="Microsoft.OLEDBSource" name="S">
+                    <properties>
+                      <property name="SqlCommand">SELECT g, v FROM magg_src</property>
+                      <property name="AccessMode">2</property>
+                    </properties>
+                    <outputs>
+                      <output name="Out">
+                        <outputColumns>
+                          <outputColumn name="g"/>
+                          <outputColumn name="v"/>
+                        </outputColumns>
+                      </output>
+                    </outputs>
+                  </component>
                   <component componentClassID="Microsoft.Aggregate" name="AGG">
                     <outputs>
-                      <output name="Aggregate Output 1">
+                      <output name="By G">
                         <outputColumns>
-                          <outputColumn name="k">
+                          <outputColumn name="g">
                             <properties>
                               <property name="AggregationType">0</property>
                             </properties>
                           </outputColumn>
+                          <outputColumn name="sv">
+                            <properties>
+                              <property name="AggregationType">4</property>
+                              <property name="AggregationColumnId">#{{P\DFT\AGG.Inputs[In].Columns[v]}}</property>
+                            </properties>
+                          </outputColumn>
                         </outputColumns>
                       </output>
-                      <output name="Aggregate Output 2">
+                      <output name="Total">
                         <outputColumns>
                           <outputColumn name="n">
                             <properties>
@@ -915,15 +935,43 @@ class DtsxSpec extends AnyFunSuite {
                       </output>
                     </outputs>
                   </component>
+                  <component componentClassID="Microsoft.OLEDBDestination" name="D_G">
+                    <properties>
+                      <property name="OpenRowset">magg_g</property>
+                      <property name="AccessMode">3</property>
+                    </properties>
+                  </component>
+                  <component componentClassID="Microsoft.OLEDBDestination" name="D_T">
+                    <properties>
+                      <property name="OpenRowset">magg_t</property>
+                      <property name="AccessMode">3</property>
+                    </properties>
+                  </component>
                 </components>
-                <paths/>
+                <paths>
+                  <path startId="P\DFT\S.Outputs[Out]" endId="P\DFT\AGG.Inputs[In]"/>
+                  <path startId="P\DFT\AGG.Outputs[By G]" endId="P\DFT\D_G.Inputs[In]"/>
+                  <path startId="P\DFT\AGG.Outputs[Total]" endId="P\DFT\D_T.Inputs[In]"/>
+                </paths>
               </pipeline>
             </DTS:ObjectData>
           </DTS:Executable>
         </DTS:Executables>
       </DTS:Executable>
-    val ex = intercept[RuntimeException](Dtsx.parse(xml))
-    assert(ex.getMessage.contains("multi-output Aggregate"))
+    sql(
+      "DROP TABLE IF EXISTS magg_src", "DROP TABLE IF EXISTS magg_g",
+      "DROP TABLE IF EXISTS magg_t",
+      "CREATE TABLE magg_src (g STRING, v INT) USING parquet",
+      "INSERT INTO magg_src VALUES ('a', 1), ('a', 2), ('b', 10)",
+      "CREATE TABLE magg_g (g STRING, sv BIGINT) USING parquet",
+      "CREATE TABLE magg_t (n BIGINT) USING parquet")
+    val res = ControlFlowExec.run(Dtsx.parse(xml),
+      PipelineContext.overCatalog(spark))
+    assert(res.statuses.values.forall(_ == ControlFlowExec.Succeeded), res.statuses)
+    val byG = spark.table("magg_g").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(byG == Set(("a", 3L), ("b", 10L)))
+    assert(spark.table("magg_t").collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
 
   test("dtsx Pivot -> UnPivot -> Audit chain and RowSampling ports execute end-to-end") {

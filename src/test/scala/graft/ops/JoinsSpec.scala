@@ -54,4 +54,22 @@ class JoinsSpec extends AnyFunSuite {
     assert(byId(1002L) == Set("high"))
     assert(byId(1003L) == Set("low"))
   }
+
+  test("scale shape: asofJoin plans exactly one exchange; bandJoin never nested-loops") {
+    val left = Seq((1L, "k", 10L)).toDF("id", "key", "t")
+    val right = Seq((2L, "k", 5L)).toDF("rid", "key", "rt")
+    val asofPlan = Joins.asofJoin(left, right, Seq("key"), "t", "rt",
+      select = Seq("rid" -> "last_rid")).queryExecution.executedPlan.toString
+    // the whole operator costs ONE hash exchange (for the window);
+    // a second one would mean the union or projection re-shuffled
+    assert("Exchange hashpartitioning".r.findAllMatchIn(asofPlan).size == 1,
+      asofPlan)
+
+    val facts = Seq((1L, 5.0)).toDF("id", "v")
+    val bands = Seq(("b", 0.0, 10.0)).toDF("band", "lo", "hi")
+    val bandPlan = Joins.bandJoin(facts, bands, "v", "lo", "hi", 10.0)
+      .queryExecution.executedPlan.toString
+    assert(!bandPlan.contains("CartesianProduct") &&
+      !bandPlan.contains("BroadcastNestedLoopJoin"), bandPlan)
+  }
 }
