@@ -73,6 +73,23 @@ object EventQueries extends QueryPack {
         .orderBy(col("event_id"))
     },
 
+    // Stream-stream interval join in its batch mode (ONE definition
+    // runs both; StreamingSpec proves parity): clicks attributed to
+    // same-user views within the preceding 30 minutes.
+    "q69_interval_join" -> { (s, dir) =>
+      val e = events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts").as("cts"),
+          col("user_id").as("cuser"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("ts").as("vts"),
+          col("user_id").as("vuser"))
+      Streams.intervalJoin(clicks, views, Seq("cuser" -> "vuser"),
+          "cts", "vts", watermark = "2 hours", window = "30 minutes")
+        .select(col("click_id"), col("view_id"))
+        .orderBy(col("click_id"), col("view_id"))
+    },
+
     // Range/band join via integer-bucket blocking: an equi-join plus
     // exact range filter, never a cross product; the oracle runs the
     // naive inequality join.
@@ -128,6 +145,16 @@ object EventQueries extends QueryPack {
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.user_id AND p.ts >= v.vts
         |ORDER BY p.event_id""".stripMargin,
+    "q69_interval_join" ->
+      """WITH c AS (SELECT event_id AS click_id, ts AS cts, user_id AS u
+        |    FROM events WHERE event_type = 'click'),
+        |v AS (SELECT event_id AS view_id, ts AS vts, user_id AS u
+        |  FROM events WHERE event_type = 'view')
+        |SELECT c.click_id, v.view_id
+        |FROM c JOIN v ON c.u = v.u
+        |  AND v.vts >= c.cts - INTERVAL '30 minutes'
+        |  AND v.vts <= c.cts
+        |ORDER BY c.click_id, v.view_id""".stripMargin,
     "q67_band_join" ->
       """WITH b AS (SELECT * FROM (VALUES
         |    ('low', 0.0, 10.0), ('mid', 10.0, 25.0), ('high', 25.0, 100.0))

@@ -72,10 +72,32 @@ object Streams {
       }
   }
 
+  /** Stream-stream interval join: each left row matched to right rows
+    * with equal keys and rightTs within [leftTs - window, leftTs] —
+    * the attribution/enrichment join (clicks ← preceding views). Both
+    * sides are watermarked, and the time bound is what lets Spark
+    * prune right-side state: without it a stream-stream join must
+    * retain everything forever. Column sets must be disjoint except
+    * through `keyPairs` (pre-rename the right side), the usual
+    * stream-join hygiene. One definition runs batch and streaming. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      keyPairs: Seq[(String, String)], leftTs: String, rightTs: String,
+      watermark: String, window: String): DataFrame = {
+    require(left.columns.intersect(right.columns).isEmpty,
+      s"intervalJoin: overlapping columns ${left.columns.intersect(right.columns).toSeq}")
+    val cond = keyPairs.map { case (lk, rk) => col(lk) === col(rk) }
+      .reduce(_ && _) &&
+      col(rightTs) >= col(leftTs) - expr(s"INTERVAL $window") &&
+      col(rightTs) <= col(leftTs)
+    watermarked(left, leftTs, watermark)
+      .join(watermarked(right, rightTs, watermark), cond)
+  }
+
   /** Output mode each operator needs on an unbounded sink. */
   val outputModes: Map[String, OutputMode] = Map(
     "tumblingAgg" -> OutputMode.Complete(),
     "sessionAgg" -> OutputMode.Complete(),
     "dedup" -> OutputMode.Append(),
-    "runningUserTotals" -> OutputMode.Update())
+    "runningUserTotals" -> OutputMode.Update(),
+    "intervalJoin" -> OutputMode.Append())
 }

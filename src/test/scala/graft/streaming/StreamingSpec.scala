@@ -77,6 +77,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.filter(col("event_id") === 2L).count() == 1)
   }
 
+  test("intervalJoin: stream-stream attribution join equals batch, across micro-batches") {
+    val clickSchema = StructType(Seq(StructField("click_id", LongType),
+      StructField("cts", TimestampType), StructField("cuser", LongType)))
+    val viewSchema = StructType(Seq(StructField("view_id", LongType),
+      StructField("vts", TimestampType), StructField("vuser", LongType)))
+    val clicksA = Seq(Row(101L, ts(10), 1L), Row(102L, ts(40), 2L))
+    val viewsA = Seq(Row(201L, ts(0), 1L))
+    val clicksB = Seq(Row(103L, ts(59), 1L))
+    // view 203 arrives AFTER click 102 already streamed — the join
+    // state must still match them (cross-micro-batch)
+    val viewsB = Seq(Row(202L, ts(55), 1L), Row(203L, ts(20), 2L))
+    def mk(sch: StructType, rows: Seq[Row]) =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), sch)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_ij")
+    dir.toFile.deleteOnExit()
+    val (cDir, vDir) = (dir.toString + "/clicks", dir.toString + "/views")
+    mk(clickSchema, clicksA).write.mode(SaveMode.Append).parquet(cDir)
+    mk(viewSchema, viewsA).write.mode(SaveMode.Append).parquet(vDir)
+    val joined = Streams.intervalJoin(
+      spark.readStream.schema(clickSchema).parquet(cDir),
+      spark.readStream.schema(viewSchema).parquet(vDir),
+      keyPairs = Seq("cuser" -> "vuser"), leftTs = "cts", rightTs = "vts",
+      watermark = "2 hours", window = "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("stream_sink_ij")
+      .outputMode(Streams.outputModes("intervalJoin")).start()
+    try {
+      q.processAllAvailable()
+      mk(clickSchema, clicksB).write.mode(SaveMode.Append).parquet(cDir)
+      mk(viewSchema, viewsB).write.mode(SaveMode.Append).parquet(vDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("stream_sink_ij")
+      .select("click_id", "view_id").as[(Long, Long)].collect().toSet
+    val batch = Streams.intervalJoin(
+        mk(clickSchema, clicksA ++ clicksB), mk(viewSchema, viewsA ++ viewsB),
+        Seq("cuser" -> "vuser"), "cts", "vts", "2 hours", "30 minutes")
+      .select("click_id", "view_id").as[(Long, Long)].collect().toSet
+    // 101←201 (10:00 in [9:40,10:10]), 102←203 (late-arriving view),
+    // 103←202 (10:55 in [10:29,10:59])
+    assert(batch == Set((101L, 201L), (102L, 203L), (103L, 202L)))
+    assert(streamed == batch)
+  }
+
   test("runningUserTotals: mapGroupsWithState accumulates across micro-batches") {
     val streamed = runStreaming("runningUserTotals",
       df => Streams.runningUserTotals(df).toDF())
