@@ -50,12 +50,16 @@ object Bench {
         }
         name -> timing
       }
+    // 3-decimal timings: full-precision doubles made the line ~2x
+    // longer than needed and the driver's log-tail capture truncated
+    // the r5 JSON mid-object (ms resolution is beyond timer noise)
+    def fmt(d: Double) = f"$d%.3f"
     val qs = results.map { case (k, v) =>
-      s"\"" + k + "\":" + v.fold("null")(_.toString) }.mkString("{", ",", "}")
+      s"\"" + k + "\":" + v.fold("null")(fmt) }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     val failed = results.collect { case (k, None) => s"\"$k\"" }
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

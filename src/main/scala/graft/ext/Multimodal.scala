@@ -59,9 +59,8 @@ object Multimodal {
   /** Real image resize (pure JVM): decode, scale to fit within
     * (maxW, maxH) preserving aspect ratio, re-encode as PNG. Returns
     * the original payload untouched when it is not a decodable image
-    * or already fits. Video frame-sampling is NOT offered — the JVM
-    * ships no video codecs; it would slot into the same per-partition
-    * batch shape. */
+    * or already fits. (Video frame-sampling lives in [[sampleFrames]]
+    * below, over the GVID demuxer — see the video container note.) */
   def resizeImage(payload: Array[Byte], maxW: Int, maxH: Int): Array[Byte] = {
     val img = try javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(payload))
@@ -187,17 +186,32 @@ object Multimodal {
   }
 
   /** Parse a GVID container into (frame_index, frame payload) pairs.
-    * Non-GVID payloads yield no frames. */
+    * Non-GVID payloads yield no frames. Declared counts/lengths are
+    * validated against the payload's actual size BEFORE any allocation:
+    * a corrupt header claiming 2^31 frames or a petabyte frame must
+    * fail as a cheap bounds check, not an executor-OOMing `new
+    * Array[Byte](huge)`. */
   def parseVideo(payload: Array[Byte]): Seq[(Long, Array[Byte])] = {
     if (payload == null || payload.length < 8 ||
         new String(payload, 0, 4, "US-ASCII") != "GVID") return Nil
     val in = new java.io.DataInputStream(
       new java.io.ByteArrayInputStream(payload, 4, payload.length - 4))
     val n = in.readInt()
+    // every frame costs >= 4 header bytes, so a well-formed container
+    // holds at most (payload - 8) / 4 frames
+    if (n < 0 || n.toLong > (payload.length - 8L) / 4L)
+      throw new IllegalArgumentException(
+        s"corrupt GVID: declared $n frames in a ${payload.length}-byte payload")
+    var remaining = payload.length - 8 // after magic + count
     (0L until n.toLong).map { i =>
       val len = in.readInt()
+      remaining -= 4
+      if (len < 0 || len > remaining)
+        throw new IllegalArgumentException(
+          s"corrupt GVID: frame $i declares $len bytes, $remaining remain")
       val frame = new Array[Byte](len)
       in.readFully(frame)
+      remaining -= len
       (i, frame)
     }
   }

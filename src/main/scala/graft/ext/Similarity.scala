@@ -159,20 +159,45 @@ object Similarity {
         round(x.cast("double") * scale).cast("int")))
   }
 
+  /** Nearest-centroid assignment as a PURE PROJECTION: per row, cosine
+    * against each inlined centroid literal, ranked by an ascending
+    * struct sort on (-sim, centroid_id) — i.e. sim DESC with
+    * centroid_id breaking exact ties — and the top `topN` exploded.
+    * No join, no window, no Exchange: the scan is map-only, so the
+    * index build reads the corpus exactly once with ZERO row
+    * amplification. (The previous plan crossJoined a broadcast
+    * centroid frame and ranked through a window, which hash-exchanged
+    * |corpus|·nlist rows — an nlist× shuffle amplification that a
+    * 100 TB corpus cannot afford.) The nlist·dim literals ride to
+    * executors inside the task binary — the same bytes the broadcast
+    * carried, without the joined-row blowup. */
+  private[ext] def nearestCentroids(df: DataFrame, vCol: String,
+      centroids: Seq[Column], topN: Int): DataFrame = {
+    val ranked = array_sort(array(centroids.zipWithIndex.map {
+      case (cv, i) =>
+        struct((-cosine(col(vCol), cv)).as("neg"), lit(i).as("centroid_id"))
+    }: _*))
+    df.withColumn("centroid_id",
+        explode(slice(ranked, 1, topN).getField("centroid_id")))
+  }
+
   /** IVF (inverted-file) top-k — the classic coarse-quantizer ANN index
     * as a DataFrame pipeline. Corpus vectors are assigned to their
-    * single nearest of `nlist` coarse centroids (the index build: ONE
-    * scan + a broadcast of nlist centroids); each query then probes only
-    * its `nprobe` nearest centroids' lists, so the candidate join
-    * shuffles on centroid_id — list-local, never all-pairs. Exact cosine
-    * ranks the candidates.
+    * single nearest of `nlist` coarse centroids via a shuffle-free
+    * projection ([[nearestCentroids]] — the index build is ONE map-only
+    * scan); each query then probes only its `nprobe` nearest centroids'
+    * lists, so the candidate join shuffles on centroid_id — list-local,
+    * never all-pairs. Exact cosine ranks the candidates.
     *
     * Centroids are a deterministic hash-picked sample of the corpus
     * itself rather than k-means iterations: at scale the assignment scan
     * dominates the build either way, sampled quantizers are the standard
     * cheap baseline, and determinism keeps the operator reproducible
-    * across runs/executors. Swapping in trained centroids touches only
-    * the `cents` frame.
+    * across runs/executors. The quantizer is driver-bounded BY
+    * CONSTRUCTION (nlist vectors), so it is collected once and inlined
+    * as double literals — exact, since float→double widening preserves
+    * every value [[graft.functions.VecExprs]] would have read. Swapping
+    * in trained centroids touches only the `centroids` sequence.
     *
     * `nprobe = nlist` probes every list — the search degenerates to
     * exhaustive and returns EXACTLY [[bruteForceTopK]]'s result (same
@@ -185,31 +210,22 @@ object Similarity {
     require(nlist > 0 && nprobe > 0 && nprobe <= nlist,
       s"need 0 < nprobe <= nlist, got nprobe=$nprobe nlist=$nlist")
     // index build: nlist hash-picked corpus vectors become centroids
-    // 0..nlist-1 (xxhash64 order = a deterministic uniform sample)
-    val cents = corpus
+    // 0..nlist-1 (xxhash64 order = a deterministic uniform sample;
+    // TakeOrderedAndProject returns them in that order)
+    val centroids: Seq[Column] = corpus
       .select(col(idCol).as("cid"), col(vecCol).as("cv"))
       .withColumn("h", xxhash64(col("cid")))
       .orderBy(col("h"), col("cid")).limit(nlist)
-      .withColumn("centroid_id",
-        row_number().over(Window.orderBy(col("h"), col("cid"))) - 1)
-      .select(col("centroid_id"), col("cv"))
-    // nearest-centroid rank of every vector, reused for both sides;
-    // ties broken by centroid_id for determinism
-    def centroidRanks(df: DataFrame, id: String): DataFrame = {
-      val w = Window.partitionBy(id)
-        .orderBy(cosine(col("v"), col("cv")).desc, col("centroid_id"))
-      df.select(col(idCol).as(id), col(vecCol).as("v"))
-        .crossJoin(broadcast(cents))
-        .withColumn("crank", row_number().over(w))
-    }
+      .select(col("cv")).collect().toSeq
+      .map(r => array(r.getSeq[Number](0).map(x => lit(x.doubleValue())): _*))
     // inverted lists: each corpus vector in exactly its nearest list
-    val lists = centroidRanks(corpus, "neighbor_id")
-      .filter(col("crank") === 1)
-      .select(col("centroid_id"), col("neighbor_id"), col("v").as("nv"))
+    val lists = nearestCentroids(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv")),
+      "nv", centroids, topN = 1)
     // each query probes its nprobe nearest lists
-    val probes = centroidRanks(queries, "query_id")
-      .filter(col("crank") <= nprobe)
-      .select(col("centroid_id"), col("query_id"), col("v").as("qv"))
+    val probes = nearestCentroids(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      "qv", centroids, topN = nprobe)
     val scored = probes.join(lists, Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),

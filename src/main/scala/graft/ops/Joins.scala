@@ -43,6 +43,12 @@ object Joins {
     val lSchema = left.schema
     val rSchema = right.schema
     val timeType = lSchema(leftTime).dataType
+    // tie-break keeps its NATIVE type (string/timestamp/decimal all
+    // order correctly); left rows carry a typed null — their relative
+    // order at equal (keys, time) is irrelevant, each sees the same
+    // carried right payload
+    val tieType = rightTieBreak.map(c => rSchema(c).dataType)
+      .getOrElse(org.apache.spark.sql.types.LongType)
     val lPass = leftCols.filterNot(keys.contains)
     // a shared tagged schema: keys, time, side (right sorts before left
     // at equal time => <= semantics), tie-break, left pass-through
@@ -50,15 +56,15 @@ object Joins {
     val lTagged = left.select(
       keys.map(col) ++
         Seq(col(leftTime).as("__t"), lit(1).as("__side"),
-          lit(0L).as("__tie")) ++
+          lit(null).cast(tieType).as("__tie")) ++
         lPass.map(col) ++
         select.map { case (c, a) =>
           lit(null).cast(rSchema(c).dataType).as(s"__r_$a") }: _*)
     val rTagged = right.select(
       keys.map(col) ++
         Seq(col(rightTime).cast(timeType).as("__t"), lit(0).as("__side"),
-          rightTieBreak.map(c => col(c).cast("long"))
-            .getOrElse(lit(0L)).as("__tie")) ++
+          rightTieBreak.map(col).getOrElse(lit(0L).cast(tieType))
+            .as("__tie")) ++
         lPass.map(c => lit(null).cast(lSchema(c).dataType).as(c)) ++
         select.map { case (c, a) => col(c).as(s"__r_$a") }: _*)
     val w = Window.partitionBy(keys.map(col): _*)

@@ -77,20 +77,33 @@ object Streams {
     * the attribution/enrichment join (clicks ← preceding views). Both
     * sides are watermarked, and the time bound is what lets Spark
     * prune right-side state: without it a stream-stream join must
-    * retain everything forever. Column sets must be disjoint except
-    * through `keyPairs` (pre-rename the right side), the usual
-    * stream-join hygiene. One definition runs batch and streaming. */
+    * retain everything forever. Right-side columns that collide with a
+    * left column are auto-renamed to `right_<name>` (the stream-join
+    * disjoint-schema hygiene, applied for the caller — the same
+    * per-side rename stance as MergeJoin); `keyPairs`/`rightTs` refer
+    * to the ORIGINAL right names. One definition runs batch and
+    * streaming. */
   def intervalJoin(left: DataFrame, right: DataFrame,
       keyPairs: Seq[(String, String)], leftTs: String, rightTs: String,
       watermark: String, window: String): DataFrame = {
-    require(left.columns.intersect(right.columns).isEmpty,
-      s"intervalJoin: overlapping columns ${left.columns.intersect(right.columns).toSeq}")
-    val cond = keyPairs.map { case (lk, rk) => col(lk) === col(rk) }
+    val taken = scala.collection.mutable.Set(left.columns: _*)
+    val renames: Seq[(String, String)] = right.columns.toSeq.map { c =>
+      if (!taken.contains(c)) { taken += c; c -> c }
+      else {
+        var n = s"right_$c"
+        while (taken.contains(n) || right.columns.contains(n)) n = s"_$n"
+        taken += n; c -> n
+      }
+    }
+    val renamed = renames.foldLeft(right) { case (df, (o, n)) =>
+      if (o == n) df else df.withColumnRenamed(o, n) }
+    val rName = renames.toMap
+    val cond = keyPairs.map { case (lk, rk) => col(lk) === col(rName(rk)) }
       .reduce(_ && _) &&
-      col(rightTs) >= col(leftTs) - expr(s"INTERVAL $window") &&
-      col(rightTs) <= col(leftTs)
+      col(rName(rightTs)) >= col(leftTs) - expr(s"INTERVAL $window") &&
+      col(rName(rightTs)) <= col(leftTs)
     watermarked(left, leftTs, watermark)
-      .join(watermarked(right, rightTs, watermark), cond)
+      .join(watermarked(renamed, rName(rightTs), watermark), cond)
   }
 
   /** Output mode each operator needs on an unbounded sink. */

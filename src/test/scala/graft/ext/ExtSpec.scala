@@ -227,6 +227,31 @@ class ExtSpec extends AnyFunSuite {
     assert(out.forall(_.ok))
   }
 
+  test("video demux rejects corrupt headers as a bounds check, not an allocation") {
+    def gvid(count: Int, body: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val o = new java.io.DataOutputStream(bos)
+      o.writeBytes("GVID"); o.writeInt(count); o.write(body); o.flush()
+      bos.toByteArray
+    }
+    // frame count claiming Int.MaxValue in a tiny payload
+    val bigCount = gvid(Int.MaxValue, Array[Byte](0, 0, 0, 1, 42))
+    val e1 = intercept[IllegalArgumentException](Multimodal.parseVideo(bigCount))
+    assert(e1.getMessage.contains("corrupt GVID"))
+    // one frame whose declared length (2^30) dwarfs the payload — must
+    // fail the bounds check BEFORE new Array[Byte](2^30)
+    val lenBytes = java.nio.ByteBuffer.allocate(4).putInt(1 << 30).array()
+    val bigFrame = gvid(1, lenBytes ++ Array[Byte](1, 2, 3))
+    val e2 = intercept[IllegalArgumentException](Multimodal.parseVideo(bigFrame))
+    assert(e2.getMessage.contains("corrupt GVID"))
+    // negative frame length
+    val negFrame = gvid(1, java.nio.ByteBuffer.allocate(4).putInt(-5).array())
+    intercept[IllegalArgumentException](Multimodal.parseVideo(negFrame))
+    // a well-formed container still parses after the hardening
+    val ok = Multimodal.syntheticVideo(Seq(Array[Byte](9, 8, 7)))
+    assert(Multimodal.parseVideo(ok).head._2.toSeq == Seq[Byte](9, 8, 7))
+  }
+
   test("int8 quantization: known codes, zero-vector guard, dequant error bound") {
     val schema = StructType(Seq(StructField("id", LongType),
       StructField("v", ArrayType(FloatType))))
@@ -278,5 +303,20 @@ class ExtSpec extends AnyFunSuite {
     val byQ = part.groupBy(_._1)
     assert(byQ.values.forall(g =>
       g.length <= 3 && g.map(_._4).sorted.toSeq == (1 to g.length)))
+  }
+
+  test("ivf centroid assignment is a pure projection — no Exchange") {
+    // the index build must read the corpus exactly once, map-only: any
+    // Exchange here is the nlist× shuffle amplification the r5 plan had
+    val df = spark.range(0, 100).select(col("id"),
+      array(col("id").cast("float"), lit(2.0f)).as("v"))
+    val cents = Seq(array(lit(1.0), lit(0.0)), array(lit(0.0), lit(1.0)))
+    val assigned = Similarity.nearestCentroids(df, "v", cents, topN = 1)
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"centroid assignment must be map-only:\n$plan")
+    // top-1 of 2 centroids over 100 rows: one assignment per row
+    assert(assigned.count() == 100)
+    assert(assigned.select("centroid_id").distinct().count() == 2)
   }
 }

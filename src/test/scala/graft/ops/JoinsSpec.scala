@@ -34,6 +34,20 @@ class JoinsSpec extends AnyFunSuite {
     assert(out(4L) == ((Some(20L), Some(400L))))
   }
 
+  test("asofJoin: tie-break keeps its native type — string ordering, not a long cast") {
+    val left = Seq((1L, "u1", 300L)).toDF("event_id", "user", "t")
+    val right = Seq(
+      ("apple", "u1", 300L),
+      ("pear", "u1", 300L), // 'pear' > 'banana' > 'apple' lexically
+      ("banana", "u1", 300L)
+    ).toDF("tag", "user", "rt")
+    val out = Joins.asofJoin(left, right, Seq("user"), "t", "rt",
+        select = Seq("tag" -> "last_tag"),
+        rightTieBreak = Some("tag"))
+      .select("event_id", "last_tag").as[(Long, String)].collect().toMap
+    assert(out(1L) == "pear")
+  }
+
   test("bandJoin: bucket-blocked result equals the naive theta join, [lo,hi) bounds") {
     val rnd = new scala.util.Random(3)
     val facts = (1 to 500).map(i => (i.toLong, rnd.nextDouble() * 60.0))

@@ -121,6 +121,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("intervalJoin: overlapping schemas auto-prefixed, batch/stream parity") {
+    // both sides share EVERY column name — the operator renames the
+    // right side to right_<name> instead of erroring
+    val sch = StructType(Seq(StructField("event_id", LongType),
+      StructField("ts", TimestampType), StructField("user_id", LongType)))
+    def mk(rows: Seq[Row]) =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), sch)
+    val clicksA = Seq(Row(101L, ts(10), 1L))
+    val viewsA = Seq(Row(201L, ts(0), 1L))
+    val clicksB = Seq(Row(102L, ts(59), 1L))
+    val viewsB = Seq(Row(202L, ts(55), 1L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_ijo")
+    dir.toFile.deleteOnExit()
+    val (cDir, vDir) = (dir.toString + "/clicks", dir.toString + "/views")
+    mk(clicksA).write.mode(SaveMode.Append).parquet(cDir)
+    mk(viewsA).write.mode(SaveMode.Append).parquet(vDir)
+    val joined = Streams.intervalJoin(
+      spark.readStream.schema(sch).parquet(cDir),
+      spark.readStream.schema(sch).parquet(vDir),
+      keyPairs = Seq("user_id" -> "user_id"), leftTs = "ts", rightTs = "ts",
+      watermark = "2 hours", window = "30 minutes")
+    assert(joined.columns.toSeq == Seq("event_id", "ts", "user_id",
+      "right_event_id", "right_ts", "right_user_id"))
+    val q = joined.writeStream.format("memory").queryName("stream_sink_ijo")
+      .outputMode(Streams.outputModes("intervalJoin")).start()
+    try {
+      q.processAllAvailable()
+      mk(clicksB).write.mode(SaveMode.Append).parquet(cDir)
+      mk(viewsB).write.mode(SaveMode.Append).parquet(vDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("stream_sink_ijo")
+      .select("event_id", "right_event_id").as[(Long, Long)].collect().toSet
+    val batch = Streams.intervalJoin(
+        mk(clicksA ++ clicksB), mk(viewsA ++ viewsB),
+        Seq("user_id" -> "user_id"), "ts", "ts", "2 hours", "30 minutes")
+      .select("event_id", "right_event_id").as[(Long, Long)].collect().toSet
+    assert(batch == Set((101L, 201L), (102L, 202L)))
+    assert(streamed == batch)
+  }
+
   test("runningUserTotals: mapGroupsWithState accumulates across micro-batches") {
     val streamed = runStreaming("runningUserTotals",
       df => Streams.runningUserTotals(df).toDF())
