@@ -170,7 +170,9 @@ object GoldenQueries extends QueryPack {
       val res = ControlFlowExec.run(spec, ctx)
       require(res.succeeded("dft_load"),
         s"dft_load failed: ${res.statuses("dft_load")}")
-      require(ctx.variables("User::FeedRows").asInstanceOf[Long] > 0L)
+      require(ctx.variables("User::FeedRows").asInstanceOf[Long] > 0L,
+        "golden feed empty: the fixture's custkey thresholds (240/1200) " +
+          "assume sf >= 0.01 (the driver gate's scale)")
 
       // dtsx:637-757 — OLE DB command ports as set rewrites, serialized:
       // UPDATE then DELETE then INSERT-append (control-flow order).

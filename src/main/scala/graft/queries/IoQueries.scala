@@ -121,6 +121,24 @@ object IoQueries extends QueryPack {
         .orderBy(col("n_nationkey"))
     },
 
+    // JDBC write → partitioned JDBC read, LIVE through embedded Derby
+    // (the pure-Java driver Spark itself ships): the reference's primary
+    // I/O path (enhanced_json_mapper.py:1611-1713 source, :2076-2138
+    // sink) under the oracle gate. The read issues 4 parallel range
+    // queries on n_nationkey — the mandatory at-scale shape.
+    "q70_jdbc_roundtrip" -> { (s, dir) =>
+      val conn = graft.sources.Jdbc.derbyMemory("graft_io")
+      run(s, dir, DataFlow("q70w", Seq(
+        SourceTable("src", "nation"),
+        JdbcDestination("dst", conn, "nation_rt", WriteMode.Overwrite)),
+        Seq(Path("src", "dst"))))
+      run(s, dir, DataFlow("q70r", Seq(
+        SourceJdbc("src", conn, "nation_rt",
+          Some(graft.sources.Jdbc.JdbcPartitioning("n_nationkey", 0, 24, 4)))),
+        Nil))("src.out")
+        .orderBy(col("n_nationkey"))
+    },
+
     // XML write → XML read via Spark's built-in xml datasource.
     "q40_xml_roundtrip" -> { (s, dir) =>
       val path = tmp("nation_xml")
@@ -150,6 +168,8 @@ object IoQueries extends QueryPack {
     "q46_import_export" ->
       "SELECT doc_id, text AS text2 FROM documents WHERE doc_id < 200 ORDER BY doc_id",
     "q53_rest_source" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "q70_jdbc_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "q40_xml_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"

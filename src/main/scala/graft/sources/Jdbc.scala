@@ -3,15 +3,15 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ir.Component.WriteMode
 
-/** JDBC source/sink config shape — the reference's primary read/write
-  * path (enhanced_json_mapper.py:1611-1713, 2076-2138: connection
-  * manager → url/driver/credentials, dbtable or pushed-down query,
-  * fetch/batch sizing). This build ships NO JDBC driver jar (zero
-  * egress), so `read`/`write` will fail at `.load()`/`.save()` with a
-  * driver-not-found error in the sandbox; everything up to that point —
-  * the option map, partitioned-read shape, write batching — is real,
-  * pure, and unit-tested, and a cluster with the driver on the
-  * classpath needs no code change.
+/** JDBC source/sink — the reference's primary read/write path
+  * (enhanced_json_mapper.py:1611-1713, 2076-2138: connection manager →
+  * url/driver/credentials, dbtable or pushed-down query, fetch/batch
+  * sizing). The live round-trip is exercised against embedded Apache
+  * Derby (`org.apache.derby.jdbc.EmbeddedDriver` — the pure-Java
+  * database Spark itself ships for its Hive metastore, so the driver is
+  * already on every Spark classpath): JdbcSpec and q70 write a catalog
+  * table through `write` and read it back through a partitioned `read`.
+  * Any other store is the same code with a different ConnectionDef.
   *
   * Scale notes baked into the shape:
   *   - a partitioned read (`JdbcPartitioning`) is MANDATORY at scale:
@@ -24,6 +24,23 @@ import graft.ir.Component.WriteMode
   *     pattern in graft.dag).
   */
 object Jdbc {
+
+  /** Embedded Derby writes `derby.log` (and `memory:` bookkeeping)
+    * under `derby.system.home`, defaulting to the process cwd — point
+    * it at a temp dir ONCE, before the first connection. Idempotent. */
+  lazy val derbyHome: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_derby").toString
+    System.setProperty("derby.system.home", d)
+    d
+  }
+
+  /** ConnectionDef for an embedded in-JVM Derby database — the live
+    * JDBC test/demo store (driver ships with Spark). */
+  def derbyMemory(db: String): ConnectionDef = {
+    derbyHome
+    ConnectionDef(s"jdbc:derby:memory:$db;create=true",
+      "org.apache.derby.jdbc.EmbeddedDriver")
+  }
 
   /** Connection manager config — carries exactly what the reference's
     * ConnectionDef does. Password is pass-through: production injects a
