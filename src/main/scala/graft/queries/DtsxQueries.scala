@@ -21,7 +21,113 @@ object DtsxQueries extends QueryPack {
   private val PackagePath =
     "/root/reference/input-sample packages/Sample_Medium_Package.dtsx"
 
+  /** A designer-shaped package exercising the SSIS Aggregate's
+    * multiple-aggregation-outputs feature (r5 verdict item 3): ONE
+    * Aggregate component, TWO independent group-bys over the shared
+    * (persisted-once) input, each routed to its own destination.
+    * AggregationType enum per the designer: 0=GroupBy, 2=CountAll,
+    * 4=Sum. */
+  private val MultiAggXml =
+    <DTS:Executable xmlns:DTS="www.microsoft.com/SqlServer/Dts" DTS:ObjectName="magg71">
+      <DTS:Executables>
+        <DTS:Executable DTS:ObjectName="DFT" DTS:ExecutableType="Microsoft.Pipeline">
+          <DTS:ObjectData>
+            <pipeline>
+              <components>
+                <component componentClassID="Microsoft.OLEDBSource" name="S">
+                  <properties>
+                    <property name="SqlCommand">SELECT g, v FROM magg71_src</property>
+                    <property name="AccessMode">2</property>
+                  </properties>
+                  <outputs>
+                    <output name="Out">
+                      <outputColumns>
+                        <outputColumn name="g"/>
+                        <outputColumn name="v"/>
+                      </outputColumns>
+                    </output>
+                  </outputs>
+                </component>
+                <component componentClassID="Microsoft.Aggregate" name="AGG">
+                  <outputs>
+                    <output name="By G">
+                      <outputColumns>
+                        <outputColumn name="g">
+                          <properties><property name="AggregationType">0</property></properties>
+                        </outputColumn>
+                        <outputColumn name="sv">
+                          <properties>
+                            <property name="AggregationType">4</property>
+                            <property name="AggregationColumnId">#{{P\DFT\AGG.Inputs[In].Columns[v]}}</property>
+                          </properties>
+                        </outputColumn>
+                        <outputColumn name="cnt">
+                          <properties><property name="AggregationType">2</property></properties>
+                        </outputColumn>
+                      </outputColumns>
+                    </output>
+                    <output name="Total">
+                      <outputColumns>
+                        <outputColumn name="n">
+                          <properties><property name="AggregationType">2</property></properties>
+                        </outputColumn>
+                        <outputColumn name="tv">
+                          <properties>
+                            <property name="AggregationType">4</property>
+                            <property name="AggregationColumnId">#{{P\DFT\AGG.Inputs[In].Columns[v]}}</property>
+                          </properties>
+                        </outputColumn>
+                      </outputColumns>
+                    </output>
+                  </outputs>
+                </component>
+                <component componentClassID="Microsoft.OLEDBDestination" name="D_G">
+                  <properties>
+                    <property name="OpenRowset">magg71_g</property>
+                    <property name="AccessMode">3</property>
+                  </properties>
+                </component>
+                <component componentClassID="Microsoft.OLEDBDestination" name="D_T">
+                  <properties>
+                    <property name="OpenRowset">magg71_t</property>
+                    <property name="AccessMode">3</property>
+                  </properties>
+                </component>
+              </components>
+              <paths>
+                <path startId="P\DFT\S.Outputs[Out]" endId="P\DFT\AGG.Inputs[In]"/>
+                <path startId="P\DFT\AGG.Outputs[By G]" endId="P\DFT\D_G.Inputs[In]"/>
+                <path startId="P\DFT\AGG.Outputs[Total]" endId="P\DFT\D_T.Inputs[In]"/>
+              </paths>
+            </pipeline>
+          </DTS:ObjectData>
+        </DTS:Executable>
+      </DTS:Executables>
+    </DTS:Executable>
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Multi-output Aggregate package end-to-end: customer cents per
+    // market segment AND a grand total, from one component. Both
+    // destination tables are combined (total tagged '__ALL__') so the
+    // two-query DuckDB oracle certifies both outputs.
+    "q71_dtsx_multiagg" -> { (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .select(col("c_mktsegment").as("g"),
+          round(col("c_acctbal") * 100).cast("int").as("v"))
+        .write.mode("overwrite").saveAsTable("magg71_src")
+      s.sql("DROP TABLE IF EXISTS magg71_g")
+      s.sql("DROP TABLE IF EXISTS magg71_t")
+      s.sql("CREATE TABLE magg71_g (g STRING, sv BIGINT, cnt BIGINT) USING parquet")
+      s.sql("CREATE TABLE magg71_t (n BIGINT, tv BIGINT) USING parquet")
+      ControlFlowExec.run(Dtsx.parse(MultiAggXml),
+        PipelineContext.overCatalog(s))
+      s.table("magg71_g")
+        .unionByName(s.table("magg71_t")
+          .select(lit("__ALL__").as("g"), col("tv").as("sv"),
+            col("n").as("cnt")))
+        .orderBy(col("g"))
+    },
 
     "q51_dtsx_medium" -> { (s, dir) =>
       val n = Tables.load(s, dir, "nation")
@@ -69,6 +175,13 @@ object DtsxQueries extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q71_dtsx_multiagg" ->
+      """WITH src AS (SELECT c_mktsegment AS g,
+        |    CAST(round(c_acctbal * 100) AS INT) AS v FROM customer)
+        |SELECT g, SUM(v) AS sv, COUNT(*) AS cnt FROM src GROUP BY g
+        |UNION ALL
+        |SELECT '__ALL__' AS g, SUM(v) AS sv, COUNT(*) AS cnt FROM src
+        |ORDER BY g""".stripMargin,
     "q51_dtsx_medium" ->
       """WITH n AS (SELECT CAST(n_nationkey AS INT) AS n, n_name FROM nation),
         |r AS (SELECT CAST(r_regionkey AS INT) AS r FROM region),
