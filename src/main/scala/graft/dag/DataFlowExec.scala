@@ -216,6 +216,10 @@ object DataFlowExec {
         case c: JdbcDestination => c.name
         case c: StagedCommand => c.name
         case c: ExportColumn => c.name
+        // its collect() is a real action, so it fills observations —
+        // but only over the capped limit(maxRows+1) plan, which may
+        // not evaluate every tapped row; keep it OFF the sink list so
+        // upstream taps take the exact count() fallback
       }.toSet
       val adj = flow.paths.groupBy(_.from).view.mapValues(_.map(_.to)).toMap
       def reachesSink(start: String): Boolean = {
@@ -741,6 +745,17 @@ object DataFlowExec {
 
     case JdbcDestination(_, conn, dbtable, mode, batchSize) =>
       graft.sources.Jdbc.write(single(inputs, comp), conn, dbtable, mode, batchSize)
+      Map.empty
+
+    case RecordsetDestination(name, variable, maxRows) =>
+      val df = single(inputs, comp)
+      // limit+1 bounds the fetch: the guard never pulls more than one
+      // row past the cap even when the input is huge
+      val rows = df.limit(maxRows + 1).collect()
+      if (rows.length > maxRows) sys.error(
+        s"$name: recordset exceeds $maxRows rows — recordsets are " +
+          "driver-side loop feeds, not data-scale sinks")
+      ctx.variables(variable) = rows.toSeq
       Map.empty
 
     case TrashDestination(name, countInto) =>

@@ -292,6 +292,24 @@ object Dtsx {
       .filterNot(o => attr(o, "isErrorOut").contains("true"))
       .flatMap(o => o \ "outputColumns" \ "outputColumn")
 
+  /** CSV reader/writer options from an Azure feature-pack component's
+    * properties (header flag + decoded delimiter). */
+  private def csvOptsOf(pr: Map[String, String]): Map[String, String] =
+    Map("header" -> pr.get("ColumnNamesInFirstDataRow")
+        .exists(_.equalsIgnoreCase("true")).toString,
+      "sep" -> decodeDtsChars(pr.getOrElse("ColumnDelimiter", ",")))
+
+  /** Explicit DDL schema from a component's declared output columns
+    * (inferSchema is a second full pass — never acceptable at scale). */
+  private def outputDdlOf(c: Node, name: String): Option[String] = {
+    val ddl = outputCols(c).map { oc =>
+      val n = attr(oc, "name").get
+      s"`$n` ${ddlTypeOf(name, n, attr(oc, "dataType").getOrElse("wstr"),
+        attr(oc, "precision"), attr(oc, "scale"))}"
+    }.mkString(", ")
+    if (ddl.nonEmpty) Some(ddl) else None
+  }
+
   /** Derived-column expression for a column node: the FriendlyExpression
     * (column names) preferred, lineage-id Expression otherwise (the
     * lexer resolves #{...Columns[X]} refs to X). */
@@ -906,6 +924,63 @@ object Dtsx {
         val conn = connOf(c, conns, name)
         ExcelDestination(name, excelPath(conn, name),
           sheetName = pr.getOrElse("OpenRowset", "Sheet1").stripSuffix("$"))
+
+      // ---- Azure feature-pack + Recordset components: the reference
+      // recognizes these by name routing as plain sources/destinations
+      // (data_engineering_parser.py:491-507); here each is a thin
+      // config variant of an existing reader/writer. The storage root
+      // comes from the connection manager — locally a filesystem dir,
+      // on a cluster the same string is a wasbs://abfss:// URI the
+      // Hadoop connector resolves; the component is scheme-agnostic.
+      case "Microsoft.SSISAzureBlobSrc" =>
+        val conn = connOf(c, conns, name)
+        val path = (Seq(conn.connectionString) ++
+          pr.get("BlobContainer") ++ pr.get("BlobName"))
+          .filter(_.nonEmpty).map(_.stripSuffix("/")).mkString("/")
+        pr.getOrElse("BlobFileFormat", "Text") match {
+          case "Text" | "0" =>
+            SourceCsv(name, path, csvOptsOf(pr), schemaDdl = outputDdlOf(c, name))
+          case other => sys.error(s"dtsx $name: unsupported " +
+            s"BlobFileFormat '$other' (Text supported; Avro needs " +
+            "spark-avro on the classpath)")
+        }
+
+      case "Microsoft.SSISAzureBlobDst" =>
+        val conn = connOf(c, conns, name)
+        val path = (Seq(conn.connectionString) ++
+          pr.get("BlobContainer") ++ pr.get("BlobName"))
+          .filter(_.nonEmpty).map(_.stripSuffix("/")).mkString("/")
+        FileDestination(name, path, "csv", WriteMode.Overwrite, csvOptsOf(pr))
+
+      case "Microsoft.SSISAzureDataLakeStoreSrc" =>
+        val conn = connOf(c, conns, name)
+        val path = (Seq(conn.connectionString) ++ pr.get("FilePath"))
+          .filter(_.nonEmpty).map(_.stripSuffix("/")).mkString("/")
+        pr.getOrElse("FileFormat", "Text").toLowerCase match {
+          case "text" | "0" =>
+            SourceCsv(name, path, csvOptsOf(pr), schemaDdl = outputDdlOf(c, name))
+          case "parquet" => SourceParquet(name, path)
+          case other => sys.error(s"dtsx $name: unsupported FileFormat " +
+            s"'$other' (Text/Parquet supported; Avro/ORC need their " +
+            "datasource jars)")
+        }
+
+      case "Microsoft.SSISAzureDataLakeStoreDst" =>
+        val conn = connOf(c, conns, name)
+        val path = (Seq(conn.connectionString) ++ pr.get("FilePath"))
+          .filter(_.nonEmpty).map(_.stripSuffix("/")).mkString("/")
+        pr.getOrElse("FileFormat", "Text").toLowerCase match {
+          case "text" | "0" =>
+            FileDestination(name, path, "csv", WriteMode.Overwrite, csvOptsOf(pr))
+          case "parquet" =>
+            FileDestination(name, path, "parquet", WriteMode.Overwrite)
+          case other => sys.error(s"dtsx $name: unsupported FileFormat " +
+            s"'$other' (Text/Parquet supported)")
+        }
+
+      case "Microsoft.RecordsetDestination" =>
+        RecordsetDestination(name, pr.getOrElse("VariableName",
+          sys.error(s"dtsx Recordset destination $name: no VariableName")))
 
       case "Microsoft.ManagedComponentHost" =>
         // managed components dispatch on UserComponentTypeName — same

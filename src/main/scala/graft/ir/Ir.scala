@@ -326,6 +326,16 @@ object Component {
     * enhanced_json_mapper.py:368-377). */
   final case class TrashDestination(name: String,
       countInto: Option[String] = None) extends Component
+  /** SSIS Recordset Destination (recognized as a destination by the
+    * reference's name routing, data_engineering_parser.py:501-507):
+    * materializes its input into the pipeline variable as a driver-side
+    * row list — SSIS's in-memory ADO recordset semantics, the feed for
+    * ForEach ADO enumerators. Driver-bounded BY DESIGN: recordsets hold
+    * loop/config tables, not data-scale frames (same stance as the
+    * Excel writer); `maxRows` fails loudly if a plan aims a big frame
+    * at one. */
+  final case class RecordsetDestination(name: String, variable: String,
+      maxRows: Int = 1000000) extends Component
 }
 
 /** An edge in the data-flow DAG: `from`'s output port feeds `to`'s input

@@ -231,6 +231,24 @@ class DagSpec extends AnyFunSuite {
     assert(spark.table("loop_out").count() == 4)
   }
 
+  test("RecordsetDestination fills its variable; the driver-bound cap fails loudly") {
+    val c = ctx(Map("people" -> people))
+    DataFlowExec.run(DataFlow("rs", Seq(
+      SourceTable("src", "people"),
+      RecordsetDestination("dst", "User::Rows")),
+      Seq(Path("src", "dst"))), c)
+    val rows = c.variables("User::Rows").asInstanceOf[Seq[Row]]
+    assert(rows.map(_.getInt(0)).toSet == Set(1, 2, 3, 4))
+    // a frame over the cap must error, not OOM the driver
+    val e = intercept[RuntimeException] {
+      DataFlowExec.run(DataFlow("rs2", Seq(
+        SourceTable("src", "people"),
+        RecordsetDestination("dst", "User::Rows", maxRows = 2)),
+        Seq(Path("src", "dst"))), c)
+    }
+    assert(e.getMessage.contains("recordset exceeds"))
+  }
+
   test("ForLoop runs init/eval/assign over a pipeline variable") {
     val c = ctx(Map("people" -> people))
     val spec = PipelineSpec("p",

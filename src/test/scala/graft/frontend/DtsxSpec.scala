@@ -974,6 +974,107 @@ class DtsxSpec extends AnyFunSuite {
     assert(spark.table("magg_t").collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
 
+  test("dtsx Azure feature-pack + Recordset components execute as file readers/writers") {
+    val root = java.nio.file.Files.createTempDirectory("graft_azure").toString
+    val in = new java.io.File(root, "in"); in.mkdirs()
+    java.nio.file.Files.write(new java.io.File(in, "part.csv").toPath,
+      "k,v\n1,a\n2,b\n3,c\n".getBytes("UTF-8"))
+    val xml =
+      <DTS:Executable xmlns:DTS="www.microsoft.com/SqlServer/Dts" DTS:ObjectName="azure">
+        <DTS:ConnectionManagers>
+          <DTS:ConnectionManager DTS:ObjectName="ADLS" DTS:CreationName="ADLS">
+            <DTS:ObjectData>
+              <DTS:ConnectionManager DTS:ConnectionString={root}/>
+            </DTS:ObjectData>
+          </DTS:ConnectionManager>
+          <DTS:ConnectionManager DTS:ObjectName="BLOB" DTS:CreationName="AzureStorage">
+            <DTS:ObjectData>
+              <DTS:ConnectionManager DTS:ConnectionString={root}/>
+            </DTS:ObjectData>
+          </DTS:ConnectionManager>
+        </DTS:ConnectionManagers>
+        <DTS:Executables>
+          <DTS:Executable DTS:ObjectName="DFT1" DTS:ExecutableType="Microsoft.Pipeline">
+            <DTS:ObjectData>
+              <pipeline>
+                <components>
+                  <component componentClassID="Microsoft.SSISAzureDataLakeStoreSrc" name="ASRC">
+                    <connections><connection connectionManagerID="Package.ConnectionManagers[ADLS]"/></connections>
+                    <properties>
+                      <property name="FilePath">in</property>
+                      <property name="FileFormat">Text</property>
+                      <property name="ColumnNamesInFirstDataRow">True</property>
+                      <property name="ColumnDelimiter">_x002C_</property>
+                    </properties>
+                    <outputs>
+                      <output name="Out">
+                        <outputColumns>
+                          <outputColumn name="k" dataType="i4"/>
+                          <outputColumn name="v" dataType="wstr" length="10"/>
+                        </outputColumns>
+                      </output>
+                    </outputs>
+                  </component>
+                  <component componentClassID="Microsoft.RecordsetDestination" name="RS">
+                    <properties><property name="VariableName">User::Rows</property></properties>
+                  </component>
+                </components>
+                <paths>
+                  <path startId="P\DFT1\ASRC.Outputs[Out]" endId="P\DFT1\RS.Inputs[In]"/>
+                </paths>
+              </pipeline>
+            </DTS:ObjectData>
+          </DTS:Executable>
+          <DTS:Executable DTS:ObjectName="DFT2" DTS:ExecutableType="Microsoft.Pipeline">
+            <DTS:ObjectData>
+              <pipeline>
+                <components>
+                  <component componentClassID="Microsoft.SSISAzureBlobSrc" name="BSRC">
+                    <connections><connection connectionManagerID="Package.ConnectionManagers[BLOB]"/></connections>
+                    <properties>
+                      <property name="BlobContainer">in</property>
+                      <property name="BlobFileFormat">Text</property>
+                      <property name="ColumnNamesInFirstDataRow">True</property>
+                      <property name="ColumnDelimiter">_x002C_</property>
+                    </properties>
+                    <outputs>
+                      <output name="Out">
+                        <outputColumns>
+                          <outputColumn name="k" dataType="i4"/>
+                          <outputColumn name="v" dataType="wstr" length="10"/>
+                        </outputColumns>
+                      </output>
+                    </outputs>
+                  </component>
+                  <component componentClassID="Microsoft.SSISAzureDataLakeStoreDst" name="ADST">
+                    <connections><connection connectionManagerID="Package.ConnectionManagers[ADLS]"/></connections>
+                    <properties>
+                      <property name="FilePath">outp</property>
+                      <property name="FileFormat">Parquet</property>
+                    </properties>
+                  </component>
+                </components>
+                <paths>
+                  <path startId="P\DFT2\BSRC.Outputs[Out]" endId="P\DFT2\ADST.Inputs[In]"/>
+                </paths>
+              </pipeline>
+            </DTS:ObjectData>
+          </DTS:Executable>
+        </DTS:Executables>
+      </DTS:Executable>
+    val res = ControlFlowExec.run(Dtsx.parse(xml),
+      PipelineContext.overCatalog(spark))
+    assert(res.statuses.values.forall(_ == ControlFlowExec.Succeeded), res.statuses)
+    // Recordset: the variable holds the driver-side row list
+    val rows = res.variables("User::Rows").asInstanceOf[Seq[org.apache.spark.sql.Row]]
+    assert(rows.map(r => (r.getInt(0), r.getString(1))).toSet ==
+      Set((1, "a"), (2, "b"), (3, "c")))
+    // Blob source -> ADLS parquet destination round-trip
+    val back = spark.read.parquet(s"$root/outp")
+    assert(back.collect().map(r => (r.getInt(0), r.getString(1))).toSet ==
+      Set((1, "a"), (2, "b"), (3, "c")))
+  }
+
   test("dtsx Pivot -> UnPivot -> Audit chain and RowSampling ports execute end-to-end") {
     val xml =
       <DTS:Executable xmlns:DTS="www.microsoft.com/SqlServer/Dts" DTS:ObjectName="pva">
