@@ -181,6 +181,57 @@ object Similarity {
         explode(slice(ranked, 1, topN).getField("centroid_id")))
   }
 
+  /** Deterministic hash-picked sample of `nlist` corpus vectors as
+    * double arrays — the cheap-baseline coarse quantizer. The collect
+    * is driver-bounded BY CONSTRUCTION (nlist vectors), and
+    * float→double widening preserves every value
+    * [[graft.functions.VecExprs]] would have read, so inlining the
+    * sample as literals is exact. */
+  private[ext] def sampleCentroids(corpus: DataFrame, idCol: String,
+      vecCol: String, nlist: Int): Seq[Seq[Double]] =
+    corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+      .withColumn("h", xxhash64(col("cid")))
+      .orderBy(col("h"), col("cid")).limit(nlist)
+      .select(col("cv")).collect().toSeq
+      .map(_.getSeq[Number](0).map(_.doubleValue()).toSeq)
+
+  private def centroidCols(cs: Seq[Seq[Double]]): Seq[Column] =
+    cs.map(v => array(v.map(lit): _*))
+
+  /** Lloyd-iteration k-means refinement of the coarse quantizer, built
+    * from the same shuffle-free machinery as the index itself: each
+    * iteration is ONE map-only assignment scan ([[nearestCentroids]]
+    * over literal centroids) + a partial-aggregating vector mean
+    * (`Summarizer.mean` — map-side combine, nlist output groups, no
+    * row or dimension amplification) + an nlist-row driver collect.
+    * Empty clusters keep their previous centroid. Means are left
+    * unnormalized: assignment ranks by cosine, which is
+    * scale-invariant, so normalization would not change any
+    * assignment. Trained centroids are NOT bit-reproducible across
+    * partitionings (float sum order) — irrelevant to correctness,
+    * because IVF's exactness guarantee (full probe ≡ brute force)
+    * holds for ANY quantizer. */
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int): Seq[Seq[Double]] = {
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.stat.Summarizer
+    var cents = sampleCentroids(corpus, idCol, vecCol, nlist)
+    for (_ <- 0 until iters) {
+      val means = nearestCentroids(
+          corpus.select(col(vecCol).as("v")), "v", centroidCols(cents),
+          topN = 1)
+        .select(col("centroid_id"),
+          array_to_vector(col("v").cast("array<double>")).as("mv"))
+        .groupBy("centroid_id").agg(Summarizer.mean(col("mv")).as("m"))
+        .collect()
+        .map(r => r.getInt(0) ->
+          r.getAs[org.apache.spark.ml.linalg.Vector]("m").toArray.toSeq)
+        .toMap
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
+    }
+    cents
+  }
+
   /** IVF (inverted-file) top-k — the classic coarse-quantizer ANN index
     * as a DataFrame pipeline. Corpus vectors are assigned to their
     * single nearest of `nlist` coarse centroids via a shuffle-free
@@ -189,35 +240,27 @@ object Similarity {
     * lists, so the candidate join shuffles on centroid_id — list-local,
     * never all-pairs. Exact cosine ranks the candidates.
     *
-    * Centroids are a deterministic hash-picked sample of the corpus
-    * itself rather than k-means iterations: at scale the assignment scan
-    * dominates the build either way, sampled quantizers are the standard
-    * cheap baseline, and determinism keeps the operator reproducible
-    * across runs/executors. The quantizer is driver-bounded BY
-    * CONSTRUCTION (nlist vectors), so it is collected once and inlined
-    * as double literals — exact, since float→double widening preserves
-    * every value [[graft.functions.VecExprs]] would have read. Swapping
-    * in trained centroids touches only the `centroids` sequence.
+    * `trainIters = 0` (default) uses the deterministic hash-picked
+    * sample as the quantizer — the standard cheap baseline, reproducible
+    * across runs/executors; `trainIters > 0` refines it with that many
+    * k-means iterations ([[trainCentroids]]), which tightens the lists
+    * so a smaller `nprobe` reaches the same recall.
     *
     * `nprobe = nlist` probes every list — the search degenerates to
     * exhaustive and returns EXACTLY [[bruteForceTopK]]'s result (same
-    * cosine math, same (sim DESC, id) tie-break), which is what puts
-    * this operator under the DuckDB oracle gate; `nprobe < nlist` is the
-    * approximate scale path. Output: (query_id, neighbor_id, cosine_sim,
-    * rank). */
+    * cosine math, same (sim DESC, id) tie-break) REGARDLESS of the
+    * quantizer, which is what puts this operator (trained or not) under
+    * the DuckDB oracle gate; `nprobe < nlist` is the approximate scale
+    * path. Output: (query_id, neighbor_id, cosine_sim, rank). */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int, nlist: Int, nprobe: Int): DataFrame = {
+      vecCol: String, k: Int, nlist: Int, nprobe: Int,
+      trainIters: Int = 0): DataFrame = {
     require(nlist > 0 && nprobe > 0 && nprobe <= nlist,
       s"need 0 < nprobe <= nlist, got nprobe=$nprobe nlist=$nlist")
-    // index build: nlist hash-picked corpus vectors become centroids
-    // 0..nlist-1 (xxhash64 order = a deterministic uniform sample;
-    // TakeOrderedAndProject returns them in that order)
-    val centroids: Seq[Column] = corpus
-      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
-      .withColumn("h", xxhash64(col("cid")))
-      .orderBy(col("h"), col("cid")).limit(nlist)
-      .select(col("cv")).collect().toSeq
-      .map(r => array(r.getSeq[Number](0).map(x => lit(x.doubleValue())): _*))
+    val centroids: Seq[Column] = centroidCols(
+      if (trainIters > 0)
+        trainCentroids(corpus, idCol, vecCol, nlist, trainIters)
+      else sampleCentroids(corpus, idCol, vecCol, nlist))
     // inverted lists: each corpus vector in exactly its nearest list
     val lists = nearestCentroids(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv")),

@@ -133,6 +133,22 @@ object ExtQueries extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // Trained IVF: two k-means iterations refine the quantizer, then a
+    // full probe — exhaustive search is exact for ANY quantizer, so the
+    // same brute-force oracle certifies the trained index end-to-end.
+    "q72_ann_ivf_trained" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val topk = Similarity.ivfTopK(e.filter(col("vec_id") < 20), e,
+        "vec_id", "embedding", k = 5, nlist = 8, nprobe = 8, trainIters = 2)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(round(col("cosine_sim"), 6).desc, col("neighbor_id"))
+      topk.select(col("query_id"), col("neighbor_id"),
+          round(col("cosine_sim"), 6).as("cosine_sim"))
+        .withColumn("rank", row_number().over(w))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     "q28_ann_lsh" -> { (s, dir) =>
       val e = embs(s, dir)
       Similarity.lshTopK(e.filter(col("vec_id") < 20), e,
@@ -415,8 +431,25 @@ object ExtQueries extends QueryPack {
         |    ELSE greatest(1, round(h0 * sc)) END AS INT) AS height,
         |  TRUE AS ok
         |FROM s ORDER BY media_id""".stripMargin,
-    // q61 full-probe IVF is exhaustive — the brute-force oracle applies
-    // verbatim (same rounding and tie-break discipline as q27).
+    // q61/q72 full-probe IVF is exhaustive — the brute-force oracle
+    // applies verbatim (same rounding and tie-break discipline as q27);
+    // q72 additionally runs k-means training first, which cannot change
+    // an exhaustive search's result.
+    "q72_ann_ivf_trained" ->
+      """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |    FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.v, c.v) AS cs
+        |  FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id),
+        |top5 AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cs DESC, neighbor_id) AS rn FROM s)
+        |  WHERE rn <= 5)
+        |SELECT query_id, neighbor_id, round(cs, 6) AS cosine_sim,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY round(cs, 6) DESC, neighbor_id) AS INT) AS rank
+        |FROM top5 ORDER BY query_id, rank""".stripMargin,
     "q61_ann_ivf" ->
       """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |    FROM embeddings WHERE vec_id < 20),

@@ -305,6 +305,39 @@ class ExtSpec extends AnyFunSuite {
       g.length <= 3 && g.map(_._4).sorted.toSeq == (1 to g.length)))
   }
 
+  test("k-means training refines centroids; trained full probe stays exact") {
+    val rnd = new scala.util.Random(17)
+    val dim = 8
+    // two well-separated blobs → trained centroids should land near them
+    val rows = (0L until 30L).map { i =>
+      val base = if (i % 2 == 0) 5.0f else -5.0f
+      Row(i, Seq.fill(dim)(base + rnd.nextGaussian().toFloat * 0.1f))
+    }
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", ArrayType(FloatType))))
+    val df = spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    val trained = Similarity.trainCentroids(df, "id", "v", nlist = 2, iters = 3)
+    assert(trained.size == 2 && trained.forall(_.size == dim))
+    // the two centroids point in opposite directions (cosine < 0)
+    val dot = trained(0).zip(trained(1)).map { case (a, b) => a * b }.sum
+    assert(dot < 0, s"centroids should separate the blobs: $trained")
+    // empty clusters (nlist > natural clusters) keep their previous
+    // centroid and training still completes
+    val sparse = Similarity.trainCentroids(df.filter(col("id") < 3), "id", "v",
+      nlist = 3, iters = 2)
+    assert(sparse.size == 3)
+    // trained full probe ≡ brute force (exhaustive search is exact for
+    // ANY quantizer)
+    val queries = df.filter(col("id") < 4)
+    def canon(out: org.apache.spark.sql.DataFrame) =
+      out.select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    val brute = canon(Similarity.bruteForceTopK(queries, df, "id", "v", 3))
+    val trainedFull = canon(Similarity.ivfTopK(queries, df, "id", "v",
+      k = 3, nlist = 4, nprobe = 4, trainIters = 2))
+    assert(trainedFull == brute)
+  }
+
   test("ivf centroid assignment is a pure projection — no Exchange") {
     // the index build must read the corpus exactly once, map-only: any
     // Exchange here is the nlist× shuffle amplification the r5 plan had
