@@ -117,4 +117,69 @@ object TextAnalysis {
         array_intersect(array_distinct(tokens(col(textCol))), termArr))
       .filter(size(col("matched_terms")) > 0)
   }
+
+  // ---------- PII redaction ----------
+
+  /** (pattern, replacement) pairs applied in order. Patterns stay in
+    * the common Java-regex/RE2 subset (char classes, bounded repeats,
+    * \b) so an external engine can reproduce the redaction exactly. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}\\b" -> "<PHONE>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>")
+
+  /** Scrub emails/phones/IPs to typed placeholders — the standard
+    * pre-training redaction pass. A chain of native regexp_replace
+    * calls: whole-stage codegen, one text traversal per pattern, no
+    * UDF. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
+  // ---------- benchmark-contamination screen ----------
+
+  /** N-gram contamination screen (the GPT-3-style eval-overlap check):
+    * for each corpus document, how many of its distinct shingles occur
+    * ANYWHERE in the benchmark set. Executes as explode → ONE
+    * shuffle-on-shingle left-semi join against the deduped benchmark
+    * shingles → count per doc; benchmark shingles are a set, never a
+    * per-pair comparison, so cost is linear in corpus shingle volume
+    * regardless of benchmark document count. Output: (id, n_shingles,
+    * n_hit, contaminated) with `contaminated` = hit ratio ≥ threshold
+    * decided in exact integer arithmetic (engine-portable). */
+  def contaminationScreen(corpus: org.apache.spark.sql.DataFrame,
+      bench: org.apache.spark.sql.DataFrame, idCol: String,
+      shingleCol: String, thresholdPct: Int): org.apache.spark.sql.DataFrame = {
+    val benchSh = bench.select(explode(col(shingleCol)).as("sh")).distinct()
+    val docSh = corpus.select(col(idCol), explode(col(shingleCol)).as("sh"))
+    val hits = docSh.join(benchSh, Seq("sh"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("n_hit"))
+    corpus.select(col(idCol), size(col(shingleCol)).cast("long").as("n_shingles"))
+      .join(hits, Seq(idCol), "left_outer")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("contaminated",
+        col("n_hit") * 100 >= col("n_shingles") * thresholdPct &&
+          col("n_shingles") > 0)
+  }
+
+  // ---------- stratified training-mix sampling ----------
+
+  /** Deterministic stratified sampler for training-mix curation: a row
+    * survives iff `id % buckets < rate(stratum)` — i.e. keep
+    * rate/buckets of each stratum, downsampling over-represented
+    * strata (the lang/domain rebalance every mix recipe needs). Keyed
+    * bucketing, not rand(): reproducible across runs, engines, and
+    * partitionings, and a pure narrow filter — no shuffle, no sort,
+    * pushdown-friendly. */
+  def stratifiedSample(df: org.apache.spark.sql.DataFrame,
+      strataCol: String, idCol: String, rates: Map[String, Int],
+      defaultKeep: Int, buckets: Int = 10): org.apache.spark.sql.DataFrame = {
+    require(buckets > 0 && (rates.values ++ Seq(defaultKeep)).forall(r =>
+      r >= 0 && r <= buckets), s"rates must lie in [0, $buckets]")
+    val rate = rates.foldLeft(lit(defaultKeep)) { case (els, (k, r)) =>
+      when(col(strataCol) === lit(k), lit(r)).otherwise(els)
+    }
+    df.filter(pmod(col(idCol), lit(buckets)) < rate)
+  }
 }

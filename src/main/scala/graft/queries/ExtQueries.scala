@@ -47,6 +47,44 @@ object ExtQueries extends QueryPack {
         .orderBy(col("ida"), col("idb"))
     },
 
+    // PII redaction: the corpus has no natural PII, so deterministic
+    // contacts (email, phone, IP) are planted per doc in-query; the
+    // oracle replays the same plant + the same ordered regex chain.
+    "q73_pii_redact" -> { (s, dir) =>
+      val planted = docs(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit("-1234 at 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".1")).as("text"))
+      planted.select(col("doc_id"),
+          TextAnalysis.redactPii(col("text")).as("redacted"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Benchmark-contamination screen: docs with doc_id % 97 == 0 stand
+    // in as the "benchmark" set; every corpus doc reports how many of
+    // its 3-token shingles leak into it (bench docs self-hit at 100%).
+    "q74_contamination" -> { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"),
+        Dedup.shingles(col("text"), 3).as("sh"))
+      TextAnalysis.contaminationScreen(d,
+          d.filter(col("doc_id") % 97 === 0), "doc_id", "sh",
+          thresholdPct = 80)
+        .orderBy(col("doc_id"))
+    },
+
+    // Stratified training-mix sampler: downsample over-represented
+    // 'en' (218 of 500 docs at sf0.01) to 30%, keep all 'de', half the
+    // rest — keyed id-bucket filtering, reproducible in any engine.
+    "q75_stratified_mix" -> { (s, dir) =>
+      TextAnalysis.stratifiedSample(docs(s, dir), "lang", "doc_id",
+          rates = Map("en" -> 3, "de" -> 10), defaultKeep = 5)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+
     // n-gram (3-token shingle) Jaccard near-dup: same lossless PPJoin
     // blocking as q21 but over shingle sets — order-sensitive where the
     // word-set form is bag-of-words. Oracle recomputes the exact
@@ -431,6 +469,38 @@ object ExtQueries extends QueryPack {
         |    ELSE greatest(1, round(h0 * sc)) END AS INT) AS height,
         |  TRUE AS ok
         |FROM s ORDER BY media_id""".stripMargin,
+    "q73_pii_redact" ->
+      """WITH p AS (SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com or 555-' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        |    '-1234 at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' AS text
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}[-. ]\d{3,4}[-. ]\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "q74_contamination" ->
+      """WITH s AS (SELECT doc_id, list_distinct(list_transform(
+        |      generate_series(1, greatest(len(w) - 3, 0) + 1),
+        |      i -> array_to_string(w[i : least(i + 2, len(w))], chr(1)))) AS sh
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |bsh AS (SELECT DISTINCT unnest(sh) AS sh FROM s WHERE doc_id % 97 = 0),
+        |dsh AS (SELECT doc_id, unnest(sh) AS sh FROM s),
+        |hits AS (SELECT doc_id, count(*) AS n_hit
+        |  FROM dsh JOIN bsh USING (sh) GROUP BY doc_id)
+        |SELECT s.doc_id, len(sh) AS n_shingles,
+        |  coalesce(n_hit, 0) AS n_hit,
+        |  coalesce(n_hit, 0) * 100 >= len(sh) * 80 AND len(sh) > 0
+        |    AS contaminated
+        |FROM s LEFT JOIN hits ON s.doc_id = hits.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
+    "q75_stratified_mix" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE doc_id % 10 <
+        |  CASE lang WHEN 'en' THEN 3 WHEN 'de' THEN 10 ELSE 5 END
+        |ORDER BY doc_id""".stripMargin,
     // q61/q72 full-probe IVF is exhaustive — the brute-force oracle
     // applies verbatim (same rounding and tie-break discipline as q27);
     // q72 additionally runs k-means training first, which cannot change

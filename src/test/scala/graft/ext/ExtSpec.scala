@@ -305,6 +305,57 @@ class ExtSpec extends AnyFunSuite {
       g.length <= 3 && g.map(_._4).sorted.toSeq == (1 to g.length)))
   }
 
+  test("PII redaction scrubs emails, phones, IPs; clean text untouched") {
+    import spark.implicits._
+    val in = Seq(
+      (1L, "mail bob.smith+x@corp.example.org now"),
+      (2L, "call 555-0123-4567 or 555 123 4567 today"),
+      (3L, "host 192.168.0.1 responded"),
+      (4L, "no pii here, just words")).toDF("id", "t")
+    val out = in.select(col("id"),
+        TextAnalysis.redactPii(col("t")).as("r"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "mail <EMAIL> now")
+    assert(out(2L) == "call <PHONE> or <PHONE> today")
+    assert(out(3L) == "host <IP> responded")
+    assert(out(4L) == "no pii here, just words")
+  }
+
+  test("contamination screen: set-semijoin hits, integer threshold, empty shingles") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, Seq("a", "b", "c", "d")),  // the benchmark doc: 100% self-hit
+      (1L, Seq("a", "b", "x", "y")),  // 2/4 = 50%
+      (2L, Seq("p", "q")),            // 0%
+      (3L, Seq.empty[String])         // no shingles -> never contaminated
+    ).toDF("doc_id", "sh")
+    val bench = corpus.filter(col("doc_id") === 0L)
+    val out = TextAnalysis.contaminationScreen(corpus, bench, "doc_id", "sh",
+        thresholdPct = 50)
+      .select("doc_id", "n_shingles", "n_hit", "contaminated")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(0L) == ((4L, 4L, true)))
+    assert(out(1L) == ((4L, 2L, true)))   // exactly at the 50% threshold
+    assert(out(2L) == ((2L, 0L, false)))
+    assert(out(3L) == ((0L, 0L, false)))
+  }
+
+  test("stratified sampler keeps rate/buckets of each stratum, deterministically") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i =>
+      (i, if (i % 2 == 0) "en" else "de")).toDF("id", "lang")
+    val out = TextAnalysis.stratifiedSample(df, "lang", "id",
+        rates = Map("en" -> 2), defaultKeep = 10)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    // en ids are even: id%10 in {0,2,4,6,8}, keep <2 -> only id%10==0 -> 10
+    assert(out("en") == 10L)
+    assert(out("de") == 50L)   // defaultKeep 10 keeps everything
+    intercept[IllegalArgumentException] {
+      TextAnalysis.stratifiedSample(df, "lang", "id", Map("en" -> 11), 5)
+    }
+  }
+
   test("k-means training refines centroids; trained full probe stays exact") {
     val rnd = new scala.util.Random(17)
     val dim = 8
