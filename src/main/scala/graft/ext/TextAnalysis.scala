@@ -163,6 +163,55 @@ object TextAnalysis {
           col("n_shingles") > 0)
   }
 
+  // ---------- sequence packing ----------
+
+  /** Concatenate-then-chunk sequence packing — the standard LLM
+    * pre-training batcher: documents are laid out in `idCol` order,
+    * token counts accumulate into a global stream offset, and each
+    * document's bin is the `budget`-sized chunk its start offset falls
+    * in. Output: (idCol, n_tokens, start_offset, bin_id), all exact
+    * integer arithmetic.
+    *
+    * The global running sum is NOT a global window (that plans an
+    * Exchange SinglePartition — one task carries the whole corpus).
+    * Two-phase distributed prefix sum instead: deterministic range
+    * shards on the id, per-shard token totals collected (ONE tiny row
+    * per shard), driver-side prefix over the shard totals, then an
+    * intra-shard cumulative window with the shard base added back — the
+    * wide work stays spread over all shards, and the only global data
+    * motion is `shards` rows. */
+  def packSequences(df: org.apache.spark.sql.DataFrame, idCol: String,
+      tokenCol: Column, budget: Long,
+      shards: Int = 256): org.apache.spark.sql.DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    import org.apache.spark.sql.expressions.Window
+    val bounds = df.agg(min(col(idCol)).cast("long"),
+      max(col(idCol)).cast("long")).head()
+    if (bounds.isNullAt(0))
+      return df.sparkSession.emptyDataFrame
+        .select(lit(0L).as(idCol), lit(0L).as("n_tokens"),
+          lit(0L).as("start_offset"), lit(0L).as("bin_id")).limit(0)
+    val lo = bounds.getLong(0)
+    val width = math.max(1L, (bounds.getLong(1) - lo) / shards + 1)
+    val sharded = df.select(col(idCol), tokenCol.cast("long").as("n_tokens"),
+      ((col(idCol).cast("long") - lo) / width).cast("long").as("__shard"))
+    val totals = sharded.groupBy("__shard")
+      .agg(sum("n_tokens").as("t")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val bases = totals.scanLeft((0L, 0L)) { case ((_, acc), (sh, t)) =>
+      (sh, acc + t)
+    }.sliding(2).map { case Array((_, acc), (sh, _)) => sh -> acc }.toMap
+    val baseMap = map(totals.flatMap { case (sh, _) =>
+      Seq(lit(sh), lit(bases(sh))) }: _*)
+    val w = Window.partitionBy("__shard").orderBy(col(idCol))
+    sharded
+      .withColumn("start_offset",
+        sum(col("n_tokens")).over(w) - col("n_tokens") +
+          element_at(baseMap, col("__shard")))
+      .withColumn("bin_id", expr(s"start_offset div ${budget}L"))
+      .drop("__shard")
+  }
+
   // ---------- stratified training-mix sampling ----------
 
   /** Deterministic stratified sampler for training-mix curation: a row

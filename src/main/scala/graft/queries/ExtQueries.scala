@@ -85,6 +85,17 @@ object ExtQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Concat-then-chunk sequence packing into 2048-token bins via the
+    // two-phase distributed prefix sum (no global single-partition
+    // window); the oracle computes the same offsets with a plain
+    // global window, certifying the sharded math end-to-end.
+    "q76_seq_packing" -> { (s, dir) =>
+      TextAnalysis.packSequences(docs(s, dir), "doc_id",
+          TextAnalysis.tokenCountWs(col("text")), budget = 2048,
+          shards = 16)
+        .orderBy(col("doc_id"))
+    },
+
     // n-gram (3-token shingle) Jaccard near-dup: same lossless PPJoin
     // blocking as q21 but over shingle sets — order-sensitive where the
     // word-set form is bag-of-words. Oracle recomputes the exact
@@ -501,6 +512,18 @@ object ExtQueries extends QueryPack {
         |WHERE doc_id % 10 <
         |  CASE lang WHEN 'en' THEN 3 WHEN 'de' THEN 10 ELSE 5 END
         |ORDER BY doc_id""".stripMargin,
+    "q76_seq_packing" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS start_offset
+        |  FROM t)
+        |SELECT doc_id, n_tokens, start_offset,
+        |  start_offset // 2048 AS bin_id
+        |FROM c ORDER BY doc_id""".stripMargin,
     // q61/q72 full-probe IVF is exhaustive — the brute-force oracle
     // applies verbatim (same rounding and tie-break discipline as q27);
     // q72 additionally runs k-means training first, which cannot change

@@ -356,6 +356,35 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("sequence packing: sharded prefix sum equals sequential packing, no global window") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val toks = (0L until 200L).map(i => i -> (1L + rnd.nextInt(100)))
+    val df = toks.toDF("id", "n")
+    val packed = TextAnalysis.packSequences(df, "id", col("n"),
+      budget = 256, shards = 7)
+    // no single-partition exchange: the global cumsum must never fan
+    // into one task
+    val plan = packed.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"global window leaked into the plan:\n$plan")
+    val got = packed.select("id", "n_tokens", "start_offset", "bin_id")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // sequential reference
+    var off = 0L
+    val want = toks.map { case (i, n) =>
+      val r = (i, n, off, off / 256); off += n; r
+    }
+    assert(got.toSeq == want)
+    // ids with gaps and a non-zero minimum still pack correctly
+    val sparseDf = Seq((100L, 10L), (205L, 20L), (999L, 5L)).toDF("id", "n")
+    val sparse = TextAnalysis.packSequences(sparseDf, "id", col("n"),
+        budget = 16, shards = 4)
+      .select("id", "start_offset", "bin_id")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(sparse.toSeq == Seq((100L, 0L, 0L), (205L, 10L, 0L), (999L, 30L, 1L)))
+  }
+
   test("k-means training refines centroids; trained full probe stays exact") {
     val rnd = new scala.util.Random(17)
     val dim = 8
