@@ -163,6 +163,26 @@ object TextAnalysis {
           col("n_shingles") > 0)
   }
 
+  // ---------- repetition scoring ----------
+
+  /** Gopher-style repetition signals: documents dominated by one
+    * repeated token (boilerplate, generated spam) get flagged.
+    * Executes as explode → count per (doc, token) → one re-aggregation
+    * per doc — two shuffles on (doc, token)/(doc), partial-aggregated
+    * map-side, linear in corpus token volume. The flag compares in
+    * exact integer arithmetic (engine-portable). Output: (id,
+    * n_tokens, top_token_count, n_distinct_tokens, repetitive). */
+  def repetitionScores(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, thresholdPct: Int): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+      .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol)).agg(
+        sum(col("__c")).as("n_tokens"),
+        max(col("__c")).as("top_token_count"),
+        count(lit(1)).as("n_distinct_tokens"))
+      .withColumn("repetitive",
+        col("top_token_count") * 100 >= col("n_tokens") * thresholdPct)
+
   // ---------- sequence packing ----------
 
   /** Concatenate-then-chunk sequence packing — the standard LLM

@@ -85,6 +85,14 @@ object ExtQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Gopher-style repetition screen: a doc whose single most frequent
+    // token carries >= 20% of its token mass is flagged.
+    "q77_repetition" -> { (s, dir) =>
+      TextAnalysis.repetitionScores(docs(s, dir), "doc_id", "text",
+          thresholdPct = 20)
+        .orderBy(col("doc_id"))
+    },
+
     // Concat-then-chunk sequence packing into 2048-token bins via the
     // two-phase distributed prefix sum (no global single-partition
     // window); the oracle computes the same offsets with a plain
@@ -512,6 +520,16 @@ object ExtQueries extends QueryPack {
         |WHERE doc_id % 10 <
         |  CASE lang WHEN 'en' THEN 3 WHEN 'de' THEN 10 ELSE 5 END
         |ORDER BY doc_id""".stripMargin,
+    "q77_repetition" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents),
+        |g AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    max(c) AS top_token_count, count(*) AS n_distinct_tokens
+        |  FROM g GROUP BY 1)
+        |SELECT doc_id, n_tokens, top_token_count, n_distinct_tokens,
+        |  top_token_count * 100 >= n_tokens * 20 AS repetitive
+        |FROM a ORDER BY doc_id""".stripMargin,
     "q76_seq_packing" ->
       """WITH t AS (SELECT doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

@@ -356,6 +356,21 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("repetition scores flag single-token-dominated docs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spam spam spam spam other"),       // top 4/5 = 80% -> flagged
+      (2L, "a fine sentence with all distinct words")) // top 1/7
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionScores(df, "doc_id", "text", 20)
+      .select("doc_id", "n_tokens", "top_token_count", "n_distinct_tokens",
+        "repetitive")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 5L, 4L, 2L, true)))
+    assert(out(2L) == ((2L, 7L, 1L, 7L, false)))
+  }
+
   test("sequence packing: sharded prefix sum equals sequential packing, no global window") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
