@@ -193,6 +193,20 @@ object Dedup {
       .filter(col("jaccard_sim") >= t)
   }
 
+  /** Near-dup pair list → cluster resolution: connected components
+    * over the pairs ([[Fuzzy.connectedComponents]] — hybrid driver
+    * union-find / distributed min-label propagation), each row labeled
+    * with its cluster's smallest id, i.e. the canonical keeper. Rows
+    * in no pair are their own cluster. This is the keep-one step every
+    * dedup pipeline ends with, composable with ANY of the pair
+    * generators above. Returns (idCol, cluster_id). */
+  def resolveClusters(df: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame =
+    Fuzzy.connectedComponents(
+        df.select(col(idCol).as("id")),
+        pairs.select(col("ida").as("src"), col("idb").as("dst")))
+      .select(col("id").as(idCol), col("label").as("cluster_id"))
+
   // ---------- SimHash ----------
 
   /** 64-bit SimHash over the token multiset: each token votes ±1 on

@@ -85,6 +85,20 @@ object ExtQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Dedup cluster resolution: n-gram-Jaccard pairs → connected
+    // components → each doc labeled with its cluster's smallest id
+    // (keep = canonical). The oracle rebuilds the closure with a
+    // recursive CTE — the same discipline as q36's fuzzy grouping.
+    "q78_dedup_clusters" -> { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        Dedup.shingles(col("text"), 3).as("sh"))
+      val pairs = Dedup.jaccardNearDupPairs(d, "doc_id", "sh",
+        threshold = 0.8, blockCol = Some("lang"))
+      Dedup.resolveClusters(docs(s, dir), "doc_id", pairs)
+        .withColumn("keep", col("doc_id") === col("cluster_id"))
+        .orderBy(col("doc_id"))
+    },
+
     // Gopher-style repetition screen: a doc whose single most frequent
     // token carries >= 20% of its token mass is flagged.
     "q77_repetition" -> { (s, dir) =>
@@ -520,6 +534,25 @@ object ExtQueries extends QueryPack {
         |WHERE doc_id % 10 <
         |  CASE lang WHEN 'en' THEN 3 WHEN 'de' THEN 10 ELSE 5 END
         |ORDER BY doc_id""".stripMargin,
+    "q78_dedup_clusters" ->
+      """WITH RECURSIVE s AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+        |    FROM documents),
+        |sh AS (SELECT doc_id, lang, list_distinct(list_transform(
+        |      generate_series(1, greatest(len(w) - 3, 0) + 1),
+        |      i -> array_to_string(w[i : least(i + 2, len(w))], chr(1))))
+        |      AS sh
+        |  FROM s),
+        |pairs AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib
+        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+        |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM s
+        |  UNION
+        |  SELECT p.ia, r.r FROM pairs p JOIN reach r ON p.ib = r.id)
+        |SELECT id AS doc_id, min(r) AS cluster_id, id = min(r) AS keep
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "q77_repetition" ->
       """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
         |    FROM documents),
