@@ -73,12 +73,20 @@ object Jdbc {
         "numPartitions" -> p.numPartitions.toString))
 
   /** Write options: batched inserts; isolation NONE where the store
-    * allows it (bulk loads don't want transactional overhead). */
+    * allows it (bulk loads don't want transactional overhead).
+    * `truncate` makes Overwrite issue TRUNCATE TABLE instead of
+    * DROP+CREATE — preserving indexes, grants, and the exact server
+    * DDL. `maxConnections` caps write parallelism (Spark coalesces to
+    * `numPartitions` before writing): a 1000-executor job must not
+    * open 1000 sessions against one database. */
   def writeOptions(conn: ConnectionDef, dbtable: String,
-      batchSize: Int = 10000): Map[String, String] =
+      batchSize: Int = 10000, truncate: Boolean = false,
+      maxConnections: Option[Int] = None): Map[String, String] =
     conn.props ++
       Map("url" -> conn.url, "driver" -> conn.driver, "dbtable" -> dbtable,
-        "batchsize" -> batchSize.toString, "isolationLevel" -> "NONE") ++
+        "batchsize" -> batchSize.toString, "isolationLevel" -> "NONE",
+        "truncate" -> truncate.toString) ++
+      maxConnections.map("numPartitions" -> _.toString) ++
       conn.user.map("user" -> _) ++ conn.password.map("password" -> _)
 
   def read(spark: SparkSession, conn: ConnectionDef, dbtable: String,
@@ -88,12 +96,14 @@ object Jdbc {
       .options(readOptions(conn, dbtable, partitioning, fetchSize)).load()
 
   def write(df: DataFrame, conn: ConnectionDef, dbtable: String,
-      mode: WriteMode, batchSize: Int = 10000): Unit = {
+      mode: WriteMode, batchSize: Int = 10000, truncate: Boolean = false,
+      maxConnections: Option[Int] = None): Unit = {
     val m = mode match {
       case WriteMode.Append => "append"
       case WriteMode.Overwrite => "overwrite"
     }
     df.write.format("jdbc")
-      .options(writeOptions(conn, dbtable, batchSize)).mode(m).save()
+      .options(writeOptions(conn, dbtable, batchSize, truncate, maxConnections))
+      .mode(m).save()
   }
 }

@@ -38,6 +38,19 @@ class JdbcSpec extends AnyFunSuite {
     assert(Jdbc.read(spark, conn, "t_modes").count() == 15)
   }
 
+  test("truncate-overwrite reuses the table; maxConnections caps write parallelism") {
+    val df = spark.range(0, 30).select(col("id").as("k"))
+    Jdbc.write(df, conn, "t_trunc", WriteMode.Overwrite)
+    // truncate path: TRUNCATE TABLE + reload instead of DROP+CREATE
+    Jdbc.write(df.filter(col("k") < 7), conn, "t_trunc", WriteMode.Overwrite,
+      truncate = true, maxConnections = Some(2))
+    assert(Jdbc.read(spark, conn, "t_trunc").count() == 7)
+    // option map carries the knobs Spark's writer honors
+    val opts = Jdbc.writeOptions(conn, "t", truncate = true,
+      maxConnections = Some(2))
+    assert(opts("truncate") == "true" && opts("numPartitions") == "2")
+  }
+
   test("read pushes a dbtable subquery down to the store") {
     val df = spark.range(0, 50).select(col("id").as("k"),
       (col("id") * 2).as("v"))
