@@ -106,6 +106,39 @@ object Streams {
       .join(watermarked(renamed, rName(rightTs), watermark), cond)
   }
 
+  /** Streaming CDC apply — a keyed change stream maintaining a
+    * dimension table (the streaming analog of the SCD Type 1 upsert in
+    * [[graft.ops.Mutations]]): each micro-batch merges into the target
+    * as "latest per key wins", decided by `tsCol` with ties going to
+    * the incoming change. That formulation is idempotent and
+    * out-of-order-safe — replayed or late micro-batches cannot regress
+    * a newer row, and the final table equals latest-per-key over
+    * (initial target ∪ all changes) REGARDLESS of how the stream was
+    * split into batches (StreamingSpec proves both splits).
+    *
+    * `readTarget`/`writeTarget` abstract the store: a catalog table, a
+    * Delta MERGE, or a JDBC staging swap all fit; per batch the merge
+    * is one window pass over target ∪ batch — no join explosion. */
+  def cdcApply(changes: DataFrame, keys: Seq[String], tsCol: String,
+      readTarget: () => DataFrame, writeTarget: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream.outputMode("update").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val current = readTarget()
+        val cols = current.columns.toSeq
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*)
+          .orderBy(col(tsCol).desc, col("__cdc_side").desc)
+        val merged = current.withColumn("__cdc_side", lit(0))
+          .unionByName(batch.select(cols.map(col): _*)
+            .withColumn("__cdc_side", lit(1)))
+          .withColumn("__cdc_rn", row_number().over(w))
+          .filter(col("__cdc_rn") === 1)
+          .select(cols.map(col): _*)
+        writeTarget(merged)
+        ()
+    }.start()
+
   /** Output mode each operator needs on an unbounded sink. */
   val outputModes: Map[String, OutputMode] = Map(
     "tumblingAgg" -> OutputMode.Complete(),

@@ -162,6 +162,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("cdcApply: upserts converge to latest-per-key under any batch split, late changes can't regress") {
+    val sch = StructType(Seq(StructField("k", LongType),
+      StructField("v", StringType), StructField("cts", TimestampType)))
+    def mk(rows: Seq[Row]) =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), sch)
+    val initial = Seq(Row(1L, "a0", ts(0)), Row(2L, "b0", ts(0)))
+    val batchA = Seq(Row(1L, "a1", ts(10)), Row(3L, "c1", ts(5)))
+    // k=1 change in batch B is OLDER than batch A's — must NOT regress
+    val batchB = Seq(Row(2L, "b1", ts(20)), Row(1L, "stale", ts(5)))
+
+    def run(splits: Seq[Seq[Row]]): Map[Long, (String, Timestamp)] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_cdc")
+      dir.toFile.deleteOnExit()
+      val src = dir.toString + "/in"
+      // the store: an in-memory var, checkpointed per write (any real
+      // store — Delta MERGE, JDBC staging swap — slots in here)
+      var target = mk(initial)
+      mk(splits.head).write.mode(SaveMode.Append).parquet(src)
+      val q = Streams.cdcApply(
+        spark.readStream.schema(sch).parquet(src),
+        keys = Seq("k"), tsCol = "cts",
+        readTarget = () => target,
+        writeTarget = df => target = df.localCheckpoint(true))
+      try {
+        q.processAllAvailable()
+        splits.tail.foreach { rows =>
+          mk(rows).write.mode(SaveMode.Append).parquet(src)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      target.collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getTimestamp(2)))).toMap
+    }
+
+    val twoBatches = run(Seq(batchA, batchB))
+    val oneBatch = run(Seq(batchA ++ batchB))
+    val want = Map(
+      1L -> (("a1", ts(10))),   // stale late change lost
+      2L -> (("b1", ts(20))),
+      3L -> (("c1", ts(5))))
+    assert(twoBatches == want)
+    assert(oneBatch == want)   // split-invariant
+  }
+
   test("runningUserTotals: mapGroupsWithState accumulates across micro-batches") {
     val streamed = runStreaming("runningUserTotals",
       df => Streams.runningUserTotals(df).toDF())
