@@ -163,6 +163,25 @@ object TextAnalysis {
           col("n_shingles") > 0)
   }
 
+  // ---------- deterministic corpus shuffle ----------
+
+  /** Seeded shuffle key: md5(seed || id) — engine-portable (md5 hex is
+    * identical everywhere), so a shuffled corpus ordering is exactly
+    * reproducible across runs and engines. */
+  def shuffleKey(id: Column, seed: String): Column =
+    md5(concat(lit(seed), id.cast("string")))
+
+  /** Deterministic corpus shuffle — decorrelates source ordering
+    * before training (documents arrive grouped by crawl/domain; models
+    * should not see them that way). A global reorder by the seeded
+    * hash key: Spark executes it as a range-partitioned sort (sampled
+    * boundaries, every task sorts its slice — no single-task sort),
+    * and the derivation is pure projection, so the shuffle is exactly
+    * one exchange. */
+  def deterministicShuffle(df: org.apache.spark.sql.DataFrame,
+      idCol: String, seed: String): org.apache.spark.sql.DataFrame =
+    df.orderBy(shuffleKey(col(idCol), seed))
+
   // ---------- repetition scoring ----------
 
   /** Gopher-style repetition signals: documents dominated by one

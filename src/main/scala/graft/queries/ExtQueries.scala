@@ -85,6 +85,15 @@ object ExtQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Deterministic corpus shuffle: the oracle recomputes the seeded
+    // md5 keys — identical hex in any engine — certifying the shuffle
+    // ORDER itself (order is definitional from the key).
+    "q79_corpus_shuffle" -> { (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          TextAnalysis.shuffleKey(col("doc_id"), "seed42").as("shuffle_key"))
+        .orderBy(col("doc_id"))
+    },
+
     // Dedup cluster resolution: n-gram-Jaccard pairs → connected
     // components → each doc labeled with its cluster's smallest id
     // (keep = canonical). The oracle rebuilds the closure with a
@@ -534,6 +543,9 @@ object ExtQueries extends QueryPack {
         |WHERE doc_id % 10 <
         |  CASE lang WHEN 'en' THEN 3 WHEN 'de' THEN 10 ELSE 5 END
         |ORDER BY doc_id""".stripMargin,
+    "q79_corpus_shuffle" ->
+      """SELECT doc_id, md5('seed42' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q78_dedup_clusters" ->
       """WITH RECURSIVE s AS (SELECT doc_id, lang, string_split(text, ' ') AS w
         |    FROM documents),

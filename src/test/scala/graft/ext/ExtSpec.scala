@@ -356,6 +356,21 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("deterministic shuffle: seeded, reproducible, one range exchange") {
+    import spark.implicits._
+    val df = spark.range(0, 100).toDF("id")
+    def order(seed: String) = TextAnalysis.deterministicShuffle(df, "id", seed)
+      .select("id").as[Long].collect().toSeq
+    val a = order("s1")
+    assert(a == order("s1"))           // same seed, same order
+    assert(a != order("s2"))           // different seed reshuffles
+    assert(a.sorted == (0L until 100L))
+    val plan = TextAnalysis.deterministicShuffle(df, "id", "s1")
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllMatchIn(plan).size == 1 &&
+      plan.contains("rangepartitioning"), plan)
+  }
+
   test("repetition scores flag single-token-dominated docs") {
     import spark.implicits._
     val df = Seq(
