@@ -85,6 +85,32 @@ object ExtQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // The FULL curation pipeline, v2 — every stage this engine offers,
+    // in the order a production training-data run uses them: quality
+    // gate (narrow filter) → PII scrub (projection) → repetition
+    // screen (two partial aggs + a semijoin) → exact fingerprint dedup
+    // (one window exchange) → stratified mix (narrow filter) →
+    // sequence packing (sharded prefix sum). The oracle replays every
+    // stage in SQL; any drift in any stage breaks the hash.
+    "q80_curation_v2" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_fp").orderBy("doc_id")
+      val scrubbed = docs(s, dir)
+        .filter(TextAnalysis.qualityOk(col("text")))
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.redactPii(col("text")).as("text"))
+      val calm = TextAnalysis.repetitionScores(scrubbed, "doc_id", "text",
+        thresholdPct = 20).filter(!col("repetitive")).select("doc_id")
+      val deduped = scrubbed.join(calm, Seq("doc_id"), "left_semi")
+        .withColumn("doc_fp", TextAnalysis.fingerprint(col("text")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      val mixed = TextAnalysis.stratifiedSample(deduped, "lang", "doc_id",
+        rates = Map("en" -> 5), defaultKeep = 10)
+      TextAnalysis.packSequences(mixed, "doc_id",
+          TextAnalysis.tokenCountWs(col("text")), budget = 2048, shards = 8)
+        .orderBy(col("doc_id"))
+    },
+
     // Deterministic corpus shuffle: the oracle recomputes the seeded
     // md5 keys — identical hex in any engine — certifying the shuffle
     // ORDER itself (order is definitional from the key).
@@ -546,6 +572,47 @@ object ExtQueries extends QueryPack {
     "q79_corpus_shuffle" ->
       """SELECT doc_id, md5('seed42' || CAST(doc_id AS VARCHAR)) AS shuffle_key
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q80_curation_v2" ->
+      """WITH s AS (SELECT doc_id, lang, text, string_split(text, ' ') AS t
+        |    FROM documents),
+        |m AS (SELECT doc_id, lang, text,
+        |    len(t) AS n_tokens,
+        |    (length(text) - len(t) + 1) * 1.0 / len(t) AS mean_token_len,
+        |    len(list_filter(t, w -> w IN ('the','a','is','and','of','to',
+        |        'in','that','it','for'))) * 1.0 / len(t) AS stopword_ratio
+        |  FROM s),
+        |p AS (SELECT doc_id, lang,
+        |    regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{3}[-. ]\d{3,4}[-. ]\d{4}\b', '<PHONE>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS text
+        |  FROM m
+        |  WHERE (n_tokens BETWEEN 10 AND 100000)
+        |    AND (mean_token_len BETWEEN 2.0 AND 12.0)
+        |    AND stopword_ratio >= 0.01),
+        |g AS (SELECT doc_id, tok, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM p)
+        |  GROUP BY 1, 2),
+        |calm AS (SELECT doc_id FROM (
+        |    SELECT doc_id, sum(c) AS n, max(c) AS top FROM g GROUP BY 1)
+        |  WHERE NOT (top * 100 >= n * 20)),
+        |f AS (SELECT p.doc_id, p.lang, p.text,
+        |    md5(lower(regexp_replace(trim(p.text), '\s+', ' ', 'g'))) AS doc_fp
+        |  FROM p JOIN calm ON p.doc_id = calm.doc_id),
+        |d AS (SELECT *, row_number() OVER (PARTITION BY doc_fp
+        |    ORDER BY doc_id) AS rn FROM f),
+        |mix AS (SELECT doc_id, text FROM d WHERE rn = 1
+        |  AND doc_id % 10 < CASE lang WHEN 'en' THEN 5 ELSE 10 END),
+        |t2 AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM mix),
+        |c AS (SELECT doc_id, n_tokens,
+        |    coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS start_offset
+        |  FROM t2)
+        |SELECT doc_id, n_tokens, start_offset,
+        |  start_offset // 2048 AS bin_id
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q78_dedup_clusters" ->
       """WITH RECURSIVE s AS (SELECT doc_id, lang, string_split(text, ' ') AS w
         |    FROM documents),
