@@ -356,6 +356,36 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("packSequences property: random corpora/shards/budgets equal the sequential reference") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    for (round <- 1 to 5) {
+      val n = 1 + rng.nextInt(300)
+      val ids = rng.shuffle((0L until 2000L).toList).take(n).sorted
+      val toks = ids.map(i => i -> rng.nextInt(50).toLong) // zero-token docs allowed
+      val shards = 1 + rng.nextInt(12)
+      val budget = 1 + rng.nextInt(500)
+      val got = TextAnalysis.packSequences(toks.toDF("id", "n"), "id",
+          col("n"), budget, shards)
+        .select("id", "n_tokens", "start_offset", "bin_id")
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      var off = 0L
+      val want = toks.map { case (i, t) =>
+        val r = (i, t, off, off / budget); off += t; r
+      }
+      assert(got == want, s"round $round shards=$shards budget=$budget")
+    }
+  }
+
+  test("redactPii is idempotent: placeholders never re-match") {
+    import spark.implicits._
+    val df = Seq("a@b.co x 555-123-4567 10.0.0.1",
+      "<EMAIL> <PHONE> <IP>", "plain").toDF("t")
+    val once = df.select(TextAnalysis.redactPii(col("t")).as("r"))
+    val twice = once.select(TextAnalysis.redactPii(col("r")).as("r"))
+    assert(once.as[String].collect().toSeq == twice.as[String].collect().toSeq)
+  }
+
   test("deterministic shuffle: seeded, reproducible, one range exchange") {
     import spark.implicits._
     val df = spark.range(0, 100).toDF("id")
