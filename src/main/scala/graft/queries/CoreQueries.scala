@@ -50,6 +50,32 @@ object CoreQueries extends QueryPack {
         .select(col("c_custkey"), col("c_name"), col("total_spend"), col("n_orders"))
         .orderBy(col("total_spend").desc, col("c_custkey"))
         .limit(10)
+    },
+
+    // ROLLUP hierarchy totals — beyond-reference (SURVEY §2.9: the
+    // reference has no grouping sets); native Spark rollup, one
+    // shuffle, partial-aggregated. grouping() disambiguates real NULL
+    // group keys from subtotal rows.
+    "q81_rollup" -> { (s, dir) =>
+      graft.Tables.load(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("l_quantity"))).as("qty_cents"),
+          grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"))
+        .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"),
+          col("l_linestatus"))
+    },
+
+    // INTERSECT / EXCEPT — beyond-reference (SURVEY §2.9): customers
+    // with both fulfilled and open orders vs. fulfilled-only.
+    "q82_setops" -> { (s, dir) =>
+      val o = graft.Tables.load(s, dir, "orders")
+      val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      val p = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      f.intersect(p).withColumn("which", lit("both"))
+        .unionByName(f.except(p).withColumn("which", lit("f_only")))
+        .orderBy(col("o_custkey"), col("which"))
     }
   )
 
@@ -75,6 +101,25 @@ object CoreQueries extends QueryPack {
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY c.c_custkey, c.c_name
         |ORDER BY total_spend DESC, c.c_custkey
-        |LIMIT 10""".stripMargin
+        |LIMIT 10""".stripMargin,
+    "q81_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS qty_cents,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin,
+    "q82_setops" ->
+      """SELECT o_custkey, 'both' AS which FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |UNION ALL
+        |SELECT o_custkey, 'f_only' AS which FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |ORDER BY o_custkey, which""".stripMargin
   )
 }
