@@ -38,6 +38,14 @@ object EventQueries extends QueryPack {
         .orderBy(col("user_id"), col("session_start"))
     },
 
+    // Sliding windows (1h long, every 30m): each event lands in
+    // exactly two windows — the oracle materializes both via a union
+    // of the aligned bucket and its 30m-earlier neighbor.
+    "q83_sliding_windows" -> { (s, dir) =>
+      Streams.slidingAgg(events(s, dir))
+        .orderBy(col("ws"), col("event_type"))
+    },
+
     "q43_json_props" -> { (s, dir) =>
       events(s, dir)
         .select(col("event_id"),
@@ -131,6 +139,18 @@ object EventQueries extends QueryPack {
       """SELECT event_id, CAST(props->>'$.k' AS INT) AS k FROM events
         |WHERE CAST(props->>'$.k' AS INT) > 50
         |ORDER BY event_id""".stripMargin,
+    "q83_sliding_windows" ->
+      """WITH b AS (
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws,
+        |    event_type, value FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts)
+        |      - INTERVAL '30 minutes' AS ws,
+        |    event_type, value FROM events)
+        |SELECT ws, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS value_cents
+        |FROM b GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
     "q58_user_totals" ->
       """SELECT user_id, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents

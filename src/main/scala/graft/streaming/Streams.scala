@@ -32,6 +32,20 @@ object Streams {
       .select(col("w.start").as("ws"), col("event_type"),
         col("n"), col("value_cents"))
 
+  /** Sliding-window counts + value cents per event type: windows of
+    * `duration` starting every `slide` — each event lands in
+    * duration/slide windows (Spark expands them in the projection;
+    * the aggregation is still ONE shuffle, partial-aggregated). */
+  def slidingAgg(events: DataFrame, tsCol: String = "ts",
+      duration: String = "1 hour", slide: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    watermarked(events, tsCol, watermark)
+      .groupBy(window(col(tsCol), duration, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(col("w.start").as("ws"), col("event_type"),
+        col("n"), col("value_cents"))
+
   /** Gap-based session windows per user (native session_window — one
     * shuffle on user, state bounded by the watermark when streaming). */
   def sessionAgg(events: DataFrame, tsCol: String = "ts",
@@ -142,6 +156,7 @@ object Streams {
   /** Output mode each operator needs on an unbounded sink. */
   val outputModes: Map[String, OutputMode] = Map(
     "tumblingAgg" -> OutputMode.Complete(),
+    "slidingAgg" -> OutputMode.Complete(),
     "sessionAgg" -> OutputMode.Complete(),
     "dedup" -> OutputMode.Append(),
     "runningUserTotals" -> OutputMode.Update(),

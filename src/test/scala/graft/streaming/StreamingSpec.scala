@@ -61,6 +61,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("slidingAgg: streaming result equals batch result") {
+    val streamed = runStreaming("slidingAgg", df => Streams.slidingAgg(df))
+      .select("ws", "event_type", "n", "value_cents")
+      .collect().toSet
+    val batch = Streams.slidingAgg(frame(batch1 ++ batch2))
+      .collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+    // each event lands in exactly duration/slide = 2 windows
+    val n = frame(batch1 ++ batch2).count()
+    assert(batch.toSeq.map(_.getLong(2)).sum == 2 * n)
+  }
+
   test("sessionAgg: streaming sessions equal batch sessions") {
     val streamed = runStreaming("sessionAgg", df => Streams.sessionAgg(df))
       .select("user_id", "session_start", "n_events")
