@@ -63,6 +63,22 @@ object EventQueries extends QueryPack {
         .orderBy(col("user_id"))
     },
 
+    // Exact interpolated percentiles per event type over integer
+    // cents. Both engines use the same linear-interpolation definition
+    // (idx = p·(n-1)); the 1e-12 float-expression noise between their
+    // interpolation formulas is killed by rounding to 4 decimals —
+    // interpolated values over integers have ≤1 meaningful decimal.
+    "q84_percentiles" -> { (s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(CAST(round(value*100) AS BIGINT), 0.5)"), 4)
+            .as("p50_cents"),
+          round(expr("percentile(CAST(round(value*100) AS BIGINT), 0.9)"), 4)
+            .as("p90_cents"))
+        .orderBy(col("event_type"))
+    },
+
     // As-of join (point-in-time): each purchase enriched with the
     // user's most recent prior view — DuckDB's native ASOF JOIN is the
     // oracle. Views are pre-deduped per (user, ts) so the tie winner
@@ -155,6 +171,13 @@ object EventQueries extends QueryPack {
       """SELECT user_id, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q84_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(CAST(round(value*100) AS BIGINT), 0.5), 4)
+        |    AS p50_cents,
+        |  round(quantile_cont(CAST(round(value*100) AS BIGINT), 0.9), 4)
+        |    AS p90_cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q66_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events
         |    WHERE event_type = 'purchase'),
