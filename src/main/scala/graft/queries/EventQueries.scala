@@ -79,6 +79,23 @@ object EventQueries extends QueryPack {
         .orderBy(col("event_type"))
     },
 
+    // HLL++ sketch under the gate: approx_count_distinct is
+    // deterministic for fixed input, so the 3-sigma error-bound flag is
+    // a stable, oracle-checkable claim (the oracle supplies the exact
+    // count and expects the bound to hold). At 100 TB the sketch is the
+    // only affordable distinct count — this row certifies its accuracy
+    // contract, not just its existence.
+    "q85_approx_distinct" -> { (s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"),
+          approx_count_distinct(col("user_id"), 0.05).as("__appr"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("__appr") - col("n_exact")) <=
+            lit(3) * lit(0.05) * col("n_exact")).as("hll_ok"))
+        .orderBy(col("event_type"))
+    },
+
     // As-of join (point-in-time): each purchase enriched with the
     // user's most recent prior view — DuckDB's native ASOF JOIN is the
     // oracle. Views are pre-deduped per (user, ts) so the tie winner
@@ -171,6 +188,10 @@ object EventQueries extends QueryPack {
       """SELECT user_id, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q85_approx_distinct" ->
+      """SELECT event_type,
+        |  COUNT(DISTINCT user_id) AS n_exact, TRUE AS hll_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q84_percentiles" ->
       """SELECT event_type,
         |  round(quantile_cont(CAST(round(value*100) AS BIGINT), 0.5), 4)
