@@ -232,8 +232,11 @@ object TextAnalysis {
           lit(0L).as("start_offset"), lit(0L).as("bin_id")).limit(0)
     val lo = bounds.getLong(0)
     val width = math.max(1L, (bounds.getLong(1) - lo) / shards + 1)
+    // integer `div`, not `/`: Spark's / on bigints is double division,
+    // which loses exactness past 2^53 — ids can be hashes
     val sharded = df.select(col(idCol), tokenCol.cast("long").as("n_tokens"),
-      ((col(idCol).cast("long") - lo) / width).cast("long").as("__shard"))
+      expr(s"(CAST(`$idCol` AS BIGINT) - ${lo}L) div ${width}L")
+        .as("__shard"))
     val totals = sharded.groupBy("__shard")
       .agg(sum("n_tokens").as("t")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
