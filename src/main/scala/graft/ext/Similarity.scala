@@ -170,13 +170,25 @@ object Similarity {
     * |corpus|·nlist rows — an nlist× shuffle amplification that a
     * 100 TB corpus cannot afford.) The nlist·dim literals ride to
     * executors inside the task binary — the same bytes the broadcast
-    * carried, without the joined-row blowup. */
+    * carried, without the joined-row blowup.
+    *
+    * Two expression shapes, same math: up to 64 centroids unroll into
+    * per-centroid codegen'd expressions (fastest); above that, ONE
+    * 2-D array literal walked by a higher-order `transform` keeps the
+    * expression tree O(1) in nlist, so a production-sized quantizer
+    * (nlist in the tens of thousands) cannot blow up codegen. */
   private[ext] def nearestCentroids(df: DataFrame, vCol: String,
-      centroids: Seq[Column], topN: Int): DataFrame = {
-    val ranked = array_sort(array(centroids.zipWithIndex.map {
-      case (cv, i) =>
-        struct((-cosine(col(vCol), cv)).as("neg"), lit(i).as("centroid_id"))
-    }: _*))
+      centroids: Seq[Seq[Double]], topN: Int): DataFrame = {
+    val ranked =
+      if (centroids.size <= 64)
+        array_sort(array(centroids.zipWithIndex.map { case (cv, i) =>
+          struct((-cosine(col(vCol), array(cv.map(lit): _*))).as("neg"),
+            lit(i).as("centroid_id"))
+        }: _*))
+      else
+        array_sort(transform(typedlit(centroids), (cv, i) =>
+          struct((-cosine(col(vCol), cv)).as("neg"),
+            i.cast("int").as("centroid_id"))))
     df.withColumn("centroid_id",
         explode(slice(ranked, 1, topN).getField("centroid_id")))
   }
@@ -194,9 +206,6 @@ object Similarity {
       .orderBy(col("h"), col("cid")).limit(nlist)
       .select(col("cv")).collect().toSeq
       .map(_.getSeq[Number](0).map(_.doubleValue()).toSeq)
-
-  private def centroidCols(cs: Seq[Seq[Double]]): Seq[Column] =
-    cs.map(v => array(v.map(lit): _*))
 
   /** Lloyd-iteration k-means refinement of the coarse quantizer, built
     * from the same shuffle-free machinery as the index itself: each
@@ -218,8 +227,7 @@ object Similarity {
     var cents = sampleCentroids(corpus, idCol, vecCol, nlist)
     for (_ <- 0 until iters) {
       val means = nearestCentroids(
-          corpus.select(col(vecCol).as("v")), "v", centroidCols(cents),
-          topN = 1)
+          corpus.select(col(vecCol).as("v")), "v", cents, topN = 1)
         .select(col("centroid_id"),
           array_to_vector(col("v").cast("array<double>")).as("mv"))
         .groupBy("centroid_id").agg(Summarizer.mean(col("mv")).as("m"))
@@ -257,10 +265,10 @@ object Similarity {
       trainIters: Int = 0): DataFrame = {
     require(nlist > 0 && nprobe > 0 && nprobe <= nlist,
       s"need 0 < nprobe <= nlist, got nprobe=$nprobe nlist=$nlist")
-    val centroids: Seq[Column] = centroidCols(
+    val centroids: Seq[Seq[Double]] =
       if (trainIters > 0)
         trainCentroids(corpus, idCol, vecCol, nlist, trainIters)
-      else sampleCentroids(corpus, idCol, vecCol, nlist))
+      else sampleCentroids(corpus, idCol, vecCol, nlist)
     // inverted lists: each corpus vector in exactly its nearest list
     val lists = nearestCentroids(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv")),

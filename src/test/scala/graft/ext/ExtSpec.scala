@@ -478,12 +478,12 @@ class ExtSpec extends AnyFunSuite {
     assert(trainedFull == brute)
   }
 
-  test("ivf centroid assignment is a pure projection — no Exchange") {
+  test("ivf centroid assignment is a pure projection — no Exchange, both shapes") {
     // the index build must read the corpus exactly once, map-only: any
     // Exchange here is the nlist× shuffle amplification the r5 plan had
     val df = spark.range(0, 100).select(col("id"),
       array(col("id").cast("float"), lit(2.0f)).as("v"))
-    val cents = Seq(array(lit(1.0), lit(0.0)), array(lit(0.0), lit(1.0)))
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
     val assigned = Similarity.nearestCentroids(df, "v", cents, topN = 1)
     val plan = assigned.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"),
@@ -491,5 +491,18 @@ class ExtSpec extends AnyFunSuite {
     // top-1 of 2 centroids over 100 rows: one assignment per row
     assert(assigned.count() == 100)
     assert(assigned.select("centroid_id").distinct().count() == 2)
+    // the >64-centroid HOF shape: same math (a permuted copy of the
+    // same 2 centroids padded with far-away ones), still no Exchange
+    val far = (0 until 70).map(i => Seq(-1000.0 - i, -1000.0))
+    val big = cents ++ far
+    val assignedBig = Similarity.nearestCentroids(df, "v", big, topN = 1)
+    val planBig = assignedBig.queryExecution.executedPlan.toString
+    assert(!planBig.contains("Exchange"),
+      s"HOF-shape assignment must be map-only:\n$planBig")
+    val small = assigned.select("id", "centroid_id")
+      .as[(Long, Int)].collect().toMap
+    val bigOut = assignedBig.select("id", "centroid_id")
+      .as[(Long, Int)].collect().toMap
+    assert(bigOut == small, "both expression shapes must assign identically")
   }
 }
