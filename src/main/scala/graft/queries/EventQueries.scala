@@ -79,6 +79,26 @@ object EventQueries extends QueryPack {
         .orderBy(col("event_type"))
     },
 
+    // The analytic-function family (absent from the reference, SURVEY
+    // §2.9): lag, row_number, running sum, ntile — one window
+    // partitioning per user, deterministic (ts, event_id) order.
+    "q86_analytics" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wRun = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+      events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .select(col("event_id"),
+          lag(col("event_id"), 1).over(w).as("prev_event_id"),
+          row_number().over(w).as("evt_rank"),
+          sum(col("cents")).over(wRun).as("run_cents"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy(col("event_id"))
+    },
+
     // HLL++ sketch under the gate: approx_count_distinct is
     // deterministic for fixed input, so the 3-sigma error-bound flag is
     // a stable, oracle-checkable claim (the oracle supplies the exact
@@ -188,6 +208,17 @@ object EventQueries extends QueryPack {
       """SELECT user_id, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q86_analytics" ->
+      """SELECT event_id,
+        |  lag(event_id) OVER w AS prev_event_id,
+        |  row_number() OVER w AS evt_rank,
+        |  SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS run_cents,
+        |  ntile(4) OVER w AS quartile
+        |FROM (SELECT event_id, user_id, ts,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
     "q85_approx_distinct" ->
       """SELECT event_type,
         |  COUNT(DISTINCT user_id) AS n_exact, TRUE AS hll_ok
