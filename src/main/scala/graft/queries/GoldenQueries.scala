@@ -140,7 +140,13 @@ object GoldenQueries extends QueryPack {
         .select(("c_custkey" +: tracked).map(c => col(c).as(s"f_$c")): _*)
         .withColumn("__in_feed", lit(true))
       val t2 = targetChanged.withColumn("__in_tgt", lit(true))
+      // the churn join fans out into three branches (insert / update /
+      // kept-deleted) — persist it, same rule the engine applies to
+      // Multicast fan-outs; without this each branch re-runs the join
+      // (exchange reuse only catches the branches whose pruned scans
+      // stay textually identical)
       val j = f2.join(t2, col("f_c_custkey") <=> col("c_custkey"), "full_outer")
+        .persist()
       val outCols = ("c_custkey" +: tracked) :+ "DeletedFlag"
       val inserted = j.filter(col("__in_tgt").isNull)
         .select(col("f_c_custkey").as("c_custkey") +:
