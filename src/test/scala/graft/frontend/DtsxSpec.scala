@@ -1075,6 +1075,37 @@ class DtsxSpec extends AnyFunSuite {
       Set((1, "a"), (2, "b"), (3, "c")))
   }
 
+  test("dtsx Azure sources reject unsupported formats loudly") {
+    val xml =
+      <DTS:Executable xmlns:DTS="www.microsoft.com/SqlServer/Dts" DTS:ObjectName="azbad">
+        <DTS:ConnectionManagers>
+          <DTS:ConnectionManager DTS:ObjectName="BLOB" DTS:CreationName="AzureStorage">
+            <DTS:ObjectData><DTS:ConnectionManager DTS:ConnectionString="/tmp"/></DTS:ObjectData>
+          </DTS:ConnectionManager>
+        </DTS:ConnectionManagers>
+        <DTS:Executables>
+          <DTS:Executable DTS:ObjectName="DFT" DTS:ExecutableType="Microsoft.Pipeline">
+            <DTS:ObjectData>
+              <pipeline>
+                <components>
+                  <component componentClassID="Microsoft.SSISAzureBlobSrc" name="B">
+                    <connections><connection connectionManagerID="Package.ConnectionManagers[BLOB]"/></connections>
+                    <properties>
+                      <property name="BlobContainer">c</property>
+                      <property name="BlobFileFormat">Avro</property>
+                    </properties>
+                  </component>
+                </components>
+                <paths/>
+              </pipeline>
+            </DTS:ObjectData>
+          </DTS:Executable>
+        </DTS:Executables>
+      </DTS:Executable>
+    val e = intercept[RuntimeException](Dtsx.parse(xml))
+    assert(e.getMessage.contains("BlobFileFormat"))
+  }
+
   test("dtsx Pivot -> UnPivot -> Audit chain and RowSampling ports execute end-to-end") {
     val xml =
       <DTS:Executable xmlns:DTS="www.microsoft.com/SqlServer/Dts" DTS:ObjectName="pva">
