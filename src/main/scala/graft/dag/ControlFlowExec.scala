@@ -116,6 +116,21 @@ object ControlFlowExec {
         ctx.variables(variable) = v
         body.foreach(t => runTask(t, ctx, statuses))
       }
+    case ForEachAdo(name, variable, sourceVar, colIdx, body) =>
+      val rows = ctx.variables.getOrElse(sourceVar, sys.error(
+        s"$name: recordset variable $sourceVar not set — does a " +
+          "RecordsetDestination run before this loop?")) match {
+        case rs: Seq[_] => rs
+        case other => sys.error(
+          s"$name: $sourceVar holds ${other.getClass.getSimpleName}, not a recordset")
+      }
+      rows.foreach { r =>
+        ctx.variables(variable) = r match {
+          case row: org.apache.spark.sql.Row => row.get(colIdx)
+          case v => v
+        }
+        body.foreach(t => runTask(t, ctx, statuses))
+      }
     case ForLoop(name, variable, init, whileExpr, assign, body) =>
       init.foreach(e => ctx.variables(variable) = evalDriverValue(e, ctx))
       var iters = 0

@@ -208,15 +208,27 @@ object Dtsx {
           assign.map(_._2),
           (e \ "Executables" \ "Executable").map(parseExecutable(_, conns)))
       case t if t.toUpperCase.endsWith("FOREACHLOOP") =>
-        // Item enumerator values + the first variable mapping
-        val items: Seq[Any] =
-          (e \ "ForEachEnumerator" \ "ObjectData" \\ "FEIEItemValue")
-            .map(v => attr(v, "Value").getOrElse(""): Any)
         val variable = (e \ "ForEachVariableMappings" \ "ForEachVariableMapping")
           .headOption.flatMap(attr(_, "VariableName"))
           .getOrElse(sys.error(s"dtsx ForEach $name: no variable mapping"))
-        ForEach(name, variable, items,
-          (e \ "Executables" \ "Executable").map(parseExecutable(_, conns)))
+        val body = (e \ "Executables" \ "Executable")
+          .map(parseExecutable(_, conns))
+        // ADO enumerator (FEEADO over an object variable a Recordset
+        // Destination filled) vs item enumerator (literal FEIEItemValue
+        // list)
+        (e \ "ForEachEnumerator" \ "ObjectData" \\ "FEEADO").headOption match {
+          case Some(ado) =>
+            val src = attr(ado, "ObjectVariableName")
+              .orElse(attr(ado, "VarName"))
+              .getOrElse(sys.error(
+                s"dtsx ForEach $name: FEEADO without an object variable"))
+            ForEachAdo(name, variable, src, columnIndex = 0, body)
+          case None =>
+            val items: Seq[Any] =
+              (e \ "ForEachEnumerator" \ "ObjectData" \\ "FEIEItemValue")
+                .map(v => attr(v, "Value").getOrElse(""): Any)
+            ForEach(name, variable, items, body)
+        }
       case other => sys.error(s"dtsx: unsupported executable type $other ($name)")
     }
   }

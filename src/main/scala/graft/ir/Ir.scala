@@ -362,6 +362,14 @@ object CfTask {
     * iteration (SSIS Foreach Loop container). */
   final case class ForEach(name: String, variable: String, values: Seq[Any],
       body: Seq[CfTask]) extends CfTask
+  /** SSIS Foreach ADO enumerator: iterates the recordset stored in
+    * `sourceVariable` (filled by a RecordsetDestination), binding
+    * column `columnIndex` of each row to `variable` — the
+    * recordset-driven loop SSIS uses for key lists and work queues.
+    * Driver-side by the same design as the recordset itself. */
+  final case class ForEachAdo(name: String, variable: String,
+      sourceVariable: String, columnIndex: Int = 0,
+      body: Seq[CfTask] = Nil) extends CfTask
   /** SSIS For Loop container (reference: models.py:18-20): driver-side
     * loop over `variable` — `init`/`assign` are SSIS value expressions
     * for the variable (the assignment RHS), `whileExpr` the

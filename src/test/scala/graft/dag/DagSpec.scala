@@ -249,6 +249,37 @@ class DagSpec extends AnyFunSuite {
     assert(e.getMessage.contains("recordset exceeds"))
   }
 
+  test("ForEachAdo iterates a recordset variable filled by RecordsetDestination") {
+    val c = ctx(Map("people" -> people))
+    val fill = DataFlow("fill", Seq(
+      SourceTable("src", "people"),
+      RecordsetDestination("dst", "User::RS")),
+      Seq(Path("src", "dst")))
+    val body = DataFlow("body", Seq(
+      SourceTable("src", "people", filter = Some("x > 10 * @[User::Item]")),
+      Destination("dst", "ado_out", WriteMode.Append)),
+      Seq(Path("src", "dst")))
+    val spec = PipelineSpec("p", tasks = Seq(
+      DataFlowTask("fill_rs", fill),
+      ForEachAdo("loop", "User::Item", "User::RS", columnIndex = 0,
+        body = Seq(DataFlowTask("dft", body)))),
+      edges = Seq(PrecedenceEdge("fill_rs", "loop")))
+    val res = ControlFlowExec.run(spec, c)
+    assert(res.statuses.values.forall(_ == ControlFlowExec.Succeeded), res.statuses)
+    // ids 1..4 bind per iteration; x values 10,25,40,55:
+    // x>10 → 3, x>20 → 3, x>30 → 2, x>40 → 1; appended total 9
+    assert(spark.table("ado_out").count() == 9)
+    // missing recordset fails the task loudly (captured as Errored)
+    val bad = ControlFlowExec.run(PipelineSpec("q", tasks = Seq(
+      ForEachAdo("bad", "User::Item", "User::Missing")), edges = Nil),
+      ctx(Map("people" -> people)))
+    bad.statuses("bad") match {
+      case ControlFlowExec.Errored(ex) =>
+        assert(ex.getMessage.contains("not set"))
+      case other => fail(s"expected Errored, got $other")
+    }
+  }
+
   test("ForLoop runs init/eval/assign over a pipeline variable") {
     val c = ctx(Map("people" -> people))
     val spec = PipelineSpec("p",

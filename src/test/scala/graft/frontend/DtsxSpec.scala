@@ -1075,6 +1075,31 @@ class DtsxSpec extends AnyFunSuite {
       Set((1, "a"), (2, "b"), (3, "c")))
   }
 
+  test("dtsx Foreach ADO enumerator parses to a recordset-driven loop") {
+    val xml =
+      <DTS:Executable xmlns:DTS="www.microsoft.com/SqlServer/Dts" DTS:ObjectName="adoloop">
+        <DTS:Executables>
+          <DTS:Executable DTS:ObjectName="FEL" DTS:ExecutableType="STOCK:FOREACHLOOP">
+            <DTS:ForEachEnumerator DTS:CreationName="Microsoft.ForEachADOEnumerator">
+              <DTS:ObjectData>
+                <FEEADO DTS:ObjectVariableName="User::RS"/>
+              </DTS:ObjectData>
+            </DTS:ForEachEnumerator>
+            <DTS:ForEachVariableMappings>
+              <DTS:ForEachVariableMapping DTS:VariableName="User::Item"/>
+            </DTS:ForEachVariableMappings>
+            <DTS:Executables/>
+          </DTS:Executable>
+        </DTS:Executables>
+      </DTS:Executable>
+    val spec = Dtsx.parse(xml)
+    spec.tasks.head match {
+      case CfTask.ForEachAdo(_, variable, src, 0, _) =>
+        assert(variable == "User::Item" && src == "User::RS")
+      case other => fail(s"expected ForEachAdo, got $other")
+    }
+  }
+
   test("dtsx Azure sources reject unsupported formats loudly") {
     val xml =
       <DTS:Executable xmlns:DTS="www.microsoft.com/SqlServer/Dts" DTS:ObjectName="azbad">
