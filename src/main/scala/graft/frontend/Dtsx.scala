@@ -46,6 +46,13 @@ object Dtsx {
   private def lastSegment(ref: String): String =
     ref.substring(ref.lastIndexOf('\\') + 1)
 
+  /** Child executables minus DTS:Disabled="True" ones — the reference
+    * skips disabled tasks the same way
+    * (data_engineering_parser.py:198-200, 292-294). */
+  private def enabledExecutables(n: Node): Seq[Node] =
+    (n \ "Executables" \ "Executable").filterNot(e =>
+      attr(e, "Disabled").exists(_.equalsIgnoreCase("true")))
+
   /** "Pkg\Flow\Comp.Outputs[Port]" → (Comp, Port). */
   private def splitPortRef(ref: String, kind: String): (String, String) = {
     val i = ref.lastIndexOf(s".$kind[")
@@ -124,7 +131,7 @@ object Dtsx {
   def parse(root: Elem): PipelineSpec = {
     val name = attr(root, "ObjectName").getOrElse("package")
     val conns = parseConnections(root)
-    val tasks = (root \ "Executables" \ "Executable")
+    val tasks = enabledExecutables(root)
       .map(parseExecutable(_, conns))
     val edges = (root \ "PrecedenceConstraints" \ "PrecedenceConstraint")
       .map(parseConstraint)
@@ -185,7 +192,7 @@ object Dtsx {
         val p = (e \ "ObjectData" \ "pipeline").head
         DataFlowTask(name, parsePipeline(p, name, conns))
       case t if t.toUpperCase.endsWith("SEQUENCE") =>
-        Sequence(name, (e \ "Executables" \ "Executable").map(parseExecutable(_, conns)))
+        Sequence(name, enabledExecutables(e).map(parseExecutable(_, conns)))
       case t if t.toUpperCase.endsWith("FORLOOP") =>
         // InitExpression/AssignExpression are "@[User::X] = <expr>"
         // assignments; EvalExpression is the loop gate
@@ -206,13 +213,12 @@ object Dtsx {
           attr(e, "EvalExpression").getOrElse(
             sys.error(s"dtsx ForLoop $name: no EvalExpression")),
           assign.map(_._2),
-          (e \ "Executables" \ "Executable").map(parseExecutable(_, conns)))
+          enabledExecutables(e).map(parseExecutable(_, conns)))
       case t if t.toUpperCase.endsWith("FOREACHLOOP") =>
         val variable = (e \ "ForEachVariableMappings" \ "ForEachVariableMapping")
           .headOption.flatMap(attr(_, "VariableName"))
           .getOrElse(sys.error(s"dtsx ForEach $name: no variable mapping"))
-        val body = (e \ "Executables" \ "Executable")
-          .map(parseExecutable(_, conns))
+        val body = enabledExecutables(e).map(parseExecutable(_, conns))
         // ADO enumerator (FEEADO over an object variable a Recordset
         // Destination filled) vs item enumerator (literal FEIEItemValue
         // list)

@@ -1075,6 +1075,29 @@ class DtsxSpec extends AnyFunSuite {
       Set((1, "a"), (2, "b"), (3, "c")))
   }
 
+  test("dtsx Disabled tasks are skipped, like the reference's parser") {
+    val xml =
+      <DTS:Executable xmlns:DTS="www.microsoft.com/SqlServer/Dts" DTS:ObjectName="dis">
+        <DTS:Executables>
+          <DTS:Executable DTS:ObjectName="on" DTS:ExecutableType="Microsoft.ExecuteSQLTask">
+            <DTS:ObjectData>
+              <SQLTask:SqlTaskData SQLTask:SqlStatementSource="SELECT 1"
+                xmlns:SQLTask="www.microsoft.com/sqlserver/dts/tasks/sqltask"/>
+            </DTS:ObjectData>
+          </DTS:Executable>
+          <DTS:Executable DTS:ObjectName="off" DTS:Disabled="True"
+              DTS:ExecutableType="Microsoft.ExecuteSQLTask">
+            <DTS:ObjectData>
+              <SQLTask:SqlTaskData SQLTask:SqlStatementSource="SELECT broken FROM nowhere"
+                xmlns:SQLTask="www.microsoft.com/sqlserver/dts/tasks/sqltask"/>
+            </DTS:ObjectData>
+          </DTS:Executable>
+        </DTS:Executables>
+      </DTS:Executable>
+    val spec = Dtsx.parse(xml)
+    assert(spec.tasks.map(_.name) == Seq("on"))
+  }
+
   test("dtsx Foreach ADO enumerator parses to a recordset-driven loop") {
     val xml =
       <DTS:Executable xmlns:DTS="www.microsoft.com/SqlServer/Dts" DTS:ObjectName="adoloop">
