@@ -85,6 +85,22 @@ object ExtQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Training-mix report: per (source, lang) — doc counts, quality
+    // pass-rate numerator, exact-dedup uniques, token mass. The
+    // telemetry every mix recipe is tuned against; one partial-
+    // aggregated shuffle (countDistinct adds its expand internally).
+    "q87_mix_report" -> { (s, dir) =>
+      docs(s, dir)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(TextAnalysis.qualityOk(col("text")), 1L).otherwise(0L))
+            .as("n_quality"),
+          countDistinct(TextAnalysis.fingerprint(col("text")))
+            .as("n_unique"),
+          sum(TextAnalysis.tokenCountWs(col("text"))).as("n_tokens"))
+        .orderBy(col("source"), col("lang"))
+    },
+
     // The FULL curation pipeline, v2 — every stage this engine offers,
     // in the order a production training-data run uses them: quality
     // gate (narrow filter) → PII scrub (projection) → repetition
@@ -572,6 +588,25 @@ object ExtQueries extends QueryPack {
     "q79_corpus_shuffle" ->
       """SELECT doc_id, md5('seed42' || CAST(doc_id AS VARCHAR)) AS shuffle_key
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q87_mix_report" ->
+      """WITH m AS (SELECT source, lang, text,
+        |    string_split(text, ' ') AS t FROM documents),
+        |q AS (SELECT source, lang, text,
+        |    CASE WHEN len(t) BETWEEN 10 AND 100000
+        |      AND (length(text) - len(t) + 1) * 1.0 / len(t)
+        |        BETWEEN 2.0 AND 12.0
+        |      AND len(list_filter(t, w -> w IN ('the','a','is','and','of',
+        |          'to','in','that','it','for'))) * 1.0 / len(t) >= 0.01
+        |      THEN 1 ELSE 0 END AS ok,
+        |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+        |    CAST(len(t) AS BIGINT) AS toks
+        |  FROM m)
+        |SELECT source, lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(ok) AS BIGINT) AS n_quality,
+        |  COUNT(DISTINCT fp) AS n_unique,
+        |  CAST(SUM(toks) AS BIGINT) AS n_tokens
+        |FROM q GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin,
     "q80_curation_v2" ->
       """WITH s AS (SELECT doc_id, lang, text, string_split(text, ' ') AS t
         |    FROM documents),
