@@ -47,7 +47,11 @@ object Bench {
             s"${e.getClass.getName}: ${e.getMessage}")
           e.getStackTrace.take(12).foreach(f => System.err.println(s"  at $f"))
           None
-        }
+        } finally
+          // untimed: drop any frames the query persisted so 87 queries
+          // in one JVM neither accumulate cache nor leak speed into a
+          // neighbor's timing
+          spark.catalog.clearCache()
         name -> timing
       }
     // 3-decimal timings: full-precision doubles made the line ~2x
