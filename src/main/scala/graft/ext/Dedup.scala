@@ -207,6 +207,47 @@ object Dedup {
         pairs.select(col("ida").as("src"), col("idb").as("dst")))
       .select(col("id").as(idCol), col("label").as("cluster_id"))
 
+  // ---------- span-level exact substring dedup ----------
+
+  /** Span-level exact duplicate statistics at k-token granularity — the
+    * substring-dedup screen of Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better" (arXiv:2107.06499), re-expressed as
+    * relational operators instead of a suffix array: a k-token span
+    * that appears verbatim in `minDocs`+ documents is "duplicated", and
+    * each document reports how much of it is built from such spans.
+    *
+    * Returns (idCol, n_spans, n_dup_spans, dup_pct_flagged) where
+    * n_spans counts the document's distinct k-gram spans and
+    * n_dup_spans those shared with at least `minDocs - 1` other docs;
+    * `flagPct` sets the integer-exact flag threshold.
+    *
+    * Scale shape: one explode of distinct shingles per doc, ONE
+    * aggregation keyed on the span's md5 (the shuffle carries a fixed
+    * 32-hex key, never the span text — and md5 is engine-portable, so
+    * the oracle replays the exact same keys), then one left join back
+    * on the same key — two hash exchanges total, both on narrow rows.
+    * Docs in no duplicated span never appear in the (small) dup-key
+    * side of the join. */
+  def spanDupStats(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minDocs: Int = 2, flagPct: Int = 50): DataFrame = {
+    require(k > 0 && minDocs >= 2, s"need k > 0, minDocs >= 2: $k, $minDocs")
+    val ex = df.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), k)).as("sh"))
+      .select(col("id"), md5(col("sh")).as("h"))
+    val dupKeys = ex.groupBy("h")
+      // shingles are distinct per doc, so count(*) = docs containing it
+      .agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select(col("h"), lit(1).as("__dup"))
+    ex.join(dupKeys, Seq("h"), "left")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("__dup"), lit(0))).as("n_dup_spans"))
+      .select(col(idCol), col("n_spans"), col("n_dup_spans"),
+        (col("n_dup_spans") * 100 >= col("n_spans") * flagPct)
+          .as("span_dup_flagged"))
+  }
+
   // ---------- SimHash ----------
 
   /** 64-bit SimHash over the token multiset: each token votes ±1 on

@@ -94,6 +94,23 @@ object Similarity {
       .filter(col("cosine_sim") >= threshold)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al.,
+    * arXiv:2303.09540, re-expressed with a lossless blocker): documents
+    * whose embeddings sit above `threshold` cosine are one semantic
+    * cluster; each row is labeled with its cluster's smallest id and a
+    * `keep` flag on the canonical representative. Composes the exact
+    * grid-blocked pair generator with connected-component resolution —
+    * candidate generation is never all-pairs, and the transitive
+    * closure runs as the same hybrid union-find / min-label propagation
+    * every other dedup family here uses. Returns every input row:
+    * (idCol, cluster_id, keep). */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, gridDims: Int = 4): DataFrame = {
+    val pairs = cosineNearDupPairs(df, idCol, vecCol, threshold, gridDims)
+    Dedup.resolveClusters(df, idCol, pairs)
+      .withColumn("keep", col(idCol) === col("cluster_id"))
+  }
+
   /** Deterministic random hyperplanes: `numPlanes` unit-free normals of
     * dimension `dim`, seeded — same planes on every run/executor. */
   def hyperplanes(dim: Int, numPlanes: Int, seed: Long = 42L): Seq[Seq[Double]] = {

@@ -273,4 +273,31 @@ object TextAnalysis {
     }
     df.filter(pmod(col(idCol), lit(buckets)) < rate)
   }
+
+  // ---------- per-group corpus caps ----------
+
+  /** Per-group token-budget cap — the per-domain/per-source ceiling
+    * every web-corpus mix applies so no single domain dominates the
+    * training set: within each `groupCol` stratum, rows are taken in
+    * `orderCol` order until their cumulative `tokenCol` mass would
+    * exceed `budget`; the rest of the stratum is dropped. A row whose
+    * PRIOR cumulative mass is under the budget is kept (so one
+    * over-long document can't starve its group). Returns the kept rows
+    * with (cum_tokens) attached, all exact integer arithmetic.
+    *
+    * Scale shape: ONE hash exchange on the group key feeding one
+    * windowed cumulative sum — groups process independently, so the
+    * operator scales with the widest single group, not the corpus. */
+  def capPerGroupBudget(df: org.apache.spark.sql.DataFrame,
+      groupCol: String, orderCol: String, tokenCol: Column,
+      budget: Long): org.apache.spark.sql.DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__tok", tokenCol.cast("long"))
+      .withColumn("cum_tokens", sum(col("__tok")).over(w))
+      .filter(col("cum_tokens") - col("__tok") < budget)
+      .drop("__tok")
+  }
 }

@@ -151,6 +151,25 @@ object EventQueries extends QueryPack {
         .orderBy(col("click_id"), col("view_id"))
     },
 
+    // Time-series forward-fill (gap fill): every event carries the
+    // user's most recent purchase amount — last-non-null over one
+    // per-user window (integer cents; deterministic (ts, event_id)
+    // order). DuckDB's IGNORE NULLS last_value is the oracle.
+    "q90_gapfill" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("event_type") === "purchase",
+            round(col("value") * 100).cast("long")).as("purchase_cents"))
+        .withColumn("filled_cents",
+          last(col("purchase_cents"), ignoreNulls = true).over(w))
+        .orderBy(col("event_id"))
+    },
+
     // Range/band join via integer-bucket blocking: an equi-join plus
     // exact range filter, never a cross product; the oracle runs the
     // naive inequality join.
@@ -230,6 +249,16 @@ object EventQueries extends QueryPack {
         |  round(quantile_cont(CAST(round(value*100) AS BIGINT), 0.9), 4)
         |    AS p90_cents
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q90_gapfill" ->
+      """WITH e AS (SELECT event_id, user_id, ts,
+        |    CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) END AS purchase_cents
+        |  FROM events)
+        |SELECT event_id, user_id, ts, purchase_cents,
+        |  last_value(purchase_cents IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents
+        |FROM e ORDER BY event_id""".stripMargin,
     "q66_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events
         |    WHERE event_type = 'purchase'),

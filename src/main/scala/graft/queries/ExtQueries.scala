@@ -411,6 +411,43 @@ object ExtQueries extends QueryPack {
         .orderBy(col("vec_id"))
     },
 
+    // Span-level exact substring dedup (Lee et al. 2107.06499 at
+    // 8-token granularity): per doc, how many of its spans appear
+    // verbatim elsewhere in the corpus. Shuffles carry md5 keys —
+    // engine-portable, so the oracle replays them exactly.
+    "q88_span_dedup" -> { (s, dir) =>
+      Dedup.spanDupStats(docs(s, dir), "doc_id", "text",
+          k = 8, minDocs = 2, flagPct = 50)
+        .orderBy(col("doc_id"))
+    },
+
+    // SemDeDup-style semantic dedup end-to-end: planted perturbed twins
+    // (the corpus has no natural near-dups) → lossless grid-blocked
+    // cosine pairs → connected components → canonical keeper. The
+    // oracle rebuilds the closure from the all-pairs join with a
+    // recursive CTE (q78's discipline, over embeddings).
+    "q89_semantic_dedup" -> { (s, dir) =>
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val pert = e.select((col("vec_id") + 100000).as("vec_id"),
+        concat(
+          array((element_at(col("embedding"), 1).cast("double") + lit(0.001))
+            .cast("float")),
+          slice(col("embedding"), 2, 1000)).as("embedding"))
+      Similarity.semanticDedup(e.unionByName(pert), "vec_id", "embedding",
+          threshold = 0.99)
+        .orderBy(col("vec_id"))
+    },
+
+    // Per-source token-budget cap: every curation recipe's per-domain
+    // ceiling — within each source, docs are taken in id order until
+    // 800 tokens; exact integer window math, one hash exchange.
+    "q91_source_cap" -> { (s, dir) =>
+      TextAnalysis.capPerGroupBudget(docs(s, dir), "source", "doc_id",
+          TextAnalysis.tokenCountWs(col("text")), budget = 800)
+        .select(col("doc_id"), col("source"), col("cum_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
     "q30_term_freq" -> { (s, dir) =>
       TextAnalysis.termFrequencies(docs(s, dir), "text", minCount = 100L)
         .orderBy(col("term"))
@@ -782,6 +819,47 @@ object ExtQueries extends QueryPack {
         |    ORDER BY doc_id) AS rn FROM f)
         |SELECT doc_id, lang, n_ws_tokens, n_bpeish_tokens
         |FROM d WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q88_span_dedup" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |      generate_series(1, greatest(len(w) - 8, 0) + 1),
+        |      i -> array_to_string(w[i : least(i + 7, len(w))], chr(1))))
+        |      AS sh
+        |  FROM s),
+        |ex AS (SELECT doc_id, md5(unnest(sh)) AS h FROM sh),
+        |dup AS (SELECT h FROM ex GROUP BY h HAVING count(*) >= 2)
+        |SELECT e.doc_id, count(*) AS n_spans,
+        |  CAST(sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_spans,
+        |  sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) * 100
+        |    >= count(*) * 50 AS span_dup_flagged
+        |FROM ex e LEFT JOIN dup d ON e.h = d.h
+        |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin,
+    "q89_semantic_dedup" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, embedding FROM embeddings),
+        |p AS (SELECT vec_id + 100000 AS vec_id,
+        |    list_prepend(CAST(embedding[1] + 0.001 AS FLOAT), embedding[2:])
+        |      AS embedding FROM e),
+        |a AS (SELECT * FROM e UNION ALL SELECT * FROM p),
+        |pairs AS (SELECT x.vec_id AS ia, y.vec_id AS ib
+        |  FROM a x JOIN a y ON x.vec_id <> y.vec_id
+        |  WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.99),
+        |reach(id, r) AS (
+        |  SELECT vec_id, vec_id FROM a
+        |  UNION
+        |  SELECT p.ia, r.r FROM pairs p JOIN reach r ON p.ib = r.id)
+        |SELECT id AS vec_id, min(r) AS cluster_id, id = min(r) AS keep
+        |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
+    "q91_source_cap" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, tok,
+        |    SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, source, cum_tokens FROM c
+        |WHERE cum_tokens - tok < 800 ORDER BY doc_id""".stripMargin,
     "q30_term_freq" ->
       """SELECT term, COUNT(*) AS term_count FROM (
         |  SELECT unnest(string_split(text, ' ')) AS term FROM documents)

@@ -505,4 +505,61 @@ class ExtSpec extends AnyFunSuite {
       .as[(Long, Int)].collect().toMap
     assert(bigOut == small, "both expression shapes must assign identically")
   }
+
+  test("spanDupStats counts shared k-token spans, flags mostly-duplicated docs") {
+    // doc 2 copies doc 1's first 6 tokens; with k=3 that's 4 shared
+    // spans; doc 3 is disjoint
+    val df = docs(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f g h i j k l"),
+      (3L, "q r s t u v"))
+    val out = Dedup.spanDupStats(df, "id", "text", k = 3, minDocs = 2,
+        flagPct = 50)
+      .select("id", "n_spans", "n_dup_spans", "span_dup_flagged")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 4L, 4L, true)))   // all of doc 1 is duplicated
+    assert(out(1) == ((2L, 10L, 4L, false))) // 4 of 10 spans — under 50%
+    assert(out(2) == ((3L, 4L, 0L, false)))
+  }
+
+  test("spanDupStats covers short docs via the truncated shingle") {
+    // a doc shorter than k yields exactly one whole-doc shingle, so
+    // every doc appears in the output and identical shorts pair up
+    val df = docs((1L, "tiny doc"), (2L, "tiny doc"), (3L, "other one"))
+    val out = Dedup.spanDupStats(df, "id", "text", k = 8)
+      .select("id", "n_spans", "n_dup_spans")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 1L, 1L), (2L, 1L, 1L), (3L, 1L, 0L)))
+  }
+
+  test("semanticDedup clusters near-identical vectors, keeps the smallest id") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", ArrayType(FloatType, containsNull = false))))
+    def vrow(id: Long, xs: Float*) = Row(id, xs)
+    val df = spark.createDataFrame(java.util.Arrays.asList(
+      vrow(1L, 1.0f, 0.0f, 0.0f, 0.0f),
+      vrow(2L, 0.9999f, 0.001f, 0.0f, 0.0f), // twin of 1
+      vrow(3L, 0.0f, 1.0f, 0.0f, 0.0f),      // orthogonal singleton
+      vrow(4L, 0.9998f, 0.002f, 0.0f, 0.0f)  // twin of 1 and 2
+    ), schema)
+    val out = Similarity.semanticDedup(df, "id", "v", threshold = 0.99)
+      .select("id", "cluster_id", "keep")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 1L, true), (2L, 1L, false),
+      (3L, 3L, true), (4L, 1L, false)))
+  }
+
+  test("capPerGroupBudget keeps rows while prior cumulative mass is under budget") {
+    val df = Seq(
+      ("s1", 1L, 900L), ("s1", 2L, 900L), ("s1", 3L, 900L),
+      ("s2", 4L, 5000L), ("s2", 5L, 10L)
+    ).toDF("src", "id", "tok")
+    val out = TextAnalysis.capPerGroupBudget(df, "src", "id", col("tok"),
+        budget = 2000L)
+      .select("id", "cum_tokens").as[(Long, Long)].collect().sortBy(_._1)
+    // s1: 900, 1800 kept; 2700 starts at 1800 < 2000 → kept too;
+    // s2: the over-long first doc is kept (starts at 0), the next is not
+    assert(out.toSeq == Seq((1L, 900L), (2L, 1800L), (3L, 2700L),
+      (4L, 5000L)))
+  }
 }
