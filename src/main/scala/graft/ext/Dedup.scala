@@ -207,6 +207,22 @@ object Dedup {
         pairs.select(col("ida").as("src"), col("idb").as("dst")))
       .select(col("id").as(idCol), col("label").as("cluster_id"))
 
+  // ---------- incremental ingestion screen ----------
+
+  /** Dedup-on-arrival for a continuously growing corpus: keep only the
+    * `batch` rows whose normalized content fingerprint does not already
+    * exist in `corpus`. ONE left-anti join on 128-bit md5 keys — the
+    * corpus side projects only its fingerprint (column-pruned at the
+    * scan), so at 100 TB the exchange carries 32-hex keys, not
+    * documents; on a real deployment the corpus fingerprints live as
+    * their own bucketed table and the join is co-located. */
+  def newAgainstCorpus(batch: DataFrame, corpus: DataFrame,
+      contentCol: String): DataFrame =
+    batch.withColumn("__fp", TextAnalysis.fingerprint(col(contentCol)))
+      .join(corpus.select(TextAnalysis.fingerprint(col(contentCol)).as("__fp")),
+        Seq("__fp"), "left_anti")
+      .drop("__fp")
+
   // ---------- span-level exact substring dedup ----------
 
   /** Span-level exact duplicate statistics at k-token granularity — the

@@ -118,6 +118,87 @@ object TextAnalysis {
       .filter(size(col("matched_terms")) > 0)
   }
 
+  // ---------- TF-IDF ----------
+
+  /** Per-document top-`k` terms by TF-IDF. tf is the in-document count,
+    * idf = ln(N / df) with exact integer N and df; the only float op is
+    * the final tf·idf product, surfaced rounded to 6 decimals (the q27
+    * cosine discipline — ln differs across engines at ~1 ulp, far
+    * below the rounding grid). Rank ties break on the term string.
+    * Returns (idCol, term, tf, df, tfidf, rank).
+    *
+    * Scale shape: one explode → one (id, term) aggregation, one
+    * term-level aggregation (vocabulary-sized), a join of the two on
+    * the term, and the per-doc top-k window — the same exchanges a
+    * plain wordcount needs; the df side is vocabulary-sized, so the
+    * join broadcasts on real corpora. */
+  def tfIdfTopTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = df.count()
+    val tf = df.select(col(idCol).as("id"),
+        explode(tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term")
+      .agg(count(lit(1)).as("df"))
+    // rank over the ROUNDED score: raw doubles differ across engines
+    // at ~1 ulp, which could flip the order of two near-equal scores
+    val w = Window.partitionBy("id")
+      .orderBy(col("__score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .withColumn("__score",
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id").as(idCol), col("term"), col("tf"), col("df"),
+        col("__score").as("tfidf"), col("rank"))
+  }
+
+  // ---------- vocabulary / OOV ----------
+
+  /** Top-`vocabSize` corpus vocabulary by frequency (ties on the term
+    * string) and each document's out-of-vocabulary token rate against
+    * it — the coverage check run before committing to a tokenizer
+    * vocab. All integer arithmetic. Returns (idCol, n_tokens, n_oov,
+    * oov_pct_flagged at `flagPct`).
+    *
+    * Scale: wordcount aggregation → top-k via orderBy+limit (planned
+    * as TakeOrderedAndProject — per-partition partial top-k merged at
+    * the driver, bounded by k, NEVER a single-partition shuffle of the
+    * full term table) → k-row broadcast join back onto the exploded
+    * tokens. */
+  def vocabOovRate(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, vocabSize: Int,
+      flagPct: Int = 50): org.apache.spark.sql.DataFrame = {
+    val ex = df.select(col(idCol).as("id"),
+        explode(tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+    val vocab = ex.groupBy("term").agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("term")).limit(vocabSize)
+      .select(col("term"), lit(1).as("__in_vocab"))
+    ex.join(vocab, Seq("term"), "left")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_flagged",
+        col("n_oov") * 100 >= col("n_tokens") * flagPct)
+  }
+
+  // ---------- intra-document repetition (n-gram form) ----------
+
+  /** Gopher's duplicate-n-gram screen, occurrence form: the share of a
+    * document's k-gram occurrences that are repeats of an earlier
+    * occurrence, i.e. (occurrences − distinct) / occurrences. Pure
+    * projection — occurrences come from the token count
+    * (max(n−k,0)+1), distinct from the native shingle set — exact
+    * integer numerator/denominator, no shuffle. */
+  def repeatedNgramCounts(text: Column, k: Int): (Column, Column) = {
+    val occ = greatest(nTokens(text) - k, lit(0)) + lit(1)
+    val dis = size(call_function("token_shingles", text, lit(k)))
+    (occ.cast("long"), (occ - dis).cast("long"))
+  }
+
   // ---------- PII redaction ----------
 
   /** (pattern, replacement) pairs applied in order. Patterns stay in

@@ -448,6 +448,50 @@ object ExtQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // TF-IDF top-3 terms per document: integer tf/df, idf's ln is the
+    // only float op — surfaced AND ranked at 6-decimal rounding (the
+    // q27 cosine discipline; both engines' ln agree to ~1 ulp).
+    "q92_tfidf" -> { (s, dir) =>
+      TextAnalysis.tfIdfTopTerms(docs(s, dir), "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("rank"))
+    },
+
+    // Tokenizer-vocabulary coverage: top-20 corpus vocab by frequency
+    // (TakeOrderedAndProject — never a single-partition shuffle of the
+    // term table), per-doc OOV rate against it, integer-exact flag.
+    "q93_vocab_oov" -> { (s, dir) =>
+      TextAnalysis.vocabOovRate(docs(s, dir), "doc_id", "text",
+          vocabSize = 20, flagPct = 30)
+        .orderBy(col("doc_id"))
+    },
+
+    // Gopher's duplicate-n-gram screen, occurrence form: share of a
+    // doc's 3-gram occurrences that repeat an earlier one — a pure
+    // projection (token count + native distinct-shingle size).
+    "q94_repeated_ngrams" -> { (s, dir) =>
+      val (occ, rep) = TextAnalysis.repeatedNgramCounts(col("text"), 3)
+      docs(s, dir)
+        .select(col("doc_id"), occ.as("n_ngrams"), rep.as("n_repeated"))
+        .withColumn("rep_flagged",
+          col("n_repeated") * 100 >= col("n_ngrams") * 50)
+        .orderBy(col("doc_id"))
+    },
+
+    // Incremental ingestion screen: a new batch (the tail of the
+    // corpus + 50 planted copies of existing docs) anti-joined against
+    // the existing corpus on normalized fingerprints — the planted
+    // dups must vanish, the genuinely-new tail must survive.
+    "q95_incremental_new" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val corpus = d.filter(col("doc_id") < 400)
+      val batch = d.filter(col("doc_id") >= 400)
+        .unionByName(d.filter(col("doc_id") < 50)
+          .withColumn("doc_id", col("doc_id") + 10000))
+      Dedup.newAgainstCorpus(batch, corpus, "text")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
     "q30_term_freq" -> { (s, dir) =>
       TextAnalysis.termFrequencies(docs(s, dir), "text", minCount = 100L)
         .orderBy(col("term"))
@@ -819,6 +863,56 @@ object ExtQueries extends QueryPack {
         |    ORDER BY doc_id) AS rn FROM f)
         |SELECT doc_id, lang, n_ws_tokens, n_bpeish_tokens
         |FROM d WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q92_tfidf" ->
+      """WITH ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents),
+        |e2 AS (SELECT doc_id, term FROM ex WHERE length(term) > 0),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM e2 GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |sc AS (SELECT doc_id, term, tf, df,
+        |    round(tf * ln((SELECT n FROM n) * 1.0 / df), 6) AS tfidf
+        |  FROM tf JOIN dfq USING (term)),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term) AS INT) AS rank FROM sc)
+        |SELECT doc_id, term, tf, df, tfidf, rank FROM r
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q93_vocab_oov" ->
+      """WITH ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents),
+        |e2 AS (SELECT doc_id, term FROM ex WHERE length(term) > 0),
+        |vc AS (SELECT term, count(*) AS c FROM e2 GROUP BY 1),
+        |vocab AS (SELECT term FROM vc ORDER BY c DESC, term LIMIT 20),
+        |j AS (SELECT e2.doc_id,
+        |    CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM e2 LEFT JOIN vocab v USING (term))
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(oov) AS BIGINT) AS n_oov,
+        |  sum(oov) * 100 >= count(*) * 30 AS oov_flagged
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q94_repeated_ngrams" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(greatest(len(w) - 3, 0) + 1 AS BIGINT) AS n_ngrams,
+        |    CAST(len(list_distinct(list_transform(
+        |      generate_series(1, greatest(len(w) - 3, 0) + 1),
+        |      i -> array_to_string(w[i : least(i + 2, len(w))], chr(1)))))
+        |      AS BIGINT) AS n_distinct
+        |  FROM s)
+        |SELECT doc_id, n_ngrams, n_ngrams - n_distinct AS n_repeated,
+        |  (n_ngrams - n_distinct) * 100 >= n_ngrams * 50 AS rep_flagged
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q95_incremental_new" ->
+      """WITH fp AS (SELECT doc_id, lang, source,
+        |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |corpus AS (SELECT fp FROM fp WHERE doc_id < 400),
+        |batch AS (SELECT doc_id, lang, source, fp FROM fp WHERE doc_id >= 400
+        |  UNION ALL
+        |  SELECT doc_id + 10000, lang, source, fp FROM fp WHERE doc_id < 50)
+        |SELECT doc_id, lang, source FROM batch b
+        |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)
+        |ORDER BY doc_id""".stripMargin,
     "q88_span_dedup" ->
       """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(

@@ -549,6 +549,48 @@ class ExtSpec extends AnyFunSuite {
       (3L, 3L, true), (4L, 1L, false)))
   }
 
+  test("tfIdfTopTerms ranks a doc's distinctive term above ubiquitous ones") {
+    val df = docs(
+      (1L, "common common rare rare rare"),
+      (2L, "common common common other"),
+      (3L, "common other other"))
+    val top = TextAnalysis.tfIdfTopTerms(df, "id", "text", k = 1)
+      .select("id", "term").as[(Long, String)].collect().toMap
+    assert(top(1L) == "rare")       // only doc with 'rare', tf=3
+    assert(top(2L) != "common")     // common is in every doc → idf 0
+  }
+
+  test("vocabOovRate flags docs outside the top-k vocabulary") {
+    val df = docs(
+      (1L, "a a a b b c"),  // a,b in top-2 vocab; 1 of 6 oov
+      (2L, "x y z q r s"))  // all oov
+    val out = TextAnalysis.vocabOovRate(df, "id", "text", vocabSize = 2,
+        flagPct = 50)
+      .select("id", "n_tokens", "n_oov", "oov_flagged")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 6L, 1L, false)))
+    assert(out(1) == ((2L, 6L, 6L, true)))
+  }
+
+  test("repeatedNgramCounts measures intra-doc span repeats exactly") {
+    val df = docs(
+      (1L, "a b a b a b a b"), // 6 trigram occurrences, 2 distinct
+      (2L, "a b c d e f"))     // 4 occurrences, all distinct
+    val (occ, rep) = TextAnalysis.repeatedNgramCounts(col("text"), 3)
+    val out = df.select(col("id"), occ.as("o"), rep.as("r"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 6L, 4L), (2L, 4L, 0L)))
+  }
+
+  test("newAgainstCorpus drops batch rows whose normalized content exists") {
+    val corpus = docs((1L, "the quick fox"), (2L, "other text"))
+    val batch = docs((10L, "  the QUICK   fox "), // normalizes to corpus 1
+      (11L, "genuinely new content"))
+    val out = Dedup.newAgainstCorpus(batch, corpus, "text")
+      .select("id").as[Long].collect().toSeq
+    assert(out == Seq(11L))
+  }
+
   test("capPerGroupBudget keeps rows while prior cumulative mass is under budget") {
     val df = Seq(
       ("s1", 1L, 900L), ("s1", 2L, 900L), ("s1", 3L, 900L),
