@@ -244,6 +244,45 @@ object TextAnalysis {
           col("n_shingles") > 0)
   }
 
+  /** The contamination screen as it runs at 100 TB: the benchmark's
+    * shingle set is first compacted into a ~bits/8-byte Bloom filter
+    * (Spark's own distributed `BloomFilterAggregate`, built in one
+    * pass), every corpus document counts its bloom hits in a pure
+    * projection against the inlined sketch — no join, no shuffle, no
+    * per-row state — and only documents whose BLOOM hit ratio reaches
+    * the threshold proceed to the exact shingle semijoin.
+    *
+    * PROVABLY the same answer as [[contaminationScreen]] restricted to
+    * its contaminated rows: a Bloom filter has no false negatives, so
+    * per-doc bloomHits >= exactHits — every truly contaminated doc
+    * passes the prefilter; false-positive survivors are then killed by
+    * the exact join. The corpus is deliberately scanned twice (both
+    * map-only: prefilter projection, then the exact pass over
+    * candidates) — at scale two scans beat one scan plus a corpus-wide
+    * shuffle join; at bench scale the exact screen is already cheap,
+    * so this variant only wins once the join dominates. Returns the
+    * contaminated rows (idCol, n_shingles, n_hit, contaminated=true),
+    * exact counts. */
+  def contaminationScreenBloom(corpus: org.apache.spark.sql.DataFrame,
+      bench: org.apache.spark.sql.DataFrame, idCol: String,
+      shingleCol: String, thresholdPct: Int,
+      bloomBitsPerItem: Int = 16): org.apache.spark.sql.DataFrame = {
+    // the benchmark shingle set is read three times (item count, bloom
+    // build, exact verify join) — persist the small side, not the corpus
+    val benchSh = bench.select(explode(col(shingleCol)).as("sh")).distinct()
+      .persist()
+    val nItems = math.max(benchSh.count(), 1L)
+    val bf = benchSh.agg(call_function("bloom_agg", xxhash64(col("sh")),
+        lit(nItems), lit(nItems * bloomBitsPerItem)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val bloomHits = size(filter(col(shingleCol),
+      s => call_function("bloom_might_contain", lit(bf), xxhash64(s))))
+    val candidates = corpus
+      .filter(bloomHits * 100 >= size(col(shingleCol)) * thresholdPct)
+    contaminationScreen(candidates, bench, idCol, shingleCol, thresholdPct)
+      .filter(col("contaminated"))
+  }
+
   // ---------- deterministic corpus shuffle ----------
 
   /** Seeded shuffle key: md5(seed || id) — engine-portable (md5 hex is

@@ -2,8 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.{DoubleType, IntegerType}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 /** Registers graft's native Catalyst expressions as SQL functions via
   * the PUBLIC `SparkSessionExtensions.injectFunction` API — call sites
@@ -53,6 +54,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => args match {
         case Seq(child) => TryCapture(child)
         case _ => throw new IllegalArgumentException("try_capture(expr)")
+      }))
+    // Spark's OWN distributed bloom-filter build/probe (the machinery
+    // behind its runtime row-group filters) — public classes, but not
+    // in the public FunctionRegistry, so surface them here. Used by
+    // the contamination screen's sketch prefilter.
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "bloom_agg"),
+      (args: Seq[Expression]) => args match {
+        case Seq(child, n @ Literal(_: Long, LongType),
+            b @ Literal(_: Long, LongType)) =>
+          new BloomFilterAggregate(child, n, b)
+        case _ => throw new IllegalArgumentException(
+          "bloom_agg(longCol, estimatedItems long-literal, numBits long-literal)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName,
+        "bloom_might_contain"),
+      (args: Seq[Expression]) => args match {
+        case Seq(bf, v) => BloomFilterMightContain(bf, v)
+        case _ => throw new IllegalArgumentException(
+          "bloom_might_contain(bloomBinary, longValue)")
       }))
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),

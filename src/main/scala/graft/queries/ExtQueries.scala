@@ -448,6 +448,21 @@ object ExtQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // The contamination screen at 100 TB shape: benchmark shingles →
+    // Spark's own BloomFilterAggregate (one ~KB sketch) → corpus
+    // prefilter as a pure projection → exact verify on the candidate
+    // sliver. Bloom has no false negatives, so the result is PROVABLY
+    // the exact contaminated set — the oracle recomputes it with full
+    // joins and must agree row-for-row.
+    "q96_bloom_contamination" -> { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"),
+        Dedup.shingles(col("text"), 3).as("sh"))
+      TextAnalysis.contaminationScreenBloom(d,
+          d.filter(col("doc_id") % 97 === 0), "doc_id", "sh",
+          thresholdPct = 80)
+        .orderBy(col("doc_id"))
+    },
+
     // TF-IDF top-3 terms per document: integer tf/df, idf's ln is the
     // only float op — surfaced AND ranked at 6-decimal rounding (the
     // q27 cosine discipline; both engines' ln agree to ~1 ulp).
@@ -863,6 +878,21 @@ object ExtQueries extends QueryPack {
         |    ORDER BY doc_id) AS rn FROM f)
         |SELECT doc_id, lang, n_ws_tokens, n_bpeish_tokens
         |FROM d WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q96_bloom_contamination" ->
+      """WITH s AS (SELECT doc_id, list_distinct(list_transform(
+        |      generate_series(1, greatest(len(w) - 3, 0) + 1),
+        |      i -> array_to_string(w[i : least(i + 2, len(w))], chr(1)))) AS sh
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |bsh AS (SELECT DISTINCT unnest(sh) AS sh FROM s WHERE doc_id % 97 = 0),
+        |dsh AS (SELECT doc_id, unnest(sh) AS sh FROM s),
+        |hits AS (SELECT doc_id, count(*) AS n_hit
+        |  FROM dsh JOIN bsh USING (sh) GROUP BY doc_id)
+        |SELECT s.doc_id, len(sh) AS n_shingles,
+        |  coalesce(n_hit, 0) AS n_hit,
+        |  TRUE AS contaminated
+        |FROM s LEFT JOIN hits ON s.doc_id = hits.doc_id
+        |WHERE coalesce(n_hit, 0) * 100 >= len(sh) * 80 AND len(sh) > 0
+        |ORDER BY s.doc_id""".stripMargin,
     "q92_tfidf" ->
       """WITH ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
         |    FROM documents),

@@ -591,6 +591,28 @@ class ExtSpec extends AnyFunSuite {
     assert(out == Seq(11L))
   }
 
+  test("bloom-prefiltered contamination screen equals the exact screen") {
+    val base = (1 to 30).map(i => s"t$i").mkString(" ")
+    val df = docs(
+      (1L, base),                                   // the benchmark doc
+      (2L, base + " extra tail tokens here"),       // heavily leaked
+      (3L, (100 to 130).map(i => s"u$i").mkString(" ")), // clean
+      (4L, (1 to 5).map(i => s"t$i").mkString(" ") + " v1 v2 v3 v4 v5 v6 v7 v8 v9"))
+      .select(col("id"), Dedup.shingles(col("text"), 3).as("sh"))
+    val bench = df.filter(col("id") === 1L)
+    val exact = TextAnalysis.contaminationScreen(df, bench, "id", "sh",
+        thresholdPct = 50)
+      .filter(col("contaminated"))
+      .select("id", "n_shingles", "n_hit")
+      .as[(Long, Long, Long)].collect().toSet
+    val bloom = TextAnalysis.contaminationScreenBloom(df, bench, "id", "sh",
+        thresholdPct = 50)
+      .select("id", "n_shingles", "n_hit")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(bloom == exact)
+    assert(exact.map(_._1) == Set(1L, 2L)) // the screen itself works
+  }
+
   test("capPerGroupBudget keeps rows while prior cumulative mass is under budget") {
     val df = Seq(
       ("s1", 1L, 900L), ("s1", 2L, 900L), ("s1", 3L, 900L),
