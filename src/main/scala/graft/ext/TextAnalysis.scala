@@ -283,6 +283,41 @@ object TextAnalysis {
       .filter(col("contaminated"))
   }
 
+  /** Count-min-sketch term counts with a certified error contract — at
+    * 100 TB the sketch (one `ceil(2/eps)·ceil(ln(1/(1-conf)))` counter
+    * grid, built by Spark's `count_min_sketch` aggregate in one pass,
+    * merged commutatively so the result is deterministic) replaces the
+    * full term aggregation when only heavy hitters matter. This
+    * operator certifies the contract the way q85 certifies HLL: each
+    * term reports its exact count and whether the sketch estimate
+    * honors `exact <= est <= exact + eps·total` (the CMS guarantee —
+    * the lower bound always, the upper with prob. >= confidence).
+    * The readout loop is driver-side over the VOCABULARY (sketch
+    * estimation has no distributed form), not the corpus. Returns
+    * (term, n_exact, cms_ok). */
+  def cmsTermCounts(df: org.apache.spark.sql.DataFrame, textCol: String,
+      eps: Double, confidence: Double,
+      seed: Int): org.apache.spark.sql.DataFrame = {
+    val ex = df.select(explode(tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0).persist()
+    val total = ex.count()
+    val bytes = ex.agg(expr(
+        s"count_min_sketch(term, CAST($eps AS DOUBLE), " +
+          s"CAST($confidence AS DOUBLE), $seed)").as("cms"))
+      .head().getAs[Array[Byte]]("cms")
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes)
+    val slack = math.ceil(eps * total).toLong
+    val rows = ex.groupBy("term").agg(count(lit(1)).as("n_exact"))
+      .collect()
+      .map { r =>
+        val est = cms.estimateCount(r.getString(0))
+        (r.getString(0), r.getLong(1),
+          est >= r.getLong(1) && est <= r.getLong(1) + slack)
+      }
+    import df.sparkSession.implicits._
+    rows.toSeq.toDF("term", "n_exact", "cms_ok")
+  }
+
   // ---------- deterministic corpus shuffle ----------
 
   /** Seeded shuffle key: md5(seed || id) — engine-portable (md5 hex is

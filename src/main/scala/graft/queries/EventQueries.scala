@@ -151,6 +151,36 @@ object EventQueries extends QueryPack {
         .orderBy(col("click_id"), col("view_id"))
     },
 
+    // approx_percentile under the gate (the q85/q97 sketch
+    // discipline): the KLL-style summary is deterministic for fixed
+    // input, and its contract is a RANK bound — the number of values
+    // at or below the estimate must sit within eps*n of the target
+    // rank. Spark computes the estimate AND audits the rank against
+    // the exact data; the oracle recomputes n exactly and expects
+    // every bound to hold. At 100 TB the summary is the only
+    // single-pass percentile — this row certifies its contract.
+    "q98_approx_percentile" -> { (s, dir) =>
+      val cents = events(s, dir)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val approx = cents.groupBy("event_type")
+        .agg(expr("approx_percentile(cents, 0.5, 1000)").as("__ap"))
+      cents.join(approx, "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("cents") < col("__ap"), 1L).otherwise(0L))
+            .as("__n_lt"),
+          sum(when(col("cents") <= col("__ap"), 1L).otherwise(0L))
+            .as("__n_le"))
+        // tie-aware rank bound: the estimate's rank interval
+        // [#(<est)+1, #(<=est)] must intersect n/2 ± eps*n (+1 floor)
+        .select(col("event_type"), col("n"),
+          (col("__n_lt") <= col("n") / 2 + col("n") / 1000 + 1 &&
+            col("__n_le") >= col("n") / 2 - col("n") / 1000 - 1)
+            .as("rank_ok"))
+        .orderBy(col("event_type"))
+    },
+
     // Time-series forward-fill (gap fill): every event carries the
     // user's most recent purchase amount — last-non-null over one
     // per-user window (integer cents; deterministic (ts, event_id)
@@ -248,6 +278,9 @@ object EventQueries extends QueryPack {
         |    AS p50_cents,
         |  round(quantile_cont(CAST(round(value*100) AS BIGINT), 0.9), 4)
         |    AS p90_cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q98_approx_percentile" ->
+      """SELECT event_type, COUNT(*) AS n, TRUE AS rank_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q90_gapfill" ->
       """WITH e AS (SELECT event_id, user_id, ts,

@@ -463,6 +463,17 @@ object ExtQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Count-min-sketch under the gate (the q85 HLL discipline): the
+    // sketch estimate is deterministic (commutative counter merges),
+    // so the per-term bound flag `exact <= est <= exact + eps*total`
+    // is a stable, oracle-checkable claim; the oracle supplies the
+    // exact counts and expects every flag true.
+    "q97_cms_termcounts" -> { (s, dir) =>
+      TextAnalysis.cmsTermCounts(docs(s, dir), "text",
+          eps = 0.001, confidence = 0.99, seed = 42)
+        .orderBy(col("term"))
+    },
+
     // TF-IDF top-3 terms per document: integer tf/df, idf's ln is the
     // only float op — surfaced AND ranked at 6-decimal rounding (the
     // q27 cosine discipline; both engines' ln agree to ~1 ulp).
@@ -878,6 +889,11 @@ object ExtQueries extends QueryPack {
         |    ORDER BY doc_id) AS rn FROM f)
         |SELECT doc_id, lang, n_ws_tokens, n_bpeish_tokens
         |FROM d WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q97_cms_termcounts" ->
+      """SELECT term, COUNT(*) AS n_exact, TRUE AS cms_ok FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |WHERE length(term) > 0
+        |GROUP BY term ORDER BY term""".stripMargin,
     "q96_bloom_contamination" ->
       """WITH s AS (SELECT doc_id, list_distinct(list_transform(
         |      generate_series(1, greatest(len(w) - 3, 0) + 1),

@@ -613,6 +613,18 @@ class ExtSpec extends AnyFunSuite {
     assert(exact.map(_._1) == Set(1L, 2L)) // the screen itself works
   }
 
+  test("cmsTermCounts certifies the count-min bound on a known corpus") {
+    val df = docs((1L, "a a a b b c"), (2L, "a b c d"))
+    val out = TextAnalysis.cmsTermCounts(df, "text",
+        eps = 0.01, confidence = 0.99, seed = 7)
+      .select("term", "n_exact", "cms_ok")
+      .as[(String, Long, Boolean)].collect().sortBy(_._1)
+    // exact counts reproduced, and the sketch bound holds for all
+    assert(out.map(r => r._1 -> r._2).toSeq ==
+      Seq("a" -> 4L, "b" -> 3L, "c" -> 2L, "d" -> 1L))
+    assert(out.forall(_._3), s"cms bound violated: ${out.mkString(",")}")
+  }
+
   test("capPerGroupBudget keeps rows while prior cumulative mass is under budget") {
     val df = Seq(
       ("s1", 1L, 900L), ("s1", 2L, 900L), ("s1", 3L, 900L),
