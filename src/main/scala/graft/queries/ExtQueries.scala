@@ -463,6 +463,34 @@ object ExtQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Curation pipeline v3 — the round's new operators composed in
+    // production order: quality gate + duplicate-n-gram screen (both
+    // pure projections, run first so everything downstream sees the
+    // reduced corpus) → span-level substring dedup → bloom-prefiltered
+    // benchmark decontamination → per-source token-budget cap. The
+    // oracle replays every stage in SQL; drift anywhere breaks the hash.
+    "q99_curation_v3" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val (occ, rep) = TextAnalysis.repeatedNgramCounts(col("text"), 3)
+      val base = d.filter(TextAnalysis.qualityOk(col("text")))
+        .filter(!(rep * 100 >= occ * 50))
+      val calmIds = Dedup.spanDupStats(base, "doc_id", "text",
+          k = 8, minDocs = 2, flagPct = 50)
+        .filter(!col("span_dup_flagged")).select("doc_id")
+      val surv = base.join(calmIds, Seq("doc_id"), "left_semi")
+      val bench = d.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      val contaminated = TextAnalysis.contaminationScreenBloom(
+          surv.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh")),
+          bench, "doc_id", "sh", thresholdPct = 80)
+        .select("doc_id")
+      val clean = surv.join(contaminated, Seq("doc_id"), "left_anti")
+      TextAnalysis.capPerGroupBudget(clean, "source", "doc_id",
+          TextAnalysis.tokenCountWs(col("text")), budget = 800)
+        .select(col("doc_id"), col("source"), col("lang"), col("cum_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
     // Count-min-sketch under the gate (the q85 HLL discipline): the
     // sketch estimate is deterministic (commutative counter merges),
     // so the per-term bound flag `exact <= est <= exact + eps*total`
@@ -889,6 +917,60 @@ object ExtQueries extends QueryPack {
         |    ORDER BY doc_id) AS rn FROM f)
         |SELECT doc_id, lang, n_ws_tokens, n_bpeish_tokens
         |FROM d WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q99_curation_v3" ->
+      """WITH s AS (SELECT doc_id, lang, source, text,
+        |    string_split(text, ' ') AS t FROM documents),
+        |m AS (SELECT *, len(t) AS n_tokens,
+        |    (length(text) - len(t) + 1) * 1.0 / len(t) AS mtl,
+        |    len(list_filter(t, w -> w IN ('the','a','is','and','of','to',
+        |        'in','that','it','for'))) * 1.0 / len(t) AS swr,
+        |    greatest(len(t) - 3, 0) + 1 AS n3,
+        |    len(list_distinct(list_transform(
+        |      generate_series(1, greatest(len(t) - 3, 0) + 1),
+        |      i -> array_to_string(t[i : least(i + 2, len(t))], chr(1)))))
+        |      AS d3
+        |  FROM s),
+        |base AS (SELECT doc_id, lang, source, text, t FROM m
+        |  WHERE n_tokens BETWEEN 10 AND 100000
+        |    AND mtl BETWEEN 2.0 AND 12.0 AND swr >= 0.01
+        |    AND NOT ((n3 - d3) * 100 >= n3 * 50)),
+        |sh8 AS (SELECT doc_id, list_distinct(list_transform(
+        |      generate_series(1, greatest(len(t) - 8, 0) + 1),
+        |      i -> array_to_string(t[i : least(i + 7, len(t))], chr(1))))
+        |      AS sh FROM base),
+        |ex AS (SELECT doc_id, md5(unnest(sh)) AS h FROM sh8),
+        |dup AS (SELECT h FROM ex GROUP BY h HAVING count(*) >= 2),
+        |spanstat AS (SELECT e.doc_id, count(*) AS nsp,
+        |    sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS ndup
+        |  FROM ex e LEFT JOIN dup d ON e.h = d.h GROUP BY e.doc_id),
+        |surv AS (SELECT b.* FROM base b JOIN spanstat sp
+        |  ON b.doc_id = sp.doc_id WHERE NOT (ndup * 100 >= nsp * 50)),
+        |bsh AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+        |      generate_series(1, greatest(len(t) - 3, 0) + 1),
+        |      i -> array_to_string(t[i : least(i + 2, len(t))], chr(1)))))
+        |      AS sh
+        |  FROM s WHERE doc_id % 97 = 0),
+        |ssh AS (SELECT doc_id, list_distinct(list_transform(
+        |      generate_series(1, greatest(len(t) - 3, 0) + 1),
+        |      i -> array_to_string(t[i : least(i + 2, len(t))], chr(1))))
+        |      AS sh FROM surv),
+        |hits AS (SELECT doc_id, count(*) AS n_hit FROM
+        |    (SELECT doc_id, unnest(sh) AS sh FROM ssh) d
+        |  JOIN bsh USING (sh) GROUP BY doc_id),
+        |clean AS (SELECT surv.* FROM surv
+        |  LEFT JOIN ssh ON surv.doc_id = ssh.doc_id
+        |  LEFT JOIN hits ON surv.doc_id = hits.doc_id
+        |  WHERE NOT (coalesce(n_hit, 0) * 100 >= len(sh) * 80
+        |    AND len(sh) > 0)),
+        |t2 AS (SELECT doc_id, source, lang,
+        |    CAST(len(t) AS BIGINT) AS tok FROM clean),
+        |c AS (SELECT doc_id, source, lang, tok,
+        |    SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum_tokens
+        |  FROM t2)
+        |SELECT doc_id, source, lang, cum_tokens FROM c
+        |WHERE cum_tokens - tok < 800 ORDER BY doc_id""".stripMargin,
     "q97_cms_termcounts" ->
       """SELECT term, COUNT(*) AS n_exact, TRUE AS cms_ok FROM (
         |  SELECT unnest(string_split(text, ' ')) AS term FROM documents)
