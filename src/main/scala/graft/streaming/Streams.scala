@@ -153,6 +153,29 @@ object Streams {
         ()
     }.start()
 
+  /** Streaming curation ingest — the arrival-time form of the batch
+    * curation pipeline (q64/q80/q99): quality gate and PII scrub are
+    * pure projections (trivially incremental), then exact content
+    * dedup keeps the FIRST-ARRIVED copy of each normalized fingerprint
+    * — streaming uses dropDuplicatesWithinWatermark, so state is the
+    * fingerprint→seen map PRUNED at the watermark horizon (plain
+    * dropDuplicates would grow state forever; Spark refuses the
+    * within-watermark form on batch frames, where exact dedup needs no
+    * state anyway). ONE definition serves batch and stream;
+    * StreamingSpec proves the surviving fingerprint set matches the
+    * batch run. */
+  def curationIngest(docs: DataFrame, tsCol: String, watermark: String,
+      idCol: String, textCol: String): DataFrame = {
+    val scrubbed = watermarked(docs, tsCol, watermark)
+      .filter(graft.ext.TextAnalysis.qualityOk(col(textCol)))
+      .select(col(idCol), col(tsCol),
+        graft.ext.TextAnalysis.redactPii(col(textCol)).as(textCol))
+      .withColumn("doc_fp",
+        graft.ext.TextAnalysis.fingerprint(col(textCol)))
+    if (scrubbed.isStreaming) scrubbed.dropDuplicatesWithinWatermark("doc_fp")
+    else scrubbed.dropDuplicates("doc_fp")
+  }
+
   /** Output mode each operator needs on an unbounded sink. */
   val outputModes: Map[String, OutputMode] = Map(
     "tumblingAgg" -> OutputMode.Complete(),
@@ -160,5 +183,6 @@ object Streams {
     "sessionAgg" -> OutputMode.Complete(),
     "dedup" -> OutputMode.Append(),
     "runningUserTotals" -> OutputMode.Update(),
-    "intervalJoin" -> OutputMode.Append())
+    "intervalJoin" -> OutputMode.Append(),
+    "curationIngest" -> OutputMode.Append())
 }

@@ -218,6 +218,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(oneBatch == want)   // split-invariant
   }
 
+  test("curationIngest: streaming curation equals batch — gate, scrub, first-arrival dedup") {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    val good = "the quick brown fox jumps over the lazy dog and it " +
+      "is a fine day for all of us here"
+    val db1 = Seq(
+      Row(1L, ts(0), good + " one"),
+      Row(2L, ts(2), "short junk"), // fails the quality gate
+      Row(3L, ts(4), good + " mail me at someone@example.com"))
+    val db2 = Seq(
+      Row(4L, ts(10), "  " + good + " one "), // same fingerprint as doc 1
+      Row(5L, ts(12), good + " two"))
+    def frameD(rows: Seq[Row]): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), docSchema)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_cur")
+    dir.toFile.deleteOnExit()
+    val src = dir.toString + "/in"
+    frameD(db1).write.mode(SaveMode.Append).parquet(src)
+    val stream = spark.readStream.schema(docSchema).parquet(src)
+    val q = Streams.curationIngest(stream, "ts", "30 minutes", "doc_id", "text")
+      .writeStream.format("memory").queryName("stream_sink_curation")
+      .outputMode(Streams.outputModes("curationIngest")).start()
+    try {
+      q.processAllAvailable()
+      frameD(db2).write.mode(SaveMode.Append).parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("stream_sink_curation")
+    // first-arrival dedup: doc 4 (dup of 1) never emitted; gate kills 2
+    assert(streamed.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L, 5L))
+    // PII scrubbed in-flight
+    val redacted = streamed.filter(col("doc_id") === 3L)
+      .select("text").as[String].head()
+    assert(redacted.contains("<EMAIL>") && !redacted.contains("example.com"))
+    // parity: the batch run over all rows keeps the same fingerprints
+    val batchFps = Streams.curationIngest(frameD(db1 ++ db2), "ts",
+        "30 minutes", "doc_id", "text")
+      .select("doc_fp").as[String].collect().toSet
+    assert(streamed.select("doc_fp").as[String].collect().toSet == batchFps)
+  }
+
   test("runningUserTotals: mapGroupsWithState accumulates across micro-batches") {
     val streamed = runStreaming("runningUserTotals",
       df => Streams.runningUserTotals(df).toDF())
