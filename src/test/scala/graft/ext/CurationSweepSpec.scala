@@ -1,0 +1,114 @@
+package graft.ext
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Multi-seed randomized parity for the curation operators: each
+  * distributed result must equal an independent driver-side reference
+  * implementation on random corpora (small vocabularies force heavy
+  * span sharing, duplicates, and budget-boundary collisions). */
+class CurationSweepSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docSchema = StructType(Seq(
+    StructField("id", LongType), StructField("text", StringType)))
+  private def frame(rows: Seq[(Long, String)]) =
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r => Row(r._1, r._2)): _*), docSchema)
+
+  /** The engine's shingle definition, reimplemented independently. */
+  private def refShingles(text: String, k: Int): Seq[String] = {
+    val toks = text.split(" ", -1)
+    val last = math.max(toks.length - k, 0)
+    (0 to last).map(i => toks.slice(i, math.min(i + k, toks.length))
+      .mkString("")).distinct
+  }
+
+  test("spanDupStats equals the brute-force reference across seeds") {
+    for (seed <- Seq(3, 11, 42); k <- Seq(2, 4)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Seq("aa", "bb", "cc", "dd")
+      val rows = (1L to 40L).map { i =>
+        i -> (1 to (1 + rnd.nextInt(12)))
+          .map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      }
+      // reference: span -> set of docs, then per-doc dup counts
+      val byDoc = rows.map { case (id, t) => id -> refShingles(t, k) }
+      val docsPerSpan = byDoc.flatMap { case (id, sh) => sh.map(_ -> id) }
+        .groupBy(_._1).map { case (sh, xs) => sh -> xs.map(_._2).size }
+      val want = byDoc.map { case (id, sh) =>
+        id -> ((sh.size.toLong, sh.count(docsPerSpan(_) >= 2).toLong))
+      }.toMap
+      val got = Dedup.spanDupStats(frame(rows), "id", "text", k = k)
+        .select("id", "n_spans", "n_dup_spans")
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == want, s"seed=$seed k=$k")
+    }
+  }
+
+  test("capPerGroupBudget equals the sequential reference across seeds") {
+    val schema = StructType(Seq(StructField("g", StringType),
+      StructField("id", LongType), StructField("tok", LongType)))
+    for (seed <- Seq(5, 19); budget <- Seq(10L, 37L)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (1L to 60L).map(i =>
+        (s"g${rnd.nextInt(4)}", i, 1L + rnd.nextInt(20)))
+      val want = rows.groupBy(_._1).flatMap { case (_, rs) =>
+        var cum = 0L
+        rs.sortBy(_._2).flatMap { case (_, id, tok) =>
+          val keep = cum < budget
+          cum += tok
+          if (keep) Some(id -> cum) else None
+        }
+      }.toMap
+      val df = spark.createDataFrame(
+        java.util.Arrays.asList(rows.map(Row.fromTuple): _*), schema)
+      val got = TextAnalysis.capPerGroupBudget(df, "g", "id", col("tok"),
+          budget)
+        .select("id", "cum_tokens").as[(Long, Long)].collect().toMap
+      assert(got == want, s"seed=$seed budget=$budget")
+    }
+  }
+
+  test("semanticDedup equals driver union-find over brute-force pairs") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", ArrayType(FloatType, containsNull = false))))
+    for (seed <- Seq(2, 13)) {
+      val rnd = new scala.util.Random(seed)
+      // random unit-ish vectors plus planted twins → real clusters
+      val base = (1L to 25L).map { i =>
+        i -> Array.fill(4)(rnd.nextGaussian().toFloat)
+      }
+      val twins = base.take(8).map { case (i, v) =>
+        (i + 100L) -> v.zipWithIndex.map { case (x, j) =>
+          if (j == 0) x + 0.001f else x }
+      }
+      val rows = base ++ twins
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+        d / math.sqrt(a.map(x => x.toDouble * x).sum) /
+          math.sqrt(b.map(x => x.toDouble * x).sum)
+      }
+      // driver union-find over all-pairs at the threshold
+      val parent = scala.collection.mutable.Map(rows.map(r => r._1 -> r._1): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      for ((ia, va) <- rows; (ib, vb) <- rows if ia < ib
+           if cos(va, vb) >= 0.99) {
+        val (ra, rb) = (find(ia), find(ib))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = rows.map(r => r._1 -> find(r._1)).toMap
+      val df = spark.createDataFrame(java.util.Arrays.asList(
+        rows.map { case (i, v) => Row(i, v.toSeq) }: _*), schema)
+      val got = Similarity.semanticDedup(df, "id", "v", threshold = 0.99)
+        .select("id", "cluster_id").as[(Long, Long)].collect().toMap
+      assert(got == want, s"seed=$seed")
+    }
+  }
+}
