@@ -52,6 +52,33 @@ object CoreQueries extends QueryPack {
         .limit(10)
     },
 
+    // The classic 5-table star join (TPC-H Q5 shape) — the relational
+    // flagship: the region→nation→customer dimension chain collapses
+    // into ONE broadcast build side, orders⋈lineitem is the only
+    // shuffled pair, the date filter pushes into the lineitem scan,
+    // and revenue stays in exact integer hundredths-of-cents so the
+    // sum is order-independent across engines.
+    "q100_star_join" -> { (s, dir) =>
+      val region = graft.Tables.load(s, dir, "region")
+      val nation = graft.Tables.load(s, dir, "nation")
+      val cust = graft.Tables.load(s, dir, "customer")
+      val orders = graft.Tables.load(s, dir, "orders")
+      val li = graft.Tables.load(s, dir, "lineitem")
+      val dims = cust
+        .join(nation, cust("c_nationkey") === nation("n_nationkey"))
+        .join(region, nation("n_regionkey") === region("r_regionkey"))
+        .select(col("c_custkey"), col("n_name"), col("r_name"))
+      li.filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(orders, li("l_orderkey") === orders("o_orderkey"))
+        .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(cents(col("l_extendedprice")) *
+            (lit(100L) - cents(col("l_discount")))).as("revenue_cc"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+
     // ROLLUP hierarchy totals — beyond-reference (SURVEY §2.9: the
     // reference has no grouping sets); native Spark rollup, one
     // shuffle, partial-aggregated. grouping() disambiguates real NULL
@@ -80,6 +107,20 @@ object CoreQueries extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q100_star_join" ->
+      """SELECT r.r_name, n.n_name, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)
+        |    * (100 - CAST(ROUND(l.l_discount*100) AS BIGINT))) AS BIGINT)
+        |    AS revenue_cc
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY r.r_name, n.n_name
+        |ORDER BY r.r_name, n.n_name""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty,

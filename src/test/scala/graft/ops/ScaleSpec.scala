@@ -52,6 +52,33 @@ class ScaleSpec extends AnyFunSuite {
     assert(fc.count() < feed.count() && tc.count() < target.count())
   }
 
+  test("curation-op plan shapes hold: projections stay shuffle-free, top-k avoids SinglePartition") {
+    val docs = spark.range(0, 200).select(col("id"),
+      concat_ws(" ", lit("the"), lit("word"), (col("id") % 9).cast("string"),
+        lit("tail"), (col("id") % 4).cast("string")).as("text"))
+    // duplicate-n-gram screen: pure projection, zero exchanges
+    val (occ, rep) = graft.ext.TextAnalysis.repeatedNgramCounts(col("text"), 3)
+    val repPlan = docs.select(col("id"), occ.as("o"), rep.as("r"))
+      .queryExecution.executedPlan.toString
+    assert(!repPlan.contains("Exchange"),
+      s"repeated-ngram screen must be map-only:\n$repPlan")
+    // vocabulary top-k: TakeOrderedAndProject, never a single-partition
+    // shuffle of the term table
+    val vocabPlan = graft.ext.TextAnalysis.vocabOovRate(docs, "id", "text",
+        vocabSize = 5)
+      .queryExecution.executedPlan.toString
+    assert(vocabPlan.contains("TakeOrderedAndProject"),
+      s"vocab top-k should plan TakeOrderedAndProject:\n$vocabPlan")
+    assert(!vocabPlan.contains("Exchange SinglePartition"),
+      s"vocab top-k must not single-partition the term table:\n$vocabPlan")
+    // per-group budget cap: exactly one hash exchange (the group key)
+    val capPlan = graft.ext.TextAnalysis.capPerGroupBudget(docs, "text",
+        "id", lit(1L), budget = 3L)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(capPlan).size == 1,
+      s"budget cap should shuffle once, on the group key:\n$capPlan")
+  }
+
   test("salted join equals the plain join result") {
     // one hot key (0) with many rows, plus a long tail
     val left = spark.range(0, 2000)
