@@ -429,6 +429,35 @@ object TextAnalysis {
     df.filter(pmod(col(idCol), lit(buckets)) < rate)
   }
 
+  // ---------- document chunking ----------
+
+  /** Split each document into fixed-size overlapping token windows —
+    * the chunking pass feeding RAG indexing and context-window
+    * training. Chunk i covers tokens [i·stride, i·stride + size);
+    * windows start while their offset is inside the document, so a doc
+    * with n tokens yields ceil(max(n - size, 0) / stride) + 1 chunks
+    * (always ≥ 1; the last may be short). Pure per-row explode — all
+    * integer arithmetic, no shuffle, chunk text rebuilt with
+    * slice+concat so the oracle can replay it verbatim. Returns
+    * (idCol, chunk_index, chunk_start, n_chunk_tokens, chunk_text). */
+  def chunkDocuments(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, chunkSize: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize: chunkSize=$chunkSize stride=$stride")
+    val toks = tokens(col(textCol))
+    val nChunks = ceil(greatest(size(toks) - lit(chunkSize), lit(0))
+      .cast("double") / lit(stride)).cast("int") + lit(1)
+    df.select(col(idCol), toks.as("__t"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_index"))
+      .select(col(idCol), col("chunk_index"),
+        (col("chunk_index") * stride).cast("long").as("chunk_start"),
+        slice(col("__t"), col("chunk_index") * stride + 1, lit(chunkSize))
+          .as("__c"))
+      .select(col(idCol), col("chunk_index"), col("chunk_start"),
+        size(col("__c")).cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", col("__c")).as("chunk_text"))
+  }
+
   // ---------- per-group corpus caps ----------
 
   /** Per-group token-budget cap — the per-domain/per-source ceiling

@@ -463,6 +463,15 @@ object ExtQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Document chunking for RAG/context windows: 32-token chunks at
+    // stride 16 (50% overlap) — a pure per-row explode, all integer
+    // arithmetic, chunk text rebuilt verbatim for the oracle.
+    "q101_chunking" -> { (s, dir) =>
+      TextAnalysis.chunkDocuments(docs(s, dir), "doc_id", "text",
+          chunkSize = 32, stride = 16)
+        .orderBy(col("doc_id"), col("chunk_index"))
+    },
+
     // Curation pipeline v3 — the round's new operators composed in
     // production order: quality gate + duplicate-n-gram screen (both
     // pure projections, run first so everything downstream sees the
@@ -917,6 +926,19 @@ object ExtQueries extends QueryPack {
         |    ORDER BY doc_id) AS rn FROM f)
         |SELECT doc_id, lang, n_ws_tokens, n_bpeish_tokens
         |FROM d WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q101_chunking" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS t
+        |    FROM documents),
+        |c AS (SELECT doc_id, t, unnest(generate_series(0,
+        |    CAST(ceil(greatest(len(t) - 32, 0) / 16.0) AS INT)))
+        |    AS chunk_index FROM s)
+        |SELECT doc_id, CAST(chunk_index AS INT) AS chunk_index,
+        |  CAST(chunk_index * 16 AS BIGINT) AS chunk_start,
+        |  CAST(len(t[chunk_index * 16 + 1 : chunk_index * 16 + 32])
+        |    AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(t[chunk_index * 16 + 1 : chunk_index * 16 + 32],
+        |    ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_index""".stripMargin,
     "q99_curation_v3" ->
       """WITH s AS (SELECT doc_id, lang, source, text,
         |    string_split(text, ' ') AS t FROM documents),

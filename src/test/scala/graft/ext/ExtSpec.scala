@@ -613,6 +613,24 @@ class ExtSpec extends AnyFunSuite {
     assert(exact.map(_._1) == Set(1L, 2L)) // the screen itself works
   }
 
+  test("chunkDocuments tiles with overlap, covers every token, last chunk short") {
+    val df = docs((1L, (1 to 10).map(i => s"w$i").mkString(" ")),
+      (2L, "a b c"))
+    val out = TextAnalysis.chunkDocuments(df, "id", "text",
+        chunkSize = 4, stride = 2)
+      .select("id", "chunk_index", "chunk_start", "n_chunk_tokens",
+        "chunk_text")
+      .as[(Long, Int, Long, Long, String)].collect()
+      .sortBy(r => (r._1, r._2))
+    val doc1 = out.filter(_._1 == 1L)
+    assert(doc1.map(_._3).toSeq == Seq(0L, 2L, 4L, 6L)) // starts
+    assert(doc1.map(_._4).toSeq == Seq(4L, 4L, 4L, 4L))
+    assert(doc1.head._5 == "w1 w2 w3 w4")
+    assert(doc1.last._5 == "w7 w8 w9 w10") // tail fully covered
+    val doc2 = out.filter(_._1 == 2L)
+    assert(doc2.toSeq == Seq((2L, 0, 0L, 3L, "a b c"))) // short doc: 1 chunk
+  }
+
   test("cmsTermCounts certifies the count-min bound on a known corpus") {
     val df = docs((1L, "a a a b b c"), (2L, "a b c d"))
     val out = TextAnalysis.cmsTermCounts(df, "text",
