@@ -181,6 +181,30 @@ object EventQueries extends QueryPack {
         .orderBy(col("event_type"))
     },
 
+    // Z-score outlier screen with EXACT variance: per event type,
+    // n·Σx² and (Σx)² are exact BIGINT sums over integer cents, so
+    // flagging |n·x − Σx| > 2·sqrt(n·(n·Σx² − (Σx)²)/(n−1)) compares
+    // an exact integer against one correctly-rounded sqrt — identical
+    // in every engine, no float-accumulation drift. The outlier gate
+    // every telemetry/quality pipeline runs, as one partial-aggregated
+    // shuffle + a broadcast join back.
+    "q102_outliers" -> { (s, dir) =>
+      val cents = events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("x"))
+      val stats = cents.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+      cents.join(broadcast(stats), "event_type")
+        // compare n·|x − mean| to n·2σ, all under one sqrt of exact ints
+        .withColumn("outlier",
+          (abs(col("n") * col("x") - col("sx")) * abs(col("n") * col("x") - col("sx"))).cast("double") >
+            lit(4.0) * col("n") * (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") / (col("n") - 1))
+        .filter(col("outlier"))
+        .select(col("event_id"), col("event_type"), col("x"))
+        .orderBy(col("event_id"))
+    },
+
     // Time-series forward-fill (gap fill): every event carries the
     // user's most recent purchase amount — last-non-null over one
     // per-user window (integer cents; deterministic (ts, event_id)
@@ -279,6 +303,16 @@ object EventQueries extends QueryPack {
         |  round(quantile_cont(CAST(round(value*100) AS BIGINT), 0.9), 4)
         |    AS p90_cents
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q102_outliers" ->
+      """WITH c AS (SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS x FROM events),
+        |st AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx FROM c GROUP BY 1)
+        |SELECT event_id, event_type, x FROM c JOIN st USING (event_type)
+        |WHERE CAST(abs(n * x - sx) * abs(n * x - sx) AS DOUBLE)
+        |  > ((4.0 * n) * CAST(n * sxx - sx * sx AS DOUBLE)) / (n - 1)
+        |ORDER BY event_id""".stripMargin,
     "q98_approx_percentile" ->
       """SELECT event_type, COUNT(*) AS n, TRUE AS rank_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

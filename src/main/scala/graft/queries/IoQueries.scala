@@ -139,6 +139,28 @@ object IoQueries extends QueryPack {
         .orderBy(col("n_nationkey"))
     },
 
+    // Partitioned-layout round-trip — the 100 TB storage idiom: write
+    // documents hive-partitioned by lang, read back ONE partition and
+    // prove the layout prunes (the lang filter must surface as a
+    // PartitionFilter on the scan, not a post-read Filter — asserted,
+    // so a layout regression fails the query, not just a spec).
+    "q103_partitioned_layout" -> { (s, dir) =>
+      val path = tmp("documents_by_lang")
+      run(s, dir, DataFlow("q103w", Seq(
+        SourceTable("src", "documents"),
+        FileDestination("dst", path, "parquet", WriteMode.Overwrite,
+          partitionBy = Seq("lang"))),
+        Seq(Path("src", "dst"))))
+      val back = run(s, dir, DataFlow("q103r", Seq(
+        SourceParquet("src", path)), Nil))("src.out")
+        .filter(col("lang") === "en")
+      val scan = back.queryExecution.executedPlan.toString
+      require("PartitionFilters: \\[[^\\]]*lang".r.findFirstIn(scan).isDefined,
+        s"lang filter must prune partitions, not scan them:\n$scan")
+      back.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
     // XML write → XML read via Spark's built-in xml datasource.
     "q40_xml_roundtrip" -> { (s, dir) =>
       val path = tmp("nation_xml")
@@ -157,6 +179,9 @@ object IoQueries extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q103_partitioned_layout" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
     "q32_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "q33_json_roundtrip" ->
