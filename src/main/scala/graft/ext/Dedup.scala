@@ -193,6 +193,77 @@ object Dedup {
       .filter(col("jaccard_sim") >= t)
   }
 
+  /** EXACT containment (asymmetric Jaccard) pairs: (a, b) with
+    * |A∩B| / |A| >= t, `a` drawn from `probe` and `b` from `corpus` —
+    * the small-doc-embedded-in-big-doc duplication (quoted articles,
+    * boilerplate wrappers) that symmetric Jaccard misses because the
+    * size-ratio filter kills it. Directional: `ida` is the contained
+    * side. The two-frame shape is the production one (screen a batch
+    * against the corpus); pass the same frame twice for the full
+    * self-join — but beware that containment's candidate space is
+    * inherently postings-bound: unlike symmetric Jaccard there is no
+    * size-ratio pruning, so the self-join over a corpus whose token
+    * universe is tiny degenerates toward all-pairs (nothing blocks
+    * two docs that share one rare token).
+    *
+    * Candidates via prefix filtering: if at most (1−t)·|A| of A's
+    * tokens are outside B, then A's first ⌊(1−t)·|A|⌋+1 tokens under
+    * ANY fixed total order must intersect B — lossless for every
+    * order. The order we pick is the PPJoin canonical one, ascending
+    * corpus document frequency (one wordcount-shaped aggregation):
+    * every prefix token is then among the RAREST its document has, so
+    * the probe⋈postings join fans out against short posting lists
+    * instead of stop-word floods. All stages are linear
+    * scans/shuffles; the exact verify join re-checks every candidate.
+    * Returns (ida, idb[, block], containment >= t). */
+  def containmentPairs(probe: DataFrame, corpus: DataFrame, idCol: String,
+      wsCol: String, threshold: Double,
+      blockCol: Option[String] = None): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containment threshold must be in (0, 1]: $threshold")
+    val t = threshold
+    val blockCols = blockCol.toSeq.map(col)
+    val blockNames = blockCol.toSeq
+    def shape(d: DataFrame) = d.select((col(idCol).as("id") +: blockCols :+
+      col(wsCol).as("ws")): _*)
+    val probeSets = eagerCache(shape(probe))
+    val corpusSets = eagerCache(shape(corpus))
+    def postings(sets: DataFrame) = sets.select((col("id") +: blockCols :+
+      size(col("ws")).as("__n") :+ explode(col("ws")).as("tok")): _*)
+    val corpusEx = postings(corpusSets)
+    // document frequency measured over the CORPUS side — the side the
+    // prefix tokens' posting lists come from
+    val dfreq = corpusEx.groupBy((blockCols :+ col("tok")): _*)
+      .agg(count(lit(1)).as("__df"))
+    val wDoc = Window.partitionBy("id").orderBy(col("__df"), col("tok"))
+    val probes = postings(probeSets)
+      // left join: a probe token absent from the corpus has df 0 — it
+      // sorts first and (correctly) matches no posting
+      .join(dfreq, blockNames :+ "tok", "left")
+      .na.fill(0L, Seq("__df"))
+      .withColumn("__r", row_number().over(wDoc))
+      .filter(col("__r") <=
+        floor((lit(1.0) - t) * col("__n")).cast("int") + 1)
+      .select((col("id") +: blockCols :+ col("tok")): _*)
+    val l = probes.alias("l")
+    val r = corpusEx.alias("r")
+    val blockEq = blockCol.map(b => col(s"l.$b") === col(s"r.$b"))
+      .getOrElse(lit(true))
+    val candidates = l.join(r,
+        blockEq && col("l.tok") === col("r.tok") &&
+          col("l.id") =!= col("r.id"))
+      .select(col("l.id").as("ida"), col("r.id").as("idb"))
+      .distinct()
+    val a = probeSets.select((col("id").as("ida") +: blockCols :+
+      col("ws").as("wsa")): _*)
+    val b = corpusSets.select(col("id").as("idb"), col("ws").as("wsb"))
+    candidates.join(a, "ida").join(b, "idb")
+      .select((col("ida") +: col("idb") +: blockCols :+
+        (size(array_intersect(col("wsa"), col("wsb"))).cast("double") /
+          size(col("wsa"))).as("containment")): _*)
+      .filter(col("containment") >= t)
+  }
+
   /** Near-dup pair list → cluster resolution: connected components
     * over the pairs ([[Fuzzy.connectedComponents]] — hybrid driver
     * union-find / distributed min-label propagation), each row labeled

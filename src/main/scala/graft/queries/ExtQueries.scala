@@ -411,6 +411,20 @@ object ExtQueries extends QueryPack {
         .orderBy(col("vec_id"))
     },
 
+    // Asymmetric containment dedup: |A∩B|/|A| >= 0.95 — catches the
+    // small-doc-embedded-in-big-doc duplication symmetric Jaccard's
+    // size-ratio filter throws away. Production shape: a batch (every
+    // 10th doc) screened against the corpus; prefix-filtered
+    // candidates under the ascending-document-frequency order, exact
+    // verify; the oracle is the naive directional join.
+    "q104_containment" -> { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        array_distinct(Dedup.tokens(col("text"))).as("ws"))
+      Dedup.containmentPairs(d.filter(col("doc_id") % 10 === 0), d,
+          "doc_id", "ws", threshold = 0.95, blockCol = Some("lang"))
+        .orderBy(col("ida"), col("idb"))
+    },
+
     // Span-level exact substring dedup (Lee et al. 2107.06499 at
     // 8-token granularity): per doc, how many of its spans appear
     // verbatim elsewhere in the corpus. Shuffles carry md5 keys —
@@ -926,6 +940,15 @@ object ExtQueries extends QueryPack {
         |    ORDER BY doc_id) AS rn FROM f)
         |SELECT doc_id, lang, n_ws_tokens, n_bpeish_tokens
         |FROM d WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q104_containment" ->
+      """WITH s AS (SELECT doc_id, lang,
+        |    list_distinct(string_split(text, ' ')) AS ws FROM documents)
+        |SELECT a.doc_id AS ida, b.doc_id AS idb, a.lang AS lang,
+        |  len(list_intersect(a.ws, b.ws)) * 1.0 / len(a.ws) AS containment
+        |FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+        |WHERE a.doc_id % 10 = 0
+        |  AND len(list_intersect(a.ws, b.ws)) * 1.0 / len(a.ws) >= 0.95
+        |ORDER BY ida, idb""".stripMargin,
     "q101_chunking" ->
       """WITH s AS (SELECT doc_id, string_split(text, ' ') AS t
         |    FROM documents),

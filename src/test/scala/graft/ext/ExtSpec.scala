@@ -613,6 +613,23 @@ class ExtSpec extends AnyFunSuite {
     assert(exact.map(_._1) == Set(1L, 2L)) // the screen itself works
   }
 
+  test("containmentPairs is directional and catches what symmetric Jaccard misses") {
+    val big = (1 to 20).map(i => s"w$i").mkString(" ")
+    val df = docs(
+      (1L, "w1 w2 w3"),          // fully contained in 2
+      (2L, big),
+      (3L, "w1 w2 zz"))          // 2/3 contained — under 0.95
+      .select(col("id"), array_distinct(split(col("text"), " ")).as("ws"))
+    val pairs = Dedup.containmentPairs(df, df, "id", "ws", threshold = 0.95)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L))) // NOT (2,1): direction matters
+    // symmetric Jaccard at the same strictness finds nothing: 3/20
+    val jac = Dedup.jaccardNearDupPairs(
+        df.withColumn("b", lit("x")), "id", "ws", 0.95, Some("b"))
+      .count()
+    assert(jac == 0)
+  }
+
   test("chunkDocuments tiles with overlap, covers every token, last chunk short") {
     val df = docs((1L, (1 to 10).map(i => s"w$i").mkString(" ")),
       (2L, "a b c"))
