@@ -160,6 +160,39 @@ object Multimodal {
     })
   }
 
+  /** One fixed-duration audio segment: real header decode supplies the
+    * stream geometry, then pure integer math tiles the PCM frames. */
+  final case class AudioSegment(media_id: Long, seg_index: Int,
+      start_frame: Long, n_seg_frames: Long, n_seg_bytes: Long, ok: Boolean)
+
+  /** Segment each audio item into `segFrames`-frame chunks — the
+    * splitting pass an audio-training pipeline runs before feature
+    * extraction (Whisper-style fixed windows). Per-partition batched
+    * like every decode here; a ceil-division tiling, so the last
+    * segment may be short but every frame is covered exactly once;
+    * byte counts are exact PCM arithmetic (frames·channels·bits/8).
+    * Undecodable payloads yield one ok=false row, preserving the
+    * item for error auditing. */
+  def segmentAudio(items: Dataset[MediaItem],
+      segFrames: Long): Dataset[AudioSegment] = {
+    require(segFrames > 0, s"segFrames must be positive: $segFrames")
+    import items.sparkSession.implicits._
+    items.flatMap { m =>
+      val (rate, ch, bits, frames, ok) = decodeAudio(m.payload)
+      if (!ok || frames <= 0L)
+        Seq(AudioSegment(m.media_id, 0, 0L, 0L, 0L, ok = false))
+      else {
+        val n = ((frames + segFrames - 1) / segFrames).toInt
+        (0 until n).map { i =>
+          val start = i.toLong * segFrames
+          val len = math.min(segFrames, frames - start)
+          AudioSegment(m.media_id, i, start, len,
+            len * ch * (bits / 8), ok = true)
+        }
+      }
+    }
+  }
+
   /** One sampled video frame: container-level index + decoded image
     * dims (header read only, as [[decodeImage]]). */
   final case class FrameFeatures(media_id: Long, frame_index: Long,

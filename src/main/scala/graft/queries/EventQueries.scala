@@ -181,6 +181,33 @@ object EventQueries extends QueryPack {
         .orderBy(col("event_type"))
     },
 
+    // Conversion-funnel analysis: per user, the earliest view, the
+    // earliest click at-or-after it, the earliest purchase at-or-after
+    // that — three conditional min-aggregations chained by joins that
+    // all reuse the user_id exchange. Exact microsecond comparisons.
+    "q105_funnel" -> { (s, dir) =>
+      val e = events(s, dir).select(col("user_id"), col("event_type"),
+        col("ts"))
+      val tv = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+      val tc = e.filter(col("event_type") === "click")
+        .join(tv, "user_id")
+        .filter(col("ts") >= col("t_view"))
+        .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+      val tp = e.filter(col("event_type") === "purchase")
+        .join(tc, "user_id")
+        .filter(col("ts") >= col("t_click"))
+        .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+      tv.join(tc, Seq("user_id"), "left")
+        .join(tp, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"), col("t_click"),
+          col("t_purchase"),
+          (lit(1) + when(col("t_click").isNotNull, 1).otherwise(0) +
+            when(col("t_purchase").isNotNull, 1).otherwise(0))
+            .as("stage_reached"))
+        .orderBy(col("user_id"))
+    },
+
     // Z-score outlier screen with EXACT variance: per event type,
     // n·Σx² and (Σx)² are exact BIGINT sums over integer cents, so
     // flagging |n·x − Σx| > 2·sqrt(n·(n·Σx² − (Σx)²)/(n−1)) compares
@@ -303,6 +330,24 @@ object EventQueries extends QueryPack {
         |  round(quantile_cont(CAST(round(value*100) AS BIGINT), 0.9), 4)
         |    AS p90_cents
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q105_funnel" ->
+      """WITH tv AS (SELECT user_id, min(ts) AS t_view FROM events
+        |    WHERE event_type = 'view' GROUP BY user_id),
+        |tc AS (SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM events e JOIN tv ON e.user_id = tv.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= tv.t_view
+        |  GROUP BY e.user_id),
+        |tp AS (SELECT e.user_id, min(e.ts) AS t_purchase
+        |  FROM events e JOIN tc ON e.user_id = tc.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= tc.t_click
+        |  GROUP BY e.user_id)
+        |SELECT tv.user_id, tv.t_view, tc.t_click, tp.t_purchase,
+        |  CAST(1 + CASE WHEN tc.t_click IS NOT NULL THEN 1 ELSE 0 END
+        |    + CASE WHEN tp.t_purchase IS NOT NULL THEN 1 ELSE 0 END
+        |    AS INT) AS stage_reached
+        |FROM tv LEFT JOIN tc ON tv.user_id = tc.user_id
+        |LEFT JOIN tp ON tv.user_id = tp.user_id
+        |ORDER BY tv.user_id""".stripMargin,
     "q102_outliers" ->
       """WITH c AS (SELECT event_id, event_type,
         |    CAST(round(value * 100) AS BIGINT) AS x FROM events),

@@ -356,6 +356,22 @@ object ExtQueries extends QueryPack {
         .orderBy(col("media_id"))
     },
 
+    // Audio segmentation: the same synthetic WAVs as q62, split into
+    // 800-frame windows (Whisper-style fixed chunks) — real header
+    // decode, exact PCM byte math; the oracle replays the id-derived
+    // geometry and the ceil-division tiling.
+    "q106_audio_segments" -> { (s, dir) =>
+      import s.implicits._
+      val items = docs(s, dir).select(col("doc_id").cast("long"))
+        .filter(col("doc_id") < 200).as[Long]
+        .map(id => Multimodal.MediaItem(id,
+          Multimodal.syntheticWav((8000 + (id % 8) * 1000).toInt,
+            (1 + id % 2).toInt, (1000 + (id % 500) * 4).toInt),
+          "audio/wav"))
+      Multimodal.segmentAudio(items, segFrames = 800L).toDF()
+        .orderBy(col("media_id"), col("seg_index"))
+    },
+
     // Video frame sampling: GVID containers of doc_id-derived PNG
     // frames, demuxed per partition, every 2nd frame decoded to dims.
     // The oracle recomputes frame indices and the dimension formulas.
@@ -891,6 +907,23 @@ object ExtQueries extends QueryPack {
         |    // (8000 + (doc_id % 8) * 1000) AS BIGINT) AS duration_ms,
         |  TRUE AS ok
         |FROM documents WHERE doc_id < 200 ORDER BY media_id""".stripMargin,
+    "q106_audio_segments" ->
+      """WITH d AS (SELECT doc_id AS media_id,
+        |    CAST(1000 + (doc_id % 500) * 4 AS BIGINT) AS frames,
+        |    CAST(1 + doc_id % 2 AS INT) AS ch
+        |  FROM documents WHERE doc_id < 200),
+        |s AS (SELECT media_id, frames, ch,
+        |    unnest(generate_series(0,
+        |      CAST((frames + 799) // 800 AS INT) - 1)) AS seg_index
+        |  FROM d)
+        |SELECT media_id, CAST(seg_index AS INT) AS seg_index,
+        |  CAST(seg_index * 800 AS BIGINT) AS start_frame,
+        |  CAST(least(800, frames - seg_index * 800) AS BIGINT)
+        |    AS n_seg_frames,
+        |  CAST(least(800, frames - seg_index * 800) * ch * 2 AS BIGINT)
+        |    AS n_seg_bytes,
+        |  TRUE AS ok
+        |FROM s ORDER BY media_id, seg_index""".stripMargin,
     "q63_frame_sample" ->
       """WITH d AS (SELECT doc_id AS media_id, 3 + doc_id % 4 AS nf
         |    FROM documents WHERE doc_id < 100),
