@@ -224,6 +224,24 @@ object Similarity {
       .select(col("cv")).collect().toSeq
       .map(_.getSeq[Number](0).map(_.doubleValue()).toSeq)
 
+  /** Distributed element-wise mean of vectors per group — the pooling
+    * primitive behind chunk→document embedding pooling and per-class
+    * centroids, and EXACTLY the partial-aggregating mean
+    * ([[trainCentroids]]'s `Summarizer.mean`) k-means training runs —
+    * surfaced as an operator so the oracle gate certifies the
+    * primitive itself: map-side combine, one exchange carrying
+    * nGroups·dim partials, no row or dimension explosion, result
+    * stays distributed. Returns (groupCol, mean_vec array<double>). */
+  def meanPoolVectors(df: DataFrame, groupCol: String,
+      vecCol: String): DataFrame = {
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.ml.stat.Summarizer
+    df.select(col(groupCol),
+        array_to_vector(col(vecCol).cast("array<double>")).as("__v"))
+      .groupBy(groupCol).agg(Summarizer.mean(col("__v")).as("__m"))
+      .select(col(groupCol), vector_to_array(col("__m")).as("mean_vec"))
+  }
+
   /** Lloyd-iteration k-means refinement of the coarse quantizer, built
     * from the same shuffle-free machinery as the index itself: each
     * iteration is ONE map-only assignment scan ([[nearestCentroids]]

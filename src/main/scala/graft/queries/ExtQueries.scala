@@ -412,6 +412,18 @@ object ExtQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Per-label mean embeddings (class centroids / pooled embeddings):
+    // the SAME partial-aggregating vector mean k-means training uses,
+    // certified against DuckDB's element-wise average — float
+    // sum-order noise lives at ~1e-13, killed by 6-decimal rounding
+    // (the q27 discipline).
+    "q107_label_centroids" -> { (s, dir) =>
+      Similarity.meanPoolVectors(embs(s, dir), "label", "embedding")
+        .select(col("label"),
+          transform(col("mean_vec"), x => round(x, 6)).as("mean_vec"))
+        .orderBy(col("label"))
+    },
+
     // int8 embedding quantization: codes are exact integers (double
     // math, order-independent reductions), so the oracle recomputes
     // them and integer summaries compare exactly.
@@ -935,6 +947,14 @@ object ExtQueries extends QueryPack {
         |  TRUE AS ok
         |FROM f WHERE frame_index % 2 = 0
         |ORDER BY media_id, frame_index""".stripMargin,
+    "q107_label_centroids" ->
+      """WITH e AS (SELECT label,
+        |    generate_subscripts(embedding, 1) AS pos,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS val FROM embeddings),
+        |m AS (SELECT label, pos, avg(val) AS avg_val
+        |  FROM e GROUP BY label, pos)
+        |SELECT label, list(round(avg_val, 6) ORDER BY pos) AS mean_vec
+        |FROM m GROUP BY label ORDER BY label""".stripMargin,
     "q65_embed_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |    FROM embeddings),
