@@ -242,8 +242,12 @@ object Dedup {
       .join(dfreq, blockNames :+ "tok", "left")
       .na.fill(0L, Seq("__df"))
       .withColumn("__r", row_number().over(wDoc))
+      // +1e-9 before floor: (1-t) can round DOWN past the exact value
+      // (1-0.9 → 0.09999999999999998), shrinking the prefix below the
+      // bound while the verify filter passes boundary pairs in rounded
+      // doubles; the guard only ever ENLARGES the prefix — lossless
       .filter(col("__r") <=
-        floor((lit(1.0) - t) * col("__n")).cast("int") + 1)
+        floor((lit(1.0) - t) * col("__n") + lit(1e-9)).cast("int") + 1)
       .select((col("id") +: blockCols :+ col("tok")): _*)
     val l = probes.alias("l")
     val r = corpusEx.alias("r")

@@ -161,7 +161,7 @@ object TextAnalysis {
     * string) and each document's out-of-vocabulary token rate against
     * it — the coverage check run before committing to a tokenizer
     * vocab. All integer arithmetic. Returns (idCol, n_tokens, n_oov,
-    * oov_pct_flagged at `flagPct`).
+    * oov_flagged at `flagPct`).
     *
     * Scale: wordcount aggregation → top-k via orderBy+limit (planned
     * as TakeOrderedAndProject — per-partition partial top-k merged at
@@ -267,14 +267,23 @@ object TextAnalysis {
       bench: org.apache.spark.sql.DataFrame, idCol: String,
       shingleCol: String, thresholdPct: Int,
       bloomBitsPerItem: Int = 16): org.apache.spark.sql.DataFrame = {
-    // the benchmark shingle set is read three times (item count, bloom
-    // build, exact verify join) — persist the small side, not the corpus
+    // the benchmark shingle set is read twice here (item count, bloom
+    // build) — persist the small side, not the corpus
     val benchSh = bench.select(explode(col(shingleCol)).as("sh")).distinct()
       .persist()
-    val nItems = math.max(benchSh.count(), 1L)
+    val nShingles = benchSh.count()
+    // empty benchmark: nothing can be contaminated — and the bloom
+    // aggregate over zero rows yields a NULL sketch that
+    // bloom_might_contain rejects at analysis time
+    if (nShingles == 0L) {
+      benchSh.unpersist()
+      return contaminationScreen(corpus.limit(0), bench, idCol,
+        shingleCol, thresholdPct).filter(col("contaminated"))
+    }
     val bf = benchSh.agg(call_function("bloom_agg", xxhash64(col("sh")),
-        lit(nItems), lit(nItems * bloomBitsPerItem)).as("bf"))
+        lit(nShingles), lit(nShingles * bloomBitsPerItem)).as("bf"))
       .head().getAs[Array[Byte]]("bf")
+    benchSh.unpersist() // sketch materialized — the cache is dead weight
     val bloomHits = size(filter(col(shingleCol),
       s => call_function("bloom_might_contain", lit(bf), xxhash64(s))))
     val candidates = corpus
@@ -314,6 +323,7 @@ object TextAnalysis {
         (r.getString(0), r.getLong(1),
           est >= r.getLong(1) && est <= r.getLong(1) + slack)
       }
+    ex.unpersist() // count, sketch, and exact readout all complete
     import df.sparkSession.implicits._
     rows.toSeq.toDF("term", "n_exact", "cms_ok")
   }

@@ -118,7 +118,13 @@ object JaccardPrefix {
       if (hashes(a) != hashes(b)) hashes(a) < hashes(b)
       else ts(a).compareTo(ts(b)) < 0
     }
-    val prefLen = math.min(ts.length, n - math.ceil(threshold * n).toInt + 1)
+    // epsilon before ceil: threshold*n can round UP past the exact
+    // product (0.9*10 → 9.000000000000002 → ceil 10, prefix one too
+    // short), while the verify filter compares sim >= threshold in
+    // rounded doubles — a boundary pair would pass the filter but be
+    // pruned here. The guard only ever ENLARGES the prefix: lossless.
+    val prefLen = math.min(ts.length,
+      n - math.ceil(threshold * n - 1e-9).toInt + 1)
     new GenericArrayData(
       order.take(math.max(prefLen, 0)).map(ts(_): Any).toArray)
   }

@@ -208,25 +208,33 @@ object EventQueries extends QueryPack {
         .orderBy(col("user_id"))
     },
 
-    // Z-score outlier screen with EXACT variance: per event type,
-    // n·Σx² and (Σx)² are exact BIGINT sums over integer cents, so
-    // flagging |n·x − Σx| > 2·sqrt(n·(n·Σx² − (Σx)²)/(n−1)) compares
-    // an exact integer against one correctly-rounded sqrt — identical
-    // in every engine, no float-accumulation drift. The outlier gate
-    // every telemetry/quality pipeline runs, as one partial-aggregated
-    // shuffle + a broadcast join back.
+    // Z-score outlier screen with EXACT aggregates: Σx and Σx² stay
+    // exact (decimal(38,0) on the Spark side, HUGEINT in the oracle —
+    // a 64-bit sum would silently wrap at ~10× this scale and diverge
+    // from the oracle), and only the FINAL flag comparison runs in
+    // doubles, with both engines evaluating the identical expression
+    // tree over identical exact inputs — every double op is correctly
+    // rounded, so the comparison is deterministic, overflow-free, and
+    // drift-free. One partial-aggregated shuffle + a broadcast join.
     "q102_outliers" -> { (s, dir) =>
       val cents = events(s, dir)
         .select(col("event_id"), col("event_type"),
           round(col("value") * 100).cast("long").as("x"))
       val stats = cents.groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-          sum(col("x") * col("x")).as("sxx"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(38,0)")).as("sx"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
       cents.join(broadcast(stats), "event_type")
-        // compare n·|x − mean| to n·2σ, all under one sqrt of exact ints
+        // |n·x − Σx|² > 4·n·(n·Σx² − (Σx)²)/(n−1), evaluated in doubles
+        // over the exact sums with one fixed association on both sides
+        .withColumn("__d",
+          (col("n") * col("x")).cast("double") - col("sx").cast("double"))
         .withColumn("outlier",
-          (abs(col("n") * col("x") - col("sx")) * abs(col("n") * col("x") - col("sx"))).cast("double") >
-            lit(4.0) * col("n") * (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") / (col("n") - 1))
+          col("__d") * col("__d") >
+            lit(4.0) * col("n") *
+              (col("n").cast("double") * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")) /
+              (col("n") - 1))
         .filter(col("outlier"))
         .select(col("event_id"), col("event_type"), col("x"))
         .orderBy(col("event_id"))
@@ -352,11 +360,12 @@ object EventQueries extends QueryPack {
       """WITH c AS (SELECT event_id, event_type,
         |    CAST(round(value * 100) AS BIGINT) AS x FROM events),
         |st AS (SELECT event_type, count(*) AS n,
-        |    CAST(sum(x) AS BIGINT) AS sx,
-        |    CAST(sum(x * x) AS BIGINT) AS sxx FROM c GROUP BY 1)
+        |    sum(x) AS sx, sum(x * x) AS sxx FROM c GROUP BY 1)
         |SELECT event_id, event_type, x FROM c JOIN st USING (event_type)
-        |WHERE CAST(abs(n * x - sx) * abs(n * x - sx) AS DOUBLE)
-        |  > ((4.0 * n) * CAST(n * sxx - sx * sx AS DOUBLE)) / (n - 1)
+        |WHERE (CAST(n * x AS DOUBLE) - CAST(sx AS DOUBLE))
+        |    * (CAST(n * x AS DOUBLE) - CAST(sx AS DOUBLE))
+        |  > ((4.0 * n) * (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) / (n - 1)
         |ORDER BY event_id""".stripMargin,
     "q98_approx_percentile" ->
       """SELECT event_type, COUNT(*) AS n, TRUE AS rank_ok

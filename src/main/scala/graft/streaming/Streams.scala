@@ -173,7 +173,14 @@ object Streams {
       .withColumn("doc_fp",
         graft.ext.TextAnalysis.fingerprint(col(textCol)))
     if (scrubbed.isStreaming) scrubbed.dropDuplicatesWithinWatermark("doc_fp")
-    else scrubbed.dropDuplicates("doc_fp")
+    else {
+      // deterministic first-ARRIVED keeper (dropDuplicates keeps an
+      // arbitrary row per key), matching the streaming semantics
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_fp").orderBy(col(tsCol), col(idCol))
+      scrubbed.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
   }
 
   /** Output mode each operator needs on an unbounded sink. */

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.{Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
@@ -72,6 +72,45 @@ class CurationSweepSpec extends AnyFunSuite {
           budget)
         .select("id", "cum_tokens").as[(Long, Long)].collect().toMap
       assert(got == want, s"seed=$seed budget=$budget")
+    }
+  }
+
+  test("prefix filters survive the exact-threshold float boundary (J = C = 0.9)") {
+    // 0.9*10 rounds to 9.000000000000002 in IEEE doubles; a ceil over
+    // it shortens the prefix by one and silently drops pairs sitting
+    // EXACTLY at the threshold. The adversarial variant is the one
+    // whose non-shared token owns the smallest xxhash64 — it then
+    // occupies the entire one-token prefix the buggy bound produces —
+    // so pin that variant explicitly (plus a sweep for good measure).
+    val sharedToks = (1 to 9).map(i => s"t$i")
+    val hashOf = spark.createDataset(
+        sharedToks ++ (1 to 12).map(k => s"x$k"))(Encoders.STRING)
+      .select(col("value"), xxhash64(col("value")).as("h"))
+      .as[(String, Long)].collect().toMap
+    val minShared = sharedToks.map(hashOf).min
+    assert((1 to 12).exists(k => hashOf(s"x$k") < minShared),
+      "need at least one extra token hashing below every shared token")
+    for (k <- 1 to 12) {
+      val shared = sharedToks
+      val a = shared                        // |A| = 9
+      val b = shared :+ s"x$k"              // |B| = 10, J = 9/10 = 0.9
+      val df = frame(Seq(1L -> a.mkString(" "), 2L -> b.mkString(" ")))
+        .select(col("id"), lit("blk").as("b"),
+          array_distinct(split(col("text"), " ")).as("ws"))
+      val jac = Dedup.jaccardNearDupPairs(df, "id", "ws",
+          threshold = 0.9, blockCol = Some("b"))
+        .select("ida", "idb").as[(Long, Long)].collect().toSet
+      assert(jac == Set((1L, 2L)), s"jaccard boundary lost pair for x$k")
+      // containment boundary: |A'| = 10 with exactly 9 in corpus doc
+      val a2 = shared :+ s"only$k"          // C(A'→B) = 9/10 = 0.9
+      val probe = frame(Seq(1L -> a2.mkString(" ")))
+        .select(col("id"), array_distinct(split(col("text"), " ")).as("ws"))
+      val corpus = frame(Seq(2L -> b.mkString(" ")))
+        .select(col("id"), array_distinct(split(col("text"), " ")).as("ws"))
+      val cont = Dedup.containmentPairs(probe, corpus, "id", "ws",
+          threshold = 0.9)
+        .select("ida", "idb").as[(Long, Long)].collect().toSet
+      assert(cont == Set((1L, 2L)), s"containment boundary lost pair for x$k")
     }
   }
 
