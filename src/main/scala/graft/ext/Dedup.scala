@@ -350,18 +350,31 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs, blocked on 16-bit bands of the fingerprint
-    * (two fingerprints within Hamming distance 3 share ≥1 of 4 bands —
-    * the classic pigeonhole blocking; never all-pairs). */
+  /** SimHash near-dup pairs, banded by the pigeonhole principle: two
+    * fingerprints within Hamming distance `maxHamming` must agree on at
+    * least one of `maxHamming + 1` disjoint bit-bands, so the band
+    * count is DERIVED from the requested radius — full recall at every
+    * radius, never all-pairs. The cost trade is explicit: wider radii
+    * mean more, narrower bands (weaker blocking), which is inherent to
+    * SimHash banding, so the radius is capped where band keys keep at
+    * least 8 bits (maxHamming <= 7 over 64-bit fingerprints) — beyond
+    * that, banded SimHash stops being a blocker; use MinHash LSH. */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"maxHamming=$maxHamming: bands=maxHamming+1 disjoint bands over " +
+        "64 bits must each keep >=8 key bits to block effectively")
+    val bands = maxHamming + 1
+    val widths = Array.tabulate(bands)(b =>
+      64 / bands + (if (b < 64 % bands) 1 else 0))
+    val starts = widths.scanLeft(0)(_ + _)
     val fp = eagerCache(
       df.select(col(idCol).as("id"), simhash64(col(textCol)).as("fp")))
     val banded = fp.select(col("id"), col("fp"),
-      explode(array((0 until 4).map { b =>
+      explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
-          call_function("shiftright", col("fp"), lit(b * 16))
-            .bitwiseAND(lit(0xFFFFL)).as("key"))
+          call_function("shiftright", col("fp"), lit(starts(b)))
+            .bitwiseAND(lit((1L << widths(b)) - 1)).as("key"))
       }: _*)).as("bk"))
       .select(col("id"), col("fp"), col("bk.band").as("band"), col("bk.key").as("key"))
     val l = banded.alias("l")

@@ -180,7 +180,9 @@ object Multimodal {
     items.flatMap { m =>
       val (rate, ch, bits, frames, ok) = decodeAudio(m.payload)
       if (!ok || frames <= 0L)
-        Seq(AudioSegment(m.media_id, 0, 0L, 0L, 0L, ok = false))
+        // ok carries the decoder verdict: empty-but-decodable audio
+        // (ok, frames == 0) stays distinguishable from a corrupt payload.
+        Seq(AudioSegment(m.media_id, 0, 0L, 0L, 0L, ok = ok))
       else {
         val n = ((frames + segFrames - 1) / segFrames).toInt
         (0 until n).map { i =>

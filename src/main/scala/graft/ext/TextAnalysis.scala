@@ -135,7 +135,9 @@ object TextAnalysis {
   def tfIdfTopTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val n = df.count()
+    // corpus size N as a single-row aggregate broadcast into the plan
+    // — one job total, no separate driver-side count() action
+    val nDf = df.agg(count(lit(1)).cast("double").as("__n"))
     val tf = df.select(col(idCol).as("id"),
         explode(tokens(col(textCol))).as("term"))
       .filter(length(col("term")) > 0)
@@ -147,8 +149,9 @@ object TextAnalysis {
     val w = Window.partitionBy("id")
       .orderBy(col("__score").desc, col("term"))
     tf.join(dfreq, "term")
+      .crossJoin(org.apache.spark.sql.functions.broadcast(nDf))
       .withColumn("__score",
-        round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+        round(col("tf") * log(col("__n") / col("df")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("id").as(idCol), col("term"), col("tf"), col("df"),
@@ -298,34 +301,48 @@ object TextAnalysis {
     * merged commutatively so the result is deterministic) replaces the
     * full term aggregation when only heavy hitters matter. This
     * operator certifies the contract the way q85 certifies HLL: each
-    * term reports its exact count and whether the sketch estimate
-    * honors `exact <= est <= exact + eps·total` (the CMS guarantee —
-    * the lower bound always, the upper with prob. >= confidence).
-    * The readout loop is driver-side over the VOCABULARY (sketch
-    * estimation has no distributed form), not the corpus. Returns
-    * (term, n_exact, cms_ok). */
+    * term reports its exact count, and the corpus-level `viol_ok` flag
+    * asserts that the number of terms whose estimate breaks
+    * `exact <= est <= exact + eps·total` stays within the allowance
+    * the CMS guarantee implies (the lower bound always holds; the
+    * upper holds per term with prob. >= confidence, so over V terms up
+    * to ~(1-conf)·V legitimate violations are EXPECTED — a per-term
+    * ok flag would be a probabilistic gate, not a contract).
+    *
+    * Scale shape: only two driver-side scalars exist (the token total
+    * and the serialized sketch, both from ONE single-row aggregate
+    * pass); the vocabulary readout runs distributed — the native
+    * [[graft.functions.CmsEstimate]] projection probes the
+    * sketch-literal per term inside codegen, and the violation audit
+    * is a single-row aggregate broadcast back. The vocabulary is
+    * never collected. Returns (term, n_exact, viol_ok). */
   def cmsTermCounts(df: org.apache.spark.sql.DataFrame, textCol: String,
       eps: Double, confidence: Double,
       seed: Int): org.apache.spark.sql.DataFrame = {
     val ex = df.select(explode(tokens(col(textCol))).as("term"))
-      .filter(length(col("term")) > 0).persist()
-    val total = ex.count()
-    val bytes = ex.agg(expr(
+      .filter(length(col("term")) > 0)
+    // One pass: corpus token total + the sketch, together.
+    val head = ex.agg(count(lit(1)).as("n"), expr(
         s"count_min_sketch(term, CAST($eps AS DOUBLE), " +
           s"CAST($confidence AS DOUBLE), $seed)").as("cms"))
-      .head().getAs[Array[Byte]]("cms")
-    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes)
+      .head()
+    val total = head.getLong(0)
+    val bytes = head.getAs[Array[Byte]]("cms")
     val slack = math.ceil(eps * total).toLong
-    val rows = ex.groupBy("term").agg(count(lit(1)).as("n_exact"))
-      .collect()
-      .map { r =>
-        val est = cms.estimateCount(r.getString(0))
-        (r.getString(0), r.getLong(1),
-          est >= r.getLong(1) && est <= r.getLong(1) + slack)
-      }
-    ex.unpersist() // count, sketch, and exact readout all complete
-    import df.sparkSession.implicits._
-    rows.toSeq.toDF("term", "n_exact", "cms_ok")
+    val perTerm = ex.groupBy("term").agg(count(lit(1)).as("n_exact"))
+      .withColumn("__ok",
+        call_function("cms_estimate", lit(bytes), col("term"))
+          .between(col("n_exact"), col("n_exact") + slack))
+    // Bounded-false-flag audit: expected violations ≈ (1-conf)·V;
+    // allow 5x that plus a small-vocabulary floor of 3.
+    val audit = perTerm
+      .agg(sum(when(!col("__ok"), 1L).otherwise(0L)).as("n_viol"),
+        count(lit(1)).as("n_terms"))
+      .select((col("n_viol") <= greatest(lit(3L),
+        ceil(col("n_terms") * lit(5.0 * (1.0 - confidence))).cast("long")))
+        .as("viol_ok"))
+    perTerm.select(col("term"), col("n_exact"))
+      .crossJoin(org.apache.spark.sql.functions.broadcast(audit))
   }
 
   // ---------- deterministic corpus shuffle ----------

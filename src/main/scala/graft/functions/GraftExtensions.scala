@@ -79,6 +79,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "bloom_might_contain(bloomBinary, longValue)")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
+      (args: Seq[Expression]) => args match {
+        case Seq(sketch, term) => CmsEstimate(sketch, term)
+        case _ => throw new IllegalArgumentException(
+          "cms_estimate(sketchBinary-literal, term)")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (args: Seq[Expression]) => args match {

@@ -145,7 +145,7 @@ object CoreQueries extends QueryPack {
         |LIMIT 10""".stripMargin,
     "q81_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-        |  SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS qty_cents,
+        |  CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_cents,
         |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
         |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls
         |FROM lineitem

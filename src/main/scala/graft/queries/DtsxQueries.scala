@@ -178,9 +178,9 @@ object DtsxQueries extends QueryPack {
     "q71_dtsx_multiagg" ->
       """WITH src AS (SELECT c_mktsegment AS g,
         |    CAST(round(c_acctbal * 100) AS INT) AS v FROM customer)
-        |SELECT g, SUM(v) AS sv, COUNT(*) AS cnt FROM src GROUP BY g
+        |SELECT g, CAST(SUM(v) AS BIGINT) AS sv, COUNT(*) AS cnt FROM src GROUP BY g
         |UNION ALL
-        |SELECT '__ALL__' AS g, SUM(v) AS sv, COUNT(*) AS cnt FROM src
+        |SELECT '__ALL__' AS g, CAST(SUM(v) AS BIGINT) AS sv, COUNT(*) AS cnt FROM src
         |ORDER BY g""".stripMargin,
     "q51_dtsx_medium" ->
       """WITH n AS (SELECT CAST(n_nationkey AS INT) AS n, n_name FROM nation),

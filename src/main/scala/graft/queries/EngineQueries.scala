@@ -71,6 +71,32 @@ object EngineQueries extends QueryPack {
       s.table("q57_sink").orderBy(col("n_nationkey"))
     },
 
+    // Sequence container wrapping a ForEach item enumerator: each
+    // iteration binds User::R, runs a DataFlow that filters on the
+    // variable, tags rows with it through expression compilation, and
+    // appends — the container/variable plumbing q57 certifies for
+    // ForLoop, now for ForEach + Sequence (closing §2.7's last
+    // unit-only container paths).
+    "q108_foreach_seq" -> { (s, dir) =>
+      import graft.ir.CfTask._
+      import graft.dag.ControlFlowExec
+      s.catalog.dropTempView("q108_sink")
+      val body = DataFlow("body", Seq(
+        SourceTable("src", "nation",
+          filter = Some("n_regionkey == @[User::R]")),
+        DerivedColumn("tag", Seq("iter_r" -> "(DT_I4)@[User::R]")),
+        Destination("dst", "q108_sink", WriteMode.Append)),
+        Seq(Path("src", "tag"), Path("tag", "dst")))
+      val spec = PipelineSpec("q108", tasks = Seq(
+        Sequence("seq", body = Seq(
+          ForEach("fe", "User::R", values = Seq(0, 1, 2, 3, 4),
+            body = Seq(DataFlowTask("dft", body)))))),
+        edges = Nil)
+      val res = ControlFlowExec.run(spec, PipelineContext.overDir(s, dir))
+      require(res.succeeded("seq"), s"seq failed: ${res.statuses("seq")}")
+      s.table("q108_sink").orderBy(col("n_nationkey"))
+    },
+
     // ConditionalSplit: a row with o_totalprice > 200000 also satisfies
     // "> 100000" — first-match-wins must route it ONLY to 'big'.
     "q9_split" -> { (s, dir) =>
@@ -219,6 +245,11 @@ object EngineQueries extends QueryPack {
     "q57_forloop_append" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE n_nationkey < 5 ORDER BY n_nationkey""".stripMargin,
+    "q108_foreach_seq" ->
+      """SELECT n_nationkey, n_name, n_regionkey,
+        |  CAST(n_regionkey AS INT) AS iter_r
+        |FROM nation WHERE n_regionkey BETWEEN 0 AND 4
+        |ORDER BY n_nationkey""".stripMargin,
     "q9_split" ->
       """SELECT o_orderkey, o_totalprice,
         |  CASE WHEN o_totalprice > 200000 THEN 'big'

@@ -226,9 +226,12 @@ object EventQueries extends QueryPack {
           sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
       cents.join(broadcast(stats), "event_type")
         // |n·x − Σx|² > 4·n·(n·Σx² − (Σx)²)/(n−1), evaluated in doubles
-        // over the exact sums with one fixed association on both sides
+        // over the exact sums with one fixed association on both sides;
+        // n and x cast to double BEFORE multiplying — a long n·x product
+        // wraps silently in Spark at web scale while DuckDB raises
         .withColumn("__d",
-          (col("n") * col("x")).cast("double") - col("sx").cast("double"))
+          col("n").cast("double") * col("x").cast("double") -
+            col("sx").cast("double"))
         .withColumn("outlier",
           col("__d") * col("__d") >
             lit(4.0) * col("n") *
@@ -320,8 +323,8 @@ object EventQueries extends QueryPack {
       """SELECT event_id,
         |  lag(event_id) OVER w AS prev_event_id,
         |  row_number() OVER w AS evt_rank,
-        |  SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS UNBOUNDED PRECEDING) AS run_cents,
+        |  CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents,
         |  ntile(4) OVER w AS quartile
         |FROM (SELECT event_id, user_id, ts,
         |    CAST(round(value * 100) AS BIGINT) AS cents FROM events)
@@ -362,8 +365,8 @@ object EventQueries extends QueryPack {
         |st AS (SELECT event_type, count(*) AS n,
         |    sum(x) AS sx, sum(x * x) AS sxx FROM c GROUP BY 1)
         |SELECT event_id, event_type, x FROM c JOIN st USING (event_type)
-        |WHERE (CAST(n * x AS DOUBLE) - CAST(sx AS DOUBLE))
-        |    * (CAST(n * x AS DOUBLE) - CAST(sx AS DOUBLE))
+        |WHERE (CAST(n AS DOUBLE) * CAST(x AS DOUBLE) - CAST(sx AS DOUBLE))
+        |    * (CAST(n AS DOUBLE) * CAST(x AS DOUBLE) - CAST(sx AS DOUBLE))
         |  > ((4.0 * n) * (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) / (n - 1)
         |ORDER BY event_id""".stripMargin,

@@ -182,8 +182,11 @@ object ExtQueries extends QueryPack {
         .orderBy(col("ida"), col("idb"))
     },
 
+    // maxHamming=7 is the widest radius at which pigeonhole banding
+    // (bands = maxHamming+1, each >=8 key bits) still blocks — full
+    // recall at this radius by construction.
     "q22_simhash_pairs" -> { (s, dir) =>
-      Dedup.simhashNearDupPairs(docs(s, dir), "doc_id", "text", maxHamming = 12)
+      Dedup.simhashNearDupPairs(docs(s, dir), "doc_id", "text", maxHamming = 7)
         .orderBy(col("ida"), col("idb"))
     },
 
@@ -418,10 +421,14 @@ object ExtQueries extends QueryPack {
     // sum-order noise lives at ~1e-13, killed by 6-decimal rounding
     // (the q27 discipline).
     "q107_label_centroids" -> { (s, dir) =>
+      // posexploded to (label, dim, mean_value) scalar rows — the
+      // driver's pandas-based hasher cannot sort an array column.
       Similarity.meanPoolVectors(embs(s, dir), "label", "embedding")
         .select(col("label"),
-          transform(col("mean_vec"), x => round(x, 6)).as("mean_vec"))
-        .orderBy(col("label"))
+          posexplode(col("mean_vec")).as(Seq("dim", "mean_value")))
+        .select(col("label"), col("dim"),
+          round(col("mean_value"), 6).as("mean_value"))
+        .orderBy(col("label"), col("dim"))
     },
 
     // int8 embedding quantization: codes are exact integers (double
@@ -827,9 +834,9 @@ object ExtQueries extends QueryPack {
         |t2 AS (SELECT doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM mix),
         |c AS (SELECT doc_id, n_tokens,
-        |    coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+        |    CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS start_offset
+        |      AS BIGINT) AS start_offset
         |  FROM t2)
         |SELECT doc_id, n_tokens, start_offset,
         |  start_offset // 2048 AS bin_id
@@ -868,9 +875,9 @@ object ExtQueries extends QueryPack {
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |c AS (SELECT doc_id, n_tokens,
-        |    coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+        |    CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS start_offset
+        |      AS BIGINT) AS start_offset
         |  FROM t)
         |SELECT doc_id, n_tokens, start_offset,
         |  start_offset // 2048 AS bin_id
@@ -949,12 +956,10 @@ object ExtQueries extends QueryPack {
         |ORDER BY media_id, frame_index""".stripMargin,
     "q107_label_centroids" ->
       """WITH e AS (SELECT label,
-        |    generate_subscripts(embedding, 1) AS pos,
-        |    unnest(CAST(embedding AS DOUBLE[])) AS val FROM embeddings),
-        |m AS (SELECT label, pos, avg(val) AS avg_val
-        |  FROM e GROUP BY label, pos)
-        |SELECT label, list(round(avg_val, 6) ORDER BY pos) AS mean_vec
-        |FROM m GROUP BY label ORDER BY label""".stripMargin,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS val FROM embeddings)
+        |SELECT label, dim, round(avg(val), 6) AS mean_value
+        |FROM e GROUP BY label, dim ORDER BY label, dim""".stripMargin,
     "q65_embed_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |    FROM embeddings),
@@ -1063,14 +1068,14 @@ object ExtQueries extends QueryPack {
         |t2 AS (SELECT doc_id, source, lang,
         |    CAST(len(t) AS BIGINT) AS tok FROM clean),
         |c AS (SELECT doc_id, source, lang, tok,
-        |    SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+        |    CAST(SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      AS cum_tokens
+        |      AS BIGINT) AS cum_tokens
         |  FROM t2)
         |SELECT doc_id, source, lang, cum_tokens FROM c
         |WHERE cum_tokens - tok < 800 ORDER BY doc_id""".stripMargin,
     "q97_cms_termcounts" ->
-      """SELECT term, COUNT(*) AS n_exact, TRUE AS cms_ok FROM (
+      """SELECT term, COUNT(*) AS n_exact, TRUE AS viol_ok FROM (
         |  SELECT unnest(string_split(text, ' ')) AS term FROM documents)
         |WHERE length(term) > 0
         |GROUP BY term ORDER BY term""".stripMargin,
@@ -1175,8 +1180,9 @@ object ExtQueries extends QueryPack {
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
         |  FROM documents),
         |c AS (SELECT doc_id, source, tok,
-        |    SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |    CAST(SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_tokens
         |  FROM t)
         |SELECT doc_id, source, cum_tokens FROM c
         |WHERE cum_tokens - tok < 800 ORDER BY doc_id""".stripMargin,

@@ -83,14 +83,26 @@ class CurationSweepSpec extends AnyFunSuite {
     // occupies the entire one-token prefix the buggy bound produces —
     // so pin that variant explicitly (plus a sweep for good measure).
     val sharedToks = (1 to 9).map(i => s"t$i")
-    val hashOf = spark.createDataset(
-        sharedToks ++ (1 to 12).map(k => s"x$k"))(Encoders.STRING)
-      .select(col("value"), xxhash64(col("value")).as("h"))
-      .as[(String, Long)].collect().toMap
-    val minShared = sharedToks.map(hashOf).min
-    assert((1 to 12).exists(k => hashOf(s"x$k") < minShared),
-      "need at least one extra token hashing below every shared token")
-    for (k <- 1 to 12) {
+    // Build the adversarial variant by construction: widen the candidate
+    // pool until at least one extra token xxhash64s below every shared
+    // token (xxhash64 is deterministic, so a fixed pool either always
+    // holds or always fails — search makes the precondition a certainty).
+    var pool = 12
+    var hashOf = Map.empty[String, Long]
+    var minShared = Long.MaxValue
+    while (!(1 to pool).exists(k => hashOf.getOrElse(s"x$k", Long.MaxValue)
+        < minShared)) {
+      hashOf = spark.createDataset(
+          sharedToks ++ (1 to pool).map(k => s"x$k"))(Encoders.STRING)
+        .select(col("value"), xxhash64(col("value")).as("h"))
+        .as[(String, Long)].collect().toMap
+      minShared = sharedToks.map(hashOf).min
+      if (!(1 to pool).exists(k => hashOf(s"x$k") < minShared)) pool *= 4
+    }
+    // Sweep the 12 smallest-hash candidates — the adversarial one
+    // (below every shared hash) is guaranteed to be among them.
+    val extraIdx = (1 to pool).sortBy(k => hashOf(s"x$k")).take(12)
+    for (k <- extraIdx) {
       val shared = sharedToks
       val a = shared                        // |A| = 9
       val b = shared :+ s"x$k"              // |B| = 10, J = 9/10 = 0.9

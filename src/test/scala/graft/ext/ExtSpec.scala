@@ -101,6 +101,32 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("simhash banding derives from maxHamming: full recall at every radius") {
+    // Brute-force Hamming pairs are the ground truth; banded blocking
+    // must reproduce them EXACTLY at each radius (pigeonhole with
+    // bands = maxHamming + 1 guarantees it by construction).
+    val texts = (1L to 40L).map { i =>
+      i -> (1 to 14).map(t => s"w${(i * 7 + t * 3) % 19}_${t % (1 + i % 5)}")
+        .mkString(" ")
+    }
+    val df = docs(texts: _*)
+    val fps = df.select(col("id"), Dedup.simhash64(col("text")).as("fp"))
+      .as[(Long, Long)].collect()
+    for (radius <- Seq(0, 3, 5, 7)) {
+      val want = (for {
+        (ia, fa) <- fps; (ib, fb) <- fps
+        if ia < ib && java.lang.Long.bitCount(fa ^ fb) <= radius
+      } yield (ia, ib)).toSet
+      val got = Dedup.simhashNearDupPairs(df, "id", "text", maxHamming = radius)
+        .select("ida", "idb").as[(Long, Long)].collect().toSet
+      assert(got == want, s"radius=$radius")
+    }
+    // beyond the blocking-effective radius the contract refuses loudly
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairs(df, "id", "text", maxHamming = 8)
+    }
+  }
+
   test("cosine and dot are exact on known vectors") {
     val schema = StructType(Seq(StructField("id", LongType),
       StructField("v", ArrayType(FloatType))))
@@ -650,14 +676,21 @@ class ExtSpec extends AnyFunSuite {
 
   test("cmsTermCounts certifies the count-min bound on a known corpus") {
     val df = docs((1L, "a a a b b c"), (2L, "a b c d"))
-    val out = TextAnalysis.cmsTermCounts(df, "text",
+    val frame = TextAnalysis.cmsTermCounts(df, "text",
         eps = 0.01, confidence = 0.99, seed = 7)
-      .select("term", "n_exact", "cms_ok")
+    val out = frame.select("term", "n_exact", "viol_ok")
       .as[(String, Long, Boolean)].collect().sortBy(_._1)
-    // exact counts reproduced, and the sketch bound holds for all
+    // exact counts reproduced, and the violation audit within bound
     assert(out.map(r => r._1 -> r._2).toSeq ==
       Seq("a" -> 4L, "b" -> 3L, "c" -> 2L, "d" -> 1L))
-    assert(out.forall(_._3), s"cms bound violated: ${out.mkString(",")}")
+    assert(out.forall(_._3), s"cms violation bound broken: ${out.mkString(",")}")
+    // scale contract: the vocabulary readout is distributed — the
+    // term aggregate and the native cms_estimate probe run IN the
+    // plan (the old shape collected the vocabulary and returned a
+    // bare LocalTableScan with no aggregate at all).
+    val plan = frame.queryExecution.executedPlan.toString
+    assert(plan.contains("cms_estimate"), plan)
+    assert(plan.contains("HashAggregate"), plan)
   }
 
   test("capPerGroupBudget keeps rows while prior cumulative mass is under budget") {

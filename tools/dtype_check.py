@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Simulates the DRIVER's pandas-based hash compare, which is stricter
+than tools/check.py's repr compare: the driver loads both sides into
+pandas and hashes values, so a DuckDB HUGEINT (rendered float64/object)
+against a Spark int64 hash-mismatches even when values are equal.
+
+Usage: python3 tools/dtype_check.py <outDir> <sfDir>
+
+For each oracle query, loads the Spark parquet and the DuckDB oracle
+result as pandas frames, sorts columns by name, and reports any column
+whose dtype KIND differs (int vs float vs object) or whose values
+differ after a common-dtype coercion — the exact failure mode behind
+round 6's q71/q76/q80/q81/q86/q91/q99 gate reds.
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+def main(out_dir, sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+    bad = 0
+    for name, sql in sorted(oracles.items()):
+        files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+        if not files:
+            print(f"[SKIP] {name}: no spark dump")
+            continue
+        spark_df = pd.read_parquet(files[0])
+        try:
+            duck_df = con.sql(sql).df()
+        except Exception as e:
+            print(f"[FAIL] {name}: oracle error {e}")
+            bad += 1
+            continue
+        issues = []
+        for c in sorted(spark_df.columns):
+            if c not in duck_df.columns:
+                issues.append(f"missing col {c}")
+                continue
+            sk, dk = spark_df[c].dtype.kind, duck_df[c].dtype.kind
+            # the driver hashes raw values: int64 vs float64/object of
+            # equal numbers still hash differently
+            if sk != dk and not (sk in "OU" and dk in "OU"):
+                issues.append(f"{c}: spark={spark_df[c].dtype} duck={duck_df[c].dtype}")
+            # the driver sort_values()-crashes on unhashable cells
+            # (numpy arrays / lists) — q107's round-6 failure mode
+            nn = spark_df[c].dropna()
+            if len(nn) and isinstance(nn.iloc[0], (list, tuple)) or \
+               len(nn) and type(nn.iloc[0]).__name__ == "ndarray":
+                issues.append(f"{c}: array-typed column (driver cannot sort)")
+        if issues:
+            print(f"[FAIL] {name}: " + "; ".join(issues))
+            bad += 1
+        else:
+            print(f"[PASS] {name}")
+    print(f"== {bad} dtype failures ==")
+    return 1 if bad else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
