@@ -242,6 +242,57 @@ object Similarity {
       .select(col(groupCol), vector_to_array(col("__m")).as("mean_vec"))
   }
 
+  /** Per-dimension variance feature selection: rank embedding
+    * dimensions by sample variance and keep the top `k` — the cheap
+    * deterministic dimensionality screen run before committing to a
+    * projection. ONE aggregation pass with map-side combine over the
+    * dim key (state is dim-cardinality-sized, never corpus-sized); the
+    * top-k plans as TakeOrderedAndProject and broadcast-joins back
+    * onto the exploded vectors. Variance surfaced AND ranked at
+    * 6-decimal rounding with a dim tie-break (the q92 discipline —
+    * double sum-order noise sits ~1e-12, far below the grid).
+    * Returns (idCol, dim, value, dim_variance) for kept dims only. */
+  def selectTopVarianceDims(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val ex = df.select(col(idCol),
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "value")))
+    val top = ex.groupBy("dim")
+      .agg(round(var_samp(col("value")), 6).as("dim_variance"))
+      .orderBy(col("dim_variance").desc, col("dim")).limit(k)
+    ex.join(broadcast(top), "dim")
+      .select(col(idCol), col("dim"), col("value"), col("dim_variance"))
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  /** Signed random projection (Achlioptas/JL-style ±1 matrix):
+    * projects `dim`-dimensional embeddings to `outDim` dimensions with
+    * a deterministic sign matrix derived from md5 parity — md5 is
+    * engine-portable, so an independent engine reproduces the exact
+    * matrix from (seed, i, j) alone. The projection is a MAP-ONLY
+    * scan: each output dim is one native [[graft.functions.VecDot]]
+    * against a literal sign vector (no explode, no shuffle, no
+    * driver state beyond the dim·outDim sign literals), which is the
+    * shape that survives 100 TB — dimensionality reduction before ANN
+    * costs one pass over the corpus and nothing else.
+    * Returns (idCol, out_dim, proj) with proj rounded to 6 decimals
+    * (double dot products differ across engines only in sum order). */
+  def signedRandomProjection(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, outDim: Int, seed: Int): DataFrame = {
+    require(dim > 0 && outDim > 0, s"need positive dims: $dim -> $outDim")
+    val projs = (0 until outDim).map { j =>
+      val signs = Array.tabulate(dim) { i =>
+        val nibble = Character.digit(md5hex(s"rp:$seed:$i:$j").charAt(31), 16)
+        if (nibble % 2 == 0) 1.0 else -1.0
+      }
+      round(call_function("vec_dot", col(vecCol), lit(signs)), 6)
+    }
+    df.select(col(idCol), posexplode(array(projs: _*)).as(Seq("out_dim", "proj")))
+  }
+
   /** Lloyd-iteration k-means refinement of the coarse quantizer, built
     * from the same shuffle-free machinery as the index itself: each
     * iteration is ONE map-only assignment scan ([[nearestCentroids]]

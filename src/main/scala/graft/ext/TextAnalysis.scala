@@ -485,6 +485,47 @@ object TextAnalysis {
         concat_ws(" ", col("__c")).as("chunk_text"))
   }
 
+  /** Content-defined chunking: chunk boundaries fall where a token's
+    * md5 low nibble ≡ 0 (mod `modulus`), so boundaries depend only on
+    * LOCAL content — insert a sentence anywhere and every chunk
+    * outside the edited region keeps its identity (the property that
+    * makes CDC the block-level dedup splitter fixed-size windows can't
+    * be; FastCDC's rolling-hash cut generalized to token streams).
+    * Expected chunk length ≈ `modulus` tokens. md5 parity makes the
+    * boundary rule engine-portable, and the whole operator is a pure
+    * per-row projection + explode — array lambdas compute boundary
+    * positions and slice chunks with ZERO shuffles. A boundary token
+    * ends its chunk; a trailing empty chunk (text ending on a
+    * boundary) is dropped, so indices stay contiguous.
+    * Returns (idCol, chunk_index, n_chunk_tokens, chunk_text). */
+  def cdcChunks(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, modulus: Int): org.apache.spark.sql.DataFrame = {
+    require(modulus > 0 && modulus <= 16,
+      s"modulus must be in 1..16 (one md5 nibble): $modulus")
+    val toks = tokens(col(textCol))
+    val isBnd = (t: Column) =>
+      (instr(lit("0123456789abcdef"), substring(md5(t), 32, 1)) - 1)
+        .cast("int") % modulus === 0
+    val bpos = filter(
+      transform(toks, (t, i) => when(isBnd(t), i).otherwise(lit(-1))),
+      p => p >= 0)
+    df.select(col(idCol), toks.as("__t"), bpos.as("__b"),
+        explode(sequence(lit(0), size(bpos))).as("chunk_index"))
+      .select(col(idCol), col("chunk_index"), col("__t"),
+        when(col("chunk_index") === 0, lit(0))
+          .otherwise(element_at(col("__b"), col("chunk_index")) + 1)
+          .as("__s"),
+        when(col("chunk_index") === size(col("__b")), size(col("__t")))
+          .otherwise(element_at(col("__b"), col("chunk_index") + 1) + 1)
+          .as("__e"))
+      .filter(col("__e") > col("__s"))
+      .select(col(idCol), col("chunk_index"),
+        (col("__e") - col("__s")).cast("long").as("n_chunk_tokens"),
+        concat_ws(" ",
+          slice(col("__t"), col("__s") + 1, col("__e") - col("__s")))
+          .as("chunk_text"))
+  }
+
   // ---------- per-group corpus caps ----------
 
   /** Per-group token-budget cap — the per-domain/per-source ceiling

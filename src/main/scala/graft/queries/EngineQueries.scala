@@ -97,6 +97,22 @@ object EngineQueries extends QueryPack {
       s.table("q108_sink").orderBy(col("n_nationkey"))
     },
 
+    // ScriptComponent — the arbitrary-Scala escape hatch (same stance
+    // as the reference's Script Component passthrough) — under the
+    // oracle gate: the script derives an upper-cased name and a
+    // modular bucket; the oracle recomputes both in SQL. Closes the
+    // last unit-only §2 row.
+    "q109_script" -> { (s, dir) =>
+      val flow = DataFlow("q109", Seq(
+        SourceTable("src", "customer",
+          columns = Seq("c_custkey", "c_name", "c_mktsegment")),
+        ScriptComponent("sc", df => df
+          .withColumn("name_u", upper(col("c_name")))
+          .withColumn("bucket", pmod(col("c_custkey"), lit(7))))),
+        Seq(Path("src", "sc")))
+      run(s, dir, flow)("sc.out").orderBy(col("c_custkey"))
+    },
+
     // ConditionalSplit: a row with o_totalprice > 200000 also satisfies
     // "> 100000" — first-match-wins must route it ONLY to 'big'.
     "q9_split" -> { (s, dir) =>
@@ -250,6 +266,11 @@ object EngineQueries extends QueryPack {
         |  CAST(n_regionkey AS INT) AS iter_r
         |FROM nation WHERE n_regionkey BETWEEN 0 AND 4
         |ORDER BY n_nationkey""".stripMargin,
+    "q109_script" ->
+      """SELECT c_custkey, c_name, c_mktsegment,
+        |  upper(c_name) AS name_u,
+        |  CAST(c_custkey % 7 AS BIGINT) AS bucket
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q9_split" ->
       """SELECT o_orderkey, o_totalprice,
         |  CASE WHEN o_totalprice > 200000 THEN 'big'

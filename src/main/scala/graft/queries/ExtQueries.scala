@@ -431,6 +431,35 @@ object ExtQueries extends QueryPack {
         .orderBy(col("label"), col("dim"))
     },
 
+    // Variance-based feature selection: top-8 embedding dims by sample
+    // variance (rounded ranking, dim tie-break), projected rows for
+    // kept dims. One map-side-combined aggregation + a broadcast join
+    // back — dim-cardinality state, never corpus-sized.
+    "q110_variance_dims" -> { (s, dir) =>
+      Similarity.selectTopVarianceDims(embs(s, dir), "vec_id",
+          "embedding", k = 8)
+        .orderBy(col("vec_id"), col("dim"))
+    },
+
+    // Content-defined chunking: md5-parity token boundaries (engine-
+    // portable), pure per-row array lambdas — zero shuffles. The
+    // block-level dedup splitter that is edit-stable where fixed
+    // windows are not.
+    "q111_cdc_chunks" -> { (s, dir) =>
+      TextAnalysis.cdcChunks(docs(s, dir), "doc_id", "text", modulus = 8)
+        .orderBy(col("doc_id"), col("chunk_index"))
+    },
+
+    // Signed random projection (JL): 64 -> 8 dims through a
+    // deterministic md5-parity ±1 matrix — a MAP-ONLY scan (native
+    // vec_dot against literal sign vectors), the pre-ANN
+    // dimensionality reduction shape that costs one pass at 100 TB.
+    "q112_random_projection" -> { (s, dir) =>
+      Similarity.signedRandomProjection(embs(s, dir), "vec_id",
+          "embedding", dim = 64, outDim = 8, seed = 42)
+        .orderBy(col("vec_id"), col("out_dim"))
+    },
+
     // int8 embedding quantization: codes are exact integers (double
     // math, order-independent reductions), so the oracle recomputes
     // them and integer summaries compare exactly.
@@ -960,6 +989,53 @@ object ExtQueries extends QueryPack {
         |    unnest(CAST(embedding AS DOUBLE[])) AS val FROM embeddings)
         |SELECT label, dim, round(avg(val), 6) AS mean_value
         |FROM e GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+    "q110_variance_dims" ->
+      """WITH e AS (SELECT vec_id,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS value FROM embeddings),
+        |v AS (SELECT dim, round(var_samp(value), 6) AS dim_variance
+        |  FROM e GROUP BY dim),
+        |t AS (SELECT dim, dim_variance FROM v
+        |  ORDER BY dim_variance DESC, dim LIMIT 8)
+        |SELECT e.vec_id, e.dim, e.value, t.dim_variance
+        |FROM e JOIN t USING (dim) ORDER BY vec_id, dim""".stripMargin,
+    "q111_cdc_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |    FROM documents),
+        |b AS (SELECT doc_id, tk,
+        |    list_filter(list_transform(generate_series(1, len(tk)),
+        |      p -> CASE WHEN (strpos('0123456789abcdef',
+        |          substring(md5(tk[p]), 32, 1)) - 1) % 8 = 0
+        |        THEN p - 1 END),
+        |      x -> x IS NOT NULL) AS bpos
+        |  FROM t),
+        |c AS (SELECT doc_id, tk, bpos,
+        |    unnest(generate_series(0, len(bpos))) AS k
+        |  FROM b),
+        |d AS (SELECT doc_id, CAST(k AS INT) AS chunk_index, tk,
+        |    CASE WHEN k = 0 THEN 0 ELSE bpos[CAST(k AS INT)] + 1 END AS s,
+        |    CASE WHEN k = len(bpos) THEN len(tk)
+        |      ELSE bpos[CAST(k AS INT) + 1] + 1 END AS e
+        |  FROM c)
+        |SELECT doc_id, chunk_index,
+        |  CAST(e - s AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(tk[s + 1 : e], ' ') AS chunk_text
+        |FROM d WHERE e > s
+        |ORDER BY doc_id, chunk_index""".stripMargin,
+    "q112_random_projection" ->
+      """WITH e AS (SELECT vec_id,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS x FROM embeddings),
+        |s AS (SELECT CAST(i.range AS INT) AS i, CAST(j.range AS INT) AS j,
+        |    CASE WHEN (strpos('0123456789abcdef', substring(md5(
+        |        'rp:42:' || CAST(i.range AS VARCHAR) || ':' ||
+        |        CAST(j.range AS VARCHAR)), 32, 1)) - 1) % 2 = 0
+        |      THEN 1.0 ELSE -1.0 END AS sgn
+        |  FROM range(64) i, range(8) j)
+        |SELECT e.vec_id, s.j AS out_dim,
+        |  round(SUM(e.x * s.sgn), 6) AS proj
+        |FROM e JOIN s USING (i)
+        |GROUP BY e.vec_id, s.j ORDER BY e.vec_id, out_dim""".stripMargin,
     "q65_embed_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |    FROM embeddings),

@@ -127,6 +127,72 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  private def md5hexRef(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  test("selectTopVarianceDims keeps exactly the k highest-variance dims") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", ArrayType(FloatType, containsNull = false))))
+    // dim0 variance 0, dim1 small, dim2 large
+    val rows = Seq(
+      Row(1L, Seq(5.0f, 1.0f, 10.0f)), Row(2L, Seq(5.0f, 1.2f, -10.0f)),
+      Row(3L, Seq(5.0f, 0.8f, 30.0f)))
+    val df = spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    val out = Similarity.selectTopVarianceDims(df, "id", "v", k = 2)
+      .select("id", "dim", "value").as[(Long, Int, Double)].collect()
+    assert(out.map(_._2).toSet == Set(1, 2)) // dim0 (constant) dropped
+    assert(out.length == 6)
+    val d2 = out.filter(r => r._1 == 3L && r._2 == 2).head
+    assert(d2._3 == 30.0)
+  }
+
+  test("cdcChunks: boundaries by md5 parity, full coverage, edit-stable tail") {
+    val text = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val df = docs((1L, text))
+    val out = TextAnalysis.cdcChunks(df, "id", "text", modulus = 4)
+      .select("id", "chunk_index", "n_chunk_tokens", "chunk_text")
+      .as[(Long, Int, Long, String)].collect().sortBy(_._2)
+    // chunks tile the token stream exactly
+    assert(out.map(_._4).mkString(" ") == text)
+    assert(out.map(_._3).sum == 60L)
+    assert(out.map(_._2).toSeq == out.indices.toSeq) // contiguous
+    // independent reference: boundary where md5 low nibble % 4 == 0
+    def isBnd(t: String) =
+      Character.digit(md5hexRef(t).charAt(31), 16) % 4 == 0
+    val toks = text.split(" ", -1)
+    val refChunks = scala.collection.mutable.Buffer.empty[Seq[String]]
+    var cur = scala.collection.mutable.Buffer.empty[String]
+    toks.foreach { t => cur += t; if (isBnd(t)) { refChunks += cur.toSeq; cur = scala.collection.mutable.Buffer.empty } }
+    if (cur.nonEmpty) refChunks += cur.toSeq
+    assert(out.map(_._4).toSeq == refChunks.map(_.mkString(" ")).toSeq)
+    // CDC property: prepending text only changes the FIRST chunk
+    // region — every chunk after the first boundary keeps its identity
+    val out2 = TextAnalysis.cdcChunks(docs((1L, "zzz " + text)), "id",
+        "text", modulus = 4)
+      .select("chunk_text").as[String].collect().toSet
+    assert(out.map(_._4).drop(1).forall(out2.contains))
+  }
+
+  test("signedRandomProjection matches the driver-side reference product") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", ArrayType(FloatType, containsNull = false))))
+    val rnd = new scala.util.Random(5)
+    val vecs = (1L to 6L).map(i => i -> Array.fill(10)(rnd.nextGaussian().toFloat))
+    val df = spark.createDataFrame(java.util.Arrays.asList(
+      vecs.map { case (i, v) => Row(i, v.toSeq) }: _*), schema)
+    val out = Similarity.signedRandomProjection(df, "id", "v",
+        dim = 10, outDim = 3, seed = 9)
+      .select("id", "out_dim", "proj").as[(Long, Int, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    def sgn(i: Int, j: Int): Double =
+      if (Character.digit(md5hexRef(s"rp:9:$i:$j").charAt(31), 16) % 2 == 0) 1.0 else -1.0
+    for ((id, v) <- vecs; j <- 0 until 3) {
+      val want = v.zipWithIndex.map { case (x, i) => x.toDouble * sgn(i, j) }.sum
+      assert(math.abs(out((id, j)) - want) < 1e-6, s"id=$id j=$j")
+    }
+  }
+
   test("cosine and dot are exact on known vectors") {
     val schema = StructType(Seq(StructField("id", LongType),
       StructField("v", ArrayType(FloatType))))
