@@ -526,6 +526,54 @@ object TextAnalysis {
           .as("chunk_text"))
   }
 
+  /** Deterministic train/val/test assignment from md5 — the split
+    * every training-data pipeline needs, reproducible across runs,
+    * engines, and corpus growth (a document's split NEVER changes when
+    * other documents arrive, unlike randomSplit). The bucket is the
+    * low byte of md5("split:seed:id") (two nibbles via the hex
+    * alphabet — engine-portable), so fractions are granted in 1/256
+    * steps: [0, trainCut) train, [trainCut, valCut) val, rest test.
+    * Pure projection — zero shuffles, survives any scale. Returns the
+    * input plus (split_bucket, split). */
+  def deterministicSplit(df: org.apache.spark.sql.DataFrame, idCol: String,
+      seed: Int, trainCut: Int, valCut: Int): org.apache.spark.sql.DataFrame = {
+    require(0 < trainCut && trainCut < valCut && valCut <= 256,
+      s"need 0 < trainCut < valCut <= 256: $trainCut, $valCut")
+    val hex = lit("0123456789abcdef")
+    val h = md5(concat(lit(s"split:$seed:"), col(idCol).cast("string")))
+    val bucket = ((instr(hex, substring(h, 31, 1)) - 1) * 16 +
+      (instr(hex, substring(h, 32, 1)) - 1)).cast("int")
+    df.withColumn("split_bucket", bucket)
+      .withColumn("split",
+        when(col("split_bucket") < trainCut, "train")
+          .when(col("split_bucket") < valCut, "val")
+          .otherwise(lit("test")))
+  }
+
+  /** Unigram language-model score: each document's mean token
+    * log-probability under the corpus's own unigram distribution — the
+    * classic cheap fluency/quality proxy (gibberish and boilerplate
+    * both sit far from the corpus distribution). One wordcount-shaped
+    * aggregation builds the distribution, the total rides along as a
+    * single-row broadcast aggregate (no separate count job), and the
+    * per-document mean is one more partial-aggregated pass — the same
+    * exchanges TF-IDF needs, nothing more. Log noise killed at
+    * 6-decimal rounding. Returns (idCol, n_tokens, mean_logprob). */
+  def unigramLogProbScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val ex = df.select(col(idCol).as("id"),
+        explode(tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+    val freq = ex.groupBy("term").agg(count(lit(1)).as("__cnt"))
+    val nDf = ex.agg(count(lit(1)).cast("double").as("__n"))
+    ex.join(freq, "term")
+      .crossJoin(org.apache.spark.sql.functions.broadcast(nDf))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("__cnt") / col("__n"))), 6).as("mean_logprob"))
+      .select(col("id").as(idCol), col("n_tokens"), col("mean_logprob"))
+  }
+
   // ---------- per-group corpus caps ----------
 
   /** Per-group token-budget cap — the per-domain/per-source ceiling

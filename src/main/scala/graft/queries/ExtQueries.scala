@@ -460,6 +460,28 @@ object ExtQueries extends QueryPack {
         .orderBy(col("vec_id"), col("out_dim"))
     },
 
+    // Deterministic md5-bucket train/val/test split: a document's
+    // assignment never changes as the corpus grows (unlike
+    // randomSplit) and any engine reproduces it — pure projection.
+    "q113_corpus_split" -> { (s, dir) =>
+      TextAnalysis.deterministicSplit(docs(s, dir)
+          .select(col("doc_id"), col("source")),
+          "doc_id", seed = 42, trainCut = 204, valCut = 230)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("split_bucket")).as("min_bucket"),
+          max(col("split_bucket")).as("max_bucket"))
+        .orderBy(col("split"))
+    },
+
+    // Unigram LM quality score: per-doc mean token log-probability
+    // under the corpus distribution — the cheap fluency proxy between
+    // heuristic quality flags and a real LM.
+    "q114_unigram_logprob" -> { (s, dir) =>
+      TextAnalysis.unigramLogProbScore(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     // int8 embedding quantization: codes are exact integers (double
     // math, order-independent reductions), so the oracle recomputes
     // them and integer summaries compare exactly.
@@ -989,6 +1011,34 @@ object ExtQueries extends QueryPack {
         |    unnest(CAST(embedding AS DOUBLE[])) AS val FROM embeddings)
         |SELECT label, dim, round(avg(val), 6) AS mean_value
         |FROM e GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+    "q113_corpus_split" ->
+      """WITH b AS (SELECT doc_id,
+        |    CAST((strpos('0123456789abcdef',
+        |        substring(md5('split:42:' || CAST(doc_id AS VARCHAR)), 31, 1))
+        |        - 1) * 16 +
+        |      (strpos('0123456789abcdef',
+        |        substring(md5('split:42:' || CAST(doc_id AS VARCHAR)), 32, 1))
+        |        - 1) AS INT) AS split_bucket
+        |  FROM documents),
+        |s AS (SELECT doc_id, split_bucket,
+        |    CASE WHEN split_bucket < 204 THEN 'train'
+        |         WHEN split_bucket < 230 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM b)
+        |SELECT split, COUNT(*) AS n_docs,
+        |  CAST(MIN(split_bucket) AS INT) AS min_bucket,
+        |  CAST(MAX(split_bucket) AS INT) AS max_bucket
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
+    "q114_unigram_logprob" ->
+      """WITH ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents),
+        |e2 AS (SELECT doc_id, term FROM ex WHERE length(term) > 0),
+        |f AS (SELECT term, COUNT(*) AS cnt FROM e2 GROUP BY term),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM e2)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  round(AVG(ln(cnt / total)), 6) AS mean_logprob
+        |FROM e2 JOIN f USING (term) CROSS JOIN n
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q110_variance_dims" ->
       """WITH e AS (SELECT vec_id,
         |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,

@@ -193,6 +193,44 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("deterministicSplit: md5-exact buckets, growth-stable assignment") {
+    val df = docs((1L to 200L).map(i => i -> s"doc $i"): _*)
+    val out = TextAnalysis.deterministicSplit(df, "id", seed = 7,
+        trainCut = 204, valCut = 230)
+      .select("id", "split_bucket", "split")
+      .as[(Long, Int, String)].collect().sortBy(_._1)
+    // exact bucket per the md5 reference
+    out.foreach { case (id, b, sp) =>
+      val h = md5hexRef(s"split:7:$id")
+      val want = Character.digit(h.charAt(30), 16) * 16 +
+        Character.digit(h.charAt(31), 16)
+      assert(b == want, s"id=$id")
+      assert(sp == (if (b < 204) "train" else if (b < 230) "val" else "test"))
+    }
+    // growth stability: assignments over a subset are identical
+    val sub = TextAnalysis.deterministicSplit(
+        docs((1L to 50L).map(i => i -> s"doc $i"): _*), "id", seed = 7,
+        trainCut = 204, valCut = 230)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    out.filter(_._1 <= 50L).foreach { case (id, _, sp) =>
+      assert(sub(id) == sp)
+    }
+  }
+
+  test("unigramLogProbScore equals the hand-computed distribution") {
+    val df = docs((1L, "a a b"), (2L, "a c"))
+    // corpus: a=3, b=1, c=1, total=5
+    val out = TextAnalysis.unigramLogProbScore(df, "id", "text")
+      .select("id", "n_tokens", "mean_logprob")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    val p = Map("a" -> 3.0 / 5, "b" -> 1.0 / 5, "c" -> 1.0 / 5)
+    def mean(ts: Seq[String]) =
+      BigDecimal(ts.map(t => math.log(p(t))).sum / ts.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0) == ((1L, 3L, mean(Seq("a", "a", "b")))))
+    assert(out(1) == ((2L, 2L, mean(Seq("a", "c")))))
+  }
+
   test("cosine and dot are exact on known vectors") {
     val schema = StructType(Seq(StructField("id", LongType),
       StructField("v", ArrayType(FloatType))))
