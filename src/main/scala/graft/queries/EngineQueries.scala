@@ -97,6 +97,34 @@ object EngineQueries extends QueryPack {
       s.table("q108_sink").orderBy(col("n_nationkey"))
     },
 
+    // ForEachAdo — the recordset-driven loop (SSIS's work-queue
+    // pattern): a RecordsetDestination captures the region keys into a
+    // package variable, the ADO enumerator then drives one DataFlow
+    // per key. Precedence edge orders fill before loop.
+    "q115_foreach_ado" -> { (s, dir) =>
+      import graft.ir.CfTask._
+      import graft.dag.ControlFlowExec
+      s.catalog.dropTempView("q115_sink")
+      val fill = DataFlow("fill", Seq(
+        SourceTable("src", "region", columns = Seq("r_regionkey")),
+        RecordsetDestination("dst", "User::RS")),
+        Seq(Path("src", "dst")))
+      val body = DataFlow("body", Seq(
+        SourceTable("src", "nation",
+          filter = Some("n_regionkey == @[User::R]")),
+        DerivedColumn("tag", Seq("iter_r" -> "(DT_I4)@[User::R]")),
+        Destination("dst", "q115_sink", WriteMode.Append)),
+        Seq(Path("src", "tag"), Path("tag", "dst")))
+      val spec = PipelineSpec("q115", tasks = Seq(
+        DataFlowTask("fill_rs", fill),
+        ForEachAdo("loop", "User::R", "User::RS", columnIndex = 0,
+          body = Seq(DataFlowTask("dft", body)))),
+        edges = Seq(PrecedenceEdge("fill_rs", "loop")))
+      val res = ControlFlowExec.run(spec, PipelineContext.overDir(s, dir))
+      require(res.succeeded("loop"), s"loop failed: ${res.statuses("loop")}")
+      s.table("q115_sink").orderBy(col("n_nationkey"))
+    },
+
     // ScriptComponent — the arbitrary-Scala escape hatch (same stance
     // as the reference's Script Component passthrough) — under the
     // oracle gate: the script derives an upper-cased name and a
@@ -271,6 +299,11 @@ object EngineQueries extends QueryPack {
         |  upper(c_name) AS name_u,
         |  CAST(c_custkey % 7 AS BIGINT) AS bucket
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q115_foreach_ado" ->
+      """SELECT n.n_nationkey, n.n_name, n.n_regionkey,
+        |  CAST(n.n_regionkey AS INT) AS iter_r
+        |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        |ORDER BY n.n_nationkey""".stripMargin,
     "q9_split" ->
       """SELECT o_orderkey, o_totalprice,
         |  CASE WHEN o_totalprice > 200000 THEN 'big'

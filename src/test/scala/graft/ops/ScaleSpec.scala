@@ -79,6 +79,40 @@ class ScaleSpec extends AnyFunSuite {
       s"budget cap should shuffle once, on the group key:\n$capPlan")
   }
 
+  test("round-7 op plan shapes: projection ops stay map-only, selection broadcasts back") {
+    val docs = spark.range(0, 200).select(col("id"),
+      concat_ws(" ", lit("alpha"), (col("id") % 9).cast("string"),
+        lit("beta"), (col("id") % 4).cast("string")).as("text"))
+    val vecs = spark.range(0, 50).select(col("id"),
+      array((0 until 6).map(i => (col("id") * (i + 1)).cast("float")
+        / lit(50.0f)): _*).as("v"))
+    // CDC chunking: per-row array lambdas — zero exchanges
+    val cdcPlan = graft.ext.TextAnalysis.cdcChunks(docs, "id", "text", 8)
+      .queryExecution.executedPlan.toString
+    assert(!cdcPlan.contains("Exchange"),
+      s"CDC chunking must be map-only:\n$cdcPlan")
+    // deterministic split: pure projection — zero exchanges
+    val splitPlan = graft.ext.TextAnalysis.deterministicSplit(
+        docs, "id", seed = 1, trainCut = 204, valCut = 230)
+      .queryExecution.executedPlan.toString
+    assert(!splitPlan.contains("Exchange"),
+      s"deterministic split must be map-only:\n$splitPlan")
+    // signed random projection: native vec_dot over sign literals —
+    // zero exchanges
+    val rpPlan = graft.ext.Similarity.signedRandomProjection(
+        vecs, "id", "v", dim = 6, outDim = 3, seed = 1)
+      .queryExecution.executedPlan.toString
+    assert(!rpPlan.contains("Exchange"),
+      s"random projection must be map-only:\n$rpPlan")
+    // variance selection: top-k dims broadcast back onto the exploded
+    // vectors — a broadcast join, never a shuffle of the vector side
+    val vsPlan = graft.ext.Similarity.selectTopVarianceDims(
+        vecs, "id", "v", k = 2)
+      .queryExecution.executedPlan.toString
+    assert(vsPlan.contains("BroadcastHashJoin"),
+      s"variance selection should broadcast the kept-dim set:\n$vsPlan")
+  }
+
   test("salted join equals the plain join result") {
     // one hot key (0) with many rows, plus a long tail
     val left = spark.range(0, 2000)
