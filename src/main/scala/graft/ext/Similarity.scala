@@ -293,6 +293,62 @@ object Similarity {
     df.select(col(idCol), posexplode(array(projs: _*)).as(Seq("out_dim", "proj")))
   }
 
+  /** Persisted IVF index — build ONCE, probe MANY: the production ANN
+    * shape at 100 TB, where re-deriving posting lists per query batch
+    * would re-scan the corpus. The build is the same single map-only
+    * assignment scan as [[ivfTopK]], written hive-partitioned by
+    * `centroid_id`; the quantizer itself (nlist rows) lands beside it.
+    * Probing then reads ONLY the probed lists — the centroid filter is
+    * a literal `isin` over an nlist-bounded set, so it surfaces as
+    * PartitionFilters on the scan and unprobed lists are never read
+    * from storage (the I/O skip that makes IVF an index rather than a
+    * partition of a full scan). Full probe (`nprobe = nlist`) remains
+    * exactly [[bruteForceTopK]] — the oracle-gate guarantee holds for
+    * the persisted form too. */
+  def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, path: String, trainIters: Int = 0): Unit = {
+    val centroids =
+      if (trainIters > 0) trainCentroids(corpus, idCol, vecCol, nlist, trainIters)
+      else sampleCentroids(corpus, idCol, vecCol, nlist)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (cv, i) => (i, cv) }
+      .toDF("centroid_id", "weights")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    nearestCentroids(
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv")),
+        "nv", centroids, topN = 1)
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$path/lists")
+  }
+
+  /** Probe a [[writeIvfIndex]] layout. Output and tie-break discipline
+    * match [[ivfTopK]]: (query_id, neighbor_id, cosine_sim, rank). */
+  def probeIvfIndex(queries: DataFrame, path: String, idCol: String,
+      vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy("centroid_id").collect()
+      .map(_.getSeq[Number](1).map(_.doubleValue()).toSeq).toSeq
+    require(nprobe > 0 && nprobe <= centroids.size,
+      s"need 0 < nprobe <= ${centroids.size}, got $nprobe")
+    val probes = nearestCentroids(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      "qv", centroids, topN = nprobe)
+    // nlist-bounded driver set → literal partition filter → pruned scan
+    val probed = probes.select("centroid_id").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val lists = spark.read.parquet(s"$path/lists")
+      .filter(col("centroid_id").isin(probed.map(Integer.valueOf): _*))
+    val scored = probes.join(lists, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("nv")).as("cosine_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Lloyd-iteration k-means refinement of the coarse quantizer, built
     * from the same shuffle-free machinery as the index itself: each
     * iteration is ONE map-only assignment scan ([[nearestCentroids]]

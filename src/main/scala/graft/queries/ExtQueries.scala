@@ -460,6 +460,34 @@ object ExtQueries extends QueryPack {
         .orderBy(col("vec_id"), col("out_dim"))
     },
 
+    // Persisted IVF index: build ONCE to a centroid-partitioned hive
+    // layout, probe with partition-pruned reads (asserted in-query:
+    // the pruned probe must surface PartitionFilters). The gate row
+    // uses the full probe, which is exactly brute force — the same
+    // guarantee q61 certifies, now for the persisted form.
+    "q116_ivf_persisted" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivf").toString
+      Similarity.writeIvfIndex(e, "vec_id", "embedding", nlist = 8, path)
+      // scale proof: a partial probe reads ONLY its probed lists
+      val pruned = Similarity.probeIvfIndex(e.filter(col("vec_id") < 20),
+          path, "vec_id", "embedding", k = 5, nprobe = 2)
+        .queryExecution.executedPlan.toString
+      require("PartitionFilters: \\[[^\\]]*centroid_id".r
+          .findFirstIn(pruned).isDefined,
+        s"probe must prune unprobed posting lists:\n$pruned")
+      val topk = Similarity.probeIvfIndex(e.filter(col("vec_id") < 20),
+        path, "vec_id", "embedding", k = 5, nprobe = 8)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(round(col("cosine_sim"), 6).desc, col("neighbor_id"))
+      topk.select(col("query_id"), col("neighbor_id"),
+          round(col("cosine_sim"), 6).as("cosine_sim"))
+        .withColumn("rank", row_number().over(w))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // Deterministic md5-bucket train/val/test split: a document's
     // assignment never changes as the corpus grows (unlike
     // randomSplit) and any engine reproduces it — pure projection.
@@ -1011,6 +1039,21 @@ object ExtQueries extends QueryPack {
         |    unnest(CAST(embedding AS DOUBLE[])) AS val FROM embeddings)
         |SELECT label, dim, round(avg(val), 6) AS mean_value
         |FROM e GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+    "q116_ivf_persisted" ->
+      """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |    FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.v, c.v) AS cs
+        |  FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id),
+        |top5 AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cs DESC, neighbor_id) AS rn FROM s)
+        |  WHERE rn <= 5)
+        |SELECT query_id, neighbor_id, round(cs, 6) AS cosine_sim,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY round(cs, 6) DESC, neighbor_id) AS INT) AS rank
+        |FROM top5 ORDER BY query_id, rank""".stripMargin,
     "q113_corpus_split" ->
       """WITH b AS (SELECT doc_id,
         |    CAST((strpos('0123456789abcdef',

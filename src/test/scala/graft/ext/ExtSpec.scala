@@ -435,6 +435,33 @@ class ExtSpec extends AnyFunSuite {
       g.length <= 3 && g.map(_._4).sorted.toSeq == (1 to g.length)))
   }
 
+  test("persisted ivf index: probe equals in-memory ivf, pruned scan reads only probed lists") {
+    val rnd = new scala.util.Random(23)
+    val dim = 12
+    val rows = (0L until 40L).map(i =>
+      Row(i, Seq.fill(dim)(rnd.nextGaussian().toFloat)))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", ArrayType(FloatType))))
+    val df = spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    val queries = df.filter(col("id") < 5)
+    val path = java.nio.file.Files.createTempDirectory("ivf_spec").toString
+    Similarity.writeIvfIndex(df, "id", "v", nlist = 4, path)
+    def canon(out: org.apache.spark.sql.DataFrame) =
+      out.select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    // full probe from the persisted layout == brute force
+    val brute = canon(Similarity.bruteForceTopK(queries, df, "id", "v", 3))
+    val full = canon(Similarity.probeIvfIndex(queries, path, "id", "v",
+      k = 3, nprobe = 4))
+    assert(full == brute)
+    // partial probe prunes the posting-list scan at the partition level
+    val prunedPlan = Similarity.probeIvfIndex(queries, path, "id", "v",
+        k = 3, nprobe = 1)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*centroid_id".r
+      .findFirstIn(prunedPlan).isDefined, prunedPlan)
+  }
+
   test("PII redaction scrubs emails, phones, IPs; clean text untouched") {
     import spark.implicits._
     val in = Seq(
