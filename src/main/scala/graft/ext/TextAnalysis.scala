@@ -574,6 +574,24 @@ object TextAnalysis {
       .select(col("id").as(idCol), col("n_tokens"), col("mean_logprob"))
   }
 
+  /** Deterministic per-group quota sample: exactly `min(n, |group|)`
+    * rows per group, chosen by ascending md5 rank — the eval-set /
+    * holdout constructor. md5 hex ordering is engine-portable and
+    * seeded, so the SAME rows are chosen on any engine and any run,
+    * and (unlike rate-based sampling) small strata still fill their
+    * quota. ONE hash exchange on the group key feeding a windowed
+    * rank — scales with the widest stratum, not the corpus. Returns
+    * the quota rows with their (sample_rank) attached. */
+  def quotaSample(df: org.apache.spark.sql.DataFrame, groupCol: String,
+      idCol: String, n: Int, seed: Int): org.apache.spark.sql.DataFrame = {
+    require(n > 0, s"quota must be positive: $n")
+    import org.apache.spark.sql.expressions.Window
+    val key = md5(concat(lit(s"qs:$seed:"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(groupCol)).orderBy(key, col(idCol))
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= n)
+  }
+
   // ---------- per-group corpus caps ----------
 
   /** Per-group token-budget cap — the per-domain/per-source ceiling

@@ -488,6 +488,16 @@ object ExtQueries extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // Deterministic per-group quota sample: exactly 30 docs per
+    // source by ascending md5 rank — the eval-set constructor; same
+    // rows on any engine, any run, any corpus size.
+    "q117_quota_sample" -> { (s, dir) =>
+      TextAnalysis.quotaSample(docs(s, dir)
+          .select(col("doc_id"), col("source"), col("lang")),
+          "source", "doc_id", n = 30, seed = 11)
+        .orderBy(col("source"), col("sample_rank"))
+    },
+
     // Deterministic md5-bucket train/val/test split: a document's
     // assignment never changes as the corpus grows (unlike
     // randomSplit) and any engine reproduces it — pure projection.
@@ -1039,6 +1049,15 @@ object ExtQueries extends QueryPack {
         |    unnest(CAST(embedding AS DOUBLE[])) AS val FROM embeddings)
         |SELECT label, dim, round(avg(val), 6) AS mean_value
         |FROM e GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+    "q117_quota_sample" ->
+      """WITH r AS (SELECT doc_id, source, lang,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('qs:11:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |      AS sample_rank
+        |  FROM documents)
+        |SELECT doc_id, source, lang, CAST(sample_rank AS INT) AS sample_rank
+        |FROM r WHERE sample_rank <= 30
+        |ORDER BY source, sample_rank""".stripMargin,
     "q116_ivf_persisted" ->
       """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |    FROM embeddings WHERE vec_id < 20),

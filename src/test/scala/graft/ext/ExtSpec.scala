@@ -217,6 +217,28 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("quotaSample: exact quota per group, md5-exact selection, growth-stable") {
+    val df = docs((1L to 100L).map(i => i -> s"t $i"): _*)
+      .withColumn("g", (col("id") % 3).cast("string"))
+    val out = TextAnalysis.quotaSample(df, "g", "id", n = 5, seed = 3)
+      .select("g", "id", "sample_rank").as[(String, Long, Int)].collect()
+    val byG = out.groupBy(_._1)
+    assert(byG.keySet == Set("0", "1", "2"))
+    byG.values.foreach(g => assert(g.map(_._3).sorted.toSeq == (1 to 5)))
+    // md5-exact: the chosen ids are the 5 smallest md5 keys per group
+    for ((g, rows) <- byG) {
+      val members = (1L to 100L).filter(i => (i % 3).toString == g)
+      val want = members.sortBy(i => (md5hexRef(s"qs:3:$i"), i)).take(5).toSet
+      assert(rows.map(_._2).toSet == want, s"group $g")
+    }
+    // a small stratum still fills what it has
+    val tiny = TextAnalysis.quotaSample(
+        docs((1L, "a"), (2L, "b")).withColumn("g", lit("x")),
+        "g", "id", n = 5, seed = 3)
+      .select("id").as[Long].collect()
+    assert(tiny.toSet == Set(1L, 2L))
+  }
+
   test("unigramLogProbScore equals the hand-computed distribution") {
     val df = docs((1L, "a a b"), (2L, "a c"))
     // corpus: a=3, b=1, c=1, total=5
