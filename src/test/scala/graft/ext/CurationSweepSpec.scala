@@ -75,6 +75,43 @@ class CurationSweepSpec extends AnyFunSuite {
     }
   }
 
+  test("cdcChunks equals the sequential reference across seeds (incl. empty tokens)") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    for (seed <- Seq(4, 19, 77); modulus <- Seq(3, 8)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = (1 to 12).map(i => s"v$i")
+      val rows = (1L to 30L).map { id =>
+        // occasional empty tokens (double spaces) exercise the
+        // tokenizer contract both engines share
+        id -> (1 to (5 + rnd.nextInt(40))).map(_ =>
+          if (rnd.nextInt(12) == 0) "" else vocab(rnd.nextInt(vocab.length)))
+          .mkString(" ")
+      }
+      def refChunks(text: String): Seq[(Int, Long, String)] = {
+        val toks = text.split(" ", -1)
+        val out = scala.collection.mutable.Buffer.empty[Seq[String]]
+        var cur = scala.collection.mutable.Buffer.empty[String]
+        toks.foreach { t =>
+          cur += t
+          if (Character.digit(md5hex(t).charAt(31), 16) % modulus == 0) {
+            out += cur.toSeq; cur = scala.collection.mutable.Buffer.empty
+          }
+        }
+        if (cur.nonEmpty) out += cur.toSeq
+        out.toSeq.zipWithIndex.map { case (c, i) =>
+          (i, c.size.toLong, c.mkString(" ")) }
+      }
+      val want = rows.flatMap { case (id, t) =>
+        refChunks(t).map { case (i, n, c) => (id, i, n, c) } }.toSet
+      val got = TextAnalysis.cdcChunks(frame(rows), "id", "text", modulus)
+        .select("id", "chunk_index", "n_chunk_tokens", "chunk_text")
+        .as[(Long, Int, Long, String)].collect().toSet
+      assert(got == want, s"seed=$seed modulus=$modulus")
+    }
+  }
+
   test("prefix filters survive the exact-threshold float boundary (J = C = 0.9)") {
     // 0.9*10 rounds to 9.000000000000002 in IEEE doubles; a ceil over
     // it shortens the prefix by one and silently drops pairs sitting
