@@ -62,8 +62,14 @@ object Dedup {
     call_function("token_shingles", text, lit(k))
 
   /** Exact Jaccard similarity of two pre-distinct arrays. */
+  /** Exact set Jaccard via the native [[graft.functions.JaccardSets]]
+    * expression: one hash-counting pass per array instead of
+    * materializing the intersection AND union arrays per pair — the
+    * verify-join hot path (millions of candidate pairs × long shingle
+    * sets) allocates nothing but the hash sets. Same set semantics and
+    * null behavior as the array_intersect/array_union formulation. */
   def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+    call_function("jaccard_sets", a, b)
 
   // ---------- MinHash + banded LSH ----------
 
@@ -263,8 +269,9 @@ object Dedup {
     val b = corpusSets.select(col("id").as("idb"), col("ws").as("wsb"))
     candidates.join(a, "ida").join(b, "idb")
       .select((col("ida") +: col("idb") +: blockCols :+
-        (size(array_intersect(col("wsa"), col("wsb"))).cast("double") /
-          size(col("wsa"))).as("containment")): _*)
+        // native count-only overlap: no intersection array per pair
+        (call_function("overlap_size", col("wsa"), col("wsb"))
+          .cast("double") / size(col("wsa"))).as("containment")): _*)
       .filter(col("containment") >= t)
   }
 

@@ -79,6 +79,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "bloom_might_contain(bloomBinary, longValue)")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("overlap_size"),
+      new ExpressionInfo(classOf[OverlapSize].getName, "overlap_size"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => OverlapSize(a, b)
+        case _ => throw new IllegalArgumentException("overlap_size(a, b)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("jaccard_sets"),
+      new ExpressionInfo(classOf[JaccardSets].getName, "jaccard_sets"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => JaccardSets(a, b)
+        case _ => throw new IllegalArgumentException("jaccard_sets(a, b)")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("cms_estimate"),
       new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
       (args: Seq[Expression]) => args match {

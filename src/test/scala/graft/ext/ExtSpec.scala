@@ -33,6 +33,35 @@ class ExtSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(10L, 12L))
   }
 
+  test("native set expressions equal the array_intersect/array_union formulation") {
+    val rnd = new scala.util.Random(31)
+    val vocab = (1 to 15).map(i => s"w$i")
+    val rows = (1L to 60L).map { i =>
+      // duplicates and empty arrays on purpose
+      val n = rnd.nextInt(12)
+      Row(i,
+        Seq.fill(n)(vocab(rnd.nextInt(vocab.length))),
+        Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.length))))
+    }
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("a", ArrayType(StringType)),
+      StructField("b", ArrayType(StringType))))
+    val df = spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    val out = df.select(
+        call_function("overlap_size", col("a"), col("b")).as("o"),
+        size(array_intersect(col("a"), col("b"))).as("oRef"),
+        call_function("jaccard_sets", col("a"), col("b")).as("j"),
+        (size(array_intersect(col("a"), col("b"))).cast("double") /
+          size(array_union(col("a"), col("b")))).as("jRef"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getInt(0) == r.getInt(1))
+      assert(r.isNullAt(2) == r.isNullAt(3))
+      if (!r.isNullAt(2))
+        assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 1e-15)
+    }
+  }
+
   test("minhash bucket cap drops degenerate buckets, keeps narrow ones") {
     // 20 identical boilerplate docs: every band bucket they form has
     // width 20; one near-dup pair forms width-2 buckets
