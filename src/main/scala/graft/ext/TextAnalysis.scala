@@ -503,9 +503,9 @@ object TextAnalysis {
     require(modulus > 0 && modulus <= 16,
       s"modulus must be in 1..16 (one md5 nibble): $modulus")
     val toks = tokens(col(textCol))
+    // native digest read — no 32-char hex string + substring per token
     val isBnd = (t: Column) =>
-      (instr(lit("0123456789abcdef"), substring(md5(t), 32, 1)) - 1)
-        .cast("int") % modulus === 0
+      call_function("md5_low_byte", t) % 16 % modulus === 0
     val bpos = filter(
       transform(toks, (t, i) => when(isBnd(t), i).otherwise(lit(-1))),
       p => p >= 0)
@@ -539,10 +539,8 @@ object TextAnalysis {
       seed: Int, trainCut: Int, valCut: Int): org.apache.spark.sql.DataFrame = {
     require(0 < trainCut && trainCut < valCut && valCut <= 256,
       s"need 0 < trainCut < valCut <= 256: $trainCut, $valCut")
-    val hex = lit("0123456789abcdef")
-    val h = md5(concat(lit(s"split:$seed:"), col(idCol).cast("string")))
-    val bucket = ((instr(hex, substring(h, 31, 1)) - 1) * 16 +
-      (instr(hex, substring(h, 32, 1)) - 1)).cast("int")
+    val bucket = call_function("md5_low_byte",
+      concat(lit(s"split:$seed:"), col(idCol).cast("string")))
     df.withColumn("split_bucket", bucket)
       .withColumn("split",
         when(col("split_bucket") < trainCut, "train")

@@ -79,6 +79,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "bloom_might_contain(bloomBinary, longValue)")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("md5_low_byte"),
+      new ExpressionInfo(classOf[Md5LowByte].getName, "md5_low_byte"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => Md5LowByte(s)
+        case _ => throw new IllegalArgumentException("md5_low_byte(str)")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("overlap_size"),
       new ExpressionInfo(classOf[OverlapSize].getName, "overlap_size"),
       (args: Seq[Expression]) => args match {
