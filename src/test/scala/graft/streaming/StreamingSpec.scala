@@ -261,6 +261,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.select("doc_fp").as[String].collect().toSet == batchFps)
   }
 
+  test("cdcChunks: stateless op streams unchanged, batch/stream parity across micro-batches") {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val db1 = Seq(
+      Row(1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      Row(2L, "one two three four five six seven"))
+    val db2 = Seq(
+      Row(3L, "red green blue cyan magenta yellow black white"))
+    def frameD(rows: Seq[Row]): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), docSchema)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_cdc")
+    dir.toFile.deleteOnExit()
+    val src = dir.toString + "/in"
+    frameD(db1).write.mode(SaveMode.Append).parquet(src)
+    val stream = spark.readStream.schema(docSchema).parquet(src)
+    val q = graft.ext.TextAnalysis.cdcChunks(stream, "doc_id", "text", 4)
+      .writeStream.format("memory").queryName("stream_sink_cdc")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      frameD(db2).write.mode(SaveMode.Append).parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+    def canon(df: DataFrame) =
+      df.select("doc_id", "chunk_index", "n_chunk_tokens", "chunk_text")
+        .as[(Long, Int, Long, String)].collect().toSet
+    val streamed = canon(spark.table("stream_sink_cdc"))
+    val batch = canon(graft.ext.TextAnalysis.cdcChunks(
+      frameD(db1 ++ db2), "doc_id", "text", 4))
+    assert(streamed == batch)
+    assert(streamed.map(_._1) == Set(1L, 2L, 3L))
+  }
+
   test("runningUserTotals: mapGroupsWithState accumulates across micro-batches") {
     val streamed = runStreaming("runningUserTotals",
       df => Streams.runningUserTotals(df).toDF())
