@@ -61,14 +61,21 @@ object Dedup {
   def shingles(text: Column, k: Int): Column =
     call_function("token_shingles", text, lit(k))
 
-  /** Exact Jaccard similarity of two pre-distinct arrays. */
-  /** Exact set Jaccard via the native [[graft.functions.JaccardSets]]
-    * expression: one hash-counting pass per array instead of
-    * materializing the intersection AND union arrays per pair — the
-    * verify-join hot path (millions of candidate pairs × long shingle
-    * sets) allocates nothing but the hash sets. Same set semantics and
-    * null behavior as the array_intersect/array_union formulation. */
+  /** Exact set Jaccard — general form over any element type (the
+    * array_intersect/array_union formulation, incl. its NULL-element
+    * semantics). The string-set verify joins use [[jaccardStr]]. */
   def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** Exact set Jaccard for array<string> sets via the native
+    * [[graft.functions.JaccardSets]] expression: one hash-counting
+    * pass per array instead of materializing the intersection AND
+    * union arrays per pair — the verify-join hot path (millions of
+    * candidate pairs × long shingle sets) allocates nothing but the
+    * hash sets. Identical to [[jaccard]] on NULL-free string sets
+    * (ours always are — tokens come from split); NULL elements are
+    * skipped rather than matched. */
+  private def jaccardStr(a: Column, b: Column): Column =
     call_function("jaccard_sets", a, b)
 
   // ---------- MinHash + banded LSH ----------
@@ -133,7 +140,7 @@ object Dedup {
     val b = sets.select(col("id").as("idb"), col("sh").as("shb"))
     candidates.join(a, "ida").join(b, "idb")
       .select(col("ida"), col("idb"),
-        jaccard(col("sha"), col("shb")).as("jaccard_sim"))
+        jaccardStr(col("sha"), col("shb")).as("jaccard_sim"))
       .filter(col("jaccard_sim") >= threshold)
   }
 
@@ -195,7 +202,7 @@ object Dedup {
       .filter(size(col("wsa")).cast("double") >= lit(t) * size(col("wsb")) &&
         size(col("wsb")).cast("double") >= lit(t) * size(col("wsa")))
       .select((col("ida") +: col("idb") +: blockCols :+
-        jaccard(col("wsa"), col("wsb")).as("jaccard_sim")): _*)
+        jaccardStr(col("wsa"), col("wsb")).as("jaccard_sim")): _*)
       .filter(col("jaccard_sim") >= t)
   }
 
@@ -379,9 +386,13 @@ object Dedup {
       df.select(col(idCol).as("id"), simhash64(col(textCol)).as("fp")))
     val banded = fp.select(col("id"), col("fp"),
       explode(array((0 until bands).map { b =>
+        // width 64 (bands=1, radius 0) needs the full-fingerprint mask:
+        // 1L << 64 wraps to 1 on the JVM, which would zero every key
+        // and silently degrade blocking to all-pairs
+        val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1
         struct(lit(b).as("band"),
           call_function("shiftright", col("fp"), lit(starts(b)))
-            .bitwiseAND(lit((1L << widths(b)) - 1)).as("key"))
+            .bitwiseAND(lit(mask)).as("key"))
       }: _*)).as("bk"))
       .select(col("id"), col("fp"), col("bk.band").as("band"), col("bk.key").as("key"))
     val l = banded.alias("l")

@@ -332,9 +332,12 @@ object Similarity {
       .map(_.getSeq[Number](1).map(_.doubleValue()).toSeq).toSeq
     require(nprobe > 0 && nprobe <= centroids.size,
       s"need 0 < nprobe <= ${centroids.size}, got $nprobe")
+    // cached: the assignment scan feeds BOTH the probed-id collect and
+    // the candidate join — without it the query side's nlist-cosine
+    // projection (its most expensive stage) would run twice
     val probes = nearestCentroids(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
-      "qv", centroids, topN = nprobe)
+      "qv", centroids, topN = nprobe).persist()
     // nlist-bounded driver set → literal partition filter → pruned scan
     val probed = probes.select("centroid_id").distinct()
       .collect().map(_.getInt(0)).sorted

@@ -539,8 +539,13 @@ object TextAnalysis {
       seed: Int, trainCut: Int, valCut: Int): org.apache.spark.sql.DataFrame = {
     require(0 < trainCut && trainCut < valCut && valCut <= 256,
       s"need 0 < trainCut < valCut <= 256: $trainCut, $valCut")
-    val bucket = call_function("md5_low_byte",
-      concat(lit(s"split:$seed:"), col(idCol).cast("string")))
+    // a NULL id would hash NULL and silently land in 'test' —
+    // contaminating evaluation; fail loudly instead (the Lookup
+    // NoMatch=Fail discipline)
+    val bucket = when(col(idCol).isNull,
+        raise_error(lit(s"deterministicSplit: NULL $idCol")))
+      .otherwise(call_function("md5_low_byte",
+        concat(lit(s"split:$seed:"), col(idCol).cast("string"))))
     df.withColumn("split_bucket", bucket)
       .withColumn("split",
         when(col("split_bucket") < trainCut, "train")

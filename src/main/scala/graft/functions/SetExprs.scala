@@ -65,7 +65,10 @@ case class JaccardSets(left: Expression, right: Expression)
 
 object SetExprs {
   /** |set(a) ∩ set(b)| — smaller side hashed, larger side probed;
-    * a `seen` set keeps duplicate probe hits from double-counting. */
+    * matched elements are REMOVED from the set as they're counted, so
+    * duplicate probe hits can't double-count and no second set is
+    * allocated (this runs per candidate pair — allocation is the
+    * point of the expression). */
   def overlap(a: ArrayData, b: ArrayData): Int = {
     val (s, l) = if (a.numElements <= b.numElements) (a, b) else (b, a)
     val set = new java.util.HashSet[UTF8String](s.numElements * 2)
@@ -75,12 +78,11 @@ object SetExprs {
       if (e != null) set.add(e)
       i += 1
     }
-    val seen = new java.util.HashSet[UTF8String](set.size * 2)
     var cnt = 0
     i = 0
-    while (i < l.numElements) {
+    while (i < l.numElements && !set.isEmpty) {
       val e = l.getUTF8String(i)
-      if (e != null && set.contains(e) && seen.add(e)) cnt += 1
+      if (e != null && set.remove(e)) cnt += 1
       i += 1
     }
     cnt

@@ -467,8 +467,10 @@ object ExtQueries extends QueryPack {
     // guarantee q61 certifies, now for the persisted form.
     "q116_ivf_persisted" -> { (s, dir) =>
       val e = embs(s, dir)
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_ivf").toString
+      // fixed path + overwrite mode: repeated Verify/Bench runs reuse
+      // the location instead of accumulating one index copy per run
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_ivf_q116").toString
       Similarity.writeIvfIndex(e, "vec_id", "embedding", nlist = 8, path)
       // scale proof: a partial probe reads ONLY its probed lists
       val pruned = Similarity.probeIvfIndex(e.filter(col("vec_id") < 20),

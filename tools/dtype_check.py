@@ -6,11 +6,13 @@ against a Spark int64 hash-mismatches even when values are equal.
 
 Usage: python3 tools/dtype_check.py <outDir> <sfDir>
 
-For each oracle query, loads the Spark parquet and the DuckDB oracle
-result as pandas frames, sorts columns by name, and reports any column
-whose dtype KIND differs (int vs float vs object) or whose values
-differ after a common-dtype coercion — the exact failure mode behind
-round 6's q71/q76/q80/q81/q86/q91/q99 gate reds.
+For each oracle query, loads the Spark parquet (Verify coalesces to a
+single part file) and the DuckDB oracle result as pandas frames and
+reports any column whose dtype KIND differs (int vs float vs object)
+or that holds array cells the driver's sorter cannot hash — the exact
+failure modes behind round 6's q71/q76/q80/q81/q86/q91/q99 hash reds
+and the q107 error. VALUE comparison is tools/check.py's job — run
+both.
 """
 import sys, os, json, glob
 import duckdb
