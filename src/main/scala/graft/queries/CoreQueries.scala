@@ -58,6 +58,21 @@ object CoreQueries extends QueryPack {
     // shuffled pair, the date filter pushes into the lineitem scan,
     // and revenue stays in exact integer hundredths-of-cents so the
     // sum is order-independent across engines.
+    // Single-pass data-quality audit: five expectation families fused
+    // into ONE aggregate over orders — the shape that keeps a 50-rule
+    // quality gate at one scan of a 100 TB table. The oracle
+    // recomputes every violation count independently.
+    "q118_expectations" -> { (s, dir) =>
+      import graft.ops.Expectations._
+      audit(graft.Tables.load(s, dir, "orders"), Seq(
+        NotNull("o_custkey"),
+        Between("o_totalprice", 1.0, 600000.0),
+        Matches("o_orderpriority", "^[1-5]-"),
+        InSet("o_orderstatus", Seq("F", "O", "P")),
+        Unique("o_orderkey")))
+        .orderBy(col("rule"))
+    },
+
     "q100_star_join" -> { (s, dir) =>
       val region = graft.Tables.load(s, dir, "region")
       val nation = graft.Tables.load(s, dir, "nation")
@@ -143,6 +158,43 @@ object CoreQueries extends QueryPack {
         |GROUP BY c.c_custkey, c.c_name
         |ORDER BY total_spend DESC, c.c_custkey
         |LIMIT 10""".stripMargin,
+    "q118_expectations" ->
+      """SELECT 'not_null' AS rule, 'o_custkey' AS col_name,
+        |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_violations,
+        |  SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0 AS ok
+        |FROM orders
+        |UNION ALL
+        |SELECT 'between', 'o_totalprice',
+        |  CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 1.0
+        |    OR o_totalprice > 600000.0 THEN 1 ELSE 0 END) AS BIGINT),
+        |  SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 1.0
+        |    OR o_totalprice > 600000.0 THEN 1 ELSE 0 END) = 0
+        |FROM orders
+        |UNION ALL
+        |SELECT 'matches', 'o_orderpriority',
+        |  CAST(SUM(CASE WHEN o_orderpriority IS NULL
+        |    OR NOT regexp_matches(o_orderpriority, '^[1-5]-')
+        |    THEN 1 ELSE 0 END) AS BIGINT),
+        |  SUM(CASE WHEN o_orderpriority IS NULL
+        |    OR NOT regexp_matches(o_orderpriority, '^[1-5]-')
+        |    THEN 1 ELSE 0 END) = 0
+        |FROM orders
+        |UNION ALL
+        |SELECT 'in_set', 'o_orderstatus',
+        |  CAST(SUM(CASE WHEN o_orderstatus IS NULL
+        |    OR o_orderstatus NOT IN ('F', 'O', 'P')
+        |    THEN 1 ELSE 0 END) AS BIGINT),
+        |  SUM(CASE WHEN o_orderstatus IS NULL
+        |    OR o_orderstatus NOT IN ('F', 'O', 'P')
+        |    THEN 1 ELSE 0 END) = 0
+        |FROM orders
+        |UNION ALL
+        |SELECT 'unique', 'o_orderkey',
+        |  CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+        |  COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) = 0
+        |FROM orders
+        |ORDER BY rule""".stripMargin,
     "q81_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_cents,

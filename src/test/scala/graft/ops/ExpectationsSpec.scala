@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class ExpectationsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import Expectations._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", DoubleType),
+    StructField("tag", StringType)))
+  private def frame(rows: Row*) =
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+
+  test("audit counts every planted violation exactly, in one scan") {
+    val df = frame(
+      Row(1L, 5.0, "a-x"), Row(2L, 50.0, "b-y"), Row(2L, null, "zzz"),
+      Row(null, -1.0, null), Row(4L, 9.0, "a-q"))
+    val out = Expectations.audit(df, Seq(
+        NotNull("id"),          // 1 null id
+        Between("v", 0.0, 10.0), // -1.0 out, null counts, 50.0 out → 3
+        Matches("tag", "^[ab]-"), // zzz + null → 2
+        InSet("tag", Seq("a-x", "b-y", "a-q")), // zzz + null → 2
+        Unique("id")))          // id=2 twice → 1 duplicate
+      .select("rule", "col_name", "n_violations", "ok")
+      .as[(String, String, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._3, r._4)).toMap
+    assert(out("not_null") == ((1L, false)))
+    assert(out("between") == ((3L, false)))
+    assert(out("matches") == ((2L, false)))
+    assert(out("in_set") == ((2L, false)))
+    assert(out("unique") == ((1L, false)))
+    // all-clean table → every rule ok
+    val clean = Expectations.audit(
+        frame(Row(1L, 5.0, "a-x"), Row(2L, 6.0, "b-y")),
+        Seq(NotNull("id"), Unique("id"), Between("v", 0.0, 10.0)))
+      .select("ok").as[Boolean].collect()
+    assert(clean.forall(identity))
+    // scale contract: the whole audit is ONE scan of the source
+    val plan = Expectations.audit(df, Seq(
+        NotNull("id"), Between("v", 0.0, 10.0), Unique("id")))
+      .queryExecution.executedPlan.toString
+    assert("LocalTableScan".r.findAllIn(plan).size == 1, plan)
+  }
+}
