@@ -51,6 +51,32 @@ object MutationQueries extends QueryPack {
         .orderBy(col("c_custkey"), col("valid_from"))
     },
 
+    // SCD2 point-in-time enrichment — the warehouse READ pattern the
+    // SCD2 write exists for: each fact row picks the dimension version
+    // valid at its event date. Composes the certified SCD2 build with
+    // the certified single-Exchange as-of machinery (versions are
+    // contiguous per key, so latest valid_from <= fact date IS the
+    // valid version; facts before a key's first version get NULLs).
+    // DuckDB's native ASOF LEFT JOIN over the same rebuilt dimension
+    // is the oracle.
+    "q119_scd2_pointintime" -> { (s, dir) =>
+      val cur = base(s, dir)
+      val dim = Mutations.scdType2(target2(cur), feed(cur),
+        keys = Seq("c_custkey"), trackedCols = Seq("bal_cents"),
+        runStamp = "2024-06-01")
+      val facts = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 10000)
+        .select(col("o_orderkey"), col("o_custkey").as("c_custkey"),
+          when(col("o_orderkey") % 3 === 0, "2019-06-15")
+            .when(col("o_orderkey") % 3 === 1, "2022-01-01")
+            .otherwise("2024-12-31").as("fact_date"))
+      graft.ops.Joins.asofJoin(facts, dim, Seq("c_custkey"),
+          "fact_date", "valid_from",
+          select = Seq("bal_cents" -> "bal_at_fact",
+            "valid_from" -> "version_from"))
+        .orderBy(col("o_orderkey"))
+    },
+
     "q45_scd1" -> { (s, dir) =>
       val cur = base(s, dir)
       // partial feed: only the changed rows and the new keys
@@ -118,6 +144,34 @@ object MutationQueries extends QueryPack {
         |    '2024-06-01', CAST(NULL AS VARCHAR), true
         |  FROM cur WHERE c_custkey % 5 = 0)
         |ORDER BY c_custkey, valid_from""".stripMargin,
+    "q119_scd2_pointintime" ->
+      """WITH cur AS (
+        |  SELECT c_custkey, c_name,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer),
+        |dim AS (
+        |  SELECT c_custkey, bal_cents - 5 AS bal_cents,
+        |    '2019-01-01' AS valid_from
+        |  FROM cur WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, bal_cents, '2020-01-01' FROM cur
+        |  UNION ALL
+        |  SELECT c_custkey, bal_cents + 1000, '2024-06-01'
+        |  FROM cur WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 123, '2024-06-01'
+        |  FROM cur WHERE c_custkey % 5 = 0),
+        |facts AS (
+        |  SELECT o_orderkey, o_custkey AS c_custkey,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN '2019-06-15'
+        |         WHEN o_orderkey % 3 = 1 THEN '2022-01-01'
+        |         ELSE '2024-12-31' END AS fact_date
+        |  FROM orders WHERE o_orderkey < 10000)
+        |SELECT f.o_orderkey, f.c_custkey, f.fact_date,
+        |  d.bal_cents AS bal_at_fact, d.valid_from AS version_from
+        |FROM facts f ASOF LEFT JOIN dim d
+        |  ON f.c_custkey = d.c_custkey AND f.fact_date >= d.valid_from
+        |ORDER BY f.o_orderkey""".stripMargin,
     "q45_scd1" ->
       """WITH cur AS (
         |  SELECT c_custkey, c_name,
