@@ -296,6 +296,24 @@ object Dedup {
         pairs.select(col("ida").as("src"), col("idb").as("dst")))
       .select(col("id").as(idCol), col("label").as("cluster_id"))
 
+  /** Cluster resolution keeping the BEST row per cluster instead of
+    * the smallest id — the SemDeDup stance: when near-duplicates
+    * collapse, retain the highest-quality representative (longest,
+    * highest LM score, …), not the accidental first arrival. Same
+    * connected components as [[resolveClusters]], then one window per
+    * cluster ranked by (`scoreCol` DESC, id) — ties pin to the
+    * smallest id so the keeper is deterministic. Returns every input
+    * row: (idCol, cluster_id, keep). */
+  def resolveClustersBest(df: DataFrame, idCol: String,
+      pairs: DataFrame, scoreCol: Column): DataFrame = {
+    val labeled = resolveClusters(df, idCol, pairs)
+      .join(df.select(col(idCol), scoreCol.as("__score")), Seq(idCol))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("__score").desc, col(idCol))
+    labeled.withColumn("keep", row_number().over(w) === 1)
+      .select(col(idCol), col("cluster_id"), col("keep"))
+  }
+
   // ---------- incremental ingestion screen ----------
 
   /** Dedup-on-arrival for a continuously growing corpus: keep only the

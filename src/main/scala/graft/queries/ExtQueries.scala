@@ -150,6 +150,20 @@ object ExtQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Best-keeper cluster resolution (the SemDeDup stance): the same
+    // clusters as q78, but the keeper is the LONGEST document
+    // (n_chars DESC, doc_id tie) — quality-aware retention instead of
+    // first-arrival.
+    "q120_cluster_best" -> { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        Dedup.shingles(col("text"), 3).as("sh"))
+      val pairs = Dedup.jaccardNearDupPairs(d, "doc_id", "sh",
+        threshold = 0.8, blockCol = Some("lang"))
+      Dedup.resolveClustersBest(docs(s, dir), "doc_id", pairs,
+          col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
     // Gopher-style repetition screen: a doc whose single most frequent
     // token carries >= 20% of its token mass is flagged.
     "q77_repetition" -> { (s, dir) =>
@@ -932,6 +946,31 @@ object ExtQueries extends QueryPack {
         |SELECT doc_id, n_tokens, start_offset,
         |  start_offset // 2048 AS bin_id
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q120_cluster_best" ->
+      """WITH RECURSIVE s AS (SELECT doc_id, lang, n_chars,
+        |    string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, lang, list_distinct(list_transform(
+        |      generate_series(1, greatest(len(w) - 3, 0) + 1),
+        |      i -> array_to_string(w[i : least(i + 2, len(w))], chr(1))))
+        |      AS sh
+        |  FROM s),
+        |pairs AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib
+        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+        |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM s
+        |  UNION
+        |  SELECT p.ia, r.r FROM pairs p JOIN reach r ON p.ib = r.id),
+        |lab AS (SELECT id AS doc_id, min(r) AS cluster_id
+        |  FROM reach GROUP BY id),
+        |ranked AS (SELECT l.doc_id, l.cluster_id,
+        |    row_number() OVER (PARTITION BY l.cluster_id
+        |      ORDER BY s.n_chars DESC, l.doc_id) AS rn
+        |  FROM lab l JOIN s ON l.doc_id = s.doc_id)
+        |SELECT doc_id, cluster_id, rn = 1 AS keep
+        |FROM ranked ORDER BY doc_id""".stripMargin,
     "q78_dedup_clusters" ->
       """WITH RECURSIVE s AS (SELECT doc_id, lang, string_split(text, ' ') AS w
         |    FROM documents),
