@@ -84,6 +84,19 @@ class ExtSpec extends AnyFunSuite {
     assert(capped == Set((1L, 2L)))
   }
 
+  test("resolveClustersBest keeps the highest-score row, id-tie pinned") {
+    val df = docs((1L, "a"), (2L, "bb"), (3L, "cc"), (4L, "d"))
+      .withColumn("score", length(col("text")))
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("ida", "idb") // {1,2,3} + {4}
+    val out = Dedup.resolveClustersBest(df, "id", pairs, col("score"))
+      .select("id", "cluster_id", "keep")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    // cluster {1,2,3}: scores 1,2,2 → keeper is id 2 (score tie with 3,
+    // smaller id wins); singleton 4 keeps itself
+    assert(out.toSeq == Seq((1L, 1L, false), (2L, 1L, true),
+      (3L, 1L, false), (4L, 4L, true)))
+  }
+
   test("jaccard and shingles") {
     val df = docs((1L, "a b c d"), (2L, "a b c e"))
     val sets = df.select(Dedup.shingles(col("text"), 2).as("sh"))
