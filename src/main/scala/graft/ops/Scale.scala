@@ -23,6 +23,26 @@ object Scale {
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
 
+  /** Size-targeted compaction with range clustering — the
+    * small-files / data-skipping layout pass every long-lived 100 TB
+    * table needs: `ceil(n / targetRowsPerFile)` output files, rows
+    * range-partitioned AND sorted on `sortCols`, so each file owns a
+    * DISJOINT key range and min/max footer stats prune file reads for
+    * any range or point predicate on the sort key (the poor-man's
+    * Z-order for one dimension). One count action to size the layout,
+    * one range exchange to write it. Returns the file count. */
+  def compactWrite(df: DataFrame, path: String, targetRowsPerFile: Long,
+      sortCols: Seq[String]): Int = {
+    require(targetRowsPerFile > 0 && sortCols.nonEmpty,
+      s"need positive target and sort cols: $targetRowsPerFile, $sortCols")
+    val n = df.count()
+    val files = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    df.repartitionByRange(files, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+    files
+  }
+
   /** Skew-safe inner equi-join: every left row gets a random salt in
     * [0, saltFactor); the right side is replicated across all salts, so
     * one hot key spreads over `saltFactor` reducers instead of one.

@@ -23,6 +23,32 @@ object IoQueries extends QueryPack {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Size-targeted compaction with range clustering: documents
+    // rewritten at 100 rows/file sorted by doc_id — the in-query
+    // requires certify BOTH layout properties (exact file count, and
+    // per-file doc_id ranges DISJOINT, i.e. min/max footer stats can
+    // prune every range predicate). The oracle is content identity:
+    // compaction must never change the rows.
+    "q121_compaction" -> { (s, dir) =>
+      val path = tmp("documents_compacted")
+      val src = graft.Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val files = graft.ops.Scale.compactWrite(src, path,
+        targetRowsPerFile = 100L, sortCols = Seq("doc_id"))
+      val back = s.read.parquet(path)
+      val stats = back.groupBy(input_file_name().as("f"))
+        .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      require(stats.length == files,
+        s"expected $files files, wrote ${stats.length}")
+      stats.sliding(2).foreach {
+        case Array((_, hi), (lo, _)) =>
+          require(hi < lo, s"file ranges overlap: hi=$hi lo=$lo")
+        case _ =>
+      }
+      back.orderBy(col("doc_id"))
+    },
+
     // CSV write → CSV read (header on, explicit schema on read).
     "q32_csv_roundtrip" -> { (s, dir) =>
       val path = tmp("nation_csv")
@@ -179,6 +205,9 @@ object IoQueries extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q121_compaction" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q103_partitioned_layout" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
