@@ -216,6 +216,25 @@ object EventQueries extends QueryPack {
     // tree over identical exact inputs — every double op is correctly
     // rounded, so the comparison is deterministic, overflow-free, and
     // drift-free. One partial-aggregated shuffle + a broadcast join.
+    // Trailing-window rate feature: each event carries its user's
+    // event count over the preceding hour — a RANGE frame over
+    // microsecond integers, so the frame is value-based and tie-safe
+    // (every event at the same ts sees the same count in any engine).
+    // ONE exchange on the user key; the classic feature-engineering
+    // shape for fraud/abuse velocity signals.
+    "q122_trailing_rate" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("__us"))
+        .rangeBetween(-3600000000L, 0)
+      events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          unix_micros(col("ts")).as("__us"))
+        .withColumn("n_trailing_1h", count(lit(1)).over(w))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("n_trailing_1h"))
+        .orderBy(col("event_id"))
+    },
+
     "q102_outliers" -> { (s, dir) =>
       val cents = events(s, dir)
         .select(col("event_id"), col("event_type"),
@@ -359,6 +378,12 @@ object EventQueries extends QueryPack {
         |FROM tv LEFT JOIN tc ON tv.user_id = tc.user_id
         |LEFT JOIN tp ON tv.user_id = tp.user_id
         |ORDER BY tv.user_id""".stripMargin,
+    "q122_trailing_rate" ->
+      """SELECT event_id, user_id, ts,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |    AS n_trailing_1h
+        |FROM events ORDER BY event_id""".stripMargin,
     "q102_outliers" ->
       """WITH c AS (SELECT event_id, event_type,
         |    CAST(round(value * 100) AS BIGINT) AS x FROM events),
