@@ -43,15 +43,20 @@ object Expectations {
     val name = "unique"
   }
 
+  // coalesce: SUM over zero rows is NULL — an audit of an empty table
+  // must report 0 violations / ok, matching the count-based Unique rule
   private def violations(r: Rule): Column = r match {
     case NotNull(c) =>
-      sum(when(col(c).isNull, 1L).otherwise(0L))
+      coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
     case Between(c, lo, hi) =>
-      sum(when(col(c).isNull || col(c) < lo || col(c) > hi, 1L).otherwise(0L))
+      coalesce(sum(when(col(c).isNull || col(c) < lo || col(c) > hi, 1L)
+        .otherwise(0L)), lit(0L))
     case Matches(c, re) =>
-      sum(when(col(c).isNull || !col(c).rlike(re), 1L).otherwise(0L))
+      coalesce(sum(when(col(c).isNull || !col(c).rlike(re), 1L)
+        .otherwise(0L)), lit(0L))
     case InSet(c, vs) =>
-      sum(when(col(c).isNull || !col(c).isin(vs: _*), 1L).otherwise(0L))
+      coalesce(sum(when(col(c).isNull || !col(c).isin(vs: _*), 1L)
+        .otherwise(0L)), lit(0L))
     case Unique(c) =>
       // duplicates = non-null rows minus distinct non-null values
       count(col(c)) - countDistinct(col(c))

@@ -30,7 +30,11 @@ object Scale {
     * DISJOINT key range and min/max footer stats prune file reads for
     * any range or point predicate on the sort key (the poor-man's
     * Z-order for one dimension). One count action to size the layout,
-    * one range exchange to write it. Returns the file count. */
+    * one range exchange to write it. Returns the number of part files
+    * ACTUALLY written — the sampling-based range partitioner may leave
+    * partitions empty under duplicate or skewed sort keys, and empty
+    * partitions write no file, so the observed count is the contract,
+    * not the requested one. */
   def compactWrite(df: DataFrame, path: String, targetRowsPerFile: Long,
       sortCols: Seq[String]): Int = {
     require(targetRowsPerFile > 0 && sortCols.nonEmpty,
@@ -40,7 +44,11 @@ object Scale {
     df.repartitionByRange(files, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode("overwrite").parquet(path)
-    files
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path),
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .count(_.getPath.getName.startsWith("part-"))
   }
 
   /** Skew-safe inner equi-join: every left row gets a random salt in

@@ -52,12 +52,6 @@ object CoreQueries extends QueryPack {
         .limit(10)
     },
 
-    // The classic 5-table star join (TPC-H Q5 shape) — the relational
-    // flagship: the region→nation→customer dimension chain collapses
-    // into ONE broadcast build side, orders⋈lineitem is the only
-    // shuffled pair, the date filter pushes into the lineitem scan,
-    // and revenue stays in exact integer hundredths-of-cents so the
-    // sum is order-independent across engines.
     // Single-pass data-quality audit: five expectation families fused
     // into ONE aggregate over orders — the shape that keeps a 50-rule
     // quality gate at one scan of a 100 TB table. The oracle
@@ -73,6 +67,12 @@ object CoreQueries extends QueryPack {
         .orderBy(col("rule"))
     },
 
+    // The classic 5-table star join (TPC-H Q5 shape) — the relational
+    // flagship: the region→nation→customer dimension chain collapses
+    // into ONE broadcast build side, orders⋈lineitem is the only
+    // shuffled pair, the date filter pushes into the lineitem scan,
+    // and revenue stays in exact integer hundredths-of-cents so the
+    // sum is order-independent across engines.
     "q100_star_join" -> { (s, dir) =>
       val region = graft.Tables.load(s, dir, "region")
       val nation = graft.Tables.load(s, dir, "nation")

@@ -41,6 +41,12 @@ class ExpectationsSpec extends AnyFunSuite {
         Seq(NotNull("id"), Unique("id"), Between("v", 0.0, 10.0)))
       .select("ok").as[Boolean].collect()
     assert(clean.forall(identity))
+    // empty input: every rule reports 0 violations / ok (SUM over
+    // zero rows is NULL without the coalesce — the pre-load check)
+    val empty = Expectations.audit(frame(),
+        Seq(NotNull("id"), Between("v", 0.0, 1.0), Unique("id")))
+      .select("n_violations", "ok").as[(Long, Boolean)].collect()
+    assert(empty.toSeq == Seq((0L, true), (0L, true), (0L, true)))
     // scale contract: the whole audit is ONE scan of the source
     val plan = Expectations.audit(df, Seq(
         NotNull("id"), Between("v", 0.0, 10.0), Unique("id")))
