@@ -595,6 +595,64 @@ object TextAnalysis {
       .filter(col("sample_rank") <= n)
   }
 
+  /** Decontamination by EXCISION: instead of dropping a document that
+    * overlaps an evaluation benchmark (the q74/q96 flagging stance),
+    * cut out exactly the contaminated k-token spans and keep the rest
+    * — the treatment big-model pipelines apply when a crawl document
+    * is valuable but quotes a benchmark. A token is removed iff some
+    * k-shingle containing it appears in the benchmark's shingle set;
+    * everything else survives in order.
+    *
+    * Scale shape: shingle semi-join against the benchmark set (the
+    * q96 exchange), covered-position expansion (k-bounded explode of
+    * HITS only — clean docs cost nothing), one anti-join, and one
+    * per-doc reassembly aggregation (array_sort over (pos, token)
+    * structs — the only reassembly Spark needs, no window). Returns
+    * every non-benchmark row: (idCol, n_tokens, n_removed,
+    * clean_text). */
+  def exciseContaminatedSpans(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      benchmark: org.apache.spark.sql.DataFrame, benchTextCol: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val toks = tokens(col(textCol))
+    // shingle starts: 0..max(n-k, 0) — a doc shorter than k contributes
+    // ONE short shingle (the TokenShingles contract, and the oracle's)
+    def shingleAt(ts: Column, i: Column): Column =
+      array_join(slice(ts, i + 1,
+        least(lit(k), size(ts) - i)), "")
+    val docSh = df.select(col(idCol).as("id"), toks.as("__t"))
+      .select(col("id"), col("__t"),
+        explode(sequence(lit(0), greatest(size(col("__t")) - k, lit(0))))
+          .as("i"))
+      .select(col("id"), col("i"), size(col("__t")).as("n"),
+        shingleAt(col("__t"), col("i")).as("sh"))
+    val benchSh = benchmark
+      .select(explode(call_function("token_shingles",
+        col(benchTextCol), lit(k))).as("sh"))
+      .distinct()
+    val covered = docSh.join(benchSh, Seq("sh"), "left_semi")
+      .select(col("id"),
+        explode(sequence(col("i"), least(col("i") + (k - 1), col("n") - 1)))
+          .as("pos"))
+      .distinct()
+    val tokRows = df.select(col(idCol).as("id"),
+      posexplode(toks).as(Seq("pos", "tok")))
+    val kept = tokRows.join(covered, Seq("id", "pos"), "left_anti")
+      .groupBy("id")
+      .agg(count(lit(1)).as("__n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("clean_text"))
+    df.select(col(idCol).as("id"),
+        size(toks).cast("long").as("n_tokens"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L)))
+          .cast("long").as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   // ---------- per-group corpus caps ----------
 
   /** Per-group token-budget cap — the per-domain/per-source ceiling

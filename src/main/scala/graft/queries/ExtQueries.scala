@@ -504,6 +504,18 @@ object ExtQueries extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // Decontamination by excision: cut the contaminated 8-token spans
+    // out of each non-benchmark document (q96's benchmark set: every
+    // 97th doc) and keep the rest in order — the save-the-document
+    // treatment, not the drop-it one.
+    "q123_decontaminate_excise" -> { (s, dir) =>
+      val d = docs(s, dir)
+      TextAnalysis.exciseContaminatedSpans(
+          d.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+          d.filter(col("doc_id") % 97 === 0), "text", k = 8)
+        .orderBy(col("doc_id"))
+    },
+
     // Deterministic per-group quota sample: exactly 30 docs per
     // source by ascending md5 rank — the eval-set constructor; same
     // rows on any engine, any run, any corpus size.
@@ -1090,6 +1102,38 @@ object ExtQueries extends QueryPack {
         |    unnest(CAST(embedding AS DOUBLE[])) AS val FROM embeddings)
         |SELECT label, dim, round(avg(val), 6) AS mean_value
         |FROM e GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+    "q123_decontaminate_excise" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+        |    FROM documents WHERE doc_id % 97 <> 0),
+        |bd AS (SELECT string_split(text, ' ') AS t
+        |    FROM documents WHERE doc_id % 97 = 0),
+        |bsh AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+        |      generate_series(1, greatest(len(t) - 8, 0) + 1),
+        |      i -> array_to_string(t[i : least(i + 7, len(t))], chr(1)))))
+        |      AS sh
+        |  FROM bd),
+        |starts AS (SELECT doc_id, unnest(generate_series(1,
+        |      greatest(len(t) - 8, 0) + 1)) AS i, t FROM d),
+        |hits AS (SELECT s.doc_id, s.i, len(s.t) AS n FROM starts s
+        |  JOIN bsh ON array_to_string(s.t[s.i : least(s.i + 7, len(s.t))],
+        |    chr(1)) = bsh.sh),
+        |cov AS (SELECT DISTINCT doc_id, i + o.off AS p
+        |  FROM hits, (SELECT unnest(generate_series(0, 7)) AS off) o
+        |  WHERE i + o.off <= n),
+        |tok AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS p, t
+        |    FROM d),
+        |tok2 AS (SELECT doc_id, p, t[p] AS tokv FROM tok),
+        |kept AS (SELECT t2.doc_id, t2.p, t2.tokv FROM tok2 t2
+        |  LEFT JOIN cov c ON t2.doc_id = c.doc_id AND t2.p = c.p
+        |  WHERE c.p IS NULL),
+        |reb AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(tokv, ' ' ORDER BY p) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+        |  CAST(len(d.t) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+        |  coalesce(r.clean_text, '') AS clean_text
+        |FROM d LEFT JOIN reb r ON d.doc_id = r.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q117_quota_sample" ->
       """WITH r AS (SELECT doc_id, source, lang,
         |    row_number() OVER (PARTITION BY source

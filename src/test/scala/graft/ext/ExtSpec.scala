@@ -281,6 +281,24 @@ class ExtSpec extends AnyFunSuite {
     assert(tiny.toSet == Set(1L, 2L))
   }
 
+  test("exciseContaminatedSpans cuts exactly the overlapping k-spans") {
+    // benchmark doc: "b1 b2 b3"; k=3 → its only shingle is b1␁b2␁b3.
+    // doc 1 quotes it mid-text → exactly those 3 tokens removed;
+    // doc 2 is clean → untouched; doc 3 IS the quote → emptied.
+    val bench = docs((100L, "b1 b2 b3"))
+    val corpus = docs(
+      (1L, "x1 x2 b1 b2 b3 x3"),
+      (2L, "y1 y2 y3 y4"),
+      (3L, "b1 b2 b3"))
+    val out = TextAnalysis.exciseContaminatedSpans(
+        corpus, "id", "text", bench, "text", k = 3)
+      .select("id", "n_tokens", "n_removed", "clean_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 6L, 3L, "x1 x2 x3")))
+    assert(out(1) == ((2L, 4L, 0L, "y1 y2 y3 y4")))
+    assert(out(2) == ((3L, 3L, 3L, "")))
+  }
+
   test("unigramLogProbScore equals the hand-computed distribution") {
     val df = docs((1L, "a a b"), (2L, "a c"))
     // corpus: a=3, b=1, c=1, total=5
