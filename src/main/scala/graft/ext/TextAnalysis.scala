@@ -604,12 +604,13 @@ object TextAnalysis {
     * everything else survives in order.
     *
     * Scale shape: shingle semi-join against the benchmark set (the
-    * q96 exchange), covered-position expansion (k-bounded explode of
-    * HITS only — clean docs cost nothing), one anti-join, and one
-    * per-doc reassembly aggregation (array_sort over (pos, token)
-    * structs — the only reassembly Spark needs, no window). Returns
-    * every non-benchmark row: (idCol, n_tokens, n_removed,
-    * clean_text). */
+    * q96 exchange), covered-position expansion from HITS only
+    * (k-bounded — clean docs cost nothing), positions grouped into
+    * per-affected-doc arrays (one exchange of the SMALL hit set), and
+    * the excision itself is a per-row array lambda after a join on the
+    * doc id — the token table is never shuffled and reassembly needs
+    * no aggregation at all. Returns every non-benchmark row:
+    * (idCol, n_tokens, n_removed, clean_text). */
   def exciseContaminatedSpans(df: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String,
       benchmark: org.apache.spark.sql.DataFrame, benchTextCol: String,
@@ -635,22 +636,18 @@ object TextAnalysis {
       .select(col("id"),
         explode(sequence(col("i"), least(col("i") + (k - 1), col("n") - 1)))
           .as("pos"))
-      .distinct()
-    val tokRows = df.select(col(idCol).as("id"),
-      posexplode(toks).as(Seq("pos", "tok")))
-    val kept = tokRows.join(covered, Seq("id", "pos"), "left_anti")
-      .groupBy("id")
-      .agg(count(lit(1)).as("__n_kept"),
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("pos"), col("tok")))),
-          s => s.getField("tok"))).as("clean_text"))
-    df.select(col(idCol).as("id"),
-        size(toks).cast("long").as("n_tokens"))
-      .join(kept, Seq("id"), "left")
-      .select(col("id").as(idCol), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L)))
-          .cast("long").as("n_removed"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .groupBy("id").agg(collect_set(col("pos")).as("__cov"))
+    df.select(col(idCol).as("id"), toks.as("__t"))
+      .join(covered, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        size(col("__t")).cast("long").as("n_tokens"),
+        coalesce(size(col("__cov")), lit(0)).cast("long").as("n_removed"),
+        when(col("__cov").isNull, concat_ws(" ", col("__t")))
+          .otherwise(concat_ws(" ", filter(
+            transform(col("__t"), (t, i) =>
+              when(!array_contains(col("__cov"), i), t)),
+            x => x.isNotNull)))
+          .as("clean_text"))
   }
 
   // ---------- per-group corpus caps ----------
