@@ -616,12 +616,17 @@ object TextAnalysis {
       benchmark: org.apache.spark.sql.DataFrame, benchTextCol: String,
       k: Int): org.apache.spark.sql.DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    val toks = tokens(col(textCol))
+    // NULL text would silently excise nothing while an oracle computes
+    // NULL counts — fail loudly instead (the deterministicSplit
+    // discipline)
+    val toks = tokens(when(col(textCol).isNull,
+      raise_error(lit("exciseContaminatedSpans: NULL text")))
+      .otherwise(col(textCol)))
     // shingle starts: 0..max(n-k, 0) — a doc shorter than k contributes
     // ONE short shingle (the TokenShingles contract, and the oracle's)
     def shingleAt(ts: Column, i: Column): Column =
       array_join(slice(ts, i + 1,
-        least(lit(k), size(ts) - i)), "")
+        least(lit(k), size(ts) - i)), "\u0001")
     val docSh = df.select(col(idCol).as("id"), toks.as("__t"))
       .select(col("id"), col("__t"),
         explode(sequence(lit(0), greatest(size(col("__t")) - k, lit(0))))
@@ -643,10 +648,13 @@ object TextAnalysis {
         size(col("__t")).cast("long").as("n_tokens"),
         coalesce(size(col("__cov")), lit(0)).cast("long").as("n_removed"),
         when(col("__cov").isNull, concat_ws(" ", col("__t")))
-          .otherwise(concat_ws(" ", filter(
-            transform(col("__t"), (t, i) =>
-              when(!array_contains(col("__cov"), i), t)),
-            x => x.isNotNull)))
+          // kept positions via hash-based array_except (O(n + c),
+          // order-preserving) — an array_contains per token would be
+          // O(n·c) on a heavily-quoted document
+          .otherwise(concat_ws(" ", transform(
+            array_except(sequence(lit(0), size(col("__t")) - 1),
+              col("__cov")),
+            p => element_at(col("__t"), p + 1))))
           .as("clean_text"))
   }
 

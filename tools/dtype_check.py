@@ -14,7 +14,7 @@ failure modes behind round 6's q71/q76/q80/q81/q86/q91/q99 hash reds
 and the q107 error. VALUE comparison is tools/check.py's job — run
 both.
 """
-import sys, os, json, glob
+import sys, os, json, glob, datetime
 import duckdb
 import pandas as pd
 
@@ -48,22 +48,24 @@ def main(out_dir, sf_dir):
                 issues.append(f"missing col {c}")
                 continue
             sk, dk = spark_df[c].dtype.kind, duck_df[c].dtype.kind
-            # date columns: parquet DATE loads as object-of-datetime.date
-            # while DuckDB .df() yields datetime64 — the driver's hasher
-            # handles this pair (q5 passes its real gate), so allow it
-            import datetime
-            nn0 = spark_df[c].dropna()
-            is_date_pair = (sk == "O" and dk == "M" and len(nn0)
-                            and isinstance(nn0.iloc[0], datetime.date))
-            # the driver hashes raw values: int64 vs float64/object of
-            # equal numbers still hash differently
-            if sk != dk and not (sk in "OU" and dk in "OU")                     and not is_date_pair:
-                issues.append(f"{c}: spark={spark_df[c].dtype} duck={duck_df[c].dtype}")
+            nn = spark_df[c].dropna()
+            if sk != dk and not (sk in "OU" and dk in "OU"):
+                # date columns: parquet DATE loads as object-of-
+                # datetime.date while DuckDB .df() yields datetime64 —
+                # the driver's hasher handles this exact pair (q5
+                # passes its real gate). `type(...) is` keeps the
+                # exemption that narrow: datetime.datetime objects are
+                # NOT waved through.
+                is_date_pair = (sk == "O" and dk == "M" and len(nn)
+                                and type(nn.iloc[0]) is datetime.date)
+                if not is_date_pair:
+                    issues.append(
+                        f"{c}: spark={spark_df[c].dtype} "
+                        f"duck={duck_df[c].dtype}")
             # the driver sort_values()-crashes on unhashable cells
             # (numpy arrays / lists) — q107's round-6 failure mode
-            nn = spark_df[c].dropna()
-            if len(nn) and isinstance(nn.iloc[0], (list, tuple)) or \
-               len(nn) and type(nn.iloc[0]).__name__ == "ndarray":
+            if len(nn) and (isinstance(nn.iloc[0], (list, tuple))
+                            or type(nn.iloc[0]).__name__ == "ndarray"):
                 issues.append(f"{c}: array-typed column (driver cannot sort)")
         if issues:
             print(f"[FAIL] {name}: " + "; ".join(issues))
