@@ -112,6 +112,42 @@ class CurationSweepSpec extends AnyFunSuite {
     }
   }
 
+  test("exciseContaminatedSpans equals the sequential reference across seeds") {
+    for (seed <- Seq(6, 29); k <- Seq(3, 5)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = (1 to 8).map(i => s"w$i") // tiny vocab → real overlaps
+      def text(n: Int) =
+        (1 to n).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      val bench = (100L to 103L).map(i => i -> text(4 + rnd.nextInt(8)))
+      val corpus = (1L to 40L).map(i => i -> text(1 + rnd.nextInt(20)))
+      // reference: benchmark shingle set with the short-doc contract,
+      // covered = union of [i, i+k-1] for matching starts
+      def shinglesOf(t: String): Seq[String] = {
+        val ws = t.split(" ", -1)
+        (0 to math.max(ws.length - k, 0)).map(i =>
+          ws.slice(i, math.min(i + k, ws.length)).mkString(""))
+      }
+      val bset = bench.flatMap(b => shinglesOf(b._2)).toSet
+      val want = corpus.map { case (id, t) =>
+        val ws = t.split(" ", -1)
+        val covered = (0 to math.max(ws.length - k, 0)).flatMap { i =>
+          if (bset.contains(ws.slice(i, math.min(i + k, ws.length))
+              .mkString("")))
+            i to math.min(i + k - 1, ws.length - 1)
+          else Seq.empty
+        }.toSet
+        val kept = ws.zipWithIndex.filterNot(p => covered.contains(p._2))
+        (id, ws.length.toLong, covered.size.toLong, kept.map(_._1).mkString(" "))
+      }.toSet
+      val got = TextAnalysis.exciseContaminatedSpans(
+          frame(corpus), "id", "text",
+          frame(bench), "text", k)
+        .select("id", "n_tokens", "n_removed", "clean_text")
+        .as[(Long, Long, Long, String)].collect().toSet
+      assert(got == want, s"seed=$seed k=$k")
+    }
+  }
+
   test("prefix filters survive the exact-threshold float boundary (J = C = 0.9)") {
     // 0.9*10 rounds to 9.000000000000002 in IEEE doubles; a ceil over
     // it shortens the prefix by one and silently drops pairs sitting
