@@ -58,12 +58,32 @@ object Bench {
     // longer than needed and the driver's log-tail capture truncated
     // the r5 JSON mid-object (ms resolution is beyond timer noise)
     def fmt(d: Double) = f"$d%.3f"
-    val qs = results.map { case (k, v) =>
-      s"\"" + k + "\":" + v.fold("null")(fmt) }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     val failed = results.collect { case (k, None) => s"\"$k\"" }
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+
+    // The driver captures only the TAIL of stdout, and a single ~3.5kB
+    // line with full query names was prefix-truncated (unparseable) in
+    // r5-r7. Two defenses, both near the end of the stream:
+    //  1. per-query timings under FULL names, chunked into self-contained
+    //     JSON lines of <= ~1.2kB each (any surviving line parses alone);
+    //  2. ONE final complete summary line kept compact (~1.7kB) by using
+    //     the unique "q<number>" prefix as the key and 2-decimal times.
+    val entries = results.map { case (k, v) =>
+      "\"" + k + "\":" + v.fold("null")(fmt) }
+    val chunks = entries.foldLeft(Vector(Vector.empty[String])) { (acc, e) =>
+      if (acc.last.isEmpty || acc.last.map(_.length + 1).sum + e.length <= 1200)
+        acc.init :+ (acc.last :+ e)
+      else acc :+ Vector(e)
+    }
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      println(s"""{"metric":"queries_part","part":${i + 1},"parts":${chunks.size},"sf":"$sfDir","queries":${c.mkString("{", ",", "}")}}""")
+    }
+    def fmt2(d: Double) = f"$d%.2f"
+    val shortQs = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + v.fold("null")(fmt2)
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$shortQs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

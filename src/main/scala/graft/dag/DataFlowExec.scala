@@ -81,7 +81,12 @@ object PipelineContext {
       name => spark.table(name),
       (name, df, mode) => {
         import org.apache.spark.sql.functions.{col, lit}
-        val target = scala.util.Try(spark.table(name).schema).toOption
+        // existence check, not Try(spark.table(...)): probing a
+        // not-yet-created target used to log a TABLE_OR_VIEW_NOT_FOUND
+        // stack on every green run, burying real failures in the log
+        val target =
+          if (spark.catalog.tableExists(name)) Some(spark.table(name).schema)
+          else None
         val aligned = target.fold(df) { sch =>
           df.select(sch.fields.map { f =>
             if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)

@@ -349,7 +349,15 @@ object Similarity {
         cosine(col("qv"), col("nv")).as("cosine_sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine_sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    val ranked = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k).persist()
+    // materialize NOW (while probes is still cached), then drop the
+    // wide probe projection — otherwise every probe call leaks its
+    // cached blocks for the session's lifetime. What stays cached is
+    // only the k-per-query output; callers may unpersist it when done.
+    ranked.count()
+    probes.unpersist()
+    ranked
   }
 
   /** Lloyd-iteration k-means refinement of the coarse quantizer, built

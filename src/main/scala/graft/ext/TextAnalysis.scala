@@ -491,7 +491,11 @@ object TextAnalysis {
     * outside the edited region keeps its identity (the property that
     * makes CDC the block-level dedup splitter fixed-size windows can't
     * be; FastCDC's rolling-hash cut generalized to token streams).
-    * Expected chunk length ≈ `modulus` tokens. md5 parity makes the
+    * The boundary probability is ceil(16/modulus)/16 per token, so the
+    * expected chunk length is 16/ceil(16/modulus) tokens — exactly
+    * `modulus` when modulus divides 16 (1, 2, 4, 8, 16); e.g.
+    * modulus=3 matches 6 of the 16 nibble values (p=0.375, expected
+    * length ~2.7, not 3). md5 parity makes the
     * boundary rule engine-portable, and the whole operator is a pure
     * per-row projection + explode — array lambdas compute boundary
     * positions and slice chunks with ZERO shuffles. A boundary token

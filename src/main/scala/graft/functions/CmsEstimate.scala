@@ -31,6 +31,11 @@ case class CmsEstimate(left: Expression, right: Expression)
     else if (!left.foldable)
       TypeCheckResult.TypeCheckFailure(
         "cms_estimate expects a foldable (literal) sketch argument")
+    // a NULL sketch literal would otherwise pass analysis and NPE
+    // opaquely inside the lazy deserialization during codegen
+    else if (left.eval(null) == null)
+      TypeCheckResult.TypeCheckFailure(
+        "cms_estimate sketch argument must not be null")
     else if (right.dataType != StringType)
       TypeCheckResult.TypeCheckFailure(
         s"cms_estimate expects a string term, got ${right.dataType.catalogString}")

@@ -481,15 +481,23 @@ object ExtQueries extends QueryPack {
     // guarantee q61 certifies, now for the persisted form.
     "q116_ivf_persisted" -> { (s, dir) =>
       val e = embs(s, dir)
-      // fixed path + overwrite mode: repeated Verify/Bench runs reuse
-      // the location instead of accumulating one index copy per run
-      val path = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft_ivf_q116").toString
+      // per-run location under this session's warehouse dir (every
+      // entrypoint creates a fresh temp warehouse): repeated calls in
+      // one run reuse it via overwrite mode, while concurrent runs by
+      // other processes/users on a shared machine cannot collide
+      // mid-overwrite the way a fixed java.io.tmpdir path could
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val whPath =
+        if (wh.startsWith("file:")) new java.net.URI(wh).getPath else wh
+      val path = new java.io.File(whPath, "graft_ivf_q116").toString
       Similarity.writeIvfIndex(e, "vec_id", "embedding", nlist = 8, path)
-      // scale proof: a partial probe reads ONLY its probed lists
-      val pruned = Similarity.probeIvfIndex(e.filter(col("vec_id") < 20),
-          path, "vec_id", "embedding", k = 5, nprobe = 2)
-        .queryExecution.executedPlan.toString
+      // scale proof: a partial probe reads ONLY its probed lists (the
+      // probe result is persisted by contract — the cached plan string
+      // retains the pruned scan — so unpersist after the assertion)
+      val partial = Similarity.probeIvfIndex(e.filter(col("vec_id") < 20),
+        path, "vec_id", "embedding", k = 5, nprobe = 2)
+      val pruned = partial.queryExecution.executedPlan.toString
+      partial.unpersist()
       require("PartitionFilters: \\[[^\\]]*centroid_id".r
           .findFirstIn(pruned).isDefined,
         s"probe must prune unprobed posting lists:\n$pruned")

@@ -20,18 +20,27 @@ class CurationSweepSpec extends AnyFunSuite {
     spark.createDataFrame(
       java.util.Arrays.asList(rows.map(r => Row(r._1, r._2)): _*), docSchema)
 
-  /** The engine's shingle definition, reimplemented independently. */
+  /** The engine's shingle definition, reimplemented independently.
+    * Tokens are joined with U+0001 (written as an escape so the
+    * delimiter is visible in review), matching the TokenShingles
+    * contract — a bare concatenation would collapse distinct shingles
+    * whenever the vocabulary has variable-width tokens (("a","bb") vs
+    * ("ab","b")) and the sweep would stop being independent. */
   private def refShingles(text: String, k: Int): Seq[String] = {
     val toks = text.split(" ", -1)
     val last = math.max(toks.length - k, 0)
     (0 to last).map(i => toks.slice(i, math.min(i + k, toks.length))
-      .mkString("")).distinct
+      .mkString("\u0001")).distinct
   }
 
   test("spanDupStats equals the brute-force reference across seeds") {
-    for (seed <- Seq(3, 11, 42); k <- Seq(2, 4)) {
+    // the second vocabulary is deliberately variable-width with
+    // concatenation collisions ("a"+"bb" == "ab"+"b") — it passes only
+    // because engine and reference both delimit shingle tokens
+    for (seed <- Seq(3, 11, 42); k <- Seq(2, 4);
+         vocab <- Seq(Seq("aa", "bb", "cc", "dd"),
+                      Seq("a", "b", "ab", "bb"))) {
       val rnd = new scala.util.Random(seed)
-      val vocab = Seq("aa", "bb", "cc", "dd")
       val rows = (1L to 40L).map { i =>
         i -> (1 to (1 + rnd.nextInt(12)))
           .map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
@@ -47,7 +56,7 @@ class CurationSweepSpec extends AnyFunSuite {
         .select("id", "n_spans", "n_dup_spans")
         .as[(Long, Long, Long)].collect()
         .map(r => r._1 -> ((r._2, r._3))).toMap
-      assert(got == want, s"seed=$seed k=$k")
+      assert(got == want, s"seed=$seed k=$k vocab=$vocab")
     }
   }
 
@@ -113,9 +122,13 @@ class CurationSweepSpec extends AnyFunSuite {
   }
 
   test("exciseContaminatedSpans equals the sequential reference across seeds") {
-    for (seed <- Seq(6, 29); k <- Seq(3, 5)) {
+    // tiny vocabs → real overlaps; the second is variable-width with
+    // concatenation collisions ("w"+"1w" == "w1"+"w") to prove both
+    // sides delimit shingle tokens
+    for (seed <- Seq(6, 29); k <- Seq(3, 5);
+         vocab <- Seq((1 to 8).map(i => s"w$i"),
+                      Seq("w", "1w", "w1", "1", "w11"))) {
       val rnd = new scala.util.Random(seed)
-      val vocab = (1 to 8).map(i => s"w$i") // tiny vocab → real overlaps
       def text(n: Int) =
         (1 to n).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
       val bench = (100L to 103L).map(i => i -> text(4 + rnd.nextInt(8)))
@@ -125,14 +138,14 @@ class CurationSweepSpec extends AnyFunSuite {
       def shinglesOf(t: String): Seq[String] = {
         val ws = t.split(" ", -1)
         (0 to math.max(ws.length - k, 0)).map(i =>
-          ws.slice(i, math.min(i + k, ws.length)).mkString(""))
+          ws.slice(i, math.min(i + k, ws.length)).mkString("\u0001"))
       }
       val bset = bench.flatMap(b => shinglesOf(b._2)).toSet
       val want = corpus.map { case (id, t) =>
         val ws = t.split(" ", -1)
         val covered = (0 to math.max(ws.length - k, 0)).flatMap { i =>
           if (bset.contains(ws.slice(i, math.min(i + k, ws.length))
-              .mkString("")))
+              .mkString("\u0001")))
             i to math.min(i + k - 1, ws.length - 1)
           else Seq.empty
         }.toSet
@@ -144,7 +157,7 @@ class CurationSweepSpec extends AnyFunSuite {
           frame(bench), "text", k)
         .select("id", "n_tokens", "n_removed", "clean_text")
         .as[(Long, Long, Long, String)].collect().toSet
-      assert(got == want, s"seed=$seed k=$k")
+      assert(got == want, s"seed=$seed k=$k vocab=$vocab")
     }
   }
 

@@ -101,7 +101,7 @@ class ExtSpec extends AnyFunSuite {
     val df = docs((1L, "a b c d"), (2L, "a b c e"))
     val sets = df.select(Dedup.shingles(col("text"), 2).as("sh"))
       .collect().map(_.getSeq[String](0).toSet)
-    // shingles of 'a b c d' with k=2: ab, bc, cd (joined w/ )
+    // shingles of 'a b c d' with k=2: ab, bc, cd (joined w/ U+0001)
     assert(sets(0).size == 3)
     val j = df.agg(collect_list(col("text"))).as[Seq[String]].head()
     val sim = docs((1L, "a b c d")).crossJoin(docs((2L, "a b c e")).select(col("text").as("t2")))
@@ -904,6 +904,16 @@ class ExtSpec extends AnyFunSuite {
     val plan = frame.queryExecution.executedPlan.toString
     assert(plan.contains("cms_estimate"), plan)
     assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("cms_estimate rejects a NULL sketch literal at analysis, not codegen") {
+    // a null foldable sketch used to pass type checking and NPE inside
+    // the lazy deserialization with an opaque codegen stack
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      docs((1L, "a b")).select(call_function("cms_estimate",
+        lit(null).cast("binary"), col("text"))).collect()
+    }
+    assert(err.getMessage.contains("must not be null"), err.getMessage)
   }
 
   test("capPerGroupBudget keeps rows while prior cumulative mass is under budget") {
