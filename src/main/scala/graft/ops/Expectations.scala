@@ -11,10 +11,20 @@ import org.apache.spark.sql.functions._
   * expensive job in a pipeline). Results come back as one row per
   * rule: (rule, col_name, n_violations, ok).
   *
-  * Uniqueness is the one rule a projection cannot decide; it runs as
-  * an EXTRA count-distinct branch fused into the same aggregate
-  * (Spark plans multi-distinct aggregates as a single expand+agg —
-  * still one scan of the source).
+  * Uniqueness is the one rule a projection cannot decide; two forms:
+  *  - [[Unique]] — EXACT, fused as a count-distinct branch. One such
+  *    rule already forces a full shuffle of every row on the audited
+  *    key (two-phase keyed aggregate); with two or more, Spark plans
+  *    expand+agg — every input row duplicated once per distinct branch
+  *    — so N exact-Unique rules multiply the shuffled row volume
+  *    N-fold at 100 TB. Still one scan of storage, but the widest
+  *    audit shape (both stages asserted in ExpectationsSpec).
+  *  - [[ApproxUnique]] — HyperLogLog++ (`approx_count_distinct`),
+  *    which folds into the same plain hash aggregate as every other
+  *    rule (no Expand node — asserted in ScaleSpec). At audit scale
+  *    the question is "did uniqueness break materially", which the
+  *    sketch answers at a fraction of the cost; `ok` concedes the
+  *    estimator three standard deviations (duplicates <= 3*rsd*rows).
   */
 object Expectations {
 
@@ -38,13 +48,28 @@ object Expectations {
   final case class InSet(column: String, values: Seq[String]) extends Rule {
     val name = "in_set"
   }
-  /** Column must be unique across the table. */
+  /** Column must be unique across the table (exact — see the expand
+    * cost note in the object doc; prefer [[ApproxUnique]] for wide
+    * audits over large tables). */
   final case class Unique(column: String) extends Rule {
     val name = "unique"
   }
+  /** Column should be unique, judged by an HLL++ sketch with relative
+    * standard deviation `rsd`: `n_violations` is the estimated
+    * duplicate count (clamped at 0 — the estimator can overshoot the
+    * true distinct count), `ok` tolerates THREE standard deviations of
+    * estimator error (duplicates <= 3 * rsd * non-null rows — one rsd
+    * would flag a perfectly unique column ~16% of the time). Unlike
+    * [[Unique]] this compiles into the same single-pass hash aggregate
+    * as every other rule — no Expand. */
+  final case class ApproxUnique(column: String, rsd: Double = 0.05)
+      extends Rule {
+    require(rsd > 0 && rsd < 1, s"approx_unique rsd must be in (0,1): $rsd")
+    val name = "approx_unique"
+  }
 
   // coalesce: SUM over zero rows is NULL — an audit of an empty table
-  // must report 0 violations / ok, matching the count-based Unique rule
+  // must report 0 violations / ok, matching the count-based rules
   private def violations(r: Rule): Column = r match {
     case NotNull(c) =>
       coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
@@ -60,23 +85,55 @@ object Expectations {
     case Unique(c) =>
       // duplicates = non-null rows minus distinct non-null values
       count(col(c)) - countDistinct(col(c))
+    case ApproxUnique(c, rsd) =>
+      greatest(count(col(c)) - approx_count_distinct(col(c), rsd), lit(0L))
+  }
+
+  /** One agg list + one result-struct list shared by both audit
+    * shapes. ApproxUnique carries a second hidden aggregate (the
+    * non-null row count) so its `ok` can scale the tolerance. */
+  private def compile(rules: Seq[Rule]): (Seq[Column], Seq[Column]) = {
+    require(rules.nonEmpty, "expectations: no rules given")
+    val aggs = rules.zipWithIndex.flatMap {
+      case (r @ ApproxUnique(c, _), i) => Seq(
+        violations(r).cast("long").as(s"__v$i"),
+        count(col(c)).cast("long").as(s"__n$i"))
+      case (r, i) => Seq(violations(r).cast("long").as(s"__v$i"))
+    }
+    val rows = rules.zipWithIndex.map { case (r, i) =>
+      val ok = r match {
+        case ApproxUnique(_, rsd) =>
+          col(s"__v$i").cast("double") <= lit(3 * rsd) * col(s"__n$i")
+        case _ => col(s"__v$i") === 0L
+      }
+      struct(lit(r.name).as("rule"), lit(r.column).as("col_name"),
+        col(s"__v$i").as("n_violations"), ok.as("ok"))
+    }
+    (aggs, rows)
   }
 
   /** Audit `df` against `rules` in one aggregate pass. Returns one row
     * per rule: (rule, col_name, n_violations, ok), in rule order. */
   def audit(df: DataFrame, rules: Seq[Rule]): DataFrame = {
-    require(rules.nonEmpty, "expectations: no rules given")
-    val aggs = rules.zipWithIndex.map { case (r, i) =>
-      violations(r).cast("long").as(s"__v$i")
-    }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    val rows = rules.zipWithIndex.map { case (r, i) =>
-      struct(lit(r.name).as("rule"), lit(r.column).as("col_name"),
-        col(s"__v$i").as("n_violations"),
-        (col(s"__v$i") === 0L).as("ok"))
-    }
-    one.select(explode(array(rows: _*)).as("e"))
+    val (aggs, rows) = compile(rules)
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rows: _*)).as("e"))
       .select(col("e.rule"), col("e.col_name"), col("e.n_violations"),
         col("e.ok"))
+  }
+
+  /** Per-group audit: the same fused single-pass aggregate, keyed by
+    * `groupCol` — N rules over G groups still cost one scan and one
+    * shuffle on the group key (the audit shape for "did quality break
+    * in SOME segment/source/partition", where a global audit averages
+    * the breakage away). Returns (groupCol, rule, col_name,
+    * n_violations, ok), one row per group x rule. */
+  def auditByGroup(df: DataFrame, groupCol: String,
+      rules: Seq[Rule]): DataFrame = {
+    val (aggs, rows) = compile(rules)
+    df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(groupCol), explode(array(rows: _*)).as("e"))
+      .select(col(groupCol), col("e.rule"), col("e.col_name"),
+        col("e.n_violations"), col("e.ok"))
   }
 }

@@ -67,6 +67,40 @@ object CoreQueries extends QueryPack {
         .orderBy(col("rule"))
     },
 
+    // The 100 TB audit shape: approximate uniqueness via HLL++ fused
+    // into the same single-pass hash aggregate as the other rules —
+    // no Expand node (asserted IN the query; exact count-distinct
+    // makes Spark expand every input row once per distinct branch,
+    // which q118 accepts for exactness but a wide audit should not).
+    // n_violations is an estimate, so the gate row exposes only the
+    // ok verdict, whose 3-sigma tolerance both engines clear with
+    // orders-of-magnitude margins (o_orderkey: 0 dups vs a 15% line;
+    // o_custkey: ~90% dups vs the same line).
+    "q124_expectations_approx" -> { (s, dir) =>
+      import graft.ops.Expectations._
+      val out = audit(graft.Tables.load(s, dir, "orders"), Seq(
+        NotNull("o_orderpriority"),
+        ApproxUnique("o_orderkey", rsd = 0.05),
+        ApproxUnique("o_custkey", rsd = 0.05)))
+      val plan = out.queryExecution.executedPlan.toString
+      require(!plan.contains("Expand"),
+        s"approx-unique audit must stay a plain single-pass aggregate:\n$plan")
+      out.select(col("rule"), col("col_name"), col("ok"))
+        .orderBy(col("col_name"))
+    },
+
+    // Per-group audit: same fused aggregate keyed by segment — N rules
+    // x G groups in one scan + one shuffle, the shape for "did quality
+    // break in SOME segment" that a global audit averages away.
+    "q125_expectations_by_group" -> { (s, dir) =>
+      import graft.ops.Expectations._
+      auditByGroup(graft.Tables.load(s, dir, "customer"), "c_mktsegment",
+        Seq(NotNull("c_name"),
+          Between("c_acctbal", 0.0, 10000.0),
+          Unique("c_custkey")))
+        .orderBy(col("c_mktsegment"), col("rule"))
+    },
+
     // The classic 5-table star join (TPC-H Q5 shape) — the relational
     // flagship: the region→nation→customer dimension chain collapses
     // into ONE broadcast build side, orders⋈lineitem is the only
@@ -195,6 +229,40 @@ object CoreQueries extends QueryPack {
         |  COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) = 0
         |FROM orders
         |ORDER BY rule""".stripMargin,
+    "q124_expectations_approx" ->
+      """SELECT 'not_null' AS rule, 'o_orderpriority' AS col_name,
+        |  SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) = 0 AS ok
+        |FROM orders
+        |UNION ALL
+        |SELECT 'approx_unique', 'o_custkey',
+        |  (COUNT(o_custkey) - COUNT(DISTINCT o_custkey))
+        |    <= 0.15 * COUNT(o_custkey)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'approx_unique', 'o_orderkey',
+        |  (COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey))
+        |    <= 0.15 * COUNT(o_orderkey)
+        |FROM orders
+        |ORDER BY col_name""".stripMargin,
+    "q125_expectations_by_group" ->
+      """SELECT c_mktsegment, 'between' AS rule, 'c_acctbal' AS col_name,
+        |  CAST(SUM(CASE WHEN c_acctbal IS NULL OR c_acctbal < 0.0
+        |    OR c_acctbal > 10000.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violations,
+        |  SUM(CASE WHEN c_acctbal IS NULL OR c_acctbal < 0.0
+        |    OR c_acctbal > 10000.0 THEN 1 ELSE 0 END) = 0 AS ok
+        |FROM customer GROUP BY c_mktsegment
+        |UNION ALL
+        |SELECT c_mktsegment, 'not_null', 'c_name',
+        |  CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) = 0
+        |FROM customer GROUP BY c_mktsegment
+        |UNION ALL
+        |SELECT c_mktsegment, 'unique', 'c_custkey',
+        |  CAST(COUNT(c_custkey) - COUNT(DISTINCT c_custkey) AS BIGINT),
+        |  COUNT(c_custkey) - COUNT(DISTINCT c_custkey) = 0
+        |FROM customer GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment, rule""".stripMargin,
     "q81_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_cents,

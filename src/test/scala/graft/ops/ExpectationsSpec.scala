@@ -53,4 +53,61 @@ class ExpectationsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert("LocalTableScan".r.findAllIn(plan).size == 1, plan)
   }
+
+  test("approx_unique judges material duplication without an Expand node") {
+    // unique ids → ok; 60% duplicate tags → not ok (the estimated
+    // duplicate count clears the 3-sigma line by a factor of ~4)
+    val rows = (1L to 500L).map(i => Row(i, 1.0, s"t${i % 200}"))
+    val df = frame(rows: _*)
+    val out = Expectations.audit(df, Seq(
+        ApproxUnique("id"), ApproxUnique("tag")))
+      .select("col_name", "ok").as[(String, Boolean)].collect().toMap
+    assert(out("id"), "unique column flagged as duplicated")
+    assert(!out("tag"), "60% duplication not flagged")
+    // the sketch folds into a plain hash aggregate: no Expand, one scan
+    // (exact Unique in the same audit DOES plan an Expand — the cost
+    // the approx rule exists to avoid)
+    val approxPlan = Expectations.audit(df,
+        Seq(NotNull("id"), ApproxUnique("id"), ApproxUnique("tag")))
+      .queryExecution.executedPlan.toString
+    assert(!approxPlan.contains("Expand"), approxPlan)
+    assert("LocalTableScan".r.findAllIn(approxPlan).size == 1, approxPlan)
+    assert(!approxPlan.contains("Exchange hashpartitioning"), approxPlan)
+    // exact Unique costs: ONE distinct branch already forces a full
+    // shuffle of every row on the audited key; TWO branches make
+    // Spark expand each input row once per branch before aggregating
+    val oneExact = Expectations.audit(df, Seq(NotNull("id"), Unique("id")))
+      .queryExecution.executedPlan.toString
+    assert(oneExact.contains("Exchange hashpartitioning"), oneExact)
+    val twoExact = Expectations.audit(df, Seq(Unique("id"), Unique("tag")))
+      .queryExecution.executedPlan.toString
+    assert(twoExact.contains("Expand"), twoExact)
+    // empty input: estimator reports 0 violations / ok
+    val empty = Expectations.audit(frame(), Seq(ApproxUnique("id")))
+      .select("n_violations", "ok").as[(Long, Boolean)].collect()
+    assert(empty.toSeq == Seq((0L, true)))
+  }
+
+  test("auditByGroup fuses N rules x G groups into one keyed pass") {
+    val df = frame(
+      Row(1L, 5.0, "a"), Row(2L, -3.0, "a"), Row(2L, 7.0, "a"),
+      Row(3L, 1.0, "b"), Row(null, 2.0, "b"))
+    val out = Expectations.auditByGroup(df, "tag", Seq(
+        NotNull("id"), Between("v", 0.0, 10.0), Unique("id")))
+      .select("tag", "rule", "n_violations", "ok")
+      .as[(String, String, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out(("a", "not_null")) == ((0L, true)))
+    assert(out(("a", "between")) == ((1L, false)))  // -3.0
+    assert(out(("a", "unique")) == ((1L, false)))   // id=2 twice
+    assert(out(("b", "not_null")) == ((1L, false))) // null id
+    assert(out(("b", "between")) == ((0L, true)))
+    assert(out(("b", "unique")) == ((0L, true)))    // null doesn't count
+    assert(out.size == 6)
+    // one scan feeding one keyed aggregate
+    val plan = Expectations.auditByGroup(df, "tag", Seq(
+        NotNull("id"), Between("v", 0.0, 10.0)))
+      .queryExecution.executedPlan.toString
+    assert("LocalTableScan".r.findAllIn(plan).size == 1, plan)
+  }
 }
