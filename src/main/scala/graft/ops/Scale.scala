@@ -29,21 +29,112 @@ object Scale {
     * range-partitioned AND sorted on `sortCols`, so each file owns a
     * DISJOINT key range and min/max footer stats prune file reads for
     * any range or point predicate on the sort key (the poor-man's
-    * Z-order for one dimension). One count action to size the layout,
-    * one range exchange to write it. Returns the number of part files
-    * ACTUALLY written — the sampling-based range partitioner may leave
-    * partitions empty under duplicate or skewed sort keys, and empty
-    * partitions write no file, so the observed count is the contract,
-    * not the requested one. */
+    * Z-order for one dimension; see [[compactWriteZ]] for two). One
+    * sizing action, one range exchange to write. Returns the number of
+    * part files ACTUALLY written — the sampling-based range partitioner
+    * may leave partitions empty under duplicate or skewed sort keys,
+    * and empty partitions write no file, so the observed count is the
+    * contract, not the requested one. */
   def compactWrite(df: DataFrame, path: String, targetRowsPerFile: Long,
       sortCols: Seq[String]): Int = {
     require(targetRowsPerFile > 0 && sortCols.nonEmpty,
       s"need positive target and sort cols: $targetRowsPerFile, $sortCols")
-    val n = df.count()
-    val files = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
-    df.repartitionByRange(files, sortCols.map(col): _*)
-      .sortWithinPartitions(sortCols.map(col): _*)
-      .write.mode("overwrite").parquet(path)
+    withSizingSource(df) { src =>
+      val n = src.count()
+      val files = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+      src.repartitionByRange(files, sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
+        .write.mode("overwrite").parquet(path)
+    }
+    countPartFiles(df, path)
+  }
+
+  /** Two-dimensional data skipping: compaction clustered on the
+    * INTERLEAVED BITS of two columns (the Z-order / Morton curve —
+    * what Delta's OPTIMIZE ZORDER BY does for its file layout). Each
+    * column is normalized to a 16-bit grid cell (bounds from one tiny
+    * min/max aggregate, fused with the sizing count into a single
+    * action), the two cell numbers are bit-interleaved into one 32-bit
+    * Z value with the classic shift-and-mask spread (all codegen'd
+    * column arithmetic — no UDF), and files are range-partitioned +
+    * sorted on Z. Because the Z curve preserves locality in BOTH
+    * dimensions, each file's min/max footer stats are narrow on BOTH
+    * columns, so a predicate on EITHER prunes file reads — the
+    * property a single-dimension sort cannot give (its second column
+    * spans the full range in every file; q126 asserts the pruning on
+    * each dimension in-query). NULLs in either column Z-sort first.
+    * Same observed-file-count contract as [[compactWrite]]. */
+  def compactWriteZ(df: DataFrame, path: String, targetRowsPerFile: Long,
+      colA: String, colB: String): Int = {
+    require(targetRowsPerFile > 0, s"need positive target: $targetRowsPerFile")
+    withSizingSource(df) { src =>
+      val r = src.agg(count(lit(1)),
+        min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+        min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+      val n = r.getLong(0)
+      val files = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+      def bound(i: Int): Double = if (r.isNullAt(i)) 0.0 else r.getDouble(i)
+      val z = zValue(col(colA), bound(1), bound(2),
+        col(colB), bound(3), bound(4))
+      src.withColumn("__graft_z", z)
+        .repartitionByRange(files, col("__graft_z"))
+        .sortWithinPartitions(col("__graft_z"))
+        .drop("__graft_z")
+        .write.mode("overwrite").parquet(path)
+    }
+    countPartFiles(df, path)
+  }
+
+  /** 32-bit Morton code of two columns, each normalized to a 16-bit
+    * grid over [lo, hi]: `spread(cellA) | spread(cellB) << 1` — colB
+    * owns the most significant bit. Pure column arithmetic (codegen'd,
+    * map-only). */
+  private def zValue(a: Column, loA: Double, hiA: Double,
+      b: Column, loB: Double, hiB: Double): Column = {
+    def cell(c: Column, lo: Double, hi: Double): Column =
+      if (hi <= lo) lit(0L)
+      else least(lit(65535L), greatest(lit(0L),
+        floor((c.cast("double") - lit(lo)) / lit(hi - lo) * 65536.0)
+          .cast("long")))
+    // 16 significant bits -> 32, a zero between consecutive bits:
+    // x = abcdefgh... -> a0b0c0d0...
+    def spread(c0: Column): Column = {
+      val c1 = c0.bitwiseOR(shiftleft(c0, 8)).bitwiseAND(lit(0x00FF00FFL))
+      val c2 = c1.bitwiseOR(shiftleft(c1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      val c3 = c2.bitwiseOR(shiftleft(c2, 2)).bitwiseAND(lit(0x33333333L))
+      c3.bitwiseOR(shiftleft(c3, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    spread(cell(a, loA, hiA))
+      .bitwiseOR(shiftleft(spread(cell(b, loB, hiB)), 1))
+  }
+
+  /** Sizing policy shared by the compaction writers: both need one
+    * action over the input BEFORE the write (row count / grid bounds).
+    * When the input is a bare scan — optionally under pushdown-able
+    * Project/Filter — that extra action reads only metadata / pruned
+    * columns, and caching the full-width rows would cost more than it
+    * saves, so the input runs as-is. Any heavier plan (joins,
+    * aggregates, non-parquet sources) is persisted so the source is
+    * scanned ONCE: the sizing action fills the cache, the write drains
+    * it, and the blocks are dropped before returning. */
+  private def withSizingSource(df: DataFrame)(body: DataFrame => Unit): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, LogicalPlan}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Project}
+    @annotation.tailrec
+    def scanCheap(p: LogicalPlan): Boolean = p match {
+      case _: LeafNode => true
+      case pr: Project => scanCheap(pr.child)
+      case f: LFilter => scanCheap(f.child)
+      case _ => false
+    }
+    val cheap = scanCheap(df.queryExecution.optimizedPlan)
+    val src = if (cheap) df
+      else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try body(src)
+    finally if (!cheap) { src.unpersist(blocking = true); () }
+  }
+
+  private def countPartFiles(df: DataFrame, path: String): Int = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path),
       df.sparkSession.sparkContext.hadoopConfiguration)

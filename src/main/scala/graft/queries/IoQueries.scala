@@ -18,8 +18,15 @@ object IoQueries extends QueryPack {
   private def run(s: SparkSession, dir: String, flow: DataFlow): Map[String, DataFrame] =
     DataFlowExec.run(flow, PipelineContext.overDir(s, dir))
 
-  private def tmp(name: String) =
-    s"${System.getProperty("java.io.tmpdir")}/graft_io/$name"
+  // anchored under the session's per-run temp warehouse (not a fixed
+  // java.io.tmpdir path): concurrent runs on a shared machine get
+  // disjoint locations, same fix as q116's IVF index
+  private def tmp(s: SparkSession, name: String) = {
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val whPath =
+      if (wh.startsWith("file:")) new java.net.URI(wh).getPath else wh
+    s"$whPath/graft_io/$name"
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -30,7 +37,7 @@ object IoQueries extends QueryPack {
     // prune every range predicate). The oracle is content identity:
     // compaction must never change the rows.
     "q121_compaction" -> { (s, dir) =>
-      val path = tmp("documents_compacted")
+      val path = tmp(s, "documents_compacted")
       val src = graft.Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       val files = graft.ops.Scale.compactWrite(src, path,
@@ -49,9 +56,49 @@ object IoQueries extends QueryPack {
       back.orderBy(col("doc_id"))
     },
 
+    // Z-order (interleaved-bits) compaction: documents rewritten at
+    // 100 rows/file clustered on the Morton code of (doc_id, n_chars).
+    // The in-query requires certify the layout: exact observed file
+    // count, and per-file min/max stats narrow enough on BOTH columns
+    // that a bottom-decile range predicate on EITHER dimension skips
+    // files — the two-dimensional skipping a single-dim range sort
+    // cannot give (every q121 file spans the full n_chars range).
+    // The oracle is content identity: clustering never changes rows.
+    "q126_zorder_compaction" -> { (s, dir) =>
+      val path = tmp(s, "documents_zorder")
+      val src = graft.Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val files = graft.ops.Scale.compactWriteZ(src, path,
+        targetRowsPerFile = 100L, colA = "doc_id", colB = "n_chars")
+      val back = s.read.parquet(path)
+      val stats = back.groupBy(input_file_name().as("f"))
+        .agg(min(col("doc_id")).as("lo_a"), max(col("doc_id")).as("hi_a"),
+          min(col("n_chars")).as("lo_b"), max(col("n_chars")).as("hi_b"))
+        .collect()
+        .map(r => (r.getAs[Number](1).longValue, r.getAs[Number](2).longValue,
+          r.getAs[Number](3).longValue, r.getAs[Number](4).longValue))
+      require(stats.length == files,
+        s"expected $files files, wrote ${stats.length}")
+      // pruning proof needs enough files to have something to skip
+      // (sf0.001's 50 rows fit one file, where nothing is prunable)
+      if (files >= 4) {
+        def pruned(lo: ((Long, Long, Long, Long)) => Long,
+            hi: ((Long, Long, Long, Long)) => Long, dim: String): Unit = {
+          val (gLo, gHi) = (stats.map(lo).min, stats.map(hi).max)
+          val cut = gLo + math.max(1L, (gHi - gLo) / 10)
+          val hit = stats.count(st => lo(st) <= cut)
+          require(hit < files,
+            s"bottom-decile $dim predicate must skip files: $hit of $files hit")
+        }
+        pruned(_._1, _._2, "doc_id")
+        pruned(_._3, _._4, "n_chars")
+      }
+      back.orderBy(col("doc_id"))
+    },
+
     // CSV write → CSV read (header on, explicit schema on read).
     "q32_csv_roundtrip" -> { (s, dir) =>
-      val path = tmp("nation_csv")
+      val path = tmp(s, "nation_csv")
       run(s, dir, DataFlow("q32w", Seq(
         SourceTable("src", "nation"),
         FileDestination("dst", path, "csv", WriteMode.Overwrite,
@@ -66,7 +113,7 @@ object IoQueries extends QueryPack {
 
     // JSON write → JSON read (schema pinned: JSON key order is not).
     "q33_json_roundtrip" -> { (s, dir) =>
-      val path = tmp("supplier_json")
+      val path = tmp(s, "supplier_json")
       run(s, dir, DataFlow("q33w", Seq(
         SourceTable("src", "supplier"),
         FileDestination("dst", path, "json", WriteMode.Overwrite)),
@@ -81,7 +128,7 @@ object IoQueries extends QueryPack {
     // Flat-file text source: one line per document (corpus has no
     // embedded newlines; lines are unique).
     "q34_text_source" -> { (s, dir) =>
-      val path = tmp("documents_text")
+      val path = tmp(s, "documents_text")
       run(s, dir, DataFlow("q34w", Seq(
         SourceTable("src", "documents", columns = Seq("text")),
         FileDestination("dst", path, "text", WriteMode.Overwrite)),
@@ -94,7 +141,7 @@ object IoQueries extends QueryPack {
 
     // Excel write → Excel read through the native OOXML reader/writer.
     "q39_excel_roundtrip" -> { (s, dir) =>
-      val path = tmp("region_xlsx/region.xlsx")
+      val path = tmp(s, "region_xlsx/region.xlsx")
       run(s, dir, DataFlow("q39w", Seq(
         SourceTable("src", "region"),
         ExcelDestination("dst", path)),
@@ -110,7 +157,7 @@ object IoQueries extends QueryPack {
     // goes to its own file, then comes back as a binary column joined
     // via the distributed binaryFile source.
     "q46_import_export" -> { (s, dir) =>
-      val base = tmp("doc_files")
+      val base = tmp(s, "doc_files")
       val flow = DataFlow("q46", Seq(
         SourceTable("src", "documents", columns = Seq("doc_id", "text"),
           filter = Some("doc_id < 200")),
@@ -137,7 +184,7 @@ object IoQueries extends QueryPack {
           collect_list(struct(col("n_nationkey"), col("n_name"),
             col("n_regionkey"))).as("rows"))).as("doc"))
         .head().getString(0)
-      val f = new java.io.File(tmp("nation_rest/payload.json"))
+      val f = new java.io.File(tmp(s, "nation_rest/payload.json"))
       Option(f.getParentFile).foreach(_.mkdirs())
       java.nio.file.Files.write(f.toPath, payload.getBytes("UTF-8"))
       run(s, dir, DataFlow("q53r", Seq(
@@ -171,7 +218,7 @@ object IoQueries extends QueryPack {
     // PartitionFilter on the scan, not a post-read Filter — asserted,
     // so a layout regression fails the query, not just a spec).
     "q103_partitioned_layout" -> { (s, dir) =>
-      val path = tmp("documents_by_lang")
+      val path = tmp(s, "documents_by_lang")
       run(s, dir, DataFlow("q103w", Seq(
         SourceTable("src", "documents"),
         FileDestination("dst", path, "parquet", WriteMode.Overwrite,
@@ -189,7 +236,7 @@ object IoQueries extends QueryPack {
 
     // XML write → XML read via Spark's built-in xml datasource.
     "q40_xml_roundtrip" -> { (s, dir) =>
-      val path = tmp("nation_xml")
+      val path = tmp(s, "nation_xml")
       run(s, dir, DataFlow("q40w", Seq(
         SourceTable("src", "nation"),
         FileDestination("dst", path, "xml", WriteMode.Overwrite,
@@ -206,6 +253,9 @@ object IoQueries extends QueryPack {
 
   val oracles: Map[String, String] = Map(
     "q121_compaction" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q126_zorder_compaction" ->
       """SELECT doc_id, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q103_partitioned_layout" ->

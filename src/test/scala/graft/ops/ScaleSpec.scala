@@ -113,6 +113,57 @@ class ScaleSpec extends AnyFunSuite {
       s"variance selection should broadcast the kept-dim set:\n$vsPlan")
   }
 
+  test("z-order compaction: content identity, both-dimension skipping, sizing cache released") {
+    // 40x40 uniform grid — the shape where single-dim sorting gives
+    // zero skipping on the second dimension
+    val grid = spark.range(0, 1600).select(
+      (col("id") % 40).as("a"), (col("id") / 40).cast("long").as("b"),
+      col("id").as("payload"))
+    val path = java.nio.file.Files.createTempDirectory("graft_zorder")
+      .toString + "/t"
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val files = Scale.compactWriteZ(grid, path, targetRowsPerFile = 100L,
+      colA = "a", colB = "b")
+    val back = spark.read.parquet(path)
+    // compaction never changes rows
+    assert(back.select("a", "b", "payload").collect().toSet ==
+      grid.collect().toSet)
+    // per-file stats must be narrow on BOTH dims: a bottom-decile
+    // predicate on either dimension hits at most half the files
+    // (q121-style range sort would make every file span dim b fully)
+    val stats = back.groupBy(input_file_name())
+      .agg(min("a"), max("a"), min("b"), max("b"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(stats.length == files && files >= 8, s"files=$files")
+    val hitA = stats.count(_._1 <= 3L)  // a in [0, 3] = bottom decile
+    val hitB = stats.count(_._3 <= 3L)
+    assert(hitA <= files / 2, s"a-predicate hit $hitA of $files files")
+    assert(hitB <= files / 2, s"b-predicate hit $hitB of $files files")
+    // the derived (non-scan) input was persisted for sizing and the
+    // blocks are dropped before returning (snapshot-relative: other
+    // suites share the session and may hold contract-persisted frames)
+    assert(spark.sparkContext.getPersistentRDDs.keySet == cachedBefore,
+      "sizing cache leaked")
+  }
+
+  test("compactWrite sizes derived inputs from a cache, bare scans as-is") {
+    // derived input (aggregate): persisted for the sizing count, one
+    // source pass, cache released afterwards
+    val derived = spark.range(0, 500)
+      .groupBy((col("id") % 50).as("k")).agg(count(lit(1)).as("n"))
+    val path = java.nio.file.Files.createTempDirectory("graft_compact")
+      .toString + "/t"
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val files = Scale.compactWrite(derived, path, targetRowsPerFile = 10L,
+      sortCols = Seq("k"))
+    assert(files == 5)
+    assert(spark.read.parquet(path).collect().toSet ==
+      derived.collect().toSet)
+    assert(spark.sparkContext.getPersistentRDDs.keySet == cachedBefore,
+      "sizing cache leaked")
+  }
+
   test("salted join equals the plain join result") {
     // one hot key (0) with many rows, plus a long tail
     val left = spark.range(0, 2000)
