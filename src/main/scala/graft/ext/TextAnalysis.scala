@@ -581,6 +581,60 @@ object TextAnalysis {
       .select(col("id").as(idCol), col("n_tokens"), col("mean_logprob"))
   }
 
+  /** Frozen unigram distribution: the top `vocabSize` reference-corpus
+    * terms by count (ties broken by term — engine-portable), each
+    * scored log(cnt/total) with total over ALL non-empty tokens, OOV
+    * handled by the scorer's floor. The term aggregate is the
+    * wordcount exchange; the collect is vocabSize-bounded BY
+    * CONSTRUCTION (top-V limit, the q93 vocab discipline), and the
+    * total rides on the term table — corpus-sized nothing reaches the
+    * driver. */
+  def unigramVocab(ref: org.apache.spark.sql.DataFrame, textCol: String,
+      vocabSize: Int): Seq[(String, Double)] = {
+    require(vocabSize > 0, s"vocabSize must be positive: $vocabSize")
+    val f = ref.select(explode(tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .persist()
+    try {
+      val totalRow = f.agg(sum(col("cnt")).cast("double")).head()
+      if (totalRow.isNullAt(0)) Seq.empty
+      else {
+        val total = totalRow.getDouble(0)
+        f.orderBy(col("cnt").desc, col("term")).limit(vocabSize)
+          .select(col("term"), log(col("cnt") / lit(total)).as("lp"))
+          .collect().toSeq.map(r => r.getString(0) -> r.getDouble(1))
+      }
+    } finally { f.unpersist(); () }
+  }
+
+  /** Score documents under a FROZEN unigram vocabulary — a PURE
+    * PROJECTION: the (term → logprob) map ships as a literal (bounded
+    * by vocabSize, like the CMS sketch literal) and the mean is an
+    * array fold per row, so the operator costs ZERO exchanges at any
+    * scale and runs UNCHANGED under Structured Streaming
+    * (StreamingSpec parity). This is the deployment shape — the
+    * distribution is trained once on a reference corpus
+    * ([[unigramVocab]]) and new data is scored on arrival;
+    * [[unigramLogProbScore]] is the corpus-self-scored batch form, and
+    * the two agree exactly when the vocabulary covers every term.
+    * OOV terms score `oovLogProb`. Returns (idCol, n_tokens,
+    * mean_logprob); a zero-token document scores 0.0. */
+  def unigramScoreFrozen(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, vocab: Seq[(String, Double)],
+      oovLogProb: Double): org.apache.spark.sql.DataFrame = {
+    val lpMap: Column =
+      if (vocab.isEmpty) lit(null).cast("map<string,double>")
+      else map_from_arrays(typedlit(vocab.map(_._1)),
+        typedlit(vocab.map(_._2)))
+    val ts = filter(tokens(col(textCol)), t => length(t) > 0)
+    val n = size(ts)
+    val s = aggregate(ts, lit(0.0),
+      (acc, t) => acc + coalesce(element_at(lpMap, t), lit(oovLogProb)))
+    df.select(col(idCol), n.cast("long").as("n_tokens"),
+      round(when(n === 0, lit(0.0)).otherwise(s / n), 6).as("mean_logprob"))
+  }
+
   /** Deterministic per-group quota sample: exactly `min(n, |group|)`
     * rows per group, chosen by ascending md5 rank — the eval-set /
     * holdout constructor. md5 hex ordering is engine-portable and

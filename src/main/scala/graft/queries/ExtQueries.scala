@@ -556,6 +556,23 @@ object ExtQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Frozen-vocabulary LM scoring — q114's deployment shape: the
+    // top-64 unigram distribution is trained once (vocab collect
+    // bounded by construction), then scoring is a map-literal
+    // projection with an OOV floor — ZERO exchanges (asserted
+    // in-query), the form that runs unchanged under Structured
+    // Streaming (StreamingSpec parity).
+    "q127_unigram_frozen" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val vocab = TextAnalysis.unigramVocab(d, "text", 64)
+      val out = TextAnalysis.unigramScoreFrozen(
+        d, "doc_id", "text", vocab, oovLogProb = -18.0)
+      val plan = out.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange"),
+        s"frozen scorer must be a map-only projection:\n$plan")
+      out.orderBy(col("doc_id"))
+    },
+
     // int8 embedding quantization: codes are exact integers (double
     // math, order-independent reductions), so the oracle recomputes
     // them and integer summaries compare exactly.
@@ -1193,6 +1210,18 @@ object ExtQueries extends QueryPack {
         |SELECT doc_id, COUNT(*) AS n_tokens,
         |  round(AVG(ln(cnt / total)), 6) AS mean_logprob
         |FROM e2 JOIN f USING (term) CROSS JOIN n
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q127_unigram_frozen" ->
+      """WITH ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents),
+        |e2 AS (SELECT doc_id, term FROM ex WHERE length(term) > 0),
+        |f AS (SELECT term, COUNT(*) AS cnt FROM e2 GROUP BY term),
+        |n AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM f),
+        |v AS (SELECT term, ln(cnt / total) AS lp FROM f CROSS JOIN n
+        |      ORDER BY cnt DESC, term LIMIT 64)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  round(AVG(COALESCE(lp, -18.0)), 6) AS mean_logprob
+        |FROM e2 LEFT JOIN v USING (term)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q110_variance_dims" ->
       """WITH e AS (SELECT vec_id,

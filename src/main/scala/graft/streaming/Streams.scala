@@ -153,6 +153,29 @@ object Streams {
         ()
     }.start()
 
+  /** Streaming decontamination-by-excision: against a STATIC benchmark
+    * a document's excision depends on that document alone, so each
+    * micro-batch runs the batch operator UNCHANGED (foreachBatch) and
+    * arrival splitting cannot change any row's result — StreamingSpec
+    * proves split-invariance. The operator's internal exchanges touch
+    * only the micro-batch's rows; the benchmark shingle set plays the
+    * static build side every batch (cache it for long-running streams).
+    * The direct-on-stream form is unavailable by construction: the
+    * covered-position collect_set is an unwatermarked stream aggregate
+    * feeding a stream-stream self-join, which Structured Streaming
+    * rejects — foreachBatch is the honest shape, exactly like
+    * [[cdcApply]]. */
+  def excisionStream(docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, k: Int,
+      sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        sink(graft.ext.TextAnalysis.exciseContaminatedSpans(
+          batch, idCol, textCol, benchmark, benchTextCol, k))
+        ()
+    }.start()
+
   /** Streaming curation ingest — the arrival-time form of the batch
     * curation pipeline (q64/q80/q99): quality gate and PII scrub are
     * pure projections (trivially incremental), then exact content

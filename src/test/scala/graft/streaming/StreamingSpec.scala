@@ -294,6 +294,90 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.map(_._1) == Set(1L, 2L, 3L))
   }
 
+  test("excisionStream: per-micro-batch excision equals batch over all rows (split-invariant)") {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def frameD(rows: Seq[Row]): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), docSchema)
+    val bench = frameD(Seq(Row(100L, "secret eval answer key")))
+    val db1 = Seq(
+      Row(1L, "intro text then secret eval answer key appears here"),
+      Row(2L, "totally clean document with no quoted material at all"))
+    val db2 = Seq(
+      Row(3L, "secret eval answer key"), // fully covered → empty clean_text
+      Row(4L, "tail quote secret eval answer key"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_exc")
+    dir.toFile.deleteOnExit()
+    val src = dir.toString + "/in"
+    frameD(db1).write.mode(SaveMode.Append).parquet(src)
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Long, String)]
+    val q = Streams.excisionStream(
+      spark.readStream.schema(docSchema).parquet(src),
+      "doc_id", "text", bench, "text", k = 4,
+      sink = out => got ++= out
+        .select("doc_id", "n_tokens", "n_removed", "clean_text")
+        .as[(Long, Long, Long, String)].collect())
+    try {
+      q.processAllAvailable()
+      frameD(db2).write.mode(SaveMode.Append).parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = graft.ext.TextAnalysis.exciseContaminatedSpans(
+        frameD(db1 ++ db2), "doc_id", "text", bench, "text", k = 4)
+      .select("doc_id", "n_tokens", "n_removed", "clean_text")
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got.toSet == batch)
+    assert(batch.map(r => r._1 -> r._3).toMap ==
+      Map(1L -> 4L, 2L -> 0L, 3L -> 4L, 4L -> 4L))
+  }
+
+  test("unigramScoreFrozen: pure projection streams unchanged; agrees with the self-scored form") {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def frameD(rows: Seq[Row]): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), docSchema)
+    val db1 = Seq(
+      Row(1L, "the cat sat on the mat"),
+      Row(2L, "the dog ran"))
+    val db2 = Seq(
+      Row(3L, "a cat and a dog and a zebra")) // zebra: OOV under db1 vocab
+    // distribution frozen from batch 1 only — the deployment shape
+    val vocab = graft.ext.TextAnalysis.unigramVocab(frameD(db1), "text", 64)
+    def score(df: DataFrame) = graft.ext.TextAnalysis.unigramScoreFrozen(
+      df, "doc_id", "text", vocab, oovLogProb = -18.0)
+    // zero exchanges: the frozen scorer is a map-literal projection
+    val plan = score(frameD(db1 ++ db2)).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"frozen scorer must be map-only:\n$plan")
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_lm")
+    dir.toFile.deleteOnExit()
+    val src = dir.toString + "/in"
+    frameD(db1).write.mode(SaveMode.Append).parquet(src)
+    val q = score(spark.readStream.schema(docSchema).parquet(src))
+      .writeStream.format("memory").queryName("stream_sink_lm")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      frameD(db2).write.mode(SaveMode.Append).parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+    def canon(df: DataFrame) =
+      df.select("doc_id", "n_tokens", "mean_logprob")
+        .as[(Long, Long, Double)].collect().toSet
+    val streamed = canon(spark.table("stream_sink_lm"))
+    val batch = canon(score(frameD(db1 ++ db2)))
+    assert(streamed == batch && streamed.map(_._1) == Set(1L, 2L, 3L))
+    // consistency with the oracle-gated self-scored operator: full
+    // vocabulary coverage → identical scores (q114's semantics)
+    val self = canon(graft.ext.TextAnalysis.unigramLogProbScore(
+      frameD(db1), "doc_id", "text"))
+    val frozenSelf = canon(graft.ext.TextAnalysis.unigramScoreFrozen(
+      frameD(db1), "doc_id", "text",
+      graft.ext.TextAnalysis.unigramVocab(frameD(db1), "text", 1000),
+      oovLogProb = -99.0))
+    assert(frozenSelf == self)
+  }
+
   test("runningUserTotals: mapGroupsWithState accumulates across micro-batches") {
     val streamed = runStreaming("runningUserTotals",
       df => Streams.runningUserTotals(df).toDF())
