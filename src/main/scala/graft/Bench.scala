@@ -37,8 +37,13 @@ object Bench {
     // a failed query reports null (NOT its elapsed-until-failure time —
     // that silently masks breakage as a timing) and is excluded from the
     // total; the failure list rides along explicitly
+    // optional comma-separated subset for targeted sweeps (e.g. the
+    // sf1 scaling runs); the driver never sets it — full run by default
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val results: Seq[(String, Option[Double])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
         val t0 = System.nanoTime()
         val timing = try { evalAll(fn(spark, sfDir));
           Some((System.nanoTime() - t0) / 1e9)

@@ -161,13 +161,21 @@ object Dedup {
     * (the PPJoin candidate condition): if J(a,b) >= t, then a and b
     * must share at least one element within the first
     * `|x| - ceil(t*|x|) + 1` elements of x under ANY global total
-    * order of the universe. We order tokens by (xxhash64, token) —
-    * a pseudo-random total order that decorrelates prefix membership
-    * from token frequency, so no single frequent token floods one
-    * candidate bucket — and equi-join candidates on
-    * (block, prefix-token). Equivalent result set to the all-pairs
-    * join, but the join fans out |prefix| ≈ (1-t)·|set| rows per doc
-    * instead of pairing whole blocks.
+    * order of the universe — the result set is lossless for EVERY
+    * order, but the CANDIDATE volume is not: under a frequency-blind
+    * order a frequent token lands in prefixes at the same rate as a
+    * rare one, and its candidate block pairs a constant fraction of
+    * the corpus with itself (quadratic in corpus density — measured
+    * sf0.1→sf1, SCALING.md). The default is therefore PPJoin's
+    * canonical ascending-document-frequency order (df, then token):
+    * prefix tokens are each document's RAREST, so posting lists stay
+    * short and candidates scale with near-dup density, not corpus
+    * size. One wordcount aggregate + one per-doc window buys that
+    * order; `dfOrderedPrefix = false` keeps the zero-exchange native
+    * (xxhash64, token) prefix ([[graft.functions.JaccardPrefix]]) for
+    * small batches where two extra exchanges cost more than they
+    * save. Both orders produce identical pairs (swept in
+    * CurationSweepSpec).
     *
     * `d` must have `idCol` and an array<string> set column `wsCol`
     * (pre-distinct). `blockCol` optionally restricts pairs to equal
@@ -175,16 +183,36 @@ object Dedup {
     * mechanism. Returns (ida, idb[, block], jaccard_sim >= threshold).
     */
   def jaccardNearDupPairs(d: DataFrame, idCol: String, wsCol: String,
-      threshold: Double, blockCol: Option[String] = None): DataFrame = {
+      threshold: Double, blockCol: Option[String] = None,
+      dfOrderedPrefix: Boolean = true): DataFrame = {
     val t = threshold
-    // native hash-ordered prefix (graft.functions.JaccardPrefix): one
-    // compiled pass instead of interpreted sort-of-structs lambdas
-    val pref = call_function("jaccard_prefix", col(wsCol), lit(t))
     val blockCols = blockCol.toSeq.map(col)
+    val blockNames = blockCol.toSeq
     val sets = eagerCache(d.select((col(idCol).as("id") +: blockCols :+
-      col(wsCol).as("ws") :+ pref.as("pref")): _*))
-    val ex = sets.select((col("id") +: blockCols :+
-      explode(col("pref")).as("tok")): _*)
+      col(wsCol).as("ws")): _*))
+    val ex =
+      if (!dfOrderedPrefix)
+        // native hash-ordered prefix: one compiled pass, no exchanges
+        sets.select((col("id") +: blockCols :+
+          explode(call_function("jaccard_prefix", col("ws"), lit(t)))
+            .as("tok")): _*)
+      else {
+        // PPJoin canonical order: ascending df, ties by token — the
+        // same machinery as containmentPairs (df over the self corpus)
+        val postings = sets.select((col("id") +: blockCols :+
+          size(col("ws")).as("__n") :+ explode(col("ws")).as("tok")): _*)
+        val dfreq = postings.groupBy((blockCols :+ col("tok")): _*)
+          .agg(count(lit(1)).as("__df"))
+        val wDoc = Window.partitionBy("id").orderBy(col("__df"), col("tok"))
+        postings.join(dfreq, blockNames :+ "tok")
+          .withColumn("__r", row_number().over(wDoc))
+          // +1e-9 before floor: (1-t)·n can round DOWN past the exact
+          // value and shrink the prefix below the lossless bound; the
+          // guard only ever ENLARGES the prefix (containmentPairs note)
+          .filter(col("__r") <=
+            floor((lit(1.0) - t) * col("__n") + lit(1e-9)).cast("int") + 1)
+          .select((col("id") +: blockCols :+ col("tok")): _*)
+      }
     val l = ex.alias("l")
     val r = ex.alias("r")
     val blockEq = blockCol.map(b => col(s"l.$b") === col(s"r.$b"))

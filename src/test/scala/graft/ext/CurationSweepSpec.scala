@@ -186,9 +186,11 @@ class CurationSweepSpec extends AnyFunSuite {
       if (!(1 to pool).exists(k => hashOf(s"x$k") < minShared)) pool *= 4
     }
     // Sweep the 12 smallest-hash candidates — the adversarial one
-    // (below every shared hash) is guaranteed to be among them.
+    // (below every shared hash) is guaranteed to be among them — and
+    // BOTH prefix orders (canonical df-ascending and native hash):
+    // losslessness must hold for each at the exact threshold.
     val extraIdx = (1 to pool).sortBy(k => hashOf(s"x$k")).take(12)
-    for (k <- extraIdx) {
+    for (k <- extraIdx; dfOrdered <- Seq(true, false)) {
       val shared = sharedToks
       val a = shared                        // |A| = 9
       val b = shared :+ s"x$k"              // |B| = 10, J = 9/10 = 0.9
@@ -196,9 +198,11 @@ class CurationSweepSpec extends AnyFunSuite {
         .select(col("id"), lit("blk").as("b"),
           array_distinct(split(col("text"), " ")).as("ws"))
       val jac = Dedup.jaccardNearDupPairs(df, "id", "ws",
-          threshold = 0.9, blockCol = Some("b"))
+          threshold = 0.9, blockCol = Some("b"),
+          dfOrderedPrefix = dfOrdered)
         .select("ida", "idb").as[(Long, Long)].collect().toSet
-      assert(jac == Set((1L, 2L)), s"jaccard boundary lost pair for x$k")
+      assert(jac == Set((1L, 2L)),
+        s"jaccard boundary lost pair for x$k dfOrdered=$dfOrdered")
       // containment boundary: |A'| = 10 with exactly 9 in corpus doc
       val a2 = shared :+ s"only$k"          // C(A'→B) = 9/10 = 0.9
       val probe = frame(Seq(1L -> a2.mkString(" ")))
@@ -209,6 +213,29 @@ class CurationSweepSpec extends AnyFunSuite {
           threshold = 0.9)
         .select("ida", "idb").as[(Long, Long)].collect().toSet
       assert(cont == Set((1L, 2L)), s"containment boundary lost pair for x$k")
+    }
+  }
+
+  test("jaccard prefix orders agree across random corpora (df-ascending == native hash)") {
+    // the prefix bound is lossless for ANY total order, so the two
+    // implementations must produce IDENTICAL pair sets — heavy span
+    // sharing from a tiny vocab stresses both candidate generators
+    for (seed <- Seq(7, 23); t <- Seq(0.5, 0.8)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Seq("aa", "bb", "cc", "dd", "ee")
+      val rows = (1L to 60L).map { i =>
+        i -> (1 to (3 + rnd.nextInt(7)))
+          .map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      }
+      val df = frame(rows)
+        .select(col("id"), array_distinct(split(col("text"), " ")).as("ws"))
+        .filter(size(col("ws")) > 0)
+      def pairs(dfOrdered: Boolean) =
+        Dedup.jaccardNearDupPairs(df, "id", "ws", threshold = t,
+            dfOrderedPrefix = dfOrdered)
+          .select("ida", "idb").as[(Long, Long)].collect().toSet
+      val (canonical, hashed) = (pairs(true), pairs(false))
+      assert(canonical == hashed && canonical.nonEmpty, s"seed=$seed t=$t")
     }
   }
 
