@@ -82,11 +82,20 @@ FROM read_parquet('{SRC}/embeddings.parquet') {shard}
 """, "embeddings")
 
 # ---- events (100k -> 1M) ----
-copy(f"""
+# written via pyarrow: the engine reads the driver's timestamp[ns]
+# column as a nanosecond LONG (spark.sql.legacy.parquet.nanosAsLong),
+# and DuckDB's parquet writer silently downgrades TIMESTAMP_NS to us
+import pyarrow as pa
+import pyarrow.parquet as pq
+ev = con.sql(f"""
 SELECT event_id + r * 100000 AS event_id, CAST(ts AS TIMESTAMP_NS) AS ts,
   user_id + r * 1000000 AS user_id, event_type, value, props
 FROM read_parquet('{SRC}/events.parquet') {shard}
-""", "events")
+""").arrow()
+ev = ev.set_column(ev.schema.get_field_index("ts"), "ts",
+                   ev.column("ts").cast(pa.timestamp("ns")))
+pq.write_table(ev, f"{OUT}/events.parquet")
+print(f"events: {ev.num_rows} rows")
 
 # ---- relational ----
 copy(f"""
