@@ -196,7 +196,10 @@ object Dedup {
         sets.select((col("id") +: blockCols :+
           explode(call_function("jaccard_prefix", col("ws"), lit(t)))
             .as("tok")): _*)
-      else {
+      else eagerCache {
+        // cached: the candidate self-join consumes this twice, and the
+        // df pipeline (postings agg + join + per-doc window) is three
+        // exchanges — uncached it runs once per join side
         // PPJoin canonical order: ascending df, ties by token — the
         // same machinery as containmentPairs (df over the self corpus)
         val postings = sets.select((col("id") +: blockCols :+
