@@ -50,46 +50,79 @@ object Similarity {
   }
 
   /** EXACT cosine near-duplicate pairs at `threshold` — the embedding
-    * analog of Dedup's text near-dup operators. Blocking is a grid over
-    * the first `gridDims` coordinates of the L2-normalized vectors with
-    * cell width `w >= sqrt(2 - 2*threshold)`: two unit vectors at
-    * cosine >= t are within L2 distance sqrt(2-2t), so every
-    * normalized coordinate differs by at most w and the pair sits in
-    * the same or an adjacent cell in each grid dim. Probing the
-    * 3^gridDims neighboring cells therefore generates EVERY qualifying
-    * pair — lossless, never all-pairs (an IVF-style coarse quantizer
-    * used as an exact filter) — and exact cosine verifies candidates.
+    * analog of Dedup's text near-dup operators. Blocking is a
+    * pigeonhole-banded grid over ALL coordinates of the L2-normalized
+    * vectors: the dimensions split into B = ceil(dim/gridDims)
+    * segments, and if ||a-b||^2 <= D^2 = 2-2t then SOME segment holds
+    * squared distance <= D^2/B, i.e. every coordinate of that segment
+    * differs by at most w = D/sqrt(B). Quantizing each segment's
+    * coordinates with cell width w and probing the 3^gridDims adjacent
+    * cells per segment therefore generates EVERY qualifying pair —
+    * lossless, never all-pairs — and exact cosine verifies candidates.
+    *
+    * Why banded and not one segment: a single grid over the first few
+    * coordinates uses cell width D, but a unit vector's coordinates
+    * shrink as 1/sqrt(dim) — at dim 64 and t=0.99 the cell (0.14) is
+    * WIDER than the coordinate scale (0.125), the grid collapses to a
+    * handful of occupied cells, and candidates grow quadratically with
+    * the corpus (measured 100x at 10x scale, SCALING.md). Banding
+    * keeps every dimension in play with cells ~sqrt(B) finer; segment
+    * keys join on xxhash64 of (segment, cells...) so the exchange
+    * carries ids only, and vectors re-join after the pair distinct.
     * Returns (ida, idb, cosine_sim), ida < idb. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, gridDims: Int = 4): DataFrame = {
     require(threshold > 0.5 && threshold < 1.0,
       s"threshold $threshold: grid blocking needs a tight cosine bound")
-    val w = math.sqrt(2.0 - 2.0 * threshold) * 1.000001 // float slack
+    val dim = df.select(size(col(vecCol)).as("d")).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(gridDims) max 1
+    val nSeg = math.max(1, (dim + gridDims - 1) / gridDims)
+    val w = math.sqrt((2.0 - 2.0 * threshold) / nSeg) * 1.000001 // float slack
     val nrm = l2Norm(col(vecCol))
-    def cellOf(i: Int) =
-      floor(element_at(col(vecCol), i + 1).cast("double") / nrm / lit(w)).cast("long")
-    val base = df.select(Seq(col(idCol).as("id"), col(vecCol).as("v")) ++
-        (0 until gridDims).map(i => cellOf(i).as(s"c$i")): _*)
+    def cellOf(i: Int) = // 1e-9: keep -0.0/0.0 in one cell across engines
+      floor((element_at(col(vecCol), i + 1).cast("double") / nrm + lit(1e-9)) / lit(w))
+        .cast("long")
+    // per-segment cell-coordinate arrays; segments are padded to a
+    // uniform gridDims width with constant 0 cells so one literal
+    // combo table drives every segment's probing
+    val segCellArrays = array((0 until nSeg).map { s =>
+      array(((s * gridDims) until ((s + 1) * gridDims)).map { i =>
+        if (i < dim) cellOf(i) else lit(0L)
+      }: _*)
+    }: _*)
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        segCellArrays.as("segs"))
       .persist()
     base.count()
-    val index = base.select(col("id"), col("v"),
-      concat_ws(",", (0 until gridDims).map(i => col(s"c$i")): _*).as("cell"))
-    val combos = (1 to gridDims).foldLeft(Seq(Seq.empty[Int])) {
-      (acc, _) => acc.flatMap(s => Seq(-1, 0, 1).map(o => s :+ o))
-    }
-    val probeKeys = array(combos.map { c =>
-      concat_ws(",", c.zipWithIndex.map { case (o, i) => col(s"c$i") + lit(o) }: _*)
-    }: _*)
-    val probe = base.select(col("id"), col("v"), explode(probeKeys).as("cell"))
-    val cand = probe.alias("p").join(index.alias("x"),
+    val segRows = base.select(col("id"),
+      posexplode(col("segs")).as(Seq("seg", "cells")))
+    // one key per (segment, cells): codegen sees ONE hash expression
+    // evaluated per combo, not 3^gridDims generated expressions
+    val home = segRows.select(col("id"),
+      xxhash64(col("seg"), col("cells")).as("cell"))
+    // adjacent-cell offsets, one literal table shared by all segments
+    val combos: Seq[Seq[Long]] =
+      (1 to gridDims).foldLeft(Seq(Seq.empty[Long])) {
+        (acc, _) => acc.flatMap(cs => Seq(-1L, 0L, 1L).map(o => cs :+ o))
+      }
+    val combosCol = typedLit(combos)
+    val probe = segRows.select(col("id"),
+      explode(transform(combosCol, offs =>
+        xxhash64(col("seg"), zip_with(col("cells"), offs,
+          (c, o) => c + o)))).as("cell"))
+    // ids-only exchange; a pair can match in several segments (and,
+    // rarely, via hash collision) — distinct on the id pair alone,
+    // then re-join the cached vectors for exact verification
+    val cand = probe.alias("p").join(home.alias("x"),
         col("p.cell") === col("x.cell") && col("p.id") < col("x.id"))
-      .select(col("p.id").as("ida"), col("x.id").as("idb"),
-        col("p.v").as("va"), col("x.v").as("vb"))
+      .select(col("p.id").as("ida"), col("x.id").as("idb"))
       .distinct()
     // base stays cached until the caller's action consumes the result —
-    // an eager unpersist here would evict before the self-join branches
+    // an eager unpersist here would evict before the join branches
     // ever read it and force full recomputation
-    cand.select(col("ida"), col("idb"),
+    cand.join(base.select(col("id").as("ida"), col("v").as("va")), "ida")
+      .join(base.select(col("id").as("idb"), col("v").as("vb")), "idb")
+      .select(col("ida"), col("idb"),
         cosine(col("va"), col("vb")).as("cosine_sim"))
       .filter(col("cosine_sim") >= threshold)
   }
