@@ -513,21 +513,26 @@ object TextAnalysis {
     val bpos = filter(
       transform(toks, (t, i) => when(isBnd(t), i).otherwise(lit(-1))),
       p => p >= 0)
-    df.select(col(idCol), toks.as("__t"), bpos.as("__b"),
-        explode(sequence(lit(0), size(bpos))).as("chunk_index"))
-      .select(col(idCol), col("chunk_index"), col("__t"),
-        when(col("chunk_index") === 0, lit(0))
-          .otherwise(element_at(col("__b"), col("chunk_index")) + 1)
-          .as("__s"),
-        when(col("chunk_index") === size(col("__b")), size(col("__t")))
-          .otherwise(element_at(col("__b"), col("chunk_index") + 1) + 1)
-          .as("__e"))
-      .filter(col("__e") > col("__s"))
+    // all chunks of a document are materialized INSIDE its row (one
+    // transform over the boundary list), then posexplode'd: exploding
+    // first and slicing per chunk row carries the full token array
+    // once per chunk — O(chunks x tokens) intermediate per document,
+    // which spills the downstream sort at scale (measured 2x-over-
+    // linear at 10x corpus, SCALING.md)
+    val chunks = transform(sequence(lit(0), size(col("__b"))), ci => {
+      val s = when(ci === 0, lit(0))
+        .otherwise(element_at(col("__b"), ci) + 1)
+      val e = when(ci === size(col("__b")), size(col("__t")))
+        .otherwise(element_at(col("__b"), ci + 1) + 1)
+      struct((e - s).cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("__t"), s + 1, e - s)).as("chunk_text"))
+    })
+    df.select(col(idCol), toks.as("__t"), bpos.as("__b"))
+      .select(col(idCol), posexplode(chunks).as(Seq("chunk_index", "__c")))
+      .filter(col("__c.n_chunk_tokens") > 0)
       .select(col(idCol), col("chunk_index"),
-        (col("__e") - col("__s")).cast("long").as("n_chunk_tokens"),
-        concat_ws(" ",
-          slice(col("__t"), col("__s") + 1, col("__e") - col("__s")))
-          .as("chunk_text"))
+        col("__c.n_chunk_tokens").as("n_chunk_tokens"),
+        col("__c.chunk_text").as("chunk_text"))
   }
 
   /** Deterministic train/val/test assignment from md5 — the split
