@@ -67,13 +67,27 @@ object Similarity {
     * handful of occupied cells, and candidates grow quadratically with
     * the corpus (measured 100x at 10x scale, SCALING.md). Banding
     * keeps every dimension in play with cells ~sqrt(B) finer; segment
-    * keys join on xxhash64 of (segment, cells...) so the exchange
-    * carries ids only, and vectors re-join after the pair distinct.
-    * Returns (ida, idb, cosine_sim), ida < idb. */
+    * keys join on xxhash64 of (blocking, segment, cells...) so the
+    * exchange carries ids only, and vectors re-join after the pair
+    * distinct.
+    *
+    * `blockings` independent segmentations (the natural dim order plus
+    * seeded permutations) each yield a lossless candidate superset —
+    * the pigeonhole argument holds for ANY partition of the dims — so
+    * their INTERSECTION is still a superset of the true pairs, at a
+    * fraction of the candidate volume (measured 0.4% of random pairs
+    * for 2 blockings vs 4.2% for 1 at dim 64, t=0.99): the classic
+    * multi-index trade of one more blocking pass for an order less
+    * exact-verify work. With broadcast-verified candidates the verify
+    * is map-side, so the default stays 1 — raise `blockings` when the
+    * candidate DISTINCT's exchange (quadratic in corpus density)
+    * outgrows the linear blocking pass. Returns (ida, idb,
+    * cosine_sim), ida < idb. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, gridDims: Int = 4): DataFrame = {
+      threshold: Double, gridDims: Int = 4, blockings: Int = 1): DataFrame = {
     require(threshold > 0.5 && threshold < 1.0,
       s"threshold $threshold: grid blocking needs a tight cosine bound")
+    require(blockings >= 1, s"need at least one blocking: $blockings")
     val dim = df.select(size(col(vecCol)).as("d")).head(1)
       .headOption.map(_.getInt(0)).getOrElse(gridDims) max 1
     val nSeg = math.max(1, (dim + gridDims - 1) / gridDims)
@@ -82,48 +96,74 @@ object Similarity {
     def cellOf(i: Int) = // 1e-9: keep -0.0/0.0 in one cell across engines
       floor((element_at(col(vecCol), i + 1).cast("double") / nrm + lit(1e-9)) / lit(w))
         .cast("long")
+    // dim order per blocking round: natural, then seeded shuffles
+    // (deterministic across runs and executors)
+    val orders: Seq[Vector[Int]] = (0 until blockings).map { r =>
+      if (r == 0) (0 until dim).toVector
+      else new scala.util.Random(1234L + r).shuffle((0 until dim).toVector)
+    }
     // per-segment cell-coordinate arrays; segments are padded to a
     // uniform gridDims width with constant 0 cells so one literal
     // combo table drives every segment's probing
-    val segCellArrays = array((0 until nSeg).map { s =>
-      array(((s * gridDims) until ((s + 1) * gridDims)).map { i =>
-        if (i < dim) cellOf(i) else lit(0L)
+    def segCellArrays(order: Vector[Int]) = array((0 until nSeg).map { s =>
+      array((0 until gridDims).map { j =>
+        val k = s * gridDims + j
+        if (k < dim) cellOf(order(k)) else lit(0L)
       }: _*)
     }: _*)
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-        segCellArrays.as("segs"))
+    val base = df.select(Seq(col(idCol).as("id"), col(vecCol).as("v")) ++
+        orders.zipWithIndex.map { case (o, r) =>
+          segCellArrays(o).as(s"segs_$r") }: _*)
       .persist()
-    base.count()
-    val segRows = base.select(col("id"),
-      posexplode(col("segs")).as(Seq("seg", "cells")))
-    // one key per (segment, cells): codegen sees ONE hash expression
-    // evaluated per combo, not 3^gridDims generated expressions
-    val home = segRows.select(col("id"),
-      xxhash64(col("seg"), col("cells")).as("cell"))
+    val nVecs = base.count()
     // adjacent-cell offsets, one literal table shared by all segments
     val combos: Seq[Seq[Long]] =
       (1 to gridDims).foldLeft(Seq(Seq.empty[Long])) {
         (acc, _) => acc.flatMap(cs => Seq(-1L, 0L, 1L).map(o => cs :+ o))
       }
     val combosCol = typedLit(combos)
-    val probe = segRows.select(col("id"),
-      explode(transform(combosCol, offs =>
-        xxhash64(col("seg"), zip_with(col("cells"), offs,
-          (c, o) => c + o)))).as("cell"))
-    // ids-only exchange; a pair can match in several segments (and,
-    // rarely, via hash collision) — distinct on the id pair alone,
-    // then re-join the cached vectors for exact verification
-    val cand = probe.alias("p").join(home.alias("x"),
-        col("p.cell") === col("x.cell") && col("p.id") < col("x.id"))
-      .select(col("p.id").as("ida"), col("x.id").as("idb"))
-      .distinct()
+    def candidatesOf(r: Int): DataFrame = {
+      val segRows = base.select(col("id"),
+        posexplode(col(s"segs_$r")).as(Seq("seg", "cells")))
+      // one key per (segment, cells): codegen sees ONE hash expression
+      // evaluated per combo, not 3^gridDims generated expressions
+      val home = segRows.select(col("id"),
+        xxhash64(lit(r), col("seg"), col("cells")).as("cell"))
+      val probe = segRows.select(col("id"),
+        explode(transform(combosCol, offs =>
+          xxhash64(lit(r), col("seg"), zip_with(col("cells"), offs,
+            (c, o) => c + o)))).as("cell"))
+      // ids-only exchange; a pair can match in several segments (and,
+      // rarely, via hash collision) — distinct on the id pair alone
+      probe.alias("p").join(home.alias("x"),
+          col("p.cell") === col("x.cell") && col("p.id") < col("x.id"))
+        .select(col("p.id").as("ida"), col("x.id").as("idb"))
+        .distinct()
+    }
+    // intersect the blockings' candidate sets (each distinct on the
+    // same keys, so the joins reuse the distinct's partitioning)
+    val cand = (0 until blockings).map(candidatesOf)
+      .reduce(_.join(_, Seq("ida", "idb")))
     // base stays cached until the caller's action consumes the result —
     // an eager unpersist here would evict before the join branches
-    // ever read it and force full recomputation
-    cand.join(base.select(col("id").as("ida"), col("v").as("va")), "ida")
-      .join(base.select(col("id").as("idb"), col("v").as("vb")), "idb")
+    // ever read it and force full recomputation.
+    //
+    // Size-gated broadcast for the verify joins (the Lookup broadcast
+    // discipline): candidates outnumber vectors quadratically, and a
+    // shuffled join would move CANDIDATE x VECTOR-WIDTH bytes — the
+    // first join's output carries a full vector per candidate row, so
+    // shuffling it into the second join moved ~9 GB at 10x bench scale
+    // (SCALING.md). Broadcasting the id->vector side keeps candidates
+    // in-stage: cosine is computed and filtered to the true pairs
+    // before anything exchanges again.
+    def vecs(as: String) =
+      base.select(col("id").as(as), col("v").as(s"v_$as"))
+    val (va, vb) =
+      if (nVecs <= 1000000L) (broadcast(vecs("ida")), broadcast(vecs("idb")))
+      else (vecs("ida"), vecs("idb"))
+    cand.join(va, "ida").join(vb, "idb")
       .select(col("ida"), col("idb"),
-        cosine(col("va"), col("vb")).as("cosine_sim"))
+        cosine(col("v_ida"), col("v_idb")).as("cosine_sim"))
       .filter(col("cosine_sim") >= threshold)
   }
 
