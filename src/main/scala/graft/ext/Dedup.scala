@@ -413,41 +413,59 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs, banded by the pigeonhole principle: two
-    * fingerprints within Hamming distance `maxHamming` must agree on at
-    * least one of `maxHamming + 1` disjoint bit-bands, so the band
-    * count is DERIVED from the requested radius — full recall at every
-    * radius, never all-pairs. The cost trade is explicit: wider radii
-    * mean more, narrower bands (weaker blocking), which is inherent to
-    * SimHash banding, so the radius is capped where band keys keep at
-    * least 8 bits (maxHamming <= 7 over 64-bit fingerprints) — beyond
-    * that, banded SimHash stops being a blocker; use MinHash LSH. */
+  /** SimHash near-dup pairs, banded by the GENERALIZED pigeonhole
+    * principle (Manku, Jain & Das Sarma, "Detecting Near-Duplicates
+    * for Web Crawling", WWW 2007): with `bands = maxHamming +
+    * exactBands` disjoint bit-bands, at most `maxHamming` bands can
+    * contain a differing bit, so two fingerprints within the radius
+    * agree EXACTLY on at least `exactBands` bands — some
+    * C(bands, exactBands) combination of bands matches as one key.
+    * Full recall at every radius, never all-pairs, band count DERIVED
+    * from the radius.
+    *
+    * `exactBands` is the key-width dial: candidates scale as
+    * N^2 / 2^keyBits with keyBits ≈ exactBands·(64/bands), so m=1's
+    * 8-bit keys at maxHamming=7 saturate at ~256 buckets (measured
+    * quadratic at 10x bench corpus, SCALING.md) while m=2's 14-bit
+    * keys buy 64x more keyspace for C(9,2)=36 key rows per doc. The
+    * requires keep (keyBits >= 8) and the combo fan-out bounded; raise
+    * `exactBands` as the corpus outgrows the keyspace, or use MinHash
+    * LSH past SimHash banding's reach. Key rows carry xxhash64(combo,
+    * band values) — hash collisions only add candidates; the exact
+    * hamming filter keeps the result identical. */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 7,
-      s"maxHamming=$maxHamming: bands=maxHamming+1 disjoint bands over " +
-        "64 bits must each keep >=8 key bits to block effectively")
-    val bands = maxHamming + 1
+      maxHamming: Int = 3, exactBands: Int = 1): DataFrame = {
+    require(maxHamming >= 0 && exactBands >= 1,
+      s"need maxHamming >= 0, exactBands >= 1: $maxHamming, $exactBands")
+    val bands = maxHamming + exactBands
+    require(bands <= 64, s"bands=$bands cannot exceed the 64 bits")
+    require(exactBands * (64 / bands) >= 8,
+      s"maxHamming=$maxHamming, exactBands=$exactBands: combined keys " +
+        s"keep ${exactBands * (64 / bands)} bits (< 8) — raise " +
+        "exactBands or use MinHash LSH at this radius")
+    val combos = (0 until bands).combinations(exactBands).toSeq
+    require(combos.size <= 512,
+      s"${combos.size} band combinations — lower exactBands")
     val widths = Array.tabulate(bands)(b =>
       64 / bands + (if (b < 64 % bands) 1 else 0))
     val starts = widths.scanLeft(0)(_ + _)
+    def bandVal(b: Int) = {
+      // width 64 (bands=1, radius 0) needs the full-fingerprint mask:
+      // 1L << 64 wraps to 1 on the JVM, which would zero every key
+      // and silently degrade blocking to all-pairs
+      val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1
+      call_function("shiftright", col("fp"), lit(starts(b)))
+        .bitwiseAND(lit(mask))
+    }
     val fp = eagerCache(
       df.select(col(idCol).as("id"), simhash64(col(textCol)).as("fp")))
     val banded = fp.select(col("id"), col("fp"),
-      explode(array((0 until bands).map { b =>
-        // width 64 (bands=1, radius 0) needs the full-fingerprint mask:
-        // 1L << 64 wraps to 1 on the JVM, which would zero every key
-        // and silently degrade blocking to all-pairs
-        val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1
-        struct(lit(b).as("band"),
-          call_function("shiftright", col("fp"), lit(starts(b)))
-            .bitwiseAND(lit(mask)).as("key"))
-      }: _*)).as("bk"))
-      .select(col("id"), col("fp"), col("bk.band").as("band"), col("bk.key").as("key"))
+      explode(array(combos.zipWithIndex.map { case (c, ci) =>
+        xxhash64((lit(ci) +: c.map(bandVal)): _*)
+      }: _*)).as("key"))
     val l = banded.alias("l")
     val r = banded.alias("r")
-    l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
-        col("l.id") < col("r.id"))
+    l.join(r, col("l.key") === col("r.key") && col("l.id") < col("r.id"))
       .select(col("l.id").as("ida"), col("r.id").as("idb"),
         hamming(col("l.fp"), col("r.fp")).as("hamming_dist"))
       .distinct()

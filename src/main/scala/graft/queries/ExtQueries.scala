@@ -196,11 +196,14 @@ object ExtQueries extends QueryPack {
         .orderBy(col("ida"), col("idb"))
     },
 
-    // maxHamming=7 is the widest radius at which pigeonhole banding
-    // (bands = maxHamming+1, each >=8 key bits) still blocks — full
-    // recall at this radius by construction.
+    // maxHamming=7 with exactBands=2 (Manku-style combined keys,
+    // C(9,2)=36 combos x 14-bit keys): full recall by the generalized
+    // pigeonhole, and the 64x-wider keyspace holds blocking power
+    // when the corpus outgrows single-band 8-bit keys (256 buckets
+    // went quadratic at 10x bench scale — SCALING.md).
     "q22_simhash_pairs" -> { (s, dir) =>
-      Dedup.simhashNearDupPairs(docs(s, dir), "doc_id", "text", maxHamming = 7)
+      Dedup.simhashNearDupPairs(docs(s, dir), "doc_id", "text",
+          maxHamming = 7, exactBands = 2)
         .orderBy(col("ida"), col("idb"))
     },
 

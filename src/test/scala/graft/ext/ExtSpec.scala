@@ -154,19 +154,29 @@ class ExtSpec extends AnyFunSuite {
     val df = docs(texts: _*)
     val fps = df.select(col("id"), Dedup.simhash64(col("text")).as("fp"))
       .as[(Long, Long)].collect()
-    for (radius <- Seq(0, 3, 5, 7)) {
+    for (radius <- Seq(0, 3, 5, 7); m <- Seq(1, 2)) {
       val want = (for {
         (ia, fa) <- fps; (ib, fb) <- fps
         if ia < ib && java.lang.Long.bitCount(fa ^ fb) <= radius
       } yield (ia, ib)).toSet
-      val got = Dedup.simhashNearDupPairs(df, "id", "text", maxHamming = radius)
+      val got = Dedup.simhashNearDupPairs(df, "id", "text",
+          maxHamming = radius, exactBands = m)
         .select("ida", "idb").as[(Long, Long)].collect().toSet
-      assert(got == want, s"radius=$radius")
+      assert(got == want, s"radius=$radius exactBands=$m")
     }
     // beyond the blocking-effective radius the contract refuses loudly
     intercept[IllegalArgumentException] {
       Dedup.simhashNearDupPairs(df, "id", "text", maxHamming = 8)
     }
+    // ...and the exactBands dial extends the reach with wider keys
+    val extended = Dedup.simhashNearDupPairs(df, "id", "text",
+        maxHamming = 8, exactBands = 2)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    val want8 = (for {
+      (ia, fa) <- fps; (ib, fb) <- fps
+      if ia < ib && java.lang.Long.bitCount(fa ^ fb) <= 8
+    } yield (ia, ib)).toSet
+    assert(extended == want8)
   }
 
   private def md5hexRef(s: String): String =

@@ -87,6 +87,34 @@ class FuzzySpec extends AnyFunSuite {
     assert(blocked == brute && brute.nonEmpty)
   }
 
+  test("banded cosine blocking is lossless across dims, thresholds, and blockings") {
+    // dim 64 = the production embedding shape (16 segments); dim 6
+    // exercises the padded last segment (nSeg=2, two constant cells);
+    // blockings=2 exercises the candidate-set intersection — every
+    // combination must equal brute force EXACTLY
+    for (dim <- Seq(6, 64); t <- Seq(0.9, 0.99); blockings <- Seq(1, 2)) {
+      val rnd = new scala.util.Random(31 * dim + (t * 100).toInt)
+      val baseVecs = (1L to 40L).map(i =>
+        (i, Seq.fill(dim)(rnd.nextGaussian().toFloat)))
+      val twins = baseVecs.take(20).map { case (i, v) =>
+        (i + 100L, v.updated(0, v.head + 0.001f)) }
+      val vschema = StructType(Seq(StructField("id", LongType),
+        StructField("v", ArrayType(FloatType))))
+      val df = spark.createDataFrame(java.util.Arrays.asList(
+        (baseVecs ++ twins).map(r => Row(r._1, r._2)): _*), vschema)
+      val blocked = Similarity.cosineNearDupPairs(df, "id", "v", t,
+          blockings = blockings)
+        .select("ida", "idb").as[(Long, Long)].collect().toSet
+      val a = df.select(col("id").as("ida"), col("v").as("va"))
+      val b = df.select(col("id").as("idb"), col("v").as("vb"))
+      val brute = a.join(b, col("ida") < col("idb"))
+        .filter(Similarity.cosine(col("va"), col("vb")) >= t)
+        .select("ida", "idb").as[(Long, Long)].collect().toSet
+      assert(blocked == brute && brute.nonEmpty,
+        s"dim=$dim t=$t blockings=$blockings")
+    }
+  }
+
   test("connectedComponents fixpoint on a longer chain (driver and distributed paths agree)") {
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 9L).toDF("id")
     val edges = Seq((6L, 5L), (5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L))
