@@ -93,9 +93,14 @@ object Similarity {
     val nSeg = math.max(1, (dim + gridDims - 1) / gridDims)
     val w = math.sqrt((2.0 - 2.0 * threshold) / nSeg) * 1.000001 // float slack
     val nrm = l2Norm(col(vecCol))
-    def cellOf(i: Int) = // 1e-9: keep -0.0/0.0 in one cell across engines
-      floor((element_at(col(vecCol), i + 1).cast("double") / nrm + lit(1e-9)) / lit(w))
-        .cast("long")
+    // zero-norm vectors can never reach a >0.5 cosine threshold; pin
+    // them to cell 0 instead of dividing by zero (ANSI mode throws) —
+    // the exact-verify filter drops whatever candidates they form.
+    // 1e-9: keep -0.0/0.0 in one cell across engines
+    def cellOf(i: Int) =
+      when(nrm === 0.0, lit(0L)).otherwise(
+        floor((element_at(col(vecCol), i + 1).cast("double") / nrm
+          + lit(1e-9)) / lit(w)).cast("long"))
     // dim order per blocking round: natural, then seeded shuffles
     // (deterministic across runs and executors)
     val orders: Seq[Vector[Int]] = (0 until blockings).map { r =>

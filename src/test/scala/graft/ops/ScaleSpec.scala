@@ -113,6 +113,20 @@ class ScaleSpec extends AnyFunSuite {
       s"variance selection should broadcast the kept-dim set:\n$vsPlan")
   }
 
+  test("round-8 plan shapes: banded cosine verify joins broadcast under the gate") {
+    // candidates outnumber vectors quadratically — the exact-verify
+    // joins must broadcast the id->vector side below the size gate so
+    // candidate rows never shuffle with a full vector attached
+    val vecs = spark.range(0, 60).select(col("id"),
+      array((0 until 8).map(i => (col("id") * (i + 1)).cast("float")
+        / lit(60.0f)): _*).as("v"))
+    val plan = graft.ext.Similarity.cosineNearDupPairs(
+        vecs, "id", "v", threshold = 0.99)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"verify joins should broadcast the vector side:\n$plan")
+  }
+
   test("z-order compaction: content identity, both-dimension skipping, sizing cache released") {
     // 40x40 uniform grid — the shape where single-dim sorting gives
     // zero skipping on the second dimension
