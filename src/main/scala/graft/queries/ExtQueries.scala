@@ -316,6 +316,25 @@ object ExtQueries extends QueryPack {
         .orderBy(col("ida"), col("idb"))
     },
 
+    // Same contract under MULTI-BLOCKING (two independent seeded
+    // segmentations, candidates = their intersection): the multi-index
+    // scale dial must stay bit-for-bit lossless against the same
+    // all-pairs oracle as q47 — every blocking is a pigeonhole-valid
+    // superset, so intersecting them is too.
+    "q128_embed_neardup_multiblock" -> { (s, dir) =>
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val pert = e.select((col("vec_id") + 100000).as("vec_id"),
+        concat(
+          array((element_at(col("embedding"), 1).cast("double") + lit(0.001))
+            .cast("float")),
+          slice(col("embedding"), 2, 1000)).as("embedding"))
+      val all = e.unionByName(pert)
+      Similarity.cosineNearDupPairs(all, "vec_id", "embedding",
+          threshold = 0.99, blockings = 2)
+        .select(col("ida"), col("idb"))
+        .orderBy(col("ida"), col("idb"))
+    },
+
     // Byte-level metadata over NON-image payloads: text bytes are not a
     // decodable image, so ok=false and dims are 0 — the honest decode
     // contract (n_bytes/digest still verified byte-exactly).
@@ -857,6 +876,16 @@ object ExtQueries extends QueryPack {
         |      t -> md5(t)), 'min') AS min_word_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q47_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |p AS (SELECT vec_id + 100000 AS vec_id,
+        |    list_prepend(CAST(embedding[1] + 0.001 AS FLOAT), embedding[2:])
+        |      AS embedding FROM e),
+        |a AS (SELECT * FROM e UNION ALL SELECT * FROM p)
+        |SELECT x.vec_id AS ida, y.vec_id AS idb
+        |FROM a x JOIN a y ON x.vec_id < y.vec_id
+        |WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.99
+        |ORDER BY ida, idb""".stripMargin,
+    "q128_embed_neardup_multiblock" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |p AS (SELECT vec_id + 100000 AS vec_id,
         |    list_prepend(CAST(embedding[1] + 0.001 AS FLOAT), embedding[2:])
