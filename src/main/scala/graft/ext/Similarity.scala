@@ -183,8 +183,9 @@ object Similarity {
     * every other dedup family here uses. Returns every input row:
     * (idCol, cluster_id, keep). */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, gridDims: Int = 4): DataFrame = {
-    val pairs = cosineNearDupPairs(df, idCol, vecCol, threshold, gridDims)
+      threshold: Double, gridDims: Int = 4, blockings: Int = 1): DataFrame = {
+    val pairs = cosineNearDupPairs(df, idCol, vecCol, threshold, gridDims,
+      blockings)
     Dedup.resolveClusters(df, idCol, pairs)
       .withColumn("keep", col(idCol) === col("cluster_id"))
   }
