@@ -82,14 +82,60 @@ object Similarity {
     * is map-side, so the default stays 1 — raise `blockings` when the
     * candidate DISTINCT's exchange (quadratic in corpus density)
     * outgrows the linear blocking pass. Returns (ida, idb,
-    * cosine_sim), ida < idb. */
+    * cosine_sim), ida < idb.
+    *
+    * Cache lifecycle: the returned pair set is MATERIALIZED (persisted
+    * + counted) before this returns and the corpus-sized blocking
+    * projection is dropped — what stays cached is only the
+    * output-sized result, which callers unpersist when done (the
+    * probeIvfIndex discipline). Composite consumers that drain the
+    * pairs internally use [[cosineNearDupPairsStaged]] and release
+    * everything before returning. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, gridDims: Int = 4, blockings: Int = 1): DataFrame = {
+      threshold: Double, gridDims: Int = 4, blockings: Int = 1,
+      broadcastBudgetBytes: Long = 256L << 20): DataFrame = {
+    val (pairs, release) = cosineNearDupPairsStaged(df, idCol, vecCol,
+      threshold, gridDims, blockings, broadcastBudgetBytes)
+    // materialize the (near-dup-density-sized) output while the
+    // corpus-sized base is still cached, then drop the base: the
+    // caller's action replays only the cached pair partitions
+    val out = pairs.persist()
+    out.count()
+    release()
+    out
+  }
+
+  /** [[cosineNearDupPairs]] with the blocking base's lifecycle in the
+    * caller's hands: returns the LAZY pair frame plus a release hook
+    * that drops the cached corpus-sized blocking projection. The base
+    * must stay cached until the last action over the pairs (every
+    * candidate and verify branch reads it — released early, the plan
+    * stays correct but recomputes the scan per branch, measured ~2x at
+    * bench scale); consumers that drain the pairs internally
+    * ([[semanticDedup]]) call release() before returning, leaving
+    * ZERO residual cache. */
+  def cosineNearDupPairsStaged(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, gridDims: Int = 4, blockings: Int = 1,
+      broadcastBudgetBytes: Long = 256L << 20): (DataFrame, () => Unit) = {
     require(threshold > 0.5 && threshold < 1.0,
       s"threshold $threshold: grid blocking needs a tight cosine bound")
     require(blockings >= 1, s"need at least one blocking: $blockings")
-    val dim = df.select(size(col(vecCol)).as("d")).head(1)
-      .headOption.map(_.getInt(0)).getOrElse(gridDims) max 1
+    // ONE sizing pass over the (column-pruned) vector column: corpus
+    // count for the broadcast gate, dim for the segment layout, and the
+    // uniform-length contract — a ragged corpus would silently weaken
+    // blocking (element_at past a short array is null) instead of
+    // failing loudly, so it is refused here.
+    val sz = df.agg(count(lit(1)),
+      min(size(col(vecCol))), max(size(col(vecCol)))).head()
+    val nVecs = sz.getLong(0)
+    val dim =
+      if (nVecs == 0 || sz.isNullAt(1)) gridDims max 1
+      else {
+        require(sz.getInt(1) == sz.getInt(2),
+          s"ragged vector lengths in $vecCol: min ${sz.getInt(1)} != " +
+            s"max ${sz.getInt(2)} — grid blocking needs a uniform dim")
+        sz.getInt(2) max 1
+      }
     val nSeg = math.max(1, (dim + gridDims - 1) / gridDims)
     val w = math.sqrt((2.0 - 2.0 * threshold) / nSeg) * 1.000001 // float slack
     val nrm = l2Norm(col(vecCol))
@@ -116,11 +162,15 @@ object Similarity {
         if (k < dim) cellOf(order(k)) else lit(0L)
       }: _*)
     }: _*)
+    // cached because every candidate and verify branch below reads it
+    // (uncached, each branch recomputes the scan + seg arithmetic —
+    // measured ~2x at bench scale); released through the returned hook
+    // so the corpus-sized projection never outlives its consumers (the
+    // r8 leak finding)
     val base = df.select(Seq(col(idCol).as("id"), col(vecCol).as("v")) ++
         orders.zipWithIndex.map { case (o, r) =>
           segCellArrays(o).as(s"segs_$r") }: _*)
       .persist()
-    val nVecs = base.count()
     // adjacent-cell offsets, one literal table shared by all segments
     val combos: Seq[Seq[Long]] =
       (1 to gridDims).foldLeft(Seq(Seq.empty[Long])) {
@@ -149,10 +199,6 @@ object Similarity {
     // same keys, so the joins reuse the distinct's partitioning)
     val cand = (0 until blockings).map(candidatesOf)
       .reduce(_.join(_, Seq("ida", "idb")))
-    // base stays cached until the caller's action consumes the result —
-    // an eager unpersist here would evict before the join branches
-    // ever read it and force full recomputation.
-    //
     // Size-gated broadcast for the verify joins (the Lookup broadcast
     // discipline): candidates outnumber vectors quadratically, and a
     // shuffled join would move CANDIDATE x VECTOR-WIDTH bytes — the
@@ -160,16 +206,22 @@ object Similarity {
     // shuffling it into the second join moved ~9 GB at 10x bench scale
     // (SCALING.md). Broadcasting the id->vector side keeps candidates
     // in-stage: cosine is computed and filtered to the true pairs
-    // before anything exchanges again.
+    // before anything exchanges again. The gate is BYTE-estimated
+    // (vectors are float4 + id/row overhead), not row-counted: 1M rows
+    // is ~0.3 GB at dim 64 but multi-GB at dim 1024, exactly the OOM a
+    // row gate would wave through.
     def vecs(as: String) =
       base.select(col("id").as(as), col("v").as(s"v_$as"))
+    val estVecBytes = nVecs * (4L * dim + 32L)
     val (va, vb) =
-      if (nVecs <= 1000000L) (broadcast(vecs("ida")), broadcast(vecs("idb")))
+      if (estVecBytes <= broadcastBudgetBytes)
+        (broadcast(vecs("ida")), broadcast(vecs("idb")))
       else (vecs("ida"), vecs("idb"))
-    cand.join(va, "ida").join(vb, "idb")
+    val out = cand.join(va, "ida").join(vb, "idb")
       .select(col("ida"), col("idb"),
         cosine(col("v_ida"), col("v_idb")).as("cosine_sim"))
       .filter(col("cosine_sim") >= threshold)
+    (out, () => { base.unpersist(blocking = true); () })
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al.,
@@ -181,13 +233,20 @@ object Similarity {
     * candidate generation is never all-pairs, and the transitive
     * closure runs as the same hybrid union-find / min-label propagation
     * every other dedup family here uses. Returns every input row:
-    * (idCol, cluster_id, keep). */
+    * (idCol, cluster_id, keep).
+    *
+    * Leaves NOTHING cached: connected components drains the pair frame
+    * through its own actions, so the blocking base is released before
+    * this returns — the result depends only on the input scan and the
+    * (driver-bounded) component labels. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, gridDims: Int = 4, blockings: Int = 1): DataFrame = {
-    val pairs = cosineNearDupPairs(df, idCol, vecCol, threshold, gridDims,
-      blockings)
-    Dedup.resolveClusters(df, idCol, pairs)
-      .withColumn("keep", col(idCol) === col("cluster_id"))
+    val (pairs, release) = cosineNearDupPairsStaged(df, idCol, vecCol,
+      threshold, gridDims, blockings)
+    try {
+      Dedup.resolveClusters(df, idCol, pairs)
+        .withColumn("keep", col(idCol) === col("cluster_id"))
+    } finally release()
   }
 
   /** Deterministic random hyperplanes: `numPlanes` unit-free normals of
