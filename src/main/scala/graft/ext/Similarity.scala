@@ -406,6 +406,20 @@ object Similarity {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
 
+  /** Engine-portable ±1 sign matrix: sign(i,j) = +1 iff the last md5
+    * hex nibble of "rp:seed:i:j" is even. md5 is available in every
+    * engine, so an independent implementation reproduces the exact
+    * matrix from (seed, i, j) alone — the reproducibility contract
+    * behind [[signedRandomProjection]] (q112) and the LSH near-dup
+    * blocker (q129/q130), whose oracles replay it in SQL. */
+  private[ext] def signMatrix(dim: Int, planes: Int, seed: Int): Seq[Array[Double]] =
+    (0 until planes).map { j =>
+      Array.tabulate(dim) { i =>
+        val nibble = Character.digit(md5hex(s"rp:$seed:$i:$j").charAt(31), 16)
+        if (nibble % 2 == 0) 1.0 else -1.0
+      }
+    }
+
   /** Signed random projection (Achlioptas/JL-style ±1 matrix):
     * projects `dim`-dimensional embeddings to `outDim` dimensions with
     * a deterministic sign matrix derived from md5 parity — md5 is
