@@ -1,6 +1,14 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Catalog of the TESTDATA star schema (see TESTDATA.md).
   *
@@ -15,12 +23,70 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** True iff the parquet footer carries a TIMESTAMP(NANOS) column —
+    * the one physical timestamp type Spark's reader refuses unless
+    * `spark.sql.legacy.parquet.nanosAsLong` surfaces it as epoch-nano
+    * longs. Sniffing the footer (a KB-sized read) instead of setting
+    * the flag unconditionally keeps the session conf honest: a µs or
+    * ms regeneration of the data reads as real timestamps. */
+  private def hasNanosTimestamp(spark: SparkSession, path: String): Boolean = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return false
+    val file =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath)
+          .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+          .getOrElse(return false)
+      else p
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try reader.getFileMetaData.getSchema.getColumns.asScala.exists { cd =>
+      cd.getPrimitiveType.getLogicalTypeAnnotation match {
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+        case _ => false
+      }
+    } finally reader.close()
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
-    // rejects; read nanos as epoch-nano longs (convert where a query
-    // needs wall-clock: timestamp_micros(col / 1000)).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    if (hasNanosTimestamp(spark, path))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(path)
+  }
+
+  /** The `events` table with `ts` canonicalized to TIMESTAMP_NTZ at
+    * microsecond resolution, whatever physical type the parquet
+    * carries. Dispatching on the LOADED dtype (not an assumption about
+    * the writer) is what survives a testdata regeneration:
+    *
+    *  - TIMESTAMP(NANOS) → surfaced as epoch-nano BIGINT by [[load]];
+    *    integer-truncate to µs (ns exceed double's 2^53 mantissa — a
+    *    double round-trip would corrupt them), exactly the truncation
+    *    DuckDB's µs TIMESTAMP applies to the same file.
+    *  - timestamp[us] without tz → already TIMESTAMP_NTZ; pass through.
+    *  - timestamp[us] with UTC adjustment → TIMESTAMP_LTZ; strip to
+    *    the naive wall clock.
+    *
+    * NTZ is the canonical type because the DuckDB oracle reads the
+    * same parquet as a naive TIMESTAMP — both engines then compare
+    * identical wall-clock values with no timezone in play. The LTZ
+    * branches assume session tz UTC (every entry point sets it). */
+  def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    val df = load(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+      case TimestampNTZType => df
+      case TimestampType =>
+        df.withColumn("ts", col("ts").cast(TimestampNTZType))
+      case other => throw new IllegalArgumentException(
+        s"events.ts: unsupported physical type $other — expected " +
+          "BIGINT nanos, TIMESTAMP_NTZ, or TIMESTAMP")
+    }
   }
 
   /** Register every table as a temp view so spark.sql(...) works — the

@@ -17,14 +17,13 @@ import graft.streaming.Streams
   */
 object EventQueries extends QueryPack {
 
-  /** The events parquet stores timestamp[ns] (pyarrow), which Spark
-    * surfaces as BIGINT nanos; truncate to microseconds with integer
-    * division (ns values exceed double's 2^53 mantissa — a double
-    * round-trip would corrupt them) — the same truncation DuckDB's
-    * µs-resolution TIMESTAMP applies. */
+  /** `events` with `ts` canonicalized to TIMESTAMP_NTZ microseconds —
+    * [[Tables.loadEvents]] dispatches on the parquet's actual physical
+    * type (ns-as-long / µs-ntz / µs-utc), so a testdata regeneration
+    * that changes the writer's timestamp unit cannot break this
+    * family (TablesSpec proves both fixtures load identically). */
   private def events(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    Tables.loadEvents(s, dir)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -227,8 +226,10 @@ object EventQueries extends QueryPack {
         .partitionBy(col("user_id")).orderBy(col("__us"))
         .rangeBetween(-3600000000L, 0)
       events(s, dir)
+        // unix_micros takes TIMESTAMP only; the NTZ→LTZ cast is exact
+        // under the session's UTC timezone
         .select(col("event_id"), col("user_id"), col("ts"),
-          unix_micros(col("ts")).as("__us"))
+          unix_micros(col("ts").cast("timestamp")).as("__us"))
         .withColumn("n_trailing_1h", count(lit(1)).over(w))
         .select(col("event_id"), col("user_id"), col("ts"),
           col("n_trailing_1h"))
