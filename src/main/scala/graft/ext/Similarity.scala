@@ -249,6 +249,122 @@ object Similarity {
     } finally release()
   }
 
+  /** APPROXIMATE cosine near-duplicate pairs — signed-random-projection
+    * LSH blocking, the sub-quadratic 100 TB path next to the EXACT
+    * grid-blocked [[cosineNearDupPairsStaged]]:
+    *
+    *   signature  — `planes` sign bits per vector, bit j = (v ·
+    *                signRow_j >= 0) against the ±1 md5-parity
+    *                [[signMatrix]] (engine-portable: the q129/q130
+    *                oracles replay the identical matrix in SQL);
+    *   banding    — bits pack into planes/bitsPerBand integer band
+    *                keys; candidates share >=1 (band, key) — the
+    *                exchange carries ids only, bucket-local, never
+    *                all-pairs;
+    *   verify     — exact cosine >= threshold over the size-gated
+    *                broadcast vector side (the exact generator's
+    *                discipline), so emitted pairs are a SUBSET of the
+    *                true pair set: precision is 1 by construction and
+    *                RECALL is the only approximation (a true pair whose
+    *                vectors share no band is missed — probability
+    *                (1-match^bitsPerBand)^bands, vanishing at near-dup
+    *                similarity).
+    *
+    * Scale shape vs the exact generator: candidate volume is driven by
+    * bucket occupancy (corpus / (bands · 2^bitsPerBand) per bucket),
+    * tunable with `planes`/`bitsPerBand` independent of the threshold —
+    * the dial the exact grid lacks when corpus density makes its
+    * lossless candidate floor quadratic (SCALING.md). Returns the lazy
+    * (ida, idb, cosine_sim) frame + the blocking base's release hook,
+    * the [[cosineNearDupPairsStaged]] contract. */
+  def cosineNearDupPairsApproxStaged(df: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, planes: Int = 32,
+      bitsPerBand: Int = 8, seed: Int = 7,
+      broadcastBudgetBytes: Long = 256L << 20): (DataFrame, () => Unit) = {
+    require(planes > 0 && bitsPerBand > 0 && planes % bitsPerBand == 0,
+      s"planes $planes must be a positive multiple of bitsPerBand $bitsPerBand")
+    require(threshold > 0.0, s"threshold $threshold: LSH needs a positive bound")
+    val sz = df.agg(count(lit(1)),
+      min(size(col(vecCol))), max(size(col(vecCol)))).head()
+    val nVecs = sz.getLong(0)
+    val dim =
+      if (nVecs == 0 || sz.isNullAt(1)) 1
+      else {
+        require(sz.getInt(1) == sz.getInt(2),
+          s"ragged vector lengths in $vecCol: min ${sz.getInt(1)} != " +
+            s"max ${sz.getInt(2)} — LSH signatures need a uniform dim")
+        sz.getInt(2) max 1
+      }
+    val signs = signMatrix(dim, planes, seed)
+    val bits: Seq[Column] = signs.map { s =>
+      when(dot(col(vecCol), lit(s)) >= 0, lit(1L)).otherwise(lit(0L))
+    }
+    val keys = bits.grouped(bitsPerBand).toSeq.zipWithIndex.map {
+      case (bs, band) =>
+        val key = bs.zipWithIndex.map { case (b, j) => b * lit(1L << j) }
+          .reduce(_ + _)
+        struct(lit(band).as("band"), key.as("key"))
+    }
+    // cached for the same reason as the exact generator's base: the
+    // candidate and both verify branches read it; released via the hook
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        array(keys: _*).as("bands"))
+      .persist()
+    val banded = base.select(col("id"),
+      explode(col("bands")).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = banded.alias("x").join(banded.alias("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("ida"), col("y.id").as("idb"))
+      .distinct()
+    def vecs(as: String) =
+      base.select(col("id").as(as), col("v").as(s"v_$as"))
+    val estVecBytes = nVecs * (4L * dim + 32L)
+    val (va, vb) =
+      if (estVecBytes <= broadcastBudgetBytes)
+        (broadcast(vecs("ida")), broadcast(vecs("idb")))
+      else (vecs("ida"), vecs("idb"))
+    val out = cand.join(va, "ida").join(vb, "idb")
+      .select(col("ida"), col("idb"),
+        cosine(col("v_ida"), col("v_idb")).as("cosine_sim"))
+      .filter(col("cosine_sim") >= threshold)
+    (out, () => { base.unpersist(blocking = true); () })
+  }
+
+  /** [[cosineNearDupPairsApproxStaged]] with the lifecycle closed:
+    * pairs materialized, blocking base released, only the (near-dup-
+    * density-sized) result left cached for the caller to unpersist. */
+  def cosineNearDupPairsApprox(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 32, bitsPerBand: Int = 8,
+      seed: Int = 7, broadcastBudgetBytes: Long = 256L << 20): DataFrame = {
+    val (pairs, release) = cosineNearDupPairsApproxStaged(df, idCol, vecCol,
+      threshold, planes, bitsPerBand, seed, broadcastBudgetBytes)
+    val out = pairs.persist()
+    out.count()
+    release()
+    out
+  }
+
+  /** [[semanticDedup]]'s certified APPROXIMATE form — the 100 TB
+    * default: LSH-blocked pairs ([[cosineNearDupPairsApproxStaged]])
+    * feed the same connected-component resolution, so clusters may
+    * split where the blocker missed a pair (recall < 1, audited by
+    * q129) but never merge rows below the threshold (verify keeps
+    * precision at 1). Same output contract as [[semanticDedup]]:
+    * every input row as (idCol, cluster_id, keep), nothing left
+    * cached. */
+  def semanticDedupApprox(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 32, bitsPerBand: Int = 8,
+      seed: Int = 7): DataFrame = {
+    val (pairs, release) = cosineNearDupPairsApproxStaged(df, idCol, vecCol,
+      threshold, planes, bitsPerBand, seed)
+    try {
+      Dedup.resolveClusters(df, idCol, pairs)
+        .withColumn("keep", col(idCol) === col("cluster_id"))
+    } finally release()
+  }
+
   /** Deterministic random hyperplanes: `numPlanes` unit-free normals of
     * dimension `dim`, seeded — same planes on every run/executor. */
   def hyperplanes(dim: Int, numPlanes: Int, seed: Long = 42L): Seq[Seq[Double]] = {
@@ -435,11 +551,7 @@ object Similarity {
   def signedRandomProjection(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, outDim: Int, seed: Int): DataFrame = {
     require(dim > 0 && outDim > 0, s"need positive dims: $dim -> $outDim")
-    val projs = (0 until outDim).map { j =>
-      val signs = Array.tabulate(dim) { i =>
-        val nibble = Character.digit(md5hex(s"rp:$seed:$i:$j").charAt(31), 16)
-        if (nibble % 2 == 0) 1.0 else -1.0
-      }
+    val projs = signMatrix(dim, outDim, seed).map { signs =>
       round(call_function("vec_dot", col(vecCol), lit(signs)), 6)
     }
     df.select(col(idCol), posexplode(array(projs: _*)).as(Seq("out_dim", "proj")))

@@ -335,6 +335,61 @@ object ExtQueries extends QueryPack {
         .orderBy(col("ida"), col("idb"))
     },
 
+    // The APPROXIMATE near-dup blocker under the oracle gate, recall
+    // AUDITED in-query: one row per TRUE pair (the exact lossless
+    // generator) flagged with whether signed-random-projection LSH
+    // captured it, plus a corpus-level recall >= 0.95 assertion. The
+    // oracle replays the identical md5-parity sign matrix, banding,
+    // and verify in SQL (the q112 reproducibility contract), so
+    // `captured` itself — not just the pair list — is hash-checked.
+    // Verified pairs are a SUBSET of true pairs by construction
+    // (precision 1); recall is the one approximation, and this row
+    // pins it.
+    "q129_lsh_neardup" -> { (s, dir) =>
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val pert = e.select((col("vec_id") + 100000).as("vec_id"),
+        concat(
+          array((element_at(col("embedding"), 1).cast("double") + lit(0.001))
+            .cast("float")),
+          slice(col("embedding"), 2, 1000)).as("embedding"))
+      val all = e.unionByName(pert)
+      val exact = Similarity.cosineNearDupPairs(all, "vec_id", "embedding",
+          threshold = 0.99)
+        .select(col("ida"), col("idb"))
+      val approx = Similarity.cosineNearDupPairsApprox(all, "vec_id",
+          "embedding", threshold = 0.99, planes = 32, bitsPerBand = 8,
+          seed = 7)
+        .select(col("ida"), col("idb"), lit(true).as("captured"))
+      val audited = exact.join(approx, Seq("ida", "idb"), "left")
+        .select(col("ida"), col("idb"),
+          coalesce(col("captured"), lit(false)).as("captured"))
+      val recall = audited.agg(
+        (sum(col("captured").cast("long")).cast("double") / count(lit(1)))
+          .as("__recall"))
+      audited.crossJoin(broadcast(recall))
+        .select(col("ida"), col("idb"), col("captured"),
+          (col("__recall") >= 0.95).as("recall_ok"))
+        .orderBy(col("ida"), col("idb"))
+    },
+
+    // Approximate SemDeDup end-to-end: LSH-blocked pairs → the same
+    // connected-component resolution as q89. Clusters can only SPLIT
+    // relative to exact (missed pairs), never merge below threshold —
+    // and the oracle replays the same LSH in SQL, so the cluster
+    // assignment is certified bit-for-bit, not rows-only.
+    "q130_semantic_dedup_approx" -> { (s, dir) =>
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val pert = e.select((col("vec_id") + 100000).as("vec_id"),
+        concat(
+          array((element_at(col("embedding"), 1).cast("double") + lit(0.001))
+            .cast("float")),
+          slice(col("embedding"), 2, 1000)).as("embedding"))
+      Similarity.semanticDedupApprox(e.unionByName(pert), "vec_id",
+          "embedding", threshold = 0.99, planes = 32, bitsPerBand = 8,
+          seed = 7)
+        .orderBy(col("vec_id"))
+    },
+
     // Byte-level metadata over NON-image payloads: text bytes are not a
     // decodable image, so ok=false and dims are 0 — the honest decode
     // contract (n_bytes/digest still verified byte-exactly).
@@ -895,6 +950,80 @@ object ExtQueries extends QueryPack {
         |FROM a x JOIN a y ON x.vec_id < y.vec_id
         |WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.99
         |ORDER BY ida, idb""".stripMargin,
+    // replays the engine's LSH exactly: md5-parity signs (q112's
+    // convention), 32 bits -> 4 bands of 8, candidates share a band
+    // key, exact-cosine verify — then audits vs the brute-force truth
+    "q129_lsh_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |p AS (SELECT vec_id + 100000 AS vec_id,
+        |    list_prepend(CAST(embedding[1] + 0.001 AS FLOAT), embedding[2:])
+        |      AS embedding FROM e),
+        |a AS (SELECT * FROM e UNION ALL SELECT * FROM p),
+        |ev AS (SELECT vec_id,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS x FROM a),
+        |sm AS (SELECT CAST(i.range AS INT) AS i, CAST(j.range AS INT) AS j,
+        |    CASE WHEN (strpos('0123456789abcdef', substring(md5(
+        |        'rp:7:' || CAST(i.range AS VARCHAR) || ':' ||
+        |        CAST(j.range AS VARCHAR)), 32, 1)) - 1) % 2 = 0
+        |      THEN 1.0 ELSE -1.0 END AS sgn
+        |  FROM range(64) i, range(32) j),
+        |bits AS (SELECT ev.vec_id, sm.j,
+        |    CASE WHEN SUM(ev.x * sm.sgn) >= 0 THEN 1 ELSE 0 END AS bit
+        |  FROM ev JOIN sm USING (i) GROUP BY ev.vec_id, sm.j),
+        |bk AS (SELECT vec_id, j // 8 AS band,
+        |    CAST(SUM(bit * (1 << (j % 8))) AS BIGINT) AS bkey
+        |  FROM bits GROUP BY vec_id, j // 8),
+        |cand AS (SELECT DISTINCT x.vec_id AS ida, y.vec_id AS idb
+        |  FROM bk x JOIN bk y ON x.band = y.band AND x.bkey = y.bkey
+        |    AND x.vec_id < y.vec_id),
+        |ex AS (SELECT x.vec_id AS ida, y.vec_id AS idb
+        |  FROM a x JOIN a y ON x.vec_id < y.vec_id
+        |  WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.99),
+        |ap AS (SELECT c.ida, c.idb FROM cand c
+        |  JOIN a x ON c.ida = x.vec_id JOIN a y ON c.idb = y.vec_id
+        |  WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.99),
+        |cap AS (SELECT ex.ida, ex.idb, ap.ida IS NOT NULL AS captured
+        |  FROM ex LEFT JOIN ap ON ex.ida = ap.ida AND ex.idb = ap.idb),
+        |r AS (SELECT SUM(CASE WHEN captured THEN 1 ELSE 0 END) * 1.0
+        |    / COUNT(*) AS recall FROM cap)
+        |SELECT cap.ida, cap.idb, cap.captured, r.recall >= 0.95 AS recall_ok
+        |FROM cap, r ORDER BY ida, idb""".stripMargin,
+    "q130_semantic_dedup_approx" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, embedding FROM embeddings),
+        |p AS (SELECT vec_id + 100000 AS vec_id,
+        |    list_prepend(CAST(embedding[1] + 0.001 AS FLOAT), embedding[2:])
+        |      AS embedding FROM e),
+        |a AS (SELECT * FROM e UNION ALL SELECT * FROM p),
+        |ev AS (SELECT vec_id,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS x FROM a),
+        |sm AS (SELECT CAST(i.range AS INT) AS i, CAST(j.range AS INT) AS j,
+        |    CASE WHEN (strpos('0123456789abcdef', substring(md5(
+        |        'rp:7:' || CAST(i.range AS VARCHAR) || ':' ||
+        |        CAST(j.range AS VARCHAR)), 32, 1)) - 1) % 2 = 0
+        |      THEN 1.0 ELSE -1.0 END AS sgn
+        |  FROM range(64) i, range(32) j),
+        |bits AS (SELECT ev.vec_id, sm.j,
+        |    CASE WHEN SUM(ev.x * sm.sgn) >= 0 THEN 1 ELSE 0 END AS bit
+        |  FROM ev JOIN sm USING (i) GROUP BY ev.vec_id, sm.j),
+        |bk AS (SELECT vec_id, j // 8 AS band,
+        |    CAST(SUM(bit * (1 << (j % 8))) AS BIGINT) AS bkey
+        |  FROM bits GROUP BY vec_id, j // 8),
+        |cand AS (SELECT DISTINCT x.vec_id AS ida, y.vec_id AS idb
+        |  FROM bk x JOIN bk y ON x.band = y.band AND x.bkey = y.bkey
+        |    AND x.vec_id < y.vec_id),
+        |ap AS (SELECT c.ida, c.idb FROM cand c
+        |  JOIN a x ON c.ida = x.vec_id JOIN a y ON c.idb = y.vec_id
+        |  WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.99),
+        |pairs AS (SELECT ida AS ia, idb AS ib FROM ap
+        |  UNION ALL SELECT idb, ida FROM ap),
+        |reach(id, r) AS (
+        |  SELECT vec_id, vec_id FROM a
+        |  UNION
+        |  SELECT p.ia, r.r FROM pairs p JOIN reach r ON p.ib = r.id)
+        |SELECT id AS vec_id, min(r) AS cluster_id, id = min(r) AS keep
+        |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
     "q29_multimodal_meta" ->
       """SELECT doc_id AS media_id,
         |  octet_length(encode(text)) AS n_bytes,

@@ -798,6 +798,49 @@ class ExtSpec extends AnyFunSuite {
       (3L, 3L, true), (4L, 1L, false)))
   }
 
+  test("cosineNearDupPairsApprox emits a verified subset with full recall on twins") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", ArrayType(FloatType, containsNull = false))))
+    def vrow(id: Long, xs: Float*) = Row(id, xs)
+    val df = spark.createDataFrame(java.util.Arrays.asList(
+      vrow(1L, 1.0f, 0.0f, 0.0f, 0.0f),
+      vrow(2L, 0.9999f, 0.001f, 0.0f, 0.0f), // twin of 1
+      vrow(3L, 0.0f, 1.0f, 0.0f, 0.0f),      // orthogonal singleton
+      vrow(4L, 0.9998f, 0.002f, 0.0f, 0.0f)  // twin of 1 and 2
+    ), schema)
+    val exact = Similarity.cosineNearDupPairs(df, "id", "v", threshold = 0.99)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    val approx = Similarity.cosineNearDupPairsApprox(df, "id", "v",
+        threshold = 0.99)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    // precision 1 by construction (exact-cosine verify at the same
+    // threshold): approx ⊆ exact; on near-identical twins the band
+    // collision probability is ~1 — full recall here
+    assert(approx.subsetOf(exact))
+    assert(approx == exact)
+    assert(exact == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+  }
+
+  test("semanticDedupApprox matches the exact clustering on twins and leaves no cache") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", ArrayType(FloatType, containsNull = false))))
+    def vrow(id: Long, xs: Float*) = Row(id, xs)
+    val df = spark.createDataFrame(java.util.Arrays.asList(
+      vrow(1L, 1.0f, 0.0f, 0.0f, 0.0f),
+      vrow(2L, 0.9999f, 0.001f, 0.0f, 0.0f),
+      vrow(3L, 0.0f, 1.0f, 0.0f, 0.0f),
+      vrow(4L, 0.9998f, 0.002f, 0.0f, 0.0f)
+    ), schema)
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val out = Similarity.semanticDedupApprox(df, "id", "v", threshold = 0.99)
+      .select("id", "cluster_id", "keep")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 1L, true), (2L, 1L, false),
+      (3L, 3L, true), (4L, 1L, false)))
+    assert(spark.sparkContext.getPersistentRDDs.keySet == cachedBefore,
+      "semanticDedupApprox must release everything it cached")
+  }
+
   test("tfIdfTopTerms ranks a doc's distinctive term above ubiquitous ones") {
     val df = docs(
       (1L, "common common rare rare rare"),
