@@ -112,6 +112,26 @@ object Dedup {
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.5, maxBucket: Int = 10000): DataFrame = {
+    val (pairs, release) = minhashNearDupPairsStaged(df, idCol, textCol,
+      k, numHashes, bands, threshold, maxBucket)
+    // the cosineNearDupPairs lifecycle: materialize the pair-density-
+    // sized output while the corpus-sized shingle cache is warm, then
+    // release it — only the result stays cached, for the caller to drop
+    val out = pairs.persist()
+    out.count()
+    release()
+    out
+  }
+
+  /** [[minhashNearDupPairs]] with the shingle-set cache's lifecycle in
+    * the caller's hands: returns the LAZY pair frame + a release hook
+    * for the corpus-sized cached projection (must stay cached until
+    * the last action over the pairs — the banded explode and both
+    * verify sides read it). */
+  def minhashNearDupPairsStaged(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5, maxBucket: Int = 10000)
+      : (DataFrame, () => Unit) = {
     val withSets = df.select(col(idCol).as("id"),
         shingles(col(textCol), k).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -138,10 +158,11 @@ object Dedup {
       .distinct()
     val a = sets.select(col("id").as("ida"), col("sh").as("sha"))
     val b = sets.select(col("id").as("idb"), col("sh").as("shb"))
-    candidates.join(a, "ida").join(b, "idb")
+    val out = candidates.join(a, "ida").join(b, "idb")
       .select(col("ida"), col("idb"),
         jaccardStr(col("sha"), col("shb")).as("jaccard_sim"))
       .filter(col("jaccard_sim") >= threshold)
+    (out, () => { sets.unpersist(blocking = true); () })
   }
 
   /** Fuzzy dedup: drop every document that has a near-duplicate with a
@@ -149,9 +170,13 @@ object Dedup {
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.5, maxBucket: Int = 10000): DataFrame = {
-    val dupIds = minhashNearDupPairs(df, idCol, textCol, k, numHashes, bands,
-        threshold, maxBucket)
-      .select(col("idb").as(idCol)).distinct()
+    val (pairs, release) = minhashNearDupPairsStaged(df, idCol, textCol,
+      k, numHashes, bands, threshold, maxBucket)
+    // materialize the (dup-count-bounded) id set, then drop the
+    // corpus-sized shingle cache; only dupIds rides into the anti-join
+    val dupIds = pairs.select(col("idb").as(idCol)).distinct().persist()
+    dupIds.count()
+    release()
     df.join(dupIds, Seq(idCol), "left_anti")
   }
 
@@ -185,6 +210,23 @@ object Dedup {
   def jaccardNearDupPairs(d: DataFrame, idCol: String, wsCol: String,
       threshold: Double, blockCol: Option[String] = None,
       dfOrderedPrefix: Boolean = true): DataFrame = {
+    val (pairs, release) = jaccardNearDupPairsStaged(d, idCol, wsCol,
+      threshold, blockCol, dfOrderedPrefix)
+    // materialize the pair-density-sized output, then drop the
+    // corpus-sized set/prefix caches (the cosineNearDupPairs lifecycle)
+    val out = pairs.persist()
+    out.count()
+    release()
+    out
+  }
+
+  /** [[jaccardNearDupPairs]] with its caches' lifecycle in the
+    * caller's hands: the LAZY pair frame + one release hook covering
+    * both the cached set projection and (under the df-ordered prefix)
+    * the cached prefix-token table. */
+  def jaccardNearDupPairsStaged(d: DataFrame, idCol: String, wsCol: String,
+      threshold: Double, blockCol: Option[String] = None,
+      dfOrderedPrefix: Boolean = true): (DataFrame, () => Unit) = {
     val t = threshold
     val blockCols = blockCol.toSeq.map(col)
     val blockNames = blockCol.toSeq
@@ -227,7 +269,7 @@ object Dedup {
     val a = sets.select((col("id").as("ida") +: blockCols :+
       col("ws").as("wsa")): _*)
     val b = sets.select(col("id").as("idb"), col("ws").as("wsb"))
-    candidates.join(a, "ida").join(b, "idb")
+    val out = candidates.join(a, "ida").join(b, "idb")
       // cheap length filter before the exact intersect: J>=t bounds the
       // size ratio of the two sets
       .filter(size(col("wsa")).cast("double") >= lit(t) * size(col("wsb")) &&
@@ -235,6 +277,11 @@ object Dedup {
       .select((col("ida") +: col("idb") +: blockCols :+
         jaccardStr(col("wsa"), col("wsb")).as("jaccard_sim")): _*)
       .filter(col("jaccard_sim") >= t)
+    (out, () => {
+      sets.unpersist(blocking = true)
+      if (ex ne sets) ex.unpersist(blocking = true)
+      ()
+    })
   }
 
   /** EXACT containment (asymmetric Jaccard) pairs: (a, b) with
@@ -305,12 +352,19 @@ object Dedup {
     val a = probeSets.select((col("id").as("ida") +: blockCols :+
       col("ws").as("wsa")): _*)
     val b = corpusSets.select(col("id").as("idb"), col("ws").as("wsb"))
-    candidates.join(a, "ida").join(b, "idb")
+    val pairs = candidates.join(a, "ida").join(b, "idb")
       .select((col("ida") +: col("idb") +: blockCols :+
         // native count-only overlap: no intersection array per pair
         (call_function("overlap_size", col("wsa"), col("wsb"))
           .cast("double") / size(col("wsa"))).as("containment")): _*)
       .filter(col("containment") >= t)
+    // materialize the pair-density-sized output, drop the two
+    // corpus-sized set caches (the cosineNearDupPairs lifecycle)
+    val out = pairs.persist()
+    out.count()
+    probeSets.unpersist(blocking = true)
+    corpusSets.unpersist(blocking = true)
+    out
   }
 
   /** Near-dup pair list → cluster resolution: connected components
@@ -428,7 +482,7 @@ object Dedup {
     * 8-bit keys at maxHamming=7 saturate at ~256 buckets (measured
     * quadratic at 10x bench corpus, SCALING.md) while m=2's 14-bit
     * keys buy 64x more keyspace for C(9,2)=36 key rows per doc. The
-    * requires keep (keyBits >= 8) and the combo fan-out bounded; raise
+    * requires keep (keyBits > 8) and the combo fan-out bounded; raise
     * `exactBands` as the corpus outgrows the keyspace, or use MinHash
     * LSH past SimHash banding's reach. Key rows carry xxhash64(combo,
     * band values) — hash collisions only add candidates; the exact
@@ -439,10 +493,14 @@ object Dedup {
       s"need maxHamming >= 0, exactBands >= 1: $maxHamming, $exactBands")
     val bands = maxHamming + exactBands
     require(bands <= 64, s"bands=$bands cannot exceed the 64 bits")
-    require(exactBands * (64 / bands) >= 8,
+    // STRICTLY more than 8 bits: exactly-8-bit keys (radius 7 with
+    // exactBands=1) are 256 buckets, measured going quadratic at 10x
+    // corpus (SCALING.md) — refused, not just discouraged
+    require(exactBands * (64 / bands) > 8,
       s"maxHamming=$maxHamming, exactBands=$exactBands: combined keys " +
-        s"keep ${exactBands * (64 / bands)} bits (< 8) — raise " +
-        "exactBands or use MinHash LSH at this radius")
+        s"keep ${exactBands * (64 / bands)} bits (<= 8, a keyspace " +
+        "measured quadratic at scale) — raise exactBands or use " +
+        "MinHash LSH at this radius")
     val combos = (0 until bands).combinations(exactBands).toSeq
     require(combos.size <= 512,
       s"${combos.size} band combinations — lower exactBands")
@@ -465,10 +523,17 @@ object Dedup {
       }: _*)).as("key"))
     val l = banded.alias("l")
     val r = banded.alias("r")
-    l.join(r, col("l.key") === col("r.key") && col("l.id") < col("r.id"))
+    val pairs = l.join(r,
+        col("l.key") === col("r.key") && col("l.id") < col("r.id"))
       .select(col("l.id").as("ida"), col("r.id").as("idb"),
         hamming(col("l.fp"), col("r.fp")).as("hamming_dist"))
       .distinct()
       .filter(col("hamming_dist") <= maxHamming)
+    // materialize the pair-density-sized output, drop the corpus-sized
+    // fingerprint cache (the cosineNearDupPairs lifecycle)
+    val out = pairs.persist()
+    out.count()
+    fp.unpersist(blocking = true)
+    out
   }
 }

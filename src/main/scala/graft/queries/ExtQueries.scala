@@ -390,6 +390,112 @@ object ExtQueries extends QueryPack {
         .orderBy(col("vec_id"))
     },
 
+    // Certified capture audit for MinHash LSH (q20 stays the raw pair
+    // dump — xxhash64 bands have no DuckDB form, but the CONTRACT
+    // does): per planted pair, did the production operator capture it?
+    // An IDENTICAL twin (+200000) shares the signature, so capture is
+    // deterministic; a NEAR twin (+300000, two appended tokens) sits
+    // at jaccard >= 0.8 for 10+-token docs, where P(miss all 16
+    // bands) < 1e-8. precision_ok recomputes every emitted pair's
+    // jaccard through the independent array_intersect/array_union
+    // path and requires it to equal the native jaccard_sim AND clear
+    // the threshold; recall_ok asserts planted capture >= 0.99. The
+    // oracle predicts every flag, so the contract is hash-certified
+    // (the q96 bloom-vs-exact discipline).
+    "q131_minhash_capture" -> { (s, dir) =>
+      val d = docs(s, dir)
+        .filter(col("doc_id") < 300 && size(split(col("text"), " ")) >= 10)
+        .select(col("doc_id"), col("text"))
+      val twin = d.select((col("doc_id") + 200000).as("doc_id"), col("text"))
+      val near = d.select((col("doc_id") + 300000).as("doc_id"),
+        concat(col("text"), lit(" qq zz")).as("text"))
+      val all = d.unionByName(twin).unionByName(near)
+      val pairs = Dedup.minhashNearDupPairs(all, "doc_id", "text",
+        k = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      val sets = all.select(col("doc_id"),
+        Dedup.shingles(col("text"), 3).as("sh"))
+      val prec = pairs
+        .join(sets.select(col("doc_id").as("ida"), col("sh").as("sha")), "ida")
+        .join(sets.select(col("doc_id").as("idb"), col("sh").as("shb")), "idb")
+        .select(col("jaccard_sim"),
+          (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+            size(array_union(col("sha"), col("shb")))).as("jr"))
+        .agg(coalesce(
+          min(when(col("jr") >= 0.5 && col("jr") === col("jaccard_sim"), 1L)
+            .otherwise(0L)) === 1L, lit(true)).as("precision_ok"))
+      val planted = d.select(col("doc_id").as("ida"),
+          (col("doc_id") + 200000).as("idb"), lit("identical").as("kind"))
+        .unionByName(d.select(col("doc_id").as("ida"),
+          (col("doc_id") + 300000).as("idb"), lit("near").as("kind")))
+      val cap = planted.join(pairs.select(col("ida"), col("idb"),
+          lit(true).as("__c")), Seq("ida", "idb"), "left")
+        .select(col("ida"), col("idb"), col("kind"),
+          coalesce(col("__c"), lit(false)).as("captured"))
+      val rec = cap.agg((sum(col("captured").cast("long")).cast("double") /
+        count(lit(1))).as("__r"))
+      cap.crossJoin(broadcast(rec)).crossJoin(broadcast(prec))
+        .select(col("ida"), col("idb"), col("kind"), col("captured"),
+          (col("__r") >= 0.99).as("recall_ok"), col("precision_ok"))
+        .orderBy(col("ida"), col("idb"))
+    },
+
+    // Certified capture audit for SimHash banding (q22 stays the raw
+    // dump): generalized pigeonhole is LOSSLESS within the radius, so
+    // every planted pair must satisfy `captured OR hamming > radius` —
+    // the identical twin (hamming 0) makes the captured branch
+    // deterministic, the near twin exercises the radius boundary on
+    // real fingerprints. Every flag is oracle-predicted TRUE.
+    "q132_simhash_capture" -> { (s, dir) =>
+      val d = docs(s, dir)
+        .filter(col("doc_id") < 300 && size(split(col("text"), " ")) >= 10)
+        .select(col("doc_id"), col("text"))
+      val twin = d.select((col("doc_id") + 200000).as("doc_id"), col("text"))
+      val near = d.select((col("doc_id") + 300000).as("doc_id"),
+        concat(col("text"), lit(" qq zz")).as("text"))
+      val all = d.unionByName(twin).unionByName(near)
+      val pairs = Dedup.simhashNearDupPairs(all, "doc_id", "text",
+        maxHamming = 3, exactBands = 2)
+      val fps = all.select(col("doc_id"),
+        Dedup.simhash64(col("text")).as("fp"))
+      val planted = d.select(col("doc_id").as("ida"),
+          (col("doc_id") + 200000).as("idb"), lit("identical").as("kind"))
+        .unionByName(d.select(col("doc_id").as("ida"),
+          (col("doc_id") + 300000).as("idb"), lit("near").as("kind")))
+      planted
+        .join(fps.select(col("doc_id").as("ida"), col("fp").as("__fa")), "ida")
+        .join(fps.select(col("doc_id").as("idb"), col("fp").as("__fb")), "idb")
+        .join(pairs.select(col("ida"), col("idb"), lit(true).as("__c")),
+          Seq("ida", "idb"), "left")
+        .select(col("ida"), col("idb"), col("kind"),
+          (coalesce(col("__c"), lit(false)) ||
+            Dedup.hamming(col("__fa"), col("__fb")) > 3)
+            .as("capture_contract_ok"))
+        .orderBy(col("ida"), col("idb"))
+    },
+
+    // Certified recall row for hyperplane-LSH ANN (q28 stays the raw
+    // top-k dump): each query vector gets an identical twin planted in
+    // the corpus — identical vectors share EVERY band, so the twin is
+    // always a candidate, its cosine is exactly 1, and LSH's rank-1
+    // neighbor MUST be the twin (recall@1 = 1 as a deterministic,
+    // oracle-predicted fact, not a probabilistic hope). n_results
+    // certifies the bucket-join yields a full k candidates.
+    "q133_ann_twin_recall" -> { (s, dir) =>
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val q = e.filter(col("vec_id") < 20)
+      val twins = q.select((col("vec_id") + 100000).as("vec_id"),
+        col("embedding"))
+      val corpus = e.unionByName(twins)
+      Similarity.lshTopK(q, corpus, "vec_id", "embedding", k = 5,
+          dim = 64, numPlanes = 16, bitsPerBand = 4)
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_results"),
+          max(when(col("rank") === 1,
+            col("neighbor_id") === col("query_id") + 100000))
+            .as("top1_is_twin"))
+        .orderBy(col("query_id"))
+    },
+
     // Byte-level metadata over NON-image payloads: text bytes are not a
     // decodable image, so ok=false and dims are 0 — the honest decode
     // contract (n_bytes/digest still verified byte-exactly).
@@ -1024,6 +1130,31 @@ object ExtQueries extends QueryPack {
         |  SELECT p.ia, r.r FROM pairs p JOIN reach r ON p.ib = r.id)
         |SELECT id AS vec_id, min(r) AS cluster_id, id = min(r) AS keep
         |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
+    "q131_minhash_capture" ->
+      """WITH d AS (SELECT doc_id FROM documents
+        |    WHERE doc_id < 300 AND len(string_split(text, ' ')) >= 10),
+        |pl AS (
+        |  SELECT doc_id AS ida, doc_id + 200000 AS idb,
+        |    'identical' AS kind FROM d
+        |  UNION ALL
+        |  SELECT doc_id, doc_id + 300000, 'near' FROM d)
+        |SELECT ida, idb, kind, TRUE AS captured, TRUE AS recall_ok,
+        |  TRUE AS precision_ok
+        |FROM pl ORDER BY ida, idb""".stripMargin,
+    "q132_simhash_capture" ->
+      """WITH d AS (SELECT doc_id FROM documents
+        |    WHERE doc_id < 300 AND len(string_split(text, ' ')) >= 10),
+        |pl AS (
+        |  SELECT doc_id AS ida, doc_id + 200000 AS idb,
+        |    'identical' AS kind FROM d
+        |  UNION ALL
+        |  SELECT doc_id, doc_id + 300000, 'near' FROM d)
+        |SELECT ida, idb, kind, TRUE AS capture_contract_ok
+        |FROM pl ORDER BY ida, idb""".stripMargin,
+    "q133_ann_twin_recall" ->
+      """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_results,
+        |  TRUE AS top1_is_twin
+        |FROM embeddings WHERE vec_id < 20 ORDER BY query_id""".stripMargin,
     "q29_multimodal_meta" ->
       """SELECT doc_id AS media_id,
         |  octet_length(encode(text)) AS n_bytes,

@@ -154,7 +154,8 @@ class ExtSpec extends AnyFunSuite {
     val df = docs(texts: _*)
     val fps = df.select(col("id"), Dedup.simhash64(col("text")).as("fp"))
       .as[(Long, Long)].collect()
-    for (radius <- Seq(0, 3, 5, 7); m <- Seq(1, 2)) {
+    for (radius <- Seq(0, 3, 5, 7); m <- Seq(1, 2)
+         if m * (64 / (radius + m)) > 8) {
       val want = (for {
         (ia, fa) <- fps; (ib, fb) <- fps
         if ia < ib && java.lang.Long.bitCount(fa ^ fb) <= radius
@@ -168,6 +169,14 @@ class ExtSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Dedup.simhashNearDupPairs(df, "id", "text", maxHamming = 8)
     }
+    // radius-7 single-band keys are EXACTLY 8 bits — the configuration
+    // measured quadratic at 10x corpus (SCALING.md) — and the guard
+    // refuses them with the remediation in the message
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairs(df, "id", "text",
+        maxHamming = 7, exactBands = 1)
+    }
+    assert(e.getMessage.contains("raise exactBands"))
     // ...and the exactBands dial extends the reach with wider keys
     val extended = Dedup.simhashNearDupPairs(df, "id", "text",
         maxHamming = 8, exactBands = 2)
