@@ -28,27 +28,42 @@ object Tables {
     * `spark.sql.legacy.parquet.nanosAsLong` surfaces it as epoch-nano
     * longs. Sniffing the footer (a KB-sized read) instead of setting
     * the flag unconditionally keeps the session conf honest: a µs or
-    * ms regeneration of the data reads as real timestamps. */
-  private def hasNanosTimestamp(spark: SparkSession, path: String): Boolean = {
-    val conf = spark.sessionState.newHadoopConf()
-    val p = new Path(path)
-    val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) return false
-    val file =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).map(_.getPath)
-          .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
-          .getOrElse(return false)
-      else p
-    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
-    try reader.getFileMetaData.getSchema.getColumns.asScala.exists { cd =>
-      cd.getPrimitiveType.getLogicalTypeAnnotation match {
-        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-          t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
-        case _ => false
+    * ms regeneration of the data reads as real timestamps. Walks
+    * RECURSIVELY to the first data file, so hive-partitioned layouts
+    * sniff the same as single files; results are memoized per path
+    * (parquet footers are immutable for the life of a dataset). */
+  private val nanosSniffCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private def hasNanosTimestamp(spark: SparkSession, path: String): Boolean =
+    nanosSniffCache.computeIfAbsent(path, { _ =>
+      val conf = spark.sessionState.newHadoopConf()
+      val p = new Path(path)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) java.lang.Boolean.FALSE
+      else {
+        def firstDataFile(dir: Path): Option[Path] = {
+          val (dirs, files) = fs.listStatus(dir)
+            .filterNot(_.getPath.getName.startsWith("_"))
+            .partition(_.isDirectory)
+          files.map(_.getPath).find(_.getName.endsWith(".parquet"))
+            .orElse(dirs.map(_.getPath).sortBy(_.getName).view
+              .flatMap(firstDataFile).headOption)
+        }
+        val file =
+          if (fs.getFileStatus(p).isDirectory) firstDataFile(p) else Some(p)
+        java.lang.Boolean.valueOf(file.exists { f =>
+          val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+          try reader.getFileMetaData.getSchema.getColumns.asScala.exists { cd =>
+            cd.getPrimitiveType.getLogicalTypeAnnotation match {
+              case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+              case _ => false
+            }
+          } finally reader.close()
+        })
       }
-    } finally reader.close()
-  }
+    })
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"

@@ -166,7 +166,13 @@ object Dedup {
   }
 
   /** Fuzzy dedup: drop every document that has a near-duplicate with a
-    * smaller id (the canonical survivor is the earliest). */
+    * smaller id (the canonical survivor is the earliest).
+    *
+    * Cache lifecycle: the corpus-sized shingle cache is released
+    * before this returns; what stays cached is the duplicate-id set —
+    * dup-count-bounded, i.e. smaller than the pair frame the
+    * generators themselves leave for the caller (the output-cache
+    * convention: bounded product stays, caller/harness clears it). */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.5, maxBucket: Int = 10000): DataFrame = {

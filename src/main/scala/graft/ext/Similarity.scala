@@ -49,6 +49,48 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** ONE sizing pass over the (column-pruned) vector column shared by
+    * the pair generators: corpus count for the broadcast gate, dim for
+    * the blocking layout, and the uniform-length contract — a ragged
+    * corpus would silently weaken blocking (element_at past a short
+    * array is null) instead of failing loudly, so it is refused here.
+    * Returns (nVecs, dim), `fallbackDim` on an empty corpus. */
+  private def vecSizing(df: DataFrame, vecCol: String, what: String,
+      fallbackDim: Int): (Long, Int) = {
+    val sz = df.agg(count(lit(1)),
+      min(size(col(vecCol))), max(size(col(vecCol)))).head()
+    val nVecs = sz.getLong(0)
+    val dim =
+      if (nVecs == 0 || sz.isNullAt(1)) fallbackDim max 1
+      else {
+        require(sz.getInt(1) == sz.getInt(2),
+          s"ragged vector lengths in $vecCol: min ${sz.getInt(1)} != " +
+            s"max ${sz.getInt(2)} — $what needs a uniform dim")
+        sz.getInt(2) max 1
+      }
+    (nVecs, dim)
+  }
+
+  /** Size-gated (id, vector) sides for the exact-verify joins (the
+    * Lookup broadcast discipline): candidates outnumber vectors
+    * quadratically, and a shuffled join would move CANDIDATE x
+    * VECTOR-WIDTH bytes — the first join's output carries a full
+    * vector per candidate row, so shuffling it into the second join
+    * moved ~9 GB at 10x bench scale (SCALING.md). Broadcasting the
+    * id→vector side keeps candidates in-stage. The gate is
+    * BYTE-estimated (vectors are float4 + id/row overhead), not
+    * row-counted: 1M rows is ~0.3 GB at dim 64 but multi-GB at dim
+    * 1024, exactly the OOM a row gate would wave through. */
+  private def verifyVecSides(base: DataFrame, nVecs: Long, dim: Int,
+      budgetBytes: Long): (DataFrame, DataFrame) = {
+    def vecs(as: String) =
+      base.select(col("id").as(as), col("v").as(s"v_$as"))
+    val estVecBytes = nVecs * (4L * dim + 32L)
+    if (estVecBytes <= budgetBytes)
+      (broadcast(vecs("ida")), broadcast(vecs("idb")))
+    else (vecs("ida"), vecs("idb"))
+  }
+
   /** EXACT cosine near-duplicate pairs at `threshold` — the embedding
     * analog of Dedup's text near-dup operators. Blocking is a
     * pigeonhole-banded grid over ALL coordinates of the L2-normalized
@@ -120,22 +162,7 @@ object Similarity {
     require(threshold > 0.5 && threshold < 1.0,
       s"threshold $threshold: grid blocking needs a tight cosine bound")
     require(blockings >= 1, s"need at least one blocking: $blockings")
-    // ONE sizing pass over the (column-pruned) vector column: corpus
-    // count for the broadcast gate, dim for the segment layout, and the
-    // uniform-length contract — a ragged corpus would silently weaken
-    // blocking (element_at past a short array is null) instead of
-    // failing loudly, so it is refused here.
-    val sz = df.agg(count(lit(1)),
-      min(size(col(vecCol))), max(size(col(vecCol)))).head()
-    val nVecs = sz.getLong(0)
-    val dim =
-      if (nVecs == 0 || sz.isNullAt(1)) gridDims max 1
-      else {
-        require(sz.getInt(1) == sz.getInt(2),
-          s"ragged vector lengths in $vecCol: min ${sz.getInt(1)} != " +
-            s"max ${sz.getInt(2)} — grid blocking needs a uniform dim")
-        sz.getInt(2) max 1
-      }
+    val (nVecs, dim) = vecSizing(df, vecCol, "grid blocking", gridDims)
     val nSeg = math.max(1, (dim + gridDims - 1) / gridDims)
     val w = math.sqrt((2.0 - 2.0 * threshold) / nSeg) * 1.000001 // float slack
     val nrm = l2Norm(col(vecCol))
@@ -199,24 +226,9 @@ object Similarity {
     // same keys, so the joins reuse the distinct's partitioning)
     val cand = (0 until blockings).map(candidatesOf)
       .reduce(_.join(_, Seq("ida", "idb")))
-    // Size-gated broadcast for the verify joins (the Lookup broadcast
-    // discipline): candidates outnumber vectors quadratically, and a
-    // shuffled join would move CANDIDATE x VECTOR-WIDTH bytes — the
-    // first join's output carries a full vector per candidate row, so
-    // shuffling it into the second join moved ~9 GB at 10x bench scale
-    // (SCALING.md). Broadcasting the id->vector side keeps candidates
-    // in-stage: cosine is computed and filtered to the true pairs
-    // before anything exchanges again. The gate is BYTE-estimated
-    // (vectors are float4 + id/row overhead), not row-counted: 1M rows
-    // is ~0.3 GB at dim 64 but multi-GB at dim 1024, exactly the OOM a
-    // row gate would wave through.
-    def vecs(as: String) =
-      base.select(col("id").as(as), col("v").as(s"v_$as"))
-    val estVecBytes = nVecs * (4L * dim + 32L)
-    val (va, vb) =
-      if (estVecBytes <= broadcastBudgetBytes)
-        (broadcast(vecs("ida")), broadcast(vecs("idb")))
-      else (vecs("ida"), vecs("idb"))
+    // cosine computed and filtered to the true pairs before anything
+    // exchanges again ([[verifyVecSides]] broadcast discipline)
+    val (va, vb) = verifyVecSides(base, nVecs, dim, broadcastBudgetBytes)
     val out = cand.join(va, "ida").join(vb, "idb")
       .select(col("ida"), col("idb"),
         cosine(col("v_ida"), col("v_idb")).as("cosine_sim"))
@@ -284,18 +296,15 @@ object Similarity {
     require(planes > 0 && bitsPerBand > 0 && planes % bitsPerBand == 0,
       s"planes $planes must be a positive multiple of bitsPerBand $bitsPerBand")
     require(threshold > 0.0, s"threshold $threshold: LSH needs a positive bound")
-    val sz = df.agg(count(lit(1)),
-      min(size(col(vecCol))), max(size(col(vecCol)))).head()
-    val nVecs = sz.getLong(0)
-    val dim =
-      if (nVecs == 0 || sz.isNullAt(1)) 1
-      else {
-        require(sz.getInt(1) == sz.getInt(2),
-          s"ragged vector lengths in $vecCol: min ${sz.getInt(1)} != " +
-            s"max ${sz.getInt(2)} — LSH signatures need a uniform dim")
-        sz.getInt(2) max 1
-      }
+    val (nVecs, dim) = vecSizing(df, vecCol, "LSH signatures", 1)
     val signs = signMatrix(dim, planes, seed)
+    // Sign bit thresholds the RAW double dot at 0. Cross-engine the
+    // dot differs only in float sum order (~1e-13 absolute), so a bit
+    // can flip between engines only when a dot lands within that noise
+    // of 0 — probability ~1e-7 across a bench corpus, and rounding
+    // first would NOT shrink it (a rounded threshold has the same tie
+    // band, shifted to the grid edge; q112 rounds for VALUE parity,
+    // which is a different contract).
     val bits: Seq[Column] = signs.map { s =>
       when(dot(col(vecCol), lit(s)) >= 0, lit(1L)).otherwise(lit(0L))
     }
@@ -318,13 +327,7 @@ object Similarity {
           col("x.id") < col("y.id"))
       .select(col("x.id").as("ida"), col("y.id").as("idb"))
       .distinct()
-    def vecs(as: String) =
-      base.select(col("id").as(as), col("v").as(s"v_$as"))
-    val estVecBytes = nVecs * (4L * dim + 32L)
-    val (va, vb) =
-      if (estVecBytes <= broadcastBudgetBytes)
-        (broadcast(vecs("ida")), broadcast(vecs("idb")))
-      else (vecs("ida"), vecs("idb"))
+    val (va, vb) = verifyVecSides(base, nVecs, dim, broadcastBudgetBytes)
     val out = cand.join(va, "ida").join(vb, "idb")
       .select(col("ida"), col("idb"),
         cosine(col("v_ida"), col("v_idb")).as("cosine_sim"))

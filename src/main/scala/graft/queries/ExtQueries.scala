@@ -394,17 +394,23 @@ object ExtQueries extends QueryPack {
     // dump — xxhash64 bands have no DuckDB form, but the CONTRACT
     // does): per planted pair, did the production operator capture it?
     // An IDENTICAL twin (+200000) shares the signature, so capture is
-    // deterministic; a NEAR twin (+300000, two appended tokens) sits
-    // at jaccard >= 0.8 for 10+-token docs, where P(miss all 16
-    // bands) < 1e-8. precision_ok recomputes every emitted pair's
-    // jaccard through the independent array_intersect/array_union
-    // path and requires it to equal the native jaccard_sim AND clear
-    // the threshold; recall_ok asserts planted capture >= 0.99. The
-    // oracle predicts every flag, so the contract is hash-certified
-    // (the q96 bloom-vs-exact discipline).
+    // deterministic. A NEAR twin (+300000, two appended tokens) is
+    // probabilistic, so eligibility is gated on >= 30 DISTINCT
+    // shingles — the near pair then sits at jaccard >= 30/32 = 0.94,
+    // where P(miss all 16 bands) < 1e-10 even at the boundary, and a
+    // repetitive doc (few distinct shingles → near pair UNDER the 0.5
+    // threshold, legitimately uncaptured) can never enter the planted
+    // set and fake a red row. The gate counts the SAME distinct
+    // word-3-grams in both engines. precision_ok recomputes every
+    // emitted pair's jaccard through the independent array_intersect/
+    // array_union path and requires it to equal the native jaccard_sim
+    // AND clear the threshold; recall_ok asserts planted capture
+    // >= 0.99. The oracle predicts every flag, so the contract is
+    // hash-certified (the q96 bloom-vs-exact discipline).
     "q131_minhash_capture" -> { (s, dir) =>
       val d = docs(s, dir)
-        .filter(col("doc_id") < 300 && size(split(col("text"), " ")) >= 10)
+        .filter(col("doc_id") < 300 &&
+          size(Dedup.shingles(col("text"), 3)) >= 30)
         .select(col("doc_id"), col("text"))
       val twin = d.select((col("doc_id") + 200000).as("doc_id"), col("text"))
       val near = d.select((col("doc_id") + 300000).as("doc_id"),
@@ -444,10 +450,14 @@ object ExtQueries extends QueryPack {
     // every planted pair must satisfy `captured OR hamming > radius` —
     // the identical twin (hamming 0) makes the captured branch
     // deterministic, the near twin exercises the radius boundary on
-    // real fingerprints. Every flag is oracle-predicted TRUE.
+    // real fingerprints; the contract flag is TRUE on BOTH branches,
+    // so (unlike q131) no probabilistic eligibility gate is needed —
+    // the same shingle gate is kept only to share the oracle's
+    // planted-set definition. Every flag is oracle-predicted TRUE.
     "q132_simhash_capture" -> { (s, dir) =>
       val d = docs(s, dir)
-        .filter(col("doc_id") < 300 && size(split(col("text"), " ")) >= 10)
+        .filter(col("doc_id") < 300 &&
+          size(Dedup.shingles(col("text"), 3)) >= 30)
         .select(col("doc_id"), col("text"))
       val twin = d.select((col("doc_id") + 200000).as("doc_id"), col("text"))
       val near = d.select((col("doc_id") + 300000).as("doc_id"),
@@ -478,8 +488,9 @@ object ExtQueries extends QueryPack {
     // the corpus — identical vectors share EVERY band, so the twin is
     // always a candidate, its cosine is exactly 1, and LSH's rank-1
     // neighbor MUST be the twin (recall@1 = 1 as a deterministic,
-    // oracle-predicted fact, not a probabilistic hope). n_results
-    // certifies the bucket-join yields a full k candidates.
+    // oracle-predicted fact, not a probabilistic hope). ONLY the
+    // deterministic claim is emitted — a candidate count would depend
+    // on bucket occupancy, which no LSH guarantees per query.
     "q133_ann_twin_recall" -> { (s, dir) =>
       val e = embs(s, dir).select(col("vec_id"), col("embedding"))
       val q = e.filter(col("vec_id") < 20)
@@ -489,8 +500,7 @@ object ExtQueries extends QueryPack {
       Similarity.lshTopK(q, corpus, "vec_id", "embedding", k = 5,
           dim = 64, numPlanes = 16, bitsPerBand = 4)
         .groupBy(col("query_id"))
-        .agg(count(lit(1)).as("n_results"),
-          max(when(col("rank") === 1,
+        .agg(max(when(col("rank") === 1,
             col("neighbor_id") === col("query_id") + 100000))
             .as("top1_is_twin"))
         .orderBy(col("query_id"))
@@ -1130,9 +1140,16 @@ object ExtQueries extends QueryPack {
         |  SELECT p.ia, r.r FROM pairs p JOIN reach r ON p.ib = r.id)
         |SELECT id AS vec_id, min(r) AS cluster_id, id = min(r) AS keep
         |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
+    // the eligibility gate counts DISTINCT word-3-grams exactly like
+    // the engine's token_shingles (split on ' ' keeping empties,
+    // grams joined with chr(1), deduped)
     "q131_minhash_capture" ->
-      """WITH d AS (SELECT doc_id FROM documents
-        |    WHERE doc_id < 300 AND len(string_split(text, ' ')) >= 10),
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
+        |    FROM documents WHERE doc_id < 300),
+        |d AS (SELECT doc_id FROM tk
+        |  WHERE len(t) >= 3 AND len(list_distinct(
+        |    [t[i+1] || chr(1) || t[i+2] || chr(1) || t[i+3]
+        |      for i in range(len(t) - 2)])) >= 30),
         |pl AS (
         |  SELECT doc_id AS ida, doc_id + 200000 AS idb,
         |    'identical' AS kind FROM d
@@ -1142,8 +1159,12 @@ object ExtQueries extends QueryPack {
         |  TRUE AS precision_ok
         |FROM pl ORDER BY ida, idb""".stripMargin,
     "q132_simhash_capture" ->
-      """WITH d AS (SELECT doc_id FROM documents
-        |    WHERE doc_id < 300 AND len(string_split(text, ' ')) >= 10),
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
+        |    FROM documents WHERE doc_id < 300),
+        |d AS (SELECT doc_id FROM tk
+        |  WHERE len(t) >= 3 AND len(list_distinct(
+        |    [t[i+1] || chr(1) || t[i+2] || chr(1) || t[i+3]
+        |      for i in range(len(t) - 2)])) >= 30),
         |pl AS (
         |  SELECT doc_id AS ida, doc_id + 200000 AS idb,
         |    'identical' AS kind FROM d
@@ -1152,8 +1173,7 @@ object ExtQueries extends QueryPack {
         |SELECT ida, idb, kind, TRUE AS capture_contract_ok
         |FROM pl ORDER BY ida, idb""".stripMargin,
     "q133_ann_twin_recall" ->
-      """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_results,
-        |  TRUE AS top1_is_twin
+      """SELECT vec_id AS query_id, TRUE AS top1_is_twin
         |FROM embeddings WHERE vec_id < 20 ORDER BY query_id""".stripMargin,
     "q29_multimodal_meta" ->
       """SELECT doc_id AS media_id,
