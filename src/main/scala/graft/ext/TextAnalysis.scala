@@ -364,6 +364,60 @@ object TextAnalysis {
       idCol: String, seed: String): org.apache.spark.sql.DataFrame =
     df.orderBy(shuffleKey(col(idCol), seed))
 
+  /** C4-style line-level cleaning (Raffel et al., arXiv:1910.10683
+    * §2.2 — the public web-corpus curation rules): keep only lines
+    * that (1) are non-empty after trimming, (2) end in terminal
+    * punctuation, (3) carry at least `minTokens` whitespace tokens,
+    * and (4) contain no boilerplate blacklist phrase (lower-cased
+    * substring test). Returns the KEPT lines as array<string> —
+    * rejoin with `array_join(_, "\n")` for the cleaned document.
+    * A pure per-row array lambda (split → filter): zero shuffle at
+    * any scale, and every rule is engine-portable (no regex — the
+    * terminal-punctuation test is a last-character set member). */
+  def cleanLines(text: Column, minTokens: Int = 3,
+      blacklist: Seq[String] = Seq("cookie", "javascript",
+        "terms of use", "privacy policy")): Column =
+    filter(split(text, "\n"), l => {
+      val lt = trim(l)
+      val noBoiler = blacklist.map(b => !lower(lt).contains(b))
+        .reduce(_ && _)
+      length(lt) > 0 &&
+        substring(lt, -1, 1).isin(".", "!", "?") &&
+        size(split(lt, " ")) >= minTokens &&
+        noBoiler
+    })
+
+  /** Temperature-scaled source rebalancing at τ = 0.5 — the standard
+    * multilingual-pretraining mixing rule (sampling ∝ n_g^τ,
+    * interpolating natural ∝ n_g toward uniform; Conneau & Lample,
+    * arXiv:1901.07291 §3.1): each group keeps EXACTLY
+    * round(sqrt(n_min · n_g)) = n_g^0.5 · n_min^0.5 documents, chosen
+    * by seeded md5 rank. The exact-count form (vs a keep-probability)
+    * is deliberate: quotas are integers derived through sqrt — IEEE
+    * correctly-rounded, so any engine computes the identical quota,
+    * where a pow(n, τ) would drift — and md5 ranks replay anywhere
+    * (the q117 discipline). One count aggregate broadcast back + one
+    * per-group window on the rank: the wordcount shuffle shape, group
+    * skew bounded by the largest single group. Returns kept rows +
+    * (group_n, mix_quota, mix_rank). */
+  def temperatureQuota(df: org.apache.spark.sql.DataFrame,
+      groupCol: String, idCol: String, seed: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("group_n"))
+    val nmin = counts.agg(min(col("group_n")).as("__nmin"))
+    val key = md5(concat(lit(s"tq:$seed:"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(groupCol)).orderBy(key, col(idCol))
+    df.join(broadcast(counts), groupCol)
+      .crossJoin(broadcast(nmin))
+      .withColumn("mix_quota",
+        round(sqrt(col("__nmin").cast("double") * col("group_n")))
+          .cast("long"))
+      .withColumn("mix_rank", row_number().over(w))
+      .filter(col("mix_rank") <= col("mix_quota"))
+      .drop("__nmin")
+  }
+
   // ---------- repetition scoring ----------
 
   /** Gopher-style repetition signals: documents dominated by one

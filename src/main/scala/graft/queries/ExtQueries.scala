@@ -506,6 +506,47 @@ object ExtQueries extends QueryPack {
         .orderBy(col("query_id"))
     },
 
+    // C4-style line filters (the corpus is single-line word soup, so
+    // multi-line docs are planted in-query — the q73 PII-plant
+    // stance): one good line, one boilerplate line (valid length +
+    // punctuation, killed by the blacklist), one too-short line, one
+    // raw-corpus line with no terminal punctuation, one good closer.
+    // Both engines apply the identical rules to the identical planted
+    // text, so the kept set is deterministic whatever the corpus says.
+    "q134_line_filters" -> { (s, dir) =>
+      val planted = docs(s, dir).filter(col("doc_id") < 400)
+        .select(col("doc_id"), concat(
+          lit("Meaningful first line for doc "), col("doc_id"),
+          lit(" stays in."), lit("\n"),
+          lit("Accept cookie policy now."), lit("\n"),
+          lit("short."), lit("\n"),
+          substring(col("text"), 1, 40), lit("\n"),
+          lit("A second meaningful line survives too!")).as("text"))
+      planted
+        .select(col("doc_id"),
+          size(split(col("text"), "\n")).as("n_lines"),
+          TextAnalysis.cleanLines(col("text")).as("__kept"))
+        .select(col("doc_id"), col("n_lines"),
+          size(col("__kept")).as("n_kept"),
+          array_join(col("__kept"), "\n").as("clean_text"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Temperature-scaled mixing (τ = 0.5) over a deliberately skewed
+    // derived grouping (floor(sqrt(doc_id)) — group k holds ~2k+1
+    // docs, the skew the documents table's uniform sources lack):
+    // every group keeps exactly round(sqrt(n_min·n_g)) docs by md5
+    // rank, and the oracle replays counts, quotas, ranks, and the
+    // kept set bit-for-bit.
+    "q135_temperature_mix" -> { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"),
+        floor(sqrt(col("doc_id").cast("double"))).cast("long").as("grp"))
+      TextAnalysis.temperatureQuota(d, "grp", "doc_id", seed = 11)
+        .select(col("doc_id"), col("grp"), col("group_n"),
+          col("mix_quota"), col("mix_rank"))
+        .orderBy(col("doc_id"))
+    },
+
     // Byte-level metadata over NON-image payloads: text bytes are not a
     // decodable image, so ok=false and dims are 0 — the honest decode
     // contract (n_bytes/digest still verified byte-exactly).
@@ -1175,6 +1216,40 @@ object ExtQueries extends QueryPack {
     "q133_ann_twin_recall" ->
       """SELECT vec_id AS query_id, TRUE AS top1_is_twin
         |FROM embeddings WHERE vec_id < 20 ORDER BY query_id""".stripMargin,
+    "q134_line_filters" ->
+      """WITH p AS (SELECT doc_id,
+        |    'Meaningful first line for doc ' || doc_id || ' stays in.'
+        |      || chr(10) || 'Accept cookie policy now.' || chr(10)
+        |      || 'short.' || chr(10) || substr(text, 1, 40) || chr(10)
+        |      || 'A second meaningful line survives too!' AS text
+        |  FROM documents WHERE doc_id < 400),
+        |f AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM p),
+        |k AS (SELECT doc_id, len(ls) AS n_lines,
+        |    list_filter(ls, l -> len(trim(l)) > 0
+        |      AND right(trim(l), 1) IN ('.', '!', '?')
+        |      AND len(string_split(trim(l), ' ')) >= 3
+        |      AND NOT contains(lower(trim(l)), 'cookie')
+        |      AND NOT contains(lower(trim(l)), 'javascript')
+        |      AND NOT contains(lower(trim(l)), 'terms of use')
+        |      AND NOT contains(lower(trim(l)), 'privacy policy')) AS kept
+        |  FROM f)
+        |SELECT doc_id, CAST(n_lines AS INT) AS n_lines,
+        |  CAST(len(kept) AS INT) AS n_kept,
+        |  array_to_string(kept, chr(10)) AS clean_text
+        |FROM k ORDER BY doc_id""".stripMargin,
+    "q135_temperature_mix" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(floor(sqrt(doc_id)) AS BIGINT) AS grp FROM documents),
+        |c AS (SELECT grp, COUNT(*) AS group_n FROM d GROUP BY grp),
+        |m AS (SELECT min(group_n) AS nmin FROM c),
+        |r AS (SELECT d.doc_id, d.grp, c.group_n,
+        |    CAST(round(sqrt(m.nmin * c.group_n)) AS BIGINT) AS mix_quota,
+        |    CAST(row_number() OVER (PARTITION BY d.grp
+        |      ORDER BY md5('tq:11:' || d.doc_id), d.doc_id) AS INT)
+        |      AS mix_rank
+        |  FROM d, c, m WHERE d.grp = c.grp)
+        |SELECT doc_id, grp, group_n, mix_quota, mix_rank
+        |FROM r WHERE mix_rank <= mix_quota ORDER BY doc_id""".stripMargin,
     "q29_multimodal_meta" ->
       """SELECT doc_id AS media_id,
         |  octet_length(encode(text)) AS n_bytes,

@@ -60,6 +60,20 @@ class TablesSpec extends AnyFunSuite {
     assert(results.head.nonEmpty)
   }
 
+  test("the nanos sniff walks partitioned layouts (nested data files)") {
+    // same ns fixture, laid out as Spark's own partitionBy would write
+    // it: events.parquet/ as a DIRECTORY with a partition subdir
+    val root = java.nio.file.Files.createTempDirectory("graft_evt").toFile
+    val dataDir = new java.io.File(root, "events.parquet/dt=2024-01-01")
+    assert(dataDir.mkdirs())
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(fixture("events_ns"), "events.parquet"),
+      dataDir.toPath.resolve("part-00000.parquet"))
+    val df = Tables.loadEvents(spark, root.toString)
+    assert(df.schema("ts").dataType == TimestampNTZType)
+    assert(df.count() == 5)
+  }
+
   test("nanosAsLong is only set when the footer carries NANOS") {
     val fresh = spark.newSession()
     fresh.conf.unset("spark.sql.legacy.parquet.nanosAsLong")

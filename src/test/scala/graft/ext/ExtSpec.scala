@@ -850,6 +850,30 @@ class ExtSpec extends AnyFunSuite {
       "semanticDedupApprox must release everything it cached")
   }
 
+  test("cleanLines applies each C4 rule independently") {
+    val df = docs((1L,
+      "Good line stays here.\n" +        // kept
+      "Accept cookie policy now.\n" +    // blacklist
+      "short.\n" +                       // < 3 tokens
+      "no terminal punctuation here\n" + // no punct
+      "   \n" +                          // blank
+      "Ends with a question mark?"))     // kept
+    val kept = df.select(TextAnalysis.cleanLines(col("text")).as("k"))
+      .as[Seq[String]].head()
+    assert(kept == Seq("Good line stays here.", "Ends with a question mark?"))
+  }
+
+  test("temperatureQuota keeps exactly round(sqrt(nmin*n)) per group") {
+    val rows = (1L to 100L).map(i => (i, if (i <= 4) "small" else "big"))
+    val df = rows.toDF("id", "grp")
+    val out = TextAnalysis.temperatureQuota(df, "grp", "id", seed = 1)
+      .select("grp", "mix_quota").as[(String, Long)].collect()
+    val byGrp = out.groupBy(_._1).map { case (g, xs) => g -> xs.length }
+    // nmin = 4: small keeps round(sqrt(4*4)) = 4, big round(sqrt(4*96)) = 20
+    assert(byGrp == Map("small" -> 4, "big" -> 20))
+    assert(out.filter(_._1 == "big").forall(_._2 == 20L))
+  }
+
   test("tfIdfTopTerms ranks a doc's distinctive term above ubiquitous ones") {
     val df = docs(
       (1L, "common common rare rare rare"),
