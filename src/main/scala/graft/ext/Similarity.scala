@@ -349,6 +349,54 @@ object Similarity {
     out
   }
 
+  /** Directed arrival screen — the batch-vs-corpus form of
+    * [[cosineNearDupPairsApproxStaged]], the shape a 100 TB ingest
+    * pipeline actually runs: for each `batch` vector, find the corpus
+    * vectors above `threshold` cosine (empty result for a batch row =
+    * genuinely new content). Same signed-random-projection banding on
+    * BOTH sides (one map-only scan each), candidates share a (band,
+    * key) bucket — the join never touches batch × corpus — and exact
+    * cosine verifies behind the size-gated broadcast. A batch row's
+    * result depends only on (row, corpus), so the operator is
+    * arrival-split-invariant by construction: the streaming form runs
+    * it per micro-batch unchanged ([[graft.streaming.Streams
+    * .dedupArrivalsApprox]], parity proven in StreamingSpec). Returns
+    * (batch_id, corpus_id, cosine_sim). */
+  def nearDupAgainstCorpusApprox(batch: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, threshold: Double, planes: Int = 32,
+      bitsPerBand: Int = 8, seed: Int = 7,
+      broadcastBudgetBytes: Long = 256L << 20): DataFrame = {
+    require(planes > 0 && bitsPerBand > 0 && planes % bitsPerBand == 0,
+      s"planes $planes must be a positive multiple of bitsPerBand $bitsPerBand")
+    val (nCorpus, dim) = vecSizing(corpus, vecCol, "LSH signatures", 1)
+    val signs = signMatrix(dim, planes, seed)
+    def keysOf(df: DataFrame, id: String) = {
+      val bits = signs.map { s =>
+        when(dot(col(vecCol), lit(s)) >= 0, lit(1L)).otherwise(lit(0L))
+      }
+      val keys = bits.grouped(bitsPerBand).toSeq.zipWithIndex.map {
+        case (bs, band) =>
+          val key = bs.zipWithIndex.map { case (b, j) => b * lit(1L << j) }
+            .reduce(_ + _)
+          struct(lit(band).as("band"), key.as("key"))
+      }
+      df.select(col(idCol).as(id), explode(array(keys: _*)).as("bk"))
+        .select(col(id), col("bk.band").as("band"), col("bk.key").as("key"))
+    }
+    val cand = keysOf(batch, "batch_id").join(keysOf(corpus, "corpus_id"),
+        Seq("band", "key"))
+      .select(col("batch_id"), col("corpus_id")).distinct()
+    val bVecs = batch.select(col(idCol).as("batch_id"), col(vecCol).as("bv"))
+    val cSide = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val cVecs =
+      if (nCorpus * (4L * dim + 32L) <= broadcastBudgetBytes) broadcast(cSide)
+      else cSide
+    cand.join(bVecs, "batch_id").join(cVecs, "corpus_id")
+      .select(col("batch_id"), col("corpus_id"),
+        cosine(col("bv"), col("cv")).as("cosine_sim"))
+      .filter(col("cosine_sim") >= threshold)
+  }
+
   /** [[semanticDedup]]'s certified APPROXIMATE form — the 100 TB
     * default: LSH-blocked pairs ([[cosineNearDupPairsApproxStaged]])
     * feed the same connected-component resolution, so clusters may

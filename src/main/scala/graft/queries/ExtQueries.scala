@@ -506,6 +506,28 @@ object ExtQueries extends QueryPack {
         .orderBy(col("query_id"))
     },
 
+    // The directed ARRIVAL screen (batch-vs-corpus approximate
+    // near-dup) under the gate: perturbed twins arrive against the
+    // embeddings corpus, candidates come from shared LSH bands, exact
+    // cosine verifies — and the oracle replays the whole path (sign
+    // matrix, banding, bucket join, verify) in SQL, so the flagged
+    // set is hash-certified bit-for-bit. The streaming form runs this
+    // operator unchanged per micro-batch (StreamingSpec proves
+    // arrival-split invariance).
+    "q136_arrival_screen" -> { (s, dir) =>
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val batch = e.select((col("vec_id") + 100000).as("vec_id"),
+        concat(
+          array((element_at(col("embedding"), 1).cast("double") + lit(0.001))
+            .cast("float")),
+          slice(col("embedding"), 2, 1000)).as("embedding"))
+      Similarity.nearDupAgainstCorpusApprox(batch, e, "vec_id",
+          "embedding", threshold = 0.99, planes = 32, bitsPerBand = 8,
+          seed = 7)
+        .select(col("batch_id"), col("corpus_id"))
+        .orderBy(col("batch_id"), col("corpus_id"))
+    },
+
     // C4-style line filters (the corpus is single-line word soup, so
     // multi-line docs are planted in-query — the q73 PII-plant
     // stance): one good line, one boilerplate line (valid length +
@@ -1216,6 +1238,35 @@ object ExtQueries extends QueryPack {
     "q133_ann_twin_recall" ->
       """SELECT vec_id AS query_id, TRUE AS top1_is_twin
         |FROM embeddings WHERE vec_id < 20 ORDER BY query_id""".stripMargin,
+    "q136_arrival_screen" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |p AS (SELECT vec_id + 100000 AS vec_id,
+        |    list_prepend(CAST(embedding[1] + 0.001 AS FLOAT), embedding[2:])
+        |      AS embedding FROM e),
+        |a AS (SELECT * FROM e UNION ALL SELECT * FROM p),
+        |ev AS (SELECT vec_id,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS x FROM a),
+        |sm AS (SELECT CAST(i.range AS INT) AS i, CAST(j.range AS INT) AS j,
+        |    CASE WHEN (strpos('0123456789abcdef', substring(md5(
+        |        'rp:7:' || CAST(i.range AS VARCHAR) || ':' ||
+        |        CAST(j.range AS VARCHAR)), 32, 1)) - 1) % 2 = 0
+        |      THEN 1.0 ELSE -1.0 END AS sgn
+        |  FROM range(64) i, range(32) j),
+        |bits AS (SELECT ev.vec_id, sm.j,
+        |    CASE WHEN SUM(ev.x * sm.sgn) >= 0 THEN 1 ELSE 0 END AS bit
+        |  FROM ev JOIN sm USING (i) GROUP BY ev.vec_id, sm.j),
+        |bk AS (SELECT vec_id, j // 8 AS band,
+        |    CAST(SUM(bit * (1 << (j % 8))) AS BIGINT) AS bkey
+        |  FROM bits GROUP BY vec_id, j // 8),
+        |cand AS (SELECT DISTINCT x.vec_id AS batch_id, y.vec_id AS corpus_id
+        |  FROM bk x JOIN bk y ON x.band = y.band AND x.bkey = y.bkey
+        |  WHERE x.vec_id >= 100000 AND y.vec_id < 100000)
+        |SELECT c.batch_id, c.corpus_id FROM cand c
+        |JOIN a x ON c.batch_id = x.vec_id
+        |JOIN a y ON c.corpus_id = y.vec_id
+        |WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.99
+        |ORDER BY batch_id, corpus_id""".stripMargin,
     "q134_line_filters" ->
       """WITH p AS (SELECT doc_id,
         |    'Meaningful first line for doc ' || doc_id || ' stays in.'

@@ -176,6 +176,26 @@ object Streams {
         ()
     }.start()
 
+  /** Streaming embedding-level arrival screen: each micro-batch of
+    * incoming vectors is checked against the STATIC corpus with the
+    * batch operator UNCHANGED ([[graft.ext.Similarity
+    * .nearDupAgainstCorpusApprox]] via foreachBatch — the [[cdcApply]]/
+    * [[excisionStream]] stance). A row's verdict depends only on
+    * (row, corpus), so arrival splitting cannot change any result —
+    * StreamingSpec proves split-invariance. The corpus side's banding
+    * is recomputed per micro-batch here; a long-running deployment
+    * caches the banded corpus once (the persisted-IVF discipline). */
+  def dedupArrivalsApprox(arrivals: DataFrame, idCol: String,
+      vecCol: String, corpus: DataFrame, threshold: Double,
+      sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    arrivals.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        sink(graft.ext.Similarity.nearDupAgainstCorpusApprox(
+          batch, corpus, idCol, vecCol, threshold))
+        ()
+    }.start()
+
   /** Streaming curation ingest — the arrival-time form of the batch
     * curation pipeline (q64/q80/q99): quality gate and PII scrub are
     * pure projections (trivially incremental), then exact content

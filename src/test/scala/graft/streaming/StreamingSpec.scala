@@ -331,6 +331,45 @@ class StreamingSpec extends AnyFunSuite {
       Map(1L -> 4L, 2L -> 0L, 3L -> 4L, 4L -> 4L))
   }
 
+  test("dedupArrivalsApprox: per-micro-batch screen equals batch over all arrivals (split-invariant)") {
+    val vecSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType, containsNull = false))))
+    def frameV(rows: Seq[Row]): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), vecSchema)
+    def vec(seed: Int): Seq[Float] =
+      (0 until 8).map(i => (((seed * 31 + i * 7) % 13) - 6).toFloat)
+    val corpus = frameV((1L to 6L).map(i => Row(i, vec(i.toInt))))
+    // arrivals: twins of corpus vectors 1 and 4 (must flag), plus a
+    // fresh vector far from everything (max |cosine| vs corpus ~0.36)
+    val fresh = Seq(5f, -3f, 0f, 2f, -5f, 1f, 4f, -2f)
+    val ab1 = Seq(Row(101L, vec(1)), Row(999L, fresh))
+    val ab2 = Seq(Row(104L, vec(4)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_arr")
+    dir.toFile.deleteOnExit()
+    val src = dir.toString + "/in"
+    frameV(ab1).write.mode(SaveMode.Append).parquet(src)
+    val got = scala.collection.mutable.Set.empty[(Long, Long)]
+    val q = Streams.dedupArrivalsApprox(
+      spark.readStream.schema(vecSchema).parquet(src),
+      "vec_id", "embedding", corpus, threshold = 0.999,
+      sink = out => got ++= out.select("batch_id", "corpus_id")
+        .as[(Long, Long)].collect())
+    try {
+      q.processAllAvailable()
+      frameV(ab2).write.mode(SaveMode.Append).parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = graft.ext.Similarity.nearDupAgainstCorpusApprox(
+        frameV(ab1 ++ ab2), corpus, "vec_id", "embedding",
+        threshold = 0.999)
+      .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(got.toSet == batch)
+    // identical twins share every LSH band → always flagged
+    assert(batch.contains((101L, 1L)) && batch.contains((104L, 4L)))
+    assert(!batch.exists(_._1 == 999L))
+  }
+
   test("unigramScoreFrozen: pure projection streams unchanged; agrees with the self-scored form") {
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
