@@ -830,6 +830,29 @@ class ExtSpec extends AnyFunSuite {
     assert(exact == Set((1L, 2L), (1L, 4L), (2L, 4L)))
   }
 
+  test("approx pair generators plan broadcast verify joins, never a cartesian") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", ArrayType(FloatType, containsNull = false))))
+    def vrow(id: Long, xs: Float*) = Row(id, xs)
+    val df = spark.createDataFrame(java.util.Arrays.asList(
+      (1L to 20L).map(i => vrow(i, i.toFloat, 1.0f, 0.5f, 0.25f)): _*
+    ), schema)
+    val (pairs, release) = Similarity.cosineNearDupPairsApproxStaged(
+      df, "id", "v", threshold = 0.9)
+    try {
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        "verify joins must broadcast the (small) vector side")
+      assert(!plan.contains("CartesianProduct"),
+        "LSH candidates must come from bucket joins, not a product")
+    } finally release()
+    val screen = Similarity.nearDupAgainstCorpusApprox(
+      df.filter(col("id") <= 5), df, "id", "v", threshold = 0.9)
+    val plan2 = screen.queryExecution.executedPlan.toString
+    assert(plan2.contains("BroadcastHashJoin") &&
+      !plan2.contains("CartesianProduct"))
+  }
+
   test("semanticDedupApprox matches the exact clustering on twins and leaves no cache") {
     val schema = StructType(Seq(StructField("id", LongType),
       StructField("v", ArrayType(FloatType, containsNull = false))))
