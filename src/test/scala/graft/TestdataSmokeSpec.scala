@@ -40,6 +40,18 @@ class TestdataSmokeSpec extends AnyFunSuite {
     }
   }
 
+  test("embeddings carry dim-64 vectors (oracle SQL contract)") {
+    assume(available, s"$sfDir not present")
+    import org.apache.spark.sql.functions._
+    val dims = Tables.load(spark, sfDir, "embeddings")
+      .select(size(col("embedding"))).distinct().collect().map(_.getInt(0))
+    assert(dims.toSeq == Seq(64),
+      s"embeddings dim is ${dims.mkString(",")} — the q112/q129/q130/" +
+        "q136 oracles replay the sign matrix with range(64) and " +
+        "q28/q133 pass dim=64; update those together if the testdata " +
+        "generator changed the embedding dimension")
+  }
+
   // One representative per query family — the cheapest member that
   // still exercises the family's table + load path.
   private val representatives = Seq(

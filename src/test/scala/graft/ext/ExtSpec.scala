@@ -84,6 +84,22 @@ class ExtSpec extends AnyFunSuite {
     assert(capped == Set((1L, 2L)))
   }
 
+  test("minhashDedup keeps the smallest-id survivor per near-dup group") {
+    val df = docs(
+      (1L, "a genuinely unique document about spark executors and shuffles"),
+      (2L, "a genuinely unique document about spark executors and shuffle"),
+      (3L, "completely different content mentioning streams and watermarks"))
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val kept = Dedup.minhashDedup(df, "id", "text",
+        k = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .select("id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L)) // 2 drops as 1's near-dup
+    // the corpus-sized shingle cache is released; only the
+    // dup-id-bounded set may remain (the output-cache convention)
+    val residual = spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore
+    assert(residual.size <= 1, s"unexpected residual caches: $residual")
+  }
+
   test("resolveClustersBest keeps the highest-score row, id-tie pinned") {
     val df = docs((1L, "a"), (2L, "bb"), (3L, "cc"), (4L, "d"))
       .withColumn("score", length(col("text")))
