@@ -640,6 +640,45 @@ object TextAnalysis {
       .select(col("id").as(idCol), col("n_tokens"), col("mean_logprob"))
   }
 
+  /** Interpolated BIGRAM LM quality score — [[unigramLogProbScore]]
+    * with first-order context (Jelinek-Mercer interpolation, the
+    * smoothing KenLM-style corpus filters use): each document's mean
+    * ln(λ·C(w1w2)/C(w1) + (1−λ)·C(w2)/N) over its consecutive
+    * non-empty token pairs. Interpolating against the unigram term
+    * guarantees a nonzero probability for every observed bigram
+    * (C(w2) ≥ 1), so the self-scored form needs no OOV floor. λ is
+    * fixed at 0.5 — exactly representable in binary, so an
+    * independent engine's literal is bit-identical (0.7 would not
+    * be) — and the mean is rounded to 6 decimals (the q114 sum-order
+    * discipline). Exchanges: bigram wordcount + unigram wordcount +
+    * the per-doc re-aggregation — the shapes TF-IDF already pays;
+    * docs with fewer than two tokens have no bigrams and drop out.
+    * Returns (idCol, n_bigrams, mean_logprob). */
+  def bigramLogProbScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = filter(tokens(col(textCol)), t => length(t) > 0)
+    val idx = when(size(col("__t")) >= 2,
+      sequence(lit(1), size(col("__t")) - 1)).otherwise(array().cast("array<int>"))
+    val bi = df.select(col(idCol).as("id"), toks.as("__t"))
+      .select(col("id"), explode(transform(idx, i =>
+        struct(element_at(col("__t"), i).as("w1"),
+          element_at(col("__t"), i + 1).as("w2")))).as("__b"))
+      .select(col("id"), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+    val ex = df.select(explode(toks).as("term"))
+    val bfreq = bi.groupBy("w1", "w2").agg(count(lit(1)).as("__cb"))
+    val ufreq = ex.groupBy("term").agg(count(lit(1)).as("__cu"))
+    val nDf = ex.agg(count(lit(1)).cast("double").as("__n"))
+    bi.join(bfreq, Seq("w1", "w2"))
+      .join(ufreq.select(col("term").as("w1"), col("__cu").as("__c1")), "w1")
+      .join(ufreq.select(col("term").as("w2"), col("__cu").as("__c2")), "w2")
+      .crossJoin(org.apache.spark.sql.functions.broadcast(nDf))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(lit(0.5) * col("__cb") / col("__c1") +
+          lit(0.5) * col("__c2") / col("__n"))), 6).as("mean_logprob"))
+      .select(col("id").as(idCol), col("n_bigrams"), col("mean_logprob"))
+  }
+
   /** Frozen unigram distribution: the top `vocabSize` reference-corpus
     * terms by count (ties broken by term — engine-portable), each
     * scored log(cnt/total) with total over ALL non-empty tokens, OOV

@@ -812,6 +812,15 @@ object ExtQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // First-order context LM scoring (Jelinek-Mercer interpolated
+    // bigram) — the KenLM-style quality filter next to q114's
+    // unigram; exact integer counts, λ = 0.5 (binary-exact literal),
+    // 6-decimal rounding on the only sum-order-sensitive value.
+    "q137_bigram_logprob" -> { (s, dir) =>
+      TextAnalysis.bigramLogProbScore(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     // Frozen-vocabulary LM scoring — q114's deployment shape: the
     // top-64 unigram distribution is trained once (vocab collect
     // bounded by construction), then scoring is a map-literal
@@ -1649,6 +1658,29 @@ object ExtQueries extends QueryPack {
         |  round(AVG(ln(cnt / total)), 6) AS mean_logprob
         |FROM e2 JOIN f USING (term) CROSS JOIN n
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q137_bigram_logprob" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS t
+        |  FROM documents),
+        |bi AS (SELECT doc_id,
+        |    unnest([{'w1': t[i+1], 'w2': t[i+2]}
+        |      for i in range(len(t) - 1)]) AS b
+        |  FROM tk),
+        |b2 AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bi),
+        |uf AS (SELECT term, COUNT(*) AS cu
+        |  FROM (SELECT unnest(t) AS term FROM tk) GROUP BY term),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total
+        |  FROM (SELECT unnest(t) AS term FROM tk)),
+        |bf AS (SELECT w1, w2, COUNT(*) AS cb FROM b2 GROUP BY w1, w2)
+        |SELECT b2.doc_id, COUNT(*) AS n_bigrams,
+        |  round(AVG(ln(0.5 * bf.cb / c1.cu + 0.5 * c2.cu / n.total)), 6)
+        |    AS mean_logprob
+        |FROM b2
+        |JOIN bf ON b2.w1 = bf.w1 AND b2.w2 = bf.w2
+        |JOIN uf c1 ON b2.w1 = c1.term
+        |JOIN uf c2 ON b2.w2 = c2.term
+        |CROSS JOIN n
+        |GROUP BY b2.doc_id ORDER BY b2.doc_id""".stripMargin,
     "q127_unigram_frozen" ->
       """WITH ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
         |    FROM documents),

@@ -889,6 +889,25 @@ class ExtSpec extends AnyFunSuite {
       "semanticDedupApprox must release everything it cached")
   }
 
+  test("bigramLogProbScore interpolates exact corpus counts") {
+    // corpus: "a b", "a b", "a c" → N=6; C(a)=3, C(b)=2, C(c)=1;
+    // C(a,b)=2, C(a,c)=1
+    val df = docs((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "solo"))
+    val out = TextAnalysis.bigramLogProbScore(df, "id", "text")
+      .select("id", "n_bigrams", "mean_logprob")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    // N includes 'solo': 7 tokens total
+    def p(cb: Long, c1: Long, c2: Long) =
+      0.5 * cb / c1 + 0.5 * c2 / 7.0
+    val expAB = BigDecimal(math.log(p(2, 3, 2)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expAC = BigDecimal(math.log(p(1, 3, 1)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L)) // 'solo' has no bigrams
+    assert(out(0) == ((1L, 1L, expAB)) && out(1) == ((2L, 1L, expAB)))
+    assert(out(2) == ((3L, 1L, expAC)))
+  }
+
   test("cleanLines applies each C4 rule independently") {
     val df = docs((1L,
       "Good line stays here.\n" +        // kept
