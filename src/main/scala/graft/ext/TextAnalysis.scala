@@ -640,6 +640,42 @@ object TextAnalysis {
       .select(col("id").as(idCol), col("n_tokens"), col("mean_logprob"))
   }
 
+  /** Per-document token-distribution entropy — the Shannon statistic
+    * behind low-diversity screens (generated spam and boilerplate
+    * concentrate probability mass on few tokens; Gopher-style filters
+    * threshold on it next to the top-token ratio, which
+    * [[repetitionScores]] already covers point-wise): H = −Σ (c/n)·
+    * ln(c/n) over the document's own token counts, plus the
+    * normalized H/ln(n_distinct) in [0,1] (1 = uniform usage; pinned
+    * to 1.0 for single-token docs where the bound is degenerate).
+    * Exchanges: one (doc, token) wordcount + one per-doc
+    * re-aggregation — the repetitionScores shapes; counts are exact
+    * integers, entropy rounded to 6 (the q114 sum-order discipline).
+    * Returns (idCol, n_tokens, n_distinct, entropy, entropy_ratio). */
+  def tokenEntropy(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val ex = df.select(col(idCol).as("id"),
+        explode(tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+    val perTerm = ex.groupBy("id", "term").agg(count(lit(1)).as("__c"))
+    // per-doc total rides the SAME partitioning the final aggregate
+    // needs — the window adds no exchange
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+    val withTot = perTerm
+      .withColumn("__n", sum(col("__c")).over(w))
+      .withColumn("__p", col("__c").cast("double") / col("__n"))
+    withTot.groupBy("id")
+      // + 0.0 normalizes the single-term doc's -0.0 (both engines)
+      .agg(max(col("__n")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        round(-sum(col("__p") * log(col("__p"))) + lit(0.0), 6).as("__h"))
+      .select(col("id").as(idCol), col("n_tokens"), col("n_distinct"),
+        col("__h").as("entropy"),
+        when(col("n_distinct") === 1, lit(1.0))
+          .otherwise(round(col("__h") / log(col("n_distinct")), 6))
+          .as("entropy_ratio"))
+  }
+
   /** Interpolated BIGRAM LM quality score — [[unigramLogProbScore]]
     * with first-order context (Jelinek-Mercer interpolation, the
     * smoothing KenLM-style corpus filters use): each document's mean

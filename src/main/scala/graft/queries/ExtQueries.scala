@@ -821,6 +821,14 @@ object ExtQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Token-distribution entropy — the Shannon low-diversity screen
+    // next to q77's top-token ratio; exact counts, entropy and its
+    // normalized ratio rounded at 6.
+    "q138_token_entropy" -> { (s, dir) =>
+      TextAnalysis.tokenEntropy(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     // Frozen-vocabulary LM scoring — q114's deployment shape: the
     // top-64 unigram distribution is trained once (vocab collect
     // bounded by construction), then scoring is a map-literal
@@ -1658,6 +1666,22 @@ object ExtQueries extends QueryPack {
         |  round(AVG(ln(cnt / total)), 6) AS mean_logprob
         |FROM e2 JOIN f USING (term) CROSS JOIN n
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q138_token_entropy" ->
+      """WITH ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents),
+        |e2 AS (SELECT doc_id, term FROM ex WHERE length(term) > 0),
+        |pt AS (SELECT doc_id, term, COUNT(*) AS c FROM e2 GROUP BY 1, 2),
+        |wt AS (SELECT doc_id, c,
+        |    CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY doc_id) AS p,
+        |    SUM(c) OVER (PARTITION BY doc_id) AS n FROM pt),
+        |h AS (SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tokens,
+        |    COUNT(*) AS n_distinct,
+        |    round(-SUM(p * ln(p)) + 0.0, 6) AS entropy
+        |  FROM wt GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_distinct, entropy,
+        |  CASE WHEN n_distinct = 1 THEN 1.0
+        |    ELSE round(entropy / ln(n_distinct), 6) END AS entropy_ratio
+        |FROM h ORDER BY doc_id""".stripMargin,
     "q137_bigram_logprob" ->
       """WITH tk AS (SELECT doc_id,
         |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS t

@@ -889,6 +889,22 @@ class ExtSpec extends AnyFunSuite {
       "semanticDedupApprox must release everything it cached")
   }
 
+  test("tokenEntropy: uniform docs score ratio 1, repetitive docs near 0") {
+    val df = docs(
+      (1L, "a b c d"),        // uniform over 4 → H = ln 4, ratio 1
+      (2L, "a a a a a a a b"), // concentrated → low ratio
+      (3L, "x x x"))           // single distinct → H 0, ratio pinned 1
+    val out = TextAnalysis.tokenEntropy(df, "id", "text")
+      .select("id", "n_tokens", "n_distinct", "entropy", "entropy_ratio")
+      .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(out(0)._2 == 4 && out(0)._3 == 4)
+    assert(out(0)._4 == BigDecimal(math.log(4))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(0)._5 == 1.0)
+    assert(out(1)._5 < 0.6 && out(1)._5 > 0.0)
+    assert(out(2) == ((3L, 3L, 1L, 0.0, 1.0)))
+  }
+
   test("bigramLogProbScore interpolates exact corpus counts") {
     // corpus: "a b", "a b", "a c" → N=6; C(a)=3, C(b)=2, C(c)=1;
     // C(a,b)=2, C(a,c)=1
