@@ -35,13 +35,16 @@ object Tables {
   private val nanosSniffCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
-  private def hasNanosTimestamp(spark: SparkSession, path: String): Boolean =
+  private def hasNanosTimestamp(spark: SparkSession, path: String): Boolean = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    // a missing path is NOT memoized — a dataset generated later at
+    // the same path in this JVM must be sniffed fresh, not read
+    // through a stale negative verdict
+    if (!fs.exists(p)) return false
     nanosSniffCache.computeIfAbsent(path, { _ =>
-      val conf = spark.sessionState.newHadoopConf()
-      val p = new Path(path)
-      val fs = p.getFileSystem(conf)
-      if (!fs.exists(p)) java.lang.Boolean.FALSE
-      else {
+      {
         def firstDataFile(dir: Path): Option[Path] = {
           val (dirs, files) = fs.listStatus(dir)
             .filterNot(_.getPath.getName.startsWith("_"))
@@ -64,6 +67,7 @@ object Tables {
         })
       }
     })
+  }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"

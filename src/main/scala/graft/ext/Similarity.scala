@@ -261,6 +261,34 @@ object Similarity {
     } finally release()
   }
 
+  /** The signed-random-projection band keys of a vector, as
+    * array<struct<band,key>> — ONE definition shared by the self-join
+    * generator and the batch-vs-corpus screen (and replayed verbatim
+    * by the q129/q130/q136 oracles): bit j = (v · signRow_j >= 0),
+    * bits grouped into bands of `bitsPerBand`, each band packed into
+    * an integer key Σ b_j·2^j.
+    *
+    * The sign bit thresholds the RAW double dot at 0. Cross-engine
+    * the dot differs only in float sum order (~1e-13 absolute), so a
+    * bit can flip between engines only when a dot lands within that
+    * noise of 0 — probability ~1e-7 across a bench corpus, and
+    * rounding first would NOT shrink it (a rounded threshold has the
+    * same tie band, shifted to the grid edge; q112 rounds for VALUE
+    * parity, which is a different contract). */
+  private def lshBandKeyCol(vec: Column, signs: Seq[Array[Double]],
+      bitsPerBand: Int): Column = {
+    val bits: Seq[Column] = signs.map { s =>
+      when(dot(vec, lit(s)) >= 0, lit(1L)).otherwise(lit(0L))
+    }
+    val keys = bits.grouped(bitsPerBand).toSeq.zipWithIndex.map {
+      case (bs, band) =>
+        val key = bs.zipWithIndex.map { case (b, j) => b * lit(1L << j) }
+          .reduce(_ + _)
+        struct(lit(band).as("band"), key.as("key"))
+    }
+    array(keys: _*)
+  }
+
   /** APPROXIMATE cosine near-duplicate pairs — signed-random-projection
     * LSH blocking, the sub-quadratic 100 TB path next to the EXACT
     * grid-blocked [[cosineNearDupPairsStaged]]:
@@ -298,26 +326,10 @@ object Similarity {
     require(threshold > 0.0, s"threshold $threshold: LSH needs a positive bound")
     val (nVecs, dim) = vecSizing(df, vecCol, "LSH signatures", 1)
     val signs = signMatrix(dim, planes, seed)
-    // Sign bit thresholds the RAW double dot at 0. Cross-engine the
-    // dot differs only in float sum order (~1e-13 absolute), so a bit
-    // can flip between engines only when a dot lands within that noise
-    // of 0 — probability ~1e-7 across a bench corpus, and rounding
-    // first would NOT shrink it (a rounded threshold has the same tie
-    // band, shifted to the grid edge; q112 rounds for VALUE parity,
-    // which is a different contract).
-    val bits: Seq[Column] = signs.map { s =>
-      when(dot(col(vecCol), lit(s)) >= 0, lit(1L)).otherwise(lit(0L))
-    }
-    val keys = bits.grouped(bitsPerBand).toSeq.zipWithIndex.map {
-      case (bs, band) =>
-        val key = bs.zipWithIndex.map { case (b, j) => b * lit(1L << j) }
-          .reduce(_ + _)
-        struct(lit(band).as("band"), key.as("key"))
-    }
     // cached for the same reason as the exact generator's base: the
     // candidate and both verify branches read it; released via the hook
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-        array(keys: _*).as("bands"))
+        lshBandKeyCol(col(vecCol), signs, bitsPerBand).as("bands"))
       .persist()
     val banded = base.select(col("id"),
       explode(col("bands")).as("bk"))
@@ -368,28 +380,36 @@ object Similarity {
       broadcastBudgetBytes: Long = 256L << 20): DataFrame = {
     require(planes > 0 && bitsPerBand > 0 && planes % bitsPerBand == 0,
       s"planes $planes must be a positive multiple of bitsPerBand $bitsPerBand")
-    val (nCorpus, dim) = vecSizing(corpus, vecCol, "LSH signatures", 1)
-    val signs = signMatrix(dim, planes, seed)
-    def keysOf(df: DataFrame, id: String) = {
-      val bits = signs.map { s =>
-        when(dot(col(vecCol), lit(s)) >= 0, lit(1L)).otherwise(lit(0L))
-      }
-      val keys = bits.grouped(bitsPerBand).toSeq.zipWithIndex.map {
-        case (bs, band) =>
-          val key = bs.zipWithIndex.map { case (b, j) => b * lit(1L << j) }
-            .reduce(_ + _)
-          struct(lit(band).as("band"), key.as("key"))
-      }
-      df.select(col(idCol).as(id), explode(array(keys: _*)).as("bk"))
-        .select(col(id), col("bk.band").as("band"), col("bk.key").as("key"))
+    require(threshold > 0.0, s"threshold $threshold: LSH needs a positive bound")
+    // BOTH sides refused loudly on ragged dims (the vecSizing front
+    // door); cold-start corpora are a contract case, not a crash —
+    // an empty side means no batch row can be a near-duplicate
+    val (nCorpus, cDim) = vecSizing(corpus, vecCol, "LSH signatures", 1)
+    val (nBatch, bDim) = vecSizing(batch, vecCol, "LSH signatures", cDim)
+    if (nCorpus == 0 || nBatch == 0) {
+      val spark = batch.sparkSession
+      import org.apache.spark.sql.types._
+      val idType = batch.schema(idCol).dataType
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField("batch_id", idType),
+          StructField("corpus_id", idType),
+          StructField("cosine_sim", DoubleType))))
     }
+    require(bDim == cDim,
+      s"batch dim $bDim != corpus dim $cDim — one sign matrix must fit both")
+    val signs = signMatrix(cDim, planes, seed)
+    def keysOf(df: DataFrame, id: String) =
+      df.select(col(idCol).as(id),
+          explode(lshBandKeyCol(col(vecCol), signs, bitsPerBand)).as("bk"))
+        .select(col(id), col("bk.band").as("band"), col("bk.key").as("key"))
     val cand = keysOf(batch, "batch_id").join(keysOf(corpus, "corpus_id"),
         Seq("band", "key"))
       .select(col("batch_id"), col("corpus_id")).distinct()
     val bVecs = batch.select(col(idCol).as("batch_id"), col(vecCol).as("bv"))
     val cSide = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
     val cVecs =
-      if (nCorpus * (4L * dim + 32L) <= broadcastBudgetBytes) broadcast(cSide)
+      if (nCorpus * (4L * cDim + 32L) <= broadcastBudgetBytes) broadcast(cSide)
       else cSide
     cand.join(bVecs, "batch_id").join(cVecs, "corpus_id")
       .select(col("batch_id"), col("corpus_id"),

@@ -379,8 +379,11 @@ object TextAnalysis {
         "terms of use", "privacy policy")): Column =
     filter(split(text, "\n"), l => {
       val lt = trim(l)
-      val noBoiler = blacklist.map(b => !lower(lt).contains(b))
-        .reduce(_ && _)
+      // foldLeft, not reduce: an EMPTY blacklist (punctuation/length
+      // rules only) is a legitimate configuration
+      val noBoiler = blacklist.foldLeft(lit(true)) { (acc, b) =>
+        acc && !lower(lt).contains(b)
+      }
       length(lt) > 0 &&
         substring(lt, -1, 1).isin(".", "!", "?") &&
         size(split(lt, " ")) >= minTokens &&

@@ -187,12 +187,17 @@ object Streams {
     * caches the banded corpus once (the persisted-IVF discipline). */
   def dedupArrivalsApprox(arrivals: DataFrame, idCol: String,
       vecCol: String, corpus: DataFrame, threshold: Double,
-      sink: DataFrame => Unit)
+      sink: DataFrame => Unit, planes: Int = 32, bitsPerBand: Int = 8,
+      seed: Int = 7)
       : org.apache.spark.sql.streaming.StreamingQuery =
+    // LSH parameters pass through so a batch pipeline's configuration
+    // reproduces EXACTLY in streaming — split-invariance only holds
+    // when both run the same screen
     arrivals.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, _: Long) =>
         sink(graft.ext.Similarity.nearDupAgainstCorpusApprox(
-          batch, corpus, idCol, vecCol, threshold))
+          batch, corpus, idCol, vecCol, threshold, planes, bitsPerBand,
+          seed))
         ()
     }.start()
 

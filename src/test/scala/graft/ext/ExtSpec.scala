@@ -869,6 +869,34 @@ class ExtSpec extends AnyFunSuite {
       !plan2.contains("CartesianProduct"))
   }
 
+  test("nearDupAgainstCorpusApprox: empty corpus means no near-dups, not a crash") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", ArrayType(FloatType, containsNull = false))))
+    def frame(rows: Row*) =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    val batch = frame(Row(1L, Seq(1.0f, 0.0f, 0.5f, 0.25f)))
+    val empty = frame()
+    // cold start: nothing ingested yet → every arrival is new content
+    assert(Similarity.nearDupAgainstCorpusApprox(
+      batch, empty, "id", "v", threshold = 0.9).count() == 0)
+    // and an empty micro-batch against a corpus is just no work
+    assert(Similarity.nearDupAgainstCorpusApprox(
+      empty, batch, "id", "v", threshold = 0.9).count() == 0)
+    // ragged dims are refused loudly on either side
+    intercept[IllegalArgumentException] {
+      Similarity.nearDupAgainstCorpusApprox(
+        frame(Row(2L, Seq(1.0f, 2.0f))), batch, "id", "v", 0.9).count()
+    }
+  }
+
+  test("cleanLines with an empty blacklist keeps the structural rules") {
+    val df = docs((1L, "Good line stays here.\nno punct line"))
+    val kept = df.select(
+        TextAnalysis.cleanLines(col("text"), blacklist = Seq.empty).as("k"))
+      .as[Seq[String]].head()
+    assert(kept == Seq("Good line stays here."))
+  }
+
   test("semanticDedupApprox matches the exact clustering on twins and leaves no cache") {
     val schema = StructType(Seq(StructField("id", LongType),
       StructField("v", ArrayType(FloatType, containsNull = false))))
