@@ -829,6 +829,54 @@ object ExtQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Curation v4 — the round's new operators composed end-to-end
+    // (the q64/q80/q99 composite discipline): C4 line filters strip
+    // structure-level junk, the entropy screen drops the planted
+    // spam docs whose SURVIVING lines are still low-diversity (the
+    // case line rules cannot catch — 20 repeated tokens with valid
+    // punctuation), and the temperature mix rebalances the skewed
+    // grouping of what remains. Every stage replays in SQL, so the
+    // composite is hash-certified like its parts.
+    "q140_curation_v4" -> { (s, dir) =>
+      val spamLine = "spam " * 19 + "spam.\n"
+      val planted = docs(s, dir).filter(col("doc_id") < 400)
+        .select(col("doc_id"), concat(
+          lit("Meaningful first line for doc "), col("doc_id"),
+          lit(" stays in."), lit("\n"),
+          when(col("doc_id") % 3 === 0, lit(spamLine)).otherwise(lit("")),
+          lit("short."), lit("\n"),
+          lit("A second meaningful line survives too!")).as("text"))
+      val cleaned = planted.select(col("doc_id"),
+        array_join(TextAnalysis.cleanLines(col("text")), "\n")
+          .as("clean_text"))
+      val scored = TextAnalysis.tokenEntropy(cleaned, "doc_id", "clean_text")
+      val survivors = scored.filter(col("entropy_ratio") >= 0.75)
+        .select(col("doc_id"), col("entropy_ratio"))
+        .withColumn("grp",
+          floor(sqrt(col("doc_id").cast("double"))).cast("long"))
+      TextAnalysis.temperatureQuota(survivors, "grp", "doc_id", seed = 13)
+        .select(col("doc_id"), col("grp"), col("entropy_ratio"),
+          col("mix_rank"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Percentile-relative quality gate: curation recipes cut at score
+    // PERCENTILES (keep the top 75%), not absolute thresholds — a
+    // corpus-relative cut adapts as the corpus shifts. The cut is the
+    // exact interpolated p25 of the LM score (the q84 percentile
+    // discipline: identical interpolation in both engines, rounded at
+    // 4), broadcast as a single row; the gate itself is a projection.
+    "q139_quality_percentile_gate" -> { (s, dir) =>
+      val scores = TextAnalysis.unigramLogProbScore(docs(s, dir),
+        "doc_id", "text")
+      val cut = scores.agg(
+        round(expr("percentile(mean_logprob, 0.25)"), 4).as("cut"))
+      scores.crossJoin(broadcast(cut))
+        .filter(col("mean_logprob") >= col("cut"))
+        .select(col("doc_id"), col("mean_logprob"), col("cut"))
+        .orderBy(col("doc_id"))
+    },
+
     // Frozen-vocabulary LM scoring — q114's deployment shape: the
     // top-64 unigram distribution is trained once (vocab collect
     // bounded by construction), then scoring is a map-literal
@@ -1666,6 +1714,65 @@ object ExtQueries extends QueryPack {
         |  round(AVG(ln(cnt / total)), 6) AS mean_logprob
         |FROM e2 JOIN f USING (term) CROSS JOIN n
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q140_curation_v4" ->
+      """WITH base AS (SELECT doc_id,
+        |    'Meaningful first line for doc ' || doc_id || ' stays in.'
+        |      || chr(10)
+        |      || CASE WHEN doc_id % 3 = 0
+        |        THEN repeat('spam ', 19) || 'spam.' || chr(10) ELSE '' END
+        |      || 'short.' || chr(10)
+        |      || 'A second meaningful line survives too!' AS text
+        |  FROM documents WHERE doc_id < 400),
+        |lf AS (SELECT doc_id,
+        |    list_filter(string_split(text, chr(10)), l -> len(trim(l)) > 0
+        |      AND right(trim(l), 1) IN ('.', '!', '?')
+        |      AND len(string_split(trim(l), ' ')) >= 3
+        |      AND NOT contains(lower(trim(l)), 'cookie')
+        |      AND NOT contains(lower(trim(l)), 'javascript')
+        |      AND NOT contains(lower(trim(l)), 'terms of use')
+        |      AND NOT contains(lower(trim(l)), 'privacy policy')) AS kept
+        |  FROM base),
+        |ct AS (SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text
+        |  FROM lf),
+        |ex AS (SELECT doc_id, unnest(string_split(clean_text, ' ')) AS term
+        |  FROM ct),
+        |e2 AS (SELECT doc_id, term FROM ex WHERE length(term) > 0),
+        |pt AS (SELECT doc_id, term, COUNT(*) AS c FROM e2 GROUP BY 1, 2),
+        |wt AS (SELECT doc_id, c,
+        |    CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY doc_id) AS p
+        |  FROM pt),
+        |h AS (SELECT doc_id, COUNT(*) AS nd,
+        |    round(-SUM(p * ln(p)) + 0.0, 6) AS entropy
+        |  FROM wt GROUP BY doc_id),
+        |sc AS (SELECT doc_id, CASE WHEN nd = 1 THEN 1.0
+        |    ELSE round(entropy / ln(nd), 6) END AS entropy_ratio FROM h),
+        |sv AS (SELECT doc_id, entropy_ratio,
+        |    CAST(floor(sqrt(doc_id)) AS BIGINT) AS grp
+        |  FROM sc WHERE entropy_ratio >= 0.75),
+        |c AS (SELECT grp, COUNT(*) AS gn FROM sv GROUP BY grp),
+        |m AS (SELECT min(gn) AS nmin FROM c),
+        |r AS (SELECT sv.doc_id, sv.grp, sv.entropy_ratio,
+        |    CAST(round(sqrt(m.nmin * c.gn)) AS BIGINT) AS q,
+        |    CAST(row_number() OVER (PARTITION BY sv.grp
+        |      ORDER BY md5('tq:13:' || sv.doc_id), sv.doc_id) AS INT)
+        |      AS mix_rank
+        |  FROM sv, c, m WHERE sv.grp = c.grp)
+        |SELECT doc_id, grp, entropy_ratio, mix_rank FROM r
+        |WHERE mix_rank <= q ORDER BY doc_id""".stripMargin,
+    "q139_quality_percentile_gate" ->
+      """WITH ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents),
+        |e2 AS (SELECT doc_id, term FROM ex WHERE length(term) > 0),
+        |f AS (SELECT term, COUNT(*) AS cnt FROM e2 GROUP BY term),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM e2),
+        |sc AS (SELECT doc_id,
+        |    round(AVG(ln(cnt / total)), 6) AS mean_logprob
+        |  FROM e2 JOIN f USING (term) CROSS JOIN n GROUP BY doc_id),
+        |c AS (SELECT round(quantile_cont(mean_logprob, 0.25), 4) AS cut
+        |  FROM sc)
+        |SELECT sc.doc_id, sc.mean_logprob, c.cut
+        |FROM sc, c WHERE sc.mean_logprob >= c.cut
+        |ORDER BY sc.doc_id""".stripMargin,
     "q138_token_entropy" ->
       """WITH ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
         |    FROM documents),
