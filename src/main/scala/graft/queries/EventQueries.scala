@@ -282,6 +282,28 @@ object EventQueries extends QueryPack {
         .orderBy(col("event_id"))
     },
 
+    // Cohort retention — the product-analytics staple: users grouped
+    // by first-seen week (their cohort), retention counted as
+    // distinct users active at each whole-week offset from the cohort
+    // week. Two aggregations that reuse ONE user_id exchange (min-ts
+    // per user, then distinct users per cohort×offset) — exact
+    // integer week arithmetic on microsecond epochs, so both engines
+    // bucket identically with no timezone or calendar in play.
+    "q141_cohort_retention" -> { (s, dir) =>
+      // `div`, not `/`: Column `/` is DOUBLE division, and an epoch
+      // micro within ~0.3 µs below a week boundary would round UP
+      // across it (ulp ~4.5e-13 at ~2.8k weeks) while DuckDB's `//`
+      // floors exactly — integral div on longs matches it bit-for-bit
+      val e = events(s, dir).select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp)) div 604800000000")
+          .as("wk"))
+      val cohorts = e.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+      e.join(cohorts, "user_id")
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("offset_wk"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_wk"), col("offset_wk"))
+    },
+
     // Range/band join via integer-bucket blocking: an equi-join plus
     // exact range filter, never a cross product; the oracle runs the
     // naive inequality join.
@@ -429,6 +451,14 @@ object EventQueries extends QueryPack {
         |  AND v.vts >= c.cts - INTERVAL '30 minutes'
         |  AND v.vts <= c.cts
         |ORDER BY c.click_id, v.view_id""".stripMargin,
+    "q141_cohort_retention" ->
+      """WITH e AS (SELECT user_id,
+        |    epoch_us(ts) // 604800000000 AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id)
+        |SELECT c.cohort_wk, e.wk - c.cohort_wk AS offset_wk,
+        |  COUNT(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN c ON e.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_wk, offset_wk""".stripMargin,
     "q67_band_join" ->
       """WITH b AS (SELECT * FROM (VALUES
         |    ('low', 0.0, 10.0), ('mid', 10.0, 25.0), ('high', 25.0, 100.0))
