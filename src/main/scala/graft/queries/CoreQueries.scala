@@ -143,6 +143,21 @@ object CoreQueries extends QueryPack {
           col("l_linestatus"))
     },
 
+    // CUBE — q81's ROLLUP completed to the full 2^k grouping lattice
+    // (adds the per-linestatus marginals ROLLUP omits). Still ONE
+    // partial-aggregated shuffle: Spark expands the grouping sets
+    // map-side, so the lattice costs rows, not passes.
+    "q142_cube" -> { (s, dir) =>
+      graft.Tables.load(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("l_quantity"))).as("qty_cents"),
+          grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"))
+        .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"),
+          col("l_linestatus"))
+    },
+
     // INTERSECT / EXCEPT — beyond-reference (SURVEY §2.9): customers
     // with both fulfilled and open orders vs. fulfilled-only.
     "q82_setops" -> { (s, dir) =>
@@ -270,6 +285,14 @@ object CoreQueries extends QueryPack {
         |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin,
+    "q142_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_cents,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin,
     "q82_setops" ->
       """SELECT o_custkey, 'both' AS which FROM (
