@@ -275,4 +275,86 @@ class CurationSweepSpec extends AnyFunSuite {
       assert(got == want, s"seed=$seed")
     }
   }
+
+  test("cleanLines equals the rule-by-rule reference across seeds") {
+    val blacklist = Seq("cookie", "javascript", "terms of use",
+      "privacy policy")
+    def refKeep(l: String): Boolean = {
+      val lt = l.trim
+      lt.nonEmpty &&
+        Set('.', '!', '?').contains(lt.last) &&
+        lt.split(" ", -1).length >= 3 &&
+        blacklist.forall(b => !lt.toLowerCase.contains(b))
+    }
+    val frags = Seq("good solid line", "cookie", "ok", "short", "x y z",
+      "   ", "accept the Terms of Use", "fine words here")
+    val ends = Seq(".", "!", "?", "", " ")
+    for (seed <- Seq(5, 17, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (1L to 30L).map { i =>
+        i -> (1 to (1 + rnd.nextInt(6))).map(_ =>
+          frags(rnd.nextInt(frags.length)) + ends(rnd.nextInt(ends.length)))
+          .mkString("\n")
+      }
+      val want = rows.map { case (id, t) =>
+        id -> t.split("\n", -1).toSeq.filter(refKeep)
+      }.toMap
+      val got = frame(rows)
+        .select(col("id"), TextAnalysis.cleanLines(col("text")).as("k"))
+        .as[(Long, Seq[String])].collect().toMap
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
+  test("tokenEntropy equals the driver-side reference across seeds") {
+    for (seed <- Seq(7, 23, 61)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Seq("a", "bb", "ccc", "dd", "e")
+      val rows = (1L to 30L).map { i =>
+        i -> (1 to (1 + rnd.nextInt(15)))
+          .map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      }
+      def round6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val want = rows.map { case (id, t) =>
+        val counts = t.split(" ", -1).filter(_.nonEmpty)
+          .groupBy(identity).map(_._2.length)
+        val n = counts.sum.toDouble
+        val h = round6(-counts.map(c => c / n * math.log(c / n)).sum + 0.0)
+        val ratio = if (counts.size == 1) 1.0
+          else round6(h / math.log(counts.size))
+        id -> ((counts.sum.toLong, counts.size.toLong, h, ratio))
+      }.toMap
+      val got = TextAnalysis.tokenEntropy(frame(rows), "id", "text")
+        .select("id", "n_tokens", "n_distinct", "entropy", "entropy_ratio")
+        .as[(Long, Long, Long, Double, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
+  test("temperatureQuota equals the md5-rank reference across seeds") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    for (seed <- Seq(2, 31); nGroups <- Seq(2, 5)) {
+      val rnd = new scala.util.Random(seed)
+      // skewed random group sizes incl. a singleton
+      val rows = (1L to 60L).map(i => i -> s"g${rnd.nextInt(nGroups)}") :+
+        (61L -> "lonely")
+      val sizes = rows.groupBy(_._2).map { case (g, xs) => g -> xs.size }
+      val nmin = sizes.values.min
+      val quota = sizes.map { case (g, n) =>
+        g -> math.round(math.sqrt(nmin.toDouble * n))
+      }
+      val want = rows.groupBy(_._2).flatMap { case (g, xs) =>
+        xs.map(_._1).sortBy(id => (md5hex(s"tq:$seed:$id"), id))
+          .take(quota(g).toInt)
+      }.toSet
+      val df = rows.toDF("id", "grp")
+      val got = TextAnalysis.temperatureQuota(df, "grp", "id", seed = seed)
+        .select("id").as[Long].collect().toSet
+      assert(got == want, s"seed=$seed nGroups=$nGroups")
+    }
+  }
 }
