@@ -304,6 +304,34 @@ object EventQueries extends QueryPack {
         .orderBy(col("cohort_wk"), col("offset_wk"))
     },
 
+    // DAU / WAU stickiness — the engagement ratio every product
+    // dashboard carries. COUNT(DISTINCT) over a trailing frame is not
+    // a window function in either engine, so the trailing-7-day
+    // membership is materialized by fanning each (user, day) out to
+    // the 7 days it contributes to — a bounded ×7 row amplification
+    // on the DEDUPED (user, day) pairs, then two distinct
+    // aggregations. Exact integral epoch-day arithmetic (the q141
+    // `div` discipline); output days are the observed ones.
+    "q143_dau_wau" -> { (s, dir) =>
+      val ud = events(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+            .as("day"))
+        .distinct()
+      val dau = ud.groupBy("day")
+        .agg(countDistinct(col("user_id")).as("n_dau"))
+      val wau = ud
+        .select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6)).as("day"))
+        .groupBy("day")
+        .agg(countDistinct(col("user_id")).as("n_wau"))
+      dau.join(wau, "day")
+        .select(col("day"), col("n_dau"), col("n_wau"),
+          round(col("n_dau").cast("double") / col("n_wau"), 6)
+            .as("stickiness"))
+        .orderBy(col("day"))
+    },
+
     // Range/band join via integer-bucket blocking: an equi-join plus
     // exact range filter, never a cross product; the oracle runs the
     // naive inequality join.
@@ -451,6 +479,19 @@ object EventQueries extends QueryPack {
         |  AND v.vts >= c.cts - INTERVAL '30 minutes'
         |  AND v.vts <= c.cts
         |ORDER BY c.click_id, v.view_id""".stripMargin,
+    "q143_dau_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |dau AS (SELECT day, COUNT(DISTINCT user_id) AS n_dau
+        |  FROM ud GROUP BY day),
+        |f AS (SELECT ud.user_id, ud.day + ofs.o AS day
+        |  FROM ud, (SELECT unnest(range(7)) AS o) ofs),
+        |wau AS (SELECT day, COUNT(DISTINCT user_id) AS n_wau
+        |  FROM f GROUP BY day)
+        |SELECT dau.day, dau.n_dau, wau.n_wau,
+        |  round(CAST(dau.n_dau AS DOUBLE) / wau.n_wau, 6) AS stickiness
+        |FROM dau JOIN wau ON dau.day = wau.day
+        |ORDER BY dau.day""".stripMargin,
     "q141_cohort_retention" ->
       """WITH e AS (SELECT user_id,
         |    epoch_us(ts) // 604800000000 AS wk FROM events),
