@@ -370,6 +370,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(!batch.exists(_._1 == 999L))
   }
 
+  test("cleanLines: pure projection streams unchanged (split-invariant)") {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def frameD(rows: Seq[Row]): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), docSchema)
+    val db1 = Seq(Row(1L, "Good line stays.\nno punct"),
+      Row(2L, "Accept cookie policy now.\nFine closer here!"))
+    val db2 = Seq(Row(3L, "short.\nAnother keeper line here?"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_cl")
+    dir.toFile.deleteOnExit()
+    val src = dir.toString + "/in"
+    frameD(db1).write.mode(SaveMode.Append).parquet(src)
+    val got = scala.collection.mutable.Set.empty[(Long, Seq[String])]
+    val q = spark.readStream.schema(docSchema).parquet(src)
+      .select(col("doc_id"),
+        graft.ext.TextAnalysis.cleanLines(col("text")).as("kept"))
+      .writeStream.outputMode("append").foreachBatch {
+        (batch: DataFrame, _: Long) =>
+          got ++= batch.as[(Long, Seq[String])].collect()
+          ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      frameD(db2).write.mode(SaveMode.Append).parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batchRun = frameD(db1 ++ db2)
+      .select(col("doc_id"),
+        graft.ext.TextAnalysis.cleanLines(col("text")).as("kept"))
+      .as[(Long, Seq[String])].collect().toSet
+    assert(got.toSet == batchRun)
+    assert(batchRun == Set(
+      (1L, Seq("Good line stays.")),
+      (2L, Seq("Fine closer here!")),
+      (3L, Seq("Another keeper line here?"))))
+  }
+
   test("unigramScoreFrozen: pure projection streams unchanged; agrees with the self-scored form") {
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
