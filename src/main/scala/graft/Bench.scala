@@ -20,6 +20,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Fully isolate catalog state per run: embedded Derby (JDBC queries)
+    // writes derby.log + db dirs under derby.system.home, which defaults
+    // to the process cwd — accumulated repo-dir state must never leak
+    // into a timing run. Must be set BEFORE the first Derby boot.
+    System.setProperty("derby.system.home",
+      java.nio.file.Files.createTempDirectory("graft_derby_bench").toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.warehouse.dir",

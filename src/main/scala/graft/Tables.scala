@@ -30,8 +30,11 @@ object Tables {
     * the flag unconditionally keeps the session conf honest: a µs or
     * ms regeneration of the data reads as real timestamps. Walks
     * RECURSIVELY to the first data file, so hive-partitioned layouts
-    * sniff the same as single files; results are memoized per path
-    * (parquet footers are immutable for the life of a dataset). */
+    * sniff the same as single files; results are memoized per
+    * (path, root modification time), so an in-JVM regeneration of the
+    * dataset at the same path — the exact scenario the sniff defends
+    * against — invalidates the old verdict instead of reading through
+    * a stale one (directory mtime changes when files are rewritten). */
   private val nanosSniffCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
@@ -43,7 +46,8 @@ object Tables {
     // the same path in this JVM must be sniffed fresh, not read
     // through a stale negative verdict
     if (!fs.exists(p)) return false
-    nanosSniffCache.computeIfAbsent(path, { _ =>
+    val cacheKey = s"$path@${fs.getFileStatus(p).getModificationTime}"
+    nanosSniffCache.computeIfAbsent(cacheKey, { _ =>
       {
         def firstDataFile(dir: Path): Option[Path] = {
           val (dirs, files) = fs.listStatus(dir)

@@ -108,7 +108,13 @@ object Dedup {
     * already probabilistic across `bands` independent bands, so a
     * dropped bucket only removes one of a pair's several chances to
     * collide, and the exact-Jaccard verify step is untouched. Set 0 to
-    * disable. */
+    * disable.
+    *
+    * Cache contract: the result comes back materialized and PERSISTED
+    * (pair-density-sized; the corpus-sized intermediate is already
+    * released) — the caller must `unpersist()` it when done, or each
+    * invocation holds executor storage until the session ends. Use
+    * [[minhashNearDupPairsStaged]] to own the whole lifecycle. */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.5, maxBucket: Int = 10000): DataFrame = {
@@ -212,7 +218,11 @@ object Dedup {
     * (pre-distinct). `blockCol` optionally restricts pairs to equal
     * block values (e.g. language) — a semantic filter, not the scale
     * mechanism. Returns (ida, idb[, block], jaccard_sim >= threshold).
-    */
+    *
+    * Cache contract: the result comes back materialized and PERSISTED
+    * (pair-density-sized; corpus-sized intermediates released) — the
+    * caller must `unpersist()` it when done. Use
+    * [[jaccardNearDupPairsStaged]] to own the whole lifecycle. */
   def jaccardNearDupPairs(d: DataFrame, idCol: String, wsCol: String,
       threshold: Double, blockCol: Option[String] = None,
       dfOrderedPrefix: Boolean = true): DataFrame = {
@@ -312,7 +322,11 @@ object Dedup {
     * the probe⋈postings join fans out against short posting lists
     * instead of stop-word floods. All stages are linear
     * scans/shuffles; the exact verify join re-checks every candidate.
-    * Returns (ida, idb[, block], containment >= t). */
+    * Returns (ida, idb[, block], containment >= t).
+    *
+    * Cache contract: the result comes back materialized and PERSISTED
+    * (pair-density-sized; both corpus-sized set caches released) —
+    * the caller must `unpersist()` it when done. */
   def containmentPairs(probe: DataFrame, corpus: DataFrame, idCol: String,
       wsCol: String, threshold: Double,
       blockCol: Option[String] = None): DataFrame = {
@@ -492,7 +506,11 @@ object Dedup {
     * `exactBands` as the corpus outgrows the keyspace, or use MinHash
     * LSH past SimHash banding's reach. Key rows carry xxhash64(combo,
     * band values) — hash collisions only add candidates; the exact
-    * hamming filter keeps the result identical. */
+    * hamming filter keeps the result identical.
+    *
+    * Cache contract: the result comes back materialized and PERSISTED
+    * (pair-density-sized; the fingerprint cache released) — the
+    * caller must `unpersist()` it when done. */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, exactBands: Int = 1): DataFrame = {
     require(maxHamming >= 0 && exactBands >= 1,

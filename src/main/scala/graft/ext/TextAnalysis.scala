@@ -380,9 +380,13 @@ object TextAnalysis {
     filter(split(text, "\n"), l => {
       val lt = trim(l)
       // foldLeft, not reduce: an EMPTY blacklist (punctuation/length
-      // rules only) is a legitimate configuration
-      val noBoiler = blacklist.foldLeft(lit(true)) { (acc, b) =>
-        acc && !lower(lt).contains(b)
+      // rules only) is a legitimate configuration. The LINE is
+      // lower-cased for the substring test, so the phrases must be
+      // too — lower-casing them here (instead of requiring it of the
+      // caller) keeps a mixed-case entry like "Cookie" from silently
+      // never matching.
+      val noBoiler = blacklist.map(_.toLowerCase).foldLeft(lit(true)) {
+        (acc, b) => acc && !lower(lt).contains(b)
       }
       length(lt) > 0 &&
         substring(lt, -1, 1).isin(".", "!", "?") &&

@@ -25,6 +25,20 @@ object EventQueries extends QueryPack {
   private def events(s: SparkSession, dir: String): DataFrame =
     Tables.loadEvents(s, dir)
 
+  /** FLOOR division of the epoch-microsecond `ts` by `unitUs`, exact
+    * on longs. Column `/` is DOUBLE division (an epoch micro ~0.3 µs
+    * below a bucket boundary would round UP across it at week scale),
+    * and Spark's `div` truncates toward zero while DuckDB's `//`
+    * floors — they disagree on pre-1970 (negative) epochs.
+    * Subtracting pmod first removes a non-negative remainder, making
+    * the dividend exactly divisible, so `div` then IS floor division
+    * for any sign — bit-for-bit DuckDB parity even if a regenerated
+    * dataset plants pre-epoch timestamps. Catalyst folds the repeated
+    * unix_micros subtree, so this stays one projection. */
+  private def epochBucket(unitUs: Long): org.apache.spark.sql.Column =
+    expr(s"(unix_micros(cast(ts as timestamp)) - " +
+      s"pmod(unix_micros(cast(ts as timestamp)), ${unitUs}L)) div ${unitUs}L")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q41_event_windows" -> { (s, dir) =>
@@ -290,13 +304,12 @@ object EventQueries extends QueryPack {
     // integer week arithmetic on microsecond epochs, so both engines
     // bucket identically with no timezone or calendar in play.
     "q141_cohort_retention" -> { (s, dir) =>
-      // `div`, not `/`: Column `/` is DOUBLE division, and an epoch
-      // micro within ~0.3 µs below a week boundary would round UP
-      // across it (ulp ~4.5e-13 at ~2.8k weeks) while DuckDB's `//`
-      // floors exactly — integral div on longs matches it bit-for-bit
+      // epochBucket = exact long FLOOR division — see its scaladoc for
+      // why neither Column `/` (double rounding) nor bare `div`
+      // (truncates, diverging from DuckDB `//` on pre-1970 epochs) is
+      // safe here.
       val e = events(s, dir).select(col("user_id"),
-        expr("unix_micros(cast(ts as timestamp)) div 604800000000")
-          .as("wk"))
+        epochBucket(604800000000L).as("wk"))
       val cohorts = e.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
       e.join(cohorts, "user_id")
         .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("offset_wk"))
@@ -310,13 +323,11 @@ object EventQueries extends QueryPack {
     // membership is materialized by fanning each (user, day) out to
     // the 7 days it contributes to — a bounded ×7 row amplification
     // on the DEDUPED (user, day) pairs, then two distinct
-    // aggregations. Exact integral epoch-day arithmetic (the q141
-    // `div` discipline); output days are the observed ones.
+    // aggregations. Exact long floor-division epoch-day arithmetic
+    // (the epochBucket discipline); output days are the observed ones.
     "q143_dau_wau" -> { (s, dir) =>
       val ud = events(s, dir)
-        .select(col("user_id"),
-          expr("unix_micros(cast(ts as timestamp)) div 86400000000")
-            .as("day"))
+        .select(col("user_id"), epochBucket(86400000000L).as("day"))
         .distinct()
       val dau = ud.groupBy("day")
         .agg(countDistinct(col("user_id")).as("n_dau"))

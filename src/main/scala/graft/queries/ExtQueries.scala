@@ -29,12 +29,11 @@ object ExtQueries extends QueryPack {
         .orderBy(col("lang"))
     },
 
-    "q20_minhash_pairs" -> { (s, dir) =>
-      Dedup.minhashNearDupPairs(docs(s, dir), "doc_id", "text",
-          k = 3, numHashes = 64, bands = 16, threshold = 0.10)
-        .orderBy(col("ida"), col("idb"))
-    },
-
+    // q20 (raw minhash pair dump) retired in r12: xxhash64 banding has
+    // no DuckDB replay, so the row could only ever be rows-only in the
+    // gate. The operator's certification lives in q131_minhash_capture
+    // (full-oracle planted-twin capture audit with in-query precision
+    // recompute + recall bound) — strictly stronger than the dump.
     "q21_jaccard_block" -> { (s, dir) =>
       // EXACT same result set as the naive per-lang all-pairs join (the
       // oracle), but candidates come from PPJoin prefix filtering — the
@@ -201,12 +200,9 @@ object ExtQueries extends QueryPack {
     // pigeonhole, and the 64x-wider keyspace holds blocking power
     // when the corpus outgrows single-band 8-bit keys (256 buckets
     // went quadratic at 10x bench scale — SCALING.md).
-    "q22_simhash_pairs" -> { (s, dir) =>
-      Dedup.simhashNearDupPairs(docs(s, dir), "doc_id", "text",
-          maxHamming = 7, exactBands = 2)
-        .orderBy(col("ida"), col("idb"))
-    },
-
+    // q22 (raw simhash pair dump) retired in r12 — certification lives
+    // in q132_simhash_capture (full-oracle pigeonhole-losslessness
+    // contract). See the q20 note above for the rationale.
     "q23_langid" -> { (s, dir) =>
       val d = docs(s, dir)
       val scores = TextAnalysis.langScores(col("text"))
@@ -291,13 +287,9 @@ object ExtQueries extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     },
 
-    "q28_ann_lsh" -> { (s, dir) =>
-      val e = embs(s, dir)
-      Similarity.lshTopK(e.filter(col("vec_id") < 20), e,
-          "vec_id", "embedding", k = 5, dim = 64, numPlanes = 16, bitsPerBand = 4)
-        .select(col("query_id"), col("neighbor_id"), col("cosine_sim"), col("rank"))
-        .orderBy(col("query_id"), col("rank"))
-    },
+    // q28 (raw LSH top-k dump) retired in r12 — certification lives in
+    // q133_ann_twin_recall (deterministic full-oracle recall@1 = 1
+    // planted-twin row). See the q20 note above for the rationale.
 
     // Embedding-cosine near-dup: the corpus has no natural near-dups,
     // so each vector gets a perturbed twin planted in-query; the

@@ -9,17 +9,17 @@ import org.scalatest.funsuite.AnyFunSuite
   * rows-only query must be added here deliberately. */
 class EntryContractSpec extends AnyFunSuite {
 
-  // xxhash64/LSH bucketing has no DuckDB form — rows-only BY DESIGN
-  private val rowsOnlyByDesign =
-    Set("q20_minhash_pairs", "q22_simhash_pairs", "q28_ann_lsh")
-
-  test("every oracle belongs to a query; only the designed rows-only queries lack one") {
+  // r12: the last rows-only rows (q20/q22/q28 raw LSH dumps) are
+  // retired — their operators are certified by the full-oracle capture
+  // audits q131/q132/q133. EVERY query must now carry an oracle; a new
+  // rows-only query is a contract break, not a default.
+  test("every oracle belongs to a query and every query has an oracle") {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     assert((os -- qs).isEmpty,
       s"oracles without a query: ${(os -- qs).toSeq.sorted}")
-    assert((qs -- os) == rowsOnlyByDesign,
-      s"unexpected rows-only queries: ${(qs -- os -- rowsOnlyByDesign).toSeq.sorted}")
+    assert((qs -- os).isEmpty,
+      s"queries without an oracle: ${(qs -- os).toSeq.sorted}")
   }
 
   // NOTE the HUGEINT dtype trap (DuckDB integer SUM → HUGEINT →

@@ -60,7 +60,7 @@ class TestdataSmokeSpec extends AnyFunSuite {
     "q41_event_windows",  // events ts → windowed agg (the r10 casualty)
     "q66_asof_join",      // events ts → as-of machinery
     "q23_langid",         // documents text analysis
-    "q20_minhash_pairs",  // documents dedup family
+    "q131_minhash_capture", // documents dedup family (minhash path)
     "q27_ann_brute",      // embeddings similarity family
     "q32_csv_roundtrip")  // IO round-trip family
 
