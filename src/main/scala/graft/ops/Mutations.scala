@@ -11,8 +11,12 @@ import org.apache.spark.sql.functions._
   * Spark — and shouldn't anywhere at 100 TB. Each command shape becomes
   * one distributed set operation over the whole target (the Delta
   * `MERGE INTO` equivalent, expressed via joins since this build ships
-  * no Delta jar; swap `applyUpdate` for DeltaTable.merge on a Delta-
-  * enabled cluster and the call sites don't change).
+  * no Delta jar). For a PERSISTED ACID target these same operations
+  * run through [[graft.sources.VersionedTable]] — the in-repo
+  * versioned-manifest copy-on-write parquet sink (atomic manifest
+  * swap, snapshot reads, file-granular rewrite; q145/q146 certify
+  * merge and SCD2 through it) — or swap in DeltaTable.merge on a
+  * Delta-enabled cluster without touching the call sites.
   *
   * All joins are key-equi joins: they hash-partition both sides on the
   * business key, so they scale linearly and AQE can split skewed keys.

@@ -382,8 +382,85 @@ object ExtQueries extends QueryPack {
         .orderBy(col("vec_id"))
     },
 
-    // Certified capture audit for MinHash LSH (q20 stays the raw pair
-    // dump — xxhash64 bands have no DuckDB form, but the CONTRACT
+    // The approximate near-dup blocker at the REALISTIC operating
+    // threshold (production SemDeDup prunes at cosine ~0.9, not the
+    // q129 boundary-twin 0.99): planted twins at GRADED angular
+    // distances. The perturbation direction is ISOTROPIC — a
+    // deterministic md5-parity ±1/√dim vector per planted id (so the
+    // oracle rebuilds it bit-for-bit) — NOT a single-dimension bump:
+    // an axis-aligned perturbation concentrates all its angle in one
+    // coordinate of every ±1 sign row, measurably depressing capture
+    // below the hyperplane model (0.902 observed vs 0.961 modeled at
+    // grade 0.92 in the axis-aligned trial), while a direction spread
+    // across all dims is the geometry the 1 − θ/π model describes —
+    // and the geometry real near-dup embeddings have. The corpus is
+    // unit-norm, so δ = 0.20/0.30/0.40/0.47 lands grades at cosine
+    // ≈ 1 − δ²/2: 0.98 / 0.955 / 0.92 / ~0.90 (the last straddles
+    // the threshold — its below-0.90 pairs legitimately leave the
+    // truth set: boundary probes, not noise). 64 planes in 8-bit
+    // bands (8 bands) is the operating point the model picks for
+    // t = 0.90: per-plane match m = 1 − acos(c)/π = 0.856 at the
+    // boundary, capture P = 1−(1−m^8)^8 = 0.935, rising to 0.9992 at
+    // grade 0.98. recall_ok is NOT a hand-picked constant: the query
+    // computes each truth pair's model capture probability p(c) from
+    // its exact cosine and asserts observed captures ≥ Σp − 3σ
+    // (σ² = Σp(1−p), the Poisson-binomial variance) — the bound the
+    // (1−m^bitsPerBand)^bands model implies, replayed by the oracle
+    // on its own side so the flag itself is hash-checked. Precision
+    // stays 1 by construction (exact-cosine verify).
+    "q144_lsh_neardup_t90" -> { (s, dir) =>
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      // ±1/8 per dim from md5('pt:<planted id>:<dim>') parity — the
+      // signMatrix discipline. Keyed on the PLANTED id (computed in
+      // its own select first, so the reference is unambiguous — a
+      // single select would hit Spark's lateral-alias resolution and
+      // silently bind to whichever id wins): every twin gets an
+      // independent direction, so cross-grade twin-twin pairs sit at
+      // compound angles instead of collinear freebies and the truth
+      // mass stays at the graded distances.
+      def plant(delta: Double, off: Int) = e
+        .select((col("vec_id") + off).as("vec_id"), col("embedding"))
+        .select(col("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            (x.cast("double") + lit(delta / 8.0) *
+              when(conv(substring(md5(concat(lit("pt:"),
+                  col("vec_id").cast("string"), lit(":"),
+                  i.cast("string"))), 32, 1), 16, 10)
+                .cast("int") % 2 === 0, lit(1.0)).otherwise(lit(-1.0)))
+              .cast("float")).as("embedding"))
+      val all = e.unionByName(plant(0.20, 100000))
+        .unionByName(plant(0.30, 200000))
+        .unionByName(plant(0.40, 300000))
+        .unionByName(plant(0.47, 400000))
+      val exact = Similarity.cosineNearDupPairs(all, "vec_id", "embedding",
+        threshold = 0.90)
+      val approx = Similarity.cosineNearDupPairsApprox(all, "vec_id",
+          "embedding", threshold = 0.90, planes = 64, bitsPerBand = 8,
+          seed = 7)
+        .select(col("ida"), col("idb"), lit(true).as("__c"))
+      val m = lit(1.0) -
+        acos(least(col("cosine_sim"), lit(1.0))) / lit(math.Pi)
+      val cap = exact.join(approx, Seq("ida", "idb"), "left")
+        .select(col("ida"), col("idb"),
+          coalesce(col("__c"), lit(false)).as("captured"),
+          (lit(1.0) - pow(lit(1.0) - pow(m, lit(8.0)), lit(8.0))).as("__p"))
+      val bound = cap.agg(
+        sum(col("captured").cast("long")).as("__got"),
+        sum(col("__p")).as("__ep"),
+        sum(col("__p") * (lit(1.0) - col("__p"))).as("__var"))
+      cap.crossJoin(broadcast(bound))
+        .select(col("ida"), col("idb"),
+          // positive ids: truncating div == floor div == DuckDB //
+          expr("ida div 100000").as("grade_a"),
+          expr("idb div 100000").as("grade_b"),
+          col("captured"),
+          (col("__got").cast("double") >=
+            col("__ep") - lit(3.0) * sqrt(col("__var"))).as("recall_ok"))
+        .orderBy(col("ida"), col("idb"))
+    },
+
+    // Certified capture audit for MinHash LSH (the raw q20 pair dump is
+    // retired — xxhash64 bands have no DuckDB form, but the CONTRACT
     // does): per planted pair, did the production operator capture it?
     // An IDENTICAL twin (+200000) shares the signature, so capture is
     // deterministic. A NEAR twin (+300000, two appended tokens) is
@@ -437,8 +514,8 @@ object ExtQueries extends QueryPack {
         .orderBy(col("ida"), col("idb"))
     },
 
-    // Certified capture audit for SimHash banding (q22 stays the raw
-    // dump): generalized pigeonhole is LOSSLESS within the radius, so
+    // Certified capture audit for SimHash banding (the raw q22 dump is
+    // retired): generalized pigeonhole is LOSSLESS within the radius, so
     // every planted pair must satisfy `captured OR hamming > radius` —
     // the identical twin (hamming 0) makes the captured branch
     // deterministic, the near twin exercises the radius boundary on
@@ -475,8 +552,8 @@ object ExtQueries extends QueryPack {
         .orderBy(col("ida"), col("idb"))
     },
 
-    // Certified recall row for hyperplane-LSH ANN (q28 stays the raw
-    // top-k dump): each query vector gets an identical twin planted in
+    // Certified recall row for hyperplane-LSH ANN (the raw q28 top-k
+    // dump is retired): each query vector gets an identical twin planted in
     // the corpus — identical vectors share EVERY band, so the twin is
     // always a candidate, its cosine is exactly 1, and LSH's rank-1
     // neighbor MUST be the twin (recall@1 = 1 as a deterministic,
@@ -1260,6 +1337,58 @@ object ExtQueries extends QueryPack {
         |  SELECT p.ia, r.r FROM pairs p JOIN reach r ON p.ib = r.id)
         |SELECT id AS vec_id, min(r) AS cluster_id, id = min(r) AS keep
         |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
+    // full bit-for-bit replay of the t=0.90 LSH audit: sign matrix,
+    // 8x8-bit banding, bucket join, exact verify, AND the hyperplane-
+    // model recall bound (Σp − 3σ) recomputed on the oracle's own
+    // cosines — the q129 pattern at 64 planes
+    "q144_lsh_neardup_t90" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |ds(d, off) AS (VALUES (0.20, 100000), (0.30, 200000),
+        |  (0.40, 300000), (0.47, 400000)),
+        |pl AS (SELECT e.vec_id + ds.off AS vec_id,
+        |    [CAST(e.embedding[k + 1] + (ds.d / 8.0) *
+        |        (CASE WHEN CAST(strpos('0123456789abcdef', substring(md5(
+        |            'pt:' || CAST(e.vec_id + ds.off AS VARCHAR) || ':' ||
+        |            CAST(k AS VARCHAR)), 32, 1)) - 1 AS INT) % 2 = 0
+        |          THEN 1.0 ELSE -1.0 END) AS FLOAT)
+        |      for k in range(len(e.embedding))] AS embedding
+        |  FROM e, ds),
+        |a AS (SELECT * FROM e UNION ALL SELECT * FROM pl),
+        |ev AS (SELECT vec_id,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS x FROM a),
+        |sm AS (SELECT CAST(i.range AS INT) AS i, CAST(j.range AS INT) AS j,
+        |    CASE WHEN (strpos('0123456789abcdef', substring(md5(
+        |        'rp:7:' || CAST(i.range AS VARCHAR) || ':' ||
+        |        CAST(j.range AS VARCHAR)), 32, 1)) - 1) % 2 = 0
+        |      THEN 1.0 ELSE -1.0 END AS sgn
+        |  FROM range(64) i, range(64) j),
+        |bits AS (SELECT ev.vec_id, sm.j,
+        |    CASE WHEN SUM(ev.x * sm.sgn) >= 0 THEN 1 ELSE 0 END AS bit
+        |  FROM ev JOIN sm USING (i) GROUP BY ev.vec_id, sm.j),
+        |bk AS (SELECT vec_id, j // 8 AS band,
+        |    CAST(SUM(bit * (1 << (j % 8))) AS BIGINT) AS bkey
+        |  FROM bits GROUP BY vec_id, j // 8),
+        |cand AS (SELECT DISTINCT x.vec_id AS ida, y.vec_id AS idb
+        |  FROM bk x JOIN bk y ON x.band = y.band AND x.bkey = y.bkey
+        |    AND x.vec_id < y.vec_id),
+        |ex AS (SELECT ida, idb, c FROM (
+        |  SELECT x.vec_id AS ida, y.vec_id AS idb,
+        |      list_cosine_similarity(x.embedding, y.embedding) AS c
+        |    FROM a x JOIN a y ON x.vec_id < y.vec_id) WHERE c >= 0.90),
+        |ap AS (SELECT c.ida, c.idb FROM cand c
+        |  JOIN a x ON c.ida = x.vec_id JOIN a y ON c.idb = y.vec_id
+        |  WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.90),
+        |cap AS (SELECT ex.ida, ex.idb, ap.ida IS NOT NULL AS captured,
+        |    1.0 - power(1.0 - power(1.0 - acos(LEAST(ex.c, 1.0)) / pi(),
+        |      8), 8) AS p
+        |  FROM ex LEFT JOIN ap ON ex.ida = ap.ida AND ex.idb = ap.idb),
+        |r AS (SELECT SUM(CASE WHEN captured THEN 1 ELSE 0 END) AS got,
+        |    SUM(p) AS ep, SUM(p * (1 - p)) AS vr FROM cap)
+        |SELECT cap.ida, cap.idb, cap.ida // 100000 AS grade_a,
+        |  cap.idb // 100000 AS grade_b, cap.captured,
+        |  (r.got >= r.ep - 3.0 * sqrt(r.vr)) AS recall_ok
+        |FROM cap, r ORDER BY ida, idb""".stripMargin,
     // the eligibility gate counts DISTINCT word-3-grams exactly like
     // the engine's token_shingles (split on ' ' keeping empties,
     // grams joined with chr(1), deduped)

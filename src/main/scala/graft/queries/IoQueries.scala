@@ -248,10 +248,107 @@ object IoQueries extends QueryPack {
         Nil))("src.out")
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
         .orderBy(col("n_nationkey"))
+    },
+
+    // MERGE INTO through the in-repo ACID sink (VersionedTable:
+    // versioned-manifest copy-on-write parquet — the Delta-shaped
+    // storage the reference writes on Databricks, rebuilt from first
+    // principles since no Delta jar ships here). The dimension is
+    // customers < 500; the feed is an orders aggregate over custkey
+    // < 800, so the merge exercises BOTH branches: matched keys take
+    // the feed's name/cents, unmatched feed keys insert. In-query
+    // requires pin the ACID contract the oracle can't see: exactly
+    // two versions exist, and the TIME-TRAVEL read of v1 still equals
+    // the pre-merge dimension row-for-row (snapshot isolation), while
+    // the emitted v2 content is what DuckDB's SQL merge predicts.
+    "q145_versioned_merge" -> { (s, dir) =>
+      val root = tmp(s, s"vt_merge/${java.util.UUID.randomUUID()}")
+      val base = graft.Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") < 500)
+        .select(col("c_custkey"), col("c_name"),
+          CoreQueries.cents(col("c_acctbal")).as("cents"))
+      graft.sources.VersionedTable.create(s, root, base)
+      val feed = graft.Tables.load(s, dir, "orders")
+        .filter(col("o_custkey") < 800)
+        .groupBy(col("o_custkey"))
+        .agg(sum(CoreQueries.cents(col("o_totalprice"))).as("cents"))
+        .select(col("o_custkey").as("c_custkey"),
+          concat(lit("merged_"), col("o_custkey").cast("string"))
+            .as("c_name"),
+          col("cents"))
+      val v2 = graft.sources.VersionedTable.merge(s, root, feed,
+        keys = Seq("c_custkey"))
+      require(v2 == 2L, s"expected version 2 after merge, got $v2")
+      val v1 = graft.sources.VersionedTable.read(s, root, Some(1L))
+      require(v1.join(base, Seq("c_custkey")).count() == base.count() &&
+        v1.exceptAll(base).isEmpty && base.exceptAll(v1).isEmpty,
+        "time-travel v1 must equal the pre-merge dimension exactly")
+      graft.sources.VersionedTable.read(s, root)
+        .orderBy(col("c_custkey"))
+    },
+
+    // SCD Type 2 through the same ACID sink: current rows whose
+    // tracked attribute changed are EXPIRED (valid_to stamped,
+    // is_current false) in the stored dimension and replaced by fresh
+    // versions, new keys insert — all as ONE file-granular
+    // copy-on-write commit. Emits the full post-commit dimension;
+    // the oracle rebuilds expire+replace+insert in SQL. The feed
+    // changes mktsegment for custkeys 0-99 (prefix tag), leaves
+    // 100-199 untouched (must stay current and unexpired), and adds
+    // 10000-10004 as new keys.
+    "q146_versioned_scd2" -> { (s, dir) =>
+      val root = tmp(s, s"vt_scd2/${java.util.UUID.randomUUID()}")
+      val base = graft.Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") < 200)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          lit("2026-01-01").as("valid_from"),
+          lit(null).cast("string").as("valid_to"),
+          lit(true).as("is_current"))
+      graft.sources.VersionedTable.create(s, root, base)
+      val feed = graft.Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") < 100)
+        .select(col("c_custkey"),
+          concat(lit("v2_"), col("c_mktsegment")).as("c_mktsegment"))
+        .unionByName(s.range(10000, 10005)
+          .select(col("id").cast("long").as("c_custkey"),
+            lit("NEWSEG").as("c_mktsegment")))
+      graft.sources.VersionedTable.scdType2Commit(s, root, feed,
+        keys = Seq("c_custkey"), trackedCols = Seq("c_mktsegment"),
+        runStamp = "2026-02-01")
+      graft.sources.VersionedTable.read(s, root)
+        .orderBy(col("c_custkey"), col("valid_from"), col("c_mktsegment"))
     }
   )
 
   val oracles: Map[String, String] = Map(
+    "q145_versioned_merge" ->
+      """WITH base AS (SELECT c_custkey, c_name,
+        |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer WHERE c_custkey < 500),
+        |feed AS (SELECT o_custkey AS c_custkey,
+        |    'merged_' || CAST(o_custkey AS VARCHAR) AS c_name,
+        |    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders WHERE o_custkey < 800 GROUP BY o_custkey)
+        |SELECT COALESCE(b.c_custkey, f.c_custkey) AS c_custkey,
+        |  COALESCE(f.c_name, b.c_name) AS c_name,
+        |  COALESCE(f.cents, b.cents) AS cents
+        |FROM base b FULL OUTER JOIN feed f ON b.c_custkey = f.c_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "q146_versioned_scd2" ->
+      """SELECT c_custkey, c_mktsegment, '2026-01-01' AS valid_from,
+        |  CASE WHEN c_custkey < 100 THEN '2026-02-01'
+        |    ELSE CAST(NULL AS VARCHAR) END AS valid_to,
+        |  c_custkey >= 100 AS is_current
+        |FROM customer WHERE c_custkey < 200
+        |UNION ALL
+        |SELECT c_custkey, 'v2_' || c_mktsegment, '2026-02-01',
+        |  CAST(NULL AS VARCHAR), TRUE
+        |FROM customer WHERE c_custkey < 100
+        |UNION ALL
+        |SELECT CAST(r.range + 10000 AS BIGINT), 'NEWSEG', '2026-02-01',
+        |  CAST(NULL AS VARCHAR), TRUE
+        |FROM range(5) r
+        |ORDER BY c_custkey, valid_from, c_mktsegment""".stripMargin,
     "q121_compaction" ->
       """SELECT doc_id, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
