@@ -417,6 +417,86 @@ object Similarity {
       .filter(col("cosine_sim") >= threshold)
   }
 
+  /** A STATIC corpus sized, banded and persisted ONCE for repeated
+    * arrival screens ([[prepareArrivalCorpus]]): `bandedKeys` is the
+    * materialized (corpus_id, band, key) explode, `vecs` the
+    * materialized (corpus_id, cv) verify side (broadcast-marked when
+    * under the byte budget). A long-running streaming deployment
+    * prepares once and screens every micro-batch against the cached
+    * frames — without this, each micro-batch re-runs the corpus-wide
+    * sizing aggregate and re-bands the full corpus, putting a
+    * corpus-scan latency floor under every batch. Call `release()`
+    * when done (the streaming entry point wires it to query
+    * termination). */
+  final case class PreparedCorpus(nCorpus: Long, dim: Int,
+      bandedKeys: DataFrame, vecs: DataFrame,
+      planes: Int, bitsPerBand: Int, seed: Int, release: () => Unit)
+
+  /** Size, band and cache `corpus` once for [[nearDupAgainstPreparedCorpus]].
+    * Same parameters and banding as [[nearDupAgainstCorpusApprox]], so a
+    * prepared screen is bit-identical to the one-shot form (parity
+    * proven in ExtSpec/StreamingSpec). */
+  def prepareArrivalCorpus(corpus: DataFrame, idCol: String,
+      vecCol: String, planes: Int = 32, bitsPerBand: Int = 8,
+      seed: Int = 7, broadcastBudgetBytes: Long = 256L << 20)
+      : PreparedCorpus = {
+    require(planes > 0 && bitsPerBand > 0 && planes % bitsPerBand == 0,
+      s"planes $planes must be a positive multiple of bitsPerBand $bitsPerBand")
+    val (nCorpus, dim) = vecSizing(corpus, vecCol, "LSH signatures", 1)
+    val signs = signMatrix(dim, planes, seed)
+    val banded = corpus.select(col(idCol).as("corpus_id"),
+        explode(lshBandKeyCol(col(vecCol), signs, bitsPerBand)).as("bk"))
+      .select(col("corpus_id"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+      .persist()
+    val cSide = corpus.select(col(idCol).as("corpus_id"),
+      col(vecCol).as("cv")).persist()
+    if (nCorpus > 0) { banded.count(); cSide.count() } // materialize NOW
+    val vecs =
+      if (nCorpus * (4L * dim + 32L) <= broadcastBudgetBytes)
+        broadcast(cSide)
+      else cSide
+    PreparedCorpus(nCorpus, dim, banded, vecs, planes, bitsPerBand, seed,
+      () => { banded.unpersist(blocking = false)
+              cSide.unpersist(blocking = false); () })
+  }
+
+  /** [[nearDupAgainstCorpusApprox]] against a [[PreparedCorpus]]: the
+    * per-call work is batch-sized only — band the batch (map-only),
+    * bucket-join against the cached corpus keys, exact-verify against
+    * the cached vectors. Identical results to the one-shot form by
+    * construction (same sign matrix, same banding, same verify). */
+  def nearDupAgainstPreparedCorpus(batch: DataFrame, prep: PreparedCorpus,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    require(threshold > 0.0, s"threshold $threshold: LSH needs a positive bound")
+    val (nBatch, bDim) = vecSizing(batch, vecCol, "LSH signatures", prep.dim)
+    if (prep.nCorpus == 0 || nBatch == 0) {
+      val spark = batch.sparkSession
+      import org.apache.spark.sql.types._
+      val idType = batch.schema(idCol).dataType
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField("batch_id", idType),
+          StructField("corpus_id", idType),
+          StructField("cosine_sim", DoubleType))))
+    }
+    require(bDim == prep.dim,
+      s"batch dim $bDim != prepared corpus dim ${prep.dim} — one sign " +
+        "matrix must fit both")
+    val signs = signMatrix(prep.dim, prep.planes, prep.seed)
+    val bKeys = batch.select(col(idCol).as("batch_id"),
+        explode(lshBandKeyCol(col(vecCol), signs, prep.bitsPerBand)).as("bk"))
+      .select(col("batch_id"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+    val cand = bKeys.join(prep.bandedKeys, Seq("band", "key"))
+      .select(col("batch_id"), col("corpus_id")).distinct()
+    val bVecs = batch.select(col(idCol).as("batch_id"), col(vecCol).as("bv"))
+    cand.join(bVecs, "batch_id").join(prep.vecs, "corpus_id")
+      .select(col("batch_id"), col("corpus_id"),
+        cosine(col("bv"), col("cv")).as("cosine_sim"))
+      .filter(col("cosine_sim") >= threshold)
+  }
+
   /** [[semanticDedup]]'s certified APPROXIMATE form — the 100 TB
     * default: LSH-blocked pairs ([[cosineNearDupPairsApproxStaged]])
     * feed the same connected-component resolution, so clusters may

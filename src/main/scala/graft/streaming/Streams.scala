@@ -177,29 +177,45 @@ object Streams {
     }.start()
 
   /** Streaming embedding-level arrival screen: each micro-batch of
-    * incoming vectors is checked against the STATIC corpus with the
-    * batch operator UNCHANGED ([[graft.ext.Similarity
-    * .nearDupAgainstCorpusApprox]] via foreachBatch — the [[cdcApply]]/
-    * [[excisionStream]] stance). A row's verdict depends only on
-    * (row, corpus), so arrival splitting cannot change any result —
-    * StreamingSpec proves split-invariance. The corpus side's banding
-    * is recomputed per micro-batch here; a long-running deployment
-    * caches the banded corpus once (the persisted-IVF discipline). */
+    * incoming vectors is checked against the STATIC corpus. The corpus
+    * is sized, banded and persisted ONCE at stream start
+    * ([[graft.ext.Similarity.prepareArrivalCorpus]]) — per micro-batch
+    * the work is batch-sized only ([[graft.ext.Similarity
+    * .nearDupAgainstPreparedCorpus]]), with no corpus-scan latency
+    * floor. A row's verdict depends only on (row, corpus), so arrival
+    * splitting cannot change any result, and the prepared screen is
+    * bit-identical to the batch operator — StreamingSpec proves
+    * split-invariance against [[graft.ext.Similarity
+    * .nearDupAgainstCorpusApprox]]. The prepared caches are released
+    * automatically when THIS query terminates (listener keyed on the
+    * query id). */
   def dedupArrivalsApprox(arrivals: DataFrame, idCol: String,
       vecCol: String, corpus: DataFrame, threshold: Double,
       sink: DataFrame => Unit, planes: Int = 32, bitsPerBand: Int = 8,
       seed: Int = 7)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     // LSH parameters pass through so a batch pipeline's configuration
     // reproduces EXACTLY in streaming — split-invariance only holds
     // when both run the same screen
-    arrivals.writeStream.outputMode("append").foreachBatch {
+    val prep = graft.ext.Similarity.prepareArrivalCorpus(
+      corpus, idCol, vecCol, planes, bitsPerBand, seed)
+    val query = arrivals.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, _: Long) =>
-        sink(graft.ext.Similarity.nearDupAgainstCorpusApprox(
-          batch, corpus, idCol, vecCol, threshold, planes, bitsPerBand,
-          seed))
+        sink(graft.ext.Similarity.nearDupAgainstPreparedCorpus(
+          batch, prep, idCol, vecCol, threshold))
         ()
     }.start()
+    val streams = arrivals.sparkSession.streams
+    streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+          if (e.id == query.id) { prep.release(); streams.removeListener(this) }
+      })
+    query
+  }
 
   /** Streaming curation ingest — the arrival-time form of the batch
     * curation pipeline (q64/q80/q99): quality gate and PII scrub are

@@ -869,6 +869,41 @@ class ExtSpec extends AnyFunSuite {
       !plan2.contains("CartesianProduct"))
   }
 
+  test("prepared arrival screen is bit-identical to the one-shot form") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", ArrayType(FloatType, containsNull = false))))
+    def vec(seed: Int): Seq[Float] =
+      (0 until 8).map(i => (((seed * 31 + i * 7) % 13) - 6).toFloat)
+    val corpus = spark.createDataFrame(java.util.Arrays.asList(
+      (1L to 12L).map(i => Row(i, vec(i.toInt))): _*), schema)
+    val batch = spark.createDataFrame(java.util.Arrays.asList(
+      Row(101L, vec(1)), Row(107L, vec(7)),
+      Row(999L, Seq(5f, -3f, 0f, 2f, -5f, 1f, 4f, -2f))), schema)
+    val oneShot = Similarity.nearDupAgainstCorpusApprox(
+        batch, corpus, "id", "v", threshold = 0.999)
+      .as[(Long, Long, Double)].collect().toSet
+    val prep = Similarity.prepareArrivalCorpus(corpus, "id", "v")
+    try {
+      // two screens against one preparation — the streaming shape
+      val got = Similarity.nearDupAgainstPreparedCorpus(
+          batch, prep, "id", "v", threshold = 0.999)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == oneShot)
+      assert(got.map(p => (p._1, p._2)) == Set((101L, 1L), (107L, 7L)))
+      val again = Similarity.nearDupAgainstPreparedCorpus(
+          batch.filter(col("id") === 101L), prep, "id", "v", 0.999)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(again == oneShot.filter(_._1 == 101L))
+      // empty corpus prepared → cold-start contract, not a crash
+      val emptyPrep = Similarity.prepareArrivalCorpus(
+        spark.createDataFrame(
+          new java.util.ArrayList[Row](), schema), "id", "v")
+      try assert(Similarity.nearDupAgainstPreparedCorpus(
+        batch, emptyPrep, "id", "v", 0.999).count() == 0)
+      finally emptyPrep.release()
+    } finally prep.release()
+  }
+
   test("nearDupAgainstCorpusApprox: empty corpus means no near-dups, not a crash") {
     val schema = StructType(Seq(StructField("id", LongType),
       StructField("v", ArrayType(FloatType, containsNull = false))))
