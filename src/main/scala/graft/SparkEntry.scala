@@ -19,7 +19,8 @@ object SparkEntry {
     EventQueries,
     MutationQueries,
     RedirectQueries,
-    DtsxQueries
+    DtsxQueries,
+    TokenizerQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

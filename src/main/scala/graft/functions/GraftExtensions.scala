@@ -121,5 +121,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(a, b) => VecCosine(a, b)
         case _ => throw new IllegalArgumentException("vec_cosine(a, b)")
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("bpe_tokens"),
+      new ExpressionInfo(classOf[BpeTokens].getName, "bpe_tokens"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text, mergesSpec) => BpeTokens(text, mergesSpec)
+        case _ => throw new IllegalArgumentException(
+          "bpe_tokens(text, mergesSpec string-literal)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bpe_token_count"),
+      new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_token_count"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text, mergesSpec) => BpeTokenCount(text, mergesSpec)
+        case _ => throw new IllegalArgumentException(
+          "bpe_token_count(text, mergesSpec string-literal)")
+      }))
   }
 }

@@ -1,0 +1,176 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.TextAnalysis
+import graft.functions.Bpe
+
+/** Real-tokenizer token accounting (VERDICT r11 #6): greedy BPE as a
+  * native expression, certified against a DuckDB replay, feeding the
+  * tokenizer-parameterized budget operators.
+  *
+  * The merges table is FROZEN as a literal (the oracle must replay the
+  * exact same rules), but it is not hand-invented: it is the output of
+  * [[Bpe.train]] on the literal `trainCorpus` below, and q147 re-runs
+  * the DISTRIBUTED trainer on that corpus in-query and refuses to
+  * proceed unless it reproduces the frozen table bit-for-bit — the
+  * q129 self-audit discipline, so the trainer is certified end-to-end
+  * on every gate run without the oracle having to replay training.
+  * Training on a literal corpus (not the documents table) keeps the
+  * frozen literal valid across testdata regenerations; the ENCODER is
+  * certified on the real documents table by full hash-match. */
+object TokenizerQueries extends QueryPack {
+
+  /** Literal training corpus — drawn from the documents vocabulary so
+    * the learned merges genuinely compress the certified table. */
+  val trainCorpus: Seq[String] = Seq(
+    "join hash row batch scan column customer filter small slow",
+    "merge order vector line data table agg value key stream",
+    "window a spark group part big sort query fast the dup",
+    "join hash row batch scan column filter table value key",
+    "merge sort window stream spark query data row table join")
+
+  /** `Bpe.train(trainCorpus, 64)` frozen; regenerate with
+    * `Test/runMain graft.tools.BpeFreeze`. */
+  val frozenMerges: IndexedSeq[(String, String)] = IndexedSeq(
+    ("e", "r"),
+    ("i", "n"),
+    ("o", "w"),
+    ("t", "a"),
+    ("l", "u"),
+    ("o", "r"),
+    ("s", "t"),
+    ("a", "r"),
+    ("b", "l"),
+    ("bl", "e"),
+    ("j", "o"),
+    ("jo", "in"),
+    ("m", "er"),
+    ("p", "ar"),
+    ("r", "ow"),
+    ("ta", "ble"),
+    ("a", "lu"),
+    ("a", "m"),
+    ("a", "n"),
+    ("a", "s"),
+    ("a", "t"),
+    ("a", "ta"),
+    ("alu", "e"),
+    ("as", "h"),
+    ("at", "c"),
+    ("atc", "h"),
+    ("b", "atch"),
+    ("c", "an"),
+    ("c", "o"),
+    ("co", "lu"),
+    ("colu", "m"),
+    ("colum", "n"),
+    ("d", "ata"),
+    ("d", "ow"),
+    ("e", "am"),
+    ("e", "y"),
+    ("er", "y"),
+    ("f", "i"),
+    ("fi", "l"),
+    ("fil", "t"),
+    ("filt", "er"),
+    ("g", "e"),
+    ("h", "ash"),
+    ("in", "dow"),
+    ("k", "ey"),
+    ("mer", "ge"),
+    ("or", "t"),
+    ("par", "k"),
+    ("q", "u"),
+    ("qu", "ery"),
+    ("r", "eam"),
+    ("s", "can"),
+    ("s", "ort"),
+    ("s", "park"),
+    ("st", "ream"),
+    ("u", "p"),
+    ("v", "alue"),
+    ("w", "indow"),
+    ("a", "g"),
+    ("a", "l"),
+    ("a", "st"),
+    ("ag", "g"),
+    ("al", "l"),
+    ("b", "i"))
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def requireTrainerReproduces(s: SparkSession): Unit = {
+    val corpusDf = s.createDataFrame(
+      s.sparkContext.parallelize(trainCorpus.map(Tuple1(_)), 2))
+      .toDF("line")
+    val trained = Bpe.train(corpusDf, "line", numMerges = 64)
+    require(trained == frozenMerges,
+      s"BPE trainer no longer reproduces the frozen merges table " +
+        s"(got ${trained.take(5)}... vs frozen ${frozenMerges.take(5)}...)" +
+        " — rerun graft.tools.BpeFreeze and re-certify")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Native greedy-BPE encoding over the documents table: per-doc
+    // whitespace vs subword token counts (the compression a budget
+    // planner actually uses). The in-query require certifies the
+    // distributed trainer reproduces the frozen merges first.
+    "q147_bpe_encode" -> { (s, dir) =>
+      requireTrainerReproduces(s)
+      docs(s, dir).select(col("doc_id"),
+          TextAnalysis.tokenCountWs(col("text")).as("n_ws_tokens"),
+          Bpe.tokenCount(col("text"), frozenMerges).as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Sequence packing under a BPE budget — the tokenizer-parameterized
+    // form of q76: packSequences takes any token Column, here the
+    // native bpe_token_count instead of the whitespace count.
+    "q148_bpe_packing" -> { (s, dir) =>
+      TextAnalysis.packSequences(docs(s, dir), "doc_id",
+          Bpe.tokenCount(col("text"), frozenMerges), budget = 512,
+          shards = 16)
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  /** The oracle replays encoding over DISTINCT words with a recursive
+    * CTE (one leftmost lowest-rank merge per step — see
+    * [[Bpe.oracleDistinctWordCte]]), then joins counts back to the
+    * word stream. Distinct-word replay keeps the oracle linear in the
+    * vocabulary, the same shape the expression's word cache exploits. */
+  private def bpeDocCountsSql: String = {
+    val cte = Bpe.oracleDistinctWordCte(frozenMerges,
+      "SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents")
+    s"""WITH RECURSIVE $cte,
+       |__doc_words AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |__doc_bpe AS (
+       |  SELECT d.doc_id,
+       |    CAST(coalesce(sum(c.n_word_tokens), 0) AS BIGINT) AS n_bpe_tokens
+       |  FROM __doc_words d LEFT JOIN __bpe_counts c USING (w)
+       |  GROUP BY d.doc_id)""".stripMargin
+  }
+
+  def oracles: Map[String, String] = Map(
+    "q147_bpe_encode" ->
+      s"""$bpeDocCountsSql
+         |SELECT doc.doc_id,
+         |  CAST(len(string_split(doc.text, ' ')) AS BIGINT) AS n_ws_tokens,
+         |  b.n_bpe_tokens
+         |FROM documents doc JOIN __doc_bpe b USING (doc_id)
+         |ORDER BY doc.doc_id""".stripMargin,
+    "q148_bpe_packing" ->
+      s"""$bpeDocCountsSql,
+         |__c AS (SELECT doc_id, n_bpe_tokens AS n_tokens,
+         |    CAST(coalesce(SUM(n_bpe_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS start_offset
+         |  FROM __doc_bpe)
+         |SELECT doc_id, n_tokens, start_offset,
+         |  start_offset // 512 AS bin_id
+         |FROM __c ORDER BY doc_id""".stripMargin
+  )
+}
