@@ -146,9 +146,28 @@ object Scale {
     * [0, saltFactor); the right side is replicated across all salts, so
     * one hot key spreads over `saltFactor` reducers instead of one.
     * AQE's skew-join split handles sort-merge cases adaptively at
-    * runtime; explicit salting is for the planned-ahead case (known hot
-    * keys, or aggregations AQE can't split). The salt is internal —
-    * output columns equal a plain inner join's. */
+    * runtime; explicit salting is for the shapes AQE cannot split
+    * (full-outer joins, reused exchanges, pre-planned bucketings) or
+    * deployments with AQE off. The salt is internal — output columns
+    * equal a plain inner join's.
+    *
+    * MEASURED under a worst-case hot key (50% of a 40M-row fact on one
+    * key, dim past broadcast size — `tools/gen_skew.py` +
+    * `graft.tools.SkewBench`, table in SCALING.md "Skew, measured"):
+    * unsalted with AQE skew-split off, the straggler task runs 7× the
+    * median task (16.8 s wall); saltFactor=8 flattens it to 2× (5.4 s,
+    * also beating AQE's runtime split at 7.4 s — the split happens
+    * AFTER the skewed shuffle files exist, salting avoids writing them
+    * skewed at all).
+    *
+    * The `saltFactor` dial: the hot partition shrinks ~linearly in it
+    * while the REPLICATED side's shuffle grows ×saltFactor, so past
+    * `hotShare × factRows / (rightRows)` the replication dominates —
+    * measured: factor 8 = 5.4 s vs factor 32 = 13.6 s on the same data
+    * (the 2M-row dim exploded to 64M rows). Size it to bring
+    * hot-key-rows / saltFactor near the normal per-reducer row count,
+    * and prefer [[saltedJoinBy]]'s deterministic salt when results
+    * feed a hash-compared oracle. */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       saltFactor: Int): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
