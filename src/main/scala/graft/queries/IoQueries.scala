@@ -317,6 +317,60 @@ object IoQueries extends QueryPack {
         runStamp = "2026-02-01")
       graft.sources.VersionedTable.read(s, root)
         .orderBy(col("c_custkey"), col("valid_from"), col("c_mktsegment"))
+    },
+
+    // Exactly-once streaming ingestion into the ACID table, certified
+    // batch-wise: Structured Streaming delivers foreachBatch
+    // AT-LEAST-ONCE, so the sink records the last applied (query,
+    // batchId) as manifest meta riding the SAME atomic commit as the
+    // data. This query replays the delivery sequence a crashy stream
+    // produces — batch0, batch0 AGAIN (restart replay), batch1,
+    // batch0 LATE — then compacts the accreted small files. In-query
+    // requires pin what the oracle can't see: the replayed deliveries
+    // moved NOTHING (version unchanged), compaction collapsed the
+    // layout to one file while every prior version still time-travels.
+    // The emitted snapshot must equal DuckDB applying each batch ONCE.
+    "q149_versioned_stream" -> { (s, dir) =>
+      val root = tmp(s, s"vt_stream/${java.util.UUID.randomUUID()}")
+      val base = graft.Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") < 300)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          CoreQueries.cents(col("c_acctbal")).as("cents"))
+      graft.sources.VersionedTable.create(s, root, base)
+      val b0 = graft.Tables.load(s, dir, "orders")
+        .filter(col("o_custkey") < 400)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(CoreQueries.cents(col("o_totalprice"))).as("cents"))
+        .select(col("o_custkey").as("c_custkey"),
+          concat(lit("b0_"), col("n").cast("string")).as("c_mktsegment"),
+          col("cents"))
+      val b1 = graft.Tables.load(s, dir, "orders")
+        .filter(col("o_custkey") >= 200 && col("o_custkey") < 500)
+        .groupBy(col("o_custkey"))
+        .agg(max(CoreQueries.cents(col("o_totalprice"))).as("cents"))
+        .select(col("o_custkey").as("c_custkey"),
+          lit("b1").as("c_mktsegment"), col("cents"))
+      import graft.sources.VersionedTable
+      val v2 = VersionedTable.streamingUpsert(s, root, b0,
+        Seq("c_custkey"), "ingest", batchId = 0L)
+      require(VersionedTable.streamingUpsert(s, root, b0,
+        Seq("c_custkey"), "ingest", batchId = 0L) == v2,
+        "restart replay of batch 0 must not commit")
+      val v3 = VersionedTable.streamingUpsert(s, root, b1,
+        Seq("c_custkey"), "ingest", batchId = 1L)
+      require(VersionedTable.streamingUpsert(s, root, b0,
+        Seq("c_custkey"), "ingest", batchId = 0L) == v3,
+        "late replay of batch 0 must not regress batch 1")
+      val v4 = VersionedTable.compact(s, root, smallFileBytes = 1L << 20)
+      require(v4 == v3 + 1 || v4 == v3, // == v3: already one file (tiny sf)
+        s"compact must commit at most one version, got $v4 after $v3")
+      val out = VersionedTable.read(s, root)
+      require(out.select(input_file_name()).distinct().count() == 1,
+        "compacted layout must be one file")
+      require(VersionedTable.read(s, root, Some(v3)).exceptAll(out).isEmpty,
+        "compaction must not change contents")
+      out.orderBy(col("c_custkey"))
     }
   )
 
@@ -349,6 +403,27 @@ object IoQueries extends QueryPack {
         |  CAST(NULL AS VARCHAR), TRUE
         |FROM range(5) r
         |ORDER BY c_custkey, valid_from, c_mktsegment""".stripMargin,
+    "q149_versioned_stream" ->
+      """WITH base AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer WHERE c_custkey < 300),
+        |b0 AS (SELECT o_custkey AS c_custkey,
+        |    'b0_' || CAST(COUNT(*) AS VARCHAR) AS c_mktsegment,
+        |    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders WHERE o_custkey < 400 GROUP BY o_custkey),
+        |b1 AS (SELECT o_custkey AS c_custkey, 'b1' AS c_mktsegment,
+        |    MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders WHERE o_custkey >= 200 AND o_custkey < 500
+        |  GROUP BY o_custkey),
+        |keys AS (SELECT c_custkey FROM base
+        |  UNION SELECT c_custkey FROM b0 UNION SELECT c_custkey FROM b1)
+        |SELECT k.c_custkey,
+        |  COALESCE(b1.c_mktsegment, b0.c_mktsegment, base.c_mktsegment)
+        |    AS c_mktsegment,
+        |  COALESCE(b1.cents, b0.cents, base.cents) AS cents
+        |FROM keys k LEFT JOIN b1 USING (c_custkey)
+        |  LEFT JOIN b0 USING (c_custkey) LEFT JOIN base USING (c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
     "q121_compaction" ->
       """SELECT doc_id, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,

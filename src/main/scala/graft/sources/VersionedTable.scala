@@ -73,7 +73,7 @@ object VersionedTable {
   }
 
   private final case class Manifest(version: Long, schema: StructType,
-      files: Seq[String])
+      files: Seq[String], meta: Map[String, String])
 
   private def readManifest(spark: SparkSession, root: String,
       v: Long): Manifest = {
@@ -86,14 +86,27 @@ object VersionedTable {
       s"$p is not a ${Magic} manifest")
     val schema = org.apache.spark.sql.types.DataType
       .fromJson(lines(1).stripPrefix("schema=")).asInstanceOf[StructType]
-    Manifest(v, schema, lines.drop(2).filter(_.nonEmpty))
+    // `meta k=v` lines ride between the schema and the file list —
+    // table-level key-values that must move ATOMICALLY with the data
+    // (streaming batch watermarks); relative file paths never start
+    // with "meta "
+    val (metaLines, fileLines) =
+      lines.drop(2).filter(_.nonEmpty).partition(_.startsWith("meta "))
+    val meta = metaLines.map { l =>
+      val kv = l.stripPrefix("meta ")
+      val i = kv.indexOf('=')
+      require(i > 0, s"$p: bad meta line '$l'")
+      kv.take(i) -> kv.drop(i + 1)
+    }.toMap
+    Manifest(v, schema, fileLines, meta)
   }
 
-  /** Publish `files` as version `base + 1`. Atomic: create-exclusive
-    * lock reservation (CAS — loser gets [[CommitConflict]]), then
-    * write-temp + rename. */
+  /** Publish `files` (+ `meta`) as version `base + 1`. Atomic:
+    * create-exclusive lock reservation (CAS — loser gets
+    * [[CommitConflict]]), then write-temp + rename. */
   private def commit(spark: SparkSession, root: String, base: Long,
-      schema: StructType, files: Seq[String]): Long = {
+      schema: StructType, files: Seq[String],
+      meta: Map[String, String] = Map.empty): Long = {
     val next = base + 1
     val dir = manifestDir(root)
     val f = fs(spark, dir)
@@ -112,6 +125,11 @@ object VersionedTable {
       val w = new java.io.OutputStreamWriter(out, "UTF-8")
       w.write(Magic + "\n")
       w.write("schema=" + schema.json + "\n")
+      meta.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        require(!k.contains('=') && !(k + v).exists(c => c == '\n' || c == '\r'),
+          s"bad meta entry '$k'='$v'")
+        w.write(s"meta $k=$v\n")
+      }
       files.foreach(p => w.write(p + "\n"))
       w.flush(); w.close()
     } finally if (out != null) try out.close() catch { case _: Throwable => }
@@ -176,7 +194,7 @@ object VersionedTable {
     val m = readManifest(spark, root, base)
     val aligned = df.select(m.schema.fieldNames.map(col).toIndexedSeq: _*)
     commit(spark, root, base, m.schema,
-      m.files ++ writeData(spark, root, aligned))
+      m.files ++ writeData(spark, root, aligned), m.meta)
   }
 
   /** Shared copy-on-write core: split the current snapshot into the
@@ -186,11 +204,20 @@ object VersionedTable {
     * and commit. Spark part-file names embed a job UUID, so matching
     * manifest entries by file name is exact. */
   private def cowCommit(spark: SparkSession, root: String,
-      source: DataFrame, keys: Seq[String])(
+      source: DataFrame, keys: Seq[String],
+      // evaluated on the base manifest INSIDE the commit attempt, so a
+      // meta guard (streaming batch watermark) sees exactly the
+      // snapshot the commit builds on; None → already applied, skip
+      metaUpdate: Map[String, String] => Option[Map[String, String]] =
+        m => Some(m))(
       rebuild: (DataFrame, DataFrame, DataFrame) => DataFrame): Long = {
     val base = currentVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root: no versioned table"))
     val m = readManifest(spark, root, base)
+    val nextMeta = metaUpdate(m.meta) match {
+      case Some(nm) => nm
+      case None => return base // idempotent replay: nothing to do
+    }
     val target = read(spark, root, Some(base))
     val srcKeys = source.select(keys.map(col): _*).dropDuplicates(keys)
     // rows matched per file → distinct file names: the collect is
@@ -215,7 +242,7 @@ object VersionedTable {
     val newRel =
       if (replacement.isEmpty) Seq.empty
       else writeData(spark, root, replacement)
-    commit(spark, root, base, m.schema, keptRel ++ newRel)
+    commit(spark, root, base, m.schema, keptRel ++ newRel, nextMeta)
   }
 
   /** MERGE INTO: matched target rows take the source's `setCols`
@@ -253,10 +280,91 @@ object VersionedTable {
       graft.ops.Mutations.scdType2(affected, f, keys, trackedCols, runStamp)
     }
 
+  /** Exactly-once streaming MERGE sink — the `foreachBatch` body for
+    * `writeStream` into a versioned table:
+    *
+    * {{{
+    * stream.writeStream.foreachBatch { (batch, id) =>
+    *   VersionedTable.streamingUpsert(spark, root, batch, keys, "q", id)
+    * }
+    * }}}
+    *
+    * Structured Streaming's contract is at-least-once delivery to
+    * foreachBatch: after a crash the SAME (queryName, batchId) can be
+    * replayed. Idempotence here rides the table's own atomicity — the
+    * last applied batch id per query is a `meta` entry in the manifest,
+    * read from the exact base snapshot the commit builds on and
+    * published in the same atomic rename as the data files, so "data
+    * applied" and "batch recorded" can never diverge (the Delta
+    * `txn`/`setTransaction` pattern). A replayed or out-of-order batch
+    * id returns the current version untouched; a [[CommitConflict]]
+    * (another writer slipped in) re-reads and retries — if the winner
+    * was THIS batch's earlier attempt, the retry sees the recorded id
+    * and skips. */
+  def streamingUpsert(spark: SparkSession, root: String, batch: DataFrame,
+      keys: Seq[String], queryName: String, batchId: Long,
+      maxRetries: Int = 10): Long = {
+    require(queryName.nonEmpty && !queryName.contains('='),
+      s"bad queryName '$queryName'")
+    val metaKey = s"stream.$queryName.batch"
+    var attempt = 0
+    while (true) {
+      try {
+        return cowCommit(spark, root, batch, keys,
+          metaUpdate = m =>
+            if (m.get(metaKey).exists(_.toLong >= batchId)) None
+            else Some(m + (metaKey -> batchId.toString))
+        ) { (affected, src, full) =>
+          val cols = full.columns.toSeq
+          val s = src.select(cols.map(col): _*).dropDuplicates(keys)
+          graft.ops.Mutations.applyUpdate(affected, s, keys,
+              cols.filterNot(keys.contains))
+            .unionByName(s.join(full, keys, "left_anti"))
+        }
+      } catch {
+        case _: CommitConflict if attempt < maxRetries => attempt += 1
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** Rewrite every data file smaller than `smallFileBytes` into
+    * `targetPartitions` right-sized files as a NEW version (Delta
+    * OPTIMIZE / Iceberg rewrite_data_files): frequent small commits —
+    * a streaming upsert every minute — otherwise accrete thousands of
+    * tiny files and scans go metadata-bound. Contents are unchanged
+    * (same rows, same schema, meta carried), old versions still
+    * time-travel to the old layout until [[vacuum]]. Returns the new
+    * version, or the current one if fewer than two small files exist. */
+  def compact(spark: SparkSession, root: String, smallFileBytes: Long,
+      targetPartitions: Int = 1): Long = {
+    require(targetPartitions > 0, "targetPartitions must be positive")
+    val base = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root: no versioned table"))
+    val m = readManifest(spark, root, base)
+    val f = fs(spark, new Path(root))
+    val (small, big) = m.files.partition(rel =>
+      f.getFileStatus(new Path(root, rel)).getLen < smallFileBytes)
+    if (small.size < 2) return base
+    val rows = spark.read.schema(m.schema)
+      .parquet(small.map(rel => new Path(root, rel).toString): _*)
+      .repartition(targetPartitions)
+    commit(spark, root, base, m.schema,
+      big ++ writeData(spark, root, rows), m.meta)
+  }
+
   /** Drop every version below `keepFrom` and any data file/dir no kept
     * manifest references — the GC that stops manifest/file accumulation
-    * (Delta VACUUM / Iceberg expire_snapshots). */
-  def vacuum(spark: SparkSession, root: String, keepFrom: Long): Unit = {
+    * (Delta VACUUM / Iceberg expire_snapshots). Also sweeps ORPHAN data
+    * dirs (a torn write that never reached its commit, or a committer
+    * that lost the CAS after writing files): any `data/<uuid>/` dir
+    * referenced by NO surviving manifest whose files are older than
+    * `orphanGraceMs` is deleted — the grace window keeps the sweep from
+    * eating a commit that is mid-flight RIGHT NOW (files written,
+    * manifest rename pending), same reasoning as Delta VACUUM's
+    * retention check. */
+  def vacuum(spark: SparkSession, root: String, keepFrom: Long,
+      orphanGraceMs: Long = 24L * 3600 * 1000): Unit = {
     val cur = currentVersion(spark, root).getOrElse(return)
     require(keepFrom <= cur, s"keepFrom $keepFrom is past current $cur")
     val dir = manifestDir(root)
@@ -273,11 +381,19 @@ object VersionedTable {
         .foreach(rel => f.delete(new Path(root, rel), false))
       f.delete(manifestPath(root, v), false)
     }
-    // sweep data dirs emptied by the deletes
+    // sweep data dirs emptied by the deletes, plus ORPHANS: dirs no
+    // surviving manifest references, past the grace window (a torn
+    // write's leftovers — see scaladoc)
+    val referencedDirs = referenced.map(rel => new Path(rel).getParent.getName)
+    val cutoff = System.currentTimeMillis() - orphanGraceMs
     val dataDir = new Path(root, "data")
     if (f.exists(dataDir))
       f.listStatus(dataDir).filter(_.isDirectory).foreach { d =>
-        if (f.listStatus(d.getPath).isEmpty) f.delete(d.getPath, false)
+        val children = f.listStatus(d.getPath)
+        val orphan = !referencedDirs.contains(d.getPath.getName) &&
+          children.forall(_.getModificationTime < cutoff)
+        if (children.isEmpty) f.delete(d.getPath, false)
+        else if (orphan) f.delete(d.getPath, true)
       }
   }
 }

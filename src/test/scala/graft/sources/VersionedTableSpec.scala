@@ -140,4 +140,79 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(rowsOf(VersionedTable.read(spark, root)) == Set((1, "a2", 11L)))
     intercept[Exception] { VersionedTable.read(spark, root, Some(1L)) }
   }
+
+  test("streamingUpsert is exactly-once under at-least-once replay") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, dim((1, "a", 10L), (2, "b", 20L)))
+    val v2 = VersionedTable.streamingUpsert(spark, root,
+      dim((1, "a2", 11L), (3, "c", 30L)), Seq("k"), "q", batchId = 0L)
+    assert(v2 == 2L)
+    val after0 = rowsOf(VersionedTable.read(spark, root))
+    assert(after0 == Set((1, "a2", 11L), (2, "b", 20L), (3, "c", 30L)))
+    // crash-replay of the SAME batch: no new version, no double-apply
+    val replay = VersionedTable.streamingUpsert(spark, root,
+      dim((1, "a2", 11L), (3, "c", 30L)), Seq("k"), "q", batchId = 0L)
+    assert(replay == 2L)
+    assert(rowsOf(VersionedTable.read(spark, root)) == after0)
+    // next batch applies; a LATE replay of batch 0 after it is skipped
+    assert(VersionedTable.streamingUpsert(spark, root,
+      dim((2, "b2", 21L)), Seq("k"), "q", batchId = 1L) == 3L)
+    assert(VersionedTable.streamingUpsert(spark, root,
+      dim((1, "STALE", 99L)), Seq("k"), "q", batchId = 0L) == 3L)
+    assert(rowsOf(VersionedTable.read(spark, root)) ==
+      Set((1, "a2", 11L), (2, "b2", 21L), (3, "c", 30L)))
+    // a DIFFERENT query's batch 0 is independent state
+    assert(VersionedTable.streamingUpsert(spark, root,
+      dim((4, "d", 40L)), Seq("k"), "q2", batchId = 0L) == 4L)
+    // and the watermark meta survives non-streaming commits in between
+    VersionedTable.merge(spark, root, dim((5, "e", 50L)), Seq("k"))
+    assert(VersionedTable.streamingUpsert(spark, root,
+      dim((1, "STALE2", 98L)), Seq("k"), "q", batchId = 1L) == 5L)
+  }
+
+  test("compact rewrites small files, preserves rows, keeps time travel") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, dim((1, "a", 10L)))
+    VersionedTable.streamingUpsert(spark, root, dim((2, "b", 20L)),
+      Seq("k"), "q", 0L)
+    VersionedTable.append(spark, root, dim((3, "c", 30L)))
+    VersionedTable.append(spark, root, dim((4, "d", 40L)))
+    val all = Set((1, "a", 10L), (2, "b", 20L), (3, "c", 30L), (4, "d", 40L))
+    assert(rowsOf(VersionedTable.read(spark, root)) == all)
+    def nFiles(v: Long) = VersionedTable.read(spark, root, Some(v))
+      .select(input_file_name()).distinct().count()
+    val before = nFiles(4L)
+    assert(before >= 4L)
+    val v5 = VersionedTable.compact(spark, root, smallFileBytes = 1 << 20)
+    assert(v5 == 5L)
+    assert(nFiles(5L) == 1L)
+    assert(rowsOf(VersionedTable.read(spark, root)) == all)
+    // pre-compact version still reads the old layout
+    assert(nFiles(4L) == before)
+    assert(rowsOf(VersionedTable.read(spark, root, Some(4L))) == all)
+    // compacting an already-compact table is a no-op version-wise
+    assert(VersionedTable.compact(spark, root, 1 << 20) == 5L)
+    // the streaming watermark rode through: batch 0 still deduped
+    assert(VersionedTable.streamingUpsert(spark, root,
+      dim((9, "STALE", 9L)), Seq("k"), "q", 0L) == 5L)
+  }
+
+  test("vacuum sweeps torn-write orphan dirs past the grace window") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, dim((1, "a", 10L)))
+    // simulate a torn write: a data dir no manifest ever referenced
+    val orphan = new java.io.File(s"$root/data/orphan-fake-uuid")
+    orphan.mkdirs()
+    val junk = new java.io.File(orphan, "part-00000.parquet")
+    java.nio.file.Files.write(junk.toPath, Array[Byte](1, 2, 3))
+    // inside the grace window: a mid-flight commit must NOT be eaten
+    VersionedTable.vacuum(spark, root, keepFrom = 1L,
+      orphanGraceMs = 3600L * 1000)
+    assert(junk.exists())
+    // past the grace window: swept
+    VersionedTable.vacuum(spark, root, keepFrom = 1L, orphanGraceMs = -1000L)
+    assert(!orphan.exists())
+    // the referenced data survived both sweeps
+    assert(rowsOf(VersionedTable.read(spark, root)) == Set((1, "a", 10L)))
+  }
 }
