@@ -371,6 +371,44 @@ object IoQueries extends QueryPack {
       require(VersionedTable.read(s, root, Some(v3)).exceptAll(out).isEmpty,
         "compaction must not change contents")
       out.orderBy(col("c_custkey"))
+    },
+
+    // The incremental read a downstream consumer tails instead of
+    // re-scanning the table per cycle: appends-only change feed over
+    // the manifest file diff. The query creates the table, appends two
+    // order-derived slices, and emits readAppendsSince(v1) — exactly
+    // the two slices, never the base. In-query requires pin the
+    // refusal contract the oracle can't see: after a MERGE rewrite the
+    // same range must throw (the file diff stops being the row delta)
+    // while a range strictly after the rewrite is clean again.
+    "q150_versioned_appends" -> { (s, dir) =>
+      val root = tmp(s, s"vt_appends/${java.util.UUID.randomUUID()}")
+      import graft.sources.VersionedTable
+      val base = graft.Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") < 200)
+        .select(col("c_custkey"), CoreQueries.cents(col("c_acctbal"))
+          .as("cents"))
+      VersionedTable.create(s, root, base)
+      def slice(lo: Int, hi: Int, off: Int) =
+        graft.Tables.load(s, dir, "orders")
+          .filter(col("o_orderkey") >= lo && col("o_orderkey") < hi)
+          .select((col("o_orderkey") + off).cast("long").as("c_custkey"),
+            CoreQueries.cents(col("o_totalprice")).as("cents"))
+      VersionedTable.append(s, root, slice(0, 200, 100000))
+      val v3 = VersionedTable.append(s, root, slice(200, 400, 200000))
+      val feed = VersionedTable.readAppendsSince(s, root, 1L)
+      val n = feed.count()
+      VersionedTable.merge(s, root,
+        base.limit(50).withColumn("cents", col("cents") + 1),
+        keys = Seq("c_custkey"))
+      val refused =
+        try { VersionedTable.readAppendsSince(s, root, 1L); false }
+        catch { case _: IllegalStateException => true }
+      require(refused, "a rewrite inside the range must refuse the feed")
+      require(VersionedTable.readAppendsSince(s, root, 4L).isEmpty &&
+        VersionedTable.readAppendsSince(s, root, 1L, Some(v3)).count() == n,
+        "post-rewrite and bounded ranges must stay exact")
+      feed.orderBy(col("c_custkey"))
     }
   )
 
@@ -423,6 +461,15 @@ object IoQueries extends QueryPack {
         |  COALESCE(b1.cents, b0.cents, base.cents) AS cents
         |FROM keys k LEFT JOIN b1 USING (c_custkey)
         |  LEFT JOIN b0 USING (c_custkey) LEFT JOIN base USING (c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q150_versioned_appends" ->
+      """SELECT o_orderkey + 100000 AS c_custkey,
+        |  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders WHERE o_orderkey >= 0 AND o_orderkey < 200
+        |UNION ALL
+        |SELECT o_orderkey + 200000,
+        |  CAST(ROUND(o_totalprice * 100) AS BIGINT)
+        |FROM orders WHERE o_orderkey >= 200 AND o_orderkey < 400
         |ORDER BY c_custkey""".stripMargin,
     "q121_compaction" ->
       """SELECT doc_id, lang, source, n_chars

@@ -328,6 +328,40 @@ object VersionedTable {
     sys.error("unreachable")
   }
 
+  /** Incremental read — the rows added AFTER `fromVersion`, up to
+    * `toVersion` (default: latest): the change feed a downstream
+    * consumer tails instead of re-scanning a 100 TB table per cycle.
+    * File-granular and exact for APPEND commits (create/append/
+    * streamingUpsert inserts of brand-new keys land in new files while
+    * every base file is carried), which is the shape ingest pipelines
+    * have. If the range contains a REWRITE (merge/SCD2 touching
+    * existing keys, compact) the file diff no longer equals the row
+    * delta — carried-forward rows sit inside rewritten files — so this
+    * REFUSES loudly rather than emitting duplicates (row-level change
+    * capture needs per-commit change files, the Delta CDF design;
+    * re-read the snapshot instead). */
+  def readAppendsSince(spark: SparkSession, root: String, fromVersion: Long,
+      toVersion: Option[Long] = None): DataFrame = {
+    val to = toVersion.orElse(currentVersion(spark, root)).getOrElse(
+      throw new IllegalArgumentException(s"$root: no versioned table"))
+    require(fromVersion <= to, s"fromVersion $fromVersion is past $to")
+    val mFrom = readManifest(spark, root, fromVersion)
+    val mTo = readManifest(spark, root, to)
+    val fromSet = mFrom.files.toSet
+    val removed = fromSet -- mTo.files.toSet
+    if (removed.nonEmpty)
+      throw new IllegalStateException(
+        s"$root versions $fromVersion->$to dropped ${removed.size} file(s) " +
+          "(a merge/SCD2/compact rewrite): the file diff is not the row " +
+          "delta — re-read the snapshot, or capture changes per commit")
+    val added = mTo.files.filterNot(fromSet.contains)
+    if (added.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], mTo.schema)
+    else spark.read.schema(mTo.schema)
+      .parquet(added.map(f => new Path(root, f).toString): _*)
+  }
+
   /** Rewrite every data file smaller than `smallFileBytes` into
     * `targetPartitions` right-sized files as a NEW version (Delta
     * OPTIMIZE / Iceberg rewrite_data_files): frequent small commits —

@@ -197,6 +197,30 @@ class VersionedTableSpec extends AnyFunSuite {
       dim((9, "STALE", 9L)), Seq("k"), "q", 0L) == 5L)
   }
 
+  test("readAppendsSince tails appends exactly and refuses rewrites") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, dim((1, "a", 10L)))
+    VersionedTable.append(spark, root, dim((2, "b", 20L)))
+    VersionedTable.append(spark, root, dim((3, "c", 30L)))
+    assert(rowsOf(VersionedTable.readAppendsSince(spark, root, 1L)) ==
+      Set((2, "b", 20L), (3, "c", 30L)))
+    assert(rowsOf(VersionedTable.readAppendsSince(spark, root, 2L)) ==
+      Set((3, "c", 30L)))
+    assert(VersionedTable.readAppendsSince(spark, root, 3L).isEmpty)
+    // bounded upper end
+    assert(rowsOf(VersionedTable.readAppendsSince(spark, root, 1L,
+      toVersion = Some(2L))) == Set((2, "b", 20L)))
+    // a rewrite in the range poisons the file diff: refuse, loudly
+    VersionedTable.merge(spark, root, dim((1, "a2", 11L)), Seq("k"))
+    intercept[IllegalStateException] {
+      VersionedTable.readAppendsSince(spark, root, 1L)
+    }
+    // but a range strictly after the rewrite is clean again
+    VersionedTable.append(spark, root, dim((4, "d", 40L)))
+    assert(rowsOf(VersionedTable.readAppendsSince(spark, root, 4L)) ==
+      Set((4, "d", 40L)))
+  }
+
   test("vacuum sweeps torn-write orphan dirs past the grace window") {
     val root = freshRoot()
     VersionedTable.create(spark, root, dim((1, "a", 10L)))
