@@ -338,7 +338,15 @@ object ExtQueries extends QueryPack {
     // (precision 1); recall is the one approximation, and this row
     // pins it.
     "q129_lsh_neardup" -> { (s, dir) =>
+      // bounded audit corpus, the q144 reasoning: the exact truth
+      // generator this audit replays is the documented quadratic
+      // floor (148 s of an 844 s sf1 bench unbounded), and the
+      // recall statistic draws its power from the planted twin pairs,
+      // not corpus scale. vec_id < 500 is the WHOLE table at the
+      // sf0.01 gate; the production approx operator stays measured
+      // unbounded (q130 + SCALING.md).
       val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id") < 500)
       val pert = e.select((col("vec_id") + 100000).as("vec_id"),
         concat(
           array((element_at(col("embedding"), 1).cast("double") + lit(0.001))
@@ -1278,7 +1286,8 @@ object ExtQueries extends QueryPack {
     // convention), 32 bits -> 4 bands of 8, candidates share a band
     // key, exact-cosine verify — then audits vs the brute-force truth
     "q129_lsh_neardup" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings
+        |    WHERE vec_id < 500),
         |p AS (SELECT vec_id + 100000 AS vec_id,
         |    list_prepend(CAST(embedding[1] + 0.001 AS FLOAT), embedding[2:])
         |      AS embedding FROM e),
