@@ -133,6 +133,18 @@ object TokenizerQueries extends QueryPack {
           Bpe.tokenCount(col("text"), frozenMerges), budget = 512,
           shards = 16)
         .orderBy(col("doc_id"))
+    },
+
+    // Per-source token-budget cap under the REAL tokenizer — the q91
+    // operator with bpe_token_count as its token Column (the budget a
+    // training-mix recipe actually enforces is subword tokens, and a
+    // source's BPE/whitespace ratio varies with its vocabulary, so the
+    // cut points genuinely differ from q91's).
+    "q151_bpe_source_cap" -> { (s, dir) =>
+      TextAnalysis.capPerGroupBudget(docs(s, dir), "source", "doc_id",
+          Bpe.tokenCount(col("text"), frozenMerges), budget = 900)
+        .select(col("doc_id"), col("source"), col("cum_tokens"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -171,6 +183,17 @@ object TokenizerQueries extends QueryPack {
          |  FROM __doc_bpe)
          |SELECT doc_id, n_tokens, start_offset,
          |  start_offset // 512 AS bin_id
-         |FROM __c ORDER BY doc_id""".stripMargin
+         |FROM __c ORDER BY doc_id""".stripMargin,
+    "q151_bpe_source_cap" ->
+      s"""$bpeDocCountsSql,
+         |__src AS (SELECT d.doc_id, d.source, b.n_bpe_tokens AS tok
+         |  FROM documents d JOIN __doc_bpe b USING (doc_id)),
+         |__cum AS (SELECT doc_id, source, tok,
+         |    CAST(SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_tokens
+         |  FROM __src)
+         |SELECT doc_id, source, cum_tokens FROM __cum
+         |WHERE cum_tokens - tok < 900 ORDER BY doc_id""".stripMargin
   )
 }

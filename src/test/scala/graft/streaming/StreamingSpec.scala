@@ -467,6 +467,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(last(8L) == (2L, 40L + 175L))
   }
 
+  test("bpe_token_count: pure projection streams unchanged (split-invariant)") {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def frameD(rows: Seq[Row]): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), docSchema)
+    val merges = graft.queries.TokenizerQueries.frozenMerges
+    def score(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      graft.functions.Bpe.tokenCount(col("text"), merges).as("n"))
+    val db1 = Seq(Row(1L, "the window merge join"), Row(2L, "spark  query"))
+    val db2 = Seq(Row(3L, "table stream zebra unseen"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_bpe")
+    dir.toFile.deleteOnExit()
+    val src = dir.toString + "/in"
+    frameD(db1).write.mode(SaveMode.Append).parquet(src)
+    val got = scala.collection.mutable.Set.empty[(Long, Long)]
+    val q = score(spark.readStream.schema(docSchema).parquet(src))
+      .writeStream.outputMode("append").foreachBatch {
+        (batch: DataFrame, _: Long) =>
+          got ++= batch.as[(Long, Long)].collect()
+          ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      frameD(db2).write.mode(SaveMode.Append).parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toSet ==
+      score(frameD(db1 ++ db2)).as[(Long, Long)].collect().toSet)
+  }
+
   test("streamingUpsert: readStream -> foreachBatch lands exactly-once in the versioned table") {
     val kvSchema = StructType(Seq(
       StructField("k", LongType), StructField("v", StringType)))
