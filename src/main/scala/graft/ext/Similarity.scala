@@ -133,6 +133,32 @@ object Similarity {
     * probeIvfIndex discipline). Composite consumers that drain the
     * pairs internally use [[cosineNearDupPairsStaged]] and release
     * everything before returning. */
+  /** EXACT all-pairs cosine over a BOUNDED corpus — the truth oracle
+    * an audit replays (q129/q144), NOT a production generator: it
+    * REFUSES corpora over `maxRows` rather than going quadratic
+    * silently (the production paths are the blocked
+    * [[cosineNearDupPairs]] and the banded approx family). For a
+    * corpus small enough to broadcast, one nested-loop pass beats the
+    * blocked machinery whenever the threshold is loose enough that
+    * blocking can't prune (at t=0.90 candidates ≈ all pairs, and the
+    * explode/distinct scaffolding is pure overhead) — and it mirrors
+    * the DuckDB oracle's own `x JOIN y ON x.id < y.id` construction
+    * line-for-line. Output: (ida, idb, cosine_sim), ida < idb. */
+  def cosineAllPairsBounded(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, maxRows: Long = 10000): DataFrame = {
+    val (nVecs, _) = vecSizing(df, vecCol, "bounded all-pairs", 1)
+    require(nVecs <= maxRows,
+      s"cosineAllPairsBounded: $nVecs rows > maxRows $maxRows — this is " +
+        "the audit-sized truth generator; use cosineNearDupPairs / the " +
+        "approx family for production corpora")
+    val a = df.select(col(idCol).as("ida"), col(vecCol).as("__va"))
+    val b = df.select(col(idCol).as("idb"), col(vecCol).as("__vb"))
+    a.join(broadcast(b), col("ida") < col("idb"))
+      .select(col("ida"), col("idb"),
+        cosine(col("__va"), col("__vb")).as("cosine_sim"))
+      .filter(col("cosine_sim") >= threshold)
+  }
+
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, gridDims: Int = 4, blockings: Int = 1,
       broadcastBudgetBytes: Long = 256L << 20): DataFrame = {

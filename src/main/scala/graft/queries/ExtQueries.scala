@@ -353,8 +353,11 @@ object ExtQueries extends QueryPack {
             .cast("float")),
           slice(col("embedding"), 2, 1000)).as("embedding"))
       val all = e.unionByName(pert)
-      val exact = Similarity.cosineNearDupPairs(all, "vec_id", "embedding",
-          threshold = 0.99)
+      // bounded-corpus brute-force truth (mirrors the oracle's own
+      // x JOIN y ON id< construction); the blocked generator's
+      // losslessness is certified separately (q47/q89/q128)
+      val exact = Similarity.cosineAllPairsBounded(all, "vec_id",
+          "embedding", threshold = 0.99)
         .select(col("ida"), col("idb"))
       val approx = Similarity.cosineNearDupPairsApprox(all, "vec_id",
           "embedding", threshold = 0.99, planes = 32, bitsPerBand = 8,
@@ -451,8 +454,12 @@ object ExtQueries extends QueryPack {
         .unionByName(plant(0.30, 200000))
         .unionByName(plant(0.40, 300000))
         .unionByName(plant(0.47, 400000))
-      val exact = Similarity.cosineNearDupPairs(all, "vec_id", "embedding",
-        threshold = 0.90)
+      // bounded-corpus brute-force truth: at t=0.90 the blocked
+      // generator can't prune (candidates ~ all pairs), so its
+      // scaffolding is pure overhead here — and the DuckDB oracle
+      // builds truth with the same id< nested loop
+      val exact = Similarity.cosineAllPairsBounded(all, "vec_id",
+        "embedding", threshold = 0.90)
       val approx = Similarity.cosineNearDupPairsApprox(all, "vec_id",
           "embedding", threshold = 0.90, planes = 64, bitsPerBand = 8,
           seed = 7)
