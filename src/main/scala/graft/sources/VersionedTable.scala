@@ -31,7 +31,11 @@ import org.apache.spark.sql.types.StructType
   *  - **Optimistic concurrency.** A committer reserves exactly
   *    `base+1` via atomic create-exclusive on a `.lock` file; losing
   *    the race throws [[VersionedTable.CommitConflict]] — re-read,
-  *    recompute, retry (the Delta/Iceberg OCC loop). A committer that
+  *    recompute, retry (the Delta/Iceberg OCC loop). The lock
+  *    PERSISTS after publish as the version's reservation tombstone
+  *    (deleting it would reopen the race for a committer still
+  *    holding the old base — proven by the two-writer race spec);
+  *    vacuum sweeps tombstones with their versions. A committer that
   *    crashed after reserving leaves an orphan lock; [[recover]]
   *    clears it once the holder is known dead. A multi-writer
   *    production deployment would put the reservation in a catalog
@@ -133,10 +137,15 @@ object VersionedTable {
       files.foreach(p => w.write(p + "\n"))
       w.flush(); w.close()
     } finally if (out != null) try out.close() catch { case _: Throwable => }
-    // atomic publish: the manifest appears complete or not at all
+    // atomic publish: the manifest appears complete or not at all.
+    // The lock is NOT deleted — it persists as the version's
+    // reservation tombstone. Deleting it after publish reopens the
+    // race: a concurrent committer that read the OLD current version
+    // could then create-exclusive the same lock and collide with the
+    // published manifest (a lost update — caught by the two-writer
+    // race spec). Tombstones are swept with their version by vacuum.
     if (!f.rename(tmp, manifestPath(root, next)))
       throw new java.io.IOException(s"rename to v$next manifest failed")
-    f.delete(lock, false)
     next
   }
 
@@ -414,6 +423,7 @@ object VersionedTable {
         .filterNot(referenced.contains)
         .foreach(rel => f.delete(new Path(root, rel), false))
       f.delete(manifestPath(root, v), false)
+      f.delete(lockPath(root, v), false) // the version's CAS tombstone
     }
     // sweep data dirs emptied by the deletes, plus ORPHANS: dirs no
     // surviving manifest references, past the grace window (a torn

@@ -197,6 +197,37 @@ class VersionedTableSpec extends AnyFunSuite {
       dim((9, "STALE", 9L)), Seq("k"), "q", 0L) == 5L)
   }
 
+  test("two concurrent streaming writers both land via CAS retry") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, dim((0, "seed", 0L)))
+    val nBatches = 4
+    // two writers, disjoint key ranges, racing every batch: losers of
+    // the version CAS must retry against the fresh snapshot and land
+    val writers = Seq("wa" -> 100, "wb" -> 200).map { case (q, off) =>
+      new Thread(() => {
+        (0 until nBatches).foreach { b =>
+          VersionedTable.streamingUpsert(spark, root,
+            dim((off + b, s"$q$b", b.toLong)), Seq("k"), q, b.toLong)
+        }
+      })
+    }
+    writers.foreach(_.start()); writers.foreach(_.join())
+    // every batch from both writers committed exactly once
+    assert(VersionedTable.currentVersion(spark, root)
+      .contains(1L + 2 * nBatches))
+    val got = rowsOf(VersionedTable.read(spark, root))
+    val want = Set((0, "seed", 0L)) ++
+      (0 until nBatches).flatMap(b =>
+        Seq((100 + b, s"wa$b", b.toLong), (200 + b, s"wb$b", b.toLong)))
+    assert(got == want)
+    // and both watermarks survived the interleaving: stale replays skip
+    assert(VersionedTable.streamingUpsert(spark, root,
+      dim((999, "STALE", 9L)), Seq("k"), "wa", 0L) == 1L + 2 * nBatches)
+    assert(VersionedTable.streamingUpsert(spark, root,
+      dim((999, "STALE", 9L)), Seq("k"), "wb", nBatches - 1L) ==
+      1L + 2 * nBatches)
+  }
+
   test("readAppendsSince tails appends exactly and refuses rewrites") {
     val root = freshRoot()
     VersionedTable.create(spark, root, dim((1, "a", 10L)))
