@@ -623,6 +623,22 @@ object TextAnalysis {
           .otherwise(lit("test")))
   }
 
+  /** Leakage-safe split: assign train/val/test by a GROUP key, not the
+    * document id — every row of a group lands in the same split, so
+    * correlated documents (one domain's pages, one dedup cluster's
+    * near-twins) cannot straddle train and test and leak evaluation
+    * signal. This is [[deterministicSplit]] keyed on the group: same
+    * 1/256 md5 buckets, same growth-stability (a group's split never
+    * changes as other groups arrive), still a pure projection. For the
+    * strongest guard, pass a dedup CLUSTER id (resolveClusters /
+    * semanticDedup output joined on) as the group — then near-dups
+    * can't leak by construction. Fractions land on GROUP counts;
+    * groups with many documents skew the per-ROW fractions, which is
+    * inherent to any leakage-safe split (the alternative IS the leak). */
+  def groupAwareSplit(df: org.apache.spark.sql.DataFrame, groupCol: String,
+      seed: Int, trainCut: Int, valCut: Int): org.apache.spark.sql.DataFrame =
+    deterministicSplit(df, groupCol, seed, trainCut, valCut)
+
   /** Unigram language-model score: each document's mean token
     * log-probability under the corpus's own unigram distribution — the
     * classic cheap fluency/quality proxy (gibberish and boilerplate

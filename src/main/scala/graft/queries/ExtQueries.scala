@@ -899,6 +899,24 @@ object ExtQueries extends QueryPack {
         .orderBy(col("split"))
     },
 
+    // Leakage-safe split: split assignment keyed on the GROUP (here
+    // source — the one-domain's-pages leakage unit; a dedup cluster id
+    // is the same call), so correlated documents can never straddle
+    // train/test. The in-query require pins the guard itself: every
+    // source maps to exactly one split. Emits per-document rows — the
+    // oracle recomputes each doc's bucket from its SOURCE's md5.
+    "q152_group_split" -> { (s, dir) =>
+      val out = TextAnalysis.groupAwareSplit(docs(s, dir)
+          .select(col("doc_id"), col("source")),
+          "source", seed = 7, trainCut = 204, valCut = 230)
+        .select(col("doc_id"), col("source"), col("split"))
+      require(out.groupBy("source")
+          .agg(countDistinct(col("split")).as("n"))
+          .filter(col("n") =!= 1).isEmpty,
+        "leakage guard violated: a source straddles splits")
+      out.orderBy(col("doc_id"))
+    },
+
     // Unigram LM quality score: per-doc mean token log-probability
     // under the corpus distribution — the cheap fluency proxy between
     // heuristic quality flags and a real LM.
@@ -1835,6 +1853,18 @@ object ExtQueries extends QueryPack {
         |  CAST(row_number() OVER (PARTITION BY query_id
         |    ORDER BY round(cs, 6) DESC, neighbor_id) AS INT) AS rank
         |FROM top5 ORDER BY query_id, rank""".stripMargin,
+    "q152_group_split" ->
+      """WITH b AS (SELECT doc_id, source,
+        |    CAST((strpos('0123456789abcdef',
+        |        substring(md5('split:7:' || source), 31, 1)) - 1) * 16 +
+        |      (strpos('0123456789abcdef',
+        |        substring(md5('split:7:' || source), 32, 1)) - 1)
+        |      AS INT) AS bk
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |  CASE WHEN bk < 204 THEN 'train'
+        |       WHEN bk < 230 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
     "q113_corpus_split" ->
       """WITH b AS (SELECT doc_id,
         |    CAST((strpos('0123456789abcdef',
