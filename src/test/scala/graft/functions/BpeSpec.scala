@@ -90,6 +90,20 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental trainer == reference trainer on random corpora") {
+    val rnd = new Random(7)
+    (1 to 25).foreach { trial =>
+      val corpus = randomCorpus(rnd, "abcde", 40)
+      val wc = corpus.flatMap(_.split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, g) =>
+          (w, g.size.toLong * (1 + rnd.nextInt(3))) }.toSeq
+      val k = 1 + rnd.nextInt(40)
+      val fast = Bpe.trainOnCounts(wc, k)
+      val ref = Bpe.trainOnCountsReference(wc, k)
+      assert(fast == ref, s"trial $trial k=$k: $fast vs $ref")
+    }
+  }
+
   test("trainer reproduces the frozen literal deterministically") {
     val wc = TokenizerQueries.trainCorpus
       .flatMap(_.split(" ")).groupBy(identity)
