@@ -252,6 +252,56 @@ class VersionedTableSpec extends AnyFunSuite {
       Set((4, "d", 40L)))
   }
 
+  test("model check: random op sequences match an in-memory reference") {
+    // the table under ANY interleaving of its operations must equal a
+    // trivial Map model — the strongest cheap contract for a storage
+    // layer (op semantics compose, snapshots never tear, meta rides)
+    val rnd = new scala.util.Random(2026)
+    (1 to 5).foreach { trial =>
+      val root = freshRoot()
+      var model = Map[Int, (String, Long)](1 -> ("init", 1L))
+      VersionedTable.create(spark, root, dim((1, "init", 1L)))
+      var batchId = Map[String, Long]().withDefaultValue(-1L)
+      (1 to 12).foreach { step =>
+        def freshRows(n: Int): Seq[(Int, String, Long)] =
+          (1 to n).map(_ => (rnd.nextInt(30),
+            s"t${trial}s$step", rnd.nextInt(100).toLong))
+            .groupBy(_._1).map(_._2.head).toSeq // key-unique
+        rnd.nextInt(5) match {
+          case 0 => // append brand-new keys only (append = no upsert)
+            val rows = freshRows(3).map { case (k, n, a) =>
+              (k + 1000 * step, n, a) }
+            VersionedTable.append(spark, root, dim(rows: _*))
+            model ++= rows.map { case (k, n, a) => k -> ((n, a)) }
+          case 1 =>
+            val rows = freshRows(4)
+            VersionedTable.merge(spark, root, dim(rows: _*), Seq("k"))
+            model ++= rows.map { case (k, n, a) => k -> ((n, a)) }
+          case 2 =>
+            val q = s"w${rnd.nextInt(2)}"
+            val replay = rnd.nextBoolean() && batchId(q) >= 0
+            val id = if (replay) batchId(q) else batchId(q) + 1
+            val rows = freshRows(3)
+            VersionedTable.streamingUpsert(spark, root, dim(rows: _*),
+              Seq("k"), q, id)
+            if (!replay) { // replayed batches must not apply
+              batchId += q -> id
+              model ++= rows.map { case (k, n, a) => k -> ((n, a)) }
+            }
+          case 3 =>
+            VersionedTable.compact(spark, root, smallFileBytes = 1 << 20)
+          case 4 =>
+            val cur = VersionedTable.currentVersion(spark, root).get
+            VersionedTable.vacuum(spark, root,
+              keepFrom = (cur - rnd.nextInt(3)) max 1, orphanGraceMs = 0)
+        }
+        val got = rowsOf(VersionedTable.read(spark, root))
+        val want = model.map { case (k, (n, a)) => (k, n, a) }.toSet
+        assert(got == want, s"trial $trial step $step diverged")
+      }
+    }
+  }
+
   test("vacuum sweeps torn-write orphan dirs past the grace window") {
     val root = freshRoot()
     VersionedTable.create(spark, root, dim((1, "a", 10L)))
