@@ -409,6 +409,78 @@ object IoQueries extends QueryPack {
         VersionedTable.readAppendsSince(s, root, 1L, Some(v3)).count() == n,
         "post-rewrite and bounded ranges must stay exact")
       feed.orderBy(col("c_custkey"))
+    },
+
+    // DATA SKIPPING on the ACID table: every commit records per-file
+    // min/max/null-count column stats in the manifest (the Delta
+    // `stats` / Iceberg manifest-bounds design), and readWhere prunes
+    // the file list BEFORE Spark lists a single file. The table is
+    // built as six order-key bands (two files each); the query asks for
+    // one band, and the in-query requires pin what the oracle can't
+    // see: exactly 2 of 12 files survive pruning — at 100 TB this is
+    // reading one commit instead of the table. The oracle checks the
+    // answer itself: skipping must be invisible to results.
+    "q153_versioned_skipping" -> { (s, dir) =>
+      import graft.sources.VersionedTable
+      val root = tmp(s, s"vt_skip/${java.util.UUID.randomUUID()}")
+      val orders = graft.Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          CoreQueries.cents(col("o_totalprice")).as("cents"))
+      val maxKey = orders.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+      val w = maxKey / 6 + 1
+      def band(b: Int) = orders
+        .filter(col("o_orderkey") >= b * w && col("o_orderkey") < (b + 1) * w)
+        .repartition(2)
+      VersionedTable.create(s, root, band(0))
+      (1 until 6).foreach(b => VersionedTable.append(s, root, band(b)))
+      val pred = col("o_orderkey") >= lit(3L * w) &&
+        col("o_orderkey") < lit(4L * w)
+      val (kept, total) = VersionedTable.pruneProfile(s, root, pred)
+      require(total == 12 && kept == 2,
+        s"data skipping must keep 2/12 files for one band, got $kept/$total")
+      VersionedTable.readWhere(s, root, pred)
+        .orderBy(col("o_orderkey"))
+    },
+
+    // DELETE WHERE / UPDATE WHERE as predicate-granular copy-on-write:
+    // the stats pruner decides which files a ranged mutation may touch;
+    // everything else is CARRIED into the next manifest without being
+    // read, let alone rewritten. The in-query requires certify the
+    // carry (post-delete file set shares total-pruned files with the
+    // pre-delete set, via input_file_name identity) and that both
+    // mutations pruned strictly below the file total; the oracle
+    // replays delete+update as SQL over the source table.
+    "q154_versioned_delete_update" -> { (s, dir) =>
+      import graft.sources.VersionedTable
+      val root = tmp(s, s"vt_del/${java.util.UUID.randomUUID()}")
+      val cust = graft.Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          CoreQueries.cents(col("c_acctbal")).as("cents"))
+      val k = cust.agg(max(col("c_custkey"))).collect()(0).getLong(0)
+      VersionedTable.create(s, root,
+        cust.repartitionByRange(4, col("c_custkey")))
+      def files(): Set[String] = VersionedTable.read(s, root)
+        .select(input_file_name()).distinct()
+        .collect().map(_.getString(0)).toSet
+      val before = files()
+      val delPred = col("c_custkey") >= lit(k / 4) &&
+        col("c_custkey") < lit(k / 2)
+      val (dKept, dTotal) = VersionedTable.pruneProfile(s, root, delPred)
+      require(dKept < dTotal && dKept > 0,
+        s"ranged delete must prune some files, got $dKept/$dTotal")
+      VersionedTable.deleteWhere(s, root, delPred)
+      val afterDel = files()
+      require((before intersect afterDel).size == dTotal - dKept,
+        "files outside the delete range must be carried, not rewritten")
+      val updPred = col("c_custkey") >= lit(3L * k / 4)
+      val (uKept, uTotal) = VersionedTable.pruneProfile(s, root, updPred)
+      require(uKept < uTotal && uKept > 0,
+        s"ranged update must prune some files, got $uKept/$uTotal")
+      VersionedTable.updateWhere(s, root, updPred,
+        Map("c_mktsegment" -> lit("UPDATED")))
+      require((afterDel intersect files()).size == uTotal - uKept,
+        "files outside the update range must be carried, not rewritten")
+      VersionedTable.read(s, root).orderBy(col("c_custkey"))
     }
   )
 
@@ -470,6 +542,24 @@ object IoQueries extends QueryPack {
         |SELECT o_orderkey + 200000,
         |  CAST(ROUND(o_totalprice * 100) AS BIGINT)
         |FROM orders WHERE o_orderkey >= 200 AND o_orderkey < 400
+        |ORDER BY c_custkey""".stripMargin,
+    "q153_versioned_skipping" ->
+      """WITH w AS (SELECT MAX(o_orderkey)//6 + 1 AS w FROM orders)
+        |SELECT o_orderkey, o_custkey,
+        |  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders
+        |WHERE o_orderkey >= 3*(SELECT w FROM w)
+        |  AND o_orderkey < 4*(SELECT w FROM w)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q154_versioned_delete_update" ->
+      """WITH m AS (SELECT MAX(c_custkey) AS k FROM customer)
+        |SELECT c_custkey,
+        |  CASE WHEN c_custkey >= 3*(SELECT k FROM m)//4 THEN 'UPDATED'
+        |       ELSE c_mktsegment END AS c_mktsegment,
+        |  CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+        |FROM customer
+        |WHERE NOT (c_custkey >= (SELECT k FROM m)//4
+        |       AND c_custkey < (SELECT k FROM m)//2)
         |ORDER BY c_custkey""".stripMargin,
     "q121_compaction" ->
       """SELECT doc_id, lang, source, n_chars

@@ -1,9 +1,9 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 
 /** An in-repo ACID table: versioned-manifest copy-on-write parquet —
   * the storage layer the reference reaches for Delta for
@@ -76,10 +76,24 @@ object VersionedTable {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
-  private final case class Manifest(version: Long, schema: StructType,
-      files: Seq[String], meta: Map[String, String])
+  /** Per-file column statistics carried in the manifest — the data-
+    * skipping index (Delta's `stats` JSON, Iceberg's manifest-entry
+    * bounds). min/max are CANONICAL-encoded strings ([[canonCol]]
+    * domain: integrals/date/timestamp as epoch-scaled longs, floats
+    * as doubles, strings/booleans/decimals as themselves); `None`
+    * min/max means the file holds no non-null value for the column. */
+  final case class ColStats(min: Option[String], max: Option[String],
+      nulls: Long)
 
-  private def readManifest(spark: SparkSession, root: String,
+  /** One manifest data-file entry: root-relative path, row count
+    * (-1 = unknown, a pre-stats legacy entry), per-column stats. */
+  final case class FileEntry(rel: String, rows: Long,
+      stats: Map[String, ColStats])
+
+  private[sources] final case class Manifest(version: Long, schema: StructType,
+      files: Seq[FileEntry], meta: Map[String, String])
+
+  private[sources] def readManifest(spark: SparkSession, root: String,
       v: Long): Manifest = {
     val p = manifestPath(root, v)
     val in = fs(spark, p).open(p)
@@ -102,14 +116,54 @@ object VersionedTable {
       require(i > 0, s"$p: bad meta line '$l'")
       kv.take(i) -> kv.drop(i + 1)
     }.toMap
-    Manifest(v, schema, fileLines, meta)
+    Manifest(v, schema, fileLines.map(parseEntry), meta)
+  }
+
+  // ---- file-entry (de)serialization -------------------------------------
+  // Line format (tab-separated; URL-encoding keeps values tab/comma-free):
+  //   rel                                  (legacy: no stats)
+  //   rel \t #rows=N \t col=min,max,nulls ...   ("~" = absent min/max)
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  private def entryLine(e: FileEntry): String =
+    if (e.rows < 0 && e.stats.isEmpty) e.rel
+    else {
+      val sb = new StringBuilder(e.rel)
+      sb.append("\t#rows=").append(e.rows)
+      e.stats.toSeq.sortBy(_._1).foreach { case (n, cs) =>
+        sb.append('\t').append(enc(n)).append('=')
+          .append(cs.min.map(enc).getOrElse("~")).append(',')
+          .append(cs.max.map(enc).getOrElse("~")).append(',')
+          .append(cs.nulls)
+      }
+      sb.toString
+    }
+
+  private def parseEntry(line: String): FileEntry = {
+    val parts = line.split('\t')
+    if (parts.length == 1) FileEntry(line, -1L, Map.empty)
+    else {
+      val rows = parts(1).stripPrefix("#rows=").toLong
+      val stats = parts.drop(2).map { p =>
+        val i = p.indexOf('=')
+        require(i > 0, s"bad stats field '$p'")
+        val Array(mn, mx, nl) = p.drop(i + 1).split(",", -1)
+        dec(p.take(i)) -> ColStats(
+          if (mn == "~") None else Some(dec(mn)),
+          if (mx == "~") None else Some(dec(mx)), nl.toLong)
+      }.toMap
+      FileEntry(parts(0), rows, stats)
+    }
   }
 
   /** Publish `files` (+ `meta`) as version `base + 1`. Atomic:
     * create-exclusive lock reservation (CAS — loser gets
     * [[CommitConflict]]), then write-temp + rename. */
   private def commit(spark: SparkSession, root: String, base: Long,
-      schema: StructType, files: Seq[String],
+      schema: StructType, files: Seq[FileEntry],
       meta: Map[String, String] = Map.empty): Long = {
     val next = base + 1
     val dir = manifestDir(root)
@@ -134,7 +188,7 @@ object VersionedTable {
           s"bad meta entry '$k'='$v'")
         w.write(s"meta $k=$v\n")
       }
-      files.foreach(p => w.write(p + "\n"))
+      files.foreach(e => w.write(entryLine(e) + "\n"))
       w.flush(); w.close()
     } finally if (out != null) try out.close() catch { case _: Throwable => }
     // atomic publish: the manifest appears complete or not at all.
@@ -160,18 +214,87 @@ object VersionedTable {
       f.delete(lock, false)
   }
 
+  // ---- per-file column stats (the data-skipping index) ------------------
+
+  /** Stats cover at most this many leading supported columns — bounds
+    * manifest size the way Delta's `dataSkippingNumIndexedCols` does. */
+  private val StatsMaxCols = 32
+
+  private def statsSupported(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | StringType | BooleanType | DateType |
+         TimestampType => true
+    case _: DecimalType => true
+    case _ => false // incl. TIMESTAMP_NTZ: no canonical epoch expr; such
+                    // columns simply never prune (conservative, correct)
+  }
+
+  /** Canonical ordering-preserving projection per dtype: the domain
+    * min/max are computed and compared in. Dates → epoch days,
+    * timestamps → epoch micros (matching Catalyst's internal literal
+    * encodings), integrals widen to long, floats to double. */
+  private def canonCol(name: String, dt: DataType): Column = dt match {
+    case DateType => unix_date(col(name))
+    case TimestampType => unix_micros(col(name))
+    case ByteType | ShortType | IntegerType | LongType =>
+      col(name).cast("long")
+    case FloatType => col(name).cast("double")
+    case _ => col(name)
+  }
+
+  private def statEncode(v: Any): String = v match {
+    case null => "~"
+    case d: java.math.BigDecimal => d.toString
+    case x => x.toString
+  }
+
   /** Write `df` into new immutable files under data/<uuid>/ and return
-    * their root-relative paths. Runs BEFORE any manifest is touched —
-    * a crash leaves an invisible orphan dir. */
+    * their manifest entries. Runs BEFORE any manifest is touched — a
+    * crash leaves an invisible orphan dir. Stats come from ONE
+    * group-by-file aggregate over the freshly written delta (bounded
+    * by the commit's data, never the table; the collect is bounded by
+    * the commit's FILE count). A production writer would fold this
+    * into the write itself the way Delta collects stats in the
+    * transaction protocol — parquet footers already hold the same
+    * bounds — but Spark's public writer API exposes no per-file hook,
+    * and one extra scan of the just-written delta buys exact,
+    * format-independent stats. */
   private def writeData(spark: SparkSession, root: String,
-      df: DataFrame): Seq[String] = {
+      df: DataFrame): Seq[FileEntry] = {
     val sub = s"data/${java.util.UUID.randomUUID()}"
     val abs = new Path(root, sub)
     df.write.parquet(abs.toString)
     val f = fs(spark, abs)
-    f.listStatus(abs).map(_.getPath.getName)
+    val rels = f.listStatus(abs).map(_.getPath.getName)
       .filter(_.endsWith(".parquet")).sorted
       .map(n => s"$sub/$n").toSeq
+    val fields = df.schema.fields.toSeq
+      .filter(sf => statsSupported(sf.dataType)).take(StatsMaxCols)
+    if (rels.isEmpty) return Seq.empty
+    if (fields.isEmpty) return rels.map(FileEntry(_, -1L, Map.empty))
+    val back = spark.read.schema(df.schema).parquet(abs.toString)
+    val aggs = count(lit(1)).as("__vt_rows") +: fields.flatMap { sf =>
+      val c = canonCol(sf.name, sf.dataType)
+      Seq(min(c), max(c),
+        sum(when(col(sf.name).isNull, 1L).otherwise(0L)))
+    }
+    val byName = back.groupBy(input_file_name().as("__vt_file"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+      .map(r => new Path(r.getString(0)).getName -> r).toMap
+    rels.map { rel =>
+      val name = new Path(rel).getName
+      byName.get(name) match {
+        case None => FileEntry(rel, -1L, Map.empty)
+        case Some(r) =>
+          val stats = fields.zipWithIndex.map { case (sf, i) =>
+            val (mn, mx, nl) = (r.get(2 + i * 3), r.get(3 + i * 3),
+              r.getLong(4 + i * 3))
+            sf.name -> ColStats(Option(mn).map(statEncode),
+              Option(mx).map(statEncode), nl)
+          }.toMap
+          FileEntry(rel, r.getLong(1), stats)
+      }
+    }
   }
 
   /** Create the table at `root` with `df` as version 1. */
@@ -188,12 +311,320 @@ object VersionedTable {
     val v = version.orElse(currentVersion(spark, root)).getOrElse(
       throw new IllegalArgumentException(s"$root: no versioned table"))
     val m = readManifest(spark, root, v)
-    if (m.files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        m.schema)
+    scanEntries(spark, root, m.schema, m.files)
+  }
+
+  /** Scan exactly `entries` under the manifest schema (empty → empty). */
+  private def scanEntries(spark: SparkSession, root: String,
+      schema: StructType, entries: Seq[FileEntry]): DataFrame =
+    if (entries.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else
-      spark.read.schema(m.schema)
-        .parquet(m.files.map(f => new Path(root, f).toString): _*)
+      spark.read.schema(schema)
+        .parquet(entries.map(e => new Path(root, e.rel).toString): _*)
+
+  // ---- data skipping: prune the file list from a predicate --------------
+  //
+  // `readWhere(root, pred)` resolves `pred` against the manifest schema
+  // (one driver-side analysis of a dummy filter — no job), splits it
+  // into conjuncts, and drops every file whose stats PROVE no row can
+  // match (Delta data skipping / Iceberg manifest filtering). Pruning
+  // is strictly conservative: an unrecognized conjunct, a stats-less
+  // column, or an unparseable bound keeps the file, and the full
+  // predicate is re-applied on the scan — correctness never depends on
+  // the pruner. At 100 TB this is the difference between listing and
+  // opening every file of a table and touching only the commits whose
+  // ranges overlap the question.
+
+  import org.apache.spark.sql.catalyst.{expressions => cexp}
+
+  private def splitAnd(e: cexp.Expression): Seq[cexp.Expression] = e match {
+    case cexp.And(l, r) => splitAnd(l) ++ splitAnd(r)
+    case x => Seq(x)
+  }
+
+  /** Resolve a user predicate against `schema` without touching data:
+    * analyze `emptyDF.filter(pred)` (the ANALYZED plan keeps the
+    * Filter; the optimizer would fold it away over a LocalRelation)
+    * and return its conjuncts with resolved attributes and
+    * type-coerced literals. */
+  private def resolvedConjuncts(spark: SparkSession, schema: StructType,
+      pred: Column): Seq[cexp.Expression] = {
+    val dummy = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    dummy.filter(pred).queryExecution.analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        splitAnd(f.condition)
+    }.flatten
+  }
+
+  /** Value-preserving widenings whose Cast may be stripped off the
+    * attribute side of a comparison: the canonical domain compares
+    * exact values, so only EXACT casts qualify (long→double is lossy
+    * past 2^53 and excluded; date→timestamp changes the epoch scale). */
+  private def exactWidening(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType | FloatType |
+            DoubleType) => true
+      case (ShortType, IntegerType | LongType | FloatType | DoubleType) =>
+        true
+      case (IntegerType, LongType | DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale >= f.scale &&
+          t.precision - t.scale >= f.precision - f.scale
+      case (ByteType | ShortType | IntegerType | LongType, t: DecimalType) =>
+        t.precision - t.scale >= 20
+      case _ => false
+    }
+
+  private def attrNameOf(e: cexp.Expression): Option[String] = e match {
+    case a: cexp.AttributeReference => Some(a.name)
+    case c: cexp.Cast => c.child match {
+      case a: cexp.AttributeReference
+          if exactWidening(a.dataType, c.dataType) => Some(a.name)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** Evaluate a foldable (post-coercion) literal side to its internal
+    * value + type. */
+  private def litOf(e: cexp.Expression): Option[(Any, DataType)] =
+    if (e.foldable)
+      Some((e.eval(org.apache.spark.sql.catalyst.InternalRow.empty),
+        e.dataType))
+    else None
+
+  /** Internal literal value → comparison domain: BigDecimal for every
+    * numeric/date/timestamp (exact, no cross-width rounding), String,
+    * or Boolean. None = not comparable (NaN/Inf, exotic type). */
+  private def litDomain(v: Any, dt: DataType): Option[Any] = {
+    if (v == null) return None
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType =>
+        Some(new java.math.BigDecimal(v.asInstanceOf[Number].longValue()))
+      case FloatType =>
+        val d = v.asInstanceOf[Float].toDouble
+        if (d.isNaN || d.isInfinite) None
+        else Some(new java.math.BigDecimal(d))
+      case DoubleType =>
+        val d = v.asInstanceOf[Double]
+        if (d.isNaN || d.isInfinite) None
+        else Some(new java.math.BigDecimal(d))
+      case _: DecimalType => v match {
+        // internal (Catalyst literal) and external (collected Row) forms
+        case d: org.apache.spark.sql.types.Decimal => Some(d.toJavaBigDecimal)
+        case d: java.math.BigDecimal => Some(d)
+        case _ => None
+      }
+      case StringType => Some(v.toString)
+      case BooleanType => Some(v.asInstanceOf[Boolean])
+      case _ => None
+    }
+  }
+
+  /** Canonical-encoded manifest stat → the same comparison domain,
+    * driven by the COLUMN's schema type. */
+  private def statDomain(s: String, dt: DataType): Option[Any] = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | _: DecimalType =>
+      Some(new java.math.BigDecimal(s))
+    case FloatType | DoubleType =>
+      val d = java.lang.Double.parseDouble(s)
+      if (d.isNaN || d.isInfinite) None else Some(new java.math.BigDecimal(d))
+    case StringType => Some(s)
+    case BooleanType => Some(s.toBoolean)
+    case _ => None
+  }
+
+  private def domCmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) =>
+      Some(x.compareTo(y))
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: Boolean, y: Boolean) => Some(x.compareTo(y))
+    case _ => None
+  }
+
+  /** Can `entry` possibly contain a row satisfying `conjunct`? True on
+    * any doubt. `schema` supplies column types for stat decoding. */
+  private def mayContain(entry: FileEntry, conjunct: cexp.Expression,
+      schema: StructType): Boolean = {
+    def fieldType(name: String): Option[DataType] =
+      schema.fields.find(_.name == name).map(_.dataType)
+    // range check: could any non-null value in [min,max] satisfy op-lit?
+    def rangeMayMatch(name: String, lit: (Any, DataType),
+        test: (Int, Int) => Boolean): Boolean = {
+      val verdict = for {
+        cs <- entry.stats.get(name)
+        dt <- fieldType(name)
+      } yield cs.min match {
+        case None => false // no non-null values: no comparison matches
+        case Some(mnS) =>
+          (for {
+            lv <- litDomain(lit._1, lit._2)
+            mn <- statDomain(mnS, dt)
+            mx <- cs.max.flatMap(statDomain(_, dt))
+            cMin <- domCmp(lv, mn)
+            cMax <- domCmp(lv, mx)
+          } yield test(cMin, cMax)).getOrElse(true)
+      }
+      verdict.getOrElse(true)
+    }
+    conjunct match {
+      // attr OP lit (and the mirrored lit OP attr forms)
+      case cexp.EqualTo(l, r) =>
+        (attrNameOf(l), litOf(r), attrNameOf(r), litOf(l)) match {
+          case (Some(n), Some(v), _, _) =>
+            v._1 != null && rangeMayMatch(n, v,
+              (cMin, cMax) => cMin >= 0 && cMax <= 0)
+          case (_, _, Some(n), Some(v)) =>
+            v._1 != null && rangeMayMatch(n, v,
+              (cMin, cMax) => cMin >= 0 && cMax <= 0)
+          case _ => true
+        }
+      case cexp.EqualNullSafe(l, r) =>
+        (attrNameOf(l), litOf(r), attrNameOf(r), litOf(l)) match {
+          case (Some(n), Some(v), _, _) if v._1 != null =>
+            rangeMayMatch(n, v, (cMin, cMax) => cMin >= 0 && cMax <= 0)
+          case (_, _, Some(n), Some(v)) if v._1 != null =>
+            rangeMayMatch(n, v, (cMin, cMax) => cMin >= 0 && cMax <= 0)
+          case (Some(n), Some(v), _, _) => // attr <=> NULL: needs a null
+            entry.stats.get(n).forall(_.nulls > 0)
+          case _ => true
+        }
+      case cexp.LessThan(l, r) =>
+        (attrNameOf(l), litOf(r), attrNameOf(r), litOf(l)) match {
+          case (Some(n), Some(v), _, _) => // attr < lit: need min < lit
+            v._1 != null && rangeMayMatch(n, v, (cMin, _) => cMin > 0)
+          case (_, _, Some(n), Some(v)) => // lit < attr: need max > lit
+            v._1 != null && rangeMayMatch(n, v, (_, cMax) => cMax < 0)
+          case _ => true
+        }
+      case cexp.LessThanOrEqual(l, r) =>
+        (attrNameOf(l), litOf(r), attrNameOf(r), litOf(l)) match {
+          case (Some(n), Some(v), _, _) =>
+            v._1 != null && rangeMayMatch(n, v, (cMin, _) => cMin >= 0)
+          case (_, _, Some(n), Some(v)) =>
+            v._1 != null && rangeMayMatch(n, v, (_, cMax) => cMax <= 0)
+          case _ => true
+        }
+      case cexp.GreaterThan(l, r) =>
+        (attrNameOf(l), litOf(r), attrNameOf(r), litOf(l)) match {
+          case (Some(n), Some(v), _, _) => // attr > lit: need max > lit
+            v._1 != null && rangeMayMatch(n, v, (_, cMax) => cMax < 0)
+          case (_, _, Some(n), Some(v)) => // lit > attr: need min < lit
+            v._1 != null && rangeMayMatch(n, v, (cMin, _) => cMin > 0)
+          case _ => true
+        }
+      case cexp.GreaterThanOrEqual(l, r) =>
+        (attrNameOf(l), litOf(r), attrNameOf(r), litOf(l)) match {
+          case (Some(n), Some(v), _, _) =>
+            v._1 != null && rangeMayMatch(n, v, (_, cMax) => cMax <= 0)
+          case (_, _, Some(n), Some(v)) =>
+            v._1 != null && rangeMayMatch(n, v, (cMin, _) => cMin >= 0)
+          case _ => true
+        }
+      case cexp.In(a, lits) =>
+        attrNameOf(a) match {
+          case Some(n) if lits.forall(_.foldable) =>
+            val vs = lits.flatMap(litOf).filter(_._1 != null)
+            // all-null IN list never matches; otherwise any member in
+            // range keeps the file
+            vs.exists(v => rangeMayMatch(n, v,
+              (cMin, cMax) => cMin >= 0 && cMax <= 0))
+          case _ => true
+        }
+      case cexp.IsNull(a) =>
+        attrNameOf(a) match {
+          case Some(n) => entry.stats.get(n).forall(_.nulls > 0)
+          case None => true
+        }
+      case cexp.IsNotNull(a) =>
+        attrNameOf(a) match {
+          case Some(n) => entry.stats.get(n).forall(cs =>
+            cs.min.nonEmpty || entry.rows < 0)
+          case None => true
+        }
+      case _ => true
+    }
+  }
+
+  private[sources] def pruneEntries(spark: SparkSession, schema: StructType,
+      entries: Seq[FileEntry], pred: Column): Seq[FileEntry] = {
+    val conjuncts = resolvedConjuncts(spark, schema, pred)
+    entries.filter(e => conjuncts.forall(c => mayContain(e, c, schema)))
+  }
+
+  /** Snapshot read with manifest-level data skipping: scan only the
+    * files whose stats admit a match for `pred`, then apply the full
+    * predicate on the scan (pruning can only remove certain-miss
+    * files, never change the answer). */
+  def readWhere(spark: SparkSession, root: String, pred: Column,
+      version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(currentVersion(spark, root)).getOrElse(
+      throw new IllegalArgumentException(s"$root: no versioned table"))
+    val m = readManifest(spark, root, v)
+    scanEntries(spark, root, m.schema,
+      pruneEntries(spark, m.schema, m.files, pred)).filter(pred)
+  }
+
+  /** (files the pruner keeps for `pred`, total files) — the audit a
+    * caller asserts data skipping with. */
+  def pruneProfile(spark: SparkSession, root: String, pred: Column,
+      version: Option[Long] = None): (Int, Int) = {
+    val v = version.orElse(currentVersion(spark, root)).getOrElse(
+      throw new IllegalArgumentException(s"$root: no versioned table"))
+    val m = readManifest(spark, root, v)
+    (pruneEntries(spark, m.schema, m.files, pred).size, m.files.size)
+  }
+
+  /** Predicate-granular copy-on-write core: rewrite only the files the
+    * stats pruner cannot clear for `pred`; carry the rest untouched. */
+  private def cowWhere(spark: SparkSession, root: String, pred: Column)(
+      rebuild: DataFrame => DataFrame): Long = {
+    val base = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root: no versioned table"))
+    val m = readManifest(spark, root, base)
+    val touched = pruneEntries(spark, m.schema, m.files, pred)
+    if (touched.isEmpty) return base // provably nothing matches
+    val touchedSet = touched.map(_.rel).toSet
+    val kept = m.files.filterNot(e => touchedSet.contains(e.rel))
+    val replacement = rebuild(scanEntries(spark, root, m.schema, touched))
+      .select(m.schema.fieldNames.map(col).toIndexedSeq: _*)
+    val newEntries =
+      if (replacement.isEmpty) Seq.empty else writeData(spark, root, replacement)
+    commit(spark, root, base, m.schema, kept ++ newEntries, m.meta)
+  }
+
+  /** DELETE WHERE pred, file-granular via data skipping: a file whose
+    * stats exclude the predicate is carried, not rewritten — at 100 TB
+    * a ranged delete rewrites the overlapping commits, not the table.
+    * SQL semantics: rows where pred is TRUE go; FALSE/NULL stay. */
+  def deleteWhere(spark: SparkSession, root: String, pred: Column): Long =
+    cowWhere(spark, root, pred)(df =>
+      df.filter(!coalesce(pred, lit(false))))
+
+  /** UPDATE ... SET `set` WHERE pred, same file-granular discipline.
+    * Set expressions are cast to the column's schema type; rows where
+    * pred is not TRUE keep their values. */
+  def updateWhere(spark: SparkSession, root: String, pred: Column,
+      set: Map[String, Column]): Long = {
+    require(set.nonEmpty, "updateWhere needs at least one SET column")
+    cowWhere(spark, root, pred) { df =>
+      val unknown = set.keySet -- df.columns.toSet
+      require(unknown.isEmpty, s"SET of unknown column(s): $unknown")
+      val hit = coalesce(pred, lit(false))
+      df.select(df.schema.fields.toSeq.map { f =>
+        set.get(f.name) match {
+          case Some(v) =>
+            when(hit, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)
+    }
   }
 
   /** Append-only commit: new files, no rewrite, manifest grows. */
@@ -209,9 +640,12 @@ object VersionedTable {
   /** Shared copy-on-write core: split the current snapshot into the
     * files that contain a key matched by `source` (rewritten) and the
     * rest (carried unchanged into the next manifest), build the
-    * replacement rows with `rebuild(affectedRows, source, fullTarget)`,
-    * and commit. Spark part-file names embed a job UUID, so matching
-    * manifest entries by file name is exact. */
+    * replacement rows with `rebuild(affectedRows, source, matchable)`
+    * — `matchable` is the stats-pruned candidate scan, an equivalent
+    * relation to the full snapshot for any KEY-match purpose (keys
+    * outside it provably match nothing) — and commit. Spark part-file
+    * names embed a job UUID, so matching manifest entries by file name
+    * is exact. */
   private def cowCommit(spark: SparkSession, root: String,
       source: DataFrame, keys: Seq[String],
       // evaluated on the base manifest INSIDE the commit attempt, so a
@@ -227,31 +661,94 @@ object VersionedTable {
       case Some(nm) => nm
       case None => return base // idempotent replay: nothing to do
     }
-    val target = read(spark, root, Some(base))
     val srcKeys = source.select(keys.map(col): _*).dropDuplicates(keys)
+    // data skipping on the KEY RANGES of the source: one small agg over
+    // the (deduped) source keys yields per-key min/max + has-null; any
+    // file whose stats exclude every source key range provably holds no
+    // match and is carried without being SCANNED at all. This prunes
+    // both the match-discovery join and the insert anti-join below —
+    // a key outside every candidate file cannot match, so the
+    // candidates are an equivalent relation for key matching. At
+    // 100 TB a merge of one day's keys into a date-clustered table
+    // reads one day's files, not the table.
+    val candidates: Seq[FileEntry] =
+      if (m.files.isEmpty) Seq.empty
+      else keyRangePrune(spark, m, srcKeys, keys)
+    val matchable = scanEntries(spark, root, m.schema, candidates)
     // rows matched per file → distinct file names: the collect is
     // bounded by the FILE count, never the row count
     val affectedNames: Set[String] =
-      if (m.files.isEmpty) Set.empty
-      else target.withColumn("__vt_file", input_file_name())
+      if (candidates.isEmpty) Set.empty
+      else matchable.withColumn("__vt_file", input_file_name())
         .join(srcKeys, keys.map(k =>
-          target(k) <=> srcKeys(k)).reduceOption(_ && _).getOrElse(lit(true)))
+          matchable(k) <=> srcKeys(k)).reduceOption(_ && _).getOrElse(lit(true)))
         .select(col("__vt_file")).distinct()
         .collect().map(r => new Path(r.getString(0)).getName).toSet
-    val (affectedRel, keptRel) =
-      m.files.partition(f => affectedNames.contains(new Path(f).getName))
-    val affectedRows =
-      if (affectedRel.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
-      else spark.read.schema(m.schema)
-        .parquet(affectedRel.map(f => new Path(root, f).toString): _*)
-    val replacement = rebuild(affectedRows, source, target)
+    val (affectedE, keptE) =
+      m.files.partition(e => affectedNames.contains(new Path(e.rel).getName))
+    val affectedRows = scanEntries(spark, root, m.schema, affectedE)
+    val replacement = rebuild(affectedRows, source, matchable)
       .select(m.schema.fieldNames.map(col).toIndexedSeq: _*)
-    val newRel =
+    val newEntries =
       if (replacement.isEmpty) Seq.empty
       else writeData(spark, root, replacement)
-    commit(spark, root, base, m.schema, keptRel ++ newRel, nextMeta)
+    commit(spark, root, base, m.schema, keptE ++ newEntries, nextMeta)
+  }
+
+  /** Files that may hold a key matching ANY source key: per key column,
+    * overlap of the file's [min,max] with the source's [min,max], or a
+    * possible null<=>null match when the source carries null keys.
+    * Strictly conservative — stats-less entries and undecodable bounds
+    * always stay candidates. */
+  private[sources] def keyRangePrune(spark: SparkSession, m: Manifest,
+      srcKeys: DataFrame, keys: Seq[String]): Seq[FileEntry] = {
+    val statKeys = keys.filter(k =>
+      m.schema.fields.exists(f => f.name == k && statsSupported(f.dataType)))
+    if (statKeys.isEmpty) return m.files
+    val aggs = statKeys.flatMap { k =>
+      val dt = m.schema.fields.find(_.name == k).get.dataType
+      val c = canonCol(k, dt)
+      Seq(min(c), max(c), sum(when(col(k).isNull, 1L).otherwise(0L)))
+    }
+    val r = srcKeys.agg(aggs.head, aggs.tail: _*).collect()(0)
+    m.files.filter { e =>
+      statKeys.zipWithIndex.forall { case (k, i) =>
+        val dt = m.schema.fields.find(_.name == k).get.dataType
+        val (sMn, sMx) = (r.get(i * 3), r.get(1 + i * 3))
+        // sum() over an EMPTY source is NULL, not 0 — an empty source
+        // has no null keys and no range, so nothing is a candidate
+        val srcNulls = if (r.isNullAt(2 + i * 3)) 0L else r.getLong(2 + i * 3)
+        val nullMatch = srcNulls > 0 &&
+          e.stats.get(k).forall(_.nulls > 0)
+        val overlap = (e.stats.get(k), Option(sMn), Option(sMx)) match {
+          case (Some(cs), Some(mn), Some(mx)) => cs.min match {
+            case None => false // all-null file never range-matches
+            case Some(fMnS) =>
+              (for {
+                fMn <- statDomain(fMnS, dt)
+                fMx <- cs.max.flatMap(statDomain(_, dt))
+                lo <- litDomain(mn, canonLitType(dt))
+                hi <- litDomain(mx, canonLitType(dt))
+                c1 <- domCmp(fMx, lo)
+                c2 <- domCmp(fMn, hi)
+              } yield c1 >= 0 && c2 <= 0).getOrElse(true)
+          }
+          case (None, _, _) => true // no stats: must scan
+          case _ => false // source has ONLY null keys: no range match
+        }
+        overlap || nullMatch
+      }
+    }
+  }
+
+  /** The external type [[canonCol]] emits for a column of type `dt` —
+    * what a collected source-range aggregate row holds. */
+  private def canonLitType(dt: DataType): DataType = dt match {
+    case DateType => IntegerType // unix_date
+    case TimestampType => LongType // unix_micros
+    case ByteType | ShortType | IntegerType | LongType => LongType
+    case FloatType => DoubleType
+    case other => other
   }
 
   /** MERGE INTO: matched target rows take the source's `setCols`
@@ -356,19 +853,15 @@ object VersionedTable {
     require(fromVersion <= to, s"fromVersion $fromVersion is past $to")
     val mFrom = readManifest(spark, root, fromVersion)
     val mTo = readManifest(spark, root, to)
-    val fromSet = mFrom.files.toSet
-    val removed = fromSet -- mTo.files.toSet
+    val fromSet = mFrom.files.map(_.rel).toSet
+    val removed = fromSet -- mTo.files.map(_.rel).toSet
     if (removed.nonEmpty)
       throw new IllegalStateException(
         s"$root versions $fromVersion->$to dropped ${removed.size} file(s) " +
           "(a merge/SCD2/compact rewrite): the file diff is not the row " +
           "delta — re-read the snapshot, or capture changes per commit")
-    val added = mTo.files.filterNot(fromSet.contains)
-    if (added.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], mTo.schema)
-    else spark.read.schema(mTo.schema)
-      .parquet(added.map(f => new Path(root, f).toString): _*)
+    val added = mTo.files.filterNot(e => fromSet.contains(e.rel))
+    scanEntries(spark, root, mTo.schema, added)
   }
 
   /** Rewrite every data file smaller than `smallFileBytes` into
@@ -386,11 +879,10 @@ object VersionedTable {
       throw new IllegalArgumentException(s"$root: no versioned table"))
     val m = readManifest(spark, root, base)
     val f = fs(spark, new Path(root))
-    val (small, big) = m.files.partition(rel =>
-      f.getFileStatus(new Path(root, rel)).getLen < smallFileBytes)
+    val (small, big) = m.files.partition(e =>
+      f.getFileStatus(new Path(root, e.rel)).getLen < smallFileBytes)
     if (small.size < 2) return base
-    val rows = spark.read.schema(m.schema)
-      .parquet(small.map(rel => new Path(root, rel).toString): _*)
+    val rows = scanEntries(spark, root, m.schema, small)
       .repartition(targetPartitions)
     commit(spark, root, base, m.schema,
       big ++ writeData(spark, root, rows), m.meta)
@@ -417,9 +909,9 @@ object VersionedTable {
     }.sorted
     val (drop, keep) = versions.partition(_ < keepFrom)
     val referenced = keep.flatMap(v =>
-      readManifest(spark, root, v).files).toSet
+      readManifest(spark, root, v).files.map(_.rel)).toSet
     drop.foreach { v =>
-      readManifest(spark, root, v).files
+      readManifest(spark, root, v).files.map(_.rel)
         .filterNot(referenced.contains)
         .foreach(rel => f.delete(new Path(root, rel), false))
       f.delete(manifestPath(root, v), false)

@@ -320,4 +320,164 @@ class VersionedTableSpec extends AnyFunSuite {
     // the referenced data survived both sweeps
     assert(rowsOf(VersionedTable.read(spark, root)) == Set((1, "a", 10L)))
   }
+
+  // ---- data skipping ------------------------------------------------------
+
+  /** Range-clustered table: one commit per key band, two files each —
+    * the layout data skipping exploits. */
+  private def bandedTable(root: String, bands: Int, perBand: Int): Unit = {
+    def band(b: Int): DataFrame =
+      dim((0 until perBand).map(i =>
+        (b * 1000 + i, s"b${b}r$i", (b * 1000 + i).toLong)): _*)
+        .repartitionByRange(2, col("k"))
+    VersionedTable.create(spark, root, band(0))
+    (1 until bands).foreach(b => VersionedTable.append(spark, root, band(b)))
+  }
+
+  test("readWhere prunes files by manifest stats and matches a full filter") {
+    val root = freshRoot()
+    bandedTable(root, bands = 5, perBand = 20) // 10 files, k in 5 bands
+    val pred = col("k") >= 2000 && col("k") < 3000
+    val (kept, total) = VersionedTable.pruneProfile(spark, root, pred)
+    assert(total == 10 && kept == 2,
+      s"expected 2/10 files kept for one band, got $kept/$total")
+    val viaSkip = rowsOf(VersionedTable.readWhere(spark, root, pred))
+    val viaScan = rowsOf(VersionedTable.read(spark, root).filter(pred))
+    assert(viaSkip == viaScan && viaSkip.size == 20)
+  }
+
+  test("pruning is conservative across predicate shapes: readWhere == filter") {
+    val root = freshRoot()
+    val rows = (1 to 60).map { i =>
+      (i, if (i % 7 == 0) null else s"n${i % 10}",
+        if (i % 5 == 0) None else Some(i.toLong))
+    }
+    val df = rows.toDF("k", "name", "amt").repartitionByRange(4, col("k"))
+    VersionedTable.create(spark, root, df)
+    def rowsN(d: DataFrame): Set[(Int, String, Any)] =
+      d.collect().map(r => (r.getInt(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getLong(2))).toSet
+    val preds = Seq(
+      col("k") === 17,
+      col("k") === lit(17L),              // widened literal (int col vs long)
+      lit(40) <= col("k"),                // mirrored side
+      col("k").isin(3, 33, 999),
+      col("name") === "n3",
+      col("name").isNull,
+      col("name").isNotNull && col("k") < 10,
+      col("amt") > 50L,
+      col("amt").isNull,
+      coalesce(col("amt"), lit(0L)) > 55L, // unrecognized conjunct: no prune
+      col("k") > 1000                      // prunes EVERYTHING
+    )
+    preds.foreach { p =>
+      val skip = rowsN(VersionedTable.readWhere(spark, root, p))
+      val full = rowsN(VersionedTable.read(spark, root).filter(p))
+      assert(skip == full, s"readWhere diverged for predicate $p")
+    }
+    // and the everything-pruned case really scanned nothing
+    assert(VersionedTable.pruneProfile(spark, root, col("k") > 1000)._1 == 0)
+  }
+
+  test("deleteWhere and updateWhere rewrite only stats-overlapping files") {
+    val root = freshRoot()
+    bandedTable(root, bands = 4, perBand = 10) // 8 files
+    def filesOf(df: DataFrame): Set[String] =
+      df.select(input_file_name()).distinct()
+        .collect().map(_.getString(0)).toSet
+    val before = filesOf(VersionedTable.read(spark, root))
+    assert(before.size == 8)
+    // delete one band: its 2 files go, 6 carried byte-identical
+    VersionedTable.deleteWhere(spark, root,
+      col("k") >= 1000 && col("k") < 2000)
+    val afterDel = filesOf(VersionedTable.read(spark, root))
+    assert((before intersect afterDel).size == 6,
+      "non-overlapping files must be carried, not rewritten")
+    assert(VersionedTable.read(spark, root).count() == 30)
+    assert(VersionedTable.read(spark, root)
+      .filter(col("k") >= 1000 && col("k") < 2000).isEmpty)
+    // update one band: only that band's files are replaced
+    val v = VersionedTable.updateWhere(spark, root,
+      col("k") >= 3000, Map("name" -> lit("touched")))
+    val afterUpd = filesOf(VersionedTable.read(spark, root))
+    assert((afterDel intersect afterUpd).size == afterDel.size - 2)
+    assert(rowsOf(VersionedTable.read(spark, root)
+      .filter(col("k") >= 3000)).forall(_._2 == "touched"))
+    // rows outside the predicate kept their values
+    assert(rowsOf(VersionedTable.read(spark, root)
+      .filter(col("k") < 1000)).forall(_._2.startsWith("b0r")))
+    // a provably-no-match mutation commits nothing
+    assert(VersionedTable.deleteWhere(spark, root, col("k") > 50000) == v)
+    // time travel still sees the pre-delete band (snapshot isolation)
+    assert(VersionedTable.read(spark, root, Some(4L))
+      .filter(col("k") >= 1000 && col("k") < 2000).count() == 10)
+  }
+
+  test("merge key-range pruning: candidates shrink to overlapping files") {
+    val root = freshRoot()
+    bandedTable(root, bands = 5, perBand = 10) // 10 files
+    val m = VersionedTable.readManifest(spark, root, 5L)
+    // source keys confined to band 2 → only band 2's files are candidates
+    val src = dim((2003, "x", 1L), (2007, "y", 2L)).select(col("k"))
+    val cand = VersionedTable.keyRangePrune(spark, m, src, Seq("k"))
+    assert(cand.size == 2, s"expected 2 candidate files, got ${cand.size}")
+    // an all-null key source matches nothing range-wise and the table
+    // has no null keys → zero candidates
+    val nullSrc = Seq(Tuple1(Option.empty[Int])).toDF("k")
+    assert(VersionedTable.keyRangePrune(spark, m, nullSrc, Seq("k")).isEmpty)
+    // an EMPTY source (sum(null-count) aggregates to NULL): zero
+    // candidates, and the merge still commits — an empty streaming
+    // batch must record its batch id without scanning anything
+    assert(VersionedTable.keyRangePrune(spark, m,
+      nullSrc.limit(0), Seq("k")).isEmpty)
+    val preRows = rowsOf(VersionedTable.read(spark, root))
+    val vEmpty = VersionedTable.merge(spark, root,
+      dim().limit(0), Seq("k"))
+    assert(vEmpty == 6L &&
+      rowsOf(VersionedTable.read(spark, root)) == preRows)
+    // and the merge result over the pruned path is still exact
+    VersionedTable.merge(spark, root, dim((2003, "upd", 99L), (9999, "new", 1L)),
+      Seq("k"))
+    val got = rowsOf(VersionedTable.read(spark, root))
+    assert(got.contains((2003, "upd", 99L)) && got.contains((9999, "new", 1L))
+      && got.size == 51)
+  }
+
+  test("stats round-trip hostile values; legacy stats-less manifests still read") {
+    val root = freshRoot()
+    val rows = Seq(
+      (1, "tab\there", 1L), (2, "comma,~tilde", 2L), (3, "=eq%enc\n?", 3L),
+      (4, null, 4L), (5, "", 5L), (6, "ünïcødé", 6L))
+    VersionedTable.create(spark, root,
+      rows.toDF("k", "name", "amt").coalesce(1))
+    val m = VersionedTable.readManifest(spark, root, 1L)
+    assert(m.files.size == 1)
+    val st = m.files.head.stats
+    assert(st("name").min.contains("") && st("name").nulls == 1L)
+    assert(st("k").min.contains("1") && st("k").max.contains("6"))
+    // empty-string min must prune correctly and match the filter
+    assert(rowsOf(VersionedTable.readWhere(spark, root, col("name") === "")) ==
+      Set((5, "", 5L)))
+    // strip the stats from the manifest on disk → legacy format: reads,
+    // never prunes, still merges
+    val mp = new java.io.File(s"$root/_manifests").listFiles()
+      .filter(_.getName.endsWith(".manifest")).head.toPath
+    val legacy = new String(java.nio.file.Files.readAllBytes(mp), "UTF-8")
+      .linesIterator.map(l =>
+        if (l.startsWith("data/")) l.takeWhile(_ != '\t') else l)
+      .mkString("\n") + "\n"
+    java.nio.file.Files.write(mp, legacy.getBytes("UTF-8"))
+    // the raw rewrite bypassed Hadoop's LocalFS checksum shadow file
+    new java.io.File(mp.getParent.toFile, "." + mp.getFileName + ".crc")
+      .delete()
+    assert(VersionedTable.readManifest(spark, root, 1L)
+      .files.forall(e => e.rows == -1L && e.stats.isEmpty))
+    val (kept, total) =
+      VersionedTable.pruneProfile(spark, root, col("k") > 100)
+    assert(kept == total, "legacy entries must never prune")
+    VersionedTable.merge(spark, root, Seq((2, "upd", 22L)).toDF("k", "name", "amt"),
+      Seq("k"))
+    assert(rowsOf(VersionedTable.read(spark, root)).exists(
+      t => t == ((2, "upd", 22L))))
+  }
 }
