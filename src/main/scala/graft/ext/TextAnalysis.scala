@@ -899,4 +899,93 @@ object TextAnalysis {
       .filter(col("cum_tokens") - col("__tok") < budget)
       .drop("__tok")
   }
+
+  // ---- DSIR: data selection via importance resampling --------------------
+  // Xie et al. 2023 ("Data Selection for Language Models via Importance
+  // Resampling", public): estimate hashed-feature distributions over a
+  // small TARGET corpus (the domain you want more of) and the big raw
+  // corpus, weight every raw document by its log likelihood ratio, and
+  // keep the top of the ranking. The feature space is unigrams hashed
+  // into `buckets` cells, so both "models" are one bounded count vector
+  // each — trainable in one wordcount-shaped aggregate regardless of
+  // corpus size, and the SCORING is a pure projection (the log-ratio
+  // table rides along as a literal array), zero exchanges at any scale
+  // and unchanged under Structured Streaming.
+
+  /** Engine-portable hashed feature bucket of token `t`: the seeded
+    * md5 low byte (the [[deterministicSplit]] idiom — native
+    * `md5_low_byte`, replayed in SQL via strpos on the last two hex
+    * chars) folded into [0, buckets). buckets must be ≤ 256; the DSIR
+    * paper's hashed feature space is similarly small. */
+  private def dsirBucket(t: Column, buckets: Int, seed: Int): Column =
+    call_function("md5_low_byte", concat(lit(s"dsir:$seed:"), t)) % buckets
+
+  /** Train the DSIR log likelihood-ratio table: per hashed bucket b,
+    * ln p_target(b) − ln p_corpus(b), add-alpha smoothed. TWO bounded
+    * aggregates (≤ `buckets` rows each collect to the driver); at
+    * 100 TB the target side is small by definition and the corpus side
+    * is one map-side-combined wordcount. */
+  def dsirLogRatios(corpus: org.apache.spark.sql.DataFrame,
+      corpusTextCol: String, target: org.apache.spark.sql.DataFrame,
+      targetTextCol: String, buckets: Int, alpha: Double,
+      seed: Int): Seq[Double] = {
+    require(buckets > 0 && buckets <= 256,
+      s"buckets must be in 1..256: $buckets")
+    require(alpha > 0, s"smoothing alpha must be positive: $alpha")
+    def bucketCounts(df: org.apache.spark.sql.DataFrame,
+        textCol: String): Map[Int, Long] =
+      df.select(explode(filter(tokens(col(textCol)),
+          t => length(t) > 0)).as("t"))
+        .select(dsirBucket(col("t"), buckets, seed).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val tc = bucketCounts(target, targetTextCol)
+    val cc = bucketCounts(corpus, corpusTextCol)
+    val tTot = tc.values.sum.toDouble
+    val cTot = cc.values.sum.toDouble
+    (0 until buckets).map { b =>
+      math.log((tc.getOrElse(b, 0L) + alpha) / (tTot + alpha * buckets)) -
+        math.log((cc.getOrElse(b, 0L) + alpha) / (cTot + alpha * buckets))
+    }
+  }
+
+  /** Score documents under a trained ratio table — a PURE PROJECTION
+    * (the `buckets` doubles ship as an array literal; the per-doc
+    * weight is a left fold over the token array). Returns (idCol,
+    * n_tokens, dsir_logweight): the summed log likelihood ratio,
+    * rounded to 6 places so the fold order can never leak into a
+    * downstream exact compare (the q127 frozen-LM discipline). */
+  def dsirScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, ratios: Seq[Double], buckets: Int,
+      seed: Int): org.apache.spark.sql.DataFrame = {
+    require(ratios.size == buckets,
+      s"ratio table size ${ratios.size} != buckets $buckets")
+    val rArr = typedlit(ratios)
+    val ts = filter(tokens(col(textCol)), t => length(t) > 0)
+    val w = aggregate(ts, lit(0.0), (acc, t) =>
+      acc + element_at(rArr, dsirBucket(t, buckets, seed) + 1))
+    df.select(col(idCol), size(ts).cast("long").as("n_tokens"),
+      round(w, 6).as("dsir_logweight"))
+  }
+
+  /** DSIR selection: train on (target vs corpus), score the corpus,
+    * keep the top `k` documents by log importance weight (rounded
+    * weight desc, id asc — fully deterministic; true DSIR perturbs the
+    * ranking with seeded Gumbel noise before the cut, which changes
+    * WHICH near-tied docs land in the kept set but not the operator
+    * shape). The cut is a distributed TakeOrdered — no single-partition
+    * exchange. Zero-token documents are excluded: they carry no
+    * evidence in either direction. */
+  def dsirSelect(corpus: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, target: org.apache.spark.sql.DataFrame,
+      targetTextCol: String, k: Int, buckets: Int = 64,
+      alpha: Double = 1.0, seed: Int = 7): org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val ratios = dsirLogRatios(corpus, textCol, target, targetTextCol,
+      buckets, alpha, seed)
+    dsirScore(corpus, idCol, textCol, ratios, buckets, seed)
+      .filter(col("n_tokens") > 0)
+      .orderBy(col("dsir_logweight").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -917,6 +917,22 @@ object ExtQueries extends QueryPack {
       out.orderBy(col("doc_id"))
     },
 
+    // DSIR (Xie et al. 2023): hashed-unigram importance resampling —
+    // weight every corpus document by its log likelihood ratio between
+    // a TARGET distribution (here: the English slice) and the raw
+    // corpus, keep the top-K. Training is two 64-row bucket counts;
+    // scoring is a pure projection (ratio table as an array literal);
+    // the cut is a distributed TakeOrdered. The oracle replays the
+    // full construction: same md5 buckets, same add-1 smoothing, same
+    // rounded ranking.
+    "q155_dsir_select" -> { (s, dir) =>
+      val d = docs(s, dir)
+      TextAnalysis.dsirSelect(d, "doc_id", "text",
+        d.filter(col("lang") === "en"), "text",
+        k = 150, buckets = 64, alpha = 1.0, seed = 7)
+        .orderBy(col("dsir_logweight").desc, col("doc_id"))
+    },
+
     // Unigram LM quality score: per-doc mean token log-probability
     // under the corpus distribution — the cheap fluency proxy between
     // heuristic quality flags and a real LM.
@@ -1865,6 +1881,33 @@ object ExtQueries extends QueryPack {
         |  CASE WHEN bk < 204 THEN 'train'
         |       WHEN bk < 230 THEN 'val' ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+    "q155_dsir_select" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS t
+        |  FROM documents),
+        |ex AS (SELECT doc_id, unnest(t) AS term FROM tk),
+        |bk AS (SELECT doc_id,
+        |    ((strpos('0123456789abcdef',
+        |        substring(md5('dsir:7:' || term), 31, 1)) - 1) * 16 +
+        |     (strpos('0123456789abcdef',
+        |        substring(md5('dsir:7:' || term), 32, 1)) - 1)) % 64 AS b
+        |  FROM ex),
+        |cq AS (SELECT b, COUNT(*) AS c FROM bk GROUP BY b),
+        |ct AS (SELECT bk.b AS b, COUNT(*) AS c FROM bk
+        |  JOIN documents d USING (doc_id)
+        |  WHERE d.lang = 'en' GROUP BY bk.b),
+        |tot AS (SELECT (SELECT CAST(SUM(c) AS DOUBLE) FROM ct) AS tt,
+        |               (SELECT CAST(SUM(c) AS DOUBLE) FROM cq) AS qt),
+        |r AS (SELECT g.range AS b,
+        |    ln((COALESCE(ct.c, 0) + 1.0) / (tot.tt + 64.0))
+        |  - ln((COALESCE(cq.c, 0) + 1.0) / (tot.qt + 64.0)) AS lr
+        |  FROM range(64) g LEFT JOIN ct ON ct.b = g.range
+        |    LEFT JOIN cq ON cq.b = g.range CROSS JOIN tot),
+        |s AS (SELECT bk.doc_id, COUNT(*) AS n_tokens,
+        |    round(SUM(r.lr), 6) AS dsir_logweight
+        |  FROM bk JOIN r USING (b) GROUP BY bk.doc_id)
+        |SELECT doc_id, n_tokens, dsir_logweight FROM s
+        |ORDER BY dsir_logweight DESC, doc_id LIMIT 150""".stripMargin,
     "q113_corpus_split" ->
       """WITH b AS (SELECT doc_id,
         |    CAST((strpos('0123456789abcdef',

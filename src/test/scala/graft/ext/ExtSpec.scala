@@ -1152,4 +1152,45 @@ class ExtSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 900L), (2L, 1800L), (3L, 2700L),
       (4L, 5000L)))
   }
+
+  test("dsirSelect ranks target-like documents above off-domain ones") {
+    // target speaks only {alpha beta gamma}; corpus mixes those tokens
+    // with {zzz yyy xxx} noise docs — the likelihood-ratio ranking must
+    // put every target-vocabulary doc above every noise doc
+    val target = docs(
+      (100L, "alpha beta gamma alpha"), (101L, "beta gamma alpha beta"))
+    val corpus = docs(
+      (1L, "alpha beta gamma"), (2L, "gamma alpha beta alpha"),
+      (3L, "zzz yyy xxx zzz"), (4L, "yyy xxx zzz"),
+      (5L, "alpha zzz")) // mixed: must land between
+    val out = TextAnalysis.dsirSelect(corpus, "id", "text", target, "text",
+      k = 5, buckets = 64, alpha = 0.1, seed = 7)
+      .select("id", "dsir_logweight").as[(Long, Double)].collect()
+    val rank = out.sortBy(-_._2).map(_._1).toSeq
+    assert(Set(rank(0), rank(1)) == Set(1L, 2L), s"got $rank")
+    assert(rank(2) == 5L, s"mixed doc must rank third: $rank")
+    assert(out.forall { case (id, w) =>
+      if (id <= 2) w > 0 else if (id >= 3 && id != 5) w < 0 else true })
+  }
+
+  test("dsirScore is a pure projection and dsirLogRatios sums to a proper table") {
+    val target = docs((100L, "alpha beta"))
+    val corpus = docs((1L, "alpha zzz"), (2L, "beta yyy"))
+    val ratios = TextAnalysis.dsirLogRatios(corpus, "text", target, "text",
+      buckets = 32, alpha = 1.0, seed = 3)
+    assert(ratios.size == 32 && ratios.forall(r => !r.isNaN && !r.isInfinite))
+    val scored = TextAnalysis.dsirScore(corpus, "id", "text", ratios,
+      buckets = 32, seed = 3)
+    // scoring must not exchange: the ratio table is a literal, the
+    // fold is per-row — the 100 TB contract (and streaming parity)
+    assert(!scored.queryExecution.executedPlan.toString.contains("Exchange"),
+      "dsirScore must stay a pure projection")
+    val byId = scored.select("id", "n_tokens", "dsir_logweight")
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> t).toMap
+    assert(byId(1L)._2 == 2L && byId(2L)._2 == 2L)
+    // zero-token doc scores 0 with 0 tokens
+    val z = TextAnalysis.dsirScore(docs((9L, "   ")), "id", "text", ratios,
+      buckets = 32, seed = 3).as[(Long, Long, Double)].collect().head
+    assert(z == ((9L, 0L, 0.0)))
+  }
 }
