@@ -481,6 +481,35 @@ object IoQueries extends QueryPack {
       require((afterDel intersect files()).size == uTotal - uKept,
         "files outside the update range must be carried, not rewritten")
       VersionedTable.read(s, root).orderBy(col("c_custkey"))
+    },
+
+    // OPTIMIZE-style clustering: an interleaved layout (every file
+    // spans the whole key range) prunes NOTHING; one clusterBy rewrite
+    // sorts rows into contiguous ranges and the same predicate then
+    // touches ≤2 of 8 files. The in-query requires pin the before
+    // (8/8 candidates) and after (≤2/8) pruning profiles — the part
+    // the oracle can't see — while the oracle checks the ranged read's
+    // content. At 100 TB this is the difference between a ranged query
+    // scanning the table and scanning its answer.
+    "q156_versioned_cluster" -> { (s, dir) =>
+      import graft.sources.VersionedTable
+      val root = tmp(s, s"vt_cluster/${java.util.UUID.randomUUID()}")
+      val orders = graft.Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          CoreQueries.cents(col("o_totalprice")).as("cents"))
+      val maxKey = orders.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+      val w = maxKey / 6 + 1
+      VersionedTable.create(s, root, orders.repartition(8))
+      val pred = col("o_orderkey") >= lit(w) && col("o_orderkey") < lit(2L * w)
+      val (k0, t0) = VersionedTable.pruneProfile(s, root, pred)
+      require(k0 == t0 && t0 == 8,
+        s"interleaved layout must keep all candidates, got $k0/$t0")
+      VersionedTable.clusterBy(s, root, Seq("o_orderkey"),
+        targetPartitions = 8)
+      val (k1, t1) = VersionedTable.pruneProfile(s, root, pred)
+      require(t1 == 8 && k1 <= 2,
+        s"clustered layout must prune to <=2/8 files, got $k1/$t1")
+      VersionedTable.readWhere(s, root, pred).orderBy(col("o_orderkey"))
     }
   )
 
@@ -550,6 +579,14 @@ object IoQueries extends QueryPack {
         |FROM orders
         |WHERE o_orderkey >= 3*(SELECT w FROM w)
         |  AND o_orderkey < 4*(SELECT w FROM w)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q156_versioned_cluster" ->
+      """WITH w AS (SELECT MAX(o_orderkey)//6 + 1 AS w FROM orders)
+        |SELECT o_orderkey, o_custkey,
+        |  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders
+        |WHERE o_orderkey >= (SELECT w FROM w)
+        |  AND o_orderkey < 2*(SELECT w FROM w)
         |ORDER BY o_orderkey""".stripMargin,
     "q154_versioned_delete_update" ->
       """WITH m AS (SELECT MAX(c_custkey) AS k FROM customer)

@@ -888,6 +888,34 @@ object VersionedTable {
       big ++ writeData(spark, root, rows), m.meta)
   }
 
+  /** Rewrite the table range-clustered on `cols` as a new version:
+    * rows sorted into `targetPartitions` contiguous ranges, so the
+    * per-file min/max stats in the manifest become (near-)disjoint and
+    * a point or range predicate on the leading cluster column prunes
+    * to O(1) files via [[readWhere]] — Delta `OPTIMIZE ... ZORDER BY`'s
+    * 1-D case (the multi-dimensional Z-order curve for path layouts
+    * lives in [[graft.ops.Scale.compactWriteZ]]). Contents unchanged,
+    * meta carried, old versions still time-travel until [[vacuum]].
+    * Data skipping works WITHOUT clustering, but on a layout whose
+    * files all span the full key range it prunes nothing — cluster
+    * once, then every ranged read, delete, and key-ranged merge
+    * touches only the overlapping fraction of the table. */
+  def clusterBy(spark: SparkSession, root: String, cols: Seq[String],
+      targetPartitions: Int): Long = {
+    require(cols.nonEmpty, "clusterBy needs at least one column")
+    require(targetPartitions > 0, "targetPartitions must be positive")
+    val base = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root: no versioned table"))
+    val m = readManifest(spark, root, base)
+    val bad = cols.filterNot(m.schema.fieldNames.contains)
+    require(bad.isEmpty, s"unknown cluster column(s): $bad")
+    val rows = scanEntries(spark, root, m.schema, m.files)
+      .repartitionByRange(targetPartitions, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+    commit(spark, root, base, m.schema,
+      writeData(spark, root, rows), m.meta)
+  }
+
   /** Drop every version below `keepFrom` and any data file/dir no kept
     * manifest references — the GC that stops manifest/file accumulation
     * (Delta VACUUM / Iceberg expire_snapshots). Also sweeps ORPHAN data

@@ -443,6 +443,29 @@ class VersionedTableSpec extends AnyFunSuite {
       && got.size == 51)
   }
 
+  test("clusterBy makes skipping effective and preserves contents + history") {
+    val root = freshRoot()
+    // interleaved layout: every file spans the whole key range, so
+    // stats can prune NOTHING
+    val base = dim((1 to 80).map(i => (i, s"n$i", i.toLong)): _*)
+      .repartition(4)
+    VersionedTable.create(spark, root, base)
+    val pred = col("k") >= 20 && col("k") < 30
+    val (k0, t0) = VersionedTable.pruneProfile(spark, root, pred)
+    assert(k0 == t0, "interleaved files must all stay candidates")
+    val pre = rowsOf(VersionedTable.read(spark, root))
+    val v = VersionedTable.clusterBy(spark, root, Seq("k"),
+      targetPartitions = 4)
+    assert(v == 2L)
+    val (k1, t1) = VersionedTable.pruneProfile(spark, root, pred)
+    assert(t1 == 4 && k1 <= 2, s"clustered prune got $k1/$t1")
+    assert(rowsOf(VersionedTable.read(spark, root)) == pre)
+    assert(rowsOf(VersionedTable.readWhere(spark, root, pred)) ==
+      pre.filter(r => r._1 >= 20 && r._1 < 30))
+    // the unclustered layout still time-travels
+    assert(rowsOf(VersionedTable.read(spark, root, Some(1L))) == pre)
+  }
+
   test("stats round-trip hostile values; legacy stats-less manifests still read") {
     val root = freshRoot()
     val rows = Seq(
