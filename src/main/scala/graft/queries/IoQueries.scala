@@ -510,6 +510,37 @@ object IoQueries extends QueryPack {
       require(t1 == 8 && k1 <= 2,
         s"clustered layout must prune to <=2/8 files, got $k1/$t1")
       VersionedTable.readWhere(s, root, pred).orderBy(col("o_orderkey"))
+    },
+
+    // Schema evolution (Delta mergeSchema): an append carrying a column
+    // the table has never seen widens the schema as ONE atomic commit;
+    // existing files are carried untouched and read as NULL for the new
+    // column. In-query requires pin the version-scoped shapes the
+    // oracle can't see: time travel to v1 still reads the narrow
+    // schema, and the current read is the widened one. The oracle
+    // checks the merged content — base rows with NULL cents, appended
+    // rows with theirs.
+    "q157_versioned_evolve" -> { (s, dir) =>
+      import graft.sources.VersionedTable
+      val root = tmp(s, s"vt_evolve/${java.util.UUID.randomUUID()}")
+      val base = graft.Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") < 200)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      VersionedTable.create(s, root, base)
+      val feed = graft.Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 300)
+        .select((col("o_orderkey") + 100000).cast("long").as("c_custkey"),
+          lit("NEW").as("c_mktsegment"),
+          CoreQueries.cents(col("o_totalprice")).as("cents"))
+      VersionedTable.appendEvolve(s, root, feed)
+      require(VersionedTable.read(s, root, Some(1L)).columns.toSeq ==
+        Seq("c_custkey", "c_mktsegment"),
+        "time travel must read the pre-evolution schema")
+      val out = VersionedTable.read(s, root)
+      require(out.columns.toSeq ==
+        Seq("c_custkey", "c_mktsegment", "cents"),
+        "current read must carry the widened schema")
+      out.orderBy(col("c_custkey"))
     }
   )
 
@@ -580,6 +611,14 @@ object IoQueries extends QueryPack {
         |WHERE o_orderkey >= 3*(SELECT w FROM w)
         |  AND o_orderkey < 4*(SELECT w FROM w)
         |ORDER BY o_orderkey""".stripMargin,
+    "q157_versioned_evolve" ->
+      """SELECT c_custkey, c_mktsegment, CAST(NULL AS BIGINT) AS cents
+        |FROM customer WHERE c_custkey < 200
+        |UNION ALL
+        |SELECT o_orderkey + 100000, 'NEW',
+        |  CAST(ROUND(o_totalprice * 100) AS BIGINT)
+        |FROM orders WHERE o_orderkey < 300
+        |ORDER BY c_custkey""".stripMargin,
     "q156_versioned_cluster" ->
       """WITH w AS (SELECT MAX(o_orderkey)//6 + 1 AS w FROM orders)
         |SELECT o_orderkey, o_custkey,

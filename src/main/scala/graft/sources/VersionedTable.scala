@@ -637,6 +637,40 @@ object VersionedTable {
       m.files ++ writeData(spark, root, aligned), m.meta)
   }
 
+  /** Append with SCHEMA EVOLUTION (Delta `mergeSchema`): columns of
+    * `df` the table has never seen are added to the table schema as
+    * nullable fields; existing files are carried untouched and read as
+    * NULL for the new columns (the manifest schema drives every scan,
+    * and a parquet file simply lacks the column). Columns the table
+    * has that `df` lacks are filled with NULL. A column present in
+    * BOTH must match the stored type exactly — silent type widening
+    * corrupts downstream assumptions, so a mismatch refuses loudly.
+    * Each version keeps ITS OWN schema: time travel to a pre-evolution
+    * version reads the old shape. */
+  def appendEvolve(spark: SparkSession, root: String, df: DataFrame): Long = {
+    val base = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root: no versioned table"))
+    val m = readManifest(spark, root, base)
+    val existing = m.schema.fields.map(f => f.name -> f.dataType).toMap
+    df.schema.fields.foreach { f =>
+      existing.get(f.name).foreach { dt =>
+        require(dt == f.dataType,
+          s"appendEvolve: column '${f.name}' is ${dt.catalogString} in the " +
+            s"table but ${f.dataType.catalogString} in the append — type " +
+            "evolution is not supported; cast explicitly")
+      }
+    }
+    val added = df.schema.fields.filterNot(f => existing.contains(f.name))
+      .map(f => f.copy(nullable = true))
+    val newSchema = StructType(m.schema.fields ++ added)
+    val aligned = df.select(newSchema.fieldNames.toIndexedSeq.map { n =>
+      if (df.columns.contains(n)) col(n)
+      else lit(null).cast(newSchema(n).dataType).as(n)
+    }: _*)
+    commit(spark, root, base, newSchema,
+      m.files ++ writeData(spark, root, aligned), m.meta)
+  }
+
   /** Shared copy-on-write core: split the current snapshot into the
     * files that contain a key matched by `source` (rewritten) and the
     * rest (carried unchanged into the next manifest), build the

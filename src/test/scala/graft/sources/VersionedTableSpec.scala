@@ -466,6 +466,45 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(rowsOf(VersionedTable.read(spark, root, Some(1L))) == pre)
   }
 
+  test("appendEvolve widens the schema; old files read NULL; history keeps shapes") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root,
+      Seq((1, "a"), (2, "b")).toDF("k", "name"))
+    // new column arrives; an existing column is absent from the feed
+    val v2 = VersionedTable.appendEvolve(spark, root,
+      Seq((3, 30L), (4, 40L)).toDF("k", "amt"))
+    assert(v2 == 2L)
+    val cur = VersionedTable.read(spark, root)
+    assert(cur.columns.toSeq == Seq("k", "name", "amt"))
+    val got = cur.collect().map(r => (r.getInt(0),
+      if (r.isNullAt(1)) null else r.getString(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(got == Set((1, "a", -1L), (2, "b", -1L),
+      (3, null, 30L), (4, null, 40L)))
+    // pre-evolution version keeps its own (narrower) schema
+    assert(VersionedTable.read(spark, root, Some(1L)).columns.toSeq ==
+      Seq("k", "name"))
+    // old files have no stats for the new column → never pruned on it,
+    // and the filter still computes correctly over their NULLs
+    assert(VersionedTable.readWhere(spark, root, col("amt") > 35L)
+      .collect().map(_.getInt(0)).toSeq == Seq(4))
+    // type mismatch on a shared column refuses loudly
+    val err = intercept[IllegalArgumentException] {
+      VersionedTable.appendEvolve(spark, root,
+        Seq(("5", 50L)).toDF("k", "amt"))
+    }
+    assert(err.getMessage.contains("type"), err.getMessage)
+    // merges keep working against the evolved schema
+    VersionedTable.merge(spark, root,
+      Seq((1, "a2", Some(11L)), (9, "i", None)).toDF("k", "name", "amt"),
+      keys = Seq("k"))
+    val after = VersionedTable.read(spark, root)
+      .filter(col("k").isin(1, 9)).collect()
+      .map(r => (r.getInt(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(after == Set((1, "a2", 11L), (9, "i", -1L)))
+  }
+
   test("stats round-trip hostile values; legacy stats-less manifests still read") {
     val root = freshRoot()
     val rows = Seq(
