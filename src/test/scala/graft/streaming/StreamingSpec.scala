@@ -407,6 +407,41 @@ class StreamingSpec extends AnyFunSuite {
       (3L, Seq("Another keeper line here?"))))
   }
 
+  test("dsirScore: frozen ratio table streams unchanged (split-invariant)") {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def frameD(rows: Seq[Row]): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), docSchema)
+    val db1 = Seq(Row(1L, "alpha beta gamma"), Row(2L, "zzz yyy xxx"))
+    val db2 = Seq(Row(3L, "alpha zzz beta"))
+    // ratios frozen from batch 1 against an on-domain target — the
+    // deployment shape: train once, score arrivals as a projection
+    val ratios = graft.ext.TextAnalysis.dsirLogRatios(
+      frameD(db1), "text", frameD(Seq(Row(9L, "alpha beta"))), "text",
+      buckets = 32, alpha = 1.0, seed = 5)
+    def score(df: DataFrame) = graft.ext.TextAnalysis.dsirScore(
+      df, "doc_id", "text", ratios, buckets = 32, seed = 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_dsir")
+    dir.toFile.deleteOnExit()
+    val src = dir.toString + "/in"
+    frameD(db1).write.mode(SaveMode.Append).parquet(src)
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Double)]
+    val q = score(spark.readStream.schema(docSchema).parquet(src))
+      .writeStream.outputMode("append").foreachBatch {
+        (batch: DataFrame, _: Long) =>
+          got ++= batch.as[(Long, Long, Double)].collect()
+          ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      frameD(db2).write.mode(SaveMode.Append).parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batchRun = score(frameD(db1 ++ db2))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got.toSet == batchRun)
+  }
+
   test("unigramScoreFrozen: pure projection streams unchanged; agrees with the self-scored form") {
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
