@@ -541,6 +541,51 @@ object IoQueries extends QueryPack {
         Seq("c_custkey", "c_mktsegment", "cents"),
         "current read must carry the widened schema")
       out.orderBy(col("c_custkey"))
+    },
+
+    // Row-level CHANGE DATA FEED across rewrites (Delta CDF): a
+    // cdf-enabled merge and a cdf-enabled ranged delete capture their
+    // exact row deltas as change files riding the same atomic commit;
+    // readChanges emits delete/insert rows tagged with their commit
+    // version — an update is a delete+insert pair. The in-query
+    // require proves the feed's defining property the oracle can't
+    // see: v1 ∪ inserts ⊖ deletes == the current snapshot, as
+    // multisets. The oracle reconstructs the expected change rows from
+    // the same SQL the q145 merge oracle uses.
+    "q158_versioned_cdf" -> { (s, dir) =>
+      import graft.sources.VersionedTable
+      val root = tmp(s, s"vt_cdf/${java.util.UUID.randomUUID()}")
+      val base = graft.Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") < 500)
+        .select(col("c_custkey"), col("c_name"),
+          CoreQueries.cents(col("c_acctbal")).as("cents"))
+      VersionedTable.create(s, root, base)
+      val feed = graft.Tables.load(s, dir, "orders")
+        .filter(col("o_custkey") < 800)
+        .groupBy(col("o_custkey"))
+        .agg(sum(CoreQueries.cents(col("o_totalprice"))).as("cents"))
+        .select(col("o_custkey").as("c_custkey"),
+          concat(lit("merged_"), col("o_custkey").cast("string"))
+            .as("c_name"),
+          col("cents"))
+      VersionedTable.merge(s, root, feed, keys = Seq("c_custkey"),
+        cdf = true)
+      VersionedTable.deleteWhere(s, root, col("c_custkey") < 100,
+        cdf = true)
+      val ch = VersionedTable.readChanges(s, root, 1L)
+      val dataCols = Seq("c_custkey", "c_name", "cents")
+      val ins = ch.filter(col("_change_type") === "insert")
+        .select(dataCols.map(col): _*)
+      val del = ch.filter(col("_change_type") === "delete")
+        .select(dataCols.map(col): _*)
+      val replayed = VersionedTable.read(s, root, Some(1L))
+        .unionByName(ins).exceptAll(del)
+      val cur = VersionedTable.read(s, root)
+      require(replayed.exceptAll(cur).isEmpty &&
+        cur.exceptAll(replayed).isEmpty,
+        "CDF replay must reproduce the current snapshot exactly")
+      ch.orderBy(col("_commit_version"), col("_change_type"),
+        col("c_custkey"))
     }
   )
 
@@ -611,6 +656,28 @@ object IoQueries extends QueryPack {
         |WHERE o_orderkey >= 3*(SELECT w FROM w)
         |  AND o_orderkey < 4*(SELECT w FROM w)
         |ORDER BY o_orderkey""".stripMargin,
+    "q158_versioned_cdf" ->
+      """WITH base AS (SELECT c_custkey, c_name,
+        |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer WHERE c_custkey < 500),
+        |feed AS (SELECT o_custkey AS c_custkey,
+        |    'merged_' || CAST(o_custkey AS VARCHAR) AS c_name,
+        |    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders WHERE o_custkey < 800 GROUP BY o_custkey),
+        |v2 AS (SELECT COALESCE(b.c_custkey, f.c_custkey) AS c_custkey,
+        |    COALESCE(f.c_name, b.c_name) AS c_name,
+        |    COALESCE(f.cents, b.cents) AS cents
+        |  FROM base b FULL OUTER JOIN feed f ON b.c_custkey = f.c_custkey)
+        |SELECT * FROM (
+        |  SELECT b.c_custkey, b.c_name, b.cents,
+        |    'delete' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+        |  FROM base b WHERE b.c_custkey IN (SELECT c_custkey FROM feed)
+        |  UNION ALL
+        |  SELECT f.c_custkey, f.c_name, f.cents, 'insert', 2 FROM feed f
+        |  UNION ALL
+        |  SELECT v.c_custkey, v.c_name, v.cents, 'delete', 3
+        |  FROM v2 v WHERE v.c_custkey < 100)
+        |ORDER BY _commit_version, _change_type, c_custkey""".stripMargin,
     "q157_versioned_evolve" ->
       """SELECT c_custkey, c_mktsegment, CAST(NULL AS BIGINT) AS cents
         |FROM customer WHERE c_custkey < 200

@@ -91,7 +91,15 @@ object VersionedTable {
       stats: Map[String, ColStats])
 
   private[sources] final case class Manifest(version: Long, schema: StructType,
-      files: Seq[FileEntry], meta: Map[String, String])
+      files: Seq[FileEntry], meta: Map[String, String],
+      // row-level change capture for THIS commit (Delta CDF design):
+      //   cdfNone = true        → rewrite with provably zero row changes
+      //                           (compact/clusterBy layout rewrites)
+      //   changeFiles nonEmpty  → explicit change parquet under changes/
+      //   both empty            → append-only commit (changes derivable
+      //                           from the file diff) or a legacy/non-CDF
+      //                           rewrite (readChanges refuses)
+      changeFiles: Seq[String] = Seq.empty, cdfNone: Boolean = false)
 
   private[sources] def readManifest(spark: SparkSession, root: String,
       v: Long): Manifest = {
@@ -106,17 +114,24 @@ object VersionedTable {
       .fromJson(lines(1).stripPrefix("schema=")).asInstanceOf[StructType]
     // `meta k=v` lines ride between the schema and the file list —
     // table-level key-values that must move ATOMICALLY with the data
-    // (streaming batch watermarks); relative file paths never start
-    // with "meta "
-    val (metaLines, fileLines) =
-      lines.drop(2).filter(_.nonEmpty).partition(_.startsWith("meta "))
+    // (streaming batch watermarks); `cdf ...` lines carry this commit's
+    // change-capture record; relative file paths never start with
+    // either prefix (they start with "data/")
+    val body = lines.drop(2).filter(_.nonEmpty)
+    val metaLines = body.filter(_.startsWith("meta "))
+    val cdfLines = body.filter(_.startsWith("cdf "))
+    val fileLines = body.filterNot(l =>
+      l.startsWith("meta ") || l.startsWith("cdf "))
     val meta = metaLines.map { l =>
       val kv = l.stripPrefix("meta ")
       val i = kv.indexOf('=')
       require(i > 0, s"$p: bad meta line '$l'")
       kv.take(i) -> kv.drop(i + 1)
     }.toMap
-    Manifest(v, schema, fileLines.map(parseEntry), meta)
+    val cdfVals = cdfLines.map(_.stripPrefix("cdf "))
+    Manifest(v, schema, fileLines.map(parseEntry), meta,
+      changeFiles = cdfVals.filterNot(_ == "none"),
+      cdfNone = cdfVals.contains("none"))
   }
 
   // ---- file-entry (de)serialization -------------------------------------
@@ -164,7 +179,9 @@ object VersionedTable {
     * [[CommitConflict]]), then write-temp + rename. */
   private def commit(spark: SparkSession, root: String, base: Long,
       schema: StructType, files: Seq[FileEntry],
-      meta: Map[String, String] = Map.empty): Long = {
+      meta: Map[String, String] = Map.empty,
+      changeFiles: Seq[String] = Seq.empty,
+      cdfNone: Boolean = false): Long = {
     val next = base + 1
     val dir = manifestDir(root)
     val f = fs(spark, dir)
@@ -188,6 +205,8 @@ object VersionedTable {
           s"bad meta entry '$k'='$v'")
         w.write(s"meta $k=$v\n")
       }
+      if (cdfNone) w.write("cdf none\n")
+      else changeFiles.foreach(c => w.write(s"cdf $c\n"))
       files.foreach(e => w.write(entryLine(e) + "\n"))
       w.flush(); w.close()
     } finally if (out != null) try out.close() catch { case _: Throwable => }
@@ -296,6 +315,34 @@ object VersionedTable {
       }
     }
   }
+
+  /** Write a commit's row-level change set (table columns +
+    * `_change_type`) under changes/<uuid>/ and return the rel paths.
+    * Like data files: written BEFORE the manifest publish, so a torn
+    * write leaves only an orphan dir ([[vacuum]] sweeps it). */
+  private def writeChangeData(spark: SparkSession, root: String,
+      df: DataFrame): Seq[String] = {
+    val sub = s"changes/${java.util.UUID.randomUUID()}"
+    val abs = new Path(root, sub)
+    df.write.parquet(abs.toString)
+    fs(spark, abs).listStatus(abs).map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).sorted
+      .map(n => s"$sub/$n").toSeq
+  }
+
+  /** Row-level change set of a copy-on-write rewrite as a multiset
+    * diff: rows of the rewritten files that did not survive →
+    * `delete`, rows of the replacement that were not there before →
+    * `insert`. An update is a delete+insert pair of the same key; a
+    * rewrite that reproduces a row byte-identically emits nothing for
+    * it — the minimal true row delta, computed on REWRITE-bounded data
+    * (never the table). Delta's CDF refines this with
+    * update_pre/postimage labels; consumers that need the pairing
+    * join delete×insert on the key. */
+  private def changeDiff(before: DataFrame, after: DataFrame): DataFrame =
+    before.exceptAll(after).withColumn("_change_type", lit("delete"))
+      .unionByName(
+        after.exceptAll(before).withColumn("_change_type", lit("insert")))
 
   /** Create the table at `root` with `df` as version 1. */
   def create(spark: SparkSession, root: String, df: DataFrame): Long = {
@@ -583,8 +630,8 @@ object VersionedTable {
 
   /** Predicate-granular copy-on-write core: rewrite only the files the
     * stats pruner cannot clear for `pred`; carry the rest untouched. */
-  private def cowWhere(spark: SparkSession, root: String, pred: Column)(
-      rebuild: DataFrame => DataFrame): Long = {
+  private def cowWhere(spark: SparkSession, root: String, pred: Column,
+      cdf: Boolean = false)(rebuild: DataFrame => DataFrame): Long = {
     val base = currentVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root: no versioned table"))
     val m = readManifest(spark, root, base)
@@ -592,28 +639,41 @@ object VersionedTable {
     if (touched.isEmpty) return base // provably nothing matches
     val touchedSet = touched.map(_.rel).toSet
     val kept = m.files.filterNot(e => touchedSet.contains(e.rel))
-    val replacement = rebuild(scanEntries(spark, root, m.schema, touched))
+    val before = scanEntries(spark, root, m.schema, touched)
+    val replacement = rebuild(before)
       .select(m.schema.fieldNames.map(col).toIndexedSeq: _*)
     val newEntries =
       if (replacement.isEmpty) Seq.empty else writeData(spark, root, replacement)
-    commit(spark, root, base, m.schema, kept ++ newEntries, m.meta)
+    val change: Seq[String] =
+      if (!cdf) Seq.empty
+      else {
+        val diff = changeDiff(before,
+          scanEntries(spark, root, m.schema, newEntries))
+        if (diff.isEmpty) Seq.empty else writeChangeData(spark, root, diff)
+      }
+    commit(spark, root, base, m.schema, kept ++ newEntries, m.meta,
+      changeFiles = change, cdfNone = cdf && change.isEmpty)
   }
 
   /** DELETE WHERE pred, file-granular via data skipping: a file whose
     * stats exclude the predicate is carried, not rewritten — at 100 TB
     * a ranged delete rewrites the overlapping commits, not the table.
-    * SQL semantics: rows where pred is TRUE go; FALSE/NULL stay. */
-  def deleteWhere(spark: SparkSession, root: String, pred: Column): Long =
-    cowWhere(spark, root, pred)(df =>
+    * SQL semantics: rows where pred is TRUE go; FALSE/NULL stay.
+    * `cdf = true` records the deleted rows as a change set readable
+    * through [[readChanges]]. */
+  def deleteWhere(spark: SparkSession, root: String, pred: Column,
+      cdf: Boolean = false): Long =
+    cowWhere(spark, root, pred, cdf)(df =>
       df.filter(!coalesce(pred, lit(false))))
 
   /** UPDATE ... SET `set` WHERE pred, same file-granular discipline.
     * Set expressions are cast to the column's schema type; rows where
-    * pred is not TRUE keep their values. */
+    * pred is not TRUE keep their values. `cdf = true` records each
+    * changed row as a delete+insert pair for [[readChanges]]. */
   def updateWhere(spark: SparkSession, root: String, pred: Column,
-      set: Map[String, Column]): Long = {
+      set: Map[String, Column], cdf: Boolean = false): Long = {
     require(set.nonEmpty, "updateWhere needs at least one SET column")
-    cowWhere(spark, root, pred) { df =>
+    cowWhere(spark, root, pred, cdf) { df =>
       val unknown = set.keySet -- df.columns.toSet
       require(unknown.isEmpty, s"SET of unknown column(s): $unknown")
       val hit = coalesce(pred, lit(false))
@@ -686,7 +746,8 @@ object VersionedTable {
       // meta guard (streaming batch watermark) sees exactly the
       // snapshot the commit builds on; None → already applied, skip
       metaUpdate: Map[String, String] => Option[Map[String, String]] =
-        m => Some(m))(
+        m => Some(m),
+      cdf: Boolean = false)(
       rebuild: (DataFrame, DataFrame, DataFrame) => DataFrame): Long = {
     val base = currentVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root: no versioned table"))
@@ -726,7 +787,15 @@ object VersionedTable {
     val newEntries =
       if (replacement.isEmpty) Seq.empty
       else writeData(spark, root, replacement)
-    commit(spark, root, base, m.schema, keptE ++ newEntries, nextMeta)
+    val change: Seq[String] =
+      if (!cdf) Seq.empty
+      else {
+        val diff = changeDiff(affectedRows,
+          scanEntries(spark, root, m.schema, newEntries))
+        if (diff.isEmpty) Seq.empty else writeChangeData(spark, root, diff)
+      }
+    commit(spark, root, base, m.schema, keptE ++ newEntries, nextMeta,
+      changeFiles = change, cdfNone = cdf && change.isEmpty)
   }
 
   /** Files that may hold a key matching ANY source key: per key column,
@@ -793,8 +862,8 @@ object VersionedTable {
   def merge(spark: SparkSession, root: String, source: DataFrame,
       keys: Seq[String], setCols: Option[Seq[String]] = None,
       insertUnmatched: Boolean = true,
-      deleteMatched: Boolean = false): Long =
-    cowCommit(spark, root, source, keys) { (affected, src, full) =>
+      deleteMatched: Boolean = false, cdf: Boolean = false): Long =
+    cowCommit(spark, root, source, keys, cdf = cdf) { (affected, src, full) =>
       val cols = full.columns.toSeq
       val s = src.select(cols.map(col): _*)
       val rewritten =
@@ -812,8 +881,9 @@ object VersionedTable {
     * rows, insert fresh versions ([[graft.ops.Mutations.scdType2]]
     * semantics), rewriting only the files that hold a matched key. */
   def scdType2Commit(spark: SparkSession, root: String, feed: DataFrame,
-      keys: Seq[String], trackedCols: Seq[String], runStamp: String): Long =
-    cowCommit(spark, root, feed, keys) { (affected, f, full) =>
+      keys: Seq[String], trackedCols: Seq[String], runStamp: String,
+      cdf: Boolean = false): Long =
+    cowCommit(spark, root, feed, keys, cdf = cdf) { (affected, f, full) =>
       // brand-new keys (no current row anywhere) insert through the
       // same call: scdType2's full-outer join emits them from the
       // feed side, so the affected subset plus the feed is complete
@@ -843,7 +913,7 @@ object VersionedTable {
     * and skips. */
   def streamingUpsert(spark: SparkSession, root: String, batch: DataFrame,
       keys: Seq[String], queryName: String, batchId: Long,
-      maxRetries: Int = 10): Long = {
+      maxRetries: Int = 10, cdf: Boolean = false): Long = {
     require(queryName.nonEmpty && !queryName.contains('='),
       s"bad queryName '$queryName'")
     val metaKey = s"stream.$queryName.batch"
@@ -853,7 +923,8 @@ object VersionedTable {
         return cowCommit(spark, root, batch, keys,
           metaUpdate = m =>
             if (m.get(metaKey).exists(_.toLong >= batchId)) None
-            else Some(m + (metaKey -> batchId.toString))
+            else Some(m + (metaKey -> batchId.toString)),
+          cdf = cdf
         ) { (affected, src, full) =>
           val cols = full.columns.toSeq
           val s = src.select(cols.map(col): _*).dropDuplicates(keys)
@@ -898,6 +969,72 @@ object VersionedTable {
     scanEntries(spark, root, mTo.schema, added)
   }
 
+  /** Row-level change feed across versions (from, to]: the generalized
+    * form of [[readAppendsSince]] that survives rewrites. Per commit:
+    *
+    *  - append-only commits (create/append/appendEvolve) derive their
+    *    `insert` rows from the file diff — no extra storage, exactly
+    *    like the appends feed;
+    *  - CDF-enabled mutations (`cdf = true` on merge/SCD2/streaming
+    *    upsert/deleteWhere/updateWhere) read the change files the
+    *    commit captured: `delete` rows that did not survive the
+    *    rewrite, `insert` rows that replaced them (an update is a
+    *    delete+insert pair on the same key — Delta CDF's
+    *    pre/postimage without the label);
+    *  - layout-only rewrites (compact/clusterBy) are provably
+    *    zero-change and contribute nothing;
+    *  - a NON-CDF rewrite in the range REFUSES loudly — its row delta
+    *    was never captured and cannot be reconstructed from the file
+    *    diff (the [[readAppendsSince]] refusal, now opt-out-able).
+    *
+    * Emits the TO version's schema (evolution-gap columns are NULL)
+    * plus `_change_type` and `_commit_version`. Applying the feed to
+    * the FROM snapshot (remove `delete` rows, add `insert` rows, as
+    * multisets) reproduces the TO snapshot exactly — proven in spec. */
+  def readChanges(spark: SparkSession, root: String, fromVersion: Long,
+      toVersion: Option[Long] = None): DataFrame = {
+    val to = toVersion.orElse(currentVersion(spark, root)).getOrElse(
+      throw new IllegalArgumentException(s"$root: no versioned table"))
+    require(fromVersion >= 1 && fromVersion <= to,
+      s"need 1 <= fromVersion <= $to, got $fromVersion")
+    val toSchema = readManifest(spark, root, to).schema
+    val outCols = toSchema.fieldNames.toIndexedSeq
+    def align(df: DataFrame, v: Long): DataFrame =
+      df.select(outCols.map { n =>
+        if (df.columns.contains(n)) col(n)
+        else lit(null).cast(toSchema(n).dataType).as(n)
+      } :+ col("_change_type") :+ lit(v).as("_commit_version"): _*)
+    val frames = (fromVersion + 1 to to).flatMap { v =>
+      val m = readManifest(spark, root, v)
+      if (m.cdfNone) None
+      else if (m.changeFiles.nonEmpty) {
+        val cfSchema = m.schema.add("_change_type", StringType)
+        Some(align(spark.read.schema(cfSchema).parquet(
+          m.changeFiles.map(f => new Path(root, f).toString): _*), v))
+      } else {
+        val prev = readManifest(spark, root, v - 1)
+        val prevSet = prev.files.map(_.rel).toSet
+        val removed = prevSet -- m.files.map(_.rel).toSet
+        if (removed.nonEmpty)
+          throw new IllegalStateException(
+            s"$root version $v rewrote ${removed.size} file(s) without " +
+              "change capture: run the mutation with cdf = true, or " +
+              "re-read the snapshot")
+        val added = m.files.filterNot(e => prevSet.contains(e.rel))
+        if (added.isEmpty) None
+        else Some(align(scanEntries(spark, root, m.schema, added)
+          .withColumn("_change_type", lit("insert")), v))
+      }
+    }
+    if (frames.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(toSchema.fields.toSeq :+
+          StructField("_change_type", StringType) :+
+          StructField("_commit_version", LongType)))
+    else frames.reduce(_ unionByName _)
+  }
+
   /** Rewrite every data file smaller than `smallFileBytes` into
     * `targetPartitions` right-sized files as a NEW version (Delta
     * OPTIMIZE / Iceberg rewrite_data_files): frequent small commits —
@@ -919,7 +1056,7 @@ object VersionedTable {
     val rows = scanEntries(spark, root, m.schema, small)
       .repartition(targetPartitions)
     commit(spark, root, base, m.schema,
-      big ++ writeData(spark, root, rows), m.meta)
+      big ++ writeData(spark, root, rows), m.meta, cdfNone = true)
   }
 
   /** Rewrite the table range-clustered on `cols` as a new version:
@@ -947,7 +1084,7 @@ object VersionedTable {
       .repartitionByRange(targetPartitions, cols.map(col): _*)
       .sortWithinPartitions(cols.map(col): _*)
     commit(spark, root, base, m.schema,
-      writeData(spark, root, rows), m.meta)
+      writeData(spark, root, rows), m.meta, cdfNone = true)
   }
 
   /** Drop every version below `keepFrom` and any data file/dir no kept
@@ -970,28 +1107,35 @@ object VersionedTable {
       case ManifestRe(d) => d.toLong
     }.sorted
     val (drop, keep) = versions.partition(_ < keepFrom)
-    val referenced = keep.flatMap(v =>
-      readManifest(spark, root, v).files.map(_.rel)).toSet
+    val keptManifests = keep.map(v => readManifest(spark, root, v))
+    val referenced = keptManifests.flatMap(_.files.map(_.rel)).toSet
+    val referencedChanges = keptManifests.flatMap(_.changeFiles).toSet
     drop.foreach { v =>
-      readManifest(spark, root, v).files.map(_.rel)
-        .filterNot(referenced.contains)
+      val m = readManifest(spark, root, v)
+      m.files.map(_.rel).filterNot(referenced.contains)
         .foreach(rel => f.delete(new Path(root, rel), false))
+      // change files belong to exactly one version — dropped with it
+      m.changeFiles.foreach(rel => f.delete(new Path(root, rel), false))
       f.delete(manifestPath(root, v), false)
       f.delete(lockPath(root, v), false) // the version's CAS tombstone
     }
-    // sweep data dirs emptied by the deletes, plus ORPHANS: dirs no
-    // surviving manifest references, past the grace window (a torn
-    // write's leftovers — see scaladoc)
-    val referencedDirs = referenced.map(rel => new Path(rel).getParent.getName)
+    // sweep data/changes dirs emptied by the deletes, plus ORPHANS:
+    // dirs no surviving manifest references, past the grace window (a
+    // torn write's leftovers — see scaladoc)
     val cutoff = System.currentTimeMillis() - orphanGraceMs
-    val dataDir = new Path(root, "data")
-    if (f.exists(dataDir))
-      f.listStatus(dataDir).filter(_.isDirectory).foreach { d =>
+    def sweep(sub: String, referencedDirs: Set[String]): Unit = {
+      val dir = new Path(root, sub)
+      if (!f.exists(dir)) return
+      f.listStatus(dir).filter(_.isDirectory).foreach { d =>
         val children = f.listStatus(d.getPath)
         val orphan = !referencedDirs.contains(d.getPath.getName) &&
           children.forall(_.getModificationTime < cutoff)
         if (children.isEmpty) f.delete(d.getPath, false)
         else if (orphan) f.delete(d.getPath, true)
       }
+    }
+    sweep("data", referenced.map(rel => new Path(rel).getParent.getName))
+    sweep("changes",
+      referencedChanges.map(rel => new Path(rel).getParent.getName))
   }
 }

@@ -466,6 +466,68 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(rowsOf(VersionedTable.read(spark, root, Some(1L))) == pre)
   }
 
+  test("readChanges: applying the feed to the FROM snapshot reproduces TO") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root,
+      dim((1, "a", 10L), (2, "b", 20L), (3, "c", 30L)))
+    // v2: cdf merge — updates k=2, inserts k=9
+    VersionedTable.merge(spark, root, dim((2, "b2", 22L), (9, "i", 90L)),
+      keys = Seq("k"), cdf = true)
+    // v3: plain append (insert derivation, no change files)
+    VersionedTable.append(spark, root, dim((4, "d", 40L)))
+    // v4: cdf ranged delete
+    VersionedTable.deleteWhere(spark, root, col("k") <= 2, cdf = true)
+    // v5: layout-only compact must contribute nothing and not refuse
+    VersionedTable.compact(spark, root, smallFileBytes = 1L << 20)
+    val feed = VersionedTable.readChanges(spark, root, 1L)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getString(3), r.getLong(4)))
+    // update = delete+insert pair at the same version
+    assert(feed.count(t => t._1 == 2 && t._4 == "delete" && t._5 == 2L) == 1)
+    assert(feed.contains((2, "b2", 22L, "insert", 2L)))
+    assert(feed.contains((9, "i", 90L, "insert", 2L)))
+    assert(feed.contains((4, "d", 40L, "insert", 3L)))
+    assert(feed.count(_._5 == 4L) == 2 &&
+      feed.filter(_._5 == 4L).forall(_._4 == "delete"))
+    // multiset replay: v1 minus deletes plus inserts == v5
+    val v1 = rowsOf(VersionedTable.read(spark, root, Some(1L)))
+      .toSeq.groupBy(identity).view.mapValues(_.size).toMap
+    val applied = feed.foldLeft(v1) { case (acc, (k, n, a, t, _)) =>
+      val row = (k, n, a)
+      acc + (row -> (acc.getOrElse(row, 0) + (if (t == "insert") 1 else -1)))
+    }.filter(_._2 > 0)
+    val now = rowsOf(VersionedTable.read(spark, root))
+      .toSeq.groupBy(identity).view.mapValues(_.size).toMap
+    assert(applied == now, s"feed replay diverged: $applied vs $now")
+    // bounded range excludes later commits
+    assert(VersionedTable.readChanges(spark, root, 1L, Some(2L))
+      .count() == 3)
+    // a no-op CDF upsert (identical rows) records zero changes
+    val vNoop = VersionedTable.streamingUpsert(spark, root,
+      dim((4, "d", 40L)), Seq("k"), "q", 0L, cdf = true)
+    assert(VersionedTable.readChanges(spark, root, vNoop - 1).isEmpty)
+  }
+
+  test("readChanges refuses a non-CDF rewrite; vacuum sweeps change files") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, dim((1, "a", 10L), (2, "b", 20L)))
+    VersionedTable.merge(spark, root, dim((1, "a2", 11L)), Seq("k"),
+      cdf = true)
+    VersionedTable.merge(spark, root, dim((2, "b2", 21L)), Seq("k")) // no cdf
+    val err = intercept[IllegalStateException] {
+      VersionedTable.readChanges(spark, root, 1L)
+    }
+    assert(err.getMessage.contains("without"), err.getMessage)
+    // the CDF-covered prefix still reads
+    assert(VersionedTable.readChanges(spark, root, 1L, Some(2L))
+      .count() == 2)
+    // vacuum below v3 drops v2's change files with it
+    val changesDir = new java.io.File(s"$root/changes")
+    assert(changesDir.listFiles().nonEmpty)
+    VersionedTable.vacuum(spark, root, keepFrom = 3L, orphanGraceMs = -1000L)
+    assert(!changesDir.exists() || changesDir.listFiles().isEmpty)
+  }
+
   test("appendEvolve widens the schema; old files read NULL; history keeps shapes") {
     val root = freshRoot()
     VersionedTable.create(spark, root,
