@@ -968,6 +968,48 @@ object TextAnalysis {
       round(w, 6).as("dsir_logweight"))
   }
 
+  /** BM25 ranked retrieval over the corpus (Robertson/Okapi, the
+    * Lucene-default scoring): per document,
+    * Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)) over the
+    * query terms, idf(t) = ln((N−df+0.5)/(df+0.5) + 1).
+    *
+    * Scale shape: ONE corpus aggregate collects the collection stats
+    * (N, avgdl, and per-query-term document frequencies — a single
+    * row, bounded by the query length), then scoring is a PURE
+    * PROJECTION (idf/avgdl ride as literals, tf is an array count per
+    * term) and the cut is a distributed TakeOrdered. Scores are
+    * rounded to 6 places (the q127 discipline) so term-sum order can
+    * never leak into an exact compare. Returns (idCol, bm25) for the
+    * top `topN` by (bm25 desc, id). */
+  def bm25TopN(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, queryTerms: Seq[String], topN: Int,
+      k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    require(topN > 0, s"topN must be positive: $topN")
+    val ts = filter(tokens(col(textCol)), t => length(t) > 0)
+    val statAggs = Seq(count(lit(1)).as("n"),
+        sum(size(ts)).cast("long").as("sum_dl")) ++
+      queryTerms.map(t =>
+        sum(when(array_contains(ts, t), 1L).otherwise(0L)).as(s"df_$t"))
+    val r = df.agg(statAggs.head, statAggs.tail: _*).collect()(0)
+    val n = r.getLong(0)
+    require(n > 0, "bm25 over an empty corpus")
+    val avgdl = r.getLong(1).toDouble / n.toDouble
+    val idf = queryTerms.zipWithIndex.map { case (t, i) =>
+      val dfc = r.getLong(2 + i)
+      t -> math.log((n - dfc + 0.5) / (dfc + 0.5) + 1.0)
+    }
+    val dl = size(ts).cast("double")
+    val norm = lit(k1) * (lit(1.0 - b) + lit(b) * dl / lit(avgdl))
+    val score = idf.map { case (t, w) =>
+      val tf = size(filter(ts, x => x === lit(t))).cast("double")
+      lit(w) * tf * lit(k1 + 1.0) / (tf + norm)
+    }.reduce(_ + _)
+    df.select(col(idCol), round(score, 6).as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(topN)
+  }
+
   /** DSIR selection: train on (target vs corpus), score the corpus,
     * keep the top `k` documents by log importance weight (rounded
     * weight desc, id asc — fully deterministic; true DSIR perturbs the

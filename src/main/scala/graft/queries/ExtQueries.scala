@@ -933,6 +933,17 @@ object ExtQueries extends QueryPack {
         .orderBy(col("dsir_logweight").desc, col("doc_id"))
     },
 
+    // BM25 ranked retrieval (Okapi/Lucene scoring) — the search-side
+    // capability next to tf-idf term extraction: one collection-stats
+    // aggregate, then scoring as a pure projection and a distributed
+    // top-k. Query mixes a stopword-common term, a mid-frequency term,
+    // and a rarer one so idf actually differentiates.
+    "q159_bm25" -> { (s, dir) =>
+      TextAnalysis.bm25TopN(docs(s, dir), "doc_id", "text",
+        queryTerms = Seq("hash", "join", "spark"), topN = 100)
+        .orderBy(col("bm25").desc, col("doc_id"))
+    },
+
     // Unigram LM quality score: per-doc mean token log-probability
     // under the corpus distribution — the cheap fluency proxy between
     // heuristic quality flags and a real LM.
@@ -1881,6 +1892,27 @@ object ExtQueries extends QueryPack {
         |  CASE WHEN bk < 204 THEN 'train'
         |       WHEN bk < 230 THEN 'val' ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+    "q159_bm25" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS t
+        |  FROM documents),
+        |st AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(len(t)) AS DOUBLE) / COUNT(*) AS avgdl FROM tk),
+        |q AS (SELECT unnest(['hash', 'join', 'spark']) AS term),
+        |dfq AS (SELECT q.term,
+        |    (SELECT COUNT(*) FROM tk WHERE list_contains(tk.t, q.term))
+        |      AS dfc FROM q),
+        |sc AS (SELECT tk.doc_id,
+        |    round(SUM(
+        |      ln((st.n - dfq.dfc + 0.5) / (dfq.dfc + 0.5) + 1.0)
+        |      * len(list_filter(tk.t, x -> x = dfq.term)) * 2.2
+        |      / (len(list_filter(tk.t, x -> x = dfq.term))
+        |         + 1.2 * (0.25 + 0.75 * len(tk.t) / st.avgdl))), 6)
+        |      AS bm25
+        |  FROM tk CROSS JOIN dfq CROSS JOIN st
+        |  GROUP BY tk.doc_id)
+        |SELECT doc_id, bm25 FROM sc
+        |ORDER BY bm25 DESC, doc_id LIMIT 100""".stripMargin,
     "q155_dsir_select" ->
       """WITH tk AS (SELECT doc_id,
         |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS t

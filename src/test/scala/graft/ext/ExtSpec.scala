@@ -1153,6 +1153,25 @@ class ExtSpec extends AnyFunSuite {
       (4L, 5000L)))
   }
 
+  test("bm25TopN: idf favors rare terms, tf saturates, dl normalizes") {
+    val corpus = docs(
+      (1L, "rare common common common"), // rare term, short doc
+      (2L, "common common common common common common common common"),
+      (3L, "common rare rare filler filler filler filler filler"),
+      (4L, "filler filler filler filler"))
+    val out = TextAnalysis.bm25TopN(corpus, "id", "text",
+      queryTerms = Seq("rare", "common"), topN = 4)
+      .as[(Long, Double)].collect().toMap
+    // docs containing the rare term dominate the common-only doc
+    assert(out(1L) > out(2L) && out(3L) > out(2L))
+    // the no-match doc scores exactly 0 and ranks last
+    assert(out(4L) == 0.0)
+    // tf saturation: doc 3 has rare twice but is longer; both rare docs
+    // must outrank everything else regardless
+    val ranked = out.toSeq.sortBy { case (id, s) => (-s, id) }.map(_._1)
+    assert(ranked.take(2).toSet == Set(1L, 3L), s"got $ranked")
+  }
+
   test("dsirSelect ranks target-like documents above off-domain ones") {
     // target speaks only {alpha beta gamma}; corpus mixes those tokens
     // with {zzz yyy xxx} noise docs — the likelihood-ratio ranking must
