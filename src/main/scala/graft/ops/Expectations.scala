@@ -136,4 +136,45 @@ object Expectations {
       .select(col(groupCol), col("e.rule"), col("e.col_name"),
         col("e.n_violations"), col("e.ok"))
   }
+
+  /** Categorical distribution drift between a BASELINE frame and a
+    * CURRENT frame — the Population Stability Index monitor a
+    * production pipeline runs between corpus versions, ingest batches,
+    * or train/serve slices before drift silently shifts a model's
+    * input distribution. Per category of `keyCol`:
+    * psi_term = (p_cur − p_base) · ln(p_cur / p_base), with add-alpha
+    * smoothing over the UNION of categories so one-sided categories
+    * stay finite; the total PSI is the sum (conventional read:
+    * < 0.1 stable, 0.1–0.25 shifting, > 0.25 drifted).
+    *
+    * Scale shape: one wordcount-shaped aggregate per side keyed by
+    * category, one outer join of two category-sized frames — never a
+    * row-level join. Shares and psi terms round at 6 (the q127
+    * discipline). Returns
+    * (category, n_base, n_cur, share_base, share_cur, psi_term). */
+  def distributionDrift(base: DataFrame, current: DataFrame,
+      keyCol: String, alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"smoothing alpha must be positive: $alpha")
+    def counts(df: DataFrame, out: String): DataFrame =
+      df.groupBy(col(keyCol).cast("string").as("category"))
+        .agg(count(lit(1)).as(out))
+    val joined = counts(base, "n_base")
+      .join(counts(current, "n_cur"), Seq("category"), "full_outer")
+      .select(col("category"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    // totals over the SMOOTHED masses: one category-bounded aggregate,
+    // broadcast back as a single-row cross join (the audited benign
+    // pattern) so shares are exact functions of exact counts
+    val k = joined.agg(count(lit(1)).as("k"),
+      sum(col("n_base")).as("tb"), sum(col("n_cur")).as("tc"))
+    val withTot = joined.crossJoin(broadcast(k))
+    val pB = (col("n_base") + lit(alpha)) /
+      (col("tb") + lit(alpha) * col("k"))
+    val pC = (col("n_cur") + lit(alpha)) /
+      (col("tc") + lit(alpha) * col("k"))
+    withTot.select(col("category"), col("n_base"), col("n_cur"),
+      round(pB, 6).as("share_base"), round(pC, 6).as("share_cur"),
+      round((pC - pB) * log(pC / pB), 6).as("psi_term"))
+  }
 }

@@ -67,6 +67,22 @@ object CoreQueries extends QueryPack {
         .orderBy(col("rule"))
     },
 
+    // Distribution drift (Population Stability Index) between two
+    // corpus slices — the monitor a pipeline runs between ingest
+    // batches before drift silently shifts a model's inputs. Baseline
+    // = first half of documents by doc_id, current = second half; the
+    // planted source/lang mix differs enough to give nonzero terms.
+    // Two category-keyed wordcount aggregates, one category-sized
+    // outer join: never a row-level join.
+    "q160_drift_psi" -> { (s, dir) =>
+      val d = graft.Tables.load(s, dir, "documents")
+      val cut = d.agg(max(col("doc_id"))).collect()(0).getLong(0) / 2
+      graft.ops.Expectations.distributionDrift(
+        d.filter(col("doc_id") <= cut), d.filter(col("doc_id") > cut),
+        keyCol = "source", alpha = 0.5)
+        .orderBy(col("category"))
+    },
+
     // The 100 TB audit shape: approximate uniqueness via HLL++ fused
     // into the same single-pass hash aggregate as the other rules —
     // no Expand node (asserted IN the query; exact count-distinct
@@ -207,6 +223,27 @@ object CoreQueries extends QueryPack {
         |GROUP BY c.c_custkey, c.c_name
         |ORDER BY total_spend DESC, c.c_custkey
         |LIMIT 10""".stripMargin,
+    "q160_drift_psi" ->
+      """WITH cut AS (SELECT MAX(doc_id)//2 AS c FROM documents),
+        |b AS (SELECT CAST(source AS VARCHAR) AS category,
+        |    COUNT(*) AS n_base FROM documents
+        |  WHERE doc_id <= (SELECT c FROM cut) GROUP BY source),
+        |cr AS (SELECT CAST(source AS VARCHAR) AS category,
+        |    COUNT(*) AS n_cur FROM documents
+        |  WHERE doc_id > (SELECT c FROM cut) GROUP BY source),
+        |j AS (SELECT COALESCE(b.category, cr.category) AS category,
+        |    COALESCE(b.n_base, 0) AS n_base, COALESCE(cr.n_cur, 0) AS n_cur
+        |  FROM b FULL OUTER JOIN cr ON b.category = cr.category),
+        |t AS (SELECT COUNT(*) AS k, SUM(n_base) AS tb, SUM(n_cur) AS tc
+        |  FROM j)
+        |SELECT j.category, j.n_base, j.n_cur,
+        |  round((j.n_base + 0.5) / (t.tb + 0.5 * t.k), 6) AS share_base,
+        |  round((j.n_cur + 0.5) / (t.tc + 0.5 * t.k), 6) AS share_cur,
+        |  round(((j.n_cur + 0.5) / (t.tc + 0.5 * t.k)
+        |       - (j.n_base + 0.5) / (t.tb + 0.5 * t.k))
+        |    * ln(((j.n_cur + 0.5) / (t.tc + 0.5 * t.k))
+        |       / ((j.n_base + 0.5) / (t.tb + 0.5 * t.k))), 6) AS psi_term
+        |FROM j CROSS JOIN t ORDER BY j.category""".stripMargin,
     "q118_expectations" ->
       """SELECT 'not_null' AS rule, 'o_custkey' AS col_name,
         |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)

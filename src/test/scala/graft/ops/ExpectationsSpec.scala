@@ -110,4 +110,28 @@ class ExpectationsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert("LocalTableScan".r.findAllIn(plan).size == 1, plan)
   }
+
+  test("distributionDrift: identical dists ~0, moved mass positive, one-sided finite") {
+    def frame(cats: (String, Int)*) =
+      cats.toSeq.flatMap { case (c, n) => Seq.fill(n)(c) }.toDF("src")
+    // identical distributions: every psi term rounds to ~0 (alpha
+    // smoothing leaves a tiny residue only if totals differ)
+    val same = Expectations.distributionDrift(
+        frame("a" -> 50, "b" -> 50), frame("a" -> 50, "b" -> 50), "src")
+      .select("psi_term").as[Double].collect()
+    assert(same.forall(t => math.abs(t) < 1e-6), same.toSeq.toString)
+    // mass moved from a to b: both categories contribute positively
+    // (sign of (pC-pB) matches sign of ln ratio)
+    val moved = Expectations.distributionDrift(
+        frame("a" -> 80, "b" -> 20), frame("a" -> 20, "b" -> 80), "src")
+      .select("category", "psi_term").as[(String, Double)].collect().toMap
+    assert(moved("a") > 0.1 && moved("b") > 0.1, moved.toString)
+    // category present on one side only: smoothing keeps terms finite
+    val oneSided = Expectations.distributionDrift(
+        frame("a" -> 100), frame("a" -> 50, "zzz" -> 50), "src")
+      .select("category", "psi_term").as[(String, Double)].collect().toMap
+    assert(oneSided.size == 2 &&
+      oneSided.values.forall(v => !v.isNaN && !v.isInfinite))
+    assert(oneSided("zzz") > 0, "appearing category must contribute drift")
+  }
 }
