@@ -508,6 +508,52 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.readChanges(spark, root, vNoop - 1).isEmpty)
   }
 
+  test("model check: CDF replay reproduces the snapshot under random op sequences") {
+    val rnd = new scala.util.Random(43)
+    (1 to 3).foreach { trial =>
+      val root = freshRoot()
+      VersionedTable.create(spark, root,
+        dim((1 to 5).map(i => (i, s"t${trial}i$i", i.toLong)): _*))
+      var batchId = -1L
+      (1 to 10).foreach { step =>
+        def freshRows(n: Int): Seq[(Int, String, Long)] =
+          (1 to n).map(_ => (rnd.nextInt(40),
+            s"t${trial}s$step", rnd.nextInt(100).toLong))
+            .groupBy(_._1).map(_._2.head).toSeq
+        rnd.nextInt(6) match {
+          case 0 => VersionedTable.append(spark, root,
+            dim(freshRows(3).map { case (k, n, a) =>
+              (k + 1000 * step, n, a) }: _*))
+          case 1 => VersionedTable.merge(spark, root,
+            dim(freshRows(4): _*), Seq("k"), cdf = true)
+          case 2 =>
+            batchId += 1
+            VersionedTable.streamingUpsert(spark, root,
+              dim(freshRows(3): _*), Seq("k"), "w", batchId, cdf = true)
+          case 3 => VersionedTable.deleteWhere(spark, root,
+            col("k") % 7 === rnd.nextInt(7), cdf = true)
+          case 4 => VersionedTable.compact(spark, root,
+            smallFileBytes = 1L << 20)
+          case 5 => VersionedTable.updateWhere(spark, root,
+            col("k") < rnd.nextInt(20),
+            Map("amt" -> (col("amt") + 1L)), cdf = true)
+        }
+        // invariant after EVERY step: v1 + inserts - deletes == current
+        val ch = VersionedTable.readChanges(spark, root, 1L)
+        val ins = ch.filter(col("_change_type") === "insert")
+          .select("k", "name", "amt")
+        val del = ch.filter(col("_change_type") === "delete")
+          .select("k", "name", "amt")
+        val replayed = VersionedTable.read(spark, root, Some(1L))
+          .unionByName(ins).exceptAll(del)
+        val cur = VersionedTable.read(spark, root)
+        assert(replayed.exceptAll(cur).isEmpty &&
+          cur.exceptAll(replayed).isEmpty,
+          s"trial $trial step $step: CDF replay diverged")
+      }
+    }
+  }
+
   test("readChanges refuses a non-CDF rewrite; vacuum sweeps change files") {
     val root = freshRoot()
     VersionedTable.create(spark, root, dim((1, "a", 10L), (2, "b", 20L)))
