@@ -805,8 +805,16 @@ object VersionedTable {
     * always stay candidates. */
   private[sources] def keyRangePrune(spark: SparkSession, m: Manifest,
       srcKeys: DataFrame, keys: Seq[String]): Seq[FileEntry] = {
-    val statKeys = keys.filter(k =>
-      m.schema.fields.exists(f => f.name == k && statsSupported(f.dataType)))
+    // a key prunes only when the SOURCE column carries the exact table
+    // dtype — the canonical min/max expressions are built from the
+    // table schema but evaluated on the source, so a dtype mismatch
+    // (int feed against a long dimension) must fall back to scanning,
+    // not miscompare
+    val statKeys = keys.filter { k =>
+      val tableType = m.schema.fields.find(_.name == k).map(_.dataType)
+      val srcType = srcKeys.schema.fields.find(_.name == k).map(_.dataType)
+      tableType.exists(statsSupported) && tableType == srcType
+    }
     if (statKeys.isEmpty) return m.files
     val aggs = statKeys.flatMap { k =>
       val dt = m.schema.fields.find(_.name == k).get.dataType
@@ -1044,7 +1052,7 @@ object VersionedTable {
     * time-travel to the old layout until [[vacuum]]. Returns the new
     * version, or the current one if fewer than two small files exist. */
   def compact(spark: SparkSession, root: String, smallFileBytes: Long,
-      targetPartitions: Int = 1): Long = {
+      targetPartitions: Int = 1, sortCols: Seq[String] = Seq.empty): Long = {
     require(targetPartitions > 0, "targetPartitions must be positive")
     val base = currentVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root: no versioned table"))
@@ -1053,8 +1061,15 @@ object VersionedTable {
     val (small, big) = m.files.partition(e =>
       f.getFileStatus(new Path(root, e.rel)).getLen < smallFileBytes)
     if (small.size < 2) return base
-    val rows = scanEntries(spark, root, m.schema, small)
-      .repartition(targetPartitions)
+    val scanned = scanEntries(spark, root, m.schema, small)
+    // sortCols: keep a clustered table clustered THROUGH compaction —
+    // a plain repartition would interleave the ranges and silently
+    // turn data skipping back off for the compacted span
+    val rows =
+      if (sortCols.isEmpty) scanned.repartition(targetPartitions)
+      else scanned
+        .repartitionByRange(targetPartitions, sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
     commit(spark, root, base, m.schema,
       big ++ writeData(spark, root, rows), m.meta, cdfNone = true)
   }

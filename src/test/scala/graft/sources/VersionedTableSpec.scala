@@ -344,6 +344,42 @@ class VersionedTableSpec extends AnyFunSuite {
     val viaSkip = rowsOf(VersionedTable.readWhere(spark, root, pred))
     val viaScan = rowsOf(VersionedTable.read(spark, root).filter(pred))
     assert(viaSkip == viaScan && viaSkip.size == 20)
+    // both skipping layers are active: the manifest pruned the file
+    // list AND the residual predicate reached the parquet scan as
+    // PushedFilters (row-group/page pruning inside surviving files)
+    val plan = VersionedTable.readWhere(spark, root, pred)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(k,2000)"),
+      s"residual filter must reach the scan:\n$plan")
+  }
+
+  test("keyRangePrune falls back to scanning on a source key dtype mismatch") {
+    val root = freshRoot()
+    bandedTable(root, bands = 3, perBand = 10) // 6 files, k is INT
+    val m = VersionedTable.readManifest(spark, root, 3L)
+    // long-typed feed keys against the int dimension: no pruning,
+    // but the merge itself must still be exact
+    val longSrc = Seq(2001L, 2003L).toDF("k")
+    assert(VersionedTable.keyRangePrune(spark, m, longSrc, Seq("k")).size == 6)
+    val before = rowsOf(VersionedTable.read(spark, root))
+    VersionedTable.merge(spark, root,
+      Seq((2001, "upd", 0L)).toDF("k", "name", "amt"), Seq("k"))
+    assert(rowsOf(VersionedTable.read(spark, root)) ==
+      before - ((2001, "b2r1", 2001L)) + ((2001, "upd", 0L)))
+  }
+
+  test("compact(sortCols) keeps a clustered layout prunable") {
+    val root = freshRoot()
+    bandedTable(root, bands = 4, perBand = 10) // 8 small files, banded
+    val pred = col("k") >= 2000 && col("k") < 3000
+    val v = VersionedTable.compact(spark, root, smallFileBytes = 1L << 20,
+      targetPartitions = 4, sortCols = Seq("k"))
+    assert(v == 5L)
+    val (kept, total) = VersionedTable.pruneProfile(spark, root, pred)
+    assert(total == 4 && kept <= 2,
+      s"sorted compaction must stay prunable, got $kept/$total")
+    assert(VersionedTable.read(spark, root).count() == 40)
   }
 
   test("pruning is conservative across predicate shapes: readWhere == filter") {
