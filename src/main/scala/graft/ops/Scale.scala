@@ -88,8 +88,8 @@ object Scale {
   /** 32-bit Morton code of two columns, each normalized to a 16-bit
     * grid over [lo, hi]: `spread(cellA) | spread(cellB) << 1` — colB
     * owns the most significant bit. Pure column arithmetic (codegen'd,
-    * map-only). */
-  private def zValue(a: Column, loA: Double, hiA: Double,
+    * map-only). Shared with the versioned table's Z-order clustering. */
+  private[graft] def zValue(a: Column, loA: Double, hiA: Double,
       b: Column, loB: Double, hiB: Double): Column = {
     def cell(c: Column, lo: Double, hi: Double): Column =
       if (hi <= lo) lit(0L)

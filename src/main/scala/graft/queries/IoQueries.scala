@@ -586,6 +586,40 @@ object IoQueries extends QueryPack {
         "CDF replay must reproduce the current snapshot exactly")
       ch.orderBy(col("_commit_version"), col("_change_type"),
         col("c_custkey"))
+    },
+
+    // Z-ORDER clustering (Delta OPTIMIZE ZORDER BY (a, b)): after a
+    // Morton-curve rewrite on (o_orderkey, o_custkey), file stats are
+    // narrow on BOTH columns, so a predicate on the SECOND dimension —
+    // the one a lexicographic sort leaves spanning every file — prunes
+    // file reads. In-query requires pin exactly that contrast: under
+    // clusterBy(o_orderkey) the custkey band keeps all files; after
+    // clusterByZorder it keeps at most 3/4 (Morton boundary boxes
+    // bound the constant at this file count; the grid bounds come from
+    // the manifest's own stats, zero extra scan). The oracle checks
+    // the ranged read's content.
+    "q161_versioned_zorder" -> { (s, dir) =>
+      import graft.sources.VersionedTable
+      val root = tmp(s, s"vt_zorder/${java.util.UUID.randomUUID()}")
+      val orders = graft.Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          CoreQueries.cents(col("o_totalprice")).as("cents"))
+      val maxCust = orders.agg(max(col("o_custkey"))).collect()(0).getLong(0)
+      val pred = col("o_custkey") >= lit(maxCust / 4) &&
+        col("o_custkey") < lit(maxCust / 2)
+      VersionedTable.create(s, root, orders.repartition(8))
+      VersionedTable.clusterBy(s, root, Seq("o_orderkey"),
+        targetPartitions = 16)
+      val (kLex, tLex) = VersionedTable.pruneProfile(s, root, pred)
+      require(kLex == tLex && tLex == 16,
+        s"custkey must span every file under an orderkey sort: $kLex/$tLex")
+      VersionedTable.clusterByZorder(s, root, "o_orderkey", "o_custkey",
+        targetPartitions = 16)
+      val (kZ, tZ) = VersionedTable.pruneProfile(s, root, pred)
+      require(tZ == 16 && kZ <= tZ * 3 / 4,
+        s"Z-order must make custkey prunable, got $kZ/$tZ")
+      VersionedTable.readWhere(s, root, pred)
+        .orderBy(col("o_orderkey"))
     }
   )
 
@@ -655,6 +689,14 @@ object IoQueries extends QueryPack {
         |FROM orders
         |WHERE o_orderkey >= 3*(SELECT w FROM w)
         |  AND o_orderkey < 4*(SELECT w FROM w)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q161_versioned_zorder" ->
+      """WITH m AS (SELECT MAX(o_custkey) AS k FROM orders)
+        |SELECT o_orderkey, o_custkey,
+        |  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders
+        |WHERE o_custkey >= (SELECT k FROM m)//4
+        |  AND o_custkey < (SELECT k FROM m)//2
         |ORDER BY o_orderkey""".stripMargin,
     "q158_versioned_cdf" ->
       """WITH base AS (SELECT c_custkey, c_name,

@@ -1102,6 +1102,66 @@ object VersionedTable {
       writeData(spark, root, rows), m.meta, cdfNone = true)
   }
 
+  /** Z-ORDER rewrite on two columns (Delta `OPTIMIZE ... ZORDER BY
+    * (a, b)`): rows sorted along the Morton curve
+    * ([[graft.ops.Scale.zValue]]), so every file's manifest stats are
+    * narrow on BOTH columns and a predicate on EITHER prunes file
+    * reads — the property [[clusterBy]]'s lexicographic sort cannot
+    * give (its second column spans the full range in every file). The
+    * grid bounds come from the MANIFEST's own per-file stats when
+    * every file carries them (a zero-scan metadata fold), falling back
+    * to one aggregate otherwise. Both columns must be numeric/date/
+    * timestamp (the Morton grid needs a numeric normalization).
+    * Contents unchanged, layout-only (cdf none), history time-travels. */
+  def clusterByZorder(spark: SparkSession, root: String,
+      colA: String, colB: String, targetPartitions: Int): Long = {
+    require(targetPartitions > 0, "targetPartitions must be positive")
+    val base = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root: no versioned table"))
+    val m = readManifest(spark, root, base)
+    Seq(colA, colB).foreach { c =>
+      val f = m.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"unknown Z-order column '$c'"))
+      require(statsSupported(f.dataType) && (f.dataType match {
+        case StringType | BooleanType => false
+        case _ => true
+      }), s"Z-order needs a numeric/date/timestamp column, " +
+        s"'$c' is ${f.dataType.catalogString}")
+    }
+    // global [lo, hi] per column from the manifest stats (every entry
+    // carries the column) — no data scan; else one bounds aggregate
+    def bounds(c: String): (Double, Double) = {
+      val dt = m.schema.fields.find(_.name == c).get.dataType
+      val perFile = m.files.map(_.stats.get(c))
+      if (m.files.nonEmpty && perFile.forall(_.isDefined)) {
+        val ds = perFile.flatten
+        val los = ds.flatMap(_.min).flatMap(statDomain(_, dt))
+          .collect { case d: java.math.BigDecimal => d.doubleValue() }
+        val his = ds.flatMap(_.max).flatMap(statDomain(_, dt))
+          .collect { case d: java.math.BigDecimal => d.doubleValue() }
+        if (los.nonEmpty && his.nonEmpty) return (los.min, his.max)
+      }
+      val r = read(spark, root, Some(base))
+        .agg(min(canonCol(c, dt)).cast("double"),
+          max(canonCol(c, dt)).cast("double")).collect()(0)
+      (if (r.isNullAt(0)) 0.0 else r.getDouble(0),
+        if (r.isNullAt(1)) 0.0 else r.getDouble(1))
+    }
+    val (loA, hiA) = bounds(colA)
+    val (loB, hiB) = bounds(colB)
+    val dtA = m.schema.fields.find(_.name == colA).get.dataType
+    val dtB = m.schema.fields.find(_.name == colB).get.dataType
+    val z = graft.ops.Scale.zValue(canonCol(colA, dtA), loA, hiA,
+      canonCol(colB, dtB), loB, hiB)
+    val rows = scanEntries(spark, root, m.schema, m.files)
+      .withColumn("__vt_z", z)
+      .repartitionByRange(targetPartitions, col("__vt_z"))
+      .sortWithinPartitions(col("__vt_z"))
+      .drop("__vt_z")
+    commit(spark, root, base, m.schema,
+      writeData(spark, root, rows), m.meta, cdfNone = true)
+  }
+
   /** Drop every version below `keepFrom` and any data file/dir no kept
     * manifest references — the GC that stops manifest/file accumulation
     * (Delta VACUUM / Iceberg expire_snapshots). Also sweeps ORPHAN data

@@ -649,6 +649,41 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(after == Set((1, "a2", 11L), (9, "i", -1L)))
   }
 
+  test("clusterByZorder makes BOTH dimensions prunable; 1-D sort does not") {
+    val root = freshRoot()
+    // two independent uniform dims over a 64x64 grid, interleaved files
+    val rows = for (i <- 1 to 1024) yield
+      (i * 37 % 4096, s"r$i", (i * 61 % 4096).toLong)
+    VersionedTable.create(spark, root, dim(rows: _*).repartition(8))
+    val predK = col("k") >= 1024 && col("k") < 2048   // 1/4 of k-space
+    val predA = col("amt") >= 1024L && col("amt") < 2048L // 1/4 of amt
+    // lexicographic clustering on k: k prunes, amt cannot
+    VersionedTable.clusterBy(spark, root, Seq("k"), targetPartitions = 16)
+    val (kLex, tLex) = VersionedTable.pruneProfile(spark, root, predK)
+    val (aLex, _) = VersionedTable.pruneProfile(spark, root, predA)
+    assert(tLex == 16 && kLex <= 5, s"k must prune under k-sort: $kLex/$tLex")
+    assert(aLex == tLex, "amt spans every file under a k-only sort")
+    // Z-order on (k, amt): BOTH prune
+    VersionedTable.clusterByZorder(spark, root, "k", "amt",
+      targetPartitions = 16)
+    val (kZ, tZ) = VersionedTable.pruneProfile(spark, root, predK)
+    val (aZ, _) = VersionedTable.pruneProfile(spark, root, predA)
+    // a quarter-band on either dim must clear a meaningful file
+    // fraction (Morton boxes straddling the band bound the constant:
+    // 9/16 and 8/16 observed on this 64-rows-per-file grid — the
+    // qualitative contract is BOTH prune, vs amt's 16/16 under 1-D)
+    assert(tZ == 16 && kZ <= tZ * 3 / 4 && aZ <= tZ * 3 / 4,
+      s"both dims must prune under Z-order, got k=$kZ amt=$aZ of $tZ")
+    // layout-only: contents identical, history intact
+    assert(rowsOf(VersionedTable.read(spark, root)) ==
+      rowsOf(VersionedTable.read(spark, root, Some(1L))))
+    // non-numeric column refuses
+    val err = intercept[IllegalArgumentException] {
+      VersionedTable.clusterByZorder(spark, root, "k", "name", 4)
+    }
+    assert(err.getMessage.contains("numeric"), err.getMessage)
+  }
+
   test("stats round-trip hostile values; legacy stats-less manifests still read") {
     val root = freshRoot()
     val rows = Seq(
