@@ -221,6 +221,7 @@ object DataFlowExec {
         case c: JdbcDestination => c.name
         case c: StagedCommand => c.name
         case c: ExportColumn => c.name
+        case c: VersionedDestination => c.name
         // its collect() is a real action, so it fills observations —
         // but only over the capped limit(maxRows+1) plan, which may
         // not evaluate every tapped row; keep it OFF the sink list so
@@ -743,6 +744,37 @@ object DataFlowExec {
       val staged = if (columns.isEmpty) df else df.select(columns.map(col): _*)
       ctx.writeTable(table, staged, WriteMode.Append)
       Map("out" -> df)
+
+    case SourceVersioned(_, root, version, where) =>
+      import graft.sources.VersionedTable
+      Map("out" -> (where match {
+        case Some(p) => VersionedTable.readWhere(ctx.spark, root, p, version)
+        case None => VersionedTable.read(ctx.spark, root, version)
+      }))
+
+    case VersionedDestination(_, root, mode, keys, cdf, columnMap) =>
+      import graft.sources.VersionedTable
+      val raw = single(inputs, comp)
+      val df =
+        if (columnMap.isEmpty) raw
+        else raw.select(columnMap.map { case (c, t) => col(c).as(t) }: _*)
+      val exists = VersionedTable.currentVersion(ctx.spark, root).isDefined
+      mode match {
+        case "create" => VersionedTable.create(ctx.spark, root, df)
+        case "createOrAppend" =>
+          if (exists) VersionedTable.append(ctx.spark, root, df)
+          else VersionedTable.create(ctx.spark, root, df)
+        case "append" => VersionedTable.append(ctx.spark, root, df)
+        case "merge" =>
+          require(keys.nonEmpty, s"${comp.name}: merge mode needs keys")
+          if (exists)
+            VersionedTable.merge(ctx.spark, root, df, keys, cdf = cdf)
+          else VersionedTable.create(ctx.spark, root, df)
+        case other => sys.error(
+          s"${comp.name}: unknown VersionedDestination mode '$other' " +
+            "(create | createOrAppend | append | merge)")
+      }
+      Map.empty
 
     case ExcelDestination(_, path, sheetName) =>
       graft.sources.Excel.write(single(inputs, comp), path, sheetName)

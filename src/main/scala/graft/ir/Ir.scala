@@ -300,6 +300,29 @@ object Component {
       format: String = "parquet", mode: WriteMode = WriteMode.Overwrite,
       options: Map[String, String] = Map.empty,
       partitionBy: Seq[String] = Nil) extends Component
+  /** ACID versioned-table sink — the reference's Delta destination
+    * (enhanced_json_mapper.py:2042-2074 writes `format("delta")` and
+    * MERGEs on Databricks), served by the in-repo
+    * [[graft.sources.VersionedTable]] so a dataflow lands in a table
+    * with snapshots, time travel, and OCC instead of bare files.
+    * `mode`: "create" (version 1; the root must be fresh),
+    * "createOrAppend", "append", or "merge" (upsert on `keys`;
+    * `cdf = true` captures the row delta for readChanges). */
+  final case class VersionedDestination(name: String, root: String,
+      mode: String = "merge", keys: Seq[String] = Nil,
+      cdf: Boolean = false,
+      // (inputCol, targetCol) projection+rename before the commit —
+      // the SSIS destination column mapping, same as Destination
+      columnMap: Seq[(String, String)] = Nil) extends Component
+
+  /** ACID versioned-table source: the latest snapshot, a pinned
+    * time-travel `version`, or a data-skipping read when `where` is
+    * set (files whose manifest stats exclude the predicate are never
+    * opened). */
+  final case class SourceVersioned(name: String, root: String,
+      version: Option[Long] = None,
+      where: Option[org.apache.spark.sql.Column] = None) extends Component
+
   /** OLE DB Command rewritten set-based (reference rewrites per-row
     * DML/proc calls, enhanced_json_mapper.py — RBAR is not a Spark
     * shape): stages the per-row parameter tuples into `table` in ONE

@@ -620,6 +620,55 @@ object IoQueries extends QueryPack {
         s"Z-order must make custkey prunable, got $kZ/$tZ")
       VersionedTable.readWhere(s, root, pred)
         .orderBy(col("o_orderkey"))
+    },
+
+    // The DATAFLOW ENGINE writing the ACID table natively — the
+    // reference's Delta destination (enhanced_json_mapper.py writes
+    // format("delta") from generated dataflows), closed on this
+    // engine's own storage: flow 1 lands the dimension as version 1
+    // through VersionedDestination(create); flow 2 MERGEs the
+    // order-derived feed through VersionedDestination(merge); flow 3
+    // reads back through SourceVersioned with a skipping predicate.
+    // The oracle replays the merge + filter; in-query requires pin the
+    // ACID shape (exactly two versions; v1 time-travels to the
+    // pre-merge dimension).
+    "q162_flow_versioned" -> { (s, dir) =>
+      import graft.sources.VersionedTable
+      val root = tmp(s, s"vt_flow/${java.util.UUID.randomUUID()}")
+      run(s, dir, DataFlow("q162a", Seq(
+        SourceTable("src", "customer",
+          filter = Some("c_custkey < 500")),
+        DerivedColumn("dc",
+          Seq("cents" -> "(DT_I8)ROUND(c_acctbal * 100, 0)")),
+        VersionedDestination("dst", root, mode = "create",
+          columnMap = Seq("c_custkey" -> "c_custkey",
+            "c_name" -> "c_name", "cents" -> "cents"))),
+        Seq(Path("src", "dc"), Path("dc", "dst"))))
+      run(s, dir, DataFlow("q162b", Seq(
+        SourceTable("src", "orders",
+          filter = Some("o_custkey < 800")),
+        DerivedColumn("dc",
+          Seq("o_cents" -> "(DT_I8)ROUND(o_totalprice * 100, 0)")),
+        Aggregate("agg", groupBy = Seq("o_custkey"),
+          aggs = Seq(("sum", "o_cents", "cents"))),
+        DerivedColumn("nm", Seq(
+          "c_name" -> "\"merged_\" + (DT_WSTR, 20)o_custkey")),
+        VersionedDestination("dst", root, mode = "merge",
+          keys = Seq("c_custkey"),
+          columnMap = Seq("o_custkey" -> "c_custkey",
+            "c_name" -> "c_name", "cents" -> "cents"))),
+        Seq(Path("src", "dc"), Path("dc", "agg"), Path("agg", "nm"),
+          Path("nm", "dst"))))
+      require(VersionedTable.currentVersion(s, root).contains(2L),
+        "the two flows must land exactly two versions")
+      require(VersionedTable.read(s, root, Some(1L))
+          .agg(max(col("c_custkey"))).collect()(0).getLong(0) < 500,
+        "v1 must still be the pre-merge dimension")
+      run(s, dir, DataFlow("q162c", Seq(
+        SourceVersioned("src", root,
+          where = Some(col("c_custkey") < 400))),
+        Nil))("src.out")
+        .orderBy(col("c_custkey"))
     }
   )
 
@@ -690,6 +739,20 @@ object IoQueries extends QueryPack {
         |WHERE o_orderkey >= 3*(SELECT w FROM w)
         |  AND o_orderkey < 4*(SELECT w FROM w)
         |ORDER BY o_orderkey""".stripMargin,
+    "q162_flow_versioned" ->
+      """WITH base AS (SELECT c_custkey, c_name,
+        |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer WHERE c_custkey < 500),
+        |feed AS (SELECT o_custkey AS c_custkey,
+        |    'merged_' || CAST(o_custkey AS VARCHAR) AS c_name,
+        |    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders WHERE o_custkey < 800 GROUP BY o_custkey)
+        |SELECT COALESCE(b.c_custkey, f.c_custkey) AS c_custkey,
+        |  COALESCE(f.c_name, b.c_name) AS c_name,
+        |  COALESCE(f.cents, b.cents) AS cents
+        |FROM base b FULL OUTER JOIN feed f ON b.c_custkey = f.c_custkey
+        |WHERE COALESCE(b.c_custkey, f.c_custkey) < 400
+        |ORDER BY c_custkey""".stripMargin,
     "q161_versioned_zorder" ->
       """WITH m AS (SELECT MAX(o_custkey) AS k FROM orders)
         |SELECT o_orderkey, o_custkey,
