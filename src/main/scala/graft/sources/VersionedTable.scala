@@ -947,6 +947,45 @@ object VersionedTable {
     sys.error("unreachable")
   }
 
+  /** Exactly-once streaming CHANGE-SET apply: ONE atomic commit
+    * removes `deleteKeys` and upserts `inserts`, guarded by the same
+    * per-(query, batchId) manifest meta as [[streamingUpsert]] — the
+    * sink side of change-feed replication
+    * ([[graft.streaming.Streams.replicateInto]]). A replayed batch id
+    * is a no-op for BOTH halves, which a separate delete + upsert pair
+    * cannot guarantee (replaying the delete after a skipped upsert
+    * would resurrect a tombstone). */
+  def streamingApply(spark: SparkSession, root: String, inserts: DataFrame,
+      deleteKeys: DataFrame, keys: Seq[String], queryName: String,
+      batchId: Long, maxRetries: Int = 10): Long = {
+    require(queryName.nonEmpty && !queryName.contains('='),
+      s"bad queryName '$queryName'")
+    val metaKey = s"stream.$queryName.batch"
+    val touch = inserts.select(keys.map(col): _*)
+      .unionByName(deleteKeys.select(keys.map(col): _*))
+    var attempt = 0
+    while (true) {
+      try {
+        return cowCommit(spark, root, touch, keys,
+          metaUpdate = m =>
+            if (m.get(metaKey).exists(_.toLong >= batchId)) None
+            else Some(m + (metaKey -> batchId.toString))
+        ) { (affected, _, full) =>
+          val cols = full.columns.toSeq
+          val ins = inserts.select(cols.map(col): _*).dropDuplicates(keys)
+          val afterDelete =
+            graft.ops.Mutations.applyDelete(affected, deleteKeys, keys)
+          graft.ops.Mutations.applyUpdate(afterDelete, ins, keys,
+              cols.filterNot(keys.contains))
+            .unionByName(ins.join(full, keys, "left_anti"))
+        }
+      } catch {
+        case _: CommitConflict if attempt < maxRetries => attempt += 1
+      }
+    }
+    sys.error("unreachable")
+  }
+
   /** Incremental read — the rows added AFTER `fromVersion`, up to
     * `toVersion` (default: latest): the change feed a downstream
     * consumer tails instead of re-scanning a 100 TB table per cycle.
@@ -1003,8 +1042,11 @@ object VersionedTable {
       toVersion: Option[Long] = None): DataFrame = {
     val to = toVersion.orElse(currentVersion(spark, root)).getOrElse(
       throw new IllegalArgumentException(s"$root: no versioned table"))
-    require(fromVersion >= 1 && fromVersion <= to,
-      s"need 1 <= fromVersion <= $to, got $fromVersion")
+    // fromVersion = 0 reads from BEFORE the table existed: version 1
+    // (create) surfaces as pure inserts — what a streaming tail that
+    // attaches before the first commit needs
+    require(fromVersion >= 0 && fromVersion <= to,
+      s"need 0 <= fromVersion <= $to, got $fromVersion")
     val toSchema = readManifest(spark, root, to).schema
     val outCols = toSchema.fieldNames.toIndexedSeq
     def align(df: DataFrame, v: Long): DataFrame =
@@ -1020,8 +1062,9 @@ object VersionedTable {
         Some(align(spark.read.schema(cfSchema).parquet(
           m.changeFiles.map(f => new Path(root, f).toString): _*), v))
       } else {
-        val prev = readManifest(spark, root, v - 1)
-        val prevSet = prev.files.map(_.rel).toSet
+        val prevSet: Set[String] =
+          if (v == 1) Set.empty // before-create: everything is an insert
+          else readManifest(spark, root, v - 1).files.map(_.rel).toSet
         val removed = prevSet -- m.files.map(_.rel).toSet
         if (removed.nonEmpty)
           throw new IllegalStateException(

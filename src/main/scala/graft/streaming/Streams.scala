@@ -247,6 +247,81 @@ object Streams {
     }
   }
 
+  /** TAIL a versioned table as a Structured Stream: the manifest
+    * directory is an append-only file stream (commits publish by
+    * atomic rename, so a manifest is visible only when complete), and
+    * Spark's own file source — with its checkpointed processed-files
+    * log — is the exactly-once cursor over it. Each micro-batch
+    * resolves the NEWLY arrived versions in order and hands
+    * `apply(version, changes)` that commit's row-level change feed
+    * ([[graft.sources.VersionedTable.readChanges]](v-1, v); version 1
+    * arrives as pure inserts). After a crash the file source replays
+    * the unacknowledged manifests — `apply` must be idempotent per
+    * version, which [[replicateInto]] gets from the sink table's own
+    * (query, batchId=version) meta guard.
+    *
+    * This is the "tail the table" consumer shape at 100 TB: the stream
+    * reads MANIFEST FILES (bytes ∝ commit count), and each version's
+    * change feed is file-diff- or change-file-bounded — never a table
+    * scan. Requires every rewrite commit in the tailed range to be
+    * CDF-enabled or layout-only (readChanges' refusal otherwise stops
+    * the stream loudly rather than double-delivering). */
+  def tailVersionedChanges(spark: org.apache.spark.sql.SparkSession,
+      root: String, checkpoint: String)(
+      apply: (Long, DataFrame) => Unit):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    val manifestDir = new org.apache.hadoop.fs.Path(root, "_manifests")
+    val VRe = """.*v(\d{20})\.manifest""".r
+    spark.readStream
+      .option("pathGlobFilter", "v*.manifest")
+      .text(manifestDir.toString)
+      .select(input_file_name().as("f"))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val versions = batch.select("f").distinct().collect()
+          .map(_.getString(0)).collect { case VRe(d) => d.toLong }
+          .sorted
+        versions.foreach { v =>
+          apply(v, graft.sources.VersionedTable
+            .readChanges(spark, root, v - 1, Some(v)))
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** Continuous TABLE→TABLE replication over the change feed: tail
+    * `fromRoot` and converge `toRoot` to it, key-wise. Per version:
+    * keys that only appear as deletes are removed and insert rows
+    * upsert — as ONE atomic sink commit
+    * ([[graft.sources.VersionedTable.streamingApply]]) guarded by
+    * batchId = the SOURCE VERSION, so a replayed manifest re-applies
+    * NEITHER half (a separately replayed delete could resurrect a
+    * tombstone after its paired upsert was skipped). Requires `keys`
+    * to uniquely identify rows in the source table — the same
+    * contract its own merges carry. */
+  def replicateInto(spark: org.apache.spark.sql.SparkSession,
+      fromRoot: String, toRoot: String, keys: Seq[String],
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.sources.VersionedTable
+    tailVersionedChanges(spark, fromRoot, checkpoint) { (v, changes) =>
+      val dataCols = changes.columns.toSeq
+        .filterNot(c => c == "_change_type" || c == "_commit_version")
+      val ins = changes.filter(col("_change_type") === "insert")
+        .select(dataCols.map(col): _*)
+      val delKeys = changes.filter(col("_change_type") === "delete")
+        .select(keys.map(col): _*)
+        .exceptAll(ins.select(keys.map(col): _*)).distinct()
+      if (VersionedTable.currentVersion(spark, toRoot).isEmpty) {
+        VersionedTable.create(spark, toRoot, ins.limit(0)) // schema seed
+      }
+      VersionedTable.streamingApply(spark, toRoot, ins, delKeys, keys,
+        queryName = "graft_repl", batchId = v)
+      ()
+    }
+  }
+
   /** Output mode each operator needs on an unbounded sink. */
   val outputModes: Map[String, OutputMode] = Map(
     "tumblingAgg" -> OutputMode.Complete(),

@@ -590,6 +590,31 @@ class VersionedTableSpec extends AnyFunSuite {
     }
   }
 
+  test("streamingApply is atomic and exactly-once for delete+upsert pairs") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root,
+      dim((1, "a", 10L), (2, "b", 20L), (3, "c", 30L)))
+    val ins = dim((2, "b2", 22L), (9, "i", 90L))
+    val delKeys = Seq(Tuple1(3)).toDF("k")
+    val v = VersionedTable.streamingApply(spark, root, ins, delKeys,
+      Seq("k"), "repl", batchId = 7L)
+    val want = Set((1, "a", 10L), (2, "b2", 22L), (9, "i", 90L))
+    assert(rowsOf(VersionedTable.read(spark, root)) == want)
+    // full replay: NEITHER half re-applies (same version, same rows)
+    assert(VersionedTable.streamingApply(spark, root, ins, delKeys,
+      Seq("k"), "repl", batchId = 7L) == v)
+    assert(rowsOf(VersionedTable.read(spark, root)) == want)
+    // the hazard the atomic form closes: if key 3 were re-inserted by a
+    // later batch, a replayed stale DELETE must not resurrect —
+    // batch 8 re-inserts 3, then a replay of batch 7 arrives late
+    VersionedTable.streamingApply(spark, root, dim((3, "c2", 33L)),
+      delKeys.limit(0), Seq("k"), "repl", batchId = 8L)
+    VersionedTable.streamingApply(spark, root, ins, delKeys,
+      Seq("k"), "repl", batchId = 7L)
+    assert(rowsOf(VersionedTable.read(spark, root))
+      .contains((3, "c2", 33L)), "stale replayed delete must be a no-op")
+  }
+
   test("readChanges refuses a non-CDF rewrite; vacuum sweeps change files") {
     val root = freshRoot()
     VersionedTable.create(spark, root, dim((1, "a", 10L), (2, "b", 20L)))

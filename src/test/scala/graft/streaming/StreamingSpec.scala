@@ -407,6 +407,41 @@ class StreamingSpec extends AnyFunSuite {
       (3L, Seq("Another keeper line here?"))))
   }
 
+  test("replicateInto converges a sink table to the source over the change feed") {
+    import graft.sources.VersionedTable
+    val work = java.nio.file.Files.createTempDirectory("graft_repl").toString
+    val (a, b, ckpt) = (s"$work/a", s"$work/b", s"$work/ckpt")
+    def dimOf(rows: (Int, String, Long)*) = rows.toSeq.toDF("k", "name", "amt")
+    def rowsOf(root: String): Set[(Int, String, Long)] =
+      VersionedTable.read(spark, root).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    VersionedTable.create(spark, a, dimOf((1, "a", 10L), (2, "b", 20L)))
+    val q = graft.streaming.Streams.replicateInto(spark, a, b,
+      keys = Seq("k"), checkpoint = ckpt)
+    try {
+      q.processAllAvailable()
+      assert(rowsOf(b) == rowsOf(a), "create must replicate as inserts")
+      // live mutations: update, insert, ranged delete, plain append
+      VersionedTable.merge(spark, a, dimOf((2, "b2", 22L), (5, "e", 50L)),
+        Seq("k"), cdf = true)
+      VersionedTable.deleteWhere(spark, a, col("k") === 1, cdf = true)
+      VersionedTable.append(spark, a, dimOf((7, "g", 70L)))
+      q.processAllAvailable()
+      assert(rowsOf(b) == rowsOf(a),
+        s"sink must converge: ${rowsOf(b)} vs ${rowsOf(a)}")
+      assert(rowsOf(a) == Set((2, "b2", 22L), (5, "e", 50L), (7, "g", 70L)))
+    } finally q.stop()
+    // restart from the checkpoint: nothing re-applies, new commits flow
+    VersionedTable.merge(spark, a, dimOf((7, "g2", 77L)), Seq("k"),
+      cdf = true)
+    val q2 = graft.streaming.Streams.replicateInto(spark, a, b,
+      keys = Seq("k"), checkpoint = ckpt)
+    try {
+      q2.processAllAvailable()
+      assert(rowsOf(b) == rowsOf(a), "restart must resume, not replay")
+    } finally q2.stop()
+  }
+
   test("dsirScore: frozen ratio table streams unchanged (split-invariant)") {
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
