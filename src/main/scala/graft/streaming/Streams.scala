@@ -265,7 +265,9 @@ object Streams {
     * change feed is file-diff- or change-file-bounded — never a table
     * scan. Requires every rewrite commit in the tailed range to be
     * CDF-enabled or layout-only (readChanges' refusal otherwise stops
-    * the stream loudly rather than double-delivering). */
+    * the stream loudly rather than double-delivering), and the tail's
+    * unprocessed window to stay within vacuum retention — resolving an
+    * append-only version's delta needs its PREDECESSOR manifest. */
   def tailVersionedChanges(spark: org.apache.spark.sql.SparkSession,
       root: String, checkpoint: String)(
       apply: (Long, DataFrame) => Unit):
@@ -313,11 +315,15 @@ object Streams {
       val delKeys = changes.filter(col("_change_type") === "delete")
         .select(keys.map(col): _*)
         .exceptAll(ins.select(keys.map(col): _*)).distinct()
-      if (VersionedTable.currentVersion(spark, toRoot).isEmpty) {
-        VersionedTable.create(spark, toRoot, ins.limit(0)) // schema seed
+      // layout-only source versions (compact/clusterBy) carry no row
+      // changes: skip entirely — a replay re-skips, so no guard needed
+      if (!changes.isEmpty) {
+        if (VersionedTable.currentVersion(spark, toRoot).isEmpty) {
+          VersionedTable.create(spark, toRoot, ins.limit(0)) // schema seed
+        }
+        VersionedTable.streamingApply(spark, toRoot, ins, delKeys, keys,
+          queryName = "graft_repl", batchId = v)
       }
-      VersionedTable.streamingApply(spark, toRoot, ins, delKeys, keys,
-        queryName = "graft_repl", batchId = v)
       ()
     }
   }
