@@ -158,9 +158,16 @@ object Expectations {
     def counts(df: DataFrame, out: String): DataFrame =
       df.groupBy(col(keyCol).cast("string").as("category"))
         .agg(count(lit(1)).as(out))
-    val joined = counts(base, "n_base")
-      .join(counts(current, "n_cur"), Seq("category"), "full_outer")
-      .select(col("category"),
+    // null-safe join: a NULL category is one category, not two
+    // one-sided rows reporting phantom drift in both directions
+    val b = counts(base, "n_base").alias("__dr_b")
+    val c = counts(current, "n_cur").alias("__dr_c")
+    val joined = b
+      .join(c, col("__dr_b.category") <=> col("__dr_c.category"),
+        "full_outer")
+      .select(
+        coalesce(col("__dr_b.category"), col("__dr_c.category"))
+          .as("category"),
         coalesce(col("n_base"), lit(0L)).as("n_base"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
     // totals over the SMOOTHED masses: one category-bounded aggregate,

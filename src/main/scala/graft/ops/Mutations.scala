@@ -49,10 +49,19 @@ object Mutations {
     joined.select(cols.toIndexedSeq: _*)
   }
 
-  /** DELETE-shaped command (MERGE WHEN MATCHED THEN DELETE): anti-join. */
-  def applyDelete(target: DataFrame, deletes: DataFrame, keys: Seq[String]): DataFrame =
-    target.join(deletes.select(keys.map(col): _*).dropDuplicates(keys),
-      keys, "left_anti")
+  /** DELETE-shaped command (MERGE WHEN MATCHED THEN DELETE): anti-join,
+    * null-safe like [[applyUpdate]] — a NULL business key that the
+    * match side treats as matchable must delete too, or a NULL-keyed
+    * upsert lands its row twice (match rewrites it, the equality
+    * anti-join fails to suppress the insert). */
+  def applyDelete(target: DataFrame, deletes: DataFrame, keys: Seq[String]): DataFrame = {
+    val t = target.alias("__mut_t")
+    val d = deletes.select(keys.map(col): _*).dropDuplicates(keys)
+      .alias("__mut_d")
+    def tc(n: String) = col(s"__mut_t.${graft.dag.DataFlowExec.bq(n)}")
+    def dc(n: String) = col(s"__mut_d.${graft.dag.DataFlowExec.bq(n)}")
+    t.join(d, keys.map(k => tc(k) <=> dc(k)).reduce(_ && _), "left_anti")
+  }
 
   /** SCD Type 1: upsert — matched target rows take the feed's values,
     * unmatched feed rows are appended (reference recognizes SCD at

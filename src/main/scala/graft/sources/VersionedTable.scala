@@ -487,10 +487,28 @@ object VersionedTable {
     case _ => None
   }
 
+  /** Spark orders strings by UTF-8 BYTES (UTF8String.compareTo), not
+    * Java's UTF-16 code units — the two diverge for any string mixing
+    * supplementary-plane characters (surrogate pairs sort HIGH in
+    * UTF-16 but their UTF-8 bytes start 0xF0 < 0xEF..) with U+E000..
+    * U+FFFF. min/max stats come from Spark, so pruning must compare
+    * the way Spark ordered them or it wrongly drops matching files. */
+  private def utf8Cmp(a: String, b: String): Int = {
+    val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
   private def domCmp(a: Any, b: Any): Option[Int] = (a, b) match {
     case (x: java.math.BigDecimal, y: java.math.BigDecimal) =>
       Some(x.compareTo(y))
-    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: String, y: String) => Some(utf8Cmp(x, y))
     case (x: Boolean, y: Boolean) => Some(x.compareTo(y))
     case _ => None
   }
@@ -648,8 +666,11 @@ object VersionedTable {
       if (!cdf) Seq.empty
       else {
         val diff = changeDiff(before,
-          scanEntries(spark, root, m.schema, newEntries))
-        if (diff.isEmpty) Seq.empty else writeChangeData(spark, root, diff)
+          scanEntries(spark, root, m.schema, newEntries)).persist()
+        try {
+          if (diff.isEmpty) Seq.empty
+          else writeChangeData(spark, root, diff)
+        } finally { diff.unpersist(); () }
       }
     commit(spark, root, base, m.schema, kept ++ newEntries, m.meta,
       changeFiles = change, cdfNone = cdf && change.isEmpty)
@@ -790,9 +811,14 @@ object VersionedTable {
     val change: Seq[String] =
       if (!cdf) Seq.empty
       else {
+        // persisted across the isEmpty probe and the write — the diff
+        // is two exceptAll shuffles over the rewrite, not worth twice
         val diff = changeDiff(affectedRows,
-          scanEntries(spark, root, m.schema, newEntries))
-        if (diff.isEmpty) Seq.empty else writeChangeData(spark, root, diff)
+          scanEntries(spark, root, m.schema, newEntries)).persist()
+        try {
+          if (diff.isEmpty) Seq.empty
+          else writeChangeData(spark, root, diff)
+        } finally { diff.unpersist(); () }
       }
     commit(spark, root, base, m.schema, keptE ++ newEntries, nextMeta,
       changeFiles = change, cdfNone = cdf && change.isEmpty)
@@ -862,6 +888,20 @@ object VersionedTable {
     case other => other
   }
 
+  /** Null-safe keyed anti-join (left rows whose keys match NO right
+    * row, with NULL <=> NULL matching) — the insert-detection join of
+    * every merge path. A plain equality anti-join never matches NULL
+    * keys, so a NULL-keyed source row would both UPDATE its matching
+    * target row (the match side uses <=>) and be inserted again. */
+  private def antiByKeys(left: DataFrame, right: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val l = left.alias("__vt_l")
+    val r = right.alias("__vt_r")
+    def lc(n: String) = col(s"__vt_l.${graft.dag.DataFlowExec.bq(n)}")
+    def rc(n: String) = col(s"__vt_r.${graft.dag.DataFlowExec.bq(n)}")
+    l.join(r, keys.map(k => lc(k) <=> rc(k)).reduce(_ && _), "left_anti")
+  }
+
   /** MERGE INTO: matched target rows take the source's `setCols`
     * (default: every non-key column), unmatched source rows are
     * inserted, `deleteMatched` turns the matched branch into WHEN
@@ -880,7 +920,7 @@ object VersionedTable {
           setCols.getOrElse(cols.filterNot(keys.contains)))
       val inserts =
         if (insertUnmatched && !deleteMatched)
-          s.dropDuplicates(keys).join(full, keys, "left_anti")
+          antiByKeys(s.dropDuplicates(keys), full, keys)
         else s.limit(0)
       rewritten.unionByName(inserts)
     }
@@ -938,7 +978,7 @@ object VersionedTable {
           val s = src.select(cols.map(col): _*).dropDuplicates(keys)
           graft.ops.Mutations.applyUpdate(affected, s, keys,
               cols.filterNot(keys.contains))
-            .unionByName(s.join(full, keys, "left_anti"))
+            .unionByName(antiByKeys(s, full, keys))
         }
       } catch {
         case _: CommitConflict if attempt < maxRetries => attempt += 1
@@ -973,11 +1013,17 @@ object VersionedTable {
         ) { (affected, _, full) =>
           val cols = full.columns.toSeq
           val ins = inserts.select(cols.map(col): _*).dropDuplicates(keys)
-          val afterDelete =
-            graft.ops.Mutations.applyDelete(affected, deleteKeys, keys)
-          graft.ops.Mutations.applyUpdate(afterDelete, ins, keys,
-              cols.filterNot(keys.contains))
-            .unionByName(ins.join(full, keys, "left_anti"))
+          // sequential delete-then-upsert semantics, computed directly:
+          // strip BOTH the deleted keys and the upserted keys from the
+          // pre-image, then land every insert row. Routing inserts
+          // through an anti-join against the pre-image would drop a
+          // row whose key is both deleted and re-inserted in the same
+          // batch (the key still sits in the snapshot the anti-join
+          // sees) — caught in review, pinned in spec.
+          val stripped = graft.ops.Mutations.applyDelete(
+            graft.ops.Mutations.applyDelete(affected, deleteKeys, keys),
+            ins, keys)
+          stripped.unionByName(ins)
         }
       } catch {
         case _: CommitConflict if attempt < maxRetries => attempt += 1
@@ -1054,8 +1100,14 @@ object VersionedTable {
         if (df.columns.contains(n)) col(n)
         else lit(null).cast(toSchema(n).dataType).as(n)
       } :+ col("_change_type") :+ lit(v).as("_commit_version"): _*)
+    // the previous iteration's file set rides along so each manifest
+    // in the range is parsed ONCE, not re-read as the next version's
+    // predecessor (manifests of wide tables carry stats for every file)
+    var lastFiles: Option[(Long, Set[String])] = None
     val frames = (fromVersion + 1 to to).flatMap { v =>
       val m = readManifest(spark, root, v)
+      val rels = m.files.map(_.rel).toSet
+      val out: Option[DataFrame] =
       if (m.cdfNone) None
       else if (m.changeFiles.nonEmpty) {
         val cfSchema = m.schema.add("_change_type", StringType)
@@ -1064,8 +1116,11 @@ object VersionedTable {
       } else {
         val prevSet: Set[String] =
           if (v == 1) Set.empty // before-create: everything is an insert
-          else readManifest(spark, root, v - 1).files.map(_.rel).toSet
-        val removed = prevSet -- m.files.map(_.rel).toSet
+          else lastFiles match {
+            case Some((pv, fs)) if pv == v - 1 => fs
+            case _ => readManifest(spark, root, v - 1).files.map(_.rel).toSet
+          }
+        val removed = prevSet -- rels
         if (removed.nonEmpty)
           throw new IllegalStateException(
             s"$root version $v rewrote ${removed.size} file(s) without " +
@@ -1076,6 +1131,8 @@ object VersionedTable {
         else Some(align(scanEntries(spark, root, m.schema, added)
           .withColumn("_change_type", lit("insert")), v))
       }
+      lastFiles = Some((v, rels))
+      out
     }
     if (frames.isEmpty)
       spark.createDataFrame(

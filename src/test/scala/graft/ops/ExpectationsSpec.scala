@@ -133,5 +133,14 @@ class ExpectationsSpec extends AnyFunSuite {
     assert(oneSided.size == 2 &&
       oneSided.values.forall(v => !v.isNaN && !v.isInfinite))
     assert(oneSided("zzz") > 0, "appearing category must contribute drift")
+    // NULL is ONE category (null-safe join), not two phantom-drift rows
+    def withNulls(nNull: Int, nA: Int) =
+      (Seq.fill(nNull)(Option.empty[String]) ++
+        Seq.fill(nA)(Option("a"))).toDF("src")
+    val nullStable = Expectations.distributionDrift(
+        withNulls(50, 50), withNulls(50, 50), "src").collect()
+    assert(nullStable.length == 2, s"got ${nullStable.length} rows")
+    assert(nullStable.forall(r => math.abs(r.getDouble(5)) < 1e-6),
+      "identical null share must read as zero drift")
   }
 }

@@ -613,6 +613,43 @@ class VersionedTableSpec extends AnyFunSuite {
       Seq("k"), "repl", batchId = 7L)
     assert(rowsOf(VersionedTable.read(spark, root))
       .contains((3, "c2", 33L)), "stale replayed delete must be a no-op")
+    // delete+re-insert of the SAME key in ONE batch: sequential
+    // semantics — the insert must land (review finding: an anti-join
+    // against the pre-image snapshot silently dropped it)
+    VersionedTable.streamingApply(spark, root, dim((2, "b3", 99L)),
+      Seq(Tuple1(2)).toDF("k"), Seq("k"), "repl", batchId = 9L)
+    assert(rowsOf(VersionedTable.read(spark, root))
+      .contains((2, "b3", 99L)),
+      "same-batch delete+insert must keep the insert")
+  }
+
+  test("string pruning compares in Spark's UTF-8 order, not UTF-16") {
+    val root = freshRoot()
+    // "￿" > "😀" in UTF-16 code units but < in UTF-8 bytes — the
+    // order Spark computed the stats in; a UTF-16 comparator would
+    // wrongly prune this file for the equality below
+    VersionedTable.create(spark, root,
+      Seq((1, "￿", 1L), (2, "😀", 2L))
+        .toDF("k", "name", "amt").coalesce(1))
+    assert(VersionedTable.readWhere(spark, root, col("name") === "￿")
+      .count() == 1, "supplementary-plane max must not prune U+FFFF")
+    assert(VersionedTable.pruneProfile(spark, root,
+      col("name") === "￿")._1 == 1)
+  }
+
+  test("NULL business keys merge once: match updates, insert suppressed") {
+    val root = freshRoot()
+    val withNull = Seq((Option(1), "a", 10L), (Option.empty[Int], "n", 0L))
+      .toDF("k", "name", "amt")
+    VersionedTable.create(spark, root, withNull)
+    VersionedTable.merge(spark, root,
+      Seq((Option.empty[Int], "n2", 5L)).toDF("k", "name", "amt"),
+      keys = Seq("k"))
+    val got = VersionedTable.read(spark, root).collect()
+      .map(r => (if (r.isNullAt(0)) -1 else r.getInt(0),
+        r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((1, "a", 10L), (-1, "n2", 5L)),
+      s"NULL key must update in place, not duplicate: $got")
   }
 
   test("readChanges refuses a non-CDF rewrite; vacuum sweeps change files") {
