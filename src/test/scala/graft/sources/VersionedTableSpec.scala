@@ -415,6 +415,44 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.pruneProfile(spark, root, col("k") > 1000)._1 == 0)
   }
 
+  test("fuzz: readWhere == full filter over random data and predicates") {
+    val rnd = new scala.util.Random(1234)
+    val root = freshRoot()
+    val weird = Seq("", "~", "a\tb", "ünïcødé", "😀", "￿", "z,=%")
+    val rows = (1 to 240).map { i =>
+      (if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(200) - 100),
+        if (rnd.nextInt(8) == 0) None
+        else Some(weird(rnd.nextInt(weird.size)) + rnd.nextInt(5)),
+        if (rnd.nextInt(6) == 0) None
+        else Some(rnd.nextDouble() * 2000 - 1000))
+    }
+    VersionedTable.create(spark, root,
+      rows.toDF("k", "name", "v").repartitionByRange(6, col("k")))
+    def randPred(): org.apache.spark.sql.Column = {
+      def leaf(): org.apache.spark.sql.Column = rnd.nextInt(8) match {
+        case 0 => col("k") === (rnd.nextInt(200) - 100)
+        case 1 => col("k") > (rnd.nextInt(200) - 100)
+        case 2 => col("k") <= lit((rnd.nextInt(200) - 100).toLong)
+        case 3 => col("name") === (weird(rnd.nextInt(weird.size)) +
+          rnd.nextInt(5))
+        case 4 => col("name").isNull
+        case 5 => col("v") >= (rnd.nextDouble() * 2000 - 1000)
+        case 6 => col("k").isin(
+          Seq.fill(3)(rnd.nextInt(200) - 100).map(Integer.valueOf): _*)
+        case 7 => col("v").isNotNull
+      }
+      (1 to 1 + rnd.nextInt(2)).map(_ => leaf()).reduce(_ && _)
+    }
+    (1 to 40).foreach { trial =>
+      val p = randPred()
+      val skip = VersionedTable.readWhere(spark, root, p)
+        .collect().map(_.toString).sorted.toSeq
+      val full = VersionedTable.read(spark, root).filter(p)
+        .collect().map(_.toString).sorted.toSeq
+      assert(skip == full, s"trial $trial diverged for predicate $p")
+    }
+  }
+
   test("deleteWhere and updateWhere rewrite only stats-overlapping files") {
     val root = freshRoot()
     bandedTable(root, bands = 4, perBand = 10) // 8 files
