@@ -182,6 +182,13 @@ object VersionedTable {
       meta: Map[String, String] = Map.empty,
       changeFiles: Seq[String] = Seq.empty,
       cdfNone: Boolean = false): Long = {
+    // validate inputs BEFORE reserving the version: a require firing
+    // after the lock is taken would strand an orphan reservation that
+    // blocks every writer until a manual recover()
+    meta.foreach { case (k, v) =>
+      require(!k.contains('=') && !(k + v).exists(c => c == '\n' || c == '\r'),
+        s"bad meta entry '$k'='$v'")
+    }
     val next = base + 1
     val dir = manifestDir(root)
     val f = fs(spark, dir)
@@ -194,6 +201,17 @@ object VersionedTable {
           "re-read the table, recompute against the new snapshot, and " +
           "retry (or run recover() if a committer died mid-commit)")
     }
+    // second-chance staleness check AFTER the reservation: if vacuum
+    // dropped old versions, their lock tombstones went with them, and a
+    // writer still holding a pre-vacuum base could re-acquire a retired
+    // slot — its commit would land BEHIND currentVersion and be
+    // silently invisible (a lost update). The just-created lock stays
+    // behind as a fresh tombstone for the retired slot, re-closing it.
+    currentVersion(spark, root).foreach { cur =>
+      if (cur >= next) throw new CommitConflict(
+        s"version $next of $root is retired (current is $cur) — the " +
+          "base snapshot predates vacuumed history; re-read and retry")
+    }
     val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, false)
     try {
@@ -201,8 +219,6 @@ object VersionedTable {
       w.write(Magic + "\n")
       w.write("schema=" + schema.json + "\n")
       meta.toSeq.sortBy(_._1).foreach { case (k, v) =>
-        require(!k.contains('=') && !(k + v).exists(c => c == '\n' || c == '\r'),
-          s"bad meta entry '$k'='$v'")
         w.write(s"meta $k=$v\n")
       }
       if (cdfNone) w.write("cdf none\n")
@@ -344,6 +360,25 @@ object VersionedTable {
       .unionByName(
         after.exceptAll(before).withColumn("_change_type", lit("insert")))
 
+  /** Loud type guard for every write path that aligns by NAME: a
+    * source column whose type differs from the table schema would
+    * write parquet files the manifest schema cannot read back (the
+    * commit "succeeds", every later scan throws) — or, through a merge
+    * rewrite's when/otherwise coercion, silently widen pre-existing
+    * rows. Same stance as [[appendEvolve]]'s shared-column check. */
+  private def requireConforms(df: DataFrame, schema: StructType,
+      context: String): Unit = {
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    schema.fields.foreach { f =>
+      types.get(f.name).foreach { dt =>
+        require(dt == f.dataType,
+          s"$context: column '${f.name}' is ${f.dataType.catalogString} " +
+            s"in the table but ${dt.catalogString} in the source — cast " +
+            "explicitly (types never coerce silently into a snapshot)")
+      }
+    }
+  }
+
   /** Create the table at `root` with `df` as version 1. */
   def create(spark: SparkSession, root: String, df: DataFrame): Long = {
     require(currentVersion(spark, root).isEmpty,
@@ -438,11 +473,21 @@ object VersionedTable {
 
   /** Evaluate a foldable (post-coercion) literal side to its internal
     * value + type. */
-  private def litOf(e: cexp.Expression): Option[(Any, DataType)] =
-    if (e.foldable)
+  private def litOf(e: cexp.Expression): Option[(Any, DataType)] = {
+    // current_timestamp()/current_date() ARE foldable-evaluable here,
+    // but prune-time and execution-time values differ (the re-applied
+    // filter evaluates later) — folding them could prune files whose
+    // rows satisfy the executed predicate. Time-varying terms never
+    // prune.
+    val timeVarying = e.exists {
+      case _: cexp.CurrentTimestampLike | _: cexp.CurrentDate => true
+      case _ => false
+    }
+    if (e.foldable && !timeVarying)
       Some((e.eval(org.apache.spark.sql.catalyst.InternalRow.empty),
         e.dataType))
     else None
+  }
 
   /** Internal literal value → comparison domain: BigDecimal for every
     * numeric/date/timestamp (exact, no cross-width rounding), String,
@@ -658,10 +703,16 @@ object VersionedTable {
     val touchedSet = touched.map(_.rel).toSet
     val kept = m.files.filterNot(e => touchedSet.contains(e.rel))
     val before = scanEntries(spark, root, m.schema, touched)
+    // persisted across the emptiness probe and the write: the rebuild
+    // is the mutation's dominant join/filter work, not worth twice
     val replacement = rebuild(before)
-      .select(m.schema.fieldNames.map(col).toIndexedSeq: _*)
+      .select(m.schema.fields.toSeq.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)): _*).persist()
     val newEntries =
-      if (replacement.isEmpty) Seq.empty else writeData(spark, root, replacement)
+      try {
+        if (replacement.isEmpty) Seq.empty
+        else writeData(spark, root, replacement)
+      } finally { replacement.unpersist(); () }
     val change: Seq[String] =
       if (!cdf) Seq.empty
       else {
@@ -713,6 +764,7 @@ object VersionedTable {
     val base = currentVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root: no versioned table"))
     val m = readManifest(spark, root, base)
+    requireConforms(df, m.schema, "append")
     val aligned = df.select(m.schema.fieldNames.map(col).toIndexedSeq: _*)
     commit(spark, root, base, m.schema,
       m.files ++ writeData(spark, root, aligned), m.meta)
@@ -777,6 +829,7 @@ object VersionedTable {
       case Some(nm) => nm
       case None => return base // idempotent replay: nothing to do
     }
+    requireConforms(source, m.schema, "copy-on-write source")
     val srcKeys = source.select(keys.map(col): _*).dropDuplicates(keys)
     // data skipping on the KEY RANGES of the source: one small agg over
     // the (deduped) source keys yields per-key min/max + has-null; any
@@ -804,10 +857,13 @@ object VersionedTable {
       m.files.partition(e => affectedNames.contains(new Path(e.rel).getName))
     val affectedRows = scanEntries(spark, root, m.schema, affectedE)
     val replacement = rebuild(affectedRows, source, matchable)
-      .select(m.schema.fieldNames.map(col).toIndexedSeq: _*)
+      .select(m.schema.fields.toSeq.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)): _*).persist()
     val newEntries =
-      if (replacement.isEmpty) Seq.empty
-      else writeData(spark, root, replacement)
+      try {
+        if (replacement.isEmpty) Seq.empty
+        else writeData(spark, root, replacement)
+      } finally { replacement.unpersist(); () }
     val change: Seq[String] =
       if (!cdf) Seq.empty
       else {
@@ -913,14 +969,22 @@ object VersionedTable {
       deleteMatched: Boolean = false, cdf: Boolean = false): Long =
     cowCommit(spark, root, source, keys, cdf = cdf) { (affected, src, full) =>
       val cols = full.columns.toSeq
+      setCols.foreach { sc =>
+        val unknown = sc.filterNot(cols.contains)
+        require(unknown.isEmpty,
+          s"merge: SET of unknown column(s): $unknown") // a typo must not
+        // silently no-op the update while still committing a version
+      }
       val s = src.select(cols.map(col): _*)
       val rewritten =
         if (deleteMatched) graft.ops.Mutations.applyDelete(affected, s, keys)
         else graft.ops.Mutations.applyUpdate(affected, s, keys,
           setCols.getOrElse(cols.filterNot(keys.contains)))
+      // WHEN NOT MATCHED THEN INSERT composes with BOTH matched
+      // branches (the Delta MERGE clause model): delete-matched +
+      // insert-unmatched is the "replace the intersection" shape
       val inserts =
-        if (insertUnmatched && !deleteMatched)
-          antiByKeys(s.dropDuplicates(keys), full, keys)
+        if (insertUnmatched) antiByKeys(s.dropDuplicates(keys), full, keys)
         else s.limit(0)
       rewritten.unionByName(inserts)
     }
@@ -961,31 +1025,12 @@ object VersionedTable {
     * and skips. */
   def streamingUpsert(spark: SparkSession, root: String, batch: DataFrame,
       keys: Seq[String], queryName: String, batchId: Long,
-      maxRetries: Int = 10, cdf: Boolean = false): Long = {
-    require(queryName.nonEmpty && !queryName.contains('='),
-      s"bad queryName '$queryName'")
-    val metaKey = s"stream.$queryName.batch"
-    var attempt = 0
-    while (true) {
-      try {
-        return cowCommit(spark, root, batch, keys,
-          metaUpdate = m =>
-            if (m.get(metaKey).exists(_.toLong >= batchId)) None
-            else Some(m + (metaKey -> batchId.toString)),
-          cdf = cdf
-        ) { (affected, src, full) =>
-          val cols = full.columns.toSeq
-          val s = src.select(cols.map(col): _*).dropDuplicates(keys)
-          graft.ops.Mutations.applyUpdate(affected, s, keys,
-              cols.filterNot(keys.contains))
-            .unionByName(antiByKeys(s, full, keys))
-        }
-      } catch {
-        case _: CommitConflict if attempt < maxRetries => attempt += 1
-      }
-    }
-    sys.error("unreachable")
-  }
+      maxRetries: Int = 10, cdf: Boolean = false): Long =
+    // an upsert IS a change-set apply with no deletes — one guarded
+    // retry loop, not two copies that can drift
+    streamingApply(spark, root, batch,
+      batch.select(keys.map(col): _*).limit(0), keys, queryName, batchId,
+      maxRetries, cdf)
 
   /** Exactly-once streaming CHANGE-SET apply: ONE atomic commit
     * removes `deleteKeys` and upserts `inserts`, guarded by the same
@@ -997,9 +1042,13 @@ object VersionedTable {
     * would resurrect a tombstone). */
   def streamingApply(spark: SparkSession, root: String, inserts: DataFrame,
       deleteKeys: DataFrame, keys: Seq[String], queryName: String,
-      batchId: Long, maxRetries: Int = 10): Long = {
+      batchId: Long, maxRetries: Int = 10, cdf: Boolean = false): Long = {
     require(queryName.nonEmpty && !queryName.contains('='),
       s"bad queryName '$queryName'")
+    requireConforms(inserts,
+      readManifest(spark, root, currentVersion(spark, root).getOrElse(
+        throw new IllegalArgumentException(s"$root: no versioned table")))
+        .schema, "streamingApply")
     val metaKey = s"stream.$queryName.batch"
     val touch = inserts.select(keys.map(col): _*)
       .unionByName(deleteKeys.select(keys.map(col): _*))
@@ -1009,7 +1058,8 @@ object VersionedTable {
         return cowCommit(spark, root, touch, keys,
           metaUpdate = m =>
             if (m.get(metaKey).exists(_.toLong >= batchId)) None
-            else Some(m + (metaKey -> batchId.toString))
+            else Some(m + (metaKey -> batchId.toString)),
+          cdf = cdf
         ) { (affected, _, full) =>
           val cols = full.columns.toSeq
           val ins = inserts.select(cols.map(col): _*).dropDuplicates(keys)
@@ -1048,7 +1098,9 @@ object VersionedTable {
       toVersion: Option[Long] = None): DataFrame = {
     val to = toVersion.orElse(currentVersion(spark, root)).getOrElse(
       throw new IllegalArgumentException(s"$root: no versioned table"))
-    require(fromVersion <= to, s"fromVersion $fromVersion is past $to")
+    require(fromVersion >= 1 && fromVersion <= to,
+      s"need 1 <= fromVersion <= $to, got $fromVersion (a before-create " +
+        "feed is readChanges(root, 0), which emits version 1 as inserts)")
     val mFrom = readManifest(spark, root, fromVersion)
     val mTo = readManifest(spark, root, to)
     val fromSet = mFrom.files.map(_.rel).toSet
@@ -1312,5 +1364,11 @@ object VersionedTable {
     sweep("data", referenced.map(rel => new Path(rel).getParent.getName))
     sweep("changes",
       referencedChanges.map(rel => new Path(rel).getParent.getName))
+    // torn commits also strand .tmp-* manifests (written, never
+    // renamed); past the grace window they are garbage too
+    f.listStatus(dir).filter { st =>
+      st.getPath.getName.startsWith(".tmp-") &&
+        st.getModificationTime < cutoff
+    }.foreach(st => f.delete(st.getPath, false))
   }
 }

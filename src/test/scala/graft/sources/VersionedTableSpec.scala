@@ -108,8 +108,18 @@ class VersionedTableSpec extends AnyFunSuite {
     val root = freshRoot()
     VersionedTable.create(spark, root, dim((1, "a", 10L), (2, "b", 20L)))
     VersionedTable.merge(spark, root, dim((1, "a", 10L)), Seq("k"),
-      deleteMatched = true)
+      insertUnmatched = false, deleteMatched = true)
     assert(rowsOf(VersionedTable.read(spark, root)) == Set((2, "b", 20L)))
+    // the Delta clause combination: delete matched AND insert unmatched
+    VersionedTable.merge(spark, root, dim((2, "x", 0L), (9, "i", 90L)),
+      Seq("k"), insertUnmatched = true, deleteMatched = true)
+    assert(rowsOf(VersionedTable.read(spark, root)) == Set((9, "i", 90L)))
+    // a misspelled SET column refuses instead of silently no-opping
+    val err = intercept[IllegalArgumentException] {
+      VersionedTable.merge(spark, root, dim((9, "j", 91L)), Seq("k"),
+        setCols = Some(Seq("naem")))
+    }
+    assert(err.getMessage.contains("unknown column"), err.getMessage)
   }
 
   test("scdType2Commit expires changed rows and inserts fresh versions") {
