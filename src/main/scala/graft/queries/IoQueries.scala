@@ -669,6 +669,34 @@ object IoQueries extends QueryPack {
           where = Some(col("c_custkey") < 400))),
         Nil))("src.out")
         .orderBy(col("c_custkey"))
+    },
+
+    // The Delta MERGE clause combination WHEN MATCHED THEN DELETE +
+    // WHEN NOT MATCHED THEN INSERT ("replace the intersection"): keys
+    // the feed shares with the dimension are removed, brand-new feed
+    // keys land — one file-granular commit. The review pass found the
+    // old guard silently dropped the inserts; this row keeps the
+    // combination under the driver gate. In-query requires pin the
+    // version count and that time travel still shows the pre-merge
+    // dimension.
+    "q163_versioned_delete_insert" -> { (s, dir) =>
+      import graft.sources.VersionedTable
+      val root = tmp(s, s"vt_delins/${java.util.UUID.randomUUID()}")
+      val base = graft.Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") < 500)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          CoreQueries.cents(col("c_acctbal")).as("cents"))
+      VersionedTable.create(s, root, base)
+      val feed = graft.Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") >= 300 && col("c_custkey") < 700)
+        .select(col("c_custkey"), lit("REPLACED").as("c_mktsegment"),
+          lit(0L).as("cents"))
+      val v = VersionedTable.merge(s, root, feed, keys = Seq("c_custkey"),
+        insertUnmatched = true, deleteMatched = true)
+      require(v == 2L, s"expected one merge commit, got $v")
+      require(VersionedTable.read(s, root, Some(1L)).count() == base.count(),
+        "time travel must keep the pre-merge dimension")
+      VersionedTable.read(s, root).orderBy(col("c_custkey"))
     }
   )
 
@@ -739,6 +767,14 @@ object IoQueries extends QueryPack {
         |WHERE o_orderkey >= 3*(SELECT w FROM w)
         |  AND o_orderkey < 4*(SELECT w FROM w)
         |ORDER BY o_orderkey""".stripMargin,
+    "q163_versioned_delete_insert" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+        |FROM customer WHERE c_custkey < 300
+        |UNION ALL
+        |SELECT c_custkey, 'REPLACED', 0
+        |FROM customer WHERE c_custkey >= 500 AND c_custkey < 700
+        |ORDER BY c_custkey""".stripMargin,
     "q162_flow_versioned" ->
       """WITH base AS (SELECT c_custkey, c_name,
         |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
