@@ -707,7 +707,7 @@ object IoQueries extends QueryPack {
         |  FROM customer WHERE c_custkey < 500),
         |feed AS (SELECT o_custkey AS c_custkey,
         |    'merged_' || CAST(o_custkey AS VARCHAR) AS c_name,
-        |    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         |  FROM orders WHERE o_custkey < 800 GROUP BY o_custkey)
         |SELECT COALESCE(b.c_custkey, f.c_custkey) AS c_custkey,
         |  COALESCE(f.c_name, b.c_name) AS c_name,
@@ -735,7 +735,7 @@ object IoQueries extends QueryPack {
         |  FROM customer WHERE c_custkey < 300),
         |b0 AS (SELECT o_custkey AS c_custkey,
         |    'b0_' || CAST(COUNT(*) AS VARCHAR) AS c_mktsegment,
-        |    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         |  FROM orders WHERE o_custkey < 400 GROUP BY o_custkey),
         |b1 AS (SELECT o_custkey AS c_custkey, 'b1' AS c_mktsegment,
         |    MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
@@ -781,7 +781,7 @@ object IoQueries extends QueryPack {
         |  FROM customer WHERE c_custkey < 500),
         |feed AS (SELECT o_custkey AS c_custkey,
         |    'merged_' || CAST(o_custkey AS VARCHAR) AS c_name,
-        |    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         |  FROM orders WHERE o_custkey < 800 GROUP BY o_custkey)
         |SELECT COALESCE(b.c_custkey, f.c_custkey) AS c_custkey,
         |  COALESCE(f.c_name, b.c_name) AS c_name,
@@ -803,7 +803,7 @@ object IoQueries extends QueryPack {
         |  FROM customer WHERE c_custkey < 500),
         |feed AS (SELECT o_custkey AS c_custkey,
         |    'merged_' || CAST(o_custkey AS VARCHAR) AS c_name,
-        |    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         |  FROM orders WHERE o_custkey < 800 GROUP BY o_custkey),
         |v2 AS (SELECT COALESCE(b.c_custkey, f.c_custkey) AS c_custkey,
         |    COALESCE(f.c_name, b.c_name) AS c_name,
