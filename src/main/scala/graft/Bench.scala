@@ -37,8 +37,31 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // untimed warmup: JVM/codegen/parquet-footer paths
+    // untimed warmup: JVM/codegen/parquet-footer paths, PLUS the two
+    // one-time bootstrap costs that otherwise land on the first query
+    // in sorted order that touches them (r12: q109 absorbed ~19 s of
+    // metastore + checkpoint-dir setup): a catalog create+drop boots
+    // the per-run-fresh Derby metastore, and a localCheckpoint forces
+    // the block-manager temp-dir path.
     evalAll(Tables.load(spark, sfDir, "nation"))
+    spark.range(10).write.mode("overwrite").saveAsTable("graft_warmup_t")
+    spark.sql("DROP TABLE graft_warmup_t")
+    spark.range(10).toDF("id").localCheckpoint(eager = true).count()
+
+    // Contention canary: the same three trivial probes re-timed at the
+    // start, middle, and end of the run. On an idle machine all nine
+    // numbers sit within timer noise of each other; a contended driver
+    // round (r11/r12 both were) shows up as a mid- or end-phase ratio
+    // well above 1, making machine load diagnosable from the JSON alone.
+    val canaryNames = Seq("q4_derived_column", "q9_split", "q73_pii_redact")
+    def canaryProbe(): Seq[(String, Double)] = canaryNames.flatMap { n =>
+      SparkEntry.queries.get(n).map { fn =>
+        val t0 = System.nanoTime()
+        evalAll(fn(spark, sfDir))
+        spark.catalog.clearCache()
+        n.takeWhile(_ != '_') -> (System.nanoTime() - t0) / 1e9
+      }
+    }
 
     // a failed query reports null (NOT its elapsed-until-failure time —
     // that silently masks breakage as a timing) and is excluded from the
@@ -46,10 +69,17 @@ object Bench {
     // optional comma-separated subset for targeted sweeps (e.g. the
     // sf1 scaling runs); the driver never sets it — full run by default
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val toRun = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    // one untimed pass first: the probes' own codegen/first-run cost
+    // must not masquerade as start-phase contention
+    canaryProbe()
+    val canaryStart = canaryProbe()
+    val midAt = toRun.size / 2
+    var canaryMid: Seq[(String, Double)] = Nil
     val results: Seq[(String, Option[Double])] =
-      SparkEntry.queries.toSeq.sortBy(_._1)
-        .filter { case (name, _) => only.forall(_.contains(name)) }
-        .map { case (name, fn) =>
+      toRun.zipWithIndex.map { case ((name, fn), idx) =>
+        if (idx == midAt && toRun.size > 3) canaryMid = canaryProbe()
         val t0 = System.nanoTime()
         val timing = try { evalAll(fn(spark, sfDir));
           Some((System.nanoTime() - t0) / 1e9)
@@ -69,6 +99,12 @@ object Bench {
     // longer than needed and the driver's log-tail capture truncated
     // the r5 JSON mid-object (ms resolution is beyond timer noise)
     def fmt(d: Double) = f"$d%.3f"
+    val canaryEnd = canaryProbe()
+    def canaryJson(c: Seq[(String, Double)]) =
+      c.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+    val canary = s"""{"start":${canaryJson(canaryStart)},""" +
+      s""""mid":${canaryJson(canaryMid)},"end":${canaryJson(canaryEnd)}}"""
     val total = results.flatMap(_._2).sum
     val failed = results.collect { case (k, None) => s"\"$k\"" }
       .mkString("[", ",", "]")
@@ -94,7 +130,7 @@ object Bench {
     val shortQs = results.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + v.fold("null")(fmt2)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$shortQs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$shortQs,"failed":$failed,"canary":$canary,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
