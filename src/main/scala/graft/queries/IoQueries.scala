@@ -697,10 +697,81 @@ object IoQueries extends QueryPack {
       require(VersionedTable.read(s, root, Some(1L)).count() == base.count(),
         "time travel must keep the pre-merge dimension")
       VersionedTable.read(s, root).orderBy(col("c_custkey"))
+    },
+
+    // Streaming TABLE→TABLE replication under the oracle gate (r12's
+    // only capability with no CORRECTNESS row): tail the source
+    // table's manifest directory as a file stream and converge a
+    // replica via the row-level change feed, applying each source
+    // version as ONE atomic sink commit keyed by batchId = source
+    // version (Streams.replicateInto). The query creates the source,
+    // starts the tail, then mutates live — upsert merge, ranged
+    // delete, plain append — and emits the REPLICA. The in-query
+    // require pins the stream contract the oracle can't see (replica
+    // ≡ source, both directions); the oracle is the source-table SQL,
+    // so the gate certifies the replicated CONTENT itself.
+    "q164_versioned_replication" -> { (s, dir) =>
+      import graft.sources.VersionedTable
+      val work = tmp(s, s"vt_repl/${java.util.UUID.randomUUID()}")
+      val (src, dst, ckpt) = (s"$work/src", s"$work/dst", s"$work/ckpt")
+      val base = graft.Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") < 300)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          CoreQueries.cents(col("c_acctbal")).as("cents"))
+      VersionedTable.create(s, src, base)
+      val q = graft.streaming.Streams.replicateInto(s, src, dst,
+        keys = Seq("c_custkey"), checkpoint = ckpt)
+      try {
+        q.processAllAvailable()
+        val feed = graft.Tables.load(s, dir, "orders")
+          .filter(col("o_custkey") < 400)
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n"),
+            sum(CoreQueries.cents(col("o_totalprice"))).as("cents"))
+          .select(col("o_custkey").as("c_custkey"),
+            concat(lit("m_"), col("n").cast("string")).as("c_mktsegment"),
+            col("cents"))
+        VersionedTable.merge(s, src, feed, keys = Seq("c_custkey"),
+          cdf = true)
+        VersionedTable.deleteWhere(s, src, col("c_custkey") < 50,
+          cdf = true)
+        val app = graft.Tables.load(s, dir, "orders")
+          .filter(col("o_orderkey") < 100)
+          .select((col("o_orderkey") + 100000L).cast("long")
+            .as("c_custkey"), lit("APPEND").as("c_mktsegment"),
+            CoreQueries.cents(col("o_totalprice")).as("cents"))
+        VersionedTable.append(s, src, app)
+        q.processAllAvailable()
+      } finally q.stop()
+      val replica = VersionedTable.read(s, dst)
+      val source = VersionedTable.read(s, src)
+      require(replica.exceptAll(source).isEmpty &&
+        source.exceptAll(replica).isEmpty,
+        "replica must converge to the source, key-wise and row-wise")
+      replica.orderBy(col("c_custkey"))
     }
   )
 
   val oracles: Map[String, String] = Map(
+    "q164_versioned_replication" ->
+      """WITH base AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer WHERE c_custkey < 300),
+        |feed AS (SELECT o_custkey AS c_custkey,
+        |    'm_' || CAST(COUNT(*) AS VARCHAR) AS c_mktsegment,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders WHERE o_custkey < 400 GROUP BY o_custkey),
+        |merged AS (SELECT COALESCE(f.c_custkey, b.c_custkey) AS c_custkey,
+        |    COALESCE(f.c_mktsegment, b.c_mktsegment) AS c_mktsegment,
+        |    COALESCE(f.cents, b.cents) AS cents
+        |  FROM base b FULL OUTER JOIN feed f ON b.c_custkey = f.c_custkey)
+        |SELECT * FROM merged WHERE c_custkey >= 50
+        |UNION ALL
+        |SELECT o_orderkey + 100000, 'APPEND',
+        |  CAST(ROUND(o_totalprice * 100) AS BIGINT)
+        |FROM orders WHERE o_orderkey < 100
+        |ORDER BY c_custkey""".stripMargin,
     "q145_versioned_merge" ->
       """WITH base AS (SELECT c_custkey, c_name,
         |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
