@@ -640,11 +640,20 @@ object VersionedTable {
       case cexp.In(a, lits) =>
         attrNameOf(a) match {
           case Some(n) if lits.forall(_.foldable) =>
-            val vs = lits.flatMap(litOf).filter(_._1 != null)
-            // all-null IN list never matches; otherwise any member in
-            // range keeps the file
-            vs.exists(v => rangeMayMatch(n, v,
-              (cMin, cMax) => cMin >= 0 && cMax <= 0))
+            // a foldable member litOf refuses is TIME-VARYING
+            // (current_date()/current_timestamp()): its execution-time
+            // value is unknown at prune time, so the file must be kept
+            // — dropping the member (the old flatMap) could prune a
+            // file whose rows match only that value
+            val resolved = lits.map(litOf)
+            if (resolved.contains(None)) true
+            else {
+              val vs = resolved.flatten.filter(_._1 != null)
+              // all-null IN list never matches; otherwise any member
+              // in range keeps the file
+              vs.exists(v => rangeMayMatch(n, v,
+                (cMin, cMax) => cMin >= 0 && cMax <= 0))
+            }
           case _ => true
         }
       case cexp.IsNull(a) =>
@@ -739,9 +748,14 @@ object VersionedTable {
       df.filter(!coalesce(pred, lit(false))))
 
   /** UPDATE ... SET `set` WHERE pred, same file-granular discipline.
-    * Set expressions are cast to the column's schema type; rows where
-    * pred is not TRUE keep their values. `cdf = true` records each
-    * changed row as a delete+insert pair for [[readChanges]]. */
+    * Each SET expression must resolve to the column's schema type or a
+    * value-preserving widening of it ([[exactWidening]]) — anything
+    * else refuses loudly, the same "types never coerce silently into a
+    * snapshot" stance [[requireConforms]] takes on append/merge (a
+    * blind cast would turn e.g. a non-numeric string SET into silent
+    * NULLs). Rows where pred is not TRUE keep their values. `cdf =
+    * true` records each changed row as a delete+insert pair for
+    * [[readChanges]]. */
   def updateWhere(spark: SparkSession, root: String, pred: Column,
       set: Map[String, Column], cdf: Boolean = false): Long = {
     require(set.nonEmpty, "updateWhere needs at least one SET column")
@@ -752,6 +766,13 @@ object VersionedTable {
       df.select(df.schema.fields.toSeq.map { f =>
         set.get(f.name) match {
           case Some(v) =>
+            val vt = df.select(v).schema.head.dataType
+            require(vt == f.dataType || vt == NullType ||
+                exactWidening(vt, f.dataType),
+              s"updateWhere: SET '${f.name}' resolves to " +
+                s"${vt.catalogString} but the column is " +
+                s"${f.dataType.catalogString} — cast explicitly (types " +
+                "never coerce silently into a snapshot)")
             when(hit, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
           case None => col(f.name)
         }

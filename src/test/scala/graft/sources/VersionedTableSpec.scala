@@ -869,4 +869,40 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(rowsOf(VersionedTable.read(spark, root)).exists(
       t => t == ((2, "upd", 22L))))
   }
+
+  test("an IN list with a time-varying member never prunes") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root,
+      Seq((1, java.sql.Date.valueOf("2000-01-01"))).toDF("k", "d"))
+    VersionedTable.append(spark, root,
+      Seq((2, java.sql.Date.valueOf(java.time.LocalDate.now())))
+        .toDF("k", "d"))
+    // the constant member matches NEITHER file; current_date() matches
+    // file 2 only at execution time. Dropping the time-varying member
+    // (the pre-fix flatMap) pruned BOTH files and lost row 2.
+    val pred = col("d").isin(
+      lit(java.sql.Date.valueOf("1990-01-01")), current_date())
+    val (kept, total) = VersionedTable.pruneProfile(spark, root, pred)
+    assert(total == 2 && kept == 2,
+      s"time-varying IN member must keep every file, got $kept/$total")
+    val viaSkip = VersionedTable.readWhere(spark, root, pred)
+      .select("k").collect().map(_.getInt(0)).toSet
+    val viaScan = VersionedTable.read(spark, root).filter(pred)
+      .select("k").collect().map(_.getInt(0)).toSet
+    assert(viaSkip == viaScan)
+  }
+
+  test("updateWhere refuses a non-value-preserving SET type") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, dim((1, "a", 10L)))
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.updateWhere(spark, root, col("k") === 1,
+        Map("amt" -> lit("not-a-number")))
+    }
+    assert(e.getMessage.contains("cast explicitly"))
+    // an exact widening (int literal into the bigint column) still lands
+    VersionedTable.updateWhere(spark, root, col("k") === 1,
+      Map("amt" -> lit(5)))
+    assert(rowsOf(VersionedTable.read(spark, root)) == Set((1, "a", 5L)))
+  }
 }
