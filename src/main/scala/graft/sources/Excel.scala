@@ -158,8 +158,12 @@ object Excel {
     * driver — see scaladoc for why that is the right call for this
     * format; refuses sheets over the Excel grid limit. */
   def write(df: DataFrame, path: String, sheetName: String = "Sheet1"): Unit = {
-    val rows = df.collect()
-    require(rows.length < 1048576, "Excel grid caps at 1,048,576 rows")
+    // bound BEFORE collecting: limit(cap) pulls at most cap rows to the
+    // driver, so an over-grid frame refuses instead of OOMing the
+    // driver on an unbounded collect (the guard used to run after)
+    val cap = 1048576
+    val rows = df.limit(cap).collect()
+    require(rows.length < cap, "Excel grid caps at 1,048,576 rows")
     val names = df.columns
     val sb = new StringBuilder
     sb ++= s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>"""

@@ -113,6 +113,18 @@ class IoSpec extends AnyFunSuite {
       Set((1, 2, 3), (4, 5, 6)))
   }
 
+  test("excel writer refuses an over-grid frame without collecting it all") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_cap")
+    dir.toFile.deleteOnExit()
+    // 100M-row lazy frame: the guard must bound the collect (limit to
+    // the grid cap) and refuse — an unbounded collect here would OOM
+    val big = spark.range(100L * 1000 * 1000).toDF("id")
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Excel.write(big, dir.toString + "/cap.xlsx")
+    }
+    assert(e.getMessage.contains("grid caps"))
+  }
+
   test("rest source: JSONPath navigation over a file:// payload") {
     val dir = java.nio.file.Files.createTempDirectory("graft_rest")
     dir.toFile.deleteOnExit()
