@@ -42,9 +42,31 @@ import org.apache.spark.sql.types._
   *    service or a conditional put — the single creation point to
   *    swap, exactly like the reference swaps in Databricks' Delta.
   *
-  * Paths go through the Hadoop FileSystem API, so the same code runs
-  * against HDFS (where rename/create-exclusive are atomic by contract);
-  * plain S3 would need the usual committer caveats.
+  * **Storage contract (read before pointing this at an object
+  * store).** Correctness rests on exactly two filesystem primitives:
+  * (1) ATOMIC RENAME for the manifest publish — the renamed file must
+  * appear complete or not at all, never partially; (2) ATOMIC
+  * CREATE-EXCLUSIVE ("put-if-absent") for the version lock — two
+  * concurrent creators of the same path must see exactly one winner.
+  * HDFS and POSIX local filesystems guarantee both. Plain S3
+  * guarantees NEITHER (rename is copy+delete; puts overwrite
+  * blindly), so running there requires swapping the two primitives
+  * for a conditional put (S3 now supports If-None-Match) or an
+  * external catalog/DynamoDB-style lock — the same single integration
+  * point Delta's LogStore abstracts. Everything else (immutable data
+  * files, parquet checkpoints, vacuum) is plain read/write/list and
+  * ports unchanged.
+  *
+  * **File-count scale.** Above [[VersionedTable.CpThreshold]] files
+  * the entry list lives in a parquet CHECKPOINT referenced by the
+  * text manifest, commits append only add/remove delta lines
+  * (O(changed files) bytes), and `readWhere` evaluates data-skipping
+  * stats as a distributed filter over the checkpoint — so at ~1M
+  * files neither the per-commit manifest write nor the prune-time
+  * stats pass is driver-bound. Mutation paths still materialize the
+  * file list once on the driver to compute carries (Delta does the
+  * same for conflict checking); that list is ~100 bytes/file — 100 MB
+  * at 1M files, within a production driver's budget.
   */
 object VersionedTable {
 
@@ -90,8 +112,25 @@ object VersionedTable {
   final case class FileEntry(rel: String, rows: Long,
       stats: Map[String, ColStats])
 
-  private[sources] final case class Manifest(version: Long, schema: StructType,
-      files: Seq[FileEntry], meta: Map[String, String],
+  /** One version's metadata. Two physical layouts share this view:
+    *
+    *  - SMALL tables: every [[FileEntry]] is a line in the text
+    *    manifest (`adds` holds them all, `cp` is None).
+    *  - LARGE tables (≥ [[CpThreshold]] files): the entry list lives
+    *    in a PARQUET CHECKPOINT under `_manifests/cp-<uuid>/` and the
+    *    text manifest carries only `cp <rel> <count>` plus the
+    *    commit's `add`/`remove` delta lines — the Delta-Lake
+    *    checkpoint + incremental-log design. Successive commits reuse
+    *    the same checkpoint until the delta grows past ~¼ of the
+    *    table, so COMMIT WORK IS O(changed files), not O(table files),
+    *    and a 1M-file table never rewrites a 1M-line list per commit.
+    *
+    * `files` materializes the effective entry list lazily (checkpoint
+    * minus `removes` plus `adds`) — mutation paths that genuinely need
+    * the full list pay for it; the pruning read path never calls it on
+    * a checkpointed table (see [[prunedEntriesOf]]). */
+  private[sources] final class Manifest(
+      val version: Long, val schema: StructType,
       // row-level change capture for THIS commit (Delta CDF design):
       //   cdfNone = true        → rewrite with provably zero row changes
       //                           (compact/clusterBy layout rewrites)
@@ -99,7 +138,19 @@ object VersionedTable {
       //   both empty            → append-only commit (changes derivable
       //                           from the file diff) or a legacy/non-CDF
       //                           rewrite (readChanges refuses)
-      changeFiles: Seq[String] = Seq.empty, cdfNone: Boolean = false)
+      val meta: Map[String, String],
+      val changeFiles: Seq[String], val cdfNone: Boolean,
+      val cp: Option[String], val cpCount: Long,
+      val adds: Seq[FileEntry], val removes: Set[String],
+      loader: () => Seq[FileEntry]) {
+    lazy val files: Seq[FileEntry] = loader()
+    /** Exact file count without materializing a checkpointed list —
+      * commit() keeps `removes` ⊆ checkpoint and disjoint from `adds`,
+      * so the arithmetic is exact. */
+    def fileCount: Long =
+      if (cp.isDefined) cpCount - removes.size + adds.size
+      else adds.size
+  }
 
   private[sources] def readManifest(spark: SparkSession, root: String,
       v: Long): Manifest = {
@@ -115,13 +166,19 @@ object VersionedTable {
     // `meta k=v` lines ride between the schema and the file list —
     // table-level key-values that must move ATOMICALLY with the data
     // (streaming batch watermarks); `cdf ...` lines carry this commit's
-    // change-capture record; relative file paths never start with
-    // either prefix (they start with "data/")
+    // change-capture record; `cp`/`add`/`remove` lines carry the
+    // checkpointed layout; relative file paths never start with any of
+    // these prefixes (they start with "data/")
     val body = lines.drop(2).filter(_.nonEmpty)
     val metaLines = body.filter(_.startsWith("meta "))
     val cdfLines = body.filter(_.startsWith("cdf "))
+    val cpLines = body.filter(_.startsWith("cp "))
+    val addLines = body.filter(_.startsWith("add "))
+    val removeLines = body.filter(_.startsWith("remove "))
     val fileLines = body.filterNot(l =>
-      l.startsWith("meta ") || l.startsWith("cdf "))
+      l.startsWith("meta ") || l.startsWith("cdf ") ||
+        l.startsWith("cp ") || l.startsWith("add ") ||
+        l.startsWith("remove "))
     val meta = metaLines.map { l =>
       val kv = l.stripPrefix("meta ")
       val i = kv.indexOf('=')
@@ -129,10 +186,58 @@ object VersionedTable {
       kv.take(i) -> kv.drop(i + 1)
     }.toMap
     val cdfVals = cdfLines.map(_.stripPrefix("cdf "))
-    Manifest(v, schema, fileLines.map(parseEntry), meta,
+    require(cpLines.size <= 1, s"$p: multiple cp lines")
+    val cpRef = cpLines.headOption.map { l =>
+      val Array(rel, n) = l.stripPrefix("cp ").split(' ')
+      (rel, n.toLong)
+    }
+    require(cpRef.isDefined || (addLines.isEmpty && removeLines.isEmpty),
+      s"$p: add/remove lines without a cp line")
+    val adds =
+      if (cpRef.isDefined) addLines.map(l => parseEntry(l.stripPrefix("add ")))
+      else fileLines.map(parseEntry)
+    val removes = removeLines.map(_.stripPrefix("remove ")).toSet
+    val loader: () => Seq[FileEntry] = cpRef match {
+      case None => () => adds
+      case Some((rel, _)) => () =>
+        readCheckpoint(spark, root, rel)
+          .filterNot(e => removes.contains(e.rel)) ++ adds
+    }
+    new Manifest(v, schema, meta,
       changeFiles = cdfVals.filterNot(_ == "none"),
-      cdfNone = cdfVals.contains("none"))
+      cdfNone = cdfVals.contains("none"),
+      cp = cpRef.map(_._1), cpCount = cpRef.map(_._2).getOrElse(0L),
+      adds = adds, removes = removes, loader = loader)
   }
+
+  // ---- parquet manifest checkpoints (file-count scale) ------------------
+
+  /** File count at which a commit moves the entry list into a parquet
+    * checkpoint. Below it the text manifest IS the list (simple,
+    * human-readable, zero extra reads); above it the text manifest
+    * stays O(delta) per commit. */
+  private val CpThreshold = 512
+
+  private implicit lazy val fileEntryEnc: org.apache.spark.sql.Encoder[FileEntry] =
+    org.apache.spark.sql.Encoders.product[FileEntry]
+
+  private def writeCheckpoint(spark: SparkSession, root: String,
+      files: Seq[FileEntry]): String = {
+    val rel = s"_manifests/cp-${java.util.UUID.randomUUID()}"
+    // written BEFORE the commit lock, like data files: a torn commit
+    // leaves an unreferenced cp dir for vacuum's orphan sweep
+    spark.createDataset(files).repartition(1)
+      .write.parquet(new Path(root, rel).toString)
+    rel
+  }
+
+  private def checkpointDs(spark: SparkSession, root: String,
+      rel: String): org.apache.spark.sql.Dataset[FileEntry] =
+    spark.read.parquet(new Path(root, rel).toString).as[FileEntry]
+
+  private def readCheckpoint(spark: SparkSession, root: String,
+      rel: String): Seq[FileEntry] =
+    checkpointDs(spark, root, rel).collect().toSeq
 
   // ---- file-entry (de)serialization -------------------------------------
   // Line format (tab-separated; URL-encoding keeps values tab/comma-free):
@@ -189,6 +294,49 @@ object VersionedTable {
       require(!k.contains('=') && !(k + v).exists(c => c == '\n' || c == '\r'),
         s"bad meta entry '$k'='$v'")
     }
+    // Entry-list representation, decided (and any checkpoint written)
+    // BEFORE the lock: plain lines below CpThreshold; otherwise reuse
+    // the base checkpoint with add/remove delta lines, rewriting a
+    // fresh checkpoint only when the accumulated delta passes ~¼ of
+    // the table. A torn commit strands at most an unreferenced cp dir
+    // (vacuum's orphan sweep takes it, like data dirs).
+    final case class Rep(cp: Option[(String, Long)],
+        adds: Seq[FileEntry], removes: Seq[String])
+    val rep: Rep =
+      if (files.size < CpThreshold) Rep(None, files, Nil)
+      else {
+        val baseCp =
+          (if (base >= 1) Some(readManifest(spark, root, base)) else None)
+            .filter(_.cp.isDefined)
+        baseCp match {
+          case Some(bm) =>
+            val baseFiles = bm.files
+            val baseByRel = baseFiles.iterator.map(e => e.rel -> e).toMap
+            val newRels = files.iterator.map(_.rel).toSet
+            // changed entries (same rel, different stats — impossible
+            // for our immutable data files, handled defensively) count
+            // as remove + add
+            val added = files.filter(e => baseByRel.get(e.rel).forall(_ != e))
+            val addedRels = added.iterator.map(_.rel).toSet
+            val removedRels = baseFiles.iterator.map(_.rel).filter(r =>
+              !newRels.contains(r) || addedRels.contains(r)).toSet
+            val baseAddRels = bm.adds.iterator.map(_.rel).toSet
+            val newAdds =
+              bm.adds.filterNot(e => removedRels.contains(e.rel)) ++ added
+            // remove lines only for rels living in the checkpoint —
+            // keeps Manifest.fileCount arithmetic exact
+            val newRemoves =
+              bm.removes ++ removedRels.filterNot(baseAddRels.contains)
+            if (newAdds.size + newRemoves.size > files.size / 4 + 64)
+              Rep(Some((writeCheckpoint(spark, root, files), files.size)),
+                Nil, Nil)
+            else Rep(Some((bm.cp.get, bm.cpCount)), newAdds,
+              newRemoves.toSeq.sorted)
+          case None =>
+            Rep(Some((writeCheckpoint(spark, root, files), files.size)),
+              Nil, Nil)
+        }
+      }
     val next = base + 1
     val dir = manifestDir(root)
     val f = fs(spark, dir)
@@ -223,7 +371,14 @@ object VersionedTable {
       }
       if (cdfNone) w.write("cdf none\n")
       else changeFiles.foreach(c => w.write(s"cdf $c\n"))
-      files.foreach(e => w.write(entryLine(e) + "\n"))
+      rep.cp match {
+        case Some((rel, n)) =>
+          w.write(s"cp $rel $n\n")
+          rep.removes.foreach(r => w.write(s"remove $r\n"))
+          rep.adds.foreach(e => w.write("add " + entryLine(e) + "\n"))
+        case None =>
+          rep.adds.foreach(e => w.write(entryLine(e) + "\n"))
+      }
       w.flush(); w.close()
     } finally if (out != null) try out.close() catch { case _: Throwable => }
     // atomic publish: the manifest appears complete or not at all.
@@ -677,6 +832,37 @@ object VersionedTable {
     entries.filter(e => conjuncts.forall(c => mayContain(e, c, schema)))
   }
 
+  /** Prune a version's file list for `pred` WITHOUT materializing a
+    * checkpointed table's entry list on the driver: the per-file
+    * [[mayContain]] evaluation runs as a distributed filter over the
+    * checkpoint parquet (conjuncts and schema ship in the closure —
+    * Catalyst expressions are case classes, hence serializable), and
+    * only the KEPT entries come back, bounded by the predicate's
+    * selectivity instead of the table's file count. Small
+    * un-checkpointed tables prune driver-side as before; an
+    * unserializable conjunct falls back the same way (pruning is an
+    * optimization — both paths are exact). */
+  private def prunedEntriesOf(spark: SparkSession, root: String,
+      m: Manifest, pred: Column): Seq[FileEntry] = m.cp match {
+    case None => pruneEntries(spark, m.schema, m.files, pred)
+    case Some(cpRel) =>
+      val conjuncts = resolvedConjuncts(spark, m.schema, pred)
+      val schema = m.schema
+      val removes = m.removes
+      val fromCp =
+        try checkpointDs(spark, root, cpRel)
+          .filter((e: FileEntry) => !removes.contains(e.rel) &&
+            conjuncts.forall(c => mayContain(e, c, schema)))
+          .collect().toSeq
+        catch { case _: org.apache.spark.SparkException =>
+          readCheckpoint(spark, root, cpRel)
+            .filterNot(e => removes.contains(e.rel))
+            .filter(e => conjuncts.forall(c => mayContain(e, c, schema)))
+        }
+      fromCp ++
+        m.adds.filter(e => conjuncts.forall(c => mayContain(e, c, schema)))
+  }
+
   /** Snapshot read with manifest-level data skipping: scan only the
     * files whose stats admit a match for `pred`, then apply the full
     * predicate on the scan (pruning can only remove certain-miss
@@ -687,7 +873,7 @@ object VersionedTable {
       throw new IllegalArgumentException(s"$root: no versioned table"))
     val m = readManifest(spark, root, v)
     scanEntries(spark, root, m.schema,
-      pruneEntries(spark, m.schema, m.files, pred)).filter(pred)
+      prunedEntriesOf(spark, root, m, pred)).filter(pred)
   }
 
   /** (files the pruner keeps for `pred`, total files) — the audit a
@@ -697,7 +883,7 @@ object VersionedTable {
     val v = version.orElse(currentVersion(spark, root)).getOrElse(
       throw new IllegalArgumentException(s"$root: no versioned table"))
     val m = readManifest(spark, root, v)
-    (pruneEntries(spark, m.schema, m.files, pred).size, m.files.size)
+    (prunedEntriesOf(spark, root, m, pred).size, m.fileCount.toInt)
   }
 
   /** Predicate-granular copy-on-write core: rewrite only the files the
@@ -1358,12 +1544,17 @@ object VersionedTable {
     val keptManifests = keep.map(v => readManifest(spark, root, v))
     val referenced = keptManifests.flatMap(_.files.map(_.rel)).toSet
     val referencedChanges = keptManifests.flatMap(_.changeFiles).toSet
+    // parquet checkpoints are SHARED across versions — only drop one
+    // no surviving manifest references
+    val referencedCps = keptManifests.flatMap(_.cp).toSet
     drop.foreach { v =>
       val m = readManifest(spark, root, v)
       m.files.map(_.rel).filterNot(referenced.contains)
         .foreach(rel => f.delete(new Path(root, rel), false))
       // change files belong to exactly one version — dropped with it
       m.changeFiles.foreach(rel => f.delete(new Path(root, rel), false))
+      m.cp.filterNot(referencedCps.contains)
+        .foreach(rel => f.delete(new Path(root, rel), true))
       f.delete(manifestPath(root, v), false)
       f.delete(lockPath(root, v), false) // the version's CAS tombstone
     }
@@ -1386,10 +1577,19 @@ object VersionedTable {
     sweep("changes",
       referencedChanges.map(rel => new Path(rel).getParent.getName))
     // torn commits also strand .tmp-* manifests (written, never
-    // renamed); past the grace window they are garbage too
+    // renamed) and unreferenced cp-* checkpoint dirs; past the grace
+    // window they are garbage too
     f.listStatus(dir).filter { st =>
       st.getPath.getName.startsWith(".tmp-") &&
         st.getModificationTime < cutoff
     }.foreach(st => f.delete(st.getPath, false))
+    val liveCpNames = referencedCps.map(rel => new Path(rel).getName)
+    f.listStatus(dir).filter { st =>
+      st.isDirectory && st.getPath.getName.startsWith("cp-") &&
+        !liveCpNames.contains(st.getPath.getName)
+    }.foreach { st =>
+      if (f.listStatus(st.getPath).forall(_.getModificationTime < cutoff))
+        f.delete(st.getPath, true)
+    }
   }
 }

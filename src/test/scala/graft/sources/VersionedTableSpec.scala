@@ -870,6 +870,58 @@ class VersionedTableSpec extends AnyFunSuite {
       t => t == ((2, "upd", 22L))))
   }
 
+  test("checkpointed manifests: O(delta) commits, distributed prune, shared-cp vacuum") {
+    val root = freshRoot()
+    // 600 range-partitioned files crosses CpThreshold (512): the entry
+    // list must move into a parquet checkpoint and the text manifest
+    // must stay a handful of lines, not 600
+    val base = spark.range(0, 6000).select(col("id").cast("int").as("k"),
+      concat(lit("r"), col("id")).as("name"), col("id").as("amt"))
+      .repartitionByRange(600, col("k"))
+    VersionedTable.create(spark, root, base)
+    def manifestLines(v: Long): Vector[String] = {
+      val p = java.nio.file.Paths.get(root, "_manifests",
+        f"v$v%020d.manifest")
+      scala.io.Source.fromFile(p.toFile, "UTF-8").getLines().toVector
+    }
+    val l1 = manifestLines(1)
+    assert(l1.exists(_.startsWith("cp ")), "large table must checkpoint")
+    assert(l1.size < 10,
+      s"checkpointed manifest must be O(delta), got ${l1.size} lines")
+    // distributed pruning over the checkpoint: one narrow band
+    val pred = col("k") >= 1000 && col("k") < 1010
+    val (kept, total) = VersionedTable.pruneProfile(spark, root, pred)
+    assert(total >= 590 && kept <= 3,
+      s"prune must keep ~1 of ~600 files, got $kept/$total")
+    assert(VersionedTable.readWhere(spark, root, pred).count() == 10)
+    // a 1-file append must REUSE the checkpoint: one add line
+    VersionedTable.append(spark, root,
+      Seq((90001, "app", 1L)).toDF("k", "name", "amt").repartition(1))
+    val l2 = manifestLines(2)
+    assert(l2.filter(_.startsWith("cp ")) == l1.filter(_.startsWith("cp ")),
+      "append must reference the same checkpoint")
+    assert(l2.count(_.startsWith("add ")) == 1 &&
+      !l2.exists(_.startsWith("remove ")))
+    // a banded delete rewrites ~1 file: few remove/add lines, same cp
+    VersionedTable.deleteWhere(spark, root,
+      col("k") >= 2000 && col("k") < 2010)
+    val l3 = manifestLines(3)
+    assert(l3.filter(_.startsWith("cp ")) == l1.filter(_.startsWith("cp ")))
+    assert(l3.size < 40, s"delta commit must stay small, got ${l3.size}")
+    assert(VersionedTable.read(spark, root).count() == 6000 + 1 - 10)
+    // exactness across the cp path: filter == readWhere, time travel
+    val scanned = VersionedTable.read(spark, root).filter(pred).count()
+    assert(VersionedTable.readWhere(spark, root, pred).count() == scanned)
+    assert(VersionedTable.read(spark, root, Some(1L)).count() == 6000)
+    // vacuum: dropped versions share the cp with the kept head — the
+    // checkpoint must survive and the table must stay exact
+    VersionedTable.vacuum(spark, root, keepFrom = 3L, orphanGraceMs = 0L)
+    assert(VersionedTable.read(spark, root).count() == 5991)
+    val (k2, t2) = VersionedTable.pruneProfile(spark, root, pred)
+    assert(k2 == kept && t2 >= total - 5 && t2 <= total + 5,
+      "pruning must survive vacuum on a shared checkpoint")
+  }
+
   test("an IN list with a time-varying member never prunes") {
     val root = freshRoot()
     VersionedTable.create(spark, root,
