@@ -749,10 +749,65 @@ object IoQueries extends QueryPack {
         source.exceptAll(replica).isEmpty,
         "replica must converge to the source, key-wise and row-wise")
       replica.orderBy(col("c_custkey"))
+    },
+
+    // The FILE-COUNT-SCALE manifest layout under the oracle gate: 600
+    // range-partitioned files cross the checkpoint threshold, so the
+    // entry list lives in a parquet checkpoint and the text manifest
+    // is O(delta) — the in-query requires pin what the oracle can't
+    // see (v1 manifest a handful of lines, the append reusing the
+    // same checkpoint with ONE add line, pruning keeping ~1/6 of the
+    // files via the DISTRIBUTED stats filter), and the emitted band
+    // read is oracle-checked row-for-row. At 100 TB (~1M files) this
+    // layout is what keeps commits O(changed files) and prune work
+    // off the driver.
+    "q165_versioned_checkpoint" -> { (s, dir) =>
+      import graft.sources.VersionedTable
+      val root = tmp(s, s"vt_cp/${java.util.UUID.randomUUID()}")
+      val base = graft.Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          CoreQueries.cents(col("o_totalprice")).as("cents"))
+      VersionedTable.create(s, root,
+        base.repartitionByRange(600, col("o_orderkey")))
+      def manifestLines(v: Long): Vector[String] = {
+        val p = java.nio.file.Paths.get(root, "_manifests",
+          f"v$v%020d.manifest")
+        val src = scala.io.Source.fromFile(p.toFile, "UTF-8")
+        try src.getLines().toVector finally src.close()
+      }
+      val l1 = manifestLines(1L)
+      require(l1.exists(_.startsWith("cp ")) && l1.size < 10,
+        s"600-file table must take the checkpointed layout, " +
+          s"got ${l1.size} manifest lines")
+      // a one-file append must reuse the checkpoint: O(delta) commit
+      VersionedTable.append(s, root, base
+        .filter(col("o_orderkey") < 10)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .repartition(1))
+      val l2 = manifestLines(2L)
+      require(l2.filter(_.startsWith("cp ")) ==
+        l1.filter(_.startsWith("cp ")) &&
+        l2.count(_.startsWith("add ")) == 1,
+        "append must be a delta commit against the same checkpoint")
+      val mx = base.agg(max(col("o_orderkey"))).head.getLong(0)
+      val w = mx / 6 + 1
+      val pred = col("o_orderkey") >= 2 * w && col("o_orderkey") < 3 * w
+      val (kept, total) = VersionedTable.pruneProfile(s, root, pred)
+      require(total >= 500 && kept <= total / 4,
+        s"distributed prune must drop most files, kept $kept/$total")
+      VersionedTable.readWhere(s, root, pred).orderBy(col("o_orderkey"))
     }
   )
 
   val oracles: Map[String, String] = Map(
+    "q165_versioned_checkpoint" ->
+      """WITH w AS (SELECT MAX(o_orderkey)//6 + 1 AS w FROM orders)
+        |SELECT o_orderkey, o_custkey,
+        |  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders
+        |WHERE o_orderkey >= 2*(SELECT w FROM w)
+        |  AND o_orderkey < 3*(SELECT w FROM w)
+        |ORDER BY o_orderkey""".stripMargin,
     "q164_versioned_replication" ->
       """WITH base AS (SELECT c_custkey, c_mktsegment,
         |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents

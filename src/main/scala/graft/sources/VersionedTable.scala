@@ -86,6 +86,10 @@ object VersionedTable {
 
   private val ManifestRe = """v(\d{20})\.manifest""".r
 
+  /** Reserved meta key: wall-clock commit instant (epoch millis),
+    * stamped by every commit — the [[readAsOf]] resolution index. */
+  private val CommitTsKey = "_ts"
+
   /** Highest published version, or None for a non-table path. One
     * directory listing — the only metadata read a snapshot needs. */
   def currentVersion(spark: SparkSession, root: String): Option[Long] = {
@@ -366,7 +370,10 @@ object VersionedTable {
       val w = new java.io.OutputStreamWriter(out, "UTF-8")
       w.write(Magic + "\n")
       w.write("schema=" + schema.json + "\n")
-      meta.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      // a carried _ts (from m.meta propagation) is overwritten with
+      // THIS commit's instant
+      val stamped = meta + (CommitTsKey -> System.currentTimeMillis.toString)
+      stamped.toSeq.sortBy(_._1).foreach { case (k, v) =>
         w.write(s"meta $k=$v\n")
       }
       if (cdfNone) w.write("cdf none\n")
@@ -549,6 +556,48 @@ object VersionedTable {
       throw new IllegalArgumentException(s"$root: no versioned table"))
     val m = readManifest(spark, root, v)
     scanEntries(spark, root, m.schema, m.files)
+  }
+
+  /** Timestamp time travel (Delta `timestampAsOf`): the snapshot
+    * current as of `tsMillis` — the highest version whose commit
+    * stamp (`meta _ts`, written by every commit) is ≤ the asked
+    * instant. Refuses an instant before the table existed. Resolution
+    * is one manifest-dir listing plus one manifest HEADER read per
+    * probed version, newest first — O(versions since ts), not
+    * O(files). */
+  def readAsOf(spark: SparkSession, root: String, tsMillis: Long): DataFrame = {
+    val dir = manifestDir(root)
+    val f = fs(spark, dir)
+    require(f.exists(dir), s"$root: no versioned table")
+    val versions = f.listStatus(dir).map(_.getPath.getName).collect {
+      case ManifestRe(d) => d.toLong
+    }.sorted.reverse
+    val hit = versions.iterator.map(v => readManifest(spark, root, v))
+      .find(_.meta.get(CommitTsKey).forall(_.toLong <= tsMillis))
+    hit match {
+      case Some(m) => scanEntries(spark, root, m.schema, m.files)
+      case None => throw new IllegalArgumentException(
+        s"$root: no version existed at timestamp $tsMillis " +
+          "(before the table's first commit, or its history was vacuumed)")
+    }
+  }
+
+  /** RESTORE TO VERSION (Delta `RESTORE`): commit a NEW version whose
+    * content is snapshot `v` — history moves forward, nothing is
+    * erased, and time travel still reads every intermediate state.
+    * Zero data movement: the new manifest re-references `v`'s files
+    * (immutable, still on disk as long as vacuum keeps version `v`).
+    * Refuses if `v`'s files were already vacuumed away. */
+  def restore(spark: SparkSession, root: String, v: Long): Long = {
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root: no versioned table"))
+    val m = readManifest(spark, root, v) // throws if vacuumed
+    val f = fs(spark, new Path(root))
+    m.files.foreach { e =>
+      require(f.exists(new Path(root, e.rel)),
+        s"restore: $root v$v references vacuumed file ${e.rel}")
+    }
+    commit(spark, root, cur, m.schema, m.files, m.meta)
   }
 
   /** Scan exactly `entries` under the manifest schema (empty → empty). */

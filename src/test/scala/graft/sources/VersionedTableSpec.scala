@@ -922,6 +922,36 @@ class VersionedTableSpec extends AnyFunSuite {
       "pruning must survive vacuum on a shared checkpoint")
   }
 
+  test("readAsOf resolves by commit stamp; restore moves history forward") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, dim((1, "a", 10L)))
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(15) // commit stamps are millis; separate the instants
+    VersionedTable.append(spark, root, dim((2, "b", 20L)))
+    val t2 = System.currentTimeMillis()
+    Thread.sleep(15)
+    VersionedTable.deleteWhere(spark, root, col("k") === 1)
+    // timestamp time travel: each instant reads the snapshot then-current
+    assert(rowsOf(VersionedTable.readAsOf(spark, root, t1)) ==
+      Set((1, "a", 10L)))
+    assert(rowsOf(VersionedTable.readAsOf(spark, root, t2)) ==
+      Set((1, "a", 10L), (2, "b", 20L)))
+    assert(rowsOf(VersionedTable.readAsOf(spark, root,
+      System.currentTimeMillis())) == Set((2, "b", 20L)))
+    intercept[IllegalArgumentException] {
+      VersionedTable.readAsOf(spark, root, t1 - 3600_000L)
+    }
+    // restore: v4 = v1's content, zero data movement, history intact
+    val v4 = VersionedTable.restore(spark, root, 1L)
+    assert(v4 == 4L)
+    assert(rowsOf(VersionedTable.read(spark, root)) == Set((1, "a", 10L)))
+    assert(rowsOf(VersionedTable.read(spark, root, Some(3L))) ==
+      Set((2, "b", 20L)), "restore must not erase intermediate history")
+    // restore of a vacuumed version refuses loudly
+    VersionedTable.vacuum(spark, root, keepFrom = 4L, orphanGraceMs = 0L)
+    intercept[Exception] { VersionedTable.restore(spark, root, 2L) }
+  }
+
   test("an IN list with a time-varying member never prunes") {
     val root = freshRoot()
     VersionedTable.create(spark, root,
