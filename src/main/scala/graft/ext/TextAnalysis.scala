@@ -1030,4 +1030,106 @@ object TextAnalysis {
       .orderBy(col("dsir_logweight").desc, col(idCol))
       .limit(k)
   }
+
+  // ---- Naive-Bayes quality classifier (the GPT-3 filtering step) --------
+  //
+  // The classic web-corpus quality CLASSIFIER (Brown et al. 2020,
+  // arXiv:2005.14165 Appendix A): train a cheap generative classifier
+  // on "reference corpus = positive, raw crawl = negative", score every
+  // document with a class probability, and keep a document when
+  // np.random.pareto(9) > 1 - score — the smoothed cut that keeps a
+  // tail of low-scoring documents instead of a hard threshold.
+  // Distinct from DSIR (q155) in both math and role: DSIR reweights a
+  // RATIO of bucket distributions for importance RESAMPLING (top-k by
+  // weight, no priors, no probability); this is a per-class Bayes
+  // model with document priors, a calibrated probability, and a
+  // per-document stochastic keep/drop DECISION. Features are hashed
+  // unigram buckets (the md5 idiom — engine-portable, vocabulary never
+  // collected), so train = TWO bounded wordcount aggregates, score = a
+  // pure projection, filter = one more projection: zero extra
+  // exchanges at any scale.
+
+  /** A trained classifier: document-count log prior ln(Npos/Nneg) plus
+    * per-bucket conditional log ratios ln p(b|pos) − ln p(b|neg). */
+  final case class NbQualityModel(logPrior: Double, logRatios: Seq[Double],
+      buckets: Int, seed: Int)
+
+  private def nbBucket(t: Column, buckets: Int, seed: Int): Column =
+    call_function("md5_low_byte", concat(lit(s"nbq:$seed:"), t)) % buckets
+
+  /** Train on labeled frames: the prior from document counts, the
+    * conditionals from add-alpha-smoothed hashed-token counts. Two
+    * bounded aggregates (≤ `buckets` rows each reach the driver) plus
+    * two single-row counts — at 100 TB the reference side is small by
+    * definition and the negative side is one map-side-combined
+    * wordcount over a SAMPLE (pass one in; the model only needs the
+    * distribution, not the corpus). */
+  def nbTrainQuality(pos: org.apache.spark.sql.DataFrame,
+      neg: org.apache.spark.sql.DataFrame, textCol: String,
+      buckets: Int = 64, alpha: Double = 1.0,
+      seed: Int = 7): NbQualityModel = {
+    require(buckets > 0 && buckets <= 256,
+      s"buckets must be in 1..256: $buckets")
+    require(alpha > 0, s"smoothing alpha must be positive: $alpha")
+    def bucketCounts(df: org.apache.spark.sql.DataFrame): Map[Int, Long] =
+      df.select(explode(filter(tokens(col(textCol)),
+          t => length(t) > 0)).as("t"))
+        .select(nbBucket(col("t"), buckets, seed).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val (nPos, nNeg) = (pos.count(), neg.count())
+    require(nPos > 0 && nNeg > 0,
+      s"both classes need documents: pos=$nPos neg=$nNeg")
+    val (pc, nc) = (bucketCounts(pos), bucketCounts(neg))
+    val (pTot, nTot) = (pc.values.sum.toDouble, nc.values.sum.toDouble)
+    val ratios = (0 until buckets).map { b =>
+      math.log((pc.getOrElse(b, 0L) + alpha) / (pTot + alpha * buckets)) -
+        math.log((nc.getOrElse(b, 0L) + alpha) / (nTot + alpha * buckets))
+    }
+    NbQualityModel(math.log(nPos.toDouble / nNeg.toDouble), ratios,
+      buckets, seed)
+  }
+
+  /** Score under a trained model — a PURE PROJECTION (the ratio table
+    * ships as an array literal). Returns (idCol, n_tokens, nb_logodds,
+    * nb_prob): the class log-odds prior + Σ ratios(bucket(t)), and the
+    * sigmoid-calibrated P(quality | doc). Both rounded to 6 places
+    * (the q127 discipline) so fold order and libm noise never leak
+    * into an exact compare. */
+  def nbQualityScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, model: NbQualityModel): org.apache.spark.sql.DataFrame = {
+    val rArr = typedlit(model.logRatios)
+    val ts = filter(tokens(col(textCol)), t => length(t) > 0)
+    val lo = round(lit(model.logPrior) + aggregate(ts, lit(0.0),
+      (acc, t) => acc +
+        element_at(rArr, nbBucket(t, model.buckets, model.seed) + 1)), 6)
+    df.select(col(idCol), size(ts).cast("long").as("n_tokens"),
+      lo.as("nb_logodds"),
+      round(lit(1.0) / (lit(1.0) + exp(-lo)), 6).as("nb_prob"))
+  }
+
+  /** The GPT-3 keep rule: keep a document when a Pareto(α) draw
+    * exceeds 1 − score — low-probability documents survive with
+    * probability (2 − p)^(−α), so the kept set is not a hard
+    * score cliff. The draw is a deterministic seeded md5 uniform
+    * (16-bit, two hex-bucket probes — engine-portable), and the rule
+    * is algebraically inverted to one comparison: keep ⟺
+    * u > 1 − (2 − p)^(−α). A pure projection over [[nbQualityScore]]:
+    * the whole classifier pipeline is train-aggregate + two
+    * projections. Returns the scored frame filtered to the kept rows. */
+  def nbQualityFilterPareto(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, model: NbQualityModel,
+      paretoAlpha: Double = 9.0, seed: Int = 7): org.apache.spark.sql.DataFrame = {
+    require(paretoAlpha > 0, s"pareto alpha must be positive: $paretoAlpha")
+    val hi = call_function("md5_low_byte",
+      concat(lit(s"nbp1:$seed:"), col(idCol).cast("string")))
+    val lo = call_function("md5_low_byte",
+      concat(lit(s"nbp2:$seed:"), col(idCol).cast("string")))
+    val u = (hi * 256 + lo + lit(0.5)) / lit(65536.0)
+    nbQualityScore(df, idCol, textCol, model)
+      .withColumn("__nb_u", u)
+      .filter(col("__nb_u") >
+        lit(1.0) - pow(lit(2.0) - col("nb_prob"), lit(-paretoAlpha)))
+      .drop("__nb_u")
+  }
 }

@@ -933,6 +933,43 @@ object ExtQueries extends QueryPack {
         .orderBy(col("dsir_logweight").desc, col("doc_id"))
     },
 
+    // Naive-Bayes QUALITY CLASSIFIER with the GPT-3 Pareto keep rule
+    // (Brown et al. 2020 Appendix A): train "reference sources =
+    // positive vs rest = negative" over hashed unigram buckets, score
+    // every document with a calibrated class probability, keep when a
+    // seeded-uniform Pareto(9) draw beats 1 − p. Distinct from q155's
+    // DSIR (importance RESAMPLING, no priors/probability/decision).
+    // Train = two bounded wordcounts; score + filter = projections.
+    // The oracle replays the whole construction: buckets, smoothing,
+    // prior, sigmoid, the inverted keep inequality.
+    "q167_nb_quality" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val isPos = col("lang") === "en"
+      val model = TextAnalysis.nbTrainQuality(
+        d.filter(isPos), d.filter(!isPos), "text",
+        buckets = 64, alpha = 1.0, seed = 7)
+      // emit EVERY document's calibrated score plus its keep decision
+      // (kept as 0/1), so the gate certifies the scoring and the
+      // Pareto rule on every row — and tie the filter operator itself
+      // to the flag with an in-query count equality
+      val hi = call_function("md5_low_byte",
+        concat(lit("nbp1:7:"), col("doc_id").cast("string")))
+      val lo = call_function("md5_low_byte",
+        concat(lit("nbp2:7:"), col("doc_id").cast("string")))
+      val u = (hi * 256 + lo + lit(0.5)) / lit(65536.0)
+      val flagged = TextAnalysis.nbQualityScore(d, "doc_id", "text", model)
+        .withColumn("kept",
+          (u > lit(1.0) - pow(lit(2.0) - col("nb_prob"), lit(-9.0)))
+            .cast("int"))
+      val nKept = TextAnalysis.nbQualityFilterPareto(d, "doc_id", "text",
+        model, paretoAlpha = 9.0, seed = 7).count()
+      val nFlag = flagged.filter(col("kept") === 1).count()
+      require(nKept == nFlag && nKept > 0,
+        s"filter operator ($nKept kept) must agree with the keep flag " +
+          s"($nFlag) and keep a nonempty set")
+      flagged.orderBy(col("doc_id"))
+    },
+
     // BM25 ranked retrieval (Okapi/Lucene scoring) — the search-side
     // capability next to tf-idf term extraction: one collection-stats
     // aggregate, then scoring as a pure projection and a distributed
@@ -1913,6 +1950,60 @@ object ExtQueries extends QueryPack {
         |  GROUP BY tk.doc_id)
         |SELECT doc_id, bm25 FROM sc
         |ORDER BY bm25 DESC, doc_id LIMIT 100""".stripMargin,
+    "q167_nb_quality" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM documents),
+        |tk AS (SELECT doc_id, pos,
+        |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS t
+        |  FROM d),
+        |ex AS (SELECT doc_id, pos, unnest(t) AS term FROM tk),
+        |bk AS (SELECT doc_id, pos,
+        |    ((strpos('0123456789abcdef',
+        |        substring(md5('nbq:7:' || term), 31, 1)) - 1) * 16 +
+        |     (strpos('0123456789abcdef',
+        |        substring(md5('nbq:7:' || term), 32, 1)) - 1)) % 64 AS b
+        |  FROM ex),
+        |cnt AS (SELECT b,
+        |    SUM(CASE WHEN pos = 1 THEN 1 ELSE 0 END) AS pc,
+        |    SUM(CASE WHEN pos = 0 THEN 1 ELSE 0 END) AS nc
+        |  FROM bk GROUP BY b),
+        |tot AS (SELECT (SELECT CAST(SUM(pc) AS DOUBLE) FROM cnt) AS pt,
+        |               (SELECT CAST(SUM(nc) AS DOUBLE) FROM cnt) AS nt),
+        |r AS (SELECT g.range AS b,
+        |    ln((COALESCE(cnt.pc, 0) + 1.0) / (tot.pt + 64.0))
+        |  - ln((COALESCE(cnt.nc, 0) + 1.0) / (tot.nt + 64.0)) AS lr
+        |  FROM range(64) g LEFT JOIN cnt ON cnt.b = g.range CROSS JOIN tot),
+        |prior AS (SELECT ln(CAST(SUM(pos) AS DOUBLE) /
+        |    SUM(1 - pos)) AS lp FROM d),
+        |ds AS (SELECT bk.doc_id, COUNT(*) AS n_tokens, SUM(r.lr) AS sr
+        |  FROM bk JOIN r USING (b) GROUP BY bk.doc_id),
+        |sc AS (SELECT d.doc_id,
+        |    COALESCE(ds.n_tokens, 0) AS n_tokens,
+        |    round((SELECT lp FROM prior) + COALESCE(ds.sr, 0.0), 6)
+        |      AS nb_logodds
+        |  FROM d LEFT JOIN ds USING (doc_id)),
+        |sc2 AS (SELECT doc_id, n_tokens, nb_logodds,
+        |    round(1.0 / (1.0 + exp(-nb_logodds)), 6) AS nb_prob FROM sc),
+        |u AS (SELECT doc_id,
+        |    (((strpos('0123456789abcdef',
+        |        substring(md5('nbp1:7:' || CAST(doc_id AS VARCHAR)), 31, 1))
+        |        - 1) * 16 +
+        |      (strpos('0123456789abcdef',
+        |        substring(md5('nbp1:7:' || CAST(doc_id AS VARCHAR)), 32, 1))
+        |        - 1)) * 256 +
+        |     ((strpos('0123456789abcdef',
+        |        substring(md5('nbp2:7:' || CAST(doc_id AS VARCHAR)), 31, 1))
+        |        - 1) * 16 +
+        |      (strpos('0123456789abcdef',
+        |        substring(md5('nbp2:7:' || CAST(doc_id AS VARCHAR)), 32, 1))
+        |        - 1)) + 0.5) / 65536.0 AS uu
+        |  FROM d)
+        |SELECT sc2.doc_id, n_tokens, nb_logodds, nb_prob,
+        |  CAST(CASE WHEN u.uu > 1.0 - POWER(2.0 - nb_prob, -9.0)
+        |    THEN 1 ELSE 0 END AS INT) AS kept
+        |FROM sc2 JOIN u ON sc2.doc_id = u.doc_id
+        |ORDER BY sc2.doc_id""".stripMargin,
     "q155_dsir_select" ->
       """WITH tk AS (SELECT doc_id,
         |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS t

@@ -796,10 +796,62 @@ object IoQueries extends QueryPack {
       require(total >= 500 && kept <= total / 4,
         s"distributed prune must drop most files, kept $kept/$total")
       VersionedTable.readWhere(s, root, pred).orderBy(col("o_orderkey"))
+    },
+
+    // MERGE-ON-READ deletes under the oracle gate: two point deletes
+    // land as DELETION VECTORS (position lists riding the commit) with
+    // ZERO data files rewritten — the in-query requires pin the v1/v2/
+    // v3 file lists identical and the DV row accounting exact, which
+    // the oracle can't see — then materializeDeletes folds the vectors
+    // into clean files without changing a live row, and the emitted
+    // read is oracle-checked row-for-row. At 100 TB this is the path
+    // where deleting 0.01% of a table writes KBs of positions instead
+    // of rewriting GBs of parquet (measured in SCALING.md).
+    "q166_versioned_mor_delete" -> { (s, dir) =>
+      import graft.sources.VersionedTable
+      val root = tmp(s, s"vt_mor/${java.util.UUID.randomUUID()}")
+      val base = graft.Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          CoreQueries.cents(col("o_totalprice")).as("cents"))
+      VersionedTable.create(s, root,
+        base.repartitionByRange(8, col("o_orderkey")))
+      def rels(v: Long): Set[String] =
+        VersionedTable.fileList(s, root, v).toSet
+      val n1 = VersionedTable.read(s, root).count()
+      VersionedTable.deleteWhereMor(s, root, col("o_custkey") % 10 === 3,
+        cdf = true)
+      // second, OVERLAPPING delete: % 5 === 3 re-matches half the dead
+      // rows — only live hits may extend the vectors
+      VersionedTable.deleteWhereMor(s, root, col("o_custkey") % 5 === 3,
+        cdf = true)
+      require(rels(2L) == rels(1L) && rels(3L) == rels(1L),
+        "merge-on-read must not rewrite or drop any data file")
+      val dv3 = VersionedTable.deleteVectorProfile(s, root, 3L)
+      val n3 = VersionedTable.read(s, root).count()
+      require(dv3.values.sum == n1 - n3,
+        s"DV position accounting must equal the live-row delta: " +
+          s"${dv3.values.sum} vs ${n1 - n3}")
+      // the CDF feed carries exactly the deleted live rows
+      require(VersionedTable.readChanges(s, root, 1L).count() == n1 - n3,
+        "cdf must capture each deleted row exactly once")
+      // materialize: vectors fold into clean files, live rows unchanged
+      VersionedTable.materializeDeletes(s, root, targetPartitions = 4,
+        sortCols = Seq("o_orderkey"))
+      require(VersionedTable.deleteVectorProfile(s, root, 4L).isEmpty,
+        "materializeDeletes must retire every vector")
+      require(VersionedTable.read(s, root).count() == n3,
+        "materializeDeletes must not change a live row")
+      VersionedTable.read(s, root).orderBy(col("o_orderkey"))
     }
   )
 
   val oracles: Map[String, String] = Map(
+    "q166_versioned_mor_delete" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders
+        |WHERE o_custkey % 10 <> 3 AND o_custkey % 5 <> 3
+        |ORDER BY o_orderkey""".stripMargin,
     "q165_versioned_checkpoint" ->
       """WITH w AS (SELECT MAX(o_orderkey)//6 + 1 AS w FROM orders)
         |SELECT o_orderkey, o_custkey,

@@ -144,6 +144,13 @@ object VersionedTable {
       //                           rewrite (readChanges refuses)
       val meta: Map[String, String],
       val changeFiles: Seq[String], val cdfNone: Boolean,
+      // merge-on-read DELETION VECTORS (Delta DVs / Iceberg position
+      // deletes): data-file rel -> (dv dir rel, deleted-row count). A
+      // file with an entry here is scanned MINUS the (file, pos) rows
+      // its dv dir records — the 100 TB point-delete path that never
+      // rewrites a file. Per-file stats stay valid as supersets of the
+      // live rows (pruning is conservative either way).
+      val dvs: Map[String, (String, Long)],
       val cp: Option[String], val cpCount: Long,
       val adds: Seq[FileEntry], val removes: Set[String],
       loader: () => Seq[FileEntry]) {
@@ -176,13 +183,14 @@ object VersionedTable {
     val body = lines.drop(2).filter(_.nonEmpty)
     val metaLines = body.filter(_.startsWith("meta "))
     val cdfLines = body.filter(_.startsWith("cdf "))
+    val dvLines = body.filter(_.startsWith("dv "))
     val cpLines = body.filter(_.startsWith("cp "))
     val addLines = body.filter(_.startsWith("add "))
     val removeLines = body.filter(_.startsWith("remove "))
     val fileLines = body.filterNot(l =>
       l.startsWith("meta ") || l.startsWith("cdf ") ||
-        l.startsWith("cp ") || l.startsWith("add ") ||
-        l.startsWith("remove "))
+        l.startsWith("dv ") || l.startsWith("cp ") ||
+        l.startsWith("add ") || l.startsWith("remove "))
     val meta = metaLines.map { l =>
       val kv = l.stripPrefix("meta ")
       val i = kv.indexOf('=')
@@ -190,6 +198,10 @@ object VersionedTable {
       kv.take(i) -> kv.drop(i + 1)
     }.toMap
     val cdfVals = cdfLines.map(_.stripPrefix("cdf "))
+    val dvs = dvLines.map { l =>
+      val Array(fr, dr, n) = l.stripPrefix("dv ").split(' ')
+      dec(fr) -> (dec(dr), n.toLong)
+    }.toMap
     require(cpLines.size <= 1, s"$p: multiple cp lines")
     val cpRef = cpLines.headOption.map { l =>
       val Array(rel, n) = l.stripPrefix("cp ").split(' ')
@@ -209,7 +221,7 @@ object VersionedTable {
     }
     new Manifest(v, schema, meta,
       changeFiles = cdfVals.filterNot(_ == "none"),
-      cdfNone = cdfVals.contains("none"),
+      cdfNone = cdfVals.contains("none"), dvs = dvs,
       cp = cpRef.map(_._1), cpCount = cpRef.map(_._2).getOrElse(0L),
       adds = adds, removes = removes, loader = loader)
   }
@@ -290,7 +302,8 @@ object VersionedTable {
       schema: StructType, files: Seq[FileEntry],
       meta: Map[String, String] = Map.empty,
       changeFiles: Seq[String] = Seq.empty,
-      cdfNone: Boolean = false): Long = {
+      cdfNone: Boolean = false,
+      dvs: Map[String, (String, Long)] = Map.empty): Long = {
     // validate inputs BEFORE reserving the version: a require firing
     // after the lock is taken would strand an orphan reservation that
     // blocks every writer until a manual recover()
@@ -378,6 +391,12 @@ object VersionedTable {
       }
       if (cdfNone) w.write("cdf none\n")
       else changeFiles.foreach(c => w.write(s"cdf $c\n"))
+      // dv lines are per-version state (the FULL map each commit, like
+      // Delta's per-AddFile deletionVector field) — O(files-with-DVs)
+      // per commit; materializeDeletes / any rewrite clears them
+      dvs.toSeq.sortBy(_._1).foreach { case (fr, (dr, n)) =>
+        w.write(s"dv ${enc(fr)} ${enc(dr)} $n\n")
+      }
       rep.cp match {
         case Some((rel, n)) =>
           w.write(s"cp $rel $n\n")
@@ -555,7 +574,7 @@ object VersionedTable {
     val v = version.orElse(currentVersion(spark, root)).getOrElse(
       throw new IllegalArgumentException(s"$root: no versioned table"))
     val m = readManifest(spark, root, v)
-    scanEntries(spark, root, m.schema, m.files)
+    scanLive(spark, root, m.schema, m.files, m.dvs)
   }
 
   /** Timestamp time travel (Delta `timestampAsOf`): the snapshot
@@ -575,7 +594,7 @@ object VersionedTable {
     val hit = versions.iterator.map(v => readManifest(spark, root, v))
       .find(_.meta.get(CommitTsKey).forall(_.toLong <= tsMillis))
     hit match {
-      case Some(m) => scanEntries(spark, root, m.schema, m.files)
+      case Some(m) => scanLive(spark, root, m.schema, m.files, m.dvs)
       case None => throw new IllegalArgumentException(
         s"$root: no version existed at timestamp $tsMillis " +
           "(before the table's first commit, or its history was vacuumed)")
@@ -597,7 +616,11 @@ object VersionedTable {
       require(f.exists(new Path(root, e.rel)),
         s"restore: $root v$v references vacuumed file ${e.rel}")
     }
-    commit(spark, root, cur, m.schema, m.files, m.meta)
+    m.dvs.values.map(_._1).toSet[String].foreach { d =>
+      require(f.exists(new Path(root, d)),
+        s"restore: $root v$v references vacuumed deletion vector $d")
+    }
+    commit(spark, root, cur, m.schema, m.files, m.meta, dvs = m.dvs)
   }
 
   /** Scan exactly `entries` under the manifest schema (empty → empty). */
@@ -609,6 +632,91 @@ object VersionedTable {
     else
       spark.read.schema(schema)
         .parquet(entries.map(e => new Path(root, e.rel).toString): _*)
+
+  // ---- deletion vectors: merge-on-read row deletes ----------------------
+  //
+  // A deletion vector is a parquet dir under deletes/<uuid>/ holding
+  // (file: data-file rel, pos: parquet row index) — the rows a reader
+  // must subtract from that file's scan (Delta deletion vectors /
+  // Iceberg position deletes). Row identity is `_metadata.row_index`,
+  // the physical position in the immutable parquet file. DVs ride the
+  // manifest per version, so time travel to a pre-delete version reads
+  // the undeleted rows for free, and any COW rewrite of a file retires
+  // its DV with it.
+
+  /** Broadcast the DV side of the read anti-join below this many
+    * deleted rows (manifest-recorded, so the decision costs no job);
+    * above it the anti-join shuffles like any other. */
+  private val DvBroadcastRows = 2L * 1000 * 1000
+
+  /** Manifest rel of a scanned row's file, from the file-source
+    * metadata path: data files live at data/<uuid>/<part>.parquet, so
+    * the rel IS the last three path segments. */
+  private def relOfFilePath(c: Column): Column =
+    concat_ws("/", slice(split(c, "/"), -3, 3))
+
+  /** The deletion-vector rows governing `entries`, plus their total
+    * count. A dv DIR may hold positions for files whose authoritative
+    * DV has since moved on (each MOR delete rewrites the touched
+    * files' complete position sets into a fresh dir) — so each dir is
+    * filtered to the files that point AT it. */
+  private def dvRows(spark: SparkSession, root: String,
+      entries: Seq[FileEntry],
+      dvs: Map[String, (String, Long)]): Option[(DataFrame, Long)] = {
+    val live = entries.flatMap(e =>
+      dvs.get(e.rel).map { case (d, n) => (e.rel, d, n) })
+    if (live.isEmpty) return None
+    val frames = live.groupBy(_._2).toSeq.sortBy(_._1).map { case (dir, fs) =>
+      spark.read.parquet(new Path(root, dir).toString)
+        .filter(col("file").isin(fs.map(_._1): _*))
+    }
+    Some((frames.reduce(_ unionByName _), live.map(_._3).sum))
+  }
+
+  /** Scan `entries` with each row's (rel, pos) identity as
+    * `__vt_rel`/`__vt_pos`, deletion vectors applied — the discovery
+    * scan of [[deleteWhereMor]]. */
+  private def scanWithPos(spark: SparkSession, root: String,
+      schema: StructType, entries: Seq[FileEntry],
+      dvs: Map[String, (String, Long)]): DataFrame = {
+    if (entries.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema.add("__vt_rel", StringType).add("__vt_pos", LongType))
+    val scan = spark.read.schema(schema)
+      .parquet(entries.map(e => new Path(root, e.rel).toString): _*)
+      .withColumn("__vt_rel", relOfFilePath(col("_metadata.file_path")))
+      .withColumn("__vt_pos", col("_metadata.row_index"))
+    dvRows(spark, root, entries, dvs) match {
+      case None => scan
+      case Some((dv, nDel)) =>
+        val dvSide0 = dv.select(col("file").as("__dv_rel"),
+          col("pos").as("__dv_pos"))
+        val dvSide =
+          if (nDel <= DvBroadcastRows) broadcast(dvSide0) else dvSide0
+        scan.join(dvSide,
+          scan("__vt_rel") === dvSide("__dv_rel") &&
+            scan("__vt_pos") === dvSide("__dv_pos"), "left_anti")
+    }
+  }
+
+  /** Scan `entries` applying deletion vectors: DV-free files keep the
+    * plain vectorized scan; DV'd files scan minus their recorded
+    * positions via one left-anti join on (rel, row_index). The DV side
+    * broadcasts when small (the common point-delete case) — the read
+    * cost of an unmaterialized delete is one broadcast hash anti-join,
+    * not a shuffle. */
+  private def scanLive(spark: SparkSession, root: String,
+      schema: StructType, entries: Seq[FileEntry],
+      dvs: Map[String, (String, Long)]): DataFrame = {
+    val (dvd, clean) = entries.partition(e => dvs.contains(e.rel))
+    if (dvd.isEmpty) return scanEntries(spark, root, schema, entries)
+    val cols = schema.fieldNames.toIndexedSeq.map(col)
+    val liveRows = scanWithPos(spark, root, schema, dvd, dvs)
+      .select(cols: _*)
+    if (clean.isEmpty) liveRows
+    else scanEntries(spark, root, schema, clean).unionByName(liveRows)
+  }
 
   // ---- data skipping: prune the file list from a predicate --------------
   //
@@ -921,9 +1029,21 @@ object VersionedTable {
     val v = version.orElse(currentVersion(spark, root)).getOrElse(
       throw new IllegalArgumentException(s"$root: no versioned table"))
     val m = readManifest(spark, root, v)
-    scanEntries(spark, root, m.schema,
-      prunedEntriesOf(spark, root, m, pred)).filter(pred)
+    scanLive(spark, root, m.schema,
+      prunedEntriesOf(spark, root, m, pred), m.dvs).filter(pred)
   }
+
+  /** The version's data-file rels — read-only layout metadata
+    * (DESCRIBE DETAIL-ish), the audit a caller asserts rewrite
+    * behavior with. */
+  def fileList(spark: SparkSession, root: String, v: Long): Seq[String] =
+    readManifest(spark, root, v).files.map(_.rel)
+
+  /** data-file rel → deleted-row count for the version's deletion
+    * vectors — the audit a caller asserts merge-on-read behavior with. */
+  def deleteVectorProfile(spark: SparkSession, root: String,
+      v: Long): Map[String, Long] =
+    readManifest(spark, root, v).dvs.map { case (rel, (_, n)) => rel -> n }
 
   /** (files the pruner keeps for `pred`, total files) — the audit a
     * caller asserts data skipping with. */
@@ -946,7 +1066,9 @@ object VersionedTable {
     if (touched.isEmpty) return base // provably nothing matches
     val touchedSet = touched.map(_.rel).toSet
     val kept = m.files.filterNot(e => touchedSet.contains(e.rel))
-    val before = scanEntries(spark, root, m.schema, touched)
+    // live rows: a rewritten file's deletion vector is applied here
+    // and retired below (the rewrite materializes it)
+    val before = scanLive(spark, root, m.schema, touched, m.dvs)
     // persisted across the emptiness probe and the write: the rebuild
     // is the mutation's dominant join/filter work, not worth twice
     val replacement = rebuild(before)
@@ -968,7 +1090,8 @@ object VersionedTable {
         } finally { diff.unpersist(); () }
       }
     commit(spark, root, base, m.schema, kept ++ newEntries, m.meta,
-      changeFiles = change, cdfNone = cdf && change.isEmpty)
+      changeFiles = change, cdfNone = cdf && change.isEmpty,
+      dvs = m.dvs -- touchedSet)
   }
 
   /** DELETE WHERE pred, file-granular via data skipping: a file whose
@@ -981,6 +1104,105 @@ object VersionedTable {
       cdf: Boolean = false): Long =
     cowWhere(spark, root, pred, cdf)(df =>
       df.filter(!coalesce(pred, lit(false))))
+
+  /** DELETE WHERE pred, MERGE-ON-READ: no data file is rewritten — the
+    * matched rows' (file, row_index) identities are recorded as a
+    * DELETION VECTOR riding the commit, and every reader anti-joins
+    * them out ([[scanLive]]). The 100 TB point-delete path: deleting
+    * 0.01% of a table writes KBs of positions instead of rewriting GBs
+    * of parquet (measured vs [[deleteWhere]] in SCALING.md). Discovery
+    * rides the same stats pruning as the COW path; a file whose every
+    * physical row is dead (exact row counts from the manifest) is
+    * dropped from the snapshot outright. Repeated MOR deletes rewrite
+    * the touched files' complete position sets into a fresh dv dir
+    * (dirs are immutable, like data files); [[materializeDeletes]] or
+    * any COW rewrite of the file folds the DV back into clean parquet.
+    * `cdf = true` records the deleted rows for [[readChanges]]; a
+    * non-CDF MOR delete makes the feeds refuse, exactly like a non-CDF
+    * rewrite. */
+  def deleteWhereMor(spark: SparkSession, root: String, pred: Column,
+      cdf: Boolean = false): Long = {
+    val base = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root: no versioned table"))
+    val m = readManifest(spark, root, base)
+    val candidates = pruneEntries(spark, m.schema, m.files, pred)
+    if (candidates.isEmpty) return base // provably nothing matches
+    // live rows only: a position already in a DV must not re-delete
+    // (it would inflate counts and emit phantom CDF deletes)
+    val hits = scanWithPos(spark, root, m.schema, candidates, m.dvs)
+      .filter(pred).persist()
+    try {
+      val perFile = hits.groupBy(col("__vt_rel"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (perFile.isEmpty) return base
+      val entryByRel = m.files.map(e => e.rel -> e).toMap
+      val newCounts: Map[String, Long] = perFile.map { case (rel, n) =>
+        rel -> (n + m.dvs.get(rel).map(_._2).getOrElse(0L))
+      }
+      // a file whose DV would cover every physical row carries no live
+      // rows — drop it from the snapshot instead of keeping a
+      // scan-everything-deleted tombstone
+      val (dead, partial) = newCounts.keySet.partition { rel =>
+        val rows = entryByRel(rel).rows
+        rows >= 0 && newCounts(rel) == rows
+      }
+      val change: Seq[String] =
+        if (!cdf) Seq.empty
+        else writeChangeData(spark, root,
+          hits.select(m.schema.fieldNames.map(col).toIndexedSeq: _*)
+            .withColumn("_change_type", lit("delete")))
+      if (partial.isEmpty) {
+        // every touched file died whole: a pure file-list shrink
+        commit(spark, root, base, m.schema,
+          m.files.filterNot(e => dead.contains(e.rel)), m.meta,
+          changeFiles = change, dvs = m.dvs -- dead)
+      } else {
+        // new DV set for the partially-deleted files = their existing
+        // positions ∪ the new hits, rewritten whole into one fresh dir
+        val newPos = hits.filter(col("__vt_rel").isin(partial.toSeq: _*))
+          .select(col("__vt_rel").as("file"), col("__vt_pos").as("pos"))
+        val oldDv = dvRows(spark, root,
+          m.files.filter(e => partial.contains(e.rel)), m.dvs).map(_._1)
+        val allPos = oldDv
+          .map(_.select("file", "pos").unionByName(newPos))
+          .getOrElse(newPos)
+        val sub = s"deletes/${java.util.UUID.randomUUID()}"
+        allPos.repartition(1).write.parquet(new Path(root, sub).toString)
+        val newDvs = (m.dvs -- dead) ++
+          partial.iterator.map(rel => rel -> (sub, newCounts(rel))).toMap
+        commit(spark, root, base, m.schema,
+          m.files.filterNot(e => dead.contains(e.rel)), m.meta,
+          changeFiles = change, dvs = newDvs)
+      }
+    } finally { hits.unpersist(); () }
+  }
+
+  /** Rewrite every file carrying a deletion vector into clean parquet
+    * (positions applied) and drop all DVs — the OPTIMIZE step that
+    * bounds read-side anti-join work after many MOR deletes (Delta
+    * `OPTIMIZE` DV rewrite / Iceberg rewrite_position_delete_files).
+    * Live rows are unchanged (cdf none: time travel and the change
+    * feed see a pure layout rewrite); `sortCols` keeps a clustered
+    * layout clustered, as in [[compact]]. */
+  def materializeDeletes(spark: SparkSession, root: String,
+      targetPartitions: Int = 1, sortCols: Seq[String] = Seq.empty): Long = {
+    require(targetPartitions > 0, "targetPartitions must be positive")
+    val base = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root: no versioned table"))
+    val m = readManifest(spark, root, base)
+    val dvd = m.files.filter(e => m.dvs.contains(e.rel))
+    if (dvd.isEmpty) return base
+    val scanned = scanLive(spark, root, m.schema, dvd, m.dvs)
+    val rows =
+      if (sortCols.isEmpty) scanned.repartition(targetPartitions)
+      else scanned
+        .repartitionByRange(targetPartitions, sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
+    val kept = m.files.filterNot(e => m.dvs.contains(e.rel))
+    commit(spark, root, base, m.schema,
+      kept ++ writeData(spark, root, rows), m.meta, cdfNone = true)
+  }
 
   /** UPDATE ... SET `set` WHERE pred, same file-granular discipline.
     * Each SET expression must resolve to the column's schema type or a
@@ -1023,7 +1245,7 @@ object VersionedTable {
     requireConforms(df, m.schema, "append")
     val aligned = df.select(m.schema.fieldNames.map(col).toIndexedSeq: _*)
     commit(spark, root, base, m.schema,
-      m.files ++ writeData(spark, root, aligned), m.meta)
+      m.files ++ writeData(spark, root, aligned), m.meta, dvs = m.dvs)
   }
 
   /** Append with SCHEMA EVOLUTION (Delta `mergeSchema`): columns of
@@ -1057,7 +1279,7 @@ object VersionedTable {
       else lit(null).cast(newSchema(n).dataType).as(n)
     }: _*)
     commit(spark, root, base, newSchema,
-      m.files ++ writeData(spark, root, aligned), m.meta)
+      m.files ++ writeData(spark, root, aligned), m.meta, dvs = m.dvs)
   }
 
   /** Shared copy-on-write core: split the current snapshot into the
@@ -1099,19 +1321,24 @@ object VersionedTable {
     val candidates: Seq[FileEntry] =
       if (m.files.isEmpty) Seq.empty
       else keyRangePrune(spark, m, srcKeys, keys)
-    val matchable = scanEntries(spark, root, m.schema, candidates)
-    // rows matched per file → distinct file names: the collect is
-    // bounded by the FILE count, never the row count
-    val affectedNames: Set[String] =
+    // the (rel, pos)-carrying scan: file identity must come from the
+    // metadata column BEFORE the DV anti-join (input_file_name() is
+    // undefined downstream of a join), and the DV application keeps
+    // already-deleted rows from re-matching
+    val matchableP = scanWithPos(spark, root, m.schema, candidates, m.dvs)
+    val matchable = matchableP
+      .select(m.schema.fieldNames.toIndexedSeq.map(col): _*)
+    // rows matched per file → distinct rels: the collect is bounded by
+    // the FILE count, never the row count
+    val affectedRels: Set[String] =
       if (candidates.isEmpty) Set.empty
-      else matchable.withColumn("__vt_file", input_file_name())
-        .join(srcKeys, keys.map(k =>
-          matchable(k) <=> srcKeys(k)).reduceOption(_ && _).getOrElse(lit(true)))
-        .select(col("__vt_file")).distinct()
-        .collect().map(r => new Path(r.getString(0)).getName).toSet
+      else matchableP.join(srcKeys, keys.map(k =>
+          matchableP(k) <=> srcKeys(k)).reduceOption(_ && _).getOrElse(lit(true)))
+        .select(col("__vt_rel")).distinct()
+        .collect().map(_.getString(0)).toSet
     val (affectedE, keptE) =
-      m.files.partition(e => affectedNames.contains(new Path(e.rel).getName))
-    val affectedRows = scanEntries(spark, root, m.schema, affectedE)
+      m.files.partition(e => affectedRels.contains(e.rel))
+    val affectedRows = scanLive(spark, root, m.schema, affectedE, m.dvs)
     val replacement = rebuild(affectedRows, source, matchable)
       .select(m.schema.fields.toSeq.map(f =>
         col(f.name).cast(f.dataType).as(f.name)): _*).persist()
@@ -1133,7 +1360,8 @@ object VersionedTable {
         } finally { diff.unpersist(); () }
       }
     commit(spark, root, base, m.schema, keptE ++ newEntries, nextMeta,
-      changeFiles = change, cdfNone = cdf && change.isEmpty)
+      changeFiles = change, cdfNone = cdf && change.isEmpty,
+      dvs = m.dvs -- affectedE.map(_.rel))
   }
 
   /** Files that may hold a key matching ANY source key: per key column,
@@ -1366,6 +1594,11 @@ object VersionedTable {
         s"$root versions $fromVersion->$to dropped ${removed.size} file(s) " +
           "(a merge/SCD2/compact rewrite): the file diff is not the row " +
           "delta — re-read the snapshot, or capture changes per commit")
+    if (mFrom.dvs != mTo.dvs)
+      throw new IllegalStateException(
+        s"$root versions $fromVersion->$to changed deletion vectors " +
+          "(a merge-on-read delete): the file diff is not the row " +
+          "delta — use readChanges with cdf-captured deletes")
     val added = mTo.files.filterNot(e => fromSet.contains(e.rel))
     scanEntries(spark, root, mTo.schema, added)
   }
@@ -1408,10 +1641,11 @@ object VersionedTable {
         if (df.columns.contains(n)) col(n)
         else lit(null).cast(toSchema(n).dataType).as(n)
       } :+ col("_change_type") :+ lit(v).as("_commit_version"): _*)
-    // the previous iteration's file set rides along so each manifest
-    // in the range is parsed ONCE, not re-read as the next version's
-    // predecessor (manifests of wide tables carry stats for every file)
-    var lastFiles: Option[(Long, Set[String])] = None
+    // the previous iteration's file set + dv map ride along so each
+    // manifest in the range is parsed ONCE, not re-read as the next
+    // version's predecessor (manifests of wide tables carry stats for
+    // every file)
+    var last: Option[(Long, Set[String], Map[String, (String, Long)])] = None
     val frames = (fromVersion + 1 to to).flatMap { v =>
       val m = readManifest(spark, root, v)
       val rels = m.files.map(_.rel).toSet
@@ -1422,11 +1656,13 @@ object VersionedTable {
         Some(align(spark.read.schema(cfSchema).parquet(
           m.changeFiles.map(f => new Path(root, f).toString): _*), v))
       } else {
-        val prevSet: Set[String] =
-          if (v == 1) Set.empty // before-create: everything is an insert
-          else lastFiles match {
-            case Some((pv, fs)) if pv == v - 1 => fs
-            case _ => readManifest(spark, root, v - 1).files.map(_.rel).toSet
+        val (prevSet, prevDvs): (Set[String], Map[String, (String, Long)]) =
+          if (v == 1) (Set.empty, Map.empty) // before-create: all inserts
+          else last match {
+            case Some((pv, fs, ds)) if pv == v - 1 => (fs, ds)
+            case _ =>
+              val pm = readManifest(spark, root, v - 1)
+              (pm.files.map(_.rel).toSet, pm.dvs)
           }
         val removed = prevSet -- rels
         if (removed.nonEmpty)
@@ -1434,12 +1670,17 @@ object VersionedTable {
             s"$root version $v rewrote ${removed.size} file(s) without " +
               "change capture: run the mutation with cdf = true, or " +
               "re-read the snapshot")
+        if (m.dvs != prevDvs)
+          throw new IllegalStateException(
+            s"$root version $v changed deletion vectors without change " +
+              "capture: run deleteWhereMor with cdf = true, or re-read " +
+              "the snapshot")
         val added = m.files.filterNot(e => prevSet.contains(e.rel))
         if (added.isEmpty) None
         else Some(align(scanEntries(spark, root, m.schema, added)
           .withColumn("_change_type", lit("insert")), v))
       }
-      lastFiles = Some((v, rels))
+      last = Some((v, rels, m.dvs))
       out
     }
     if (frames.isEmpty)
@@ -1469,7 +1710,7 @@ object VersionedTable {
     val (small, big) = m.files.partition(e =>
       f.getFileStatus(new Path(root, e.rel)).getLen < smallFileBytes)
     if (small.size < 2) return base
-    val scanned = scanEntries(spark, root, m.schema, small)
+    val scanned = scanLive(spark, root, m.schema, small, m.dvs)
     // sortCols: keep a clustered table clustered THROUGH compaction —
     // a plain repartition would interleave the ranges and silently
     // turn data skipping back off for the compacted span
@@ -1479,7 +1720,8 @@ object VersionedTable {
         .repartitionByRange(targetPartitions, sortCols.map(col): _*)
         .sortWithinPartitions(sortCols.map(col): _*)
     commit(spark, root, base, m.schema,
-      big ++ writeData(spark, root, rows), m.meta, cdfNone = true)
+      big ++ writeData(spark, root, rows), m.meta, cdfNone = true,
+      dvs = m.dvs -- small.map(_.rel))
   }
 
   /** Rewrite the table range-clustered on `cols` as a new version:
@@ -1503,7 +1745,7 @@ object VersionedTable {
     val m = readManifest(spark, root, base)
     val bad = cols.filterNot(m.schema.fieldNames.contains)
     require(bad.isEmpty, s"unknown cluster column(s): $bad")
-    val rows = scanEntries(spark, root, m.schema, m.files)
+    val rows = scanLive(spark, root, m.schema, m.files, m.dvs)
       .repartitionByRange(targetPartitions, cols.map(col): _*)
       .sortWithinPartitions(cols.map(col): _*)
     commit(spark, root, base, m.schema,
@@ -1561,7 +1803,7 @@ object VersionedTable {
     val dtB = m.schema.fields.find(_.name == colB).get.dataType
     val z = graft.ops.Scale.zValue(canonCol(colA, dtA), loA, hiA,
       canonCol(colB, dtB), loB, hiB)
-    val rows = scanEntries(spark, root, m.schema, m.files)
+    val rows = scanLive(spark, root, m.schema, m.files, m.dvs)
       .withColumn("__vt_z", z)
       .repartitionByRange(targetPartitions, col("__vt_z"))
       .sortWithinPartitions(col("__vt_z"))
@@ -1594,8 +1836,11 @@ object VersionedTable {
     val referenced = keptManifests.flatMap(_.files.map(_.rel)).toSet
     val referencedChanges = keptManifests.flatMap(_.changeFiles).toSet
     // parquet checkpoints are SHARED across versions — only drop one
-    // no surviving manifest references
+    // no surviving manifest references; deletion-vector dirs are
+    // carried forward the same way (an untouched file's dv entry rides
+    // every later manifest until a rewrite retires it)
     val referencedCps = keptManifests.flatMap(_.cp).toSet
+    val referencedDvs = keptManifests.flatMap(_.dvs.values.map(_._1)).toSet
     drop.foreach { v =>
       val m = readManifest(spark, root, v)
       m.files.map(_.rel).filterNot(referenced.contains)
@@ -1603,6 +1848,8 @@ object VersionedTable {
       // change files belong to exactly one version — dropped with it
       m.changeFiles.foreach(rel => f.delete(new Path(root, rel), false))
       m.cp.filterNot(referencedCps.contains)
+        .foreach(rel => f.delete(new Path(root, rel), true))
+      m.dvs.values.map(_._1).toSet[String].filterNot(referencedDvs.contains)
         .foreach(rel => f.delete(new Path(root, rel), true))
       f.delete(manifestPath(root, v), false)
       f.delete(lockPath(root, v), false) // the version's CAS tombstone
@@ -1625,6 +1872,7 @@ object VersionedTable {
     sweep("data", referenced.map(rel => new Path(rel).getParent.getName))
     sweep("changes",
       referencedChanges.map(rel => new Path(rel).getParent.getName))
+    sweep("deletes", referencedDvs.map(rel => new Path(rel).getName))
     // torn commits also strand .tmp-* manifests (written, never
     // renamed) and unreferenced cp-* checkpoint dirs; past the grace
     // window they are garbage too

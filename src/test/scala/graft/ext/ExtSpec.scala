@@ -1212,4 +1212,55 @@ class ExtSpec extends AnyFunSuite {
       buckets = 32, seed = 3).as[(Long, Long, Double)].collect().head
     assert(z == ((9L, 0L, 0.0)))
   }
+
+  test("nbQuality classifier separates classes and calibrates the prior") {
+    val pos = docs(
+      (1L, "alpha beta gamma alpha beta"), (2L, "beta gamma alpha"),
+      (3L, "gamma alpha beta gamma"))
+    val neg = docs(
+      (11L, "zzz yyy xxx zzz"), (12L, "yyy xxx zzz yyy xxx"),
+      (13L, "xxx zzz yyy"))
+    val m = TextAnalysis.nbTrainQuality(pos, neg, "text",
+      buckets = 64, alpha = 0.5, seed = 7)
+    // prior: equal doc counts -> ln(1) = 0
+    assert(m.logPrior == 0.0 && m.logRatios.size == 64)
+    val scored = TextAnalysis.nbQualityScore(
+      pos.unionByName(neg), "id", "text", m)
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    // every positive-vocabulary doc must score above every negative one
+    assert((1L to 3L).forall(i => scored(i)._4 > 0.5) &&
+      (11L to 13L).forall(i => scored(i)._4 < 0.5), scored)
+    // a zero-token doc scores exactly the prior (p = 0.5 here)
+    val z = TextAnalysis.nbQualityScore(docs((9L, " ")), "id", "text", m)
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(z == ((9L, 0L, 0.0, 0.5)))
+  }
+
+  test("nbQualityFilterPareto applies the inverted GPT-3 keep rule exactly") {
+    val pos = docs((1L, "alpha beta alpha"), (2L, "beta alpha beta"))
+    val neg = docs((11L, "zzz yyy zzz"), (12L, "yyy zzz yyy"))
+    val all = docs((21L, "alpha beta"), (22L, "zzz yyy"),
+      (23L, "alpha zzz"), (24L, "beta yyy zzz"), (25L, "alpha beta beta"))
+    val m = TextAnalysis.nbTrainQuality(pos, neg, "text",
+      buckets = 64, alpha = 1.0, seed = 7)
+    val scored = TextAnalysis.nbQualityScore(all, "id", "text", m)
+      .as[(Long, Long, Double, Double)].collect()
+    // replicate the keep rule by hand: u from the same md5 probes
+    def lowByte(s: String): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Integer.parseInt(h.substring(30, 32), 16)
+    }
+    val expectKept = scored.filter { case (id, _, _, p) =>
+      val u = (lowByte(s"nbp1:7:$id") * 256 + lowByte(s"nbp2:7:$id") + 0.5) /
+        65536.0
+      u > 1.0 - math.pow(2.0 - p, -9.0)
+    }.map(_._1).toSet
+    val kept = TextAnalysis.nbQualityFilterPareto(all, "id", "text", m,
+      paretoAlpha = 9.0, seed = 7).select("id").as[Long].collect().toSet
+    assert(kept == expectKept, s"kept $kept vs expected $expectKept")
+    // the rule keeps high-probability docs at near-1 rate: a p≈1 doc
+    // survives unless u is in the tiny (2-p)^-9 tail
+    assert(scored.nonEmpty)
+  }
 }

@@ -987,4 +987,145 @@ class VersionedTableSpec extends AnyFunSuite {
       Map("amt" -> lit(5)))
     assert(rowsOf(VersionedTable.read(spark, root)) == Set((1, "a", 5L)))
   }
+
+  // ---- deletion vectors (merge-on-read deletes) -------------------------
+
+  private def manifestRels(root: String, v: Long): Set[String] =
+    VersionedTable.readManifest(spark, root, v).files.map(_.rel).toSet
+
+  test("deleteWhereMor removes rows without rewriting any data file") {
+    val root = freshRoot()
+    val base = dim((1 to 40).map(i => (i, s"n$i", i.toLong)): _*)
+      .repartitionByRange(2, col("k"))
+    VersionedTable.create(spark, root, base)
+    val v = VersionedTable.deleteWhereMor(spark, root,
+      col("k") % 10 === 3) // 4 rows, both files
+    assert(v == 2L)
+    // merge-on-read: the file LIST is unchanged — no rewrite happened
+    assert(manifestRels(root, 2L) == manifestRels(root, 1L))
+    val m = VersionedTable.readManifest(spark, root, 2L)
+    assert(m.dvs.size == 2 && m.dvs.values.map(_._2).sum == 4L)
+    assert(rowsOf(VersionedTable.read(spark, root)) ==
+      (1 to 40).filterNot(_ % 10 == 3)
+        .map(i => (i, s"n$i", i.toLong)).toSet)
+    // time travel to the pre-delete version reads every row
+    assert(VersionedTable.read(spark, root, Some(1L)).count() == 40)
+    // readWhere composes skipping with the DV anti-join
+    assert(rowsOf(VersionedTable.readWhere(spark, root,
+      col("k") <= 5)) == Set(1, 2, 4, 5).map(i => (i, s"n$i", i.toLong)))
+  }
+
+  test("repeated MOR deletes accumulate positions; live rows only") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root,
+      dim((1 to 10).map(i => (i, s"n$i", i.toLong)): _*).coalesce(1))
+    VersionedTable.deleteWhereMor(spark, root, col("k") <= 3)
+    // overlapping predicate: k<=5 re-matches already-dead rows 1..3 —
+    // only the LIVE hits (4, 5) may count
+    VersionedTable.deleteWhereMor(spark, root, col("k") <= 5)
+    val m = VersionedTable.readManifest(spark, root, 3L)
+    assert(m.dvs.values.map(_._2).sum == 5L, m.dvs)
+    assert(rowsOf(VersionedTable.read(spark, root)) ==
+      (6 to 10).map(i => (i, s"n$i", i.toLong)).toSet)
+    // a fully-covered MOR delete then drops the file outright
+    VersionedTable.deleteWhereMor(spark, root, lit(true))
+    assert(manifestRels(root, 4L).isEmpty)
+    assert(VersionedTable.readManifest(spark, root, 4L).dvs.isEmpty)
+    assert(VersionedTable.read(spark, root).count() == 0)
+  }
+
+  test("a COW rewrite of a DV'd file materializes and retires its vector") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root,
+      dim((1 to 10).map(i => (i, s"n$i", i.toLong)): _*).coalesce(1))
+    VersionedTable.deleteWhereMor(spark, root, col("k") === 1)
+    // merge touches the (single) DV'd file: the rewrite must apply the
+    // vector (k=1 stays dead) and the new file carries no DV
+    VersionedTable.merge(spark, root, dim((5, "m5", 55L)), Seq("k"))
+    val m = VersionedTable.readManifest(spark, root, 3L)
+    assert(m.dvs.isEmpty)
+    assert(rowsOf(VersionedTable.read(spark, root)) ==
+      ((2 to 10).toSet - 5).map(i => (i, s"n$i", i.toLong)) + ((5, "m5", 55L)))
+  }
+
+  test("materializeDeletes folds DVs into clean files; live rows unchanged") {
+    val root = freshRoot()
+    val base = dim((1 to 40).map(i => (i, s"n$i", i.toLong)): _*)
+      .repartitionByRange(4, col("k"))
+    VersionedTable.create(spark, root, base)
+    VersionedTable.deleteWhereMor(spark, root, col("k") % 7 === 0)
+    val live = rowsOf(VersionedTable.read(spark, root))
+    val v = VersionedTable.materializeDeletes(spark, root,
+      targetPartitions = 2, sortCols = Seq("k"))
+    assert(v == 3L)
+    assert(VersionedTable.readManifest(spark, root, 3L).dvs.isEmpty)
+    assert(rowsOf(VersionedTable.read(spark, root)) == live)
+    // layout-only: the change feed reads straight through it
+    assert(VersionedTable.readChanges(spark, root, 2L).count() == 0)
+    // idempotent on a DV-free table
+    assert(VersionedTable.materializeDeletes(spark, root) == 3L)
+  }
+
+  test("MOR delete with cdf feeds readChanges; without it the feeds refuse") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root,
+      dim((1 to 8).map(i => (i, s"n$i", i.toLong)): _*).coalesce(1))
+    VersionedTable.deleteWhereMor(spark, root, col("k") <= 2, cdf = true)
+    val ch = VersionedTable.readChanges(spark, root, 1L)
+    assert(ch.filter(col("_change_type") === "delete").count() == 2)
+    assert(ch.count() == 2)
+    // CDF replay invariant: v1 minus deletes = current snapshot
+    val v1 = rowsOf(VersionedTable.read(spark, root, Some(1L)))
+    val dels = rowsOf(VersionedTable.readChanges(spark, root, 1L)
+      .filter(col("_change_type") === "delete").drop("_change_type",
+        "_commit_version"))
+    assert(v1 -- dels == rowsOf(VersionedTable.read(spark, root)))
+    // a non-CDF MOR delete is a rewrite the feeds cannot reconstruct
+    VersionedTable.deleteWhereMor(spark, root, col("k") === 5)
+    val e1 = intercept[IllegalStateException] {
+      VersionedTable.readChanges(spark, root, 2L)
+    }
+    assert(e1.getMessage.contains("deletion vectors"), e1.getMessage)
+    val e2 = intercept[IllegalStateException] {
+      VersionedTable.readAppendsSince(spark, root, 2L)
+    }
+    assert(e2.getMessage.contains("deletion vectors"), e2.getMessage)
+  }
+
+  test("vacuum keeps referenced DV dirs and sweeps retired ones") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root,
+      dim((1 to 8).map(i => (i, s"n$i", i.toLong)): _*).coalesce(1))
+    VersionedTable.deleteWhereMor(spark, root, col("k") === 1)
+    val deletesDir = new java.io.File(s"$root/deletes")
+    assert(deletesDir.listFiles().length == 1)
+    // v2's dv is CURRENT — vacuuming v1 must not touch it
+    VersionedTable.vacuum(spark, root, keepFrom = 2L, orphanGraceMs = -1000L)
+    assert(deletesDir.listFiles().length == 1)
+    assert(rowsOf(VersionedTable.read(spark, root)) ==
+      (2 to 8).map(i => (i, s"n$i", i.toLong)).toSet)
+    // materialize retires the dv; vacuuming below the new version
+    // sweeps the now-unreferenced dir
+    VersionedTable.materializeDeletes(spark, root)
+    VersionedTable.vacuum(spark, root, keepFrom = 3L, orphanGraceMs = -1000L)
+    assert(!deletesDir.exists() || deletesDir.listFiles().isEmpty)
+    assert(rowsOf(VersionedTable.read(spark, root)) ==
+      (2 to 8).map(i => (i, s"n$i", i.toLong)).toSet)
+  }
+
+  test("restore carries deletion vectors; append preserves them") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root,
+      dim((1 to 6).map(i => (i, s"n$i", i.toLong)): _*).coalesce(1))
+    VersionedTable.deleteWhereMor(spark, root, col("k") === 2) // v2
+    VersionedTable.append(spark, root, dim((7, "n7", 7L)))     // v3
+    // append carried the DV forward
+    assert(rowsOf(VersionedTable.read(spark, root)) ==
+      ((1 to 7).toSet - 2).map(i => (i, s"n$i", i.toLong)))
+    VersionedTable.materializeDeletes(spark, root)             // v4
+    VersionedTable.restore(spark, root, 2L)                    // v5 ≡ v2
+    assert(rowsOf(VersionedTable.read(spark, root)) ==
+      ((1 to 6).toSet - 2).map(i => (i, s"n$i", i.toLong)))
+    assert(VersionedTable.readManifest(spark, root, 5L).dvs.nonEmpty)
+  }
 }
