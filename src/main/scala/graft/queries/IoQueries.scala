@@ -842,10 +842,54 @@ object IoQueries extends QueryPack {
       require(VersionedTable.read(s, root).count() == n3,
         "materializeDeletes must not change a live row")
       VersionedTable.read(s, root).orderBy(col("o_orderkey"))
+    },
+
+    // CHECK / NOT NULL constraints under the oracle gate (Delta ALTER
+    // TABLE ADD CONSTRAINT semantics): constraints ride the manifest
+    // meta, existing data is validated at add time, every write
+    // validates its new rows in ONE fused aggregate, and a violating
+    // commit refuses ATOMICALLY — the in-query requires pin the
+    // refusal leaving the version untouched, which the oracle can't
+    // see; the emitted table (valid appends landed, invalid ones
+    // didn't) is oracle-checked row-for-row.
+    "q168_versioned_constraints" -> { (s, dir) =>
+      import graft.sources.VersionedTable
+      val root = tmp(s, s"vt_check/${java.util.UUID.randomUUID()}")
+      val cust = graft.Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          CoreQueries.cents(col("c_acctbal")).as("cents"))
+      VersionedTable.create(s, root, cust.filter(col("c_custkey") < 1000))
+      VersionedTable.addConstraint(s, root, "key_nn",
+        "c_custkey IS NOT NULL")
+      VersionedTable.addConstraint(s, root, "cents_floor",
+        "cents >= -100000000")
+      require(VersionedTable.constraints(s, root).keySet ==
+        Set("key_nn", "cents_floor"), "both constraints must be live")
+      VersionedTable.append(s, root, cust
+        .filter(col("c_custkey") >= 1000 && col("c_custkey") < 1500))
+      val vBefore = VersionedTable.currentVersion(s, root).get
+      val refused =
+        try {
+          VersionedTable.append(s, root, cust
+            .filter(col("c_custkey") >= 500 && col("c_custkey") < 600)
+            .withColumn("cents", lit(-999999999L)))
+          false
+        } catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("cents_floor")
+        }
+      require(refused, "the violating append must refuse by name")
+      require(VersionedTable.currentVersion(s, root).contains(vBefore),
+        "a refused write must leave the version untouched")
+      VersionedTable.read(s, root).orderBy(col("c_custkey"))
     }
   )
 
   val oracles: Map[String, String] = Map(
+    "q168_versioned_constraints" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+        |FROM customer WHERE c_custkey < 1500
+        |ORDER BY c_custkey""".stripMargin,
     "q166_versioned_mor_delete" ->
       """SELECT o_orderkey, o_custkey,
         |  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents

@@ -430,6 +430,50 @@ object VersionedTable {
       f.delete(lock, false)
   }
 
+  // ---- column mapping: rename/drop without rewriting data ---------------
+  //
+  // Delta's column-mapping design, name-mode: a column's PHYSICAL
+  // parquet name is frozen at the moment it is first written; its
+  // LOGICAL name lives in manifest meta (`_phys.<logical>=<physical>`,
+  // identity when absent). RENAME is then a metadata-only commit (the
+  // logical key moves, the physical stays), DROP removes the logical
+  // field and retires its physical name (`_physdrop.<physical>=1`
+  // keeps it from ever being reused — re-adding a same-named column
+  // must not resurrect old bytes), and every scan reads the physical
+  // schema and aliases back. Stats stay keyed by physical name, so a
+  // rename invalidates NOTHING — no manifest rewrite, checkpoint
+  // reuse intact, O(1) metadata commit at any file count.
+
+  private val PhysKeyPrefix = "_phys."
+  private val PhysDropPrefix = "_physdrop."
+
+  /** logical → physical for this version's meta (identity default). */
+  private def physMapOf(meta: Map[String, String]): Map[String, String] =
+    meta.collect { case (k, v) if k.startsWith(PhysKeyPrefix) =>
+      k.stripPrefix(PhysKeyPrefix) -> v
+    }
+
+  private def physOf(phys: Map[String, String])(logical: String): String =
+    phys.getOrElse(logical, logical)
+
+  /** Every physical name that may exist in some live-or-historic data
+    * file: current columns' physicals plus retired (dropped) ones. */
+  private def usedPhysicals(schema: StructType,
+      meta: Map[String, String]): Set[String] = {
+    val phys = physMapOf(meta)
+    schema.fieldNames.map(physOf(phys)).toSet ++
+      meta.keysIterator.filter(_.startsWith(PhysDropPrefix))
+        .map(_.stripPrefix(PhysDropPrefix))
+  }
+
+  /** The physical shape of `schema` under `meta`'s mapping — what the
+    * parquet files actually contain. */
+  private def physSchemaOf(schema: StructType,
+      meta: Map[String, String]): StructType = {
+    val phys = physMapOf(meta)
+    StructType(schema.fields.map(f => f.copy(name = physOf(phys)(f.name))))
+  }
+
   // ---- per-file column stats (the data-skipping index) ------------------
 
   /** Stats cover at most this many leading supported columns — bounds
@@ -558,6 +602,95 @@ object VersionedTable {
             "explicitly (types never coerce silently into a snapshot)")
       }
     }
+  }
+
+  // ---- CHECK / NOT NULL constraints -------------------------------------
+  //
+  // Constraints ride the manifest meta (`_check.<name>=<sql>`), so they
+  // move atomically with the data, version with the table (time travel
+  // sees the constraints of its snapshot), and replicate with meta
+  // propagation. Enforcement is Delta's: every commit's NEW rows are
+  // validated (ANSI CHECK semantics — NULL passes, FALSE refuses) in
+  // ONE fused aggregate over the commit-bounded delta, never the
+  // table; existing data is validated once, at addConstraint time.
+
+  private val CheckKeyPrefix = "_check."
+
+  /** The table's CHECK constraints at version `v` (name → SQL). */
+  def constraints(spark: SparkSession, root: String,
+      v: Option[Long] = None): Map[String, String] = {
+    val ver = v.orElse(currentVersion(spark, root)).getOrElse(
+      throw new IllegalArgumentException(s"$root: no versioned table"))
+    readManifest(spark, root, ver).meta.collect {
+      case (k, sql) if k.startsWith(CheckKeyPrefix) =>
+        k.stripPrefix(CheckKeyPrefix) -> sql
+    }
+  }
+
+  private def constraintChecks(meta: Map[String, String],
+      schema: StructType): Seq[(String, Column)] =
+    meta.toSeq.collect {
+      case (k, sql) if k.startsWith(CheckKeyPrefix) =>
+        k.stripPrefix(CheckKeyPrefix) -> expr(sql)
+    }.sortBy(_._1)
+
+  /** Refuse loudly if any row of `df` violates a `_check.*` constraint
+    * in `meta` — one aggregate, all constraints fused (the
+    * Expectations single-pass style), naming the first violated
+    * constraint and its row count. No-op when no constraints exist. */
+  private def requireConstraints(df: DataFrame, meta: Map[String, String],
+      schema: StructType, context: String): Unit = {
+    val checks = constraintChecks(meta, schema)
+    if (checks.isEmpty) return
+    val aggs = checks.map { case (name, c) =>
+      sum(when(coalesce(c.cast("boolean"), lit(true)) === false, 1L)
+        .otherwise(0L)).as(name)
+    }
+    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    checks.zipWithIndex.foreach { case ((name, _), i) =>
+      val bad = if (r.isNullAt(i)) 0L else r.getLong(i)
+      require(bad == 0L,
+        s"$context: $bad row(s) violate CHECK constraint '$name' " +
+          s"(${meta(CheckKeyPrefix + name)}) — nothing was committed")
+    }
+  }
+
+  /** ALTER TABLE ADD CONSTRAINT (Delta CHECK constraints): validate
+    * the CURRENT snapshot against `sql` (one scan; any violating row
+    * refuses), then commit the constraint as table meta — files
+    * unchanged, every subsequent write validates its new rows against
+    * it. NOT NULL is the special case `col IS NOT NULL`. The SQL must
+    * resolve against the table schema (checked loudly here, not at
+    * first write). */
+  def addConstraint(spark: SparkSession, root: String, name: String,
+      sql: String): Long = {
+    require(name.nonEmpty && !name.exists(c =>
+        c == '=' || c == '\n' || c == '\r' || c.isWhitespace),
+      s"bad constraint name '$name'")
+    val base = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root: no versioned table"))
+    val m = readManifest(spark, root, base)
+    require(!m.meta.contains(CheckKeyPrefix + name),
+      s"constraint '$name' already exists — drop it first")
+    // resolve against the schema without a job: analysis of a dummy
+    // filter throws on unknown columns / unparseable SQL
+    resolvedConjuncts(spark, m.schema, expr(sql))
+    val candidate = m.meta + (CheckKeyPrefix + name -> sql)
+    requireConstraints(scanLive(spark, root, m.schema, m.files, m.dvs),
+      candidate, m.schema, s"addConstraint '$name'")
+    commit(spark, root, base, m.schema, m.files, candidate, dvs = m.dvs)
+  }
+
+  /** ALTER TABLE DROP CONSTRAINT: meta-only commit. */
+  def dropConstraint(spark: SparkSession, root: String,
+      name: String): Long = {
+    val base = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root: no versioned table"))
+    val m = readManifest(spark, root, base)
+    require(m.meta.contains(CheckKeyPrefix + name),
+      s"no constraint '$name' on $root")
+    commit(spark, root, base, m.schema, m.files,
+      m.meta - (CheckKeyPrefix + name), dvs = m.dvs)
   }
 
   /** Create the table at `root` with `df` as version 1. */
@@ -1077,7 +1210,11 @@ object VersionedTable {
     val newEntries =
       try {
         if (replacement.isEmpty) Seq.empty
-        else writeData(spark, root, replacement)
+        else {
+          requireConstraints(replacement, m.meta, m.schema,
+            "copy-on-write rewrite")
+          writeData(spark, root, replacement)
+        }
       } finally { replacement.unpersist(); () }
     val change: Seq[String] =
       if (!cdf) Seq.empty
@@ -1244,6 +1381,7 @@ object VersionedTable {
     val m = readManifest(spark, root, base)
     requireConforms(df, m.schema, "append")
     val aligned = df.select(m.schema.fieldNames.map(col).toIndexedSeq: _*)
+    requireConstraints(aligned, m.meta, m.schema, "append")
     commit(spark, root, base, m.schema,
       m.files ++ writeData(spark, root, aligned), m.meta, dvs = m.dvs)
   }
@@ -1278,6 +1416,7 @@ object VersionedTable {
       if (df.columns.contains(n)) col(n)
       else lit(null).cast(newSchema(n).dataType).as(n)
     }: _*)
+    requireConstraints(aligned, m.meta, newSchema, "appendEvolve")
     commit(spark, root, base, newSchema,
       m.files ++ writeData(spark, root, aligned), m.meta, dvs = m.dvs)
   }
@@ -1345,7 +1484,11 @@ object VersionedTable {
     val newEntries =
       try {
         if (replacement.isEmpty) Seq.empty
-        else writeData(spark, root, replacement)
+        else {
+          requireConstraints(replacement, m.meta, m.schema,
+            "merge/upsert rewrite")
+          writeData(spark, root, replacement)
+        }
       } finally { replacement.unpersist(); () }
     val change: Seq[String] =
       if (!cdf) Seq.empty

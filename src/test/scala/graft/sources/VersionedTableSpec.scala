@@ -1113,6 +1113,62 @@ class VersionedTableSpec extends AnyFunSuite {
       (2 to 8).map(i => (i, s"n$i", i.toLong)).toSet)
   }
 
+  test("CHECK constraints: validated on add, enforced on every write path") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, dim((1, "a", 10L), (2, "b", 20L)))
+    // adding a constraint the existing data violates refuses, commits
+    // nothing
+    val e0 = intercept[IllegalArgumentException] {
+      VersionedTable.addConstraint(spark, root, "amt_big", "amt > 15")
+    }
+    assert(e0.getMessage.contains("amt_big"), e0.getMessage)
+    assert(VersionedTable.currentVersion(spark, root).contains(1L))
+    // unknown column refuses at add time, not at first write
+    intercept[Exception] {
+      VersionedTable.addConstraint(spark, root, "bad", "no_such_col > 0")
+    }
+    VersionedTable.addConstraint(spark, root, "amt_pos", "amt >= 0") // v2
+    VersionedTable.addConstraint(spark, root, "name_nn",
+      "name IS NOT NULL") // v3
+    assert(VersionedTable.constraints(spark, root) ==
+      Map("amt_pos" -> "amt >= 0", "name_nn" -> "name IS NOT NULL"))
+    // append: valid passes, violating refuses atomically
+    VersionedTable.append(spark, root, dim((3, "c", 30L))) // v4
+    val e1 = intercept[IllegalArgumentException] {
+      VersionedTable.append(spark, root, dim((4, "d", -5L)))
+    }
+    assert(e1.getMessage.contains("amt_pos"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      VersionedTable.append(spark, root,
+        Seq((5, null.asInstanceOf[String], 1L)).toDF("k", "name", "amt"))
+    }
+    assert(e2.getMessage.contains("name_nn"), e2.getMessage)
+    // merge and updateWhere rewrites are validated too
+    val e3 = intercept[IllegalArgumentException] {
+      VersionedTable.merge(spark, root, dim((1, "a2", -1L)), Seq("k"))
+    }
+    assert(e3.getMessage.contains("amt_pos"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException] {
+      VersionedTable.updateWhere(spark, root, col("k") === 2,
+        Map("amt" -> lit(-7L)))
+    }
+    assert(e4.getMessage.contains("amt_pos"), e4.getMessage)
+    assert(VersionedTable.currentVersion(spark, root).contains(4L))
+    assert(rowsOf(VersionedTable.read(spark, root)) ==
+      Set((1, "a", 10L), (2, "b", 20L), (3, "c", 30L)))
+    // NULL passes ANSI CHECK (amt_pos over a NULL amt is not FALSE)
+    VersionedTable.append(spark, root,
+      Seq((6, "f", null.asInstanceOf[java.lang.Long]))
+        .toDF("k", "name", "amt")) // v5
+    // drop: the formerly-violating write now lands
+    VersionedTable.dropConstraint(spark, root, "amt_pos") // v6
+    VersionedTable.append(spark, root, dim((4, "d", -5L))) // v7
+    assert(VersionedTable.constraints(spark, root).keySet == Set("name_nn"))
+    // time travel sees the constraints of the pinned snapshot
+    assert(VersionedTable.constraints(spark, root, Some(5L)).keySet ==
+      Set("amt_pos", "name_nn"))
+  }
+
   test("restore carries deletion vectors; append preserves them") {
     val root = freshRoot()
     VersionedTable.create(spark, root,

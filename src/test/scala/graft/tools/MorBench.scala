@@ -67,6 +67,12 @@ object MorBench {
 
     def filesOf(v: Long): Set[String] =
       VersionedTable.fileList(spark, root, v).toSet
+    // write amplification: bytes of data files a commit ADDED — the
+    // number that scales with table size under COW and with match
+    // count under MOR
+    def bytesAdded(from: Long, to: Long): Long =
+      (filesOf(to) -- filesOf(from)).toSeq
+        .map(rel => new java.io.File(s"$root/$rel").length()).sum
 
     // --- copy-on-write, from v1 ---
     val (_, tCowPoint) = time {
@@ -80,9 +86,10 @@ object MorBench {
     }
     val rewrittenScatter = (filesOf(1L) -- filesOf(4L)).size
     require(count(VersionedTable.read(spark, root)) == n0 - nScatter)
-    println(f"COW: point $tCowPoint%.1f s ($rewrittenPoint files " +
-      f"rewritten), scatter $tCowScatter%.1f s " +
-      f"($rewrittenScatter files rewritten)")
+    println(f"COW: point $tCowPoint%.1f s ($rewrittenPoint files, " +
+      f"${bytesAdded(1L, 2L) / 1024}%d KB written), " +
+      f"scatter $tCowScatter%.1f s ($rewrittenScatter files, " +
+      f"${bytesAdded(1L, 4L) / 1024}%d KB written)")
 
     // --- merge-on-read, from the same snapshot ---
     VersionedTable.restore(spark, root, 1L) // v5 ≡ v1
@@ -102,7 +109,8 @@ object MorBench {
       size(f)
     }
     println(f"MOR: point $tMorPoint%.1f s, scatter $tMorScatter%.1f s " +
-      f"(0 files rewritten, $dvBytes%d DV bytes total)")
+      f"(0 files rewritten, ${dvBytes / 1024}%d KB of DVs written " +
+      "total)")
 
     // --- read-side cost of unmaterialized deletes ---
     def scanAgg(): Long = {
