@@ -870,8 +870,9 @@ object IoQueries extends QueryPack {
       val vBefore = VersionedTable.currentVersion(s, root).get
       val refused =
         try {
+          // a slice nonempty at EVERY sf (plan audit runs sf0.001)
           VersionedTable.append(s, root, cust
-            .filter(col("c_custkey") >= 500 && col("c_custkey") < 600)
+            .filter(col("c_custkey") < 100)
             .withColumn("cents", lit(-999999999L)))
           false
         } catch { case e: IllegalArgumentException =>
@@ -881,10 +882,60 @@ object IoQueries extends QueryPack {
       require(VersionedTable.currentVersion(s, root).contains(vBefore),
         "a refused write must leave the version untouched")
       VersionedTable.read(s, root).orderBy(col("c_custkey"))
+    },
+
+    // COLUMN MAPPING under the oracle gate (Delta rename/drop, name
+    // mode): rename and drop are METADATA-ONLY commits — the physical
+    // parquet name freezes at first write, logical names live in the
+    // manifest — so not one data file, stat, or checkpoint is touched
+    // at any file count. The in-query requires pin what the oracle
+    // can't see (file lists identical across rename AND drop, stats
+    // still pruning through the rename); the emitted read proves the
+    // rename carried values, the drop hid them, and a re-added
+    // same-name column reads NULL instead of resurrecting old bytes.
+    "q169_versioned_column_mapping" -> { (s, dir) =>
+      import graft.sources.VersionedTable
+      val root = tmp(s, s"vt_colmap/${java.util.UUID.randomUUID()}")
+      val base = graft.Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          CoreQueries.cents(col("o_totalprice")).as("cents"))
+      VersionedTable.create(s, root,
+        base.repartitionByRange(8, col("o_orderkey")))
+      VersionedTable.renameColumn(s, root, "cents", "total_cents") // v2
+      VersionedTable.dropColumn(s, root, "o_custkey")              // v3
+      require(VersionedTable.fileList(s, root, 3L).toSet ==
+        VersionedTable.fileList(s, root, 1L).toSet,
+        "rename and drop must not touch a single data file")
+      // stats are keyed by the frozen physical name: pruning works
+      // through the rename
+      val mx = base.agg(max(col("o_orderkey"))).head.getLong(0)
+      val (kept, total) = VersionedTable.pruneProfile(s, root,
+        col("o_orderkey") <= mx / 8)
+      require(total == 8 && kept <= 2,
+        s"skipping must survive the rename: kept $kept/$total")
+      // re-add a column NAMED o_custkey: fresh physical, old rows NULL
+      VersionedTable.appendEvolve(s, root, base
+        .filter(col("o_orderkey") < 50)
+        .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
+          col("cents").as("total_cents"), col("o_custkey")))      // v4
+      require(VersionedTable.read(s, root, Some(1L)).columns.toSeq ==
+        Seq("o_orderkey", "o_custkey", "cents"),
+        "time travel must read the pre-rename shape")
+      VersionedTable.read(s, root).orderBy(col("o_orderkey"))
     }
   )
 
   val oracles: Map[String, String] = Map(
+    "q169_versioned_column_mapping" ->
+      """SELECT o_orderkey,
+        |  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents,
+        |  CAST(NULL AS BIGINT) AS o_custkey
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 20000000,
+        |  CAST(ROUND(o_totalprice * 100) AS BIGINT), o_custkey
+        |FROM orders WHERE o_orderkey < 50
+        |ORDER BY o_orderkey""".stripMargin,
     "q168_versioned_constraints" ->
       """SELECT c_custkey, c_mktsegment,
         |  CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents

@@ -466,13 +466,11 @@ object VersionedTable {
         .map(_.stripPrefix(PhysDropPrefix))
   }
 
-  /** The physical shape of `schema` under `meta`'s mapping — what the
-    * parquet files actually contain. */
-  private def physSchemaOf(schema: StructType,
-      meta: Map[String, String]): StructType = {
-    val phys = physMapOf(meta)
+  /** The physical shape of `schema` under a mapping — what the parquet
+    * files actually contain. */
+  private def physSchema(schema: StructType,
+      phys: Map[String, String]): StructType =
     StructType(schema.fields.map(f => f.copy(name = physOf(phys)(f.name))))
-  }
 
   // ---- per-file column stats (the data-skipping index) ------------------
 
@@ -520,7 +518,14 @@ object VersionedTable {
     * and one extra scan of the just-written delta buys exact,
     * format-independent stats. */
   private def writeData(spark: SparkSession, root: String,
-      df: DataFrame): Seq[FileEntry] = {
+      df0: DataFrame,
+      phys: Map[String, String] = Map.empty): Seq[FileEntry] = {
+    // files are written under PHYSICAL names (stable forever); stats
+    // end up keyed physical too — exactly what the pruner expects
+    val df =
+      if (phys.isEmpty) df0
+      else df0.select(df0.schema.fieldNames.toIndexedSeq.map(n =>
+        col(graft.dag.DataFlowExec.bq(n)).as(physOf(phys)(n))): _*)
     val sub = s"data/${java.util.UUID.randomUUID()}"
     val abs = new Path(root, sub)
     df.write.parquet(abs.toString)
@@ -676,7 +681,8 @@ object VersionedTable {
     // filter throws on unknown columns / unparseable SQL
     resolvedConjuncts(spark, m.schema, expr(sql))
     val candidate = m.meta + (CheckKeyPrefix + name -> sql)
-    requireConstraints(scanLive(spark, root, m.schema, m.files, m.dvs),
+    requireConstraints(scanLive(spark, root, m.schema, m.files, m.dvs,
+        physMapOf(m.meta)),
       candidate, m.schema, s"addConstraint '$name'")
     commit(spark, root, base, m.schema, m.files, candidate, dvs = m.dvs)
   }
@@ -707,7 +713,7 @@ object VersionedTable {
     val v = version.orElse(currentVersion(spark, root)).getOrElse(
       throw new IllegalArgumentException(s"$root: no versioned table"))
     val m = readManifest(spark, root, v)
-    scanLive(spark, root, m.schema, m.files, m.dvs)
+    scanLive(spark, root, m.schema, m.files, m.dvs, physMapOf(m.meta))
   }
 
   /** Timestamp time travel (Delta `timestampAsOf`): the snapshot
@@ -727,7 +733,8 @@ object VersionedTable {
     val hit = versions.iterator.map(v => readManifest(spark, root, v))
       .find(_.meta.get(CommitTsKey).forall(_.toLong <= tsMillis))
     hit match {
-      case Some(m) => scanLive(spark, root, m.schema, m.files, m.dvs)
+      case Some(m) =>
+        scanLive(spark, root, m.schema, m.files, m.dvs, physMapOf(m.meta))
       case None => throw new IllegalArgumentException(
         s"$root: no version existed at timestamp $tsMillis " +
           "(before the table's first commit, or its history was vacuumed)")
@@ -756,15 +763,23 @@ object VersionedTable {
     commit(spark, root, cur, m.schema, m.files, m.meta, dvs = m.dvs)
   }
 
-  /** Scan exactly `entries` under the manifest schema (empty → empty). */
+  /** Scan exactly `entries` under the manifest schema (empty → empty):
+    * files are read by their PHYSICAL column names and aliased back to
+    * the logical schema (identity unless columns were renamed). */
   private def scanEntries(spark: SparkSession, root: String,
-      schema: StructType, entries: Seq[FileEntry]): DataFrame =
+      schema: StructType, entries: Seq[FileEntry],
+      phys: Map[String, String] = Map.empty): DataFrame =
     if (entries.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else
-      spark.read.schema(schema)
+    else {
+      val scan = spark.read.schema(physSchema(schema, phys))
         .parquet(entries.map(e => new Path(root, e.rel).toString): _*)
+      if (phys.isEmpty) scan
+      else scan.select(schema.fields.toIndexedSeq.map(f =>
+        col(graft.dag.DataFlowExec.bq(physOf(phys)(f.name)))
+          .as(f.name)): _*)
+    }
 
   // ---- deletion vectors: merge-on-read row deletes ----------------------
   //
@@ -811,15 +826,21 @@ object VersionedTable {
     * scan of [[deleteWhereMor]]. */
   private def scanWithPos(spark: SparkSession, root: String,
       schema: StructType, entries: Seq[FileEntry],
-      dvs: Map[String, (String, Long)]): DataFrame = {
+      dvs: Map[String, (String, Long)],
+      phys: Map[String, String] = Map.empty): DataFrame = {
     if (entries.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schema.add("__vt_rel", StringType).add("__vt_pos", LongType))
-    val scan = spark.read.schema(schema)
+    val scan0 = spark.read.schema(physSchema(schema, phys))
       .parquet(entries.map(e => new Path(root, e.rel).toString): _*)
       .withColumn("__vt_rel", relOfFilePath(col("_metadata.file_path")))
       .withColumn("__vt_pos", col("_metadata.row_index"))
+    val scan =
+      if (phys.isEmpty) scan0
+      else scan0.select(schema.fields.toIndexedSeq.map(f =>
+        col(graft.dag.DataFlowExec.bq(physOf(phys)(f.name))).as(f.name)) :+
+        col("__vt_rel") :+ col("__vt_pos"): _*)
     dvRows(spark, root, entries, dvs) match {
       case None => scan
       case Some((dv, nDel)) =>
@@ -841,14 +862,16 @@ object VersionedTable {
     * not a shuffle. */
   private def scanLive(spark: SparkSession, root: String,
       schema: StructType, entries: Seq[FileEntry],
-      dvs: Map[String, (String, Long)]): DataFrame = {
+      dvs: Map[String, (String, Long)],
+      phys: Map[String, String] = Map.empty): DataFrame = {
     val (dvd, clean) = entries.partition(e => dvs.contains(e.rel))
-    if (dvd.isEmpty) return scanEntries(spark, root, schema, entries)
-    val cols = schema.fieldNames.toIndexedSeq.map(col)
-    val liveRows = scanWithPos(spark, root, schema, dvd, dvs)
+    if (dvd.isEmpty) return scanEntries(spark, root, schema, entries, phys)
+    val cols = schema.fieldNames.toIndexedSeq
+      .map(n => col(graft.dag.DataFlowExec.bq(n)))
+    val liveRows = scanWithPos(spark, root, schema, dvd, dvs, phys)
       .select(cols: _*)
     if (clean.isEmpty) liveRows
-    else scanEntries(spark, root, schema, clean).unionByName(liveRows)
+    else scanEntries(spark, root, schema, clean, phys).unionByName(liveRows)
   }
 
   // ---- data skipping: prune the file list from a predicate --------------
@@ -1006,14 +1029,19 @@ object VersionedTable {
   /** Can `entry` possibly contain a row satisfying `conjunct`? True on
     * any doubt. `schema` supplies column types for stat decoding. */
   private def mayContain(entry: FileEntry, conjunct: cexp.Expression,
-      schema: StructType): Boolean = {
+      schema: StructType,
+      phys: Map[String, String] = Map.empty): Boolean = {
     def fieldType(name: String): Option[DataType] =
       schema.fields.find(_.name == name).map(_.dataType)
+    // stats are keyed by PHYSICAL column name (frozen at write);
+    // predicate attrs are logical — map through the column mapping
+    def statsOf(name: String): Option[ColStats] =
+      entry.stats.get(physOf(phys)(name))
     // range check: could any non-null value in [min,max] satisfy op-lit?
     def rangeMayMatch(name: String, lit: (Any, DataType),
         test: (Int, Int) => Boolean): Boolean = {
       val verdict = for {
-        cs <- entry.stats.get(name)
+        cs <- statsOf(name)
         dt <- fieldType(name)
       } yield cs.min match {
         case None => false // no non-null values: no comparison matches
@@ -1047,7 +1075,7 @@ object VersionedTable {
           case (_, _, Some(n), Some(v)) if v._1 != null =>
             rangeMayMatch(n, v, (cMin, cMax) => cMin >= 0 && cMax <= 0)
           case (Some(n), Some(v), _, _) => // attr <=> NULL: needs a null
-            entry.stats.get(n).forall(_.nulls > 0)
+            statsOf(n).forall(_.nulls > 0)
           case _ => true
         }
       case cexp.LessThan(l, r) =>
@@ -1103,12 +1131,12 @@ object VersionedTable {
         }
       case cexp.IsNull(a) =>
         attrNameOf(a) match {
-          case Some(n) => entry.stats.get(n).forall(_.nulls > 0)
+          case Some(n) => statsOf(n).forall(_.nulls > 0)
           case None => true
         }
       case cexp.IsNotNull(a) =>
         attrNameOf(a) match {
-          case Some(n) => entry.stats.get(n).forall(cs =>
+          case Some(n) => statsOf(n).forall(cs =>
             cs.min.nonEmpty || entry.rows < 0)
           case None => true
         }
@@ -1117,9 +1145,11 @@ object VersionedTable {
   }
 
   private[sources] def pruneEntries(spark: SparkSession, schema: StructType,
-      entries: Seq[FileEntry], pred: Column): Seq[FileEntry] = {
+      entries: Seq[FileEntry], pred: Column,
+      phys: Map[String, String] = Map.empty): Seq[FileEntry] = {
     val conjuncts = resolvedConjuncts(spark, schema, pred)
-    entries.filter(e => conjuncts.forall(c => mayContain(e, c, schema)))
+    entries.filter(e =>
+      conjuncts.forall(c => mayContain(e, c, schema, phys)))
   }
 
   /** Prune a version's file list for `pred` WITHOUT materializing a
@@ -1134,23 +1164,26 @@ object VersionedTable {
     * optimization — both paths are exact). */
   private def prunedEntriesOf(spark: SparkSession, root: String,
       m: Manifest, pred: Column): Seq[FileEntry] = m.cp match {
-    case None => pruneEntries(spark, m.schema, m.files, pred)
+    case None =>
+      pruneEntries(spark, m.schema, m.files, pred, physMapOf(m.meta))
     case Some(cpRel) =>
       val conjuncts = resolvedConjuncts(spark, m.schema, pred)
       val schema = m.schema
       val removes = m.removes
+      val phys = physMapOf(m.meta)
       val fromCp =
         try checkpointDs(spark, root, cpRel)
           .filter((e: FileEntry) => !removes.contains(e.rel) &&
-            conjuncts.forall(c => mayContain(e, c, schema)))
+            conjuncts.forall(c => mayContain(e, c, schema, phys)))
           .collect().toSeq
         catch { case _: org.apache.spark.SparkException =>
           readCheckpoint(spark, root, cpRel)
             .filterNot(e => removes.contains(e.rel))
-            .filter(e => conjuncts.forall(c => mayContain(e, c, schema)))
+            .filter(e =>
+              conjuncts.forall(c => mayContain(e, c, schema, phys)))
         }
-      fromCp ++
-        m.adds.filter(e => conjuncts.forall(c => mayContain(e, c, schema)))
+      fromCp ++ m.adds.filter(e =>
+        conjuncts.forall(c => mayContain(e, c, schema, phys)))
   }
 
   /** Snapshot read with manifest-level data skipping: scan only the
@@ -1163,7 +1196,8 @@ object VersionedTable {
       throw new IllegalArgumentException(s"$root: no versioned table"))
     val m = readManifest(spark, root, v)
     scanLive(spark, root, m.schema,
-      prunedEntriesOf(spark, root, m, pred), m.dvs).filter(pred)
+      prunedEntriesOf(spark, root, m, pred), m.dvs,
+      physMapOf(m.meta)).filter(pred)
   }
 
   /** The version's data-file rels — read-only layout metadata
@@ -1195,13 +1229,14 @@ object VersionedTable {
     val base = currentVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root: no versioned table"))
     val m = readManifest(spark, root, base)
-    val touched = pruneEntries(spark, m.schema, m.files, pred)
+    val phys = physMapOf(m.meta)
+    val touched = pruneEntries(spark, m.schema, m.files, pred, phys)
     if (touched.isEmpty) return base // provably nothing matches
     val touchedSet = touched.map(_.rel).toSet
     val kept = m.files.filterNot(e => touchedSet.contains(e.rel))
     // live rows: a rewritten file's deletion vector is applied here
     // and retired below (the rewrite materializes it)
-    val before = scanLive(spark, root, m.schema, touched, m.dvs)
+    val before = scanLive(spark, root, m.schema, touched, m.dvs, phys)
     // persisted across the emptiness probe and the write: the rebuild
     // is the mutation's dominant join/filter work, not worth twice
     val replacement = rebuild(before)
@@ -1213,14 +1248,14 @@ object VersionedTable {
         else {
           requireConstraints(replacement, m.meta, m.schema,
             "copy-on-write rewrite")
-          writeData(spark, root, replacement)
+          writeData(spark, root, replacement, phys)
         }
       } finally { replacement.unpersist(); () }
     val change: Seq[String] =
       if (!cdf) Seq.empty
       else {
         val diff = changeDiff(before,
-          scanEntries(spark, root, m.schema, newEntries)).persist()
+          scanEntries(spark, root, m.schema, newEntries, phys)).persist()
         try {
           if (diff.isEmpty) Seq.empty
           else writeChangeData(spark, root, diff)
@@ -1262,12 +1297,13 @@ object VersionedTable {
     val base = currentVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root: no versioned table"))
     val m = readManifest(spark, root, base)
-    val candidates = pruneEntries(spark, m.schema, m.files, pred)
+    val phys = physMapOf(m.meta)
+    val candidates = pruneEntries(spark, m.schema, m.files, pred, phys)
     if (candidates.isEmpty) return base // provably nothing matches
     // live rows only: a position already in a DV must not re-delete
     // (it would inflate counts and emit phantom CDF deletes)
-    val hits = scanWithPos(spark, root, m.schema, candidates, m.dvs)
-      .filter(pred).persist()
+    val hits = scanWithPos(spark, root, m.schema, candidates, m.dvs,
+      phys).filter(pred).persist()
     try {
       val perFile = hits.groupBy(col("__vt_rel"))
         .agg(count(lit(1)).as("n")).collect()
@@ -1330,7 +1366,8 @@ object VersionedTable {
     val m = readManifest(spark, root, base)
     val dvd = m.files.filter(e => m.dvs.contains(e.rel))
     if (dvd.isEmpty) return base
-    val scanned = scanLive(spark, root, m.schema, dvd, m.dvs)
+    val phys = physMapOf(m.meta)
+    val scanned = scanLive(spark, root, m.schema, dvd, m.dvs, phys)
     val rows =
       if (sortCols.isEmpty) scanned.repartition(targetPartitions)
       else scanned
@@ -1338,7 +1375,7 @@ object VersionedTable {
         .sortWithinPartitions(sortCols.map(col): _*)
     val kept = m.files.filterNot(e => m.dvs.contains(e.rel))
     commit(spark, root, base, m.schema,
-      kept ++ writeData(spark, root, rows), m.meta, cdfNone = true)
+      kept ++ writeData(spark, root, rows, phys), m.meta, cdfNone = true)
   }
 
   /** UPDATE ... SET `set` WHERE pred, same file-granular discipline.
@@ -1383,7 +1420,8 @@ object VersionedTable {
     val aligned = df.select(m.schema.fieldNames.map(col).toIndexedSeq: _*)
     requireConstraints(aligned, m.meta, m.schema, "append")
     commit(spark, root, base, m.schema,
-      m.files ++ writeData(spark, root, aligned), m.meta, dvs = m.dvs)
+      m.files ++ writeData(spark, root, aligned, physMapOf(m.meta)),
+      m.meta, dvs = m.dvs)
   }
 
   /** Append with SCHEMA EVOLUTION (Delta `mergeSchema`): columns of
@@ -1412,13 +1450,86 @@ object VersionedTable {
     val added = df.schema.fields.filterNot(f => existing.contains(f.name))
       .map(f => f.copy(nullable = true))
     val newSchema = StructType(m.schema.fields ++ added)
+    // a new logical name whose physical slot was EVER used (a dropped
+    // column's bytes, or a name renamed away from) gets a fresh
+    // physical — re-adding "score" must not resurrect old "score" data
+    val used = usedPhysicals(m.schema, m.meta)
+    val newMeta = added.foldLeft(m.meta) { (acc, f) =>
+      if (!used.contains(f.name)) acc
+      else acc + (PhysKeyPrefix + f.name ->
+        s"col-${java.util.UUID.randomUUID().toString.take(8)}")
+    }
     val aligned = df.select(newSchema.fieldNames.toIndexedSeq.map { n =>
       if (df.columns.contains(n)) col(n)
       else lit(null).cast(newSchema(n).dataType).as(n)
     }: _*)
-    requireConstraints(aligned, m.meta, newSchema, "appendEvolve")
+    requireConstraints(aligned, newMeta, newSchema, "appendEvolve")
     commit(spark, root, base, newSchema,
-      m.files ++ writeData(spark, root, aligned), m.meta, dvs = m.dvs)
+      m.files ++ writeData(spark, root, aligned, physMapOf(newMeta)),
+      newMeta, dvs = m.dvs)
+  }
+
+  /** The constraints (by name) whose SQL references column `colName`
+    * — rename/drop must refuse while one exists (Delta's stance: the
+    * constraint would silently stop binding). */
+  private def constraintsReferencing(spark: SparkSession, m: Manifest,
+      colName: String): Seq[String] =
+    constraintChecks(m.meta, m.schema).collect {
+      case (name, c) if resolvedConjuncts(spark, m.schema, c)
+        .flatMap(_.collect { case a: cexp.AttributeReference => a.name })
+        .contains(colName) => name
+    }
+
+  /** ALTER TABLE RENAME COLUMN (Delta column mapping, name mode): a
+    * METADATA-ONLY commit — the logical name moves, the physical
+    * parquet name (frozen when the column was first written) stays, so
+    * no data file, stat, or checkpoint is touched: O(1) at any file
+    * count. Time travel reads each version under its own names;
+    * constraints referencing the column must be dropped first. */
+  def renameColumn(spark: SparkSession, root: String, from: String,
+      to: String): Long = {
+    require(to.nonEmpty && !to.exists(c => c == '=' || c == '\n' ||
+        c == '\r'), s"bad column name '$to'")
+    val base = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root: no versioned table"))
+    val m = readManifest(spark, root, base)
+    require(m.schema.fieldNames.contains(from),
+      s"renameColumn: no column '$from' in ${m.schema.fieldNames.toSeq}")
+    require(!m.schema.fieldNames.contains(to),
+      s"renameColumn: column '$to' already exists")
+    val refs = constraintsReferencing(spark, m, from)
+    require(refs.isEmpty,
+      s"renameColumn: constraint(s) $refs reference '$from' — drop them " +
+        "first (they would silently stop binding)")
+    val p = physOf(physMapOf(m.meta))(from)
+    val newMeta = m.meta - (PhysKeyPrefix + from) + (PhysKeyPrefix + to -> p)
+    val newSchema = StructType(m.schema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    commit(spark, root, base, newSchema, m.files, newMeta, dvs = m.dvs)
+  }
+
+  /** ALTER TABLE DROP COLUMN: metadata-only — the logical field leaves
+    * the schema, its physical name is retired (never reused, so a
+    * later re-add of the same name cannot resurrect old bytes), and
+    * the data stays in place for time travel. Constraints referencing
+    * the column must be dropped first. */
+  def dropColumn(spark: SparkSession, root: String, name: String): Long = {
+    val base = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root: no versioned table"))
+    val m = readManifest(spark, root, base)
+    require(m.schema.fieldNames.contains(name),
+      s"dropColumn: no column '$name' in ${m.schema.fieldNames.toSeq}")
+    require(m.schema.fields.length >= 2,
+      "dropColumn: cannot drop the only column")
+    val refs = constraintsReferencing(spark, m, name)
+    require(refs.isEmpty,
+      s"dropColumn: constraint(s) $refs reference '$name' — drop them " +
+        "first")
+    val p = physOf(physMapOf(m.meta))(name)
+    val newMeta = m.meta - (PhysKeyPrefix + name) +
+      (PhysDropPrefix + p -> "1")
+    val newSchema = StructType(m.schema.fields.filterNot(_.name == name))
+    commit(spark, root, base, newSchema, m.files, newMeta, dvs = m.dvs)
   }
 
   /** Shared copy-on-write core: split the current snapshot into the
@@ -1464,7 +1575,9 @@ object VersionedTable {
     // metadata column BEFORE the DV anti-join (input_file_name() is
     // undefined downstream of a join), and the DV application keeps
     // already-deleted rows from re-matching
-    val matchableP = scanWithPos(spark, root, m.schema, candidates, m.dvs)
+    val phys = physMapOf(m.meta)
+    val matchableP =
+      scanWithPos(spark, root, m.schema, candidates, m.dvs, phys)
     val matchable = matchableP
       .select(m.schema.fieldNames.toIndexedSeq.map(col): _*)
     // rows matched per file → distinct rels: the collect is bounded by
@@ -1477,7 +1590,8 @@ object VersionedTable {
         .collect().map(_.getString(0)).toSet
     val (affectedE, keptE) =
       m.files.partition(e => affectedRels.contains(e.rel))
-    val affectedRows = scanLive(spark, root, m.schema, affectedE, m.dvs)
+    val affectedRows =
+      scanLive(spark, root, m.schema, affectedE, m.dvs, phys)
     val replacement = rebuild(affectedRows, source, matchable)
       .select(m.schema.fields.toSeq.map(f =>
         col(f.name).cast(f.dataType).as(f.name)): _*).persist()
@@ -1487,7 +1601,7 @@ object VersionedTable {
         else {
           requireConstraints(replacement, m.meta, m.schema,
             "merge/upsert rewrite")
-          writeData(spark, root, replacement)
+          writeData(spark, root, replacement, phys)
         }
       } finally { replacement.unpersist(); () }
     val change: Seq[String] =
@@ -1496,7 +1610,7 @@ object VersionedTable {
         // persisted across the isEmpty probe and the write — the diff
         // is two exceptAll shuffles over the rewrite, not worth twice
         val diff = changeDiff(affectedRows,
-          scanEntries(spark, root, m.schema, newEntries)).persist()
+          scanEntries(spark, root, m.schema, newEntries, phys)).persist()
         try {
           if (diff.isEmpty) Seq.empty
           else writeChangeData(spark, root, diff)
@@ -1525,6 +1639,7 @@ object VersionedTable {
       tableType.exists(statsSupported) && tableType == srcType
     }
     if (statKeys.isEmpty) return m.files
+    val phys = physMapOf(m.meta)
     val aggs = statKeys.flatMap { k =>
       val dt = m.schema.fields.find(_.name == k).get.dataType
       val c = canonCol(k, dt)
@@ -1539,8 +1654,9 @@ object VersionedTable {
         // has no null keys and no range, so nothing is a candidate
         val srcNulls = if (r.isNullAt(2 + i * 3)) 0L else r.getLong(2 + i * 3)
         val nullMatch = srcNulls > 0 &&
-          e.stats.get(k).forall(_.nulls > 0)
-        val overlap = (e.stats.get(k), Option(sMn), Option(sMx)) match {
+          e.stats.get(physOf(phys)(k)).forall(_.nulls > 0)
+        val overlap =
+          (e.stats.get(physOf(phys)(k)), Option(sMn), Option(sMx)) match {
           case (Some(cs), Some(mn), Some(mx)) => cs.min match {
             case None => false // all-null file never range-matches
             case Some(fMnS) =>
@@ -1743,7 +1859,7 @@ object VersionedTable {
           "(a merge-on-read delete): the file diff is not the row " +
           "delta — use readChanges with cdf-captured deletes")
     val added = mTo.files.filterNot(e => fromSet.contains(e.rel))
-    scanEntries(spark, root, mTo.schema, added)
+    scanEntries(spark, root, mTo.schema, added, physMapOf(mTo.meta))
   }
 
   /** Row-level change feed across versions (from, to]: the generalized
@@ -1777,13 +1893,26 @@ object VersionedTable {
     // attaches before the first commit needs
     require(fromVersion >= 0 && fromVersion <= to,
       s"need 0 <= fromVersion <= $to, got $fromVersion")
-    val toSchema = readManifest(spark, root, to).schema
+    val mTo = readManifest(spark, root, to)
+    val toSchema = mTo.schema
+    val toPhys = physMapOf(mTo.meta)
     val outCols = toSchema.fieldNames.toIndexedSeq
-    def align(df: DataFrame, v: Long): DataFrame =
+    // columns match across versions by PHYSICAL identity, so a rename
+    // inside the range still feeds the right change column; a column
+    // the emitting version never had (schema evolution gap, or dropped
+    // -and-re-added = different physical) reads NULL
+    def align(df: DataFrame, v: Long, vSchema: StructType,
+        vMeta: Map[String, String]): DataFrame = {
+      val vPhys = physMapOf(vMeta)
+      val byPhys = vSchema.fieldNames.toIndexedSeq
+        .map(n => physOf(vPhys)(n) -> n).toMap
       df.select(outCols.map { n =>
-        if (df.columns.contains(n)) col(n)
-        else lit(null).cast(toSchema(n).dataType).as(n)
+        byPhys.get(physOf(toPhys)(n)).filter(df.columns.contains) match {
+          case Some(src) => col(graft.dag.DataFlowExec.bq(src)).as(n)
+          case None => lit(null).cast(toSchema(n).dataType).as(n)
+        }
       } :+ col("_change_type") :+ lit(v).as("_commit_version"): _*)
+    }
     // the previous iteration's file set + dv map ride along so each
     // manifest in the range is parsed ONCE, not re-read as the next
     // version's predecessor (manifests of wide tables carry stats for
@@ -1797,7 +1926,8 @@ object VersionedTable {
       else if (m.changeFiles.nonEmpty) {
         val cfSchema = m.schema.add("_change_type", StringType)
         Some(align(spark.read.schema(cfSchema).parquet(
-          m.changeFiles.map(f => new Path(root, f).toString): _*), v))
+          m.changeFiles.map(f => new Path(root, f).toString): _*), v,
+          m.schema, m.meta))
       } else {
         val (prevSet, prevDvs): (Set[String], Map[String, (String, Long)]) =
           if (v == 1) (Set.empty, Map.empty) // before-create: all inserts
@@ -1820,8 +1950,9 @@ object VersionedTable {
               "the snapshot")
         val added = m.files.filterNot(e => prevSet.contains(e.rel))
         if (added.isEmpty) None
-        else Some(align(scanEntries(spark, root, m.schema, added)
-          .withColumn("_change_type", lit("insert")), v))
+        else Some(align(scanEntries(spark, root, m.schema, added,
+            physMapOf(m.meta))
+          .withColumn("_change_type", lit("insert")), v, m.schema, m.meta))
       }
       last = Some((v, rels, m.dvs))
       out
@@ -1853,7 +1984,8 @@ object VersionedTable {
     val (small, big) = m.files.partition(e =>
       f.getFileStatus(new Path(root, e.rel)).getLen < smallFileBytes)
     if (small.size < 2) return base
-    val scanned = scanLive(spark, root, m.schema, small, m.dvs)
+    val phys = physMapOf(m.meta)
+    val scanned = scanLive(spark, root, m.schema, small, m.dvs, phys)
     // sortCols: keep a clustered table clustered THROUGH compaction —
     // a plain repartition would interleave the ranges and silently
     // turn data skipping back off for the compacted span
@@ -1863,7 +1995,7 @@ object VersionedTable {
         .repartitionByRange(targetPartitions, sortCols.map(col): _*)
         .sortWithinPartitions(sortCols.map(col): _*)
     commit(spark, root, base, m.schema,
-      big ++ writeData(spark, root, rows), m.meta, cdfNone = true,
+      big ++ writeData(spark, root, rows, phys), m.meta, cdfNone = true,
       dvs = m.dvs -- small.map(_.rel))
   }
 
@@ -1888,11 +2020,12 @@ object VersionedTable {
     val m = readManifest(spark, root, base)
     val bad = cols.filterNot(m.schema.fieldNames.contains)
     require(bad.isEmpty, s"unknown cluster column(s): $bad")
-    val rows = scanLive(spark, root, m.schema, m.files, m.dvs)
+    val phys = physMapOf(m.meta)
+    val rows = scanLive(spark, root, m.schema, m.files, m.dvs, phys)
       .repartitionByRange(targetPartitions, cols.map(col): _*)
       .sortWithinPartitions(cols.map(col): _*)
     commit(spark, root, base, m.schema,
-      writeData(spark, root, rows), m.meta, cdfNone = true)
+      writeData(spark, root, rows, phys), m.meta, cdfNone = true)
   }
 
   /** Z-ORDER rewrite on two columns (Delta `OPTIMIZE ... ZORDER BY
@@ -1925,7 +2058,8 @@ object VersionedTable {
     // carries the column) — no data scan; else one bounds aggregate
     def bounds(c: String): (Double, Double) = {
       val dt = m.schema.fields.find(_.name == c).get.dataType
-      val perFile = m.files.map(_.stats.get(c))
+      val perFile =
+        m.files.map(_.stats.get(physOf(physMapOf(m.meta))(c)))
       if (m.files.nonEmpty && perFile.forall(_.isDefined)) {
         val ds = perFile.flatten
         val los = ds.flatMap(_.min).flatMap(statDomain(_, dt))
@@ -1946,13 +2080,14 @@ object VersionedTable {
     val dtB = m.schema.fields.find(_.name == colB).get.dataType
     val z = graft.ops.Scale.zValue(canonCol(colA, dtA), loA, hiA,
       canonCol(colB, dtB), loB, hiB)
-    val rows = scanLive(spark, root, m.schema, m.files, m.dvs)
+    val phys = physMapOf(m.meta)
+    val rows = scanLive(spark, root, m.schema, m.files, m.dvs, phys)
       .withColumn("__vt_z", z)
       .repartitionByRange(targetPartitions, col("__vt_z"))
       .sortWithinPartitions(col("__vt_z"))
       .drop("__vt_z")
     commit(spark, root, base, m.schema,
-      writeData(spark, root, rows), m.meta, cdfNone = true)
+      writeData(spark, root, rows, phys), m.meta, cdfNone = true)
   }
 
   /** Drop every version below `keepFrom` and any data file/dir no kept

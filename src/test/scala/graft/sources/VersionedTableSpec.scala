@@ -1113,6 +1113,89 @@ class VersionedTableSpec extends AnyFunSuite {
       (2 to 8).map(i => (i, s"n$i", i.toLong)).toSet)
   }
 
+  test("renameColumn is metadata-only; skipping, merge, and DVs follow") {
+    val root = freshRoot()
+    val base = dim((1 to 40).map(i => (i, s"n$i", i.toLong)): _*)
+      .repartitionByRange(4, col("k"))
+    VersionedTable.create(spark, root, base)
+    VersionedTable.renameColumn(spark, root, "amt", "amount") // v2
+    // metadata-only: not a single data file moved
+    assert(VersionedTable.fileList(spark, root, 2L).toSet ==
+      VersionedTable.fileList(spark, root, 1L).toSet)
+    val r = VersionedTable.read(spark, root)
+    assert(r.columns.toSeq == Seq("k", "name", "amount"))
+    assert(r.select("k", "name", "amount").collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getLong(2))).toSet ==
+      (1 to 40).map(i => (i, s"n$i", i.toLong)).toSet)
+    // time travel reads the OLD shape
+    assert(VersionedTable.read(spark, root, Some(1L)).columns.toSeq ==
+      Seq("k", "name", "amt"))
+    // stats (keyed by the frozen physical name) still prune through
+    // the logical rename — on k AND on the renamed column itself
+    val (kept, total) = VersionedTable.pruneProfile(spark, root,
+      col("amount") <= 10)
+    assert(total == 4 && kept < 4, s"prune $kept/$total")
+    assert(rowsOf(VersionedTable.readWhere(spark, root, col("k") <= 5)
+      .withColumnRenamed("amount", "amt")) ==
+      (1 to 5).map(i => (i, s"n$i", i.toLong)).toSet)
+    // merge keyed on the renamed table writes + reads correctly
+    VersionedTable.merge(spark, root,
+      Seq((3, "m3", 33L)).toDF("k", "name", "amount"), Seq("k"))
+    assert(VersionedTable.read(spark, root)
+      .filter(col("k") === 3).select("amount").as[Long].head() == 33L)
+    // MOR delete on the renamed column
+    VersionedTable.deleteWhereMor(spark, root, col("amount") === 40L)
+    assert(VersionedTable.read(spark, root).count() == 39)
+  }
+
+  test("dropColumn retires the physical name; re-add reads NULL, not old bytes") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root,
+      dim((1, "a", 10L), (2, "b", 20L)).coalesce(1))
+    VersionedTable.dropColumn(spark, root, "amt") // v2
+    assert(VersionedTable.read(spark, root).columns.toSeq ==
+      Seq("k", "name"))
+    // re-adding a column NAMED amt must not resurrect the old values
+    VersionedTable.appendEvolve(spark, root,
+      Seq((3, "c", 99L)).toDF("k", "name", "amt")) // v3
+    val rows = VersionedTable.read(spark, root)
+      .select("k", "amt").collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getLong(1)))).toMap
+    assert(rows == Map(1 -> None, 2 -> None, 3 -> Some(99L)), rows)
+    // time travel still reads the original column
+    assert(VersionedTable.read(spark, root, Some(1L))
+      .select("amt").as[Long].collect().toSet == Set(10L, 20L))
+    // a constraint pins its column against rename/drop
+    VersionedTable.addConstraint(spark, root, "k_nn", "k IS NOT NULL")
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.renameColumn(spark, root, "k", "id")
+    }
+    assert(e.getMessage.contains("k_nn"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      VersionedTable.dropColumn(spark, root, "k")
+    }
+  }
+
+  test("CDF matches columns by physical identity across a rename") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, dim((1, "a", 10L)))
+    VersionedTable.merge(spark, root, dim((2, "b", 20L)), Seq("k"),
+      cdf = true) // v2: insert captured under old names
+    VersionedTable.renameColumn(spark, root, "amt", "amount") // v3
+    VersionedTable.merge(spark, root,
+      Seq((3, "c", 30L)).toDF("k", "name", "amount"), Seq("k"),
+      cdf = true) // v4
+    val ch = VersionedTable.readChanges(spark, root, 1L)
+    assert(ch.columns.toSeq ==
+      Seq("k", "name", "amount", "_change_type", "_commit_version"))
+    // v2's change rows (captured as "amt") surface under "amount"
+    val v2ins = ch.filter(col("_commit_version") === 2 &&
+      col("_change_type") === "insert")
+      .select("k", "amount").as[(Int, Long)].collect().toSet
+    assert(v2ins == Set((2, 20L)), v2ins)
+  }
+
   test("CHECK constraints: validated on add, enforced on every write path") {
     val root = freshRoot()
     VersionedTable.create(spark, root, dim((1, "a", 10L), (2, "b", 20L)))
