@@ -421,10 +421,13 @@ class StreamingSpec extends AnyFunSuite {
     try {
       q.processAllAvailable()
       assert(rowsOf(b) == rowsOf(a), "create must replicate as inserts")
-      // live mutations: update, insert, ranged delete, plain append
-      VersionedTable.merge(spark, a, dimOf((2, "b2", 22L), (5, "e", 50L)),
-        Seq("k"), cdf = true)
+      // live mutations: update, insert, ranged COW delete, a
+      // MERGE-ON-READ delete (its CDF change files feed the replica
+      // identically — no file is rewritten at the source), plain append
+      VersionedTable.merge(spark, a, dimOf((2, "b2", 22L), (5, "e", 50L),
+        (6, "f", 60L)), Seq("k"), cdf = true)
       VersionedTable.deleteWhere(spark, a, col("k") === 1, cdf = true)
+      VersionedTable.deleteWhereMor(spark, a, col("k") === 6, cdf = true)
       VersionedTable.append(spark, a, dimOf((7, "g", 70L)))
       q.processAllAvailable()
       assert(rowsOf(b) == rowsOf(a),
