@@ -85,28 +85,38 @@ object Scale {
     countPartFiles(df, path)
   }
 
-  /** 32-bit Morton code of two columns, each normalized to a 16-bit
-    * grid over [lo, hi]: `spread(cellA) | spread(cellB) << 1` — colB
-    * owns the most significant bit. Pure column arithmetic (codegen'd,
-    * map-only). Shared with the versioned table's Z-order clustering. */
-  private[graft] def zValue(a: Column, loA: Double, hiA: Double,
-      b: Column, loB: Double, hiB: Double): Column = {
+  /** Morton code of N columns (2 ≤ N ≤ 6), each normalized to a
+    * min(16, 62/N)-bit grid over its [lo, hi]: bit j of column i lands
+    * at position j·N + i, so every column's bits interleave at equal
+    * weight and a range predicate on ANY of the N columns maps to a
+    * bounded span of the curve — the property that makes per-file
+    * min/max stats narrow on every clustered dimension at once. Pure
+    * column arithmetic (codegen'd, map-only, ~bits·N OR terms — a
+    * one-time rewrite job). Shared with the versioned table's Z-order
+    * clustering. */
+  private[graft] def zValueN(cols: Seq[(Column, Double, Double)]): Column = {
+    require(cols.size >= 2 && cols.size <= 6,
+      s"Z-order interleave needs 2..6 columns, got ${cols.size}")
+    val k = cols.size
+    val bits = math.min(16, 62 / k)
     def cell(c: Column, lo: Double, hi: Double): Column =
       if (hi <= lo) lit(0L)
-      else least(lit(65535L), greatest(lit(0L),
-        floor((c.cast("double") - lit(lo)) / lit(hi - lo) * 65536.0)
-          .cast("long")))
-    // 16 significant bits -> 32, a zero between consecutive bits:
-    // x = abcdefgh... -> a0b0c0d0...
-    def spread(c0: Column): Column = {
-      val c1 = c0.bitwiseOR(shiftleft(c0, 8)).bitwiseAND(lit(0x00FF00FFL))
-      val c2 = c1.bitwiseOR(shiftleft(c1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
-      val c3 = c2.bitwiseOR(shiftleft(c2, 2)).bitwiseAND(lit(0x33333333L))
-      c3.bitwiseOR(shiftleft(c3, 1)).bitwiseAND(lit(0x55555555L))
-    }
-    spread(cell(a, loA, hiA))
-      .bitwiseOR(shiftleft(spread(cell(b, loB, hiB)), 1))
+      else least(lit((1L << bits) - 1), greatest(lit(0L),
+        floor((c.cast("double") - lit(lo)) / lit(hi - lo) *
+          lit((1L << bits).toDouble)).cast("long")))
+    cols.zipWithIndex.map { case ((c, lo, hi), i) =>
+      val cl = cell(c, lo, hi)
+      (0 until bits).map(j => shiftleft(
+          shiftright(cl, j).bitwiseAND(lit(1L)), j * k + i): Column)
+        .reduce(_ bitwiseOR _)
+    }.reduce(_ bitwiseOR _)
   }
+
+  /** The 2-column Morton code ([[zValueN]] with N = 2: colA on even
+    * bits, colB on odd — colB owns the most significant bit). */
+  private[graft] def zValue(a: Column, loA: Double, hiA: Double,
+      b: Column, loB: Double, hiB: Double): Column =
+    zValueN(Seq((a, loA, hiA), (b, loB, hiB)))
 
   /** Sizing policy shared by the compaction writers: both need one
     * action over the input BEFORE the write (row count / grid bounds).

@@ -2040,12 +2040,27 @@ object VersionedTable {
     * timestamp (the Morton grid needs a numeric normalization).
     * Contents unchanged, layout-only (cdf none), history time-travels. */
   def clusterByZorder(spark: SparkSession, root: String,
-      colA: String, colB: String, targetPartitions: Int): Long = {
+      colA: String, colB: String, targetPartitions: Int): Long =
+    clusterByZorderN(spark, root, Seq(colA, colB), targetPartitions)
+
+  /** The N-column generalization (2 ≤ N ≤ 6, Delta `ZORDER BY (a, b,
+    * c, ...)`): rows sorted along the N-dimensional Morton curve
+    * ([[graft.ops.Scale.zValueN]] — bit j of column i at position
+    * j·N + i), so every file's stats are narrow on ALL N columns and
+    * a predicate on ANY of them prunes. Each added dimension costs
+    * resolution (min(16, 62/N) grid bits per column), the classic
+    * Z-order trade — past ~4 columns prefer hierarchical clusterBy. */
+  def clusterByZorderN(spark: SparkSession, root: String,
+      zcols: Seq[String], targetPartitions: Int): Long = {
     require(targetPartitions > 0, "targetPartitions must be positive")
+    require(zcols.size >= 2 && zcols.size <= 6,
+      s"Z-order needs 2..6 columns, got ${zcols.size}")
+    require(zcols.distinct.size == zcols.size,
+      s"duplicate Z-order column in $zcols")
     val base = currentVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root: no versioned table"))
     val m = readManifest(spark, root, base)
-    Seq(colA, colB).foreach { c =>
+    zcols.foreach { c =>
       val f = m.schema.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(s"unknown Z-order column '$c'"))
       require(statsSupported(f.dataType) && (f.dataType match {
@@ -2074,12 +2089,11 @@ object VersionedTable {
       (if (r.isNullAt(0)) 0.0 else r.getDouble(0),
         if (r.isNullAt(1)) 0.0 else r.getDouble(1))
     }
-    val (loA, hiA) = bounds(colA)
-    val (loB, hiB) = bounds(colB)
-    val dtA = m.schema.fields.find(_.name == colA).get.dataType
-    val dtB = m.schema.fields.find(_.name == colB).get.dataType
-    val z = graft.ops.Scale.zValue(canonCol(colA, dtA), loA, hiA,
-      canonCol(colB, dtB), loB, hiB)
+    val z = graft.ops.Scale.zValueN(zcols.map { c =>
+      val dt = m.schema.fields.find(_.name == c).get.dataType
+      val (lo, hi) = bounds(c)
+      (canonCol(c, dt), lo, hi)
+    })
     val phys = physMapOf(m.meta)
     val rows = scanLive(spark, root, m.schema, m.files, m.dvs, phys)
       .withColumn("__vt_z", z)

@@ -1113,6 +1113,44 @@ class VersionedTableSpec extends AnyFunSuite {
       (2 to 8).map(i => (i, s"n$i", i.toLong)).toSet)
   }
 
+  test("clusterByZorderN makes all three dimensions prunable") {
+    val root = freshRoot()
+    // three independent dimensions over 4096 rows (seeded Random —
+    // an LCG's low bits would be a linear lattice, not independent)
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 4096).map(i =>
+      (i, rnd.nextInt(4096), rnd.nextInt(4096)))
+    VersionedTable.create(spark, root,
+      rows.toDF("a", "b", "c").repartition(64))
+    // interleaved layout: a narrow band on any dim keeps every file
+    def keptFor(col0: String): Int =
+      VersionedTable.pruneProfile(spark, root,
+        col(col0) >= 100 && col(col0) < 356)._1
+    // (>= 56: a 64-row random file can miss the narrow band by luck)
+    assert(Seq("a", "b", "c").forall(keptFor(_) >= 56))
+    VersionedTable.clusterByZorderN(spark, root, Seq("a", "b", "c"), 64)
+    // after the 3-D Morton sort every dimension prunes: 64 files give
+    // ~2 bits of resolution per dim (64^(1/3) = 4 ranges), degraded on
+    // the fastest-interleaved bits when the sampled range boundaries
+    // straddle cells — so every dim must at least halve (its top bit
+    // always resolves) and the slowest-varying dims reach quarter
+    // resolution
+    val kept = Seq("a", "b", "c").map(c => c -> keptFor(c))
+    kept.foreach { case (c, k) =>
+      assert(k <= 36, s"dim $c kept $k/64")
+    }
+    assert(kept.map(_._2).min <= 24,
+      s"the slow-bit dims must reach quarter resolution: $kept")
+    // content unchanged
+    assert(VersionedTable.read(spark, root).count() == 4096)
+    assert(VersionedTable.read(spark, root)
+      .agg(sum(col("a") + col("b") + col("c"))).head.getLong(0) ==
+      rows.map(r => r._1.toLong + r._2 + r._3).sum)
+    intercept[IllegalArgumentException] {
+      VersionedTable.clusterByZorderN(spark, root, Seq("a"), 4)
+    }
+  }
+
   test("renameColumn is metadata-only; skipping, merge, and DVs follow") {
     val root = freshRoot()
     val base = dim((1 to 40).map(i => (i, s"n$i", i.toLong)): _*)
