@@ -2104,6 +2104,32 @@ object VersionedTable {
       writeData(spark, root, rows, phys), m.meta, cdfNone = true)
   }
 
+  /** One-call table maintenance — the OPTIMIZE + VACUUM cron a
+    * deployment schedules: (1) materialize deletion vectors once their
+    * deleted-row total passes `dvRowThreshold`, (2) compact files
+    * smaller than `smallFileBytes`, (3) vacuum history older than
+    * `keepVersions` versions back. Each step is its own atomic commit
+    * (individually time-travelable, concurrent writers conflict-checked
+    * per step); `sortCols` keeps a clustered layout clustered through
+    * both rewrites. Returns the current version after maintenance. */
+  def maintain(spark: SparkSession, root: String,
+      smallFileBytes: Long = 8L * 1024 * 1024,
+      targetPartitions: Int = 1, sortCols: Seq[String] = Seq.empty,
+      dvRowThreshold: Long = 0L, keepVersions: Int = 10,
+      orphanGraceMs: Long = 24L * 3600 * 1000): Long = {
+    require(keepVersions >= 0, s"keepVersions must be >= 0: $keepVersions")
+    val base = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root: no versioned table"))
+    val m = readManifest(spark, root, base)
+    if (m.dvs.values.map(_._2).sum > dvRowThreshold)
+      materializeDeletes(spark, root, targetPartitions, sortCols)
+    compact(spark, root, smallFileBytes, targetPartitions, sortCols)
+    val cur = currentVersion(spark, root).getOrElse(base)
+    vacuum(spark, root, keepFrom = math.max(1L, cur - keepVersions),
+      orphanGraceMs = orphanGraceMs)
+    cur
+  }
+
   /** Drop every version below `keepFrom` and any data file/dir no kept
     * manifest references — the GC that stops manifest/file accumulation
     * (Delta VACUUM / Iceberg expire_snapshots). Also sweeps ORPHAN data

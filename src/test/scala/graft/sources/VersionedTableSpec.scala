@@ -1113,6 +1113,54 @@ class VersionedTableSpec extends AnyFunSuite {
       (2 to 8).map(i => (i, s"n$i", i.toLong)).toSet)
   }
 
+  test("maintain() folds DVs, compacts small files, and prunes history in one call") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root,
+      dim((1 to 30).map(i => (i, s"n$i", i.toLong)): _*).coalesce(1))
+    (31 to 35).foreach(i =>
+      VersionedTable.append(spark, root, dim((i, s"n$i", i.toLong))))
+    VersionedTable.deleteWhereMor(spark, root, col("k") % 7 === 0) // v7
+    val live = rowsOf(VersionedTable.read(spark, root))
+    val v = VersionedTable.maintain(spark, root,
+      smallFileBytes = 64L * 1024 * 1024, targetPartitions = 1,
+      sortCols = Seq("k"), keepVersions = 1, orphanGraceMs = -1000L)
+    assert(VersionedTable.deleteVectorProfile(spark, root, v).isEmpty)
+    assert(VersionedTable.fileList(spark, root, v).size == 1,
+      "compaction must leave one right-sized file")
+    assert(rowsOf(VersionedTable.read(spark, root)) == live)
+    // history below current-1 vacuumed: v1 is gone, current still reads
+    intercept[Exception] { VersionedTable.read(spark, root, Some(1L)) }
+    assert(new java.io.File(s"$root/deletes").listFiles() == null ||
+      new java.io.File(s"$root/deletes").listFiles().isEmpty)
+  }
+
+  test("two racing MOR deletes: one wins the CAS, the retry re-reads and accounts exactly") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root,
+      dim((1 to 20).map(i => (i, s"n$i", i.toLong)): _*).coalesce(1))
+    // writer B reserves v2 out from under writer A mid-flight
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(
+      s"$root/_manifests/v${"%020d".format(2)}.lock"))
+    intercept[VersionedTable.CommitConflict] {
+      VersionedTable.deleteWhereMor(spark, root, col("k") <= 3)
+    }
+    // the loser changed NOTHING: no dv entry, no rows gone — only an
+    // orphan deletes/ dir a vacuum sweep will take
+    assert(VersionedTable.currentVersion(spark, root).contains(1L))
+    assert(VersionedTable.read(spark, root).count() == 20)
+    VersionedTable.recover(spark, root)
+    // the retry (against the re-read snapshot) accounts exactly once
+    VersionedTable.deleteWhereMor(spark, root, col("k") <= 3)
+    assert(VersionedTable.deleteVectorProfile(spark, root, 2L)
+      .values.sum == 3L)
+    assert(VersionedTable.read(spark, root).count() == 17)
+    // and the loser's orphan dv dir is vacuumable
+    VersionedTable.vacuum(spark, root, keepFrom = 2L, orphanGraceMs = -1000L)
+    assert(VersionedTable.read(spark, root).count() == 17)
+    val dvDirs = new java.io.File(s"$root/deletes").listFiles()
+    assert(dvDirs.length == 1, s"orphan dv dir must be swept: ${dvDirs.toSeq}")
+  }
+
   test("clusterByZorderN makes all three dimensions prunable") {
     val root = freshRoot()
     // three independent dimensions over 4096 rows (seeded Random —
