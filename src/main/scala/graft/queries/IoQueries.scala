@@ -922,10 +922,62 @@ object IoQueries extends QueryPack {
         Seq("o_orderkey", "o_custkey", "cents"),
         "time travel must read the pre-rename shape")
       VersionedTable.read(s, root).orderBy(col("o_orderkey"))
+    },
+
+    // N-COLUMN Z-ORDER under the oracle gate: a 3-dimensional Morton
+    // rewrite (bit j of column i at curve position j·3+i) makes the
+    // per-file stats narrow on ALL THREE columns at once — the
+    // in-query requires pin a band predicate on EVERY dim pruning
+    // files after the rewrite (vs keeping nearly all before), which
+    // the oracle can't see; the emitted band read on the middle dim is
+    // oracle-checked row-for-row. At 100 TB this is the layout that
+    // serves point/range questions on three independent dimensions
+    // from one copy of the data.
+    "q170_versioned_zorder3" -> { (s, dir) =>
+      import graft.sources.VersionedTable
+      val root = tmp(s, s"vt_z3/${java.util.UUID.randomUUID()}")
+      val base = graft.Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          CoreQueries.cents(col("o_totalprice")).as("cents"))
+      VersionedTable.create(s, root, base.repartition(64))
+      val dims = Seq("o_orderkey", "o_custkey", "cents")
+      // deterministic integer band [mn + span/10, mn + span/5) per dim
+      // (Long truncating division — replayed with // in the oracle)
+      val bounds: Map[String, (Long, Long)] = dims.map { c =>
+        val r = base.agg(min(col(c)), max(col(c))).head
+        val (mn, mx) = (r.getLong(0), r.getLong(1))
+        c -> (mn + (mx - mn) / 10, mn + (mx - mn) / 5)
+      }.toMap
+      def kept(c: String): Int = {
+        val (lo, hi) = bounds(c)
+        VersionedTable.pruneProfile(s, root,
+          col(c) >= lo && col(c) < hi)._1
+      }
+      val before = dims.map(kept)
+      require(before.forall(_ >= 48),
+        s"interleaved layout must keep nearly all files: $before")
+      VersionedTable.clusterByZorderN(s, root, dims, 64)
+      val after = dims.map(kept)
+      require(after.forall(_ <= 40) && after.sum <= before.sum / 2,
+        s"every dimension must prune after the 3-D rewrite: " +
+          s"$after vs $before")
+      val (lo, hi) = bounds("o_custkey")
+      VersionedTable.readWhere(s, root,
+          col("o_custkey") >= lo && col("o_custkey") < hi)
+        .orderBy(col("o_orderkey"))
     }
   )
 
   val oracles: Map[String, String] = Map(
+    "q170_versioned_zorder3" ->
+      """WITH b AS (SELECT MIN(o_custkey) AS mn, MAX(o_custkey) AS mx
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey,
+        |  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders
+        |WHERE o_custkey >= (SELECT mn + (mx - mn) // 10 FROM b)
+        |  AND o_custkey < (SELECT mn + (mx - mn) // 5 FROM b)
+        |ORDER BY o_orderkey""".stripMargin,
     "q169_versioned_column_mapping" ->
       """SELECT o_orderkey,
         |  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents,
