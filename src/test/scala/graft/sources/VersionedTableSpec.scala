@@ -1113,6 +1113,48 @@ class VersionedTableSpec extends AnyFunSuite {
       (2 to 8).map(i => (i, s"n$i", i.toLong)).toSet)
   }
 
+  test("feature composition: checkpointed manifest x rename x DV x constraint x maintain") {
+    val root = freshRoot()
+    // 600 files: crosses the checkpoint threshold
+    val base = dim((1 to 3000).map(i => (i, s"n$i", i.toLong)): _*)
+      .repartitionByRange(600, col("k"))
+    VersionedTable.create(spark, root, base)
+    VersionedTable.renameColumn(spark, root, "amt", "amount")   // v2
+    VersionedTable.addConstraint(spark, root, "amount_pos",
+      "amount > 0")                                             // v3
+    // MOR delete through the checkpointed prune + renamed stats
+    VersionedTable.deleteWhereMor(spark, root,
+      col("amount") % 500 === 0)                                // v4
+    assert(VersionedTable.read(spark, root).count() == 2994)
+    // skipping: distributed checkpoint prune, logical name, DV applied
+    val got = VersionedTable.readWhere(spark, root,
+        col("amount") >= 495 && col("amount") <= 505)
+      .select("k").as[Int].collect().toSet
+    assert(got == ((495 to 505).toSet - 500), got)
+    val (kept, total) = VersionedTable.pruneProfile(spark, root,
+      col("amount") >= 495 && col("amount") <= 505)
+    assert(total == 600 && kept <= 6, s"kept $kept/$total")
+    // constraint still enforced under the new name + checkpointed base
+    intercept[IllegalArgumentException] {
+      VersionedTable.append(spark, root,
+        Seq((9999, "bad", -1L)).toDF("k", "name", "amount"))
+    }
+    // maintain: materialize DVs + compact the 600 small files
+    VersionedTable.maintain(spark, root,
+      smallFileBytes = 64L * 1024 * 1024, targetPartitions = 4,
+      sortCols = Seq("k"), keepVersions = 2, orphanGraceMs = -1000L)
+    assert(VersionedTable.read(spark, root).count() == 2994)
+    assert(VersionedTable.deleteVectorProfile(spark,
+      root, VersionedTable.currentVersion(spark, root).get).isEmpty)
+    assert(VersionedTable.fileList(spark, root,
+      VersionedTable.currentVersion(spark, root).get).size == 4)
+    // constraints and the mapping survived the rewrites
+    assert(VersionedTable.constraints(spark, root).keySet ==
+      Set("amount_pos"))
+    assert(VersionedTable.read(spark, root).columns.toSeq ==
+      Seq("k", "name", "amount"))
+  }
+
   test("maintain() folds DVs, compacts small files, and prunes history in one call") {
     val root = freshRoot()
     VersionedTable.create(spark, root,
