@@ -965,10 +965,55 @@ object IoQueries extends QueryPack {
       VersionedTable.readWhere(s, root,
           col("o_custkey") >= lo && col("o_custkey") < hi)
         .orderBy(col("o_orderkey"))
+    },
+
+    // DESCRIBE HISTORY under the oracle gate: every commit stamps its
+    // operation in the manifest meta, so the table carries its own
+    // provenance — which operation produced each version, the file
+    // count (manifest arithmetic, O(versions) header reads), the live
+    // deletion-vector row total, and whether the commit's row delta
+    // is replayable (cdf / derivable / none). The scenario is
+    // layout-deterministic at every sf (coalesced writes, a modulo
+    // delete whose hits land in one file), so the full history —
+    // including the DV accounting — replays as SQL.
+    "q171_versioned_history" -> { (s, dir) =>
+      import graft.sources.VersionedTable
+      val root = tmp(s, s"vt_hist/${java.util.UUID.randomUUID()}")
+      val base = graft.Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          CoreQueries.cents(col("o_totalprice")).as("cents"))
+      VersionedTable.create(s, root,
+        base.filter(col("o_orderkey") % 2 === 0).coalesce(1))      // v1
+      VersionedTable.append(s, root,
+        base.filter(col("o_orderkey") % 2 === 1).coalesce(1))      // v2
+      VersionedTable.deleteWhereMor(s, root,
+        col("o_orderkey") % 2 === 0 && col("o_custkey") % 10 === 3,
+        cdf = true)                                                // v3
+      VersionedTable.renameColumn(s, root, "cents", "total_cents") // v4
+      VersionedTable.materializeDeletes(s, root)                   // v5
+      VersionedTable.describeHistory(s, root)
+        .drop("commit_ts") // wall-clock — the only non-replayable column
+        .orderBy(col("version"))
     }
   )
 
   val oracles: Map[String, String] = Map(
+    "q171_versioned_history" ->
+      """WITH n3 AS (SELECT COUNT(*) AS c FROM orders
+        |  WHERE o_orderkey % 2 = 0 AND o_custkey % 10 = 3)
+        |SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'CREATE', CAST(1 AS BIGINT),
+        |    CAST(0 AS BIGINT), 'derivable'),
+        |  (CAST(2 AS BIGINT), 'APPEND', CAST(2 AS BIGINT),
+        |    CAST(0 AS BIGINT), 'derivable'),
+        |  (CAST(3 AS BIGINT), 'DELETE MOR', CAST(2 AS BIGINT),
+        |    (SELECT CAST(c AS BIGINT) FROM n3), 'cdf'),
+        |  (CAST(4 AS BIGINT), 'RENAME COLUMN', CAST(2 AS BIGINT),
+        |    (SELECT CAST(c AS BIGINT) FROM n3), 'derivable'),
+        |  (CAST(5 AS BIGINT), 'MATERIALIZE DELETES', CAST(2 AS BIGINT),
+        |    CAST(0 AS BIGINT), 'none')
+        |) AS t(version, op, file_count, dv_rows, change_capture)
+        |ORDER BY version""".stripMargin,
     "q170_versioned_zorder3" ->
       """WITH b AS (SELECT MIN(o_custkey) AS mn, MAX(o_custkey) AS mx
         |  FROM orders)

@@ -90,6 +90,11 @@ object VersionedTable {
     * stamped by every commit — the [[readAsOf]] resolution index. */
   private val CommitTsKey = "_ts"
 
+  /** Reserved meta key: the OPERATION that produced the version
+    * (Delta DESCRIBE HISTORY's operation column) — stamped fresh by
+    * every commit, surfaced by [[describeHistory]]. */
+  private val OpKey = "_op"
+
   /** Highest published version, or None for a non-table path. One
     * directory listing — the only metadata read a snapshot needs. */
   def currentVersion(spark: SparkSession, root: String): Option[Long] = {
@@ -303,7 +308,8 @@ object VersionedTable {
       meta: Map[String, String] = Map.empty,
       changeFiles: Seq[String] = Seq.empty,
       cdfNone: Boolean = false,
-      dvs: Map[String, (String, Long)] = Map.empty): Long = {
+      dvs: Map[String, (String, Long)] = Map.empty,
+      op: String = "WRITE"): Long = {
     // validate inputs BEFORE reserving the version: a require firing
     // after the lock is taken would strand an orphan reservation that
     // blocks every writer until a manual recover()
@@ -383,9 +389,10 @@ object VersionedTable {
       val w = new java.io.OutputStreamWriter(out, "UTF-8")
       w.write(Magic + "\n")
       w.write("schema=" + schema.json + "\n")
-      // a carried _ts (from m.meta propagation) is overwritten with
-      // THIS commit's instant
-      val stamped = meta + (CommitTsKey -> System.currentTimeMillis.toString)
+      // a carried _ts/_op (from m.meta propagation) is overwritten
+      // with THIS commit's instant and operation
+      val stamped = meta +
+        (CommitTsKey -> System.currentTimeMillis.toString) + (OpKey -> op)
       stamped.toSeq.sortBy(_._1).foreach { case (k, v) =>
         w.write(s"meta $k=$v\n")
       }
@@ -684,7 +691,8 @@ object VersionedTable {
     requireConstraints(scanLive(spark, root, m.schema, m.files, m.dvs,
         physMapOf(m.meta)),
       candidate, m.schema, s"addConstraint '$name'")
-    commit(spark, root, base, m.schema, m.files, candidate, dvs = m.dvs)
+    commit(spark, root, base, m.schema, m.files, candidate, dvs = m.dvs,
+      op = "ADD CONSTRAINT")
   }
 
   /** ALTER TABLE DROP CONSTRAINT: meta-only commit. */
@@ -696,14 +704,16 @@ object VersionedTable {
     require(m.meta.contains(CheckKeyPrefix + name),
       s"no constraint '$name' on $root")
     commit(spark, root, base, m.schema, m.files,
-      m.meta - (CheckKeyPrefix + name), dvs = m.dvs)
+      m.meta - (CheckKeyPrefix + name), dvs = m.dvs,
+      op = "DROP CONSTRAINT")
   }
 
   /** Create the table at `root` with `df` as version 1. */
   def create(spark: SparkSession, root: String, df: DataFrame): Long = {
     require(currentVersion(spark, root).isEmpty,
       s"$root already holds a versioned table")
-    commit(spark, root, 0L, df.schema, writeData(spark, root, df))
+    commit(spark, root, 0L, df.schema, writeData(spark, root, df),
+      op = "CREATE")
   }
 
   /** The snapshot a reader pins: resolve the manifest once, scan only
@@ -760,7 +770,8 @@ object VersionedTable {
       require(f.exists(new Path(root, d)),
         s"restore: $root v$v references vacuumed deletion vector $d")
     }
-    commit(spark, root, cur, m.schema, m.files, m.meta, dvs = m.dvs)
+    commit(spark, root, cur, m.schema, m.files, m.meta, dvs = m.dvs,
+      op = s"RESTORE v$v")
   }
 
   /** Scan exactly `entries` under the manifest schema (empty → empty):
@@ -1200,6 +1211,36 @@ object VersionedTable {
       physMapOf(m.meta)).filter(pred)
   }
 
+  /** DESCRIBE HISTORY: one row per surviving version, newest first —
+    * (version, op, commit_ts millis, file_count, dv_rows,
+    * change_capture: "cdf" | "none" | "derivable"). Every commit
+    * stamps its operation (`meta _op`), so the table carries its own
+    * provenance: what produced each snapshot, when, and whether its
+    * row delta is replayable. Reads manifest HEADERS only —
+    * O(versions), never O(files) (checkpointed file counts come from
+    * the manifest arithmetic, not the list). */
+  def describeHistory(spark: SparkSession, root: String): DataFrame = {
+    val dir = manifestDir(root)
+    val f = fs(spark, dir)
+    require(f.exists(dir), s"$root: no versioned table")
+    val versions = f.listStatus(dir).map(_.getPath.getName).collect {
+      case ManifestRe(d) => d.toLong
+    }.sorted.reverse.toIndexedSeq
+    val rows = versions.map { v =>
+      val m = readManifest(spark, root, v)
+      val capture =
+        if (m.cdfNone) "none"
+        else if (m.changeFiles.nonEmpty) "cdf"
+        else "derivable"
+      (v, m.meta.getOrElse(OpKey, "WRITE"),
+        m.meta.get(CommitTsKey).map(_.toLong).getOrElse(0L),
+        m.fileCount, m.dvs.values.map(_._2).sum, capture)
+    }
+    import spark.implicits._
+    rows.toDF("version", "op", "commit_ts", "file_count", "dv_rows",
+      "change_capture")
+  }
+
   /** The version's data-file rels — read-only layout metadata
     * (DESCRIBE DETAIL-ish), the audit a caller asserts rewrite
     * behavior with. */
@@ -1225,7 +1266,8 @@ object VersionedTable {
   /** Predicate-granular copy-on-write core: rewrite only the files the
     * stats pruner cannot clear for `pred`; carry the rest untouched. */
   private def cowWhere(spark: SparkSession, root: String, pred: Column,
-      cdf: Boolean = false)(rebuild: DataFrame => DataFrame): Long = {
+      cdf: Boolean = false, op: String = "WRITE")(
+      rebuild: DataFrame => DataFrame): Long = {
     val base = currentVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root: no versioned table"))
     val m = readManifest(spark, root, base)
@@ -1263,7 +1305,7 @@ object VersionedTable {
       }
     commit(spark, root, base, m.schema, kept ++ newEntries, m.meta,
       changeFiles = change, cdfNone = cdf && change.isEmpty,
-      dvs = m.dvs -- touchedSet)
+      dvs = m.dvs -- touchedSet, op = op)
   }
 
   /** DELETE WHERE pred, file-granular via data skipping: a file whose
@@ -1274,7 +1316,7 @@ object VersionedTable {
     * through [[readChanges]]. */
   def deleteWhere(spark: SparkSession, root: String, pred: Column,
       cdf: Boolean = false): Long =
-    cowWhere(spark, root, pred, cdf)(df =>
+    cowWhere(spark, root, pred, cdf, op = "DELETE")(df =>
       df.filter(!coalesce(pred, lit(false))))
 
   /** DELETE WHERE pred, MERGE-ON-READ: no data file is rewritten — the
@@ -1329,7 +1371,7 @@ object VersionedTable {
         // every touched file died whole: a pure file-list shrink
         commit(spark, root, base, m.schema,
           m.files.filterNot(e => dead.contains(e.rel)), m.meta,
-          changeFiles = change, dvs = m.dvs -- dead)
+          changeFiles = change, dvs = m.dvs -- dead, op = "DELETE MOR")
       } else {
         // new DV set for the partially-deleted files = their existing
         // positions ∪ the new hits, rewritten whole into one fresh dir
@@ -1346,7 +1388,7 @@ object VersionedTable {
           partial.iterator.map(rel => rel -> (sub, newCounts(rel))).toMap
         commit(spark, root, base, m.schema,
           m.files.filterNot(e => dead.contains(e.rel)), m.meta,
-          changeFiles = change, dvs = newDvs)
+          changeFiles = change, dvs = newDvs, op = "DELETE MOR")
       }
     } finally { hits.unpersist(); () }
   }
@@ -1375,7 +1417,8 @@ object VersionedTable {
         .sortWithinPartitions(sortCols.map(col): _*)
     val kept = m.files.filterNot(e => m.dvs.contains(e.rel))
     commit(spark, root, base, m.schema,
-      kept ++ writeData(spark, root, rows, phys), m.meta, cdfNone = true)
+      kept ++ writeData(spark, root, rows, phys), m.meta, cdfNone = true,
+      op = "MATERIALIZE DELETES")
   }
 
   /** UPDATE ... SET `set` WHERE pred, same file-granular discipline.
@@ -1390,7 +1433,7 @@ object VersionedTable {
   def updateWhere(spark: SparkSession, root: String, pred: Column,
       set: Map[String, Column], cdf: Boolean = false): Long = {
     require(set.nonEmpty, "updateWhere needs at least one SET column")
-    cowWhere(spark, root, pred, cdf) { df =>
+    cowWhere(spark, root, pred, cdf, op = "UPDATE") { df =>
       val unknown = set.keySet -- df.columns.toSet
       require(unknown.isEmpty, s"SET of unknown column(s): $unknown")
       val hit = coalesce(pred, lit(false))
@@ -1421,7 +1464,7 @@ object VersionedTable {
     requireConstraints(aligned, m.meta, m.schema, "append")
     commit(spark, root, base, m.schema,
       m.files ++ writeData(spark, root, aligned, physMapOf(m.meta)),
-      m.meta, dvs = m.dvs)
+      m.meta, dvs = m.dvs, op = "APPEND")
   }
 
   /** Append with SCHEMA EVOLUTION (Delta `mergeSchema`): columns of
@@ -1466,7 +1509,7 @@ object VersionedTable {
     requireConstraints(aligned, newMeta, newSchema, "appendEvolve")
     commit(spark, root, base, newSchema,
       m.files ++ writeData(spark, root, aligned, physMapOf(newMeta)),
-      newMeta, dvs = m.dvs)
+      newMeta, dvs = m.dvs, op = "APPEND EVOLVE")
   }
 
   /** The constraints (by name) whose SQL references column `colName`
@@ -1505,7 +1548,8 @@ object VersionedTable {
     val newMeta = m.meta - (PhysKeyPrefix + from) + (PhysKeyPrefix + to -> p)
     val newSchema = StructType(m.schema.fields.map(f =>
       if (f.name == from) f.copy(name = to) else f))
-    commit(spark, root, base, newSchema, m.files, newMeta, dvs = m.dvs)
+    commit(spark, root, base, newSchema, m.files, newMeta, dvs = m.dvs,
+      op = "RENAME COLUMN")
   }
 
   /** ALTER TABLE DROP COLUMN: metadata-only — the logical field leaves
@@ -1529,7 +1573,8 @@ object VersionedTable {
     val newMeta = m.meta - (PhysKeyPrefix + name) +
       (PhysDropPrefix + p -> "1")
     val newSchema = StructType(m.schema.fields.filterNot(_.name == name))
-    commit(spark, root, base, newSchema, m.files, newMeta, dvs = m.dvs)
+    commit(spark, root, base, newSchema, m.files, newMeta, dvs = m.dvs,
+      op = "DROP COLUMN")
   }
 
   /** Shared copy-on-write core: split the current snapshot into the
@@ -1548,7 +1593,7 @@ object VersionedTable {
       // snapshot the commit builds on; None → already applied, skip
       metaUpdate: Map[String, String] => Option[Map[String, String]] =
         m => Some(m),
-      cdf: Boolean = false)(
+      cdf: Boolean = false, op: String = "MERGE")(
       rebuild: (DataFrame, DataFrame, DataFrame) => DataFrame): Long = {
     val base = currentVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root: no versioned table"))
@@ -1618,7 +1663,7 @@ object VersionedTable {
       }
     commit(spark, root, base, m.schema, keptE ++ newEntries, nextMeta,
       changeFiles = change, cdfNone = cdf && change.isEmpty,
-      dvs = m.dvs -- affectedE.map(_.rel))
+      dvs = m.dvs -- affectedE.map(_.rel), op = op)
   }
 
   /** Files that may hold a key matching ANY source key: per key column,
@@ -1710,7 +1755,8 @@ object VersionedTable {
       keys: Seq[String], setCols: Option[Seq[String]] = None,
       insertUnmatched: Boolean = true,
       deleteMatched: Boolean = false, cdf: Boolean = false): Long =
-    cowCommit(spark, root, source, keys, cdf = cdf) { (affected, src, full) =>
+    cowCommit(spark, root, source, keys, cdf = cdf,
+      op = "MERGE") { (affected, src, full) =>
       val cols = full.columns.toSeq
       setCols.foreach { sc =>
         val unknown = sc.filterNot(cols.contains)
@@ -1738,7 +1784,8 @@ object VersionedTable {
   def scdType2Commit(spark: SparkSession, root: String, feed: DataFrame,
       keys: Seq[String], trackedCols: Seq[String], runStamp: String,
       cdf: Boolean = false): Long =
-    cowCommit(spark, root, feed, keys, cdf = cdf) { (affected, f, full) =>
+    cowCommit(spark, root, feed, keys, cdf = cdf,
+      op = "SCD2") { (affected, f, full) =>
       // brand-new keys (no current row anywhere) insert through the
       // same call: scdType2's full-outer join emits them from the
       // feed side, so the affected subset plus the feed is complete
@@ -1802,7 +1849,7 @@ object VersionedTable {
           metaUpdate = m =>
             if (m.get(metaKey).exists(_.toLong >= batchId)) None
             else Some(m + (metaKey -> batchId.toString)),
-          cdf = cdf
+          cdf = cdf, op = "STREAMING UPSERT"
         ) { (affected, _, full) =>
           val cols = full.columns.toSeq
           val ins = inserts.select(cols.map(col): _*).dropDuplicates(keys)
@@ -1996,7 +2043,7 @@ object VersionedTable {
         .sortWithinPartitions(sortCols.map(col): _*)
     commit(spark, root, base, m.schema,
       big ++ writeData(spark, root, rows, phys), m.meta, cdfNone = true,
-      dvs = m.dvs -- small.map(_.rel))
+      dvs = m.dvs -- small.map(_.rel), op = "COMPACT")
   }
 
   /** Rewrite the table range-clustered on `cols` as a new version:
@@ -2025,7 +2072,8 @@ object VersionedTable {
       .repartitionByRange(targetPartitions, cols.map(col): _*)
       .sortWithinPartitions(cols.map(col): _*)
     commit(spark, root, base, m.schema,
-      writeData(spark, root, rows, phys), m.meta, cdfNone = true)
+      writeData(spark, root, rows, phys), m.meta, cdfNone = true,
+      op = "CLUSTER BY")
   }
 
   /** Z-ORDER rewrite on two columns (Delta `OPTIMIZE ... ZORDER BY
@@ -2101,7 +2149,8 @@ object VersionedTable {
       .sortWithinPartitions(col("__vt_z"))
       .drop("__vt_z")
     commit(spark, root, base, m.schema,
-      writeData(spark, root, rows, phys), m.meta, cdfNone = true)
+      writeData(spark, root, rows, phys), m.meta, cdfNone = true,
+      op = "ZORDER BY")
   }
 
   /** One-call table maintenance — the OPTIMIZE + VACUUM cron a
