@@ -994,10 +994,56 @@ object IoQueries extends QueryPack {
       VersionedTable.describeHistory(s, root)
         .drop("commit_ts") // wall-clock — the only non-replayable column
         .orderBy(col("version"))
+    },
+
+    // SHALLOW CLONE under the oracle gate: a zero-copy fork — the
+    // clone's manifest borrows the source's files by absolute path
+    // (in-query require: the clone owns NO data dir before its first
+    // write), divergent writes land in the clone (COW rewrites of
+    // borrowed files become clone-owned replacements) while the
+    // source snapshot stays bit-identical (required) — and the
+    // clone's final content is oracle-checked row-for-row. At 100 TB
+    // this is the dev/test table fork that moves zero bytes.
+    "q172_versioned_clone" -> { (s, dir) =>
+      import graft.sources.VersionedTable
+      val work = tmp(s, s"vt_clone/${java.util.UUID.randomUUID()}")
+      val (src, dst) = (s"$work/src", s"$work/dst")
+      val base = graft.Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") < 1000)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          CoreQueries.cents(col("c_acctbal")).as("cents"))
+      VersionedTable.create(s, src,
+        base.repartitionByRange(2, col("c_custkey")))
+      val srcRows = VersionedTable.read(s, src).count()
+      VersionedTable.cloneTable(s, src, dst)
+      require(!new java.io.File(s"$dst/data").exists(),
+        "a shallow clone must copy zero data bytes")
+      val feed = graft.Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") >= 500 && col("c_custkey") < 1500)
+        .select(col("c_custkey"), lit("CLONED").as("c_mktsegment"),
+          lit(0L).as("cents"))
+      VersionedTable.merge(s, dst, feed, keys = Seq("c_custkey"))
+      require(VersionedTable.read(s, src).count() == srcRows &&
+        VersionedTable.read(s, src)
+          .filter(col("c_mktsegment") === "CLONED").count() == 0,
+        "the source must not observe the clone's writes")
+      VersionedTable.read(s, dst).orderBy(col("c_custkey"))
     }
   )
 
   val oracles: Map[String, String] = Map(
+    "q172_versioned_clone" ->
+      """WITH base AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer WHERE c_custkey < 1000),
+        |feed AS (SELECT c_custkey, 'CLONED' AS c_mktsegment,
+        |    CAST(0 AS BIGINT) AS cents
+        |  FROM customer WHERE c_custkey >= 500 AND c_custkey < 1500)
+        |SELECT COALESCE(b.c_custkey, f.c_custkey) AS c_custkey,
+        |  COALESCE(f.c_mktsegment, b.c_mktsegment) AS c_mktsegment,
+        |  COALESCE(f.cents, b.cents) AS cents
+        |FROM base b FULL OUTER JOIN feed f ON b.c_custkey = f.c_custkey
+        |ORDER BY c_custkey""".stripMargin,
     "q171_versioned_history" ->
       """WITH n3 AS (SELECT COUNT(*) AS c FROM orders
         |  WHERE o_orderkey % 2 = 0 AND o_custkey % 10 = 3)

@@ -814,6 +814,17 @@ object VersionedTable {
   private def relOfFilePath(c: Column): Column =
     concat_ws("/", slice(split(c, "/"), -3, 3))
 
+  /** The STABLE file identity deletion-vector rows are keyed by: the
+    * last three path segments (`data/<uuid>/<part>.parquet`) — equal
+    * to the manifest rel for owned files and to the tail of an
+    * absolute BORROWED ref (shallow clone), and exactly what
+    * [[relOfFilePath]] extracts at scan time. uuid dirs make cross-
+    * table collisions structurally negligible. */
+  private def dvFileId(rel: String): String = {
+    val p = new Path(rel)
+    s"${p.getParent.getParent.getName}/${p.getParent.getName}/${p.getName}"
+  }
+
   /** The deletion-vector rows governing `entries`, plus their total
     * count. A dv DIR may hold positions for files whose authoritative
     * DV has since moved on (each MOR delete rewrites the touched
@@ -827,7 +838,7 @@ object VersionedTable {
     if (live.isEmpty) return None
     val frames = live.groupBy(_._2).toSeq.sortBy(_._1).map { case (dir, fs) =>
       spark.read.parquet(new Path(root, dir).toString)
-        .filter(col("file").isin(fs.map(_._1): _*))
+        .filter(col("file").isin(fs.map(x => dvFileId(x._1)): _*))
     }
     Some((frames.reduce(_ unionByName _), live.map(_._3).sum))
   }
@@ -1211,6 +1222,40 @@ object VersionedTable {
       physMapOf(m.meta)).filter(pred)
   }
 
+  /** SHALLOW CLONE (Delta `CLONE`): create `dst` as a ZERO-COPY fork
+    * of `src`'s current (or pinned) snapshot — dst's first manifest
+    * references the source's data files and deletion vectors by
+    * ABSOLUTE path; not one data byte moves, at 100 TB as at 100 MB.
+    * Writes to the clone land in the clone: a COW rewrite of a
+    * borrowed file writes a clone-owned replacement and drops the
+    * borrowed ref, so compact/clusterBy materialize the clone and cut
+    * the dependency. The source is never touched, and the clone's
+    * [[vacuum]] never deletes borrowed (absolute) refs — but the
+    * borrowed refs pin source FILES, not the source's manifest:
+    * vacuuming the SOURCE below the cloned snapshot breaks the clone,
+    * exactly Delta's shallow-clone contract. Same-filesystem only
+    * (refs are scheme-less absolute paths). */
+  def cloneTable(spark: SparkSession, src: String, dst: String,
+      version: Option[Long] = None): Long = {
+    require(currentVersion(spark, dst).isEmpty,
+      s"$dst already holds a versioned table")
+    val v = version.orElse(currentVersion(spark, src)).getOrElse(
+      throw new IllegalArgumentException(s"$src: no versioned table"))
+    val m = readManifest(spark, src, v)
+    val srcFs = fs(spark, new Path(src))
+    def abs(rel: String): String =
+      if (new Path(rel).isAbsolute) rel
+      else srcFs.makeQualified(new Path(src, rel)).toUri.getPath
+    val borrowed = m.files.map(e => e.copy(rel = abs(e.rel)))
+    val dvs = m.dvs.map { case (fr, (dr, n)) => abs(fr) -> (abs(dr), n) }
+    // table meta (constraints, column mapping) forks with the data;
+    // streaming batch watermarks do NOT — the clone is a new table
+    // whose ingestion history starts here
+    val forked = m.meta.filterNot(_._1.startsWith("stream."))
+    commit(spark, dst, 0L, m.schema, borrowed, forked, dvs = dvs,
+      op = s"CLONE $src v$v")
+  }
+
   /** DESCRIBE HISTORY: one row per surviving version, newest first —
     * (version, op, commit_ts millis, file_count, dv_rows,
     * change_capture: "cdf" | "none" | "derivable"). Every commit
@@ -1347,47 +1392,53 @@ object VersionedTable {
     val hits = scanWithPos(spark, root, m.schema, candidates, m.dvs,
       phys).filter(pred).persist()
     try {
-      val perFile = hits.groupBy(col("__vt_rel"))
+      // __vt_rel is the stable file ID ([[dvFileId]]) — equal to the
+      // manifest rel for owned files, to its tail for borrowed
+      // (shallow-clone) absolute refs
+      val perId = hits.groupBy(col("__vt_rel"))
         .agg(count(lit(1)).as("n")).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
-      if (perFile.isEmpty) return base
-      val entryByRel = m.files.map(e => e.rel -> e).toMap
-      val newCounts: Map[String, Long] = perFile.map { case (rel, n) =>
-        rel -> (n + m.dvs.get(rel).map(_._2).getOrElse(0L))
+      if (perId.isEmpty) return base
+      val entryById = m.files.map(e => dvFileId(e.rel) -> e).toMap
+      val newCounts: Map[String, Long] = perId.map { case (id, n) =>
+        id -> (n + m.dvs.get(entryById(id).rel).map(_._2).getOrElse(0L))
       }
       // a file whose DV would cover every physical row carries no live
       // rows — drop it from the snapshot instead of keeping a
       // scan-everything-deleted tombstone
-      val (dead, partial) = newCounts.keySet.partition { rel =>
-        val rows = entryByRel(rel).rows
-        rows >= 0 && newCounts(rel) == rows
+      val (deadIds, partialIds) = newCounts.keySet.partition { id =>
+        val rows = entryById(id).rows
+        rows >= 0 && newCounts(id) == rows
       }
+      val deadRels = deadIds.map(id => entryById(id).rel)
       val change: Seq[String] =
         if (!cdf) Seq.empty
         else writeChangeData(spark, root,
           hits.select(m.schema.fieldNames.map(col).toIndexedSeq: _*)
             .withColumn("_change_type", lit("delete")))
-      if (partial.isEmpty) {
+      if (partialIds.isEmpty) {
         // every touched file died whole: a pure file-list shrink
         commit(spark, root, base, m.schema,
-          m.files.filterNot(e => dead.contains(e.rel)), m.meta,
-          changeFiles = change, dvs = m.dvs -- dead, op = "DELETE MOR")
+          m.files.filterNot(e => deadRels.contains(e.rel)), m.meta,
+          changeFiles = change, dvs = m.dvs -- deadRels, op = "DELETE MOR")
       } else {
         // new DV set for the partially-deleted files = their existing
         // positions ∪ the new hits, rewritten whole into one fresh dir
-        val newPos = hits.filter(col("__vt_rel").isin(partial.toSeq: _*))
+        val newPos = hits
+          .filter(col("__vt_rel").isin(partialIds.toSeq: _*))
           .select(col("__vt_rel").as("file"), col("__vt_pos").as("pos"))
         val oldDv = dvRows(spark, root,
-          m.files.filter(e => partial.contains(e.rel)), m.dvs).map(_._1)
+          m.files.filter(e => partialIds.contains(dvFileId(e.rel))),
+          m.dvs).map(_._1)
         val allPos = oldDv
           .map(_.select("file", "pos").unionByName(newPos))
           .getOrElse(newPos)
         val sub = s"deletes/${java.util.UUID.randomUUID()}"
         allPos.repartition(1).write.parquet(new Path(root, sub).toString)
-        val newDvs = (m.dvs -- dead) ++
-          partial.iterator.map(rel => rel -> (sub, newCounts(rel))).toMap
+        val newDvs = (m.dvs -- deadRels) ++ partialIds.iterator.map(id =>
+          entryById(id).rel -> (sub, newCounts(id))).toMap
         commit(spark, root, base, m.schema,
-          m.files.filterNot(e => dead.contains(e.rel)), m.meta,
+          m.files.filterNot(e => deadRels.contains(e.rel)), m.meta,
           changeFiles = change, dvs = newDvs, op = "DELETE MOR")
       }
     } finally { hits.unpersist(); () }
@@ -1625,16 +1676,17 @@ object VersionedTable {
       scanWithPos(spark, root, m.schema, candidates, m.dvs, phys)
     val matchable = matchableP
       .select(m.schema.fieldNames.toIndexedSeq.map(col): _*)
-    // rows matched per file → distinct rels: the collect is bounded by
-    // the FILE count, never the row count
-    val affectedRels: Set[String] =
+    // rows matched per file → distinct stable file IDs ([[dvFileId]] —
+    // matches owned rels AND the tail of borrowed absolute refs): the
+    // collect is bounded by the FILE count, never the row count
+    val affectedIds: Set[String] =
       if (candidates.isEmpty) Set.empty
       else matchableP.join(srcKeys, keys.map(k =>
           matchableP(k) <=> srcKeys(k)).reduceOption(_ && _).getOrElse(lit(true)))
         .select(col("__vt_rel")).distinct()
         .collect().map(_.getString(0)).toSet
     val (affectedE, keptE) =
-      m.files.partition(e => affectedRels.contains(e.rel))
+      m.files.partition(e => affectedIds.contains(dvFileId(e.rel)))
     val affectedRows =
       scanLive(spark, root, m.schema, affectedE, m.dvs, phys)
     val replacement = rebuild(affectedRows, source, matchable)
@@ -2208,15 +2260,21 @@ object VersionedTable {
     // every later manifest until a rewrite retires it)
     val referencedCps = keptManifests.flatMap(_.cp).toSet
     val referencedDvs = keptManifests.flatMap(_.dvs.values.map(_._1)).toSet
+    // BORROWED entries (a shallow clone's absolute refs into another
+    // table) are NEVER deleted — they are the source table's property;
+    // only this table's own root-relative files are garbage here
+    def owned(rel: String): Boolean = !new Path(rel).isAbsolute
     drop.foreach { v =>
       val m = readManifest(spark, root, v)
-      m.files.map(_.rel).filterNot(referenced.contains)
+      m.files.map(_.rel).filter(owned).filterNot(referenced.contains)
         .foreach(rel => f.delete(new Path(root, rel), false))
       // change files belong to exactly one version — dropped with it
-      m.changeFiles.foreach(rel => f.delete(new Path(root, rel), false))
+      m.changeFiles.filter(owned)
+        .foreach(rel => f.delete(new Path(root, rel), false))
       m.cp.filterNot(referencedCps.contains)
         .foreach(rel => f.delete(new Path(root, rel), true))
-      m.dvs.values.map(_._1).toSet[String].filterNot(referencedDvs.contains)
+      m.dvs.values.map(_._1).toSet[String].filter(owned)
+        .filterNot(referencedDvs.contains)
         .foreach(rel => f.delete(new Path(root, rel), true))
       f.delete(manifestPath(root, v), false)
       f.delete(lockPath(root, v), false) // the version's CAS tombstone

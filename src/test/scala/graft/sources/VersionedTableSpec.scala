@@ -1113,6 +1113,49 @@ class VersionedTableSpec extends AnyFunSuite {
       (2 to 8).map(i => (i, s"n$i", i.toLong)).toSet)
   }
 
+  test("shallow clone: zero-copy fork, divergent writes, vacuum never eats borrowed files") {
+    val work = java.nio.file.Files.createTempDirectory("graft_clone").toString
+    val (src, dst) = (s"$work/src", s"$work/dst")
+    VersionedTable.create(spark, src,
+      dim((1 to 20).map(i => (i, s"n$i", i.toLong)): _*)
+        .repartitionByRange(2, col("k")))
+    // a source-side DV must fork logically (live rows only)
+    VersionedTable.deleteWhereMor(spark, src, col("k") === 20)
+    VersionedTable.cloneTable(spark, src, dst)
+    // ZERO copy: the clone owns no data yet
+    val dstData = new java.io.File(s"$dst/data")
+    assert(!dstData.exists() || dstData.listFiles().isEmpty)
+    assert(rowsOf(VersionedTable.read(spark, dst)) ==
+      rowsOf(VersionedTable.read(spark, src)))
+    // divergent writes: clone mutates, source does not move
+    VersionedTable.merge(spark, dst, dim((1, "clone", 111L)), Seq("k"))
+    VersionedTable.deleteWhereMor(spark, dst, col("k") === 5)
+    assert(rowsOf(VersionedTable.read(spark, src)) ==
+      (1 to 19).map(i => (i, s"n$i", i.toLong)).toSet)
+    assert(rowsOf(VersionedTable.read(spark, dst)) ==
+      ((2 to 19).toSet - 5).map(i => (i, s"n$i", i.toLong)) +
+        ((1, "clone", 111L)))
+    // the merge rewrite landed as clone-OWNED data
+    assert(dstData.listFiles().nonEmpty)
+    // clone vacuum must never delete borrowed (absolute) refs
+    VersionedTable.vacuum(spark, dst,
+      keepFrom = VersionedTable.currentVersion(spark, dst).get,
+      orphanGraceMs = -1000L)
+    assert(rowsOf(VersionedTable.read(spark, src)) ==
+      (1 to 19).map(i => (i, s"n$i", i.toLong)).toSet,
+      "source must survive the clone's vacuum")
+    // materialize via compact: every ref becomes clone-owned
+    VersionedTable.compact(spark, dst, smallFileBytes = 64L * 1024 * 1024,
+      targetPartitions = 1, sortCols = Seq("k"))
+    val rels = VersionedTable.fileList(spark, dst,
+      VersionedTable.currentVersion(spark, dst).get)
+    assert(rels.forall(r => !new org.apache.hadoop.fs.Path(r).isAbsolute),
+      s"compact must cut the borrow dependency: $rels")
+    assert(rowsOf(VersionedTable.read(spark, dst)) ==
+      ((2 to 19).toSet - 5).map(i => (i, s"n$i", i.toLong)) +
+        ((1, "clone", 111L)))
+  }
+
   test("feature composition: checkpointed manifest x rename x DV x constraint x maintain") {
     val root = freshRoot()
     // 600 files: crosses the checkpoint threshold
