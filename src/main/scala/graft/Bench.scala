@@ -54,12 +54,21 @@ object Bench {
     // round (r11/r12 both were) shows up as a mid- or end-phase ratio
     // well above 1, making machine load diagnosable from the JSON alone.
     val canaryNames = Seq("q4_derived_column", "q9_split", "q73_pii_redact")
+    // a probe that THROWS is skipped, never fatal: the canary is a
+    // diagnostic — a broken probe query must still surface through the
+    // timed loop's failed list, not kill the run before (or after) it
+    // emits the JSON line the driver captures
     def canaryProbe(): Seq[(String, Double)] = canaryNames.flatMap { n =>
-      SparkEntry.queries.get(n).map { fn =>
-        val t0 = System.nanoTime()
-        evalAll(fn(spark, sfDir))
-        spark.catalog.clearCache()
-        n.takeWhile(_ != '_') -> (System.nanoTime() - t0) / 1e9
+      SparkEntry.queries.get(n).flatMap { fn =>
+        try {
+          val t0 = System.nanoTime()
+          evalAll(fn(spark, sfDir))
+          Some(n.takeWhile(_ != '_') -> (System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] canary $n failed: " +
+            s"${e.getClass.getName}: ${e.getMessage}")
+          None
+        } finally spark.catalog.clearCache()
       }
     }
 

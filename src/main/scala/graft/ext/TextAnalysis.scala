@@ -1119,17 +1119,23 @@ object TextAnalysis {
     * projections. Returns the scored frame filtered to the kept rows. */
   def nbQualityFilterPareto(df: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String, model: NbQualityModel,
-      paretoAlpha: Double = 9.0, seed: Int = 7): org.apache.spark.sql.DataFrame = {
+      paretoAlpha: Double = 9.0, seed: Int = 7): org.apache.spark.sql.DataFrame =
+    nbQualityScore(df, idCol, textCol, model)
+      .filter(nbParetoKeep(col(idCol), col("nb_prob"), paretoAlpha, seed))
+
+  /** The Pareto keep DECISION as a boolean column over (id, calibrated
+    * probability): keep ⟺ u(id) > 1 − (2 − p)^(−α), with u a seeded
+    * md5 16-bit uniform (two hex-bucket probes — engine-portable). The
+    * single definition behind [[nbQualityFilterPareto]] and any caller
+    * that wants the flag without the filter (q167 emits it per row). */
+  def nbParetoKeep(id: Column, prob: Column, paretoAlpha: Double = 9.0,
+      seed: Int = 7): Column = {
     require(paretoAlpha > 0, s"pareto alpha must be positive: $paretoAlpha")
     val hi = call_function("md5_low_byte",
-      concat(lit(s"nbp1:$seed:"), col(idCol).cast("string")))
+      concat(lit(s"nbp1:$seed:"), id.cast("string")))
     val lo = call_function("md5_low_byte",
-      concat(lit(s"nbp2:$seed:"), col(idCol).cast("string")))
+      concat(lit(s"nbp2:$seed:"), id.cast("string")))
     val u = (hi * 256 + lo + lit(0.5)) / lit(65536.0)
-    nbQualityScore(df, idCol, textCol, model)
-      .withColumn("__nb_u", u)
-      .filter(col("__nb_u") >
-        lit(1.0) - pow(lit(2.0) - col("nb_prob"), lit(-paretoAlpha)))
-      .drop("__nb_u")
+    u > lit(1.0) - pow(lit(2.0) - prob, lit(-paretoAlpha))
   }
 }

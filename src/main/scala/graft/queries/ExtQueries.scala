@@ -949,18 +949,13 @@ object ExtQueries extends QueryPack {
         d.filter(isPos), d.filter(!isPos), "text",
         buckets = 64, alpha = 1.0, seed = 7)
       // emit EVERY document's calibrated score plus its keep decision
-      // (kept as 0/1), so the gate certifies the scoring and the
-      // Pareto rule on every row — and tie the filter operator itself
-      // to the flag with an in-query count equality
-      val hi = call_function("md5_low_byte",
-        concat(lit("nbp1:7:"), col("doc_id").cast("string")))
-      val lo = call_function("md5_low_byte",
-        concat(lit("nbp2:7:"), col("doc_id").cast("string")))
-      val u = (hi * 256 + lo + lit(0.5)) / lit(65536.0)
+      // (kept as 0/1) via the operator's OWN nbParetoKeep column, so
+      // the gate certifies the scoring and the Pareto rule on every
+      // row — and tie the filter operator itself to the flag with an
+      // in-query count equality
       val flagged = TextAnalysis.nbQualityScore(d, "doc_id", "text", model)
-        .withColumn("kept",
-          (u > lit(1.0) - pow(lit(2.0) - col("nb_prob"), lit(-9.0)))
-            .cast("int"))
+        .withColumn("kept", TextAnalysis.nbParetoKeep(col("doc_id"),
+          col("nb_prob"), paretoAlpha = 9.0, seed = 7).cast("int"))
       val nKept = TextAnalysis.nbQualityFilterPareto(d, "doc_id", "text",
         model, paretoAlpha = 9.0, seed = 7).count()
       val nFlag = flagged.filter(col("kept") === 1).count()

@@ -309,7 +309,11 @@ object VersionedTable {
       changeFiles: Seq[String] = Seq.empty,
       cdfNone: Boolean = false,
       dvs: Map[String, (String, Long)] = Map.empty,
-      op: String = "WRITE"): Long = {
+      op: String = "WRITE",
+      // the base manifest the caller already holds — saves commit()
+      // re-reading it (and re-materializing its checkpoint list, a
+      // second O(table-files) job per commit) for the Rep decision
+      baseM: Option[Manifest] = None): Long = {
     // validate inputs BEFORE reserving the version: a require firing
     // after the lock is taken would strand an orphan reservation that
     // blocks every writer until a manual recover()
@@ -328,9 +332,10 @@ object VersionedTable {
     val rep: Rep =
       if (files.size < CpThreshold) Rep(None, files, Nil)
       else {
-        val baseCp =
-          (if (base >= 1) Some(readManifest(spark, root, base)) else None)
-            .filter(_.cp.isDefined)
+        val baseCp = baseM.filter(_.version == base)
+          .orElse(
+            if (base >= 1) Some(readManifest(spark, root, base)) else None)
+          .filter(_.cp.isDefined)
         baseCp match {
           case Some(bm) =>
             val baseFiles = bm.files
@@ -692,7 +697,7 @@ object VersionedTable {
         physMapOf(m.meta)),
       candidate, m.schema, s"addConstraint '$name'")
     commit(spark, root, base, m.schema, m.files, candidate, dvs = m.dvs,
-      op = "ADD CONSTRAINT")
+      op = "ADD CONSTRAINT", baseM = Some(m))
   }
 
   /** ALTER TABLE DROP CONSTRAINT: meta-only commit. */
@@ -705,7 +710,7 @@ object VersionedTable {
       s"no constraint '$name' on $root")
     commit(spark, root, base, m.schema, m.files,
       m.meta - (CheckKeyPrefix + name), dvs = m.dvs,
-      op = "DROP CONSTRAINT")
+      op = "DROP CONSTRAINT", baseM = Some(m))
   }
 
   /** Create the table at `root` with `df` as version 1. */
@@ -762,10 +767,18 @@ object VersionedTable {
       throw new IllegalArgumentException(s"$root: no versioned table"))
     val m = readManifest(spark, root, v) // throws if vacuumed
     val f = fs(spark, new Path(root))
-    m.files.foreach { e =>
-      require(f.exists(new Path(root, e.rel)),
-        s"restore: $root v$v references vacuumed file ${e.rel}")
-    }
+    // existence via ONE listing per referenced data dir, not one
+    // exists RPC per file — O(dirs), which survives 1M-file tables
+    m.files.groupBy(e => new Path(root, e.rel).getParent)
+      .foreach { case (dir, entries) =>
+        val present: Set[String] =
+          if (!f.exists(dir)) Set.empty
+          else f.listStatus(dir).map(_.getPath.getName).toSet
+        entries.foreach { e =>
+          require(present.contains(new Path(e.rel).getName),
+            s"restore: $root v$v references vacuumed file ${e.rel}")
+        }
+      }
     m.dvs.values.map(_._1).toSet[String].foreach { d =>
       require(f.exists(new Path(root, d)),
         s"restore: $root v$v references vacuumed deletion vector $d")
@@ -1350,7 +1363,7 @@ object VersionedTable {
       }
     commit(spark, root, base, m.schema, kept ++ newEntries, m.meta,
       changeFiles = change, cdfNone = cdf && change.isEmpty,
-      dvs = m.dvs -- touchedSet, op = op)
+      dvs = m.dvs -- touchedSet, op = op, baseM = Some(m))
   }
 
   /** DELETE WHERE pred, file-granular via data skipping: a file whose
@@ -1420,7 +1433,7 @@ object VersionedTable {
         // every touched file died whole: a pure file-list shrink
         commit(spark, root, base, m.schema,
           m.files.filterNot(e => deadRels.contains(e.rel)), m.meta,
-          changeFiles = change, dvs = m.dvs -- deadRels, op = "DELETE MOR")
+          changeFiles = change, dvs = m.dvs -- deadRels, op = "DELETE MOR", baseM = Some(m))
       } else {
         // new DV set for the partially-deleted files = their existing
         // positions ∪ the new hits, rewritten whole into one fresh dir
@@ -1439,7 +1452,7 @@ object VersionedTable {
           entryById(id).rel -> (sub, newCounts(id))).toMap
         commit(spark, root, base, m.schema,
           m.files.filterNot(e => deadRels.contains(e.rel)), m.meta,
-          changeFiles = change, dvs = newDvs, op = "DELETE MOR")
+          changeFiles = change, dvs = newDvs, op = "DELETE MOR", baseM = Some(m))
       }
     } finally { hits.unpersist(); () }
   }
@@ -1469,7 +1482,7 @@ object VersionedTable {
     val kept = m.files.filterNot(e => m.dvs.contains(e.rel))
     commit(spark, root, base, m.schema,
       kept ++ writeData(spark, root, rows, phys), m.meta, cdfNone = true,
-      op = "MATERIALIZE DELETES")
+      op = "MATERIALIZE DELETES", baseM = Some(m))
   }
 
   /** UPDATE ... SET `set` WHERE pred, same file-granular discipline.
@@ -1515,7 +1528,7 @@ object VersionedTable {
     requireConstraints(aligned, m.meta, m.schema, "append")
     commit(spark, root, base, m.schema,
       m.files ++ writeData(spark, root, aligned, physMapOf(m.meta)),
-      m.meta, dvs = m.dvs, op = "APPEND")
+      m.meta, dvs = m.dvs, op = "APPEND", baseM = Some(m))
   }
 
   /** Append with SCHEMA EVOLUTION (Delta `mergeSchema`): columns of
@@ -1560,7 +1573,7 @@ object VersionedTable {
     requireConstraints(aligned, newMeta, newSchema, "appendEvolve")
     commit(spark, root, base, newSchema,
       m.files ++ writeData(spark, root, aligned, physMapOf(newMeta)),
-      newMeta, dvs = m.dvs, op = "APPEND EVOLVE")
+      newMeta, dvs = m.dvs, op = "APPEND EVOLVE", baseM = Some(m))
   }
 
   /** The constraints (by name) whose SQL references column `colName`
@@ -1600,7 +1613,7 @@ object VersionedTable {
     val newSchema = StructType(m.schema.fields.map(f =>
       if (f.name == from) f.copy(name = to) else f))
     commit(spark, root, base, newSchema, m.files, newMeta, dvs = m.dvs,
-      op = "RENAME COLUMN")
+      op = "RENAME COLUMN", baseM = Some(m))
   }
 
   /** ALTER TABLE DROP COLUMN: metadata-only — the logical field leaves
@@ -1625,7 +1638,7 @@ object VersionedTable {
       (PhysDropPrefix + p -> "1")
     val newSchema = StructType(m.schema.fields.filterNot(_.name == name))
     commit(spark, root, base, newSchema, m.files, newMeta, dvs = m.dvs,
-      op = "DROP COLUMN")
+      op = "DROP COLUMN", baseM = Some(m))
   }
 
   /** Shared copy-on-write core: split the current snapshot into the
@@ -1715,7 +1728,8 @@ object VersionedTable {
       }
     commit(spark, root, base, m.schema, keptE ++ newEntries, nextMeta,
       changeFiles = change, cdfNone = cdf && change.isEmpty,
-      dvs = m.dvs -- affectedE.map(_.rel), op = op)
+      dvs = m.dvs -- affectedE.map(_.rel), op = op,
+      baseM = Some(m))
   }
 
   /** Files that may hold a key matching ANY source key: per key column,
@@ -2095,7 +2109,7 @@ object VersionedTable {
         .sortWithinPartitions(sortCols.map(col): _*)
     commit(spark, root, base, m.schema,
       big ++ writeData(spark, root, rows, phys), m.meta, cdfNone = true,
-      dvs = m.dvs -- small.map(_.rel), op = "COMPACT")
+      dvs = m.dvs -- small.map(_.rel), op = "COMPACT", baseM = Some(m))
   }
 
   /** Rewrite the table range-clustered on `cols` as a new version:
@@ -2125,7 +2139,7 @@ object VersionedTable {
       .sortWithinPartitions(cols.map(col): _*)
     commit(spark, root, base, m.schema,
       writeData(spark, root, rows, phys), m.meta, cdfNone = true,
-      op = "CLUSTER BY")
+      op = "CLUSTER BY", baseM = Some(m))
   }
 
   /** Z-ORDER rewrite on two columns (Delta `OPTIMIZE ... ZORDER BY
@@ -2202,7 +2216,7 @@ object VersionedTable {
       .drop("__vt_z")
     commit(spark, root, base, m.schema,
       writeData(spark, root, rows, phys), m.meta, cdfNone = true,
-      op = "ZORDER BY")
+      op = "ZORDER BY", baseM = Some(m))
   }
 
   /** One-call table maintenance — the OPTIMIZE + VACUUM cron a
@@ -2264,8 +2278,15 @@ object VersionedTable {
     // table) are NEVER deleted — they are the source table's property;
     // only this table's own root-relative files are garbage here
     def owned(rel: String): Boolean = !new Path(rel).isAbsolute
-    drop.foreach { v =>
-      val m = readManifest(spark, root, v)
+    // MATERIALIZE every dropped version's file list BEFORE deleting
+    // anything: a checkpoint can be shared by several dropped versions
+    // (v1 wrote cp-A, v2 committed a delta against it), so deleting
+    // cp-A while processing v1 would make v2's lazy list unreadable
+    // and wedge the sweep mid-delete — force the loaders first, then
+    // delete
+    val droppedMs = drop.map(v => readManifest(spark, root, v))
+    droppedMs.foreach(_.files)
+    droppedMs.foreach { m =>
       m.files.map(_.rel).filter(owned).filterNot(referenced.contains)
         .foreach(rel => f.delete(new Path(root, rel), false))
       // change files belong to exactly one version — dropped with it
@@ -2276,8 +2297,9 @@ object VersionedTable {
       m.dvs.values.map(_._1).toSet[String].filter(owned)
         .filterNot(referencedDvs.contains)
         .foreach(rel => f.delete(new Path(root, rel), true))
-      f.delete(manifestPath(root, v), false)
-      f.delete(lockPath(root, v), false) // the version's CAS tombstone
+      f.delete(manifestPath(root, m.version), false)
+      // the version's CAS tombstone
+      f.delete(lockPath(root, m.version), false)
     }
     // sweep data/changes dirs emptied by the deletes, plus ORPHANS:
     // dirs no surviving manifest references, past the grace window (a

@@ -1113,6 +1113,34 @@ class VersionedTableSpec extends AnyFunSuite {
       (2 to 8).map(i => (i, s"n$i", i.toLong)).toSet)
   }
 
+  test("vacuum survives a checkpoint shared by multiple dropped versions") {
+    val root = freshRoot()
+    // v1: 600 files -> checkpointed layout (cp-A)
+    VersionedTable.create(spark, root,
+      dim((1 to 1200).map(i => (i, s"n$i", i.toLong)): _*)
+        .repartitionByRange(600, col("k")))
+    // v2: delta commit AGAINST cp-A (same checkpoint, one add line)
+    VersionedTable.append(spark, root, dim((1201, "x", 1L)))
+    // v3: compaction shrinks below the threshold -> plain manifest,
+    // cp-A now referenced ONLY by the to-be-dropped v1 and v2
+    VersionedTable.compact(spark, root,
+      smallFileBytes = 64L * 1024 * 1024, targetPartitions = 2)
+    // dropping v1 must not delete cp-A before v2's lazy file list is
+    // materialized — pre-fix this crashed mid-sweep and left the
+    // table un-vacuumable
+    VersionedTable.vacuum(spark, root, keepFrom = 3L,
+      orphanGraceMs = -1000L)
+    assert(VersionedTable.read(spark, root).count() == 1201)
+    // both old manifests and the shared checkpoint are gone
+    val mdir = new java.io.File(s"$root/_manifests")
+    assert(!mdir.listFiles().exists(_.getName.startsWith("cp-")))
+    assert(mdir.listFiles().count(_.getName.endsWith(".manifest")) == 1)
+    // and vacuum stays runnable (the wedge is what the bug caused)
+    VersionedTable.vacuum(spark, root, keepFrom = 3L,
+      orphanGraceMs = -1000L)
+    assert(VersionedTable.read(spark, root).count() == 1201)
+  }
+
   test("shallow clone: zero-copy fork, divergent writes, vacuum never eats borrowed files") {
     val work = java.nio.file.Files.createTempDirectory("graft_clone").toString
     val (src, dst) = (s"$work/src", s"$work/dst")
