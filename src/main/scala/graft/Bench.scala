@@ -114,6 +114,23 @@ object Bench {
         .mkString("{", ",", "}")
     val canary = s"""{"start":${canaryJson(canaryStart)},""" +
       s""""mid":${canaryJson(canaryMid)},"end":${canaryJson(canaryEnd)}}"""
+    // Self-adjudicated contention verdict (r13 verdict item 6): until
+    // now a human compared start vs end probes to decide whether a
+    // slow round was machine load or a code regression. Make the JSON
+    // carry the verdict itself: a run whose start probes took >2x the
+    // matching end probes (median ratio across the shared probe set)
+    // started contended and drained — its absolute timings are not
+    // comparable to an idle baseline. Probes that failed on either
+    // side are excluded; with no shared probe the ratio reports 1
+    // (no evidence = not contended).
+    val contentionRatio: Double = {
+      val endBy = canaryEnd.toMap
+      val ratios = canaryStart.flatMap { case (k, s) =>
+        endBy.get(k).filter(_ > 0).map(e => s / e) }.sorted
+      if (ratios.isEmpty) 1.0
+      else ratios(ratios.size / 2)
+    }
+    val contended = contentionRatio > 2.0
     val total = results.flatMap(_._2).sum
     val failed = results.collect { case (k, None) => s"\"$k\"" }
       .mkString("[", ",", "]")
@@ -139,7 +156,7 @@ object Bench {
     val shortQs = results.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + v.fold("null")(fmt2)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$shortQs,"failed":$failed,"canary":$canary,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$shortQs,"failed":$failed,"canary":$canary,"contended":$contended,"contention_ratio":${fmt(contentionRatio)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -161,9 +161,10 @@ object Similarity {
 
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, gridDims: Int = 4, blockings: Int = 1,
-      broadcastBudgetBytes: Long = 256L << 20): DataFrame = {
+      broadcastBudgetBytes: Long = 256L << 20,
+      maxCorpusRows: Long = 200000): DataFrame = {
     val (pairs, release) = cosineNearDupPairsStaged(df, idCol, vecCol,
-      threshold, gridDims, blockings, broadcastBudgetBytes)
+      threshold, gridDims, blockings, broadcastBudgetBytes, maxCorpusRows)
     // materialize the (near-dup-density-sized) output while the
     // corpus-sized base is still cached, then drop the base: the
     // caller's action replays only the cached pair partitions
@@ -184,11 +185,26 @@ object Similarity {
     * ZERO residual cache. */
   def cosineNearDupPairsStaged(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, gridDims: Int = 4, blockings: Int = 1,
-      broadcastBudgetBytes: Long = 256L << 20): (DataFrame, () => Unit) = {
+      broadcastBudgetBytes: Long = 256L << 20,
+      maxCorpusRows: Long = 200000): (DataFrame, () => Unit) = {
     require(threshold > 0.5 && threshold < 1.0,
       s"threshold $threshold: grid blocking needs a tight cosine bound")
     require(blockings >= 1, s"need at least one blocking: $blockings")
     val (nVecs, dim) = vecSizing(df, vecCol, "grid blocking", gridDims)
+    // Corpus-size gate (r13 verdict item 5): on isotropic embeddings
+    // ANY lossless blocker hits a measured candidate FLOOR of a few
+    // percent of all pairs (SCALING.md — concentration of measure), so
+    // this exact generator is quadratic past blocking's reach. It is
+    // the ORACLE for the approximate family, not the 100 TB path;
+    // raising maxCorpusRows is the explicit opt-in for a corpus you
+    // have sized (candidate count ~ 0.04 * n^2 at t=0.9).
+    require(nVecs <= maxCorpusRows,
+      s"cosineNearDupPairs: $nVecs vectors > maxCorpusRows $maxCorpusRows" +
+        " — exact grid-blocked cosine has a quadratic candidate floor on" +
+        " embedding corpora (SCALING.md). Use semanticDedupApprox /" +
+        " cosineNearDupPairsApprox (SRP-LSH, recall-audited: q129/q144)" +
+        " for production scale, or pass maxCorpusRows explicitly to" +
+        " opt in to the exact quadratic path.")
     val nSeg = math.max(1, (dim + gridDims - 1) / gridDims)
     val w = math.sqrt((2.0 - 2.0 * threshold) / nSeg) * 1.000001 // float slack
     val nrm = l2Norm(col(vecCol))
@@ -278,9 +294,10 @@ object Similarity {
     * this returns — the result depends only on the input scan and the
     * (driver-bounded) component labels. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, gridDims: Int = 4, blockings: Int = 1): DataFrame = {
+      threshold: Double, gridDims: Int = 4, blockings: Int = 1,
+      maxCorpusRows: Long = 200000): DataFrame = {
     val (pairs, release) = cosineNearDupPairsStaged(df, idCol, vecCol,
-      threshold, gridDims, blockings)
+      threshold, gridDims, blockings, maxCorpusRows = maxCorpusRows)
     try {
       Dedup.resolveClusters(df, idCol, pairs)
         .withColumn("keep", col(idCol) === col("cluster_id"))

@@ -87,6 +87,20 @@ class FuzzySpec extends AnyFunSuite {
     assert(blocked == brute && brute.nonEmpty)
   }
 
+  test("cosineNearDupPairs refuses an over-bound corpus and steers to the approx path") {
+    val vschema = StructType(Seq(StructField("id", LongType),
+      StructField("v", ArrayType(FloatType))))
+    val df = spark.createDataFrame(java.util.Arrays.asList(
+      (1L to 10L).map(i => Row(i, Seq.fill(8)(i.toFloat))): _*), vschema)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupPairs(df, "id", "v", 0.9, maxCorpusRows = 5)
+    }
+    assert(e.getMessage.contains("semanticDedupApprox"))
+    // the explicit opt-in works on the same corpus
+    assert(Similarity.cosineNearDupPairs(df, "id", "v", 0.9,
+      maxCorpusRows = 10).columns.contains("cosine_sim"))
+  }
+
   test("banded cosine blocking is lossless across dims, thresholds, and blockings") {
     // dim 64 = the production embedding shape (16 segments); dim 6
     // exercises the padded last segment (nSeg=2, two constant cells);
