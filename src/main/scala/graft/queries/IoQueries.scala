@@ -1028,10 +1028,84 @@ object IoQueries extends QueryPack {
           .filter(col("c_mktsegment") === "CLONED").count() == 0,
         "the source must not observe the clone's writes")
       VersionedTable.read(s, dst).orderBy(col("c_custkey"))
+    },
+
+    // The OBJECT-STORE commit path under the oracle gate (r13 verdict
+    // item 1): a full create → merge → delete → vacuum lifecycle with
+    // every manifest publish and version reservation routed through
+    // the conditional-put LogStore shim — the client a real S3/GCS
+    // deployment would register — over a simulated store that offers
+    // NO atomic rename and NO create-exclusive (LogStoreSpec proves
+    // the naive translations tear manifests and lose updates on it).
+    // In-query requires pin what the oracle can't see: the store's
+    // request log shows both primitives of every commit actually
+    // routed through the shim (2 conditional puts per commit — lock +
+    // manifest), vacuum retired the pre-delete history, and the
+    // surviving snapshot still time-travels. The emitted final state
+    // is oracle-checked row-for-row.
+    "q173_versioned_objectstore" -> { (s, dir) =>
+      import graft.sources.{ConditionalPutLogStore, LogStore,
+        SimulatedObjectStore, VersionedTable}
+      val root = tmp(s, s"vt_shim/${java.util.UUID.randomUUID()}")
+      val store = new SimulatedObjectStore
+      LogStore.register(root, new ConditionalPutLogStore(store))
+      try {
+        val base = graft.Tables.load(s, dir, "customer")
+          .filter(col("c_custkey") < 600)
+          .select(col("c_custkey"), col("c_name"),
+            CoreQueries.cents(col("c_acctbal")).as("cents"))
+        VersionedTable.create(s, root, base) // v1
+        val feed = graft.Tables.load(s, dir, "orders")
+          .filter(col("o_custkey") < 800)
+          .groupBy(col("o_custkey"))
+          .agg(sum(CoreQueries.cents(col("o_totalprice"))).as("cents"))
+          .select(col("o_custkey").as("c_custkey"),
+            concat(lit("merged_"), col("o_custkey").cast("string"))
+              .as("c_name"),
+            col("cents"))
+        val v2 = VersionedTable.merge(s, root, feed,
+          keys = Seq("c_custkey")) // v2
+        val v3 = VersionedTable.deleteWhere(s, root,
+          col("c_custkey") % 10 === 4) // v3
+        require(v2 == 2L && v3 == 3L,
+          s"lifecycle must land v2/v3, got $v2/$v3")
+        // 3 commits × (1 lock reservation + 1 manifest publish), all
+        // through the simulated object service — zero silent fallback
+        // to the POSIX default
+        require(store.condPuts.get() == 6L,
+          s"expected 6 conditional puts (2 per commit), " +
+            s"saw ${store.condPuts.get()}")
+        VersionedTable.vacuum(s, root, keepFrom = 3L,
+          orphanGraceMs = -1000L)
+        val mdir = new java.io.File(s"$root/_manifests")
+        val vs = mdir.listFiles().map(_.getName)
+          .filter(_.endsWith(".manifest")).sorted.toSeq
+        require(vs.size == 1 && vs.head.contains("3"),
+          s"vacuum must retire v1/v2, manifests left: $vs")
+        require(VersionedTable.read(s, root, Some(3L)).count() ==
+          VersionedTable.read(s, root).count(),
+          "the surviving version must still time-travel")
+        VersionedTable.read(s, root).orderBy(col("c_custkey"))
+      } finally LogStore.unregister(root)
     }
   )
 
   val oracles: Map[String, String] = Map(
+    "q173_versioned_objectstore" ->
+      """WITH base AS (SELECT c_custkey, c_name,
+        |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer WHERE c_custkey < 600),
+        |feed AS (SELECT o_custkey AS c_custkey,
+        |    'merged_' || CAST(o_custkey AS VARCHAR) AS c_name,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders WHERE o_custkey < 800 GROUP BY o_custkey),
+        |merged AS (SELECT COALESCE(b.c_custkey, f.c_custkey) AS c_custkey,
+        |    COALESCE(f.c_name, b.c_name) AS c_name,
+        |    COALESCE(f.cents, b.cents) AS cents
+        |  FROM base b FULL OUTER JOIN feed f ON b.c_custkey = f.c_custkey)
+        |SELECT c_custkey, c_name, cents FROM merged
+        |WHERE c_custkey % 10 <> 4
+        |ORDER BY c_custkey""".stripMargin,
     "q172_versioned_clone" ->
       """WITH base AS (SELECT c_custkey, c_mktsegment,
         |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents

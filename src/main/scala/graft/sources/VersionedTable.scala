@@ -53,9 +53,14 @@ import org.apache.spark.sql.types._
   * blindly), so running there requires swapping the two primitives
   * for a conditional put (S3 now supports If-None-Match) or an
   * external catalog/DynamoDB-style lock — the same single integration
-  * point Delta's LogStore abstracts. Everything else (immutable data
-  * files, parquet checkpoints, vacuum) is plain read/write/list and
-  * ports unchanged.
+  * point Delta's LogStore abstracts. Both primitives live behind
+  * exactly that seam here: [[LogStore]] (HadoopLogStore default;
+  * register a [[ConditionalPutLogStore]]-shaped client per table-root
+  * prefix for object stores — LogStoreSpec proves exactly-one-winner
+  * on a simulated non-atomic store, and q173 runs a full
+  * merge/delete/vacuum cycle through the shim under the oracle gate).
+  * Everything else (immutable data files, parquet checkpoints,
+  * vacuum) is plain read/write/list and ports unchanged.
   *
   * **File-count scale.** Above [[VersionedTable.CpThreshold]] files
   * the entry list lives in a parquet CHECKPOINT referenced by the
@@ -369,14 +374,15 @@ object VersionedTable {
     val dir = manifestDir(root)
     val f = fs(spark, dir)
     f.mkdirs(dir)
+    // Both atomicity-bearing calls below go through the LogStore seam
+    // (see LogStore.scala): HadoopLogStore on HDFS/POSIX, a
+    // conditional-put client on object stores.
+    val store = LogStore.forPath(root)
     val lock = lockPath(root, next)
-    try f.create(lock, /*overwrite=*/ false).close()
-    catch {
-      case _: java.io.IOException => throw new CommitConflict(
-        s"version $next of $root is already reserved or published — " +
-          "re-read the table, recompute against the new snapshot, and " +
-          "retry (or run recover() if a committer died mid-commit)")
-    }
+    if (!store.createExclusive(f, lock)) throw new CommitConflict(
+      s"version $next of $root is already reserved or published — " +
+        "re-read the table, recompute against the new snapshot, and " +
+        "retry (or run recover() if a committer died mid-commit)")
     // second-chance staleness check AFTER the reservation: if vacuum
     // dropped old versions, their lock tombstones went with them, and a
     // writer still holding a pre-vacuum base could re-acquire a retired
@@ -388,37 +394,38 @@ object VersionedTable {
         s"version $next of $root is retired (current is $cur) — the " +
           "base snapshot predates vacuumed history; re-read and retry")
     }
-    val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}")
-    val out = f.create(tmp, false)
-    try {
-      val w = new java.io.OutputStreamWriter(out, "UTF-8")
-      w.write(Magic + "\n")
-      w.write("schema=" + schema.json + "\n")
-      // a carried _ts/_op (from m.meta propagation) is overwritten
-      // with THIS commit's instant and operation
-      val stamped = meta +
-        (CommitTsKey -> System.currentTimeMillis.toString) + (OpKey -> op)
-      stamped.toSeq.sortBy(_._1).foreach { case (k, v) =>
-        w.write(s"meta $k=$v\n")
-      }
-      if (cdfNone) w.write("cdf none\n")
-      else changeFiles.foreach(c => w.write(s"cdf $c\n"))
-      // dv lines are per-version state (the FULL map each commit, like
-      // Delta's per-AddFile deletionVector field) — O(files-with-DVs)
-      // per commit; materializeDeletes / any rewrite clears them
-      dvs.toSeq.sortBy(_._1).foreach { case (fr, (dr, n)) =>
-        w.write(s"dv ${enc(fr)} ${enc(dr)} $n\n")
-      }
-      rep.cp match {
-        case Some((rel, n)) =>
-          w.write(s"cp $rel $n\n")
-          rep.removes.foreach(r => w.write(s"remove $r\n"))
-          rep.adds.foreach(e => w.write("add " + entryLine(e) + "\n"))
-        case None =>
-          rep.adds.foreach(e => w.write(entryLine(e) + "\n"))
-      }
-      w.flush(); w.close()
-    } finally if (out != null) try out.close() catch { case _: Throwable => }
+    // The manifest is bounded in memory — plain entry lines below
+    // CpThreshold, checkpoint reference + add/remove deltas above —
+    // so it is assembled as bytes and handed to the store's atomic
+    // publish in one call (temp+rename on HDFS/POSIX, a single
+    // conditional put on object stores; a multi-call streaming write
+    // could never be complete-or-absent on the latter).
+    val w = new java.lang.StringBuilder
+    w.append(Magic).append('\n')
+    w.append("schema=").append(schema.json).append('\n')
+    // a carried _ts/_op (from m.meta propagation) is overwritten
+    // with THIS commit's instant and operation
+    val stamped = meta +
+      (CommitTsKey -> System.currentTimeMillis.toString) + (OpKey -> op)
+    stamped.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      w.append(s"meta $k=$v\n")
+    }
+    if (cdfNone) w.append("cdf none\n")
+    else changeFiles.foreach(c => w.append(s"cdf $c\n"))
+    // dv lines are per-version state (the FULL map each commit, like
+    // Delta's per-AddFile deletionVector field) — O(files-with-DVs)
+    // per commit; materializeDeletes / any rewrite clears them
+    dvs.toSeq.sortBy(_._1).foreach { case (fr, (dr, n)) =>
+      w.append(s"dv ${enc(fr)} ${enc(dr)} $n\n")
+    }
+    rep.cp match {
+      case Some((rel, n)) =>
+        w.append(s"cp $rel $n\n")
+        rep.removes.foreach(r => w.append(s"remove $r\n"))
+        rep.adds.foreach(e => w.append("add " + entryLine(e) + "\n"))
+      case None =>
+        rep.adds.foreach(e => w.append(entryLine(e) + "\n"))
+    }
     // atomic publish: the manifest appears complete or not at all.
     // The lock is NOT deleted — it persists as the version's
     // reservation tombstone. Deleting it after publish reopens the
@@ -426,8 +433,9 @@ object VersionedTable {
     // could then create-exclusive the same lock and collide with the
     // published manifest (a lost update — caught by the two-writer
     // race spec). Tombstones are swept with their version by vacuum.
-    if (!f.rename(tmp, manifestPath(root, next)))
-      throw new java.io.IOException(s"rename to v$next manifest failed")
+    if (!store.publish(f, manifestPath(root, next),
+        w.toString.getBytes("UTF-8")))
+      throw new java.io.IOException(s"publish of v$next manifest failed")
     next
   }
 
