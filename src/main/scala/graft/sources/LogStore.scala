@@ -85,9 +85,27 @@ object LogStore {
   * the protocol VersionedTable inlined before the seam existed. */
 object HadoopLogStore extends LogStore {
 
-  override def createExclusive(fs: FileSystem, path: Path): Boolean =
-    try { fs.create(path, /*overwrite=*/ false).close(); true }
-    catch { case _: java.io.IOException => false }
+  override def createExclusive(fs: FileSystem, path: Path): Boolean = {
+    val uri = path.toUri
+    val local = uri.getScheme == null || uri.getScheme == "file"
+    if (local)
+      // Hadoop's local create(overwrite=false) is exists-then-create —
+      // a TOCTOU two PROCESSES can race through (in-JVM callers are
+      // saved by the client-side checksum lock, other processes are
+      // not). POSIX O_EXCL via Files.createFile is the real atomic
+      // create-exclusive; RaceProcessSpec hammers this cross-JVM.
+      try {
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(uri.getPath))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.io.IOException => false
+      }
+    else
+      try { fs.create(path, /*overwrite=*/ false).close(); true }
+      catch { case _: java.io.IOException => false }
+  }
 
   override def publish(fs: FileSystem, dst: Path, bytes: Array[Byte]): Boolean = {
     val tmp = new Path(dst.getParent, s".tmp-${java.util.UUID.randomUUID()}")
