@@ -31,6 +31,14 @@ final class PipelineContext(
     * ControlFlowExec once the flow's sinks have run (leak fix — a long
     * multi-flow pipeline must not accumulate cached parents). */
   val persisted: mutable.Buffer[DataFrame] = mutable.Buffer.empty
+  /** Physical plan of every sink's input frame, captured as the sink
+    * executes — the audit surface for multi-sink pipelines whose query
+    * entry returns only a post-hoc read (PlanAuditSpec's golden row:
+    * without this, the pipeline's real plans are invisible to the
+    * plan-regression guard). */
+  val sinkPlans: mutable.Buffer[(String, String)] = mutable.Buffer.empty
+  def recordSinkPlan(component: String, df: DataFrame): Unit =
+    sinkPlans += component -> df.queryExecution.executedPlan.toString
   def vars: Map[String, Any] = variables.toMap
   def unpersistAll(): Unit = {
     persisted.foreach(_.unpersist(false))
@@ -725,6 +733,7 @@ object DataFlowExec {
       val projected =
         if (columnMap.isEmpty) df
         else df.select(columnMap.map { case (c, e) => col(c).as(e) }: _*)
+      ctx.recordSinkPlan(comp.name, projected)
       ctx.writeTable(target, projected, mode)
       Map.empty
 
@@ -734,6 +743,7 @@ object DataFlowExec {
         case WriteMode.Overwrite => "overwrite"
         case WriteMode.Append => "append"
       }
+      ctx.recordSinkPlan(comp.name, df)
       var w = df.write.format(format).options(options).mode(m)
       if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
       w.save(path)
@@ -742,6 +752,7 @@ object DataFlowExec {
     case StagedCommand(_, table, columns) =>
       val df = single(inputs, comp)
       val staged = if (columns.isEmpty) df else df.select(columns.map(col): _*)
+      ctx.recordSinkPlan(comp.name, staged)
       ctx.writeTable(table, staged, WriteMode.Append)
       Map("out" -> df)
 
@@ -759,6 +770,7 @@ object DataFlowExec {
         if (columnMap.isEmpty) raw
         else raw.select(columnMap.map { case (c, t) => col(c).as(t) }: _*)
       val exists = VersionedTable.currentVersion(ctx.spark, root).isDefined
+      ctx.recordSinkPlan(comp.name, df)
       mode match {
         case "create" => VersionedTable.create(ctx.spark, root, df)
         case "createOrAppend" =>
@@ -777,11 +789,15 @@ object DataFlowExec {
       Map.empty
 
     case ExcelDestination(_, path, sheetName) =>
-      graft.sources.Excel.write(single(inputs, comp), path, sheetName)
+      val df = single(inputs, comp)
+      ctx.recordSinkPlan(comp.name, df)
+      graft.sources.Excel.write(df, path, sheetName)
       Map.empty
 
     case JdbcDestination(_, conn, dbtable, mode, batchSize) =>
-      graft.sources.Jdbc.write(single(inputs, comp), conn, dbtable, mode, batchSize)
+      val df = single(inputs, comp)
+      ctx.recordSinkPlan(comp.name, df)
+      graft.sources.Jdbc.write(df, conn, dbtable, mode, batchSize)
       Map.empty
 
     case RecordsetDestination(name, variable, maxRows) =>

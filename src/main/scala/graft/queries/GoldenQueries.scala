@@ -104,6 +104,28 @@ object GoldenQueries extends QueryPack {
       Path("cspl", "tr_nochg", fromPort = "NOCHANGE"),
       Path("cspl", "tr_nodel", fromPort = "NOCHG_DELETED")))
 
+  /** Execute the golden medium pipeline (build_target → dft_load) over
+    * `dir`, returning the context it ran in — per-sink physical plans
+    * captured inside ([[graft.dag.PipelineContext.sinkPlans]]), which
+    * is how PlanAuditSpec audits this multi-sink pipeline (the q18
+    * query entry returns only a post-hoc table read whose plan says
+    * nothing about the pipeline itself). */
+  def runGoldenMedium(s: SparkSession, dir: String): PipelineContext = {
+    val ctx = PipelineContext.overDir(s, dir)
+    val spec = PipelineSpec("golden",
+      tasks = Seq(
+        DataFlowTask("build_target", targetFlow),
+        DataFlowTask("dft_load", dftFlow)),
+      edges = Seq(PrecedenceEdge("build_target", "dft_load")))
+    val res = ControlFlowExec.run(spec, ctx)
+    require(res.succeeded("dft_load"),
+      s"dft_load failed: ${res.statuses("dft_load")}")
+    require(ctx.variables("User::FeedRows").asInstanceOf[Long] > 0L,
+      "golden feed empty: the fixture's custkey thresholds (240/1200) " +
+        "assume sf >= 0.01 (the driver gate's scale)")
+    ctx
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The 100 TB posture of the incremental pattern (SURVEY §7.4(5)):
     // same final dimension state as q18, but the expensive wide-row
@@ -167,18 +189,7 @@ object GoldenQueries extends QueryPack {
     },
 
     "q18_golden_medium" -> { (s, dir) =>
-      val ctx = PipelineContext.overDir(s, dir)
-      val spec = PipelineSpec("golden",
-        tasks = Seq(
-          DataFlowTask("build_target", targetFlow),
-          DataFlowTask("dft_load", dftFlow)),
-        edges = Seq(PrecedenceEdge("build_target", "dft_load")))
-      val res = ControlFlowExec.run(spec, ctx)
-      require(res.succeeded("dft_load"),
-        s"dft_load failed: ${res.statuses("dft_load")}")
-      require(ctx.variables("User::FeedRows").asInstanceOf[Long] > 0L,
-        "golden feed empty: the fixture's custkey thresholds (240/1200) " +
-          "assume sf >= 0.01 (the driver gate's scale)")
+      runGoldenMedium(s, dir)
 
       // dtsx:637-757 — OLE DB command ports as set rewrites, serialized:
       // UPDATE then DELETE then INSERT-append (control-flow order).
