@@ -171,6 +171,87 @@ object DtsxQueries extends QueryPack {
       s.table("sp_GenericUpdate_calls")
         .orderBy(col("CountryID_OLD"), col("CategoryID_OLD"),
           col("LocalCategoryID"), col("CheckSum_New"))
+    },
+
+    // The SAME reference package, run against a RENAMED catalog through
+    // a user-supplied schema-mapping file (r13 verdict item 3 — parity
+    // with the reference's schema_mapper.py + template JSON): every
+    // fixture table lives ONLY under its mapped bronze/silver name, the
+    // package is untouched, and the mapping file drives resolveTable /
+    // writeTable plus a raw-SQL rewrite for the statements that never
+    // pass through them (Execute SQL COUNT, lookup SqlCommands). The
+    // staged UPDATE table — read back from its MAPPED name — must hash-
+    // match the exact oracle q51 uses; any name that leaked through
+    // unmapped fails the run (the unmapped tables don't exist).
+    "q174_dtsx_schema_mapped" -> { (s, dir) =>
+      import graft.frontend.SchemaMapping
+      val n = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").cast("int").as("n"), col("n_name"))
+      val r = Tables.load(s, dir, "region")
+        .select(col("r_regionkey").cast("int").as("r"))
+      val grid = n.crossJoin(r)
+
+      s.sql("CREATE DATABASE IF NOT EXISTS bronze")
+      s.sql("CREATE DATABASE IF NOT EXISTS silver")
+      grid.select((lit(100) + col("r")).as("CategoryCode"),
+          col("n_name").as("CountryCode"),
+          concat(lit("desc_"), col("n")).as("Status"))
+        .write.mode("overwrite").saveAsTable("bronze.src_inputtable")
+      n.select((col("n") + 1000).as("LocalCategoryID"),
+          concat(lit("desc_"), col("n")).as("CategoryDescription"))
+        .write.mode("overwrite").saveAsTable("bronze.lkp_localcategorytable")
+      r.select(col("r").as("CategoryID"), (col("r") + 100).as("CategoryCode"))
+        .write.mode("overwrite").saveAsTable("bronze.lkp_categorytable")
+      n.select(col("n").as("CountryID"), col("n_name").as("CountryCode"))
+        .write.mode("overwrite").saveAsTable("bronze.lkp_countrytable")
+      val existing = grid.filter((col("n") + col("r")) % 3 =!= 2)
+        .select(col("n").as("CountryID"), col("r").as("CategoryID"),
+          when((col("n") + col("r")) % 2 === 0,
+            lit(1000) + col("n") * 2 + col("r")).otherwise(lit(999))
+            .as("ETLCheckSum"),
+          when(col("n") % 4 === 0, 1).otherwise(0).as("DeletedFlag"))
+        .unionByName(s.range(1).select(lit(-1).as("CountryID"),
+          lit(0).as("CategoryID"), lit(77).as("ETLCheckSum"),
+          lit(0).as("DeletedFlag")))
+        .unionByName(s.range(1).select(lit(999).as("CountryID"),
+          lit(999).as("CategoryID"), lit(555).as("ETLCheckSum"),
+          lit(0).as("DeletedFlag")))
+      existing.write.mode("overwrite").saveAsTable("silver.dst_generictable")
+      s.sql("DROP TABLE IF EXISTS silver.sp_genericupdate_calls")
+      s.sql("DROP TABLE IF EXISTS silver.sp_genericharddelete_calls")
+
+      // the mapping FILE a migration user would write — the reference's
+      // schema_mapping_template.json shape, loaded from disk
+      val mappingJson =
+        """{ "connection_mappings": {
+          |  "SRC_OLEDB": {
+          |    "databricks_schema": "bronze",
+          |    "table_mappings": { "dbo.SRC_InputTable": "src_inputtable" } },
+          |  "LKP_OLEDB": {
+          |    "databricks_schema": "bronze",
+          |    "table_mappings": {
+          |      "dbo.LKP_CategoryTable": "lkp_categorytable",
+          |      "dbo.LKP_CountryTable": "lkp_countrytable",
+          |      "dbo.LKP_LocalCategoryTable": "lkp_localcategorytable" } },
+          |  "DBX_Output": {
+          |    "databricks_schema": "silver",
+          |    "table_mappings": {
+          |      "dbo.DST_GenericTable": "dst_generictable",
+          |      "sp_GenericUpdate_calls": "sp_genericupdate_calls",
+          |      "sp_GenericHardDelete_calls": "sp_genericharddelete_calls" } }
+          |} }""".stripMargin
+      val mapFile = java.nio.file.Files.createTempFile("schema_mapping",
+        ".json")
+      java.nio.file.Files.write(mapFile, mappingJson.getBytes("UTF-8"))
+      val mapping = SchemaMapping.load(mapFile.toString)
+
+      val spec = mapping.rewrite(Dtsx.parseFile(PackagePath))
+      ControlFlowExec.run(spec,
+        mapping.context(PipelineContext.overCatalog(s)))
+
+      s.table("silver.sp_genericupdate_calls")
+        .orderBy(col("CountryID_OLD"), col("CategoryID_OLD"),
+          col("LocalCategoryID"), col("CheckSum_New"))
     }
   )
 
@@ -182,7 +263,13 @@ object DtsxQueries extends QueryPack {
         |UNION ALL
         |SELECT '__ALL__' AS g, CAST(SUM(v) AS BIGINT) AS sv, COUNT(*) AS cnt FROM src
         |ORDER BY g""".stripMargin,
-    "q51_dtsx_medium" ->
+    "q51_dtsx_medium" -> mediumStagedSql,
+    // identical semantics, renamed physical catalog: the mapping layer
+    // must be invisible in the data
+    "q174_dtsx_schema_mapped" -> mediumStagedSql
+  )
+
+  private lazy val mediumStagedSql: String =
       """WITH n AS (SELECT CAST(n_nationkey AS INT) AS n, n_name FROM nation),
         |r AS (SELECT CAST(r_regionkey AS INT) AS r FROM region),
         |feed AS (
@@ -209,5 +296,4 @@ object DtsxQueries extends QueryPack {
         |  AND coalesce(cs_new, -1) <> coalesce(ets, -1)
         |ORDER BY CountryID_OLD NULLS FIRST, CategoryID_OLD NULLS FIRST,
         |  LocalCategoryID NULLS FIRST, CheckSum_New""".stripMargin
-  )
 }
