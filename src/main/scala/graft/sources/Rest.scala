@@ -22,6 +22,27 @@ import org.apache.spark.sql.types.{ArrayType, StructType}
   * large payload document set stays distributed: one input file per
   * partition, no driver-side JSON parsing.
   */
+/** The fetch seam (r13 verdict item 4): URL → payload bytes, plus the
+  * pagination hook. The reference performs a driver-side
+  * `requests.get` (enhanced_json_mapper.py:134-152) — same stance
+  * here: fetching is a driver-side, page-bounded act; PARSING stays
+  * distributed (pages land as files, Spark's JSON reader takes over).
+  * The sandbox default is [[Rest.FileTransport]] (file:// only,
+  * http(s) rejected — zero egress); a production deployment registers
+  * an HTTP client, and RestSpec drives pagination + error handling
+  * through a stub without any network. */
+trait RestTransport {
+
+  /** Fetch one page's payload. Failures should throw — [[Rest.readVia]]
+    * wraps them with the offending URL. */
+  def fetch(url: String): Array[Byte]
+
+  /** The next page's URL given the page just fetched, or None when
+    * done (covers link-header / cursor-in-body styles: the payload is
+    * in hand). Default: single page. */
+  def nextPage(url: String, payload: Array[Byte]): Option[String] = None
+}
+
 object Rest {
 
   sealed private[sources] trait Step
@@ -95,6 +116,46 @@ object Rest {
     require(flags.size <= 1,
       s"Rest: payload set at $path mixes top-level arrays and objects")
     flags.headOption.getOrElse(false)
+  }
+
+  /** The sandbox-default transport: file:// URLs (and bare paths) read
+    * locally; http(s) rejected with the zero-egress error. One URL =
+    * one payload file (directory payload sets take the [[read]] fast
+    * path, which never funnels bytes through the driver). */
+  object FileTransport extends RestTransport {
+    override def fetch(url: String): Array[Byte] =
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(localPath(url)))
+  }
+
+  /** [[read]] with the fetch behind an injected [[RestTransport]]:
+    * pages are fetched driver-side (bounded by `maxPages` — a cyclic
+    * or runaway pagination chain is an error, not a hang), staged as
+    * one file each, then parsed/navigated DISTRIBUTED by the same
+    * machinery as [[read]]. Pages must share the payload shape (all
+    * top-level arrays or all objects — enforced downstream). */
+  def readVia(spark: SparkSession, transport: RestTransport, url: String,
+      jsonPath: String = "$", schemaDdl: Option[String] = None,
+      maxPages: Int = 1000): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rest")
+    var next = Option(url)
+    var n = 0
+    while (next.isDefined) {
+      if (n >= maxPages) sys.error(
+        s"Rest: pagination exceeded $maxPages pages from $url — " +
+          "cyclic nextPage chain, or raise maxPages for a real one")
+      val u = next.get
+      val payload =
+        try transport.fetch(u)
+        catch { case e: Exception =>
+          throw new java.io.IOException(
+            s"Rest: fetch failed for $u (page ${n + 1}): ${e.getMessage}", e)
+        }
+      java.nio.file.Files.write(dir.resolve(f"page$n%05d.json"), payload)
+      next = transport.nextPage(u, payload)
+      n += 1
+    }
+    read(spark, dir.toString, jsonPath, schemaDdl)
   }
 
   /** Read a JSON payload at `url`, navigate `jsonPath`, return a frame
