@@ -199,6 +199,60 @@ object Scale {
     l.join(r, keys :+ "__graft_salt", "inner").drop("__graft_salt")
   }
 
+  /** Derive the salt factor from the LEFT side's own key histogram —
+    * the auto-dial (r13 verdict item 10) so the 100 TB user doesn't
+    * hand-tune [[saltedJoinBy]]. One map-side-combined aggregate over
+    * the (optionally sampled) keys yields the hottest key's share and
+    * the total; the factor is how many fair partition shares the
+    * hottest key occupies:
+    *
+    *   factor = ceil(maxKeyRows / (totalRows / shufflePartitions))
+    *
+    * clamped to [1, maxFactor]. A uniform key space derives factor 1
+    * and [[saltedJoinAuto]] then skips salting entirely (zero overhead
+    * on the non-skewed path). The histogram pass shuffles O(distinct
+    * sampled keys) rows (map-side combine) — at billions of distinct
+    * keys set `sampleFraction` < 1: relative frequencies of the hot
+    * keys (the only thing the formula reads) survive uniform sampling,
+    * and the fair-share denominator scales identically so the ratio is
+    * unbiased wherever the hot key has sample mass at all. */
+  def hotKeyFactor(df: DataFrame, keys: Seq[String],
+      sampleFraction: Double = 1.0, maxFactor: Int = 64): Int = {
+    require(sampleFraction > 0 && sampleFraction <= 1.0,
+      s"sampleFraction $sampleFraction out of (0, 1]")
+    val partitions =
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val sampled =
+      if (sampleFraction >= 1.0) df
+      else df.sample(withReplacement = false, sampleFraction, seed = 42L)
+    val r = sampled.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n")).as("__mx"), sum(col("__n")).as("__total"))
+      .head()
+    if (r.isNullAt(0)) 1 // empty input: nothing to spread
+    else {
+      val mx = r.getLong(0)
+      val total = r.getLong(1)
+      val fair = math.max(1L, total / math.max(1, partitions))
+      math.min(maxFactor.toLong,
+        math.max(1L, (mx + fair - 1) / fair)).toInt
+    }
+  }
+
+  /** [[saltedJoinBy]] with the factor derived by [[hotKeyFactor]];
+    * factor 1 (no observed skew) takes the plain join — the auto path
+    * costs nothing when the data isn't skewed. Returns the joined
+    * frame plus the factor it chose (for logging/regression pinning;
+    * SkewBench measures the auto dial within range of the hand-tuned
+    * factor on the worst-case 50%-hot-key workload). */
+  def saltedJoinAuto(left: DataFrame, right: DataFrame, keys: Seq[String],
+      saltOn: Column, sampleFraction: Double = 1.0,
+      maxFactor: Int = 64): (DataFrame, Int) = {
+    val factor = hotKeyFactor(left, keys, sampleFraction, maxFactor)
+    if (factor <= 1) (left.join(right, keys, "inner"), 1)
+    else (saltedJoinBy(left, right, keys, factor, saltOn), factor)
+  }
+
   /** Checksum prefilter for incremental loads (SURVEY §7.4 item 5 —
     * the engine optimization the reference's codegen can't express):
     * instead of full-outer-joining BOTH complete sides, first join only

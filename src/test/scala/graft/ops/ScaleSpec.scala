@@ -194,4 +194,32 @@ class ScaleSpec extends AnyFunSuite {
       .select("k", "payload", "name").collect().toSet
     assert(saltedDet == plain)
   }
+
+  test("auto salt factor: hottest key's fair-share multiple, 1 when uniform") {
+    // 50% hot key over 32 shuffle partitions: the hot key holds 16
+    // fair shares -> factor 16 (the formula, exactly)
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val skewed = spark.range(0, 10000)
+      .select(when(col("id") < 5000, 0L).otherwise(col("id")).as("k"),
+        col("id").as("payload"))
+    val expected = math.min(64,
+      math.ceil(5000.0 / math.max(1, 10000 / parts)).toInt)
+    assert(Scale.hotKeyFactor(skewed, Seq("k")) == expected)
+    // uniform keys: factor 1, and the auto join takes the plain path
+    val uniform = spark.range(0, 10000)
+      .select(col("id").as("k"), col("id").as("payload"))
+    assert(Scale.hotKeyFactor(uniform, Seq("k")) == 1)
+    // sampled histogram still sees a 50% hot key
+    assert(Scale.hotKeyFactor(skewed, Seq("k"), sampleFraction = 0.2) >=
+      expected / 2)
+    // auto join: same rows as the plain join on the skewed shape
+    val right = Seq((0L, "hot"), (7500L, "cold"), (99999L, "unmatched"))
+      .toDF("k", "name")
+    val plain = skewed.join(right, Seq("k"), "inner")
+      .select("k", "payload", "name").collect().toSet
+    val (auto, factor) = Scale.saltedJoinAuto(skewed, right, Seq("k"),
+      col("payload"))
+    assert(factor == expected)
+    assert(auto.select("k", "payload", "name").collect().toSet == plain)
+  }
 }

@@ -112,6 +112,16 @@ object SkewBench {
       agg(Scale.saltedJoinBy(fact, dim, Seq("k"), saltFactor,
         saltOn = col("v")))
     }
+    // the auto dial (r13 verdict item 10): factor from a 5%-sampled
+    // key histogram, no hand tuning — the histogram pass is INSIDE the
+    // timing (it is part of what the auto path costs)
+    val autoFactor = Scale.hotKeyFactor(fact, Seq("k"),
+      sampleFraction = 0.05)
+    println(s"SKEWBENCH auto-factor=$autoFactor (hand-tuned=$saltFactor)")
+    timed("auto", skewJoinOn = false) {
+      agg(Scale.saltedJoinAuto(fact, dim, Seq("k"), saltOn = col("v"),
+        sampleFraction = 0.05)._1)
+    }
     spark.stop()
   }
 }
