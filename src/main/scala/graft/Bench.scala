@@ -80,9 +80,20 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val toRun = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    // one untimed pass first: the probes' own codegen/first-run cost
-    // must not masquerade as start-phase contention
-    canaryProbe()
+    // untimed passes until the probes reach JIT steady state (two
+    // consecutive passes within 20%, max 5): ONE warmup pass was not
+    // enough — the first timed probes then measure C2 compilation,
+    // not machine load, and an IDLE run self-labels contended
+    // (measured ~1.5-2x intrinsic warm-up vs the 4-6x a genuinely
+    // contended round shows)
+    var warmPrev = Double.MaxValue
+    var warmPasses = 0
+    var warmCur = canaryProbe().map(_._2).sum
+    while (warmPasses < 4 && warmCur < warmPrev * 0.8) {
+      warmPrev = warmCur
+      warmCur = canaryProbe().map(_._2).sum
+      warmPasses += 1
+    }
     val canaryStart = canaryProbe()
     val midAt = toRun.size / 2
     var canaryMid: Seq[(String, Double)] = Nil
@@ -117,11 +128,14 @@ object Bench {
     // Self-adjudicated contention verdict (r13 verdict item 6): until
     // now a human compared start vs end probes to decide whether a
     // slow round was machine load or a code regression. Make the JSON
-    // carry the verdict itself: a run whose start probes took >2x the
+    // carry the verdict itself: a run whose start probes took >3x the
     // matching end probes (median ratio across the shared probe set)
     // started contended and drained — its absolute timings are not
-    // comparable to an idle baseline. Probes that failed on either
-    // side are excluded; with no shared probe the ratio reports 1
+    // comparable to an idle baseline. Threshold 3 sits between the
+    // residual same-JVM warm-up an idle run shows even after the
+    // steady-state passes (<= ~2x) and the 4-6x a genuinely contended
+    // driver round showed (r13). Probes that failed on either side
+    // are excluded; with no shared probe the ratio reports 1
     // (no evidence = not contended).
     val contentionRatio: Double = {
       val endBy = canaryEnd.toMap
@@ -130,7 +144,7 @@ object Bench {
       if (ratios.isEmpty) 1.0
       else ratios(ratios.size / 2)
     }
-    val contended = contentionRatio > 2.0
+    val contended = contentionRatio > 3.0
     val total = results.flatMap(_._2).sum
     val failed = results.collect { case (k, None) => s"\"$k\"" }
       .mkString("[", ",", "]")
