@@ -896,4 +896,64 @@ object Similarity {
       .orderBy(col("cosine_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  // ---- hybrid retrieval: lexical + vector, RRF fusion -------------------
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    * of ranked retrieval lists — the standard way a RAG / retrieval-
+    * eval pipeline combines BM25 and embedding search without score
+    * calibration: RRF(d) = Σ_lists 1/(rrfK + rank_d), documents
+    * missing from a list contribute nothing there. Each input is
+    * (id, score); ranks are 1-based by (score desc, id asc).
+    *
+    * Scale shape: every input list is already CANDIDATE-BOUNDED (a
+    * top-N from its retriever), so the rank windows and the fusion
+    * join run over hundreds of rows — the single-partition window
+    * exchange here is over the candidate list, never the corpus (the
+    * corpus-scale work happened inside each retriever, which is where
+    * this operator's inputs come from by construction). Output:
+    * (idCol, rrf_score, rank_1..rank_n) — per-list ranks ride along
+    * null-padded so downstream evals can attribute the fusion. */
+  def rrfFuse(lists: Seq[(DataFrame, String)], idCol: String,
+      topN: Int, rrfK: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(topN > 0 && rrfK > 0, s"bad topN=$topN / rrfK=$rrfK")
+    val ranked = lists.zipWithIndex.map { case ((df, scoreCol), i) =>
+      val w = Window.orderBy(col(scoreCol).desc, col(idCol))
+      df.select(col(idCol), col(scoreCol))
+        .withColumn(s"rank_${i + 1}", row_number().over(w))
+        .drop(scoreCol)
+    }
+    val joined = ranked.reduce(_.join(_, Seq(idCol), "full_outer"))
+    val rrf = (1 to lists.size).map(i =>
+        coalesce(lit(1.0) / (lit(rrfK) + col(s"rank_$i")), lit(0.0)))
+      .reduce(_ + _)
+    joined.withColumn("rrf_score", round(rrf, 9))
+      .orderBy(col("rrf_score").desc, col(idCol))
+      .limit(topN)
+  }
+
+  /** Hybrid top-k retrieval: BM25 over `textCol` fused with cosine
+    * similarity of `vecCol` against `queryVec`, by [[rrfFuse]]. The
+    * frame carries BOTH representations of each document (the id
+    * spaces are one). Each retriever cuts to `candidates` first —
+    * corpus-scale work is one stats aggregate + pure-projection
+    * scoring + a distributed TakeOrdered per retriever; only the
+    * candidate lists meet. Cosine is rounded at 1e-6 BEFORE ranking
+    * (the q27 discipline: float sum order must never decide a rank
+    * across engines). Output: (idCol, rrf_score, rank_1=lexical,
+    * rank_2=vector). */
+  def hybridTopK(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], vecCol: String, queryVec: Seq[Double],
+      candidates: Int, topN: Int, rrfK: Int = 60): DataFrame = {
+    require(candidates >= topN, s"candidates $candidates < topN $topN")
+    val lex = TextAnalysis.bm25TopN(df, idCol, textCol, queryTerms,
+      topN = candidates)
+    val vec = df.select(col(idCol),
+        round(cosine(col(vecCol),
+          typedlit(queryVec).cast("array<float>")), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(candidates)
+    rrfFuse(Seq(lex -> "bm25", vec -> "cos"), idCol, topN, rrfK)
+  }
 }

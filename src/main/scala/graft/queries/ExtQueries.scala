@@ -986,6 +986,35 @@ object ExtQueries extends QueryPack {
         .orderBy(col("bm25").desc, col("doc_id"))
     },
 
+    // Hybrid retrieval (the RAG-stack shape): BM25 lexical candidates
+    // fused with embedding-cosine candidates by reciprocal-rank fusion
+    // (Cormack et al. SIGIR 2009) — no score calibration, just ranks.
+    // Corpus-scale work stays inside each retriever (stats aggregate +
+    // pure-projection scoring + distributed TakeOrdered); only the two
+    // 100-row candidate lists meet in the fusion join. The query
+    // vector is document 42's own embedding (a bounded single-row
+    // collect); cosine rounds at 1e-6 before ranking (the q27
+    // discipline) so float sum order can't flip a rank between
+    // engines. The oracle replays both retrievers and the fusion.
+    "q175_hybrid_retrieval" -> { (s, dir) =>
+      // each retriever over its NATURAL domain (all documents for
+      // BM25; the embedded subset for vector search — at sf>0.01 not
+      // every document carries an embedding, the realistic shape);
+      // RRF is exactly the fusion that tolerates partial overlap
+      val lex = TextAnalysis.bm25TopN(docs(s, dir), "doc_id", "text",
+        queryTerms = Seq("hash", "join", "spark"), topN = 100)
+      val qv = embs(s, dir).filter(col("vec_id") === 42)
+        .select(col("embedding")).head().getSeq[Float](0)
+        .map(_.toDouble).toSeq
+      val vec = embs(s, dir).select(col("vec_id").as("doc_id"),
+          round(Similarity.cosine(col("embedding"),
+            typedLit(qv).cast("array<float>")), 6).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id"))
+        .limit(100)
+      Similarity.rrfFuse(Seq(lex -> "bm25", vec -> "cos"), "doc_id",
+        topN = 50)
+    },
+
     // Unigram LM quality score: per-doc mean token log-probability
     // under the corpus distribution — the cheap fluency proxy between
     // heuristic quality flags and a real LM.
@@ -1958,6 +1987,45 @@ object ExtQueries extends QueryPack {
         |  GROUP BY tk.doc_id)
         |SELECT doc_id, bm25 FROM sc
         |ORDER BY bm25 DESC, doc_id LIMIT 100""".stripMargin,
+    "q175_hybrid_retrieval" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS t
+        |  FROM documents),
+        |st AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(len(t)) AS DOUBLE) / COUNT(*) AS avgdl FROM tk),
+        |q AS (SELECT unnest(['hash', 'join', 'spark']) AS term),
+        |dfq AS (SELECT q.term,
+        |    (SELECT COUNT(*) FROM tk WHERE list_contains(tk.t, q.term))
+        |      AS dfc FROM q),
+        |sc AS (SELECT tk.doc_id,
+        |    round(SUM(
+        |      ln((st.n - dfq.dfc + 0.5) / (dfq.dfc + 0.5) + 1.0)
+        |      * len(list_filter(tk.t, x -> x = dfq.term)) * 2.2
+        |      / (len(list_filter(tk.t, x -> x = dfq.term))
+        |         + 1.2 * (0.25 + 0.75 * len(tk.t) / st.avgdl))), 6)
+        |      AS bm25
+        |  FROM tk CROSS JOIN dfq CROSS JOIN st
+        |  GROUP BY tk.doc_id),
+        |lex AS (SELECT doc_id, bm25 FROM sc
+        |  ORDER BY bm25 DESC, doc_id LIMIT 100),
+        |lexr AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+        |    ORDER BY bm25 DESC, doc_id) AS INT) AS rank_1 FROM lex),
+        |qv AS (SELECT embedding FROM embeddings WHERE vec_id = 42),
+        |cosb AS (SELECT e.vec_id AS doc_id,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |      CAST(qv.embedding AS DOUBLE[])), 6) AS cos
+        |  FROM embeddings e CROSS JOIN qv),
+        |vec AS (SELECT doc_id, cos FROM cosb
+        |  ORDER BY cos DESC, doc_id LIMIT 100),
+        |vecr AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+        |    ORDER BY cos DESC, doc_id) AS INT) AS rank_2 FROM vec),
+        |f AS (SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+        |    l.rank_1, v.rank_2,
+        |    round(COALESCE(1.0 / (60 + l.rank_1), 0)
+        |        + COALESCE(1.0 / (60 + v.rank_2), 0), 9) AS rrf_score
+        |  FROM lexr l FULL JOIN vecr v ON l.doc_id = v.doc_id)
+        |SELECT doc_id, rank_1, rank_2, rrf_score FROM f
+        |ORDER BY rrf_score DESC, doc_id LIMIT 50""".stripMargin,
     "q167_nb_quality" ->
       """WITH d AS (SELECT doc_id, text,
         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos

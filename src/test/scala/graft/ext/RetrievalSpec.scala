@@ -1,0 +1,67 @@
+package graft.ext
+
+import graft.TestSpark
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Reciprocal-rank fusion semantics pinned by hand: rank assignment,
+  * the missing-document contribution, tie-breaks, and the hybridTopK
+  * convenience equaling the manual composition. */
+class RetrievalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("rrfFuse: hand-computed scores, missing docs contribute zero") {
+    // lexical list: a(1), b(2), c(3); vector list: c(1), a(2), d(3)
+    val lex = Seq(("a", 9.0), ("b", 5.0), ("c", 2.0)).toDF("id", "s")
+    val vec = Seq(("c", 0.99), ("a", 0.90), ("d", 0.80)).toDF("id", "s")
+    val out = Similarity.rrfFuse(Seq(lex -> "s", vec -> "s"), "id",
+        topN = 10, rrfK = 60)
+      .collect().map(r => (r.getString(0), r.get(1), r.get(2),
+        r.getDouble(3))).toList
+    def rrf(rs: Int*): Double =
+      BigDecimal(rs.map(r => 1.0 / (60 + r)).sum)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // a: 1/(60+1)+1/(60+2); c: 1/(60+3)+1/(60+1); b: 1/(60+2); d: 1/(60+3)
+    assert(out == List(
+      ("a", 1, 2, rrf(1, 2)),
+      ("c", 3, 1, rrf(3, 1)),
+      ("b", 2, null, rrf(2)),
+      ("d", null, 3, rrf(3))))
+  }
+
+  test("rrfFuse: ties in a list break by id in rank assignment") {
+    val l = Seq(("b", 1.0), ("a", 1.0), ("c", 0.5)).toDF("id", "s")
+    val out = Similarity.rrfFuse(Seq(l -> "s"), "id", topN = 3)
+      .select("id", "rank_1").as[(String, Int)].collect().toList
+    assert(out.sortBy(_._2) == List(("a", 1), ("b", 2), ("c", 3)))
+  }
+
+  test("hybridTopK equals the manual bm25 + cosine + rrfFuse composition") {
+    val vschema = StructType(Seq(StructField("id", LongType),
+      StructField("text", StringType),
+      StructField("v", ArrayType(FloatType))))
+    val rnd = new scala.util.Random(5)
+    val words = Seq("spark", "hash", "join", "scan", "sort", "merge")
+    val rows = (1L to 40L).map { i =>
+      val text = Seq.fill(12)(words(rnd.nextInt(words.size))).mkString(" ")
+      Row(i, text, Seq.fill(8)(rnd.nextGaussian().toFloat))
+    }
+    val df = spark.createDataFrame(java.util.Arrays.asList(rows: _*), vschema)
+    val qv = Seq.fill(8)(rnd.nextGaussian())
+    val viaApi = Similarity.hybridTopK(df, "id", "text",
+        Seq("spark", "hash"), "v", qv, candidates = 20, topN = 10)
+      .collect().toSeq
+    val lex = TextAnalysis.bm25TopN(df, "id", "text",
+      Seq("spark", "hash"), topN = 20)
+    val vec = df.select(col("id"),
+        round(Similarity.cosine(col("v"),
+          typedLit(qv).cast("array<float>")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("id")).limit(20)
+    val manual = Similarity.rrfFuse(Seq(lex -> "bm25", vec -> "cos"),
+      "id", topN = 10).collect().toSeq
+    assert(viaApi == manual && viaApi.size == 10)
+  }
+}
