@@ -1,0 +1,88 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranking-quality evaluation — the measurement leg of the retrieval
+  * family ([[TextAnalysis.bm25TopN]] lexical, [[Similarity.bruteForceTopK]]
+  * / LSH / IVF vector, [[Similarity.rrfFuse]] hybrid): recall@k,
+  * precision@k, MRR@k and nDCG@k (Järvelin & Kekäläinen, TOIS 2002;
+  * exponential-gain form) against graded relevance judgments,
+  * macro-averaged over judged queries.
+  *
+  * Scale shape: `results` is candidate-bounded per query (each row set
+  * came out of a retriever's top-N) and `qrels` is judgment-bounded —
+  * both grow with |queries|, never with the corpus. Every window and
+  * aggregate partitions by the query id, so the work distributes across
+  * queries; the only cross joins are against the broadcast literal
+  * cutoff list. No driver-side collection.
+  */
+object Retrieval {
+
+  /** Compute recall/precision/MRR/nDCG at each cutoff in `ks`.
+    *
+    * `results`: (queryCol, docCol, scoreCol) ranked candidates — ranks
+    * are assigned here as (score desc, doc asc), so pre-round any
+    * float score whose ties must break identically across engines.
+    * `qrels`: (queryCol, docCol, relCol) graded judgments, unique per
+    * (query, doc); rel <= 0 rows are ignored. Retrieved documents
+    * without a judgment count as non-relevant; queries with no
+    * positive judgment are excluded from the macro-average (the
+    * trec_eval convention). MRR uses the first rank with rel > 0;
+    * nDCG uses gain 2^rel - 1 with the ideal ranking truncated at k.
+    * Output: one row per cutoff, (k, recall, precision, mrr, ndcg),
+    * metrics rounded at 1e-6. */
+  def metrics(results: DataFrame, qrels: DataFrame, queryCol: String,
+      docCol: String, scoreCol: String, relCol: String,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ > 0), s"bad cutoffs: $ks")
+    val spark = results.sparkSession
+    import spark.implicits._
+    val kdf = broadcast(ks.distinct.sorted.toDF("k"))
+
+    val wr = Window.partitionBy(queryCol)
+      .orderBy(col(scoreCol).desc, col(docCol))
+    val judged = results.select(col(queryCol), col(docCol), col(scoreCol))
+      .withColumn("rank", row_number().over(wr))
+      .join(qrels.select(col(queryCol), col(docCol),
+          col(relCol).cast("double").as("rel")),
+        Seq(queryCol, docCol), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0.0)))
+
+    val inK = col("rank") <= col("k")
+    val perQK = judged.crossJoin(kdf)
+      .groupBy(col(queryCol), col("k"))
+      .agg(
+        sum(when(inK && col("rel") > 0, 1L).otherwise(0L)).as("hits"),
+        min(when(inK && col("rel") > 0, col("rank"))).as("first_rel"),
+        sum(when(inK, (pow(lit(2.0), col("rel")) - 1.0)
+          / log2(col("rank") + 1)).otherwise(0.0)).as("dcg"))
+
+    val wi = Window.partitionBy(queryCol)
+      .orderBy(col("rel").desc, col(docCol))
+    val ideal = qrels.select(col(queryCol), col(docCol),
+        col(relCol).cast("double").as("rel"))
+      .filter(col("rel") > 0)
+      .withColumn("irank", row_number().over(wi))
+      .crossJoin(kdf)
+      .groupBy(col(queryCol), col("k"))
+      .agg(
+        count(lit(1)).as("tot_rel"),
+        sum(when(col("irank") <= col("k"),
+          (pow(lit(2.0), col("rel")) - 1.0)
+            / log2(col("irank") + 1)).otherwise(0.0)).as("idcg"))
+
+    // inner join: a query with no positive judgment has no ideal
+    // ranking — excluded from the macro-average by construction
+    perQK.join(ideal, Seq(queryCol, "k"))
+      .groupBy(col("k"))
+      .agg(
+        round(avg(col("hits") / col("tot_rel")), 6).as("recall"),
+        round(avg(col("hits") / col("k")), 6).as("precision"),
+        round(avg(coalesce(lit(1.0) / col("first_rel"), lit(0.0))), 6)
+          .as("mrr"),
+        round(avg(col("dcg") / col("idcg")), 6).as("ndcg"))
+      .orderBy(col("k"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Retrieval, Similarity, TextAnalysis}
 
 /** BASELINE extension queries over documents/embeddings: dedup (exact,
   * MinHash-LSH, SimHash, n-gram Jaccard), similarity search (brute-force
@@ -1013,6 +1013,40 @@ object ExtQueries extends QueryPack {
         .limit(100)
       Similarity.rrfFuse(Seq(lex -> "bm25", vec -> "cos"), "doc_id",
         topN = 50)
+    },
+
+    // Retrieval evaluation (trec_eval semantics): recall/precision/
+    // MRR/nDCG@{5,10,20} of exact cosine top-20 runs, judged against
+    // label-derived graded qrels (same label rel=2, adjacent rel=1).
+    // Queries are vec_id % 100 == 7 (5 at sf0.01, 20 at sf0.1);
+    // results and qrels are both query-bounded, so every downstream
+    // window/aggregate partitions by query_id — corpus-scale work is
+    // only the broadcast-query scoring pass. Cosine rounds at 1e-6
+    // BEFORE the top-20 cut and ranking (the q27 discipline) so the
+    // k-boundary and tie-breaks agree across engines.
+    "q176_retrieval_metrics" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") % 100 === 7)
+      val scored = e.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("cv"), col("label").as("nlab"))
+        .crossJoin(broadcast(q.select(col("vec_id").as("query_id"),
+          col("embedding").as("qv"), col("label").as("qlab"))))
+        .filter(col("query_id") =!= col("neighbor_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(col("score").desc, col("neighbor_id"))
+      val results = scored
+        .select(col("query_id"), col("neighbor_id"),
+          round(Similarity.cosine(col("cv"), col("qv")), 6).as("score"))
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 20)
+        .drop("rnk")
+      val qrels = scored
+        .withColumn("rel", when(col("qlab") === col("nlab"), 2)
+          .when(abs(col("qlab") - col("nlab")) === 1, 1).otherwise(0))
+        .filter(col("rel") > 0)
+        .select("query_id", "neighbor_id", "rel")
+      Retrieval.metrics(results, qrels, "query_id", "neighbor_id",
+        "score", "rel", Seq(5, 10, 20))
     },
 
     // Unigram LM quality score: per-doc mean token log-probability
@@ -2026,6 +2060,52 @@ object ExtQueries extends QueryPack {
         |  FROM lexr l FULL JOIN vecr v ON l.doc_id = v.doc_id)
         |SELECT doc_id, rank_1, rank_2, rrf_score FROM f
         |ORDER BY rrf_score DESC, doc_id LIMIT 50""".stripMargin,
+    "q176_retrieval_metrics" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+        |    label AS qlab FROM embeddings WHERE vec_id % 100 = 7),
+        |pairs AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    q.qlab, e.label AS nlab,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |      CAST(q.qv AS DOUBLE[])), 6) AS score
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.vec_id <> q.query_id),
+        |res AS (SELECT query_id, neighbor_id, score,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM pairs QUALIFY rank <= 20),
+        |qrels AS (SELECT query_id, neighbor_id,
+        |    CASE WHEN qlab = nlab THEN 2
+        |         WHEN abs(qlab - nlab) = 1 THEN 1 END AS rel
+        |  FROM pairs WHERE qlab = nlab OR abs(qlab - nlab) = 1),
+        |jr AS (SELECT r.query_id, r.rank, COALESCE(qr.rel, 0) AS rel
+        |  FROM res r LEFT JOIN qrels qr
+        |    ON r.query_id = qr.query_id
+        |   AND r.neighbor_id = qr.neighbor_id),
+        |ks AS (SELECT unnest([5, 10, 20]) AS k),
+        |pq AS (SELECT jr.query_id, ks.k,
+        |    SUM(CASE WHEN rank <= k AND rel > 0 THEN 1 ELSE 0 END)
+        |      AS hits,
+        |    MIN(CASE WHEN rank <= k AND rel > 0 THEN rank END)
+        |      AS first_rel,
+        |    SUM(CASE WHEN rank <= k
+        |        THEN (pow(2, rel) - 1) / log2(rank + 1) ELSE 0 END)
+        |      AS dcg
+        |  FROM jr CROSS JOIN ks GROUP BY 1, 2),
+        |idl AS (SELECT query_id, rel, ROW_NUMBER() OVER (
+        |    PARTITION BY query_id ORDER BY rel DESC, neighbor_id)
+        |      AS irank FROM qrels),
+        |iq AS (SELECT idl.query_id, ks.k, COUNT(*) AS tot_rel,
+        |    SUM(CASE WHEN irank <= k
+        |        THEN (pow(2, rel) - 1) / log2(irank + 1) ELSE 0 END)
+        |      AS idcg
+        |  FROM idl CROSS JOIN ks GROUP BY 1, 2)
+        |SELECT pq.k,
+        |    round(AVG(hits / tot_rel), 6) AS recall,
+        |    round(AVG(hits / pq.k), 6) AS precision,
+        |    round(AVG(COALESCE(1.0 / first_rel, 0)), 6) AS mrr,
+        |    round(AVG(dcg / idcg), 6) AS ndcg
+        |  FROM pq JOIN iq ON pq.query_id = iq.query_id AND pq.k = iq.k
+        |  GROUP BY 1 ORDER BY 1""".stripMargin,
     "q167_nb_quality" ->
       """WITH d AS (SELECT doc_id, text,
         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos

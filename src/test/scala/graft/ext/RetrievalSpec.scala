@@ -39,6 +39,41 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out.sortBy(_._2) == List(("a", 1), ("b", 2), ("c", 3)))
   }
 
+  test("retrievalMetrics: hand-computed recall/precision/MRR/nDCG") {
+    // one query; ranked run a(1) b(2) c(3) d(4); qrels: b rel=2,
+    // d rel=1, e rel=2 (e never retrieved)
+    val results = Seq(("q1", "a", 0.9), ("q1", "b", 0.8),
+      ("q1", "c", 0.7), ("q1", "d", 0.6)).toDF("qid", "doc", "s")
+    val qrels = Seq(("q1", "b", 2), ("q1", "d", 1), ("q1", "e", 2))
+      .toDF("qid", "doc", "rel")
+    val out = Retrieval.metrics(results, qrels, "qid", "doc", "s",
+        "rel", Seq(2, 4))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toList
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // ideal ranking: b(2) e(2) d(1) -> gains 3,3,1
+    val idcg2 = 3.0 / (math.log(2) / math.log(2)) +
+      3.0 / (math.log(3) / math.log(2))
+    val idcg4 = idcg2 + 1.0 / (math.log(4) / math.log(2))
+    // run gains: a 0, b 3@2, c 0, d 1@4
+    val dcg2 = 3.0 / (math.log(3) / math.log(2))
+    val dcg4 = dcg2 + 1.0 / (math.log(5) / math.log(2))
+    assert(out == List(
+      (2, r6(1.0 / 3), 0.5, 0.5, r6(dcg2 / idcg2)),
+      (4, r6(2.0 / 3), 0.5, 0.5, r6(dcg4 / idcg4))))
+  }
+
+  test("retrievalMetrics: unjudged queries drop from the macro-average") {
+    val results = Seq(("q1", "a", 1.0), ("q2", "a", 1.0))
+      .toDF("qid", "doc", "s")
+    val qrels = Seq(("q1", "a", 1)).toDF("qid", "doc", "rel")
+    val out = Retrieval.metrics(results, qrels, "qid", "doc", "s",
+      "rel", Seq(1)).collect()
+    assert(out.length == 1 && out(0).getDouble(1) == 1.0 &&
+      out(0).getDouble(4) == 1.0) // q2 contributes nothing
+  }
+
   test("hybridTopK equals the manual bm25 + cosine + rrfFuse composition") {
     val vschema = StructType(Seq(StructField("id", LongType),
       StructField("text", StringType),
