@@ -1087,6 +1087,50 @@ object IoQueries extends QueryPack {
           "the surviving version must still time-travel")
         VersionedTable.read(s, root).orderBy(col("c_custkey"))
       } finally LogStore.unregister(root)
+    },
+
+    // Incremental materialized-view maintenance (Griffin & Libkin
+    // SIGMOD'95; the Materialize / DLT shape): a grouped COUNT/SUM
+    // aggregate kept current from the base table's row-level change
+    // feed — refresh cost is O(churn in the commit range), never a
+    // rescan of the base. The run exercises every delta shape (append,
+    // CDF update, CDF group-killing delete, all-null sum
+    // reconstruction), folds three base commits into ONE refresh, and
+    // certifies IN-QUERY that the incrementally-maintained state
+    // equals a from-scratch recompute of the final snapshot (exact:
+    // money-as-cents long sums, associative arithmetic). The oracle
+    // aggregates the replayed final base state directly.
+    "q177_materialized_view" -> { (s, dir) =>
+      import graft.sources.{MaterializedView, VersionedTable}
+      val base = tmp(s, s"vt_mv/${java.util.UUID.randomUUID()}/base")
+      val mv = tmp(s, s"vt_mv/${java.util.UUID.randomUUID()}/mv")
+      val li = graft.Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_linenumber"),
+          CoreQueries.cents(col("l_extendedprice")).as("price_cents"),
+          when(col("l_linenumber") % 7 === 0, lit(null).cast("long"))
+            .otherwise(CoreQueries.cents(col("l_tax"))).as("tax_cents"))
+      VersionedTable.create(s, base,
+        li.filter(col("l_orderkey") % 4 =!= 3)) // v1
+      MaterializedView.create(s, base, mv, keys = Seq("l_suppkey"),
+        sums = Seq("price_cents", "tax_cents"))
+      VersionedTable.append(s, base,
+        li.filter(col("l_orderkey") % 4 === 3)) // v2
+      VersionedTable.updateWhere(s, base, col("l_suppkey") % 10 === 2,
+        Map("price_cents" -> (col("price_cents") + lit(100L))),
+        cdf = true) // v3
+      VersionedTable.deleteWhere(s, base, col("l_suppkey") === 1,
+        cdf = true) // v4: supplier 1's group dies entirely
+      MaterializedView.refresh(s, base, mv)
+      require(MaterializedView.watermark(s, mv) == 4L,
+        s"watermark must be 4, got ${MaterializedView.watermark(s, mv)}")
+      val got = MaterializedView.read(s, mv)
+      val want = VersionedTable.read(s, base).groupBy("l_suppkey")
+        .agg(count(lit(1)).as("cnt"),
+          sum("price_cents").as("sum_price_cents"),
+          sum("tax_cents").as("sum_tax_cents"))
+      require(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        "incrementally-maintained view must equal a full recompute")
+      got.orderBy(col("l_suppkey"))
     }
   )
 
@@ -1106,6 +1150,18 @@ object IoQueries extends QueryPack {
         |SELECT c_custkey, c_name, cents FROM merged
         |WHERE c_custkey % 10 <> 4
         |ORDER BY c_custkey""".stripMargin,
+    "q177_materialized_view" ->
+      """WITH b AS (SELECT l_suppkey,
+        |    CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        |      + CASE WHEN l_suppkey % 10 = 2 THEN 100 ELSE 0 END
+        |      AS price_cents,
+        |    CASE WHEN l_linenumber % 7 = 0 THEN NULL
+        |      ELSE CAST(ROUND(l_tax * 100) AS BIGINT) END AS tax_cents
+        |  FROM lineitem WHERE l_suppkey <> 1)
+        |SELECT l_suppkey, COUNT(*) AS cnt,
+        |  CAST(SUM(price_cents) AS BIGINT) AS sum_price_cents,
+        |  CAST(SUM(tax_cents) AS BIGINT) AS sum_tax_cents
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "q172_versioned_clone" ->
       """WITH base AS (SELECT c_custkey, c_mktsegment,
         |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents

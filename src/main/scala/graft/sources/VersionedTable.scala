@@ -721,12 +721,17 @@ object VersionedTable {
       op = "DROP CONSTRAINT", baseM = Some(m))
   }
 
-  /** Create the table at `root` with `df` as version 1. */
-  def create(spark: SparkSession, root: String, df: DataFrame): Long = {
+  /** Create the table at `root` with `df` as version 1. `meta`
+    * entries (Delta table-properties shape) ride the first manifest
+    * atomically — a consumer that needs its definition and its data
+    * to appear together ([[MaterializedView]]) never observes one
+    * without the other. */
+  def create(spark: SparkSession, root: String, df: DataFrame,
+      meta: Map[String, String] = Map.empty): Long = {
     require(currentVersion(spark, root).isEmpty,
       s"$root already holds a versioned table")
     commit(spark, root, 0L, df.schema, writeData(spark, root, df),
-      op = "CREATE")
+      meta = meta, op = "CREATE")
   }
 
   /** The snapshot a reader pins: resolve the manifest once, scan only
