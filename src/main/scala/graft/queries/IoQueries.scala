@@ -1109,13 +1109,21 @@ object IoQueries extends QueryPack {
           CoreQueries.cents(col("l_extendedprice")).as("price_cents"),
           when(col("l_linenumber") % 7 === 0, lit(null).cast("long"))
             .otherwise(CoreQueries.cents(col("l_tax"))).as("tax_cents"))
+      // cluster by the mutation key so the CoW commits below rewrite
+      // only the files whose suppkey range the predicate hits — the
+      // layout a mutated-by-key table would carry at 100 TB
+      def bySupp(df: DataFrame): DataFrame =
+        df.repartitionByRange(32, col("l_suppkey"))
       VersionedTable.create(s, base,
-        li.filter(col("l_orderkey") % 4 =!= 3)) // v1
+        bySupp(li.filter(col("l_orderkey") % 4 =!= 3))) // v1
       MaterializedView.create(s, base, mv, keys = Seq("l_suppkey"),
         sums = Seq("price_cents", "tax_cents"))
       VersionedTable.append(s, base,
-        li.filter(col("l_orderkey") % 4 === 3)) // v2
-      VersionedTable.updateWhere(s, base, col("l_suppkey") % 10 === 2,
+        bySupp(li.filter(col("l_orderkey") % 4 === 3))) // v2
+      // range predicate (bottom suppkey decile): stats-prunable, so
+      // the update rewrites ~1/10 of the files, not the table
+      val cut = li.agg(max(col("l_suppkey"))).head().getLong(0) / 10L
+      VersionedTable.updateWhere(s, base, col("l_suppkey") <= cut,
         Map("price_cents" -> (col("price_cents") + lit(100L))),
         cdf = true) // v3
       VersionedTable.deleteWhere(s, base, col("l_suppkey") === 1,
@@ -1153,7 +1161,9 @@ object IoQueries extends QueryPack {
     "q177_materialized_view" ->
       """WITH b AS (SELECT l_suppkey,
         |    CAST(ROUND(l_extendedprice * 100) AS BIGINT)
-        |      + CASE WHEN l_suppkey % 10 = 2 THEN 100 ELSE 0 END
+        |      + CASE WHEN l_suppkey <=
+        |          (SELECT max(l_suppkey) // 10 FROM lineitem)
+        |        THEN 100 ELSE 0 END
         |      AS price_cents,
         |    CASE WHEN l_linenumber % 7 = 0 THEN NULL
         |      ELSE CAST(ROUND(l_tax * 100) AS BIGINT) END AS tax_cents

@@ -144,7 +144,12 @@ object MaterializedView {
         (coalesce(col(s"nn_$c"), lit(0L)) + col(s"dnn_$c")).as(s"nn_$c"),
         (coalesce(col(s"raw_$c"), zero(rawType(c))) + col(s"draw_$c"))
           .cast(rawType(c)).as(s"raw_$c"))))
-    val next = joined.select(outCols: _*)
+    // materialize the per-group post-delta state ONCE: it is tiny
+    // (one row per TOUCHED group) but its lineage is the whole
+    // delta-scan + aggregate + state join, which streamingApply's
+    // commit machinery would otherwise re-execute for the touch
+    // probe, the rewrite, and the write
+    val next = joined.select(outCols: _*).localCheckpoint(eager = true)
     val upserts = next.filter(col("cnt") > 0)
       .select(m.schema.fieldNames.map(col).toIndexedSeq: _*)
     val delKeys = next.filter(col("cnt") === 0)
