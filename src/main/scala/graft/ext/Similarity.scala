@@ -942,7 +942,15 @@ object Similarity {
     * candidate lists meet. Cosine is rounded at 1e-6 BEFORE ranking
     * (the q27 discipline: float sum order must never decide a rank
     * across engines). Output: (idCol, rrf_score, rank_1=lexical,
-    * rank_2=vector). */
+    * rank_2=vector).
+    *
+    * Scale note: the vector side here is the EXACT linear-scan
+    * baseline (one projection + TakeOrdered per query — linear, never
+    * quadratic, but still a full corpus pass). For corpus-scale or
+    * many-query use, feed [[rrfFuse]] directly from the indexed
+    * retrievers instead ([[ivfTopK]] / persisted IVF partition-pruned
+    * probes, or [[lshTopK]]) — RRF only needs the ranked candidate
+    * lists, not how they were produced. */
   def hybridTopK(df: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], vecCol: String, queryVec: Seq[Double],
       candidates: Int, topN: Int, rrfK: Int = 60): DataFrame = {

@@ -1139,6 +1139,59 @@ object IoQueries extends QueryPack {
       require(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
         "incrementally-maintained view must equal a full recompute")
       got.orderBy(col("l_suppkey"))
+    },
+
+    // Incremental JOIN view (the Materialize core): revenue-by-nation
+    // over orders ⋈ customer, maintained from BOTH tables' change
+    // feeds with the two-sided delta decomposition ΔL⋈R_new ⊎
+    // L_old⋈ΔR (the cross term lands exactly once because the left
+    // delta joins the NEW right snapshot and the right delta the OLD
+    // left snapshot — both one time-travel read away). The run plants
+    // every shape: left appends + CDF price updates, right appends
+    // whose matching orders arrive in the SAME window (pure ΔΔ pairs),
+    // and a right-side customer delete that kills joined groups. One
+    // refresh folds two commits per side; in-query cert pins
+    // incremental == full recompute of the final join; the oracle
+    // aggregates the replayed final state.
+    "q178_materialized_join_view" -> { (s, dir) =>
+      import graft.sources.{MaterializedView, VersionedTable}
+      val id = java.util.UUID.randomUUID()
+      val (l, r, mv) = (tmp(s, s"vt_mvj/$id/orders"),
+        tmp(s, s"vt_mvj/$id/customer"), tmp(s, s"vt_mvj/$id/mv"))
+      val orders = graft.Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("c_custkey"),
+          CoreQueries.cents(col("o_totalprice")).as("price_cents"))
+      val cust = graft.Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      VersionedTable.create(s, l,
+        orders.filter(col("o_orderkey") % 3 =!= 2)) // L v1
+      VersionedTable.create(s, r,
+        cust.filter(col("c_custkey") % 4 =!= 1)) // R v1
+      MaterializedView.createJoin(s, l, r, mv,
+        joinKeys = Seq("c_custkey"), keys = Seq("c_nationkey"),
+        sums = Seq("price_cents"))
+      VersionedTable.append(s, l,
+        orders.filter(col("o_orderkey") % 3 === 2)) // L v2
+      VersionedTable.updateWhere(s, l, col("o_orderkey") % 5 === 0,
+        Map("price_cents" -> (col("price_cents") + lit(7L))),
+        cdf = true) // L v3
+      VersionedTable.append(s, r,
+        cust.filter(col("c_custkey") % 4 === 1)) // R v2: their orders
+      // (every o_custkey % 4 == 1 row) join ONLY through the ΔΔ term
+      VersionedTable.deleteWhere(s, r, col("c_custkey") % 10 === 4,
+        cdf = true) // R v3: kills those customers' joined groups
+      MaterializedView.refreshJoin(s, l, r, mv)
+      require(MaterializedView.watermarks(s, mv) == ((3L, 3L)),
+        s"watermarks must be (3,3), got " +
+          s"${MaterializedView.watermarks(s, mv)}")
+      val got = MaterializedView.read(s, mv)
+      val want = VersionedTable.read(s, l)
+        .join(VersionedTable.read(s, r), Seq("c_custkey"))
+        .groupBy("c_nationkey").agg(count(lit(1)).as("cnt"),
+          sum("price_cents").as("sum_price_cents"))
+      require(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        "incrementally-maintained join view must equal a full recompute")
+      got.orderBy(col("c_nationkey"))
     }
   )
 
@@ -1172,6 +1225,18 @@ object IoQueries extends QueryPack {
         |  CAST(SUM(price_cents) AS BIGINT) AS sum_price_cents,
         |  CAST(SUM(tax_cents) AS BIGINT) AS sum_tax_cents
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q178_materialized_join_view" ->
+      """WITH o AS (SELECT o_custkey,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT)
+        |      + CASE WHEN o_orderkey % 5 = 0 THEN 7 ELSE 0 END
+        |      AS price_cents
+        |  FROM orders),
+        |c AS (SELECT c_custkey, c_nationkey FROM customer
+        |  WHERE c_custkey % 10 <> 4)
+        |SELECT c_nationkey, COUNT(*) AS cnt,
+        |  CAST(SUM(price_cents) AS BIGINT) AS sum_price_cents
+        |FROM o JOIN c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q172_versioned_clone" ->
       """WITH base AS (SELECT c_custkey, c_mktsegment,
         |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents

@@ -4,19 +4,21 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DataType
 
-/** Incremental materialized-view maintenance over a [[VersionedTable]]
+/** Incremental materialized-view maintenance over [[VersionedTable]]s
   * — the classic IVM shape (Griffin & Libkin, SIGMOD 1995; what
   * Materialize / Delta Live Tables sell): a grouped COUNT/SUM
-  * aggregate kept up to date from the base table's row-level change
-  * feed instead of re-aggregating the table.
+  * aggregate, optionally over an inner JOIN of two tables, kept up to
+  * date from the base tables' row-level change feeds instead of
+  * re-aggregating the base.
   *
   * This is the 100 TB refresh path: a full recompute re-shuffles the
-  * entire base table every cycle, while [[refresh]] reads ONLY the
-  * change feed of the new commits ([[VersionedTable.readChanges]] —
-  * per-commit change files and appended-file diffs, never a full
-  * scan) and merges per-group deltas into the state table with a
-  * file-granular [[VersionedTable.streamingApply]] commit. Work per
-  * refresh is O(churn), not O(table).
+  * entire base every cycle, while refresh reads ONLY the change feed
+  * of the new commits ([[VersionedTable.readChanges]] — per-commit
+  * change files and appended-file diffs, never a full scan) and merges
+  * per-group deltas into the state table with a file-granular
+  * [[VersionedTable.streamingApply]] commit. Work per refresh is
+  * O(churn) for single-table views and O(churn × join fan-out) for
+  * join views — never O(table).
   *
   * State model (the textbook one that survives deletes): per group,
   * `cnt` = COUNT(*), and per tracked column c, `nn_c` = COUNT(c)
@@ -28,31 +30,55 @@ import org.apache.spark.sql.types.DataType
   * — a deleted extremum needs a rescan of the group, a different
   * operator.
   *
+  * Join views maintain `SELECT g, COUNT(*), SUM(c).. FROM L JOIN R
+  * USING (k..) GROUP BY g` with the standard two-sided delta
+  * decomposition: with L₁ = L₀ ⊎ ΔL and R₁ = R₀ ⊎ ΔR (signed
+  * multisets),
+  *
+  *   Δ(L ⋈ R) = ΔL ⋈ R₁  ⊎  L₀ ⋈ ΔR
+  *
+  * — the ΔL ⋈ ΔR cross term is counted exactly once because the left
+  * term joins against the NEW right snapshot while the right term
+  * joins against the OLD left snapshot (both sides are one
+  * time-travel read away in a versioned table; this is where a
+  * non-versioned source would need change-log replay). Each delta-side
+  * row carries its feed sign; a joined pair inherits it.
+  *
   * Exactness: incremental state equals a from-scratch recompute
   * EXACTLY for integer / long / decimal sum columns (associative
   * arithmetic; use the money-as-cents discipline). Float sums drift
   * by summation order like any distributed SUM.
   *
-  * Consistency: the watermark (last applied base version) rides the
-  * SAME atomic commit as the merged state — the
-  * [[VersionedTable.streamingApply]] (queryName, batchId) transaction
-  * pattern with batchId = base version — so "delta applied" and
+  * Consistency: the watermark (last applied base version, or the
+  * (left, right) pair for join views) rides the SAME atomic commit as
+  * the merged state — the [[VersionedTable.streamingApply]]
+  * (queryName, batchId) transaction pattern — so "delta applied" and
   * "watermark advanced" can never diverge, and a crashed or replayed
-  * refresh is a no-op. Concurrent refreshers are safe by the same
-  * mechanism: each writes ABSOLUTE post-delta state for the groups it
-  * touched, computed from a base-version range, and the monotonic
-  * batchId drops the stale writer.
+  * refresh is a no-op. batchId is the base version (single) or the
+  * version sum (join): monotone under refresh, so a stale concurrent
+  * refresher is dropped; the winner wrote ABSOLUTE post-delta state
+  * for every group it touched, so the outcome is the same either way.
   */
 object MaterializedView {
 
   /** Streaming-transaction identity of the maintenance writer; the
-    * watermark lives at `stream.mv_refresh.batch` in the MV manifest. */
+    * batch watermark lives at `stream.mv_refresh.batch` in the MV
+    * manifest. */
   private val Query = "mv_refresh"
   private val WatermarkKey = s"stream.$Query.batch"
   private val KeysKey = "mv.keys"
   private val SumsKey = "mv.sums"
+  private val JoinKeysKey = "mv.join_keys"
+  private val LeftVKey = "mv.left_v"
+  private val RightVKey = "mv.right_v"
 
   private def zero(dt: DataType): Column = lit(0).cast(dt)
+
+  private def requireCols(cols: Seq[String], what: String): Unit =
+    cols.foreach(c => require(
+      c.nonEmpty && !c.exists(ch => ch == ',' || ch == '=' || ch == '\n'
+        || ch == '\r'),
+      s"bad $what column name '$c' (',', '=', newline are reserved)"))
 
   /** Full-aggregate state of `df`: (keys..., cnt, [nn_c, raw_c]...). */
   private def stateOf(df: DataFrame, keys: Seq[String],
@@ -69,74 +95,33 @@ object MaterializedView {
         zero(raw.schema(s"raw_$c").dataType)).as(s"raw_$c")))): _*)
   }
 
-  /** Materialize `SELECT keys, COUNT(*), SUM(c)... GROUP BY keys` of
-    * the base table's CURRENT version into a new versioned table at
-    * `mvRoot`. The definition and the initial watermark ride version
-    * 1's manifest atomically. */
-  def create(spark: SparkSession, baseRoot: String, mvRoot: String,
-      keys: Seq[String], sums: Seq[String]): Long = {
-    require(keys.nonEmpty, "materialized view needs grouping keys")
-    (keys ++ sums).foreach(c => require(
-      c.nonEmpty && !c.exists(ch => ch == ',' || ch == '=' || ch == '\n'
-        || ch == '\r'),
-      s"bad column name '$c' (',', '=', newline are reserved)"))
-    require(keys.intersect(sums).isEmpty,
-      s"columns cannot be both key and sum: ${keys.intersect(sums)}")
-    val bv = VersionedTable.currentVersion(spark, baseRoot).getOrElse(
-      throw new IllegalArgumentException(s"$baseRoot: no versioned table"))
-    val snap = VersionedTable.read(spark, baseRoot, Some(bv))
-    VersionedTable.create(spark, mvRoot, stateOf(snap, keys, sums),
-      meta = Map(WatermarkKey -> bv.toString,
-        KeysKey -> keys.mkString(","),
-        SumsKey -> sums.mkString(",")))
-  }
-
-  private def definition(m: VersionedTable.Manifest)
-      : (Seq[String], Seq[String], Long) = {
-    def split(k: String): Seq[String] =
-      m.meta.get(k).map(_.split(',').toSeq.filter(_.nonEmpty))
-        .getOrElse(Seq.empty)
-    val keys = split(KeysKey)
-    require(keys.nonEmpty, "not a materialized view (no mv.keys meta)")
-    (keys, split(SumsKey), m.meta(WatermarkKey).toLong)
-  }
-
-  /** Advance the view to the base table's current version by applying
-    * the change feed (watermark, current]: one grouped aggregate over
-    * the delta, one keyed join against the touched groups' stored
-    * state, one atomic file-granular commit. Groups whose count
-    * reaches zero are deleted from the view; a negative count —
-    * impossible from a consistent feed — refuses loudly instead of
-    * materializing a corrupt state. Returns the MV version (unchanged
-    * if the base has not advanced). */
-  def refresh(spark: SparkSession, baseRoot: String,
-      mvRoot: String): Long = {
-    val mvV = VersionedTable.currentVersion(spark, mvRoot).getOrElse(
-      throw new IllegalArgumentException(s"$mvRoot: no versioned table"))
-    val m = VersionedTable.readManifest(spark, mvRoot, mvV)
-    val (keys, sums, last) = definition(m)
-    val bv = VersionedTable.currentVersion(spark, baseRoot).getOrElse(
-      throw new IllegalArgumentException(s"$baseRoot: no versioned table"))
-    if (bv <= last) return mvV
-
+  /** Merge a SIGNED row delta (`signed`: keys + sums + `_sign` ∈
+    * {+1, -1} per contributing row) into the stored state as one
+    * atomic commit: aggregate to per-group deltas, join the touched
+    * groups' state, upsert positive-count groups, delete dead ones.
+    * The shared spine of both refresh flavors. */
+  private def applySignedDelta(spark: SparkSession, mvRoot: String,
+      m: VersionedTable.Manifest, keys: Seq[String], sums: Seq[String],
+      signed: DataFrame, batchId: Long, lo: Long, hi: Long,
+      extraMeta: Map[String, String]): Long = {
     val rawType: Map[String, DataType] =
       sums.map(c => c -> m.schema(s"raw_$c").dataType).toMap
-    val delta = VersionedTable.readChanges(spark, baseRoot, last, Some(bv))
-    val sgn = when(col("_change_type") === "insert", 1L).otherwise(-1L)
-    val dAggs = sum(sgn).as("d_cnt") +: sums.flatMap(c => Seq(
-      sum(when(col(c).isNotNull, sgn).otherwise(0L)).as(s"dnn_$c"),
-      coalesce(sum(when(col(c).isNotNull, col(c).cast(rawType(c)) * sgn)),
+    val dAggs = sum(col("_sign")).as("d_cnt") +: sums.flatMap(c => Seq(
+      sum(when(col(c).isNotNull, col("_sign")).otherwise(0L))
+        .as(s"dnn_$c"),
+      coalesce(sum(when(col(c).isNotNull,
+          col(c).cast(rawType(c)) * col("_sign"))),
         zero(rawType(c))).as(s"draw_$c")))
-    val d = delta.groupBy(keys.map(col): _*).agg(dAggs.head, dAggs.tail: _*)
+    val d = signed.groupBy(keys.map(col): _*).agg(dAggs.head, dAggs.tail: _*)
 
     // left join: only groups the delta touched matter; an untouched
     // group's files are never rewritten (streamingApply is keyed COW)
-    val state = VersionedTable.read(spark, mvRoot, Some(mvV))
+    val state = VersionedTable.read(spark, mvRoot, Some(m.version))
     val joined = d.join(state, keys, "left")
     val newCnt = coalesce(col("cnt"), lit(0L)) + col("d_cnt")
     val guardedCnt = when(newCnt < 0, raise_error(concat(
         lit(s"materialized view $mvRoot: negative group count applying " +
-          s"base versions ($last, $bv] — inconsistent change feed for key "),
+          s"base range ($lo, $hi] — inconsistent change feed for key "),
         concat_ws(",", keys.map(k => col(k).cast("string")): _*)))
       .cast("long")).otherwise(newCnt)
     val outCols = keys.map(col) ++ (guardedCnt.as("cnt") +:
@@ -155,30 +140,175 @@ object MaterializedView {
     val delKeys = next.filter(col("cnt") === 0)
       .select(keys.map(col): _*)
     VersionedTable.streamingApply(spark, mvRoot, upserts, delKeys, keys,
-      Query, batchId = bv)
+      Query, batchId = batchId, extraMeta = extraMeta)
   }
+
+  private def currentOf(spark: SparkSession, root: String): Long =
+    VersionedTable.currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root: no versioned table"))
+
+  private def signedChanges(spark: SparkSession, root: String,
+      from: Long, to: Long): DataFrame =
+    VersionedTable.readChanges(spark, root, from, Some(to))
+      .withColumn("_sign",
+        when(col("_change_type") === "insert", 1L).otherwise(-1L))
+
+  // ---- single-table views ------------------------------------------------
+
+  /** Materialize `SELECT keys, COUNT(*), SUM(c)... GROUP BY keys` of
+    * the base table's CURRENT version into a new versioned table at
+    * `mvRoot`. The definition and the initial watermark ride version
+    * 1's manifest atomically. */
+  def create(spark: SparkSession, baseRoot: String, mvRoot: String,
+      keys: Seq[String], sums: Seq[String]): Long = {
+    require(keys.nonEmpty, "materialized view needs grouping keys")
+    requireCols(keys ++ sums, "view")
+    require(keys.intersect(sums).isEmpty,
+      s"columns cannot be both key and sum: ${keys.intersect(sums)}")
+    val bv = currentOf(spark, baseRoot)
+    val snap = VersionedTable.read(spark, baseRoot, Some(bv))
+    VersionedTable.create(spark, mvRoot, stateOf(snap, keys, sums),
+      meta = Map(WatermarkKey -> bv.toString,
+        KeysKey -> keys.mkString(","),
+        SumsKey -> sums.mkString(",")))
+  }
+
+  private def definition(m: VersionedTable.Manifest)
+      : (Seq[String], Seq[String]) = {
+    def split(k: String): Seq[String] =
+      m.meta.get(k).map(_.split(',').toSeq.filter(_.nonEmpty))
+        .getOrElse(Seq.empty)
+    val keys = split(KeysKey)
+    require(keys.nonEmpty, "not a materialized view (no mv.keys meta)")
+    (keys, split(SumsKey))
+  }
+
+  /** Advance the view to the base table's current version by applying
+    * the change feed (watermark, current]: one grouped aggregate over
+    * the delta, one keyed join against the touched groups' stored
+    * state, one atomic file-granular commit. Groups whose count
+    * reaches zero are deleted from the view; a negative count —
+    * impossible from a consistent feed — refuses loudly instead of
+    * materializing a corrupt state. Returns the MV version (unchanged
+    * if the base has not advanced). */
+  def refresh(spark: SparkSession, baseRoot: String,
+      mvRoot: String): Long = {
+    val mvV = currentOf(spark, mvRoot)
+    val m = VersionedTable.readManifest(spark, mvRoot, mvV)
+    val (keys, sums) = definition(m)
+    require(!m.meta.contains(JoinKeysKey),
+      "this is a join view — use refreshJoin(left, right, mv)")
+    val last = m.meta(WatermarkKey).toLong
+    val bv = currentOf(spark, baseRoot)
+    if (bv <= last) return mvV
+    applySignedDelta(spark, mvRoot, m, keys, sums,
+      signedChanges(spark, baseRoot, last, bv), batchId = bv,
+      lo = last, hi = bv, extraMeta = Map.empty)
+  }
+
+  // ---- join views --------------------------------------------------------
+
+  /** Materialize `SELECT keys, COUNT(*), SUM(c)... FROM left INNER
+    * JOIN right USING (joinKeys) GROUP BY keys` of the bases' CURRENT
+    * versions. The non-join columns of the two tables must not
+    * collide (the joined row namespace must be unambiguous); `keys` /
+    * `sums` may come from either side or the join keys. NULL join
+    * keys never match (SQL inner-join semantics). */
+  def createJoin(spark: SparkSession, leftRoot: String, rightRoot: String,
+      mvRoot: String, joinKeys: Seq[String], keys: Seq[String],
+      sums: Seq[String]): Long = {
+    require(joinKeys.nonEmpty, "join view needs join keys")
+    require(keys.nonEmpty, "materialized view needs grouping keys")
+    requireCols(joinKeys ++ keys ++ sums, "view")
+    require(keys.intersect(sums).isEmpty,
+      s"columns cannot be both key and sum: ${keys.intersect(sums)}")
+    val lv = currentOf(spark, leftRoot)
+    val rv = currentOf(spark, rightRoot)
+    val l = VersionedTable.read(spark, leftRoot, Some(lv))
+    val r = VersionedTable.read(spark, rightRoot, Some(rv))
+    val overlap = (l.columns.toSet -- joinKeys)
+      .intersect(r.columns.toSet -- joinKeys)
+    require(overlap.isEmpty,
+      s"non-join columns collide across the join: $overlap")
+    joinKeys.foreach(k => require(
+      l.columns.contains(k) && r.columns.contains(k),
+      s"join key '$k' must exist on both sides"))
+    VersionedTable.create(spark, mvRoot,
+      stateOf(l.join(r, joinKeys), keys, sums),
+      meta = Map(WatermarkKey -> (lv + rv).toString,
+        LeftVKey -> lv.toString, RightVKey -> rv.toString,
+        JoinKeysKey -> joinKeys.mkString(","),
+        KeysKey -> keys.mkString(","),
+        SumsKey -> sums.mkString(",")))
+  }
+
+  /** Advance a join view to the bases' current versions:
+    * Δ = ΔL ⋈ R_new ⊎ L_old ⋈ ΔR (the cross term lands exactly once),
+    * then the same per-group delta merge as [[refresh]]. Cost is
+    * O(churn × join fan-out): each delta joins one snapshot through
+    * an ordinary keyed join (prunable, broadcastable when the delta
+    * is small), never delta-free table × table. Both watermarks
+    * advance in the SAME atomic commit as the state (batchId =
+    * version sum, monotone). */
+  def refreshJoin(spark: SparkSession, leftRoot: String,
+      rightRoot: String, mvRoot: String): Long = {
+    val mvV = currentOf(spark, mvRoot)
+    val m = VersionedTable.readManifest(spark, mvRoot, mvV)
+    val (keys, sums) = definition(m)
+    val joinKeys = m.meta.getOrElse(JoinKeysKey,
+        sys.error("this is a single-table view — use refresh(base, mv)"))
+      .split(',').toSeq.filter(_.nonEmpty)
+    val (l0, r0) = (m.meta(LeftVKey).toLong, m.meta(RightVKey).toLong)
+    val (l1, r1) = (currentOf(spark, leftRoot), currentOf(spark, rightRoot))
+    require(l1 >= l0 && r1 >= r0,
+      s"base went backwards: left $l0->$l1, right $r0->$r1")
+    if (l1 == l0 && r1 == r0) return mvV
+
+    val proj = (df: DataFrame) => df.select(
+      (keys ++ sums).map(col) :+ col("_sign"): _*)
+    val rNew = VersionedTable.read(spark, rightRoot, Some(r1))
+    val lOld = VersionedTable.read(spark, leftRoot, Some(l0))
+    val parts = Seq(
+      if (l1 > l0) Some(proj(
+        signedChanges(spark, leftRoot, l0, l1).join(rNew, joinKeys)))
+      else None,
+      if (r1 > r0) Some(proj(
+        lOld.join(signedChanges(spark, rightRoot, r0, r1), joinKeys)))
+      else None).flatten
+    applySignedDelta(spark, mvRoot, m, keys, sums,
+      parts.reduce(_ unionByName _), batchId = l1 + r1,
+      lo = l0 + r0, hi = l1 + r1,
+      extraMeta = Map(LeftVKey -> l1.toString, RightVKey -> r1.toString))
+  }
+
+  // ---- read --------------------------------------------------------------
 
   /** The view with SQL aggregate semantics restored: (keys..., cnt,
     * sum_c...) where `sum_c` is NULL iff the group holds no non-null
     * value of c — exactly `SELECT keys, COUNT(*) AS cnt, SUM(c) AS
-    * sum_c ... GROUP BY keys` over the base snapshot at the
+    * sum_c ... GROUP BY keys` over the base snapshot(s) at the
     * watermark. */
   def read(spark: SparkSession, mvRoot: String,
       version: Option[Long] = None): DataFrame = {
-    val v = version.orElse(VersionedTable.currentVersion(spark, mvRoot))
-      .getOrElse(throw new IllegalArgumentException(
-        s"$mvRoot: no versioned table"))
+    val v = version.getOrElse(currentOf(spark, mvRoot))
     val m = VersionedTable.readManifest(spark, mvRoot, v)
-    val (keys, sums, _) = definition(m)
+    val (keys, sums) = definition(m)
     VersionedTable.read(spark, mvRoot, Some(v))
       .select(keys.map(col) ++ (col("cnt") +: sums.map(c =>
         when(col(s"nn_$c") > 0, col(s"raw_$c")).as(s"sum_$c"))): _*)
   }
 
-  /** Last applied base version (the refresh watermark). */
+  /** Last applied base version (single-table views). */
   def watermark(spark: SparkSession, mvRoot: String): Long = {
-    val v = VersionedTable.currentVersion(spark, mvRoot).getOrElse(
-      throw new IllegalArgumentException(s"$mvRoot: no versioned table"))
-    definition(VersionedTable.readManifest(spark, mvRoot, v))._3
+    val m = VersionedTable.readManifest(spark, mvRoot,
+      currentOf(spark, mvRoot))
+    m.meta(WatermarkKey).toLong
+  }
+
+  /** Last applied (left, right) base versions (join views). */
+  def watermarks(spark: SparkSession, mvRoot: String): (Long, Long) = {
+    val m = VersionedTable.readManifest(spark, mvRoot,
+      currentOf(spark, mvRoot))
+    (m.meta(LeftVKey).toLong, m.meta(RightVKey).toLong)
   }
 }

@@ -1911,7 +1911,12 @@ object VersionedTable {
     * would resurrect a tombstone). */
   def streamingApply(spark: SparkSession, root: String, inserts: DataFrame,
       deleteKeys: DataFrame, keys: Seq[String], queryName: String,
-      batchId: Long, maxRetries: Int = 10, cdf: Boolean = false): Long = {
+      batchId: Long, maxRetries: Int = 10, cdf: Boolean = false,
+      // extra manifest meta published by the SAME atomic commit that
+      // records the batch id — state a consumer must never observe
+      // detached from the applied data (e.g. a MaterializedView's
+      // per-base watermark pair). Ignored when the batch replays.
+      extraMeta: Map[String, String] = Map.empty): Long = {
     require(queryName.nonEmpty && !queryName.contains('='),
       s"bad queryName '$queryName'")
     requireConforms(inserts,
@@ -1927,7 +1932,7 @@ object VersionedTable {
         return cowCommit(spark, root, touch, keys,
           metaUpdate = m =>
             if (m.get(metaKey).exists(_.toLong >= batchId)) None
-            else Some(m + (metaKey -> batchId.toString)),
+            else Some(m ++ extraMeta + (metaKey -> batchId.toString)),
           cdf = cdf, op = "STREAMING UPSERT"
         ) { (affected, _, full) =>
           val cols = full.columns.toSeq

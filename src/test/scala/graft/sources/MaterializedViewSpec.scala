@@ -124,6 +124,151 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(e.getMessage.contains("without change capture"))
   }
 
+  // ---- join views -------------------------------------------------------
+
+  private def jrecompute(l: String, r: String): DataFrame =
+    VersionedTable.read(spark, l)
+      .join(VersionedTable.read(spark, r), Seq("k"))
+      .groupBy("g").agg(count(lit(1)).as("cnt"),
+        sum("v").as("sum_v"), sum("w").as("sum_w"))
+
+  private def jassert(mv: String, l: String, r: String): Unit = {
+    val got = MaterializedView.read(spark, mv)
+    val want = jrecompute(l, r)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      s"join mv ${got.collect().toSeq.sortBy(_.getInt(0))} != " +
+        s"recompute ${want.collect().toSeq.sortBy(_.getInt(0))}")
+  }
+
+  private def ldf(r: (Int, Int, Long)*): DataFrame =
+    r.toSeq.toDF("k", "g", "v")
+  private def rdf(r: (Int, Long)*): DataFrame = r.toSeq.toDF("k", "w")
+
+  test("join view: create aggregates the inner join; fan-out counted") {
+    val (l, r, mv) = (tmp(), tmp(), tmp())
+    VersionedTable.create(spark, l,
+      ldf((1, 10, 5L), (1, 10, 6L), (2, 20, 7L), (9, 30, 1L))) // k=9 dangles
+    VersionedTable.create(spark, r, rdf((1, 100L), (2, 200L), (2, 201L)))
+    MaterializedView.createJoin(spark, l, r, mv, Seq("k"), Seq("g"),
+      Seq("v", "w"))
+    jassert(mv, l, r)
+    // k=2 joins two right rows: cnt=2, v counted twice
+    val g20 = MaterializedView.read(spark, mv).filter($"g" === 20).head()
+    assert(g20.getLong(1) == 2L && g20.getLong(2) == 14L &&
+      g20.getLong(3) == 401L)
+    assert(MaterializedView.watermarks(spark, mv) == (1L, 1L))
+  }
+
+  test("join view: one-sided deltas refresh correctly") {
+    val (l, r, mv) = (tmp(), tmp(), tmp())
+    VersionedTable.create(spark, l, ldf((1, 10, 5L), (2, 20, 7L)))
+    VersionedTable.create(spark, r, rdf((1, 100L), (2, 200L)))
+    MaterializedView.createJoin(spark, l, r, mv, Seq("k"), Seq("g"),
+      Seq("v", "w"))
+    VersionedTable.append(spark, l, ldf((1, 10, 50L))) // ΔL only
+    MaterializedView.refreshJoin(spark, l, r, mv)
+    jassert(mv, l, r)
+    VersionedTable.updateWhere(spark, r, $"k" === 2,
+      Map("w" -> lit(999L)), cdf = true) // ΔR only
+    MaterializedView.refreshJoin(spark, l, r, mv)
+    jassert(mv, l, r)
+    assert(MaterializedView.watermarks(spark, mv) == (2L, 2L))
+  }
+
+  test("join view: the ΔL⋈ΔR cross term lands exactly once") {
+    val (l, r, mv) = (tmp(), tmp(), tmp())
+    VersionedTable.create(spark, l, ldf((1, 10, 5L)))
+    VersionedTable.create(spark, r, rdf((1, 100L)))
+    MaterializedView.createJoin(spark, l, r, mv, Seq("k"), Seq("g"),
+      Seq("v", "w"))
+    // BOTH sides gain key 7 in the same refresh window: the joined
+    // (7,7) pair exists only through ΔL⋈ΔR
+    VersionedTable.append(spark, l, ldf((7, 70, 1L)))
+    VersionedTable.append(spark, r, rdf((7, 700L)))
+    // and key 1 dies on the right while the left gains another k=1
+    // row — mixed signs across the two terms
+    VersionedTable.append(spark, l, ldf((1, 10, 6L)))
+    VersionedTable.deleteWhere(spark, r, $"k" === 1, cdf = true)
+    MaterializedView.refreshJoin(spark, l, r, mv)
+    jassert(mv, l, r)
+    val got = MaterializedView.read(spark, mv).as[(Int, Long, Long, Long)]
+      .collect().toSet
+    assert(got == Set((70, 1L, 1L, 700L))) // g=10 died with right k=1
+    // replay: nothing advanced -> version no-op
+    val v = VersionedTable.currentVersion(spark, mv).get
+    assert(MaterializedView.refreshJoin(spark, l, r, mv) == v)
+  }
+
+  test("join view: multi-commit gaps on both sides fold into one refresh") {
+    val (l, r, mv) = (tmp(), tmp(), tmp())
+    val rnd = new scala.util.Random(11)
+    def lb(n: Int) = ldf(Seq.fill(n)((rnd.nextInt(5), 10 * rnd.nextInt(3),
+      rnd.nextInt(100).toLong)): _*)
+    def rb(n: Int) = rdf(Seq.fill(n)((rnd.nextInt(5),
+      rnd.nextInt(1000).toLong)): _*)
+    VersionedTable.create(spark, l, lb(8))
+    VersionedTable.create(spark, r, rb(4))
+    MaterializedView.createJoin(spark, l, r, mv, Seq("k"), Seq("g"),
+      Seq("v", "w"))
+    VersionedTable.append(spark, l, lb(6))
+    VersionedTable.deleteWhere(spark, l, $"v" % 3 === 0, cdf = true)
+    VersionedTable.append(spark, r, rb(3))
+    VersionedTable.updateWhere(spark, r, $"w" % 2 === 0,
+      Map("w" -> ($"w" + 1L)), cdf = true)
+    MaterializedView.refreshJoin(spark, l, r, mv)
+    jassert(mv, l, r)
+    assert(MaterializedView.watermarks(spark, mv) == (3L, 3L))
+  }
+
+  test("join view: refusals — column collision, wrong refresh flavor") {
+    val (l, r, mv) = (tmp(), tmp(), tmp())
+    VersionedTable.create(spark, l, ldf((1, 10, 5L)))
+    VersionedTable.create(spark, r,
+      Seq((1, 9L)).toDF("k", "v")) // v collides with left's v
+    intercept[IllegalArgumentException](MaterializedView.createJoin(
+      spark, l, r, mv, Seq("k"), Seq("g"), Seq("v")))
+    val r2 = tmp()
+    VersionedTable.create(spark, r2, rdf((1, 100L)))
+    MaterializedView.createJoin(spark, l, r2, mv, Seq("k"), Seq("g"),
+      Seq("v", "w"))
+    intercept[IllegalArgumentException](
+      MaterializedView.refresh(spark, l, mv))
+    val (b2, m2) = (tmp(), tmp())
+    VersionedTable.create(spark, b2, rows((1, 1L, 1L)))
+    MaterializedView.create(spark, b2, m2, Seq("k"), Seq("v"))
+    intercept[RuntimeException](
+      MaterializedView.refreshJoin(spark, b2, b2, m2))
+  }
+
+  test("streaming ingest + per-batch refresh: MV tracks the live table") {
+    // the deployment shape: micro-batches upsert into the base with
+    // CDF capture, and the SAME foreachBatch refreshes the view —
+    // exactly-once on both tables by their own batch watermarks
+    val (base, mv) = (tmp(), tmp())
+    VersionedTable.create(spark, base, rows((0, 0L, 0L)))
+    MaterializedView.create(spark, base, mv, Seq("k"), Seq("v", "w"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_mv_stream")
+    dir.toFile.deleteOnExit()
+    val src = dir.toString + "/in"
+    rows((1, 10L, 1L), (2, 20L, 2L)).write
+      .mode(org.apache.spark.sql.SaveMode.Append).parquet(src)
+    val q = spark.readStream.schema(rows().schema).parquet(src)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        VersionedTable.streamingUpsert(spark, base, batch, Seq("k"),
+          "ingest", id, cdf = true)
+        MaterializedView.refresh(spark, base, mv): Unit
+      }.start()
+    try {
+      q.processAllAvailable()
+      assertMatches(mv, base)
+      rows((1, 11L, 5L), (3, 30L, 3L)).write // update k=1, insert k=3
+        .mode(org.apache.spark.sql.SaveMode.Append).parquet(src)
+      q.processAllAvailable()
+      assertMatches(mv, base)
+    } finally q.stop()
+  }
+
   test("bad definitions refuse") {
     val (base, mv) = (tmp(), tmp())
     VersionedTable.create(spark, base, rows((1, 1L, 1L)))
