@@ -137,6 +137,33 @@ object Expectations {
         col("e.n_violations"), col("e.ok"))
   }
 
+  /** Referential-integrity expectation — the one rule a single-table
+    * pass cannot decide: count child rows whose key tuple has no match
+    * in the parent (dbt's `relationships` test). SQL FK semantics
+    * (MATCH SIMPLE): a tuple with ANY null component satisfies the
+    * constraint and is skipped. Returns the same one-row
+    * (rule, col_name, n_violations, ok) shape as [[audit]], so
+    * cross-table rules `unionByName` into a single quality report.
+    *
+    * Scale shape: parent side is projected to its DISTINCT key tuples
+    * before the LEFT ANTI join — a dimension-sized set Catalyst
+    * broadcasts when it fits (the Lookup discipline); the child is
+    * never shuffled wider than its key columns plus a count. */
+  def foreignKey(child: DataFrame, parent: DataFrame,
+      keys: Seq[(String, String)]): DataFrame = {
+    require(keys.nonEmpty, "foreignKey: no key columns given")
+    val childKeys = keys.map(_._1)
+    val nonNull = childKeys.map(col(_).isNotNull).reduce(_ && _)
+    val parentKeys = parent
+      .select(keys.map { case (c, p) => col(p).as(c) }: _*).distinct()
+    val orphans = child.select(childKeys.map(col): _*).filter(nonNull)
+      .join(parentKeys, childKeys, "left_anti")
+    orphans.agg(count(lit(1)).as("n_violations"))
+      .select(lit("foreign_key").as("rule"),
+        lit(childKeys.mkString(",")).as("col_name"),
+        col("n_violations"), (col("n_violations") === 0L).as("ok"))
+  }
+
   /** Categorical distribution drift between a BASELINE frame and a
     * CURRENT frame — the Population Stability Index monitor a
     * production pipeline runs between corpus versions, ingest batches,

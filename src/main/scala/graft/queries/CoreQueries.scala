@@ -67,6 +67,26 @@ object CoreQueries extends QueryPack {
         .orderBy(col("rule"))
     },
 
+    // Referential-integrity expectations (dbt `relationships`): the
+    // cross-table rule the fused single-pass audit cannot express —
+    // orphan child keys counted by a LEFT ANTI join against the
+    // parent's distinct key set (dimension-sized -> broadcast). One
+    // passing FK (lineitem.l_orderkey -> orders) and one violated
+    // (orders.o_custkey -> customers with c_custkey % 10 == 3
+    // removed); rows union into the audit report shape.
+    "q179_expectations_fk" -> { (s, dir) =>
+      import graft.ops.Expectations
+      val orders = graft.Tables.load(s, dir, "orders")
+      val li = graft.Tables.load(s, dir, "lineitem")
+      val cust = graft.Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") % 10 =!= 3)
+      Expectations.foreignKey(li, orders,
+          Seq("l_orderkey" -> "o_orderkey"))
+        .unionByName(Expectations.foreignKey(orders, cust,
+          Seq("o_custkey" -> "c_custkey")))
+        .orderBy(col("col_name"))
+    },
+
     // Distribution drift (Population Stability Index) between two
     // corpus slices — the monitor a pipeline runs between ingest
     // batches before drift silently shifts a model's inputs. Baseline
@@ -244,6 +264,27 @@ object CoreQueries extends QueryPack {
         |    * ln(((j.n_cur + 0.5) / (t.tc + 0.5 * t.k))
         |       / ((j.n_base + 0.5) / (t.tb + 0.5 * t.k))), 6) AS psi_term
         |FROM j CROSS JOIN t ORDER BY j.category""".stripMargin,
+    "q179_expectations_fk" ->
+      """SELECT 'foreign_key' AS rule, 'l_orderkey' AS col_name,
+        |  CAST((SELECT COUNT(*) FROM lineitem l
+        |    WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS (
+        |      SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |    AS BIGINT) AS n_violations,
+        |  (SELECT COUNT(*) FROM lineitem l
+        |    WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS (
+        |      SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |    = 0 AS ok
+        |UNION ALL
+        |SELECT 'foreign_key', 'o_custkey',
+        |  CAST((SELECT COUNT(*) FROM orders o
+        |    WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (
+        |      SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey
+        |        AND c.c_custkey % 10 <> 3)) AS BIGINT),
+        |  (SELECT COUNT(*) FROM orders o
+        |    WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (
+        |      SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey
+        |        AND c.c_custkey % 10 <> 3)) = 0
+        |ORDER BY col_name""".stripMargin,
     "q118_expectations" ->
       """SELECT 'not_null' AS rule, 'o_custkey' AS col_name,
         |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)

@@ -143,4 +143,35 @@ class ExpectationsSpec extends AnyFunSuite {
     assert(nullStable.forall(r => math.abs(r.getDouble(5)) < 1e-6),
       "identical null share must read as zero drift")
   }
+
+  test("foreignKey: orphans counted, null tuples skipped, composite keys") {
+    import spark.implicits._
+    val parent = Seq((1, "a"), (2, "b")).toDF("pk", "pv")
+    val child = Seq(
+      (Some(1), "x"), // matches
+      (Some(3), "x"), // orphan
+      (None: Option[Int], "x"), // NULL fk -> MATCH SIMPLE, skipped
+      (Some(3), "x")) // orphan again (counted per row)
+      .toDF("fk", "cv")
+    val r = Expectations.foreignKey(child, parent, Seq("fk" -> "pk"))
+      .as[(String, String, Long, Boolean)].head()
+    assert(r == (("foreign_key", "fk", 2L, false)))
+    // composite: any-null component skips; both-non-null must match both
+    val p2 = Seq((1, 10), (2, 20)).toDF("a", "b")
+    val c2 = Seq(
+      (Some(1), Some(10)), // matches
+      (Some(1), Some(20)), // orphan (pair mismatch)
+      (Some(1), None: Option[Int]), // skipped
+      (None: Option[Int], Some(10))) // skipped
+      .toDF("ca", "cb")
+    val r2 = Expectations.foreignKey(c2, p2,
+        Seq("ca" -> "a", "cb" -> "b"))
+      .as[(String, String, Long, Boolean)].head()
+    assert(r2 == (("foreign_key", "ca,cb", 1L, false)))
+    // clean FK -> ok
+    val r3 = Expectations.foreignKey(
+        Seq(1, 2, 2).toDF("fk"), parent, Seq("fk" -> "pk"))
+      .as[(String, String, Long, Boolean)].head()
+    assert(r3 == (("foreign_key", "fk", 0L, true)))
+  }
 }
