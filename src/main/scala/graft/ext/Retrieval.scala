@@ -26,11 +26,15 @@ object Retrieval {
     * are assigned here as (score desc, doc asc), so pre-round any
     * float score whose ties must break identically across engines.
     * `qrels`: (queryCol, docCol, relCol) graded judgments, unique per
-    * (query, doc); rel <= 0 rows are ignored. Retrieved documents
-    * without a judgment count as non-relevant; queries with no
-    * positive judgment are excluded from the macro-average (the
-    * trec_eval convention). MRR uses the first rank with rel > 0;
-    * nDCG uses gain 2^rel - 1 with the ideal ranking truncated at k.
+    * (query, doc); rel <= 0 rows count as non-relevant (a TREC
+    * negative judgment never contributes gain). Retrieved documents
+    * without a judgment count as non-relevant; a judged query the run
+    * never answered scores 0 on every metric (the trec_eval `-c`
+    * convention — dropping it would reward retrievers that return
+    * nothing on hard queries); only queries with no positive judgment
+    * at all are excluded (no ideal ranking exists). MRR uses the
+    * first rank with rel > 0; nDCG uses gain 2^rel - 1 with the ideal
+    * ranking truncated at k.
     * Output: one row per cutoff, (k, recall, precision, mrr, ndcg),
     * metrics rounded at 1e-6. */
   def metrics(results: DataFrame, qrels: DataFrame, queryCol: String,
@@ -43,10 +47,13 @@ object Retrieval {
 
     val wr = Window.partitionBy(queryCol)
       .orderBy(col(scoreCol).desc, col(docCol))
+    // rel <= 0 judgments are dropped HERE so they read as unjudged
+    // (gain 0) on the run side, mirroring the ideal side's filter
     val judged = results.select(col(queryCol), col(docCol), col(scoreCol))
       .withColumn("rank", row_number().over(wr))
-      .join(qrels.select(col(queryCol), col(docCol),
-          col(relCol).cast("double").as("rel")),
+      .join(qrels.filter(col(relCol) > 0)
+          .select(col(queryCol), col(docCol),
+            col(relCol).cast("double").as("rel")),
         Seq(queryCol, docCol), "left")
       .withColumn("rel", coalesce(col("rel"), lit(0.0)))
 
@@ -73,16 +80,20 @@ object Retrieval {
           (pow(lit(2.0), col("rel")) - 1.0)
             / log2(col("irank") + 1)).otherwise(0.0)).as("idcg"))
 
-    // inner join: a query with no positive judgment has no ideal
-    // ranking — excluded from the macro-average by construction
-    perQK.join(ideal, Seq(queryCol, "k"))
+    // LEFT from the ideal side: a query with no positive judgment has
+    // no ideal ranking and drops; a JUDGED query the run never
+    // answered stays and scores 0 everywhere (hits/dcg default 0)
+    ideal.join(perQK, Seq(queryCol, "k"), "left")
       .groupBy(col("k"))
       .agg(
-        round(avg(col("hits") / col("tot_rel")), 6).as("recall"),
-        round(avg(col("hits") / col("k")), 6).as("precision"),
+        round(avg(coalesce(col("hits"), lit(0L)) / col("tot_rel")), 6)
+          .as("recall"),
+        round(avg(coalesce(col("hits"), lit(0L)) / col("k")), 6)
+          .as("precision"),
         round(avg(coalesce(lit(1.0) / col("first_rel"), lit(0.0))), 6)
           .as("mrr"),
-        round(avg(col("dcg") / col("idcg")), 6).as("ndcg"))
+        round(avg(coalesce(col("dcg"), lit(0.0)) / col("idcg")), 6)
+          .as("ndcg"))
       .orderBy(col("k"))
   }
 }

@@ -2099,12 +2099,13 @@ object ExtQueries extends QueryPack {
         |        THEN (pow(2, rel) - 1) / log2(irank + 1) ELSE 0 END)
         |      AS idcg
         |  FROM idl CROSS JOIN ks GROUP BY 1, 2)
-        |SELECT pq.k,
-        |    round(AVG(hits / tot_rel), 6) AS recall,
-        |    round(AVG(hits / pq.k), 6) AS precision,
+        |SELECT iq.k,
+        |    round(AVG(COALESCE(hits, 0) / tot_rel), 6) AS recall,
+        |    round(AVG(COALESCE(hits, 0) / iq.k), 6) AS precision,
         |    round(AVG(COALESCE(1.0 / first_rel, 0)), 6) AS mrr,
-        |    round(AVG(dcg / idcg), 6) AS ndcg
-        |  FROM pq JOIN iq ON pq.query_id = iq.query_id AND pq.k = iq.k
+        |    round(AVG(COALESCE(dcg, 0) / idcg), 6) AS ndcg
+        |  FROM iq LEFT JOIN pq
+        |    ON pq.query_id = iq.query_id AND pq.k = iq.k
         |  GROUP BY 1 ORDER BY 1""".stripMargin,
     "q167_nb_quality" ->
       """WITH d AS (SELECT doc_id, text,

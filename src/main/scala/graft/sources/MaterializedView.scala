@@ -71,8 +71,25 @@ object MaterializedView {
   private val JoinKeysKey = "mv.join_keys"
   private val LeftVKey = "mv.left_v"
   private val RightVKey = "mv.right_v"
+  private val BaseKey = "mv.base"
+  private val LeftKey = "mv.left"
+  private val RightKey = "mv.right"
 
   private def zero(dt: DataType): Column = lit(0).cast(dt)
+
+  private def norm(root: String): String = root.stripSuffix("/")
+
+  /** The watermark is meaningful only against the table the view was
+    * DEFINED over — refreshing against a different (or transposed)
+    * table would merge a foreign change feed into the state and
+    * advance the watermark, silently and permanently corrupting the
+    * view. The base path(s) are pinned at create; a relocated base
+    * refuses here rather than guessing. */
+  private def requireBase(m: VersionedTable.Manifest, key: String,
+      got: String, role: String): Unit =
+    m.meta.get(key).foreach(stored => require(stored == norm(got),
+      s"this view maintains $role '$stored', not '${norm(got)}' — " +
+        "wrong (or relocated) base table"))
 
   private def requireCols(cols: Seq[String], what: String): Unit =
     cols.foreach(c => require(
@@ -124,9 +141,22 @@ object MaterializedView {
           s"base range ($lo, $hi] — inconsistent change feed for key "),
         concat_ws(",", keys.map(k => col(k).cast("string")): _*)))
       .cast("long")).otherwise(newCnt)
+    // nn counters get the same inconsistent-feed guard as cnt: a
+    // negative non-null count would silently mis-reconstruct SUM
+    // NULLs (nn <= 0 reads as "all null") while leaving a residual in
+    // raw — the one corruption read() cannot detect
+    def guardedNn(c: String): Column = {
+      val nn = coalesce(col(s"nn_$c"), lit(0L)) + col(s"dnn_$c")
+      when(nn < 0, raise_error(concat(
+          lit(s"materialized view $mvRoot: negative non-null count of " +
+            s"'$c' applying base range ($lo, $hi] — inconsistent change " +
+            "feed for key "),
+          concat_ws(",", keys.map(k => col(k).cast("string")): _*)))
+        .cast("long")).otherwise(nn)
+    }
     val outCols = keys.map(col) ++ (guardedCnt.as("cnt") +:
       sums.flatMap(c => Seq(
-        (coalesce(col(s"nn_$c"), lit(0L)) + col(s"dnn_$c")).as(s"nn_$c"),
+        guardedNn(c).as(s"nn_$c"),
         (coalesce(col(s"raw_$c"), zero(rawType(c))) + col(s"draw_$c"))
           .cast(rawType(c)).as(s"raw_$c"))))
     // materialize the per-group post-delta state ONCE: it is tiny
@@ -169,6 +199,7 @@ object MaterializedView {
     val snap = VersionedTable.read(spark, baseRoot, Some(bv))
     VersionedTable.create(spark, mvRoot, stateOf(snap, keys, sums),
       meta = Map(WatermarkKey -> bv.toString,
+        BaseKey -> norm(baseRoot),
         KeysKey -> keys.mkString(","),
         SumsKey -> sums.mkString(",")))
   }
@@ -198,6 +229,7 @@ object MaterializedView {
     val (keys, sums) = definition(m)
     require(!m.meta.contains(JoinKeysKey),
       "this is a join view — use refreshJoin(left, right, mv)")
+    requireBase(m, BaseKey, baseRoot, "base")
     val last = m.meta(WatermarkKey).toLong
     val bv = currentOf(spark, baseRoot)
     if (bv <= last) return mvV
@@ -237,6 +269,7 @@ object MaterializedView {
       stateOf(l.join(r, joinKeys), keys, sums),
       meta = Map(WatermarkKey -> (lv + rv).toString,
         LeftVKey -> lv.toString, RightVKey -> rv.toString,
+        LeftKey -> norm(leftRoot), RightKey -> norm(rightRoot),
         JoinKeysKey -> joinKeys.mkString(","),
         KeysKey -> keys.mkString(","),
         SumsKey -> sums.mkString(",")))
@@ -258,6 +291,8 @@ object MaterializedView {
     val joinKeys = m.meta.getOrElse(JoinKeysKey,
         sys.error("this is a single-table view — use refresh(base, mv)"))
       .split(',').toSeq.filter(_.nonEmpty)
+    requireBase(m, LeftKey, leftRoot, "left base")
+    requireBase(m, RightKey, rightRoot, "right base")
     val (l0, r0) = (m.meta(LeftVKey).toLong, m.meta(RightVKey).toLong)
     val (l1, r1) = (currentOf(spark, leftRoot), currentOf(spark, rightRoot))
     require(l1 >= l0 && r1 >= r0,
@@ -302,6 +337,9 @@ object MaterializedView {
   def watermark(spark: SparkSession, mvRoot: String): Long = {
     val m = VersionedTable.readManifest(spark, mvRoot,
       currentOf(spark, mvRoot))
+    require(!m.meta.contains(JoinKeysKey),
+      "this is a join view (its batch watermark is a version SUM, " +
+        "not a base version) — use watermarks(mv)")
     m.meta(WatermarkKey).toLong
   }
 
@@ -309,6 +347,8 @@ object MaterializedView {
   def watermarks(spark: SparkSession, mvRoot: String): (Long, Long) = {
     val m = VersionedTable.readManifest(spark, mvRoot,
       currentOf(spark, mvRoot))
+    require(m.meta.contains(JoinKeysKey),
+      "this is a single-table view — use watermark(mv)")
     (m.meta(LeftVKey).toLong, m.meta(RightVKey).toLong)
   }
 }

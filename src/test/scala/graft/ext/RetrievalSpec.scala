@@ -64,6 +64,32 @@ class RetrievalSpec extends AnyFunSuite {
       (4, r6(2.0 / 3), 0.5, 0.5, r6(dcg4 / idcg4))))
   }
 
+  test("retrievalMetrics: judged-but-unanswered queries score 0; " +
+      "negative judgments contribute no gain") {
+    // q1 answered perfectly; q2 judged but absent from the run ->
+    // averages halve instead of silently dropping q2
+    val results = Seq(("q1", "a", 1.0)).toDF("qid", "doc", "s")
+    val qrels = Seq(("q1", "a", 1), ("q2", "z", 2))
+      .toDF("qid", "doc", "rel")
+    val out = Retrieval.metrics(results, qrels, "qid", "doc", "s",
+      "rel", Seq(1)).head()
+    assert(out.getDouble(1) == 0.5 && out.getDouble(2) == 0.5 &&
+      out.getDouble(3) == 0.5 && out.getDouble(4) == 0.5)
+    // a TREC negative judgment on a retrieved doc is non-relevant,
+    // never negative gain: rank-1 docX rel=-1 must score exactly like
+    // an unjudged docX
+    val res2 = Seq(("q1", "x", 1.0), ("q1", "a", 0.5))
+      .toDF("qid", "doc", "s")
+    val neg = Seq(("q1", "a", 1), ("q1", "x", -1))
+      .toDF("qid", "doc", "rel")
+    val unj = Seq(("q1", "a", 1)).toDF("qid", "doc", "rel")
+    val gotNeg = Retrieval.metrics(res2, neg, "qid", "doc", "s",
+      "rel", Seq(2)).collect().toSeq
+    val gotUnj = Retrieval.metrics(res2, unj, "qid", "doc", "s",
+      "rel", Seq(2)).collect().toSeq
+    assert(gotNeg == gotUnj && gotNeg.head.getDouble(4) > 0)
+  }
+
   test("retrievalMetrics: unjudged queries drop from the macro-average") {
     val results = Seq(("q1", "a", 1.0), ("q2", "a", 1.0))
       .toDF("qid", "doc", "s")

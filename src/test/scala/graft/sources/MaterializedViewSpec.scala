@@ -220,6 +220,35 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(MaterializedView.watermarks(spark, mv) == (3L, 3L))
   }
 
+  test("wrong-base and wrong-flavor accessors refuse") {
+    val (base, other, mv) = (tmp(), tmp(), tmp())
+    VersionedTable.create(spark, base, rows((1, 1L, 1L)))
+    VersionedTable.create(spark, other, rows((2, 2L, 2L)))
+    MaterializedView.create(spark, base, mv, Seq("k"), Seq("v"))
+    VersionedTable.append(spark, other, rows((3, 3L, 3L)))
+    // refreshing against a same-schema FOREIGN table refuses loudly
+    val e = intercept[IllegalArgumentException](
+      MaterializedView.refresh(spark, other, mv))
+    assert(e.getMessage.contains("wrong (or relocated) base"))
+    // trailing slash is not a different table
+    MaterializedView.refresh(spark, base + "/", mv)
+    // join-flavor accessor on a single-table view refuses
+    intercept[IllegalArgumentException](
+      MaterializedView.watermarks(spark, mv))
+    val (l, r, jmv) = (tmp(), tmp(), tmp())
+    VersionedTable.create(spark, l, ldf((1, 10, 5L)))
+    VersionedTable.create(spark, r, rdf((1, 100L)))
+    MaterializedView.createJoin(spark, l, r, jmv, Seq("k"), Seq("g"),
+      Seq("v", "w"))
+    intercept[IllegalArgumentException](
+      MaterializedView.watermark(spark, jmv))
+    // transposed left/right refuses before touching state
+    VersionedTable.append(spark, l, ldf((2, 20, 6L)))
+    val e2 = intercept[IllegalArgumentException](
+      MaterializedView.refreshJoin(spark, r, l, jmv))
+    assert(e2.getMessage.contains("wrong (or relocated) base"))
+  }
+
   test("join view: refusals — column collision, wrong refresh flavor") {
     val (l, r, mv) = (tmp(), tmp(), tmp())
     VersionedTable.create(spark, l, ldf((1, 10, 5L)))
