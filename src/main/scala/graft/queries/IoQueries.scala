@@ -1192,6 +1192,46 @@ object IoQueries extends QueryPack {
       require(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
         "incrementally-maintained join view must equal a full recompute")
       got.orderBy(col("c_nationkey"))
+    },
+
+    // Approx-distinct materialized view: per-group COUNT DISTINCT
+    // maintained as a mergeable DataSketches HLL column — the 100 TB
+    // distinct-count path (exact per-group distinct state is
+    // unbounded; sketches union in O(sketch)). Insert-only by
+    // construction here (HLL cannot retract; a delete refuses — spec-
+    // pinned). The audit row shape (the q129 pattern): the maintained
+    // estimate is checked IN-QUERY against the exact recompute within
+    // the 3-sigma HLL bound (lgK=12 -> ~4.9%); the oracle replays the
+    // exact distincts and pins every bound flag TRUE. cnt/sum lanes
+    // stay exact alongside the sketch lane.
+    "q180_materialized_distinct" -> { (s, dir) =>
+      import graft.sources.{MaterializedView, VersionedTable}
+      val id = java.util.UUID.randomUUID()
+      val (base, mv) = (tmp(s, s"vt_mvd/$id/base"), tmp(s, s"vt_mvd/$id/mv"))
+      val orders = graft.Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_custkey"),
+          CoreQueries.cents(col("o_totalprice")).as("price_cents"))
+      VersionedTable.create(s, base,
+        orders.filter(col("o_orderkey") % 3 =!= 2)) // v1
+      MaterializedView.create(s, base, mv, keys = Seq("o_orderpriority"),
+        sums = Seq("price_cents"), distincts = Seq("o_custkey"))
+      VersionedTable.append(s, base,
+        orders.filter(col("o_orderkey") % 3 === 2)) // v2: inserts only
+      MaterializedView.refresh(s, base, mv)
+      val est = MaterializedView.read(s, mv)
+        .select(col("o_orderpriority"), col("cnt"),
+          col("sum_price_cents"), col("distinct_o_custkey"))
+      val exact = VersionedTable.read(s, base).groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+      val out = est.join(exact, Seq("o_orderpriority"))
+        .select(col("o_orderpriority"), col("cnt"),
+          col("sum_price_cents"), col("exact_distinct"),
+          (abs(col("distinct_o_custkey") - col("exact_distinct"))
+            <= lit(0.05) * col("exact_distinct")).as("within_bound"))
+      require(out.filter(!col("within_bound")).isEmpty,
+        "HLL estimate must sit within the 3-sigma bound of exact")
+      out.orderBy(col("o_orderpriority"))
     }
   )
 
@@ -1237,6 +1277,13 @@ object IoQueries extends QueryPack {
         |  CAST(SUM(price_cents) AS BIGINT) AS sum_price_cents
         |FROM o JOIN c ON o.o_custkey = c.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q180_materialized_distinct" ->
+      """SELECT o_orderpriority, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_cents,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
+        |  TRUE AS within_bound
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q172_versioned_clone" ->
       """WITH base AS (SELECT c_custkey, c_mktsegment,
         |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents

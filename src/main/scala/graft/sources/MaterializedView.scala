@@ -30,6 +30,16 @@ import org.apache.spark.sql.types.DataType
   * — a deleted extremum needs a rescan of the group, a different
   * operator.
   *
+  * APPROX-DISTINCT per group rides along as a DataSketches HLL sketch
+  * column (`distincts`): sketches are mergeable, so inserts fold in
+  * with `hll_union` — the 100 TB distinct-count path, since exact
+  * per-group distinct state is unbounded. HLL cannot retract: a
+  * refresh whose range deletes rows in a sketched group REFUSES
+  * loudly (recreate the view), the same stance Materialize/Delta take
+  * by recomputing. `read` emits `distinct_c` estimates (~1.6% rsd at
+  * the default lgK=12; exact while the sketch is still in sparse
+  * mode).
+  *
   * Join views maintain `SELECT g, COUNT(*), SUM(c).. FROM L JOIN R
   * USING (k..) GROUP BY g` with the standard two-sided delta
   * decomposition: with L₁ = L₀ ⊎ ΔL and R₁ = R₀ ⊎ ΔR (signed
@@ -72,6 +82,7 @@ object MaterializedView {
   private val LeftVKey = "mv.left_v"
   private val RightVKey = "mv.right_v"
   private val BaseKey = "mv.base"
+  private val DistinctsKey = "mv.distincts"
   private val LeftKey = "mv.left"
   private val RightKey = "mv.right"
 
@@ -97,19 +108,22 @@ object MaterializedView {
         || ch == '\r'),
       s"bad $what column name '$c' (',', '=', newline are reserved)"))
 
-  /** Full-aggregate state of `df`: (keys..., cnt, [nn_c, raw_c]...). */
+  /** Full-aggregate state of `df`:
+    * (keys..., cnt, [nn_c, raw_c]..., [hll_c]...). */
   private def stateOf(df: DataFrame, keys: Seq[String],
-      sums: Seq[String]): DataFrame = {
-    val aggs = count(lit(1)).as("cnt") +: sums.flatMap(c => Seq(
+      sums: Seq[String], distincts: Seq[String]): DataFrame = {
+    val aggs = (count(lit(1)).as("cnt") +: sums.flatMap(c => Seq(
       sum(when(col(c).isNotNull, 1L).otherwise(0L)).as(s"nn_$c"),
-      sum(col(c)).as(s"raw_$c")))
+      sum(col(c)).as(s"raw_$c")))) ++
+      distincts.map(c => hll_sketch_agg(col(c)).as(s"hll_$c"))
     val raw = df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
     // zero-fill all-null sums so state arithmetic never meets NULL;
     // read() reconstructs the SQL NULL from nn_c
     raw.select(keys.map(col) ++ (col("cnt") +: sums.flatMap(c => Seq(
       col(s"nn_$c"),
       coalesce(col(s"raw_$c"),
-        zero(raw.schema(s"raw_$c").dataType)).as(s"raw_$c")))): _*)
+        zero(raw.schema(s"raw_$c").dataType)).as(s"raw_$c")))) ++
+      distincts.map(c => col(s"hll_$c")): _*)
   }
 
   /** Merge a SIGNED row delta (`signed`: keys + sums + `_sign` ∈
@@ -119,16 +133,23 @@ object MaterializedView {
     * The shared spine of both refresh flavors. */
   private def applySignedDelta(spark: SparkSession, mvRoot: String,
       m: VersionedTable.Manifest, keys: Seq[String], sums: Seq[String],
-      signed: DataFrame, batchId: Long, lo: Long, hi: Long,
-      extraMeta: Map[String, String]): Long = {
+      distincts: Seq[String], signed: DataFrame, batchId: Long,
+      lo: Long, hi: Long, extraMeta: Map[String, String]): Long = {
     val rawType: Map[String, DataType] =
       sums.map(c => c -> m.schema(s"raw_$c").dataType).toMap
-    val dAggs = sum(col("_sign")).as("d_cnt") +: sums.flatMap(c => Seq(
+    val dAggs = (sum(col("_sign")).as("d_cnt") +: sums.flatMap(c => Seq(
       sum(when(col(c).isNotNull, col("_sign")).otherwise(0L))
         .as(s"dnn_$c"),
       coalesce(sum(when(col(c).isNotNull,
           col(c).cast(rawType(c)) * col("_sign"))),
-        zero(rawType(c))).as(s"draw_$c")))
+        zero(rawType(c))).as(s"draw_$c")))) ++
+      (if (distincts.isEmpty) Seq.empty else
+        // sketches absorb INSERTED values only; any delete in a
+        // touched group makes its sketch unmaintainable (HLL cannot
+        // retract) -> counted here, refused below
+        sum(when(col("_sign") < 0, 1L).otherwise(0L)).as("d_del") +:
+        distincts.map(c => hll_sketch_agg(
+          when(col("_sign") > 0, col(c))).as(s"dhll_$c")))
     val d = signed.groupBy(keys.map(col): _*).agg(dAggs.head, dAggs.tail: _*)
 
     // left join: only groups the delta touched matter; an untouched
@@ -154,11 +175,28 @@ object MaterializedView {
           concat_ws(",", keys.map(k => col(k).cast("string")): _*)))
         .cast("long")).otherwise(nn)
     }
+    // distinct sketches: refuse any delete in a touched group (HLL is
+    // insert-only mergeable — Delta/Materialize recompute here too),
+    // else union the group's old sketch with the inserted values'
+    def mergedHll(c: String): Column = {
+      val old = col(s"hll_$c")
+      val dh = col(s"dhll_$c")
+      val merged = when(old.isNull, dh).when(dh.isNull, old)
+        .otherwise(hll_union(old, dh))
+      when(col("d_del") > 0, raise_error(concat(
+          lit(s"materialized view $mvRoot: the range ($lo, $hi] deletes " +
+            "rows in a group with a distinct-count sketch — HLL cannot " +
+            "retract; recreate the view (or drop the distinct column) " +
+            "for key "),
+          concat_ws(",", keys.map(k => col(k).cast("string")): _*)))
+        .cast("binary")).otherwise(merged)
+    }
     val outCols = keys.map(col) ++ (guardedCnt.as("cnt") +:
       sums.flatMap(c => Seq(
         guardedNn(c).as(s"nn_$c"),
         (coalesce(col(s"raw_$c"), zero(rawType(c))) + col(s"draw_$c"))
-          .cast(rawType(c)).as(s"raw_$c"))))
+          .cast(rawType(c)).as(s"raw_$c")))) ++
+      distincts.map(c => mergedHll(c).as(s"hll_$c"))
     // materialize the per-group post-delta state ONCE: it is tiny
     // (one row per TOUCHED group) but its lineage is the whole
     // delta-scan + aggregate + state join, which streamingApply's
@@ -190,28 +228,32 @@ object MaterializedView {
     * `mvRoot`. The definition and the initial watermark ride version
     * 1's manifest atomically. */
   def create(spark: SparkSession, baseRoot: String, mvRoot: String,
-      keys: Seq[String], sums: Seq[String]): Long = {
+      keys: Seq[String], sums: Seq[String],
+      distincts: Seq[String] = Seq.empty): Long = {
     require(keys.nonEmpty, "materialized view needs grouping keys")
-    requireCols(keys ++ sums, "view")
-    require(keys.intersect(sums).isEmpty,
-      s"columns cannot be both key and sum: ${keys.intersect(sums)}")
+    requireCols(keys ++ sums ++ distincts, "view")
+    require(keys.intersect(sums ++ distincts).isEmpty,
+      s"columns cannot be both key and aggregate: " +
+        s"${keys.intersect(sums ++ distincts)}")
     val bv = currentOf(spark, baseRoot)
     val snap = VersionedTable.read(spark, baseRoot, Some(bv))
-    VersionedTable.create(spark, mvRoot, stateOf(snap, keys, sums),
+    VersionedTable.create(spark, mvRoot,
+      stateOf(snap, keys, sums, distincts),
       meta = Map(WatermarkKey -> bv.toString,
         BaseKey -> norm(baseRoot),
         KeysKey -> keys.mkString(","),
-        SumsKey -> sums.mkString(",")))
+        SumsKey -> sums.mkString(","),
+        DistinctsKey -> distincts.mkString(",")))
   }
 
   private def definition(m: VersionedTable.Manifest)
-      : (Seq[String], Seq[String]) = {
+      : (Seq[String], Seq[String], Seq[String]) = {
     def split(k: String): Seq[String] =
       m.meta.get(k).map(_.split(',').toSeq.filter(_.nonEmpty))
         .getOrElse(Seq.empty)
     val keys = split(KeysKey)
     require(keys.nonEmpty, "not a materialized view (no mv.keys meta)")
-    (keys, split(SumsKey))
+    (keys, split(SumsKey), split(DistinctsKey))
   }
 
   /** Advance the view to the base table's current version by applying
@@ -226,14 +268,14 @@ object MaterializedView {
       mvRoot: String): Long = {
     val mvV = currentOf(spark, mvRoot)
     val m = VersionedTable.readManifest(spark, mvRoot, mvV)
-    val (keys, sums) = definition(m)
+    val (keys, sums, distincts) = definition(m)
     require(!m.meta.contains(JoinKeysKey),
       "this is a join view — use refreshJoin(left, right, mv)")
     requireBase(m, BaseKey, baseRoot, "base")
     val last = m.meta(WatermarkKey).toLong
     val bv = currentOf(spark, baseRoot)
     if (bv <= last) return mvV
-    applySignedDelta(spark, mvRoot, m, keys, sums,
+    applySignedDelta(spark, mvRoot, m, keys, sums, distincts,
       signedChanges(spark, baseRoot, last, bv), batchId = bv,
       lo = last, hi = bv, extraMeta = Map.empty)
   }
@@ -248,12 +290,13 @@ object MaterializedView {
     * keys never match (SQL inner-join semantics). */
   def createJoin(spark: SparkSession, leftRoot: String, rightRoot: String,
       mvRoot: String, joinKeys: Seq[String], keys: Seq[String],
-      sums: Seq[String]): Long = {
+      sums: Seq[String], distincts: Seq[String] = Seq.empty): Long = {
     require(joinKeys.nonEmpty, "join view needs join keys")
     require(keys.nonEmpty, "materialized view needs grouping keys")
-    requireCols(joinKeys ++ keys ++ sums, "view")
-    require(keys.intersect(sums).isEmpty,
-      s"columns cannot be both key and sum: ${keys.intersect(sums)}")
+    requireCols(joinKeys ++ keys ++ sums ++ distincts, "view")
+    require(keys.intersect(sums ++ distincts).isEmpty,
+      s"columns cannot be both key and aggregate: " +
+        s"${keys.intersect(sums ++ distincts)}")
     val lv = currentOf(spark, leftRoot)
     val rv = currentOf(spark, rightRoot)
     val l = VersionedTable.read(spark, leftRoot, Some(lv))
@@ -266,13 +309,14 @@ object MaterializedView {
       l.columns.contains(k) && r.columns.contains(k),
       s"join key '$k' must exist on both sides"))
     VersionedTable.create(spark, mvRoot,
-      stateOf(l.join(r, joinKeys), keys, sums),
+      stateOf(l.join(r, joinKeys), keys, sums, distincts),
       meta = Map(WatermarkKey -> (lv + rv).toString,
         LeftVKey -> lv.toString, RightVKey -> rv.toString,
         LeftKey -> norm(leftRoot), RightKey -> norm(rightRoot),
         JoinKeysKey -> joinKeys.mkString(","),
         KeysKey -> keys.mkString(","),
-        SumsKey -> sums.mkString(",")))
+        SumsKey -> sums.mkString(","),
+        DistinctsKey -> distincts.mkString(",")))
   }
 
   /** Advance a join view to the bases' current versions:
@@ -287,7 +331,7 @@ object MaterializedView {
       rightRoot: String, mvRoot: String): Long = {
     val mvV = currentOf(spark, mvRoot)
     val m = VersionedTable.readManifest(spark, mvRoot, mvV)
-    val (keys, sums) = definition(m)
+    val (keys, sums, distincts) = definition(m)
     val joinKeys = m.meta.getOrElse(JoinKeysKey,
         sys.error("this is a single-table view — use refresh(base, mv)"))
       .split(',').toSeq.filter(_.nonEmpty)
@@ -300,7 +344,7 @@ object MaterializedView {
     if (l1 == l0 && r1 == r0) return mvV
 
     val proj = (df: DataFrame) => df.select(
-      (keys ++ sums).map(col) :+ col("_sign"): _*)
+      (keys ++ sums ++ distincts).map(col) :+ col("_sign"): _*)
     val rNew = VersionedTable.read(spark, rightRoot, Some(r1))
     val lOld = VersionedTable.read(spark, leftRoot, Some(l0))
     val parts = Seq(
@@ -310,7 +354,7 @@ object MaterializedView {
       if (r1 > r0) Some(proj(
         lOld.join(signedChanges(spark, rightRoot, r0, r1), joinKeys)))
       else None).flatten
-    applySignedDelta(spark, mvRoot, m, keys, sums,
+    applySignedDelta(spark, mvRoot, m, keys, sums, distincts,
       parts.reduce(_ unionByName _), batchId = l1 + r1,
       lo = l0 + r0, hi = l1 + r1,
       extraMeta = Map(LeftVKey -> l1.toString, RightVKey -> r1.toString))
@@ -327,10 +371,13 @@ object MaterializedView {
       version: Option[Long] = None): DataFrame = {
     val v = version.getOrElse(currentOf(spark, mvRoot))
     val m = VersionedTable.readManifest(spark, mvRoot, v)
-    val (keys, sums) = definition(m)
+    val (keys, sums, distincts) = definition(m)
     VersionedTable.read(spark, mvRoot, Some(v))
       .select(keys.map(col) ++ (col("cnt") +: sums.map(c =>
-        when(col(s"nn_$c") > 0, col(s"raw_$c")).as(s"sum_$c"))): _*)
+        when(col(s"nn_$c") > 0, col(s"raw_$c")).as(s"sum_$c"))) ++
+        distincts.map(c => // an all-null group has no sketch: 0, not NULL
+          coalesce(hll_sketch_estimate(col(s"hll_$c")), lit(0L))
+            .as(s"distinct_$c")): _*)
   }
 
   /** Last applied base version (single-table views). */

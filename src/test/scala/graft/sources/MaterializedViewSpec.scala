@@ -220,6 +220,52 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(MaterializedView.watermarks(spark, mv) == (3L, 3L))
   }
 
+  test("distinct-count sketches: insert-only maintenance tracks exact " +
+      "distincts (sparse regime), all-null group reads 0") {
+    val (base, mv) = (tmp(), tmp())
+    // w doubles as the distinct-counted column; group 2 starts all-null
+    VersionedTable.create(spark, base,
+      rows((1, 1L, 10L), (1, 2L, 10L), (1, 3L, 11L), (2, 4L, null)))
+    MaterializedView.create(spark, base, mv, Seq("k"), Seq("v"),
+      distincts = Seq("w"))
+    def distincts(): Map[Int, Long] =
+      MaterializedView.read(spark, mv).select("k", "distinct_w")
+        .as[(Int, Long)].collect().toMap
+    assert(distincts() == Map(1 -> 2L, 2 -> 0L))
+    // inserts only: new values, repeats, a first value for group 2
+    VersionedTable.append(spark, base,
+      rows((1, 5L, 11L), (1, 6L, 12L), (2, 7L, 99L), (3, 8L, 7L)))
+    MaterializedView.refresh(spark, base, mv)
+    // cnt/sum lanes stay exact alongside the sketch lane
+    val lanes = MaterializedView.read(spark, mv)
+      .select("k", "cnt", "sum_v").as[(Int, Long, Long)].collect()
+      .map { case (k, c, s) => k -> ((c, s)) }.toMap
+    val wantLanes = VersionedTable.read(spark, base).groupBy("k")
+      .agg(count(lit(1)), sum("v")).as[(Int, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(lanes == wantLanes)
+    assert(distincts() == Map(1 -> 3L, 2 -> 1L, 3 -> 1L))
+    // a delete touching a sketched group refuses loudly
+    VersionedTable.deleteWhere(spark, base, $"w" === 12L, cdf = true)
+    val e = intercept[Exception](MaterializedView.refresh(spark, base, mv))
+    assert(e.getMessage != null && e.getMessage.contains("cannot retract"),
+      s"got: ${e.getMessage}")
+  }
+
+  test("distinct-count sketches on a join view") {
+    val (l, r, mv) = (tmp(), tmp(), tmp())
+    VersionedTable.create(spark, l, ldf((1, 10, 5L), (2, 10, 6L)))
+    VersionedTable.create(spark, r, rdf((1, 100L), (2, 200L)))
+    MaterializedView.createJoin(spark, l, r, mv, Seq("k"), Seq("g"),
+      Seq("v"), distincts = Seq("w"))
+    VersionedTable.append(spark, l, ldf((3, 10, 7L)))
+    VersionedTable.append(spark, r, rdf((3, 200L))) // w=200 repeats
+    MaterializedView.refreshJoin(spark, l, r, mv)
+    val g10 = MaterializedView.read(spark, mv)
+      .select("g", "cnt", "distinct_w").as[(Int, Long, Long)].head()
+    assert(g10 == ((10, 3L, 2L))) // 3 joined rows, 2 distinct w values
+  }
+
   test("wrong-base and wrong-flavor accessors refuse") {
     val (base, other, mv) = (tmp(), tmp(), tmp())
     VersionedTable.create(spark, base, rows((1, 1L, 1L)))
