@@ -1117,7 +1117,10 @@ object IoQueries extends QueryPack {
       VersionedTable.create(s, base,
         bySupp(li.filter(col("l_orderkey") % 4 =!= 3))) // v1
       MaterializedView.create(s, base, mv, keys = Seq("l_suppkey"),
-        sums = Seq("price_cents", "tax_cents"))
+        sums = Seq("price_cents", "tax_cents"),
+        minmax = Seq("price_cents")) // exercises the touched-group
+      // rescan lane: the +100 update and the group delete below both
+      // move extrema that pure delta state could not reconstruct
       VersionedTable.append(s, base,
         bySupp(li.filter(col("l_orderkey") % 4 === 3))) // v2
       // range predicate (bottom suppkey decile): stats-prunable, so
@@ -1135,7 +1138,9 @@ object IoQueries extends QueryPack {
       val want = VersionedTable.read(s, base).groupBy("l_suppkey")
         .agg(count(lit(1)).as("cnt"),
           sum("price_cents").as("sum_price_cents"),
-          sum("tax_cents").as("sum_tax_cents"))
+          sum("tax_cents").as("sum_tax_cents"),
+          min("price_cents").as("min_price_cents"),
+          max("price_cents").as("max_price_cents"))
       require(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
         "incrementally-maintained view must equal a full recompute")
       got.orderBy(col("l_suppkey"))
@@ -1263,7 +1268,9 @@ object IoQueries extends QueryPack {
         |  FROM lineitem WHERE l_suppkey <> 1)
         |SELECT l_suppkey, COUNT(*) AS cnt,
         |  CAST(SUM(price_cents) AS BIGINT) AS sum_price_cents,
-        |  CAST(SUM(tax_cents) AS BIGINT) AS sum_tax_cents
+        |  CAST(SUM(tax_cents) AS BIGINT) AS sum_tax_cents,
+        |  CAST(MIN(price_cents) AS BIGINT) AS min_price_cents,
+        |  CAST(MAX(price_cents) AS BIGINT) AS max_price_cents
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "q178_materialized_join_view" ->
       """WITH o AS (SELECT o_custkey,

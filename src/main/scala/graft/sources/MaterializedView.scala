@@ -25,10 +25,17 @@ import org.apache.spark.sql.types.DataType
   * (non-null) and `raw_c` = zero-filled SUM(c). Inserts add, deletes
   * subtract — COUNT and SUM are the self-maintainable aggregates;
   * `read` reconstructs SQL semantics exactly (`SUM` is NULL iff no
-  * non-null value remains, AVG = raw/nn). MIN/MAX are NOT
-  * self-maintainable under deletes and are deliberately out of scope
-  * — a deleted extremum needs a rescan of the group, a different
-  * operator.
+  * non-null value remains, AVG = raw/nn).
+  *
+  * MIN/MAX are NOT self-maintainable under deletes (a deleted
+  * extremum cannot be reconstructed from state), so `minmax` columns
+  * take the partial-recompute lane: each refresh RE-AGGREGATES
+  * exactly the groups the delta touched from the target-version
+  * snapshot — a keyed semi-join bounds the recompute to churned
+  * groups (and prunes files when the base clusters by the group key);
+  * untouched groups never rescan. Correct under every delta shape by
+  * construction; cost is O(touched groups' rows), between the pure
+  * delta lanes and a full recompute.
   *
   * APPROX-DISTINCT per group rides along as a DataSketches HLL sketch
   * column (`distincts`): sketches are mergeable, so inserts fold in
@@ -83,6 +90,7 @@ object MaterializedView {
   private val RightVKey = "mv.right_v"
   private val BaseKey = "mv.base"
   private val DistinctsKey = "mv.distincts"
+  private val MinMaxKey = "mv.minmax"
   private val LeftKey = "mv.left"
   private val RightKey = "mv.right"
 
@@ -109,21 +117,26 @@ object MaterializedView {
       s"bad $what column name '$c' (',', '=', newline are reserved)"))
 
   /** Full-aggregate state of `df`:
-    * (keys..., cnt, [nn_c, raw_c]..., [hll_c]...). */
+    * (keys..., cnt, [nn_c, raw_c]..., [hll_c]..., [min_c, max_c]...). */
   private def stateOf(df: DataFrame, keys: Seq[String],
-      sums: Seq[String], distincts: Seq[String]): DataFrame = {
+      sums: Seq[String], distincts: Seq[String],
+      minmax: Seq[String]): DataFrame = {
     val aggs = (count(lit(1)).as("cnt") +: sums.flatMap(c => Seq(
       sum(when(col(c).isNotNull, 1L).otherwise(0L)).as(s"nn_$c"),
       sum(col(c)).as(s"raw_$c")))) ++
-      distincts.map(c => hll_sketch_agg(col(c)).as(s"hll_$c"))
+      distincts.map(c => hll_sketch_agg(col(c)).as(s"hll_$c")) ++
+      minmax.flatMap(c =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
     val raw = df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
     // zero-fill all-null sums so state arithmetic never meets NULL;
-    // read() reconstructs the SQL NULL from nn_c
+    // read() reconstructs the SQL NULL from nn_c (min/max keep SQL
+    // NULL semantics natively — an all-null group stores NULL)
     raw.select(keys.map(col) ++ (col("cnt") +: sums.flatMap(c => Seq(
       col(s"nn_$c"),
       coalesce(col(s"raw_$c"),
         zero(raw.schema(s"raw_$c").dataType)).as(s"raw_$c")))) ++
-      distincts.map(c => col(s"hll_$c")): _*)
+      distincts.map(c => col(s"hll_$c")) ++
+      minmax.flatMap(c => Seq(col(s"min_$c"), col(s"max_$c"))): _*)
   }
 
   /** Merge a SIGNED row delta (`signed`: keys + sums + `_sign` ∈
@@ -133,7 +146,8 @@ object MaterializedView {
     * The shared spine of both refresh flavors. */
   private def applySignedDelta(spark: SparkSession, mvRoot: String,
       m: VersionedTable.Manifest, keys: Seq[String], sums: Seq[String],
-      distincts: Seq[String], signed: DataFrame, batchId: Long,
+      distincts: Seq[String], minmax: Seq[String],
+      snapshotAtHi: => DataFrame, signed: DataFrame, batchId: Long,
       lo: Long, hi: Long, extraMeta: Map[String, String]): Long = {
     val rawType: Map[String, DataType] =
       sums.map(c => c -> m.schema(s"raw_$c").dataType).toMap
@@ -155,7 +169,23 @@ object MaterializedView {
     // left join: only groups the delta touched matter; an untouched
     // group's files are never rewritten (streamingApply is keyed COW)
     val state = VersionedTable.read(spark, mvRoot, Some(m.version))
-    val joined = d.join(state, keys, "left")
+    val withState = d.join(state, keys, "left")
+    // MIN/MAX lane: not self-maintainable under deletes, so the
+    // touched groups are RE-AGGREGATED from the hi-version snapshot —
+    // a keyed semi-join bounds the recompute to the churned groups
+    // (prunable when the base clusters by the group key); untouched
+    // groups never rescan. Full-recompute-correct under every delta
+    // shape, the partial-recompute stance Delta/Materialize take.
+    val joined =
+      if (minmax.isEmpty) withState
+      else {
+        val mmAggs = minmax.flatMap(c =>
+          Seq(min(col(c)).as(s"mm_min_$c"), max(col(c)).as(s"mm_max_$c")))
+        val rescan = snapshotAtHi
+          .join(d.select(keys.map(col): _*), keys, "left_semi")
+          .groupBy(keys.map(col): _*).agg(mmAggs.head, mmAggs.tail: _*)
+        withState.join(rescan, keys, "left")
+      }
     val newCnt = coalesce(col("cnt"), lit(0L)) + col("d_cnt")
     val guardedCnt = when(newCnt < 0, raise_error(concat(
         lit(s"materialized view $mvRoot: negative group count applying " +
@@ -196,7 +226,9 @@ object MaterializedView {
         guardedNn(c).as(s"nn_$c"),
         (coalesce(col(s"raw_$c"), zero(rawType(c))) + col(s"draw_$c"))
           .cast(rawType(c)).as(s"raw_$c")))) ++
-      distincts.map(c => mergedHll(c).as(s"hll_$c"))
+      distincts.map(c => mergedHll(c).as(s"hll_$c")) ++
+      minmax.flatMap(c => Seq(col(s"mm_min_$c").as(s"min_$c"),
+        col(s"mm_max_$c").as(s"max_$c")))
     // materialize the per-group post-delta state ONCE: it is tiny
     // (one row per TOUCHED group) but its lineage is the whole
     // delta-scan + aggregate + state join, which streamingApply's
@@ -229,31 +261,33 @@ object MaterializedView {
     * 1's manifest atomically. */
   def create(spark: SparkSession, baseRoot: String, mvRoot: String,
       keys: Seq[String], sums: Seq[String],
-      distincts: Seq[String] = Seq.empty): Long = {
+      distincts: Seq[String] = Seq.empty,
+      minmax: Seq[String] = Seq.empty): Long = {
     require(keys.nonEmpty, "materialized view needs grouping keys")
-    requireCols(keys ++ sums ++ distincts, "view")
-    require(keys.intersect(sums ++ distincts).isEmpty,
+    requireCols(keys ++ sums ++ distincts ++ minmax, "view")
+    require(keys.intersect(sums ++ distincts ++ minmax).isEmpty,
       s"columns cannot be both key and aggregate: " +
-        s"${keys.intersect(sums ++ distincts)}")
+        s"${keys.intersect(sums ++ distincts ++ minmax)}")
     val bv = currentOf(spark, baseRoot)
     val snap = VersionedTable.read(spark, baseRoot, Some(bv))
     VersionedTable.create(spark, mvRoot,
-      stateOf(snap, keys, sums, distincts),
+      stateOf(snap, keys, sums, distincts, minmax),
       meta = Map(WatermarkKey -> bv.toString,
         BaseKey -> norm(baseRoot),
         KeysKey -> keys.mkString(","),
         SumsKey -> sums.mkString(","),
-        DistinctsKey -> distincts.mkString(",")))
+        DistinctsKey -> distincts.mkString(","),
+        MinMaxKey -> minmax.mkString(",")))
   }
 
   private def definition(m: VersionedTable.Manifest)
-      : (Seq[String], Seq[String], Seq[String]) = {
+      : (Seq[String], Seq[String], Seq[String], Seq[String]) = {
     def split(k: String): Seq[String] =
       m.meta.get(k).map(_.split(',').toSeq.filter(_.nonEmpty))
         .getOrElse(Seq.empty)
     val keys = split(KeysKey)
     require(keys.nonEmpty, "not a materialized view (no mv.keys meta)")
-    (keys, split(SumsKey), split(DistinctsKey))
+    (keys, split(SumsKey), split(DistinctsKey), split(MinMaxKey))
   }
 
   /** Advance the view to the base table's current version by applying
@@ -268,14 +302,15 @@ object MaterializedView {
       mvRoot: String): Long = {
     val mvV = currentOf(spark, mvRoot)
     val m = VersionedTable.readManifest(spark, mvRoot, mvV)
-    val (keys, sums, distincts) = definition(m)
+    val (keys, sums, distincts, minmax) = definition(m)
     require(!m.meta.contains(JoinKeysKey),
       "this is a join view — use refreshJoin(left, right, mv)")
     requireBase(m, BaseKey, baseRoot, "base")
     val last = m.meta(WatermarkKey).toLong
     val bv = currentOf(spark, baseRoot)
     if (bv <= last) return mvV
-    applySignedDelta(spark, mvRoot, m, keys, sums, distincts,
+    applySignedDelta(spark, mvRoot, m, keys, sums, distincts, minmax,
+      VersionedTable.read(spark, baseRoot, Some(bv)),
       signedChanges(spark, baseRoot, last, bv), batchId = bv,
       lo = last, hi = bv, extraMeta = Map.empty)
   }
@@ -290,13 +325,14 @@ object MaterializedView {
     * keys never match (SQL inner-join semantics). */
   def createJoin(spark: SparkSession, leftRoot: String, rightRoot: String,
       mvRoot: String, joinKeys: Seq[String], keys: Seq[String],
-      sums: Seq[String], distincts: Seq[String] = Seq.empty): Long = {
+      sums: Seq[String], distincts: Seq[String] = Seq.empty,
+      minmax: Seq[String] = Seq.empty): Long = {
     require(joinKeys.nonEmpty, "join view needs join keys")
     require(keys.nonEmpty, "materialized view needs grouping keys")
-    requireCols(joinKeys ++ keys ++ sums ++ distincts, "view")
-    require(keys.intersect(sums ++ distincts).isEmpty,
+    requireCols(joinKeys ++ keys ++ sums ++ distincts ++ minmax, "view")
+    require(keys.intersect(sums ++ distincts ++ minmax).isEmpty,
       s"columns cannot be both key and aggregate: " +
-        s"${keys.intersect(sums ++ distincts)}")
+        s"${keys.intersect(sums ++ distincts ++ minmax)}")
     val lv = currentOf(spark, leftRoot)
     val rv = currentOf(spark, rightRoot)
     val l = VersionedTable.read(spark, leftRoot, Some(lv))
@@ -309,14 +345,15 @@ object MaterializedView {
       l.columns.contains(k) && r.columns.contains(k),
       s"join key '$k' must exist on both sides"))
     VersionedTable.create(spark, mvRoot,
-      stateOf(l.join(r, joinKeys), keys, sums, distincts),
+      stateOf(l.join(r, joinKeys), keys, sums, distincts, minmax),
       meta = Map(WatermarkKey -> (lv + rv).toString,
         LeftVKey -> lv.toString, RightVKey -> rv.toString,
         LeftKey -> norm(leftRoot), RightKey -> norm(rightRoot),
         JoinKeysKey -> joinKeys.mkString(","),
         KeysKey -> keys.mkString(","),
         SumsKey -> sums.mkString(","),
-        DistinctsKey -> distincts.mkString(",")))
+        DistinctsKey -> distincts.mkString(","),
+        MinMaxKey -> minmax.mkString(",")))
   }
 
   /** Advance a join view to the bases' current versions:
@@ -331,7 +368,7 @@ object MaterializedView {
       rightRoot: String, mvRoot: String): Long = {
     val mvV = currentOf(spark, mvRoot)
     val m = VersionedTable.readManifest(spark, mvRoot, mvV)
-    val (keys, sums, distincts) = definition(m)
+    val (keys, sums, distincts, minmax) = definition(m)
     val joinKeys = m.meta.getOrElse(JoinKeysKey,
         sys.error("this is a single-table view — use refresh(base, mv)"))
       .split(',').toSeq.filter(_.nonEmpty)
@@ -354,7 +391,8 @@ object MaterializedView {
       if (r1 > r0) Some(proj(
         lOld.join(signedChanges(spark, rightRoot, r0, r1), joinKeys)))
       else None).flatten
-    applySignedDelta(spark, mvRoot, m, keys, sums, distincts,
+    applySignedDelta(spark, mvRoot, m, keys, sums, distincts, minmax,
+      VersionedTable.read(spark, leftRoot, Some(l1)).join(rNew, joinKeys),
       parts.reduce(_ unionByName _), batchId = l1 + r1,
       lo = l0 + r0, hi = l1 + r1,
       extraMeta = Map(LeftVKey -> l1.toString, RightVKey -> r1.toString))
@@ -371,13 +409,14 @@ object MaterializedView {
       version: Option[Long] = None): DataFrame = {
     val v = version.getOrElse(currentOf(spark, mvRoot))
     val m = VersionedTable.readManifest(spark, mvRoot, v)
-    val (keys, sums, distincts) = definition(m)
+    val (keys, sums, distincts, minmax) = definition(m)
     VersionedTable.read(spark, mvRoot, Some(v))
       .select(keys.map(col) ++ (col("cnt") +: sums.map(c =>
         when(col(s"nn_$c") > 0, col(s"raw_$c")).as(s"sum_$c"))) ++
         distincts.map(c => // an all-null group has no sketch: 0, not NULL
           coalesce(hll_sketch_estimate(col(s"hll_$c")), lit(0L))
-            .as(s"distinct_$c")): _*)
+            .as(s"distinct_$c")) ++
+        minmax.flatMap(c => Seq(col(s"min_$c"), col(s"max_$c"))): _*)
   }
 
   /** Last applied base version (single-table views). */

@@ -266,6 +266,56 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(g10 == ((10, 3L, 2L))) // 3 joined rows, 2 distinct w values
   }
 
+  test("min/max lane: deleted extrema recompute via touched-group rescan") {
+    val (base, mv) = (tmp(), tmp())
+    VersionedTable.create(spark, base,
+      rows((1, 5L, 1L), (1, 9L, 2L), (2, 3L, null)))
+    MaterializedView.create(spark, base, mv, Seq("k"), Seq("w"),
+      minmax = Seq("v"))
+    def mm(): Map[Int, (Long, Long)] =
+      MaterializedView.read(spark, mv).select("k", "min_v", "max_v")
+        .as[(Int, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+        .toMap
+    assert(mm() == Map(1 -> ((5L, 9L)), 2 -> ((3L, 3L))))
+    // delete group 1's CURRENT MAX — the case pure delta state cannot
+    // answer; the rescan lane must find the new max 5
+    VersionedTable.deleteWhere(spark, base, $"v" === 9L, cdf = true)
+    // and raise group 2's max by insert, leave group 3 born fresh
+    VersionedTable.append(spark, base, rows((2, 8L, 1L), (3, 4L, 2L)))
+    MaterializedView.refresh(spark, base, mv)
+    assert(mm() == Map(1 -> ((5L, 5L)), 2 -> ((3L, 8L)), 3 -> ((4L, 4L))))
+    // cnt/sum lanes agree with recompute alongside
+    val want = VersionedTable.read(spark, base).groupBy("k")
+      .agg(count(lit(1)).as("cnt"), sum("w").as("sum_w"),
+        min("v").as("min_v"), max("v").as("max_v"))
+    val got = MaterializedView.read(spark, mv)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // untouched-group invariance: mutate only group 2; group 1's row
+    // must survive byte-identically (its files were never rewritten)
+    val g1Before = got.filter($"k" === 1).collect().toSeq
+    VersionedTable.updateWhere(spark, base, $"k" === 2,
+      Map("v" -> lit(100L)), cdf = true)
+    MaterializedView.refresh(spark, base, mv)
+    assert(MaterializedView.read(spark, mv).filter($"k" === 1)
+      .collect().toSeq == g1Before)
+    assert(mm()(2) == ((100L, 100L)))
+  }
+
+  test("min/max lane on a join view") {
+    val (l, r, mv) = (tmp(), tmp(), tmp())
+    VersionedTable.create(spark, l, ldf((1, 10, 5L), (2, 10, 9L)))
+    VersionedTable.create(spark, r, rdf((1, 100L), (2, 200L)))
+    MaterializedView.createJoin(spark, l, r, mv, Seq("k"), Seq("g"),
+      Seq("w"), minmax = Seq("v"))
+    // delete the left row holding the max; the joined group's max
+    // must fall back to 5 via the L1 JOIN R1 rescan
+    VersionedTable.deleteWhere(spark, l, $"v" === 9L, cdf = true)
+    MaterializedView.refreshJoin(spark, l, r, mv)
+    val g = MaterializedView.read(spark, mv)
+      .select("g", "min_v", "max_v").as[(Int, Long, Long)].head()
+    assert(g == ((10, 5L, 5L)))
+  }
+
   test("wrong-base and wrong-flavor accessors refuse") {
     val (base, other, mv) = (tmp(), tmp(), tmp())
     VersionedTable.create(spark, base, rows((1, 1L, 1L)))
