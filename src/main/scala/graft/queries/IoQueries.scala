@@ -1141,7 +1141,9 @@ object IoQueries extends QueryPack {
           sum("tax_cents").as("sum_tax_cents"),
           min("price_cents").as("min_price_cents"),
           max("price_cents").as("max_price_cents"))
-      require(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      // multiset equality in one anti-pass: equal cardinality plus
+      // one empty difference implies the other direction
+      require(got.count() == want.count() && got.exceptAll(want).isEmpty,
         "incrementally-maintained view must equal a full recompute")
       got.orderBy(col("l_suppkey"))
     },
@@ -1194,7 +1196,7 @@ object IoQueries extends QueryPack {
         .join(VersionedTable.read(s, r), Seq("c_custkey"))
         .groupBy("c_nationkey").agg(count(lit(1)).as("cnt"),
           sum("price_cents").as("sum_price_cents"))
-      require(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      require(got.count() == want.count() && got.exceptAll(want).isEmpty,
         "incrementally-maintained join view must equal a full recompute")
       got.orderBy(col("c_nationkey"))
     },

@@ -394,6 +394,40 @@ class MaterializedViewSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("concurrent refreshers: monotonic batchId keeps exactly one winner") {
+    // two threads race the SAME refresh window; whichever commits
+    // first wins, the loser's streamingApply no-ops on the recorded
+    // batch id — the state must equal the recompute either way, with
+    // exactly ONE new MV version
+    val (base, mv) = (tmp(), tmp())
+    VersionedTable.create(spark, base, rows((1, 1L, 1L), (2, 2L, 2L)))
+    MaterializedView.create(spark, base, mv, Seq("k"), Seq("v"))
+    VersionedTable.append(spark, base, rows((1, 10L, 3L), (3, 30L, 4L)))
+    VersionedTable.deleteWhere(spark, base, $"k" === 2, cdf = true)
+    val mvBefore = VersionedTable.currentVersion(spark, mv).get
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val gate = new CountDownLatch(1)
+    try {
+      val fs = (1 to 2).map(_ => pool.submit(new java.util.concurrent
+          .Callable[Long] {
+        def call(): Long = {
+          gate.await(10, TimeUnit.SECONDS)
+          MaterializedView.refresh(spark, base, mv)
+        }
+      }))
+      gate.countDown()
+      val versions = fs.map(_.get(120, TimeUnit.SECONDS)).toSet
+      // both racers report the same final version, one past the start
+      assert(versions == Set(mvBefore + 1), s"got $versions")
+    } finally pool.shutdown()
+    val got = MaterializedView.read(spark, mv)
+    val want = VersionedTable.read(spark, base).groupBy("k")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("sum_v"))
+    assert(got.count() == want.count() && got.exceptAll(want).isEmpty)
+    assert(MaterializedView.watermark(spark, mv) == 3L)
+  }
+
   test("bad definitions refuse") {
     val (base, mv) = (tmp(), tmp())
     VersionedTable.create(spark, base, rows((1, 1L, 1L)))
