@@ -1239,6 +1239,50 @@ object IoQueries extends QueryPack {
       require(out.filter(!col("within_bound")).isEmpty,
         "HLL estimate must sit within the 3-sigma bound of exact")
       out.orderBy(col("o_orderpriority"))
+    },
+
+    // View CASCADE (the Materialize dataflow-graph shape): base ->
+    // mv1 (per-customer revenue, created with cdf so its OWN refresh
+    // commits capture row-level changes) -> mv2 (per-bucket rollup of
+    // mv1's raw sums), each level delta-maintained off the level
+    // above — no level ever rescans its base. The run churns the
+    // ROOT with an append + CDF update + customer-killing delete,
+    // refreshes down the cascade, and certifies in-query that the
+    // top of the cascade equals a direct recompute from the root.
+    // mv2's cnt counts mv1 rows = distinct surviving customers per
+    // bucket; the oracle replays both levels as one aggregate.
+    "q181_materialized_cascade" -> { (s, dir) =>
+      import graft.sources.{MaterializedView, VersionedTable}
+      val id = java.util.UUID.randomUUID()
+      val (base, mv1, mv2) = (tmp(s, s"vt_mvc/$id/base"),
+        tmp(s, s"vt_mvc/$id/mv1"), tmp(s, s"vt_mvc/$id/mv2"))
+      val orders = graft.Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_custkey") % 10).as("bucket"),
+          CoreQueries.cents(col("o_totalprice")).as("price_cents"))
+      VersionedTable.create(s, base,
+        orders.filter(col("o_orderkey") % 3 =!= 2)) // v1
+      MaterializedView.create(s, base, mv1,
+        keys = Seq("bucket", "o_custkey"), sums = Seq("price_cents"),
+        cdf = true)
+      MaterializedView.create(s, mv1, mv2,
+        keys = Seq("bucket"), sums = Seq("raw_price_cents"))
+      VersionedTable.append(s, base,
+        orders.filter(col("o_orderkey") % 3 === 2)) // v2
+      VersionedTable.updateWhere(s, base, col("o_orderkey") % 5 === 0,
+        Map("price_cents" -> (col("price_cents") + lit(7L))),
+        cdf = true) // v3
+      VersionedTable.deleteWhere(s, base, col("o_custkey") % 100 === 7,
+        cdf = true) // v4: those customers' mv1 groups die -> mv2 drops
+      MaterializedView.refresh(s, base, mv1)
+      MaterializedView.refresh(s, mv1, mv2)
+      val got = MaterializedView.read(s, mv2)
+      val want = VersionedTable.read(s, base).groupBy("bucket")
+        .agg(countDistinct(col("o_custkey")).as("cnt"),
+          sum("price_cents").as("sum_raw_price_cents"))
+      require(got.count() == want.count() && got.exceptAll(want).isEmpty,
+        "cascade top must equal a direct recompute from the root")
+      got.orderBy(col("bucket"))
     }
   )
 
@@ -1286,6 +1330,16 @@ object IoQueries extends QueryPack {
         |  CAST(SUM(price_cents) AS BIGINT) AS sum_price_cents
         |FROM o JOIN c ON o.o_custkey = c.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q181_materialized_cascade" ->
+      """WITH o AS (SELECT o_custkey % 10 AS bucket, o_custkey,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT)
+        |      + CASE WHEN o_orderkey % 5 = 0 THEN 7 ELSE 0 END
+        |      AS price_cents
+        |  FROM orders WHERE o_custkey % 100 <> 7)
+        |SELECT bucket,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS cnt,
+        |  CAST(SUM(price_cents) AS BIGINT) AS sum_raw_price_cents
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
     "q180_materialized_distinct" ->
       """SELECT o_orderpriority, COUNT(*) AS cnt,
         |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)

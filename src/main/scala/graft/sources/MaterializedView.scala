@@ -91,6 +91,7 @@ object MaterializedView {
   private val BaseKey = "mv.base"
   private val DistinctsKey = "mv.distincts"
   private val MinMaxKey = "mv.minmax"
+  private val CdfKey = "mv.cdf"
   private val LeftKey = "mv.left"
   private val RightKey = "mv.right"
 
@@ -240,7 +241,11 @@ object MaterializedView {
     val delKeys = next.filter(col("cnt") === 0)
       .select(keys.map(col): _*)
     VersionedTable.streamingApply(spark, mvRoot, upserts, delKeys, keys,
-      Query, batchId = batchId, extraMeta = extraMeta)
+      Query, batchId = batchId,
+      // a CASCADE view captures its own row-level changes, so a
+      // DOWNSTREAM view can delta-maintain off this one's commits —
+      // the Materialize dataflow-graph shape, one view per edge
+      cdf = m.meta.get(CdfKey).contains("1"), extraMeta = extraMeta)
   }
 
   private def currentOf(spark: SparkSession, root: String): Long =
@@ -262,7 +267,8 @@ object MaterializedView {
   def create(spark: SparkSession, baseRoot: String, mvRoot: String,
       keys: Seq[String], sums: Seq[String],
       distincts: Seq[String] = Seq.empty,
-      minmax: Seq[String] = Seq.empty): Long = {
+      minmax: Seq[String] = Seq.empty,
+      cdf: Boolean = false): Long = {
     require(keys.nonEmpty, "materialized view needs grouping keys")
     requireCols(keys ++ sums ++ distincts ++ minmax, "view")
     require(keys.intersect(sums ++ distincts ++ minmax).isEmpty,
@@ -277,7 +283,8 @@ object MaterializedView {
         KeysKey -> keys.mkString(","),
         SumsKey -> sums.mkString(","),
         DistinctsKey -> distincts.mkString(","),
-        MinMaxKey -> minmax.mkString(",")))
+        MinMaxKey -> minmax.mkString(","),
+        CdfKey -> (if (cdf) "1" else "0")))
   }
 
   private def definition(m: VersionedTable.Manifest)
@@ -326,7 +333,7 @@ object MaterializedView {
   def createJoin(spark: SparkSession, leftRoot: String, rightRoot: String,
       mvRoot: String, joinKeys: Seq[String], keys: Seq[String],
       sums: Seq[String], distincts: Seq[String] = Seq.empty,
-      minmax: Seq[String] = Seq.empty): Long = {
+      minmax: Seq[String] = Seq.empty, cdf: Boolean = false): Long = {
     require(joinKeys.nonEmpty, "join view needs join keys")
     require(keys.nonEmpty, "materialized view needs grouping keys")
     requireCols(joinKeys ++ keys ++ sums ++ distincts ++ minmax, "view")
@@ -353,7 +360,8 @@ object MaterializedView {
         KeysKey -> keys.mkString(","),
         SumsKey -> sums.mkString(","),
         DistinctsKey -> distincts.mkString(","),
-        MinMaxKey -> minmax.mkString(",")))
+        MinMaxKey -> minmax.mkString(","),
+        CdfKey -> (if (cdf) "1" else "0")))
   }
 
   /** Advance a join view to the bases' current versions:

@@ -428,6 +428,33 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(MaterializedView.watermark(spark, mv) == 3L)
   }
 
+  test("view cascades: a cdf view feeds a downstream view's maintenance") {
+    // base -> mv1 (per (k, w-bucket) count+sum, cdf) -> mv2 (per k
+    // rollup of mv1's raw sums) — the dataflow-graph shape; mv2
+    // delta-maintains off mv1's own refresh commits
+    val (base, mv1, mv2) = (tmp(), tmp(), tmp())
+    VersionedTable.create(spark, base,
+      rows((1, 10L, 0L), (1, 20L, 1L), (2, 5L, 0L)))
+    MaterializedView.create(spark, base, mv1, Seq("k", "w"), Seq("v"),
+      cdf = true)
+    MaterializedView.create(spark, mv1, mv2, Seq("k"), Seq("raw_v"))
+    def rollup(): Map[Int, (Long, Long)] =
+      MaterializedView.read(spark, mv2).select("k", "cnt", "sum_raw_v")
+        .as[(Int, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+        .toMap
+    assert(rollup() == Map(1 -> ((2L, 30L)), 2 -> ((1L, 5L))))
+    // churn the base across every shape, refresh DOWN the cascade
+    VersionedTable.append(spark, base, rows((1, 100L, 0L), (3, 7L, 2L)))
+    VersionedTable.deleteWhere(spark, base, $"k" === 2, cdf = true)
+    MaterializedView.refresh(spark, base, mv1)
+    MaterializedView.refresh(spark, mv1, mv2)
+    assert(rollup() == Map(1 -> ((2L, 130L)), 3 -> ((1L, 7L))))
+    // and the rollup equals a direct recompute from the base
+    val direct = VersionedTable.read(spark, base).groupBy("k")
+      .agg(sum("v").as("s")).as[(Int, Long)].collect().toMap
+    assert(rollup().view.mapValues(_._2).toMap == direct)
+  }
+
   test("bad definitions refuse") {
     val (base, mv) = (tmp(), tmp())
     VersionedTable.create(spark, base, rows((1, 1L, 1L)))
