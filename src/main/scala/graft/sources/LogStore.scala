@@ -61,20 +61,25 @@ object LogStore {
       // specific registration
       java.util.Comparator.reverseOrder[String]())
 
-  /** Route every table whose root starts with `rootPrefix` through
-    * `store`. Longest registered prefix wins. */
+  /** Route every table under `rootPrefix` through `store`. Longest
+    * registered prefix wins. Matching is PATH-COMPONENT-wise: a store
+    * for "/data/tab" governs "/data/tab" and "/data/tab/…" but never
+    * "/data/table2" — a raw startsWith would silently route an
+    * unrelated sibling table's commits through the wrong store. */
   def register(rootPrefix: String, store: LogStore): Unit =
-    registry.put(rootPrefix, store)
+    registry.put(rootPrefix.stripSuffix("/"), store)
 
-  def unregister(rootPrefix: String): Unit = registry.remove(rootPrefix)
+  def unregister(rootPrefix: String): Unit =
+    registry.remove(rootPrefix.stripSuffix("/"))
 
-  /** The store governing `path` — longest registered prefix, default
-    * [[HadoopLogStore]]. */
+  /** The store governing `path` — longest registered prefix on a path
+    * boundary, default [[HadoopLogStore]]. */
   def forPath(path: String): LogStore = {
     val it = registry.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      if (path.startsWith(e.getKey)) return e.getValue
+      val p = e.getKey
+      if (path == p || path.startsWith(p + "/")) return e.getValue
     }
     HadoopLogStore
   }

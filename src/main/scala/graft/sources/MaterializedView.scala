@@ -72,9 +72,22 @@ import org.apache.spark.sql.types.DataType
   * (queryName, batchId) transaction pattern — so "delta applied" and
   * "watermark advanced" can never diverge, and a crashed or replayed
   * refresh is a no-op. batchId is the base version (single) or the
-  * version sum (join): monotone under refresh, so a stale concurrent
-  * refresher is dropped; the winner wrote ABSOLUTE post-delta state
-  * for every group it touched, so the outcome is the same either way.
+  * version sum (join), monotone under refresh.
+  *
+  * Concurrent refreshers: for SINGLE-TABLE views monotone batchId
+  * suffices — two refreshers from the same watermark read NESTED
+  * windows (w, bv] ⊆ (w, bv'] of one base, so the later (larger)
+  * batch touches a superset of the earlier one's groups and writes
+  * ABSOLUTE post-delta state for each; whichever order they land, the
+  * final state is the larger window's, which is correct. For JOIN
+  * views the windows are a PAIR and same-start windows need not nest
+  * per side (each base advances independently), so a larger-sum loser
+  * could advance a watermark past changes it never applied; join
+  * refresh therefore carries read-version OCC — the commit pins the
+  * (LeftV, RightV) pair the delta was computed against and a
+  * concurrent winner turns the loser into
+  * [[VersionedTable.StaleRefresh]] -> recompute-and-retry (see
+  * [[refreshJoin]]).
   */
 object MaterializedView {
 
@@ -149,7 +162,8 @@ object MaterializedView {
       m: VersionedTable.Manifest, keys: Seq[String], sums: Seq[String],
       distincts: Seq[String], minmax: Seq[String],
       snapshotAtHi: => DataFrame, signed: DataFrame, batchId: Long,
-      lo: Long, hi: Long, extraMeta: Map[String, String]): Long = {
+      lo: Long, hi: Long, extraMeta: Map[String, String],
+      expectMeta: Map[String, String] = Map.empty): Long = {
     val rawType: Map[String, DataType] =
       sums.map(c => c -> m.schema(s"raw_$c").dataType).toMap
     val dAggs = (sum(col("_sign")).as("d_cnt") +: sums.flatMap(c => Seq(
@@ -245,7 +259,8 @@ object MaterializedView {
       // a CASCADE view captures its own row-level changes, so a
       // DOWNSTREAM view can delta-maintain off this one's commits —
       // the Materialize dataflow-graph shape, one view per edge
-      cdf = m.meta.get(CdfKey).contains("1"), extraMeta = extraMeta)
+      cdf = m.meta.get(CdfKey).contains("1"), extraMeta = extraMeta,
+      expectMeta = expectMeta)
   }
 
   private def currentOf(spark: SparkSession, root: String): Long =
@@ -374,6 +389,23 @@ object MaterializedView {
     * version sum, monotone). */
   def refreshJoin(spark: SparkSession, leftRoot: String,
       rightRoot: String, mvRoot: String): Long = {
+    var attempt = 0
+    while (true) {
+      try return refreshJoinOnce(spark, leftRoot, rightRoot, mvRoot)
+      catch {
+        case _: VersionedTable.StaleRefresh if attempt < 10 =>
+          attempt += 1 // re-read watermarks, recompute against them
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** One join-refresh attempt against the watermarks it reads NOW.
+    * Throws [[VersionedTable.StaleRefresh]] if a concurrent refresh
+    * commits first — the computed delta is only valid against the
+    * watermark pair it was read from (see [[refreshJoin]]'s retry). */
+  private[sources] def refreshJoinOnce(spark: SparkSession,
+      leftRoot: String, rightRoot: String, mvRoot: String): Long = {
     val mvV = currentOf(spark, mvRoot)
     val m = VersionedTable.readManifest(spark, mvRoot, mvV)
     val (keys, sums, distincts, minmax) = definition(m)
@@ -403,7 +435,21 @@ object MaterializedView {
       VersionedTable.read(spark, leftRoot, Some(l1)).join(rNew, joinKeys),
       parts.reduce(_ unionByName _), batchId = l1 + r1,
       lo = l0 + r0, hi = l1 + r1,
-      extraMeta = Map(LeftVKey -> l1.toString, RightVKey -> r1.toString))
+      extraMeta = Map(LeftVKey -> l1.toString, RightVKey -> r1.toString),
+      // read-version OCC: this delta composes ONLY with the exact
+      // (l0, r0) state it was computed against. Two refreshers from
+      // the same watermarks can read DIFFERENT (l1, r1) windows (each
+      // base advances independently), and the larger-version-sum
+      // commit is not a superset of the smaller one per side — e.g.
+      // winner (l0+2, r0+1) then loser (l0+1, r0+3): the loser never
+      // saw the winner's left range and would advance the left
+      // watermark past changes it did not apply (monotone batchId
+      // alone admits it). Pinning the watermark pair read at start
+      // turns that into StaleRefresh -> recompute. Single-table
+      // refresh needs none of this: same-start windows are NESTED
+      // there, so the later batch's absolute per-group state covers a
+      // superset of the earlier one's touched groups.
+      expectMeta = Map(LeftVKey -> l0.toString, RightVKey -> r0.toString))
   }
 
   // ---- read --------------------------------------------------------------

@@ -138,6 +138,13 @@ object Rest {
       jsonPath: String = "$", schemaDdl: Option[String] = None,
       maxPages: Int = 1000): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory("graft_rest")
+    // the returned frame reads these files LAZILY, so they must outlive
+    // this call — reclaim them at JVM exit (deleteOnExit runs in
+    // reverse registration order: dir first, then its page files, so
+    // the files go before the now-empty dir). A long-lived driver
+    // doing many paginated reads should persist/write the result and
+    // may then delete the staging dir itself.
+    dir.toFile.deleteOnExit()
     var next = Option(url)
     var n = 0
     while (next.isDefined) {
@@ -151,7 +158,9 @@ object Rest {
           throw new java.io.IOException(
             s"Rest: fetch failed for $u (page ${n + 1}): ${e.getMessage}", e)
         }
-      java.nio.file.Files.write(dir.resolve(f"page$n%05d.json"), payload)
+      val page = dir.resolve(f"page$n%05d.json")
+      java.nio.file.Files.write(page, payload)
+      page.toFile.deleteOnExit()
       next = transport.nextPage(u, payload)
       n += 1
     }

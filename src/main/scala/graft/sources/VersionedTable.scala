@@ -78,6 +78,17 @@ object VersionedTable {
   final class CommitConflict(msg: String)
     extends RuntimeException(msg)
 
+  /** A guarded streaming commit found the table's meta diverged from
+    * what the writer READ when it computed its batch — the batch was
+    * built on a stale snapshot and must be recomputed from the current
+    * state, not retried as-is (retrying the same frozen delta is
+    * exactly the lost-update the guard exists to stop). Distinct from
+    * [[CommitConflict]], which [[streamingApply]] retries with the
+    * SAME payload (safe only when the payload is still valid against
+    * the new base). */
+  final class StaleRefresh(msg: String)
+    extends RuntimeException(msg)
+
   private val Magic = "graft-versioned-table v1"
 
   private def fs(spark: SparkSession, p: Path): FileSystem =
@@ -1916,7 +1927,15 @@ object VersionedTable {
       // records the batch id — state a consumer must never observe
       // detached from the applied data (e.g. a MaterializedView's
       // per-base watermark pair). Ignored when the batch replays.
-      extraMeta: Map[String, String] = Map.empty): Long = {
+      extraMeta: Map[String, String] = Map.empty,
+      // read-version OCC for writers whose PAYLOAD depends on the
+      // table's prior meta (e.g. a join-view refresh computed against
+      // the watermarks it read): the commit is admitted only if every
+      // listed key still holds the listed value ON THE MANIFEST THE
+      // COMMIT BUILDS ON. A divergence that is not a pure replay
+      // throws [[StaleRefresh]] — the caller must recompute, because
+      // the frozen payload no longer composes with the winner's state.
+      expectMeta: Map[String, String] = Map.empty): Long = {
     require(queryName.nonEmpty && !queryName.contains('='),
       s"bad queryName '$queryName'")
     requireConforms(inserts,
@@ -1932,7 +1951,17 @@ object VersionedTable {
         return cowCommit(spark, root, touch, keys,
           metaUpdate = m =>
             if (m.get(metaKey).exists(_.toLong >= batchId)) None
-            else Some(m ++ extraMeta + (metaKey -> batchId.toString)),
+            else {
+              expectMeta.foreach { case (k, want) =>
+                val got = m.get(k)
+                if (!got.contains(want)) throw new StaleRefresh(
+                  s"$root: batch $batchId of '$queryName' was computed " +
+                    s"against $k=$want but the table now holds " +
+                    s"$k=${got.getOrElse("<absent>")} — a concurrent " +
+                    "writer advanced the state; recompute the batch")
+              }
+              Some(m ++ extraMeta + (metaKey -> batchId.toString))
+            },
           cdf = cdf, op = "STREAMING UPSERT"
         ) { (affected, _, full) =>
           val cols = full.columns.toSeq

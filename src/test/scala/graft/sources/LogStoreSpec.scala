@@ -189,7 +189,12 @@ class LogStoreSpec extends AnyFunSuite {
     try {
       assert(LogStore.forPath("/bucket/other/t") eq a)
       assert(LogStore.forPath("/bucket/inner/t") eq b)
+      assert(LogStore.forPath("/bucket/inner") eq b) // exact root
       assert(LogStore.forPath("/elsewhere/t") eq HadoopLogStore)
+      // path-BOUNDARY match: a sibling sharing a name prefix must not
+      // be captured ("/bucket/inner2" is not under "/bucket/inner")
+      assert(LogStore.forPath("/bucket/inner2/t") eq a)
+      assert(LogStore.forPath("/bucketful/t") eq HadoopLogStore)
     } finally { LogStore.unregister("/bucket"); LogStore.unregister("/bucket/inner") }
   }
 }

@@ -455,6 +455,59 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(rollup().view.mapValues(_._2).toMap == direct)
   }
 
+  test("join-view race: stale larger-sum refresher aborts; retry converges") {
+    // the non-nested-window race monotone batchId alone admits:
+    // refresher A applies left (1,2] (batch 2+1=3), refresher B was
+    // computed against watermarks (1,1) with a WIDER right window
+    // (1,3] (batch 1+3=4 > 3) — B never saw A's left range, so letting
+    // B commit would advance LeftV past changes B did not apply. The
+    // read-version guard must turn B into StaleRefresh BEFORE any
+    // state lands; a plain refreshJoin retry then converges.
+    val (l, r, mv) = (tmp(), tmp(), tmp())
+    VersionedTable.create(spark, l, Seq((1, 10L), (2, 20L)).toDF("k", "v"))
+    VersionedTable.create(spark, r, Seq((1, 1L), (2, 2L)).toDF("k", "w"))
+    MaterializedView.createJoin(spark, l, r, mv,
+      joinKeys = Seq("k"), keys = Seq("k"), sums = Seq("v")) // (1, 1)
+    // B's future window: right advances twice
+    VersionedTable.append(spark, r, Seq((1, 3L)).toDF("k", "w")) // r=2
+    VersionedTable.append(spark, r, Seq((2, 4L)).toDF("k", "w")) // r=3
+    // A's window: left advances once; A refreshes and WINS
+    VersionedTable.append(spark, l, Seq((3, 30L)).toDF("k", "v")) // l=2
+    // A raced before right's appends: apply ONLY left (1,2] the way a
+    // refresher that read (l1,r1)=(2,1) would — pin right at 1 via the
+    // same commit channel (empty payload; only meta moves)
+    val none = VersionedTable.read(spark, mv).limit(0)
+      .localCheckpoint(true)
+    VersionedTable.streamingApply(spark, mv, none,
+      none.select("k"), Seq("k"), "mv_refresh", batchId = 3L,
+      extraMeta = Map("mv.left_v" -> "2", "mv.right_v" -> "1"),
+      expectMeta = Map("mv.left_v" -> "1", "mv.right_v" -> "1"))
+    assert(MaterializedView.watermarks(spark, mv) == ((2L, 1L)))
+    // B's commit: batch 4 > 3 passes the monotone check, but B's
+    // snapshot predates A -> the pinned pair must refuse
+    intercept[VersionedTable.StaleRefresh] {
+      VersionedTable.streamingApply(spark, mv, none,
+        none.select("k"), Seq("k"), "mv_refresh", batchId = 4L,
+        extraMeta = Map("mv.left_v" -> "1", "mv.right_v" -> "3"),
+        expectMeta = Map("mv.left_v" -> "1", "mv.right_v" -> "1"))
+    }
+    // replay precedence: an ALREADY-APPLIED batch no-ops even with a
+    // stale pin (crash-replay of an old refresher must stay silent)
+    val cur = VersionedTable.currentVersion(spark, mv).get
+    assert(VersionedTable.streamingApply(spark, mv, none,
+      none.select("k"), Seq("k"), "mv_refresh", batchId = 3L,
+      expectMeta = Map("mv.left_v" -> "0", "mv.right_v" -> "0")) == cur)
+    // B retries the PUBLIC way: re-reads watermarks (2,1), recomputes
+    // against them, converges to the full recompute at (2,3)
+    MaterializedView.refreshJoin(spark, l, r, mv)
+    assert(MaterializedView.watermarks(spark, mv) == ((2L, 3L)))
+    val got = MaterializedView.read(spark, mv)
+    val want = VersionedTable.read(spark, l)
+      .join(VersionedTable.read(spark, r), Seq("k"))
+      .groupBy("k").agg(count(lit(1)).as("cnt"), sum("v").as("sum_v"))
+    assert(got.count() == want.count() && got.exceptAll(want).isEmpty)
+  }
+
   test("bad definitions refuse") {
     val (base, mv) = (tmp(), tmp())
     VersionedTable.create(spark, base, rows((1, 1L, 1L)))
