@@ -194,6 +194,53 @@ object IoQueries extends QueryPack {
         .orderBy(col("n_nationkey"))
     },
 
+    // REST source over LIVE http: the nation table served as a
+    // 3-page Link-header-paginated JSON API by an in-process loopback
+    // server, fetched through the production HttpTransport (real
+    // sockets, status codes, chunked transfer — zero egress), then
+    // JSONPath-navigated and schema-cast exactly like q53. This is the
+    // reference's requests.get → Filter → frame path executed for real
+    // (enhanced_json_mapper.py:134-152, 1640-1648). Page building
+    // collects 3 page documents (O(pages), not O(rows) frames — the
+    // fetch side of a REST source is driver-side by nature; parsing
+    // stays distributed).
+    "q182_rest_http" -> { (s, dir) =>
+      val pages = graft.Tables.load(s, dir, "nation")
+        .groupBy(floor(col("n_nationkey") / 9).as("pg"))
+        .agg(to_json(struct(
+          lit("nation-api").as("source"),
+          collect_list(struct(col("n_nationkey"), col("n_name"),
+            col("n_regionkey"))).as("rows"))).as("doc"))
+        .collect().map(r => r.getLong(0).toInt -> r.getString(1)).toMap
+      val srv = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress(
+          java.net.InetAddress.getLoopbackAddress, 0), 0)
+      srv.createContext("/nation",
+        (ex: com.sun.net.httpserver.HttpExchange) => try {
+          val pg = Option(ex.getRequestURI.getQuery)
+            .flatMap(_.split('&').collectFirst {
+              case q if q.startsWith("page=") => q.drop(5).toInt
+            }).getOrElse(0)
+          if (pages.contains(pg + 1)) ex.getResponseHeaders.add("Link",
+            s"""</nation?page=${pg + 1}>; rel="next"""")
+          val body = pages(pg).getBytes("UTF-8")
+          ex.sendResponseHeaders(200, body.length.toLong)
+          ex.getResponseBody.write(body)
+          ex.getResponseBody.close()
+        } finally ex.close())
+      srv.start()
+      try {
+        // fetch is EAGER (pages staged before readVia returns), so the
+        // server can stop right after; the parse side reads the staged
+        // files lazily like any other source
+        graft.sources.Rest.readVia(s, new graft.sources.HttpTransport(),
+          s"http://127.0.0.1:${srv.getAddress.getPort}/nation?page=0",
+          "$.rows[*]",
+          Some("n_nationkey INT, n_name STRING, n_regionkey INT"))
+          .orderBy(col("n_nationkey"))
+      } finally srv.stop(0)
+    },
+
     // JDBC write → partitioned JDBC read, LIVE through embedded Derby
     // (the pure-Java driver Spark itself ships): the reference's primary
     // I/O path (enhanced_json_mapper.py:1611-1713 source, :2076-2138
@@ -1596,6 +1643,8 @@ object IoQueries extends QueryPack {
     "q46_import_export" ->
       "SELECT doc_id, text AS text2 FROM documents WHERE doc_id < 200 ORDER BY doc_id",
     "q53_rest_source" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "q182_rest_http" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "q70_jdbc_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",

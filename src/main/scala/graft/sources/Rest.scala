@@ -43,6 +43,68 @@ trait RestTransport {
   def nextPage(url: String, payload: Array[Byte]): Option[String] = None
 }
 
+/** The production transport: a plain `java.net.HttpURLConnection` GET
+  * per page — the executing counterpart of the reference's driver-side
+  * `requests.get(url)` (enhanced_json_mapper.py:134-152, 1640-1648).
+  * Fetching stays a page-bounded driver-side act (same stance as the
+  * reference); parsing stays distributed via [[Rest.readVia]].
+  *
+  *  - 2xx → the full body (chunked transfer handled by the stream).
+  *  - anything else → IOException carrying status + a body snippet —
+  *    readVia wraps it with the URL and page number.
+  *  - pagination: RFC 8288 `Link: <u>; rel="next"` response headers,
+  *    the GitHub/registry convention; the next URL resolves RELATIVE
+  *    to the page it came from. APIs that paginate in the body can
+  *    subclass and override [[nextPage]] (the payload is in hand).
+  *
+  * Instances are single-traversal (the Link cursor is per-fetch
+  * state); use one transport per [[Rest.readVia]] call.
+  */
+class HttpTransport(headers: Map[String, String] = Map.empty,
+    connectTimeoutMs: Int = 10000, readTimeoutMs: Int = 60000)
+    extends RestTransport {
+
+  @volatile private var lastNext: Option[String] = None
+
+  /** `Link` header → the rel="next" target, if any. */
+  private[sources] def nextLink(link: String): Option[String] =
+    link.split(',').iterator.map(_.trim).collectFirst {
+      case part if part.split(';').drop(1).exists(p =>
+          p.trim.toLowerCase.matches("""rel\s*=\s*"?next"?""")) &&
+        part.startsWith("<") && part.contains(">") =>
+        part.substring(1, part.indexOf('>'))
+    }
+
+  override def fetch(url: String): Array[Byte] = {
+    require(url.startsWith("http://") || url.startsWith("https://"),
+      s"HttpTransport: not an http(s) URL: $url")
+    val conn = new java.net.URI(url).toURL.openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setConnectTimeout(connectTimeoutMs)
+    conn.setReadTimeout(readTimeoutMs)
+    conn.setRequestMethod("GET")
+    conn.setRequestProperty("Accept", "application/json")
+    headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+    try {
+      val status = conn.getResponseCode
+      def drain(in: java.io.InputStream): Array[Byte] =
+        if (in == null) Array.emptyByteArray
+        else try in.readAllBytes() finally in.close()
+      if (status < 200 || status >= 300) {
+        val err = new String(drain(conn.getErrorStream), "UTF-8").take(200)
+        throw new java.io.IOException(
+          s"HTTP $status from $url${if (err.nonEmpty) s": $err" else ""}")
+      }
+      lastNext = Option(conn.getHeaderField("Link")).flatMap(nextLink)
+        .map(n => new java.net.URI(url).resolve(n).toString)
+      drain(conn.getInputStream)
+    } finally conn.disconnect()
+  }
+
+  override def nextPage(url: String, payload: Array[Byte]): Option[String] =
+    lastNext
+}
+
 object Rest {
 
   sealed private[sources] trait Step

@@ -69,6 +69,107 @@ class RestSpec extends AnyFunSuite {
     assert(e.getMessage.contains("7 pages"))
   }
 
+  // ---- live HTTP over an in-process loopback server ----------------------
+  // com.sun.net.httpserver bound to 127.0.0.1 — genuine http semantics
+  // (status codes, request/response headers, chunked bodies) with zero
+  // egress. This is the production-transport path the stub tests can't
+  // reach: HttpTransport really opens sockets here.
+
+  private def withServer(
+      routes: Map[String, com.sun.net.httpserver.HttpExchange => Unit])(
+      body: String => Unit): Unit = {
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(
+        java.net.InetAddress.getLoopbackAddress, 0), 0)
+    routes.foreach { case (p, h) =>
+      srv.createContext(p, (ex: com.sun.net.httpserver.HttpExchange) =>
+        try h(ex) finally ex.close())
+    }
+    srv.start()
+    try body(s"http://127.0.0.1:${srv.getAddress.getPort}")
+    finally srv.stop(0)
+  }
+
+  private def respond(ex: com.sun.net.httpserver.HttpExchange,
+      status: Int, bytes: Array[Byte], chunked: Boolean = false,
+      headers: Map[String, String] = Map.empty): Unit = {
+    headers.foreach { case (k, v) => ex.getResponseHeaders.add(k, v) }
+    // length 0 = chunked transfer encoding on this server
+    ex.sendResponseHeaders(status, if (chunked) 0 else bytes.length.toLong)
+    ex.getResponseBody.write(bytes)
+    ex.getResponseBody.close()
+  }
+
+  test("live loopback: Link-paginated GET, chunked bodies, headers sent") {
+    val pages = Seq(
+      """[{"id": 1, "name": "a"}, {"id": 2, "name": "b"}]""",
+      """[{"id": 3, "name": "c"}]""",
+      """[{"id": 4, "name": "d"}]""")
+    val seenAuth = collection.mutable.Buffer.empty[String]
+    withServer(Map("/items" -> { ex =>
+      val page = Option(ex.getRequestURI.getQuery)
+        .flatMap(_.split('&').collectFirst {
+          case q if q.startsWith("page=") => q.drop(5).toInt
+        }).getOrElse(0)
+      seenAuth += Option(
+        ex.getRequestHeaders.getFirst("Authorization")).orNull
+      // RELATIVE next link — resolution against the page URL is part
+      // of the contract; last page carries no rel="next"
+      val link =
+        if (page + 1 < pages.length)
+          Map("Link" -> (s"""</items?page=${page + 1}>; rel="next", """ +
+            """</items?page=0>; rel="first""""))
+        else Map("Link" -> """</items?page=0>; rel="first"""")
+      respond(ex, 200, pages(page).getBytes("UTF-8"),
+        chunked = page % 2 == 1, headers = link)
+    })) { base =>
+      val t = new HttpTransport(headers = Map("Authorization" -> "Bearer x"))
+      val df = Rest.readVia(spark, t, s"$base/items", "$[*]",
+        Some("id INT, name STRING"))
+      assert(df.collect().map(r => (r.getInt(0), r.getString(1))).sorted
+        .toSeq == Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")))
+      assert(seenAuth.toSeq == Seq.fill(3)("Bearer x"),
+        "every page request must carry the configured headers")
+    }
+  }
+
+  test("live loopback: non-2xx surfaces status + body snippet + page") {
+    withServer(Map(
+      "/gone" -> (ex => respond(ex, 404,
+        """{"error": "no such collection"}""".getBytes("UTF-8"))),
+      "/boom" -> (ex => respond(ex, 500, "oops".getBytes("UTF-8"))))
+    ) { base =>
+      val e = intercept[java.io.IOException](
+        Rest.readVia(spark, new HttpTransport(), s"$base/gone", "$[*]"))
+      assert(e.getMessage.contains("HTTP 404") &&
+        e.getMessage.contains("no such collection") &&
+        e.getMessage.contains("/gone"))
+      val e2 = intercept[java.io.IOException](
+        Rest.readVia(spark, new HttpTransport(), s"$base/boom", "$[*]"))
+      assert(e2.getMessage.contains("HTTP 500"))
+    }
+  }
+
+  test("live loopback: a self-linking page hits the maxPages bound") {
+    withServer(Map("/loop" -> (ex => respond(ex, 200,
+      """[{"id": 1}]""".getBytes("UTF-8"),
+      headers = Map("Link" -> "</loop>; rel=\"next\""))))) { base =>
+      val e = intercept[RuntimeException](Rest.readVia(spark,
+        new HttpTransport(), s"$base/loop", "$[*]", maxPages = 5))
+      assert(e.getMessage.contains("5 pages"))
+    }
+  }
+
+  test("Link header parsing: rel=next among other rels, quoting forms") {
+    val t = new HttpTransport()
+    assert(t.nextLink("""<u2>; rel="next"""").contains("u2"))
+    assert(t.nextLink("""<a>; rel="prev", <b>; rel=next, <c>; rel="last"""")
+      .contains("b"))
+    assert(t.nextLink("""<a>; rel="first"""").isEmpty)
+    assert(t.nextLink("""<a>; title="next"""").isEmpty,
+      "rel is the attribute that matters, not other params")
+  }
+
   test("the default FileTransport keeps the zero-egress stance") {
     val e = intercept[RuntimeException] {
       Rest.FileTransport.fetch("https://api.test/items")
