@@ -1142,11 +1142,14 @@ object IoQueries extends QueryPack {
     // feed — refresh cost is O(churn in the commit range), never a
     // rescan of the base. The run exercises every delta shape (append,
     // CDF update, CDF group-killing delete, all-null sum
-    // reconstruction), folds three base commits into ONE refresh, and
-    // certifies IN-QUERY that the incrementally-maintained state
+    // reconstruction), folds two base commits into one refresh, and
+    // certifies IN-QUERY that (a) the incrementally-maintained state
     // equals a from-scratch recompute of the final snapshot (exact:
-    // money-as-cents long sums, associative arithmetic). The oracle
-    // aggregates the replayed final base state directly.
+    // money-as-cents long sums, associative arithmetic) and (b) the
+    // minmax partial-recompute rescan of the narrow-churn window
+    // FILE-PRUNED the group-key-clustered base via the manifest
+    // pruner (rescanProfile audit). The oracle aggregates the
+    // replayed final base state directly.
     "q177_materialized_view" -> { (s, dir) =>
       import graft.sources.{MaterializedView, VersionedTable}
       val base = tmp(s, s"vt_mv/${java.util.UUID.randomUUID()}/base")
@@ -1170,6 +1173,10 @@ object IoQueries extends QueryPack {
       // move extrema that pure delta state could not reconstruct
       VersionedTable.append(s, base,
         bySupp(li.filter(col("l_orderkey") % 4 === 3))) // v2
+      // the append touches EVERY suppkey group, so its rescan box
+      // spans the table — absorb it first; the next window is then a
+      // narrow-key-range churn whose rescan must file-prune
+      MaterializedView.refresh(s, base, mv)
       // range predicate (bottom suppkey decile): stats-prunable, so
       // the update rewrites ~1/10 of the files, not the table
       val cut = li.agg(max(col("l_suppkey"))).head().getLong(0) / 10L
@@ -1178,9 +1185,18 @@ object IoQueries extends QueryPack {
         cdf = true) // v3
       VersionedTable.deleteWhere(s, base, col("l_suppkey") === 1,
         cdf = true) // v4: supplier 1's group dies entirely
-      MaterializedView.refresh(s, base, mv)
+      MaterializedView.refresh(s, base, mv) // folds v3+v4
       require(MaterializedView.watermark(s, mv) == 4L,
         s"watermark must be 4, got ${MaterializedView.watermark(s, mv)}")
+      // the minmax rescan must have gone through the manifest-stats
+      // pruner and SKIPPED the files outside the churned bottom-decile
+      // suppkey range — the audit rides the refresh commit's meta.
+      // This only holds because the base clusters by the group key
+      // (bySupp above); see the MaterializedView scaladoc caveat.
+      val rescan = MaterializedView.rescanProfile(s, mv)
+      require(rescan._1 > 0 && rescan._1 * 5 <= rescan._2,
+        s"touched-group rescan must prune to <=1/5 of the clustered " +
+          s"base's files, read ${rescan._1}/${rescan._2}")
       val got = MaterializedView.read(s, mv)
       val want = VersionedTable.read(s, base).groupBy("l_suppkey")
         .agg(count(lit(1)).as("cnt"),
@@ -1251,13 +1267,24 @@ object IoQueries extends QueryPack {
     // Approx-distinct materialized view: per-group COUNT DISTINCT
     // maintained as a mergeable DataSketches HLL column — the 100 TB
     // distinct-count path (exact per-group distinct state is
-    // unbounded; sketches union in O(sketch)). Insert-only by
-    // construction here (HLL cannot retract; a delete refuses — spec-
-    // pinned). The audit row shape (the q129 pattern): the maintained
-    // estimate is checked IN-QUERY against the exact recompute within
-    // the 3-sigma HLL bound (lgK=12 -> ~4.9%); the oracle replays the
-    // exact distincts and pins every bound flag TRUE. cnt/sum lanes
-    // stay exact alongside the sketch lane.
+    // unbounded; sketches union in O(sketch)). Insert-only refreshes
+    // take the pure union lane; a refresh whose window DELETES from a
+    // sketched group rebuilds exactly those groups' sketches from the
+    // target snapshot (the min/max partial-recompute lane — HLL cannot
+    // retract). The churn here exercises both: an insert-only refresh,
+    // then one window mixing a customer-slice delete, a GROUP-KILLING
+    // delete (one whole priority leaves the view), and a CDF update.
+    // In-query certs: every estimate sits within the 3-sigma HLL
+    // bound of the POST-delete exact distincts — which doubles as the
+    // retraction proof, because the power cert pins that the delete
+    // removed enough customers that a stale (non-retracted) sketch
+    // sits far outside that bound (~17% high vs the 5% bound). Sketch-
+    // level equality with a recompute is certified in the unit spec's
+    // sparse regime; at this scale the ESTIMATOR is path-dependent
+    // (merged sketches estimate composite, un-merged HIP), so the
+    // bound+power pair is the sound in-query form. The killed group
+    // must leave the view; cnt/sum lanes stay exact alongside. The
+    // oracle replays exact distincts and pins every flag TRUE.
     "q180_materialized_distinct" -> { (s, dir) =>
       import graft.sources.{MaterializedView, VersionedTable}
       val id = java.util.UUID.randomUUID()
@@ -1272,19 +1299,44 @@ object IoQueries extends QueryPack {
         sums = Seq("price_cents"), distincts = Seq("o_custkey"))
       VersionedTable.append(s, base,
         orders.filter(col("o_orderkey") % 3 === 2)) // v2: inserts only
+      MaterializedView.refresh(s, base, mv) // pure union lane
+      // one refresh window with deletes + an update: every surviving
+      // group is delete-touched -> the sketch rescan lane carries all
+      VersionedTable.deleteWhere(s, base,
+        col("o_custkey") % 7 === 3, cdf = true) // v3
+      VersionedTable.deleteWhere(s, base,
+        col("o_orderpriority") === "1-URGENT", cdf = true) // v4: kills group
+      VersionedTable.updateWhere(s, base, col("o_orderkey") % 11 === 0,
+        Map("price_cents" -> (col("price_cents") + lit(5L))),
+        cdf = true) // v5
       MaterializedView.refresh(s, base, mv)
       val est = MaterializedView.read(s, mv)
         .select(col("o_orderpriority"), col("cnt"),
           col("sum_price_cents"), col("distinct_o_custkey"))
+      require(est.filter(col("o_orderpriority") === "1-URGENT").isEmpty,
+        "group-killing delete must remove the group's view row")
       val exact = VersionedTable.read(s, base).groupBy("o_orderpriority")
         .agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+      // pre-delete exact (time travel to the insert-only watermark):
+      // the power term — how far a STALE sketch would sit from truth
+      val pre = VersionedTable.read(s, base, Some(2L))
+        .groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("pre_distinct"))
       val out = est.join(exact, Seq("o_orderpriority"))
+        .join(pre, Seq("o_orderpriority"))
         .select(col("o_orderpriority"), col("cnt"),
           col("sum_price_cents"), col("exact_distinct"),
           (abs(col("distinct_o_custkey") - col("exact_distinct"))
-            <= lit(0.05) * col("exact_distinct")).as("within_bound"))
-      require(out.filter(!col("within_bound")).isEmpty,
-        "HLL estimate must sit within the 3-sigma bound of exact")
+            <= lit(0.05) * col("exact_distinct")).as("within_bound"),
+          // a non-retracted sketch estimates ~pre_distinct (±1.6%
+          // rsd), so the 5% bound above only PROVES retraction if the
+          // delete moved the truth by well more than the bound
+          (col("pre_distinct") > lit(1.10) * col("exact_distinct"))
+            .as("retraction_powered"))
+      require(out.filter(!col("within_bound") ||
+          !col("retraction_powered")).isEmpty,
+        "HLL estimates must track post-delete exact within 3 sigma, " +
+          "with deletes large enough that a stale sketch cannot pass")
       out.orderBy(col("o_orderpriority"))
     },
 
@@ -1388,12 +1440,18 @@ object IoQueries extends QueryPack {
         |  CAST(SUM(price_cents) AS BIGINT) AS sum_raw_price_cents
         |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
     "q180_materialized_distinct" ->
-      """SELECT o_orderpriority, COUNT(*) AS cnt,
-        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-        |    AS sum_price_cents,
+      """WITH o AS (
+        |  SELECT o_orderpriority, o_custkey,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT)
+        |      + CASE WHEN o_orderkey % 11 = 0 THEN 5 ELSE 0 END
+        |      AS price_cents
+        |  FROM orders
+        |  WHERE o_custkey % 7 <> 3 AND o_orderpriority <> '1-URGENT')
+        |SELECT o_orderpriority, COUNT(*) AS cnt,
+        |  CAST(SUM(price_cents) AS BIGINT) AS sum_price_cents,
         |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
-        |  TRUE AS within_bound
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+        |  TRUE AS within_bound, TRUE AS retraction_powered
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
     "q172_versioned_clone" ->
       """WITH base AS (SELECT c_custkey, c_mktsegment,
         |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents

@@ -32,20 +32,36 @@ import org.apache.spark.sql.types.DataType
   * take the partial-recompute lane: each refresh RE-AGGREGATES
   * exactly the groups the delta touched from the target-version
   * snapshot — a keyed semi-join bounds the recompute to churned
-  * groups (and prunes files when the base clusters by the group key);
-  * untouched groups never rescan. Correct under every delta shape by
-  * construction; cost is O(touched groups' rows), between the pure
-  * delta lanes and a full recompute.
+  * groups; untouched groups never rescan. Correct under every delta
+  * shape by construction; cost is O(touched groups' rows), between
+  * the pure delta lanes and a full recompute.
+  *
+  * ==Rescan pruning — CLUSTER THE BASE BY THE GROUP KEY==
+  * The rescan pre-filters the snapshot with the touched keys'
+  * bounding-box range and, for single-table views, routes it through
+  * the manifest-stats pruner ([[VersionedTable.readWhere]]) — each
+  * refresh commit records the audit as `mv.rescan.files_kept` /
+  * `files_total` meta (0/0 = no rescan ran; -1/-1 = join view,
+  * filter-pushdown only). File skipping can only cut the rescan when
+  * the base CLUSTERS by the group key (every file then covers a
+  * narrow key range): on an unclustered 100 TB base the box spans
+  * most files and EVERY minmax/hll-delete refresh pays a full
+  * snapshot scan through the semi-join filter. If the refresh cadence
+  * matters, cluster or Z-order the base by the group key — the audit
+  * meta is the signal to watch (kept ≈ total on every refresh means
+  * the layout, not the view, is the problem).
   *
   * APPROX-DISTINCT per group rides along as a DataSketches HLL sketch
   * column (`distincts`): sketches are mergeable, so inserts fold in
   * with `hll_union` — the 100 TB distinct-count path, since exact
-  * per-group distinct state is unbounded. HLL cannot retract: a
-  * refresh whose range deletes rows in a sketched group REFUSES
-  * loudly (recreate the view), the same stance Materialize/Delta take
-  * by recomputing. `read` emits `distinct_c` estimates (~1.6% rsd at
-  * the default lgK=12; exact while the sketch is still in sparse
-  * mode).
+  * per-group distinct state is unbounded. HLL cannot retract, so a
+  * group the delta DELETES from takes the same partial-recompute lane
+  * as MIN/MAX: its sketch is re-aggregated from the target-version
+  * snapshot (bounded by the delete-touched groups — insert-only
+  * groups keep the pure union lane, and an insert-only refresh never
+  * scans the snapshot at all). `read` emits `distinct_c` estimates
+  * (~1.6% rsd at the default lgK=12; exact while the sketch is still
+  * in sparse mode).
   *
   * Join views maintain `SELECT g, COUNT(*), SUM(c).. FROM L JOIN R
   * USING (k..) GROUP BY g` with the standard two-sided delta
@@ -163,7 +179,11 @@ object MaterializedView {
       distincts: Seq[String], minmax: Seq[String],
       snapshotAtHi: => DataFrame, signed: DataFrame, batchId: Long,
       lo: Long, hi: Long, extraMeta: Map[String, String],
-      expectMeta: Map[String, String] = Map.empty): Long = {
+      expectMeta: Map[String, String] = Map.empty,
+      // single-table views pass (baseRoot, hiVersion) so the rescan
+      // lane can go through the manifest-stats pruner instead of a
+      // full snapshot scan; join views prune by filter pushdown only
+      pruneSource: Option[(String, Long)] = None): Long = {
     val rawType: Map[String, DataType] =
       sums.map(c => c -> m.schema(s"raw_$c").dataType).toMap
     val dAggs = (sum(col("_sign")).as("d_cnt") +: sums.flatMap(c => Seq(
@@ -173,34 +193,98 @@ object MaterializedView {
           col(c).cast(rawType(c)) * col("_sign"))),
         zero(rawType(c))).as(s"draw_$c")))) ++
       (if (distincts.isEmpty) Seq.empty else
-        // sketches absorb INSERTED values only; any delete in a
-        // touched group makes its sketch unmaintainable (HLL cannot
-        // retract) -> counted here, refused below
+        // sketches absorb INSERTED values only; a delete in a touched
+        // group makes its sketch non-unionable (HLL cannot retract) ->
+        // counted here, routed to the snapshot-rescan lane below
         sum(when(col("_sign") < 0, 1L).otherwise(0L)).as("d_del") +:
         distincts.map(c => hll_sketch_agg(
           when(col("_sign") > 0, col(c))).as(s"dhll_$c")))
-    val d = signed.groupBy(keys.map(col): _*).agg(dAggs.head, dAggs.tail: _*)
+    val d0 = signed.groupBy(keys.map(col): _*).agg(dAggs.head, dAggs.tail: _*)
+    // the hll-delete probe below forces one extra pass over the delta
+    // aggregate; pin it once so the probe and the state join share the
+    // materialization (d is one row per TOUCHED group — tiny)
+    val d =
+      if (distincts.nonEmpty && minmax.isEmpty) d0.localCheckpoint(true)
+      else d0
 
     // left join: only groups the delta touched matter; an untouched
     // group's files are never rewritten (streamingApply is keyed COW)
     val state = VersionedTable.read(spark, mvRoot, Some(m.version))
     val withState = d.join(state, keys, "left")
-    // MIN/MAX lane: not self-maintainable under deletes, so the
-    // touched groups are RE-AGGREGATED from the hi-version snapshot —
-    // a keyed semi-join bounds the recompute to the churned groups
-    // (prunable when the base clusters by the group key); untouched
-    // groups never rescan. Full-recompute-correct under every delta
-    // shape, the partial-recompute stance Delta/Materialize take.
-    val joined =
-      if (minmax.isEmpty) withState
-      else {
-        val mmAggs = minmax.flatMap(c =>
-          Seq(min(col(c)).as(s"mm_min_$c"), max(col(c)).as(s"mm_max_$c")))
-        val rescan = snapshotAtHi
-          .join(d.select(keys.map(col): _*), keys, "left_semi")
-          .groupBy(keys.map(col): _*).agg(mmAggs.head, mmAggs.tail: _*)
-        withState.join(rescan, keys, "left")
-      }
+    // Snapshot-rescan lane — the partial-recompute stance for state
+    // that is not delta-maintainable: the needed groups are
+    // RE-AGGREGATED from the hi-version snapshot, a keyed semi-join
+    // bounding the recompute to churned groups (prunable when the
+    // base clusters by the group key); untouched groups never rescan.
+    //  - MIN/MAX columns ride it for EVERY touched group (a deleted
+    //    extremum cannot be reconstructed from state);
+    //  - HLL distinct columns ride it only for groups the delta
+    //    DELETES from (HLL cannot retract; insert-only groups keep
+    //    the pure O(sketch) union lane). When the min/max rescan runs
+    //    anyway, the sketch re-aggregate piggybacks on the same scan.
+    // Full-recompute-correct under every delta shape by construction.
+    val hllRescan = distincts.nonEmpty && (minmax.nonEmpty ||
+      !d.filter(col("d_del") > 0).isEmpty)
+    val rescanKeys =
+      if (minmax.nonEmpty) Some(d.select(keys.map(col): _*))
+      else if (hllRescan)
+        Some(d.filter(col("d_del") > 0).select(keys.map(col): _*))
+      else None
+    val (joined, rescanMeta) = rescanKeys match {
+      case None =>
+        (withState, Map("mv.rescan.files_kept" -> "0",
+          "mv.rescan.files_total" -> "0"))
+      case Some(rk) =>
+        val aggs = minmax.flatMap(c =>
+          Seq(min(col(c)).as(s"mm_min_$c"),
+            max(col(c)).as(s"mm_max_$c"))) ++
+          (if (hllRescan)
+            distincts.map(c => hll_sketch_agg(col(c)).as(s"rs_hll_$c"))
+          else Nil)
+        // bounding box of the touched keys (one tiny agg, O(#key
+        // columns) on the driver): the rescan only needs rows whose
+        // key IS a touched key, all of which sit inside the box, so a
+        // range predicate over it is a sound pre-filter. When the base
+        // CLUSTERS by the group key this turns the rescan into a
+        // stats-pruned read of the churned key range — the 100 TB
+        // shape; on an UNCLUSTERED base the box covers most files and
+        // every rescan pays a full snapshot pass (see the scaladoc
+        // caveat). A null-keyed touched group voids the box (a range
+        // cannot express it).
+        val bAggs = keys.flatMap(k => Seq(min(col(k)).as(s"lo_$k"),
+          max(col(k)).as(s"hi_$k"),
+          count(when(col(k).isNull, 1)).as(s"null_$k")))
+        val bounds = rk.agg(bAggs.head, bAggs.tail: _*).head()
+        val boxable = keys.indices.forall { i =>
+          bounds.getLong(3 * i + 2) == 0L && !bounds.isNullAt(3 * i)
+        }
+        val pred =
+          if (!boxable) None
+          else scala.util.Try(keys.zipWithIndex.map { case (k, i) =>
+            col(k) >= lit(bounds.get(3 * i)) &&
+              col(k) <= lit(bounds.get(3 * i + 1))
+          }.reduce(_ && _)).toOption
+        val (snap, meta) = (pruneSource, pred) match {
+          case (Some((broot, bv)), Some(p)) =>
+            val (kept, total) =
+              VersionedTable.pruneProfile(spark, broot, p, Some(bv))
+            (VersionedTable.readWhere(spark, broot, p, Some(bv)),
+              Map("mv.rescan.files_kept" -> kept.toString,
+                "mv.rescan.files_total" -> total.toString))
+          case (_, Some(p)) =>
+            // join views: push the box into the joined snapshot — the
+            // filter lands on whichever scan owns the key columns
+            (snapshotAtHi.filter(p), Map(
+              "mv.rescan.files_kept" -> "-1",
+              "mv.rescan.files_total" -> "-1"))
+          case _ =>
+            (snapshotAtHi, Map("mv.rescan.files_kept" -> "-1",
+              "mv.rescan.files_total" -> "-1"))
+        }
+        val rescan = snap.join(rk, keys, "left_semi")
+          .groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+        (withState.join(rescan, keys, "left"), meta)
+    }
     val newCnt = coalesce(col("cnt"), lit(0L)) + col("d_cnt")
     val guardedCnt = when(newCnt < 0, raise_error(concat(
         lit(s"materialized view $mvRoot: negative group count applying " +
@@ -220,21 +304,19 @@ object MaterializedView {
           concat_ws(",", keys.map(k => col(k).cast("string")): _*)))
         .cast("long")).otherwise(nn)
     }
-    // distinct sketches: refuse any delete in a touched group (HLL is
-    // insert-only mergeable — Delta/Materialize recompute here too),
-    // else union the group's old sketch with the inserted values'
+    // distinct sketches: insert-only groups union the old sketch with
+    // the inserted values' sketch (mergeable, O(sketch)); a group the
+    // delta DELETES from takes its re-aggregated snapshot sketch from
+    // the rescan lane — HLL cannot retract, so the post-delta truth is
+    // rebuilt for exactly the touched-by-delete groups
     def mergedHll(c: String): Column = {
       val old = col(s"hll_$c")
       val dh = col(s"dhll_$c")
-      val merged = when(old.isNull, dh).when(dh.isNull, old)
+      val unioned = when(old.isNull, dh).when(dh.isNull, old)
         .otherwise(hll_union(old, dh))
-      when(col("d_del") > 0, raise_error(concat(
-          lit(s"materialized view $mvRoot: the range ($lo, $hi] deletes " +
-            "rows in a group with a distinct-count sketch — HLL cannot " +
-            "retract; recreate the view (or drop the distinct column) " +
-            "for key "),
-          concat_ws(",", keys.map(k => col(k).cast("string")): _*)))
-        .cast("binary")).otherwise(merged)
+      if (hllRescan)
+        when(col("d_del") > 0, col(s"rs_hll_$c")).otherwise(unioned)
+      else unioned
     }
     val outCols = keys.map(col) ++ (guardedCnt.as("cnt") +:
       sums.flatMap(c => Seq(
@@ -259,7 +341,10 @@ object MaterializedView {
       // a CASCADE view captures its own row-level changes, so a
       // DOWNSTREAM view can delta-maintain off this one's commits —
       // the Materialize dataflow-graph shape, one view per edge
-      cdf = m.meta.get(CdfKey).contains("1"), extraMeta = extraMeta,
+      cdf = m.meta.get(CdfKey).contains("1"),
+      // rescan prune audit rides the same commit (kept/total files;
+      // 0/0 = no rescan ran, -1/-1 = filter-pushdown only)
+      extraMeta = extraMeta ++ rescanMeta,
       expectMeta = expectMeta)
   }
 
@@ -334,7 +419,8 @@ object MaterializedView {
     applySignedDelta(spark, mvRoot, m, keys, sums, distincts, minmax,
       VersionedTable.read(spark, baseRoot, Some(bv)),
       signedChanges(spark, baseRoot, last, bv), batchId = bv,
-      lo = last, hi = bv, extraMeta = Map.empty)
+      lo = last, hi = bv, extraMeta = Map.empty,
+      pruneSource = Some((baseRoot, bv)))
   }
 
   // ---- join views --------------------------------------------------------
@@ -471,6 +557,19 @@ object MaterializedView {
           coalesce(hll_sketch_estimate(col(s"hll_$c")), lit(0L))
             .as(s"distinct_$c")) ++
         minmax.flatMap(c => Seq(col(s"min_$c"), col(s"max_$c"))): _*)
+  }
+
+  /** The last refresh's rescan prune audit: (files read, files total)
+    * of the partial-recompute snapshot pass. (0, 0) = the refresh ran
+    * no rescan (pure delta lanes); (-1, -1) = join view, pruned by
+    * filter pushdown rather than the manifest pruner. `kept ≈ total`
+    * on every refresh of a minmax/hll view means the base is NOT
+    * clustered by the group key — see the class doc. */
+  def rescanProfile(spark: SparkSession, mvRoot: String): (Int, Int) = {
+    val m = VersionedTable.readManifest(spark, mvRoot,
+      currentOf(spark, mvRoot))
+    (m.meta.get("mv.rescan.files_kept").fold(0)(_.toInt),
+      m.meta.get("mv.rescan.files_total").fold(0)(_.toInt))
   }
 
   /** Last applied base version (single-table views). */

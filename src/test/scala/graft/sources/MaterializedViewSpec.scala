@@ -245,11 +245,50 @@ class MaterializedViewSpec extends AnyFunSuite {
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(lanes == wantLanes)
     assert(distincts() == Map(1 -> 3L, 2 -> 1L, 3 -> 1L))
-    // a delete touching a sketched group refuses loudly
+    // deletes in sketched groups: HLL cannot retract, so the touched
+    // groups' sketches rebuild from the snapshot (partial recompute);
+    // sketches are sparse here, so estimates are EXACT
+    def exact(): Map[Int, Long] =
+      VersionedTable.read(spark, base).groupBy("k")
+        .agg(countDistinct($"w").as("d")).as[(Int, Long)].collect().toMap
+    // kill group 1's only w=12 -> its distinct must DROP 3 -> 2
     VersionedTable.deleteWhere(spark, base, $"w" === 12L, cdf = true)
-    val e = intercept[Exception](MaterializedView.refresh(spark, base, mv))
-    assert(e.getMessage != null && e.getMessage.contains("cannot retract"),
-      s"got: ${e.getMessage}")
+    MaterializedView.refresh(spark, base, mv)
+    assert(distincts() == Map(1 -> 2L, 2 -> 1L, 3 -> 1L))
+    assert(distincts() == exact())
+    // delete ONE of group 1's duplicate w=10 rows -> distinct unchanged
+    VersionedTable.deleteWhere(spark, base, $"v" === 1L, cdf = true)
+    // and, in the SAME refresh window, insert a new value into the
+    // delete-touched group plus kill group 3 entirely
+    VersionedTable.append(spark, base, rows((1, 20L, 13L)))
+    VersionedTable.deleteWhere(spark, base, $"k" === 3, cdf = true)
+    MaterializedView.refresh(spark, base, mv)
+    assert(distincts() == Map(1 -> 3L, 2 -> 1L),
+      "dup-delete keeps 10, insert adds 13, group 3 leaves the view")
+    // cnt/sum lanes stay exact through the delete-rescan path
+    val lanes2 = MaterializedView.read(spark, mv)
+      .select("k", "cnt", "sum_v").as[(Int, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val want2 = VersionedTable.read(spark, base).groupBy("k")
+      .agg(count(lit(1)), sum("v")).as[(Int, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(lanes2 == want2)
+  }
+
+  test("distinct sketches survive deletes on a join view too") {
+    val (l, r, mv) = (tmp(), tmp(), tmp())
+    VersionedTable.create(spark, l,
+      ldf((1, 10, 5L), (2, 10, 6L), (3, 20, 5L)))
+    VersionedTable.create(spark, r, rdf((1, 100L), (2, 200L), (3, 300L)))
+    MaterializedView.createJoin(spark, l, r, mv, Seq("k"), Seq("g"),
+      Seq("v"), distincts = Seq("w"))
+    // deleting left k=2 removes g=10's w=6 pair -> distinct 2 -> 1;
+    // g=20 untouched
+    VersionedTable.deleteWhere(spark, l, $"k" === 2, cdf = true)
+    MaterializedView.refreshJoin(spark, l, r, mv)
+    val got = MaterializedView.read(spark, mv).select("g", "distinct_w")
+      .as[(Int, Long)].collect().toMap
+    assert(got == Map(10 -> 1L, 20 -> 1L))
   }
 
   test("distinct-count sketches on a join view") {
