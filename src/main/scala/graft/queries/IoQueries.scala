@@ -1373,8 +1373,12 @@ object IoQueries extends QueryPack {
         cdf = true) // v3
       VersionedTable.deleteWhere(s, base, col("o_custkey") % 100 === 7,
         cdf = true) // v4: those customers' mv1 groups die -> mv2 drops
-      MaterializedView.refresh(s, base, mv1)
-      MaterializedView.refresh(s, mv1, mv2)
+      // one orchestrated pass: refreshAll derives the DAG from the
+      // views' pinned base meta and refreshes mv1 BEFORE mv2 (listed
+      // out of order on purpose); a second pass is all no-ops
+      val versions = MaterializedView.refreshAll(s, Seq(mv2, mv1))
+      require(MaterializedView.refreshAll(s, Seq(mv2, mv1)) == versions,
+        "an up-to-date DAG must refresh as a version no-op")
       val got = MaterializedView.read(s, mv2)
       val want = VersionedTable.read(s, base).groupBy("bucket")
         .agg(countDistinct(col("o_custkey")).as("cnt"),

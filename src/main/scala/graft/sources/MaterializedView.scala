@@ -123,6 +123,30 @@ object MaterializedView {
   private val CdfKey = "mv.cdf"
   private val LeftKey = "mv.left"
   private val RightKey = "mv.right"
+  private val LeftRenKey = "mv.left_rename"
+  private val RightRenKey = "mv.right_rename"
+
+  private def encodeRen(ren: Map[String, String]): String = {
+    ren.foreach { case (o, n) =>
+      require(!o.contains(':') && !n.contains(':'),
+        s"':' is reserved in rename specs: $o -> $n")
+      require(!n.startsWith("_"),
+        s"rename target '$n' collides with change-feed columns")
+    }
+    requireCols(ren.values.toSeq, "rename target")
+    ren.map { case (o, n) => s"$o:$n" }.mkString(",")
+  }
+
+  private def renameOf(m: VersionedTable.Manifest, key: String)
+      : Map[String, String] =
+    m.meta.get(key).filter(_.nonEmpty).fold(Map.empty[String, String])(
+      _.split(',').map { kv =>
+        val Array(o, n) = kv.split(':')
+        o -> n
+      }.toMap)
+
+  private def applyRen(df: DataFrame, ren: Map[String, String]): DataFrame =
+    ren.foldLeft(df) { case (d, (o, n)) => d.withColumnRenamed(o, n) }
 
   private def zero(dt: DataType): Column = lit(0).cast(dt)
 
@@ -428,13 +452,18 @@ object MaterializedView {
   /** Materialize `SELECT keys, COUNT(*), SUM(c)... FROM left INNER
     * JOIN right USING (joinKeys) GROUP BY keys` of the bases' CURRENT
     * versions. The non-join columns of the two tables must not
-    * collide (the joined row namespace must be unambiguous); `keys` /
-    * `sums` may come from either side or the join keys. NULL join
+    * collide (the joined row namespace must be unambiguous) — when
+    * the sides are THEMSELVES views (or otherwise share names), the
+    * per-side rename maps disambiguate; they persist in the view's
+    * meta and apply to every future refresh read. `keys` / `sums` may
+    * come from either side or the join keys, post-rename. NULL join
     * keys never match (SQL inner-join semantics). */
   def createJoin(spark: SparkSession, leftRoot: String, rightRoot: String,
       mvRoot: String, joinKeys: Seq[String], keys: Seq[String],
       sums: Seq[String], distincts: Seq[String] = Seq.empty,
-      minmax: Seq[String] = Seq.empty, cdf: Boolean = false): Long = {
+      minmax: Seq[String] = Seq.empty, cdf: Boolean = false,
+      leftRename: Map[String, String] = Map.empty,
+      rightRename: Map[String, String] = Map.empty): Long = {
     require(joinKeys.nonEmpty, "join view needs join keys")
     require(keys.nonEmpty, "materialized view needs grouping keys")
     requireCols(joinKeys ++ keys ++ sums ++ distincts ++ minmax, "view")
@@ -443,20 +472,25 @@ object MaterializedView {
         s"${keys.intersect(sums ++ distincts ++ minmax)}")
     val lv = currentOf(spark, leftRoot)
     val rv = currentOf(spark, rightRoot)
-    val l = VersionedTable.read(spark, leftRoot, Some(lv))
-    val r = VersionedTable.read(spark, rightRoot, Some(rv))
+    val l = applyRen(VersionedTable.read(spark, leftRoot, Some(lv)),
+      leftRename)
+    val r = applyRen(VersionedTable.read(spark, rightRoot, Some(rv)),
+      rightRename)
     val overlap = (l.columns.toSet -- joinKeys)
       .intersect(r.columns.toSet -- joinKeys)
     require(overlap.isEmpty,
-      s"non-join columns collide across the join: $overlap")
+      s"non-join columns collide across the join: $overlap " +
+        "(use leftRename/rightRename)")
     joinKeys.foreach(k => require(
       l.columns.contains(k) && r.columns.contains(k),
-      s"join key '$k' must exist on both sides"))
+      s"join key '$k' must exist on both sides (post-rename)"))
     VersionedTable.create(spark, mvRoot,
       stateOf(l.join(r, joinKeys), keys, sums, distincts, minmax),
       meta = Map(WatermarkKey -> (lv + rv).toString,
         LeftVKey -> lv.toString, RightVKey -> rv.toString,
         LeftKey -> norm(leftRoot), RightKey -> norm(rightRoot),
+        LeftRenKey -> encodeRen(leftRename),
+        RightRenKey -> encodeRen(rightRename),
         JoinKeysKey -> joinKeys.mkString(","),
         KeysKey -> keys.mkString(","),
         SumsKey -> sums.mkString(","),
@@ -506,19 +540,24 @@ object MaterializedView {
       s"base went backwards: left $l0->$l1, right $r0->$r1")
     if (l1 == l0 && r1 == r0) return mvV
 
+    val (renL, renR) = (renameOf(m, LeftRenKey), renameOf(m, RightRenKey))
     val proj = (df: DataFrame) => df.select(
       (keys ++ sums ++ distincts).map(col) :+ col("_sign"): _*)
-    val rNew = VersionedTable.read(spark, rightRoot, Some(r1))
-    val lOld = VersionedTable.read(spark, leftRoot, Some(l0))
+    val rNew = applyRen(
+      VersionedTable.read(spark, rightRoot, Some(r1)), renR)
+    val lOld = applyRen(
+      VersionedTable.read(spark, leftRoot, Some(l0)), renL)
     val parts = Seq(
-      if (l1 > l0) Some(proj(
-        signedChanges(spark, leftRoot, l0, l1).join(rNew, joinKeys)))
+      if (l1 > l0) Some(proj(applyRen(
+        signedChanges(spark, leftRoot, l0, l1), renL).join(rNew, joinKeys)))
       else None,
       if (r1 > r0) Some(proj(
-        lOld.join(signedChanges(spark, rightRoot, r0, r1), joinKeys)))
+        lOld.join(applyRen(
+          signedChanges(spark, rightRoot, r0, r1), renR), joinKeys)))
       else None).flatten
     applySignedDelta(spark, mvRoot, m, keys, sums, distincts, minmax,
-      VersionedTable.read(spark, leftRoot, Some(l1)).join(rNew, joinKeys),
+      applyRen(VersionedTable.read(spark, leftRoot, Some(l1)), renL)
+        .join(rNew, joinKeys),
       parts.reduce(_ unionByName _), batchId = l1 + r1,
       lo = l0 + r0, hi = l1 + r1,
       extraMeta = Map(LeftVKey -> l1.toString, RightVKey -> r1.toString),
@@ -536,6 +575,63 @@ object MaterializedView {
       // there, so the later batch's absolute per-group state covers a
       // superset of the earlier one's touched groups.
       expectMeta = Map(LeftVKey -> l0.toString, RightVKey -> r0.toString))
+  }
+
+  // ---- cascade orchestration ----------------------------------------------
+
+  /** Refresh a SET of views in dependency order — the dataflow-graph
+    * maintenance step. The DAG comes from each view's pinned base
+    * path(s) (`mv.base` / `mv.left` + `mv.right` manifest meta, set at
+    * create): a view that is another listed view's base refreshes
+    * first, so downstream views maintain off the freshest upstream
+    * commits in ONE pass (a cdf view's own refresh commits are the
+    * change feed its dependents read). Bases outside `views` are
+    * consumed as-is. Views whose bases have not advanced skip at the
+    * cost of a manifest read — refreshing an up-to-date DAG is
+    * O(views) metadata, no data motion. Returns view -> resulting
+    * version. Diamonds are fine (shared upstream refreshes once);
+    * a dependency cycle refuses (cannot arise from create(), which
+    * pins bases that must already exist — defense against hand-edited
+    * meta). */
+  def refreshAll(spark: SparkSession, views: Seq[String])
+      : Map[String, Long] = {
+    val nodes = views.map(norm).distinct
+    val deps: Map[String, Seq[String]] = nodes.map { v =>
+      val m = VersionedTable.readManifest(spark, v, currentOf(spark, v))
+      require(m.meta.contains(KeysKey), s"$v is not a materialized view")
+      val ds =
+        if (m.meta.contains(JoinKeysKey))
+          Seq(m.meta(LeftKey), m.meta(RightKey))
+        else Seq(m.meta(BaseKey))
+      v -> ds
+    }.toMap
+    // Kahn over the listed-view-only edges
+    val inSet = nodes.toSet
+    val order = collection.mutable.ArrayBuffer.empty[String]
+    val pending = collection.mutable.Map.from(deps.view.mapValues(
+      _.count(inSet)))
+    val ready = collection.mutable.Queue.from(
+      nodes.filter(pending(_) == 0))
+    val dependents: Map[String, Seq[String]] = nodes.flatMap(v =>
+      deps(v).filter(inSet).map(_ -> v)).groupMap(_._1)(_._2)
+    while (ready.nonEmpty) {
+      val v = ready.dequeue()
+      order += v
+      dependents.getOrElse(v, Seq.empty).foreach { w =>
+        pending(w) -= 1
+        if (pending(w) == 0) ready += w
+      }
+    }
+    require(order.size == nodes.size,
+      s"dependency cycle among views ${nodes.toSet -- order}")
+    order.map { v =>
+      val vVersion = deps(v) match {
+        case Seq(l, r) => refreshJoin(spark, l, r, v)
+        case Seq(b) => refresh(spark, b, v)
+        case _ => sys.error("unreachable")
+      }
+      v -> vVersion
+    }.toMap
   }
 
   // ---- read --------------------------------------------------------------

@@ -547,6 +547,49 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(got.count() == want.count() && got.exceptAll(want).isEmpty)
   }
 
+  test("refreshAll: diamond DAG refreshes in dependency order") {
+    // base -> mvA (sum v), base -> mvB (sum w), top = mvA ⋈ mvB on k —
+    // the shared-base diamond. Both mids expose cnt/raw_* state, so
+    // the top view disambiguates with per-side renames (persisted in
+    // meta, applied on every refresh). refreshAll gets the views in a
+    // deliberately wrong order and must still refresh mids before top.
+    val (base, mvA, mvB, top) = (tmp(), tmp(), tmp(), tmp())
+    VersionedTable.create(spark, base,
+      rows((1, 10L, 100L), (1, 20L, 200L), (2, 30L, 300L)))
+    MaterializedView.create(spark, base, mvA, Seq("k"), Seq("v"),
+      cdf = true)
+    MaterializedView.create(spark, base, mvB, Seq("k"), Seq("w"),
+      cdf = true)
+    MaterializedView.createJoin(spark, mvA, mvB, top,
+      joinKeys = Seq("k"), keys = Seq("k"),
+      sums = Seq("raw_v", "raw_w"),
+      leftRename = Map("cnt" -> "cnt_a", "nn_v" -> "nn_a"),
+      rightRename = Map("cnt" -> "cnt_b", "nn_w" -> "nn_b"))
+    def topRead(): Map[Int, (Long, Long, Long)] =
+      MaterializedView.read(spark, top)
+        .select("k", "cnt", "sum_raw_v", "sum_raw_w")
+        .as[(Int, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(topRead() == Map(1 -> ((1L, 30L, 300L)), 2 -> ((1L, 30L, 300L))))
+    // churn the root: append to group 1, birth group 3, kill group 2
+    VersionedTable.append(spark, base, rows((1, 1L, 2L), (3, 7L, 8L)))
+    VersionedTable.deleteWhere(spark, base, $"k" === 2, cdf = true)
+    val versions =
+      MaterializedView.refreshAll(spark, Seq(top, mvB, mvA))
+    assert(versions.keySet == Set(mvA, mvB, top))
+    assert(topRead() ==
+      Map(1 -> ((1L, 31L, 302L)), 3 -> ((1L, 7L, 8L))))
+    // the top equals a direct recompute from the root
+    val direct = VersionedTable.read(spark, base).groupBy("k")
+      .agg(sum("v").as("sv"), sum("w").as("sw"))
+      .as[(Int, Long, Long)].collect()
+      .map(r => r._1 -> ((1L, r._2, r._3))).toMap
+    assert(topRead() == direct)
+    // an up-to-date diamond is a pure no-op pass
+    assert(MaterializedView.refreshAll(spark, Seq(mvA, top, mvB))
+      == versions)
+  }
+
   test("bad definitions refuse") {
     val (base, mv) = (tmp(), tmp())
     VersionedTable.create(spark, base, rows((1, 1L, 1L)))
