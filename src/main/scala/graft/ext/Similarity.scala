@@ -897,6 +897,44 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** [[ivfTopK]] with a CALLER-SUPPLIED coarse quantizer and the q27
+    * cross-engine rounding discipline on every ranking decision:
+    * centroid assignment, query probing, and the final candidate rank
+    * all order by `round(cosine, 6)` with id tie-breaks, so an
+    * nprobe < nlist approximate search is exactly reproducible by an
+    * independent engine given the same centroid list — what puts a
+    * REAL approximate IVF run (not the nprobe = nlist degenerate)
+    * under the oracle gate. Same plan shape as [[ivfTopK]]: map-only
+    * assignment, candidate join shuffles on centroid_id, never
+    * all-pairs. Centroid ids are the indices of `centroids`. */
+  def ivfTopKExplicit(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      centroids: Seq[Seq[Double]]): DataFrame = {
+    require(centroids.nonEmpty && nprobe > 0 && nprobe <= centroids.size,
+      s"need 0 < nprobe <= ${centroids.size} centroids, got $nprobe")
+    def assign(df: DataFrame, vCol: String, topN: Int): DataFrame = {
+      val ranked = array_sort(array(centroids.zipWithIndex.map {
+        case (cv, i) =>
+          struct((-round(cosine(col(vCol), array(cv.map(lit): _*)), 6))
+            .as("neg"), lit(i).as("centroid_id"))
+      }: _*))
+      df.withColumn("centroid_id",
+        explode(slice(ranked, 1, topN).getField("centroid_id")))
+    }
+    val lists = assign(corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("nv")), "nv", topN = 1)
+    val probes = assign(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv")), "qv", topN = nprobe)
+    val scored = probes.join(lists, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("nv")), 6).as("cosine_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   // ---- hybrid retrieval: lexical + vector, RRF fusion -------------------
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)

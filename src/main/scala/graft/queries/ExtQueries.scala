@@ -1049,6 +1049,57 @@ object ExtQueries extends QueryPack {
         "score", "rel", Seq(5, 10, 20))
     },
 
+    // Indexed-retriever-fed evaluation — the production eval-your-
+    // ANN-stack shape q176 stops short of: the SAME qrels and metric
+    // machinery score BOTH the exact cosine top-20 run (the recall
+    // reference) and a genuinely approximate IVF run (nprobe 4 of an
+    // explicit ~16-list quantizer, NOT the nprobe = nlist degenerate).
+    // ivfTopKExplicit's rounding discipline makes the approximate
+    // search itself engine-reproducible, so the oracle replays the
+    // whole stack — assignment, probing, candidate ranking, metrics —
+    // and hash-pins the per-cutoff metric rows of BOTH runs. The
+    // centroid pull is driver-bounded by the pick (~|corpus|/61
+    // vectors); everything else is the q176 scale shape, with the IVF
+    // run's corpus work cut to the probed lists.
+    "q183_retrieval_eval_indexed" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") % 100 === 7)
+      val cents: Seq[Seq[Double]] = e.filter(col("vec_id") % 61 === 3)
+        .orderBy(col("vec_id")).select(col("embedding")).collect()
+        .map(_.getSeq[Number](0).map(_.doubleValue()).toSeq).toSeq
+      val ivfRes = Similarity.ivfTopKExplicit(q, e, "vec_id",
+          "embedding", k = 20, nprobe = 4, cents)
+        .select(col("query_id"), col("neighbor_id"),
+          col("cosine_sim").as("score"))
+      val scored = e.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("cv"), col("label").as("nlab"))
+        .crossJoin(broadcast(q.select(col("vec_id").as("query_id"),
+          col("embedding").as("qv"), col("label").as("qlab"))))
+        .filter(col("query_id") =!= col("neighbor_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(col("score").desc, col("neighbor_id"))
+      val exactRes = scored
+        .select(col("query_id"), col("neighbor_id"),
+          round(Similarity.cosine(col("cv"), col("qv")), 6).as("score"))
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 20)
+        .drop("rnk")
+      val qrels = scored
+        .withColumn("rel", when(col("qlab") === col("nlab"), 2)
+          .when(abs(col("qlab") - col("nlab")) === 1, 1).otherwise(0))
+        .filter(col("rel") > 0)
+        .select("query_id", "neighbor_id", "rel")
+      val ks = Seq(5, 10, 20)
+      val mExact = Retrieval.metrics(exactRes, qrels, "query_id",
+        "neighbor_id", "score", "rel", ks).withColumn("run", lit("exact"))
+      val mIvf = Retrieval.metrics(ivfRes, qrels, "query_id",
+        "neighbor_id", "score", "rel", ks).withColumn("run", lit("ivf"))
+      mExact.unionByName(mIvf)
+        .select(col("run"), col("k"), col("recall"), col("precision"),
+          col("mrr"), col("ndcg"))
+        .orderBy(col("run"), col("k"))
+    },
+
     // Unigram LM quality score: per-doc mean token log-probability
     // under the corpus distribution — the cheap fluency proxy between
     // heuristic quality flags and a real LM.
@@ -2060,6 +2111,80 @@ object ExtQueries extends QueryPack {
         |  FROM lexr l FULL JOIN vecr v ON l.doc_id = v.doc_id)
         |SELECT doc_id, rank_1, rank_2, rrf_score FROM f
         |ORDER BY rrf_score DESC, doc_id LIMIT 50""".stripMargin,
+    "q183_retrieval_eval_indexed" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+        |    label AS qlab FROM embeddings WHERE vec_id % 100 = 7),
+        |cents AS (SELECT embedding AS cv,
+        |    ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+        |  FROM embeddings WHERE vec_id % 61 = 3),
+        |asg AS (SELECT vec_id AS neighbor_id, nv, cid FROM (
+        |  SELECT e.vec_id, e.embedding AS nv, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |      round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |        CAST(c.cv AS DOUBLE[])), 6) DESC, c.cid) AS arnk
+        |  FROM embeddings e CROSS JOIN cents c) WHERE arnk = 1),
+        |probes AS (SELECT query_id, cid FROM (
+        |  SELECT q.query_id, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+        |      round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+        |        CAST(c.cv AS DOUBLE[])), 6) DESC, c.cid) AS prnk
+        |  FROM q CROSS JOIN cents c) WHERE prnk <= 4),
+        |pairs AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    q.qlab, e.label AS nlab,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |      CAST(q.qv AS DOUBLE[])), 6) AS score
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.vec_id <> q.query_id),
+        |exact_res AS (SELECT query_id, neighbor_id, score,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM pairs QUALIFY rank <= 20),
+        |ivf_res AS (SELECT query_id, neighbor_id, score,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM (SELECT pr.query_id, a.neighbor_id, p.score
+        |    FROM probes pr JOIN asg a USING (cid)
+        |    JOIN pairs p ON p.query_id = pr.query_id
+        |               AND p.neighbor_id = a.neighbor_id)
+        |  QUALIFY rank <= 20),
+        |res AS (SELECT 'exact' AS run, * FROM exact_res
+        |  UNION ALL SELECT 'ivf', * FROM ivf_res),
+        |qrels AS (SELECT query_id, neighbor_id,
+        |    CASE WHEN qlab = nlab THEN 2
+        |         WHEN abs(qlab - nlab) = 1 THEN 1 END AS rel
+        |  FROM pairs WHERE qlab = nlab OR abs(qlab - nlab) = 1),
+        |jr AS (SELECT r.run, r.query_id, r.rank, COALESCE(qr.rel, 0) AS rel
+        |  FROM res r LEFT JOIN qrels qr
+        |    ON r.query_id = qr.query_id
+        |   AND r.neighbor_id = qr.neighbor_id),
+        |ks AS (SELECT unnest([5, 10, 20]) AS k),
+        |pq AS (SELECT jr.run, jr.query_id, ks.k,
+        |    SUM(CASE WHEN rank <= k AND rel > 0 THEN 1 ELSE 0 END)
+        |      AS hits,
+        |    MIN(CASE WHEN rank <= k AND rel > 0 THEN rank END)
+        |      AS first_rel,
+        |    SUM(CASE WHEN rank <= k
+        |        THEN (pow(2, rel) - 1) / log2(rank + 1) ELSE 0 END)
+        |      AS dcg
+        |  FROM jr CROSS JOIN ks GROUP BY 1, 2, 3),
+        |idl AS (SELECT query_id, rel, ROW_NUMBER() OVER (
+        |    PARTITION BY query_id ORDER BY rel DESC, neighbor_id)
+        |      AS irank FROM qrels),
+        |iq AS (SELECT idl.query_id, ks.k, COUNT(*) AS tot_rel,
+        |    SUM(CASE WHEN irank <= k
+        |        THEN (pow(2, rel) - 1) / log2(irank + 1) ELSE 0 END)
+        |      AS idcg
+        |  FROM idl CROSS JOIN ks GROUP BY 1, 2),
+        |runs AS (SELECT unnest(['exact', 'ivf']) AS run)
+        |SELECT runs.run, iq.k,
+        |    round(AVG(COALESCE(hits, 0) / tot_rel), 6) AS recall,
+        |    round(AVG(COALESCE(hits, 0) / iq.k), 6) AS precision,
+        |    round(AVG(COALESCE(1.0 / first_rel, 0)), 6) AS mrr,
+        |    round(AVG(COALESCE(dcg, 0) / idcg), 6) AS ndcg
+        |  FROM iq CROSS JOIN runs LEFT JOIN pq
+        |    ON pq.query_id = iq.query_id AND pq.k = iq.k
+        |   AND pq.run = runs.run
+        |  GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q176_retrieval_metrics" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
         |    label AS qlab FROM embeddings WHERE vec_id % 100 = 7),

@@ -552,6 +552,38 @@ class ExtSpec extends AnyFunSuite {
       g.length <= 3 && g.map(_._4).sorted.toSeq == (1 to g.length)))
   }
 
+  test("ivf explicit quantizer: full probe equals brute force, assignment partitions") {
+    val rnd = new scala.util.Random(17)
+    val dim = 16
+    val rows = (0L until 40L).map(i =>
+      Row(i, Seq.fill(dim)(rnd.nextGaussian().toFloat)))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", ArrayType(FloatType))))
+    val df = spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    val queries = df.filter(col("id") < 5)
+    val cents: Seq[Seq[Double]] = df.filter(col("id") % 10 === 1)
+      .orderBy(col("id")).select(col("v")).collect()
+      .map(_.getSeq[Number](0).map(_.doubleValue()).toSeq).toSeq
+    def canon(out: org.apache.spark.sql.DataFrame) =
+      out.select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    // nprobe = |centroids| → exhaustive → brute-force equality (with
+    // the same rounding discipline both sides)
+    val full = canon(Similarity.ivfTopKExplicit(queries, df, "id", "v",
+      k = 3, nprobe = cents.size, cents))
+    assert(full == canon(Similarity.bruteForceTopK(queries, df, "id", "v", 3)))
+    // partial probe: candidates only from probed lists, ranks contiguous
+    val part = Similarity.ivfTopKExplicit(queries, df, "id", "v",
+        k = 3, nprobe = 1, cents)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect()
+    val byQ = part.groupBy(_._1)
+    assert(byQ.values.forall(g =>
+      g.length <= 3 && g.map(_._3).sorted.toSeq == (1 to g.length)))
+    intercept[IllegalArgumentException](Similarity.ivfTopKExplicit(
+      queries, df, "id", "v", k = 3, nprobe = 9, cents))
+  }
+
   test("persisted ivf index: probe equals in-memory ivf, pruned scan reads only probed lists") {
     val rnd = new scala.util.Random(23)
     val dim = 12
