@@ -37,6 +37,12 @@ final class PipelineContext(
     * without this, the pipeline's real plans are invisible to the
     * plan-regression guard). */
   val sinkPlans: mutable.Buffer[(String, String)] = mutable.Buffer.empty
+  /** Live JDBC connections by connection-manager name — the OLE DB
+    * Command escape hatch's wiring: a [[graft.ir.Component
+    * .PerRowCommand]] whose connRef resolves here executes its SQL per
+    * row against the store; unresolved refs degrade to staging. */
+  val connections: mutable.Map[String, graft.sources.Jdbc.ConnectionDef] =
+    mutable.Map.empty
   def recordSinkPlan(component: String, df: DataFrame): Unit =
     sinkPlans += component -> df.queryExecution.executedPlan.toString
   def vars: Map[String, Any] = variables.toMap
@@ -228,6 +234,7 @@ object DataFlowExec {
         case c: ExcelDestination => c.name
         case c: JdbcDestination => c.name
         case c: StagedCommand => c.name
+        case c: PerRowCommand => c.name
         case c: ExportColumn => c.name
         case c: VersionedDestination => c.name
         // its collect() is a real action, so it fills observations —
@@ -754,6 +761,22 @@ object DataFlowExec {
       val staged = if (columns.isEmpty) df else df.select(columns.map(col): _*)
       ctx.recordSinkPlan(comp.name, staged)
       ctx.writeTable(table, staged, WriteMode.Append)
+      Map("out" -> df)
+
+    case PerRowCommand(name, connRef, sql, paramCols, stagingTable,
+        batchSize) =>
+      val df = single(inputs, comp)
+      val params =
+        if (paramCols.isEmpty) df else df.select(paramCols.map(col): _*)
+      ctx.recordSinkPlan(name, params)
+      ctx.connections.get(connRef) match {
+        case Some(conn) => // live: the batched-JDBC escape hatch
+          val n = graft.sources.Jdbc.executePerRow(params, conn, sql,
+            paramCols, batchSize)
+          ctx.variables(s"$name.rows_affected") = n
+        case None => // no live connection: the StagedCommand stance
+          ctx.writeTable(stagingTable, params, WriteMode.Append)
+      }
       Map("out" -> df)
 
     case SourceVersioned(_, root, version, where) =>

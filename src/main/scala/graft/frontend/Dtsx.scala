@@ -1017,8 +1017,13 @@ object Dtsx {
         else sys.error(s"dtsx: unsupported managed component $utn ($name)")
 
       case "Microsoft.OLEDBCommand" =>
-        // per-row proc/DML → set-based staging (see object scaladoc);
-        // staging table named after the command target
+        // per-row proc/DML. Set-based staging is the default stance
+        // (see object scaladoc); an EXEC-shaped command — the
+        // genuinely non-MERGE-rewritable stored-proc case — carries
+        // its SQL + connection-manager name as a PerRowCommand, which
+        // executes LIVE as batched JDBC when the runtime context
+        // registers that connection and stages otherwise (same table
+        // name either way).
         val cmd = translateSql(pr.getOrElse("SqlCommand", ""))
         val words = cmd.trim.split("[^A-Za-z0-9_]+").filter(_.nonEmpty).toList
         val target = words.map(_.toUpperCase) match {
@@ -1028,7 +1033,17 @@ object Dtsx {
           case _ => name
         }
         val cols = inputCols(c).flatMap(attr(_, "cachedName"))
-        StagedCommand(name, s"${target}_calls", cols)
+        val isExec = words.headOption.map(_.toUpperCase)
+          .exists(w => w == "EXEC" || w == "EXECUTE" || w == "CALL")
+        if (isExec) {
+          val connRef = (c \ "connections" \ "connection")
+            .flatMap(attr(_, "connectionManagerRefId")).headOption
+            .map { r =>
+              val (i, j) = (r.indexOf('['), r.lastIndexOf(']'))
+              if (i >= 0 && j > i) r.substring(i + 1, j) else r
+            }.getOrElse(name)
+          PerRowCommand(name, connRef, cmd, cols, s"${target}_calls")
+        } else StagedCommand(name, s"${target}_calls", cols)
 
       case other => sys.error(s"dtsx: unsupported component class $other ($name)")
     }

@@ -332,6 +332,20 @@ object Component {
   final case class StagedCommand(name: String, table: String,
       columns: Seq[String] = Nil) extends Component
 
+  /** OLE DB Command carrying its ORIGINAL per-row SQL (SURVEY §7.3's
+    * escape hatch; reference emits these as comment blocks,
+    * enhanced_json_mapper.py:2541-2665). Execution is context-routed:
+    * when `connRef` resolves in the pipeline's connection registry the
+    * command runs LIVE as batched JDBC ([[graft.sources.Jdbc
+    * .executePerRow]] — the non-MERGE-rewritable stored-proc shape);
+    * otherwise it degrades to the [[StagedCommand]] stance, staging
+    * the parameter tuples into `stagingTable` for a server-side call.
+    * Either way the input passes through, as the SSIS component's
+    * does. `?` placeholders bind from `paramCols` in order. */
+  final case class PerRowCommand(name: String, connRef: String,
+      sql: String, paramCols: Seq[String], stagingTable: String,
+      batchSize: Int = 1000) extends Component
+
   /** JDBC sink (reference: enhanced_json_mapper.py:2076-2138): batched
     * inserts through a connection-manager config; see graft.sources.Jdbc
     * for the no-driver-jar caveat and the staging-table guidance. */

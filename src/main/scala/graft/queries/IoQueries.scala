@@ -259,6 +259,49 @@ object IoQueries extends QueryPack {
         .orderBy(col("n_nationkey"))
     },
 
+    // OLE DB Command escape hatch, LIVE (SURVEY §7.3): a per-row
+    // UPDATE-shaped command — the non-MERGE-rewritable stance the
+    // reference can only emit as comments (enhanced_json_mapper.py:
+    // 2541-2665) — executes as batched JDBC against embedded Derby
+    // through PerRowCommand + a registered connection. Negative-
+    // balance suppliers each fire one parameterized UPDATE (batched
+    // per partition, capped sessions); the read-back re-uses q70's
+    // partitioned-JDBC shape and the oracle replays the update as SQL
+    // over the source table. rows_affected lands in the pipeline
+    // variables and is pinned in-query.
+    "q184_perrow_command" -> { (s, dir) =>
+      val conn = graft.sources.Jdbc.derbyMemory("graft_perrow")
+      graft.sources.Jdbc.write(
+        graft.Tables.load(s, dir, "supplier").select(col("s_suppkey"),
+          CoreQueries.cents(col("s_acctbal")).as("cents"),
+          lit(0).as("flagged")),
+        conn, "supplier_flags", WriteMode.Overwrite)
+      val ctx = PipelineContext.overDir(s, dir)
+      ctx.connections("DBX_Output") = conn
+      val nNeg = DataFlowExec.run(DataFlow("q184w", Seq(
+        SourceTable("src", "supplier"),
+        ScriptComponent("neg", df => df
+          .filter(col("s_acctbal") < 0)
+          .select(lit(1000L).as("bonus_cents"), col("s_suppkey"))),
+        // quoted identifiers: Spark's JDBC writer creates columns
+        // case-exact, so the raw statement must quote them too
+        PerRowCommand("cmd", "DBX_Output",
+          """UPDATE supplier_flags SET "flagged" = 1, """ +
+            """"cents" = "cents" + ? WHERE "s_suppkey" = ?""",
+          paramCols = Seq("bonus_cents", "s_suppkey"),
+          stagingTable = "supplier_flags_calls")),
+        Seq(Path("src", "neg"), Path("neg", "cmd"))),
+        ctx)("cmd.out").count()
+      require(ctx.vars("cmd.rows_affected") == nNeg && nNeg > 0,
+        s"per-row command must have executed once per negative-balance " +
+          s"supplier: ${ctx.vars.get("cmd.rows_affected")} vs $nNeg")
+      DataFlowExec.run(DataFlow("q184r", Seq(
+        SourceJdbc("src", conn, "supplier_flags",
+          Some(graft.sources.Jdbc.JdbcPartitioning("s_suppkey", 0, 24, 4)))),
+        Nil), ctx)("src.out")
+        .orderBy(col("s_suppkey"))
+    },
+
     // Partitioned-layout round-trip — the 100 TB storage idiom: write
     // documents hive-partitioned by lang, read back ONE partition and
     // prove the layout prunes (the lang filter must surface as a
@@ -1710,6 +1753,12 @@ object IoQueries extends QueryPack {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "q70_jdbc_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "q184_perrow_command" ->
+      """SELECT s_suppkey,
+        |  CAST(ROUND(s_acctbal * 100) AS BIGINT)
+        |    + CASE WHEN s_acctbal < 0 THEN 1000 ELSE 0 END AS cents,
+        |  CASE WHEN s_acctbal < 0 THEN 1 ELSE 0 END AS flagged
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
     "q40_xml_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
   )

@@ -89,6 +89,69 @@ object Jdbc {
       maxConnections.map("numPartitions" -> _.toString) ++
       conn.user.map("user" -> _) ++ conn.password.map("password" -> _)
 
+  /** SURVEY §7.3's per-row escape hatch, live: execute `sql` once per
+    * input row as BATCHED JDBC (addBatch/executeBatch every
+    * `batchSize`, one connection and one transaction per partition) —
+    * for the OLE DB Command shapes that cannot be rewritten set-based
+    * (arbitrary stored procedures, multi-statement side effects;
+    * reference emits these as comments, enhanced_json_mapper.py:
+    * 2541-2665). This is RBAR by nature — O(rows) statements against
+    * ONE store — so it is the last resort after the MERGE rewrite
+    * (ops.Mutations / StagedCommand): `maxConnections` caps session
+    * fan-in precisely because a 1000-executor cluster must not open a
+    * thousand sessions. `?` placeholders bind from `paramCols` in
+    * order. Returns rows executed (per-statement update counts are
+    * driver-specific for procs, so the contract is statements sent;
+    * any failure rolls back its partition's open batch and throws). */
+  def executePerRow(df: DataFrame, conn: ConnectionDef, sql: String,
+      paramCols: Seq[String], batchSize: Int = 1000,
+      maxConnections: Int = 4): Long = {
+    import org.apache.spark.sql.functions.col
+    require(paramCols.nonEmpty, "executePerRow needs parameter columns")
+    require(sql.count(_ == '?') == paramCols.size,
+      s"$sql has ${sql.count(_ == '?')} placeholders for " +
+        s"${paramCols.size} parameter columns")
+    require(batchSize > 0 && maxConnections > 0,
+      s"bad batchSize=$batchSize / maxConnections=$maxConnections")
+    val acc = df.sparkSession.sparkContext.longAccumulator("per_row_cmds")
+    val nCols = paramCols.size
+    val (url, driver, user, password, props) =
+      (conn.url, conn.driver, conn.user, conn.password, conn.props)
+    df.select(paramCols.map(col): _*).coalesce(maxConnections)
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          Class.forName(driver)
+          val p = new java.util.Properties()
+          props.foreach { case (k, v) => p.setProperty(k, v) }
+          user.foreach(p.setProperty("user", _))
+          password.foreach(p.setProperty("password", _))
+          val c = java.sql.DriverManager.getConnection(url, p)
+          try {
+            c.setAutoCommit(false)
+            val st = c.prepareStatement(sql)
+            try {
+              var n = 0L
+              it.foreach { r =>
+                var i = 0
+                while (i < nCols) { st.setObject(i + 1, r.get(i)); i += 1 }
+                st.addBatch()
+                n += 1
+                if (n % batchSize == 0) st.executeBatch()
+              }
+              if (n % batchSize != 0) st.executeBatch()
+              c.commit()
+              acc.add(n)
+            } finally st.close()
+          } catch {
+            case e: Throwable =>
+              try c.rollback() catch { case _: Exception => }
+              throw e
+          } finally c.close()
+        }
+      }
+    acc.value
+  }
+
   def read(spark: SparkSession, conn: ConnectionDef, dbtable: String,
       partitioning: Option[JdbcPartitioning] = None,
       fetchSize: Int = 10000): DataFrame =

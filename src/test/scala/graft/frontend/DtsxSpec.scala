@@ -1789,4 +1789,71 @@ class DtsxSpec extends AnyFunSuite {
     val src = flow.components.collectFirst { case s: graft.ir.Component.SourceCsv => s }.get
     assert(src.schemaDdl.exists(_.contains("DECIMAL(20,0)")))
   }
+
+  test("OLE DB Command escape hatch: EXEC parses to PerRowCommand; live CALL to a Derby proc") {
+    import graft.ir.Component
+    import graft.sources.Jdbc
+    // 1. wiring, from the reference's own fixture: the EXEC-shaped
+    // (non-MERGE-rewritable) commands carry SQL + connection-manager
+    // name + ordered params; staging table matches the old fallback
+    val spec = Dtsx.parseFile(s"$fixtures/Sample_Medium_Package.dtsx")
+    val flow = spec.tasks
+      .collect { case CfTask.DataFlowTask(_, f) => f }.head
+    val sp = flow.components.collectFirst {
+      case c: Component.PerRowCommand if c.name == "CMD_SP" => c }.get
+    assert(sp.connRef == "DBX_Output")
+    assert(sp.sql.toUpperCase.startsWith("EXEC") && sp.sql.count(_ == '?') == 7)
+    assert(sp.paramCols.size == 7)
+    assert(sp.stagingTable == "sp_GenericUpdate_calls")
+    assert(flow.components.collectFirst {
+      case c: Component.PerRowCommand if c.name == "CMD_Delete" => c }
+      .exists(_.paramCols.size == 3))
+
+    // 2. the live path, stored-proc shape: a Java-backed Derby
+    // procedure (the kind of arbitrary side effect no MERGE rewrite
+    // can express) called once per row through the registered
+    // connection, batched per partition
+    val conn = Jdbc.derbyMemory("graft_dtsx_sp")
+    import spark.implicits._
+    Jdbc.write(Seq((1L, 10L, 0), (2L, 10L, 0), (3L, 10L, 0), (4L, 10L, 0))
+      .toDF("id", "cents", "flagged"), conn, "flags",
+      graft.ir.Component.WriteMode.Overwrite)
+    val raw = java.sql.DriverManager.getConnection(conn.url)
+    try raw.createStatement().execute(
+      "CREATE PROCEDURE FLAG_ROW(IN P_ID BIGINT, IN P_BONUS BIGINT) " +
+        "LANGUAGE JAVA PARAMETER STYLE JAVA MODIFIES SQL DATA " +
+        "EXTERNAL NAME 'graft.frontend.DerbyProcs.flagRow'")
+    finally raw.close()
+    val ctx = PipelineContext.overCatalog(spark)
+    ctx.connections("DerbyConn") = conn
+    graft.dag.DataFlowExec.run(graft.ir.DataFlow("sp_live", Seq(
+      Component.SourceQuery("src",
+        "SELECT * FROM VALUES (1L, 5L), (3L, 7L) AS t(id, bonus)"),
+      Component.PerRowCommand("cmd", "DerbyConn", "CALL FLAG_ROW(?, ?)",
+        paramCols = Seq("id", "bonus"), stagingTable = "flag_calls")),
+      Seq(graft.ir.Path("src", "cmd"))), ctx)
+    assert(ctx.vars("cmd.rows_affected") == 2L)
+    val back = Jdbc.read(spark, conn, "flags")
+      .select("id", "cents", "flagged").as[(Long, Long, Int)]
+      .collect().sortBy(_._1).toSeq
+    assert(back == Seq((1L, 15L, 1), (2L, 10L, 0), (3L, 17L, 1),
+      (4L, 10L, 0)))
+  }
+}
+
+/** Derby Java-procedure target — must be a top-level object so the
+  * compiler emits a STATIC forwarder (`EXTERNAL NAME` resolves static
+  * methods only). Runs inside the server's nested connection: the
+  * update joins the calling statement's transaction. */
+object DerbyProcs {
+  def flagRow(id: Long, bonus: Long): Unit = {
+    val c = java.sql.DriverManager.getConnection("jdbc:default:connection")
+    val st = c.prepareStatement(
+      """UPDATE flags SET "flagged" = "flagged" + 1, """ +
+        """"cents" = "cents" + ? WHERE "id" = ?""")
+    st.setLong(1, bonus)
+    st.setLong(2, id)
+    st.executeUpdate()
+    st.close()
+  }
 }
