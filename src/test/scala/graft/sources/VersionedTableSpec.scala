@@ -1466,4 +1466,61 @@ class VersionedTableSpec extends AnyFunSuite {
       ((1 to 6).toSet - 2).map(i => (i, s"n$i", i.toLong)))
     assert(VersionedTable.readManifest(spark, root, 5L).dvs.nonEmpty)
   }
+
+  test("driver file-list bound: a 50k-entry manifest plans in O(files)") {
+    // The one deliberate driver-held structure in the format is the
+    // snapshot's file-entry list (same stance as Delta's commit
+    // planning). This pins its SIZE and shows planning primitives
+    // stay file-count-bounded at 50k files — a ~50 TB table at 1 GB
+    // files — without writing 50k real files: the manifest machinery
+    // never opens data files, so synthetic entries exercise exactly
+    // the planning path (checkpoint write/read, stats pruning).
+    val root = freshRoot()
+    VersionedTable.create(spark, root, Seq((0L, 0L)).toDF("k", "v"))
+    val m1 = VersionedTable.readManifest(spark, root, 1L)
+    val n = 50000
+    // k-clustered: file i covers k ∈ [i·1000, i·1000+999]
+    val entries = (0 until n).map { i =>
+      VersionedTable.FileEntry(f"part-synth-$i%05d-c000.snappy.parquet",
+        1000L, Map(
+          "k" -> VersionedTable.ColStats(Some((i * 1000L).toString),
+            Some((i * 1000L + 999L).toString), 0L),
+          "v" -> VersionedTable.ColStats(Some("0"), Some("999999"), 0L)))
+    }
+    VersionedTable.commit(spark, root, 1L, m1.schema, entries,
+      meta = m1.meta, op = "SYNTH", baseM = Some(m1))
+    val m = VersionedTable.readManifest(spark, root, 2L)
+    assert(m.fileCount == n.toLong)
+    // the full list materializes on the driver (readCheckpoint's
+    // collect — THE bounded spot); measure both forms of its cost
+    val files = m.files
+    assert(files.size == n)
+    val heapBytes = org.apache.spark.util.SizeEstimator.estimate(files)
+    val cpDir = new java.io.File(root,
+      m.cp.getOrElse(fail("50k entries must land in a parquet checkpoint")))
+    val diskBytes = cpDir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(_.length()).sum
+    info(f"file-entry list: heap ${heapBytes / n}%d B/entry " +
+      f"(${heapBytes / 1024 / 1024}%d MiB total), checkpoint " +
+      f"${diskBytes.toDouble / n}%.1f B/entry on disk")
+    // generous ceilings: a 1M-file table stays under ~1 GiB of driver
+    // heap at this rate — the documented budget in SCALING.md
+    assert(heapBytes / n < 1024, s"heap per entry grew: ${heapBytes / n} B")
+    assert(diskBytes / n < 256, s"disk per entry grew: ${diskBytes / n} B")
+    // planning over the synthetic snapshot: a 1000-key range prunes
+    // 50k entries to ~1 file via manifest stats alone — no data file
+    // is opened (none exists), proving the planner reads only entries
+    val t0 = System.nanoTime()
+    val (kept, total) = VersionedTable.pruneProfile(spark, root,
+      col("k") >= 1234000L && col("k") <= 1234999L, Some(2L))
+    val ms = (System.nanoTime() - t0) / 1e6
+    info(f"stats prune over 50k entries: kept $kept/$total in $ms%.0f ms")
+    assert(total == n && kept == 1)
+    // and the commit path itself carries 50k entries: append one real
+    // file on top of the synthetic snapshot (appends never open base
+    // files), then confirm the next manifest still holds them all
+    VersionedTable.append(spark, root, Seq((999L, 1L)).toDF("k", "v"))
+    assert(VersionedTable.readManifest(spark, root, 3L).fileCount ==
+      n.toLong + 1L)
+  }
 }
