@@ -28,6 +28,87 @@ object IoQueries extends QueryPack {
     s"$whPath/graft_io/$name"
   }
 
+  /** Shared churned fixture for the MV family (q178/q180/q181) — one
+    * orders/customer pair and ONE union churn timeline instead of
+    * three private bases (r14 verdict item 7: the four MV gate queries
+    * rebuilt ~36 s of fixtures). Each query still creates its view at
+    * the right watermark inside the builder, certifies against its own
+    * full recompute, and replays in its own oracle over the same final
+    * state. q177 keeps a private lineitem base: its prune cert needs
+    * group-key clustering and a narrow-churn refresh window.
+    * Memoized per warehouse+dir, so Verify/Bench/PlanAudit pay the
+    * build once per JVM; the cascade (mv181a→mv181b) is left
+    * UNREFRESHED so q181's entry performs a real refreshAll pass.
+    *
+    * Timeline — orders O: v1 = orderkey%3!=2 slice; v2 append the
+    * rest (mv180 refreshes here: pure insert-only union lane);
+    * v3 CDF update price+7 on orderkey%5==0; v4 CDF delete
+    * custkey%7==3 (the big retraction delete); v5 CDF delete
+    * priority '1-URGENT' (group kill). customer C: v1 = custkey%4!=1;
+    * v2 append the rest (their orders join ONLY through the ΔΔ term);
+    * v3 CDF delete custkey%10==4 (kills joined groups). */
+  private object MvFixture {
+    final case class P(orders: String, customer: String, mv178: String,
+        mv180: String, mv181a: String, mv181b: String)
+    private val cache =
+      scala.collection.concurrent.TrieMap.empty[String, P]
+
+    def get(s: SparkSession, dir: String): P = cache.getOrElseUpdate(
+      s"${s.conf.get("spark.sql.warehouse.dir")}|$dir", build(s, dir))
+
+    private def build(s: SparkSession, dir: String): P = {
+      import graft.sources.{MaterializedView, VersionedTable}
+      val id = java.util.UUID.randomUUID()
+      val p = P(tmp(s, s"vt_mvfix/$id/orders"),
+        tmp(s, s"vt_mvfix/$id/customer"), tmp(s, s"vt_mvfix/$id/mv178"),
+        tmp(s, s"vt_mvfix/$id/mv180"), tmp(s, s"vt_mvfix/$id/mv181a"),
+        tmp(s, s"vt_mvfix/$id/mv181b"))
+      val orders = graft.Tables.load(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        (col("o_custkey") % 10).as("bucket"), col("o_orderpriority"),
+        CoreQueries.cents(col("o_totalprice")).as("price_cents"))
+      val cust = graft.Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      VersionedTable.create(s, p.orders,
+        orders.filter(col("o_orderkey") % 3 =!= 2)) // O v1
+      VersionedTable.create(s, p.customer,
+        cust.filter(col("c_custkey") % 4 =!= 1)) // C v1
+      // the views, all defined at the initial watermarks; the join
+      // view disambiguates orders' custkey via the persisted rename
+      MaterializedView.createJoin(s, p.orders, p.customer, p.mv178,
+        joinKeys = Seq("c_custkey"), keys = Seq("c_nationkey"),
+        sums = Seq("price_cents"),
+        leftRename = Map("o_custkey" -> "c_custkey"))
+      MaterializedView.create(s, p.orders, p.mv180,
+        keys = Seq("o_orderpriority"), sums = Seq("price_cents"),
+        distincts = Seq("o_custkey"))
+      MaterializedView.create(s, p.orders, p.mv181a,
+        keys = Seq("bucket", "o_custkey"), sums = Seq("price_cents"),
+        cdf = true)
+      MaterializedView.create(s, p.mv181a, p.mv181b,
+        keys = Seq("bucket"), sums = Seq("raw_price_cents"))
+      // churn
+      VersionedTable.append(s, p.orders,
+        orders.filter(col("o_orderkey") % 3 === 2)) // O v2
+      MaterializedView.refresh(s, p.orders, p.mv180) // union lane only
+      VersionedTable.updateWhere(s, p.orders, col("o_orderkey") % 5 === 0,
+        Map("price_cents" -> (col("price_cents") + lit(7L))),
+        cdf = true) // O v3
+      VersionedTable.deleteWhere(s, p.orders, col("o_custkey") % 7 === 3,
+        cdf = true) // O v4
+      VersionedTable.deleteWhere(s, p.orders,
+        col("o_orderpriority") === "1-URGENT", cdf = true) // O v5
+      VersionedTable.append(s, p.customer,
+        cust.filter(col("c_custkey") % 4 === 1)) // C v2
+      VersionedTable.deleteWhere(s, p.customer,
+        col("c_custkey") % 10 === 4, cdf = true) // C v3
+      // fold the remaining windows; cascade left for q181's entry
+      MaterializedView.refreshJoin(s, p.orders, p.customer, p.mv178)
+      MaterializedView.refresh(s, p.orders, p.mv180)
+      p
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Size-targeted compaction with range clustering: documents
@@ -263,8 +344,9 @@ object IoQueries extends QueryPack {
     // UPDATE-shaped command — the non-MERGE-rewritable stance the
     // reference can only emit as comments (enhanced_json_mapper.py:
     // 2541-2665) — executes as batched JDBC against embedded Derby
-    // through PerRowCommand + a registered connection. Negative-
-    // balance suppliers each fire one parameterized UPDATE (batched
+    // through PerRowCommand + a registered connection. A supplier
+    // slice (suppkey % 3 == 1 — nonempty at sf0.001, unlike any
+    // acctbal predicate) fires one parameterized UPDATE per row (batched
     // per partition, capped sessions); the read-back re-uses q70's
     // partitioned-JDBC shape and the oracle replays the update as SQL
     // over the source table. rows_affected lands in the pipeline
@@ -281,7 +363,7 @@ object IoQueries extends QueryPack {
       val nNeg = DataFlowExec.run(DataFlow("q184w", Seq(
         SourceTable("src", "supplier"),
         ScriptComponent("neg", df => df
-          .filter(col("s_acctbal") < 0)
+          .filter(col("s_suppkey") % 3 === 1) // nonempty at every SF
           .select(lit(1000L).as("bonus_cents"), col("s_suppkey"))),
         // quoted identifiers: Spark's JDBC writer creates columns
         // case-exact, so the raw statement must quote them too
@@ -293,8 +375,8 @@ object IoQueries extends QueryPack {
         Seq(Path("src", "neg"), Path("neg", "cmd"))),
         ctx)("cmd.out").count()
       require(ctx.vars("cmd.rows_affected") == nNeg && nNeg > 0,
-        s"per-row command must have executed once per negative-balance " +
-          s"supplier: ${ctx.vars.get("cmd.rows_affected")} vs $nNeg")
+        s"per-row command must have executed once per slice row: " +
+          s"${ctx.vars.get("cmd.rows_affected")} vs $nNeg")
       DataFlowExec.run(DataFlow("q184r", Seq(
         SourceJdbc("src", conn, "supplier_flags",
           Some(graft.sources.Jdbc.JdbcPartitioning("s_suppkey", 0, 24, 4)))),
@@ -1197,7 +1279,11 @@ object IoQueries extends QueryPack {
       import graft.sources.{MaterializedView, VersionedTable}
       val base = tmp(s, s"vt_mv/${java.util.UUID.randomUUID()}/base")
       val mv = tmp(s, s"vt_mv/${java.util.UUID.randomUUID()}/mv")
+      // a deterministic half of lineitem: the certification is
+      // structural (delta shapes + prune + recompute equality), not
+      // volume-bound, and the fixture is the query's dominant cost
       val li = graft.Tables.load(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 2 === 0)
         .select(col("l_orderkey"), col("l_suppkey"), col("l_linenumber"),
           CoreQueries.cents(col("l_extendedprice")).as("price_cents"),
           when(col("l_linenumber") % 7 === 0, lit(null).cast("long"))
@@ -1208,18 +1294,18 @@ object IoQueries extends QueryPack {
       def bySupp(df: DataFrame): DataFrame =
         df.repartitionByRange(32, col("l_suppkey"))
       VersionedTable.create(s, base,
-        bySupp(li.filter(col("l_orderkey") % 4 =!= 3))) // v1
+        bySupp(li.filter(col("l_orderkey") % 4 === 0))) // v1
+      VersionedTable.append(s, base,
+        bySupp(li.filter(col("l_orderkey") % 4 === 2))) // v2
+      // defined at v2: the refresh window below is then a NARROW
+      // key-range churn whose rescan must file-prune (an all-group
+      // append window would box the whole table; that delta shape is
+      // covered by the MvFixture family and the spec)
       MaterializedView.create(s, base, mv, keys = Seq("l_suppkey"),
         sums = Seq("price_cents", "tax_cents"),
         minmax = Seq("price_cents")) // exercises the touched-group
       // rescan lane: the +100 update and the group delete below both
       // move extrema that pure delta state could not reconstruct
-      VersionedTable.append(s, base,
-        bySupp(li.filter(col("l_orderkey") % 4 === 3))) // v2
-      // the append touches EVERY suppkey group, so its rescan box
-      // spans the table — absorb it first; the next window is then a
-      // narrow-key-range churn whose rescan must file-prune
-      MaterializedView.refresh(s, base, mv)
       // range predicate (bottom suppkey decile): stats-prunable, so
       // the update rewrites ~1/10 of the files, not the table
       val cut = li.agg(max(col("l_suppkey"))).head().getLong(0) / 10L
@@ -1259,47 +1345,25 @@ object IoQueries extends QueryPack {
     // feeds with the two-sided delta decomposition ΔL⋈R_new ⊎
     // L_old⋈ΔR (the cross term lands exactly once because the left
     // delta joins the NEW right snapshot and the right delta the OLD
-    // left snapshot — both one time-travel read away). The run plants
-    // every shape: left appends + CDF price updates, right appends
-    // whose matching orders arrive in the SAME window (pure ΔΔ pairs),
-    // and a right-side customer delete that kills joined groups. One
-    // refresh folds two commits per side; in-query cert pins
-    // incremental == full recompute of the final join; the oracle
-    // aggregates the replayed final state.
+    // left snapshot — both one time-travel read away). The shared
+    // MvFixture timeline plants every shape: left appends + CDF price
+    // updates + left deletes, right appends whose matching orders
+    // arrive in the SAME window (pure ΔΔ pairs), and a right-side
+    // customer delete that kills joined groups; one refresh folds
+    // four left + two right commits. The join view resolves orders'
+    // custkey against the customer key via the persisted per-side
+    // rename. In-query cert pins incremental == full recompute of the
+    // final join; the oracle aggregates the replayed final state.
     "q178_materialized_join_view" -> { (s, dir) =>
       import graft.sources.{MaterializedView, VersionedTable}
-      val id = java.util.UUID.randomUUID()
-      val (l, r, mv) = (tmp(s, s"vt_mvj/$id/orders"),
-        tmp(s, s"vt_mvj/$id/customer"), tmp(s, s"vt_mvj/$id/mv"))
-      val orders = graft.Tables.load(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey").as("c_custkey"),
-          CoreQueries.cents(col("o_totalprice")).as("price_cents"))
-      val cust = graft.Tables.load(s, dir, "customer")
-        .select(col("c_custkey"), col("c_nationkey"))
-      VersionedTable.create(s, l,
-        orders.filter(col("o_orderkey") % 3 =!= 2)) // L v1
-      VersionedTable.create(s, r,
-        cust.filter(col("c_custkey") % 4 =!= 1)) // R v1
-      MaterializedView.createJoin(s, l, r, mv,
-        joinKeys = Seq("c_custkey"), keys = Seq("c_nationkey"),
-        sums = Seq("price_cents"))
-      VersionedTable.append(s, l,
-        orders.filter(col("o_orderkey") % 3 === 2)) // L v2
-      VersionedTable.updateWhere(s, l, col("o_orderkey") % 5 === 0,
-        Map("price_cents" -> (col("price_cents") + lit(7L))),
-        cdf = true) // L v3
-      VersionedTable.append(s, r,
-        cust.filter(col("c_custkey") % 4 === 1)) // R v2: their orders
-      // (every o_custkey % 4 == 1 row) join ONLY through the ΔΔ term
-      VersionedTable.deleteWhere(s, r, col("c_custkey") % 10 === 4,
-        cdf = true) // R v3: kills those customers' joined groups
-      MaterializedView.refreshJoin(s, l, r, mv)
-      require(MaterializedView.watermarks(s, mv) == ((3L, 3L)),
-        s"watermarks must be (3,3), got " +
-          s"${MaterializedView.watermarks(s, mv)}")
-      val got = MaterializedView.read(s, mv)
-      val want = VersionedTable.read(s, l)
-        .join(VersionedTable.read(s, r), Seq("c_custkey"))
+      val f = MvFixture.get(s, dir) // shared churned pair (see builder)
+      require(MaterializedView.watermarks(s, f.mv178) == ((5L, 3L)),
+        s"watermarks must be (5,3), got " +
+          s"${MaterializedView.watermarks(s, f.mv178)}")
+      val got = MaterializedView.read(s, f.mv178)
+      val want = VersionedTable.read(s, f.orders)
+        .withColumnRenamed("o_custkey", "c_custkey")
+        .join(VersionedTable.read(s, f.customer), Seq("c_custkey"))
         .groupBy("c_nationkey").agg(count(lit(1)).as("cnt"),
           sum("price_cents").as("sum_price_cents"))
       require(got.count() == want.count() && got.exceptAll(want).isEmpty,
@@ -1314,9 +1378,10 @@ object IoQueries extends QueryPack {
     // take the pure union lane; a refresh whose window DELETES from a
     // sketched group rebuilds exactly those groups' sketches from the
     // target snapshot (the min/max partial-recompute lane — HLL cannot
-    // retract). The churn here exercises both: an insert-only refresh,
-    // then one window mixing a customer-slice delete, a GROUP-KILLING
-    // delete (one whole priority leaves the view), and a CDF update.
+    // retract). The shared MvFixture timeline exercises both: an
+    // insert-only refresh at the append, then one window mixing a
+    // customer-slice delete, a GROUP-KILLING delete (one whole
+    // priority leaves the view), and a CDF update.
     // In-query certs: every estimate sits within the 3-sigma HLL
     // bound of the POST-delete exact distincts — which doubles as the
     // retraction proof, because the power cert pins that the delete
@@ -1330,39 +1395,18 @@ object IoQueries extends QueryPack {
     // oracle replays exact distincts and pins every flag TRUE.
     "q180_materialized_distinct" -> { (s, dir) =>
       import graft.sources.{MaterializedView, VersionedTable}
-      val id = java.util.UUID.randomUUID()
-      val (base, mv) = (tmp(s, s"vt_mvd/$id/base"), tmp(s, s"vt_mvd/$id/mv"))
-      val orders = graft.Tables.load(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_orderpriority"),
-          col("o_custkey"),
-          CoreQueries.cents(col("o_totalprice")).as("price_cents"))
-      VersionedTable.create(s, base,
-        orders.filter(col("o_orderkey") % 3 =!= 2)) // v1
-      MaterializedView.create(s, base, mv, keys = Seq("o_orderpriority"),
-        sums = Seq("price_cents"), distincts = Seq("o_custkey"))
-      VersionedTable.append(s, base,
-        orders.filter(col("o_orderkey") % 3 === 2)) // v2: inserts only
-      MaterializedView.refresh(s, base, mv) // pure union lane
-      // one refresh window with deletes + an update: every surviving
-      // group is delete-touched -> the sketch rescan lane carries all
-      VersionedTable.deleteWhere(s, base,
-        col("o_custkey") % 7 === 3, cdf = true) // v3
-      VersionedTable.deleteWhere(s, base,
-        col("o_orderpriority") === "1-URGENT", cdf = true) // v4: kills group
-      VersionedTable.updateWhere(s, base, col("o_orderkey") % 11 === 0,
-        Map("price_cents" -> (col("price_cents") + lit(5L))),
-        cdf = true) // v5
-      MaterializedView.refresh(s, base, mv)
-      val est = MaterializedView.read(s, mv)
+      val f = MvFixture.get(s, dir) // shared churned pair (see builder)
+      val est = MaterializedView.read(s, f.mv180)
         .select(col("o_orderpriority"), col("cnt"),
           col("sum_price_cents"), col("distinct_o_custkey"))
       require(est.filter(col("o_orderpriority") === "1-URGENT").isEmpty,
         "group-killing delete must remove the group's view row")
-      val exact = VersionedTable.read(s, base).groupBy("o_orderpriority")
+      val exact = VersionedTable.read(s, f.orders)
+        .groupBy("o_orderpriority")
         .agg(countDistinct(col("o_custkey")).as("exact_distinct"))
       // pre-delete exact (time travel to the insert-only watermark):
       // the power term — how far a STALE sketch would sit from truth
-      val pre = VersionedTable.read(s, base, Some(2L))
+      val pre = VersionedTable.read(s, f.orders, Some(2L))
         .groupBy("o_orderpriority")
         .agg(countDistinct(col("o_custkey")).as("pre_distinct"))
       val out = est.join(exact, Seq("o_orderpriority"))
@@ -1387,43 +1431,26 @@ object IoQueries extends QueryPack {
     // mv1 (per-customer revenue, created with cdf so its OWN refresh
     // commits capture row-level changes) -> mv2 (per-bucket rollup of
     // mv1's raw sums), each level delta-maintained off the level
-    // above — no level ever rescans its base. The run churns the
-    // ROOT with an append + CDF update + customer-killing delete,
-    // refreshes down the cascade, and certifies in-query that the
-    // top of the cascade equals a direct recompute from the root.
-    // mv2's cnt counts mv1 rows = distinct surviving customers per
-    // bucket; the oracle replays both levels as one aggregate.
+    // above — no level ever rescans its base. The shared MvFixture
+    // timeline churns the ROOT with an append + CDF update + two
+    // customer-killing deletes; this entry then refreshes down the
+    // cascade (the builder leaves it stale on purpose) and certifies
+    // in-query that the top equals a direct recompute from the root.
+    // mv181b's cnt counts mv181a rows = distinct surviving customers
+    // per bucket; the oracle replays both levels as one aggregate.
     "q181_materialized_cascade" -> { (s, dir) =>
       import graft.sources.{MaterializedView, VersionedTable}
-      val id = java.util.UUID.randomUUID()
-      val (base, mv1, mv2) = (tmp(s, s"vt_mvc/$id/base"),
-        tmp(s, s"vt_mvc/$id/mv1"), tmp(s, s"vt_mvc/$id/mv2"))
-      val orders = graft.Tables.load(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"),
-          (col("o_custkey") % 10).as("bucket"),
-          CoreQueries.cents(col("o_totalprice")).as("price_cents"))
-      VersionedTable.create(s, base,
-        orders.filter(col("o_orderkey") % 3 =!= 2)) // v1
-      MaterializedView.create(s, base, mv1,
-        keys = Seq("bucket", "o_custkey"), sums = Seq("price_cents"),
-        cdf = true)
-      MaterializedView.create(s, mv1, mv2,
-        keys = Seq("bucket"), sums = Seq("raw_price_cents"))
-      VersionedTable.append(s, base,
-        orders.filter(col("o_orderkey") % 3 === 2)) // v2
-      VersionedTable.updateWhere(s, base, col("o_orderkey") % 5 === 0,
-        Map("price_cents" -> (col("price_cents") + lit(7L))),
-        cdf = true) // v3
-      VersionedTable.deleteWhere(s, base, col("o_custkey") % 100 === 7,
-        cdf = true) // v4: those customers' mv1 groups die -> mv2 drops
+      val f = MvFixture.get(s, dir) // shared churned pair (see builder)
       // one orchestrated pass: refreshAll derives the DAG from the
-      // views' pinned base meta and refreshes mv1 BEFORE mv2 (listed
-      // out of order on purpose); a second pass is all no-ops
-      val versions = MaterializedView.refreshAll(s, Seq(mv2, mv1))
-      require(MaterializedView.refreshAll(s, Seq(mv2, mv1)) == versions,
+      // views' pinned base meta and refreshes mv181a BEFORE mv181b
+      // (listed out of order on purpose); a second pass is all no-ops
+      val versions = MaterializedView.refreshAll(s,
+        Seq(f.mv181b, f.mv181a))
+      require(MaterializedView.refreshAll(s, Seq(f.mv181b, f.mv181a))
+          == versions,
         "an up-to-date DAG must refresh as a version no-op")
-      val got = MaterializedView.read(s, mv2)
-      val want = VersionedTable.read(s, base).groupBy("bucket")
+      val got = MaterializedView.read(s, f.mv181b)
+      val want = VersionedTable.read(s, f.orders).groupBy("bucket")
         .agg(countDistinct(col("o_custkey")).as("cnt"),
           sum("price_cents").as("sum_raw_price_cents"))
       require(got.count() == want.count() && got.exceptAll(want).isEmpty,
@@ -1457,7 +1484,7 @@ object IoQueries extends QueryPack {
         |      AS price_cents,
         |    CASE WHEN l_linenumber % 7 = 0 THEN NULL
         |      ELSE CAST(ROUND(l_tax * 100) AS BIGINT) END AS tax_cents
-        |  FROM lineitem WHERE l_suppkey <> 1)
+        |  FROM lineitem WHERE l_suppkey <> 1 AND l_orderkey % 2 = 0)
         |SELECT l_suppkey, COUNT(*) AS cnt,
         |  CAST(SUM(price_cents) AS BIGINT) AS sum_price_cents,
         |  CAST(SUM(tax_cents) AS BIGINT) AS sum_tax_cents,
@@ -1469,7 +1496,8 @@ object IoQueries extends QueryPack {
         |    CAST(ROUND(o_totalprice * 100) AS BIGINT)
         |      + CASE WHEN o_orderkey % 5 = 0 THEN 7 ELSE 0 END
         |      AS price_cents
-        |  FROM orders),
+        |  FROM orders
+        |  WHERE o_custkey % 7 <> 3 AND o_orderpriority <> '1-URGENT'),
         |c AS (SELECT c_custkey, c_nationkey FROM customer
         |  WHERE c_custkey % 10 <> 4)
         |SELECT c_nationkey, COUNT(*) AS cnt,
@@ -1481,7 +1509,8 @@ object IoQueries extends QueryPack {
         |    CAST(ROUND(o_totalprice * 100) AS BIGINT)
         |      + CASE WHEN o_orderkey % 5 = 0 THEN 7 ELSE 0 END
         |      AS price_cents
-        |  FROM orders WHERE o_custkey % 100 <> 7)
+        |  FROM orders
+        |  WHERE o_custkey % 7 <> 3 AND o_orderpriority <> '1-URGENT')
         |SELECT bucket,
         |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS cnt,
         |  CAST(SUM(price_cents) AS BIGINT) AS sum_raw_price_cents
@@ -1490,7 +1519,7 @@ object IoQueries extends QueryPack {
       """WITH o AS (
         |  SELECT o_orderpriority, o_custkey,
         |    CAST(ROUND(o_totalprice * 100) AS BIGINT)
-        |      + CASE WHEN o_orderkey % 11 = 0 THEN 5 ELSE 0 END
+        |      + CASE WHEN o_orderkey % 5 = 0 THEN 7 ELSE 0 END
         |      AS price_cents
         |  FROM orders
         |  WHERE o_custkey % 7 <> 3 AND o_orderpriority <> '1-URGENT')
@@ -1756,8 +1785,8 @@ object IoQueries extends QueryPack {
     "q184_perrow_command" ->
       """SELECT s_suppkey,
         |  CAST(ROUND(s_acctbal * 100) AS BIGINT)
-        |    + CASE WHEN s_acctbal < 0 THEN 1000 ELSE 0 END AS cents,
-        |  CASE WHEN s_acctbal < 0 THEN 1 ELSE 0 END AS flagged
+        |    + CASE WHEN s_suppkey % 3 = 1 THEN 1000 ELSE 0 END AS cents,
+        |  CASE WHEN s_suppkey % 3 = 1 THEN 1 ELSE 0 END AS flagged
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
     "q40_xml_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
