@@ -56,12 +56,18 @@ trait RestTransport {
   *    the GitHub/registry convention; the next URL resolves RELATIVE
   *    to the page it came from. APIs that paginate in the body can
   *    subclass and override [[nextPage]] (the payload is in hand).
+  *  - https: the JVM default trust store applies; `sslContext`
+  *    overrides it for private CAs / test certs (RestSpec drives a
+  *    live TLS handshake against a loopback HttpsServer with a
+  *    self-signed cert — and pins that the DEFAULT context refuses
+  *    that cert, i.e. the override is opt-in, not a global bypass).
   *
   * Instances are single-traversal (the Link cursor is per-fetch
   * state); use one transport per [[Rest.readVia]] call.
   */
 class HttpTransport(headers: Map[String, String] = Map.empty,
-    connectTimeoutMs: Int = 10000, readTimeoutMs: Int = 60000)
+    connectTimeoutMs: Int = 10000, readTimeoutMs: Int = 60000,
+    sslContext: Option[javax.net.ssl.SSLContext] = None)
     extends RestTransport {
 
   @volatile private var lastNext: Option[String] = None
@@ -80,6 +86,11 @@ class HttpTransport(headers: Map[String, String] = Map.empty,
       s"HttpTransport: not an http(s) URL: $url")
     val conn = new java.net.URI(url).toURL.openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
+    (conn, sslContext) match {
+      case (https: javax.net.ssl.HttpsURLConnection, Some(ctx)) =>
+        https.setSSLSocketFactory(ctx.getSocketFactory)
+      case _ =>
+    }
     conn.setConnectTimeout(connectTimeoutMs)
     conn.setReadTimeout(readTimeoutMs)
     conn.setRequestMethod("GET")

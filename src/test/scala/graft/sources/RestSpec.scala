@@ -160,6 +160,56 @@ class RestSpec extends AnyFunSuite {
     }
   }
 
+  test("live loopback TLS: self-signed HttpsServer needs explicit trust") {
+    import javax.net.ssl.{KeyManagerFactory, SSLContext, TrustManagerFactory}
+    // a real keypair via the JDK's own keytool (SAN=IP so hostname
+    // verification passes for the loopback address)
+    val dir = java.nio.file.Files.createTempDirectory("rest_tls")
+    val ks = dir.resolve("srv.p12")
+    val pw = "graft-test"
+    val rc = new ProcessBuilder("keytool", "-genkeypair", "-alias", "srv",
+      "-keyalg", "RSA", "-keysize", "2048", "-validity", "2",
+      "-dname", "CN=127.0.0.1", "-ext", "SAN=IP:127.0.0.1",
+      "-storetype", "PKCS12", "-keystore", ks.toString,
+      "-storepass", pw, "-keypass", pw).start().waitFor()
+    assert(rc == 0, "keytool must generate the test keypair")
+    val store = java.security.KeyStore.getInstance("PKCS12")
+    val in = java.nio.file.Files.newInputStream(ks)
+    try store.load(in, pw.toCharArray) finally in.close()
+    val kmf = KeyManagerFactory.getInstance(
+      KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(store, pw.toCharArray)
+    val tmf = TrustManagerFactory.getInstance(
+      TrustManagerFactory.getDefaultAlgorithm)
+    tmf.init(store)
+    val serverCtx = SSLContext.getInstance("TLS")
+    serverCtx.init(kmf.getKeyManagers, null, null)
+    val clientCtx = SSLContext.getInstance("TLS")
+    clientCtx.init(null, tmf.getTrustManagers, null)
+    val srv = com.sun.net.httpserver.HttpsServer.create(
+      new java.net.InetSocketAddress(
+        java.net.InetAddress.getLoopbackAddress, 0), 0)
+    srv.setHttpsConfigurator(
+      new com.sun.net.httpserver.HttpsConfigurator(serverCtx))
+    srv.createContext("/secure",
+      (ex: com.sun.net.httpserver.HttpExchange) =>
+        try respond(ex, 200, """[{"id": 7}]""".getBytes("UTF-8"))
+        finally ex.close())
+    srv.start()
+    try {
+      val base = s"https://127.0.0.1:${srv.getAddress.getPort}"
+      // default trust store: the self-signed cert must be REFUSED —
+      // the sslContext override is opt-in, never a global bypass
+      intercept[java.io.IOException](Rest.readVia(spark,
+        new HttpTransport(), s"$base/secure", "$[*]"))
+      // explicit trust: a real TLS handshake + fetch end-to-end
+      val df = Rest.readVia(spark,
+        new HttpTransport(sslContext = Some(clientCtx)),
+        s"$base/secure", "$[*]", Some("id INT"))
+      assert(df.collect().map(_.getInt(0)).toSeq == Seq(7))
+    } finally srv.stop(0)
+  }
+
   test("Link header parsing: rel=next among other rels, quoting forms") {
     val t = new HttpTransport()
     assert(t.nextLink("""<u2>; rel="next"""").contains("u2"))
