@@ -318,7 +318,13 @@ object DataFlowExec {
       Map("out" -> schemaDdl.fold(r)(d => r.schema(d)).json(path))
 
     case SourceRest(_, url, jsonPath, schemaDdl) =>
-      Map("out" -> graft.sources.Rest.read(ctx.spark, url, jsonPath, schemaDdl))
+      // http(s) goes through the production transport (pagination via
+      // Link headers); local payloads take the direct distributed read
+      Map("out" ->
+        (if (url.startsWith("http://") || url.startsWith("https://"))
+          graft.sources.Rest.readVia(ctx.spark,
+            new graft.sources.HttpTransport(), url, jsonPath, schemaDdl)
+        else graft.sources.Rest.read(ctx.spark, url, jsonPath, schemaDdl)))
 
     case SourceJdbc(_, conn, dbtable, partitioning, fetchSize) =>
       Map("out" -> graft.sources.Jdbc.read(ctx.spark, conn, dbtable,

@@ -38,9 +38,12 @@ object Component {
       schemaDdl: Option[String] = None) extends Component
   /** REST API / JSON-payload source with a JSONPath-subset filter
     * (reference: data_engineering_parser.py:566-577,
-    * enhanced_json_mapper.py:134-152 — fetch, filter, frame). `url`
-    * accepts file:// in this zero-egress build; `jsonPath` supports
-    * `$`, `.field`, `[*]`; `schemaDdl` casts result columns by name. */
+    * enhanced_json_mapper.py:134-152 — fetch, filter, frame).
+    * http(s) URLs fetch through [[graft.sources.HttpTransport]]
+    * (Link-header pagination, real sockets — loopback-tested, the
+    * production shape); file:// / bare paths read locally; `jsonPath`
+    * supports `$`, `.field`, `[*]`; `schemaDdl` casts result columns
+    * by name. */
   final case class SourceRest(name: String, url: String,
       jsonPath: String = "$",
       schemaDdl: Option[String] = None) extends Component

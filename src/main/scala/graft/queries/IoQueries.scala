@@ -311,13 +311,17 @@ object IoQueries extends QueryPack {
         } finally ex.close())
       srv.start()
       try {
-        // fetch is EAGER (pages staged before readVia returns), so the
-        // server can stop right after; the parse side reads the staged
-        // files lazily like any other source
-        graft.sources.Rest.readVia(s, new graft.sources.HttpTransport(),
-          s"http://127.0.0.1:${srv.getAddress.getPort}/nation?page=0",
-          "$.rows[*]",
-          Some("n_nationkey INT, n_name STRING, n_regionkey INT"))
+        // through the IR component (the dtsx-visible surface): the
+        // executor routes http(s) URLs through HttpTransport. The
+        // fetch is EAGER (pages staged before the source returns), so
+        // the server can stop right after; the parse side reads the
+        // staged files lazily like any other source
+        run(s, dir, DataFlow("q182r", Seq(
+          SourceRest("src",
+            s"http://127.0.0.1:${srv.getAddress.getPort}/nation?page=0",
+            "$.rows[*]",
+            Some("n_nationkey INT, n_name STRING, n_regionkey INT"))),
+          Nil))("src.out")
           .orderBy(col("n_nationkey"))
       } finally srv.stop(0)
     },
