@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{Dedup, Multimodal, Retrieval, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Pca, Retrieval, Similarity, TextAnalysis}
 
 /** BASELINE extension queries over documents/embeddings: dedup (exact,
   * MinHash-LSH, SimHash, n-gram Jaccard), similarity search (brute-force
@@ -1100,6 +1100,53 @@ object ExtQueries extends QueryPack {
         .orderBy(col("run"), col("k"))
     },
 
+    // PCA / whitening over the embedding corpus — the decorrelate-
+    // before-quantize / reduce-before-index preprocessing leg. fit is
+    // ONE distributed pass (partitions accumulate dim + dim² moment
+    // partials; the 64×64 eigenproblem is driver-side by construction),
+    // transform is k map-only codegen'd dot products. Certs IN-QUERY:
+    // eigenvalues descending and summing to the data's total variance;
+    // whitened top-8 projection has unit variance per component and
+    // ~zero cross-covariance (the Jacobi solver's diagonalization,
+    // measured on the actual output). The oracle replays the one
+    // engine-independent numeric — total variance (trace) from the
+    // raw embeddings — and pins every cert flag TRUE.
+    "q185_pca_whitening" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val k = 8
+      val model = Pca.fit(e, "embedding")
+      require((1 until model.dim).forall(j =>
+        model.eigenvalues(j - 1) >= model.eigenvalues(j) - 1e-12),
+        "eigenvalues must be descending")
+      val trace = e.select(posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy("i").agg(var_pop(col("x").cast("double")).as("v"))
+        .agg(sum(col("v"))).head().getDouble(0)
+      require(math.abs(model.eigenvalues.sum - trace) <=
+        1e-9 * math.abs(trace),
+        s"eigenvalue sum ${model.eigenvalues.sum} must equal the " +
+          s"trace $trace — the model is not this data's covariance")
+      val w = Pca.transform(e, "embedding", model, k, "y", whiten = true)
+        .select((0 until k).map(j => col("y")(j).as(s"y$j")): _*)
+      val pairs = for { i <- 0 until k; j <- i + 1 until k } yield (i, j)
+      val aggs = (0 until k).map(j => var_pop(col(s"y$j")).as(s"v$j")) ++
+        pairs.map { case (i, j) =>
+          covar_pop(col(s"y$i"), col(s"y$j")).as(s"c${i}_$j") }
+      val m = w.agg(aggs.head, aggs.tail: _*).head()
+      val unitVar = (0 until k).forall(j =>
+        math.abs(m.getDouble(j) - 1.0) < 1e-6)
+      val decorrelated = pairs.indices.forall(p =>
+        math.abs(m.getDouble(k + p)) < 1e-5)
+      require(unitVar && decorrelated,
+        s"whitened output must be unit-variance and decorrelated: $m")
+      val rows = (0 until k).map(j => (j, unitVar, decorrelated,
+        model.eigenvalues(j) >= model.eigenvalues.drop(j + 1)
+          .headOption.getOrElse(Double.MinValue)))
+      import s.implicits._
+      rows.toDF("component", "unit_var", "decorrelated", "ordered_desc")
+        .withColumn("total_var", round(lit(trace), 4))
+        .orderBy(col("component"))
+    },
+
     // Unigram LM quality score: per-doc mean token log-probability
     // under the corpus distribution — the cheap fluency proxy between
     // heuristic quality flags and a real LM.
@@ -2111,6 +2158,16 @@ object ExtQueries extends QueryPack {
         |  FROM lexr l FULL JOIN vecr v ON l.doc_id = v.doc_id)
         |SELECT doc_id, rank_1, rank_2, rrf_score FROM f
         |ORDER BY rrf_score DESC, doc_id LIMIT 50""".stripMargin,
+    "q185_pca_whitening" ->
+      """WITH ev AS (SELECT
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS x FROM embeddings),
+        |tv AS (SELECT round(SUM(v), 4) AS total_var FROM (
+        |    SELECT var_pop(x) AS v FROM ev GROUP BY i))
+        |SELECT CAST(j.range AS INT) AS component, TRUE AS unit_var,
+        |  TRUE AS decorrelated, TRUE AS ordered_desc,
+        |  (SELECT total_var FROM tv) AS total_var
+        |FROM range(8) j ORDER BY component""".stripMargin,
     "q183_retrieval_eval_indexed" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
         |    label AS qlab FROM embeddings WHERE vec_id % 100 = 7),
