@@ -1110,7 +1110,12 @@ object ExtQueries extends QueryPack {
     // ~zero cross-covariance (the Jacobi solver's diagonalization,
     // measured on the actual output). The oracle replays the one
     // engine-independent numeric — total variance (trace) from the
-    // raw embeddings — and pins every cert flag TRUE.
+    // raw embeddings — and pins every cert flag TRUE. (Measured but
+    // deliberately NOT certified: reduce-then-search recall — the
+    // synthetic embeddings are near-isotropic (top-24/64 components
+    // carry ~50% of variance), so dimension reduction is not a
+    // recall-preserving step on THIS corpus; the operator's claims
+    // are algebraic, not a reduction recommendation.)
     "q185_pca_whitening" -> { (s, dir) =>
       val e = embs(s, dir)
       val k = 8
