@@ -170,6 +170,22 @@ object MaterializedView {
         || ch == '\r'),
       s"bad $what column name '$c' (',', '=', newline are reserved)"))
 
+  /** NULL grouping keys refuse loudly: every maintenance join in this
+    * module (delta↔state, rescan semi-join, the sink's keyed
+    * copy-on-write matching) is SQL-equality-keyed, where NULL never
+    * matches NULL — a null-keyed group would silently FORK from its
+    * own state row on every refresh (duplicate rows, wrong counts)
+    * instead of erroring. The guard is a column wrapper on the
+    * emitted key (zero extra jobs — it fires inside the create/commit
+    * pass that materializes the group). COALESCE the key to a
+    * sentinel upstream; the view then maintains that group exactly. */
+  private def guardedKey(k: String, dt: DataType, ctx: String): Column =
+    when(col(k).isNull, raise_error(lit(
+      s"materialized view $ctx: NULL value in grouping key '$k' — " +
+        "null keys cannot be maintained (equality-keyed state); " +
+        "COALESCE the key to a sentinel first")).cast(dt))
+      .otherwise(col(k)).as(k)
+
   /** Full-aggregate state of `df`:
     * (keys..., cnt, [nn_c, raw_c]..., [hll_c]..., [min_c, max_c]...). */
   private def stateOf(df: DataFrame, keys: Seq[String],
@@ -185,7 +201,9 @@ object MaterializedView {
     // zero-fill all-null sums so state arithmetic never meets NULL;
     // read() reconstructs the SQL NULL from nn_c (min/max keep SQL
     // NULL semantics natively — an all-null group stores NULL)
-    raw.select(keys.map(col) ++ (col("cnt") +: sums.flatMap(c => Seq(
+    raw.select(keys.map(k =>
+      guardedKey(k, raw.schema(k).dataType, "create")) ++
+      (col("cnt") +: sums.flatMap(c => Seq(
       col(s"nn_$c"),
       coalesce(col(s"raw_$c"),
         zero(raw.schema(s"raw_$c").dataType)).as(s"raw_$c")))) ++
@@ -342,7 +360,9 @@ object MaterializedView {
         when(col("d_del") > 0, col(s"rs_hll_$c")).otherwise(unioned)
       else unioned
     }
-    val outCols = keys.map(col) ++ (guardedCnt.as("cnt") +:
+    val outCols = keys.map(k =>
+      guardedKey(k, m.schema(k).dataType, s"$mvRoot refresh")) ++
+      (guardedCnt.as("cnt") +:
       sums.flatMap(c => Seq(
         guardedNn(c).as(s"nn_$c"),
         (coalesce(col(s"raw_$c"), zero(rawType(c))) + col(s"draw_$c"))

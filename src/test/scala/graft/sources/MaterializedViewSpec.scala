@@ -590,6 +590,32 @@ class MaterializedViewSpec extends AnyFunSuite {
       == versions)
   }
 
+  test("NULL grouping keys refuse at create and at refresh") {
+    // every maintenance join is equality-keyed (NULL never matches
+    // NULL), so a null-keyed group would silently fork from its own
+    // state; the guard must fire instead — at create, and when a
+    // refresh window introduces the first null-keyed row
+    val (base, mv) = (tmp(), tmp())
+    val nullKey = Seq((null.asInstanceOf[java.lang.Integer], 1L, 1L),
+      (Integer.valueOf(1), 2L, 2L)).toDF("k", "v", "w")
+    VersionedTable.create(spark, base, nullKey)
+    val e = intercept[Exception](
+      MaterializedView.create(spark, base, mv, Seq("k"), Seq("v")))
+    assert(e.getMessage != null && e.getMessage.contains("NULL value in grouping key"),
+      s"got: ${e.getMessage}")
+    val (base2, mv2) = (tmp(), tmp())
+    VersionedTable.create(spark, base2, rows((1, 1L, 1L)))
+    MaterializedView.create(spark, base2, mv2, Seq("k"), Seq("v"))
+    VersionedTable.append(spark, base2,
+      Seq((null.asInstanceOf[java.lang.Integer], 9L, 9L))
+        .toDF("k", "v", "w"))
+    val e2 = intercept[Exception](
+      MaterializedView.refresh(spark, base2, mv2))
+    assert(e2.getMessage != null &&
+      e2.getMessage.contains("NULL value in grouping key"),
+      s"got: ${e2.getMessage}")
+  }
+
   test("bad definitions refuse") {
     val (base, mv) = (tmp(), tmp())
     VersionedTable.create(spark, base, rows((1, 1L, 1L)))
