@@ -912,6 +912,8 @@ object Similarity {
       centroids: Seq[Seq[Double]]): DataFrame = {
     require(centroids.nonEmpty && nprobe > 0 && nprobe <= centroids.size,
       s"need 0 < nprobe <= ${centroids.size} centroids, got $nprobe")
+    require(centroids.forall(_.length == centroids.head.length),
+      "centroids must share one dimensionality")
     def assign(df: DataFrame, vCol: String, topN: Int): DataFrame = {
       val ranked = array_sort(array(centroids.zipWithIndex.map {
         case (cv, i) =>

@@ -102,7 +102,12 @@ object Jdbc {
     * thousand sessions. `?` placeholders bind from `paramCols` in
     * order. Returns rows executed (per-statement update counts are
     * driver-specific for procs, so the contract is statements sent;
-    * any failure rolls back its partition's open batch and throws). */
+    * any failure rolls back its partition's open batch and throws).
+    * Delivery is AT-LEAST-ONCE under task retries (a retried
+    * partition re-sends its statements): key-addressed UPDATE/DELETE
+    * and upsert-shaped procs are naturally idempotent; a blind INSERT
+    * is not — route those through a staged write + server-side merge
+    * instead. */
   def executePerRow(df: DataFrame, conn: ConnectionDef, sql: String,
       paramCols: Seq[String], batchSize: Int = 1000,
       maxConnections: Int = 4): Long = {
