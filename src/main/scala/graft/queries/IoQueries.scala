@@ -1330,11 +1330,18 @@ object IoQueries extends QueryPack {
       require(rescan._1 > 0 && rescan._1 * 5 <= rescan._2,
         s"touched-group rescan must prune to <=1/5 of the clustered " +
           s"base's files, read ${rescan._1}/${rescan._2}")
+      // schema evolution on the LIVE view: a new sum column backfills
+      // from the watermark snapshot and rides the oracle compare like
+      // the original columns (ALTER VIEW ADD, O(groups) rewrite)
+      MaterializedView.addSums(s, base, mv, Seq("l_linenumber"))
       val got = MaterializedView.read(s, mv)
+      // column ORDER matches read()'s definition order (sums then
+      // minmax) — the multiset compare below is positional
       val want = VersionedTable.read(s, base).groupBy("l_suppkey")
         .agg(count(lit(1)).as("cnt"),
           sum("price_cents").as("sum_price_cents"),
           sum("tax_cents").as("sum_tax_cents"),
+          sum("l_linenumber").as("sum_l_linenumber"),
           min("price_cents").as("min_price_cents"),
           max("price_cents").as("max_price_cents"))
       // multiset equality in one anti-pass: equal cardinality plus
@@ -1487,11 +1494,13 @@ object IoQueries extends QueryPack {
         |        THEN 100 ELSE 0 END
         |      AS price_cents,
         |    CASE WHEN l_linenumber % 7 = 0 THEN NULL
-        |      ELSE CAST(ROUND(l_tax * 100) AS BIGINT) END AS tax_cents
+        |      ELSE CAST(ROUND(l_tax * 100) AS BIGINT) END AS tax_cents,
+        |    l_linenumber
         |  FROM lineitem WHERE l_suppkey <> 1 AND l_orderkey % 2 = 0)
         |SELECT l_suppkey, COUNT(*) AS cnt,
         |  CAST(SUM(price_cents) AS BIGINT) AS sum_price_cents,
         |  CAST(SUM(tax_cents) AS BIGINT) AS sum_tax_cents,
+        |  CAST(SUM(l_linenumber) AS BIGINT) AS sum_l_linenumber,
         |  CAST(MIN(price_cents) AS BIGINT) AS min_price_cents,
         |  CAST(MAX(price_cents) AS BIGINT) AS max_price_cents
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,

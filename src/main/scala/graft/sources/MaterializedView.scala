@@ -597,6 +597,65 @@ object MaterializedView {
       expectMeta = Map(LeftVKey -> l0.toString, RightVKey -> r0.toString))
   }
 
+  // ---- schema evolution ----------------------------------------------------
+
+  /** ALTER VIEW ADD SUM columns on a live single-table view: the new
+    * columns' (nn, raw) state backfills from the base snapshot AT THE
+    * VIEW'S WATERMARK (time travel — backfilling from a newer version
+    * would bake in changes the watermark says are unapplied, then
+    * re-apply them on the next refresh), joins the existing per-group
+    * state, and commits as ONE atomic version carrying the widened
+    * definition. Cost: one snapshot aggregate + a full rewrite of the
+    * VIEW (O(groups), never the base). Subsequent refreshes maintain
+    * the new columns like any other.
+    *
+    * Caveats, by design: the watermark snapshot must still be within
+    * vacuum retention (time travel throws otherwise — recreate
+    * instead); the commit is a non-CDF rewrite, so a DOWNSTREAM
+    * cascade view tailing this view's change feed will refuse to
+    * cross it (evolve the top of a cascade, or recreate dependents);
+    * join views need both base snapshots — recreate those. */
+  def addSums(spark: SparkSession, baseRoot: String, mvRoot: String,
+      newSums: Seq[String]): Long = {
+    val mvV = currentOf(spark, mvRoot)
+    val m = VersionedTable.readManifest(spark, mvRoot, mvV)
+    val (keys, sums, distincts, minmax) = definition(m)
+    require(!m.meta.contains(JoinKeysKey),
+      "addSums supports single-table views; recreate a join view " +
+        "(its backfill needs both base snapshots)")
+    requireBase(m, BaseKey, baseRoot, "base")
+    requireCols(newSums, "view")
+    require(newSums.nonEmpty && newSums.distinct == newSums,
+      s"need distinct new sum columns, got $newSums")
+    val clash = newSums.intersect(keys ++ sums ++ distincts ++ minmax)
+    require(clash.isEmpty, s"already part of the view: $clash")
+    val wm = m.meta(WatermarkKey).toLong
+    val snap = VersionedTable.read(spark, baseRoot, Some(wm))
+    newSums.foreach(c => require(snap.columns.contains(c),
+      s"base has no column '$c'"))
+    val aggs = newSums.flatMap(c => Seq(
+      sum(when(col(c).isNotNull, 1L).otherwise(0L)).as(s"nn_$c"),
+      sum(col(c)).as(s"raw_$c")))
+    val bf0 = snap.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val bf = bf0.select(keys.map(col) ++ newSums.flatMap(c => Seq(
+      col(s"nn_$c"),
+      coalesce(col(s"raw_$c"),
+        zero(bf0.schema(s"raw_$c").dataType)).as(s"raw_$c"))): _*)
+    val state = VersionedTable.read(spark, mvRoot, Some(mvV))
+    // inner join: by the maintenance invariant the view's groups ARE
+    // the watermark snapshot's groups; pin it (a drifted state must
+    // refuse, not silently drop groups), one tiny materialization so
+    // the count probe and the rewrite share the backfill
+    val widened = state.join(bf, keys, "inner").localCheckpoint(true)
+    require(widened.count() == state.count(),
+      s"view state and watermark-snapshot groups diverge at $mvRoot — " +
+        "the view is corrupt or the base was rewritten in place")
+    VersionedTable.commit(spark, mvRoot, mvV, widened.schema,
+      VersionedTable.writeData(spark, mvRoot, widened),
+      meta = m.meta + (SumsKey -> (sums ++ newSums).mkString(",")),
+      op = "ALTER VIEW ADD SUMS", baseM = Some(m))
+  }
+
   // ---- cascade orchestration ----------------------------------------------
 
   /** Refresh a SET of views in dependency order — the dataflow-graph

@@ -555,7 +555,9 @@ object VersionedTable {
     * bounds — but Spark's public writer API exposes no per-file hook,
     * and one extra scan of the just-written delta buys exact,
     * format-independent stats. */
-  private def writeData(spark: SparkSession, root: String,
+  // private[sources]: MaterializedView's schema-evolving rewrite
+  // (addSums) writes its widened state through the same path
+  private[sources] def writeData(spark: SparkSession, root: String,
       df0: DataFrame,
       phys: Map[String, String] = Map.empty): Seq[FileEntry] = {
     // files are written under PHYSICAL names (stable forever); stats

@@ -590,6 +590,48 @@ class MaterializedViewSpec extends AnyFunSuite {
       == versions)
   }
 
+  test("addSums widens a live view at the WATERMARK; maintained after") {
+    val (base, mv) = (tmp(), tmp())
+    VersionedTable.create(spark, base,
+      rows((1, 1L, 10L), (1, 2L, null), (2, 3L, 30L))) // v1
+    MaterializedView.create(spark, base, mv, Seq("k"), Seq("v"))
+    VersionedTable.append(spark, base, rows((2, 4L, 40L), (3, 5L, null)))
+    MaterializedView.refresh(spark, base, mv) // watermark = 2
+    // base advances PAST the watermark before the evolution: the
+    // backfill must come from snapshot@2, and the next refresh must
+    // then apply (2, 3] to the new column like any other delta
+    VersionedTable.append(spark, base, rows((1, 6L, 100L), (4, 7L, 7L)))
+    MaterializedView.addSums(spark, base, mv, Seq("w"))
+    assert(MaterializedView.watermark(spark, mv) == 2L,
+      "evolution must not move the watermark")
+    MaterializedView.refresh(spark, base, mv)
+    def want() = VersionedTable.read(spark, base).groupBy("k")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("sum_v"),
+        sum("w").as("sum_w"))
+    def got() = MaterializedView.read(spark, mv)
+    assert(got().columns.toSeq == Seq("k", "cnt", "sum_v", "sum_w"))
+    assert(got().exceptAll(want()).isEmpty && want().exceptAll(got()).isEmpty)
+    // group 3: all-null w -> SQL NULL sum reconstructed through the
+    // backfilled nn counter
+    assert(got().filter($"k" === 3).head().isNullAt(3))
+    // and deletes keep maintaining the widened column
+    VersionedTable.deleteWhere(spark, base, $"k" === 2, cdf = true)
+    MaterializedView.refresh(spark, base, mv)
+    assert(got().exceptAll(want()).isEmpty && want().exceptAll(got()).isEmpty)
+    // refusals: clash, unknown column, join views
+    intercept[IllegalArgumentException](
+      MaterializedView.addSums(spark, base, mv, Seq("v")))
+    intercept[IllegalArgumentException](
+      MaterializedView.addSums(spark, base, mv, Seq("nope")))
+    val (l, r, jmv) = (tmp(), tmp(), tmp())
+    VersionedTable.create(spark, l, ldf((1, 10, 5L)))
+    VersionedTable.create(spark, r, rdf((1, 100L)))
+    MaterializedView.createJoin(spark, l, r, jmv, Seq("k"), Seq("g"),
+      Seq("v"))
+    intercept[IllegalArgumentException](
+      MaterializedView.addSums(spark, l, jmv, Seq("w")))
+  }
+
   test("NULL grouping keys refuse at create and at refresh") {
     // every maintenance join is equality-keyed (NULL never matches
     // NULL), so a null-keyed group would silently fork from its own
