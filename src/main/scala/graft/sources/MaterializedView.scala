@@ -599,8 +599,9 @@ object MaterializedView {
 
   // ---- schema evolution ----------------------------------------------------
 
-  /** ALTER VIEW ADD SUM columns on a live single-table view: the new
-    * columns' (nn, raw) state backfills from the base snapshot AT THE
+  /** ALTER VIEW ADD aggregate columns on a live single-table view:
+    * the new columns' state (nn/raw for sums, HLL sketches for
+    * distincts, min/max) backfills from the base snapshot AT THE
     * VIEW'S WATERMARK (time travel — backfilling from a newer version
     * would bake in changes the watermark says are unapplied, then
     * re-apply them on the next refresh), joins the existing per-group
@@ -615,46 +616,61 @@ object MaterializedView {
     * cascade view tailing this view's change feed will refuse to
     * cross it (evolve the top of a cascade, or recreate dependents);
     * join views need both base snapshots — recreate those. */
-  def addSums(spark: SparkSession, baseRoot: String, mvRoot: String,
-      newSums: Seq[String]): Long = {
+  def addColumns(spark: SparkSession, baseRoot: String, mvRoot: String,
+      sums: Seq[String] = Seq.empty, distincts: Seq[String] = Seq.empty,
+      minmax: Seq[String] = Seq.empty): Long = {
     val mvV = currentOf(spark, mvRoot)
     val m = VersionedTable.readManifest(spark, mvRoot, mvV)
-    val (keys, sums, distincts, minmax) = definition(m)
+    val (keys, oldSums, oldDistincts, oldMinmax) = definition(m)
     require(!m.meta.contains(JoinKeysKey),
-      "addSums supports single-table views; recreate a join view " +
+      "addColumns supports single-table views; recreate a join view " +
         "(its backfill needs both base snapshots)")
     requireBase(m, BaseKey, baseRoot, "base")
-    requireCols(newSums, "view")
-    require(newSums.nonEmpty && newSums.distinct == newSums,
-      s"need distinct new sum columns, got $newSums")
-    val clash = newSums.intersect(keys ++ sums ++ distincts ++ minmax)
+    val adds = sums ++ distincts ++ minmax
+    requireCols(adds, "view")
+    require(adds.nonEmpty, "addColumns: nothing to add")
+    require(sums.distinct == sums && distincts.distinct == distincts &&
+      minmax.distinct == minmax, s"duplicate columns within a role: $adds")
+    // per-ROLE clash (one column may carry several roles, as at
+    // create — q177's price_cents is both summed and min/max'ed)
+    val clash = sums.intersect(keys ++ oldSums) ++
+      distincts.intersect(keys ++ oldDistincts) ++
+      minmax.intersect(keys ++ oldMinmax)
     require(clash.isEmpty, s"already part of the view: $clash")
     val wm = m.meta(WatermarkKey).toLong
     val snap = VersionedTable.read(spark, baseRoot, Some(wm))
-    newSums.foreach(c => require(snap.columns.contains(c),
+    adds.foreach(c => require(snap.columns.contains(c),
       s"base has no column '$c'"))
-    val aggs = newSums.flatMap(c => Seq(
-      sum(when(col(c).isNotNull, 1L).otherwise(0L)).as(s"nn_$c"),
-      sum(col(c)).as(s"raw_$c")))
-    val bf0 = snap.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
-    val bf = bf0.select(keys.map(col) ++ newSums.flatMap(c => Seq(
-      col(s"nn_$c"),
-      coalesce(col(s"raw_$c"),
-        zero(bf0.schema(s"raw_$c").dataType)).as(s"raw_$c"))): _*)
+    // the backfill IS stateOf over the new columns (same aggregate
+    // the view would have stored at create); its cnt re-derives the
+    // group cardinality, reused below as the drift pin
+    val bf = stateOf(snap, keys, sums, distincts, minmax)
+      .withColumnRenamed("cnt", "_bf_cnt")
     val state = VersionedTable.read(spark, mvRoot, Some(mvV))
     // inner join: by the maintenance invariant the view's groups ARE
-    // the watermark snapshot's groups; pin it (a drifted state must
-    // refuse, not silently drop groups), one tiny materialization so
-    // the count probe and the rewrite share the backfill
-    val widened = state.join(bf, keys, "inner").localCheckpoint(true)
-    require(widened.count() == state.count(),
+    // the watermark snapshot's groups, with the SAME counts; pin both
+    // (a drifted state must refuse, not silently drop groups). One
+    // tiny materialization shares the backfill between the pin and
+    // the rewrite.
+    val joined = state.join(bf, keys, "inner").localCheckpoint(true)
+    require(joined.count() == state.count() &&
+      joined.filter(col("cnt") =!= col("_bf_cnt")).isEmpty,
       s"view state and watermark-snapshot groups diverge at $mvRoot — " +
         "the view is corrupt or the base was rewritten in place")
+    val widened = joined.drop("_bf_cnt")
     VersionedTable.commit(spark, mvRoot, mvV, widened.schema,
       VersionedTable.writeData(spark, mvRoot, widened),
-      meta = m.meta + (SumsKey -> (sums ++ newSums).mkString(",")),
-      op = "ALTER VIEW ADD SUMS", baseM = Some(m))
+      meta = m.meta +
+        (SumsKey -> (oldSums ++ sums).mkString(",")) +
+        (DistinctsKey -> (oldDistincts ++ distincts).mkString(",")) +
+        (MinMaxKey -> (oldMinmax ++ minmax).mkString(",")),
+      op = "ALTER VIEW ADD COLUMNS", baseM = Some(m))
   }
+
+  /** [[addColumns]] for sum columns only. */
+  def addSums(spark: SparkSession, baseRoot: String, mvRoot: String,
+      newSums: Seq[String]): Long =
+    addColumns(spark, baseRoot, mvRoot, sums = newSums)
 
   // ---- cascade orchestration ----------------------------------------------
 

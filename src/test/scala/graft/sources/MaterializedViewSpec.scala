@@ -618,6 +618,23 @@ class MaterializedViewSpec extends AnyFunSuite {
     VersionedTable.deleteWhere(spark, base, $"k" === 2, cdf = true)
     MaterializedView.refresh(spark, base, mv)
     assert(got().exceptAll(want()).isEmpty && want().exceptAll(got()).isEmpty)
+    // second evolution: a distinct sketch AND a min/max lane on v (a
+    // column may carry several roles); both maintained by the next
+    // refresh, including a delete that forces the rescan lanes
+    MaterializedView.addColumns(spark, base, mv,
+      distincts = Seq("w"), minmax = Seq("v"))
+    VersionedTable.append(spark, base, rows((1, 200L, 100L)))
+    VersionedTable.deleteWhere(spark, base, $"v" === 6L, cdf = true)
+    MaterializedView.refresh(spark, base, mv)
+    val full = MaterializedView.read(spark, mv)
+    val wantFull = VersionedTable.read(spark, base).groupBy("k")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("sum_v"),
+        sum("w").as("sum_w"),
+        countDistinct($"w").cast("long").as("distinct_w"),
+        min("v").as("min_v"), max("v").as("max_v"))
+    assert(full.count() == wantFull.count() &&
+      full.exceptAll(wantFull).isEmpty, // sparse sketches are exact
+      s"${full.collect().toSeq} vs ${wantFull.collect().toSeq}")
     // refusals: clash, unknown column, join views
     intercept[IllegalArgumentException](
       MaterializedView.addSums(spark, base, mv, Seq("v")))
