@@ -649,6 +649,28 @@ class MaterializedViewSpec extends AnyFunSuite {
       MaterializedView.addSums(spark, l, jmv, Seq("w")))
   }
 
+  test("evolving under a dependent cascade view refuses downstream") {
+    // addColumns commits a non-CDF rewrite; a downstream view whose
+    // feed crosses that version must refuse loudly (readChanges'
+    // rewrite guard) rather than mis-maintain — the documented
+    // evolve-the-top / recreate-dependents caveat, made a test
+    val (base, mv1, mv2) = (tmp(), tmp(), tmp())
+    VersionedTable.create(spark, base, rows((1, 1L, 10L), (2, 2L, 20L)))
+    MaterializedView.create(spark, base, mv1, Seq("k"), Seq("v"),
+      cdf = true)
+    MaterializedView.create(spark, mv1, mv2, Seq("k"), Seq("raw_v"))
+    MaterializedView.addColumns(spark, base, mv1, sums = Seq("w"))
+    // mv1 keeps maintaining fine after its own evolution...
+    VersionedTable.append(spark, base, rows((1, 3L, 30L)))
+    MaterializedView.refresh(spark, base, mv1)
+    // ...but mv2's feed now crosses mv1's non-CDF rewrite version
+    val e = intercept[Exception](MaterializedView.refresh(spark, mv1, mv2))
+    assert(e.getMessage != null &&
+      e.getMessage.contains("without change capture"),
+      s"downstream refresh must hit the rewrite guard, got: " +
+        s"${e.getMessage}")
+  }
+
   test("NULL grouping keys refuse at create and at refresh") {
     // every maintenance join is equality-keyed (NULL never matches
     // NULL), so a null-keyed group would silently fork from its own
