@@ -46,8 +46,9 @@ object Pca {
 
   /** One-pass fit of the population covariance's eigenstructure.
     * `vecCol` must hold fixed-width numeric arrays (float or double);
-    * rows with a null vector are skipped, a wrong-width vector fails
-    * the job loudly (silent truncation would corrupt the moments). */
+    * rows with a null vector are skipped; a wrong-width vector or a
+    * null ELEMENT inside a vector fails the job loudly (silent
+    * truncation / null→0.0 unboxing would corrupt the moments). */
   def fit(df: DataFrame, vecCol: String): Model = {
     val first = df.select(col(vecCol)).filter(col(vecCol).isNotNull)
       .head(1)
@@ -61,10 +62,22 @@ object Pca {
     val acc = df.select(col(vecCol).cast("array<double>")).rdd
       .treeAggregate(zero)(
         seqOp = (a, row) => {
-          val v = row.getSeq[Double](0)
-          if (v != null) {
-            require(v.length == dim,
-              s"pca fit: vector of width ${v.length}, expected $dim")
+          val raw = row.getSeq[java.lang.Double](0)
+          if (raw != null) {
+            require(raw.length == dim,
+              s"pca fit: vector of width ${raw.length}, expected $dim")
+            // Read BOXED and require non-null per element: getSeq[Double]
+            // silently unboxes a null element to 0.0, which would corrupt
+            // the moments instead of failing loudly (the doc contract).
+            val v = new Array[Double](dim)
+            var k = 0
+            while (k < dim) {
+              val b = raw(k)
+              require(b != null,
+                s"pca fit: null element at index $k in $vecCol vector")
+              v(k) = b.doubleValue
+              k += 1
+            }
             a(0) += 1.0
             var i = 0
             var off = 1 + dim

@@ -112,7 +112,9 @@ object Jdbc {
       paramCols: Seq[String], batchSize: Int = 1000,
       maxConnections: Int = 4): Long = {
     import org.apache.spark.sql.functions.col
-    require(paramCols.nonEmpty, "executePerRow needs parameter columns")
+    // paramCols may be EMPTY: a zero-parameter stored-proc call is a
+    // legal SSIS shape ("EXEC dbo.Refresh") — executed once per input
+    // row with no binds.
     require(sql.count(_ == '?') == paramCols.size,
       s"$sql has ${sql.count(_ == '?')} placeholders for " +
         s"${paramCols.size} parameter columns")

@@ -295,8 +295,25 @@ object MaterializedView {
         // cannot express it).
         val bAggs = keys.flatMap(k => Seq(min(col(k)).as(s"lo_$k"),
           max(col(k)).as(s"hi_$k"),
-          count(when(col(k).isNull, 1)).as(s"null_$k")))
+          count(when(col(k).isNull, 1)).as(s"null_$k"))) :+
+          count(lit(1)).as("_rk_n")
         val bounds = rk.agg(bAggs.head, bAggs.tail: _*).head()
+        if (bounds.getLong(3 * keys.size) == 0L) {
+          // EMPTY rescan key set (e.g. a min/max view whose delta range
+          // touched no groups): no group needs re-aggregation, so skip
+          // the snapshot entirely — the rescan columns come from an
+          // empty local relation with the snapshot's schema (metadata
+          // only, zero files read) and the audit records a truthful
+          // 0/0 instead of falling into the full-scan fallback.
+          val empty = spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](),
+            snapshotAtHi.schema)
+          val rescan = empty.groupBy(keys.map(col): _*)
+            .agg(aggs.head, aggs.tail: _*)
+          (withState.join(rescan, keys, "left"),
+            Map("mv.rescan.files_kept" -> "0",
+              "mv.rescan.files_total" -> "0"))
+        } else {
         val boxable = keys.indices.forall { i =>
           bounds.getLong(3 * i + 2) == 0L && !bounds.isNullAt(3 * i)
         }
@@ -313,6 +330,14 @@ object MaterializedView {
             (VersionedTable.readWhere(spark, broot, p, Some(bv)),
               Map("mv.rescan.files_kept" -> kept.toString,
                 "mv.rescan.files_total" -> total.toString))
+          case (Some(_), None) =>
+            // single-table view whose touched keys VOID the bounding
+            // box (a null group key): full snapshot pass by necessity.
+            // Distinct audit sentinel — rescanProfile documents -1/-1
+            // as "join view, filter-pushdown only"; this is a
+            // different situation and must not wear that label.
+            (snapshotAtHi, Map("mv.rescan.files_kept" -> "-2",
+              "mv.rescan.files_total" -> "-2"))
           case (_, Some(p)) =>
             // join views: push the box into the joined snapshot — the
             // filter lands on whichever scan owns the key columns
@@ -326,6 +351,7 @@ object MaterializedView {
         val rescan = snap.join(rk, keys, "left_semi")
           .groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
         (withState.join(rescan, keys, "left"), meta)
+        }
     }
     val newCnt = coalesce(col("cnt"), lit(0L)) + col("d_cnt")
     val guardedCnt = when(newCnt < 0, raise_error(concat(
@@ -645,18 +671,23 @@ object MaterializedView {
     // the view would have stored at create); its cnt re-derives the
     // group cardinality, reused below as the drift pin
     val bf = stateOf(snap, keys, sums, distincts, minmax)
-      .withColumnRenamed("cnt", "_bf_cnt")
+      .withColumnRenamed("cnt", "_bf_cnt").localCheckpoint(true)
     val state = VersionedTable.read(spark, mvRoot, Some(mvV))
     // inner join: by the maintenance invariant the view's groups ARE
-    // the watermark snapshot's groups, with the SAME counts; pin both
-    // (a drifted state must refuse, not silently drop groups). One
-    // tiny materialization shares the backfill between the pin and
-    // the rewrite.
+    // the watermark snapshot's groups, with the SAME counts; pin BOTH
+    // DIRECTIONS (a drifted state must refuse, not silently drop
+    // groups): |join| == |state| catches view groups missing from the
+    // snapshot, |join| == |bf| catches snapshot groups missing from
+    // the view — an inner join alone would silently drop the latter.
+    // One tiny materialization shares the backfill between the pin
+    // and the rewrite.
     val joined = state.join(bf, keys, "inner").localCheckpoint(true)
-    require(joined.count() == state.count() &&
+    val (jc, sc, bc) = (joined.count(), state.count(), bf.count())
+    require(jc == sc && jc == bc &&
       joined.filter(col("cnt") =!= col("_bf_cnt")).isEmpty,
-      s"view state and watermark-snapshot groups diverge at $mvRoot — " +
-        "the view is corrupt or the base was rewritten in place")
+      s"view state ($sc groups) and watermark-snapshot ($bc groups, " +
+        s"$jc shared) diverge at $mvRoot — the view is corrupt or the " +
+        "base was rewritten in place")
     val widened = joined.drop("_bf_cnt")
     VersionedTable.commit(spark, mvRoot, mvV, widened.schema,
       VersionedTable.writeData(spark, mvRoot, widened),
@@ -752,10 +783,13 @@ object MaterializedView {
 
   /** The last refresh's rescan prune audit: (files read, files total)
     * of the partial-recompute snapshot pass. (0, 0) = the refresh ran
-    * no rescan (pure delta lanes); (-1, -1) = join view, pruned by
-    * filter pushdown rather than the manifest pruner. `kept ≈ total`
-    * on every refresh of a minmax/hll view means the base is NOT
-    * clustered by the group key — see the class doc. */
+    * no rescan (pure delta lanes, or the rescan key set was empty);
+    * (-1, -1) = join view, pruned by filter pushdown rather than the
+    * manifest pruner; (-2, -2) = single-table view whose touched keys
+    * void the bounding box (a NULL-ish or unboxable group key) —
+    * full snapshot pass by necessity. `kept ≈ total` on every refresh
+    * of a minmax/hll view means the base is NOT clustered by the
+    * group key — see the class doc. */
   def rescanProfile(spark: SparkSession, mvRoot: String): (Int, Int) = {
     val m = VersionedTable.readManifest(spark, mvRoot,
       currentOf(spark, mvRoot))

@@ -56,6 +56,11 @@ trait RestTransport {
   *    the GitHub/registry convention; the next URL resolves RELATIVE
   *    to the page it came from. APIs that paginate in the body can
   *    subclass and override [[nextPage]] (the payload is in hand).
+  *  - resilience: 429 honors `Retry-After` (integer-seconds form,
+  *    capped), 5xx retries on a bounded exponential backoff budget
+  *    (`maxRetries`/`retryBaseMs`), 3xx `Location` redirects are
+  *    followed manually with a `maxRedirects` bound (a loop throws).
+  *    Other non-2xx statuses fail immediately.
   *  - https: the JVM default trust store applies; `sslContext`
   *    overrides it for private CAs / test certs (RestSpec drives a
   *    live TLS handshake against a loopback HttpsServer with a
@@ -67,23 +72,52 @@ trait RestTransport {
   */
 class HttpTransport(headers: Map[String, String] = Map.empty,
     connectTimeoutMs: Int = 10000, readTimeoutMs: Int = 60000,
-    sslContext: Option[javax.net.ssl.SSLContext] = None)
+    sslContext: Option[javax.net.ssl.SSLContext] = None,
+    maxRetries: Int = 4, retryBaseMs: Long = 500,
+    maxRetryAfterMs: Long = 60000, maxRedirects: Int = 5,
+    sleeper: Long => Unit = Thread.sleep)
     extends RestTransport {
 
   @volatile private var lastNext: Option[String] = None
 
-  /** `Link` header → the rel="next" target, if any. */
-  private[sources] def nextLink(link: String): Option[String] =
-    link.split(',').iterator.map(_.trim).collectFirst {
+  /** `Link` header → the rel="next" target, if any. Tokenizes on
+    * commas OUTSIDE `<...>` first: RFC 8288 allows commas inside the
+    * target URL, so a naive split would truncate or miss the link. */
+  private[sources] def nextLink(link: String): Option[String] = {
+    val parts = collection.mutable.Buffer.empty[String]
+    val cur = new StringBuilder
+    var inAngle = false
+    link.foreach {
+      case '<' => inAngle = true; cur += '<'
+      case '>' => inAngle = false; cur += '>'
+      case ',' if !inAngle => parts += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    parts += cur.result()
+    parts.iterator.map(_.trim).collectFirst {
       case part if part.split(';').drop(1).exists(p =>
           p.trim.toLowerCase.matches("""rel\s*=\s*"?next"?""")) &&
         part.startsWith("<") && part.contains(">") =>
         part.substring(1, part.indexOf('>'))
     }
+  }
 
-  override def fetch(url: String): Array[Byte] = {
-    require(url.startsWith("http://") || url.startsWith("https://"),
-      s"HttpTransport: not an http(s) URL: $url")
+  /** Retry-After header → bounded delay ms. Integer-seconds form only
+    * (the common rate-limit shape); the HTTP-date form falls back to
+    * the exponential backoff schedule. */
+  private[sources] def retryAfterMs(h: String): Option[Long] =
+    Option(h).map(_.trim).filter(_.matches("""\d{1,9}"""))
+      .map(s => math.min(s.toLong * 1000L, maxRetryAfterMs))
+
+  /** One GET without retry/redirect handling. */
+  private sealed trait Outcome
+  private case class Ok(body: Array[Byte], next: Option[String])
+      extends Outcome
+  private case class Redirected(location: String) extends Outcome
+  private case class Retryable(status: Int, afterMs: Option[Long],
+      snippet: String) extends Outcome
+
+  private def fetchOnce(url: String): Outcome = {
     val conn = new java.net.URI(url).toURL.openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     (conn, sslContext) match {
@@ -93,6 +127,7 @@ class HttpTransport(headers: Map[String, String] = Map.empty,
     }
     conn.setConnectTimeout(connectTimeoutMs)
     conn.setReadTimeout(readTimeoutMs)
+    conn.setInstanceFollowRedirects(false) // bounded manual redirects
     conn.setRequestMethod("GET")
     conn.setRequestProperty("Accept", "application/json")
     headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
@@ -101,15 +136,59 @@ class HttpTransport(headers: Map[String, String] = Map.empty,
       def drain(in: java.io.InputStream): Array[Byte] =
         if (in == null) Array.emptyByteArray
         else try in.readAllBytes() finally in.close()
-      if (status < 200 || status >= 300) {
+      if (status >= 300 && status < 400 &&
+          conn.getHeaderField("Location") != null) {
+        drain(conn.getErrorStream); drain(conn.getInputStream)
+        Redirected(new java.net.URI(url)
+          .resolve(conn.getHeaderField("Location")).toString)
+      } else if (status == 429 || (status >= 500 && status < 600)) {
+        val err = new String(drain(conn.getErrorStream), "UTF-8").take(200)
+        Retryable(status,
+          retryAfterMs(conn.getHeaderField("Retry-After")), err)
+      } else if (status < 200 || status >= 300) {
         val err = new String(drain(conn.getErrorStream), "UTF-8").take(200)
         throw new java.io.IOException(
           s"HTTP $status from $url${if (err.nonEmpty) s": $err" else ""}")
+      } else {
+        Ok(drain(conn.getInputStream),
+          Option(conn.getHeaderField("Link")).flatMap(nextLink)
+            .map(n => new java.net.URI(url).resolve(n).toString))
       }
-      lastNext = Option(conn.getHeaderField("Link")).flatMap(nextLink)
-        .map(n => new java.net.URI(url).resolve(n).toString)
-      drain(conn.getInputStream)
     } finally conn.disconnect()
+  }
+
+  override def fetch(url: String): Array[Byte] = {
+    require(url.startsWith("http://") || url.startsWith("https://"),
+      s"HttpTransport: not an http(s) URL: $url")
+    var target = url
+    var redirects = 0
+    var attempt = 0
+    while (true) {
+      fetchOnce(target) match {
+        case Ok(body, next) =>
+          lastNext = next
+          return body
+        case Redirected(loc) =>
+          redirects += 1
+          if (redirects > maxRedirects)
+            throw new java.io.IOException(
+              s"HTTP redirect chain exceeded $maxRedirects from $url " +
+                s"(last hop $target -> $loc)")
+          target = loc
+        case Retryable(status, after, snippet) =>
+          attempt += 1
+          if (attempt > maxRetries)
+            throw new java.io.IOException(
+              s"HTTP $status from $target after $maxRetries retries" +
+                s"${if (snippet.nonEmpty) s": $snippet" else ""}")
+          // 429 honors Retry-After when present; 5xx (and 429 without
+          // the header) takes bounded exponential backoff.
+          val backoff = math.min(retryBaseMs << (attempt - 1),
+            maxRetryAfterMs)
+          sleeper(after.getOrElse(backoff))
+      }
+    }
+    throw new IllegalStateException("unreachable") // satisfies the compiler
   }
 
   override def nextPage(url: String, payload: Array[Byte]): Option[String] =

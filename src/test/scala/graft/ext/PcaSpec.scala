@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.TestSpark
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -83,5 +84,25 @@ class PcaSpec extends AnyFunSuite {
     intercept[Exception](Pca.fit(ragged, "v"))
     val empty = Seq.empty[(Long, Array[Float])].toDF("id", "v")
     intercept[IllegalArgumentException](Pca.fit(empty, "v"))
+  }
+
+  test("fit refuses a null ELEMENT inside a vector (not silent 0.0)") {
+    // getSeq[Double] would unbox a null element to 0.0 and silently
+    // corrupt the moments — the contract is a loud failure instead
+    val rows = Seq(
+      Row(1L, Seq[java.lang.Double](1.0, 2.0)),
+      Row(2L, Seq[java.lang.Double](3.0, null)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = true))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    val e = intercept[Exception](Pca.fit(df, "v"))
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("null element"))
   }
 }

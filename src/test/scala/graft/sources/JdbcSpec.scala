@@ -64,4 +64,23 @@ class JdbcSpec extends AnyFunSuite {
     assert(q.count() == 10)
     assert(q.agg(sum("v")).as[Long].head() == (0 until 10).map(_ * 2).sum)
   }
+
+  test("executePerRow with ZERO parameter columns runs once per row") {
+    // a zero-parameter stored-proc/statement call is a legal SSIS
+    // OLE DB Command shape ("EXEC dbo.Bump") — one execution per
+    // input row, no binds
+    val df = spark.range(0, 7).select(col("id").as("k"))
+    Jdbc.write(spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(0L)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType)))),
+      conn, "t_counter", WriteMode.Overwrite)
+    val n = Jdbc.executePerRow(df, conn,
+      """UPDATE t_counter SET "n" = "n" + 1""", Seq.empty, batchSize = 3)
+    assert(n == 7, "one statement sent per input row")
+    val after = Jdbc.read(spark, conn, "t_counter")
+      .agg(sum("n")).as[Long].head()
+    assert(after == 7, "each of the 7 executions bumped the counter")
+  }
 }

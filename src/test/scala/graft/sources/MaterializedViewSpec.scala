@@ -649,6 +649,52 @@ class MaterializedViewSpec extends AnyFunSuite {
       MaterializedView.addSums(spark, l, jmv, Seq("w")))
   }
 
+  test("rescan with an EMPTY touched-key set short-circuits: 0/0 audit, " +
+      "no snapshot scan") {
+    val (base, mv) = (tmp(), tmp())
+    VersionedTable.create(spark, base, rows((1, 5L, 1L), (2, 3L, 2L)))
+    MaterializedView.create(spark, base, mv, Seq("k"), Seq("w"),
+      minmax = Seq("v"))
+    // a base commit that changes NOTHING (empty append): the refresh
+    // still runs (version advanced) with an empty delta — the rescan
+    // key set is empty, which must short-circuit to a truthful 0/0
+    // audit instead of the full-scan -1/-1 fallback
+    VersionedTable.append(spark, base, rows())
+    MaterializedView.refresh(spark, base, mv)
+    assert(MaterializedView.watermark(spark, mv) == 2L,
+      "the refresh must still advance the watermark")
+    assert(MaterializedView.rescanProfile(spark, mv) == ((0, 0)),
+      "empty rescan key set: no snapshot pass, 0/0 audit")
+    val want = VersionedTable.read(spark, base).groupBy("k")
+      .agg(count(lit(1)).as("cnt"), sum("w").as("sum_w"),
+        min("v").as("min_v"), max("v").as("max_v"))
+    val got = MaterializedView.read(spark, mv)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // and a real delta afterwards still maintains + rescans normally
+    VersionedTable.deleteWhere(spark, base, $"v" === 5L, cdf = true)
+    MaterializedView.refresh(spark, base, mv)
+    val want2 = VersionedTable.read(spark, base).groupBy("k")
+      .agg(count(lit(1)).as("cnt"), sum("w").as("sum_w"),
+        min("v").as("min_v"), max("v").as("max_v"))
+    val got2 = MaterializedView.read(spark, mv)
+    assert(got2.exceptAll(want2).isEmpty && want2.exceptAll(got2).isEmpty)
+  }
+
+  test("addColumns drift pin is BIDIRECTIONAL: a state group missing " +
+      "from the view refuses instead of being silently dropped") {
+    val (base, mv) = (tmp(), tmp())
+    VersionedTable.create(spark, base, rows((1, 1L, 10L), (2, 2L, 20L)))
+    MaterializedView.create(spark, base, mv, Seq("k"), Seq("v"))
+    // corrupt the STATE: drop group 2's row from the view table
+    // directly. The watermark snapshot still has the group, so an
+    // inner join alone would pass |join| == |state| and silently bake
+    // a one-group-short view into the widened commit
+    VersionedTable.deleteWhere(spark, mv, $"k" === 2)
+    val e = intercept[IllegalArgumentException](
+      MaterializedView.addSums(spark, base, mv, Seq("w")))
+    assert(e.getMessage.contains("diverge"), e.getMessage)
+  }
+
   test("evolving under a dependent cascade view refuses downstream") {
     // addColumns commits a non-CDF rewrite; a downstream view whose
     // feed crosses that version must refuse loudly (readChanges'

@@ -144,9 +144,83 @@ class RestSpec extends AnyFunSuite {
       assert(e.getMessage.contains("HTTP 404") &&
         e.getMessage.contains("no such collection") &&
         e.getMessage.contains("/gone"))
+      // 5xx is retryable — exhaust a zero-retry budget so the failure
+      // path (not the backoff path) is what's under test here
       val e2 = intercept[java.io.IOException](
-        Rest.readVia(spark, new HttpTransport(), s"$base/boom", "$[*]"))
+        Rest.readVia(spark, new HttpTransport(maxRetries = 0),
+          s"$base/boom", "$[*]"))
       assert(e2.getMessage.contains("HTTP 500"))
+    }
+  }
+
+  test("live loopback: 503,503,200 retries on exponential backoff") {
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val sleeps = collection.mutable.Buffer.empty[Long]
+    withServer(Map("/flaky" -> { ex =>
+      if (hits.incrementAndGet() <= 2)
+        respond(ex, 503, "try later".getBytes("UTF-8"))
+      else respond(ex, 200, """[{"id": 9}]""".getBytes("UTF-8"))
+    })) { base =>
+      val t = new HttpTransport(maxRetries = 4, retryBaseMs = 40,
+        sleeper = sleeps.append(_))
+      val df = Rest.readVia(spark, t, s"$base/flaky", "$[*]", Some("id INT"))
+      assert(df.collect().map(_.getInt(0)).toSeq == Seq(9))
+      assert(hits.get() == 3, "two 503s then the success fetch")
+      assert(sleeps.toSeq == Seq(40L, 80L),
+        "bounded exponential backoff: base, then doubled")
+    }
+  }
+
+  test("live loopback: 429 honors Retry-After; exhausted budget throws") {
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val sleeps = collection.mutable.Buffer.empty[Long]
+    withServer(Map(
+      "/limited" -> { ex =>
+        if (hits.incrementAndGet() == 1)
+          respond(ex, 429, "slow down".getBytes("UTF-8"),
+            headers = Map("Retry-After" -> "2"))
+        else respond(ex, 200, """[{"id": 5}]""".getBytes("UTF-8"))
+      },
+      "/always429" -> (ex => respond(ex, 429,
+        "no".getBytes("UTF-8"), headers = Map("Retry-After" -> "1"))))
+    ) { base =>
+      val t = new HttpTransport(sleeper = sleeps.append(_))
+      val df = Rest.readVia(spark, t, s"$base/limited", "$[*]",
+        Some("id INT"))
+      assert(df.collect().map(_.getInt(0)).toSeq == Seq(5))
+      assert(sleeps.toSeq == Seq(2000L),
+        "Retry-After seconds win over the backoff schedule")
+      val drop = collection.mutable.Buffer.empty[Long]
+      val e = intercept[java.io.IOException](Rest.readVia(spark,
+        new HttpTransport(maxRetries = 2, sleeper = drop.append(_)),
+        s"$base/always429", "$[*]"))
+      assert(e.getMessage.contains("HTTP 429") &&
+        e.getMessage.contains("after 2 retries"))
+      assert(drop.size == 2, "budget consumed before giving up")
+    }
+  }
+
+  test("live loopback: redirects are followed with a bound; loops throw") {
+    withServer(Map(
+      "/old" -> { ex =>
+        ex.getResponseHeaders.add("Location", "/new")
+        ex.sendResponseHeaders(302, -1)
+      },
+      "/new" -> (ex => respond(ex, 200, """[{"id": 11}]""".getBytes("UTF-8"))),
+      "/ping" -> { ex =>
+        ex.getResponseHeaders.add("Location", "/pong")
+        ex.sendResponseHeaders(301, -1)
+      },
+      "/pong" -> { ex =>
+        ex.getResponseHeaders.add("Location", "/ping")
+        ex.sendResponseHeaders(301, -1)
+      })) { base =>
+      val df = Rest.readVia(spark, new HttpTransport(), s"$base/old",
+        "$[*]", Some("id INT"))
+      assert(df.collect().map(_.getInt(0)).toSeq == Seq(11))
+      val e = intercept[java.io.IOException](Rest.readVia(spark,
+        new HttpTransport(maxRedirects = 4), s"$base/ping", "$[*]"))
+      assert(e.getMessage.contains("redirect chain exceeded 4"))
     }
   }
 
@@ -218,6 +292,23 @@ class RestSpec extends AnyFunSuite {
     assert(t.nextLink("""<a>; rel="first"""").isEmpty)
     assert(t.nextLink("""<a>; title="next"""").isEmpty,
       "rel is the attribute that matters, not other params")
+    // RFC 8288: commas are legal INSIDE <...> — tokenization must
+    // respect angle brackets, not split the header blindly on ','
+    assert(t.nextLink(
+      """</items?ids=1,2,3&page=2>; rel="next", <a>; rel="prev"""")
+      .contains("/items?ids=1,2,3&page=2"))
+    assert(t.nextLink(
+      """<a>; rel="first", </x?y=a,b>; rel=next""").contains("/x?y=a,b"))
+  }
+
+  test("Retry-After parsing: integer seconds, capped; date form ignored") {
+    val t = new HttpTransport(maxRetryAfterMs = 5000)
+    assert(t.retryAfterMs("2").contains(2000L))
+    assert(t.retryAfterMs(" 3 ").contains(3000L))
+    assert(t.retryAfterMs("999999").contains(5000L), "capped at the max")
+    assert(t.retryAfterMs("Wed, 21 Oct 2026 07:28:00 GMT").isEmpty,
+      "HTTP-date form falls back to the backoff schedule")
+    assert(t.retryAfterMs(null).isEmpty)
   }
 
   test("the default FileTransport keeps the zero-egress stance") {
