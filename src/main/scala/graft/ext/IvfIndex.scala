@@ -1,0 +1,279 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.VersionedTable
+
+/** Incrementally-maintained IVF index — the production half of the
+  * persisted-index story ([[Similarity.writeIvfIndex]] is build-once;
+  * a 100 TB corpus ingesting daily cannot rebuild per batch).
+  *
+  * The posting lists live in a [[VersionedTable]] CLUSTERED by
+  * `centroid_id` (range-partitioned, sorted write → tight per-file
+  * centroid stats), and are maintained from the corpus table's CHANGE
+  * FEED exactly like a materialized view: inserts assign to the FROZEN
+  * coarse quantizer (map-only, delta-sized) and land in their
+  * centroids' files; deletes re-derive their centroid from the change
+  * feed's preimage row (the old vector rides the feed) and remove by
+  * (centroid_id, id) — so the keyed copy-on-write rewrite touches only
+  * the churned centroids' files, never the index. One atomic
+  * [[VersionedTable.streamingApply]] commit carries the applied delta,
+  * the corpus-version watermark, and the drift counters; replays are
+  * idempotent (batch id = corpus version).
+  *
+  * The quantizer is fixed at build (nlist never grows with the
+  * corpus — the q183 lesson); what churn degrades is how well the
+  * frozen centroids still cover new data. [[drift]] tracks exactly
+  * that: the running mean assignment cosine of post-build inserts vs
+  * the build-time mean, and [[recommendRetrain]] flags when the gap
+  * exceeds a tolerance — retraining is a deliberate rebuild
+  * ([[rebuild]]), never an implicit one.
+  *
+  * Exactness contract unchanged from [[Similarity.ivfTopK]]: a full
+  * probe (`nprobe = nlist`) of the refreshed index ≡ brute force over
+  * the post-churn corpus — the oracle gate for incremental
+  * maintenance (q186).
+  */
+object IvfIndex {
+
+  private val CorpusKey = "ivf.corpus"
+  private val WatermarkKey = "ivf.watermark"
+  private val NlistKey = "ivf.nlist"
+  private val IdKey = "ivf.id_col"
+  private val VecKey = "ivf.vec_col"
+  private val BuildSimSumKey = "ivf.build_sim_sum"
+  private val BuildNKey = "ivf.build_n"
+  private val ChurnSimSumKey = "ivf.churn_sim_sum"
+  private val ChurnNKey = "ivf.churn_n"
+
+  private def listsRoot(path: String) = s"$path/lists"
+
+  /** Nearest centroid + its cosine, one map-only pass. Tie-break is
+    * lowest centroid_id (struct min on (-cosine, id)) — identical to
+    * [[Similarity.nearestCentroids]] with topN = 1. */
+  private def assignWithSim(df: DataFrame, vCol: String,
+      centroids: Seq[Seq[Double]]): DataFrame = {
+    val best =
+      if (centroids.size <= 64)
+        array_min(array(centroids.zipWithIndex.map { case (cv, i) =>
+          struct((-Similarity.cosine(col(vCol), array(cv.map(lit): _*)))
+            .as("neg"), lit(i).as("centroid_id"))
+        }: _*))
+      else
+        array_min(transform(typedlit(centroids), (cv, i) =>
+          struct((-Similarity.cosine(col(vCol), cv)).as("neg"),
+            i.cast("int").as("centroid_id"))))
+    df.withColumn("_best", best)
+      .withColumn("centroid_id", col("_best.centroid_id"))
+      .withColumn("assign_sim", -col("_best.neg"))
+      .drop("_best")
+  }
+
+  private def readCentroids(spark: SparkSession,
+      path: String): Seq[Seq[Double]] =
+    spark.read.parquet(s"$path/centroids")
+      .orderBy("centroid_id").collect()
+      .map(_.getSeq[Number](1).map(_.doubleValue()).toSeq).toSeq
+
+  /** Cluster the posting rows so each data file covers a tight
+    * centroid range: range-shuffle + in-file sort on centroid_id makes
+    * both the probe's `readWhere` and the refresh's keyed rewrite
+    * prune by manifest stats. The partition count is EXPLICIT (one per
+    * centroid): an unnumbered range shuffle lets AQE coalesce a small
+    * build into one file, which would weld every posting list into a
+    * single rewrite unit; empty range partitions write nothing, so a
+    * delta-sized refresh still lands only its churned centroids'
+    * files. */
+  private def clustered(assigned: DataFrame, nlist: Int): DataFrame =
+    assigned.select(col("centroid_id"), col("neighbor_id"), col("nv"))
+      .repartitionByRange(math.max(1, nlist),
+        col("centroid_id"), col("neighbor_id"))
+      .sortWithinPartitions("centroid_id")
+
+  /** Build the index over the corpus table's CURRENT version: train or
+    * sample the coarse quantizer, assign every vector (one map-only
+    * scan), land the posting lists as version 1 of a centroid-
+    * clustered VersionedTable whose manifest meta pins the corpus
+    * root, the watermark, and the build-time assignment-quality
+    * baseline. Returns the lists version. */
+  def create(spark: SparkSession, corpusRoot: String, idCol: String,
+      vecCol: String, nlist: Int, path: String,
+      trainIters: Int = 0): Long = {
+    require(nlist > 0, s"need nlist > 0, got $nlist")
+    val cv = VersionedTable.currentVersion(spark, corpusRoot).getOrElse(
+      throw new IllegalArgumentException(s"$corpusRoot: no versioned table"))
+    val corpus = VersionedTable.read(spark, corpusRoot, Some(cv))
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+    val centroids =
+      if (trainIters > 0)
+        Similarity.trainCentroids(corpus, "neighbor_id", "nv", nlist,
+          trainIters)
+      else Similarity.sampleCentroids(corpus, "neighbor_id", "nv", nlist)
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("centroid_id", "weights")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val assigned = assignWithSim(corpus, "nv", centroids)
+    // build-quality baseline: mean assignment cosine over the corpus
+    // (one extra map-only pass; the drift metric's denominator)
+    val base = assigned.agg(sum(col("assign_sim")).as("s"),
+      count(lit(1)).as("n")).head()
+    val (simSum, n) = (base.getDouble(0), base.getLong(1))
+    VersionedTable.create(spark, listsRoot(path), clustered(assigned, nlist),
+      meta = Map(
+        CorpusKey -> corpusRoot,
+        WatermarkKey -> cv.toString,
+        NlistKey -> nlist.toString,
+        IdKey -> idCol, VecKey -> vecCol,
+        BuildSimSumKey -> simSum.toString, BuildNKey -> n.toString,
+        ChurnSimSumKey -> "0.0", ChurnNKey -> "0"))
+  }
+
+  /** Apply the corpus change feed (watermark, current] to the posting
+    * lists in ONE atomic commit: feed deletes re-derive their centroid
+    * from the preimage vector and remove by (centroid_id, id); feed
+    * inserts assign against the frozen quantizer and land in their
+    * centroids' files; the watermark and the accumulated drift
+    * counters ride the same commit (a reader can never observe them
+    * detached from the applied delta). Work is O(delta) assignment +
+    * a keyed rewrite of the churned centroids' files — never a corpus
+    * or index scan. No-op (O(manifest)) when the corpus has not
+    * advanced. Returns the lists version. */
+  def refresh(spark: SparkSession, path: String): Long = {
+    val root = listsRoot(path)
+    val lv = VersionedTable.currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root: no ivf index"))
+    val meta = VersionedTable.metaOf(spark, root, Some(lv))
+    val corpusRoot = meta.getOrElse(CorpusKey,
+      throw new IllegalArgumentException(s"$path is not an ivf index"))
+    val wm = meta(WatermarkKey).toLong
+    val cv = VersionedTable.currentVersion(spark, corpusRoot).getOrElse(
+      throw new IllegalArgumentException(s"$corpusRoot: corpus is gone"))
+    if (cv <= wm) return lv
+    val (idCol, vecCol) = (meta(IdKey), meta(VecKey))
+    val centroids = readCentroids(spark, path)
+    // the feed is delta-sized; it drives the delete-assign, the
+    // insert-assign, AND the drift aggregate — pin it once
+    val ch = VersionedTable.readChanges(spark, corpusRoot, wm, Some(cv))
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
+        col("_change_type"), col("_commit_version"))
+      .localCheckpoint(true)
+    // delete keys: EVERY preimage's (old centroid, id) — an update or
+    // a delete-and-reinsert must clear the pair its OLD vector lived
+    // under, even when the id nets out to an insert at a new centroid
+    val dels = assignWithSim(ch.filter(col("_change_type") === "delete"),
+      "nv", centroids)
+      .select("centroid_id", "neighbor_id").dropDuplicates()
+    // inserts: the per-id NET-LAST change across the range. A row
+    // inserted and later deleted inside (wm, cv] must NOT land
+    // (streamingApply is delete-then-upsert, so replaying both sides
+    // unordered would resurrect it); within one version the insert is
+    // the update's postimage and wins over its paired preimage.
+    val netW = Window.partitionBy("neighbor_id")
+      .orderBy(col("_commit_version").desc,
+        when(col("_change_type") === "insert", 1).otherwise(0).desc)
+    val ins = assignWithSim(
+      ch.withColumn("_rn", row_number().over(netW))
+        .filter(col("_rn") === 1 && col("_change_type") === "insert")
+        .drop("_rn"),
+      "nv", centroids)
+    val simRow = ins.agg(coalesce(sum(col("assign_sim")), lit(0.0)).as("s"),
+      count(lit(1)).as("n")).head()
+    val churnSum = meta(ChurnSimSumKey).toDouble + simRow.getDouble(0)
+    val churnN = meta(ChurnNKey).toLong + simRow.getLong(1)
+    VersionedTable.streamingApply(spark, root,
+      inserts = clustered(ins, meta(NlistKey).toInt),
+      deleteKeys = dels, keys = Seq("centroid_id", "neighbor_id"),
+      queryName = "ivf_refresh", batchId = cv,
+      extraMeta = Map(WatermarkKey -> cv.toString,
+        ChurnSimSumKey -> churnSum.toString,
+        ChurnNKey -> churnN.toString))
+  }
+
+  /** Probe the maintained index. Output and tie-break discipline match
+    * [[Similarity.ivfTopK]]: (query_id, neighbor_id, cosine_sim,
+    * rank). Only the probed centroids' files are read — the centroid
+    * predicate goes through the manifest-stats pruner
+    * ([[pruneAudit]] is the per-call proof). Full probe (`nprobe =
+    * nlist`) ≡ brute force over the corpus version the watermark
+    * pins. */
+  def probe(queries: DataFrame, path: String, idCol: String,
+      vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = readCentroids(spark, path)
+    require(nprobe > 0 && nprobe <= centroids.size,
+      s"need 0 < nprobe <= ${centroids.size}, got $nprobe")
+    val probes = Similarity.nearestCentroids(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      "qv", centroids, topN = nprobe).persist()
+    val probed = probes.select("centroid_id").distinct()
+      .collect().map(_.getInt(0)).sorted // nlist-bounded driver set
+    val lists = VersionedTable.readWhere(spark, listsRoot(path),
+      col("centroid_id").isin(probed.map(Integer.valueOf): _*))
+    val scored = probes.join(lists, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosine(col("qv"), col("nv")).as("cosine_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    val ranked = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k).persist()
+    ranked.count() // materialize while probes is cached, then release
+    probes.unpersist()
+    ranked
+  }
+
+  /** (files kept, files total) the manifest pruner reports for a probe
+    * of `centroidIds` — the audit that the clustered layout actually
+    * skips unprobed lists' files. */
+  def pruneAudit(spark: SparkSession, path: String,
+      centroidIds: Seq[Int]): (Int, Int) =
+    VersionedTable.pruneProfile(spark, listsRoot(path),
+      col("centroid_id").isin(centroidIds.map(Integer.valueOf): _*))
+
+  /** Assignment-quality drift: (build-time mean assignment cosine,
+    * post-build inserts' mean, post-build insert count). A falling
+    * churn mean says the frozen quantizer covers new data worse than
+    * it covered the build corpus. */
+  def drift(spark: SparkSession, path: String): (Double, Double, Long) = {
+    val meta = VersionedTable.metaOf(spark, listsRoot(path))
+    val buildMean =
+      meta(BuildSimSumKey).toDouble / math.max(1L, meta(BuildNKey).toLong)
+    val churnN = meta(ChurnNKey).toLong
+    val churnMean =
+      if (churnN == 0) Double.NaN
+      else meta(ChurnSimSumKey).toDouble / churnN
+    (buildMean, churnMean, churnN)
+  }
+
+  /** True when post-build inserts assign `tolerance` worse (mean
+    * cosine) than the build corpus did — the retrain signal. */
+  def recommendRetrain(spark: SparkSession, path: String,
+      tolerance: Double = 0.05): Boolean = {
+    val (buildMean, churnMean, churnN) = drift(spark, path)
+    churnN > 0 && buildMean - churnMean > tolerance
+  }
+
+  /** Deliberate full retrain: rebuild quantizer + lists from the
+    * corpus' CURRENT version with the same nlist, resetting the drift
+    * counters. The explicit answer to [[recommendRetrain]] — refresh
+    * never does this implicitly. */
+  def rebuild(spark: SparkSession, path: String,
+      trainIters: Int = 0): Long = {
+    val root = listsRoot(path)
+    val meta = VersionedTable.metaOf(spark, root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    create(spark, meta(CorpusKey), meta(IdKey), meta(VecKey),
+      meta(NlistKey).toInt, path, trainIters)
+  }
+
+  /** The corpus version the lists reflect. */
+  def watermark(spark: SparkSession, path: String): Long =
+    VersionedTable.metaOf(spark, listsRoot(path))(WatermarkKey).toLong
+}

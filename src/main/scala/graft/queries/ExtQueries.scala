@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{Dedup, Multimodal, Pca, Retrieval, Similarity, TextAnalysis}
+import graft.ext.{Dedup, IvfIndex, Multimodal, Pca, Retrieval, Similarity,
+  TextAnalysis}
 
 /** BASELINE extension queries over documents/embeddings: dedup (exact,
   * MinHash-LSH, SimHash, n-gram Jaccard), similarity search (brute-force
@@ -1053,18 +1054,26 @@ object ExtQueries extends QueryPack {
     // ANN-stack shape q176 stops short of: the SAME qrels and metric
     // machinery score BOTH the exact cosine top-20 run (the recall
     // reference) and a genuinely approximate IVF run (nprobe 4 of an
-    // explicit ~16-list quantizer, NOT the nprobe = nlist degenerate).
+    // explicit 16-list quantizer, NOT the nprobe = nlist degenerate).
     // ivfTopKExplicit's rounding discipline makes the approximate
     // search itself engine-reproducible, so the oracle replays the
     // whole stack — assignment, probing, candidate ranking, metrics —
-    // and hash-pins the per-cutoff metric rows of BOTH runs. The
-    // centroid pull is driver-bounded by the pick (~|corpus|/61
-    // vectors); everything else is the q176 scale shape, with the IVF
-    // run's corpus work cut to the probed lists.
+    // and hash-pins the per-cutoff metric rows of BOTH runs. BOTH
+    // feeds are corpus-size-DECOUPLED (the r15 weak row): the query
+    // set is a FIXED 20-row seeded md5-rank sample (the q117 quota
+    // idiom) and the quantizer a FIXED 16-row seeded pick, so the
+    // exact ground truth is O(20 × corpus) linear and the centroid
+    // driver pull is a 16-vector constant at any scale.
     "q183_retrieval_eval_indexed" -> { (s, dir) =>
       val e = embs(s, dir)
-      val q = e.filter(col("vec_id") % 100 === 7)
-      val cents: Seq[Seq[Double]] = e.filter(col("vec_id") % 61 === 3)
+      val q = e
+        .withColumn("h", md5(concat(lit("ivfq:"),
+          col("vec_id").cast("string"))))
+        .orderBy(col("h"), col("vec_id")).limit(20).drop("h")
+      val cents: Seq[Seq[Double]] = e
+        .withColumn("h", md5(concat(lit("ivfc:"),
+          col("vec_id").cast("string"))))
+        .orderBy(col("h"), col("vec_id")).limit(16)
         .orderBy(col("vec_id")).select(col("embedding")).collect()
         .map(_.getSeq[Number](0).map(_.doubleValue()).toSeq).toSeq
       val ivfRes = Similarity.ivfTopKExplicit(q, e, "vec_id",
@@ -1098,6 +1107,69 @@ object ExtQueries extends QueryPack {
         .select(col("run"), col("k"), col("recall"), col("precision"),
           col("mrr"), col("ndcg"))
         .orderBy(col("run"), col("k"))
+    },
+
+    // Incremental IVF maintenance under corpus churn — the production
+    // half of the q116 persisted index (build-once cannot serve a
+    // corpus ingesting daily). The corpus is a VersionedTable; the
+    // posting lists are a centroid-clustered VersionedTable maintained
+    // from its CHANGE FEED: one refresh call applies an append + a
+    // CDF delete + an in-place vector update as ONE atomic commit
+    // (delta-sized assignment against the frozen quantizer, keyed
+    // copy-on-write of only the churned centroids' files), with the
+    // corpus-version watermark and drift counters riding the commit.
+    // In-query pins: exactly one refresh commit for the whole churn
+    // range, watermark == corpus head, replay is a no-op, a
+    // one-centroid probe file-prunes, and in-distribution churn does
+    // NOT recommend retrain. The oracle replays the deterministic
+    // churn in SQL and brute-forces the post-churn corpus — gating
+    // that a FULL probe of the incrementally-maintained index is
+    // exactly brute force (the q116 guarantee, now under churn).
+    "q186_ivf_churn_maintain" -> { (s, dir) =>
+      import graft.sources.VersionedTable
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val whPath =
+        if (wh.startsWith("file:")) new java.net.URI(wh).getPath else wh
+      val root = new java.io.File(whPath, "graft_q186_corpus").toString
+      val idx = new java.io.File(whPath, "graft_q186_idx").toString
+      val hfs = new org.apache.hadoop.fs.Path(whPath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(root, idx).foreach(p =>
+        hfs.delete(new org.apache.hadoop.fs.Path(p), true))
+      VersionedTable.create(s, root, e) // v1
+      IvfIndex.create(s, root, "vec_id", "embedding", nlist = 8, idx)
+      // deterministic churn, replayed by the oracle: grow, delete a
+      // slice, update a slice's vectors in place
+      VersionedTable.append(s, root, e.filter(col("vec_id") % 10 === 3)
+        .select((col("vec_id") + lit(100000L)).as("vec_id"),
+          col("embedding"))) // v2
+      VersionedTable.deleteWhere(s, root, col("vec_id") % 7 === 2,
+        cdf = true) // v3
+      VersionedTable.updateWhere(s, root, col("vec_id") % 13 === 5,
+        Map("embedding" -> reverse(col("embedding"))), cdf = true) // v4
+      val lv = IvfIndex.refresh(s, idx)
+      require(lv == 2L && IvfIndex.watermark(s, idx) == 4L,
+        s"one atomic refresh commit carrying watermark 4, got " +
+          s"version $lv @ ${IvfIndex.watermark(s, idx)}")
+      require(IvfIndex.refresh(s, idx) == lv,
+        "an up-to-date refresh must be a metadata no-op")
+      val (kept, total) = IvfIndex.pruneAudit(s, idx, Seq(0))
+      require(kept < total,
+        s"clustered lists must file-prune a one-centroid probe: " +
+          s"$kept/$total")
+      require(!IvfIndex.recommendRetrain(s, idx),
+        "in-distribution churn must not trip the retrain signal")
+      val corpus = VersionedTable.read(s, root)
+      val topk = IvfIndex.probe(corpus.filter(col("vec_id") < 20), idx,
+        "vec_id", "embedding", k = 5, nprobe = 8)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(round(col("cosine_sim"), 6).desc, col("neighbor_id"))
+      topk.select(col("query_id"), col("neighbor_id"),
+          round(col("cosine_sim"), 6).as("cosine_sim"))
+        .withColumn("rank", row_number().over(w))
+        .orderBy(col("query_id"), col("rank"))
     },
 
     // PCA / whitening over the embedding corpus — the decorrelate-
@@ -2076,6 +2148,28 @@ object ExtQueries extends QueryPack {
         |SELECT doc_id, source, lang, CAST(sample_rank AS INT) AS sample_rank
         |FROM r WHERE sample_rank <= 30
         |ORDER BY source, sample_rank""".stripMargin,
+    "q186_ivf_churn_maintain" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings),
+        |grown AS (SELECT vec_id, embedding FROM base
+        |  UNION ALL SELECT vec_id + 100000, embedding FROM base
+        |  WHERE vec_id % 10 = 3),
+        |alive AS (SELECT vec_id, embedding FROM grown WHERE vec_id % 7 <> 2),
+        |corpus AS (SELECT vec_id,
+        |    CAST(CASE WHEN vec_id % 13 = 5 THEN list_reverse(embedding)
+        |         ELSE embedding END AS DOUBLE[]) AS v
+        |  FROM alive),
+        |q AS (SELECT vec_id, v FROM corpus WHERE vec_id < 20),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.v, c.v) AS cs
+        |  FROM q CROSS JOIN corpus c WHERE q.vec_id <> c.vec_id),
+        |top5 AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cs DESC, neighbor_id) AS rn FROM s)
+        |  WHERE rn <= 5)
+        |SELECT query_id, neighbor_id, round(cs, 6) AS cosine_sim,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY round(cs, 6) DESC, neighbor_id) AS INT) AS rank
+        |FROM top5 ORDER BY query_id, rank""".stripMargin,
     "q116_ivf_persisted" ->
       """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |    FROM embeddings WHERE vec_id < 20),
@@ -2175,10 +2269,14 @@ object ExtQueries extends QueryPack {
         |FROM range(8) j ORDER BY component""".stripMargin,
     "q183_retrieval_eval_indexed" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
-        |    label AS qlab FROM embeddings WHERE vec_id % 100 = 7),
+        |    label AS qlab FROM embeddings
+        |  ORDER BY md5('ivfq:' || CAST(vec_id AS VARCHAR)), vec_id
+        |  LIMIT 20),
         |cents AS (SELECT embedding AS cv,
         |    ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
-        |  FROM embeddings WHERE vec_id % 61 = 3),
+        |  FROM (SELECT vec_id, embedding FROM embeddings
+        |    ORDER BY md5('ivfc:' || CAST(vec_id AS VARCHAR)), vec_id
+        |    LIMIT 16)),
         |asg AS (SELECT vec_id AS neighbor_id, nv, cid FROM (
         |  SELECT e.vec_id, e.embedding AS nv, c.cid,
         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY

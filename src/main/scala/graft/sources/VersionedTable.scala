@@ -127,6 +127,18 @@ object VersionedTable {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
+  /** The user-visible manifest meta of `root` at `version` (default
+    * current) — the public face of the key-value state commits carry
+    * (watermarks, view definitions, audit counters). Reserved
+    * bookkeeping keys (`_ts`, `_op`, stream batch ids) ride along
+    * unfiltered; callers match on their own keys. */
+  def metaOf(spark: SparkSession, root: String,
+      version: Option[Long] = None): Map[String, String] = {
+    val v = version.orElse(currentVersion(spark, root)).getOrElse(
+      throw new IllegalArgumentException(s"$root: no versioned table"))
+    readManifest(spark, root, v).meta
+  }
+
   /** Per-file column statistics carried in the manifest — the data-
     * skipping index (Delta's `stats` JSON, Iceberg's manifest-entry
     * bounds). min/max are CANONICAL-encoded strings ([[canonCol]]
@@ -636,12 +648,31 @@ object VersionedTable {
     * commit "succeeds", every later scan throws) — or, through a merge
     * rewrite's when/otherwise coercion, silently widen pre-existing
     * rows. Same stance as [[appendEvolve]]'s shared-column check. */
+  /** `dt` with every nesting level nullable — the canonical form
+    * manifests store ([[create]]). Parquet readback is always nullable
+    * (element/value presence is per-file, not per-schema), so a
+    * stored `containsNull = false` array would make every
+    * copy-on-write cast refuse on its own data; normalizing at create
+    * (the Delta stance) keeps casts and conformance checks about
+    * TYPES, never about in-memory nullability flags. */
+  private def nullableOf(dt: DataType): DataType = dt match {
+    case ArrayType(et, _) => ArrayType(nullableOf(et), containsNull = true)
+    case MapType(k, v, _) =>
+      MapType(nullableOf(k), nullableOf(v), valueContainsNull = true)
+    case StructType(fs) => StructType(fs.map(f =>
+      f.copy(dataType = nullableOf(f.dataType), nullable = true)))
+    case other => other
+  }
+
+  private[sources] def nullableSchema(schema: StructType): StructType =
+    nullableOf(schema).asInstanceOf[StructType]
+
   private def requireConforms(df: DataFrame, schema: StructType,
       context: String): Unit = {
     val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
     schema.fields.foreach { f =>
       types.get(f.name).foreach { dt =>
-        require(dt == f.dataType,
+        require(nullableOf(dt) == nullableOf(f.dataType),
           s"$context: column '${f.name}' is ${f.dataType.catalogString} " +
             s"in the table but ${dt.catalogString} in the source — cast " +
             "explicitly (types never coerce silently into a snapshot)")
@@ -750,8 +781,8 @@ object VersionedTable {
       meta: Map[String, String] = Map.empty): Long = {
     require(currentVersion(spark, root).isEmpty,
       s"$root already holds a versioned table")
-    commit(spark, root, 0L, df.schema, writeData(spark, root, df),
-      meta = meta, op = "CREATE")
+    commit(spark, root, 0L, nullableSchema(df.schema),
+      writeData(spark, root, df), meta = meta, op = "CREATE")
   }
 
   /** The snapshot a reader pins: resolve the manifest once, scan only
@@ -1581,14 +1612,14 @@ object VersionedTable {
     val existing = m.schema.fields.map(f => f.name -> f.dataType).toMap
     df.schema.fields.foreach { f =>
       existing.get(f.name).foreach { dt =>
-        require(dt == f.dataType,
+        require(nullableOf(dt) == nullableOf(f.dataType),
           s"appendEvolve: column '${f.name}' is ${dt.catalogString} in the " +
             s"table but ${f.dataType.catalogString} in the append — type " +
             "evolution is not supported; cast explicitly")
       }
     }
     val added = df.schema.fields.filterNot(f => existing.contains(f.name))
-      .map(f => f.copy(nullable = true))
+      .map(f => f.copy(dataType = nullableOf(f.dataType), nullable = true))
     val newSchema = StructType(m.schema.fields ++ added)
     // a new logical name whose physical slot was EVER used (a dropped
     // column's bytes, or a name renamed away from) gets a fresh
