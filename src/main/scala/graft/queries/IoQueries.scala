@@ -91,6 +91,15 @@ object IoQueries extends QueryPack {
       VersionedTable.append(s, p.orders,
         orders.filter(col("o_orderkey") % 3 === 2)) // O v2
       MaterializedView.refresh(s, p.orders, p.mv180) // union lane only
+      // mid-timeline JOIN-VIEW EVOLUTION: advance to (2, 1), then
+      // ALTER VIEW ADD a sum column whose backfill aggregates
+      // L@2 ⋈ R@1 (the pinned pair — a newer side would double-count
+      // on the final refresh); everything below maintains the new
+      // column through CDF updates, deletes on both sides, and the
+      // ΔΔ window like any create-time column
+      MaterializedView.refreshJoin(s, p.orders, p.customer, p.mv178)
+      MaterializedView.addColumnsJoin(s, p.orders, p.customer, p.mv178,
+        sums = Seq("o_orderkey"))
       VersionedTable.updateWhere(s, p.orders, col("o_orderkey") % 5 === 0,
         Map("price_cents" -> (col("price_cents") + lit(7L))),
         cdf = true) // O v3
@@ -1371,12 +1380,18 @@ object IoQueries extends QueryPack {
       require(MaterializedView.watermarks(s, f.mv178) == ((5L, 3L)),
         s"watermarks must be (5,3), got " +
           s"${MaterializedView.watermarks(s, f.mv178)}")
+      // sum_o_orderkey was ALTER VIEW ADDed mid-timeline at pinned
+      // (2, 1) — the evolved column rides the oracle compare like any
+      // create-time column, through every later delta shape
       val got = MaterializedView.read(s, f.mv178)
+      require(got.columns.contains("sum_o_orderkey"),
+        "the evolved join-view column must survive refreshes")
       val want = VersionedTable.read(s, f.orders)
         .withColumnRenamed("o_custkey", "c_custkey")
         .join(VersionedTable.read(s, f.customer), Seq("c_custkey"))
         .groupBy("c_nationkey").agg(count(lit(1)).as("cnt"),
-          sum("price_cents").as("sum_price_cents"))
+          sum("price_cents").as("sum_price_cents"),
+          sum("o_orderkey").as("sum_o_orderkey"))
       require(got.count() == want.count() && got.exceptAll(want).isEmpty,
         "incrementally-maintained join view must equal a full recompute")
       got.orderBy(col("c_nationkey"))
@@ -1460,6 +1475,29 @@ object IoQueries extends QueryPack {
       require(MaterializedView.refreshAll(s, Seq(f.mv181b, f.mv181a))
           == versions,
         "an up-to-date DAG must refresh as a version no-op")
+      // EVOLVE THE MID VIEW UNDER ITS LIVE DEPENDENT (the r15 pinned
+      // refusal, now a capability): the evolution commit carries its
+      // derivable change rows, so mv181b's next refresh CROSSES it as
+      // a nets-to-zero batch instead of hitting the rewrite guard.
+      // Guarded for JVM-shared fixture reruns (the evolution itself
+      // is once-only; the certs below hold on every rerun).
+      if (!MaterializedView.read(s, f.mv181a).columns
+          .contains("sum_o_orderkey"))
+        MaterializedView.addColumns(s, f.orders, f.mv181a,
+          sums = Seq("o_orderkey"))
+      val after = MaterializedView.refreshAll(s, Seq(f.mv181b, f.mv181a))
+      require(MaterializedView.refreshAll(s, Seq(f.mv181b, f.mv181a))
+          == after, "post-evolution DAG must quiesce")
+      // the evolved column is live and correct at the mid level...
+      val evolved = MaterializedView.read(s, f.mv181a)
+        .select(col("bucket"), col("o_custkey"), col("sum_o_orderkey"))
+      val wantEv = VersionedTable.read(s, f.orders)
+        .groupBy("bucket", "o_custkey")
+        .agg(sum("o_orderkey").as("sum_o_orderkey"))
+      require(evolved.count() == wantEv.count() &&
+        evolved.exceptAll(wantEv).isEmpty,
+        "evolved mid-view column must equal a direct recompute")
+      // ...and the top still equals the root recompute after crossing
       val got = MaterializedView.read(s, f.mv181b)
       val want = VersionedTable.read(s, f.orders).groupBy("bucket")
         .agg(countDistinct(col("o_custkey")).as("cnt"),
@@ -1505,7 +1543,7 @@ object IoQueries extends QueryPack {
         |  CAST(MAX(price_cents) AS BIGINT) AS max_price_cents
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "q178_materialized_join_view" ->
-      """WITH o AS (SELECT o_custkey,
+      """WITH o AS (SELECT o_custkey, o_orderkey,
         |    CAST(ROUND(o_totalprice * 100) AS BIGINT)
         |      + CASE WHEN o_orderkey % 5 = 0 THEN 7 ELSE 0 END
         |      AS price_cents
@@ -1514,7 +1552,8 @@ object IoQueries extends QueryPack {
         |c AS (SELECT c_custkey, c_nationkey FROM customer
         |  WHERE c_custkey % 10 <> 4)
         |SELECT c_nationkey, COUNT(*) AS cnt,
-        |  CAST(SUM(price_cents) AS BIGINT) AS sum_price_cents
+        |  CAST(SUM(price_cents) AS BIGINT) AS sum_price_cents,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_o_orderkey
         |FROM o JOIN c ON o.o_custkey = c.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q181_materialized_cascade" ->

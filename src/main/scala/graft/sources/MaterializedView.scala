@@ -636,22 +636,70 @@ object MaterializedView {
     * VIEW (O(groups), never the base). Subsequent refreshes maintain
     * the new columns like any other.
     *
-    * Caveats, by design: the watermark snapshot must still be within
+    * Cascades keep working: when the view carries a change feed
+    * (`cdf = true` at create), the rewrite's row delta is fully
+    * derivable — every stored row is replaced — so the commit emits
+    * REAL change rows (preimage deletes with typed-NULL padding for
+    * the new columns, widened postimage inserts). A downstream view
+    * tailing the feed crosses the evolution as an ordinary
+    * delete+insert batch that nets to zero on every pre-existing
+    * column (one O(groups) touched-group pass, its rescan lanes
+    * included — correct by the same argument as any delta). A
+    * replication consumer sees the honest full rewrite.
+    *
+    * Caveat, by design: the watermark snapshot must still be within
     * vacuum retention (time travel throws otherwise — recreate
-    * instead); the commit is a non-CDF rewrite, so a DOWNSTREAM
-    * cascade view tailing this view's change feed will refuse to
-    * cross it (evolve the top of a cascade, or recreate dependents);
-    * join views need both base snapshots — recreate those. */
+    * instead). Join views evolve through [[addColumnsJoin]]. */
   def addColumns(spark: SparkSession, baseRoot: String, mvRoot: String,
       sums: Seq[String] = Seq.empty, distincts: Seq[String] = Seq.empty,
       minmax: Seq[String] = Seq.empty): Long = {
     val mvV = currentOf(spark, mvRoot)
     val m = VersionedTable.readManifest(spark, mvRoot, mvV)
-    val (keys, oldSums, oldDistincts, oldMinmax) = definition(m)
     require(!m.meta.contains(JoinKeysKey),
-      "addColumns supports single-table views; recreate a join view " +
-        "(its backfill needs both base snapshots)")
+      "this is a join view — use addColumnsJoin(left, right, mv)")
     requireBase(m, BaseKey, baseRoot, "base")
+    val wm = m.meta(WatermarkKey).toLong
+    addColumnsCore(spark, mvRoot, mvV, m,
+      VersionedTable.read(spark, baseRoot, Some(wm)),
+      sums, distincts, minmax)
+  }
+
+  /** [[addColumns]] for a JOIN view: the backfill aggregates the new
+    * columns from L ⋈ R at the PINNED (LeftV, RightV) watermark pair
+    * (both time travels — a newer side would double-count on the next
+    * refresh), post-rename, same drift pins, same one-commit rewrite,
+    * same derivable change rows for cdf views. Cost: one delta-free
+    * but watermark-bounded join aggregate + the O(groups) view
+    * rewrite — the join is the expensive leg, and it is exactly the
+    * create-time shape, never repeated by later refreshes. */
+  def addColumnsJoin(spark: SparkSession, leftRoot: String,
+      rightRoot: String, mvRoot: String,
+      sums: Seq[String] = Seq.empty, distincts: Seq[String] = Seq.empty,
+      minmax: Seq[String] = Seq.empty): Long = {
+    val mvV = currentOf(spark, mvRoot)
+    val m = VersionedTable.readManifest(spark, mvRoot, mvV)
+    require(m.meta.contains(JoinKeysKey),
+      "this is a single-table view — use addColumns(base, mv)")
+    requireBase(m, LeftKey, leftRoot, "left base")
+    requireBase(m, RightKey, rightRoot, "right base")
+    val joinKeys = m.meta(JoinKeysKey).split(',').toSeq.filter(_.nonEmpty)
+    val (l0, r0) = (m.meta(LeftVKey).toLong, m.meta(RightVKey).toLong)
+    val snap = applyRen(VersionedTable.read(spark, leftRoot, Some(l0)),
+        renameOf(m, LeftRenKey))
+      .join(applyRen(VersionedTable.read(spark, rightRoot, Some(r0)),
+        renameOf(m, RightRenKey)), joinKeys)
+    addColumnsCore(spark, mvRoot, mvV, m, snap, sums, distincts, minmax)
+  }
+
+  /** Shared evolution core: validate, backfill from `snap` (already
+    * the right watermark-pinned relation), pin state↔snapshot
+    * agreement in both directions, commit the widened view — with the
+    * rewrite's derivable change rows when the view feeds a cascade. */
+  private def addColumnsCore(spark: SparkSession, mvRoot: String,
+      mvV: Long, m: VersionedTable.Manifest, snap: DataFrame,
+      sums: Seq[String], distincts: Seq[String],
+      minmax: Seq[String]): Long = {
+    val (keys, oldSums, oldDistincts, oldMinmax) = definition(m)
     val adds = sums ++ distincts ++ minmax
     requireCols(adds, "view")
     require(adds.nonEmpty, "addColumns: nothing to add")
@@ -663,8 +711,6 @@ object MaterializedView {
       distincts.intersect(keys ++ oldDistincts) ++
       minmax.intersect(keys ++ oldMinmax)
     require(clash.isEmpty, s"already part of the view: $clash")
-    val wm = m.meta(WatermarkKey).toLong
-    val snap = VersionedTable.read(spark, baseRoot, Some(wm))
     adds.foreach(c => require(snap.columns.contains(c),
       s"base has no column '$c'"))
     // the backfill IS stateOf over the new columns (same aggregate
@@ -689,12 +735,29 @@ object MaterializedView {
         s"$jc shared) diverge at $mvRoot — the view is corrupt or the " +
         "base was rewritten in place")
     val widened = joined.drop("_bf_cnt")
+    // cdf views: the rewrite's change rows are derivable — every
+    // stored row is replaced. Written in the NEW schema (preimages
+    // pad the added columns with typed NULLs) so readChanges aligns
+    // them like any other version's feed.
+    val change: Seq[String] =
+      if (!m.meta.get(CdfKey).contains("1")) Seq.empty
+      else {
+        val newSchema = widened.schema
+        val pre = state.select(newSchema.fields.toSeq.map { f =>
+          if (state.columns.contains(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }: _*).withColumn("_change_type", lit("delete"))
+        val post = widened.withColumn("_change_type", lit("insert"))
+        VersionedTable.writeChangeData(spark, mvRoot,
+          pre.unionByName(post))
+      }
     VersionedTable.commit(spark, mvRoot, mvV, widened.schema,
       VersionedTable.writeData(spark, mvRoot, widened),
       meta = m.meta +
         (SumsKey -> (oldSums ++ sums).mkString(",")) +
         (DistinctsKey -> (oldDistincts ++ distincts).mkString(",")) +
         (MinMaxKey -> (oldMinmax ++ minmax).mkString(",")),
+      changeFiles = change,
       op = "ALTER VIEW ADD COLUMNS", baseM = Some(m))
   }
 

@@ -618,7 +618,7 @@ object VersionedTable {
     * `_change_type`) under changes/<uuid>/ and return the rel paths.
     * Like data files: written BEFORE the manifest publish, so a torn
     * write leaves only an orphan dir ([[vacuum]] sweeps it). */
-  private def writeChangeData(spark: SparkSession, root: String,
+  private[sources] def writeChangeData(spark: SparkSession, root: String,
       df: DataFrame): Seq[String] = {
     val sub = s"changes/${java.util.UUID.randomUUID()}"
     val abs = new Path(root, sub)

@@ -695,26 +695,78 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(e.getMessage.contains("diverge"), e.getMessage)
   }
 
-  test("evolving under a dependent cascade view refuses downstream") {
-    // addColumns commits a non-CDF rewrite; a downstream view whose
-    // feed crosses that version must refuse loudly (readChanges'
-    // rewrite guard) rather than mis-maintain — the documented
-    // evolve-the-top / recreate-dependents caveat, made a test
+  test("evolving under a dependent cascade view keeps the cascade " +
+      "maintainable: the rewrite emits its derivable change rows") {
+    // r15 pinned this as a REFUSAL (addColumns committed non-CDF and
+    // downstream hit the rewrite guard); the evolution commit now
+    // carries real change rows — preimage deletes + widened postimage
+    // inserts — so the downstream feed crosses it as an ordinary
+    // nets-to-zero batch and the cascade keeps maintaining
     val (base, mv1, mv2) = (tmp(), tmp(), tmp())
     VersionedTable.create(spark, base, rows((1, 1L, 10L), (2, 2L, 20L)))
     MaterializedView.create(spark, base, mv1, Seq("k"), Seq("v"),
       cdf = true)
     MaterializedView.create(spark, mv1, mv2, Seq("k"), Seq("raw_v"))
     MaterializedView.addColumns(spark, base, mv1, sums = Seq("w"))
-    // mv1 keeps maintaining fine after its own evolution...
+    // mv1 keeps maintaining after its own evolution...
     VersionedTable.append(spark, base, rows((1, 3L, 30L)))
     MaterializedView.refresh(spark, base, mv1)
-    // ...but mv2's feed now crosses mv1's non-CDF rewrite version
-    val e = intercept[Exception](MaterializedView.refresh(spark, mv1, mv2))
-    assert(e.getMessage != null &&
-      e.getMessage.contains("without change capture"),
-      s"downstream refresh must hit the rewrite guard, got: " +
-        s"${e.getMessage}")
+    // ...and mv2's feed crosses the evolution version cleanly
+    MaterializedView.refresh(spark, mv1, mv2)
+    // mv2 aggregates mv1's STORED state table (raw_v), the cascade
+    // shape q181 uses
+    def want() = VersionedTable.read(spark, mv1).groupBy("k")
+      .agg(count(lit(1)).as("cnt"), sum("raw_v").as("sum_raw_v"))
+    val got = MaterializedView.read(spark, mv2)
+    assert(got.exceptAll(want()).isEmpty && want().exceptAll(got).isEmpty,
+      s"${got.collect().toSeq} vs ${want().collect().toSeq}")
+    // and the cascade keeps flowing on later churn too
+    VersionedTable.deleteWhere(spark, base, $"k" === 2, cdf = true)
+    MaterializedView.refresh(spark, base, mv1)
+    MaterializedView.refresh(spark, mv1, mv2)
+    val got2 = MaterializedView.read(spark, mv2)
+    assert(got2.exceptAll(want()).isEmpty && want().exceptAll(got2).isEmpty)
+  }
+
+  test("addColumnsJoin widens a live JOIN view at the pinned watermark " +
+      "pair; maintained through later churn on both sides") {
+    val (l, r, mv) = (tmp(), tmp(), tmp())
+    VersionedTable.create(spark, l, ldf((1, 10, 5L), (2, 10, 9L),
+      (3, 20, 2L)))
+    VersionedTable.create(spark, r, rdf((1, 100L), (2, 200L), (3, 300L)))
+    MaterializedView.createJoin(spark, l, r, mv, Seq("k"), Seq("g"),
+      Seq("v"))
+    // both bases advance PAST the pinned pair before the evolution:
+    // the backfill must come from L@pinned ⋈ R@pinned, and the next
+    // refresh must then apply the gap to the new column like any delta
+    VersionedTable.append(spark, l, ldf((4, 20, 7L)))
+    VersionedTable.append(spark, r, rdf((4, 400L)))
+    MaterializedView.refreshJoin(spark, l, r, mv) // watermarks (2, 2)
+    VersionedTable.append(spark, l, ldf((5, 10, 1L)))
+    VersionedTable.append(spark, r, rdf((5, 500L)))
+    MaterializedView.addColumnsJoin(spark, l, r, mv, sums = Seq("w"))
+    def want() = VersionedTable.read(spark, l)
+      .join(VersionedTable.read(spark, r), Seq("k"))
+      .groupBy("g").agg(count(lit(1)).as("cnt"), sum("v").as("sum_v"),
+        sum("w").as("sum_w"))
+    MaterializedView.refreshJoin(spark, l, r, mv)
+    def got() = MaterializedView.read(spark, mv)
+    assert(got().columns.toSeq == Seq("g", "cnt", "sum_v", "sum_w"))
+    assert(got().exceptAll(want()).isEmpty && want().exceptAll(got()).isEmpty,
+      s"${got().collect().toSeq} vs ${want().collect().toSeq}")
+    // and a post-evolution delete (the ΔL⋈R lane) maintains the new
+    // column too
+    VersionedTable.deleteWhere(spark, l, $"v" === 9L, cdf = true)
+    MaterializedView.refreshJoin(spark, l, r, mv)
+    assert(got().exceptAll(want()).isEmpty && want().exceptAll(got()).isEmpty)
+    // wrong-flavor refusal points the right way
+    val (sbase, smv) = (tmp(), tmp())
+    VersionedTable.create(spark, sbase, rows((1, 1L, 1L)))
+    MaterializedView.create(spark, sbase, smv, Seq("k"), Seq("v"))
+    val e = intercept[IllegalArgumentException](
+      MaterializedView.addColumnsJoin(spark, sbase, sbase, smv,
+        sums = Seq("w")))
+    assert(e.getMessage.contains("use addColumns"))
   }
 
   test("NULL grouping keys refuse at create and at refresh") {
