@@ -1,0 +1,205 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.{MaterializedView, VersionedTable}
+
+/** Incrementally-maintained BM25 retrieval state — the production
+  * answer to [[TextAnalysis.bm25TopN]]'s recompute-everything shape:
+  * on a churning 100 TB corpus the collection statistics (per-term df,
+  * per-doc length, N, Σdl) are exactly the mergeable aggregates the
+  * materialized-view machinery maintains, and the postings are exactly
+  * the keyed rows the streaming-upsert machinery maintains.
+  *
+  * Layout under `root`:
+  *  - `postings`: VersionedTable (term, doc_id, tf), range-clustered
+  *    by term (query-term scans file-prune through the manifest
+  *    stats; a hot term spans several partitions — the secondary
+  *    doc_id range key keeps its files disjoint).
+  *  - `doclens`: VersionedTable (doc_id, dl, one) — per-doc token
+  *    counts, `one` the constant grouping key for the global view.
+  *  - `df_view`: [[MaterializedView]] over postings (keys = term,
+  *    count-only): df(term) = live posting count.
+  *  - `global_view`: MaterializedView over doclens (keys = one,
+  *    sum dl): N = cnt, avgdl = sum_dl / cnt.
+  *
+  * Maintenance is change-feed-driven end to end: [[refresh]] nets the
+  * corpus delta per doc (the [[IvfIndex]] discipline), re-tokenizes
+  * ONLY the delta, applies postings/doclens as atomic delete-then-
+  * upsert commits (delete keys come from the preimage text — a term
+  * that disappears from an updated doc leaves its posting), then
+  * standard MV refreshes fold the postings/doclens feeds into the
+  * stats. Work is O(delta tokens) + touched-file rewrites; the corpus
+  * is never rescanned.
+  *
+  * [[topN]] scores from the maintained state alone: query-term df
+  * rows (a ≤|terms| lookup), the one-row global view, and a
+  * term-pruned postings scan joined to doclens — the inverted-index
+  * BM25, reading only the query terms' files instead of every
+  * document. Exactness gate (q187): after churn + refresh, topN ≡
+  * [[TextAnalysis.bm25TopN]] over the post-churn corpus snapshot. */
+object Bm25Index {
+
+  private val CorpusKey = "bm25.corpus"
+  private val WatermarkKey = "bm25.watermark"
+  private val IdKey = "bm25.id_col"
+  private val TextKey = "bm25.text_col"
+
+  private def postingsRoot(root: String) = s"$root/postings"
+  private def doclensRoot(root: String) = s"$root/doclens"
+  private def dfRoot(root: String) = s"$root/df_view"
+  private def globalRoot(root: String) = s"$root/global_view"
+
+  private def ts(textCol: String) =
+    filter(TextAnalysis.tokens(col(textCol)), t => length(t) > 0)
+
+  private def postingsOf(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(ts(textCol)).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+
+  private def doclensOf(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      size(ts(textCol)).cast("long").as("dl"), lit(1).as("one"))
+
+  /** Range-cluster postings by (term, doc_id) with an explicit
+    * partition count (the [[IvfIndex.clustered]] lesson: AQE would
+    * coalesce a small build into one file and weld the index into a
+    * single rewrite unit). */
+  private def clustered(p: DataFrame, nParts: Int): DataFrame =
+    p.select(col("term"), col("doc_id"), col("tf"))
+      .repartitionByRange(math.max(1, nParts), col("term"), col("doc_id"))
+      .sortWithinPartitions("term")
+
+  /** Build the index + stats views over the corpus table's CURRENT
+    * version. `nParts` bounds the postings file count (≈ files the
+    * term space splits into). Returns the postings version. */
+  def create(spark: SparkSession, corpusRoot: String, idCol: String,
+      textCol: String, root: String, nParts: Int = 16): Long = {
+    val cv = VersionedTable.currentVersion(spark, corpusRoot).getOrElse(
+      throw new IllegalArgumentException(s"$corpusRoot: no versioned table"))
+    val docs = VersionedTable.read(spark, corpusRoot, Some(cv))
+      .filter(col(textCol).isNotNull)
+    val meta = Map(CorpusKey -> corpusRoot, WatermarkKey -> cv.toString,
+      IdKey -> idCol, TextKey -> textCol)
+    val v = VersionedTable.create(spark, postingsRoot(root),
+      clustered(postingsOf(docs, idCol, textCol), nParts), meta = meta)
+    VersionedTable.create(spark, doclensRoot(root),
+      doclensOf(docs, idCol, textCol), meta = meta)
+    MaterializedView.create(spark, postingsRoot(root), dfRoot(root),
+      keys = Seq("term"), sums = Seq.empty)
+    MaterializedView.create(spark, doclensRoot(root), globalRoot(root),
+      keys = Seq("one"), sums = Seq("dl"))
+    v
+  }
+
+  /** Apply the corpus change feed (watermark, current]: per-doc
+    * NET-LAST delta (an id inserted then deleted inside the range must
+    * not land), preimage tokenization drives the delete keys, delta
+    * tokenization the inserts; postings and doclens each advance in
+    * ONE atomic idempotent commit (batch id = corpus version, the
+    * watermark rides the postings commit), then the df/global views
+    * fold the resulting feeds. No-op when the corpus has not advanced.
+    * Returns the postings version. */
+  def refresh(spark: SparkSession, root: String): Long = {
+    val pRoot = postingsRoot(root)
+    val lv = VersionedTable.currentVersion(spark, pRoot).getOrElse(
+      throw new IllegalArgumentException(s"$root: no bm25 index"))
+    val meta = VersionedTable.metaOf(spark, pRoot, Some(lv))
+    val corpusRoot = meta.getOrElse(CorpusKey,
+      throw new IllegalArgumentException(s"$root is not a bm25 index"))
+    val wm = meta(WatermarkKey).toLong
+    val cv = VersionedTable.currentVersion(spark, corpusRoot).getOrElse(
+      throw new IllegalArgumentException(s"$corpusRoot: corpus is gone"))
+    if (cv > wm) {
+      val (idCol, textCol) = (meta(IdKey), meta(TextKey))
+      val ch = VersionedTable.readChanges(spark, corpusRoot, wm, Some(cv))
+        .filter(col(textCol).isNotNull)
+        .select(col(idCol).as(idCol), col(textCol).as(textCol),
+          col("_change_type"), col("_commit_version"))
+        .localCheckpoint(true)
+      // every preimage clears its old rows; inserts are the per-doc
+      // net-last change (the IvfIndex netting argument)
+      val pre = ch.filter(col("_change_type") === "delete")
+      val netW = Window.partitionBy(idCol)
+        .orderBy(col("_commit_version").desc,
+          when(col("_change_type") === "insert", 1).otherwise(0).desc)
+      val ins = ch.withColumn("_rn", row_number().over(netW))
+        .filter(col("_rn") === 1 && col("_change_type") === "insert")
+        .drop("_rn")
+      VersionedTable.streamingApply(spark, pRoot,
+        inserts = clustered(postingsOf(ins, idCol, textCol), 16),
+        deleteKeys = postingsOf(pre, idCol, textCol)
+          .select("term", "doc_id").dropDuplicates(),
+        keys = Seq("term", "doc_id"),
+        queryName = "bm25_postings", batchId = cv, cdf = true,
+        extraMeta = Map(WatermarkKey -> cv.toString))
+      VersionedTable.streamingApply(spark, doclensRoot(root),
+        inserts = doclensOf(ins, idCol, textCol),
+        deleteKeys = pre.select(col(idCol).as("doc_id")).dropDuplicates(),
+        keys = Seq("doc_id"),
+        queryName = "bm25_doclens", batchId = cv, cdf = true,
+        extraMeta = Map(WatermarkKey -> cv.toString))
+    }
+    MaterializedView.refresh(spark, pRoot, dfRoot(root))
+    MaterializedView.refresh(spark, doclensRoot(root), globalRoot(root))
+    VersionedTable.currentVersion(spark, pRoot).get
+  }
+
+  /** BM25 top-N from the MAINTAINED state: df from the stats view
+    * (≤ |queryTerms| rows), N/avgdl from the one-row global view,
+    * candidates from a term-pruned postings scan joined to doclens —
+    * never a corpus or full-index scan. Scoring, rounding (1e-6
+    * before the cut), and (bm25 desc, doc_id) tie-breaks match
+    * [[TextAnalysis.bm25TopN]] exactly; docs containing no query term
+    * score zero there and are absent here, so equivalence holds on
+    * every positive-score rank. */
+  def topN(spark: SparkSession, root: String, queryTerms: Seq[String],
+      topN: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    require(topN > 0, s"topN must be positive: $topN")
+    val dfs = MaterializedView.read(spark, dfRoot(root))
+      .filter(col("term").isin(queryTerms: _*))
+      .select("term", "cnt").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val g = MaterializedView.read(spark, globalRoot(root))
+      .select("cnt", "sum_dl").head()
+    val n = g.getLong(0)
+    require(n > 0, "bm25 over an empty corpus")
+    val avgdl = g.getLong(1).toDouble / n.toDouble
+    val idf = queryTerms.map { t =>
+      val dfc = dfs.getOrElse(t, 0L)
+      t -> math.log((n - dfc + 0.5) / (dfc + 0.5) + 1.0)
+    }.toMap
+    val cands = VersionedTable.readWhere(spark, postingsRoot(root),
+      col("term").isin(queryTerms: _*))
+    val dls = VersionedTable.read(spark, doclensRoot(root))
+      .select("doc_id", "dl")
+    val idfCol = coalesce(queryTerms.map(t =>
+      when(col("term") === t, lit(idf(t)))): _*)
+    val scored = cands.join(dls, Seq("doc_id"))
+      .select(col("doc_id"),
+        (idfCol * col("tf").cast("double") * lit(k1 + 1.0) /
+          (col("tf").cast("double") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl").cast("double") / lit(avgdl))))
+          .as("part"))
+      .groupBy("doc_id").agg(round(sum(col("part")), 6).as("bm25"))
+    scored.orderBy(col("bm25").desc, col("doc_id")).limit(topN)
+  }
+
+  /** (files kept, files total) the manifest pruner reports for the
+    * query terms' postings scan — the audit that term clustering
+    * actually skips the rest of the index. */
+  def pruneAudit(spark: SparkSession, root: String,
+      queryTerms: Seq[String]): (Int, Int) =
+    VersionedTable.pruneProfile(spark, postingsRoot(root),
+      col("term").isin(queryTerms: _*))
+
+  /** The corpus version the index reflects. */
+  def watermark(spark: SparkSession, root: String): Long =
+    VersionedTable.metaOf(spark, postingsRoot(root))(WatermarkKey).toLong
+}

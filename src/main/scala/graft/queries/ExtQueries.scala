@@ -3,8 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{Dedup, IvfIndex, Multimodal, Pca, Retrieval, Similarity,
-  TextAnalysis}
+import graft.ext.{Bm25Index, Dedup, IvfIndex, Multimodal, Pca, Retrieval,
+  Similarity, TextAnalysis}
 
 /** BASELINE extension queries over documents/embeddings: dedup (exact,
   * MinHash-LSH, SimHash, n-gram Jaccard), similarity search (brute-force
@@ -1172,6 +1172,54 @@ object ExtQueries extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // Incremental BM25 retrieval state — q159 recomputes collection
+    // stats (df, avgdl, N) from scratch every run; on a churning
+    // corpus those are exactly the mergeable aggregates the MV
+    // machinery maintains, and the postings exactly the keyed rows
+    // streamingApply maintains. The corpus is a VersionedTable; one
+    // refresh folds an append + CDF delete + a term-adding update into
+    // the postings/doclens tables (atomic idempotent commits, per-doc
+    // net-last delta, preimage tokens drive the delete keys) and the
+    // df/global stats views. Scoring reads ONLY maintained state: df
+    // lookups, the one-row global view, a term-PRUNED postings scan
+    // (kept < total pinned in-query) joined to doclens — never the
+    // corpus. The oracle replays the churn and the full q159 BM25
+    // recompute over the post-churn corpus — gating that maintained
+    // stats score exactly like stats computed from scratch.
+    "q187_bm25_incremental" -> { (s, dir) =>
+      import graft.sources.VersionedTable
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val whPath =
+        if (wh.startsWith("file:")) new java.net.URI(wh).getPath else wh
+      val corpus = new java.io.File(whPath, "graft_q187_corpus").toString
+      val idx = new java.io.File(whPath, "graft_q187_idx").toString
+      val hfs = new org.apache.hadoop.fs.Path(whPath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(corpus, idx).foreach(p =>
+        hfs.delete(new org.apache.hadoop.fs.Path(p), true))
+      VersionedTable.create(s, corpus, d) // v1
+      Bm25Index.create(s, corpus, "doc_id", "text", idx)
+      VersionedTable.append(s, corpus, d.filter(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          col("text"))) // v2
+      VersionedTable.deleteWhere(s, corpus, col("doc_id") % 7 === 2,
+        cdf = true) // v3
+      VersionedTable.updateWhere(s, corpus, col("doc_id") % 13 === 5,
+        Map("text" -> concat(col("text"), lit(" spark spark"))),
+        cdf = true) // v4
+      Bm25Index.refresh(s, idx)
+      require(Bm25Index.watermark(s, idx) == 4L,
+        "watermark must ride the postings commit")
+      val (kept, total) =
+        Bm25Index.pruneAudit(s, idx, Seq("hash", "join", "spark"))
+      require(kept < total,
+        s"term-clustered postings must file-prune the query scan: " +
+          s"$kept/$total")
+      Bm25Index.topN(s, idx, Seq("hash", "join", "spark"), 100)
+        .orderBy(col("bm25").desc, col("doc_id"))
+    },
+
     // PCA / whitening over the embedding corpus — the decorrelate-
     // before-quantize / reduce-before-index preprocessing leg. fit is
     // ONE distributed pass (partitions accumulate dim + dim² moment
@@ -2148,6 +2196,36 @@ object ExtQueries extends QueryPack {
         |SELECT doc_id, source, lang, CAST(sample_rank AS INT) AS sample_rank
         |FROM r WHERE sample_rank <= 30
         |ORDER BY source, sample_rank""".stripMargin,
+    "q187_bm25_incremental" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |grown AS (SELECT doc_id, text FROM base
+        |  UNION ALL SELECT doc_id + 1000000, text FROM base
+        |  WHERE doc_id % 10 = 3),
+        |alive AS (SELECT doc_id, text FROM grown WHERE doc_id % 7 <> 2),
+        |corpus AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 5 THEN text || ' spark spark'
+        |         ELSE text END AS text
+        |  FROM alive),
+        |tk AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS t
+        |  FROM corpus),
+        |st AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(len(t)) AS DOUBLE) / COUNT(*) AS avgdl FROM tk),
+        |q AS (SELECT unnest(['hash', 'join', 'spark']) AS term),
+        |dfq AS (SELECT q.term,
+        |    (SELECT COUNT(*) FROM tk WHERE list_contains(tk.t, q.term))
+        |      AS dfc FROM q),
+        |sc AS (SELECT tk.doc_id,
+        |    round(SUM(
+        |      ln((st.n - dfq.dfc + 0.5) / (dfq.dfc + 0.5) + 1.0)
+        |      * len(list_filter(tk.t, x -> x = dfq.term)) * 2.2
+        |      / (len(list_filter(tk.t, x -> x = dfq.term))
+        |         + 1.2 * (0.25 + 0.75 * len(tk.t) / st.avgdl))), 6)
+        |      AS bm25
+        |  FROM tk CROSS JOIN dfq CROSS JOIN st
+        |  GROUP BY tk.doc_id)
+        |SELECT doc_id, bm25 FROM sc WHERE bm25 > 0
+        |ORDER BY bm25 DESC, doc_id LIMIT 100""".stripMargin,
     "q186_ivf_churn_maintain" ->
       """WITH base AS (SELECT vec_id, embedding FROM embeddings),
         |grown AS (SELECT vec_id, embedding FROM base

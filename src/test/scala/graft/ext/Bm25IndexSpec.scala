@@ -1,0 +1,94 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.sources.VersionedTable
+
+/** Incremental BM25 state: after any churn + refresh, scoring from the
+  * maintained postings/doclens/df/global state must equal the
+  * recompute-everything [[TextAnalysis.bm25TopN]] over the post-churn
+  * corpus — including df retraction on deletes and posting removal for
+  * terms an update dropped from a document. */
+class Bm25IndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_bm25").toString
+
+  private def docsDf(rows: (Long, String)*): DataFrame =
+    rows.toSeq.toDF("doc_id", "text")
+
+  private def assertMatches(root: String, corpus: String,
+      terms: Seq[String], k: Int): Unit = {
+    val got = Bm25Index.topN(spark, root, terms, k)
+      .as[(Long, Double)].collect().toSeq
+    val want = TextAnalysis.bm25TopN(
+        VersionedTable.read(spark, corpus), "doc_id", "text", terms, k)
+      .as[(Long, Double)].collect().toSeq
+      .filter(_._2 > 0) // zero-score docs are absent from the index
+    assert(got == want, s"index $got != recompute $want")
+  }
+
+  test("churn (append + delete + term-dropping update) then refresh: " +
+      "index scoring == full recompute; stats retract exactly") {
+    val (corpus, root) = (tmp() + "/corpus", tmp() + "/idx")
+    VersionedTable.create(spark, corpus, docsDf(
+      (1L, "spark joins data"), (2L, "hash join spark spark"),
+      (3L, "data lakes hold data"), (4L, "hash tables"),
+      (5L, "spark hash")))
+    Bm25Index.create(spark, corpus, "doc_id", "text", root, nParts = 4)
+    assertMatches(root, corpus, Seq("spark", "hash"), 5)
+    // churn: new docs, a deleted doc, an update that DROPS a term
+    // (doc 2 loses 'hash' — its posting must leave, df must fall)
+    VersionedTable.append(spark, corpus, docsDf(
+      (6L, "spark spark spark"), (7L, "plain prose")))
+    VersionedTable.deleteWhere(spark, corpus, $"doc_id" === 4L,
+      cdf = true)
+    VersionedTable.updateWhere(spark, corpus, $"doc_id" === 2L,
+      Map("text" -> lit("join spark spark")), cdf = true)
+    Bm25Index.refresh(spark, root)
+    assert(Bm25Index.watermark(spark, root) == 4L)
+    assertMatches(root, corpus, Seq("spark", "hash"), 7)
+    assertMatches(root, corpus, Seq("data"), 7)
+    // df('hash') must be exactly the live count: docs 4 gone, 2 lost it
+    val dfHash = graft.sources.MaterializedView
+      .read(spark, s"$root/df_view")
+      .filter($"term" === "hash").select("cnt").as[Long].collect()
+    assert(dfHash.toSeq == Seq(1L), s"df(hash) should be 1: $dfHash")
+    // a doc inserted and deleted in the SAME refresh window never lands
+    VersionedTable.append(spark, corpus, docsDf((8L, "ephemeral spark")))
+    VersionedTable.deleteWhere(spark, corpus, $"doc_id" === 8L,
+      cdf = true)
+    Bm25Index.refresh(spark, root)
+    assert(VersionedTable.read(spark, s"$root/postings")
+      .filter($"doc_id" === 8L).isEmpty)
+    assertMatches(root, corpus, Seq("spark", "hash"), 7)
+    // replay is a no-op
+    val v = VersionedTable.currentVersion(spark, s"$root/postings").get
+    assert(Bm25Index.refresh(spark, root) == v)
+  }
+
+  test("query-term scans file-prune the postings; missing terms score " +
+      "through df = 0") {
+    val (corpus, root) = (tmp() + "/corpus", tmp() + "/idx")
+    // many distinct terms so the term-ranged files are disjoint
+    val rows = (1L to 60L).map(i => (i, s"term${"%02d".format(i % 30)} " +
+      s"term${"%02d".format((i + 1) % 30)} filler$i"))
+    VersionedTable.create(spark, corpus, docsDf(rows: _*))
+    Bm25Index.create(spark, corpus, "doc_id", "text", root, nParts = 8)
+    val (kept, total) = Bm25Index.pruneAudit(spark, root, Seq("term05"))
+    assert(kept < total && kept >= 1,
+      s"one-term scan must prune postings files: $kept/$total")
+    // a term the corpus has never seen contributes zero, not a crash
+    val got = Bm25Index.topN(spark, root, Seq("term05", "nosuchterm"), 3)
+      .as[(Long, Double)].collect()
+    val want = TextAnalysis.bm25TopN(VersionedTable.read(spark, corpus),
+        "doc_id", "text", Seq("term05", "nosuchterm"), 3)
+      .as[(Long, Double)].collect().filter(_._2 > 0)
+    assert(got.toSeq == want.toSeq)
+  }
+}
