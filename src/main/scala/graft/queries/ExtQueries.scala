@@ -1172,6 +1172,71 @@ object ExtQueries extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // PCA reduce-then-search recall — the retrieval-value leg q185
+    // deliberately left out (the synthetic embeddings are
+    // near-isotropic, so reduction is not recall-preserving THERE).
+    // A seeded anisotropic slice fixes the premise: ~1/4 of the dims
+    // (md5-picked, engine-reproducible) get 16x the variance, the
+    // fitted top-16/64 subspace concentrates it (explainedRatio
+    // pinned in-query), and brute-force top-10 in the 16-dim reduced
+    // space recovers the full-dim exact top-10 with recall pinned
+    // in-query (mean and per-query floor). The oracle replays the
+    // anisotropic transform + the exact full-dim search trace and
+    // pins every per-query recall flag TRUE — the PCA basis itself is
+    // engine-local (Jacobi, float sum order), so the recall COUNT is
+    // certified by the in-query requires, the q185/q180 idiom.
+    "q188_pca_reduce_recall" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val scaled = transform(col("embedding"), (x, i) =>
+        x.cast("double") * when(substring(md5(concat(lit("aniso:7:"),
+          i.cast("string"))), 1, 1).isin("0", "1", "2", "3"),
+          lit(4.0)).otherwise(lit(0.25)))
+      val a = e.select(col("vec_id"), scaled.as("v"))
+      val model = Pca.fit(a, "v")
+      require(model.explainedRatio(16) >= 0.6,
+        s"the anisotropic slice must concentrate variance in the top " +
+          s"16 components: ${model.explainedRatio(16)}")
+      val red = Pca.transform(a, "v", model, 16, "y")
+        .select(col("vec_id"), col("y"))
+      val q = a.withColumn("h",
+          md5(concat(lit("pcaq:"), col("vec_id").cast("string"))))
+        .orderBy(col("h"), col("vec_id")).limit(20).drop("h")
+      def top10(corpus: DataFrame, queries: DataFrame,
+          vCol: String): DataFrame = {
+        val c = corpus.select(col("vec_id").as("neighbor_id"),
+          col(vCol).as("cv"))
+        val qq = queries.select(col("vec_id").as("query_id"),
+          col(vCol).as("qv"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id")
+          .orderBy(col("score").desc, col("neighbor_id"))
+        c.crossJoin(broadcast(qq))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            round(Similarity.cosine(col("cv"), col("qv")), 6).as("score"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+      }
+      val exact = top10(a, q, "v").localCheckpoint(true)
+      val approx = top10(red,
+        red.join(q.select("vec_id"), Seq("vec_id")), "y")
+      val recall = exact.select("query_id", "neighbor_id")
+        .join(approx.select(col("query_id"), col("neighbor_id"),
+          lit(1).as("hit")), Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg((sum(coalesce(col("hit"), lit(0))) / lit(10.0)).as("recall"))
+        .localCheckpoint(true)
+      val rs = recall.agg(min(col("recall")), avg(col("recall"))).head()
+      require(rs.getDouble(0) >= 0.7 && rs.getDouble(1) >= 0.85,
+        s"reduce-then-search must preserve recall on an anisotropic " +
+          s"corpus: min=${rs.getDouble(0)} mean=${rs.getDouble(1)}")
+      exact.join(recall.select(col("query_id"),
+          (col("recall") >= 0.7).as("recall_ok")), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          col("score").as("cosine_sim"), col("rank"), col("recall_ok"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // Incremental BM25 retrieval state — q159 recomputes collection
     // stats (df, avgdl, N) from scratch every run; on a churning
     // corpus those are exactly the mergeable aggregates the MV
@@ -2196,6 +2261,29 @@ object ExtQueries extends QueryPack {
         |SELECT doc_id, source, lang, CAST(sample_rank AS INT) AS sample_rank
         |FROM r WHERE sample_rank <= 30
         |ORDER BY source, sample_rank""".stripMargin,
+    "q188_pca_reduce_recall" ->
+      """WITH ix AS (SELECT vec_id,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |av AS (SELECT vec_id, list(x *
+        |    CASE WHEN substring(md5('aniso:7:' ||
+        |        CAST(i - 1 AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+        |      THEN 4.0 ELSE 0.25 END ORDER BY i) AS v
+        |  FROM ix GROUP BY vec_id),
+        |q AS (SELECT vec_id, v FROM av
+        |  ORDER BY md5('pcaq:' || CAST(vec_id AS VARCHAR)), vec_id
+        |  LIMIT 20),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(q.v, c.v), 6) AS score
+        |  FROM q CROSS JOIN av c WHERE q.vec_id <> c.vec_id),
+        |top10 AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, neighbor_id) AS rnk FROM s)
+        |  WHERE rnk <= 10)
+        |SELECT query_id, neighbor_id, score AS cosine_sim,
+        |  CAST(rnk AS INT) AS rank, TRUE AS recall_ok
+        |FROM top10 ORDER BY query_id, rank""".stripMargin,
     "q187_bm25_incremental" ->
       """WITH base AS (SELECT doc_id, text FROM documents),
         |grown AS (SELECT doc_id, text FROM base

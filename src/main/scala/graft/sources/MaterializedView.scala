@@ -781,9 +781,13 @@ object MaterializedView {
     * version. Diamonds are fine (shared upstream refreshes once);
     * a dependency cycle refuses (cannot arise from create(), which
     * pins bases that must already exist — defense against hand-edited
-    * meta). */
-  def refreshAll(spark: SparkSession, views: Seq[String])
-      : Map[String, Long] = {
+    * meta). `parallelism > 1` refreshes INDEPENDENT same-level views
+    * concurrently (Kahn levels are the safety argument: every edge
+    * crosses levels, and per-root commits are OCC'd), cutting a wide
+    * DAG's wall clock to its critical path. */
+  def refreshAll(spark: SparkSession, views: Seq[String],
+      parallelism: Int = 1): Map[String, Long] = {
+    require(parallelism > 0, s"parallelism must be positive: $parallelism")
     val nodes = views.map(norm).distinct
     val deps: Map[String, Seq[String]] = nodes.map { v =>
       val m = VersionedTable.readManifest(spark, v, currentOf(spark, v))
@@ -794,11 +798,15 @@ object MaterializedView {
         else Seq(m.meta(BaseKey))
       v -> ds
     }.toMap
-    // Kahn over the listed-view-only edges
+    // Kahn over the listed-view-only edges, tracking each node's LEVEL
+    // (longest dependency chain below it): edges only run level k →
+    // > k, so same-level views are independent by construction and may
+    // refresh concurrently
     val inSet = nodes.toSet
     val order = collection.mutable.ArrayBuffer.empty[String]
     val pending = collection.mutable.Map.from(deps.view.mapValues(
       _.count(inSet)))
+    val level = collection.mutable.Map.from(nodes.map(_ -> 0))
     val ready = collection.mutable.Queue.from(
       nodes.filter(pending(_) == 0))
     val dependents: Map[String, Seq[String]] = nodes.flatMap(v =>
@@ -807,20 +815,40 @@ object MaterializedView {
       val v = ready.dequeue()
       order += v
       dependents.getOrElse(v, Seq.empty).foreach { w =>
+        level(w) = math.max(level(w), level(v) + 1)
         pending(w) -= 1
         if (pending(w) == 0) ready += w
       }
     }
     require(order.size == nodes.size,
       s"dependency cycle among views ${nodes.toSet -- order}")
-    order.map { v =>
-      val vVersion = deps(v) match {
-        case Seq(l, r) => refreshJoin(spark, l, r, v)
-        case Seq(b) => refresh(spark, b, v)
-        case _ => sys.error("unreachable")
+    def one(v: String): Long = deps(v) match {
+      case Seq(l, r) => refreshJoin(spark, l, r, v)
+      case Seq(b) => refresh(spark, b, v)
+      case _ => sys.error("unreachable")
+    }
+    val out = collection.mutable.Map.empty[String, Long]
+    order.groupBy(level).toSeq.sortBy(_._1).foreach { case (_, vs) =>
+      val par = math.min(parallelism, vs.size)
+      if (par <= 1) vs.foreach(v => out(v) = one(v))
+      else {
+        // concurrent same-level refreshes: safe because commits are
+        // OCC'd per view root (expectMeta + StaleRefresh retry) and a
+        // SparkSession is thread-safe for independent jobs; a failure
+        // in any refresh propagates after the pool drains
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        try {
+          val fs = vs.map(v => scala.concurrent.Future(v -> one(v)))
+          scala.concurrent.Await
+            .result(scala.concurrent.Future.sequence(fs),
+              scala.concurrent.duration.Duration.Inf)
+            .foreach { case (v, ver) => out(v) = ver }
+        } finally { pool.shutdown(); () }
       }
-      v -> vVersion
-    }.toMap
+    }
+    out.toMap
   }
 
   // ---- read --------------------------------------------------------------

@@ -588,6 +588,23 @@ class MaterializedViewSpec extends AnyFunSuite {
     // an up-to-date diamond is a pure no-op pass
     assert(MaterializedView.refreshAll(spark, Seq(mvA, top, mvB))
       == versions)
+    // PARALLEL pass: churn again, race the two mid views concurrently
+    // (parallelism = 2 puts level-0 mvA/mvB on separate threads over
+    // the shared base; the OCC machinery makes that safe), top waits
+    // for its level — same answers as the sequential pass would give
+    VersionedTable.append(spark, base, rows((3, 2L, 3L), (4, 4L, 5L)))
+    VersionedTable.updateWhere(spark, base, $"k" === 1,
+      Map("v" -> lit(50L)), cdf = true)
+    val par = MaterializedView.refreshAll(spark, Seq(top, mvB, mvA),
+      parallelism = 2)
+    assert(par.keySet == Set(mvA, mvB, top))
+    val direct2 = VersionedTable.read(spark, base).groupBy("k")
+      .agg(sum("v").as("sv"), sum("w").as("sw"))
+      .as[(Int, Long, Long)].collect()
+      .map(r => r._1 -> ((1L, r._2, r._3))).toMap
+    assert(topRead() == direct2)
+    assert(MaterializedView.refreshAll(spark, Seq(mvA, top, mvB),
+      parallelism = 4) == par, "parallel no-op pass must quiesce")
   }
 
   test("addSums widens a live view at the WATERMARK; maintained after") {
