@@ -112,7 +112,12 @@ object Bm25Index {
     val meta = VersionedTable.metaOf(spark, pRoot, Some(lv))
     val corpusRoot = meta.getOrElse(CorpusKey,
       throw new IllegalArgumentException(s"$root is not a bm25 index"))
-    val wm = meta(WatermarkKey).toLong
+    // the MIN of the two tables' watermarks, not just postings': a
+    // crash between the postings commit and the doclens commit must
+    // not strand doclens — replaying from the min is safe because
+    // streamingApply's batch-id check no-ops the side already applied
+    val wm = math.min(meta(WatermarkKey).toLong,
+      VersionedTable.metaOf(spark, doclensRoot(root))(WatermarkKey).toLong)
     val cv = VersionedTable.currentVersion(spark, corpusRoot).getOrElse(
       throw new IllegalArgumentException(s"$corpusRoot: corpus is gone"))
     if (cv > wm) {
