@@ -328,6 +328,23 @@ object Streams {
     }
   }
 
+  /** Continuous derived-state maintenance over a corpus change feed:
+    * tail `corpusRoot` and run `refresh` after every batch of new
+    * corpus versions — the streaming form of
+    * [[graft.ext.IvfIndex.refresh]] / [[graft.ext.Bm25Index.refresh]]
+    * (and any other watermark-driven idempotent refresher: replays
+    * and version groups fold safely because the refresher reads its
+    * own watermark and commits with the corpus version as batch id).
+    * The per-version change DataFrame the tail derives is ignored —
+    * the refresher re-reads exactly the delta it needs. */
+  def maintainOnChanges(spark: org.apache.spark.sql.SparkSession,
+      corpusRoot: String, checkpoint: String)(
+      refresh: org.apache.spark.sql.SparkSession => Unit):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    tailVersionedChanges(spark, corpusRoot, checkpoint) { (_, _) =>
+      refresh(spark)
+    }
+
   /** Output mode each operator needs on an unbounded sink. */
   val outputModes: Map[String, OutputMode] = Map(
     "tumblingAgg" -> OutputMode.Complete(),

@@ -1,0 +1,190 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.sources.VersionedTable
+
+/** Operational hygiene of the maintained indexes (IvfIndex /
+  * Bm25Index) under sustained churn: compaction folds refresh-accreted
+  * small files while preserving the clustered layout (pruning and
+  * answers unchanged, downstream stats views skip the layout-only
+  * commit), concurrent refreshers collapse to exactly one commit,
+  * a corpus vacuumed past the watermark refuses loudly and rebuild
+  * recovers, and the streaming tail keeps an index current without
+  * polling code. */
+class IndexOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_idxops").toString
+
+  private def vecs(seed: Int, n: Int, dim: Int,
+      spread: Double): Seq[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(_ => Array.fill(dim)(
+      (1.0 + rnd.nextGaussian() * spread).toFloat))
+  }
+
+  private def corpusDf(rows: Seq[(Long, Array[Float])]): DataFrame =
+    rows.toDF("vec_id", "embedding")
+
+  test("compaction after many refreshes: small files fold, clustering " +
+      "and answers survive, the stats view skips the layout commit") {
+    val (corpus, root) = (tmp() + "/corpus", tmp() + "/bm25")
+    val docs = (1L to 40L).map(i =>
+      (i, s"term${"%02d".format(i % 20)} filler$i shared"))
+    VersionedTable.create(spark, corpus, docs.toDF("doc_id", "text"))
+    Bm25Index.create(spark, corpus, "doc_id", "text", root, nParts = 8)
+    // five churn rounds, each its own refresh commit — small files
+    // accrete on the postings table
+    (0 until 5).foreach { r =>
+      VersionedTable.append(spark, corpus, Seq(
+        (1000L + r, s"term${"%02d".format(r)} fresh$r shared"))
+        .toDF("doc_id", "text"))
+      VersionedTable.deleteWhere(spark, corpus,
+        $"doc_id" === (2L + r), cdf = true)
+      Bm25Index.refresh(spark, root)
+    }
+    val postings = s"$root/postings"
+    def score() = Bm25Index.topN(spark, root, Seq("term03", "shared"), 10)
+      .as[(Long, Double)].collect().toSeq
+    val before = score()
+    val filesBefore = VersionedTable.read(spark, postings)
+      .select(col("_metadata.file_path")).distinct().count()
+    // compact WITH the cluster keys: range-repartition preserves the
+    // term clustering through the rewrite
+    val v = VersionedTable.compact(spark, postings,
+      smallFileBytes = 1L << 20, targetPartitions = 4,
+      sortCols = Seq("term", "doc_id"))
+    assert(v > 0)
+    val filesAfter = VersionedTable.read(spark, postings)
+      .select(col("_metadata.file_path")).distinct().count()
+    assert(filesAfter < filesBefore,
+      s"compaction must shrink the file count: $filesBefore -> $filesAfter")
+    val (kept, total) = Bm25Index.pruneAudit(spark, root, Seq("term03"))
+    assert(kept < total, s"clustering must survive compaction: $kept/$total")
+    assert(score() == before, "answers must be untouched by layout work")
+    // the df stats view skips the layout-only (cdfNone) commit and
+    // keeps maintaining afterwards
+    VersionedTable.append(spark, corpus,
+      Seq((2000L, "term03 late shared")).toDF("doc_id", "text"))
+    Bm25Index.refresh(spark, root)
+    val dfTerm = graft.sources.MaterializedView.read(spark, s"$root/df_view")
+      .filter($"term" === "term03").select("cnt").as[Long].head()
+    val truth = VersionedTable.read(spark, corpus)
+      .filter(array_contains(split($"text", " "), "term03")).count()
+    assert(dfTerm == truth,
+      s"df must keep tracking through compaction: $dfTerm vs $truth")
+  }
+
+  test("concurrent IVF refreshers: exactly one commit lands; both " +
+      "callers see the refreshed index") {
+    val (corpus, idx) = (tmp() + "/corpus", tmp() + "/idx")
+    VersionedTable.create(spark, corpus, corpusDf(
+      vecs(1, 40, 6, 0.2).zipWithIndex.map { case (v, i) => (i.toLong, v) }))
+    IvfIndex.create(spark, corpus, "vec_id", "embedding", nlist = 4, idx)
+    VersionedTable.append(spark, corpus, corpusDf(
+      vecs(2, 10, 6, 0.2).zipWithIndex.map { case (v, i) => (500L + i, v) }))
+    VersionedTable.deleteWhere(spark, corpus, $"vec_id" === 3L, cdf = true)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val fs = (1 to 2).map(_ => scala.concurrent.Future(
+        IvfIndex.refresh(spark, idx)))
+      val versions = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(fs),
+        scala.concurrent.duration.Duration.Inf)
+      // both succeed; the loser replays idempotently or retries into
+      // the winner's commit — either way exactly ONE version lands
+      assert(versions.forall(_ == 2L), versions)
+    } finally { pool.shutdown(); () }
+    assert(VersionedTable.currentVersion(spark, s"$idx/lists")
+      .contains(2L))
+    assert(IvfIndex.watermark(spark, idx) == 3L)
+    val corpusNow = VersionedTable.read(spark, corpus)
+    val queries = corpusNow.filter($"vec_id" < 5)
+    val got = IvfIndex.probe(queries, idx, "vec_id", "embedding",
+      k = 3, nprobe = 4)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val want = Similarity.bruteForceTopK(
+        queries.select($"vec_id", $"embedding"),
+        corpusNow.select($"vec_id", $"embedding"),
+        "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == want)
+  }
+
+  test("corpus vacuumed past the watermark: refresh refuses loudly, " +
+      "rebuild recovers") {
+    val (corpus, idx) = (tmp() + "/corpus", tmp() + "/idx")
+    VersionedTable.create(spark, corpus, corpusDf(
+      vecs(5, 30, 6, 0.2).zipWithIndex.map { case (v, i) => (i.toLong, v) }))
+    IvfIndex.create(spark, corpus, "vec_id", "embedding", nlist = 2, idx)
+    // corpus moves on and its history is vacuumed past the watermark
+    VersionedTable.append(spark, corpus, corpusDf(
+      vecs(6, 5, 6, 0.2).zipWithIndex.map { case (v, i) => (900L + i, v) }))
+    VersionedTable.updateWhere(spark, corpus, $"vec_id" === 1L,
+      Map("embedding" -> reverse($"embedding")), cdf = true)
+    VersionedTable.vacuum(spark, corpus, keepFrom = 3L,
+      orphanGraceMs = 0L)
+    // the feed the refresh needs is gone — loud failure, not silence
+    intercept[Exception](IvfIndex.refresh(spark, idx))
+    // recovery is the deliberate rebuild over the current snapshot
+    IvfIndex.rebuild(spark, idx)
+    assert(IvfIndex.watermark(spark, idx) == 3L)
+    val corpusNow = VersionedTable.read(spark, corpus)
+    val queries = corpusNow.filter($"vec_id" >= 900L)
+    val got = IvfIndex.probe(queries, idx, "vec_id", "embedding",
+      k = 2, nprobe = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val want = Similarity.bruteForceTopK(
+        queries.select($"vec_id", $"embedding"),
+        corpusNow.select($"vec_id", $"embedding"),
+        "vec_id", "embedding", 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == want)
+  }
+
+  test("streaming maintenance: the corpus tail keeps the index current " +
+      "without polling code") {
+    val (corpus, idx) = (tmp() + "/corpus", tmp() + "/idx")
+    val cp = tmp() + "/cp"
+    VersionedTable.create(spark, corpus, corpusDf(
+      vecs(7, 30, 6, 0.2).zipWithIndex.map { case (v, i) => (i.toLong, v) }))
+    IvfIndex.create(spark, corpus, "vec_id", "embedding", nlist = 2, idx)
+    val q = graft.streaming.Streams.maintainOnChanges(spark, corpus, cp)(
+      s => { IvfIndex.refresh(s, idx); () })
+    try {
+      q.processAllAvailable()
+      VersionedTable.append(spark, corpus, corpusDf(
+        vecs(8, 8, 6, 0.2).zipWithIndex.map { case (v, i) => (700L + i, v) }))
+      VersionedTable.deleteWhere(spark, corpus, $"vec_id" === 2L,
+        cdf = true)
+      q.processAllAvailable()
+      assert(IvfIndex.watermark(spark, idx) == 3L,
+        "the tail must have folded both churn versions")
+      val corpusNow = VersionedTable.read(spark, corpus)
+      val queries = corpusNow.filter($"vec_id" >= 700L)
+      val got = IvfIndex.probe(queries, idx, "vec_id", "embedding",
+        k = 2, nprobe = 2)
+        .select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+      val want = Similarity.bruteForceTopK(
+          queries.select($"vec_id", $"embedding"),
+          corpusNow.select($"vec_id", $"embedding"),
+          "vec_id", "embedding", 2)
+        .select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+}
