@@ -22,6 +22,58 @@ object ExtQueries extends QueryPack {
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
+  /** Shared churned-corpus + maintained-index fixture for q186/q187/
+    * q189 (the MvFixture discipline): embeddings and documents land as
+    * VersionedTables, each index is created at v1, then ONE
+    * deterministic churn timeline per corpus (append a %10==3 slice
+    * under shifted ids, CDF-delete %7==2, update %13==5 — the exact
+    * recipe the three oracles replay in SQL). The indexes are left
+    * UNREFRESHED: each query refreshes idempotently (batch id =
+    * corpus version) and pins its own invariants, so q186/q187/q189
+    * hold in ANY execution order and on JVM-shared reruns. Memoized
+    * per warehouse+dir. */
+  private object IdxFixture {
+    final case class P(emb: String, ivf: String, docTbl: String,
+        bm25: String)
+    private val cache =
+      scala.collection.concurrent.TrieMap.empty[String, P]
+
+    def get(s: SparkSession, dir: String): P = cache.getOrElseUpdate(
+      s"${s.conf.get("spark.sql.warehouse.dir")}|$dir", build(s, dir))
+
+    private def build(s: SparkSession, dir: String): P = {
+      import graft.sources.VersionedTable
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val whPath =
+        if (wh.startsWith("file:")) new java.net.URI(wh).getPath else wh
+      val base = new java.io.File(whPath,
+        s"graft_idxfix/${java.util.UUID.randomUUID()}").toString
+      val p = P(s"$base/emb", s"$base/ivf", s"$base/docs", s"$base/bm25")
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      VersionedTable.create(s, p.emb, e) // E v1
+      IvfIndex.create(s, p.emb, "vec_id", "embedding", nlist = 8, p.ivf)
+      VersionedTable.append(s, p.emb, e.filter(col("vec_id") % 10 === 3)
+        .select((col("vec_id") + lit(100000L)).as("vec_id"),
+          col("embedding"))) // E v2
+      VersionedTable.deleteWhere(s, p.emb, col("vec_id") % 7 === 2,
+        cdf = true) // E v3
+      VersionedTable.updateWhere(s, p.emb, col("vec_id") % 13 === 5,
+        Map("embedding" -> reverse(col("embedding"))), cdf = true) // E v4
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      VersionedTable.create(s, p.docTbl, d) // D v1
+      Bm25Index.create(s, p.docTbl, "doc_id", "text", p.bm25)
+      VersionedTable.append(s, p.docTbl, d.filter(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          col("text"))) // D v2
+      VersionedTable.deleteWhere(s, p.docTbl, col("doc_id") % 7 === 2,
+        cdf = true) // D v3
+      VersionedTable.updateWhere(s, p.docTbl, col("doc_id") % 13 === 5,
+        Map("text" -> concat(col("text"), lit(" spark spark"))),
+        cdf = true) // D v4
+      p
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q19_dedup_exact" -> { (s, dir) =>
@@ -1127,27 +1179,8 @@ object ExtQueries extends QueryPack {
     // exactly brute force (the q116 guarantee, now under churn).
     "q186_ivf_churn_maintain" -> { (s, dir) =>
       import graft.sources.VersionedTable
-      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
-      val wh = s.conf.get("spark.sql.warehouse.dir")
-      val whPath =
-        if (wh.startsWith("file:")) new java.net.URI(wh).getPath else wh
-      val root = new java.io.File(whPath, "graft_q186_corpus").toString
-      val idx = new java.io.File(whPath, "graft_q186_idx").toString
-      val hfs = new org.apache.hadoop.fs.Path(whPath)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      Seq(root, idx).foreach(p =>
-        hfs.delete(new org.apache.hadoop.fs.Path(p), true))
-      VersionedTable.create(s, root, e) // v1
-      IvfIndex.create(s, root, "vec_id", "embedding", nlist = 8, idx)
-      // deterministic churn, replayed by the oracle: grow, delete a
-      // slice, update a slice's vectors in place
-      VersionedTable.append(s, root, e.filter(col("vec_id") % 10 === 3)
-        .select((col("vec_id") + lit(100000L)).as("vec_id"),
-          col("embedding"))) // v2
-      VersionedTable.deleteWhere(s, root, col("vec_id") % 7 === 2,
-        cdf = true) // v3
-      VersionedTable.updateWhere(s, root, col("vec_id") % 13 === 5,
-        Map("embedding" -> reverse(col("embedding"))), cdf = true) // v4
+      val f = IdxFixture.get(s, dir) // shared churned corpora (builder)
+      val idx = f.ivf
       val lv = IvfIndex.refresh(s, idx)
       require(lv == 2L && IvfIndex.watermark(s, idx) == 4L,
         s"one atomic refresh commit carrying watermark 4, got " +
@@ -1160,7 +1193,7 @@ object ExtQueries extends QueryPack {
           s"$kept/$total")
       require(!IvfIndex.recommendRetrain(s, idx),
         "in-distribution churn must not trip the retrain signal")
-      val corpus = VersionedTable.read(s, root)
+      val corpus = VersionedTable.read(s, f.emb)
       val topk = IvfIndex.probe(corpus.filter(col("vec_id") < 20), idx,
         "vec_id", "embedding", k = 5, nprobe = 8)
       val w = org.apache.spark.sql.expressions.Window
@@ -1252,27 +1285,8 @@ object ExtQueries extends QueryPack {
     // recompute over the post-churn corpus — gating that maintained
     // stats score exactly like stats computed from scratch.
     "q187_bm25_incremental" -> { (s, dir) =>
-      import graft.sources.VersionedTable
-      val d = docs(s, dir).select(col("doc_id"), col("text"))
-      val wh = s.conf.get("spark.sql.warehouse.dir")
-      val whPath =
-        if (wh.startsWith("file:")) new java.net.URI(wh).getPath else wh
-      val corpus = new java.io.File(whPath, "graft_q187_corpus").toString
-      val idx = new java.io.File(whPath, "graft_q187_idx").toString
-      val hfs = new org.apache.hadoop.fs.Path(whPath)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      Seq(corpus, idx).foreach(p =>
-        hfs.delete(new org.apache.hadoop.fs.Path(p), true))
-      VersionedTable.create(s, corpus, d) // v1
-      Bm25Index.create(s, corpus, "doc_id", "text", idx)
-      VersionedTable.append(s, corpus, d.filter(col("doc_id") % 10 === 3)
-        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
-          col("text"))) // v2
-      VersionedTable.deleteWhere(s, corpus, col("doc_id") % 7 === 2,
-        cdf = true) // v3
-      VersionedTable.updateWhere(s, corpus, col("doc_id") % 13 === 5,
-        Map("text" -> concat(col("text"), lit(" spark spark"))),
-        cdf = true) // v4
+      val f = IdxFixture.get(s, dir) // shared churned corpora (builder)
+      val idx = f.bm25
       Bm25Index.refresh(s, idx)
       require(Bm25Index.watermark(s, idx) == 4L,
         "watermark must ride the postings commit")
@@ -1283,6 +1297,36 @@ object ExtQueries extends QueryPack {
           s"$kept/$total")
       Bm25Index.topN(s, idx, Seq("hash", "join", "spark"), 100)
         .orderBy(col("bm25").desc, col("doc_id"))
+    },
+
+    // Hybrid retrieval served ENTIRELY from maintained state — the
+    // production form of q175 (which recomputes both legs from
+    // scratch): after one churn timeline on each corpus, the lexical
+    // leg reads the incremental BM25 stats/postings (q187's machinery)
+    // and the vector leg full-probes the incrementally-maintained IVF
+    // index (q186's), RRF-fused exactly like q175. The oracle replays
+    // both churns, both from-scratch legs, and the fusion — gating
+    // that a retrieval stack maintained from change feeds answers
+    // exactly like one recomputed from the post-churn corpora.
+    "q189_hybrid_indexed" -> { (s, dir) =>
+      import graft.sources.VersionedTable
+      val f = IdxFixture.get(s, dir) // shared churned corpora (builder)
+      IvfIndex.refresh(s, f.ivf)
+      Bm25Index.refresh(s, f.bm25)
+      require(IvfIndex.watermark(s, f.ivf) == 4L &&
+        Bm25Index.watermark(s, f.bm25) == 4L,
+        "both maintained indexes must sit at their corpus heads")
+      val lex = Bm25Index.topN(s, f.bm25,
+        Seq("hash", "join", "spark"), 100)
+      val emb = VersionedTable.read(s, f.emb)
+      // query vector: post-churn embedding of vec 42 (survives the
+      // churn untouched: 42 % 7 != 2, 42 % 13 != 5)
+      val vec = IvfIndex.probe(emb.filter(col("vec_id") === 42L),
+          f.ivf, "vec_id", "embedding", k = 100, nprobe = 8)
+        .select(col("neighbor_id").as("doc_id"),
+          round(col("cosine_sim"), 6).as("cos"))
+      Similarity.rrfFuse(Seq(lex -> "bm25", vec -> "cos"), "doc_id",
+        topN = 50)
     },
 
     // PCA / whitening over the embedding corpus — the decorrelate-
@@ -2261,6 +2305,63 @@ object ExtQueries extends QueryPack {
         |SELECT doc_id, source, lang, CAST(sample_rank AS INT) AS sample_rank
         |FROM r WHERE sample_rank <= 30
         |ORDER BY source, sample_rank""".stripMargin,
+    "q189_hybrid_indexed" ->
+      """WITH dbase AS (SELECT doc_id, text FROM documents),
+        |dgrown AS (SELECT doc_id, text FROM dbase
+        |  UNION ALL SELECT doc_id + 1000000, text FROM dbase
+        |  WHERE doc_id % 10 = 3),
+        |dalive AS (SELECT doc_id, text FROM dgrown WHERE doc_id % 7 <> 2),
+        |dcorpus AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 5 THEN text || ' spark spark'
+        |         ELSE text END AS text
+        |  FROM dalive),
+        |tk AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS t
+        |  FROM dcorpus),
+        |st AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(len(t)) AS DOUBLE) / COUNT(*) AS avgdl FROM tk),
+        |q AS (SELECT unnest(['hash', 'join', 'spark']) AS term),
+        |dfq AS (SELECT q.term,
+        |    (SELECT COUNT(*) FROM tk WHERE list_contains(tk.t, q.term))
+        |      AS dfc FROM q),
+        |sc AS (SELECT tk.doc_id,
+        |    round(SUM(
+        |      ln((st.n - dfq.dfc + 0.5) / (dfq.dfc + 0.5) + 1.0)
+        |      * len(list_filter(tk.t, x -> x = dfq.term)) * 2.2
+        |      / (len(list_filter(tk.t, x -> x = dfq.term))
+        |         + 1.2 * (0.25 + 0.75 * len(tk.t) / st.avgdl))), 6)
+        |      AS bm25
+        |  FROM tk CROSS JOIN dfq CROSS JOIN st
+        |  GROUP BY tk.doc_id),
+        |lex AS (SELECT doc_id, bm25 FROM sc WHERE bm25 > 0
+        |  ORDER BY bm25 DESC, doc_id LIMIT 100),
+        |lexr AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+        |    ORDER BY bm25 DESC, doc_id) AS INT) AS rank_1 FROM lex),
+        |ebase AS (SELECT vec_id, embedding FROM embeddings),
+        |egrown AS (SELECT vec_id, embedding FROM ebase
+        |  UNION ALL SELECT vec_id + 100000, embedding FROM ebase
+        |  WHERE vec_id % 10 = 3),
+        |ealive AS (SELECT vec_id, embedding FROM egrown
+        |  WHERE vec_id % 7 <> 2),
+        |ecorpus AS (SELECT vec_id,
+        |    CAST(CASE WHEN vec_id % 13 = 5 THEN list_reverse(embedding)
+        |         ELSE embedding END AS DOUBLE[]) AS v
+        |  FROM ealive),
+        |vec AS (SELECT c.vec_id AS doc_id,
+        |    list_cosine_similarity(c.v,
+        |      (SELECT v FROM ecorpus WHERE vec_id = 42)) AS rawcs
+        |  FROM ecorpus c WHERE c.vec_id <> 42
+        |  ORDER BY rawcs DESC, doc_id LIMIT 100),
+        |vecr AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+        |    ORDER BY round(rawcs, 6) DESC, doc_id) AS INT) AS rank_2
+        |  FROM vec),
+        |fu AS (SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+        |    l.rank_1, v.rank_2,
+        |    round(COALESCE(1.0 / (60 + l.rank_1), 0)
+        |        + COALESCE(1.0 / (60 + v.rank_2), 0), 9) AS rrf_score
+        |  FROM lexr l FULL JOIN vecr v ON l.doc_id = v.doc_id)
+        |SELECT doc_id, rank_1, rank_2, rrf_score FROM fu
+        |ORDER BY rrf_score DESC, doc_id LIMIT 50""".stripMargin,
     "q188_pca_reduce_recall" ->
       """WITH ix AS (SELECT vec_id,
         |    unnest(CAST(embedding AS DOUBLE[])) AS x,
