@@ -47,6 +47,11 @@ object IvfIndex {
   private val BuildNKey = "ivf.build_n"
   private val ChurnSimSumKey = "ivf.churn_sim_sum"
   private val ChurnNKey = "ivf.churn_n"
+  // each build generation's quantizer lives in its own immutable dir,
+  // NAMED BY the lists manifest meta — a time-travel probe at any
+  // lists version pairs with exactly the quantizer that version was
+  // assigned against, across any number of rebuilds
+  private val CentroidsDirKey = "ivf.centroids_dir"
 
   private def listsRoot(path: String) = s"$path/lists"
 
@@ -71,9 +76,10 @@ object IvfIndex {
       .drop("_best")
   }
 
-  private def readCentroids(spark: SparkSession,
-      path: String): Seq[Seq[Double]] =
-    spark.read.parquet(s"$path/centroids")
+  private def readCentroids(spark: SparkSession, path: String,
+      meta: Map[String, String]): Seq[Seq[Double]] =
+    spark.read.parquet(
+        s"$path/${meta.getOrElse(CentroidsDirKey, "centroids")}")
       .orderBy("centroid_id").collect()
       .map(_.getSeq[Number](1).map(_.doubleValue()).toSeq).toSeq
 
@@ -101,6 +107,18 @@ object IvfIndex {
   def create(spark: SparkSession, corpusRoot: String, idCol: String,
       vecCol: String, nlist: Int, path: String,
       trainIters: Int = 0): Long = {
+    val (lists, meta) =
+      buildState(spark, corpusRoot, idCol, vecCol, nlist, path, trainIters)
+    VersionedTable.create(spark, listsRoot(path), lists, meta = meta)
+  }
+
+  /** One build generation: train/sample the quantizer into a FRESH
+    * immutable dir, assign the corpus (one map-only scan), return the
+    * clustered lists + the full meta (which NAMES the quantizer dir —
+    * the time-travel pairing). Shared by [[create]] and [[rebuild]]. */
+  private def buildState(spark: SparkSession, corpusRoot: String,
+      idCol: String, vecCol: String, nlist: Int, path: String,
+      trainIters: Int): (DataFrame, Map[String, String]) = {
     require(nlist > 0, s"need nlist > 0, got $nlist")
     val cv = VersionedTable.currentVersion(spark, corpusRoot).getOrElse(
       throw new IllegalArgumentException(s"$corpusRoot: no versioned table"))
@@ -113,23 +131,25 @@ object IvfIndex {
           trainIters)
       else Similarity.sampleCentroids(corpus, "neighbor_id", "nv", nlist)
     import spark.implicits._
+    val cdir =
+      s"centroids_${java.util.UUID.randomUUID().toString.take(8)}"
     centroids.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("centroid_id", "weights")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/$cdir")
     val assigned = assignWithSim(corpus, "nv", centroids)
     // build-quality baseline: mean assignment cosine over the corpus
     // (one extra map-only pass; the drift metric's denominator)
     val base = assigned.agg(sum(col("assign_sim")).as("s"),
       count(lit(1)).as("n")).head()
     val (simSum, n) = (base.getDouble(0), base.getLong(1))
-    VersionedTable.create(spark, listsRoot(path), clustered(assigned, nlist),
-      meta = Map(
-        CorpusKey -> corpusRoot,
-        WatermarkKey -> cv.toString,
-        NlistKey -> nlist.toString,
-        IdKey -> idCol, VecKey -> vecCol,
-        BuildSimSumKey -> simSum.toString, BuildNKey -> n.toString,
-        ChurnSimSumKey -> "0.0", ChurnNKey -> "0"))
+    (clustered(assigned, nlist), Map(
+      CorpusKey -> corpusRoot,
+      WatermarkKey -> cv.toString,
+      NlistKey -> nlist.toString,
+      IdKey -> idCol, VecKey -> vecCol,
+      CentroidsDirKey -> cdir,
+      BuildSimSumKey -> simSum.toString, BuildNKey -> n.toString,
+      ChurnSimSumKey -> "0.0", ChurnNKey -> "0"))
   }
 
   /** Apply the corpus change feed (watermark, current] to the posting
@@ -154,7 +174,7 @@ object IvfIndex {
       throw new IllegalArgumentException(s"$corpusRoot: corpus is gone"))
     if (cv <= wm) return lv
     val (idCol, vecCol) = (meta(IdKey), meta(VecKey))
-    val centroids = readCentroids(spark, path)
+    val centroids = readCentroids(spark, path, meta)
     // the feed is delta-sized; it drives the delete-assign, the
     // insert-assign, AND the drift aggregate — pin it once
     val ch = VersionedTable.readChanges(spark, corpusRoot, wm, Some(cv))
@@ -202,9 +222,14 @@ object IvfIndex {
     * nlist`) ≡ brute force over the corpus version the watermark
     * pins. */
   def probe(queries: DataFrame, path: String, idCol: String,
-      vecCol: String, k: Int, nprobe: Int): DataFrame = {
+      vecCol: String, k: Int, nprobe: Int,
+      version: Option[Long] = None): DataFrame = {
     val spark = queries.sparkSession
-    val centroids = readCentroids(spark, path)
+    // `version` = lists-table TIME TRAVEL: the manifest meta at that
+    // version names the quantizer generation its rows were assigned
+    // against, so an as-of probe stays exact across rebuilds
+    val meta = VersionedTable.metaOf(spark, listsRoot(path), version)
+    val centroids = readCentroids(spark, path, meta)
     require(nprobe > 0 && nprobe <= centroids.size,
       s"need 0 < nprobe <= ${centroids.size}, got $nprobe")
     val probes = Similarity.nearestCentroids(
@@ -213,7 +238,7 @@ object IvfIndex {
     val probed = probes.select("centroid_id").distinct()
       .collect().map(_.getInt(0)).sorted // nlist-bounded driver set
     val lists = VersionedTable.readWhere(spark, listsRoot(path),
-      col("centroid_id").isin(probed.map(Integer.valueOf): _*))
+      col("centroid_id").isin(probed.map(Integer.valueOf): _*), version)
     val scored = probes.join(lists, Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -231,9 +256,10 @@ object IvfIndex {
     * of `centroidIds` — the audit that the clustered layout actually
     * skips unprobed lists' files. */
   def pruneAudit(spark: SparkSession, path: String,
-      centroidIds: Seq[Int]): (Int, Int) =
+      centroidIds: Seq[Int], version: Option[Long] = None): (Int, Int) =
     VersionedTable.pruneProfile(spark, listsRoot(path),
-      col("centroid_id").isin(centroidIds.map(Integer.valueOf): _*))
+      col("centroid_id").isin(centroidIds.map(Integer.valueOf): _*),
+      version)
 
   /** Assignment-quality drift: (build-time mean assignment cosine,
     * post-build inserts' mean, post-build insert count). A falling
@@ -258,20 +284,29 @@ object IvfIndex {
     churnN > 0 && buildMean - churnMean > tolerance
   }
 
-  /** Deliberate full retrain: rebuild quantizer + lists from the
-    * corpus' CURRENT version with the same nlist, resetting the drift
-    * counters. The explicit answer to [[recommendRetrain]] — refresh
-    * never does this implicitly. */
+  /** Deliberate full retrain: a NEW quantizer generation + fresh
+    * lists from the corpus' CURRENT version with the same nlist,
+    * committed as a [[VersionedTable.replace]] — drift counters
+    * reset, watermark jumps to the corpus head, and EVERY prior lists
+    * version stays time-travelable with ITS OWN quantizer
+    * ([[probe]]'s `version` pairs them through the manifest meta).
+    * The explicit answer to [[recommendRetrain]] — refresh never does
+    * this implicitly. Returns the new lists version. */
   def rebuild(spark: SparkSession, path: String,
       trainIters: Int = 0): Long = {
-    val root = listsRoot(path)
-    val meta = VersionedTable.metaOf(spark, root)
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(root), true)
-    create(spark, meta(CorpusKey), meta(IdKey), meta(VecKey),
-      meta(NlistKey).toInt, path, trainIters)
+    val meta0 = VersionedTable.metaOf(spark, listsRoot(path))
+    val (lists, meta) = buildState(spark, meta0(CorpusKey),
+      meta0(IdKey), meta0(VecKey), meta0(NlistKey).toInt, path,
+      trainIters)
+    VersionedTable.replace(spark, listsRoot(path), lists, meta = meta)
   }
+
+  /** The quantizer generation a lists version was assigned against:
+    * centroid_id → weights, in id order. `version` time-travels. */
+  def centroidsOf(spark: SparkSession, path: String,
+      version: Option[Long] = None): Seq[Seq[Double]] =
+    readCentroids(spark, path,
+      VersionedTable.metaOf(spark, listsRoot(path), version))
 
   /** The corpus version the lists reflect. */
   def watermark(spark: SparkSession, path: String): Long =

@@ -785,6 +785,24 @@ object VersionedTable {
       writeData(spark, root, df), meta = meta, op = "CREATE")
   }
 
+  /** CREATE OR REPLACE semantics: the next version holds exactly `df`
+    * with `meta` REPLACING the previous meta (a rebuild's watermark /
+    * definition reset must not inherit stale keys), schema changes
+    * allowed. Prior versions stay time-travelable until [[vacuum]];
+    * change-feed consumers refuse to cross a replace, loudly (every
+    * file is rewritten without row-level capture) — a replace is a
+    * new table generation, not a delta. */
+  def replace(spark: SparkSession, root: String, df: DataFrame,
+      meta: Map[String, String] = Map.empty): Long = {
+    val base = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"$root: no versioned table to replace — use create"))
+    val m = readManifest(spark, root, base)
+    commit(spark, root, base, nullableSchema(df.schema),
+      writeData(spark, root, df), meta = meta, op = "REPLACE",
+      baseM = Some(m))
+  }
+
   /** The snapshot a reader pins: resolve the manifest once, scan only
     * its files. `version = None` → latest; `Some(v)` → time travel. */
   def read(spark: SparkSession, root: String,

@@ -113,10 +113,7 @@ class IvfIndexSpec extends AnyFunSuite {
     // the delete victim is one of its current members, and the keyed
     // rewrite's range box then covers just that centroid
     val target = before.keySet.max
-    val targetW = spark.read.parquet(s"$idx/centroids")
-      .filter(col("centroid_id") === target)
-      .select("weights").head().getSeq[Number](0)
-      .map(_.doubleValue()).toArray
+    val targetW = IvfIndex.centroidsOf(spark, idx)(target).toArray
     val victim = VersionedTable.read(spark, lists)
       .filter(col("centroid_id") === target)
       .select("neighbor_id").as[Long].head()
@@ -150,6 +147,48 @@ class IvfIndexSpec extends AnyFunSuite {
     val (kept, total) = IvfIndex.pruneAudit(spark, idx, Seq(1))
     assert(kept < total && kept >= 1,
       s"one-centroid probe must prune files: kept=$kept total=$total")
+  }
+
+  test("time-travel probes: an as-of probe answers from that version's " +
+      "corpus AND its own quantizer generation, across a rebuild") {
+    val (root, idx) = (tmp() + "/corpus", tmp() + "/idx")
+    val dim = 6
+    val base = vecs(21, 30, dim, Array.fill(dim)(1.0), 0.2)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    VersionedTable.create(spark, root, corpusDf(base)) // corpus v1
+    IvfIndex.create(spark, root, "vec_id", "embedding", nlist = 3, idx)
+    // churn + refresh => lists v2 reflects corpus v3
+    VersionedTable.append(spark, root, corpusDf(
+      vecs(22, 8, dim, Array.fill(dim)(1.0), 0.2)
+        .zipWithIndex.map { case (v, i) => (300L + i, v) })) // v2
+    VersionedTable.deleteWhere(spark, root, col("vec_id") === 4L,
+      cdf = true) // v3
+    IvfIndex.refresh(spark, idx)
+    // retrain => lists v3, a NEW quantizer generation
+    IvfIndex.rebuild(spark, idx)
+    assert(VersionedTable.currentVersion(spark, s"$idx/lists")
+      .contains(3L), "rebuild must be a REPLACE version, not a wipe")
+    def probeAt(lv: Option[Long], corpusV: Long): Unit = {
+      val corpus = VersionedTable.read(spark, root, Some(corpusV))
+      val queries = corpus.filter(col("vec_id") < 6)
+      val got = IvfIndex.probe(queries, idx, "vec_id", "embedding",
+        k = 3, nprobe = 3, version = lv)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == brute(corpus, queries, 3),
+        s"as-of probe at lists $lv must equal brute force at corpus " +
+          s"$corpusV")
+    }
+    probeAt(Some(1L), 1L) // the build snapshot, original quantizer
+    probeAt(Some(2L), 3L) // post-churn, original quantizer
+    probeAt(None, 3L) // current = the rebuilt generation
+    // and the maintained lane keeps working after the replace rebuild
+    VersionedTable.append(spark, root, corpusDf(
+      vecs(23, 4, dim, Array.fill(dim)(1.0), 0.2)
+        .zipWithIndex.map { case (v, i) => (400L + i, v) })) // v4
+    IvfIndex.refresh(spark, idx)
+    assert(IvfIndex.watermark(spark, idx) == 4L)
+    probeAt(None, 4L)
   }
 
   test("drift: out-of-distribution inserts push the churn mean down " +

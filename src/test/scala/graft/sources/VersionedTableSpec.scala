@@ -33,6 +33,33 @@ class VersionedTableSpec extends AnyFunSuite {
       Set((1, "a", 10L), (2, "b", 20L)))
   }
 
+  test("replace: CREATE OR REPLACE — fresh meta and schema, history " +
+      "time-travels, change feeds refuse to cross") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, dim((1, "a", 10L)),
+      meta = Map("gen" -> "1", "old_key" -> "x"))
+    VersionedTable.append(spark, root, dim((2, "b", 20L)))
+    // replace with a DIFFERENT schema and wholly new meta
+    val v = VersionedTable.replace(spark, root,
+      Seq((7L, 0.5)).toDF("id", "score"), meta = Map("gen" -> "2"))
+    assert(v == 3L)
+    val now = VersionedTable.read(spark, root)
+    assert(now.columns.toSeq == Seq("id", "score") && now.count() == 1)
+    val meta = VersionedTable.metaOf(spark, root)
+    assert(meta("gen") == "2" && !meta.contains("old_key"),
+      "replace must RESET the meta, not merge stale keys")
+    // prior generations stay time-travelable
+    assert(rowsOf(VersionedTable.read(spark, root, Some(2L))) ==
+      Set((1, "a", 10L), (2, "b", 20L)))
+    // a feed crossing the replace refuses loudly — a replace is a new
+    // table generation, not a delta
+    val e = intercept[IllegalStateException](
+      VersionedTable.readChanges(spark, root, 1L).collect())
+    assert(e.getMessage.contains("without change capture"))
+    // a fresh consumer attaching AT the replace reads it as inserts
+    assert(VersionedTable.readChanges(spark, root, 3L).isEmpty)
+  }
+
   test("merge updates matched, inserts unmatched, and time travel keeps v1") {
     val root = freshRoot()
     VersionedTable.create(spark, root, dim((1, "a", 10L), (2, "b", 20L)))
