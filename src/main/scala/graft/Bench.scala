@@ -128,6 +128,18 @@ object Bench {
       "SPARK_GRAFT_REF", "bench/idle_reference.json"))
     val healOn = !sys.env.get("SPARK_GRAFT_NOHEAL").contains("1") &&
       refSf.nonEmpty && sfDir.contains(refSf)
+    // memoized-fixture queries are EXEMPT from healing: their first
+    // run legitimately pays the shared fixture build (the MvFixture /
+    // IdxFixture accounting — the build bills to the family member
+    // that runs first), so a slow first timing is the honest cost and
+    // a re-run would measure the memoized remainder and silently HIDE
+    // the build from the total (observed: q186 27s build re-ran to
+    // 1.1s). Ambient write-path bimodality, the thing healing exists
+    // for, never involves a memoized first pass.
+    val fixtureFed = Set(
+      "q178_materialized_join_view", "q180_materialized_distinct",
+      "q181_materialized_cascade", "q186_ivf_churn_maintain",
+      "q187_bm25_incremental", "q189_hybrid_indexed")
     // untimed passes until the probes reach JIT steady state (two
     // consecutive passes within 20%, max 5): ONE warmup pass was not
     // enough — the first timed probes then measure C2 compilation,
@@ -166,7 +178,7 @@ object Bench {
         // timing re-runs (min of runs is the code's cost); reruns ride
         // the JSON so the round report needs no prose disclaimer
         val healedTiming = timing.map { t =>
-          if (!healOn) t
+          if (!healOn || fixtureFed(name)) t
           else {
             val (best, n) = healed(t, reference.get(name)) { () =>
               val r0 = System.nanoTime()
