@@ -164,14 +164,59 @@ object Bm25Index {
     * score zero there and are absent here, so equivalence holds on
     * every positive-score rank. */
   def topN(spark: SparkSession, root: String, queryTerms: Seq[String],
-      topN: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      topN: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    scoreAt(spark, root, queryTerms, topN, k1, b, None, None, None, None)
+
+  /** [[topN]] AS OF a past corpus version: every leg time-travels to
+    * the snapshot consistent with that version — postings/doclens to
+    * their latest commits whose corpus watermark is ≤ it (each commit
+    * records the corpus version it applied), and the stats views to
+    * the refreshes that reflect exactly those table versions (their
+    * batch watermark IS the base version applied). Answers from the
+    * latest index state at-or-before the asked version; at refresh
+    * boundaries that is exactly the from-scratch BM25 over the
+    * historical corpus. O(index versions) metadata walks + the same
+    * term-pruned scan as [[topN]]. */
+  def topNAsOf(spark: SparkSession, root: String,
+      queryTerms: Seq[String], topN: Int, corpusVersion: Long,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val pV = versionAt(spark, postingsRoot(root), WatermarkKey,
+      corpusVersion)
+    val dV = versionAt(spark, doclensRoot(root), WatermarkKey,
+      corpusVersion)
+    val mvWm = "stream.mv_refresh.batch" // MaterializedView's watermark
+    val dfV = versionAt(spark, dfRoot(root), mvWm, pV)
+    val gV = versionAt(spark, globalRoot(root), mvWm, dV)
+    scoreAt(spark, root, queryTerms, topN, k1, b,
+      Some(pV), Some(dV), Some(dfV), Some(gV))
+  }
+
+  /** Latest version of `root` whose `key` meta is ≤ `target` — the
+    * watermark walk behind [[topNAsOf]] (metadata reads only). */
+  private def versionAt(spark: SparkSession, root: String, key: String,
+      target: Long): Long = {
+    var v = VersionedTable.currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root: no versioned table"))
+    while (v > 1 &&
+        VersionedTable.metaOf(spark, root, Some(v))(key).toLong > target)
+      v -= 1
+    require(VersionedTable.metaOf(spark, root, Some(v))(key).toLong
+        <= target,
+      s"$root has no version at or before watermark $target")
+    v
+  }
+
+  private def scoreAt(spark: SparkSession, root: String,
+      queryTerms: Seq[String], topN: Int, k1: Double, b: Double,
+      pV: Option[Long], dV: Option[Long], dfV: Option[Long],
+      gV: Option[Long]): DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
     require(topN > 0, s"topN must be positive: $topN")
-    val dfs = MaterializedView.read(spark, dfRoot(root))
+    val dfs = MaterializedView.read(spark, dfRoot(root), dfV)
       .filter(col("term").isin(queryTerms: _*))
       .select("term", "cnt").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val g = MaterializedView.read(spark, globalRoot(root))
+    val g = MaterializedView.read(spark, globalRoot(root), gV)
       .select("cnt", "sum_dl").head()
     val n = g.getLong(0)
     require(n > 0, "bm25 over an empty corpus")
@@ -181,8 +226,8 @@ object Bm25Index {
       t -> math.log((n - dfc + 0.5) / (dfc + 0.5) + 1.0)
     }.toMap
     val cands = VersionedTable.readWhere(spark, postingsRoot(root),
-      col("term").isin(queryTerms: _*))
-    val dls = VersionedTable.read(spark, doclensRoot(root))
+      col("term").isin(queryTerms: _*), pV)
+    val dls = VersionedTable.read(spark, doclensRoot(root), dV)
       .select("doc_id", "dl")
     val idfCol = coalesce(queryTerms.map(t =>
       when(col("term") === t, lit(idf(t)))): _*)

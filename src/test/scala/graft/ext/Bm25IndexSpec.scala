@@ -72,6 +72,43 @@ class Bm25IndexSpec extends AnyFunSuite {
     assert(Bm25Index.refresh(spark, root) == v)
   }
 
+  test("topNAsOf: historical queries answer from the snapshot " +
+      "consistent with that corpus version, across later churn") {
+    val (corpus, root) = (tmp() + "/corpus", tmp() + "/idx")
+    VersionedTable.create(spark, corpus, docsDf(
+      (1L, "spark joins data"), (2L, "hash join spark"),
+      (3L, "data lakes"))) // corpus v1
+    Bm25Index.create(spark, corpus, "doc_id", "text", root, nParts = 4)
+    // epoch 2: churn + refresh
+    VersionedTable.append(spark, corpus, docsDf(
+      (4L, "spark spark everywhere"))) // v2
+    VersionedTable.deleteWhere(spark, corpus, $"doc_id" === 2L,
+      cdf = true) // v3
+    Bm25Index.refresh(spark, root)
+    // epoch 3: more churn + refresh
+    VersionedTable.updateWhere(spark, corpus, $"doc_id" === 1L,
+      Map("text" -> lit("plain prose now")), cdf = true) // v4
+    Bm25Index.refresh(spark, root)
+    def want(v: Long) = TextAnalysis.bm25TopN(
+        VersionedTable.read(spark, corpus, Some(v)),
+        "doc_id", "text", Seq("spark", "hash"), 5)
+      .as[(Long, Double)].collect().toSeq.filter(_._2 > 0)
+    def got(v: Long) = Bm25Index.topNAsOf(spark, root,
+        Seq("spark", "hash"), 5, corpusVersion = v)
+      .as[(Long, Double)].collect().toSeq
+    // each refresh boundary answers exactly the historical recompute
+    assert(got(1L) == want(1L), s"${got(1L)} vs ${want(1L)} at v1")
+    assert(got(3L) == want(3L), s"${got(3L)} vs ${want(3L)} at v3")
+    assert(got(4L) == want(4L), s"${got(4L)} vs ${want(4L)} at v4")
+    // a corpus version BETWEEN refreshes answers from the latest
+    // index state at-or-before it (v2 was folded together with v3)
+    assert(got(2L) == want(1L),
+      "between refreshes the as-of answer is the prior index state")
+    // current-path equivalence: asOf(head) == topN
+    assert(got(4L) == Bm25Index.topN(spark, root, Seq("spark", "hash"), 5)
+      .as[(Long, Double)].collect().toSeq)
+  }
+
   test("query-term scans file-prune the postings; missing terms score " +
       "through df = 0") {
     val (corpus, root) = (tmp() + "/corpus", tmp() + "/idx")
