@@ -250,7 +250,13 @@ object Bench {
     val reruns = rerunsTaken.toSeq.sortBy(_._1)
       .map { case (k, n) => "\"" + k.takeWhile(_ != '_') + "\":" + n }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$shortQs,"failed":$failed,"reruns":$reruns,"canary":$canary,"contended":$contended,"contention_ratio":${fmt(contentionRatio)},"sf":"$sfDir"}""")
+    // which timed rows carry a shared fixture build (the first family
+    // member in run order pays it) — so no round re-diagnoses the
+    // absorption from scratch (r15 verdict item 4)
+    val fixtureFedJson = toRun.map(_._1).filter(fixtureFed)
+      .map(k => "\"" + k.takeWhile(_ != '_') + "\"")
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$shortQs,"failed":$failed,"reruns":$reruns,"fixture_fed":$fixtureFedJson,"canary":$canary,"contended":$contended,"contention_ratio":${fmt(contentionRatio)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
