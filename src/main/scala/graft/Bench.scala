@@ -126,8 +126,10 @@ object Bench {
     // sf0.1 numbers); SPARK_GRAFT_NOHEAL=1 disables outright
     val (refSf, reference) = loadReference(sys.env.getOrElse(
       "SPARK_GRAFT_REF", "bench/idle_reference.json"))
+    // path-SEGMENT match, not substring: sf0.15 must not bind sf0.1's
+    // reference (nor sf10 bind sf1's)
     val healOn = !sys.env.get("SPARK_GRAFT_NOHEAL").contains("1") &&
-      refSf.nonEmpty && sfDir.contains(refSf)
+      refSf.nonEmpty && sfDir.split('/').contains(refSf)
     // memoized-fixture queries are EXEMPT from healing: their first
     // run legitimately pays the shared fixture build (the MvFixture /
     // IdxFixture accounting — the build bills to the family member
@@ -181,10 +183,19 @@ object Bench {
           if (!healOn || fixtureFed(name)) t
           else {
             val (best, n) = healed(t, reference.get(name)) { () =>
-              val r0 = System.nanoTime()
-              try { evalAll(fn(spark, sfDir)) }
-              finally spark.catalog.clearCache()
-              (System.nanoTime() - r0) / 1e9
+              // a FAILED re-run must never lose the whole run's JSON:
+              // keep the first pass's timing (MaxValue loses the min)
+              // and let the budget bound further attempts
+              try {
+                val r0 = System.nanoTime()
+                try { evalAll(fn(spark, sfDir)) }
+                finally spark.catalog.clearCache()
+                (System.nanoTime() - r0) / 1e9
+              } catch { case e: Throwable =>
+                System.err.println(s"[bench] heal re-run of $name " +
+                  s"failed: ${e.getClass.getName}: ${e.getMessage}")
+                Double.MaxValue
+              }
             }
             if (n > 0) rerunsTaken(name) = n
             best

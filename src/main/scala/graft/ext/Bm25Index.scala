@@ -46,6 +46,7 @@ object Bm25Index {
   private val WatermarkKey = "bm25.watermark"
   private val IdKey = "bm25.id_col"
   private val TextKey = "bm25.text_col"
+  private val NPartsKey = "bm25.nparts"
 
   private def postingsRoot(root: String) = s"$root/postings"
   private def doclensRoot(root: String) = s"$root/doclens"
@@ -85,7 +86,7 @@ object Bm25Index {
     val docs = VersionedTable.read(spark, corpusRoot, Some(cv))
       .filter(col(textCol).isNotNull)
     val meta = Map(CorpusKey -> corpusRoot, WatermarkKey -> cv.toString,
-      IdKey -> idCol, TextKey -> textCol)
+      IdKey -> idCol, TextKey -> textCol, NPartsKey -> nParts.toString)
     val v = VersionedTable.create(spark, postingsRoot(root),
       clustered(postingsOf(docs, idCol, textCol), nParts), meta = meta)
     VersionedTable.create(spark, doclensRoot(root),
@@ -137,7 +138,11 @@ object Bm25Index {
         .filter(col("_rn") === 1 && col("_change_type") === "insert")
         .drop("_rn")
       VersionedTable.streamingApply(spark, pRoot,
-        inserts = clustered(postingsOf(ins, idCol, textCol), 16),
+        // the create-time partition count: a delta clustered coarser
+        // than the build layout would smear the term ranges and erode
+        // the prune over time (16 = pre-NPartsKey legacy indexes)
+        inserts = clustered(postingsOf(ins, idCol, textCol),
+          meta.get(NPartsKey).fold(16)(_.toInt)),
         deleteKeys = postingsOf(pre, idCol, textCol)
           .select("term", "doc_id").dropDuplicates(),
         keys = Seq("term", "doc_id"),
@@ -184,7 +189,7 @@ object Bm25Index {
       corpusVersion)
     val dV = versionAt(spark, doclensRoot(root), WatermarkKey,
       corpusVersion)
-    val mvWm = "stream.mv_refresh.batch" // MaterializedView's watermark
+    val mvWm = MaterializedView.batchWatermarkKey
     val dfV = versionAt(spark, dfRoot(root), mvWm, pV)
     val gV = versionAt(spark, globalRoot(root), mvWm, dV)
     scoreAt(spark, root, queryTerms, topN, k1, b,
@@ -216,10 +221,14 @@ object Bm25Index {
       .filter(col("term").isin(queryTerms: _*))
       .select("term", "cnt").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val g = MaterializedView.read(spark, globalRoot(root), gV)
-      .select("cnt", "sum_dl").head()
+    val g0 = MaterializedView.read(spark, globalRoot(root), gV)
+      .select("cnt", "sum_dl").take(1)
+    // an emptied corpus DELETES the 'one' group from the view — the
+    // empty-frame case and cnt = 0 both mean the same thing
+    require(g0.nonEmpty && g0.head.getLong(0) > 0,
+      "bm25 over an empty corpus")
+    val g = g0.head
     val n = g.getLong(0)
-    require(n > 0, "bm25 over an empty corpus")
     val avgdl = g.getLong(1).toDouble / n.toDouble
     val idf = queryTerms.map { t =>
       val dfc = dfs.getOrElse(t, 0L)

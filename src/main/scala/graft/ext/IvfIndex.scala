@@ -249,6 +249,10 @@ object IvfIndex {
       .filter(col("rank") <= k).persist()
     ranked.count() // materialize while probes is cached, then release
     probes.unpersist()
+    // the returned frame stays persisted (k·|queries| rows — bounded
+    // by construction); a long-lived caller issuing many probes should
+    // unpersist each result when done, exactly like
+    // [[Similarity.probeIvfIndex]]'s documented contract
     ranked
   }
 

@@ -112,6 +112,12 @@ object MaterializedView {
     * manifest. */
   private val Query = "mv_refresh"
   private val WatermarkKey = s"stream.$Query.batch"
+
+  /** The manifest meta key carrying a view's applied base version —
+    * for consumers (e.g. [[graft.ext.Bm25Index]]'s as-of walks) that
+    * align a view's history with its base's; exposing it keeps the
+    * derivation (`stream.<query>.batch`) in ONE place. */
+  val batchWatermarkKey: String = WatermarkKey
   private val KeysKey = "mv.keys"
   private val SumsKey = "mv.sums"
   private val JoinKeysKey = "mv.join_keys"
@@ -834,17 +840,26 @@ object MaterializedView {
       else {
         // concurrent same-level refreshes: safe because commits are
         // OCC'd per view root (expectMeta + StaleRefresh retry) and a
-        // SparkSession is thread-safe for independent jobs; a failure
-        // in any refresh propagates after the pool drains
+        // SparkSession is thread-safe for independent jobs. Every
+        // future is awaited to COMPLETION (Try-wrapped, so no
+        // fail-fast) before any failure rethrows — the caller must
+        // never observe refreshAll "done" while sibling refreshes are
+        // still committing in background threads.
         val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
         implicit val ec: scala.concurrent.ExecutionContext =
           scala.concurrent.ExecutionContext.fromExecutorService(pool)
         try {
-          val fs = vs.map(v => scala.concurrent.Future(v -> one(v)))
-          scala.concurrent.Await
-            .result(scala.concurrent.Future.sequence(fs),
-              scala.concurrent.duration.Duration.Inf)
-            .foreach { case (v, ver) => out(v) = ver }
+          val fs = vs.map(v => scala.concurrent.Future(v -> one(v))
+            .transform(scala.util.Success(_)))
+          val settled = scala.concurrent.Await.result(
+            scala.concurrent.Future.sequence(fs),
+            scala.concurrent.duration.Duration.Inf)
+          settled.foreach {
+            case scala.util.Success((v, ver)) => out(v) = ver
+            case _ =>
+          }
+          settled.collectFirst { case scala.util.Failure(e) => e }
+            .foreach(throw _)
         } finally { pool.shutdown(); () }
       }
     }

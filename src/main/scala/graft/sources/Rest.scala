@@ -60,7 +60,11 @@ trait RestTransport {
   *    capped), 5xx retries on a bounded exponential backoff budget
   *    (`maxRetries`/`retryBaseMs`), 3xx `Location` redirects are
   *    followed manually with a `maxRedirects` bound (a loop throws).
-  *    Other non-2xx statuses fail immediately.
+  *    Other non-2xx statuses fail immediately. Redirect hygiene: a
+  *    non-http(s) target refuses (IOException, never openConnection),
+  *    and the configured headers — credentials — are sent ONLY to the
+  *    original (scheme, host, port) origin; a cross-origin hop gets a
+  *    bare request.
   *  - https: the JVM default trust store applies; `sslContext`
   *    overrides it for private CAs / test certs (RestSpec drives a
   *    live TLS handshake against a loopback HttpsServer with a
@@ -117,7 +121,18 @@ class HttpTransport(headers: Map[String, String] = Map.empty,
   private case class Retryable(status: Int, afterMs: Option[Long],
       snippet: String) extends Outcome
 
-  private def fetchOnce(url: String): Outcome = {
+  /** Origin identity for header forwarding: (scheme, host, port). */
+  private def originOf(url: String): (String, String, Int) = {
+    val u = new java.net.URI(url)
+    (Option(u.getScheme).getOrElse("").toLowerCase,
+      Option(u.getHost).getOrElse("").toLowerCase, u.getPort)
+  }
+
+  private def fetchOnce(url: String, sendHeaders: Boolean): Outcome = {
+    require(url.startsWith("http://") || url.startsWith("https://"),
+      // re-checked per HOP, not just on the entry URL: a redirect to
+      // file:/ftp:/jar: must refuse loudly, never reach openConnection
+      s"HttpTransport: redirect left http(s): $url")
     val conn = new java.net.URI(url).toURL.openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     (conn, sslContext) match {
@@ -130,7 +145,10 @@ class HttpTransport(headers: Map[String, String] = Map.empty,
     conn.setInstanceFollowRedirects(false) // bounded manual redirects
     conn.setRequestMethod("GET")
     conn.setRequestProperty("Accept", "application/json")
-    headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+    // configured headers (credentials!) go only to the ORIGINAL
+    // origin — a cross-origin redirect must not leak them
+    if (sendHeaders)
+      headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
     try {
       val status = conn.getResponseCode
       def drain(in: java.io.InputStream): Array[Byte] =
@@ -160,11 +178,12 @@ class HttpTransport(headers: Map[String, String] = Map.empty,
   override def fetch(url: String): Array[Byte] = {
     require(url.startsWith("http://") || url.startsWith("https://"),
       s"HttpTransport: not an http(s) URL: $url")
+    val origin = originOf(url)
     var target = url
     var redirects = 0
     var attempt = 0
     while (true) {
-      fetchOnce(target) match {
+      fetchOnce(target, sendHeaders = originOf(target) == origin) match {
         case Ok(body, next) =>
           lastNext = next
           return body
@@ -174,6 +193,9 @@ class HttpTransport(headers: Map[String, String] = Map.empty,
             throw new java.io.IOException(
               s"HTTP redirect chain exceeded $maxRedirects from $url " +
                 s"(last hop $target -> $loc)")
+          if (!loc.startsWith("http://") && !loc.startsWith("https://"))
+            throw new java.io.IOException(
+              s"HTTP redirect to non-http(s) target '$loc' from $target")
           target = loc
         case Retryable(status, after, snippet) =>
           attempt += 1

@@ -271,6 +271,21 @@ object Streams {
   def tailVersionedChanges(spark: org.apache.spark.sql.SparkSession,
       root: String, checkpoint: String)(
       apply: (Long, DataFrame) => Unit):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    tailVersions(spark, root, checkpoint)(vs => vs.foreach { v =>
+      apply(v, graft.sources.VersionedTable
+        .readChanges(spark, root, v - 1, Some(v)))
+    })
+
+  /** The version-only tail underneath [[tailVersionedChanges]]: each
+    * micro-batch delivers the SORTED new version numbers and nothing
+    * else — consumers that derive their own delta (watermark-driven
+    * refreshers) pay zero per-version manifest parsing here, and a
+    * non-CDF rewrite in the range cannot kill the stream before the
+    * consumer decides whether it even cares. */
+  def tailVersions(spark: org.apache.spark.sql.SparkSession,
+      root: String, checkpoint: String)(
+      apply: Seq[Long] => Unit):
       org.apache.spark.sql.streaming.StreamingQuery = {
     val manifestDir = new org.apache.hadoop.fs.Path(root, "_manifests")
     val VRe = """.*v(\d{20})\.manifest""".r
@@ -283,11 +298,8 @@ object Streams {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val versions = batch.select("f").distinct().collect()
           .map(_.getString(0)).collect { case VRe(d) => d.toLong }
-          .sorted
-        versions.foreach { v =>
-          apply(v, graft.sources.VersionedTable
-            .readChanges(spark, root, v - 1, Some(v)))
-        }
+          .sorted.toSeq
+        if (versions.nonEmpty) apply(versions)
         ()
       }
       .start()
@@ -341,9 +353,10 @@ object Streams {
       corpusRoot: String, checkpoint: String)(
       refresh: org.apache.spark.sql.SparkSession => Unit):
       org.apache.spark.sql.streaming.StreamingQuery =
-    tailVersionedChanges(spark, corpusRoot, checkpoint) { (_, _) =>
-      refresh(spark)
-    }
+    // version-only tail: ONE refresh per micro-batch (the refresher
+    // folds every new version from its own watermark), zero
+    // per-version manifest parsing on this path
+    tailVersions(spark, corpusRoot, checkpoint)(_ => refresh(spark))
 
   /** Output mode each operator needs on an unbounded sink. */
   val outputModes: Map[String, OutputMode] = Map(

@@ -224,6 +224,55 @@ class RestSpec extends AnyFunSuite {
     }
   }
 
+  test("redirect hygiene: credentials never cross origins; non-http " +
+      "targets refuse") {
+    // two loopback servers = two origins (the port differs): a
+    // redirect from A to B must arrive at B WITHOUT the configured
+    // headers, while a same-origin hop keeps them
+    val seenAtB = new java.util.concurrent.atomic.AtomicReference[String]()
+    withServer(Map("/landing" -> { ex =>
+      seenAtB.set(ex.getRequestHeaders.getFirst("Authorization"))
+      respond(ex, 200, """[{"id": 1}]""".getBytes("UTF-8"))
+    })) { baseB =>
+      val seenSameOrigin =
+        new java.util.concurrent.atomic.AtomicReference[String]()
+      withServer(Map(
+        "/out" -> { ex =>
+          ex.getResponseHeaders.add("Location", s"$baseB/landing")
+          ex.sendResponseHeaders(302, -1)
+        },
+        "/inhop" -> { ex =>
+          ex.getResponseHeaders.add("Location", "/inland")
+          ex.sendResponseHeaders(302, -1)
+        },
+        "/inland" -> { ex =>
+          seenSameOrigin.set(ex.getRequestHeaders.getFirst("Authorization"))
+          respond(ex, 200, """[{"id": 2}]""".getBytes("UTF-8"))
+        },
+        "/toftp" -> { ex =>
+          ex.getResponseHeaders.add("Location", "ftp://evil.example/x")
+          ex.sendResponseHeaders(302, -1)
+        })) { baseA =>
+        val t = () => new HttpTransport(
+          headers = Map("Authorization" -> "Bearer secret"))
+        val cross = Rest.readVia(spark, t(), s"$baseA/out", "$[*]",
+          Some("id INT"))
+        assert(cross.collect().map(_.getInt(0)).toSeq == Seq(1))
+        assert(seenAtB.get() == null,
+          "credentials must be STRIPPED on a cross-origin redirect")
+        val same = Rest.readVia(spark, t(), s"$baseA/inhop", "$[*]",
+          Some("id INT"))
+        assert(same.collect().map(_.getInt(0)).toSeq == Seq(2))
+        assert(seenSameOrigin.get() == "Bearer secret",
+          "a same-origin hop keeps the configured headers")
+        val e = intercept[java.io.IOException](Rest.readVia(spark, t(),
+          s"$baseA/toftp", "$[*]"))
+        assert(e.getMessage.contains("non-http(s)"),
+          s"redirect off http(s) must refuse: ${e.getMessage}")
+      }
+    }
+  }
+
   test("live loopback: a self-linking page hits the maxPages bound") {
     withServer(Map("/loop" -> (ex => respond(ex, 200,
       """[{"id": 1}]""".getBytes("UTF-8"),
