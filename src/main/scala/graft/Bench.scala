@@ -176,9 +176,10 @@ object Bench {
           // in one JVM neither accumulate cache nor leak speed into a
           // neighbor's timing
           spark.catalog.clearCache()
-        // write-path bimodality self-correction: a >3x-of-idle first
-        // timing re-runs (min of runs is the code's cost); reruns ride
-        // the JSON so the round report needs no prose disclaimer
+        // write-path bimodality self-correction: a first timing above
+        // healed()'s factor (2.5x the committed idle reference)
+        // re-runs (min of runs is the code's cost); reruns ride the
+        // JSON so the round report needs no prose disclaimer
         val healedTiming = timing.map { t =>
           if (!healOn || fixtureFed(name)) t
           else {

@@ -39,7 +39,12 @@ import graft.sources.{MaterializedView, VersionedTable}
   * term-pruned postings scan joined to doclens — the inverted-index
   * BM25, reading only the query terms' files instead of every
   * document. Exactness gate (q187): after churn + refresh, topN ≡
-  * [[TextAnalysis.bm25TopN]] over the post-churn corpus snapshot. */
+  * [[TextAnalysis.bm25TopN]] over the post-churn corpus snapshot —
+  * unconditional, because both sides share the same two conventions:
+  * null-text docs are outside the collection (excluded from N/avgdl/df
+  * there, never indexed here) and query terms are a SET (bm25TopN
+  * dedupes; a duplicated term can only match one `when` arm of the
+  * idf chain here). */
 object Bm25Index {
 
   private val CorpusKey = "bm25.corpus"
@@ -197,28 +202,25 @@ object Bm25Index {
   }
 
   /** Latest version of `root` whose `key` meta is ≤ `target` — the
-    * watermark walk behind [[topNAsOf]] (metadata reads only). */
+    * watermark walk behind [[topNAsOf]]
+    * ([[VersionedTable.versionAtMeta]]; metadata reads only). */
   private def versionAt(spark: SparkSession, root: String, key: String,
-      target: Long): Long = {
-    var v = VersionedTable.currentVersion(spark, root).getOrElse(
-      throw new IllegalArgumentException(s"$root: no versioned table"))
-    while (v > 1 &&
-        VersionedTable.metaOf(spark, root, Some(v))(key).toLong > target)
-      v -= 1
-    require(VersionedTable.metaOf(spark, root, Some(v))(key).toLong
-        <= target,
-      s"$root has no version at or before watermark $target")
-    v
-  }
+      target: Long): Long =
+    VersionedTable.versionAtMeta(spark, root, key, target)
 
   private def scoreAt(spark: SparkSession, root: String,
       queryTerms: Seq[String], topN: Int, k1: Double, b: Double,
       pV: Option[Long], dV: Option[Long], dfV: Option[Long],
       gV: Option[Long]): DataFrame = {
-    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    // query terms are a SET here and in TextAnalysis.bm25TopN alike
+    // (one contribution per distinct term, no query-tf weighting) —
+    // the postings join would score a duplicated term once anyway;
+    // dedupe keeps that explicit and the isin/when chains minimal
+    val terms = queryTerms.distinct
+    require(terms.nonEmpty, "bm25 needs at least one query term")
     require(topN > 0, s"topN must be positive: $topN")
     val dfs = MaterializedView.read(spark, dfRoot(root), dfV)
-      .filter(col("term").isin(queryTerms: _*))
+      .filter(col("term").isin(terms: _*))
       .select("term", "cnt").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val g0 = MaterializedView.read(spark, globalRoot(root), gV)
@@ -230,15 +232,15 @@ object Bm25Index {
     val g = g0.head
     val n = g.getLong(0)
     val avgdl = g.getLong(1).toDouble / n.toDouble
-    val idf = queryTerms.map { t =>
+    val idf = terms.map { t =>
       val dfc = dfs.getOrElse(t, 0L)
       t -> math.log((n - dfc + 0.5) / (dfc + 0.5) + 1.0)
     }.toMap
     val cands = VersionedTable.readWhere(spark, postingsRoot(root),
-      col("term").isin(queryTerms: _*), pV)
+      col("term").isin(terms: _*), pV)
     val dls = VersionedTable.read(spark, doclensRoot(root), dV)
       .select("doc_id", "dl")
-    val idfCol = coalesce(queryTerms.map(t =>
+    val idfCol = coalesce(terms.map(t =>
       when(col("term") === t, lit(idf(t)))): _*)
     val scored = cands.join(dls, Seq("doc_id"))
       .select(col("doc_id"),
@@ -248,6 +250,41 @@ object Bm25Index {
           .as("part"))
       .groupBy("doc_id").agg(round(sum(col("part")), 6).as("bm25"))
     scored.orderBy(col("bm25").desc, col("doc_id")).limit(topN)
+  }
+
+  /** Fold refresh-accreted small postings files without losing the
+    * (term, doc_id) clustering — a plain compaction would interleave
+    * the term ranges and turn the query-term file-prune back off (the
+    * IndexOpsSpec lesson, wrapped so callers cannot forget the sort
+    * keys). Layout-only commit the df feed skips; doclens compacts
+    * unsorted (it is keyed, not range-scanned). Returns true when a
+    * rewrite happened. */
+  def compact(spark: SparkSession, root: String,
+      smallFileBytes: Long = 8L * 1024 * 1024): Boolean = {
+    val pRoot = postingsRoot(root)
+    val before = VersionedTable.currentVersion(spark, pRoot).get
+    val nParts = VersionedTable.metaOf(spark, pRoot)
+      .get(NPartsKey).fold(16)(_.toInt)
+    val moved = VersionedTable.compact(spark, pRoot, smallFileBytes,
+      targetPartitions = math.max(1, nParts),
+      sortCols = Seq("term", "doc_id")) != before
+    VersionedTable.compact(spark, doclensRoot(root), smallFileBytes)
+    moved
+  }
+
+  /** The maintenance autopilot (the [[IvfIndex.maintain]] shape):
+    * refresh from the corpus change feed, then fold small files when
+    * the postings manifest exceeds `compactAboveFiles`. Returns the
+    * postings version it left behind and whether compaction ran. */
+  def maintain(spark: SparkSession, root: String,
+      compactAboveFiles: Int = Int.MaxValue,
+      smallFileBytes: Long = 8L * 1024 * 1024): (Long, Boolean) = {
+    refresh(spark, root)
+    val pRoot = postingsRoot(root)
+    val compacted =
+      VersionedTable.fileCount(spark, pRoot) > compactAboveFiles &&
+        compact(spark, root, smallFileBytes)
+    (VersionedTable.currentVersion(spark, pRoot).get, compacted)
   }
 
   /** (files kept, files total) the manifest pruner reports for the

@@ -161,8 +161,42 @@ object IvfIndex {
     * detached from the applied delta). Work is O(delta) assignment +
     * a keyed rewrite of the churned centroids' files — never a corpus
     * or index scan. No-op (O(manifest)) when the corpus has not
-    * advanced. Returns the lists version. */
-  def refresh(spark: SparkSession, path: String): Long = {
+    * advanced. Returns the lists version.
+    *
+    * Safe against a CROSSED [[rebuild]]: the commit pins the quantizer
+    * generation and the watermark the delta was assigned against
+    * (`expectMeta`), so a rebuild (or another refresh) landing between
+    * this refresh's read and its commit surfaces as
+    * [[VersionedTable.StaleRefresh]] and the batch recomputes against
+    * the NEW generation instead of landing old-generation centroid ids
+    * into the new lists. Without the pin, rebuild's
+    * [[VersionedTable.replace]] would also have wiped the
+    * `stream.ivf_refresh.batch` replay guard, making the stale payload
+    * look brand-new — the exact race a live
+    * [[graft.streaming.Streams.maintainOnChanges]] refresher running
+    * beside an operator-issued rebuild hits. Concurrent SAME-generation
+    * refreshers still collapse to one commit (the replay guard is
+    * checked before the pins). */
+  def refresh(spark: SparkSession, path: String): Long =
+    refresh(spark, path, () => ())
+
+  /** Test seam: `beforeCommit` runs between the delta computation and
+    * the guarded commit — the window a concurrent [[rebuild]] or
+    * refresh lands in. Production callers use the no-arg overload. */
+  private[graft] def refresh(spark: SparkSession, path: String,
+      beforeCommit: () => Unit): Long = {
+    var attempt = 0
+    while (true) {
+      try return refreshOnce(spark, path, beforeCommit)
+      catch {
+        case _: VersionedTable.StaleRefresh if attempt < 5 => attempt += 1
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  private def refreshOnce(spark: SparkSession, path: String,
+      beforeCommit: () => Unit): Long = {
     val root = listsRoot(path)
     val lv = VersionedTable.currentVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root: no ivf index"))
@@ -205,13 +239,22 @@ object IvfIndex {
       count(lit(1)).as("n")).head()
     val churnSum = meta(ChurnSimSumKey).toDouble + simRow.getDouble(0)
     val churnN = meta(ChurnNKey).toLong + simRow.getLong(1)
+    beforeCommit()
     VersionedTable.streamingApply(spark, root,
       inserts = clustered(ins, meta(NlistKey).toInt),
       deleteKeys = dels, keys = Seq("centroid_id", "neighbor_id"),
       queryName = "ivf_refresh", batchId = cv,
       extraMeta = Map(WatermarkKey -> cv.toString,
         ChurnSimSumKey -> churnSum.toString,
-        ChurnNKey -> churnN.toString))
+        ChurnNKey -> churnN.toString),
+      // pin the payload's assumptions: the delta was assigned against
+      // THIS quantizer generation at THIS watermark; a crossed rebuild
+      // (new generation, replay guard wiped by replace) or a crossed
+      // refresh (watermark advanced) throws StaleRefresh instead of
+      // landing stale centroid ids — refresh() recomputes
+      expectMeta = Map(
+        CentroidsDirKey -> meta.getOrElse(CentroidsDirKey, "centroids"),
+        WatermarkKey -> wm.toString))
   }
 
   /** Probe the maintained index. Output and tie-break discipline match
@@ -255,6 +298,29 @@ object IvfIndex {
     // [[Similarity.probeIvfIndex]]'s documented contract
     ranked
   }
+
+  /** The lists version consistent with a CORPUS version: the latest
+    * index state whose watermark is at-or-before it (each commit —
+    * create, refresh, rebuild — records the corpus version it
+    * reflects). Metadata walk only ([[VersionedTable.versionAtMeta]]);
+    * refuses a corpus version older than the index's creation. */
+  def versionAt(spark: SparkSession, path: String,
+      corpusVersion: Long): Long =
+    VersionedTable.versionAtMeta(spark, listsRoot(path), WatermarkKey,
+      corpusVersion)
+
+  /** [[probe]] AS OF a past CORPUS version: answers from the latest
+    * index state at-or-before it, paired (through the lists manifest
+    * meta) with exactly the quantizer generation those rows were
+    * assigned against — consistent across refreshes AND rebuilds. At
+    * refresh boundaries a full probe (`nprobe = nlist`) equals brute
+    * force over that historical corpus snapshot (the q190 gate, where
+    * it rides next to [[Bm25Index.topNAsOf]] for time-consistent
+    * cross-index retrieval). */
+  def probeAsOf(queries: DataFrame, path: String, idCol: String,
+      vecCol: String, k: Int, nprobe: Int, corpusVersion: Long): DataFrame =
+    probe(queries, path, idCol, vecCol, k, nprobe,
+      Some(versionAt(queries.sparkSession, path, corpusVersion)))
 
   /** (files kept, files total) the manifest pruner reports for a probe
     * of `centroidIds` — the audit that the clustered layout actually
@@ -303,6 +369,52 @@ object IvfIndex {
       meta0(IdKey), meta0(VecKey), meta0(NlistKey).toInt, path,
       trainIters)
     VersionedTable.replace(spark, listsRoot(path), lists, meta = meta)
+  }
+
+  /** What [[maintain]] did: the lists version it left behind, whether
+    * the drift signal tripped a retrain, and whether small files were
+    * folded. */
+  final case class Maintained(version: Long, rebuilt: Boolean,
+      compacted: Boolean)
+
+  /** The maintenance autopilot — one call a scheduler (or
+    * [[graft.streaming.Streams.maintainOnChanges]]) drives per cycle:
+    * refresh from the corpus change feed, retrain IF AND ONLY IF the
+    * drift signal says the frozen quantizer stopped covering new data
+    * ([[recommendRetrain]]), then fold refresh-accreted small files
+    * when they exceed `compactAboveFiles` (clustering preserved).
+    * Safe to run beside concurrent refreshers/rebuilds: refresh
+    * carries the generation+watermark OCC pins, rebuild is a
+    * replace-commit, compaction is layout-only. Policy knobs, not new
+    * mechanisms — every leg is the existing audited operation. */
+  def maintain(spark: SparkSession, path: String,
+      tolerance: Double = 0.05, trainIters: Int = 0,
+      compactAboveFiles: Int = Int.MaxValue,
+      smallFileBytes: Long = 8L * 1024 * 1024): Maintained = {
+    refresh(spark, path)
+    val rebuilt = recommendRetrain(spark, path, tolerance)
+    if (rebuilt) rebuild(spark, path, trainIters)
+    val root = listsRoot(path)
+    val nFiles = VersionedTable.fileCount(spark, root)
+    val compacted = nFiles > compactAboveFiles &&
+      compact(spark, path, smallFileBytes) // layout-only when it runs
+    Maintained(VersionedTable.currentVersion(spark, root).get,
+      rebuilt, compacted)
+  }
+
+  /** Fold small posting files without losing the centroid clustering
+    * (a plain compaction would interleave centroid ranges and turn the
+    * probe's file-prune back off — the IndexOpsSpec lesson, wrapped so
+    * callers cannot forget the sort keys). Layout-only commit; returns
+    * true when a rewrite happened. */
+  def compact(spark: SparkSession, path: String,
+      smallFileBytes: Long = 8L * 1024 * 1024): Boolean = {
+    val root = listsRoot(path)
+    val before = VersionedTable.currentVersion(spark, root).get
+    val nlist = VersionedTable.metaOf(spark, root)(NlistKey).toInt
+    VersionedTable.compact(spark, root, smallFileBytes,
+      targetPartitions = math.max(1, nlist),
+      sortCols = Seq("centroid_id", "neighbor_id")) != before
   }
 
   /** The quantizer generation a lists version was assigned against:

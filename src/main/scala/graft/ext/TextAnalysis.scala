@@ -980,22 +980,31 @@ object TextAnalysis {
     * term) and the cut is a distributed TakeOrdered. Scores are
     * rounded to 6 places (the q127 discipline) so term-sum order can
     * never leak into an exact compare. Returns (idCol, bm25) for the
-    * top `topN` by (bm25 desc, id). */
+    * top `topN` by (bm25 desc, id).
+    *
+    * Null-text rows are excluded from BOTH the collection stats and
+    * the ranking (they carry no terms, but counting them in N would
+    * skew idf/avgdl), and `queryTerms` is a SET — duplicates collapse
+    * to one contribution (no query-tf weighting). Both choices match
+    * [[Bm25Index]], keeping its maintained-state exactness claim
+    * unconditional. */
   def bm25TopN(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, queryTerms: Seq[String], topN: Int,
       k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
-    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val terms = queryTerms.distinct
+    require(terms.nonEmpty, "bm25 needs at least one query term")
     require(topN > 0, s"topN must be positive: $topN")
+    val docs = df.filter(col(textCol).isNotNull)
     val ts = filter(tokens(col(textCol)), t => length(t) > 0)
     val statAggs = Seq(count(lit(1)).as("n"),
         sum(size(ts)).cast("long").as("sum_dl")) ++
-      queryTerms.map(t =>
+      terms.map(t =>
         sum(when(array_contains(ts, t), 1L).otherwise(0L)).as(s"df_$t"))
-    val r = df.agg(statAggs.head, statAggs.tail: _*).collect()(0)
+    val r = docs.agg(statAggs.head, statAggs.tail: _*).collect()(0)
     val n = r.getLong(0)
     require(n > 0, "bm25 over an empty corpus")
     val avgdl = r.getLong(1).toDouble / n.toDouble
-    val idf = queryTerms.zipWithIndex.map { case (t, i) =>
+    val idf = terms.zipWithIndex.map { case (t, i) =>
       val dfc = r.getLong(2 + i)
       t -> math.log((n - dfc + 0.5) / (dfc + 0.5) + 1.0)
     }
@@ -1005,7 +1014,7 @@ object TextAnalysis {
       val tf = size(filter(ts, x => x === lit(t))).cast("double")
       lit(w) * tf * lit(k1 + 1.0) / (tf + norm)
     }.reduce(_ + _)
-    df.select(col(idCol), round(score, 6).as("bm25"))
+    docs.select(col(idCol), round(score, 6).as("bm25"))
       .orderBy(col("bm25").desc, col(idCol))
       .limit(topN)
   }

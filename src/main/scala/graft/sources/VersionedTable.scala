@@ -139,6 +139,35 @@ object VersionedTable {
     readManifest(spark, root, v).meta
   }
 
+  /** Live data-file count of a version's manifest — the signal a
+    * compaction policy watches (metadata only; exact without
+    * materializing a checkpointed file list). */
+  def fileCount(spark: SparkSession, root: String,
+      version: Option[Long] = None): Long = {
+    val v = version.orElse(currentVersion(spark, root)).getOrElse(
+      throw new IllegalArgumentException(s"$root: no versioned table"))
+    readManifest(spark, root, v).fileCount
+  }
+
+  /** Latest version of `root` whose `key` manifest meta is ≤ `target`
+    * — the watermark walk behind every as-of index/view read (a
+    * derived table records the SOURCE version each commit applied;
+    * mapping a source version back to the derived table's consistent
+    * snapshot is this walk). Metadata reads only, O(versions walked);
+    * monotone watermarks (the streaming-commit invariant) make the
+    * first hit the right one. Refuses when even version 1 sits past
+    * `target` (the derived table never reflected that source state). */
+  def versionAtMeta(spark: SparkSession, root: String, key: String,
+      target: Long): Long = {
+    var v = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root: no versioned table"))
+    while (v > 1 && metaOf(spark, root, Some(v))(key).toLong > target)
+      v -= 1
+    require(metaOf(spark, root, Some(v))(key).toLong <= target,
+      s"$root has no version at or before watermark $target")
+    v
+  }
+
   /** Per-file column statistics carried in the manifest — the data-
     * skipping index (Delta's `stats` JSON, Iceberg's manifest-entry
     * bounds). min/max are CANONICAL-encoded strings ([[canonCol]]

@@ -128,4 +128,39 @@ class Bm25IndexSpec extends AnyFunSuite {
       .as[(Long, Double)].collect().filter(_._2 > 0)
     assert(got.toSeq == want.toSeq)
   }
+
+  test("exactness is unconditional: null-text docs sit outside the " +
+      "collection on BOTH sides, duplicate query terms collapse to one " +
+      "contribution") {
+    // the two formerly-unstated gaps: (1) the index never tokenizes
+    // null texts, so its N/avgdl exclude them — bm25TopN must too (a
+    // counted-but-lengthless row would deflate avgdl and inflate N);
+    // (2) query terms are a set — a duplicated term scores once, not
+    // once per occurrence
+    val (corpus, root) = (tmp() + "/corpus", tmp() + "/idx")
+    val rows = Seq[(Long, String)](
+      (1L, "spark joins data"), (2L, "hash join spark spark"),
+      (3L, "data lakes hold data"), (4L, null),
+      (5L, "spark hash"), (6L, null))
+    VersionedTable.create(spark, corpus, rows.toDF("doc_id", "text"))
+    Bm25Index.create(spark, corpus, "doc_id", "text", root, nParts = 4)
+    val dup = Seq("spark", "hash", "spark", "spark")
+    val got = Bm25Index.topN(spark, root, dup, 6)
+      .as[(Long, Double)].collect().toSeq
+    val want = TextAnalysis.bm25TopN(
+        VersionedTable.read(spark, corpus), "doc_id", "text", dup, 6)
+      .as[(Long, Double)].collect().toSeq.filter(_._2 > 0)
+    assert(got == want, s"index $got != recompute $want")
+    assert(got == Bm25Index.topN(spark, root, Seq("spark", "hash"), 6)
+      .as[(Long, Double)].collect().toSeq,
+      "duplicate terms must not change the ranking")
+    // the global stats see 4 live docs, not 6: N rides the one-row
+    // view, and bm25TopN's recompute now agrees by construction
+    val g = graft.sources.MaterializedView
+      .read(spark, s"$root/global_view")
+      .select("cnt").as[Long].collect()
+    assert(g.toSeq == Seq(4L), s"null texts leaked into N: ${g.toSeq}")
+    // null-text rows never rank (they have no terms and no length)
+    assert(!got.exists(r => r._1 == 4L || r._1 == 6L))
+  }
 }

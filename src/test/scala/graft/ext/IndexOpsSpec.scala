@@ -187,4 +187,46 @@ class IndexOpsSpec extends AnyFunSuite {
       assert(got == want)
     } finally q.stop()
   }
+
+  test("bm25 maintain/compact wrappers: the file-count gate folds " +
+      "accretion with the term clustering baked in") {
+    val (corpus, root) = (tmp() + "/corpus", tmp() + "/bm25")
+    val docs = (1L to 40L).map(i =>
+      (i, s"term${"%02d".format(i % 20)} filler$i shared"))
+    VersionedTable.create(spark, corpus, docs.toDF("doc_id", "text"))
+    Bm25Index.create(spark, corpus, "doc_id", "text", root, nParts = 8)
+    (0 until 5).foreach { r =>
+      VersionedTable.append(spark, corpus, Seq(
+        (1000L + r, s"term${"%02d".format(r)} fresh$r shared"))
+        .toDF("doc_id", "text"))
+      Bm25Index.refresh(spark, root)
+    }
+    def score() = Bm25Index.topN(spark, root, Seq("term03", "shared"), 10)
+      .as[(Long, Double)].collect().toSeq
+    val before = score()
+    val postings = s"$root/postings"
+    val filesBefore = VersionedTable.fileCount(spark, postings)
+    // under the gate: maintain refreshes (no-op) and does NOT compact
+    val (v1, c1) = Bm25Index.maintain(spark, root,
+      compactAboveFiles = 1000)
+    assert(!c1 && VersionedTable.fileCount(spark, postings) == filesBefore)
+    // over the gate: one call folds the accretion, clustering intact
+    val (v2, c2) = Bm25Index.maintain(spark, root, compactAboveFiles = 4)
+    assert(c2 && v2 > v1, "the file-count gate must trigger the fold")
+    assert(VersionedTable.fileCount(spark, postings) < filesBefore)
+    val (kept, total) = Bm25Index.pruneAudit(spark, root, Seq("term03"))
+    assert(kept < total,
+      s"wrapper compaction must keep the term prune: $kept/$total")
+    assert(score() == before, "answers must be untouched by layout work")
+    // maintenance keeps working across the layout commit
+    VersionedTable.append(spark, corpus,
+      Seq((2000L, "term03 late shared")).toDF("doc_id", "text"))
+    Bm25Index.maintain(spark, root)
+    val dfTerm = graft.sources.MaterializedView.read(spark, s"$root/df_view")
+      .filter($"term" === "term03").select("cnt").as[Long].head()
+    val truth = VersionedTable.read(spark, corpus)
+      .filter(array_contains(split($"text", " "), "term03")).count()
+    assert(dfTerm == truth,
+      s"df must keep tracking through the wrapper fold: $dfTerm vs $truth")
+  }
 }

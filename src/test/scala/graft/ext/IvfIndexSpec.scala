@@ -227,4 +227,126 @@ class IvfIndexSpec extends AnyFunSuite {
       .as[(Long, Long, Int)].collect().toSet
     assert(got == brute(corpus, queries, 2))
   }
+
+  test("rebuild crossing a refresh: the stale old-generation payload " +
+      "refuses (StaleRefresh) and refresh recomputes against the new " +
+      "generation") {
+    // the maintainOnChanges deployment shape: a live refresher races
+    // an operator-issued rebuild. The refresher's delta was ASSIGNED
+    // against generation-1 centroids; rebuild lands first via
+    // VersionedTable.replace, which resets the manifest meta — and
+    // with it the stream.ivf_refresh.batch replay guard — so without
+    // the expectMeta pins the frozen payload would look brand-new and
+    // land gen-1 centroid ids into the gen-2 lists (plus silently
+    // regress the watermark and drift counters via extraMeta). The
+    // seam interleaves the rebuild deterministically in that window.
+    val (root, idx) = (tmp() + "/corpus", tmp() + "/idx")
+    val dim = 8
+    val base = (vecs(7, 30, dim, Array.fill(dim)(1.0), 0.2)
+        .zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      vecs(8, 30, dim, Array(5.0, -3.0, 1.0, 0.0, 2.0, -1.0, 4.0, 0.5), 0.2)
+        .zipWithIndex.map { case (v, i) => (100L + i, v) })
+    VersionedTable.create(spark, root, corpusDf(base)) // v1
+    IvfIndex.create(spark, root, "vec_id", "embedding", nlist = 4, idx)
+    def genDir(): String =
+      VersionedTable.metaOf(spark, idx + "/lists")("ivf.centroids_dir")
+    val gen1 = genDir()
+    val fresh = vecs(9, 12, dim, Array.fill(dim)(1.0), 0.2)
+      .zipWithIndex.map { case (v, i) => (200L + i, v) }
+    VersionedTable.append(spark, root, corpusDf(fresh)) // v2
+    var fired = 0
+    IvfIndex.refresh(spark, idx, { () =>
+      if (fired == 0) { fired += 1; IvfIndex.rebuild(spark, idx) }
+    })
+    // the seam fired exactly once: attempt 1 computed its delta, the
+    // rebuild crossed it, the pinned commit threw StaleRefresh, and
+    // the recompute (attempt 2) saw the rebuilt watermark already at
+    // the corpus head — a no-op that never reaches the seam again
+    assert(fired == 1, s"seam fired $fired times")
+    // the stale payload never landed: the rebuild's reset drift
+    // counters survive (a landed gen-1 extraMeta would set churnN=12
+    // and regress the watermark pre-rebuild)
+    val (_, _, churnN) = IvfIndex.drift(spark, idx)
+    assert(churnN == 0L, s"stale refresh counters landed: churnN=$churnN")
+    assert(IvfIndex.watermark(spark, idx) == 2L)
+    assert(genDir() != gen1,
+      "rebuild must have installed a new quantizer generation")
+    // and the index answers exactly over the post-churn corpus
+    val corpus = VersionedTable.read(spark, root)
+    val queries = corpus.filter(col("vec_id") >= 200L && col("vec_id") < 206L)
+    val got = IvfIndex.probe(queries, idx, "vec_id", "embedding",
+      k = 3, nprobe = 4)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == brute(corpus, queries, 3))
+    // a crossed REFRESH converges the same way: churn again, and let
+    // a concurrent same-delta refresher win inside the seam window —
+    // the loser's commit is a pure replay (guard checked BEFORE the
+    // pins) and returns the winner's version untouched
+    VersionedTable.append(spark, root, corpusDf(
+      vecs(10, 5, dim, Array.fill(dim)(1.0), 0.2)
+        .zipWithIndex.map { case (v, i) => (300L + i, v) })) // v3
+    var fired2 = 0
+    val lv = IvfIndex.refresh(spark, idx, { () =>
+      if (fired2 == 0) { fired2 += 1; IvfIndex.refresh(spark, idx) }
+    })
+    assert(fired2 == 1)
+    assert(lv == VersionedTable.currentVersion(spark,
+      idx + "/lists").get)
+    assert(IvfIndex.watermark(spark, idx) == 3L)
+    val (_, _, churnN2) = IvfIndex.drift(spark, idx)
+    assert(churnN2 == 5L, s"replay must count the delta once: $churnN2")
+  }
+
+  test("maintain autopilot: drift-gated rebuild fires exactly once; " +
+      "file-count-gated compaction folds refresh accretion and keeps " +
+      "the prune") {
+    val (root, idx) = (tmp() + "/corpus", tmp() + "/idx")
+    val dim = 6
+    val base = vecs(11, 40, dim, Array.fill(dim)(1.0), 0.05)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    VersionedTable.create(spark, root, corpusDf(base))
+    IvfIndex.create(spark, root, "vec_id", "embedding", nlist = 2, idx)
+    // in-distribution churn: maintain refreshes, does NOT retrain
+    VersionedTable.append(spark, root, corpusDf(
+      vecs(12, 10, dim, Array.fill(dim)(1.0), 0.05)
+        .zipWithIndex.map { case (v, i) => (500L + i, v) }))
+    val m1 = IvfIndex.maintain(spark, idx)
+    assert(!m1.rebuilt && !m1.compacted &&
+      IvfIndex.watermark(spark, idx) == 2L)
+    // OOD churn: ONE maintain call refreshes AND retrains; the next
+    // is a no-op (rebuild reset the drift counters)
+    VersionedTable.append(spark, root, corpusDf(
+      vecs(13, 20, dim, Array(1.0, -1.0, 1.0, -1.0, 1.0, -1.0), 0.05)
+        .zipWithIndex.map { case (v, i) => (900L + i, v) }))
+    val m2 = IvfIndex.maintain(spark, idx)
+    assert(m2.rebuilt, "OOD churn must trip the drift-gated retrain")
+    val m3 = IvfIndex.maintain(spark, idx)
+    assert(!m3.rebuilt && m3.version == m2.version,
+      "a maintained index with no corpus motion must not move")
+    // accrete small files with several single-row refreshes, then let
+    // the file-count gate trigger a clustering-preserving fold
+    (0 until 4).foreach { i =>
+      VersionedTable.append(spark, root, corpusDf(
+        vecs(20 + i, 1, dim, Array.fill(dim)(1.0), 0.05)
+          .map(v => (1000L + i, v))))
+      IvfIndex.refresh(spark, idx)
+    }
+    val filesBefore = VersionedTable.fileCount(spark, idx + "/lists")
+    val m4 = IvfIndex.maintain(spark, idx, compactAboveFiles = 3)
+    assert(m4.compacted && !m4.rebuilt,
+      s"file-count gate must compact: $filesBefore files before")
+    assert(VersionedTable.fileCount(spark, idx + "/lists") < filesBefore)
+    val (kept, total) = IvfIndex.pruneAudit(spark, idx, Seq(0))
+    assert(kept < total,
+      s"clustering must survive maintain's compaction: $kept/$total")
+    // and the maintained+compacted index still answers exactly
+    val corpus = VersionedTable.read(spark, root)
+    val queries = corpus.filter(col("vec_id") < 5)
+    val got = IvfIndex.probe(queries, idx, "vec_id", "embedding",
+      k = 3, nprobe = 2)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == brute(corpus, queries, 3))
+  }
 }
