@@ -1,0 +1,183 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou/Douze/Schmid, "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011) — the MEMORY half of the
+  * production ANN stack next to [[IvfIndex]]'s routing half: a D-dim
+  * float vector becomes `m` small integer codes against `m`
+  * independent sub-codebooks, cutting per-vector index storage from
+  * 4·D bytes to ~m bytes (32× at D=64, m=8). At 100 TB the posting
+  * lists ARE the working set; PQ is what lets a probe's centroid
+  * partitions hold a billion vectors in executor memory, with the
+  * full-precision vectors staying in the corpus table and read back
+  * ONLY for the final re-rank of a bounded candidate pool.
+  *
+  * Everything here is deterministic and engine-reproducible (the q183
+  * discipline): codebooks come from a seeded md5-rank sample — a
+  * k-means refinement would be cheap but its float-mean reductions
+  * are sum-order-sensitive, which would break oracle replay —
+  * cuts rank by (score desc, id) exactly like
+  * [[Similarity.bruteForceTopK]] / [[IvfIndex.probe]], and encode ties
+  * break on the lowest centroid id. The accuracy contract is certified per use, not
+  * assumed: [[adcTopK]] is an APPROXIMATION (reconstruction error
+  * biases scores), so the production pattern is ADC-preselect a pool
+  * ≫ k, then [[rerankExact]] the pool against the corpus vectors —
+  * q191 pins pool recall and final-rank agreement in-query, the
+  * q131/q188 certification idiom.
+  *
+  * Scale shape: [[fit]] is one seeded sample (ks rows to the driver —
+  * bounded, ks ≤ 256); [[encode]] is map-only codegen'd array math
+  * (no shuffle, no UDF); [[adcTopK]] scans codes + a broadcast query
+  * set and cuts with a per-query window; [[rerankExact]] joins the
+  * bounded pool back to the corpus by id (broadcastable).
+  */
+object Pq {
+
+  /** `m` sub-codebooks of `ks` centroids each, `dsub = dim/m` wide.
+    * Plain driver-side data — ship it as a literal into expressions
+    * (m·ks·dim/m doubles = dim·ks total, e.g. 64·16 = 1024). */
+  final case class PqModel(dim: Int, m: Int, ks: Int,
+      codebooks: Seq[Seq[Seq[Double]]]) {
+    require(dim % m == 0, s"dim $dim must split into m=$m subspaces")
+    val dsub: Int = dim / m
+    /** Reconstruction of a code word: codebooks(j)(code(j)) per
+      * subspace, concatenated. */
+    def reconstruct(codes: Seq[Int]): Seq[Double] =
+      codes.zipWithIndex.flatMap { case (c, j) => codebooks(j)(c) }
+    /** Bytes per vector at this geometry vs raw float32 — the claim
+      * the module exists for (codes pack to ceil(log2 ks) bits;
+      * byte-aligned here). */
+    def compressionRatio: Double = (dim * 4.0) / m.toDouble
+  }
+
+  /** Seeded deterministic codebook fit: md5-rank-sample `ks` corpus
+    * rows (the q117 quota-sampler idiom — engine- AND
+    * oracle-reproducible), slice each into the `m` subspaces. Null
+    * vectors are refused loudly (a silent skip would make the sample
+    * data-dependent). `ks` rows collect to the driver — bounded by
+    * construction. */
+  def fit(df: DataFrame, idCol: String, vecCol: String, m: Int, ks: Int,
+      seed: Int = 7): PqModel = {
+    require(m > 0 && ks > 0, s"need m > 0 and ks > 0, got m=$m ks=$ks")
+    val picked = df
+      .select(col(idCol).cast("string").as("_id"), col(vecCol).as("_v"))
+      .withColumn("_h", md5(concat(lit(s"pqfit:$seed:"), col("_id"))))
+      .orderBy(col("_h"), col("_id"))
+      .limit(ks)
+      .select("_v").collect()
+    require(picked.length == ks,
+      s"corpus has ${picked.length} rows, need ks=$ks for the sample")
+    val vecs = picked.map { r =>
+      val s = r.getSeq[Number](0)
+      require(s != null && !s.contains(null),
+        "pq fit refuses null vectors/elements — filter them first")
+      s.map(_.doubleValue()).toSeq
+    }
+    val dim = vecs.head.size
+    require(vecs.forall(_.size == dim), "ragged vector widths in sample")
+    require(dim % m == 0, s"dim $dim must split into m=$m subspaces")
+    val dsub = dim / m
+    val codebooks = (0 until m).map(j =>
+      vecs.map(v => v.slice(j * dsub, (j + 1) * dsub)).toSeq)
+    PqModel(dim, m, ks, codebooks)
+  }
+
+  /** Map-only encoder: `codeCol` = the m per-subspace nearest-centroid
+    * ids (squared-L2, ties to the LOWEST centroid id — the assignWithSim
+    * discipline). The codebook ships as ONE `typedlit` literal and the
+    * per-subspace argmin runs through higher-order functions
+    * (`transform`/`zip_with`/`aggregate` compile to LOOPS over the
+    * literal, not unrolled expressions) — a literal-unrolled form blows
+    * Janino's 64 KB method limit already at m=16·ks=64 and silently
+    * drops the stage out of codegen; this shape holds to ks=256. */
+  def encode(df: DataFrame, vecCol: String, model: PqModel,
+      codeCol: String = "pq_code"): DataFrame = {
+    val cb = typedlit(model.codebooks) // m × ks × dsub
+    val codes = (0 until model.m).map { j =>
+      val sl = slice(col(vecCol), j * model.dsub + 1, model.dsub)
+      array_min(transform(element_at(cb, j + 1), (row, c) =>
+        struct(round(aggregate(zip_with(sl, row, (x, y) => {
+          val d = x.cast("double") - y
+          d * d
+        }), lit(0.0), (a, b) => a + b), 9).as("d"),
+          c.cast("int").as("c")))).getField("c")
+    }
+    df.withColumn(codeCol, array(codes: _*))
+  }
+
+  /** Asymmetric-distance (ADC) approximate cosine: the query keeps
+    * full precision, the corpus side is its PQ reconstruction —
+    * cos(q, recon(v)) = Σ_j dot(q_j, cb_j[code_j]) over ‖q‖·‖recon‖,
+    * with ‖recon‖² = Σ_j ‖cb_j[code_j]‖² (sub-codebook norms are
+    * literals; nothing reads the original vector). Returns
+    * (query_id, neighbor_id, adc_sim, rank) cut to the top `pool`
+    * per query by (sim desc, id) — the CANDIDATE GENERATOR, not the
+    * answer: feed it to [[rerankExact]]. */
+  def adcTopK(queries: DataFrame, encoded: DataFrame, idCol: String,
+      vecCol: String, codeCol: String, model: PqModel,
+      pool: Int): DataFrame = {
+    require(pool > 0, s"pool must be positive: $pool")
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"))
+    val c = encoded.select(col(idCol).as("neighbor_id"),
+      col(codeCol).as("cd"))
+    // per subspace: dot(q_j, cb[code_j]) and ‖cb[code_j]‖², selected
+    // from literal tables by the stored code (element_at lookups +
+    // zip_with/aggregate loops — the same under-64KB codegen shape as
+    // encode; the sub-norms are a precomputed m × ks literal)
+    val cb = typedlit(model.codebooks) // m × ks × dsub
+    val n2 = typedlit(model.codebooks.map(_.map(_.map(x => x * x).sum)))
+    val dotJ = (0 until model.m).map { j =>
+      val qsl = slice(col("qv"), j * model.dsub + 1, model.dsub)
+      val row = element_at(element_at(cb, j + 1),
+        element_at(col("cd"), j + 1) + 1)
+      aggregate(zip_with(qsl, row, (x, y) => x.cast("double") * y),
+        lit(0.0), (a, b) => a + b)
+    }.reduce(_ + _)
+    val norm2J = (0 until model.m).map { j =>
+      element_at(element_at(n2, j + 1),
+        element_at(col("cd"), j + 1) + 1)
+    }.reduce(_ + _)
+    val qNorm = sqrt(aggregate(col("qv"), lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val sim = dotJ / (qNorm * sqrt(norm2J))
+    // raw-score cut, id tie-break — the bruteForceTopK/probe family
+    // discipline (ADC scores are engine-local anyway; exact replay
+    // rides the re-rank, not this preselection)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_sim").desc, col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), sim.as("adc_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= pool)
+  }
+
+  /** Exact re-rank of an ADC candidate pool: join the (bounded) pool
+    * back to the full-precision corpus vectors by id, score exact
+    * cosine, keep the top `k` per query by (1e-6-rounded sim desc,
+    * id). Output schema matches [[Similarity.bruteForceTopK]] /
+    * [[IvfIndex.probe]]: (query_id, neighbor_id, cosine_sim, rank).
+    * The pool is k·|queries|-bounded, so the join broadcasts. */
+  def rerankExact(candidates: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("nv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    candidates.select("query_id", "neighbor_id")
+      .join(c, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosine(col("qv"), col("nv")).as("cosine_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

@@ -3,8 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{Bm25Index, Dedup, IvfIndex, Multimodal, Pca, Retrieval,
-  Similarity, TextAnalysis}
+import graft.ext.{Bm25Index, Dedup, IvfIndex, Multimodal, Pca, Pq,
+  Retrieval, Similarity, TextAnalysis}
 
 /** BASELINE extension queries over documents/embeddings: dedup (exact,
   * MinHash-LSH, SimHash, n-gram Jaccard), similarity search (brute-force
@@ -68,6 +68,62 @@ object ExtQueries extends QueryPack {
       VersionedTable.deleteWhere(s, p.docTbl, col("doc_id") % 7 === 2,
         cdf = true) // D v3
       VersionedTable.updateWhere(s, p.docTbl, col("doc_id") % 13 === 5,
+        Map("text" -> concat(col("text"), lit(" spark spark"))),
+        cdf = true) // D v4
+      p
+    }
+  }
+
+  /** Private fixture for q190 (as-of hybrid retrieval): the SAME
+    * corpora as IdxFixture but with TWO refresh points, so an interior
+    * corpus version has real index state to time-travel to — append →
+    * refresh (the PIVOT both corpora sit at version 2), then delete +
+    * update churn the heads past it. The final refresh is left to the
+    * query (idempotent). Separate from IdxFixture because q186/q187/
+    * q189 pin `watermark == 4 after ONE refresh commit` — a shared
+    * fixture with an interior refresh would break their atomicity
+    * pins. */
+  private object AsOfFixture {
+    final case class P(emb: String, ivf: String, docTbl: String,
+        bm25: String)
+    private val cache =
+      scala.collection.concurrent.TrieMap.empty[String, P]
+
+    def get(s: SparkSession, dir: String): P = cache.getOrElseUpdate(
+      s"${s.conf.get("spark.sql.warehouse.dir")}|$dir", build(s, dir))
+
+    private def build(s: SparkSession, dir: String): P = {
+      import graft.sources.VersionedTable
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val whPath =
+        if (wh.startsWith("file:")) new java.net.URI(wh).getPath else wh
+      val base = new java.io.File(whPath,
+        s"graft_asoffix/${java.util.UUID.randomUUID()}").toString
+      val p = P(s"$base/emb", s"$base/ivf", s"$base/docs", s"$base/bm25")
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      VersionedTable.create(s, p.emb, e) // E v1
+      IvfIndex.create(s, p.emb, "vec_id", "embedding", nlist = 8, p.ivf)
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      VersionedTable.create(s, p.docTbl, d) // D v1
+      Bm25Index.create(s, p.docTbl, "doc_id", "text", p.bm25)
+      // the pivot state: one appended slice, refreshed into BOTH
+      // indexes — corpus version 2 everywhere
+      VersionedTable.append(s, p.emb, e.filter(col("vec_id") % 10 === 4)
+        .select((col("vec_id") + lit(100000L)).as("vec_id"),
+          col("embedding"))) // E v2
+      IvfIndex.refresh(s, p.ivf) // lists v2, wm 2
+      VersionedTable.append(s, p.docTbl, d.filter(col("doc_id") % 10 === 4)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          col("text"))) // D v2
+      Bm25Index.refresh(s, p.bm25) // postings v2, wm 2
+      // churn PAST the pivot: the as-of answer must not see any of it
+      VersionedTable.deleteWhere(s, p.emb, col("vec_id") % 7 === 6,
+        cdf = true) // E v3
+      VersionedTable.updateWhere(s, p.emb, col("vec_id") % 13 === 9,
+        Map("embedding" -> reverse(col("embedding"))), cdf = true) // E v4
+      VersionedTable.deleteWhere(s, p.docTbl, col("doc_id") % 7 === 6,
+        cdf = true) // D v3
+      VersionedTable.updateWhere(s, p.docTbl, col("doc_id") % 13 === 9,
         Map("text" -> concat(col("text"), lit(" spark spark"))),
         cdf = true) // D v4
       p
@@ -1270,6 +1326,81 @@ object ExtQueries extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // Product quantization + exact re-rank — the MEMORY half of the
+    // production ANN stack (IVF routes, PQ compresses): 64 float32
+    // dims become 16 small codes (16x smaller posting payloads; the
+    // full vectors stay in the corpus table). ADC preselects a
+    // 100-candidate pool per query from CODES ONLY (the encoded frame
+    // carries no vector column — reconstruction rides literal
+    // codebook lookups), then the pool re-ranks EXACTLY against the
+    // corpus vectors. Same anisotropic premise as q188 (the raw
+    // synthetic embeddings are isotropic, where NO reconstruction is
+    // rank-preserving). Certs IN-QUERY: 16x compression geometry,
+    // per-query pool recall >= 0.8 with mean >= 0.95 (measured 1.0 at
+    // both gate SFs), and for fully-covered queries the re-ranked
+    // top-10 IS the exact top-10. The oracle replays the anisotropic
+    // transform + the exact search trace and pins every recall flag
+    // TRUE — the codebooks are engine-local only in that DuckDB need
+    // not re-derive them; the seeded md5 sample is deterministic.
+    "q191_pq_adc_rerank" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val scaled = transform(col("embedding"), (x, i) =>
+        x.cast("double") * when(substring(md5(concat(lit("aniso:7:"),
+          i.cast("string"))), 1, 1).isin("0", "1", "2", "3"),
+          lit(4.0)).otherwise(lit(0.25)))
+      val a = e.select(col("vec_id"), scaled.as("v"))
+      val model = Pq.fit(a, "vec_id", "v", m = 16, ks = 64)
+      require(model.compressionRatio == 16.0,
+        s"64 float dims over 16 codes must compress 16x: " +
+          s"${model.compressionRatio}")
+      val enc = Pq.encode(a, "v", model)
+      val q = a.withColumn("h",
+          md5(concat(lit("pqq:"), col("vec_id").cast("string"))))
+        .orderBy(col("h"), col("vec_id")).limit(20).drop("h")
+      val pool = Pq.adcTopK(q, enc, "vec_id", "v",
+        "pq_code", model, pool = 100).localCheckpoint(true)
+      val reranked = Pq.rerankExact(pool, a, q, "vec_id",
+        "v", 10).localCheckpoint(true)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(col("score").desc, col("neighbor_id"))
+      val exact = a.select(col("vec_id").as("neighbor_id"),
+          col("v").as("cv"))
+        .crossJoin(broadcast(q.select(col("vec_id").as("query_id"),
+          col("v").as("qv"))))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(Similarity.cosine(col("cv"), col("qv")), 6).as("score"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .localCheckpoint(true)
+      val recall = exact.select("query_id", "neighbor_id")
+        .join(pool.select(col("query_id"), col("neighbor_id"),
+          lit(1).as("hit")), Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg((sum(coalesce(col("hit"), lit(0))) / lit(10.0)).as("recall"))
+        .localCheckpoint(true)
+      val rs = recall.agg(min(col("recall")), avg(col("recall"))).head()
+      require(rs.getDouble(0) >= 0.8 && rs.getDouble(1) >= 0.95,
+        s"ADC pool-100 must cover the exact top-10: " +
+          s"min=${rs.getDouble(0)} mean=${rs.getDouble(1)}")
+      // where the pool fully covers, exact re-rank must RECOVER the
+      // exact answer — the lossless-rerank contract PQ exists for
+      val fullq = recall.filter(col("recall") >= 1.0)
+        .select("query_id")
+      val missed = exact.join(fullq, Seq("query_id"))
+        .select("query_id", "neighbor_id")
+        .join(reranked.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_anti").count()
+      require(missed == 0,
+        s"re-rank dropped $missed fully-covered exact neighbors")
+      exact.join(recall.select(col("query_id"),
+          (col("recall") >= 0.8).as("recall_ok")), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          col("score").as("cosine_sim"), col("rank"), col("recall_ok"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // Incremental BM25 retrieval state — q159 recomputes collection
     // stats (df, avgdl, N) from scratch every run; on a churning
     // corpus those are exactly the mergeable aggregates the MV
@@ -1323,6 +1454,45 @@ object ExtQueries extends QueryPack {
       // churn untouched: 42 % 7 != 2, 42 % 13 != 5)
       val vec = IvfIndex.probe(emb.filter(col("vec_id") === 42L),
           f.ivf, "vec_id", "embedding", k = 100, nprobe = 8)
+        .select(col("neighbor_id").as("doc_id"),
+          round(col("cosine_sim"), 6).as("cos"))
+      Similarity.rrfFuse(Seq(lex -> "bm25", vec -> "cos"), "doc_id",
+        topN = 50)
+    },
+
+    // AS-OF hybrid retrieval: the time-consistent form of q189. After
+    // both corpora churn PAST an interior version (append → refresh →
+    // delete + update → refresh), both retrieval legs answer AS OF
+    // that interior version — BM25 walks all four index tables to the
+    // snapshots consistent with it (topNAsOf), the IVF probe walks the
+    // lists watermark to the matching generation (probeAsOf) — and the
+    // fusion must equal the from-scratch hybrid over the historical
+    // corpora (base + append only; the delete and update are invisible
+    // even though the LIVE indexes have applied them). This is the
+    // reproducibility contract a training-data pipeline needs: "the
+    // retrieval run that built dataset v2" stays answerable after the
+    // corpus moves on. Metadata walks only; same term-pruned /
+    // centroid-pruned scans as the live path.
+    "q190_asof_hybrid" -> { (s, dir) =>
+      import graft.sources.VersionedTable
+      val f = AsOfFixture.get(s, dir) // pivot at corpus v2 (builder)
+      IvfIndex.refresh(s, f.ivf)
+      Bm25Index.refresh(s, f.bm25)
+      require(IvfIndex.watermark(s, f.ivf) == 4L &&
+        Bm25Index.watermark(s, f.bm25) == 4L,
+        "both live indexes must sit PAST the asked version")
+      require(IvfIndex.versionAt(s, f.ivf, 2L) == 2L &&
+        VersionedTable.currentVersion(s, f.ivf + "/lists").get == 3L,
+        "the as-of walk must land on the interior lists version, not " +
+          "the head")
+      val lex = Bm25Index.topNAsOf(s, f.bm25,
+        Seq("hash", "join", "spark"), 100, corpusVersion = 2L)
+      // the query vector ITSELF reads as-of: vec 42 at corpus v2
+      // (later churn leaves it alive, but the read discipline matters)
+      val q42 = VersionedTable.read(s, f.emb, Some(2L))
+        .filter(col("vec_id") === 42L)
+      val vec = IvfIndex.probeAsOf(q42, f.ivf, "vec_id", "embedding",
+          k = 100, nprobe = 8, corpusVersion = 2L)
         .select(col("neighbor_id").as("doc_id"),
           round(col("cosine_sim"), 6).as("cos"))
       Similarity.rrfFuse(Seq(lex -> "bm25", vec -> "cos"), "doc_id",
@@ -2362,6 +2532,76 @@ object ExtQueries extends QueryPack {
         |  FROM lexr l FULL JOIN vecr v ON l.doc_id = v.doc_id)
         |SELECT doc_id, rank_1, rank_2, rrf_score FROM fu
         |ORDER BY rrf_score DESC, doc_id LIMIT 50""".stripMargin,
+    "q190_asof_hybrid" ->
+      """WITH dbase AS (SELECT doc_id, text FROM documents),
+        |dcorpus AS (SELECT doc_id, text FROM dbase
+        |  UNION ALL SELECT doc_id + 1000000, text FROM dbase
+        |  WHERE doc_id % 10 = 4),
+        |tk AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS t
+        |  FROM dcorpus),
+        |st AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(len(t)) AS DOUBLE) / COUNT(*) AS avgdl FROM tk),
+        |q AS (SELECT unnest(['hash', 'join', 'spark']) AS term),
+        |dfq AS (SELECT q.term,
+        |    (SELECT COUNT(*) FROM tk WHERE list_contains(tk.t, q.term))
+        |      AS dfc FROM q),
+        |sc AS (SELECT tk.doc_id,
+        |    round(SUM(
+        |      ln((st.n - dfq.dfc + 0.5) / (dfq.dfc + 0.5) + 1.0)
+        |      * len(list_filter(tk.t, x -> x = dfq.term)) * 2.2
+        |      / (len(list_filter(tk.t, x -> x = dfq.term))
+        |         + 1.2 * (0.25 + 0.75 * len(tk.t) / st.avgdl))), 6)
+        |      AS bm25
+        |  FROM tk CROSS JOIN dfq CROSS JOIN st
+        |  GROUP BY tk.doc_id),
+        |lex AS (SELECT doc_id, bm25 FROM sc WHERE bm25 > 0
+        |  ORDER BY bm25 DESC, doc_id LIMIT 100),
+        |lexr AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+        |    ORDER BY bm25 DESC, doc_id) AS INT) AS rank_1 FROM lex),
+        |ebase AS (SELECT vec_id, embedding FROM embeddings),
+        |ecorpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM (SELECT vec_id, embedding FROM ebase
+        |    UNION ALL SELECT vec_id + 100000, embedding FROM ebase
+        |    WHERE vec_id % 10 = 4)),
+        |vec AS (SELECT c.vec_id AS doc_id,
+        |    list_cosine_similarity(c.v,
+        |      (SELECT v FROM ecorpus WHERE vec_id = 42)) AS rawcs
+        |  FROM ecorpus c WHERE c.vec_id <> 42
+        |  ORDER BY rawcs DESC, doc_id LIMIT 100),
+        |vecr AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+        |    ORDER BY round(rawcs, 6) DESC, doc_id) AS INT) AS rank_2
+        |  FROM vec),
+        |fu AS (SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+        |    l.rank_1, v.rank_2,
+        |    round(COALESCE(1.0 / (60 + l.rank_1), 0)
+        |        + COALESCE(1.0 / (60 + v.rank_2), 0), 9) AS rrf_score
+        |  FROM lexr l FULL JOIN vecr v ON l.doc_id = v.doc_id)
+        |SELECT doc_id, rank_1, rank_2, rrf_score FROM fu
+        |ORDER BY rrf_score DESC, doc_id LIMIT 50""".stripMargin,
+    "q191_pq_adc_rerank" ->
+      """WITH ix AS (SELECT vec_id,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |av AS (SELECT vec_id, list(x *
+        |    CASE WHEN substring(md5('aniso:7:' ||
+        |        CAST(i - 1 AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+        |      THEN 4.0 ELSE 0.25 END ORDER BY i) AS v
+        |  FROM ix GROUP BY vec_id),
+        |q AS (SELECT vec_id, v FROM av
+        |  ORDER BY md5('pqq:' || CAST(vec_id AS VARCHAR)), vec_id
+        |  LIMIT 20),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(q.v, c.v), 6) AS score
+        |  FROM q CROSS JOIN av c WHERE q.vec_id <> c.vec_id),
+        |top10 AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, neighbor_id) AS rnk FROM s)
+        |  WHERE rnk <= 10)
+        |SELECT query_id, neighbor_id, score AS cosine_sim,
+        |  CAST(rnk AS INT) AS rank, TRUE AS recall_ok
+        |FROM top10 ORDER BY query_id, rank""".stripMargin,
     "q188_pca_reduce_recall" ->
       """WITH ix AS (SELECT vec_id,
         |    unnest(CAST(embedding AS DOUBLE[])) AS x,

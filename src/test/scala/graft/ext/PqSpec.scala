@@ -1,0 +1,119 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Product quantization: seeded fit is deterministic and refuses bad
+  * input; encode picks the nearest sub-centroid with lowest-id ties;
+  * ADC approximates well enough to preselect; and the exactness
+  * anchor — re-ranking a pool that covers the corpus reproduces
+  * brute force bit-for-bit (same scores, same tie discipline). */
+class PqSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def vecs(seed: Int, n: Int, dim: Int, center: Array[Double],
+      spread: Double): Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      (i.toLong,
+        center.map(c => (c + rnd.nextGaussian() * spread).toFloat))
+    }
+  }
+
+  private def corpus(dim: Int = 16): DataFrame = {
+    // two well-separated clusters plus a shifted band — enough
+    // structure that a 8-row codebook reconstructs meaningfully
+    val a = vecs(1, 40, dim, Array.fill(dim)(1.0), 0.15)
+    val b = vecs(2, 40, dim, Array.tabulate(dim)(i =>
+      if (i % 2 == 0) 4.0 else -2.0), 0.15)
+      .map { case (i, v) => (100L + i, v) }
+    val c = vecs(3, 20, dim, Array.tabulate(dim)(i => i * 0.3), 0.15)
+      .map { case (i, v) => (200L + i, v) }
+    (a ++ b ++ c).toDF("vec_id", "embedding")
+  }
+
+  test("fit is seed-deterministic, validates geometry, refuses nulls") {
+    val df = corpus()
+    val m1 = Pq.fit(df, "vec_id", "embedding", m = 4, ks = 8, seed = 7)
+    val m2 = Pq.fit(df, "vec_id", "embedding", m = 4, ks = 8, seed = 7)
+    assert(m1 == m2, "same seed must fit the same codebooks")
+    val m3 = Pq.fit(df, "vec_id", "embedding", m = 4, ks = 8, seed = 8)
+    assert(m1 != m3, "a different seed must sample differently")
+    assert(m1.dsub == 4 && m1.codebooks.size == 4 &&
+      m1.codebooks.forall(cb => cb.size == 8 && cb.forall(_.size == 4)))
+    assert(m1.compressionRatio == 16.0) // 16 dims * 4B / 4 codes
+    // dim not divisible by m
+    intercept[IllegalArgumentException](
+      Pq.fit(df, "vec_id", "embedding", m = 5, ks = 8))
+    // a null vector in the sampled window must refuse loudly
+    val withNull = df.unionByName(Seq((999L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding"))
+    intercept[IllegalArgumentException](
+      Pq.fit(withNull.filter($"vec_id" === 999L || $"vec_id" < 8),
+        "vec_id", "embedding", m = 4, ks = 8))
+  }
+
+  test("encode: codes bounded by ks; a sampled row reconstructs to " +
+      "itself (zero sub-distance picks its own codeword)") {
+    val df = corpus()
+    val model = Pq.fit(df, "vec_id", "embedding", m = 4, ks = 8, seed = 7)
+    val enc = Pq.encode(df, "embedding", model)
+    val codes = enc.select($"vec_id", $"pq_code").as[(Long, Seq[Int])]
+      .collect().toMap
+    assert(codes.values.forall(cd =>
+      cd.size == 4 && cd.forall(c => c >= 0 && c < 8)))
+    // every sampled vector's slices sit IN the codebook at one shared
+    // row index, so its reconstruction error is exactly zero
+    val sampleIds = df
+      .withColumn("_h", md5(concat(lit("pqfit:7:"),
+        $"vec_id".cast("string"))))
+      .orderBy($"_h", $"vec_id").limit(8)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect()
+    sampleIds.foreach { case (id, v) =>
+      val recon = model.reconstruct(codes(id))
+      val err = v.map(_.toDouble).zip(recon)
+        .map { case (x, y) => (x - y) * (x - y) }.sum
+      assert(err == 0.0, s"sampled row $id must self-reconstruct: $err")
+    }
+  }
+
+  test("exactness anchor: re-ranking a pool that covers the corpus " +
+      "reproduces brute force; ADC preselection keeps high recall") {
+    val df = corpus()
+    // finer geometry than the unit tests: 8 subspaces of 2 dims, 16
+    // codewords each — reconstruction good enough to preselect
+    val model = Pq.fit(df, "vec_id", "embedding", m = 8, ks = 16, seed = 7)
+    val enc = Pq.encode(df, "embedding", model)
+    val queries = df.filter($"vec_id".isin(0L, 5L, 105L, 210L))
+    val exact = Similarity.bruteForceTopK(
+        queries.select($"vec_id", $"embedding"),
+        df.select($"vec_id", $"embedding"),
+        "vec_id", "embedding", 10)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    // pool = the whole corpus → re-rank IS brute force (scores and
+    // ties computed identically)
+    val full = Pq.adcTopK(queries, enc, "vec_id", "embedding",
+      "pq_code", model, pool = 100)
+    val rrFull = Pq.rerankExact(full, df, queries, "vec_id",
+        "embedding", 10)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(rrFull == exact,
+      s"missing=${exact -- rrFull} extra=${rrFull -- exact}")
+    // a bounded pool (3x the k, 30 of 100) must still cover the true
+    // top-10 on this clustered corpus — the preselection contract
+    val pool30 = Pq.adcTopK(queries, enc, "vec_id", "embedding",
+        "pq_code", model, pool = 30)
+      .select($"query_id", $"neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val truth = exact.map { case (q, n, _) => (q, n) }
+    val recall = truth.count(pool30.contains).toDouble / truth.size
+    assert(recall >= 0.9, s"ADC pool-30 recall too low: $recall")
+  }
+}
