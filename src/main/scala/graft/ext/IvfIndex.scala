@@ -35,6 +35,16 @@ import graft.sources.VersionedTable
   * probe (`nprobe = nlist`) of the refreshed index ≡ brute force over
   * the post-churn corpus — the oracle gate for incremental
   * maintenance (q186).
+  *
+  * IVF-PQ mode (`create(pq = Some((m, ks)))`): the posting payload is
+  * an m-code [[Pq]] word instead of the raw vector — at 100 TB the
+  * probed partitions shrink ~dim·4/m-fold and fit executor memory —
+  * and [[probe]] becomes ADC-preselect (codes only) → exact re-rank
+  * against the corpus at the lists watermark. Maintenance is the SAME
+  * engine: the delta encodes against the frozen generation's
+  * codebooks, rebuild retrains quantizer AND codebooks together, the
+  * OCC pins cover both, and the full-probe ≡ brute-force contract
+  * survives because the re-rank is exact (q192).
   */
 object IvfIndex {
 
@@ -52,6 +62,17 @@ object IvfIndex {
   // lists version pairs with exactly the quantizer that version was
   // assigned against, across any number of rebuilds
   private val CentroidsDirKey = "ivf.centroids_dir"
+  // IVF-PQ mode: the posting payload is an m-code [[Pq]] word instead
+  // of the raw vector (the lists shrink ~dim·4/m-fold — at 100 TB the
+  // probed partitions fit executor memory), the codebooks live in a
+  // per-generation immutable dir exactly like the quantizer, and the
+  // probe ADC-preselects then re-ranks EXACTLY against the corpus
+  // table at the lists watermark
+  private val PqDirKey = "ivf.pq_dir"
+  private val PqMKey = "ivf.pq_m"
+  private val PqKsKey = "ivf.pq_ks"
+  private val PqDimKey = "ivf.pq_dim"
+  private val PqSeedKey = "ivf.pq_seed"
 
   private def listsRoot(path: String) = s"$path/lists"
 
@@ -92,8 +113,9 @@ object IvfIndex {
     * single rewrite unit; empty range partitions write nothing, so a
     * delta-sized refresh still lands only its churned centroids'
     * files. */
-  private def clustered(assigned: DataFrame, nlist: Int): DataFrame =
-    assigned.select(col("centroid_id"), col("neighbor_id"), col("nv"))
+  private def clustered(assigned: DataFrame, nlist: Int,
+      payload: String = "nv"): DataFrame =
+    assigned.select(col("centroid_id"), col("neighbor_id"), col(payload))
       .repartitionByRange(math.max(1, nlist),
         col("centroid_id"), col("neighbor_id"))
       .sortWithinPartitions("centroid_id")
@@ -106,9 +128,12 @@ object IvfIndex {
     * baseline. Returns the lists version. */
   def create(spark: SparkSession, corpusRoot: String, idCol: String,
       vecCol: String, nlist: Int, path: String,
-      trainIters: Int = 0): Long = {
-    val (lists, meta) =
-      buildState(spark, corpusRoot, idCol, vecCol, nlist, path, trainIters)
+      trainIters: Int = 0,
+      // Some((m, ks)) = IVF-PQ: posting payloads become m-code [[Pq]]
+      // words against a seeded per-generation codebook
+      pq: Option[(Int, Int)] = None, pqSeed: Int = 7): Long = {
+    val (lists, meta) = buildState(spark, corpusRoot, idCol, vecCol,
+      nlist, path, trainIters, pq, pqSeed)
     VersionedTable.create(spark, listsRoot(path), lists, meta = meta)
   }
 
@@ -118,7 +143,8 @@ object IvfIndex {
     * the time-travel pairing). Shared by [[create]] and [[rebuild]]. */
   private def buildState(spark: SparkSession, corpusRoot: String,
       idCol: String, vecCol: String, nlist: Int, path: String,
-      trainIters: Int): (DataFrame, Map[String, String]) = {
+      trainIters: Int, pq: Option[(Int, Int)],
+      pqSeed: Int): (DataFrame, Map[String, String]) = {
     require(nlist > 0, s"need nlist > 0, got $nlist")
     val cv = VersionedTable.currentVersion(spark, corpusRoot).getOrElse(
       throw new IllegalArgumentException(s"$corpusRoot: no versioned table"))
@@ -142,15 +168,49 @@ object IvfIndex {
     val base = assigned.agg(sum(col("assign_sim")).as("s"),
       count(lit(1)).as("n")).head()
     val (simSum, n) = (base.getDouble(0), base.getLong(1))
-    (clustered(assigned, nlist), Map(
+    val baseMeta = Map(
       CorpusKey -> corpusRoot,
       WatermarkKey -> cv.toString,
       NlistKey -> nlist.toString,
       IdKey -> idCol, VecKey -> vecCol,
       CentroidsDirKey -> cdir,
       BuildSimSumKey -> simSum.toString, BuildNKey -> n.toString,
-      ChurnSimSumKey -> "0.0", ChurnNKey -> "0"))
+      ChurnSimSumKey -> "0.0", ChurnNKey -> "0")
+    pq match {
+      case None => (clustered(assigned, nlist), baseMeta)
+      case Some((m, ks)) =>
+        // the PQ codebooks are a per-generation immutable artifact,
+        // named by the manifest meta exactly like the quantizer —
+        // time-travel probes decode any version with ITS codebooks
+        val model = Pq.fit(corpus, "neighbor_id", "nv", m, ks, pqSeed)
+        val pdir = s"pq_${java.util.UUID.randomUUID().toString.take(8)}"
+        model.codebooks.zipWithIndex.flatMap { case (cb, j) =>
+          cb.zipWithIndex.map { case (w, c) => (j, c, w) }
+        }.toDF("j", "c", "weights")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/$pdir")
+        (clustered(Pq.encode(assigned, "nv", model), nlist, "pq_code"),
+          baseMeta ++ Map(PqDirKey -> pdir, PqMKey -> m.toString,
+            PqKsKey -> ks.toString, PqDimKey -> model.dim.toString,
+            PqSeedKey -> pqSeed.toString))
+    }
   }
+
+  /** The frozen PQ codebooks a lists version decodes with (None when
+    * the index stores raw vectors). */
+  private def readPq(spark: SparkSession, path: String,
+      meta: Map[String, String]): Option[Pq.PqModel] =
+    meta.get(PqDirKey).map { pdir =>
+      val rows = spark.read.parquet(s"$path/$pdir")
+        .orderBy("j", "c").collect()
+      val m = meta(PqMKey).toInt
+      val ks = meta(PqKsKey).toInt
+      val cbs = rows.grouped(ks).map(_.map(
+        _.getSeq[Number](2).map(_.doubleValue()).toSeq).toSeq).toSeq
+      require(cbs.size == m && cbs.forall(_.size == ks),
+        s"$path/$pdir: expected $m x $ks codebooks, got " +
+          s"${cbs.size} x ${cbs.headOption.fold(0)(_.size)}")
+      Pq.PqModel(meta(PqDimKey).toInt, m, ks, cbs)
+    }
 
   /** Apply the corpus change feed (watermark, current] to the posting
     * lists in ONE atomic commit: feed deletes re-derive their centroid
@@ -239,9 +299,16 @@ object IvfIndex {
       count(lit(1)).as("n")).head()
     val churnSum = meta(ChurnSimSumKey).toDouble + simRow.getDouble(0)
     val churnN = meta(ChurnNKey).toLong + simRow.getLong(1)
+    // IVF-PQ: the delta encodes against the FROZEN generation's
+    // codebooks (same pinning as the quantizer — a crossed rebuild
+    // throws StaleRefresh below before stale codes could land)
+    val (payload, insertRows) = readPq(spark, path, meta) match {
+      case Some(model) => ("pq_code", Pq.encode(ins, "nv", model))
+      case None => ("nv", ins)
+    }
     beforeCommit()
     VersionedTable.streamingApply(spark, root,
-      inserts = clustered(ins, meta(NlistKey).toInt),
+      inserts = clustered(insertRows, meta(NlistKey).toInt, payload),
       deleteKeys = dels, keys = Seq("centroid_id", "neighbor_id"),
       queryName = "ivf_refresh", batchId = cv,
       extraMeta = Map(WatermarkKey -> cv.toString,
@@ -263,10 +330,20 @@ object IvfIndex {
     * predicate goes through the manifest-stats pruner
     * ([[pruneAudit]] is the per-call proof). Full probe (`nprobe =
     * nlist`) ≡ brute force over the corpus version the watermark
-    * pins. */
+    * pins.
+    *
+    * On an IVF-PQ index the probed lists carry CODES: ADC preselects
+    * the top `pool` candidates per query (codes + literal codebooks —
+    * the original vectors are untouched), then the pool re-ranks with
+    * EXACT cosine against the corpus table AT THE LISTS WATERMARK (a
+    * bounded id-join — the only point full vectors are read). With
+    * `pool` covering the probed candidates the re-rank sees everything
+    * ADC saw, so a full probe stays ≡ brute force — the same oracle
+    * contract as the raw-vector index (q192). `pool` ≤ 0 means
+    * max(4·k, 50); it is ignored on a raw-vector index. */
   def probe(queries: DataFrame, path: String, idCol: String,
       vecCol: String, k: Int, nprobe: Int,
-      version: Option[Long] = None): DataFrame = {
+      version: Option[Long] = None, pool: Int = 0): DataFrame = {
     val spark = queries.sparkSession
     // `version` = lists-table TIME TRAVEL: the manifest meta at that
     // version names the quantizer generation its rows were assigned
@@ -282,10 +359,33 @@ object IvfIndex {
       .collect().map(_.getInt(0)).sorted // nlist-bounded driver set
     val lists = VersionedTable.readWhere(spark, listsRoot(path),
       col("centroid_id").isin(probed.map(Integer.valueOf): _*), version)
-    val scored = probes.join(lists, Seq("centroid_id"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        Similarity.cosine(col("qv"), col("nv")).as("cosine_sim"))
+    val scored = readPq(spark, path, meta) match {
+      case None =>
+        probes.join(lists, Seq("centroid_id"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            Similarity.cosine(col("qv"), col("nv")).as("cosine_sim"))
+      case Some(model) =>
+        val effPool = if (pool > 0) pool else math.max(4 * k, 50)
+        val pw = Window.partitionBy("query_id")
+          .orderBy(col("adc_sim").desc, col("neighbor_id"))
+        val cands = probes.join(lists, Seq("centroid_id"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("qv"), col("neighbor_id"),
+            Pq.adcSim(col("qv"), col("pq_code"), model).as("adc_sim"))
+          .withColumn("_pr", row_number().over(pw))
+          .filter(col("_pr") <= effPool)
+          .select("query_id", "qv", "neighbor_id")
+        // exact re-rank against the corpus snapshot the lists reflect
+        // (the watermark of the PROBED version — time travel included)
+        val corpus = VersionedTable.read(spark, meta(CorpusKey),
+            Some(meta(WatermarkKey).toLong))
+          .select(col(meta(IdKey)).as("neighbor_id"),
+            col(meta(VecKey)).as("nv"))
+        cands.join(corpus, Seq("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            Similarity.cosine(col("qv"), col("nv")).as("cosine_sim"))
+    }
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine_sim").desc, col("neighbor_id"))
     val ranked = scored.withColumn("rank", row_number().over(w))
@@ -365,9 +465,12 @@ object IvfIndex {
   def rebuild(spark: SparkSession, path: String,
       trainIters: Int = 0): Long = {
     val meta0 = VersionedTable.metaOf(spark, listsRoot(path))
+    // an IVF-PQ index retrains BOTH generations' artifacts — quantizer
+    // and codebooks — with its build-time geometry and seed
+    val pq = meta0.get(PqMKey).map(m => (m.toInt, meta0(PqKsKey).toInt))
     val (lists, meta) = buildState(spark, meta0(CorpusKey),
       meta0(IdKey), meta0(VecKey), meta0(NlistKey).toInt, path,
-      trainIters)
+      trainIters, pq, meta0.get(PqSeedKey).fold(7)(_.toInt))
     VersionedTable.replace(spark, listsRoot(path), lists, meta = meta)
   }
 

@@ -116,6 +116,32 @@ object Pq {
     * (query_id, neighbor_id, adc_sim, rank) cut to the top `pool`
     * per query by (sim desc, id) — the CANDIDATE GENERATOR, not the
     * answer: feed it to [[rerankExact]]. */
+  /** The ADC cosine EXPRESSION of a full-precision query vector `qv`
+    * against the reconstruction a code column `cd` encodes — per
+    * subspace, dot(q_j, cb[code_j]) and ‖cb[code_j]‖² selected from
+    * literal tables by the stored code (element_at lookups +
+    * zip_with/aggregate loops — the same under-64KB codegen shape as
+    * [[encode]]; the sub-norms are a precomputed m × ks literal).
+    * Shared by [[adcTopK]] and [[IvfIndex.probe]]'s PQ path. */
+  private[ext] def adcSim(qv: Column, cd: Column,
+      model: PqModel): Column = {
+    val cb = typedlit(model.codebooks) // m × ks × dsub
+    val n2 = typedlit(model.codebooks.map(_.map(_.map(x => x * x).sum)))
+    val dotJ = (0 until model.m).map { j =>
+      val qsl = slice(qv, j * model.dsub + 1, model.dsub)
+      val row = element_at(element_at(cb, j + 1),
+        element_at(cd, j + 1) + 1)
+      aggregate(zip_with(qsl, row, (x, y) => x.cast("double") * y),
+        lit(0.0), (a, b) => a + b)
+    }.reduce(_ + _)
+    val norm2J = (0 until model.m).map { j =>
+      element_at(element_at(n2, j + 1), element_at(cd, j + 1) + 1)
+    }.reduce(_ + _)
+    val qNorm = sqrt(aggregate(qv, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    dotJ / (qNorm * sqrt(norm2J))
+  }
+
   def adcTopK(queries: DataFrame, encoded: DataFrame, idCol: String,
       vecCol: String, codeCol: String, model: PqModel,
       pool: Int): DataFrame = {
@@ -124,26 +150,7 @@ object Pq {
       col(vecCol).as("qv"))
     val c = encoded.select(col(idCol).as("neighbor_id"),
       col(codeCol).as("cd"))
-    // per subspace: dot(q_j, cb[code_j]) and ‖cb[code_j]‖², selected
-    // from literal tables by the stored code (element_at lookups +
-    // zip_with/aggregate loops — the same under-64KB codegen shape as
-    // encode; the sub-norms are a precomputed m × ks literal)
-    val cb = typedlit(model.codebooks) // m × ks × dsub
-    val n2 = typedlit(model.codebooks.map(_.map(_.map(x => x * x).sum)))
-    val dotJ = (0 until model.m).map { j =>
-      val qsl = slice(col("qv"), j * model.dsub + 1, model.dsub)
-      val row = element_at(element_at(cb, j + 1),
-        element_at(col("cd"), j + 1) + 1)
-      aggregate(zip_with(qsl, row, (x, y) => x.cast("double") * y),
-        lit(0.0), (a, b) => a + b)
-    }.reduce(_ + _)
-    val norm2J = (0 until model.m).map { j =>
-      element_at(element_at(n2, j + 1),
-        element_at(col("cd"), j + 1) + 1)
-    }.reduce(_ + _)
-    val qNorm = sqrt(aggregate(col("qv"), lit(0.0),
-      (acc, x) => acc + x.cast("double") * x.cast("double")))
-    val sim = dotJ / (qNorm * sqrt(norm2J))
+    val sim = adcSim(col("qv"), col("cd"), model)
     // raw-score cut, id tie-break — the bruteForceTopK/probe family
     // discipline (ADC scores are engine-local anyway; exact replay
     // rides the re-rank, not this preselection)

@@ -23,18 +23,18 @@ object ExtQueries extends QueryPack {
     Tables.load(s, dir, "embeddings")
 
   /** Shared churned-corpus + maintained-index fixture for q186/q187/
-    * q189 (the MvFixture discipline): embeddings and documents land as
+    * q189/q192 (the MvFixture discipline): embeddings and documents land as
     * VersionedTables, each index is created at v1, then ONE
     * deterministic churn timeline per corpus (append a %10==3 slice
     * under shifted ids, CDF-delete %7==2, update %13==5 — the exact
     * recipe the three oracles replay in SQL). The indexes are left
     * UNREFRESHED: each query refreshes idempotently (batch id =
-    * corpus version) and pins its own invariants, so q186/q187/q189
-    * hold in ANY execution order and on JVM-shared reruns. Memoized
-    * per warehouse+dir. */
+    * corpus version) and pins its own invariants, so the family holds
+    * in ANY execution order and on JVM-shared reruns. Memoized per
+    * warehouse+dir. */
   private object IdxFixture {
-    final case class P(emb: String, ivf: String, docTbl: String,
-        bm25: String)
+    final case class P(emb: String, ivf: String, pqIvf: String,
+        docTbl: String, bm25: String)
     private val cache =
       scala.collection.concurrent.TrieMap.empty[String, P]
 
@@ -48,10 +48,15 @@ object ExtQueries extends QueryPack {
         if (wh.startsWith("file:")) new java.net.URI(wh).getPath else wh
       val base = new java.io.File(whPath,
         s"graft_idxfix/${java.util.UUID.randomUUID()}").toString
-      val p = P(s"$base/emb", s"$base/ivf", s"$base/docs", s"$base/bm25")
+      val p = P(s"$base/emb", s"$base/ivf", s"$base/pq_ivf",
+        s"$base/docs", s"$base/bm25")
       val e = embs(s, dir).select(col("vec_id"), col("embedding"))
       VersionedTable.create(s, p.emb, e) // E v1
       IvfIndex.create(s, p.emb, "vec_id", "embedding", nlist = 8, p.ivf)
+      // the IVF-PQ sibling (q192): same corpus, same churn timeline,
+      // posting payload = 16-code PQ words instead of raw vectors
+      IvfIndex.create(s, p.emb, "vec_id", "embedding", nlist = 8,
+        p.pqIvf, pq = Some((16, 64)))
       VersionedTable.append(s, p.emb, e.filter(col("vec_id") % 10 === 3)
         .select((col("vec_id") + lit(100000L)).as("vec_id"),
           col("embedding"))) // E v2
@@ -1460,6 +1465,56 @@ object ExtQueries extends QueryPack {
         topN = 50)
     },
 
+    // Maintained IVF-PQ under churn — q186's contract on COMPRESSED
+    // lists: the posting payload is a 16-code PQ word (16x smaller
+    // than the 64-float vector; at 100 TB the probed partitions are
+    // what must fit executor memory), maintenance is the same
+    // change-feed engine (the delta encodes against the FROZEN
+    // generation's codebooks, one atomic OCC-pinned commit), and the
+    // probe is ADC-preselect from codes alone → exact re-rank against
+    // the corpus at the lists watermark. With a covering pool the
+    // re-rank sees every probed candidate, so the full probe must
+    // equal DuckDB brute force over the replayed post-churn corpus —
+    // compression that provably costs nothing at full fidelity. The
+    // bounded-pool recall VALUE is q191's story (these embeddings are
+    // isotropic; preselection quality needs the anisotropic premise);
+    // here the bounded leg pins shape only: k rows per query, drawn
+    // from probed candidates.
+    "q192_ivfpq_churn_maintain" -> { (s, dir) =>
+      import graft.sources.VersionedTable
+      val f = IdxFixture.get(s, dir) // shared churned corpora (builder)
+      val idx = f.pqIvf
+      val lv = IvfIndex.refresh(s, idx)
+      require(lv == 2L && IvfIndex.watermark(s, idx) == 4L,
+        s"one atomic refresh commit carrying watermark 4, got " +
+          s"version $lv @ ${IvfIndex.watermark(s, idx)}")
+      val lists = VersionedTable.read(s, idx + "/lists")
+      require(lists.columns.toSet ==
+        Set("centroid_id", "neighbor_id", "pq_code"),
+        s"pq lists must carry codes, not vectors: " +
+          lists.columns.mkString(","))
+      val (kept, total) = IvfIndex.pruneAudit(s, idx, Seq(0))
+      require(kept < total,
+        s"clustered pq lists must file-prune: $kept/$total")
+      val corpus = VersionedTable.read(s, f.emb)
+      val queries = corpus.filter(col("vec_id") >= 20 &&
+        col("vec_id") < 40)
+      val bounded = IvfIndex.probe(queries, idx, "vec_id", "embedding",
+        k = 5, nprobe = 8, pool = 40)
+      require(bounded.groupBy("query_id").count()
+        .filter(col("count") =!= 5).isEmpty,
+        "a bounded pool must still yield k rows per query")
+      val topk = IvfIndex.probe(queries, idx, "vec_id", "embedding",
+        k = 5, nprobe = 8, pool = Int.MaxValue)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(round(col("cosine_sim"), 6).desc, col("neighbor_id"))
+      topk.select(col("query_id"), col("neighbor_id"),
+          round(col("cosine_sim"), 6).as("cosine_sim"))
+        .withColumn("rank", row_number().over(w))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // AS-OF hybrid retrieval: the time-consistent form of q189. After
     // both corpora churn PAST an interior version (append → refresh →
     // delete + update → refresh), both retrieval legs answer AS OF
@@ -2532,6 +2587,29 @@ object ExtQueries extends QueryPack {
         |  FROM lexr l FULL JOIN vecr v ON l.doc_id = v.doc_id)
         |SELECT doc_id, rank_1, rank_2, rrf_score FROM fu
         |ORDER BY rrf_score DESC, doc_id LIMIT 50""".stripMargin,
+    "q192_ivfpq_churn_maintain" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings),
+        |grown AS (SELECT vec_id, embedding FROM base
+        |  UNION ALL SELECT vec_id + 100000, embedding FROM base
+        |  WHERE vec_id % 10 = 3),
+        |alive AS (SELECT vec_id, embedding FROM grown WHERE vec_id % 7 <> 2),
+        |corpus AS (SELECT vec_id,
+        |    CAST(CASE WHEN vec_id % 13 = 5 THEN list_reverse(embedding)
+        |         ELSE embedding END AS DOUBLE[]) AS v
+        |  FROM alive),
+        |q AS (SELECT vec_id, v FROM corpus
+        |  WHERE vec_id >= 20 AND vec_id < 40),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.v, c.v) AS cs
+        |  FROM q CROSS JOIN corpus c WHERE q.vec_id <> c.vec_id),
+        |top5 AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cs DESC, neighbor_id) AS rn FROM s)
+        |  WHERE rn <= 5)
+        |SELECT query_id, neighbor_id, round(cs, 6) AS cosine_sim,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY round(cs, 6) DESC, neighbor_id) AS INT) AS rank
+        |FROM top5 ORDER BY query_id, rank""".stripMargin,
     "q190_asof_hybrid" ->
       """WITH dbase AS (SELECT doc_id, text FROM documents),
         |dcorpus AS (SELECT doc_id, text FROM dbase

@@ -349,4 +349,57 @@ class IvfIndexSpec extends AnyFunSuite {
       .as[(Long, Long, Int)].collect().toSet
     assert(got == brute(corpus, queries, 3))
   }
+
+  test("IVF-PQ: posting lists carry codes, maintenance survives churn " +
+      "and rebuild, full probe with a covering pool stays exact, and " +
+      "time travel decodes with each generation's codebooks") {
+    val (root, idx) = (tmp() + "/corpus", tmp() + "/idx")
+    val dim = 8
+    val base = (vecs(31, 30, dim, Array.fill(dim)(1.0), 0.2)
+        .zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      vecs(32, 30, dim, Array(5.0, -3.0, 1.0, 0.0, 2.0, -1.0, 4.0, 0.5), 0.2)
+        .zipWithIndex.map { case (v, i) => (100L + i, v) })
+    VersionedTable.create(spark, root, corpusDf(base)) // v1
+    IvfIndex.create(spark, root, "vec_id", "embedding", nlist = 4, idx,
+      pq = Some((4, 8)))
+    // the compression is structural: the lists carry codes, NO vectors
+    val lists = VersionedTable.read(spark, idx + "/lists")
+    assert(lists.columns.toSet ==
+      Set("centroid_id", "neighbor_id", "pq_code"),
+      s"pq lists must not store vectors: ${lists.columns.mkString(",")}")
+    // churn every shape, refresh: the delta encodes against the frozen
+    // codebooks and the full probe stays exact (re-rank is exact)
+    VersionedTable.append(spark, root, corpusDf(
+      vecs(33, 10, dim, Array.fill(dim)(1.0), 0.2)
+        .zipWithIndex.map { case (v, i) => (200L + i, v) })) // v2
+    VersionedTable.deleteWhere(spark, root,
+      col("vec_id") % 5 === 2, cdf = true) // v3
+    VersionedTable.updateWhere(spark, root, col("vec_id") === 3L,
+      Map("embedding" -> reverse(col("embedding"))), cdf = true) // v4
+    assert(IvfIndex.refresh(spark, idx) == 2L)
+    assert(IvfIndex.watermark(spark, idx) == 4L)
+    val corpus = VersionedTable.read(spark, root)
+    val queries = corpus.filter(col("vec_id") < 10)
+    def fullProbe(version: Option[Long] = None) =
+      IvfIndex.probe(queries, idx, "vec_id", "embedding",
+          k = 3, nprobe = 4, version = version, pool = Int.MaxValue)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .as[(Long, Long, Int)].collect().toSet
+    assert(fullProbe() == brute(corpus, queries, 3))
+    // probed files prune like the raw-vector index
+    val (kept, total) = IvfIndex.pruneAudit(spark, idx, Seq(0))
+    assert(kept < total, s"pq lists must file-prune: $kept/$total")
+    // a bounded pool returns exactly k rows per query, all drawn from
+    // the probed candidates (the ADC preselection contract)
+    val bounded = IvfIndex.probe(queries, idx, "vec_id", "embedding",
+      k = 3, nprobe = 4, pool = 12)
+    assert(bounded.groupBy("query_id").count()
+      .filter(col("count") =!= 3).isEmpty)
+    // rebuild retrains BOTH artifacts; the rebuilt index stays exact
+    IvfIndex.rebuild(spark, idx)
+    assert(fullProbe() == brute(corpus, queries, 3))
+    // time travel: the pre-rebuild version decodes with ITS codebooks
+    // and re-ranks against ITS watermark corpus (v4 == post-churn)
+    assert(fullProbe(version = Some(2L)) == brute(corpus, queries, 3))
+  }
 }
