@@ -340,10 +340,20 @@ object IvfIndex {
     * `pool` covering the probed candidates the re-rank sees everything
     * ADC saw, so a full probe stays ≡ brute force — the same oracle
     * contract as the raw-vector index (q192). `pool` ≤ 0 means
-    * max(4·k, 50); it is ignored on a raw-vector index. */
+    * max(4·k, 50); it is ignored on a raw-vector index.
+    *
+    * `where` = FILTERED search (the production "top-k among rows
+    * matching a predicate"): candidates are semi-joined against the
+    * corpus rows satisfying the predicate AT THE LISTS WATERMARK
+    * — BEFORE the PQ pool cut, so a bounded pool is not starved by a
+    * selective predicate (the classic post-filter trap). A full probe
+    * stays ≡ brute force over the FILTERED corpus (q193). The
+    * predicate sees the corpus table's own columns and pushes down to
+    * its scan. */
   def probe(queries: DataFrame, path: String, idCol: String,
       vecCol: String, k: Int, nprobe: Int,
-      version: Option[Long] = None, pool: Int = 0): DataFrame = {
+      version: Option[Long] = None, pool: Int = 0,
+      where: Option[Column] = None): DataFrame = {
     val spark = queries.sparkSession
     // `version` = lists-table TIME TRAVEL: the manifest meta at that
     // version names the quantizer generation its rows were assigned
@@ -359,18 +369,29 @@ object IvfIndex {
       .collect().map(_.getInt(0)).sorted // nlist-bounded driver set
     val lists = VersionedTable.readWhere(spark, listsRoot(path),
       col("centroid_id").isin(probed.map(Integer.valueOf): _*), version)
+    // predicate-allowed ids, at the same corpus snapshot the lists
+    // reflect (the predicate pushes down to the corpus scan; only the
+    // id column survives the projection)
+    val allowed = where.map { pred =>
+      VersionedTable.read(spark, meta(CorpusKey),
+          Some(meta(WatermarkKey).toLong))
+        .filter(pred).select(col(meta(IdKey)).as("neighbor_id"))
+    }
+    def keep(df: DataFrame): DataFrame =
+      allowed.fold(df)(ids => df.join(ids, Seq("neighbor_id"),
+        "left_semi"))
     val scored = readPq(spark, path, meta) match {
       case None =>
-        probes.join(lists, Seq("centroid_id"))
-          .filter(col("query_id") =!= col("neighbor_id"))
+        keep(probes.join(lists, Seq("centroid_id"))
+          .filter(col("query_id") =!= col("neighbor_id")))
           .select(col("query_id"), col("neighbor_id"),
             Similarity.cosine(col("qv"), col("nv")).as("cosine_sim"))
       case Some(model) =>
         val effPool = if (pool > 0) pool else math.max(4 * k, 50)
         val pw = Window.partitionBy("query_id")
           .orderBy(col("adc_sim").desc, col("neighbor_id"))
-        val cands = probes.join(lists, Seq("centroid_id"))
-          .filter(col("query_id") =!= col("neighbor_id"))
+        val cands = keep(probes.join(lists, Seq("centroid_id"))
+          .filter(col("query_id") =!= col("neighbor_id")))
           .select(col("query_id"), col("qv"), col("neighbor_id"),
             Pq.adcSim(col("qv"), col("pq_code"), model).as("adc_sim"))
           .withColumn("_pr", row_number().over(pw))
@@ -418,9 +439,11 @@ object IvfIndex {
     * it rides next to [[Bm25Index.topNAsOf]] for time-consistent
     * cross-index retrieval). */
   def probeAsOf(queries: DataFrame, path: String, idCol: String,
-      vecCol: String, k: Int, nprobe: Int, corpusVersion: Long): DataFrame =
+      vecCol: String, k: Int, nprobe: Int, corpusVersion: Long,
+      pool: Int = 0, where: Option[Column] = None): DataFrame =
     probe(queries, path, idCol, vecCol, k, nprobe,
-      Some(versionAt(queries.sparkSession, path, corpusVersion)))
+      Some(versionAt(queries.sparkSession, path, corpusVersion)),
+      pool, where)
 
   /** (files kept, files total) the manifest pruner reports for a probe
     * of `centroidIds` — the audit that the clustered layout actually

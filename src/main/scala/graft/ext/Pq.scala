@@ -116,6 +116,51 @@ object Pq {
     * (query_id, neighbor_id, adc_sim, rank) cut to the top `pool`
     * per query by (sim desc, id) — the CANDIDATE GENERATOR, not the
     * answer: feed it to [[rerankExact]]. */
+  /** Distributed Lloyd refinement of a fitted model's codebooks:
+    * `iters` rounds of encode → per-(subspace, code) mean → replace
+    * (empty cells keep their previous codeword). Each round is one
+    * map-only encode plus one m·ks-cell aggregate — no all-pairs
+    * anything, scales like [[encode]]. The refined model reconstructs
+    * strictly better on the training distribution (k-means descent),
+    * which is what bounded-pool ADC recall rides on; the trade,
+    * documented rather than hidden, is that float-mean reductions are
+    * sum-order-sensitive, so a REFINED model is engine-deterministic
+    * only per-plan — oracle-replayed gates (q191/q192) stay on the
+    * seeded [[fit]], and the recall gain is spec-certified instead
+    * (PqSpec). */
+  def refine(df: DataFrame, vecCol: String, model: PqModel,
+      iters: Int): PqModel = {
+    require(iters >= 0, s"iters must be >= 0: $iters")
+    var cur = model
+    for (_ <- 0 until iters) {
+      val enc = encode(df, vecCol, cur)
+      // one narrow aggregate: (subspace j, code c) -> mean sub-vector
+      val cells = enc.select(posexplode(col("pq_code")).as(Seq("j", "c")),
+          col(vecCol).as("_v"))
+        .select(col("j"), col("c"),
+          slice(transform(col("_v"), x => x.cast("double")),
+            col("j") * cur.dsub + 1, lit(cur.dsub)).as("sl"))
+        .groupBy("j", "c")
+        .agg(count(lit(1)).as("n"),
+          array((0 until cur.dsub).map(i =>
+            sum(element_at(col("sl"), i + 1))): _*).as("sums"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) ->
+          (r.getLong(2), r.getSeq[Double](3)))
+        .toMap
+      val next = cur.codebooks.zipWithIndex.map { case (cb, j) =>
+        cb.zipWithIndex.map { case (old, c) =>
+          cells.get((j, c)) match {
+            case Some((n, sums)) if n > 0 => sums.map(_ / n).toSeq
+            case _ => old // an empty cell keeps its codeword
+          }
+        }
+      }
+      cur = PqModel(cur.dim, cur.m, cur.ks, next)
+    }
+    cur
+  }
+
   /** The ADC cosine EXPRESSION of a full-precision query vector `qv`
     * against the reconstruction a code column `cd` encodes — per
     * subspace, dot(q_j, cb[code_j]) and ‖cb[code_j]‖² selected from

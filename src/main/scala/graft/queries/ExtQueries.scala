@@ -1515,6 +1515,44 @@ object ExtQueries extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // FILTERED vector search — the production "top-k among rows
+    // matching a predicate" (serve only lang='en', only post-cutoff
+    // docs, ...): probe(where = pred) semi-joins candidates against
+    // the predicate's ids at the lists watermark BEFORE the PQ pool
+    // cut (pre-filter, not the pool-starving post-filter), then ranks
+    // as usual. Full probe ≡ brute force over the FILTERED post-churn
+    // corpus — and the raw-vector and PQ index modes must agree with
+    // each other exactly (cross-validated in-query, one output rides
+    // the oracle).
+    "q193_filtered_ann" -> { (s, dir) =>
+      import graft.sources.VersionedTable
+      val f = IdxFixture.get(s, dir) // shared churned corpora (builder)
+      IvfIndex.refresh(s, f.ivf)
+      IvfIndex.refresh(s, f.pqIvf)
+      require(IvfIndex.watermark(s, f.ivf) == 4L &&
+        IvfIndex.watermark(s, f.pqIvf) == 4L,
+        "both index modes must sit at the corpus head")
+      val corpus = VersionedTable.read(s, f.emb)
+      val queries = corpus.filter(col("vec_id") >= 40 &&
+        col("vec_id") < 60)
+      val pred = col("vec_id") % 3 === 1
+      def run(ix: String) = IvfIndex.probe(queries, ix, "vec_id",
+          "embedding", k = 5, nprobe = 8, pool = Int.MaxValue,
+          where = Some(pred))
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine_sim"), 6).as("cosine_sim"))
+        .localCheckpoint(true)
+      val (raw, pq) = (run(f.ivf), run(f.pqIvf))
+      require(raw.count() == pq.count() &&
+        raw.exceptAll(pq).isEmpty && pq.exceptAll(raw).isEmpty,
+        "raw-vector and PQ filtered probes must agree exactly")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(col("cosine_sim").desc, col("neighbor_id"))
+      pq.withColumn("rank", row_number().over(w))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // AS-OF hybrid retrieval: the time-consistent form of q189. After
     // both corpora churn PAST an interior version (append → refresh →
     // delete + update → refresh), both retrieval legs answer AS OF
@@ -2587,6 +2625,30 @@ object ExtQueries extends QueryPack {
         |  FROM lexr l FULL JOIN vecr v ON l.doc_id = v.doc_id)
         |SELECT doc_id, rank_1, rank_2, rrf_score FROM fu
         |ORDER BY rrf_score DESC, doc_id LIMIT 50""".stripMargin,
+    "q193_filtered_ann" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings),
+        |grown AS (SELECT vec_id, embedding FROM base
+        |  UNION ALL SELECT vec_id + 100000, embedding FROM base
+        |  WHERE vec_id % 10 = 3),
+        |alive AS (SELECT vec_id, embedding FROM grown WHERE vec_id % 7 <> 2),
+        |corpus AS (SELECT vec_id,
+        |    CAST(CASE WHEN vec_id % 13 = 5 THEN list_reverse(embedding)
+        |         ELSE embedding END AS DOUBLE[]) AS v
+        |  FROM alive),
+        |q AS (SELECT vec_id, v FROM corpus
+        |  WHERE vec_id >= 40 AND vec_id < 60),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.v, c.v) AS cs
+        |  FROM q CROSS JOIN corpus c
+        |  WHERE q.vec_id <> c.vec_id AND c.vec_id % 3 = 1),
+        |top5 AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cs DESC, neighbor_id) AS rn FROM s)
+        |  WHERE rn <= 5)
+        |SELECT query_id, neighbor_id, round(cs, 6) AS cosine_sim,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY round(cs, 6) DESC, neighbor_id) AS INT) AS rank
+        |FROM top5 ORDER BY query_id, rank""".stripMargin,
     "q192_ivfpq_churn_maintain" ->
       """WITH base AS (SELECT vec_id, embedding FROM embeddings),
         |grown AS (SELECT vec_id, embedding FROM base

@@ -161,8 +161,10 @@ class IndexOpsSpec extends AnyFunSuite {
     VersionedTable.create(spark, corpus, corpusDf(
       vecs(7, 30, 6, 0.2).zipWithIndex.map { case (v, i) => (i.toLong, v) }))
     IvfIndex.create(spark, corpus, "vec_id", "embedding", nlist = 2, idx)
+    // the tail drives the full AUTOPILOT, not just refresh: drift-gated
+    // rebuild and file-count-gated compaction ride the same callback
     val q = graft.streaming.Streams.maintainOnChanges(spark, corpus, cp)(
-      s => { IvfIndex.refresh(s, idx); () })
+      s => { IvfIndex.maintain(s, idx, compactAboveFiles = 64); () })
     try {
       q.processAllAvailable()
       VersionedTable.append(spark, corpus, corpusDf(

@@ -401,5 +401,22 @@ class IvfIndexSpec extends AnyFunSuite {
     // time travel: the pre-rebuild version decodes with ITS codebooks
     // and re-ranks against ITS watermark corpus (v4 == post-churn)
     assert(fullProbe(version = Some(2L)) == brute(corpus, queries, 3))
+    // FILTERED search on both index modes: full probe over a predicate
+    // == brute force over the filtered corpus, and the raw-vector and
+    // PQ paths agree with each other exactly
+    val rawIdx = tmp() + "/raw_idx"
+    IvfIndex.create(spark, root, "vec_id", "embedding", nlist = 4,
+      rawIdx)
+    val pred = col("vec_id") % 3 === 1
+    def filteredProbe(ix: String) =
+      IvfIndex.probe(queries, ix, "vec_id", "embedding", k = 3,
+          nprobe = 4, pool = Int.MaxValue, where = Some(pred))
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .as[(Long, Long, Int)].collect().toSet
+    val wantFiltered = brute(corpus.filter(pred), queries, 3)
+    assert(filteredProbe(idx) == wantFiltered,
+      "pq filtered probe must equal brute force over the filtered corpus")
+    assert(filteredProbe(rawIdx) == wantFiltered,
+      "raw filtered probe must equal brute force over the filtered corpus")
   }
 }

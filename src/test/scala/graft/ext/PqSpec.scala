@@ -116,4 +116,44 @@ class PqSpec extends AnyFunSuite {
     val recall = truth.count(pool30.contains).toDouble / truth.size
     assert(recall >= 0.9, s"ADC pool-30 recall too low: $recall")
   }
+
+  test("refine: Lloyd rounds cut reconstruction error and do not hurt " +
+      "pool recall (the production training path; gates stay seeded)") {
+    val df = corpus()
+    def sqErr(model: Pq.PqModel): Double = {
+      val codes = Pq.encode(df, "embedding", model)
+        .select($"vec_id", $"embedding", $"pq_code")
+        .as[(Long, Seq[Float], Seq[Int])].collect()
+      codes.map { case (_, v, cd) =>
+        v.map(_.toDouble).zip(model.reconstruct(cd))
+          .map { case (x, y) => (x - y) * (x - y) }.sum
+      }.sum
+    }
+    def poolRecall(model: Pq.PqModel): Double = {
+      val enc = Pq.encode(df, "embedding", model)
+      val queries = df.filter($"vec_id".isin(0L, 5L, 105L, 210L))
+      val truth = Similarity.bruteForceTopK(
+          queries.select($"vec_id", $"embedding"),
+          df.select($"vec_id", $"embedding"),
+          "vec_id", "embedding", 10)
+        .select($"query_id", $"neighbor_id")
+        .as[(Long, Long)].collect().toSet
+      val pool = Pq.adcTopK(queries, enc, "vec_id", "embedding",
+          "pq_code", model, pool = 30)
+        .select($"query_id", $"neighbor_id")
+        .as[(Long, Long)].collect().toSet
+      truth.count(pool.contains).toDouble / truth.size
+    }
+    // the deliberately-coarse geometry (m=4, ks=8) leaves headroom
+    val seeded = Pq.fit(df, "vec_id", "embedding", m = 4, ks = 8,
+      seed = 7)
+    val refined = Pq.refine(df, "embedding", seeded, iters = 3)
+    val (e0, e1) = (sqErr(seeded), sqErr(refined))
+    assert(e1 < e0 * 0.9,
+      s"3 Lloyd rounds must cut reconstruction error: $e0 -> $e1")
+    val (r0, r1) = (poolRecall(seeded), poolRecall(refined))
+    assert(r1 >= r0,
+      s"refined codebooks must not hurt pool recall: $r0 -> $r1")
+    assert(Pq.refine(df, "embedding", seeded, iters = 0) == seeded)
+  }
 }
