@@ -121,16 +121,15 @@ object ExtQueries extends QueryPack {
         .select((col("doc_id") + lit(1000000L)).as("doc_id"),
           col("text"))) // D v2
       Bm25Index.refresh(s, p.bm25) // postings v2, wm 2
-      // churn PAST the pivot: the as-of answer must not see any of it
+      // churn PAST the pivot: the as-of answer must not see any of
+      // it (one delete per corpus suffices to prove invisibility —
+      // update/preimage handling is q186/q187's LIVE-path coverage,
+      // and every extra commit here is wall-clock in q190's private
+      // fixture build)
       VersionedTable.deleteWhere(s, p.emb, col("vec_id") % 7 === 6,
         cdf = true) // E v3
-      VersionedTable.updateWhere(s, p.emb, col("vec_id") % 13 === 9,
-        Map("embedding" -> reverse(col("embedding"))), cdf = true) // E v4
       VersionedTable.deleteWhere(s, p.docTbl, col("doc_id") % 7 === 6,
         cdf = true) // D v3
-      VersionedTable.updateWhere(s, p.docTbl, col("doc_id") % 13 === 9,
-        Map("text" -> concat(col("text"), lit(" spark spark"))),
-        cdf = true) // D v4
       p
     }
   }
@@ -1571,8 +1570,8 @@ object ExtQueries extends QueryPack {
       val f = AsOfFixture.get(s, dir) // pivot at corpus v2 (builder)
       IvfIndex.refresh(s, f.ivf)
       Bm25Index.refresh(s, f.bm25)
-      require(IvfIndex.watermark(s, f.ivf) == 4L &&
-        Bm25Index.watermark(s, f.bm25) == 4L,
+      require(IvfIndex.watermark(s, f.ivf) == 3L &&
+        Bm25Index.watermark(s, f.bm25) == 3L,
         "both live indexes must sit PAST the asked version")
       require(IvfIndex.versionAt(s, f.ivf, 2L) == 2L &&
         VersionedTable.currentVersion(s, f.ivf + "/lists").get == 3L,
