@@ -73,6 +73,10 @@ object IvfIndex {
   private val PqKsKey = "ivf.pq_ks"
   private val PqDimKey = "ivf.pq_dim"
   private val PqSeedKey = "ivf.pq_seed"
+  // "1" = codes quantize the RESIDUAL v − centroid (the canonical
+  // IVF-PQ layout — a small codebook reconstructs residuals far
+  // better than raw vectors); "0"/absent = raw-vector codes
+  private val PqResidualKey = "ivf.pq_residual"
 
   private def listsRoot(path: String) = s"$path/lists"
 
@@ -130,12 +134,24 @@ object IvfIndex {
       vecCol: String, nlist: Int, path: String,
       trainIters: Int = 0,
       // Some((m, ks)) = IVF-PQ: posting payloads become m-code [[Pq]]
-      // words against a seeded per-generation codebook
-      pq: Option[(Int, Int)] = None, pqSeed: Int = 7): Long = {
+      // words against a seeded per-generation codebook; by default the
+      // codes quantize the RESIDUAL v − centroid (canonical IVF-PQ —
+      // better reconstruction per bit; pqResidual = false stores
+      // raw-vector codes)
+      pq: Option[(Int, Int)] = None, pqSeed: Int = 7,
+      pqResidual: Boolean = true): Long = {
     val (lists, meta) = buildState(spark, corpusRoot, idCol, vecCol,
-      nlist, path, trainIters, pq, pqSeed)
+      nlist, path, trainIters, pq, pqSeed, pqResidual)
     VersionedTable.create(spark, listsRoot(path), lists, meta = meta)
   }
+
+  /** v − centroid(centroid_id), the quantity residual codes encode.
+    * A literal-lookup zip — map-only, codegen'd. */
+  private def residualCol(vCol: String,
+      centroids: Seq[Seq[Double]]): Column =
+    zip_with(col(vCol),
+      element_at(typedlit(centroids), col("centroid_id") + 1),
+      (x, c) => x.cast("double") - c)
 
   /** One build generation: train/sample the quantizer into a FRESH
     * immutable dir, assign the corpus (one map-only scan), return the
@@ -144,7 +160,7 @@ object IvfIndex {
   private def buildState(spark: SparkSession, corpusRoot: String,
       idCol: String, vecCol: String, nlist: Int, path: String,
       trainIters: Int, pq: Option[(Int, Int)],
-      pqSeed: Int): (DataFrame, Map[String, String]) = {
+      pqSeed: Int, pqResidual: Boolean): (DataFrame, Map[String, String]) = {
     require(nlist > 0, s"need nlist > 0, got $nlist")
     val cv = VersionedTable.currentVersion(spark, corpusRoot).getOrElse(
       throw new IllegalArgumentException(s"$corpusRoot: no versioned table"))
@@ -181,17 +197,22 @@ object IvfIndex {
       case Some((m, ks)) =>
         // the PQ codebooks are a per-generation immutable artifact,
         // named by the manifest meta exactly like the quantizer —
-        // time-travel probes decode any version with ITS codebooks
-        val model = Pq.fit(corpus, "neighbor_id", "nv", m, ks, pqSeed)
+        // time-travel probes decode any version with ITS codebooks.
+        // Residual mode fits AND encodes on v − centroid.
+        val toCode = assigned.withColumn("_pqv",
+          if (pqResidual) residualCol("nv", centroids)
+          else transform(col("nv"), x => x.cast("double")))
+        val model = Pq.fit(toCode, "neighbor_id", "_pqv", m, ks, pqSeed)
         val pdir = s"pq_${java.util.UUID.randomUUID().toString.take(8)}"
         model.codebooks.zipWithIndex.flatMap { case (cb, j) =>
           cb.zipWithIndex.map { case (w, c) => (j, c, w) }
         }.toDF("j", "c", "weights")
           .coalesce(1).write.mode("overwrite").parquet(s"$path/$pdir")
-        (clustered(Pq.encode(assigned, "nv", model), nlist, "pq_code"),
+        (clustered(Pq.encode(toCode, "_pqv", model), nlist, "pq_code"),
           baseMeta ++ Map(PqDirKey -> pdir, PqMKey -> m.toString,
             PqKsKey -> ks.toString, PqDimKey -> model.dim.toString,
-            PqSeedKey -> pqSeed.toString))
+            PqSeedKey -> pqSeed.toString,
+            PqResidualKey -> (if (pqResidual) "1" else "0")))
     }
   }
 
@@ -303,7 +324,12 @@ object IvfIndex {
     // codebooks (same pinning as the quantizer — a crossed rebuild
     // throws StaleRefresh below before stale codes could land)
     val (payload, insertRows) = readPq(spark, path, meta) match {
-      case Some(model) => ("pq_code", Pq.encode(ins, "nv", model))
+      case Some(model) =>
+        val toCode = ins.withColumn("_pqv",
+          if (meta.get(PqResidualKey).contains("1"))
+            residualCol("nv", centroids)
+          else transform(col("nv"), x => x.cast("double")))
+        ("pq_code", Pq.encode(toCode, "_pqv", model))
       case None => ("nv", ins)
     }
     beforeCommit()
@@ -393,7 +419,12 @@ object IvfIndex {
         val cands = keep(probes.join(lists, Seq("centroid_id"))
           .filter(col("query_id") =!= col("neighbor_id")))
           .select(col("query_id"), col("qv"), col("neighbor_id"),
-            Pq.adcSim(col("qv"), col("pq_code"), model).as("adc_sim"))
+            (if (meta.get(PqResidualKey).contains("1"))
+              Pq.adcSimResidual(col("qv"), col("pq_code"),
+                element_at(typedlit(centroids), col("centroid_id") + 1),
+                model)
+            else Pq.adcSim(col("qv"), col("pq_code"), model))
+              .as("adc_sim"))
           .withColumn("_pr", row_number().over(pw))
           .filter(col("_pr") <= effPool)
           .select("query_id", "qv", "neighbor_id")
@@ -493,7 +524,8 @@ object IvfIndex {
     val pq = meta0.get(PqMKey).map(m => (m.toInt, meta0(PqKsKey).toInt))
     val (lists, meta) = buildState(spark, meta0(CorpusKey),
       meta0(IdKey), meta0(VecKey), meta0(NlistKey).toInt, path,
-      trainIters, pq, meta0.get(PqSeedKey).fold(7)(_.toInt))
+      trainIters, pq, meta0.get(PqSeedKey).fold(7)(_.toInt),
+      meta0.get(PqResidualKey).contains("1"))
     VersionedTable.replace(spark, listsRoot(path), lists, meta = meta)
   }
 

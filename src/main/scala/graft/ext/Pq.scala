@@ -187,6 +187,41 @@ object Pq {
     dotJ / (qNorm * sqrt(norm2J))
   }
 
+  /** [[adcSim]] for RESIDUAL-encoded codes (the canonical IVF-PQ
+    * layout: the code word quantizes v − centroid, which a small
+    * codebook reconstructs far better than the raw vector):
+    * cos(q, c + r̂) with r̂ the code's reconstruction —
+    * dot(q,c) + Σ_j dot(q_j, cb_j[code_j]) over
+    * ‖q‖ · sqrt(‖c‖² + 2·Σ_j dot(c_j, cb_j[code_j]) + Σ_j ‖cb_j[code_j]‖²).
+    * The centroid leg (`cvec`) rides as a per-row array (an
+    * element_at into the quantizer literal at the probe site), so no
+    * nlist×m×ks cross-term table ever materializes — the FAISS
+    * precomputed-table trade, resolved for literal-size safety at
+    * production nlist. Same HOF codegen shape as [[adcSim]]. */
+  private[ext] def adcSimResidual(qv: Column, cd: Column, cvec: Column,
+      model: PqModel): Column = {
+    val cb = typedlit(model.codebooks)
+    val n2 = typedlit(model.codebooks.map(_.map(_.map(x => x * x).sum)))
+    def dotWithRows(v: Column): Column = (0 until model.m).map { j =>
+      val sl = slice(v, j * model.dsub + 1, model.dsub)
+      val row = element_at(element_at(cb, j + 1),
+        element_at(cd, j + 1) + 1)
+      aggregate(zip_with(sl, row, (x, y) => x.cast("double") * y),
+        lit(0.0), (a, b) => a + b)
+    }.reduce(_ + _)
+    val rnorm2 = (0 until model.m).map { j =>
+      element_at(element_at(n2, j + 1), element_at(cd, j + 1) + 1)
+    }.reduce(_ + _)
+    val dotQC = aggregate(zip_with(qv, cvec,
+      (x, y) => x.cast("double") * y), lit(0.0), (a, b) => a + b)
+    val cnorm2 = aggregate(cvec, lit(0.0),
+      (acc, x) => acc + x * x)
+    val qNorm = sqrt(aggregate(qv, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    (dotQC + dotWithRows(qv)) /
+      (qNorm * sqrt(cnorm2 + lit(2.0) * dotWithRows(cvec) + rnorm2))
+  }
+
   def adcTopK(queries: DataFrame, encoded: DataFrame, idCol: String,
       vecCol: String, codeCol: String, model: PqModel,
       pool: Int): DataFrame = {

@@ -419,4 +419,50 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(filteredProbe(rawIdx) == wantFiltered,
       "raw filtered probe must equal brute force over the filtered corpus")
   }
+
+  test("residual codes reconstruct better than raw-vector codes: " +
+      "bounded-pool probe recall does not regress, exactness holds " +
+      "either way") {
+    // two PQ indexes over the same clustered corpus, identical
+    // geometry, one residual (the default/canonical layout) and one
+    // raw — residual codes quantize v − centroid, so a tiny codebook
+    // spends its entire budget on within-cluster structure
+    val (root, resIdx, rawIdx) =
+      (tmp() + "/corpus", tmp() + "/res", tmp() + "/raw")
+    val dim = 8
+    val base = (vecs(41, 40, dim, Array.fill(dim)(1.0), 0.25)
+        .zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      vecs(42, 40, dim, Array(5.0, -3.0, 1.0, 0.0, 2.0, -1.0, 4.0, 0.5), 0.25)
+        .zipWithIndex.map { case (v, i) => (100L + i, v) } ++
+      vecs(43, 20, dim, Array.tabulate(dim)(i => 1.0 + i * 0.4), 0.25)
+        .zipWithIndex.map { case (v, i) => (200L + i, v) })
+    VersionedTable.create(spark, root, corpusDf(base))
+    IvfIndex.create(spark, root, "vec_id", "embedding", nlist = 4,
+      resIdx, pq = Some((4, 8))) // residual default
+    IvfIndex.create(spark, root, "vec_id", "embedding", nlist = 4,
+      rawIdx, pq = Some((4, 8)), pqResidual = false)
+    val corpus = VersionedTable.read(spark, root)
+    val queries = corpus.filter(col("vec_id").isin(
+      1L, 7L, 103L, 108L, 205L, 211L))
+    val truth = brute(corpus, queries, 5)
+      .map { case (q, n, _) => (q, n) }
+    def poolRecall(ix: String): Double = {
+      val pool = IvfIndex.probe(queries, ix, "vec_id", "embedding",
+          k = 20, nprobe = 4, pool = 20)
+        .select(col("query_id"), col("neighbor_id"))
+        .as[(Long, Long)].collect().toSet
+      truth.count(pool.contains).toDouble / truth.size
+    }
+    val (rRes, rRaw) = (poolRecall(resIdx), poolRecall(rawIdx))
+    assert(rRes >= rRaw,
+      s"residual codes must not preselect worse: res=$rRes raw=$rRaw")
+    assert(rRes >= 0.9, s"residual pool recall too low: $rRes")
+    // and both stay exact under the covering-pool contract
+    def full(ix: String) = IvfIndex.probe(queries, ix, "vec_id",
+        "embedding", k = 5, nprobe = 4, pool = Int.MaxValue)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .as[(Long, Long, Int)].collect().toSet
+    val want = brute(corpus, queries, 5)
+    assert(full(resIdx) == want && full(rawIdx) == want)
+  }
 }
