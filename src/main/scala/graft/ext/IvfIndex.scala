@@ -368,6 +368,12 @@ object IvfIndex {
     * contract as the raw-vector index (q192). `pool` ≤ 0 means
     * max(4·k, 50); it is ignored on a raw-vector index.
     *
+    * The bounded-pool re-rank ships the candidate ids as a predicate,
+    * so the corpus read prunes by manifest id-stats — which bites
+    * when the corpus clusters by id (ingest order usually does) and
+    * degrades to a full scan otherwise, the same layout caveat as the
+    * MV rescan lane (SCALING.md).
+    *
     * `where` = FILTERED search (the production "top-k among rows
     * matching a predicate"): candidates are semi-joined against the
     * corpus rows satisfying the predicate AT THE LISTS WATERMARK
@@ -429,12 +435,29 @@ object IvfIndex {
           .filter(col("_pr") <= effPool)
           .select("query_id", "qv", "neighbor_id")
         // exact re-rank against the corpus snapshot the lists reflect
-        // (the watermark of the PROBED version — time travel included)
-        val corpus = VersionedTable.read(spark, meta(CorpusKey),
-            Some(meta(WatermarkKey).toLong))
+        // (the watermark of the PROBED version — time travel
+        // included). With a BOUNDED pool the candidate id set is
+        // |queries|·pool rows: pin it once (the ADC scan must not run
+        // twice), ship the distinct ids as a predicate, and the
+        // corpus read FILE-PRUNES through the manifest stats instead
+        // of scanning 100 TB to feed a tiny join. An unbounded pool
+        // (the exactness gates' covering form) keeps the streaming
+        // full-scan join — there the candidate set IS the probed
+        // corpus and a predicate would be pure overhead.
+        val wmV = Some(meta(WatermarkKey).toLong)
+        val (candFrame, corpusRead) =
+          if (effPool <= 10000) {
+            val pinned = cands.localCheckpoint(true)
+            val ids = pinned.select("neighbor_id").distinct()
+              .collect().map(_.get(0))
+            (pinned, VersionedTable.readWhere(spark, meta(CorpusKey),
+              col(meta(IdKey)).isin(ids: _*), wmV))
+          } else
+            (cands, VersionedTable.read(spark, meta(CorpusKey), wmV))
+        val corpus = corpusRead
           .select(col(meta(IdKey)).as("neighbor_id"),
             col(meta(VecKey)).as("nv"))
-        cands.join(corpus, Seq("neighbor_id"))
+        candFrame.join(corpus, Seq("neighbor_id"))
           .select(col("query_id"), col("neighbor_id"),
             Similarity.cosine(col("qv"), col("nv")).as("cosine_sim"))
     }
