@@ -465,4 +465,43 @@ class IvfIndexSpec extends AnyFunSuite {
     val want = brute(corpus, queries, 5)
     assert(full(resIdx) == want && full(rawIdx) == want)
   }
+
+  test("composition: an as-of FILTERED probe of a PQ index answers " +
+      "from the historical filtered corpus") {
+    // the three probe axes — time travel, predicate, compressed
+    // lists — are one code path, so their composition must hold: ask
+    // at the pre-churn version with a predicate, on residual codes
+    val (root, idx) = (tmp() + "/corpus", tmp() + "/idx")
+    val dim = 8
+    val base = (vecs(51, 30, dim, Array.fill(dim)(1.0), 0.2)
+        .zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      vecs(52, 30, dim, Array(5.0, -3.0, 1.0, 0.0, 2.0, -1.0, 4.0, 0.5), 0.2)
+        .zipWithIndex.map { case (v, i) => (100L + i, v) })
+    VersionedTable.create(spark, root, corpusDf(base)) // corpus v1
+    IvfIndex.create(spark, root, "vec_id", "embedding", nlist = 4, idx,
+      pq = Some((4, 8))) // lists v1, wm 1
+    VersionedTable.append(spark, root, corpusDf(
+      vecs(53, 10, dim, Array.fill(dim)(1.0), 0.2)
+        .zipWithIndex.map { case (v, i) => (200L + i, v) })) // v2
+    IvfIndex.refresh(spark, idx) // lists v2, wm 2  <- the pivot
+    VersionedTable.deleteWhere(spark, root, col("vec_id") % 4 === 1,
+      cdf = true) // v3
+    IvfIndex.refresh(spark, idx) // lists v3, wm 3
+    val pred = col("vec_id") % 3 === 1
+    val histCorpus = VersionedTable.read(spark, root, Some(2L))
+    val queries = histCorpus.filter(col("vec_id") < 6)
+    val got = IvfIndex.probeAsOf(queries, idx, "vec_id", "embedding",
+        k = 3, nprobe = 4, corpusVersion = 2L,
+        pool = Int.MaxValue, where = Some(pred))
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .as[(Long, Long, Int)].collect().toSet
+    // the truth: filtered HISTORICAL corpus — rows deleted at v3
+    // (e.g. 13, 25: % 4 == 1 AND % 3 == 1) must still be answerable
+    val want = brute(histCorpus.filter(pred), queries, 3)
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    val sawDeleted = got.exists { case (_, n, _) => n % 4 == 1 }
+    assert(sawDeleted,
+      "the as-of answer should surface at least one later-deleted row " +
+        "(otherwise this spec is not exercising time travel)")
+  }
 }
