@@ -92,7 +92,11 @@ object Pq {
     * (`transform`/`zip_with`/`aggregate` compile to LOOPS over the
     * literal, not unrolled expressions) — a literal-unrolled form blows
     * Janino's 64 KB method limit already at m=16·ks=64 and silently
-    * drops the stage out of codegen; this shape holds to ks=256. */
+    * drops the stage out of codegen; this shape holds to ks=256.
+    *
+    * Null vectors encode to null codes (which then ADC-score null and
+    * rank last) — filter them first, as [[IvfIndex]]'s build/refresh
+    * paths do; [[fit]] refuses nulls in its sample loudly. */
   def encode(df: DataFrame, vecCol: String, model: PqModel,
       codeCol: String = "pq_code"): DataFrame = {
     val cb = typedlit(model.codebooks) // m × ks × dsub
@@ -116,6 +120,39 @@ object Pq {
     * (query_id, neighbor_id, adc_sim, rank) cut to the top `pool`
     * per query by (sim desc, id) — the CANDIDATE GENERATOR, not the
     * answer: feed it to [[rerankExact]]. */
+  /** OPQ parametric initialization (Ge/He/Ke/Sun, "Optimized Product
+    * Quantization", CVPR 2013 §4): a PCA rotation alone CONCENTRATES
+    * variance into the first subspace — worse for PQ than no rotation
+    * (each sub-quantizer has a fixed codeword budget). The published
+    * fix is eigenvalue allocation: assign principal components to
+    * subspaces greedily balancing the PRODUCT of eigenvalues per
+    * subspace, so every sub-quantizer sees comparable variance.
+    * Returns the component order (position p of the permuted vector
+    * takes component `perm(p)`); compose as PCA-transform → permute →
+    * [[fit]]/[[encode]]. Pure driver arithmetic on the (≤ dim)
+    * eigenvalue list. */
+  def eigenAllocation(eigenvalues: Seq[Double], m: Int): Seq[Int] = {
+    val dim = eigenvalues.size
+    require(dim % m == 0, s"dim $dim must split into m=$m subspaces")
+    val dsub = dim / m
+    val cap = Array.fill(m)(dsub)
+    val logSum = Array.fill(m)(0.0)
+    val buckets = Array.fill(m)(List.empty[Int])
+    for (c <- eigenvalues.indices.sortBy(i => -eigenvalues(i))) {
+      val open = (0 until m).filter(cap(_) > 0)
+      val j = open.minBy(logSum(_))
+      buckets(j) = c :: buckets(j)
+      cap(j) -= 1
+      logSum(j) += math.log(math.max(eigenvalues(c), 1e-300))
+    }
+    buckets.toSeq.flatMap(_.reverse)
+  }
+
+  /** Reorder a vector column by a component permutation (the
+    * [[eigenAllocation]] output): map-only `element_at` gather. */
+  def permute(v: Column, perm: Seq[Int]): Column =
+    array(perm.map(p => element_at(v, p + 1)): _*)
+
   /** Distributed Lloyd refinement of a fitted model's codebooks:
     * `iters` rounds of encode → per-(subspace, code) mean → replace
     * (empty cells keep their previous codeword). Each round is one

@@ -156,4 +156,59 @@ class PqSpec extends AnyFunSuite {
       s"refined codebooks must not hurt pool recall: $r0 -> $r1")
     assert(Pq.refine(df, "embedding", seeded, iters = 0) == seeded)
   }
+
+  test("OPQ parametric init: PCA + eigenvalue allocation cuts PQ " +
+      "reconstruction error on cross-subspace-correlated data; a " +
+      "bare PCA rotation does NOT (it concentrates variance)") {
+    // PQ's independence assumption: each subspace is quantized alone,
+    // so correlations STRADDLING subspace boundaries waste codebook
+    // budget. Mix 4 seeded latents into all 16 dims — every subspace
+    // sees the same latents. A bare PCA rotation is an isometry but
+    // packs ~all variance into the FIRST subspace (one 8-codeword
+    // quantizer carries everything — the OPQ paper's motivating
+    // failure, reproduced below); eigenvalue allocation rebalances
+    // the components so each sub-quantizer sees comparable variance
+    // and quantizes an effectively low-rank slice.
+    val rnd = new scala.util.Random(9)
+    val mix = Array.fill(16, 4)(rnd.nextGaussian())
+    val rows = (0 until 120).map { i =>
+      val z = Array.fill(4)(rnd.nextGaussian() * 2.0)
+      val v = mix.map(r =>
+        (r.zip(z).map { case (a, b) => a * b }.sum +
+          rnd.nextGaussian() * 0.05).toFloat)
+      (i.toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val pca = Pca.fit(df, "embedding")
+    val rotated = Pca.transform(df, "embedding", pca, 16, "y")
+      .select($"vec_id", $"y")
+    def sqErr(frame: org.apache.spark.sql.DataFrame,
+        vecCol: String): Double = {
+      val model = Pq.fit(frame, "vec_id", vecCol, m = 4, ks = 8,
+        seed = 7)
+      Pq.encode(frame, vecCol, model)
+        .select(col(vecCol), col("pq_code"))
+        .collect().map { r =>
+          val v = r.getSeq[Number](0).map(_.doubleValue())
+          val recon = model.reconstruct(r.getSeq[Int](1))
+          v.zip(recon).map { case (x, y) => (x - y) * (x - y) }.sum
+        }.sum
+    }
+    val perm = Pq.eigenAllocation(pca.eigenvalues.toSeq, m = 4)
+    assert(perm.sorted == (0 until 16), s"not a permutation: $perm")
+    val allocated = rotated.select($"vec_id",
+      Pq.permute($"y", perm).as("ya"))
+    val eRaw = sqErr(df, "embedding")
+    val eRot = sqErr(rotated, "y")
+    val eAlloc = sqErr(allocated, "ya")
+    // the allocated basis must win MATERIALLY over raw; the bare
+    // rotation reproducing the paper's failure mode is informative,
+    // not required (it documents WHY allocation exists)
+    assert(eAlloc < eRaw * 0.8,
+      s"PCA + allocation must cut quantization error materially: " +
+        s"raw=$eRaw rotated=$eRot allocated=$eAlloc")
+    assert(eAlloc < eRot,
+      s"allocation must beat the variance-concentrating bare " +
+        s"rotation: rotated=$eRot allocated=$eAlloc")
+  }
 }
