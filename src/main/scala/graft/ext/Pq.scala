@@ -112,14 +112,6 @@ object Pq {
     df.withColumn(codeCol, array(codes: _*))
   }
 
-  /** Asymmetric-distance (ADC) approximate cosine: the query keeps
-    * full precision, the corpus side is its PQ reconstruction —
-    * cos(q, recon(v)) = Σ_j dot(q_j, cb_j[code_j]) over ‖q‖·‖recon‖,
-    * with ‖recon‖² = Σ_j ‖cb_j[code_j]‖² (sub-codebook norms are
-    * literals; nothing reads the original vector). Returns
-    * (query_id, neighbor_id, adc_sim, rank) cut to the top `pool`
-    * per query by (sim desc, id) — the CANDIDATE GENERATOR, not the
-    * answer: feed it to [[rerankExact]]. */
   /** OPQ parametric initialization (Ge/He/Ke/Sun, "Optimized Product
     * Quantization", CVPR 2013 §4): a PCA rotation alone CONCENTRATES
     * variance into the first subspace — worse for PQ than no rotation
@@ -259,6 +251,14 @@ object Pq {
       (qNorm * sqrt(cnorm2 + lit(2.0) * dotWithRows(cvec) + rnorm2))
   }
 
+  /** Asymmetric-distance (ADC) approximate cosine: the query keeps
+    * full precision, the corpus side is its PQ reconstruction —
+    * cos(q, recon(v)) = Σ_j dot(q_j, cb_j[code_j]) over ‖q‖·‖recon‖,
+    * with ‖recon‖² = Σ_j ‖cb_j[code_j]‖² (sub-codebook norms are
+    * literals; nothing reads the original vector). Returns
+    * (query_id, neighbor_id, adc_sim, rank) cut to the top `pool`
+    * per query by (sim desc, id) — the CANDIDATE GENERATOR, not the
+    * answer: feed it to [[rerankExact]]. */
   def adcTopK(queries: DataFrame, encoded: DataFrame, idCol: String,
       vecCol: String, codeCol: String, model: PqModel,
       pool: Int): DataFrame = {
@@ -282,8 +282,8 @@ object Pq {
 
   /** Exact re-rank of an ADC candidate pool: join the (bounded) pool
     * back to the full-precision corpus vectors by id, score exact
-    * cosine, keep the top `k` per query by (1e-6-rounded sim desc,
-    * id). Output schema matches [[Similarity.bruteForceTopK]] /
+    * cosine, keep the top `k` per query by (sim desc, id — the
+    * bruteForceTopK discipline). Output schema matches [[Similarity.bruteForceTopK]] /
     * [[IvfIndex.probe]]: (query_id, neighbor_id, cosine_sim, rank).
     * The pool is k·|queries|-bounded, so the join broadcasts. */
   def rerankExact(candidates: DataFrame, corpus: DataFrame,
