@@ -368,6 +368,13 @@ object IvfIndex {
     * contract as the raw-vector index (q192). `pool` ≤ 0 means
     * max(4·k, 50); it is ignored on a raw-vector index.
     *
+    * Retention coupling: the PQ re-rank reads the corpus AT THE LISTS
+    * WATERMARK, so corpus vacuum must retain every index's watermark
+    * version (and any older version as-of probes should answer from)
+    * — a vacuum past it makes the probe refuse LOUDLY (never a
+    * silently-wrong answer from leftover codes) until a refresh or
+    * rebuild moves the watermark forward; spec-pinned in IndexOpsSpec.
+    *
     * The bounded-pool re-rank ships the candidate ids as a predicate,
     * so the corpus read prunes by manifest id-stats — which bites
     * when the corpus clusters by id (ingest order usually does) and

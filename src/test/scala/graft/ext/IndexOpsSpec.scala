@@ -122,11 +122,14 @@ class IndexOpsSpec extends AnyFunSuite {
   }
 
   test("corpus vacuumed past the watermark: refresh refuses loudly, " +
-      "rebuild recovers") {
-    val (corpus, idx) = (tmp() + "/corpus", tmp() + "/idx")
+      "rebuild recovers; a PQ probe's watermark re-rank refuses too") {
+    val (corpus, idx, pqIdx) =
+      (tmp() + "/corpus", tmp() + "/idx", tmp() + "/pq")
     VersionedTable.create(spark, corpus, corpusDf(
       vecs(5, 30, 6, 0.2).zipWithIndex.map { case (v, i) => (i.toLong, v) }))
     IvfIndex.create(spark, corpus, "vec_id", "embedding", nlist = 2, idx)
+    IvfIndex.create(spark, corpus, "vec_id", "embedding", nlist = 2,
+      pqIdx, pq = Some((3, 8)))
     // corpus moves on and its history is vacuumed past the watermark
     VersionedTable.append(spark, corpus, corpusDf(
       vecs(6, 5, 6, 0.2).zipWithIndex.map { case (v, i) => (900L + i, v) }))
@@ -136,9 +139,29 @@ class IndexOpsSpec extends AnyFunSuite {
       orphanGraceMs = 0L)
     // the feed the refresh needs is gone — loud failure, not silence
     intercept[Exception](IvfIndex.refresh(spark, idx))
-    // recovery is the deliberate rebuild over the current snapshot
+    // a STALE PQ index is also unservable: its probe re-ranks against
+    // the corpus AT ITS WATERMARK (v1), which the vacuum dropped —
+    // loud failure, never a silently-wrong answer from leftover codes
+    val q0 = VersionedTable.read(spark, corpus).filter($"vec_id" < 3)
+    intercept[Exception](IvfIndex.probe(q0, pqIdx, "vec_id",
+      "embedding", k = 2, nprobe = 2, pool = 5).collect())
+    // recovery is the deliberate rebuild over the current snapshot —
+    // for BOTH index modes (the autopilot shape: vacuum retention must
+    // keep every index's watermark version, or rebuild)
     IvfIndex.rebuild(spark, idx)
+    IvfIndex.rebuild(spark, pqIdx)
     assert(IvfIndex.watermark(spark, idx) == 3L)
+    val gotPq = IvfIndex.probe(q0, pqIdx, "vec_id", "embedding",
+        k = 2, nprobe = 2, pool = Int.MaxValue)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val corpusNow0 = VersionedTable.read(spark, corpus)
+    assert(gotPq == Similarity.bruteForceTopK(
+        q0.select($"vec_id", $"embedding"),
+        corpusNow0.select($"vec_id", $"embedding"),
+        "vec_id", "embedding", 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet)
     val corpusNow = VersionedTable.read(spark, corpus)
     val queries = corpusNow.filter($"vec_id" >= 900L)
     val got = IvfIndex.probe(queries, idx, "vec_id", "embedding",
