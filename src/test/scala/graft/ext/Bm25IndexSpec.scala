@@ -107,6 +107,21 @@ class Bm25IndexSpec extends AnyFunSuite {
     // current-path equivalence: asOf(head) == topN
     assert(got(4L) == Bm25Index.topN(spark, root, Seq("spark", "hash"), 5)
       .as[(Long, Double)].collect().toSeq)
+    // a LAYOUT-ONLY commit between refreshes must not confuse the
+    // as-of walk: compaction carries the watermark meta, so the walk
+    // lands on the compacted layout of the same logical state and
+    // every historical answer above is unchanged
+    Bm25Index.compact(spark, root, smallFileBytes = 1L << 20)
+    assert(got(1L) == want(1L) && got(3L) == want(3L) &&
+      got(4L) == want(4L),
+      "as-of answers must survive a compaction commit")
+    // and maintenance continues across it
+    VersionedTable.append(spark, corpus, docsDf(
+      (9L, "hash hash hash"))) // v5
+    Bm25Index.refresh(spark, root)
+    assert(got(5L) == want(5L), s"${got(5L)} vs ${want(5L)} at v5")
+    assert(got(4L) == want(4L),
+      "pre-compaction history must stay answerable after new churn")
   }
 
   test("query-term scans file-prune the postings; missing terms score " +
