@@ -503,5 +503,15 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(sawDeleted,
       "the as-of answer should surface at least one later-deleted row " +
         "(otherwise this spec is not exercising time travel)")
+    // a layout-only compaction must not confuse the as-of walk (it
+    // carries the watermark meta — the Bm25IndexSpec twin)
+    IvfIndex.compact(spark, idx, smallFileBytes = 1L << 20)
+    val got2 = IvfIndex.probeAsOf(queries, idx, "vec_id", "embedding",
+        k = 3, nprobe = 4, corpusVersion = 2L,
+        pool = Int.MaxValue, where = Some(pred))
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got2 == want,
+      "as-of filtered probes must survive a compaction commit")
   }
 }
