@@ -130,20 +130,24 @@ object Bench {
     // reference (nor sf10 bind sf1's)
     val healOn = !sys.env.get("SPARK_GRAFT_NOHEAL").contains("1") &&
       refSf.nonEmpty && sfDir.split('/').contains(refSf)
-    // memoized-fixture queries are EXEMPT from healing: their first
-    // run legitimately pays the shared fixture build (the MvFixture /
-    // IdxFixture accounting — the build bills to the family member
-    // that runs first), so a slow first timing is the honest cost and
-    // a re-run would measure the memoized remainder and silently HIDE
-    // the build from the total (observed: q186 27s build re-ran to
-    // 1.1s). Ambient write-path bimodality, the thing healing exists
-    // for, never involves a memoized first pass.
-    val fixtureFed = Set(
-      "q178_materialized_join_view", "q180_materialized_distinct",
-      "q181_materialized_cascade", "q186_ivf_churn_maintain",
-      "q187_bm25_incremental", "q189_hybrid_indexed",
-      "q190_asof_hybrid", "q192_ivfpq_churn_maintain",
-      "q193_filtered_ann")
+    // shared memoized fixtures PRE-BUILD in their own named, timed
+    // phase (r17 verdict item 7): previously the first family member
+    // in run order silently absorbed the build into its timing (q186
+    // read 36 s for a 9.7 s operator) and had to be exempted from
+    // healing; now every per-query row measures the query, the build
+    // cost rides the JSON as its own map, and the heal exemption list
+    // is gone. Build BEFORE the start canary so heavy fixture writes
+    // don't contaminate the contention baseline.
+    val fixtureCosts: Seq[(String, Double)] =
+      SparkEntry.fixtures.toSeq.sortBy(_._1).map { case (name, build) =>
+        val t0 = System.nanoTime()
+        try build(spark, sfDir)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] fixture $name failed: " +
+            s"${e.getClass.getName}: ${e.getMessage}")
+        } finally spark.catalog.clearCache()
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     // untimed passes until the probes reach JIT steady state (two
     // consecutive passes within 20%, max 5): ONE warmup pass was not
     // enough — the first timed probes then measure C2 compilation,
@@ -183,7 +187,7 @@ object Bench {
         // re-runs (min of runs is the code's cost); reruns ride the
         // JSON so the round report needs no prose disclaimer
         val healedTiming = timing.map { t =>
-          if (!healOn || fixtureFed(name)) t
+          if (!healOn) t
           else {
             val (best, n) = healed(t, reference.get(name)) { () =>
               // a FAILED re-run must never lose the whole run's JSON:
@@ -264,13 +268,13 @@ object Bench {
     val reruns = rerunsTaken.toSeq.sortBy(_._1)
       .map { case (k, n) => "\"" + k.takeWhile(_ != '_') + "\":" + n }
       .mkString("{", ",", "}")
-    // which timed rows carry a shared fixture build (the first family
-    // member in run order pays it) — so no round re-diagnoses the
-    // absorption from scratch (r15 verdict item 4)
-    val fixtureFedJson = toRun.map(_._1).filter(fixtureFed)
-      .map(k => "\"" + k.takeWhile(_ != '_') + "\"")
-      .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$shortQs,"failed":$failed,"reruns":$reruns,"fixture_fed":$fixtureFedJson,"canary":$canary,"contended":$contended,"contention_ratio":${fmt(contentionRatio)},"sf":"$sfDir"}""")
+    // shared fixture builds are their OWN timed rows now (pre-built
+    // before the loop, r17 verdict item 7): no query row absorbs a
+    // build, and the cost is attributable at a glance
+    val fixturesJson = fixtureCosts
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$shortQs,"failed":$failed,"reruns":$reruns,"fixtures":$fixturesJson,"canary":$canary,"contended":$contended,"contention_ratio":${fmt(contentionRatio)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -35,4 +35,9 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     packs.flatMap(_.oracles).toMap
+
+  /** Shared memoized fixtures for Bench's pre-build phase (see
+    * [[graft.queries.QueryPack.fixtures]]). */
+  def fixtures: Map[String, (SparkSession, String) => Unit] =
+    packs.flatMap(_.fixtures).toMap
 }

@@ -1,0 +1,57 @@
+package graft.ext
+
+import org.apache.spark.sql.SparkSession
+
+import graft.sources.VersionedTable
+
+/** Coordinated corpus-retention policy for maintained indexes — the
+  * r17 verdict's "vacuum/retention is a refusal, not a policy": a
+  * corpus vacuumed past any index's watermark makes that index
+  * unservable (the PQ re-rank reads the corpus AT the watermark, the
+  * next refresh needs the change feed FROM it) — the hazard refuses
+  * loudly (IndexOpsSpec), but until now the operator computed safe
+  * retention by hand across N indexes and as-of horizons.
+  *
+  * [[safeVacuum]] is that computation: min over every index's
+  * [[IvfIndex.retentionWatermark]]/[[Bm25Index.retentionWatermark]]
+  * (live watermark, plus the version serving an as-of horizon) and
+  * the horizon itself, then [[VersionedTable.vacuum]] strictly below
+  * it. Pure metadata walks; vacuuming past a live watermark is
+  * impossible BY CONSTRUCTION rather than merely detected after the
+  * fact. */
+object IndexRetention {
+
+  /** Vacuum `corpusRoot` below the oldest version any of the given
+    * indexes — or an as-of `horizon` — still needs. Every index must
+    * actually maintain from THIS corpus (pinned against the manifest
+    * meta — a mismatched index would compute retention for the wrong
+    * table). `horizon` keeps all corpus versions ≥ it answerable
+    * as-of (and the index versions serving them re-rankable). Returns
+    * the `keepFrom` version handed to [[VersionedTable.vacuum]]. */
+  def safeVacuum(spark: SparkSession, corpusRoot: String,
+      ivfIndexes: Seq[String] = Seq.empty,
+      bm25Indexes: Seq[String] = Seq.empty,
+      asOfHorizon: Option[Long] = None,
+      orphanGraceMs: Long = 24L * 3600 * 1000): Long = {
+    val cur = VersionedTable.currentVersion(spark, corpusRoot)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$corpusRoot: no versioned table"))
+    ivfIndexes.foreach { p =>
+      require(IvfIndex.corpusOf(spark, p) == corpusRoot,
+        s"$p maintains from ${IvfIndex.corpusOf(spark, p)}, " +
+          s"not $corpusRoot — refusing to compute retention for it")
+    }
+    bm25Indexes.foreach { r =>
+      require(Bm25Index.corpusOf(spark, r) == corpusRoot,
+        s"$r maintains from ${Bm25Index.corpusOf(spark, r)}, " +
+          s"not $corpusRoot — refusing to compute retention for it")
+    }
+    val needs =
+      ivfIndexes.map(IvfIndex.retentionWatermark(spark, _, asOfHorizon)) ++
+      bm25Indexes.map(Bm25Index.retentionWatermark(spark, _, asOfHorizon)) ++
+      asOfHorizon.toSeq
+    val keepFrom = math.min(cur, if (needs.isEmpty) cur else needs.min)
+    VersionedTable.vacuum(spark, corpusRoot, keepFrom, orphanGraceMs)
+    keepFrom
+  }
+}

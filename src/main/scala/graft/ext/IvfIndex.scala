@@ -57,6 +57,9 @@ object IvfIndex {
   private val BuildNKey = "ivf.build_n"
   private val ChurnSimSumKey = "ivf.churn_sim_sum"
   private val ChurnNKey = "ivf.churn_n"
+  // hot-centroid sub-split policy (see [[partsFor]]); absent on
+  // legacy indexes = never sub-split (the pre-r18 layout)
+  private val RowsPerFileKey = "ivf.rows_per_file"
   // each build generation's quantizer lives in its own immutable dir,
   // NAMED BY the lists manifest meta — a time-travel probe at any
   // lists version pairs with exactly the quantizer that version was
@@ -77,6 +80,19 @@ object IvfIndex {
   // IVF-PQ layout — a small codebook reconstructs residuals far
   // better than raw vectors); "0"/absent = raw-vector codes
   private val PqResidualKey = "ivf.pq_residual"
+  // codebook-fidelity drift (the second retrain signal, r17 verdict
+  // item 2): mean squared reconstruction error of the BUILD encode vs
+  // the running mean over post-build insert deltas. Assignment cosine
+  // ([[drift]]) cannot see churn that stays in-distribution for the
+  // coarse quantizer but drifts for the codebooks — bounded-pool ADC
+  // recall would degrade invisibly (covering-pool re-ranks are exact
+  // by construction, so no gate trips). The counters ride the SAME
+  // refresh commit as the assignment counters — never detached from
+  // the applied delta.
+  private val PqBuildErrSumKey = "ivf.pq_build_err_sum"
+  private val PqBuildNKey = "ivf.pq_build_n"
+  private val PqChurnErrSumKey = "ivf.pq_churn_err_sum"
+  private val PqChurnNKey = "ivf.pq_churn_n"
 
   private def listsRoot(path: String) = s"$path/lists"
 
@@ -117,12 +133,30 @@ object IvfIndex {
     * single rewrite unit; empty range partitions write nothing, so a
     * delta-sized refresh still lands only its churned centroids'
     * files. */
-  private def clustered(assigned: DataFrame, nlist: Int,
+  private def clustered(assigned: DataFrame, nParts: Int,
       payload: String = "nv"): DataFrame =
     assigned.select(col("centroid_id"), col("neighbor_id"), col(payload))
-      .repartitionByRange(math.max(1, nlist),
+      .repartitionByRange(math.max(1, nParts),
         col("centroid_id"), col("neighbor_id"))
       .sortWithinPartitions("centroid_id")
+
+  /** Partition count for the posting-list layout: one range partition
+    * per centroid, SUB-SPLIT past `rowsPerFile` rows — the
+    * hot-centroid skew fix (r17 verdict item 5): real embedding
+    * corpora cluster, so at one-partition-per-centroid a hot centroid
+    * becomes a single giant file that every touching refresh rewrites
+    * whole and every probe loads whole. The range partitioner samples
+    * quantiles over (centroid_id, neighbor_id), so extra partitions
+    * land where the rows are — a hot centroid splits across many
+    * bounded files on its neighbor_id ranges while every file still
+    * covers a tight centroid range (the manifest prune is unchanged;
+    * spec-pinned). Capped so a rogue rowsPerFile cannot explode the
+    * manifest. */
+  private def partsFor(nlist: Int, rows: Long, rowsPerFile: Long): Int = {
+    val rpf = math.max(1L, rowsPerFile)
+    math.max(math.max(1, nlist),
+      math.min(1L << 20, (rows + rpf - 1) / rpf)).toInt
+  }
 
   /** Build the index over the corpus table's CURRENT version: train or
     * sample the coarse quantizer, assign every vector (one map-only
@@ -139,9 +173,13 @@ object IvfIndex {
       // better reconstruction per bit; pqResidual = false stores
       // raw-vector codes)
       pq: Option[(Int, Int)] = None, pqSeed: Int = 7,
-      pqResidual: Boolean = true): Long = {
+      pqResidual: Boolean = true,
+      // hot-centroid cap ([[partsFor]]): sub-split the layout past
+      // this many rows per file; persisted, so refresh/rebuild keep
+      // the same policy
+      rowsPerFile: Long = 1L << 20): Long = {
     val (lists, meta) = buildState(spark, corpusRoot, idCol, vecCol,
-      nlist, path, trainIters, pq, pqSeed, pqResidual)
+      nlist, path, trainIters, pq, pqSeed, pqResidual, rowsPerFile)
     VersionedTable.create(spark, listsRoot(path), lists, meta = meta)
   }
 
@@ -160,7 +198,8 @@ object IvfIndex {
   private def buildState(spark: SparkSession, corpusRoot: String,
       idCol: String, vecCol: String, nlist: Int, path: String,
       trainIters: Int, pq: Option[(Int, Int)],
-      pqSeed: Int, pqResidual: Boolean): (DataFrame, Map[String, String]) = {
+      pqSeed: Int, pqResidual: Boolean,
+      rowsPerFile: Long): (DataFrame, Map[String, String]) = {
     require(nlist > 0, s"need nlist > 0, got $nlist")
     val cv = VersionedTable.currentVersion(spark, corpusRoot).getOrElse(
       throw new IllegalArgumentException(s"$corpusRoot: no versioned table"))
@@ -191,9 +230,14 @@ object IvfIndex {
       IdKey -> idCol, VecKey -> vecCol,
       CentroidsDirKey -> cdir,
       BuildSimSumKey -> simSum.toString, BuildNKey -> n.toString,
-      ChurnSimSumKey -> "0.0", ChurnNKey -> "0")
+      ChurnSimSumKey -> "0.0", ChurnNKey -> "0",
+      RowsPerFileKey -> rowsPerFile.toString)
+    // the corpus row count just computed sizes the layout: one range
+    // partition per centroid, sub-split past rowsPerFile (hot-centroid
+    // skew cap — see partsFor)
+    val nParts = partsFor(nlist, n, rowsPerFile)
     pq match {
-      case None => (clustered(assigned, nlist), baseMeta)
+      case None => (clustered(assigned, nParts), baseMeta)
       case Some((m, ks)) =>
         // the PQ codebooks are a per-generation immutable artifact,
         // named by the manifest meta exactly like the quantizer —
@@ -208,11 +252,22 @@ object IvfIndex {
           cb.zipWithIndex.map { case (w, c) => (j, c, w) }
         }.toDF("j", "c", "weights")
           .coalesce(1).write.mode("overwrite").parquet(s"$path/$pdir")
-        (clustered(Pq.encode(toCode, "_pqv", model), nlist, "pq_code"),
+        val encoded = Pq.encode(toCode, "_pqv", model)
+        // build-fidelity baseline: mean squared quantization error of
+        // the build encode (one extra map-only pass, mirroring the
+        // assignment-cosine baseline) — the denominator of the
+        // codebook-drift ratio [[pqDrift]] tracks per refresh
+        val errRow = encoded.agg(
+          coalesce(sum(Pq.quantErr(col("_pqv"), col("pq_code"), model)),
+            lit(0.0)).as("s"), count(lit(1)).as("n")).head()
+        (clustered(encoded, nParts, "pq_code"),
           baseMeta ++ Map(PqDirKey -> pdir, PqMKey -> m.toString,
             PqKsKey -> ks.toString, PqDimKey -> model.dim.toString,
             PqSeedKey -> pqSeed.toString,
-            PqResidualKey -> (if (pqResidual) "1" else "0")))
+            PqResidualKey -> (if (pqResidual) "1" else "0"),
+            PqBuildErrSumKey -> errRow.getDouble(0).toString,
+            PqBuildNKey -> errRow.getLong(1).toString,
+            PqChurnErrSumKey -> "0.0", PqChurnNKey -> "0"))
     }
   }
 
@@ -322,24 +377,40 @@ object IvfIndex {
     val churnN = meta(ChurnNKey).toLong + simRow.getLong(1)
     // IVF-PQ: the delta encodes against the FROZEN generation's
     // codebooks (same pinning as the quantizer — a crossed rebuild
-    // throws StaleRefresh below before stale codes could land)
-    val (payload, insertRows) = readPq(spark, path, meta) match {
+    // throws StaleRefresh below before stale codes could land), and
+    // its reconstruction error accumulates into the codebook-drift
+    // counters riding this same commit (replays no-op with it)
+    val (payload, insertRows, pqErrMeta) = readPq(spark, path, meta) match {
       case Some(model) =>
         val toCode = ins.withColumn("_pqv",
           if (meta.get(PqResidualKey).contains("1"))
             residualCol("nv", centroids)
           else transform(col("nv"), x => x.cast("double")))
-        ("pq_code", Pq.encode(toCode, "_pqv", model))
-      case None => ("nv", ins)
+        val enc = Pq.encode(toCode, "_pqv", model)
+          .localCheckpoint(true) // the err agg must not re-encode
+        val er = enc.agg(coalesce(sum(
+            Pq.quantErr(col("_pqv"), col("pq_code"), model)),
+          lit(0.0)).as("s"), count(lit(1)).as("n")).head()
+        val errSum = meta.get(PqChurnErrSumKey).fold(0.0)(_.toDouble) +
+          er.getDouble(0)
+        val errN = meta.get(PqChurnNKey).fold(0L)(_.toLong) +
+          er.getLong(1)
+        ("pq_code", enc, Map(PqChurnErrSumKey -> errSum.toString,
+          PqChurnNKey -> errN.toString))
+      case None => ("nv", ins, Map.empty[String, String])
     }
     beforeCommit()
+    // the delta clusters under the same sub-split policy as the build
+    // (simRow's count is the delta size — already computed above)
+    val insParts = partsFor(meta(NlistKey).toInt, simRow.getLong(1),
+      meta.get(RowsPerFileKey).fold(Long.MaxValue)(_.toLong))
     VersionedTable.streamingApply(spark, root,
-      inserts = clustered(insertRows, meta(NlistKey).toInt, payload),
+      inserts = clustered(insertRows, insParts, payload),
       deleteKeys = dels, keys = Seq("centroid_id", "neighbor_id"),
       queryName = "ivf_refresh", batchId = cv,
       extraMeta = Map(WatermarkKey -> cv.toString,
         ChurnSimSumKey -> churnSum.toString,
-        ChurnNKey -> churnN.toString),
+        ChurnNKey -> churnN.toString) ++ pqErrMeta,
       // pin the payload's assumptions: the delta was assigned against
       // THIS quantizer generation at THIS watermark; a crossed rebuild
       // (new generation, replay guard wiped by replace) or a crossed
@@ -375,11 +446,12 @@ object IvfIndex {
     * silently-wrong answer from leftover codes) until a refresh or
     * rebuild moves the watermark forward; spec-pinned in IndexOpsSpec.
     *
-    * The bounded-pool re-rank ships the candidate ids as a predicate,
-    * so the corpus read prunes by manifest id-stats — which bites
-    * when the corpus clusters by id (ingest order usually does) and
-    * degrades to a full scan otherwise, the same layout caveat as the
-    * MV rescan lane (SCALING.md).
+    * The bounded-pool re-rank compresses the candidate ids into ≤ 128
+    * covering range predicates ([[IdPredicate]] — plan size constant
+    * in |queries|·pool), so the corpus read prunes by manifest
+    * id-stats — which bites when the corpus clusters by id (ingest
+    * order usually does) and degrades to a full scan otherwise, the
+    * same layout caveat as the MV rescan lane (SCALING.md).
     *
     * `where` = FILTERED search (the production "top-k among rows
     * matching a predicate"): candidates are semi-joined against the
@@ -445,20 +517,33 @@ object IvfIndex {
         // (the watermark of the PROBED version — time travel
         // included). With a BOUNDED pool the candidate id set is
         // |queries|·pool rows: pin it once (the ADC scan must not run
-        // twice), ship the distinct ids as a predicate, and the
-        // corpus read FILE-PRUNES through the manifest stats instead
-        // of scanning 100 TB to feed a tiny join. An unbounded pool
-        // (the exactness gates' covering form) keeps the streaming
-        // full-scan join — there the candidate set IS the probed
-        // corpus and a predicate would be pure overhead.
+        // twice), compress the distinct ids into <= 128 covering RANGE
+        // predicates ([[IdPredicate]] — plan size CONSTANT in the
+        // batch; a raw isin literal grew |queries|·pool-fold), and the
+        // corpus read FILE-PRUNES through the manifest min/max stats
+        // instead of scanning 100 TB to feed a tiny join. The ranges
+        // over-cover; the inner join below restores exactness. The
+        // gate is on the COLLECTED id count (|queries|·pool in
+        // aggregate), not the per-query pool alone — an oversized id
+        // set or a non-rangeable id type falls back to the streaming
+        // full-scan join. An unbounded pool (the exactness gates'
+        // covering form) keeps that join outright — there the
+        // candidate set IS the probed corpus and a predicate would be
+        // pure overhead.
         val wmV = Some(meta(WatermarkKey).toLong)
         val (candFrame, corpusRead) =
           if (effPool <= 10000) {
             val pinned = cands.localCheckpoint(true)
+            val maxIds = IdPredicate.MaxCollectedIds
             val ids = pinned.select("neighbor_id").distinct()
-              .collect().map(_.get(0))
-            (pinned, VersionedTable.readWhere(spark, meta(CorpusKey),
-              col(meta(IdKey)).isin(ids: _*), wmV))
+              .orderBy("neighbor_id").limit(maxIds + 1)
+              .collect().map(_.get(0)).toSeq
+            val pred =
+              if (ids.size > maxIds) None
+              else IdPredicate.predicate(col(meta(IdKey)), ids)
+            (pinned, pred.fold(
+              VersionedTable.read(spark, meta(CorpusKey), wmV))(p =>
+              VersionedTable.readWhere(spark, meta(CorpusKey), p, wmV)))
           } else
             (cands, VersionedTable.read(spark, meta(CorpusKey), wmV))
         val corpus = corpusRead
@@ -530,12 +615,44 @@ object IvfIndex {
     (buildMean, churnMean, churnN)
   }
 
-  /** True when post-build inserts assign `tolerance` worse (mean
-    * cosine) than the build corpus did — the retrain signal. */
+  /** Codebook-fidelity drift of an IVF-PQ index: (build-time mean
+    * squared quantization error, post-build inserts' running mean,
+    * post-build insert count). The SECOND retrain signal next to
+    * [[drift]]: churn can stay in-distribution for the coarse
+    * quantizer (assignment cosine flat — e.g. the same directions at
+    * new magnitudes) while the frozen codebooks reconstruct it badly,
+    * silently degrading bounded-pool ADC recall; a rising churn/build
+    * error ratio is the only place that shows. Refuses a raw-vector
+    * index (no codebooks to drift). Counters accumulate on the
+    * refresh commit ([[refreshOnce]]) and reset on [[rebuild]]. */
+  def pqDrift(spark: SparkSession, path: String): (Double, Double, Long) = {
+    val meta = VersionedTable.metaOf(spark, listsRoot(path))
+    require(meta.contains(PqDirKey),
+      s"$path is not an IVF-PQ index — no codebooks to drift")
+    val buildMean = meta.get(PqBuildErrSumKey).fold(Double.NaN)(s =>
+      s.toDouble / math.max(1L, meta(PqBuildNKey).toLong))
+    val churnN = meta.get(PqChurnNKey).fold(0L)(_.toLong)
+    val churnMean =
+      if (churnN == 0) Double.NaN
+      else meta(PqChurnErrSumKey).toDouble / churnN
+    (buildMean, churnMean, churnN)
+  }
+
+  /** True when EITHER retrain signal trips: post-build inserts assign
+    * `tolerance` worse (mean cosine) than the build corpus did, OR —
+    * on an IVF-PQ index — their mean squared reconstruction error
+    * exceeds `pqErrFactor`× the build-time mean (the codebook-drift
+    * leg; raw-vector indexes skip it). */
   def recommendRetrain(spark: SparkSession, path: String,
-      tolerance: Double = 0.05): Boolean = {
+      tolerance: Double = 0.05, pqErrFactor: Double = 2.0): Boolean = {
     val (buildMean, churnMean, churnN) = drift(spark, path)
-    churnN > 0 && buildMean - churnMean > tolerance
+    val assignTrip = churnN > 0 && buildMean - churnMean > tolerance
+    val pqTrip = VersionedTable.metaOf(spark, listsRoot(path))
+      .contains(PqDirKey) && {
+      val (bErr, cErr, cN) = pqDrift(spark, path)
+      cN > 0 && !bErr.isNaN && cErr > bErr * pqErrFactor + 1e-12
+    }
+    assignTrip || pqTrip
   }
 
   /** Deliberate full retrain: a NEW quantizer generation + fresh
@@ -555,7 +672,8 @@ object IvfIndex {
     val (lists, meta) = buildState(spark, meta0(CorpusKey),
       meta0(IdKey), meta0(VecKey), meta0(NlistKey).toInt, path,
       trainIters, pq, meta0.get(PqSeedKey).fold(7)(_.toInt),
-      meta0.get(PqResidualKey).contains("1"))
+      meta0.get(PqResidualKey).contains("1"),
+      meta0.get(RowsPerFileKey).fold(Long.MaxValue)(_.toLong))
     VersionedTable.replace(spark, listsRoot(path), lists, meta = meta)
   }
 
@@ -567,9 +685,11 @@ object IvfIndex {
 
   /** The maintenance autopilot — one call a scheduler (or
     * [[graft.streaming.Streams.maintainOnChanges]]) drives per cycle:
-    * refresh from the corpus change feed, retrain IF AND ONLY IF the
-    * drift signal says the frozen quantizer stopped covering new data
-    * ([[recommendRetrain]]), then fold refresh-accreted small files
+    * refresh from the corpus change feed, retrain IF AND ONLY IF a
+    * drift signal says a frozen artifact stopped covering new data —
+    * assignment cosine for the quantizer, reconstruction error for
+    * the PQ codebooks ([[recommendRetrain]]) — then fold
+    * refresh-accreted small files
     * when they exceed `compactAboveFiles` (clustering preserved).
     * Safe to run beside concurrent refreshers/rebuilds: refresh
     * carries the generation+watermark OCC pins, rebuild is a
@@ -578,9 +698,10 @@ object IvfIndex {
   def maintain(spark: SparkSession, path: String,
       tolerance: Double = 0.05, trainIters: Int = 0,
       compactAboveFiles: Int = Int.MaxValue,
-      smallFileBytes: Long = 8L * 1024 * 1024): Maintained = {
+      smallFileBytes: Long = 8L * 1024 * 1024,
+      pqErrFactor: Double = 2.0): Maintained = {
     refresh(spark, path)
-    val rebuilt = recommendRetrain(spark, path, tolerance)
+    val rebuilt = recommendRetrain(spark, path, tolerance, pqErrFactor)
     if (rebuilt) rebuild(spark, path, trainIters)
     val root = listsRoot(path)
     val nFiles = VersionedTable.fileCount(spark, root)
@@ -599,9 +720,17 @@ object IvfIndex {
       smallFileBytes: Long = 8L * 1024 * 1024): Boolean = {
     val root = listsRoot(path)
     val before = VersionedTable.currentVersion(spark, root).get
-    val nlist = VersionedTable.metaOf(spark, root)(NlistKey).toInt
+    val meta = VersionedTable.metaOf(spark, root)
+    // size the fold under the SAME sub-split policy as the build —
+    // a plain nlist target would weld a sub-split hot centroid's
+    // files back into one giant partition. Total live rows (metadata
+    // only) over-estimates the folded subset; extra empty range
+    // partitions write nothing.
+    val rows = math.max(0L, VersionedTable.rowCount(spark, root))
+    val parts = partsFor(meta(NlistKey).toInt, rows,
+      meta.get(RowsPerFileKey).fold(Long.MaxValue)(_.toLong))
     VersionedTable.compact(spark, root, smallFileBytes,
-      targetPartitions = math.max(1, nlist),
+      targetPartitions = parts,
       sortCols = Seq("centroid_id", "neighbor_id")) != before
   }
 
@@ -615,4 +744,26 @@ object IvfIndex {
   /** The corpus version the lists reflect. */
   def watermark(spark: SparkSession, path: String): Long =
     VersionedTable.metaOf(spark, listsRoot(path))(WatermarkKey).toLong
+
+  /** The corpus table this index maintains from (manifest meta). */
+  def corpusOf(spark: SparkSession, path: String): String =
+    VersionedTable.metaOf(spark, listsRoot(path))(CorpusKey)
+
+  /** The OLDEST corpus version this index still needs retained: its
+    * live watermark (refresh reads the change feed from it; a PQ
+    * re-rank reads the corpus AT it), and — when an as-of `horizon`
+    * is given — the watermark of the lists version that SERVES the
+    * horizon (an as-of probe at any corpus version ≥ horizon
+    * re-ranks against no older snapshot). The
+    * [[IndexRetention.safeVacuum]] input; metadata walks only. */
+  def retentionWatermark(spark: SparkSession, path: String,
+      horizon: Option[Long] = None): Long = {
+    val live = watermark(spark, path)
+    horizon.fold(live) { h =>
+      val v = versionAt(spark, path, h)
+      math.min(live,
+        VersionedTable.metaOf(spark, listsRoot(path), Some(v))(
+          WatermarkKey).toLong)
+    }
+  }
 }

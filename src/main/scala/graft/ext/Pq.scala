@@ -94,9 +94,14 @@ object Pq {
     * Janino's 64 KB method limit already at m=16·ks=64 and silently
     * drops the stage out of codegen; this shape holds to ks=256.
     *
-    * Null vectors encode to null codes (which then ADC-score null and
-    * rank last) — filter them first, as [[IvfIndex]]'s build/refresh
-    * paths do; [[fit]] refuses nulls in its sample loudly. */
+    * Null VECTORS encode to null codes (which then ADC-score null and
+    * rank last — Spark's `desc` default is NULLS LAST): the null guard
+    * is explicit below, because the per-subspace struct-min would
+    * otherwise sort a null distance FIRST and silently encode a null
+    * row as centroid-0 codes with a real ADC score (the r17 ADVICE
+    * finding). Vectors with null ELEMENTS must still be filtered
+    * first, as [[IvfIndex]]'s build/refresh paths do; [[fit]] refuses
+    * both in its sample loudly. */
   def encode(df: DataFrame, vecCol: String, model: PqModel,
       codeCol: String = "pq_code"): DataFrame = {
     val cb = typedlit(model.codebooks) // m × ks × dsub
@@ -109,7 +114,8 @@ object Pq {
         }), lit(0.0), (a, b) => a + b), 9).as("d"),
           c.cast("int").as("c")))).getField("c")
     }
-    df.withColumn(codeCol, array(codes: _*))
+    df.withColumn(codeCol,
+      when(col(vecCol).isNotNull, array(codes: _*)))
   }
 
   /** OPQ parametric initialization (Ge/He/Ke/Sun, "Optimized Product
@@ -144,6 +150,154 @@ object Pq {
     * [[eigenAllocation]] output): map-only `element_at` gather. */
   def permute(v: Column, perm: Seq[Int]): Column =
     array(perm.map(p => element_at(v, p + 1)): _*)
+
+  /** Rotate a vector column by a literal orthogonal matrix `r` (rows
+    * of R): z_i = dot(R_i, v) — map-only HOF matvec (the d×d literal
+    * is ≤ a few thousand doubles; same codegen shape as [[encode]]).
+    * The [[opqFit]] output composes through here for downstream
+    * encode/search. */
+  def rotate(v: Column, r: Seq[Seq[Double]]): Column =
+    transform(typedlit(r), row =>
+      aggregate(zip_with(row, v, (a, b) => a * b.cast("double")),
+        lit(0.0), (acc, x) => acc + x))
+
+  /** The reconstruction VECTOR a code word decodes to — per-subspace
+    * codeword lookups concatenated (map-only literal gathers; the
+    * column form of [[PqModel.reconstruct]]). */
+  private def reconstructCol(cd: Column, model: PqModel): Column = {
+    val cb = typedlit(model.codebooks)
+    flatten(array((0 until model.m).map(j =>
+      element_at(element_at(cb, j + 1), element_at(cd, j + 1) + 1)): _*))
+  }
+
+  /** M = Σ_rows ẑ·xᵀ — the d×d cross-moment the OPQ rotation update
+    * needs: one treeAggregate pass accumulating per-partition local
+    * arrays (the [[Pca.fit]] shape — the shuffle carries
+    * O(partitions·d²) doubles, never rows). Column 0 = x, column 1 =
+    * ẑ, both array<double>. */
+  private def crossMoment(df: DataFrame, dim: Int): Array[Array[Double]] = {
+    val zero = new Array[Double](dim * dim)
+    val acc = df.rdd.treeAggregate(zero)(
+      seqOp = (a, row) => {
+        val x = row.getSeq[Number](0)
+        val z = row.getSeq[Number](1)
+        if (x != null && z != null) {
+          require(x.length == dim && z.length == dim,
+            s"opq cross-moment: widths ${x.length}/${z.length}, " +
+              s"expected $dim")
+          var i = 0
+          while (i < dim) {
+            val zi = z(i).doubleValue
+            val off = i * dim
+            var j = 0
+            while (j < dim) { a(off + j) += zi * x(j).doubleValue; j += 1 }
+            i += 1
+          }
+        }
+        a
+      },
+      combOp = (a, b) => {
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      })
+    Array.tabulate(dim, dim)((i, j) => acc(i * dim + j))
+  }
+
+  /** Closest orthogonal matrix to M (polar factor): R = UVᵀ of M's
+    * SVD — exactly the orthogonal-Procrustes solution the OPQ
+    * rotation step needs (max tr(RᵀM)). Driver-side O(d³) through the
+    * [[Pca]] Jacobi eigensolver on the symmetric MᵀM (the same
+    * deliberate driver boundary as PCA's eigenproblem): v_k from
+    * MᵀM's eigenvectors, u_k = M·v_k/σ_k on the row space, and the
+    * NULL space (a rank-deficient M — low-rank data makes this the
+    * common case, not the error case) completed with any orthonormal
+    * basis: those directions contribute zero to tr(RᵀM) either way,
+    * so every completion is optimal — the convention numpy's SVD
+    * hands the paper's reference implementation implicitly. */
+  private[ext] def polarOrtho(m0: Array[Array[Double]]): Array[Array[Double]] = {
+    val d = m0.length
+    val s = Array.tabulate(d, d)((i, j) =>
+      (0 until d).map(k => m0(k)(i) * m0(k)(j)).sum)
+    val (vals, vecs) = Pca.jacobiEigSym(s)
+    val mx = math.max(vals.max, 1e-300)
+    val us = Array.ofDim[Double](d, d)
+    val done = Array.fill(d)(false)
+    (0 until d).foreach { k =>
+      if (vals(k) > 1e-10 * mx) {
+        // u_k = M v_k / σ_k (re-normalized against float drift)
+        val u = Array.tabulate(d)(i =>
+          (0 until d).map(j => m0(i)(j) * vecs(k)(j)).sum)
+        val nrm = math.sqrt(u.map(x => x * x).sum)
+        if (nrm > 1e-150) {
+          (0 until d).foreach(i => us(k)(i) = u(i) / nrm)
+          done(k) = true
+        }
+      }
+    }
+    // null-space completion: Gram-Schmidt the identity basis against
+    // every accepted u — any orthonormal fill is Procrustes-optimal
+    (0 until d).filterNot(done).foreach { k =>
+      val filled = (0 until d).exists { e =>
+        val w = Array.tabulate(d)(i => if (i == e) 1.0 else 0.0)
+        (0 until d).filter(done).foreach { kk =>
+          val dot = (0 until d).map(i => us(kk)(i) * w(i)).sum
+          (0 until d).foreach(i => w(i) -= dot * us(kk)(i))
+        }
+        val nrm = math.sqrt(w.map(x => x * x).sum)
+        if (nrm > 1e-6) {
+          (0 until d).foreach(i => us(k)(i) = w(i) / nrm)
+          done(k) = true
+        }
+        done(k)
+      }
+      require(filled, "opq rotation update: could not complete an " +
+        "orthonormal basis — degenerate cross-moment")
+    }
+    // R = Σ_k u_k v_kᵀ
+    Array.tabulate(d, d)((i, j) =>
+      (0 until d).map(k => us(k)(i) * vecs(k)(j)).sum)
+  }
+
+  /** OPQ NON-PARAMETRIC refinement (Ge/He/Ke/Sun, CVPR 2013 §3) — the
+    * learned rotation on top of [[eigenAllocation]]'s parametric init:
+    * alternate (a) one Lloyd codebook round on the rotated data
+    * ([[refine]]), (b) re-encode, (c) the orthogonal-Procrustes
+    * rotation update R = polar(Σ ẑxᵀ) ([[polarOrtho]]). Every step is
+    * non-increasing in the training objective Σ‖Rx − ẑ‖², so the
+    * learned model reconstructs at-or-better than its init. Scale
+    * shape per iteration: one map-only encode + one d²-wide
+    * treeAggregate + a driver-side d³ polar — no all-pairs anything.
+    *
+    * Returns (R rows, model over R-rotated data); compose downstream
+    * as [[rotate]](v, R) → [[encode]]. Same determinism stance as
+    * [[refine]]: float-sum reductions are order-sensitive, so the
+    * result is engine-deterministic only per-plan — spec-certified
+    * (PqSpec), kept OUT of oracle paths by design. */
+  def opqFit(df: DataFrame, idCol: String, vecCol: String, m: Int,
+      ks: Int, iters: Int, seed: Int = 7): (Seq[Seq[Double]], PqModel) = {
+    require(iters >= 0, s"iters must be >= 0: $iters")
+    var model = fit(df, idCol, vecCol, m, ks, seed)
+    val dim = model.dim
+    var r: Seq[Seq[Double]] = Seq.tabulate(dim, dim)((i, j) =>
+      if (i == j) 1.0 else 0.0)
+    def rotated(): DataFrame = df.select(col(idCol),
+      rotate(col(vecCol), r).as("_rz"),
+      transform(col(vecCol), x => x.cast("double")).as("_x"))
+    for (_ <- 0 until iters) {
+      val rz = rotated().localCheckpoint(true) // 3 uses per iteration
+      model = refine(rz, "_rz", model, 1)
+      val enc = encode(rz, "_rz", model)
+      val mMat = crossMoment(
+        enc.select(col("_x"), reconstructCol(col("pq_code"), model)),
+        dim)
+      r = polarOrtho(mMat).map(_.toSeq).toSeq
+    }
+    // re-center the codebooks on the FINAL rotation (the last loop
+    // step moved R after the last Lloyd round)
+    if (iters > 0) model = refine(rotated(), "_rz", model, 1)
+    (r, model)
+  }
 
   /** Distributed Lloyd refinement of a fitted model's codebooks:
     * `iters` rounds of encode → per-(subspace, code) mean → replace
@@ -188,6 +342,29 @@ object Pq {
       cur = PqModel(cur.dim, cur.m, cur.ks, next)
     }
     cur
+  }
+
+  /** Squared-L2 QUANTIZATION ERROR of a code word against the vector
+    * it encodes: Σ_j ‖v_j − cb_j[code_j]‖² — the reconstruction-
+    * fidelity measure the codebooks were fit to minimize, and the
+    * DRIFT SIGNAL for a maintained IVF-PQ index: churn that stays
+    * in-distribution for the coarse quantizer (assignment cosine flat)
+    * but drifts for the codebooks shows up here and nowhere else —
+    * bounded-pool ADC recall degrades silently otherwise
+    * ([[IvfIndex.pqDrift]] accumulates this per refresh delta). Same
+    * under-64KB HOF codegen shape as [[encode]]; map-only. */
+  private[ext] def quantErr(v: Column, cd: Column,
+      model: PqModel): Column = {
+    val cb = typedlit(model.codebooks) // m × ks × dsub
+    (0 until model.m).map { j =>
+      val sl = slice(v, j * model.dsub + 1, model.dsub)
+      val row = element_at(element_at(cb, j + 1),
+        element_at(cd, j + 1) + 1)
+      aggregate(zip_with(sl, row, (x, y) => {
+        val d = x.cast("double") - y
+        d * d
+      }), lit(0.0), (a, b) => a + b)
+    }.reduce(_ + _)
   }
 
   /** The ADC cosine EXPRESSION of a full-precision query vector `qv`

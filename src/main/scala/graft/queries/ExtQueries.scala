@@ -89,8 +89,8 @@ object ExtQueries extends QueryPack {
     * fixture with an interior refresh would break their atomicity
     * pins. */
   private object AsOfFixture {
-    final case class P(emb: String, ivf: String, docTbl: String,
-        bm25: String)
+    final case class P(emb: String, ivf: String, pqIvf: String,
+        docTbl: String, bm25: String)
     private val cache =
       scala.collection.concurrent.TrieMap.empty[String, P]
 
@@ -104,19 +104,25 @@ object ExtQueries extends QueryPack {
         if (wh.startsWith("file:")) new java.net.URI(wh).getPath else wh
       val base = new java.io.File(whPath,
         s"graft_asoffix/${java.util.UUID.randomUUID()}").toString
-      val p = P(s"$base/emb", s"$base/ivf", s"$base/docs", s"$base/bm25")
+      val p = P(s"$base/emb", s"$base/ivf", s"$base/pq_ivf",
+        s"$base/docs", s"$base/bm25")
       val e = embs(s, dir).select(col("vec_id"), col("embedding"))
       VersionedTable.create(s, p.emb, e) // E v1
       IvfIndex.create(s, p.emb, "vec_id", "embedding", nlist = 8, p.ivf)
+      // the IVF-PQ sibling (q194 composes as-of + filter + PQ): same
+      // corpus, same pivot refresh — 16-code compressed posting lists
+      IvfIndex.create(s, p.emb, "vec_id", "embedding", nlist = 8,
+        p.pqIvf, pq = Some((16, 64)))
       val d = docs(s, dir).select(col("doc_id"), col("text"))
       VersionedTable.create(s, p.docTbl, d) // D v1
       Bm25Index.create(s, p.docTbl, "doc_id", "text", p.bm25)
-      // the pivot state: one appended slice, refreshed into BOTH
-      // indexes — corpus version 2 everywhere
+      // the pivot state: one appended slice, refreshed into EVERY
+      // index — corpus version 2 everywhere
       VersionedTable.append(s, p.emb, e.filter(col("vec_id") % 10 === 4)
         .select((col("vec_id") + lit(100000L)).as("vec_id"),
           col("embedding"))) // E v2
       IvfIndex.refresh(s, p.ivf) // lists v2, wm 2
+      IvfIndex.refresh(s, p.pqIvf) // pq lists v2, wm 2
       VersionedTable.append(s, p.docTbl, d.filter(col("doc_id") % 10 === 4)
         .select((col("doc_id") + lit(1000000L)).as("doc_id"),
           col("text"))) // D v2
@@ -133,6 +139,11 @@ object ExtQueries extends QueryPack {
       p
     }
   }
+
+  override val fixtures: Map[String, (SparkSession, String) => Unit] =
+    Map(
+      "idx_fixture" -> ((s, dir) => { IdxFixture.get(s, dir); () }),
+      "asof_fixture" -> ((s, dir) => { AsOfFixture.get(s, dir); () }))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -1591,6 +1602,59 @@ object ExtQueries extends QueryPack {
         topN = 50)
     },
 
+    // FILTERED + AS-OF hybrid retrieval over COMPRESSED lists — the
+    // full composition a production training-data pipeline serves
+    // ("re-run the retrieval that built dataset v2, but only over the
+    // serving slice"), and the r17 verdict's top item: q193's
+    // pre-filter discipline lands on the LEXICAL leg
+    // (Bm25Index.topN/topNAsOf take `where`), then one query composes
+    // all three axes on BOTH legs — time travel to an interior corpus
+    // version, a predicate pre-filtering each leg's candidates at its
+    // own watermark (never the pool-starving post-filter; pinned
+    // in-query by cut dominance), and the vector leg probing IVF-PQ
+    // codes with an exact re-rank. Collection stats stay whole-
+    // collection (the predicate restricts candidates, not the
+    // language model). The oracle replays the filtered historical
+    // recompute of both legs and the RRF fusion from scratch.
+    "q194_asof_filtered_hybrid" -> { (s, dir) =>
+      import graft.sources.VersionedTable
+      val f = AsOfFixture.get(s, dir) // pivot at corpus v2 (builder)
+      IvfIndex.refresh(s, f.pqIvf)
+      Bm25Index.refresh(s, f.bm25)
+      require(IvfIndex.watermark(s, f.pqIvf) == 3L &&
+        Bm25Index.watermark(s, f.bm25) == 3L,
+        "both live indexes must sit PAST the asked version")
+      require(IvfIndex.versionAt(s, f.pqIvf, 2L) == 2L &&
+        VersionedTable.currentVersion(s, f.pqIvf + "/lists").get == 3L,
+        "the as-of walk must land on the interior PQ lists version, " +
+          "not the head")
+      val dPred = col("doc_id") % 3 === 1
+      val ePred = col("vec_id") % 3 === 1
+      val lex = Bm25Index.topNAsOf(s, f.bm25,
+          Seq("hash", "join", "spark"), 100, corpusVersion = 2L,
+          where = Some(dPred))
+        .localCheckpoint(true)
+      require(lex.filter(col("doc_id") % 3 =!= 1).isEmpty,
+        "every lexical candidate must satisfy the predicate")
+      // PRE-filter proof: the filtered cut dominates post-filtering
+      // the unfiltered cut (any matching doc in the global top-100 is
+      // also in the top-100 AMONG matching docs, never vice versa)
+      val post = Bm25Index.topNAsOf(s, f.bm25,
+          Seq("hash", "join", "spark"), 100, corpusVersion = 2L)
+        .filter(col("doc_id") % 3 === 1).count()
+      require(lex.count() >= post && lex.count() > 0,
+        s"where must pre-filter the cut: ${lex.count()} vs post $post")
+      val q42 = VersionedTable.read(s, f.emb, Some(2L))
+        .filter(col("vec_id") === 42L)
+      val vec = IvfIndex.probeAsOf(q42, f.pqIvf, "vec_id", "embedding",
+          k = 100, nprobe = 8, corpusVersion = 2L,
+          pool = Int.MaxValue, where = Some(ePred))
+        .select(col("neighbor_id").as("doc_id"),
+          round(col("cosine_sim"), 6).as("cos"))
+      Similarity.rrfFuse(Seq(lex -> "bm25", vec -> "cos"), "doc_id",
+        topN = 50)
+    },
+
     // PCA / whitening over the embedding corpus — the decorrelate-
     // before-quantize / reduce-before-index preprocessing leg. fit is
     // ONE distributed pass (partitions accumulate dim + dim² moment
@@ -2707,6 +2771,54 @@ object ExtQueries extends QueryPack {
         |    list_cosine_similarity(c.v,
         |      (SELECT v FROM ecorpus WHERE vec_id = 42)) AS rawcs
         |  FROM ecorpus c WHERE c.vec_id <> 42
+        |  ORDER BY rawcs DESC, doc_id LIMIT 100),
+        |vecr AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+        |    ORDER BY round(rawcs, 6) DESC, doc_id) AS INT) AS rank_2
+        |  FROM vec),
+        |fu AS (SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+        |    l.rank_1, v.rank_2,
+        |    round(COALESCE(1.0 / (60 + l.rank_1), 0)
+        |        + COALESCE(1.0 / (60 + v.rank_2), 0), 9) AS rrf_score
+        |  FROM lexr l FULL JOIN vecr v ON l.doc_id = v.doc_id)
+        |SELECT doc_id, rank_1, rank_2, rrf_score FROM fu
+        |ORDER BY rrf_score DESC, doc_id LIMIT 50""".stripMargin,
+    "q194_asof_filtered_hybrid" ->
+      """WITH dbase AS (SELECT doc_id, text FROM documents),
+        |dcorpus AS (SELECT doc_id, text FROM dbase
+        |  UNION ALL SELECT doc_id + 1000000, text FROM dbase
+        |  WHERE doc_id % 10 = 4),
+        |tk AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS t
+        |  FROM dcorpus),
+        |st AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(len(t)) AS DOUBLE) / COUNT(*) AS avgdl FROM tk),
+        |q AS (SELECT unnest(['hash', 'join', 'spark']) AS term),
+        |dfq AS (SELECT q.term,
+        |    (SELECT COUNT(*) FROM tk WHERE list_contains(tk.t, q.term))
+        |      AS dfc FROM q),
+        |sc AS (SELECT tk.doc_id,
+        |    round(SUM(
+        |      ln((st.n - dfq.dfc + 0.5) / (dfq.dfc + 0.5) + 1.0)
+        |      * len(list_filter(tk.t, x -> x = dfq.term)) * 2.2
+        |      / (len(list_filter(tk.t, x -> x = dfq.term))
+        |         + 1.2 * (0.25 + 0.75 * len(tk.t) / st.avgdl))), 6)
+        |      AS bm25
+        |  FROM tk CROSS JOIN dfq CROSS JOIN st
+        |  GROUP BY tk.doc_id),
+        |lex AS (SELECT doc_id, bm25 FROM sc
+        |  WHERE bm25 > 0 AND doc_id % 3 = 1
+        |  ORDER BY bm25 DESC, doc_id LIMIT 100),
+        |lexr AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+        |    ORDER BY bm25 DESC, doc_id) AS INT) AS rank_1 FROM lex),
+        |ebase AS (SELECT vec_id, embedding FROM embeddings),
+        |ecorpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM (SELECT vec_id, embedding FROM ebase
+        |    UNION ALL SELECT vec_id + 100000, embedding FROM ebase
+        |    WHERE vec_id % 10 = 4)),
+        |vec AS (SELECT c.vec_id AS doc_id,
+        |    list_cosine_similarity(c.v,
+        |      (SELECT v FROM ecorpus WHERE vec_id = 42)) AS rawcs
+        |  FROM ecorpus c WHERE c.vec_id <> 42 AND c.vec_id % 3 = 1
         |  ORDER BY rawcs DESC, doc_id LIMIT 100),
         |vecr AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
         |    ORDER BY round(rawcs, 6) DESC, doc_id) AS INT) AS rank_2

@@ -118,6 +118,9 @@ object IoQueries extends QueryPack {
     }
   }
 
+  override val fixtures: Map[String, (SparkSession, String) => Unit] =
+    Map("mv_fixture" -> ((s, dir) => { MvFixture.get(s, dir); () }))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Size-targeted compaction with range clustering: documents

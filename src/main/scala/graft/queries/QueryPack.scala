@@ -19,4 +19,12 @@ trait QueryPack {
   /** DuckDB-runnable ANSI SQL per query key; omit a key for
     * non-SQL-expressible ops (driver falls back to rows>0 check). */
   def oracles: Map[String, String]
+  /** Shared memoized fixtures (churned corpora + maintained indexes)
+    * several queries ride on. Exposed so Bench can PRE-BUILD them in
+    * a named, separately-timed phase — otherwise the first family
+    * member in run order silently absorbs the build into its own
+    * timing (the r17 q186 accounting artifact). Each builder is
+    * idempotent per (warehouse, dir); queries still build lazily when
+    * run outside Bench (Verify, specs). */
+  def fixtures: Map[String, (SparkSession, String) => Unit] = Map.empty
 }

@@ -149,6 +149,20 @@ object VersionedTable {
     readManifest(spark, root, v).fileCount
   }
 
+  /** Total LIVE rows from the manifest's per-file counts minus
+    * deletion-vector rows — metadata only, no scan; −1 when any file
+    * predates row stats. A layout-policy signal (compaction partition
+    * sizing), not an answer source: exact by commit() bookkeeping but
+    * callers needing an auditable count should count rows. */
+  def rowCount(spark: SparkSession, root: String,
+      version: Option[Long] = None): Long = {
+    val v = version.orElse(currentVersion(spark, root)).getOrElse(
+      throw new IllegalArgumentException(s"$root: no versioned table"))
+    val m = readManifest(spark, root, v)
+    if (m.files.exists(_.rows < 0)) -1L
+    else m.files.map(_.rows).sum - m.dvs.values.map(_._2).sum
+  }
+
   /** Latest version of `root` whose `key` manifest meta is ≤ `target`
     * — the watermark walk behind every as-of index/view read (a
     * derived table records the SOURCE version each commit applied;
@@ -1286,6 +1300,19 @@ object VersionedTable {
             cs.min.nonEmpty || entry.rows < 0)
           case None => true
         }
+      // disjunctions recurse: a file may match (l OR r) iff it may
+      // match either side — this is what lets an OR-of-BETWEENs id
+      // cover ([[graft.ext.IdPredicate]], the index re-rank reads)
+      // prune exactly like the id list it compresses. Nested ANDs
+      // (the BETWEEN pairs inside each OR arm) recurse conservatively
+      // the same way; top-level ANDs were already split by
+      // [[splitAnd]] before reaching here.
+      case cexp.Or(l, r) =>
+        mayContain(entry, l, schema, phys) ||
+          mayContain(entry, r, schema, phys)
+      case cexp.And(l, r) =>
+        mayContain(entry, l, schema, phys) &&
+          mayContain(entry, r, schema, phys)
       case _ => true
     }
   }

@@ -144,6 +144,66 @@ class Bm25IndexSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("filtered retrieval: `where` pre-filters candidates before the " +
+      "cut (never the starving post-filter), stats stay whole-" +
+      "collection, and the doclens read is candidate-bounded") {
+    val (corpus, root) = (tmp() + "/corpus", tmp() + "/idx")
+    // 40 docs sharing 'shared'; doc_id % 4 == 1 is the serving slice.
+    // A post-filter of topN(3) would starve: the global top-3 for
+    // 'shared' are dominated by the shortest docs, few of which match.
+    val rows = (1L to 40L).map { i =>
+      val filler = Seq.fill((i % 7).toInt + 1)(s"filler$i").mkString(" ")
+      (i, s"shared $filler term${"%02d".format(i % 10)}")
+    }
+    VersionedTable.create(spark, corpus, docsDf(rows: _*))
+    Bm25Index.create(spark, corpus, "doc_id", "text", root, nParts = 8)
+    val pred = col("doc_id") % 4 === 1
+    val got = Bm25Index.topN(spark, root, Seq("shared"), 5,
+        where = Some(pred))
+      .as[(Long, Double)].collect().toSeq
+    // truth: recompute over the FULL corpus (whole-collection stats),
+    // filter to the predicate slice, THEN cut — pre-filter semantics
+    val want = TextAnalysis.bm25TopN(
+        VersionedTable.read(spark, corpus), "doc_id", "text",
+        Seq("shared"), Int.MaxValue)
+      .filter(pred).as[(Long, Double)].collect().toSeq
+      .filter(_._2 > 0).sortBy { case (id, s) => (-s, id) }.take(5)
+    assert(got == want, s"filtered index $got != filtered recompute $want")
+    assert(got.size == 5 && got.forall(_._1 % 4 == 1),
+      "a selective predicate must not starve the cut (pre-filter)")
+    // post-filter would differ: the unfiltered top-5 keeps <5 matches
+    val post = Bm25Index.topN(spark, root, Seq("shared"), 5)
+      .as[(Long, Double)].collect().toSeq.filter(_._1 % 4 == 1)
+    assert(post.size < 5,
+      "test premise: post-filtering the top-5 must starve here")
+    // the doclens read file-prunes to the candidates' doc_id ranges
+    // (doc_id-clustered files + the range-compressed id predicate):
+    // a narrow candidate slice keeps a strict subset of the files
+    val narrowIds = (1L to 5L).map(x => x: Any)
+    val (kept, total) = VersionedTable.pruneProfile(spark,
+      s"$root/doclens",
+      IdPredicate.predicate(col("doc_id"), narrowIds).get)
+    assert(kept < total && kept >= 1,
+      s"doclens must file-prune on candidate ids: $kept/$total")
+    // filtered AS-OF composes: churn past, ask at v1 with the predicate
+    VersionedTable.deleteWhere(spark, corpus, col("doc_id") % 8 === 1,
+      cdf = true) // v2 kills half the serving slice (1, 9, 17, ...)
+    Bm25Index.refresh(spark, root)
+    val gotAsOf = Bm25Index.topNAsOf(spark, root, Seq("shared"), 5,
+        corpusVersion = 1L, where = Some(pred))
+      .as[(Long, Double)].collect().toSeq
+    assert(gotAsOf == want,
+      "as-of filtered retrieval must replay the historical filtered cut")
+    // and the live filtered answer reflects the delete
+    val gotLive = Bm25Index.topN(spark, root, Seq("shared"), 5,
+        where = Some(pred))
+      .as[(Long, Double)].collect().toSeq
+    assert(gotLive.nonEmpty &&
+      gotLive.forall(r => r._1 % 4 == 1 && r._1 % 8 != 1),
+      s"live filtered answers must come from the surviving slice: " +
+        s"$gotLive")
+  }
+
   test("exactness is unconditional: null-text docs sit outside the " +
       "collection on BOTH sides, duplicate query terms collapse to one " +
       "contribution") {

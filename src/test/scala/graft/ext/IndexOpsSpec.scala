@@ -213,6 +213,149 @@ class IndexOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("safeVacuum: retention is computed FROM the indexes — history " +
+      "below every watermark drops, every probe/refresh/as-of still " +
+      "answers, and mismatched indexes are refused") {
+    val (corpus, idx, pqIdx) =
+      (tmp() + "/corpus", tmp() + "/idx", tmp() + "/pq")
+    VersionedTable.create(spark, corpus, corpusDf(
+      vecs(15, 30, 6, 0.2).zipWithIndex.map { case (v, i) =>
+        (i.toLong, v) })) // v1
+    IvfIndex.create(spark, corpus, "vec_id", "embedding", nlist = 2, idx)
+    IvfIndex.create(spark, corpus, "vec_id", "embedding", nlist = 2,
+      pqIdx, pq = Some((3, 8)))
+    VersionedTable.append(spark, corpus, corpusDf(
+      vecs(16, 5, 6, 0.2).zipWithIndex.map { case (v, i) =>
+        (900L + i, v) })) // v2
+    IvfIndex.refresh(spark, pqIdx) // pq wm 2
+    VersionedTable.deleteWhere(spark, corpus, $"vec_id" === 1L,
+      cdf = true) // v3
+    IvfIndex.refresh(spark, idx) // raw wm 3
+    // the pq index is the laggard: keepFrom must be ITS watermark
+    val kept = IndexRetention.safeVacuum(spark, corpus,
+      ivfIndexes = Seq(idx, pqIdx), orphanGraceMs = 0L)
+    assert(kept == 2L, s"keepFrom must be min(3, 2) = 2, got $kept")
+    // the vacuum really dropped v1...
+    intercept[Exception](
+      VersionedTable.read(spark, corpus, Some(1L)).collect())
+    // ...and EVERY index operation still answers: the pq probe
+    // re-ranks at its wm-2 snapshot, the raw probe at wm 3, and the
+    // pq refresh folds the retained (2, 3] change feed
+    val q0 = VersionedTable.read(spark, corpus).filter($"vec_id" < 3)
+    val corpusNow = VersionedTable.read(spark, corpus)
+    def want(k: Int) = Similarity.bruteForceTopK(
+        q0.select($"vec_id", $"embedding"),
+        corpusNow.select($"vec_id", $"embedding"),
+        "vec_id", "embedding", k)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(IvfIndex.probe(q0, idx, "vec_id", "embedding", k = 2,
+        nprobe = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet == want(2))
+    IvfIndex.probe(q0, pqIdx, "vec_id", "embedding", k = 2,
+      nprobe = 2, pool = 5).collect() // wm-2 re-rank must not refuse
+    IvfIndex.refresh(spark, pqIdx)
+    assert(IvfIndex.watermark(spark, pqIdx) == 3L)
+    assert(IvfIndex.probe(q0, pqIdx, "vec_id", "embedding", k = 2,
+        nprobe = 2, pool = Int.MaxValue)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet == want(2))
+    // an as-of HORIZON holds older history open: churn once more,
+    // refresh both, and safeVacuum(horizon = 2) must keep v2 even
+    // though both live watermarks sit at the head
+    VersionedTable.append(spark, corpus, corpusDf(
+      vecs(17, 4, 6, 0.2).zipWithIndex.map { case (v, i) =>
+        (950L + i, v) })) // v4
+    IvfIndex.refresh(spark, idx)
+    IvfIndex.refresh(spark, pqIdx)
+    // the RAW index's version serving corpus v2 is its build (wm 1 —
+    // it was only refreshed later, at wm 3), and a FILTERED as-of
+    // probe reads the corpus at that serving watermark: the
+    // coordinated min is 1, strictly more conservative than the
+    // horizon itself. v1 is already gone (dropped above), so this
+    // vacuum drops nothing more — retention never regresses.
+    val kept2 = IndexRetention.safeVacuum(spark, corpus,
+      ivfIndexes = Seq(idx, pqIdx), asOfHorizon = Some(2L),
+      orphanGraceMs = 0L)
+    assert(kept2 == 1L,
+      s"the raw index's serving watermark must hold keepFrom at 1, " +
+        s"got $kept2")
+    // dropping the raw index from the set lifts keepFrom to the
+    // horizon-consistent pq serving watermark (= 2)
+    val kept3 = IndexRetention.safeVacuum(spark, corpus,
+      ivfIndexes = Seq(pqIdx), asOfHorizon = Some(2L),
+      orphanGraceMs = 0L)
+    assert(kept3 == 2L,
+      s"the horizon must hold keepFrom at 2, got $kept3")
+    val asOf = IvfIndex.probeAsOf(q0, pqIdx, "vec_id", "embedding",
+        k = 2, nprobe = 2, corpusVersion = 2L, pool = Int.MaxValue)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val histCorpus = VersionedTable.read(spark, corpus, Some(2L))
+    assert(asOf == Similarity.bruteForceTopK(
+        q0.select($"vec_id", $"embedding"),
+        histCorpus.select($"vec_id", $"embedding"),
+        "vec_id", "embedding", 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet,
+      "the horizon-retained history must answer as-of probes exactly")
+    // an index of a DIFFERENT corpus is refused, not silently folded
+    // into the wrong retention computation
+    val otherCorpus = tmp() + "/other"
+    VersionedTable.create(spark, otherCorpus, corpusDf(
+      vecs(18, 10, 6, 0.2).zipWithIndex.map { case (v, i) =>
+        (i.toLong, v) }))
+    val otherIdx = tmp() + "/other_idx"
+    IvfIndex.create(spark, otherCorpus, "vec_id", "embedding",
+      nlist = 2, otherIdx)
+    intercept[IllegalArgumentException](IndexRetention.safeVacuum(
+      spark, corpus, ivfIndexes = Seq(otherIdx), orphanGraceMs = 0L))
+  }
+
+  test("safeVacuum on a bm25 corpus: the doc change feed below the " +
+      "index watermark drops, maintained scoring and as-of both hold") {
+    val (corpus, root) = (tmp() + "/corpus", tmp() + "/bm25")
+    val docs = (1L to 30L).map(i =>
+      (i, s"term${"%02d".format(i % 10)} filler$i shared"))
+    VersionedTable.create(spark, corpus, docs.toDF("doc_id", "text"))
+    Bm25Index.create(spark, corpus, "doc_id", "text", root, nParts = 4)
+    VersionedTable.append(spark, corpus, Seq(
+      (100L, "term03 fresh shared")).toDF("doc_id", "text")) // v2
+    Bm25Index.refresh(spark, root) // wm 2
+    VersionedTable.deleteWhere(spark, corpus, $"doc_id" === 5L,
+      cdf = true) // v3
+    Bm25Index.refresh(spark, root) // wm 3
+    val kept = IndexRetention.safeVacuum(spark, corpus,
+      bm25Indexes = Seq(root), asOfHorizon = Some(2L),
+      orphanGraceMs = 0L)
+    assert(kept == 2L, s"horizon-pinned keepFrom should be 2: $kept")
+    intercept[Exception](
+      VersionedTable.read(spark, corpus, Some(1L)).collect())
+    // live scoring == recompute over the retained head
+    val got = Bm25Index.topN(spark, root, Seq("term03", "shared"), 10)
+      .as[(Long, Double)].collect().toSeq
+    val want = TextAnalysis.bm25TopN(
+        VersionedTable.read(spark, corpus), "doc_id", "text",
+        Seq("term03", "shared"), 10)
+      .as[(Long, Double)].collect().toSeq.filter(_._2 > 0)
+    assert(got == want)
+    // the horizon version still answers as-of
+    val gotAsOf = Bm25Index.topNAsOf(spark, root,
+        Seq("term03", "shared"), 10, corpusVersion = 2L)
+      .as[(Long, Double)].collect().toSeq
+    val wantAsOf = TextAnalysis.bm25TopN(
+        VersionedTable.read(spark, corpus, Some(2L)), "doc_id", "text",
+        Seq("term03", "shared"), 10)
+      .as[(Long, Double)].collect().toSeq.filter(_._2 > 0)
+    assert(gotAsOf == wantAsOf)
+    // and maintenance keeps folding new churn afterwards
+    VersionedTable.append(spark, corpus, Seq(
+      (200L, "term03 late shared")).toDF("doc_id", "text"))
+    Bm25Index.refresh(spark, root)
+    assert(Bm25Index.watermark(spark, root) == 4L)
+  }
+
   test("bm25 maintain/compact wrappers: the file-count gate folds " +
       "accretion with the term clustering baked in") {
     val (corpus, root) = (tmp() + "/corpus", tmp() + "/bm25")

@@ -82,6 +82,29 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("null vectors encode to NULL codes and ADC-rank last — never " +
+      "silently as centroid-0 codes (the r17 ADVICE doc/behavior gap)") {
+    val df = corpus()
+    val model = Pq.fit(df, "vec_id", "embedding", m = 4, ks = 8, seed = 7)
+    val withNull = df.unionByName(
+      Seq((999L, null.asInstanceOf[Array[Float]]))
+        .toDF("vec_id", "embedding"))
+    val enc = Pq.encode(withNull, "embedding", model)
+    // the null row's code is NULL, not a real centroid-0 word
+    assert(enc.filter($"vec_id" === 999L)
+      .select($"pq_code").head().isNullAt(0),
+      "a null vector must encode to a null code word")
+    // and through ADC it scores null → desc NULLS LAST → ranks last,
+    // exactly as the scaladoc promises a standalone caller
+    val q = df.filter($"vec_id" === 1L)
+    val ranked = Pq.adcTopK(q, enc, "vec_id", "embedding", "pq_code",
+      model, pool = Int.MaxValue)
+    val last = ranked.orderBy($"rank".desc)
+      .select($"neighbor_id", $"adc_sim").head()
+    assert(last.getLong(0) == 999L && last.isNullAt(1),
+      s"the null row must rank last with a null score: $last")
+  }
+
   test("exactness anchor: re-ranking a pool that covers the corpus " +
       "reproduces brute force; ADC preselection keeps high recall") {
     val df = corpus()
@@ -210,5 +233,31 @@ class PqSpec extends AnyFunSuite {
     assert(eAlloc < eRot,
       s"allocation must beat the variance-concentrating bare " +
         s"rotation: rotated=$eRot allocated=$eAlloc")
+    // OPQ NON-PARAMETRIC on top of the parametric init (the r17
+    // verdict's stretch item): the learned rotation + Lloyd
+    // alternation is monotone in the training objective, so its
+    // error must land BELOW the init's — and the rotation must be a
+    // real orthogonal matrix that actually moved off identity
+    val (rOpq, opq) = Pq.opqFit(allocated, "vec_id", "ya", m = 4,
+      ks = 8, iters = 3, seed = 7)
+    val d = rOpq.size
+    for (i <- 0 until d; j <- i until d) {
+      val dot = (0 until d).map(k => rOpq(i)(k) * rOpq(j)(k)).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-9,
+        s"R must stay orthogonal: row $i · row $j = $dot")
+    }
+    val moved = (0 until d).flatMap(i => (0 until d).map(j =>
+      math.abs(rOpq(i)(j) - (if (i == j) 1.0 else 0.0)))).max
+    assert(moved > 0.01,
+      s"the learned rotation must move off identity: max|R-I|=$moved")
+    val rotFrame = allocated.select($"vec_id",
+      Pq.rotate($"ya", rOpq).as("rz"))
+    val eOpq = Pq.encode(rotFrame, "rz", opq)
+      .agg(sum(Pq.quantErr(col("rz"), col("pq_code"), opq)))
+      .head().getDouble(0)
+    assert(eOpq < eAlloc,
+      s"learned rotation must reconstruct at-or-better than its " +
+        s"parametric init: opq=$eOpq alloc=$eAlloc")
   }
 }

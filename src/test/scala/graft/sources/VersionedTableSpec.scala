@@ -429,6 +429,28 @@ class VersionedTableSpec extends AnyFunSuite {
       s"residual filter must reach the scan:\n$plan")
   }
 
+  test("disjunction pruning: an OR-of-BETWEENs keeps only the covered " +
+      "bands; an unjudgeable arm keeps everything (conservative)") {
+    val root = freshRoot()
+    bandedTable(root, bands = 5, perBand = 20) // 10 files, 5 k-bands
+    // the IdPredicate shape: two covering intervals over bands 0 and 3
+    val pred = (col("k") >= 0 && col("k") < 1000) ||
+      (col("k") >= 3000 && col("k") < 4000)
+    val (kept, total) = VersionedTable.pruneProfile(spark, root, pred)
+    assert(total == 10 && kept == 4,
+      s"expected 4/10 files for two bands, got $kept/$total")
+    val viaSkip = rowsOf(VersionedTable.readWhere(spark, root, pred))
+    val viaScan = rowsOf(VersionedTable.read(spark, root).filter(pred))
+    assert(viaSkip == viaScan && viaSkip.size == 40)
+    // an OR arm the pruner cannot judge makes the whole disjunction
+    // unjudgeable for that file — kept, never wrongly dropped
+    val mixed = (col("k") >= 0 && col("k") < 1000) ||
+      coalesce(col("amt"), lit(0L)) > lit(1000000L)
+    assert(VersionedTable.pruneProfile(spark, root, mixed)._1 == 10)
+    assert(rowsOf(VersionedTable.readWhere(spark, root, mixed)) ==
+      rowsOf(VersionedTable.read(spark, root).filter(mixed)))
+  }
+
   test("keyRangePrune falls back to scanning on a source key dtype mismatch") {
     val root = freshRoot()
     bandedTable(root, bands = 3, perBand = 10) // 6 files, k is INT
