@@ -734,6 +734,71 @@ object IvfIndex {
       sortCols = Seq("centroid_id", "neighbor_id")) != before
   }
 
+  /** nprobe AUTO-TUNING against the MAINTAINED index itself — the
+    * deployment loop: after churn + refresh (or a rebuild), how many
+    * posting lists must a probe visit before recall@k clears `target`
+    * on a representative query sample? The reference leg is this
+    * index's own FULL probe (nprobe = nlist ≡ brute force at the
+    * lists watermark — the oracle-gated contract; `pool` is forced
+    * covering there so the PQ mode's reference stays exact), each
+    * ladder rung is the same centroid-pruned probe the serving path
+    * runs, and recall = hits / |reference rows| (one integer
+    * division). Returns (smallest nprobe meeting `target` — nlist
+    * when none does) and the audit ladder (nprobe, hits, recall).
+    * On a raw-vector index recall is monotone in nprobe (candidate
+    * supersets under one total order) and refused loudly otherwise;
+    * PQ rungs are measured, not asserted (ADC preselection can churn
+    * pool membership between rungs). Evaluation-harness stance:
+    * O(|ladder|) pruned probes over a bounded sample.
+    * `ladder` defaults to doubling 1, 2, 4, … nlist; `pool` applies
+    * to the tuned rungs (the serving configuration being tuned). */
+  def tuneNprobe(queries: DataFrame, path: String, idCol: String,
+      vecCol: String, k: Int, target: Double,
+      ladder: Seq[Int] = Seq.empty, pool: Int = 0,
+      version: Option[Long] = None): (Int, DataFrame) = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    require(target > 0 && target <= 1.0, s"target in (0, 1]: $target")
+    val meta = VersionedTable.metaOf(spark, listsRoot(path), version)
+    val nlist = meta(NlistKey).toInt
+    // the structural monotonicity guarantee (candidate supersets under
+    // one total order) holds for raw-vector rungs; a PQ rung's ADC
+    // preselection can churn pool membership between rungs, so there
+    // the ladder is measured, not asserted
+    val structural = !meta.contains(PqDirKey)
+    val rungs =
+      if (ladder.nonEmpty) ladder
+      else (Iterator.iterate(1)(_ * 2).takeWhile(_ < nlist) ++
+        Iterator.single(nlist)).toSeq
+    require(rungs == rungs.sorted && rungs.distinct == rungs &&
+      rungs.forall(p => p > 0 && p <= nlist),
+      s"ladder must be ascending distinct in (0, $nlist]: $rungs")
+    def run(np: Int, p: Int): DataFrame =
+      probe(queries, path, idCol, vecCol, k, np, version, p)
+    val reference = run(nlist, Int.MaxValue)
+    val exact = reference.select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true)
+    reference.unpersist()
+    val total = exact.count()
+    require(total > 0, "nprobe tuning needs a non-empty reference")
+    val rows = rungs.map { p =>
+      val probed = run(p, pool)
+      val hits = probed.select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .count()
+      probed.unpersist()
+      (p, hits, hits.toDouble / total)
+    }
+    rows.sliding(2).foreach {
+      case Seq((p0, _, r0), (p1, _, r1)) =>
+        require(r1 >= r0 || !structural,
+          s"recall must be monotone in nprobe: $p0->$r0, $p1->$r1")
+      case _ => ()
+    }
+    val pick = rows.find(_._3 >= target).map(_._1).getOrElse(nlist)
+    (pick, rows.toDF("nprobe", "hits", "recall"))
+  }
+
   /** The quantizer generation a lists version was assigned against:
     * centroid_id → weights, in id order. `version` time-travels. */
   def centroidsOf(spark: SparkSession, path: String,

@@ -937,6 +937,73 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** nprobe AUTO-TUNING ladder — the production knob an IVF deployment
+    * actually turns: how many posting lists must a probe visit before
+    * recall@k clears the bar? One row per candidate `nprobe`
+    * (ascending): (nprobe, hits, recall), where hits counts
+    * exact-top-k members the [[ivfTopKExplicit]] probe recovered over
+    * the whole query sample and recall = hits / |exact rows| (ONE
+    * integer division — bit-identical across engines, no float-sum
+    * order anywhere). Recall is MONOTONE in nprobe by construction
+    * (more probes = a candidate superset, and every exact-top-k member
+    * outranks every non-member under the shared rounded total order),
+    * which [[tuneNprobe]] requires and the oracle replays.
+    *
+    * Evaluation-harness stance (the q176/q183 discipline): the query
+    * sample is fixed and seeded, so the cost is O(|ladder|) centroid-
+    * pruned probes + ONE exact reference leg over the corpus — linear,
+    * never all-pairs. */
+  def nprobeLadder(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroids: Seq[Seq[Double]],
+      ladder: Seq[Int]): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    require(ladder.nonEmpty && ladder == ladder.sorted &&
+      ladder.distinct == ladder,
+      s"ladder must be ascending and distinct: $ladder")
+    require(ladder.forall(p => p > 0 && p <= centroids.size),
+      s"ladder entries must sit in (0, ${centroids.size}]: $ladder")
+    val exact = bruteForceTopK(queries, corpus, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true) // |queries|·k rows; reused per rung
+    val total = exact.count()
+    require(total > 0, "nprobe tuning needs a non-empty exact reference")
+    ladder.map { p =>
+      val hits = ivfTopKExplicit(queries, corpus, idCol, vecCol, k, p,
+          centroids)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .count()
+      (p, hits, hits.toDouble / total)
+    }.toDF("nprobe", "hits", "recall")
+  }
+
+  /** The tuning decision on top of [[nprobeLadder]]: the SMALLEST
+    * nprobe whose recall@k clears `target` (falling back to the full
+    * probe — exact by construction — when none does), plus the ladder
+    * frame with a `meets_target` flag for audit. Requires the measured
+    * ladder monotone (the structural guarantee above; a violation
+    * means the probe and reference disagree on ordering — refuse
+    * loudly rather than tune on it). */
+  def tuneNprobe(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroids: Seq[Seq[Double]],
+      ladder: Seq[Int], target: Double): (Int, DataFrame) = {
+    require(target > 0 && target <= 1.0, s"target in (0, 1]: $target")
+    val lf = nprobeLadder(queries, corpus, idCol, vecCol, k, centroids,
+      ladder)
+    val rows = lf.select(col("nprobe"), col("recall"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+    rows.sliding(2).foreach {
+      case Array((p0, r0), (p1, r1)) =>
+        require(r1 >= r0,
+          s"recall must be monotone in nprobe: $p0->$r0, $p1->$r1")
+      case _ => ()
+    }
+    val pick = rows.find(_._2 >= target).map(_._1)
+      .getOrElse(centroids.size)
+    (pick, lf.withColumn("meets_target", col("recall") >= target))
+  }
+
   // ---- hybrid retrieval: lexical + vector, RRF fusion -------------------
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)

@@ -1655,6 +1655,43 @@ object ExtQueries extends QueryPack {
         topN = 50)
     },
 
+    // nprobe AUTO-TUNING — the knob an IVF deployment actually turns:
+    // the smallest nprobe whose recall@k clears a target on a seeded
+    // query sample, decided from a measured ladder (one row per rung:
+    // nprobe, hits, recall, meets_target, chosen). Recall is ONE
+    // integer division (hits / |exact rows|) — no float-sum order
+    // anywhere — and monotone in nprobe (candidate supersets under
+    // the shared rounded total order; required in-query). The oracle
+    // replays the ENTIRE tuning run in SQL — seeded centroids,
+    // assignment, per-rung probes, recall arithmetic, and the argmin
+    // decision itself (the q183 explicit-quantizer idiom, extended
+    // from one operating point to the whole tuning curve).
+    "q195_nprobe_tuning" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val q = e.withColumn("h", md5(concat(lit("ivfq:"),
+          col("vec_id").cast("string"))))
+        .orderBy(col("h"), col("vec_id")).limit(20).drop("h")
+      val cents: Seq[Seq[Double]] = e
+        .withColumn("h", md5(concat(lit("ivfc:"),
+          col("vec_id").cast("string"))))
+        .orderBy(col("h"), col("vec_id")).limit(16)
+        .orderBy(col("vec_id")).select(col("embedding")).collect()
+        .map(_.getSeq[Number](0).map(_.doubleValue()).toSeq).toSeq
+      val ladder = Seq(1, 2, 4, 8, 16)
+      val (pick, lf) = Similarity.tuneNprobe(q, e, "vec_id",
+        "embedding", k = 10, cents, ladder, target = 0.9)
+      require(ladder.contains(pick), s"pick must be a rung: $pick")
+      val rows = lf.select(col("nprobe"), col("recall"))
+        .collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
+      require(rows(16) == 1.0,
+        s"the full probe must be exact by construction: ${rows(16)}")
+      require(rows.filter(_._1 < pick).values.forall(_ < 0.9) &&
+        rows(pick) >= 0.9,
+        s"pick $pick must be the MINIMAL rung clearing the target")
+      lf.withColumn("chosen", col("nprobe") === pick)
+        .orderBy(col("nprobe"))
+    },
+
     // PCA / whitening over the embedding corpus — the decorrelate-
     // before-quantize / reduce-before-index preprocessing leg. fit is
     // ONE distributed pass (partitions accumulate dim + dim² moment
@@ -2830,6 +2867,60 @@ object ExtQueries extends QueryPack {
         |  FROM lexr l FULL JOIN vecr v ON l.doc_id = v.doc_id)
         |SELECT doc_id, rank_1, rank_2, rrf_score FROM fu
         |ORDER BY rrf_score DESC, doc_id LIMIT 50""".stripMargin,
+    "q195_nprobe_tuning" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |  FROM embeddings
+        |  ORDER BY md5('ivfq:' || CAST(vec_id AS VARCHAR)), vec_id
+        |  LIMIT 20),
+        |cents AS (SELECT embedding AS cv,
+        |    ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+        |  FROM (SELECT vec_id, embedding FROM embeddings
+        |    ORDER BY md5('ivfc:' || CAST(vec_id AS VARCHAR)), vec_id
+        |    LIMIT 16)),
+        |asg AS (SELECT vec_id AS neighbor_id, cid FROM (
+        |  SELECT e.vec_id, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |      round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |        CAST(c.cv AS DOUBLE[])), 6) DESC, c.cid) AS arnk
+        |  FROM embeddings e CROSS JOIN cents c) WHERE arnk = 1),
+        |probes AS (SELECT query_id, cid, prnk FROM (
+        |  SELECT q.query_id, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+        |      round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+        |        CAST(c.cv AS DOUBLE[])), 6) DESC, c.cid) AS prnk
+        |  FROM q CROSS JOIN cents c)),
+        |pairs AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |      CAST(q.qv AS DOUBLE[])), 6) AS score
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        |exact AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, neighbor_id) AS rnk FROM pairs)
+        |  WHERE rnk <= 10),
+        |tot AS (SELECT COUNT(*) AS t FROM exact),
+        |ladder AS (SELECT unnest([1, 2, 4, 8, 16]) AS nprobe),
+        |cand AS (SELECT l.nprobe, p.query_id, p.neighbor_id, p.score
+        |  FROM ladder l
+        |  JOIN probes pr ON pr.prnk <= l.nprobe
+        |  JOIN asg a ON a.cid = pr.cid
+        |  JOIN pairs p ON p.query_id = pr.query_id
+        |             AND p.neighbor_id = a.neighbor_id),
+        |ivf AS (SELECT nprobe, query_id, neighbor_id FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY nprobe, query_id
+        |    ORDER BY score DESC, neighbor_id) AS rnk FROM cand)
+        |  WHERE rnk <= 10),
+        |hcnt AS (SELECT i.nprobe, COUNT(*) AS h FROM ivf i
+        |  JOIN exact x USING (query_id, neighbor_id) GROUP BY i.nprobe),
+        |lad AS (SELECT CAST(l.nprobe AS INT) AS nprobe,
+        |    CAST(COALESCE(hcnt.h, 0) AS BIGINT) AS hits,
+        |    CAST(COALESCE(hcnt.h, 0) AS DOUBLE) / CAST(tot.t AS DOUBLE)
+        |      AS recall
+        |  FROM ladder l LEFT JOIN hcnt ON hcnt.nprobe = l.nprobe
+        |  CROSS JOIN tot)
+        |SELECT nprobe, hits, recall, recall >= 0.9 AS meets_target,
+        |  nprobe = COALESCE((SELECT MIN(nprobe) FROM lad
+        |    WHERE recall >= 0.9), 16) AS chosen
+        |FROM lad ORDER BY nprobe""".stripMargin,
     "q191_pq_adc_rerank" ->
       """WITH ix AS (SELECT vec_id,
         |    unnest(CAST(embedding AS DOUBLE[])) AS x,

@@ -466,6 +466,64 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(full(resIdx) == want && full(rawIdx) == want)
   }
 
+  test("tuneNprobe: the ladder is monotone against the index's own " +
+      "full probe, the pick is the minimal rung clearing the target, " +
+      "and the PQ mode tunes through the same loop") {
+    val (root, idx) = (tmp() + "/corpus", tmp() + "/idx")
+    val dim = 6
+    // four separated clusters: small nprobe misses cross-cluster
+    // neighbors, full probe is exact — a real tuning curve
+    val centers = Seq(
+      Array(1.0, 1.0, 1.0, 1.0, 1.0, 1.0),
+      Array(5.0, -3.0, 1.0, 0.0, 2.0, -1.0),
+      Array(-1.0, 4.0, -2.0, 3.0, 0.5, 1.5),
+      Array(0.0, 0.0, 5.0, -5.0, 1.0, 2.0))
+    val base = centers.zipWithIndex.flatMap { case (c, ci) =>
+      vecs(81 + ci, 25, dim, c, 0.4).zipWithIndex
+        .map { case (v, i) => (ci * 1000L + i, v) }
+    }
+    VersionedTable.create(spark, root, corpusDf(base))
+    IvfIndex.create(spark, root, "vec_id", "embedding", nlist = 4, idx)
+    // churn + refresh first: tuning runs against the MAINTAINED state
+    VersionedTable.append(spark, root, corpusDf(
+      vecs(89, 8, dim, centers(1), 0.4).zipWithIndex
+        .map { case (v, i) => (5000L + i, v) }))
+    IvfIndex.refresh(spark, idx)
+    val queries = VersionedTable.read(spark, root)
+      .filter(col("vec_id").isin(1L, 7L, 1003L, 2005L, 3011L, 5001L))
+    val (pick, lf) = IvfIndex.tuneNprobe(queries, idx, "vec_id",
+      "embedding", k = 5, target = 1.0)
+    val rows = lf.select(col("nprobe"), col("recall"))
+      .as[(Int, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 4), s"doubling ladder: " +
+      rows.map(_._1).mkString(","))
+    assert(rows.last._2 == 1.0,
+      s"the full rung must be exact against itself: ${rows.last._2}")
+    assert(rows.sliding(2).forall {
+      case Array((_, r0), (_, r1)) => r1 >= r0
+      case _ => true
+    }, s"monotone ladder: ${rows.mkString(",")}")
+    assert(rows.filter(_._1 < pick).forall(_._2 < 1.0) &&
+      rows.find(_._1 == pick).exists(_._2 >= 1.0),
+      s"pick $pick must be minimal: ${rows.mkString(",")}")
+    // a relaxed target picks an at-most-equal rung
+    val (pickLoose, _) = IvfIndex.tuneNprobe(queries, idx, "vec_id",
+      "embedding", k = 5, target = 0.5)
+    assert(pickLoose <= pick, s"looser target, smaller rung: " +
+      s"$pickLoose vs $pick")
+    // the PQ mode rides the same loop (reference forced covering)
+    val pqIdx = tmp() + "/pq"
+    IvfIndex.create(spark, root, "vec_id", "embedding", nlist = 4,
+      pqIdx, pq = Some((3, 8)))
+    val (pickPq, lfPq) = IvfIndex.tuneNprobe(queries, pqIdx, "vec_id",
+      "embedding", k = 5, target = 1.0, pool = Int.MaxValue)
+    val rowsPq = lfPq.select(col("nprobe"), col("recall"))
+      .as[(Int, Double)].collect().sortBy(_._1)
+    assert(rowsPq.last._2 == 1.0 && pickPq <= 4,
+      s"covering-pool PQ rungs must reach exactness: " +
+        rowsPq.mkString(","))
+  }
+
   test("hot-centroid skew: a centroid holding ~50% of the corpus " +
       "sub-splits into bounded files, the prune survives, refresh " +
       "stays delta-sized, and answers stay exact") {
