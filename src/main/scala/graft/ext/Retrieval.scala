@@ -20,6 +20,37 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
+  /** DEDUP-AWARE top-N: collapse a ranked candidate list to its best
+    * row per duplicate cluster, then re-cut — the search-serving /
+    * training-mix op that stops near-identical documents from
+    * crowding a result page or a sampled batch (crawl corpora are
+    * full of boilerplate twins; retrieval over them returns the same
+    * document k times without this). `clusterCol` is any
+    * deterministic duplicate key — an exact-content or prefix
+    * fingerprint ([[TextAnalysis]]), a MinHash-LSH cluster id
+    * ([[Dedup]]), an URL-canonicalization key — so the collapse
+    * composes with every dedup lane the engine already certifies.
+    *
+    * Per cluster the BEST row survives (score desc, id asc — the
+    * bruteForceTopK tie discipline; pre-round float scores whose ties
+    * must break identically across engines), then the survivors re-
+    * rank globally and cut at `topN`. Scale shape: the input is a
+    * retriever's top-N — candidate-bounded by construction — so both
+    * windows run over hundreds of rows; the corpus-scale work
+    * happened inside the retriever (the [[Similarity.rrfFuse]]
+    * stance). Output: input columns + `rank`. */
+  def dedupTopN(ranked: DataFrame, idCol: String, scoreCol: String,
+      clusterCol: String, topN: Int): DataFrame = {
+    require(topN > 0, s"topN must be positive: $topN")
+    val wC = Window.partitionBy(clusterCol)
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val wG = Window.orderBy(col(scoreCol).desc, col(idCol))
+    ranked.withColumn("_cr", row_number().over(wC))
+      .filter(col("_cr") === 1).drop("_cr")
+      .withColumn("rank", row_number().over(wG))
+      .filter(col("rank") <= topN)
+  }
+
   /** Compute recall/precision/MRR/nDCG at each cutoff in `ks`.
     *
     * `results`: (queryCol, docCol, scoreCol) ranked candidates — ranks

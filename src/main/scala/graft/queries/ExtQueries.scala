@@ -1692,6 +1692,39 @@ object ExtQueries extends QueryPack {
         .orderBy(col("nprobe"))
     },
 
+    // DEDUP-AWARE retrieval — crawl corpora are full of boilerplate
+    // near-twins, and a retriever over them returns the same document
+    // k times: collapse the BM25 candidate list to its best row per
+    // duplicate cluster (here a first-10-token prefix fingerprint —
+    // md5, engine- and oracle-identical; the clusterCol composes with
+    // any certified dedup lane), then re-cut. In-query pins: the
+    // collapse actually suppressed planted twins (survivors <
+    // candidates), and every surviving fingerprint is unique. The
+    // oracle replays the BM25 trace, the fingerprinting, the
+    // per-cluster argmax, and the re-cut from scratch.
+    "q196_dedup_retrieval" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val cands = TextAnalysis.bm25TopN(d, "doc_id", "text",
+        Seq("merge", "scan", "slow"), 100)
+      val fp = d.filter(col("text").isNotNull)
+        .select(col("doc_id"), md5(concat_ws(" ",
+          slice(filter(split(col("text"), " "),
+            t => length(t) > 0), 1, 10))).as("fp"))
+      val joined = cands.join(fp, Seq("doc_id"))
+        .localCheckpoint(true) // reused by the result and the pins
+      val out = Retrieval.dedupTopN(joined, "doc_id", "bm25", "fp", 50)
+        .localCheckpoint(true)
+      val (nCand, nClusters) = (joined.count(),
+        joined.select("fp").distinct().count())
+      require(nClusters < nCand,
+        s"the candidate list must contain planted twins: " +
+          s"$nClusters clusters / $nCand candidates")
+      require(out.select("fp").distinct().count() == out.count(),
+        "every surviving fingerprint must be unique")
+      out.select(col("doc_id"), col("bm25"), col("fp"), col("rank"))
+        .orderBy(col("rank"))
+    },
+
     // PCA / whitening over the embedding corpus — the decorrelate-
     // before-quantize / reduce-before-index preprocessing leg. fit is
     // ONE distributed pass (partitions accumulate dim + dim² moment
@@ -2867,6 +2900,40 @@ object ExtQueries extends QueryPack {
         |  FROM lexr l FULL JOIN vecr v ON l.doc_id = v.doc_id)
         |SELECT doc_id, rank_1, rank_2, rrf_score FROM fu
         |ORDER BY rrf_score DESC, doc_id LIMIT 50""".stripMargin,
+    "q196_dedup_retrieval" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS t
+        |  FROM documents),
+        |st AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(len(t)) AS DOUBLE) / COUNT(*) AS avgdl FROM tk),
+        |q AS (SELECT unnest(['merge', 'scan', 'slow']) AS term),
+        |dfq AS (SELECT q.term,
+        |    (SELECT COUNT(*) FROM tk WHERE list_contains(tk.t, q.term))
+        |      AS dfc FROM q),
+        |sc AS (SELECT tk.doc_id,
+        |    round(SUM(
+        |      ln((st.n - dfq.dfc + 0.5) / (dfq.dfc + 0.5) + 1.0)
+        |      * len(list_filter(tk.t, x -> x = dfq.term)) * 2.2
+        |      / (len(list_filter(tk.t, x -> x = dfq.term))
+        |         + 1.2 * (0.25 + 0.75 * len(tk.t) / st.avgdl))), 6)
+        |      AS bm25
+        |  FROM tk CROSS JOIN dfq CROSS JOIN st
+        |  GROUP BY tk.doc_id),
+        |cand AS (SELECT doc_id, bm25 FROM sc
+        |  ORDER BY bm25 DESC, doc_id LIMIT 100),
+        |fp AS (SELECT doc_id,
+        |    md5(array_to_string((list_filter(string_split(text, ' '),
+        |      t -> len(t) > 0))[1:10], ' ')) AS fp
+        |  FROM documents WHERE text IS NOT NULL),
+        |best AS (SELECT c.doc_id, c.bm25, f.fp,
+        |    ROW_NUMBER() OVER (PARTITION BY f.fp
+        |      ORDER BY c.bm25 DESC, c.doc_id) AS cr
+        |  FROM cand c JOIN fp f USING (doc_id))
+        |SELECT doc_id, bm25, fp,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+        |    AS rank
+        |FROM best WHERE cr = 1
+        |QUALIFY rank <= 50 ORDER BY rank""".stripMargin,
     "q195_nprobe_tuning" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
         |  FROM embeddings

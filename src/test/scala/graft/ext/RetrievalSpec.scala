@@ -100,6 +100,33 @@ class RetrievalSpec extends AnyFunSuite {
       out(0).getDouble(4) == 1.0) // q2 contributes nothing
   }
 
+  test("dedupTopN: best row per cluster survives (score desc, id " +
+      "tie-break), survivors re-rank globally, and the cut applies " +
+      "after the collapse") {
+    // clusters: A has three members (7 wins on score; 3 beats 9 on id
+    // at the tied score below but loses to 7), B two (20 wins), C one
+    val ranked = Seq(
+      (7L, 0.9, "A"), (3L, 0.8, "A"), (9L, 0.8, "A"),
+      (20L, 0.85, "B"), (21L, 0.5, "B"),
+      (30L, 0.7, "C")).toDF("doc_id", "score", "fp")
+    val got = Retrieval.dedupTopN(ranked, "doc_id", "score", "fp", 10)
+      .select($"doc_id", $"score", $"fp", $"rank")
+      .as[(Long, Double, String, Int)].collect().toSeq.sortBy(_._4)
+    assert(got == Seq(
+      (7L, 0.9, "A", 1), (20L, 0.85, "B", 2), (30L, 0.7, "C", 3)),
+      s"got $got")
+    // the cut applies AFTER the collapse: topN = 2 keeps the two best
+    // SURVIVORS, not the two best raw rows (which share cluster A)
+    val cut = Retrieval.dedupTopN(ranked, "doc_id", "score", "fp", 2)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(cut == Set(7L, 20L), s"got $cut")
+    // per-cluster tie-break is by id: drop 7, then 3 beats 9
+    val tied = Retrieval.dedupTopN(ranked.filter($"doc_id" =!= 7L),
+        "doc_id", "score", "fp", 10)
+      .filter($"fp" === "A").select($"doc_id").as[Long].collect().toSeq
+    assert(tied == Seq(3L), s"got $tied")
+  }
+
   test("hybridTopK equals the manual bm25 + cosine + rrfFuse composition") {
     val vschema = StructType(Seq(StructField("id", LongType),
       StructField("text", StringType),
