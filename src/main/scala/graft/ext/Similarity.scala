@@ -937,6 +937,81 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** MAXIMAL MARGINAL RELEVANCE re-rank (Carbonell & Goldstein, SIGIR
+    * 1998) — diversity-aware top-k over a retriever's candidate pool:
+    * greedily pick the unpicked candidate maximizing
+    * λ·rel(c) − (1−λ)·max_{p∈picked} cos(c, p), ties to the lowest
+    * id. The [[Retrieval.dedupTopN]] complement: dedupTopN collapses
+    * DUPLICATE clusters outright; MMR dials a relevance/redundancy
+    * trade for merely-similar results — the training-mix "don't
+    * sample the same thing k times" knob.
+    *
+    * Scale shape: greedy selection is sequential per query, so it
+    * runs as flatMapGroups over the query id — each group is the
+    * retriever's candidate pool, BOUNDED BY CONSTRUCTION (`maxPool`
+    * refuses an unbounded feed loudly; O(k·pool) sims per group),
+    * distributed across queries, no driver collection.
+    *
+    * Determinism contract: pairwise sims round at 1e-6 (HALF_UP — the
+    * q27 cross-engine discipline), `rel` must arrive PRE-ROUNDED, and
+    * λ/(1−λ) are evaluated in double, so the greedy trace replays
+    * bit-identically in an independent engine — q197's oracle replays
+    * it with a recursive CTE. Ids cast to long; vectors non-null.
+    * Output: (query_id, doc_id, rel, rank), rank = pick order. */
+  def mmrTopK(candidates: DataFrame, queryCol: String, idCol: String,
+      vecCol: String, relCol: String, k: Int, lambda: Double,
+      maxPool: Int = 10000): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0, 1]: $lambda")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val oneMinus = 1.0 - lambda
+    val ds = candidates.select(
+        col(queryCol).cast("long").as("_q"),
+        col(idCol).cast("long").as("_d"),
+        transform(col(vecCol), x => x.cast("double")).as("_v"),
+        col(relCol).cast("double").as("_r"))
+      .as[(Long, Long, Seq[Double], Double)]
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos6(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      r6(d / math.sqrt(na * nb))
+    }
+    ds.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      // ascending-id scan + strict improvement = lowest-id tie-break
+      val pool = it.toArray.sortBy(_._2)
+      require(pool.length <= maxPool,
+        s"mmr pool for query $qid is ${pool.length} rows — bound the " +
+          s"retriever's candidate list (<= $maxPool)")
+      val vs = pool.map(_._3.toArray)
+      val n = pool.length
+      val picked = new Array[Boolean](n)
+      val pickedIdx = scala.collection.mutable.ArrayBuffer.empty[Int]
+      (0 until math.min(k, n)).map { step =>
+        var best = -1
+        var bestS = Double.NegativeInfinity
+        var i = 0
+        while (i < n) {
+          if (!picked(i)) {
+            val ms =
+              if (pickedIdx.isEmpty) 0.0
+              else pickedIdx.map(j => cos6(vs(i), vs(j))).max
+            val s = lambda * pool(i)._4 - oneMinus * ms
+            if (s > bestS) { best = i; bestS = s }
+          }
+          i += 1
+        }
+        picked(best) = true
+        pickedIdx += best
+        (qid, pool(best)._2, pool(best)._4, step + 1)
+      }
+    }.toDF("query_id", "doc_id", "rel", "rank")
+  }
+
   /** nprobe AUTO-TUNING ladder — the production knob an IVF deployment
     * actually turns: how many posting lists must a probe visit before
     * recall@k clears the bar? One row per candidate `nprobe`

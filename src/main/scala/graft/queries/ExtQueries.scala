@@ -1725,6 +1725,49 @@ object ExtQueries extends QueryPack {
         .orderBy(col("rank"))
     },
 
+    // MMR DIVERSITY re-rank — the training-mix "don't sample the same
+    // thing k times" knob with a dial (dedupTopN's graded complement):
+    // 20 seeded queries retrieve a rounded-cosine top-50 pool, then
+    // greedy maximal marginal relevance picks 10 per query trading
+    // relevance against redundancy (λ = 0.7). The greedy trace is
+    // fully deterministic (1e-6-rounded sims, pre-rounded rel, double
+    // λ legs, lowest-id ties), so the ORACLE REPLAYS THE GREEDY LOOP
+    // ITSELF with a recursive CTE — selection order and all, not just
+    // the pool. In-query pin: rank 1 is the pure-relevance argmax
+    // (the λ-weighted objective with an empty picked set).
+    "q197_mmr_diversity" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val q = e.withColumn("h", md5(concat(lit("mmrq:"),
+          col("vec_id").cast("string"))))
+        .orderBy(col("h"), col("vec_id")).limit(20).drop("h")
+      val scored = e.select(col("vec_id").as("doc_id"),
+          col("embedding").as("v"))
+        .crossJoin(broadcast(q.select(col("vec_id").as("query_id"),
+          col("embedding").as("qv"))))
+        .filter(col("query_id") =!= col("doc_id"))
+        .select(col("query_id"), col("doc_id"), col("v"),
+          round(Similarity.cosine(col("v"), col("qv")), 6).as("rel"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(col("rel").desc, col("doc_id"))
+      val pool = scored.withColumn("_pr", row_number().over(w))
+        .filter(col("_pr") <= 50).drop("_pr")
+        .localCheckpoint(true) // reused by mmr and the rank-1 pin
+      val out = Similarity.mmrTopK(pool, "query_id", "doc_id", "v",
+          "rel", k = 10, lambda = 0.7)
+        .localCheckpoint(true)
+      require(out.groupBy("query_id").count()
+        .filter(col("count") =!= 10).isEmpty,
+        "mmr must yield k rows per query")
+      val relTop = pool.withColumn("_r", row_number().over(w))
+        .filter(col("_r") === 1).select("query_id", "doc_id")
+      require(out.filter(col("rank") === 1)
+        .select("query_id", "doc_id")
+        .exceptAll(relTop).isEmpty,
+        "greedy step 1 must be the pure-relevance argmax")
+      out.orderBy(col("query_id"), col("rank"))
+    },
+
     // PCA / whitening over the embedding corpus — the decorrelate-
     // before-quantize / reduce-before-index preprocessing leg. fit is
     // ONE distributed pass (partitions accumulate dim + dim² moment
@@ -2900,6 +2943,46 @@ object ExtQueries extends QueryPack {
         |  FROM lexr l FULL JOIN vecr v ON l.doc_id = v.doc_id)
         |SELECT doc_id, rank_1, rank_2, rrf_score FROM fu
         |ORDER BY rrf_score DESC, doc_id LIMIT 50""".stripMargin,
+    "q197_mmr_diversity" ->
+      """WITH RECURSIVE q AS (SELECT vec_id AS query_id, embedding AS qv
+        |  FROM embeddings
+        |  ORDER BY md5('mmrq:' || CAST(vec_id AS VARCHAR)), vec_id
+        |  LIMIT 20),
+        |pool AS (SELECT query_id, doc_id, v, rel FROM (
+        |  SELECT q.query_id, e.vec_id AS doc_id,
+        |    CAST(e.embedding AS DOUBLE[]) AS v,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |      CAST(q.qv AS DOUBLE[])), 6) AS rel,
+        |    ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+        |      round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |        CAST(q.qv AS DOUBLE[])), 6) DESC, e.vec_id) AS pr
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.vec_id <> q.query_id) WHERE pr <= 50),
+        |state AS (
+        |  SELECT query_id, 0 AS step, CAST([] AS BIGINT[]) AS picked
+        |  FROM (SELECT DISTINCT query_id FROM pool)
+        |  UNION ALL
+        |  SELECT s.query_id, s.step + 1, list_append(s.picked, (
+        |      SELECT c.doc_id FROM pool c
+        |      WHERE c.query_id = s.query_id
+        |        AND NOT list_contains(s.picked, c.doc_id)
+        |      ORDER BY CAST(0.7 AS DOUBLE) * c.rel
+        |          - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))
+        |          * COALESCE((SELECT MAX(
+        |              round(list_cosine_similarity(c.v, p.v), 6))
+        |            FROM pool p WHERE p.query_id = s.query_id
+        |              AND list_contains(s.picked, p.doc_id)),
+        |            CAST(0.0 AS DOUBLE)) DESC,
+        |        c.doc_id LIMIT 1))
+        |  FROM state s WHERE s.step < 10),
+        |fin AS (SELECT query_id, picked FROM state
+        |  QUALIFY step = MAX(step) OVER (PARTITION BY query_id)),
+        |ord AS (SELECT query_id, unnest(picked) AS doc_id,
+        |    generate_subscripts(picked, 1) AS rank FROM fin)
+        |SELECT o.query_id, o.doc_id, p.rel, CAST(o.rank AS INT) AS rank
+        |FROM ord o JOIN pool p
+        |  ON p.query_id = o.query_id AND p.doc_id = o.doc_id
+        |ORDER BY o.query_id, o.rank""".stripMargin,
     "q196_dedup_retrieval" ->
       """WITH tk AS (SELECT doc_id,
         |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS t

@@ -127,6 +127,45 @@ class RetrievalSpec extends AnyFunSuite {
     assert(tied == Seq(3L), s"got $tied")
   }
 
+  test("mmrTopK: greedy trade-off picks the diverse runner-up over " +
+      "the redundant one; step 1 is the relevance argmax; bounded " +
+      "pools are enforced") {
+    // query direction ~(1,0): doc 10 is the relevance argmax, doc 11
+    // is nearly its twin, doc 12 is orthogonal with lower relevance —
+    // at lambda 0.7 greedy must pick 10, then 12 (diversity beats the
+    // twin), then 11 (hand-replayed, and cross-checked against the
+    // DuckDB recursive-CTE replay used by q197's oracle)
+    val pool = Seq(
+      (1L, 10L, Seq(1.0, 0.0), 0.95),
+      (1L, 11L, Seq(0.99, 0.14), 0.93),
+      (1L, 12L, Seq(0.0, 1.0), 0.60),
+      (1L, 13L, Seq(0.7, 0.7), 0.80),
+      (2L, 20L, Seq(1.0, 0.0), 0.90),
+      (2L, 21L, Seq(0.0, 1.0), 0.50))
+      .toDF("query_id", "doc_id", "v", "rel")
+    val got = Similarity.mmrTopK(pool, "query_id", "doc_id", "v",
+        "rel", k = 3, lambda = 0.7)
+      .select($"query_id", $"doc_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set(
+      (1L, 10L, 1), (1L, 12L, 2), (1L, 11L, 3),
+      (2L, 20L, 1), (2L, 21L, 2)), // k > pool truncates to the pool
+      s"got $got")
+    // lambda = 1 degenerates to pure relevance order
+    val pure = Similarity.mmrTopK(pool.filter($"query_id" === 1L),
+        "query_id", "doc_id", "v", "rel", k = 4, lambda = 1.0)
+      .orderBy($"rank").select($"doc_id").as[Long].collect().toSeq
+    assert(pure == Seq(10L, 11L, 13L, 12L), s"got $pure")
+    // an unbounded candidate feed is refused loudly
+    val big = spark.range(20000).select(lit(1L).as("query_id"),
+      $"id".as("doc_id"), array(lit(1.0), lit(0.0)).as("v"),
+      lit(0.5).as("rel"))
+    val ex = intercept[org.apache.spark.SparkException](
+      Similarity.mmrTopK(big, "query_id", "doc_id", "v", "rel",
+        k = 2, lambda = 0.5, maxPool = 1000).collect())
+    assert(ex.getMessage != null)
+  }
+
   test("hybridTopK equals the manual bm25 + cosine + rrfFuse composition") {
     val vschema = StructType(Seq(StructField("id", LongType),
       StructField("text", StringType),
