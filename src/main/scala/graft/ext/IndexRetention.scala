@@ -54,4 +54,36 @@ object IndexRetention {
     VersionedTable.vacuum(spark, corpusRoot, keepFrom, orphanGraceMs)
     keepFrom
   }
+
+  /** One-call maintenance for a corpus and EVERY index over it — the
+    * scheduler entry point (what a
+    * [[graft.streaming.Streams.maintainOnChanges]] callback or a cron
+    * cycle runs): maintain each index (refresh from the change feed +
+    * drift-gated rebuild on either signal + file-count-gated
+    * clustering-preserving compaction — the existing audited
+    * autopilots), THEN vacuum the corpus under the coordinated
+    * retention floor the just-advanced watermarks allow
+    * ([[safeVacuum]]) — maintenance first, so a healthy cycle always
+    * moves the floor forward instead of holding history for lagging
+    * indexes. Returns the `keepFrom` used (None with `vacuum =
+    * false`). Policy knobs, not new mechanisms. */
+  def maintainAll(spark: SparkSession, corpusRoot: String,
+      ivfIndexes: Seq[String] = Seq.empty,
+      bm25Indexes: Seq[String] = Seq.empty,
+      asOfHorizon: Option[Long] = None,
+      tolerance: Double = 0.05, pqErrFactor: Double = 2.0,
+      trainIters: Int = 0,
+      compactAboveFiles: Int = Int.MaxValue,
+      smallFileBytes: Long = 8L * 1024 * 1024,
+      vacuum: Boolean = true,
+      orphanGraceMs: Long = 24L * 3600 * 1000): Option[Long] = {
+    ivfIndexes.foreach(p => IvfIndex.maintain(spark, p, tolerance,
+      trainIters, compactAboveFiles, smallFileBytes, pqErrFactor))
+    bm25Indexes.foreach(r => Bm25Index.maintain(spark, r,
+      compactAboveFiles, smallFileBytes))
+    if (vacuum)
+      Some(safeVacuum(spark, corpusRoot, ivfIndexes, bm25Indexes,
+        asOfHorizon, orphanGraceMs))
+    else None
+  }
 }

@@ -356,6 +356,68 @@ class IndexOpsSpec extends AnyFunSuite {
     assert(Bm25Index.watermark(spark, root) == 4L)
   }
 
+  test("maintainAll: one call brings every index to the corpus head " +
+      "and moves the retention floor forward; the horizon holds") {
+    val (corpus, idx, pqIdx) =
+      (tmp() + "/corpus", tmp() + "/idx", tmp() + "/pq")
+    VersionedTable.create(spark, corpus, corpusDf(
+      vecs(25, 30, 6, 0.2).zipWithIndex.map { case (v, i) =>
+        (i.toLong, v) })) // v1
+    IvfIndex.create(spark, corpus, "vec_id", "embedding", nlist = 2, idx)
+    IvfIndex.create(spark, corpus, "vec_id", "embedding", nlist = 2,
+      pqIdx, pq = Some((3, 8)))
+    VersionedTable.append(spark, corpus, corpusDf(
+      vecs(26, 6, 6, 0.2).zipWithIndex.map { case (v, i) =>
+        (800L + i, v) })) // v2
+    VersionedTable.deleteWhere(spark, corpus, $"vec_id" === 4L,
+      cdf = true) // v3
+    // ONE call: both indexes fold the churn, then the vacuum floor
+    // advances to the (now-shared) head watermark
+    val kept = IndexRetention.maintainAll(spark, corpus,
+      ivfIndexes = Seq(idx, pqIdx), orphanGraceMs = 0L)
+    assert(kept.contains(3L),
+      s"maintenance-then-vacuum must move the floor to the head: $kept")
+    assert(IvfIndex.watermark(spark, idx) == 3L &&
+      IvfIndex.watermark(spark, pqIdx) == 3L)
+    intercept[Exception](
+      VersionedTable.read(spark, corpus, Some(1L)).collect())
+    // both indexes answer exactly after the cycle
+    val corpusNow = VersionedTable.read(spark, corpus)
+    val queries = corpusNow.filter($"vec_id" < 3)
+    val want = Similarity.bruteForceTopK(
+        queries.select($"vec_id", $"embedding"),
+        corpusNow.select($"vec_id", $"embedding"),
+        "vec_id", "embedding", 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    Seq(idx, pqIdx).foreach { ix =>
+      val got = IvfIndex.probe(queries, ix, "vec_id", "embedding",
+          k = 2, nprobe = 2, pool = Int.MaxValue)
+        .select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == want, s"$ix must answer exactly after maintainAll")
+    }
+    // a horizon call keeps the asked version even as the heads move on
+    VersionedTable.append(spark, corpus, corpusDf(
+      vecs(27, 4, 6, 0.2).zipWithIndex.map { case (v, i) =>
+        (900L + i, v) })) // v4
+    val kept2 = IndexRetention.maintainAll(spark, corpus,
+      ivfIndexes = Seq(idx, pqIdx), asOfHorizon = Some(3L),
+      orphanGraceMs = 0L)
+    assert(kept2.contains(3L), s"the horizon must pin the floor: $kept2")
+    // the horizon version still answers as-of on the PQ index
+    IvfIndex.probeAsOf(queries, pqIdx, "vec_id", "embedding", k = 2,
+      nprobe = 2, corpusVersion = 3L, pool = Int.MaxValue).collect()
+    // vacuum = false maintains without touching retention
+    VersionedTable.append(spark, corpus, corpusDf(
+      vecs(28, 2, 6, 0.2).zipWithIndex.map { case (v, i) =>
+        (950L + i, v) })) // v5
+    assert(IndexRetention.maintainAll(spark, corpus,
+      ivfIndexes = Seq(idx, pqIdx), vacuum = false).isEmpty)
+    assert(IvfIndex.watermark(spark, idx) == 5L)
+    VersionedTable.read(spark, corpus, Some(3L)).collect() // retained
+  }
+
   test("bm25 maintain/compact wrappers: the file-count gate folds " +
       "accretion with the term clustering baked in") {
     val (corpus, root) = (tmp() + "/corpus", tmp() + "/bm25")
