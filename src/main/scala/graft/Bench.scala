@@ -133,21 +133,48 @@ object Bench {
     // shared memoized fixtures PRE-BUILD in their own named, timed
     // phase (r17 verdict item 7): previously the first family member
     // in run order silently absorbed the build into its timing (q186
-    // read 36 s for a 9.7 s operator) and had to be exempted from
-    // healing; now every per-query row measures the query, the build
-    // cost rides the JSON as its own map, and the heal exemption list
-    // is gone. Build BEFORE the start canary so heavy fixture writes
-    // don't contaminate the contention baseline.
-    val fixtureCosts: Seq[(String, Double)] =
-      SparkEntry.fixtures.toSeq.sortBy(_._1).map { case (name, build) =>
-        val t0 = System.nanoTime()
-        try build(spark, sfDir)
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] fixture $name failed: " +
-            s"${e.getClass.getName}: ${e.getMessage}")
-        } finally spark.catalog.clearCache()
-        name -> (System.nanoTime() - t0) / 1e9
-      }
+    // read 36 s for a 9.7 s operator); now every per-query row
+    // measures the query and the build cost rides the JSON as its own
+    // map. Only fixtures SOME selected query rides are built — a
+    // targeted SPARK_GRAFT_ONLY sweep must not pay unrelated
+    // multi-index builds. A FAILED build is surfaced explicitly
+    // (fixtures_failed): the first family member will then re-absorb
+    // the build into its row, and that row must be readable as such
+    // rather than silently welded. Build BEFORE the start canary so
+    // heavy fixture writes don't contaminate the contention baseline.
+    val runNames = toRun.map(_._1).toSet
+    val fixtureResults: Seq[(String, Double, Boolean)] =
+      SparkEntry.fixtures.toSeq.sortBy(_._1)
+        .filter { case (name, _) =>
+          SparkEntry.fixtureUsers.get(name)
+            .forall(_.exists(runNames.contains)) }
+        .map { case (name, build) =>
+          val t0 = System.nanoTime()
+          val ok =
+            try { build(spark, sfDir); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] fixture $name failed: " +
+                s"${e.getClass.getName}: ${e.getMessage}")
+              false
+            } finally spark.catalog.clearCache()
+          (name, (System.nanoTime() - t0) / 1e9, ok)
+        }
+    val fixtureCosts = fixtureResults.map(r => (r._1, r._2))
+    val fixturesFailed = fixtureResults.filterNot(_._3).map(_._1)
+    // SECOND timing-honesty layer: queries whose FIRST run performs a
+    // real once-only refresh commit against a shared fixture's index/
+    // view stay heal-EXEMPT. The pre-build phase fixes BUILD
+    // attribution, but these queries still mutate state exactly once
+    // (the fixtures deliberately leave the final refresh to the query
+    // so it measures incremental maintenance): a heal re-run would
+    // measure the idempotent no-op replay (observed r17: 27 s first,
+    // 1.1 s re-run) and min() would silently hide the honest cost.
+    val refreshOnFirstRun = Set(
+      "q178_materialized_join_view", "q180_materialized_distinct",
+      "q181_materialized_cascade", "q186_ivf_churn_maintain",
+      "q187_bm25_incremental", "q189_hybrid_indexed",
+      "q190_asof_hybrid", "q192_ivfpq_churn_maintain",
+      "q193_filtered_ann", "q194_asof_filtered_hybrid")
     // untimed passes until the probes reach JIT steady state (two
     // consecutive passes within 20%, max 5): ONE warmup pass was not
     // enough — the first timed probes then measure C2 compilation,
@@ -187,7 +214,7 @@ object Bench {
         // re-runs (min of runs is the code's cost); reruns ride the
         // JSON so the round report needs no prose disclaimer
         val healedTiming = timing.map { t =>
-          if (!healOn) t
+          if (!healOn || refreshOnFirstRun(name)) t
           else {
             val (best, n) = healed(t, reference.get(name)) { () =>
               // a FAILED re-run must never lose the whole run's JSON:
@@ -274,7 +301,9 @@ object Bench {
     val fixturesJson = fixtureCosts
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$shortQs,"failed":$failed,"reruns":$reruns,"fixtures":$fixturesJson,"canary":$canary,"contended":$contended,"contention_ratio":${fmt(contentionRatio)},"sf":"$sfDir"}""")
+    val fixturesFailedJson =
+      fixturesFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$shortQs,"failed":$failed,"reruns":$reruns,"fixtures":$fixturesJson,"fixtures_failed":$fixturesFailedJson,"canary":$canary,"contended":$contended,"contention_ratio":${fmt(contentionRatio)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -40,4 +40,9 @@ object SparkEntry {
     * [[graft.queries.QueryPack.fixtures]]). */
   def fixtures: Map[String, (SparkSession, String) => Unit] =
     packs.flatMap(_.fixtures).toMap
+
+  /** Which query names ride each fixture (see
+    * [[graft.queries.QueryPack.fixtureUsers]]). */
+  def fixtureUsers: Map[String, Set[String]] =
+    packs.flatMap(_.fixtureUsers).toMap
 }

@@ -44,11 +44,21 @@ private[graft] object IdPredicate {
     ids.head match {
       case _: Byte | _: Short | _: Int | _: Long =>
         val longs = ids.map(_.asInstanceOf[Number].longValue()).toArray
-        // split AFTER the positions with the largest forward gaps
+        // split AFTER the positions with the largest forward gaps.
+        // Gaps compare UNSIGNED: hash-derived ids span the full signed
+        // range, so a true gap can exceed Long.MaxValue and the plain
+        // difference wraps negative — a signed sort would then cut
+        // inside clusters and leave intervals spanning the void
+        // (correct via the re-join, but at full-scan cost). The
+        // wrapped difference of ascending longs IS the true gap
+        // mod 2^64, so unsigned comparison orders it right.
+        def gap(i: Int): Long = longs(i + 1) - longs(i)
         val cuts =
           if (ids.size <= maxRanges) (0 until longs.length - 1).toSet
           else longs.indices.init
-            .sortBy(i => -(longs(i + 1) - longs(i)))
+            .sortWith((a, b) =>
+              java.lang.Long.compareUnsigned(gap(a), gap(b)) > 0 ||
+                (gap(a) == gap(b) && a < b))
             .take(maxRanges - 1).toSet
         val out = Seq.newBuilder[(Any, Any)]
         var lo = 0

@@ -34,19 +34,26 @@ object Retrieval {
     * Per cluster the BEST row survives (score desc, id asc — the
     * bruteForceTopK tie discipline; pre-round float scores whose ties
     * must break identically across engines), then the survivors re-
-    * rank globally and cut at `topN`. Scale shape: the input is a
-    * retriever's top-N — candidate-bounded by construction — so both
-    * windows run over hundreds of rows; the corpus-scale work
-    * happened inside the retriever (the [[Similarity.rrfFuse]]
-    * stance). Output: input columns + `rank`. */
+    * rank globally and cut at `topN`. A NULL cluster key means "not
+    * dedupable" (a doc whose fingerprinting failed): the row survives
+    * as its own singleton — a bare window would weld every null-keyed
+    * row into ONE cluster and silently drop unrelated documents.
+    * Scale shape: the input is a retriever's top-N —
+    * candidate-bounded by construction — so both windows run over
+    * hundreds of rows; the corpus-scale work happened inside the
+    * retriever (the [[Similarity.rrfFuse]] stance). Output: input
+    * columns + `rank`. */
   def dedupTopN(ranked: DataFrame, idCol: String, scoreCol: String,
       clusterCol: String, topN: Int): DataFrame = {
     require(topN > 0, s"topN must be positive: $topN")
     val wC = Window.partitionBy(clusterCol)
       .orderBy(col(scoreCol).desc, col(idCol))
     val wG = Window.orderBy(col(scoreCol).desc, col(idCol))
-    ranked.withColumn("_cr", row_number().over(wC))
+    val best = ranked.filter(col(clusterCol).isNotNull)
+      .withColumn("_cr", row_number().over(wC))
       .filter(col("_cr") === 1).drop("_cr")
+    val unkeyed = ranked.filter(col(clusterCol).isNull)
+    best.unionByName(unkeyed)
       .withColumn("rank", row_number().over(wG))
       .filter(col("rank") <= topN)
   }

@@ -988,6 +988,19 @@ object Similarity {
         s"mmr pool for query $qid is ${pool.length} rows — bound the " +
           s"retriever's candidate list (<= $maxPool)")
       val vs = pool.map(_._3.toArray)
+      // degenerate inputs refuse LOUDLY up front: a zero-norm vector
+      // makes cos 0/0 = NaN (BigDecimal(NaN) would throw deep inside
+      // the greedy loop) and a NaN rel makes every objective NaN (the
+      // strict-improvement scan would never pick) — both are data
+      // bugs the caller must see, not opaque executor crashes
+      pool.indices.foreach { i =>
+        require(!pool(i)._4.isNaN,
+          s"mmr: NaN rel for (query $qid, id ${pool(i)._2})")
+        require(vs(i) != null && vs(i).exists(_ != 0.0) &&
+          !vs(i).exists(_.isNaN),
+          s"mmr: null/zero-norm/NaN vector for (query $qid, " +
+            s"id ${pool(i)._2}) — filter degenerate embeddings first")
+      }
       val n = pool.length
       val picked = new Array[Boolean](n)
       val pickedIdx = scala.collection.mutable.ArrayBuffer.empty[Int]

@@ -145,6 +145,13 @@ object ExtQueries extends QueryPack {
       "idx_fixture" -> ((s, dir) => { IdxFixture.get(s, dir); () }),
       "asof_fixture" -> ((s, dir) => { AsOfFixture.get(s, dir); () }))
 
+  override val fixtureUsers: Map[String, Set[String]] = Map(
+    "idx_fixture" -> Set("q186_ivf_churn_maintain",
+      "q187_bm25_incremental", "q189_hybrid_indexed",
+      "q192_ivfpq_churn_maintain", "q193_filtered_ann"),
+    "asof_fixture" -> Set("q190_asof_hybrid",
+      "q194_asof_filtered_hybrid"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q19_dedup_exact" -> { (s, dir) =>

@@ -121,6 +121,10 @@ object IoQueries extends QueryPack {
   override val fixtures: Map[String, (SparkSession, String) => Unit] =
     Map("mv_fixture" -> ((s, dir) => { MvFixture.get(s, dir); () }))
 
+  override val fixtureUsers: Map[String, Set[String]] = Map(
+    "mv_fixture" -> Set("q178_materialized_join_view",
+      "q180_materialized_distinct", "q181_materialized_cascade"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Size-targeted compaction with range clustering: documents

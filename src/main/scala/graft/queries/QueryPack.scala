@@ -27,4 +27,9 @@ trait QueryPack {
     * idempotent per (warehouse, dir); queries still build lazily when
     * run outside Bench (Verify, specs). */
   def fixtures: Map[String, (SparkSession, String) => Unit] = Map.empty
+  /** Which query names ride each fixture — lets Bench SKIP a fixture
+    * no selected query uses (a targeted SPARK_GRAFT_ONLY sweep must
+    * not pay unrelated multi-index builds). A fixture key absent here
+    * is built unconditionally (conservative). */
+  def fixtureUsers: Map[String, Set[String]] = Map.empty
 }

@@ -53,6 +53,20 @@ class IdPredicateSpec extends AnyFunSuite {
       s"expected the gap split, got $rs")
   }
 
+  test("gap comparison is unsigned: ids spanning more than " +
+      "Long.MaxValue still split at the true void") {
+    // two tight clusters at the extremes of the signed-long range —
+    // the cross-cluster gap exceeds Long.MaxValue, so a signed
+    // difference wraps negative and a signed sort would cut INSIDE a
+    // cluster, leaving one interval spanning nearly the whole space
+    val lo = (0 until 50).map(i => Long.MinValue + 5 + i)
+    val hi = (0 until 50).map(i => Long.MaxValue - 60 + i)
+    val ids: Seq[Any] = (lo ++ hi).map(x => x: Any)
+    val rs = IdPredicate.ranges(ids, 2).get
+    assert(rs == Seq((lo.head, lo.last), (hi.head, hi.last)),
+      s"expected the extreme-cluster split, got $rs")
+  }
+
   test("small id sets become point predicates; empty sets match " +
       "nothing; strings chunk; non-rangeable types opt out") {
     val rs = IdPredicate.ranges(Seq(3L, 7L, 9L), 128).get

@@ -125,6 +125,17 @@ class RetrievalSpec extends AnyFunSuite {
         "doc_id", "score", "fp", 10)
       .filter($"fp" === "A").select($"doc_id").as[Long].collect().toSeq
     assert(tied == Seq(3L), s"got $tied")
+    // NULL cluster keys mean "not dedupable": each survives as its
+    // own singleton instead of welding into one dropped cluster
+    val withNulls = ranked.unionByName(Seq(
+      (40L, 0.95, null.asInstanceOf[String]),
+      (41L, 0.88, null.asInstanceOf[String]))
+      .toDF("doc_id", "score", "fp"))
+    val kept = Retrieval.dedupTopN(withNulls, "doc_id", "score",
+        "fp", 10)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(7L, 20L, 30L, 40L, 41L),
+      s"null-keyed rows must each survive: $kept")
   }
 
   test("mmrTopK: greedy trade-off picks the diverse runner-up over " +
@@ -164,6 +175,23 @@ class RetrievalSpec extends AnyFunSuite {
       Similarity.mmrTopK(big, "query_id", "doc_id", "v", "rel",
         k = 2, lambda = 0.5, maxPool = 1000).collect())
     assert(ex.getMessage != null)
+    // degenerate inputs refuse loudly, never an opaque greedy-loop
+    // crash: a zero-norm vector would NaN the cosine, a NaN rel would
+    // NaN every objective
+    val zeroVec = pool.unionByName(Seq(
+      (1L, 99L, Seq(0.0, 0.0), 0.4)).toDF("query_id", "doc_id", "v", "rel"))
+    val exZ = intercept[org.apache.spark.SparkException](
+      Similarity.mmrTopK(zeroVec, "query_id", "doc_id", "v", "rel",
+        k = 2, lambda = 0.7).collect())
+    assert(exZ.getMessage.contains("zero-norm") ||
+      exZ.getCause != null)
+    val nanRel = pool.unionByName(Seq(
+      (1L, 98L, Seq(0.5, 0.5), Double.NaN))
+      .toDF("query_id", "doc_id", "v", "rel"))
+    val exN = intercept[org.apache.spark.SparkException](
+      Similarity.mmrTopK(nanRel, "query_id", "doc_id", "v", "rel",
+        k = 2, lambda = 0.7).collect())
+    assert(exN.getMessage != null)
   }
 
   test("hybridTopK equals the manual bm25 + cosine + rrfFuse composition") {
