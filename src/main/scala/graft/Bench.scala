@@ -150,9 +150,12 @@ object Bench {
             .forall(_.exists(runNames.contains)) }
         .map { case (name, build) =>
           val t0 = System.nanoTime()
+          // NonFatal only: an OOM/StackOverflow during a build means a
+          // possibly-corrupted JVM whose timings would LOOK valid —
+          // abort the run instead of measuring in it
           val ok =
             try { build(spark, sfDir); true }
-            catch { case e: Throwable =>
+            catch { case scala.util.control.NonFatal(e) =>
               System.err.println(s"[bench] fixture $name failed: " +
                 s"${e.getClass.getName}: ${e.getMessage}")
               false

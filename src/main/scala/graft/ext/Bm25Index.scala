@@ -191,7 +191,13 @@ object Bm25Index {
     * `where` = FILTERED retrieval: only corpus rows satisfying the
     * predicate (at the index watermark) are candidates — applied
     * BEFORE the top-N cut (pre-filter, not the starving post-filter);
-    * collection stats stay whole-collection. */
+    * collection stats stay whole-collection.
+    *
+    * EAGER: the candidate pin + id-cover collection run Spark jobs at
+    * CALL time (the [[IvfIndex.probe]] stance), so errors and cost
+    * surface here even if the returned frame is never acted on. For a
+    * BATCH of queries use [[topNBatch]] — one distributed job for all
+    * of them, instead of per-query driver coordination. */
   def topN(spark: SparkSession, root: String, queryTerms: Seq[String],
       topN: Int, k1: Double = 1.2, b: Double = 0.75,
       where: Option[Column] = None): DataFrame =
@@ -207,7 +213,8 @@ object Bm25Index {
     * latest index state at-or-before the asked version; at refresh
     * boundaries that is exactly the from-scratch BM25 over the
     * historical corpus. O(index versions) metadata walks + the same
-    * term-pruned scan as [[topN]]. */
+    * term-pruned scan as [[topN]]. EAGER like [[topN]] — Spark jobs
+    * run at call time; batch callers use [[topNBatch]]. */
   def topNAsOf(spark: SparkSession, root: String,
       queryTerms: Seq[String], topN: Int, corpusVersion: Long,
       k1: Double = 1.2, b: Double = 0.75,

@@ -154,8 +154,11 @@ object IvfIndex {
     * manifest. */
   private def partsFor(nlist: Int, rows: Long, rowsPerFile: Long): Int = {
     val rpf = math.max(1L, rowsPerFile)
-    math.max(math.max(1, nlist),
-      math.min(1L << 20, (rows + rpf - 1) / rpf)).toInt
+    // overflow-safe ceiling: the legacy fallback passes Long.MaxValue
+    // as rpf, where (rows + rpf - 1) would wrap negative and survive
+    // only by accident of the clamps
+    val ceil = rows / rpf + (if (rows % rpf == 0) 0L else 1L)
+    math.max(math.max(1, nlist), math.min(1L << 20, ceil)).toInt
   }
 
   /** Build the index over the corpus table's CURRENT version: train or

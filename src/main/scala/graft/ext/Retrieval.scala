@@ -41,11 +41,18 @@ object Retrieval {
     * Scale shape: the input is a retriever's top-N —
     * candidate-bounded by construction — so both windows run over
     * hundreds of rows; the corpus-scale work happened inside the
-    * retriever (the [[Similarity.rrfFuse]] stance). Output: input
-    * columns + `rank`. */
+    * retriever (the [[Similarity.rrfFuse]] stance). That contract is
+    * ENFORCED, not just documented (the [[Similarity.mmrTopK]]
+    * discipline): an input past `maxCandidates` rows fails LOUDLY
+    * in-plan — a raise_error riding the global rank, no extra count
+    * job — instead of silently serializing an unbounded feed through
+    * the one-partition window. Output: input columns + `rank`. */
   def dedupTopN(ranked: DataFrame, idCol: String, scoreCol: String,
-      clusterCol: String, topN: Int): DataFrame = {
+      clusterCol: String, topN: Int,
+      maxCandidates: Int = 100000): DataFrame = {
     require(topN > 0, s"topN must be positive: $topN")
+    require(maxCandidates >= topN,
+      s"maxCandidates $maxCandidates < topN $topN")
     val wC = Window.partitionBy(clusterCol)
       .orderBy(col(scoreCol).desc, col(idCol))
     val wG = Window.orderBy(col(scoreCol).desc, col(idCol))
@@ -53,9 +60,17 @@ object Retrieval {
       .withColumn("_cr", row_number().over(wC))
       .filter(col("_cr") === 1).drop("_cr")
     val unkeyed = ranked.filter(col(clusterCol).isNull)
+    // the guard must see EVERY ranked row, so it rides the same filter
+    // as the cut (one when-chain: rows past the bound throw before the
+    // cut could drop them)
     best.unionByName(unkeyed)
       .withColumn("rank", row_number().over(wG))
-      .filter(col("rank") <= topN)
+      .filter(when(col("rank") > maxCandidates, raise_error(concat(
+          lit(s"dedupTopN: input exceeds maxCandidates=$maxCandidates " +
+            "rows ("), col("rank").cast("string"),
+          lit(") — feed a retriever's bounded top-N, not an unbounded " +
+            "frame"))).cast("boolean"))
+        .otherwise(col("rank") <= topN))
   }
 
   /** Compute recall/precision/MRR/nDCG at each cutoff in `ks`.

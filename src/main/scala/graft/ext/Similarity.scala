@@ -1000,6 +1000,12 @@ object Similarity {
           !vs(i).exists(_.isNaN),
           s"mmr: null/zero-norm/NaN vector for (query $qid, " +
             s"id ${pool(i)._2}) — filter degenerate embeddings first")
+        // ragged widths would make cos6 silently score a prefix (or
+        // throw mid-greedy-loop) — same refuse-loudly contract
+        require(vs(i).length == vs(0).length,
+          s"mmr: ragged vector width for (query $qid, " +
+            s"id ${pool(i)._2}): ${vs(i).length} vs ${vs(0).length} — " +
+            "pool vectors must share one dimension")
       }
       val n = pool.length
       val picked = new Array[Boolean](n)
@@ -1106,17 +1112,32 @@ object Similarity {
     * join run over hundreds of rows — the single-partition window
     * exchange here is over the candidate list, never the corpus (the
     * corpus-scale work happened inside each retriever, which is where
-    * this operator's inputs come from by construction). Output:
-    * (idCol, rrf_score, rank_1..rank_n) — per-list ranks ride along
-    * null-padded so downstream evals can attribute the fusion. */
+    * this operator's inputs come from by construction). The contract
+    * is ENFORCED (the [[mmrTopK]] discipline): a list past
+    * `maxCandidates` rows fails LOUDLY in-plan — a raise_error riding
+    * each list's rank, no extra count job — instead of silently
+    * serializing an unbounded feed through a one-partition window.
+    * Output: (idCol, rrf_score, rank_1..rank_n) — per-list ranks ride
+    * along null-padded so downstream evals can attribute the fusion. */
   def rrfFuse(lists: Seq[(DataFrame, String)], idCol: String,
-      topN: Int, rrfK: Int = 60): DataFrame = {
+      topN: Int, rrfK: Int = 60,
+      maxCandidates: Int = 100000): DataFrame = {
     require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
     require(topN > 0 && rrfK > 0, s"bad topN=$topN / rrfK=$rrfK")
+    require(maxCandidates >= topN,
+      s"maxCandidates $maxCandidates < topN $topN")
     val ranked = lists.zipWithIndex.map { case ((df, scoreCol), i) =>
       val w = Window.orderBy(col(scoreCol).desc, col(idCol))
       df.select(col(idCol), col(scoreCol))
         .withColumn(s"rank_${i + 1}", row_number().over(w))
+        .filter(when(col(s"rank_${i + 1}") > maxCandidates,
+            raise_error(concat(
+              lit(s"rrfFuse: input list ${i + 1} exceeds " +
+                s"maxCandidates=$maxCandidates rows ("),
+              col(s"rank_${i + 1}").cast("string"),
+              lit(") — feed a retriever's bounded top-N, not an " +
+                "unbounded frame"))).cast("boolean"))
+          .otherwise(lit(true)))
         .drop(scoreCol)
     }
     val joined = ranked.reduce(_.join(_, Seq(idCol), "full_outer"))

@@ -194,6 +194,50 @@ class RetrievalSpec extends AnyFunSuite {
     assert(exN.getMessage != null)
   }
 
+  test("dedupTopN / rrfFuse: an input past maxCandidates refuses " +
+      "loudly instead of silently single-partition-sorting it") {
+    // distinct cluster keys: the dedupTopN guard bounds the rows the
+    // GLOBAL (single-partition) window actually sorts — the per-
+    // cluster collapse upstream is a keyed, parallel window
+    val big = spark.range(0, 500).select(col("id"),
+      (col("id") % 7).cast("double").as("s"),
+      col("id").cast("string").as("fp"))
+    // under the bound: both run clean
+    assert(Retrieval.dedupTopN(big, "id", "s", "fp", topN = 10,
+      maxCandidates = 500).count() == 10)
+    assert(Similarity.rrfFuse(Seq(big -> "s"), "id", topN = 10,
+      maxCandidates = 500).count() == 10)
+    // past the bound: the in-plan guard throws at action time with the
+    // contract message (a SparkException wrapping the raise_error)
+    val e1 = intercept[Exception](Retrieval.dedupTopN(big, "id", "s",
+      "fp", topN = 10, maxCandidates = 499).count())
+    assert(e1.getMessage.contains("maxCandidates"), e1.getMessage)
+    val e2 = intercept[Exception](Similarity.rrfFuse(Seq(big -> "s"),
+      "id", topN = 10, maxCandidates = 499).count())
+    assert(e2.getMessage.contains("maxCandidates"), e2.getMessage)
+    // a bound below the cut is a caller bug, refused up front
+    val e3 = intercept[IllegalArgumentException](Retrieval.dedupTopN(
+      big, "id", "s", "fp", topN = 10, maxCandidates = 9))
+    assert(e3.getMessage.contains("maxCandidates"))
+    val e4 = intercept[IllegalArgumentException](Similarity.rrfFuse(
+      Seq(big -> "s"), "id", topN = 10, maxCandidates = 9))
+    assert(e4.getMessage.contains("maxCandidates"))
+  }
+
+  test("mmrTopK: ragged vector widths refuse loudly") {
+    val cands = Seq(
+      (1L, 10L, Seq(1.0, 0.0), 0.9),
+      (1L, 11L, Seq(1.0, 0.0, 0.5), 0.8))
+      .toDF("q", "d", "v", "rel")
+    val ex = intercept[Exception](Similarity.mmrTopK(cands, "q", "d",
+      "v", "rel", k = 2, lambda = 0.7).collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("ragged vector width")),
+      msgs(ex).mkString(" | "))
+  }
+
   test("hybridTopK equals the manual bm25 + cosine + rrfFuse composition") {
     val vschema = StructType(Seq(StructField("id", LongType),
       StructField("text", StringType),
