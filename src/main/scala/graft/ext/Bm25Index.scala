@@ -219,6 +219,17 @@ object Bm25Index {
       queryTerms: Seq[String], topN: Int, corpusVersion: Long,
       k1: Double = 1.2, b: Double = 0.75,
       where: Option[Column] = None): DataFrame = {
+    val (pV, dV, dfV, gV) = versionsAt(spark, root, corpusVersion)
+    scoreAt(spark, root, queryTerms, topN, k1, b,
+      Some(pV), Some(dV), Some(dfV), Some(gV), where)
+  }
+
+  /** The four table versions consistent with a corpus version — the
+    * metadata walk [[topNAsOf]]/[[topNBatch]] share: postings/doclens
+    * to their latest commits whose corpus watermark is ≤ it, the stats
+    * views to the refreshes reflecting exactly those versions. */
+  private def versionsAt(spark: SparkSession, root: String,
+      corpusVersion: Long): (Long, Long, Long, Long) = {
     val pV = versionAt(spark, postingsRoot(root), WatermarkKey,
       corpusVersion)
     val dV = versionAt(spark, doclensRoot(root), WatermarkKey,
@@ -226,8 +237,147 @@ object Bm25Index {
     val mvWm = MaterializedView.batchWatermarkKey
     val dfV = versionAt(spark, dfRoot(root), mvWm, pV)
     val gV = versionAt(spark, globalRoot(root), mvWm, dV)
-    scoreAt(spark, root, queryTerms, topN, k1, b,
-      Some(pV), Some(dV), Some(dfV), Some(gV), where)
+    (pV, dV, dfV, gV)
+  }
+
+  /** BATCHED lexical retrieval — [[topN]] for a whole queries
+    * DataFrame in ONE distributed job (the [[IvfIndex.probe]] batch
+    * shape): a 10k-query retrieval or eval run must not be 10k
+    * sequential driver-coordinated jobs. `queries` carries
+    * (`idCol`, `termsCol` array&lt;string&gt;); output is
+    * (query_id, doc_id, bm25, rank ≤ `topN`), per query EXACTLY
+    * [[topN]]'s rows (same SET-of-terms semantics, 1e-6 rounding,
+    * (bm25 desc, doc_id) cut).
+    *
+    * One job regardless of |queries|:
+    *  - the UNION of distinct query terms prunes the postings scan
+    *    through a constant-size [[IdPredicate]] range cover (collected
+    *    once, capped at [[IdPredicate.MaxCollectedIds]] with a
+    *    join-only fallback), then a semi-join against the terms frame
+    *    restores exactness — plan size CONSTANT in |queries|;
+    *  - per-term idf and the one-row global stats join in as columns
+    *    (no per-query driver round-trips — the batch replacement for
+    *    [[scoreAt]]'s two collects);
+    *  - scoring is one per-(query_id, doc_id) aggregate; the cut is a
+    *    per-query window — work distributes across queries.
+    * The DRIVER actions are a constant count (stats require, terms
+    * collect, candidate pin + id collect for the doclens cover), each
+    * size-capped — never one-per-query.
+    *
+    * `where` pre-filters candidates against the corpus at the probed
+    * version's watermark (the [[topN]] filtered-retrieval semantics —
+    * stats stay whole-collection); `corpusVersion` time-travels every
+    * leg exactly like [[topNAsOf]]. In-plan refusals: a null query id,
+    * a duplicate query id (two rows would silently interleave one
+    * ranking), and a null/empty term array all raise_error loudly. */
+  def topNBatch(queries: DataFrame, root: String, idCol: String,
+      termsCol: String, topN: Int, k1: Double = 1.2, b: Double = 0.75,
+      where: Option[Column] = None,
+      corpusVersion: Option[Long] = None): DataFrame = {
+    val spark = queries.sparkSession
+    require(topN > 0, s"topN must be positive: $topN")
+    val (pV, dV, dfV, gV) = corpusVersion match {
+      case Some(cv) =>
+        val (a, b0, c, d) = versionsAt(spark, root, cv)
+        (Some(a), Some(b0), Some(c), Some(d))
+      case None => (None, None, None, None)
+    }
+    // one keyed window over the |queries|-sized frame guards id
+    // hygiene in-plan (no extra jobs): null ids and duplicate ids are
+    // caller bugs that would silently weld/interleave rankings
+    val wQ = Window.partitionBy(col(idCol))
+    val qids = queries
+      .filter(when(col(idCol).isNull, raise_error(lit(
+          "topNBatch: null query id"))).otherwise(lit(true)))
+      .withColumn("_nq", count(lit(1)).over(wQ))
+      .filter(when(col("_nq") > 1, raise_error(concat(
+          lit("topNBatch: duplicate query id "),
+          col(idCol).cast("string")))).otherwise(lit(true)))
+      .select(col(idCol).as("query_id"),
+        array_distinct(col(termsCol)).as("_terms"))
+    val qt = qids.select(col("query_id"), explode(
+        when(size(col("_terms")) >= 1, col("_terms"))
+          .otherwise(raise_error(concat(lit(
+            "topNBatch: query "), col("query_id").cast("string"),
+            lit(" has a null/empty term array")))
+            .cast("array<string>"))).as("term"))
+      .filter(when(length(col("term")) < 1, raise_error(concat(lit(
+          "topNBatch: query "), col("query_id").cast("string"),
+          lit(" has an empty term")))).otherwise(lit(true)))
+    val qTerms = qt.select("term").distinct()
+    // collection stats as COLUMNS: the one-row global view cross-joins
+    // (broadcast) and per-term df joins by term — no df/idf collects.
+    // The emptiness require is the one stats action (constant).
+    val g0 = MaterializedView.read(spark, globalRoot(root), gV)
+      .select("cnt", "sum_dl").take(1)
+    require(g0.nonEmpty && g0.head.getLong(0) > 0,
+      "bm25 over an empty corpus")
+    val n = g0.head.getLong(0)
+    val avgdl = g0.head.getLong(1).toDouble / n.toDouble
+    val dfq = MaterializedView.read(spark, dfRoot(root), dfV)
+      .select(col("term"), col("cnt"))
+      .join(qTerms, Seq("term"), "left_semi")
+      .withColumn("_idf",
+        log((lit(n.toDouble) - col("cnt") + 0.5) / (col("cnt") + 0.5)
+          + 1.0))
+      .select("term", "_idf")
+    // postings scan: file-prune through a CONSTANT-size range cover of
+    // the collected term union (capped; join-only fallback), then the
+    // semi-join against the terms frame restores exactness — the
+    // cover is a superset by construction
+    val maxIds = IdPredicate.MaxCollectedIds
+    val termSeq = qTerms.orderBy("term").limit(maxIds + 1)
+      .collect().map(_.getString(0)).toSeq
+    val termPred =
+      if (termSeq.size > maxIds) None
+      else IdPredicate.predicate(col("term"), termSeq)
+    val matched0 = termPred.fold(
+        VersionedTable.read(spark, postingsRoot(root), pV))(p =>
+        VersionedTable.readWhere(spark, postingsRoot(root), p, pV))
+      .join(qTerms, Seq("term"), "left_semi")
+    // `where` = filtered retrieval at the probed version's watermark
+    // (pre-filter; stats stay whole-collection — the topN semantics)
+    val pMeta = VersionedTable.metaOf(spark, postingsRoot(root), pV)
+    val matched1 = where.fold(matched0) { pred =>
+      val allowed = VersionedTable.read(spark, pMeta(CorpusKey),
+          Some(pMeta(WatermarkKey).toLong))
+        .filter(pred).select(col(pMeta(IdKey)).as("doc_id"))
+      matched0.join(allowed, Seq("doc_id"), "left_semi")
+    }
+    // candidate-bounded doclens (the scoreAt discipline): pin the
+    // term-pruned match ONCE, compress its doc ids into a constant-
+    // size cover, file-prune the doc_id-clustered lengths read;
+    // oversized/non-rangeable falls back to the full-scan join (the
+    // shuffle stays candidate-bounded either way)
+    val matched = matched1.localCheckpoint(true)
+    val candIds = matched.select("doc_id").distinct()
+      .orderBy("doc_id").limit(maxIds + 1)
+      .collect().map(_.get(0)).toSeq
+    val dlPred =
+      if (candIds.size > maxIds) None
+      else IdPredicate.predicate(col("doc_id"), candIds)
+    val dls = dlPred.fold(
+        VersionedTable.read(spark, doclensRoot(root), dV))(p =>
+        VersionedTable.readWhere(spark, doclensRoot(root), p, dV))
+      .select("doc_id", "dl")
+    val scored = matched
+      // qt/dfq/dls join sizes scale with the batch and the term
+      // union — no forced broadcasts; AQE broadcasts the small sides
+      // at test scale and shuffle-joins co-partitioned by key at 100 TB
+      .join(qt, Seq("term"))
+      .join(dfq, Seq("term"))
+      .join(dls, Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"),
+        (col("_idf") * col("tf").cast("double") * lit(k1 + 1.0) /
+          (col("tf").cast("double") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl").cast("double") / lit(avgdl))))
+          .as("part"))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(col("part")), 6).as("bm25"))
+    val wCut = Window.partitionBy("query_id")
+      .orderBy(col("bm25").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(wCut))
+      .filter(col("rank") <= topN)
   }
 
   /** Latest version of `root` whose `key` meta is ≤ `target` — the

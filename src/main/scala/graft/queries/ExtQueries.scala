@@ -1775,6 +1775,64 @@ object ExtQueries extends QueryPack {
       out.orderBy(col("query_id"), col("rank"))
     },
 
+    // BATCHED lexical retrieval — the r18 verdict's #1 throughput
+    // wall closed: Bm25Index.topNBatch scores a whole queries
+    // DataFrame in ONE distributed job (the IvfIndex.probe batch
+    // shape) — the union of query terms prunes the postings scan
+    // through a constant-size range cover, scoring is one
+    // per-(query, doc) aggregate, the cut one per-query window —
+    // instead of one driver-coordinated job per query (a 10k-query
+    // eval run was 10k sequential jobs). Composed with FILTERED
+    // retrieval (`where` pre-filters candidates at the index
+    // watermark; collection stats stay whole-collection). In-query
+    // pins: every candidate satisfies the predicate, per-query cuts
+    // are non-empty and bounded, and one probe query's batch rows
+    // EQUAL the single-query topN's (probe parity re-checked on live
+    // data; the full parity sweep is Bm25IndexSpec's). The oracle
+    // replays the ENTIRE multi-query scoring — collection stats, per-
+    // term idf, per-(query, doc) sums, the filter, and every cut.
+    "q198_bm25_batch" -> { (s, dir) =>
+      import graft.sources.VersionedTable
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val whPath =
+        if (wh.startsWith("file:")) new java.net.URI(wh).getPath else wh
+      val base = new java.io.File(whPath,
+        s"graft_q198/${java.util.UUID.randomUUID()}").toString
+      val (tbl, idx) = (s"$base/docs", s"$base/bm25")
+      VersionedTable.create(s, tbl,
+        docs(s, dir).select(col("doc_id"), col("text")))
+      Bm25Index.create(s, tbl, "doc_id", "text", idx)
+      val vocab = Vector("join", "hash", "scan", "merge", "slow",
+        "spark", "sort", "filter")
+      def termsOf(q: Int): Seq[String] =
+        Seq(vocab(q % 8), vocab((q + 3) % 8), vocab((q + 5) % 8))
+      import s.implicits._
+      val qs = (1 to 8).map(q => (q.toLong, termsOf(q)))
+        .toDF("query_id", "terms")
+      val pred = col("doc_id") % 3 === 0
+      val out = Bm25Index.topNBatch(qs, idx, "query_id", "terms",
+          topN = 20, where = Some(pred))
+        .localCheckpoint(true) // reused by the result and the pins
+      require(out.filter(col("doc_id") % 3 =!= 0).isEmpty,
+        "every batched candidate must satisfy the predicate")
+      val counts = out.groupBy("query_id").count()
+        .select("count").as[Long].collect()
+      require(counts.length == 8 && counts.forall(c => c > 0 && c <= 20),
+        s"per-query cuts must be non-empty and bounded: ${counts.toSeq}")
+      // probe parity on live data: one query's batch rows == its
+      // single-query topN (same scores, same order)
+      val single = Bm25Index.topN(s, idx, termsOf(3), 20,
+        where = Some(pred)).select(col("doc_id"), col("bm25"))
+      val batch3 = out.filter(col("query_id") === 3L)
+        .select(col("doc_id"), col("bm25"))
+      require(batch3.exceptAll(single).isEmpty &&
+        single.exceptAll(batch3).isEmpty,
+        "batch rows for query 3 must equal the single-query topN")
+      out.select(col("query_id"), col("doc_id"), col("bm25"),
+          col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // PCA / whitening over the embedding corpus — the decorrelate-
     // before-quantize / reduce-before-index preprocessing leg. fit is
     // ONE distributed pass (partitions accumulate dim + dim² moment
@@ -2990,6 +3048,42 @@ object ExtQueries extends QueryPack {
         |FROM ord o JOIN pool p
         |  ON p.query_id = o.query_id AND p.doc_id = o.doc_id
         |ORDER BY o.query_id, o.rank""".stripMargin,
+    "q198_bm25_batch" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |st AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(len(t)) AS DOUBLE) / COUNT(*) AS avgdl FROM tk),
+        |qs AS (SELECT * FROM (VALUES
+        |    (1, ['hash', 'slow', 'sort']),
+        |    (2, ['scan', 'spark', 'filter']),
+        |    (3, ['merge', 'sort', 'join']),
+        |    (4, ['slow', 'filter', 'hash']),
+        |    (5, ['spark', 'join', 'scan']),
+        |    (6, ['sort', 'hash', 'merge']),
+        |    (7, ['filter', 'scan', 'slow']),
+        |    (8, ['join', 'merge', 'spark'])) AS v(query_id, terms)),
+        |qt AS (SELECT query_id, unnest(terms) AS term FROM qs),
+        |dfq AS (SELECT term, (SELECT COUNT(*) FROM tk
+        |    WHERE list_contains(tk.t, dt.term)) AS dfc
+        |  FROM (SELECT DISTINCT term FROM qt) dt),
+        |sc AS (SELECT qt.query_id, tk.doc_id,
+        |    round(SUM(
+        |      ln((st.n - dfq.dfc + 0.5) / (dfq.dfc + 0.5) + 1.0)
+        |      * len(list_filter(tk.t, x -> x = qt.term)) * 2.2
+        |      / (len(list_filter(tk.t, x -> x = qt.term))
+        |         + 1.2 * (0.25 + 0.75 * len(tk.t) / st.avgdl))), 6)
+        |      AS bm25
+        |  FROM tk CROSS JOIN st
+        |  JOIN qt ON list_contains(tk.t, qt.term)
+        |  JOIN dfq ON dfq.term = qt.term
+        |  WHERE tk.doc_id % 3 = 0
+        |  GROUP BY qt.query_id, tk.doc_id)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, bm25,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY bm25 DESC, doc_id) AS INT) AS rank
+        |FROM sc QUALIFY rank <= 20
+        |ORDER BY query_id, rank""".stripMargin,
     "q196_dedup_retrieval" ->
       """WITH tk AS (SELECT doc_id,
         |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS t

@@ -238,4 +238,112 @@ class Bm25IndexSpec extends AnyFunSuite {
     // null-text rows never rank (they have no terms and no length)
     assert(!got.exists(r => r._1 == 4L || r._1 == 6L))
   }
+
+  test("topNBatch: per-query output equals topN (live, filtered, and " +
+      "as-of); driver-action count and plan size constant in |queries|") {
+    val (corpus, root) = (tmp() + "/corpus", tmp() + "/idx")
+    val vocab = Vector("spark", "hash", "join", "scan", "sort",
+      "merge", "data", "lake")
+    val rows = (1L to 60L).map { i =>
+      val t = (0 until 8).map(j => vocab(((i * 7 + j * 3) % 23 %
+        vocab.size).toInt)).mkString(" ")
+      (i, t)
+    }
+    VersionedTable.create(spark, corpus, rows.toDF("doc_id", "text"))
+    Bm25Index.create(spark, corpus, "doc_id", "text", root, nParts = 4)
+    // churn + refresh so the batch reads maintained (not build-time)
+    // state, and v1 is a real historical snapshot for the as-of leg
+    VersionedTable.append(spark, corpus,
+      docsDf((61L, "spark merge spark"), (62L, "lake scan lake")))
+    VersionedTable.deleteWhere(spark, corpus, $"doc_id" % 11 === 3,
+      cdf = true)
+    Bm25Index.refresh(spark, root)
+
+    def batchOf(n: Int): DataFrame = (1 to n).map { q =>
+      (q.toLong, Seq(vocab(q % vocab.size), vocab((q + 3) % vocab.size)))
+    }.toDF("qid", "terms")
+
+    def checkAgainstTopN(n: Int, where: Option[
+        org.apache.spark.sql.Column], asOf: Option[Long]): Unit = {
+      val out = Bm25Index.topNBatch(batchOf(n), root, "qid", "terms",
+          topN = 5, where = where, corpusVersion = asOf)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3)))
+        .groupBy(_._1)
+      (1 to n).foreach { q =>
+        val terms = Seq(vocab(q % vocab.size), vocab((q + 3) % vocab.size))
+        val want = asOf.fold(Bm25Index.topN(spark, root, terms, 5,
+            where = where))(v => Bm25Index.topNAsOf(spark, root, terms,
+            5, v, where = where))
+          .as[(Long, Double)].collect().toSeq
+        val got = out.getOrElse(q.toLong, Array.empty).sortBy(_._4)
+          .map(r => (r._2, r._3)).toSeq
+        assert(got == want,
+          s"query $q (where=$where asOf=$asOf): batch $got != topN $want")
+      }
+    }
+    checkAgainstTopN(6, None, None)
+    checkAgainstTopN(4, Some($"doc_id" % 2 === 0), None)
+    checkAgainstTopN(4, None, Some(1L))
+    checkAgainstTopN(3, Some($"doc_id" % 2 === 0), Some(1L))
+
+    // driver-coordination constancy: the CONSTRUCTION of the batched
+    // frame runs a fixed set of size-capped driver actions — a 10x
+    // larger batch must not add jobs (the per-query-job shape this
+    // operator replaces). Counted via listener; polled until the
+    // async bus drains.
+    def jobsDuring(body: => Unit): Int = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          counter.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        body
+        var prev = -1
+        var stable = 0
+        while (stable < 3) {
+          Thread.sleep(200)
+          val cur = counter.get()
+          if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+        }
+        counter.get()
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    var smallPlan: String = null
+    var largePlan: String = null
+    val jSmall = jobsDuring {
+      smallPlan = Bm25Index.topNBatch(batchOf(4), root, "qid", "terms",
+        topN = 5).queryExecution.executedPlan.toString
+    }
+    val jLarge = jobsDuring {
+      largePlan = Bm25Index.topNBatch(batchOf(40), root, "qid", "terms",
+        topN = 5).queryExecution.executedPlan.toString
+    }
+    assert(jLarge == jSmall,
+      s"batch construction must run a constant job count: " +
+        s"4 queries -> $jSmall jobs, 40 queries -> $jLarge jobs")
+    assert(largePlan.length <= smallPlan.length * 3 / 2 + 2000,
+      s"plan must not grow with the batch: ${smallPlan.length} -> " +
+        s"${largePlan.length} chars")
+
+    // in-plan refusals: duplicate and empty-terms query rows
+    val dup = Seq((1L, Seq("spark")), (1L, Seq("hash")))
+      .toDF("qid", "terms")
+    val e1 = intercept[Exception](Bm25Index.topNBatch(dup, root,
+      "qid", "terms", 5).collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e1).exists(_.contains("duplicate query id")),
+      msgs(e1).mkString(" | "))
+    val empty = Seq((1L, Seq.empty[String])).toDF("qid", "terms")
+    val e2 = intercept[Exception](Bm25Index.topNBatch(empty, root,
+      "qid", "terms", 5).collect())
+    assert(msgs(e2).exists(_.contains("null/empty term array")),
+      msgs(e2).mkString(" | "))
+  }
 }
