@@ -543,4 +543,49 @@ object Bm25Index {
       math.min(live, math.min(hp, hd))
     }
   }
+
+  /** Reclaim the index's OWN history across all FOUR tables — the
+    * lexical dual of [[IvfIndex.vacuumHistory]] (the r18 verdict's
+    * "index-table history is never reclaimed"): every refresh/
+    * compaction/MV fold accretes a version on postings, doclens, and
+    * both stats views forever. Keeps, per table, the version SERVING
+    * the as-of `horizon` — postings/doclens at their horizon
+    * watermarks, each stats view at the refresh reflecting exactly
+    * the kept base version (the same four-way walk [[topNAsOf]]
+    * answers from) — and vacuums below it. [[topNAsOf]] below the
+    * horizon refuses loudly afterwards
+    * ([[VersionedTable.versionAtMeta]] names the vacuumed floor). No
+    * horizon = keep only the current state's history. Returns the
+    * kept-from postings version. */
+  def vacuumHistory(spark: SparkSession, root: String,
+      horizon: Option[Long] = None,
+      orphanGraceMs: Long = 24L * 3600 * 1000): Long = {
+    val pRoot = postingsRoot(root)
+    require(VersionedTable.currentVersion(spark, pRoot).nonEmpty,
+      s"$root: no bm25 index")
+    val (pKeep, dKeep, dfKeep, gKeep) = horizon match {
+      case Some(h) => versionsAt(spark, root, h)
+      case None =>
+        val pCur = VersionedTable.currentVersion(spark, pRoot).get
+        val dCur = VersionedTable.currentVersion(spark,
+          doclensRoot(root)).get
+        (pCur, dCur,
+          VersionedTable.currentVersion(spark, dfRoot(root)).get,
+          VersionedTable.currentVersion(spark, globalRoot(root)).get)
+    }
+    // a LAGGING stats view (a crash between the table commit and its
+    // MV fold) still needs the base's change feed FROM ITS OWN
+    // watermark — clamp each base's floor so the next refresh can
+    // fold, instead of stranding the view on vacuumed change files
+    val mvWm = MaterializedView.batchWatermarkKey
+    val dfWm = VersionedTable.metaOf(spark, dfRoot(root))(mvWm).toLong
+    val gWm = VersionedTable.metaOf(spark, globalRoot(root))(mvWm).toLong
+    val pFloor = math.min(pKeep, dfWm)
+    VersionedTable.vacuum(spark, pRoot, pFloor, orphanGraceMs)
+    VersionedTable.vacuum(spark, doclensRoot(root),
+      math.min(dKeep, gWm), orphanGraceMs)
+    VersionedTable.vacuum(spark, dfRoot(root), dfKeep, orphanGraceMs)
+    VersionedTable.vacuum(spark, globalRoot(root), gKeep, orphanGraceMs)
+    pFloor
+  }
 }

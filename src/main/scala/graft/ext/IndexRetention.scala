@@ -65,8 +65,11 @@ object IndexRetention {
     * retention floor the just-advanced watermarks allow
     * ([[safeVacuum]]) — maintenance first, so a healthy cycle always
     * moves the floor forward instead of holding history for lagging
-    * indexes. Returns the `keepFrom` used (None with `vacuum =
-    * false`). Policy knobs, not new mechanisms. */
+    * indexes. `indexVacuum = true` closes the loop on the INDEX side
+    * too ([[IvfIndex.vacuumHistory]]/[[Bm25Index.vacuumHistory]] at
+    * the same horizon): without it every refresh/rebuild/fold accretes
+    * an index version forever. Returns the `keepFrom` used (None with
+    * `vacuum = false`). Policy knobs, not new mechanisms. */
   def maintainAll(spark: SparkSession, corpusRoot: String,
       ivfIndexes: Seq[String] = Seq.empty,
       bm25Indexes: Seq[String] = Seq.empty,
@@ -76,14 +79,23 @@ object IndexRetention {
       compactAboveFiles: Int = Int.MaxValue,
       smallFileBytes: Long = 8L * 1024 * 1024,
       vacuum: Boolean = true,
+      indexVacuum: Boolean = false,
       orphanGraceMs: Long = 24L * 3600 * 1000): Option[Long] = {
     ivfIndexes.foreach(p => IvfIndex.maintain(spark, p, tolerance,
       trainIters, compactAboveFiles, smallFileBytes, pqErrFactor))
     bm25Indexes.foreach(r => Bm25Index.maintain(spark, r,
       compactAboveFiles, smallFileBytes))
-    if (vacuum)
-      Some(safeVacuum(spark, corpusRoot, ivfIndexes, bm25Indexes,
-        asOfHorizon, orphanGraceMs))
-    else None
+    val kept =
+      if (vacuum)
+        Some(safeVacuum(spark, corpusRoot, ivfIndexes, bm25Indexes,
+          asOfHorizon, orphanGraceMs))
+      else None
+    if (indexVacuum) {
+      ivfIndexes.foreach(p =>
+        IvfIndex.vacuumHistory(spark, p, asOfHorizon, orphanGraceMs))
+      bm25Indexes.foreach(r =>
+        Bm25Index.vacuumHistory(spark, r, asOfHorizon, orphanGraceMs))
+    }
+    kept
   }
 }

@@ -834,4 +834,54 @@ object IvfIndex {
           WatermarkKey).toLong)
     }
   }
+
+  /** Reclaim the index's OWN history — the dual of
+    * [[IndexRetention.safeVacuum]]'s corpus side (the r18 verdict's
+    * "index-table history is never reclaimed"): every refresh/rebuild/
+    * compaction accretes a lists version (plus, per rebuild, a
+    * quantizer and PQ-codebook generation dir) FOREVER, so at
+    * production churn the index side grows without bound in files and
+    * manifest entries. Policy mirror of the corpus side: keep the
+    * lists version SERVING the as-of `horizon` (a probe at any corpus
+    * version ≥ horizon walks to it or later) and everything after;
+    * vacuum below it; then GC generation dirs (`centroids_*`/`pq_*`)
+    * no RETAINED version's manifest meta names — aged past
+    * `orphanGraceMs`, because a concurrent rebuild writes its
+    * generation dir BEFORE the commit that references it. As-of
+    * probes below the horizon refuse loudly afterwards
+    * ([[VersionedTable.versionAtMeta]] names the vacuumed floor).
+    * No horizon = keep only the current version's history. Returns
+    * the kept-from lists version. */
+  def vacuumHistory(spark: SparkSession, path: String,
+      horizon: Option[Long] = None,
+      orphanGraceMs: Long = 24L * 3600 * 1000): Long = {
+    val root = listsRoot(path)
+    val cur = VersionedTable.currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$path: no ivf index"))
+    val keepV = horizon.fold(cur)(h =>
+      math.min(cur, versionAt(spark, path, h)))
+    VersionedTable.vacuum(spark, root, keepV, orphanGraceMs)
+    // generation-dir GC: the surviving manifests name the quantizer/
+    // codebook dirs their rows decode with; anything else under the
+    // index path matching the generation pattern is garbage once aged
+    // past the grace window (a younger dir may be a rebuild mid-commit)
+    val referenced = VersionedTable.versions(spark, root).flatMap { v =>
+      val m = VersionedTable.metaOf(spark, root, Some(v))
+      m.get(CentroidsDirKey).toSeq ++ m.get(PqDirKey).toSeq
+    }.toSet
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = new org.apache.hadoop.fs.Path(path)
+    val cutoff = System.currentTimeMillis() - orphanGraceMs
+    if (fs.exists(base)) fs.listStatus(base).foreach { st =>
+      val nm = st.getPath.getName
+      val generational = st.isDirectory &&
+        (nm.startsWith("centroids_") || nm.startsWith("pq_"))
+      if (generational && !referenced.contains(nm) &&
+          fs.listStatus(st.getPath).forall(
+            _.getModificationTime < cutoff))
+        fs.delete(st.getPath, true)
+    }
+    keepV
+  }
 }

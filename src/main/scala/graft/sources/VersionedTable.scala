@@ -163,22 +163,41 @@ object VersionedTable {
     else m.files.map(_.rows).sum - m.dvs.values.map(_._2).sum
   }
 
+  /** Every RETAINED manifest version of `root`, ascending — after a
+    * [[vacuum]] the low end starts at the retention floor, not 1. One
+    * directory listing (the [[currentVersion]] cost). */
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val dir = manifestDir(root)
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) return Seq.empty
+    f.listStatus(dir).map(_.getPath.getName).collect {
+      case ManifestRe(d) => d.toLong
+    }.sorted.toSeq
+  }
+
   /** Latest version of `root` whose `key` manifest meta is ≤ `target`
     * — the watermark walk behind every as-of index/view read (a
     * derived table records the SOURCE version each commit applied;
     * mapping a source version back to the derived table's consistent
     * snapshot is this walk). Metadata reads only, O(versions walked);
     * monotone watermarks (the streaming-commit invariant) make the
-    * first hit the right one. Refuses when even version 1 sits past
-    * `target` (the derived table never reflected that source state). */
+    * first hit the right one. Refuses LOUDLY when the walk would fall
+    * off the low end — the derived table never reflected that source
+    * state, or its history below the retention floor was [[vacuum]]ed
+    * (the walk must name that, not die on a missing manifest file). */
   def versionAtMeta(spark: SparkSession, root: String, key: String,
       target: Long): Long = {
-    var v = currentVersion(spark, root).getOrElse(
-      throw new IllegalArgumentException(s"$root: no versioned table"))
-    while (v > 1 && metaOf(spark, root, Some(v))(key).toLong > target)
+    val vs = versions(spark, root)
+    if (vs.isEmpty)
+      throw new IllegalArgumentException(s"$root: no versioned table")
+    val floor = vs.head
+    var v = vs.last
+    while (v > floor && metaOf(spark, root, Some(v))(key).toLong > target)
       v -= 1
     require(metaOf(spark, root, Some(v))(key).toLong <= target,
-      s"$root has no version at or before watermark $target")
+      s"$root has no RETAINED version at or before watermark $target" +
+        (if (floor > 1) s" — history below version $floor was vacuumed"
+         else ""))
     v
   }
 

@@ -418,6 +418,162 @@ class IndexOpsSpec extends AnyFunSuite {
     VersionedTable.read(spark, corpus, Some(3L)).collect() // retained
   }
 
+  test("index-history vacuum (ivf): churn cycles under " +
+      "maintainAll(indexVacuum) keep the lists version count bounded, " +
+      "stale generation dirs are GCed, as-of >= horizon answers " +
+      "exactly, below-horizon refuses loudly") {
+    val (corpus, idx) = (tmp() + "/corpus", tmp() + "/pq")
+    VersionedTable.create(spark, corpus, corpusDf(
+      vecs(31, 30, 6, 0.2).zipWithIndex.map { case (v, i) =>
+        (i.toLong, v) })) // v1
+    IvfIndex.create(spark, corpus, "vec_id", "embedding", nlist = 2,
+      idx, pq = Some((3, 8)))
+    val lists = s"$idx/lists"
+    // three churn cycles, each closed by the full scheduler call with
+    // index vacuum on: without it the lists table accretes one version
+    // per refresh forever (the r18 verdict's missing #2)
+    (0 until 3).foreach { r =>
+      VersionedTable.append(spark, corpus, corpusDf(
+        vecs(32 + r, 4, 6, 0.2).zipWithIndex.map { case (v, i) =>
+          (1000L * (r + 1) + i, v) }))
+      VersionedTable.deleteWhere(spark, corpus,
+        $"vec_id" === (r + 2).toLong, cdf = true)
+      Thread.sleep(5) // age writes past the grace-0 cutoff
+      IndexRetention.maintainAll(spark, corpus, ivfIndexes = Seq(idx),
+        indexVacuum = true, orphanGraceMs = 0L)
+      assert(VersionedTable.versions(spark, lists).size == 1,
+        "index vacuum must bound the lists history per cycle")
+    }
+    // probes answer exactly from the vacuumed-to-head index
+    val corpusNow = VersionedTable.read(spark, corpus)
+    val queries = corpusNow.filter($"vec_id" < 2)
+    val want = Similarity.bruteForceTopK(
+        queries.select($"vec_id", $"embedding"),
+        corpusNow.select($"vec_id", $"embedding"),
+        "vec_id", "embedding", 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(IvfIndex.probe(queries, idx, "vec_id", "embedding", k = 2,
+        nprobe = 2, pool = Int.MaxValue)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet == want)
+    // a rebuild strands the old quantizer/codebook generation; the
+    // next history vacuum GCs the unreferenced dirs (grace-aged)
+    IvfIndex.rebuild(spark, idx)
+    val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def genDirs(prefix: String): Int =
+      fs.listStatus(new org.apache.hadoop.fs.Path(idx))
+        .count(st => st.isDirectory &&
+          st.getPath.getName.startsWith(prefix))
+    assert(genDirs("centroids_") == 2 && genDirs("pq_") == 2,
+      "the rebuild must have landed a second generation")
+    Thread.sleep(5)
+    IvfIndex.vacuumHistory(spark, idx, orphanGraceMs = 0L)
+    assert(genDirs("centroids_") == 1 && genDirs("pq_") == 1,
+      "unreferenced generation dirs must be GCed")
+    assert(IvfIndex.probe(queries, idx, "vec_id", "embedding", k = 2,
+        nprobe = 2, pool = Int.MaxValue)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet == want,
+      "the surviving generation must keep answering after the GC")
+    // an as-of HORIZON keeps its serving version: churn + refresh
+    // twice, vacuum to the interior version, probe both sides of it
+    VersionedTable.append(spark, corpus, corpusDf(
+      vecs(40, 3, 6, 0.2).zipWithIndex.map { case (v, i) =>
+        (5000L + i, v) }))
+    val hv = IvfIndex.refresh(spark, idx) // serving version
+    val horizon = IvfIndex.watermark(spark, idx)
+    VersionedTable.append(spark, corpus, corpusDf(
+      vecs(41, 3, 6, 0.2).zipWithIndex.map { case (v, i) =>
+        (6000L + i, v) }))
+    IvfIndex.refresh(spark, idx)
+    Thread.sleep(5)
+    val keptV = IvfIndex.vacuumHistory(spark, idx,
+      horizon = Some(horizon), orphanGraceMs = 0L)
+    assert(keptV == hv, s"the horizon-serving lists version must be " +
+      s"the floor: $keptV vs $hv")
+    assert(VersionedTable.versions(spark, lists).head == hv,
+      "history below the serving version must be gone")
+    // >= horizon answers exactly against the historical corpus
+    val hist = VersionedTable.read(spark, corpus, Some(horizon))
+    val wantAsOf = Similarity.bruteForceTopK(
+        queries.select($"vec_id", $"embedding"),
+        hist.select($"vec_id", $"embedding"),
+        "vec_id", "embedding", 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(IvfIndex.probeAsOf(queries, idx, "vec_id", "embedding",
+        k = 2, nprobe = 2, corpusVersion = horizon,
+        pool = Int.MaxValue)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet == wantAsOf)
+    // below the horizon: a LOUD refusal naming the vacuumed floor,
+    // not a missing-manifest crash
+    val e = intercept[IllegalArgumentException](IvfIndex.probeAsOf(
+      queries, idx, "vec_id", "embedding", k = 2, nprobe = 2,
+      corpusVersion = horizon - 1))
+    assert(e.getMessage.contains("vacuumed"), e.getMessage)
+  }
+
+  test("index-history vacuum (bm25): all four tables' histories bound " +
+      "under maintainAll(indexVacuum); scoring, as-of at the horizon, " +
+      "and onward maintenance all hold") {
+    val (corpus, root) = (tmp() + "/corpus", tmp() + "/bm25")
+    val docs = (1L to 30L).map(i =>
+      (i, s"term${"%02d".format(i % 10)} filler$i shared"))
+    VersionedTable.create(spark, corpus, docs.toDF("doc_id", "text"))
+    Bm25Index.create(spark, corpus, "doc_id", "text", root, nParts = 4)
+    (0 until 3).foreach { r =>
+      VersionedTable.append(spark, corpus, Seq(
+        (1000L + r, s"term${"%02d".format(r)} fresh$r shared"))
+        .toDF("doc_id", "text"))
+      Thread.sleep(5)
+      IndexRetention.maintainAll(spark, corpus, bm25Indexes = Seq(root),
+        indexVacuum = true, orphanGraceMs = 0L)
+      Seq("postings", "doclens", "df_view", "global_view").foreach { t =>
+        assert(VersionedTable.versions(spark, s"$root/$t").size == 1,
+          s"$t history must be bounded per cycle")
+      }
+    }
+    def recompute(terms: Seq[String], v: Option[Long]) =
+      TextAnalysis.bm25TopN(
+          v.fold(VersionedTable.read(spark, corpus))(x =>
+            VersionedTable.read(spark, corpus, Some(x))),
+          "doc_id", "text", terms, 10)
+        .as[(Long, Double)].collect().toSeq.filter(_._2 > 0)
+    assert(Bm25Index.topN(spark, root, Seq("term03", "shared"), 10)
+      .as[(Long, Double)].collect().toSeq ==
+      recompute(Seq("term03", "shared"), None))
+    // horizon: one more churn + refresh past an interior version
+    VersionedTable.append(spark, corpus, Seq(
+      (2000L, "term03 mid shared")).toDF("doc_id", "text"))
+    Bm25Index.refresh(spark, root)
+    val horizon = Bm25Index.watermark(spark, root)
+    VersionedTable.append(spark, corpus, Seq(
+      (3000L, "term03 late shared")).toDF("doc_id", "text"))
+    Bm25Index.refresh(spark, root)
+    Thread.sleep(5)
+    Bm25Index.vacuumHistory(spark, root, horizon = Some(horizon),
+      orphanGraceMs = 0L)
+    assert(Bm25Index.topNAsOf(spark, root, Seq("term03", "shared"), 10,
+        corpusVersion = horizon)
+      .as[(Long, Double)].collect().toSeq ==
+      recompute(Seq("term03", "shared"), Some(horizon)),
+      "the horizon-retained snapshot must answer as-of exactly")
+    val e = intercept[IllegalArgumentException](Bm25Index.topNAsOf(
+      spark, root, Seq("term03", "shared"), 10,
+      corpusVersion = horizon - 1))
+    assert(e.getMessage.contains("vacuumed"), e.getMessage)
+    // maintenance keeps folding after the vacuum
+    VersionedTable.append(spark, corpus, Seq(
+      (4000L, "term03 newest shared")).toDF("doc_id", "text"))
+    Bm25Index.refresh(spark, root)
+    assert(Bm25Index.topN(spark, root, Seq("term03", "shared"), 10)
+      .as[(Long, Double)].collect().toSeq ==
+      recompute(Seq("term03", "shared"), None))
+  }
+
   test("bm25 maintain/compact wrappers: the file-count gate folds " +
       "accretion with the term clustering baked in") {
     val (corpus, root) = (tmp() + "/corpus", tmp() + "/bm25")
