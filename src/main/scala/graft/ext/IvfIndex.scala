@@ -802,6 +802,93 @@ object IvfIndex {
     (pick, rows.toDF("nprobe", "hits", "recall"))
   }
 
+  /** Tune the DEPLOYED IVF-PQ read — ADC preselect + bounded exact
+    * re-rank — over a (nprobe, pool) GRID: the r18 verdict's "the
+    * tuner measures the raw probe, not the production path". A PQ
+    * deployment turns TWO knobs, and its recall depends on both (a
+    * small pool can starve the re-rank however many lists are
+    * probed); [[tuneNprobe]]'s raw-rung ladder sees neither effect.
+    * Each cell runs the EXACT serving read ([[probe]] with that
+    * nprobe and pool); the reference is this index's own covering
+    * probe (nprobe = nlist, unbounded pool — exact at the lists
+    * watermark by the q192-certified contract); recall = hits /
+    * |reference rows| (ONE integer division); cost = nprobe ·
+    * `probeWeight` + pool · `poolWeight` (integer — the relative
+    * price of scanning one more posting list vs re-ranking one more
+    * candidate, deployment-supplied).
+    *
+    * Pick = the minimal-cost cell clearing `target` (ties to the
+    * smallest (nprobe, pool)); when NO cell clears, the covering
+    * configuration (nlist, Int.MaxValue) — exact by construction.
+    * Monotonicity along the POOL axis is STRUCTURAL and required
+    * in-method: at fixed nprobe a larger pool is a superset PREFIX of
+    * the same ADC ranking, and an exact-top-k member outranks every
+    * non-member in the exact re-rank, so hits cannot fall. Along the
+    * NPROBE axis it is measured, not asserted (the [[tuneNprobe]] PQ
+    * stance: ADC preselection churns pool membership between probes).
+    * Evaluation-harness cost: |grid| bounded probes + ONE covering
+    * reference. Returns ((nprobe, pool), grid frame (nprobe, pool,
+    * hits, recall, cost, meets_target, chosen)). */
+  def tuneOperatingPoint(queries: DataFrame, path: String,
+      idCol: String, vecCol: String, k: Int, target: Double,
+      nprobes: Seq[Int], pools: Seq[Int],
+      probeWeight: Long = 1000L, poolWeight: Long = 1L,
+      version: Option[Long] = None): ((Int, Int), DataFrame) = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    require(target > 0 && target <= 1.0, s"target in (0, 1]: $target")
+    val meta = VersionedTable.metaOf(spark, listsRoot(path), version)
+    require(meta.contains(PqDirKey),
+      s"$path is not an IVF-PQ index — tune a raw index with tuneNprobe")
+    val nlist = meta(NlistKey).toInt
+    require(nprobes.nonEmpty && nprobes == nprobes.sorted &&
+      nprobes.distinct == nprobes &&
+      nprobes.forall(p => p > 0 && p <= nlist),
+      s"nprobes must be ascending distinct in (0, $nlist]: $nprobes")
+    require(pools.nonEmpty && pools == pools.sorted &&
+      pools.distinct == pools && pools.forall(_ >= k),
+      s"pools must be ascending distinct and >= k=$k: $pools")
+    require(probeWeight >= 0 && poolWeight >= 0 &&
+      probeWeight + poolWeight > 0,
+      s"need a non-degenerate cost model: $probeWeight/$poolWeight")
+    val reference = probe(queries, path, idCol, vecCol, k, nlist,
+      version, pool = Int.MaxValue)
+    val exact = reference.select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true)
+    reference.unpersist()
+    val total = exact.count()
+    require(total > 0, "operating-point tuning needs a non-empty reference")
+    val cells = for (np <- nprobes; p <- pools) yield {
+      val probed = probe(queries, path, idCol, vecCol, k, np, version, p)
+      val hits = probed.select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .count()
+      probed.unpersist()
+      (np, p, hits, hits.toDouble / total,
+        np * probeWeight + p * poolWeight)
+    }
+    nprobes.foreach { np =>
+      cells.filter(_._1 == np).sliding(2).foreach {
+        case Seq((_, p0, _, r0, _), (_, p1, _, r1, _)) =>
+          require(r1 >= r0, s"recall must be monotone in pool at " +
+            s"nprobe=$np: $p0->$r0, $p1->$r1")
+        case _ => ()
+      }
+    }
+    val clearing = cells.filter(_._4 >= target)
+    val pick =
+      if (clearing.isEmpty) (nlist, Int.MaxValue)
+      else {
+        val c = clearing.minBy(x => (x._5, x._1, x._2))
+        (c._1, c._2)
+      }
+    val grid = cells.map(c => (c._1, c._2, c._3, c._4, c._5,
+        c._4 >= target, c._1 == pick._1 && c._2 == pick._2))
+      .toDF("nprobe", "pool", "hits", "recall", "cost",
+        "meets_target", "chosen")
+    (pick, grid)
+  }
+
   /** The quantizer generation a lists version was assigned against:
     * centroid_id → weights, in id order. `version` time-travels. */
   def centroidsOf(spark: SparkSession, path: String,

@@ -524,6 +524,73 @@ class IvfIndexSpec extends AnyFunSuite {
         rowsPq.mkString(","))
   }
 
+  test("tuneOperatingPoint: the (nprobe, pool) grid measures the " +
+      "DEPLOYED ADC + re-rank read; pool axis is monotone; the pick " +
+      "is the minimal-cost clearing cell; raw indexes are refused") {
+    val (root, idx) = (tmp() + "/corpus", tmp() + "/pq")
+    val dim = 6
+    val centers = Seq(
+      Array(1.0, 1.0, 1.0, 1.0, 1.0, 1.0),
+      Array(5.0, -3.0, 1.0, 0.0, 2.0, -1.0),
+      Array(-1.0, 4.0, -2.0, 3.0, 0.5, 1.5),
+      Array(0.0, 0.0, 5.0, -5.0, 1.0, 2.0))
+    val base = centers.zipWithIndex.flatMap { case (c, ci) =>
+      vecs(91 + ci, 25, dim, c, 0.4).zipWithIndex
+        .map { case (v, i) => (ci * 1000L + i, v) }
+    }
+    VersionedTable.create(spark, root, corpusDf(base))
+    IvfIndex.create(spark, root, "vec_id", "embedding", nlist = 4,
+      idx, pq = Some((3, 8)))
+    val queries = VersionedTable.read(spark, root)
+      .filter(col("vec_id").isin(1L, 7L, 1003L, 2005L, 3011L))
+    val ((np, p), grid) = IvfIndex.tuneOperatingPoint(queries, idx,
+      "vec_id", "embedding", k = 5, target = 1.0,
+      nprobes = Seq(1, 2, 4), pools = Seq(5, 20, 100))
+    val cells = grid.select("nprobe", "pool", "recall", "cost",
+        "meets_target", "chosen")
+      .as[(Int, Int, Double, Long, Boolean, Boolean)].collect()
+    assert(cells.length == 9, "the full grid must be measured")
+    // pool axis monotone at every nprobe (the structural requirement
+    // the method enforces — re-checked from the returned frame)
+    Seq(1, 2, 4).foreach { n =>
+      val rs = cells.filter(_._1 == n).sortBy(_._2).map(_._3)
+      assert(rs.sliding(2).forall {
+        case Array(a, b) => b >= a
+        case _ => true
+      }, s"pool axis at nprobe=$n: ${rs.mkString(",")}")
+    }
+    // the covering corner reaches exactness on this well-separated
+    // corpus, so a grid pick exists and is the cost argmin
+    val pc = cells.find(c => c._1 == np && c._2 == p)
+    assert(pc.exists(_._5), s"the pick must clear the target: ($np, $p)")
+    assert(cells.filter(_._4 < pc.get._4).forall(!_._5),
+      "every cheaper cell must miss the target")
+    assert(cells.count(_._6) == 1 && pc.exists(_._6),
+      "exactly the picked cell is flagged chosen")
+    // a starved pool at the full probe must hurt recall vs the
+    // covering pool (the effect tuneNprobe could not see)
+    val full5 = cells.find(c => c._1 == 4 && c._2 == 5).get._3
+    val full100 = cells.find(c => c._1 == 4 && c._2 == 100).get._3
+    assert(full100 == 1.0, s"covering corner must be exact: $full100")
+    assert(full5 <= full100, s"pool starvation: $full5 vs $full100")
+    // an impossible target falls back to the covering configuration
+    // on a grid that cannot clear it
+    val ((fnp, fp), _) = IvfIndex.tuneOperatingPoint(queries, idx,
+      "vec_id", "embedding", k = 5, target = 1.0,
+      nprobes = Seq(1), pools = Seq(5))
+    if (fnp == 4) assert(fp == Int.MaxValue,
+      "a non-grid fallback must be the covering configuration")
+    // a raw-vector index has no deployed-PQ path to tune
+    val rawIdx = tmp() + "/raw"
+    IvfIndex.create(spark, root, "vec_id", "embedding", nlist = 4,
+      rawIdx)
+    val e = intercept[IllegalArgumentException](
+      IvfIndex.tuneOperatingPoint(queries, rawIdx, "vec_id",
+        "embedding", k = 5, target = 1.0, nprobes = Seq(1),
+        pools = Seq(5)))
+    assert(e.getMessage.contains("tuneNprobe"), e.getMessage)
+  }
+
   test("hot-centroid skew: a centroid holding ~50% of the corpus " +
       "sub-splits into bounded files, the prune survives, refresh " +
       "stays delta-sized, and answers stay exact") {
