@@ -150,7 +150,7 @@ object ExtQueries extends QueryPack {
       "q187_bm25_incremental", "q189_hybrid_indexed",
       "q192_ivfpq_churn_maintain", "q193_filtered_ann"),
     "asof_fixture" -> Set("q190_asof_hybrid",
-      "q194_asof_filtered_hybrid"))
+      "q194_asof_filtered_hybrid", "q200_asof_retrieval_eval"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -1833,6 +1833,80 @@ object ExtQueries extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // AS-OF retrieval EVALUATION — "audit the run that built dataset
+    // v2": a training-data pipeline must be able to score a
+    // HISTORICAL retrieval run (recall/precision/MRR/nDCG against
+    // judgments) after the corpus moves on, not just re-execute it.
+    // Both legs evaluate AT the interior version — the lexical run is
+    // the BATCHED as-of read (topNBatch + corpusVersion: q198's
+    // operator composed with time travel, 6 queries in one job), the
+    // vector run probeAsOf at full coverage — and Retrieval.metrics
+    // macro-averages each. In-query pins: both live watermarks sit
+    // PAST the asked version (the evaluated run is genuinely
+    // historical) and the as-of walk lands on the interior lists
+    // version. The oracle rebuilds the v2 corpora from scratch,
+    // replays both retrieval runs, the judgment derivation, and every
+    // metric at every cutoff.
+    "q200_asof_retrieval_eval" -> { (s, dir) =>
+      import graft.sources.VersionedTable
+      val f = AsOfFixture.get(s, dir) // pivot at corpus v2 (builder)
+      IvfIndex.refresh(s, f.ivf)
+      Bm25Index.refresh(s, f.bm25)
+      require(IvfIndex.watermark(s, f.ivf) == 3L &&
+        Bm25Index.watermark(s, f.bm25) == 3L,
+        "both live indexes must sit PAST the asked version")
+      require(IvfIndex.versionAt(s, f.ivf, 2L) == 2L,
+        "the as-of walk must land on the interior lists version")
+      import s.implicits._
+      // LEXICAL run: the q198 batch operator, time-traveled to v2
+      val vocab = Vector("hash", "join", "spark", "merge", "scan",
+        "slow")
+      val qs = (1 to 6).map(q =>
+        (q.toLong, Seq(vocab(q % 6), vocab((q + 2) % 6))))
+        .toDF("query_id", "terms")
+      val lexRun = Bm25Index.topNBatch(qs, f.bm25, "query_id", "terms",
+          topN = 20, corpusVersion = Some(2L))
+        .select(col("query_id"), col("doc_id"), col("bm25"))
+      // judgments derive from the HISTORICAL corpus itself (graded,
+      // engine-independent arithmetic; unique per (query, doc))
+      val qids = (1L to 6L).toDF("query_id")
+      val lexQrels = VersionedTable.read(s, f.docTbl, Some(2L))
+        .select(col("doc_id")).crossJoin(broadcast(qids))
+        .filter((col("doc_id") + col("query_id")) % 11 === 0)
+        .withColumn("rel", col("doc_id") % 3 + 1)
+      val lexMetrics = Retrieval.metrics(lexRun, lexQrels, "query_id",
+          "doc_id", "bm25", "rel", Seq(5, 10, 20))
+        .withColumn("run", lit("lexical"))
+      // VECTOR run: a seeded query sample read AT v2, probed as-of at
+      // full coverage (nprobe = nlist ≡ brute force over the v2
+      // snapshot — the oracle-replayable contract), scores rounded
+      // BEFORE the metric ranking (the q27 discipline)
+      val e2 = VersionedTable.read(s, f.emb, Some(2L))
+        .select(col("vec_id"), col("embedding"))
+      val vq = e2.withColumn("h", md5(concat(lit("aeq:"),
+          col("vec_id").cast("string"))))
+        .orderBy(col("h"), col("vec_id")).limit(5).drop("h")
+      val vecRun = IvfIndex.probeAsOf(vq, f.ivf, "vec_id", "embedding",
+          k = 20, nprobe = 8, corpusVersion = 2L)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine_sim"), 6).as("score"))
+      val vqids = vq.select(col("vec_id").as("query_id"))
+      val vecQrels = e2.select(col("vec_id"))
+        .crossJoin(broadcast(vqids))
+        .filter((col("vec_id") + col("query_id")) % 9 === 0 &&
+          col("vec_id") =!= col("query_id"))
+        .withColumn("rel", col("vec_id") % 3 + 1)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("rel"))
+      val vecMetrics = Retrieval.metrics(vecRun, vecQrels, "query_id",
+          "neighbor_id", "score", "rel", Seq(5, 10, 20))
+        .withColumn("run", lit("vector"))
+      lexMetrics.unionByName(vecMetrics)
+        .select(col("run"), col("k"), col("recall"), col("precision"),
+          col("mrr"), col("ndcg"))
+        .orderBy(col("run"), col("k"))
+    },
+
     // DEPLOYED-PQ operating-point tuning — the r18 verdict's #3: the
     // q195 tuner measured RAW probes, but a PQ deployment's recall
     // depends on (nprobe, pool) TOGETHER (ADC preselection can starve
@@ -3110,6 +3184,129 @@ object ExtQueries extends QueryPack {
         |FROM ord o JOIN pool p
         |  ON p.query_id = o.query_id AND p.doc_id = o.doc_id
         |ORDER BY o.query_id, o.rank""".stripMargin,
+    "q200_asof_retrieval_eval" ->
+      """WITH dbase AS (SELECT doc_id, text FROM documents),
+        |dcorpus AS (SELECT doc_id, text FROM dbase
+        |  UNION ALL SELECT doc_id + 1000000, text FROM dbase
+        |  WHERE doc_id % 10 = 4),
+        |tk AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS t
+        |  FROM dcorpus),
+        |st AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(len(t)) AS DOUBLE) / COUNT(*) AS avgdl FROM tk),
+        |qs AS (SELECT * FROM (VALUES
+        |    (1, ['join', 'merge']), (2, ['spark', 'scan']),
+        |    (3, ['merge', 'slow']), (4, ['scan', 'hash']),
+        |    (5, ['slow', 'join']), (6, ['hash', 'spark']))
+        |  AS v(query_id, terms)),
+        |qt AS (SELECT query_id, unnest(terms) AS term FROM qs),
+        |dfq AS (SELECT term, (SELECT COUNT(*) FROM tk
+        |    WHERE list_contains(tk.t, dt.term)) AS dfc
+        |  FROM (SELECT DISTINCT term FROM qt) dt),
+        |sc AS (SELECT qt.query_id, tk.doc_id,
+        |    round(SUM(
+        |      ln((st.n - dfq.dfc + 0.5) / (dfq.dfc + 0.5) + 1.0)
+        |      * len(list_filter(tk.t, x -> x = qt.term)) * 2.2
+        |      / (len(list_filter(tk.t, x -> x = qt.term))
+        |         + 1.2 * (0.25 + 0.75 * len(tk.t) / st.avgdl))), 6)
+        |      AS bm25
+        |  FROM tk CROSS JOIN st
+        |  JOIN qt ON list_contains(tk.t, qt.term)
+        |  JOIN dfq ON dfq.term = qt.term
+        |  GROUP BY qt.query_id, tk.doc_id),
+        |lres AS (SELECT query_id, doc_id, rank FROM (
+        |  SELECT query_id, doc_id, ROW_NUMBER() OVER (
+        |      PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rank
+        |  FROM sc) WHERE rank <= 20),
+        |lqrl AS (SELECT q.query_id, d.doc_id, d.doc_id % 3 + 1 AS rel
+        |  FROM dcorpus d CROSS JOIN (SELECT query_id FROM qs) q
+        |  WHERE (d.doc_id + q.query_id) % 11 = 0),
+        |ks AS (SELECT unnest([5, 10, 20]) AS k),
+        |ljr AS (SELECT r.query_id, r.rank, COALESCE(qr.rel, 0) AS rel
+        |  FROM lres r LEFT JOIN lqrl qr
+        |    ON r.query_id = qr.query_id AND r.doc_id = qr.doc_id),
+        |lpq AS (SELECT ljr.query_id, ks.k,
+        |    SUM(CASE WHEN rank <= k AND rel > 0 THEN 1 ELSE 0 END)
+        |      AS hits,
+        |    MIN(CASE WHEN rank <= k AND rel > 0 THEN rank END)
+        |      AS first_rel,
+        |    SUM(CASE WHEN rank <= k
+        |        THEN (pow(2, rel) - 1) / log2(rank + 1) ELSE 0 END)
+        |      AS dcg
+        |  FROM ljr CROSS JOIN ks GROUP BY 1, 2),
+        |lidl AS (SELECT query_id, rel, ROW_NUMBER() OVER (
+        |    PARTITION BY query_id ORDER BY rel DESC, doc_id)
+        |      AS irank FROM lqrl),
+        |liq AS (SELECT lidl.query_id, ks.k, COUNT(*) AS tot_rel,
+        |    SUM(CASE WHEN irank <= k
+        |        THEN (pow(2, rel) - 1) / log2(irank + 1) ELSE 0 END)
+        |      AS idcg
+        |  FROM lidl CROSS JOIN ks GROUP BY 1, 2),
+        |lm AS (SELECT 'lexical' AS run, liq.k,
+        |    round(AVG(COALESCE(hits, 0) / tot_rel), 6) AS recall,
+        |    round(AVG(COALESCE(hits, 0) / liq.k), 6) AS precision,
+        |    round(AVG(COALESCE(1.0 / first_rel, 0)), 6) AS mrr,
+        |    round(AVG(COALESCE(dcg, 0) / idcg), 6) AS ndcg
+        |  FROM liq LEFT JOIN lpq
+        |    ON lpq.query_id = liq.query_id AND lpq.k = liq.k
+        |  GROUP BY liq.k),
+        |ebase AS (SELECT vec_id, embedding FROM embeddings),
+        |ecorpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM (SELECT vec_id, embedding FROM ebase
+        |    UNION ALL SELECT vec_id + 100000, embedding FROM ebase
+        |    WHERE vec_id % 10 = 4)),
+        |vqry AS (SELECT vec_id AS query_id, v AS qv FROM ecorpus
+        |  ORDER BY md5('aeq:' || CAST(vec_id AS VARCHAR)), vec_id
+        |  LIMIT 5),
+        |vpairs AS (SELECT vqry.query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(c.v, vqry.qv) AS c
+        |  FROM ecorpus c CROSS JOIN vqry
+        |  WHERE c.vec_id <> vqry.query_id),
+        |vsel AS (SELECT query_id, neighbor_id, round(c, 6) AS score
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY c DESC, neighbor_id) AS rr FROM vpairs)
+        |  WHERE rr <= 20),
+        |vres AS (SELECT query_id, neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM vsel),
+        |vqrl AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    e.vec_id % 3 + 1 AS rel
+        |  FROM ecorpus e CROSS JOIN (SELECT query_id FROM vqry) q
+        |  WHERE (e.vec_id + q.query_id) % 9 = 0
+        |    AND e.vec_id <> q.query_id),
+        |vjr AS (SELECT r.query_id, r.rank, COALESCE(qr.rel, 0) AS rel
+        |  FROM vres r LEFT JOIN vqrl qr
+        |    ON r.query_id = qr.query_id
+        |   AND r.neighbor_id = qr.neighbor_id),
+        |vpq AS (SELECT vjr.query_id, ks.k,
+        |    SUM(CASE WHEN rank <= k AND rel > 0 THEN 1 ELSE 0 END)
+        |      AS hits,
+        |    MIN(CASE WHEN rank <= k AND rel > 0 THEN rank END)
+        |      AS first_rel,
+        |    SUM(CASE WHEN rank <= k
+        |        THEN (pow(2, rel) - 1) / log2(rank + 1) ELSE 0 END)
+        |      AS dcg
+        |  FROM vjr CROSS JOIN ks GROUP BY 1, 2),
+        |vidl AS (SELECT query_id, rel, ROW_NUMBER() OVER (
+        |    PARTITION BY query_id ORDER BY rel DESC, neighbor_id)
+        |      AS irank FROM vqrl),
+        |viq AS (SELECT vidl.query_id, ks.k, COUNT(*) AS tot_rel,
+        |    SUM(CASE WHEN irank <= k
+        |        THEN (pow(2, rel) - 1) / log2(irank + 1) ELSE 0 END)
+        |      AS idcg
+        |  FROM vidl CROSS JOIN ks GROUP BY 1, 2),
+        |vm AS (SELECT 'vector' AS run, viq.k,
+        |    round(AVG(COALESCE(hits, 0) / tot_rel), 6) AS recall,
+        |    round(AVG(COALESCE(hits, 0) / viq.k), 6) AS precision,
+        |    round(AVG(COALESCE(1.0 / first_rel, 0)), 6) AS mrr,
+        |    round(AVG(COALESCE(dcg, 0) / idcg), 6) AS ndcg
+        |  FROM viq LEFT JOIN vpq
+        |    ON vpq.query_id = viq.query_id AND vpq.k = viq.k
+        |  GROUP BY viq.k)
+        |SELECT run, k, recall, precision, mrr, ndcg
+        |FROM (SELECT * FROM lm UNION ALL SELECT * FROM vm)
+        |ORDER BY run, k""".stripMargin,
     "q199_pq_operating_point" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
         |  FROM embeddings
