@@ -80,11 +80,40 @@ object IndexRetention {
       smallFileBytes: Long = 8L * 1024 * 1024,
       vacuum: Boolean = true,
       indexVacuum: Boolean = false,
-      orphanGraceMs: Long = 24L * 3600 * 1000): Option[Long] = {
+      orphanGraceMs: Long = 24L * 3600 * 1000): Option[Long] =
+    maintainAllSeam(spark, corpusRoot, ivfIndexes, bm25Indexes,
+      asOfHorizon, tolerance, pqErrFactor, trainIters,
+      compactAboveFiles, smallFileBytes, vacuum, indexVacuum,
+      orphanGraceMs, () => ())
+
+  /** Test seam: `beforeVacuum` runs between the maintenance loop and
+    * the vacuum-floor computation — the window a CONCURRENT
+    * maintainAll cycle or an operator-issued rebuild lands in. The
+    * race is benign BY CONSTRUCTION, and the crossed-writer spec
+    * (IndexOpsSpec) pins it: [[safeVacuum]] recomputes every
+    * retention watermark from the indexes' CURRENT manifests at call
+    * time (never from state captured before the window), so a writer
+    * landing in the window can only move watermarks FORWARD — the
+    * floor stays monotone and a version still serving the horizon is
+    * kept by the recomputed walk, not by luck of scheduling.
+    * Production callers use [[maintainAll]]. */
+  private[graft] def maintainAllSeam(spark: SparkSession,
+      corpusRoot: String,
+      ivfIndexes: Seq[String], bm25Indexes: Seq[String],
+      asOfHorizon: Option[Long],
+      tolerance: Double, pqErrFactor: Double,
+      trainIters: Int,
+      compactAboveFiles: Int,
+      smallFileBytes: Long,
+      vacuum: Boolean,
+      indexVacuum: Boolean,
+      orphanGraceMs: Long,
+      beforeVacuum: () => Unit): Option[Long] = {
     ivfIndexes.foreach(p => IvfIndex.maintain(spark, p, tolerance,
       trainIters, compactAboveFiles, smallFileBytes, pqErrFactor))
     bm25Indexes.foreach(r => Bm25Index.maintain(spark, r,
       compactAboveFiles, smallFileBytes))
+    beforeVacuum()
     val kept =
       if (vacuum)
         Some(safeVacuum(spark, corpusRoot, ivfIndexes, bm25Indexes,

@@ -516,6 +516,91 @@ class IndexOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("vacuumed"), e.getMessage)
   }
 
+  test("crossed writers around maintainAll: a full concurrent cycle " +
+      "and a manual rebuild inside the refresh->vacuum window keep " +
+      "the floor monotone, serve the horizon, and count drift once") {
+    val (corpus, idx) = (tmp() + "/corpus", tmp() + "/idx")
+    VersionedTable.create(spark, corpus, corpusDf(
+      vecs(51, 30, 6, 0.2).zipWithIndex.map { case (v, i) =>
+        (i.toLong, v) })) // v1
+    IvfIndex.create(spark, corpus, "vec_id", "embedding", nlist = 2, idx)
+    VersionedTable.append(spark, corpus, corpusDf(
+      vecs(52, 5, 6, 0.2).zipWithIndex.map { case (v, i) =>
+        (800L + i, v) })) // v2
+    VersionedTable.deleteWhere(spark, corpus, $"vec_id" === 3L,
+      cdf = true) // v3
+    // (a) a COMPLETE second cycle lands between cycle A's maintenance
+    // and its vacuum-floor computation: A must recompute the floor
+    // from the post-B state (monotone), never vacuum below what B
+    // left serving, and the shared delta must count once in drift
+    var keptB: Option[Long] = None
+    var fired = 0
+    val keptA = IndexRetention.maintainAllSeam(spark, corpus,
+      Seq(idx), Seq.empty, None, 0.05, 2.0, 0, Int.MaxValue,
+      8L * 1024 * 1024, vacuum = true, indexVacuum = false, 0L,
+      () => if (fired == 0) {
+        fired += 1
+        keptB = IndexRetention.maintainAll(spark, corpus,
+          ivfIndexes = Seq(idx), orphanGraceMs = 0L)
+      })
+    assert(fired == 1 && keptB.nonEmpty)
+    assert(keptA.get >= keptB.get,
+      s"the floor must stay monotone across crossed cycles: " +
+        s"A=${keptA.get} B=${keptB.get}")
+    assert(keptA.contains(3L), s"both cycles land the head floor: $keptA")
+    // B's refresh folded the delta; A's maintenance had already
+    // folded it — the replay guard makes the second apply a no-op, so
+    // the post-build inserts count ONCE
+    val (_, _, churnN) = IvfIndex.drift(spark, idx)
+    assert(churnN == 5L, s"crossed cycles must count the delta once: $churnN")
+    // nothing a cycle still serves was vacuumed: the live probe
+    // answers exactly at the shared floor
+    val corpusNow = VersionedTable.read(spark, corpus)
+    val queries = corpusNow.filter($"vec_id" < 3)
+    def want(c: DataFrame) = Similarity.bruteForceTopK(
+        queries.select($"vec_id", $"embedding"),
+        c.select($"vec_id", $"embedding"),
+        "vec_id", "embedding", 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(IvfIndex.probe(queries, idx, "vec_id", "embedding", k = 2,
+        nprobe = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet == want(corpusNow))
+    // (b) a manual REBUILD lands in the same window of a
+    // horizon-carrying cycle: the rebuild jumps the live watermark to
+    // the head, but the floor is computed AFTER from the walk over
+    // the current manifests — the version SERVING the horizon pins it
+    VersionedTable.append(spark, corpus, corpusDf(
+      vecs(53, 4, 6, 0.2).zipWithIndex.map { case (v, i) =>
+        (900L + i, v) })) // v4
+    def genDir(): String =
+      VersionedTable.metaOf(spark, idx + "/lists")("ivf.centroids_dir")
+    val gen1 = genDir()
+    var fired2 = 0
+    val kept2 = IndexRetention.maintainAllSeam(spark, corpus,
+      Seq(idx), Seq.empty, Some(3L), 0.05, 2.0, 0, Int.MaxValue,
+      8L * 1024 * 1024, vacuum = true, indexVacuum = false, 0L,
+      () => if (fired2 == 0) { fired2 += 1; IvfIndex.rebuild(spark, idx) })
+    assert(fired2 == 1 && genDir() != gen1,
+      "the crossed rebuild must have landed a new generation")
+    assert(kept2.contains(3L),
+      s"the horizon-serving version must pin the floor: $kept2")
+    // the horizon still answers exactly from the OLD generation...
+    val hist = VersionedTable.read(spark, corpus, Some(3L))
+    assert(IvfIndex.probeAsOf(queries, idx, "vec_id", "embedding",
+        k = 2, nprobe = 2, corpusVersion = 3L)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet == want(hist),
+      "the crossed rebuild must not unserve the horizon")
+    // ...and the NEW generation serves the head
+    assert(IvfIndex.probe(queries, idx, "vec_id", "embedding", k = 2,
+        nprobe = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet ==
+      want(VersionedTable.read(spark, corpus)))
+  }
+
   test("index-history vacuum (bm25): all four tables' histories bound " +
       "under maintainAll(indexVacuum); scoring, as-of at the horizon, " +
       "and onward maintenance all hold") {
