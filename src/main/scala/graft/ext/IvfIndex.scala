@@ -93,6 +93,9 @@ object IvfIndex {
   private val PqBuildNKey = "ivf.pq_build_n"
   private val PqChurnErrSumKey = "ivf.pq_churn_err_sum"
   private val PqChurnNKey = "ivf.pq_churn_n"
+  // OPQ learned-rotation generations (0 = plain PQ): codes quantize
+  // R·residual; R rides the generation dir as j = -1 rows
+  private val PqOpqItersKey = "ivf.pq_opq_iters"
 
   private def listsRoot(path: String) = s"$path/lists"
 
@@ -180,9 +183,19 @@ object IvfIndex {
       // hot-centroid cap ([[partsFor]]): sub-split the layout past
       // this many rows per file; persisted, so refresh/rebuild keep
       // the same policy
-      rowsPerFile: Long = 1L << 20): Long = {
+      rowsPerFile: Long = 1L << 20,
+      // OPQ: learn an orthogonal rotation with this many alternating
+      // Lloyd/Procrustes rounds ([[Pq.opqFit]]) and quantize
+      // R·residual — better reconstruction per bit on correlated
+      // embeddings, spec-certified (build error ≤ the plain seeded
+      // fit's, PqSpec/IvfIndexSpec). 0 = the plain seeded fit. Like
+      // [[Pq.refine]], a learned model is engine-deterministic only
+      // per-plan (float-mean reductions), so oracle-gated queries
+      // stay on 0; R persists per generation and rides rebuilds.
+      pqOpqIters: Int = 0): Long = {
     val (lists, meta) = buildState(spark, corpusRoot, idCol, vecCol,
-      nlist, path, trainIters, pq, pqSeed, pqResidual, rowsPerFile)
+      nlist, path, trainIters, pq, pqSeed, pqResidual, rowsPerFile,
+      pqOpqIters)
     VersionedTable.create(spark, listsRoot(path), lists, meta = meta)
   }
 
@@ -202,7 +215,8 @@ object IvfIndex {
       idCol: String, vecCol: String, nlist: Int, path: String,
       trainIters: Int, pq: Option[(Int, Int)],
       pqSeed: Int, pqResidual: Boolean,
-      rowsPerFile: Long): (DataFrame, Map[String, String]) = {
+      rowsPerFile: Long,
+      pqOpqIters: Int = 0): (DataFrame, Map[String, String]) = {
     require(nlist > 0, s"need nlist > 0, got $nlist")
     val cv = VersionedTable.currentVersion(spark, corpusRoot).getOrElse(
       throw new IllegalArgumentException(s"$corpusRoot: no versioned table"))
@@ -245,15 +259,29 @@ object IvfIndex {
         // the PQ codebooks are a per-generation immutable artifact,
         // named by the manifest meta exactly like the quantizer —
         // time-travel probes decode any version with ITS codebooks.
-        // Residual mode fits AND encodes on v − centroid.
-        val toCode = assigned.withColumn("_pqv",
+        // Residual mode fits AND encodes on v − centroid; OPQ mode
+        // (pqOpqIters > 0) learns an orthogonal rotation on top and
+        // fits/encodes on R·residual — R rides the SAME generation
+        // dir (j = -1 rows), so time travel pairs it like the rest.
+        val toCode0 = assigned.withColumn("_raw",
           if (pqResidual) residualCol("nv", centroids)
           else transform(col("nv"), x => x.cast("double")))
-        val model = Pq.fit(toCode, "neighbor_id", "_pqv", m, ks, pqSeed)
+        val (rot, model) =
+          if (pqOpqIters > 0) {
+            val (r, mdl) = Pq.opqFit(toCode0, "neighbor_id", "_raw",
+              m, ks, pqOpqIters, pqSeed)
+            (Some(r), mdl)
+          } else
+            (None, Pq.fit(toCode0, "neighbor_id", "_raw", m, ks, pqSeed))
+        val toCode = toCode0.withColumn("_pqv",
+          rot.fold(col("_raw"))(r => Pq.rotate(col("_raw"), r)))
         val pdir = s"pq_${java.util.UUID.randomUUID().toString.take(8)}"
-        model.codebooks.zipWithIndex.flatMap { case (cb, j) =>
-          cb.zipWithIndex.map { case (w, c) => (j, c, w) }
-        }.toDF("j", "c", "weights")
+        val cbRows = model.codebooks.zipWithIndex.flatMap {
+          case (cb, j) => cb.zipWithIndex.map { case (w, c) => (j, c, w) }
+        }
+        val rotRows = rot.toSeq.flatMap(_.zipWithIndex.map {
+          case (row, i) => (-1, i, row) })
+        (cbRows ++ rotRows).toDF("j", "c", "weights")
           .coalesce(1).write.mode("overwrite").parquet(s"$path/$pdir")
         val encoded = Pq.encode(toCode, "_pqv", model)
         // build-fidelity baseline: mean squared quantization error of
@@ -268,19 +296,25 @@ object IvfIndex {
             PqKsKey -> ks.toString, PqDimKey -> model.dim.toString,
             PqSeedKey -> pqSeed.toString,
             PqResidualKey -> (if (pqResidual) "1" else "0"),
+            PqOpqItersKey -> pqOpqIters.toString,
             PqBuildErrSumKey -> errRow.getDouble(0).toString,
             PqBuildNKey -> errRow.getLong(1).toString,
             PqChurnErrSumKey -> "0.0", PqChurnNKey -> "0"))
     }
   }
 
-  /** The frozen PQ codebooks a lists version decodes with (None when
-    * the index stores raw vectors). */
+  /** The frozen PQ codebooks a lists version decodes with, plus the
+    * generation's OPQ rotation when one was learned (None when the
+    * index stores raw vectors). Rotation rows ride the same dir as
+    * j = -1, so the artifact stays one immutable generation unit
+    * (time travel and the [[vacuumHistory]] GC pair it as a whole). */
   private def readPq(spark: SparkSession, path: String,
-      meta: Map[String, String]): Option[Pq.PqModel] =
+      meta: Map[String, String])
+      : Option[(Pq.PqModel, Option[Seq[Seq[Double]]])] =
     meta.get(PqDirKey).map { pdir =>
-      val rows = spark.read.parquet(s"$path/$pdir")
+      val all = spark.read.parquet(s"$path/$pdir")
         .orderBy("j", "c").collect()
+      val (rotRows, rows) = all.partition(_.getInt(0) < 0)
       val m = meta(PqMKey).toInt
       val ks = meta(PqKsKey).toInt
       val cbs = rows.grouped(ks).map(_.map(
@@ -288,7 +322,18 @@ object IvfIndex {
       require(cbs.size == m && cbs.forall(_.size == ks),
         s"$path/$pdir: expected $m x $ks codebooks, got " +
           s"${cbs.size} x ${cbs.headOption.fold(0)(_.size)}")
-      Pq.PqModel(meta(PqDimKey).toInt, m, ks, cbs)
+      val dim = meta(PqDimKey).toInt
+      val rot =
+        if (rotRows.isEmpty) None
+        else {
+          val r = rotRows.map(
+            _.getSeq[Number](2).map(_.doubleValue()).toSeq).toSeq
+          require(r.size == dim && r.forall(_.size == dim),
+            s"$path/$pdir: rotation must be $dim x $dim, got " +
+              s"${r.size} x ${r.headOption.fold(0)(_.size)}")
+          Some(r)
+        }
+      (Pq.PqModel(dim, m, ks, cbs), rot)
     }
 
   /** Apply the corpus change feed (watermark, current] to the posting
@@ -384,11 +429,15 @@ object IvfIndex {
     // its reconstruction error accumulates into the codebook-drift
     // counters riding this same commit (replays no-op with it)
     val (payload, insertRows, pqErrMeta) = readPq(spark, path, meta) match {
-      case Some(model) =>
-        val toCode = ins.withColumn("_pqv",
+      case Some((model, rot)) =>
+        // OPQ generations encode (and measure drift) in the SAME
+        // rotated space the codebooks were fit in
+        val rawCol =
           if (meta.get(PqResidualKey).contains("1"))
             residualCol("nv", centroids)
-          else transform(col("nv"), x => x.cast("double")))
+          else transform(col("nv"), x => x.cast("double"))
+        val toCode = ins.withColumn("_pqv",
+          rot.fold(rawCol)(r => Pq.rotate(rawCol, r)))
         val enc = Pq.encode(toCode, "_pqv", model)
           .localCheckpoint(true) // the err agg must not re-encode
         val er = enc.agg(coalesce(sum(
@@ -500,7 +549,7 @@ object IvfIndex {
           .filter(col("query_id") =!= col("neighbor_id")))
           .select(col("query_id"), col("neighbor_id"),
             Similarity.cosine(col("qv"), col("nv")).as("cosine_sim"))
-      case Some(model) =>
+      case Some((model, rot)) =>
         val effPool = if (pool > 0) pool else math.max(4 * k, 50)
         val pw = Window.partitionBy("query_id")
           .orderBy(col("adc_sim").desc, col("neighbor_id"))
@@ -510,8 +559,8 @@ object IvfIndex {
             (if (meta.get(PqResidualKey).contains("1"))
               Pq.adcSimResidual(col("qv"), col("pq_code"),
                 element_at(typedlit(centroids), col("centroid_id") + 1),
-                model)
-            else Pq.adcSim(col("qv"), col("pq_code"), model))
+                model, rot)
+            else Pq.adcSim(col("qv"), col("pq_code"), model, rot))
               .as("adc_sim"))
           .withColumn("_pr", row_number().over(pw))
           .filter(col("_pr") <= effPool)
@@ -670,13 +719,15 @@ object IvfIndex {
       trainIters: Int = 0): Long = {
     val meta0 = VersionedTable.metaOf(spark, listsRoot(path))
     // an IVF-PQ index retrains BOTH generations' artifacts — quantizer
-    // and codebooks — with its build-time geometry and seed
+    // and codebooks (and the OPQ rotation, when one was learned) —
+    // with its build-time geometry and seed
     val pq = meta0.get(PqMKey).map(m => (m.toInt, meta0(PqKsKey).toInt))
     val (lists, meta) = buildState(spark, meta0(CorpusKey),
       meta0(IdKey), meta0(VecKey), meta0(NlistKey).toInt, path,
       trainIters, pq, meta0.get(PqSeedKey).fold(7)(_.toInt),
       meta0.get(PqResidualKey).contains("1"),
-      meta0.get(RowsPerFileKey).fold(Long.MaxValue)(_.toLong))
+      meta0.get(RowsPerFileKey).fold(Long.MaxValue)(_.toLong),
+      meta0.get(PqOpqItersKey).fold(0)(_.toInt))
     VersionedTable.replace(spark, listsRoot(path), lists, meta = meta)
   }
 

@@ -373,13 +373,19 @@ object Pq {
     * literal tables by the stored code (element_at lookups +
     * zip_with/aggregate loops — the same under-64KB codegen shape as
     * [[encode]]; the sub-norms are a precomputed m × ks literal).
-    * Shared by [[adcTopK]] and [[IvfIndex.probe]]'s PQ path. */
-  private[ext] def adcSim(qv: Column, cd: Column,
-      model: PqModel): Column = {
+    * Shared by [[adcTopK]] and [[IvfIndex.probe]]'s PQ path.
+    *
+    * `rotation` = OPQ mode: the codes quantize R·v, so the
+    * reconstruction lives in the ROTATED space and the dot leg reads
+    * the rotated query (cos(q, Rᵀẑ) = (Rq)·ẑ / (‖q‖·‖ẑ‖) — R
+    * orthogonal preserves the norms; one extra map-only matvec). */
+  private[ext] def adcSim(qv: Column, cd: Column, model: PqModel,
+      rotation: Option[Seq[Seq[Double]]] = None): Column = {
     val cb = typedlit(model.codebooks) // m × ks × dsub
     val n2 = typedlit(model.codebooks.map(_.map(_.map(x => x * x).sum)))
+    val qr = rotation.fold(qv)(r => rotate(qv, r))
     val dotJ = (0 until model.m).map { j =>
-      val qsl = slice(qv, j * model.dsub + 1, model.dsub)
+      val qsl = slice(qr, j * model.dsub + 1, model.dsub)
       val row = element_at(element_at(cb, j + 1),
         element_at(cd, j + 1) + 1)
       aggregate(zip_with(qsl, row, (x, y) => x.cast("double") * y),
@@ -403,18 +409,27 @@ object Pq {
     * element_at into the quantizer literal at the probe site), so no
     * nlist×m×ks cross-term table ever materializes — the FAISS
     * precomputed-table trade, resolved for literal-size safety at
-    * production nlist. Same HOF codegen shape as [[adcSim]]. */
+    * production nlist. Same HOF codegen shape as [[adcSim]].
+    *
+    * `rotation` = OPQ mode: codes quantize R·(v − c), so the
+    * reconstruction is v̂ = c + Rᵀẑ and BOTH dot-with-codeword legs
+    * read rotated vectors — q·Rᵀẑ = (Rq)·ẑ and c·Rᵀẑ = (Rc)·ẑ —
+    * while ‖q‖, ‖c‖², q·c stay in the raw space (R orthogonal). */
   private[ext] def adcSimResidual(qv: Column, cd: Column, cvec: Column,
-      model: PqModel): Column = {
+      model: PqModel,
+      rotation: Option[Seq[Seq[Double]]] = None): Column = {
     val cb = typedlit(model.codebooks)
     val n2 = typedlit(model.codebooks.map(_.map(_.map(x => x * x).sum)))
-    def dotWithRows(v: Column): Column = (0 until model.m).map { j =>
-      val sl = slice(v, j * model.dsub + 1, model.dsub)
-      val row = element_at(element_at(cb, j + 1),
-        element_at(cd, j + 1) + 1)
-      aggregate(zip_with(sl, row, (x, y) => x.cast("double") * y),
-        lit(0.0), (a, b) => a + b)
-    }.reduce(_ + _)
+    def dotWithRows(v0: Column): Column = {
+      val v = rotation.fold(v0)(r => rotate(v0, r))
+      (0 until model.m).map { j =>
+        val sl = slice(v, j * model.dsub + 1, model.dsub)
+        val row = element_at(element_at(cb, j + 1),
+          element_at(cd, j + 1) + 1)
+        aggregate(zip_with(sl, row, (x, y) => x.cast("double") * y),
+          lit(0.0), (a, b) => a + b)
+      }.reduce(_ + _)
+    }
     val rnorm2 = (0 until model.m).map { j =>
       element_at(element_at(n2, j + 1), element_at(cd, j + 1) + 1)
     }.reduce(_ + _)

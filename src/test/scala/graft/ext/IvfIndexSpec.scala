@@ -524,6 +524,84 @@ class IvfIndexSpec extends AnyFunSuite {
         rowsPq.mkString(","))
   }
 
+  test("OPQ rotation in the index build: exactness holds through " +
+      "rotation across churn, rebuild, and time travel; the learned " +
+      "generation reconstructs at-or-better than the plain seeded fit") {
+    val (root, plain, opq) =
+      (tmp() + "/corpus", tmp() + "/plain", tmp() + "/opq")
+    val dim = 8
+    // correlated data (adjacent dims track each other at different
+    // scales) — the regime a learned rotation pays in; the ≤ cert is
+    // monotone-descent math and holds on any data
+    val rnd = new scala.util.Random(61)
+    val base = (0 until 60).map { i =>
+      val g = Array.fill(4)(rnd.nextGaussian())
+      (i.toLong, Array(
+        g(0), 0.9 * g(0) + 0.1 * g(1), 3.0 * g(1),
+        0.8 * g(1) + 0.2 * g(2), g(2), 0.25 * g(3),
+        2.0 * g(3), 0.7 * g(3) + 0.3 * g(0)).map(_.toFloat))
+    }
+    VersionedTable.create(spark, root, corpusDf(base))
+    IvfIndex.create(spark, root, "vec_id", "embedding", nlist = 2,
+      plain, pq = Some((4, 16)))
+    IvfIndex.create(spark, root, "vec_id", "embedding", nlist = 2,
+      opq, pq = Some((4, 16)), pqOpqIters = 2)
+    // the learned generation's build-time reconstruction error is
+    // at-or-below the plain seeded fit's (same seed, same sample —
+    // OPQ descends from exactly that init)
+    val (errPlain, _, _) = IvfIndex.pqDrift(spark, plain)
+    val (errOpq, _, _) = IvfIndex.pqDrift(spark, opq)
+    assert(errOpq <= errPlain * (1 + 1e-9) + 1e-12,
+      s"opq must reconstruct at-or-better: $errOpq vs $errPlain")
+    // exactness through the rotation: covering-pool probe ≡ brute
+    // force (the q192 contract, now with rotated ADC legs)
+    val corpus = VersionedTable.read(spark, root)
+    val queries = corpus.filter(col("vec_id") < 4)
+    def want(c: DataFrame) = brute(c, c.filter(col("vec_id") < 4), 3)
+    def got(v: Option[Long] = None, c: DataFrame = corpus) =
+      IvfIndex.probe(c.filter(col("vec_id") < 4), opq, "vec_id",
+          "embedding", k = 3, nprobe = 2, version = v,
+          pool = Int.MaxValue)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .as[(Long, Long, Int)].collect().toSet
+    assert(got() == want(corpus), "covering probe must stay exact")
+    // a bounded pool still answers through the rotated ADC ranking
+    assert(IvfIndex.probe(queries, opq, "vec_id", "embedding", k = 3,
+      nprobe = 2, pool = 10).count() > 0)
+    // churn + refresh: the delta encodes in the SAME rotated space
+    // (drift counters accumulate there) and exactness survives
+    VersionedTable.append(spark, root, corpusDf(
+      (0 until 7).map { i =>
+        val g = Array.fill(4)(rnd.nextGaussian())
+        (700L + i, Array(
+          g(0), 0.9 * g(0) + 0.1 * g(1), 3.0 * g(1),
+          0.8 * g(1) + 0.2 * g(2), g(2), 0.25 * g(3),
+          2.0 * g(3), 0.7 * g(3) + 0.3 * g(0)).map(_.toFloat))
+      }))
+    IvfIndex.refresh(spark, opq)
+    val (_, churnErr, churnN) = IvfIndex.pqDrift(spark, opq)
+    assert(churnN == 7L && !churnErr.isNaN,
+      s"churn must accumulate rotated-space error: $churnN / $churnErr")
+    val corpus2 = VersionedTable.read(spark, root)
+    assert(got(c = corpus2) == want(corpus2),
+      "exactness must survive churn through the rotation")
+    // rebuild: the new generation retrains quantizer + codebooks +
+    // rotation together; the OLD generation (with ITS rotation) still
+    // serves time travel
+    def pqDir(v: Option[Long]): String =
+      VersionedTable.metaOf(spark, opq + "/lists", v)("ivf.pq_dir")
+    val prevLists = VersionedTable.currentVersion(spark,
+      opq + "/lists").get
+    val gen1 = pqDir(None)
+    IvfIndex.rebuild(spark, opq)
+    assert(pqDir(None) != gen1, "rebuild must land a new generation")
+    assert(got(c = corpus2) == want(corpus2),
+      "the rebuilt rotated generation must stay exact")
+    assert(got(v = Some(prevLists), c = corpus2) == want(corpus2),
+      "the pre-rebuild generation must keep serving with its own " +
+        "rotation")
+  }
+
   test("tuneOperatingPoint: the (nprobe, pool) grid measures the " +
       "DEPLOYED ADC + re-rank read; pool axis is monotone; the pick " +
       "is the minimal-cost clearing cell; raw indexes are refused") {
