@@ -177,7 +177,8 @@ object Bench {
       "q181_materialized_cascade", "q186_ivf_churn_maintain",
       "q187_bm25_incremental", "q189_hybrid_indexed",
       "q190_asof_hybrid", "q192_ivfpq_churn_maintain",
-      "q193_filtered_ann", "q194_asof_filtered_hybrid")
+      "q193_filtered_ann", "q194_asof_filtered_hybrid",
+      "q200_asof_retrieval_eval")
     // untimed passes until the probes reach JIT steady state (two
     // consecutive passes within 20%, max 5): ONE warmup pass was not
     // enough — the first timed probes then measure C2 compilation,

@@ -301,9 +301,10 @@ object Bm25Index {
             "topNBatch: query "), col("query_id").cast("string"),
             lit(" has a null/empty term array")))
             .cast("array<string>"))).as("term"))
-      .filter(when(length(col("term")) < 1, raise_error(concat(lit(
+      .filter(when(col("term").isNull || length(col("term")) < 1,
+        raise_error(concat(lit(
           "topNBatch: query "), col("query_id").cast("string"),
-          lit(" has an empty term")))).otherwise(lit(true)))
+          lit(" has a null/empty term")))).otherwise(lit(true)))
     val qTerms = qt.select("term").distinct()
     // collection stats as COLUMNS: the one-row global view cross-joins
     // (broadcast) and per-term df joins by term — no df/idf collects.
