@@ -1937,9 +1937,11 @@ object ExtQueries extends QueryPack {
       val q = e.withColumn("h", md5(concat(lit("opq:"),
           col("vec_id").cast("string"))))
         .orderBy(col("h"), col("vec_id")).limit(20).drop("h")
+      // 3×2 grid: both axes measured, 7 bounded probes total (the
+      // spec's IvfIndexSpec grid is denser; the bench row stays lean)
       val ((np, p), grid) = IvfIndex.tuneOperatingPoint(q, idx,
         "vec_id", "embedding", k = 10, target = 1.0,
-        nprobes = Seq(2, 4, 8, 16), pools = Seq(20, 50, 200))
+        nprobes = Seq(2, 8, 16), pools = Seq(20, 200))
       val cells = grid
         .select("nprobe", "pool", "recall", "cost").collect()
         .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2),
