@@ -46,16 +46,29 @@ object Retrieval {
     * discipline): an input past `maxCandidates` rows fails LOUDLY
     * in-plan — a raise_error riding the global rank, no extra count
     * job — instead of silently serializing an unbounded feed through
-    * the one-partition window. Output: input columns + `rank`. */
+    * the one-partition window.
+    *
+    * `queryCol` = the BATCH form (the [[graft.ext.Bm25Index.topNBatch]]
+    * shape): the input carries a whole query set's candidate lists
+    * and BOTH windows key on (query, …) — the collapse per (query,
+    * cluster), the re-cut per query — so the work distributes across
+    * queries and the single-partition exchange disappears from the
+    * plan entirely; a duplicate document is collapsed per query, not
+    * across queries (two queries may legitimately surface the same
+    * cluster). Per-query output ≡ the single-query form
+    * (spec-pinned). Output: input columns + `rank`. */
   def dedupTopN(ranked: DataFrame, idCol: String, scoreCol: String,
       clusterCol: String, topN: Int,
-      maxCandidates: Int = 100000): DataFrame = {
+      maxCandidates: Int = 100000,
+      queryCol: Option[String] = None): DataFrame = {
     require(topN > 0, s"topN must be positive: $topN")
     require(maxCandidates >= topN,
       s"maxCandidates $maxCandidates < topN $topN")
-    val wC = Window.partitionBy(clusterCol)
+    val qKey = queryCol.map(col).toSeq
+    val wC = Window.partitionBy(qKey :+ col(clusterCol): _*)
       .orderBy(col(scoreCol).desc, col(idCol))
-    val wG = Window.orderBy(col(scoreCol).desc, col(idCol))
+    val wG = Window.partitionBy(qKey: _*)
+      .orderBy(col(scoreCol).desc, col(idCol))
     val best = ranked.filter(col(clusterCol).isNotNull)
       .withColumn("_cr", row_number().over(wC))
       .filter(col("_cr") === 1).drop("_cr")
@@ -63,10 +76,11 @@ object Retrieval {
     // the guard must see EVERY ranked row, so it rides the same filter
     // as the cut (one when-chain: rows past the bound throw before the
     // cut could drop them)
+    val what = queryCol.fold("input")(q => s"input for a single $q")
     best.unionByName(unkeyed)
       .withColumn("rank", row_number().over(wG))
       .filter(when(col("rank") > maxCandidates, raise_error(concat(
-          lit(s"dedupTopN: input exceeds maxCandidates=$maxCandidates " +
+          lit(s"dedupTopN: $what exceeds maxCandidates=$maxCandidates " +
             "rows ("), col("rank").cast("string"),
           lit(") — feed a retriever's bounded top-N, not an unbounded " +
             "frame"))).cast("boolean"))

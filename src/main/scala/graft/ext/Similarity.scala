@@ -1149,6 +1149,55 @@ object Similarity {
       .limit(topN)
   }
 
+  /** BATCHED reciprocal-rank fusion — [[rrfFuse]] for a whole query
+    * set in ONE distributed plan (the [[graft.ext.Bm25Index.topNBatch]]
+    * shape, closing the fusion leg of the same wall: a 10k-query
+    * hybrid eval must not run 10k sequential fusions). Every input
+    * list carries (queryCol, idCol, score); ranks are assigned per
+    * (list, query) by a KEYED window — partitioned by the query id,
+    * so the work distributes across queries AND the single-partition
+    * exchange of the one-query form disappears from the plan
+    * entirely. Fusion full-outer-joins the lists per (query, id),
+    * scores RRF(d) = Σ 1/(rrfK + rank_d) (missing-from-a-list
+    * contributes nothing), and cuts topN per query.
+    *
+    * Per-query output ≡ [[rrfFuse]] of that query's lists
+    * (spec-pinned); `maxCandidates` is enforced in-plan per (list,
+    * query) — the [[mmrTopK]] discipline. Output: (queryCol, idCol,
+    * rank_1..rank_n null-padded, rrf_score, rank). */
+  def rrfFuseBatch(lists: Seq[(DataFrame, String)], queryCol: String,
+      idCol: String, topN: Int, rrfK: Int = 60,
+      maxCandidates: Int = 100000): DataFrame = {
+    require(lists.nonEmpty, "rrfFuseBatch needs at least one ranked list")
+    require(topN > 0 && rrfK > 0, s"bad topN=$topN / rrfK=$rrfK")
+    require(maxCandidates >= topN,
+      s"maxCandidates $maxCandidates < topN $topN")
+    val ranked = lists.zipWithIndex.map { case ((df, scoreCol), i) =>
+      val w = Window.partitionBy(col(queryCol))
+        .orderBy(col(scoreCol).desc, col(idCol))
+      df.select(col(queryCol), col(idCol), col(scoreCol))
+        .withColumn(s"rank_${i + 1}", row_number().over(w))
+        .filter(when(col(s"rank_${i + 1}") > maxCandidates,
+            raise_error(concat(
+              lit(s"rrfFuseBatch: input list ${i + 1} exceeds " +
+                s"maxCandidates=$maxCandidates rows for query "),
+              col(queryCol).cast("string"),
+              lit(" — feed retrievers' bounded top-N lists"))))
+          .otherwise(lit(true)).cast("boolean"))
+        .drop(scoreCol)
+    }
+    val joined = ranked.reduce(
+      _.join(_, Seq(queryCol, idCol), "full_outer"))
+    val rrf = (1 to lists.size).map(i =>
+        coalesce(lit(1.0) / (lit(rrfK) + col(s"rank_$i")), lit(0.0)))
+      .reduce(_ + _)
+    val wCut = Window.partitionBy(col(queryCol))
+      .orderBy(col("rrf_score").desc, col(idCol))
+    joined.withColumn("rrf_score", round(rrf, 9))
+      .withColumn("rank", row_number().over(wCut))
+      .filter(col("rank") <= topN)
+  }
+
   /** Hybrid top-k retrieval: BM25 over `textCol` fused with cosine
     * similarity of `vecCol` against `queryVec`, by [[rrfFuse]]. The
     * frame carries BOTH representations of each document (the id

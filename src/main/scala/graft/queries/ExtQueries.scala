@@ -1833,6 +1833,156 @@ object ExtQueries extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // BATCHED hybrid retrieval — the fusion leg of the q198 wall
+    // closed: rrfFuse was single-query-shaped (one fusion per call,
+    // with a single-partition rank window), so a bulk hybrid run was
+    // N sequential fusions even after the lexical leg batched.
+    // rrfFuseBatch fuses a whole query set in ONE plan with KEYED
+    // windows (no single-partition exchange — spec-asserted on the
+    // physical plan); here it fuses q198's batched lexical reader
+    // with an explicit-quantizer IVF probe (the q183 idiom: genuinely
+    // approximate AND engine-reproducible) for 8 seeded queries.
+    // In-query pins: per-query cuts bounded and non-empty, and one
+    // probe query's fused rows EQUAL the single-query rrfFuse of its
+    // two lists (probe parity on live data). The oracle replays both
+    // legs — the multi-query BM25 trace and the seeded-centroid IVF
+    // probe — and the per-query fusion arithmetic from scratch.
+    "q201_hybrid_batch" -> { (s, dir) =>
+      import graft.sources.VersionedTable
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val whPath =
+        if (wh.startsWith("file:")) new java.net.URI(wh).getPath else wh
+      val base = new java.io.File(whPath,
+        s"graft_q201/${java.util.UUID.randomUUID()}").toString
+      val (tbl, idx) = (s"$base/docs", s"$base/bm25")
+      import s.implicits._
+      VersionedTable.create(s, tbl,
+        docs(s, dir).select(col("doc_id"), col("text")))
+      Bm25Index.create(s, tbl, "doc_id", "text", idx)
+      val e = embs(s, dir)
+      val q = e.withColumn("h", md5(concat(lit("hbq:"),
+          col("vec_id").cast("string"))))
+        .orderBy(col("h"), col("vec_id")).limit(8).drop("h")
+        .localCheckpoint(true) // reused by both legs and the pins
+      val cents: Seq[Seq[Double]] = e
+        .withColumn("h", md5(concat(lit("hbc:"),
+          col("vec_id").cast("string"))))
+        .orderBy(col("h"), col("vec_id")).limit(16)
+        .orderBy(col("vec_id")).select(col("embedding")).collect()
+        .map(_.getSeq[Number](0).map(_.doubleValue()).toSeq).toSeq
+      val vec = Similarity.ivfTopKExplicit(q, e, "vec_id", "embedding",
+          k = 50, nprobe = 4, cents)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("cosine_sim").as("cos"))
+      val vocab = Vector("join", "hash", "scan", "merge", "slow",
+        "spark", "sort", "filter")
+      val vlit = typedlit(vocab)
+      val qterms = q.select(col("vec_id").as("query_id"),
+        array(
+          element_at(vlit, (col("vec_id") % 8 + 1).cast("int")),
+          element_at(vlit, ((col("vec_id") + 3) % 8 + 1).cast("int")))
+          .as("terms"))
+      val lex = Bm25Index.topNBatch(qterms, idx, "query_id", "terms",
+          topN = 50)
+        .select(col("query_id"), col("doc_id"), col("bm25"))
+        .localCheckpoint(true) // reused by the fusion and the pin
+      val fused = Similarity.rrfFuseBatch(
+          Seq(lex -> "bm25", vec -> "cos"), "query_id", "doc_id",
+          topN = 20)
+        .localCheckpoint(true)
+      val counts = fused.groupBy("query_id").count()
+        .select("count").as[Long].collect()
+      require(counts.length == 8 && counts.forall(c => c > 0 && c <= 20),
+        s"per-query fused cuts must be non-empty and bounded: " +
+          s"${counts.toSeq}")
+      // probe parity on live data: the lowest query id's fused rows
+      // equal the single-query fusion of its two lists
+      val qid = q.agg(min(col("vec_id"))).head().getLong(0)
+      val single = Similarity.rrfFuse(Seq(
+          lex.filter(col("query_id") === qid)
+            .select("doc_id", "bm25") -> "bm25",
+          vec.filter(col("query_id") === qid)
+            .select("doc_id", "cos") -> "cos"),
+        "doc_id", topN = 20)
+        .select(col("doc_id"), col("rank_1"), col("rank_2"),
+          col("rrf_score"))
+      val batchOne = fused.filter(col("query_id") === qid)
+        .select(col("doc_id"), col("rank_1"), col("rank_2"),
+          col("rrf_score"))
+      require(batchOne.exceptAll(single).isEmpty &&
+        single.exceptAll(batchOne).isEmpty,
+        s"batched fusion for query $qid must equal the single fusion")
+      fused.select(col("query_id"), col("doc_id"), col("rank_1"),
+          col("rank_2"), col("rrf_score"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // BATCHED dedup-aware retrieval — q196 for a whole query set:
+    // the single-query form's cluster-collapse and re-cut windows
+    // were global (one page at a time); the batch form keys BOTH on
+    // the query id (collapse per (query, cluster), re-cut per query),
+    // so a bulk serving/training-mix run distributes across queries
+    // with no single-partition exchange, and a duplicate document is
+    // suppressed per query, not across queries (two queries may
+    // legitimately both surface a cluster's best row). Candidates
+    // come from the q198 batch reader; the cluster key is the q196
+    // first-10-token prefix fingerprint. In-query pins: the collapse
+    // suppressed planted twins, surviving fingerprints are unique PER
+    // QUERY, and one query's rows equal the single-query dedupTopN.
+    // The oracle replays the multi-query BM25 trace, fingerprinting,
+    // per-(query, cluster) argmax, and every per-query re-cut.
+    "q202_dedup_retrieval_batch" -> { (s, dir) =>
+      import graft.sources.VersionedTable
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val whPath =
+        if (wh.startsWith("file:")) new java.net.URI(wh).getPath else wh
+      val base = new java.io.File(whPath,
+        s"graft_q202/${java.util.UUID.randomUUID()}").toString
+      val (tbl, idx) = (s"$base/docs", s"$base/bm25")
+      import s.implicits._
+      val d = docs(s, dir)
+      VersionedTable.create(s, tbl, d.select(col("doc_id"), col("text")))
+      Bm25Index.create(s, tbl, "doc_id", "text", idx)
+      val vocab = Vector("join", "hash", "scan", "merge", "slow",
+        "spark", "sort", "filter")
+      val qs = (1 to 6).map(q =>
+        (q.toLong, Seq(vocab(q % 8), vocab((q + 3) % 8))))
+        .toDF("query_id", "terms")
+      val cands = Bm25Index.topNBatch(qs, idx, "query_id", "terms",
+          topN = 100)
+        .select(col("query_id"), col("doc_id"), col("bm25"))
+      val fp = d.filter(col("text").isNotNull)
+        .select(col("doc_id"), md5(concat_ws(" ",
+          slice(filter(split(col("text"), " "),
+            t => length(t) > 0), 1, 10))).as("fp"))
+      val joined = cands.join(fp, Seq("doc_id"))
+        .localCheckpoint(true) // reused by the result and the pins
+      val out = Retrieval.dedupTopN(joined, "doc_id", "bm25", "fp",
+          topN = 30, queryCol = Some("query_id"))
+        .localCheckpoint(true)
+      val (nCand, nClusters) = (joined.count(),
+        joined.select("query_id", "fp").distinct().count())
+      require(nClusters < nCand,
+        s"the candidate lists must contain planted twins: " +
+          s"$nClusters clusters / $nCand candidates")
+      require(out.select("query_id", "fp").distinct().count()
+        == out.count(),
+        "every surviving fingerprint must be unique per query")
+      // probe parity: query 3's batch rows == the single-query form
+      val single = Retrieval.dedupTopN(
+          joined.filter(col("query_id") === 3L).drop("query_id"),
+          "doc_id", "bm25", "fp", topN = 30)
+        .select("doc_id", "bm25", "fp", "rank")
+      val batch3 = out.filter(col("query_id") === 3L)
+        .select("doc_id", "bm25", "fp", "rank")
+      require(batch3.exceptAll(single).isEmpty &&
+        single.exceptAll(batch3).isEmpty,
+        "batched dedup for query 3 must equal the single-query form")
+      out.select(col("query_id"), col("doc_id"), col("bm25"),
+          col("fp"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // AS-OF retrieval EVALUATION — "audit the run that built dataset
     // v2": a training-data pipeline must be able to score a
     // HISTORICAL retrieval run (recall/precision/MRR/nDCG against
@@ -3186,6 +3336,126 @@ object ExtQueries extends QueryPack {
         |FROM ord o JOIN pool p
         |  ON p.query_id = o.query_id AND p.doc_id = o.doc_id
         |ORDER BY o.query_id, o.rank""".stripMargin,
+    "q202_dedup_retrieval_batch" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |st AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(len(t)) AS DOUBLE) / COUNT(*) AS avgdl FROM tk),
+        |qs AS (SELECT * FROM (VALUES
+        |    (1, ['hash', 'slow']), (2, ['scan', 'spark']),
+        |    (3, ['merge', 'sort']), (4, ['slow', 'filter']),
+        |    (5, ['spark', 'join']), (6, ['sort', 'hash']))
+        |  AS v(query_id, terms)),
+        |qt AS (SELECT query_id, unnest(terms) AS term FROM qs),
+        |dfq AS (SELECT term, (SELECT COUNT(*) FROM tk
+        |    WHERE list_contains(tk.t, dt.term)) AS dfc
+        |  FROM (SELECT DISTINCT term FROM qt) dt),
+        |sc AS (SELECT qt.query_id, tk.doc_id,
+        |    round(SUM(
+        |      ln((st.n - dfq.dfc + 0.5) / (dfq.dfc + 0.5) + 1.0)
+        |      * len(list_filter(tk.t, x -> x = qt.term)) * 2.2
+        |      / (len(list_filter(tk.t, x -> x = qt.term))
+        |         + 1.2 * (0.25 + 0.75 * len(tk.t) / st.avgdl))), 6)
+        |      AS bm25
+        |  FROM tk CROSS JOIN st
+        |  JOIN qt ON list_contains(tk.t, qt.term)
+        |  JOIN dfq ON dfq.term = qt.term
+        |  GROUP BY qt.query_id, tk.doc_id),
+        |cand AS (SELECT query_id, doc_id, bm25 FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY bm25 DESC, doc_id) AS rnk FROM sc)
+        |  WHERE rnk <= 100),
+        |fp AS (SELECT doc_id,
+        |    md5(array_to_string((list_filter(string_split(text, ' '),
+        |      t -> len(t) > 0))[1:10], ' ')) AS fp
+        |  FROM documents WHERE text IS NOT NULL),
+        |best AS (SELECT c.query_id, c.doc_id, c.bm25, f.fp,
+        |    ROW_NUMBER() OVER (PARTITION BY c.query_id, f.fp
+        |      ORDER BY c.bm25 DESC, c.doc_id) AS cr
+        |  FROM cand c JOIN fp f USING (doc_id))
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, bm25, fp,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY bm25 DESC, doc_id) AS INT) AS rank
+        |FROM best WHERE cr = 1
+        |QUALIFY rank <= 30 ORDER BY query_id, rank""".stripMargin,
+    "q201_hybrid_batch" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |st AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(len(t)) AS DOUBLE) / COUNT(*) AS avgdl FROM tk),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv
+        |  FROM embeddings
+        |  ORDER BY md5('hbq:' || CAST(vec_id AS VARCHAR)), vec_id
+        |  LIMIT 8),
+        |voc AS (SELECT ['join', 'hash', 'scan', 'merge', 'slow',
+        |    'spark', 'sort', 'filter'] AS l),
+        |qt AS (SELECT query_id, unnest([
+        |    l[CAST(query_id % 8 AS INT) + 1],
+        |    l[CAST((query_id + 3) % 8 AS INT) + 1]]) AS term
+        |  FROM q CROSS JOIN voc),
+        |dfq AS (SELECT term, (SELECT COUNT(*) FROM tk
+        |    WHERE list_contains(tk.t, dt.term)) AS dfc
+        |  FROM (SELECT DISTINCT term FROM qt) dt),
+        |sc AS (SELECT qt.query_id, tk.doc_id,
+        |    round(SUM(
+        |      ln((st.n - dfq.dfc + 0.5) / (dfq.dfc + 0.5) + 1.0)
+        |      * len(list_filter(tk.t, x -> x = qt.term)) * 2.2
+        |      / (len(list_filter(tk.t, x -> x = qt.term))
+        |         + 1.2 * (0.25 + 0.75 * len(tk.t) / st.avgdl))), 6)
+        |      AS bm25
+        |  FROM tk CROSS JOIN st
+        |  JOIN qt ON list_contains(tk.t, qt.term)
+        |  JOIN dfq ON dfq.term = qt.term
+        |  GROUP BY qt.query_id, tk.doc_id),
+        |lex AS (SELECT query_id, doc_id, CAST(rnk AS INT) AS rank_1
+        |  FROM (SELECT query_id, doc_id, ROW_NUMBER() OVER (
+        |      PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rnk
+        |    FROM sc) WHERE rnk <= 50),
+        |cents AS (SELECT embedding AS cv,
+        |    ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+        |  FROM (SELECT vec_id, embedding FROM embeddings
+        |    ORDER BY md5('hbc:' || CAST(vec_id AS VARCHAR)), vec_id
+        |    LIMIT 16)),
+        |asg AS (SELECT vec_id AS neighbor_id, cid FROM (
+        |  SELECT e.vec_id, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |      round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |        CAST(c.cv AS DOUBLE[])), 6) DESC, c.cid) AS arnk
+        |  FROM embeddings e CROSS JOIN cents c) WHERE arnk = 1),
+        |probes AS (SELECT query_id, cid FROM (
+        |  SELECT q.query_id, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+        |      round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+        |        CAST(c.cv AS DOUBLE[])), 6) DESC, c.cid) AS prnk
+        |  FROM q CROSS JOIN cents c) WHERE prnk <= 4),
+        |vpairs AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |      CAST(q.qv AS DOUBLE[])), 6) AS score
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        |vivf AS (SELECT query_id, neighbor_id, CAST(rnk AS INT)
+        |    AS rank_2
+        |  FROM (SELECT vp.query_id, vp.neighbor_id,
+        |      ROW_NUMBER() OVER (PARTITION BY vp.query_id
+        |        ORDER BY vp.score DESC, vp.neighbor_id) AS rnk
+        |    FROM vpairs vp
+        |    JOIN probes p ON p.query_id = vp.query_id
+        |    JOIN asg a ON a.cid = p.cid
+        |               AND a.neighbor_id = vp.neighbor_id)
+        |  WHERE rnk <= 50),
+        |fu AS (SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+        |    COALESCE(l.doc_id, v.neighbor_id) AS doc_id,
+        |    l.rank_1, v.rank_2,
+        |    round(COALESCE(1.0 / (60 + l.rank_1), 0)
+        |        + COALESCE(1.0 / (60 + v.rank_2), 0), 9) AS rrf_score
+        |  FROM lex l FULL JOIN vivf v
+        |    ON l.query_id = v.query_id AND l.doc_id = v.neighbor_id)
+        |SELECT query_id, doc_id, rank_1, rank_2, rrf_score,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_score DESC, doc_id) AS INT) AS rank
+        |FROM fu QUALIFY rank <= 20
+        |ORDER BY query_id, rank""".stripMargin,
     "q200_asof_retrieval_eval" ->
       """WITH dbase AS (SELECT doc_id, text FROM documents),
         |dcorpus AS (SELECT doc_id, text FROM dbase

@@ -238,6 +238,64 @@ class RetrievalSpec extends AnyFunSuite {
       msgs(ex).mkString(" | "))
   }
 
+  test("rrfFuseBatch / batched dedupTopN: per-query output equals the " +
+      "single-query form, windows are keyed (no single-partition " +
+      "exchange in the plan), and the per-query bound refuses") {
+    // two ranked lists over 4 queries × 30 candidates, scores seeded
+    val base = spark.range(0, 120).select(
+      (col("id") % 4).as("q"), (col("id") / 4).as("d"),
+      ((col("id") * 37 % 101).cast("double") / 100).as("s1"),
+      ((col("id") * 53 % 97).cast("double") / 100).as("s2"),
+      (col("id") % 11).cast("string").as("fp"))
+    val l1 = base.select("q", "d", "s1")
+    val l2 = base.filter(col("d") % 3 =!= 1).select("q", "d", "s2")
+    val fused = Similarity.rrfFuseBatch(Seq(l1 -> "s1", l2 -> "s2"),
+      "q", "d", topN = 10)
+    // keyed windows: the batch plan must carry NO single-partition
+    // exchange (the one-query form's structural cost, gone)
+    val plan = fused.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"batched fusion must not single-partition: $plan")
+    (0L to 3L).foreach { q =>
+      val single = Similarity.rrfFuse(Seq(
+          l1.filter(col("q") === q).drop("q") -> "s1",
+          l2.filter(col("q") === q).drop("q") -> "s2"),
+        "d", topN = 10)
+        .select("d", "rank_1", "rank_2", "rrf_score")
+        .collect().map(r => (r.get(0), r.get(1), r.get(2), r.get(3)))
+        .toSeq
+      val batch = fused.filter(col("q") === q).orderBy("rank")
+        .select("d", "rank_1", "rank_2", "rrf_score")
+        .collect().map(r => (r.get(0), r.get(1), r.get(2), r.get(3)))
+        .toSeq
+      assert(batch == single, s"query $q: batch $batch != single $single")
+    }
+    // per-(list, query) bound: 30 candidates for one query trip a 29 cap
+    val e1 = intercept[Exception](Similarity.rrfFuseBatch(
+      Seq(l1 -> "s1"), "q", "d", topN = 10, maxCandidates = 29).count())
+    assert(e1.getMessage.contains("maxCandidates"), e1.getMessage)
+    // batched dedup-aware collapse: per (query, cluster), then a
+    // per-query re-cut — equal to the single-query form per query
+    val scored = base.select(col("q"), col("d"), col("s1"), col("fp"))
+    val dBatch = Retrieval.dedupTopN(scored, "d", "s1", "fp",
+      topN = 5, queryCol = Some("q"))
+    val dPlan = dBatch.queryExecution.executedPlan.toString
+    assert(!dPlan.contains("SinglePartition"),
+      s"batched dedup must not single-partition: $dPlan")
+    (0L to 3L).foreach { q =>
+      val single = Retrieval.dedupTopN(scored.filter(col("q") === q),
+          "d", "s1", "fp", topN = 5)
+        .select("d", "s1", "fp", "rank")
+        .collect().map(r => (r.get(0), r.get(1), r.get(2), r.get(3)))
+        .toSet
+      val batch = dBatch.filter(col("q") === q)
+        .select("d", "s1", "fp", "rank")
+        .collect().map(r => (r.get(0), r.get(1), r.get(2), r.get(3)))
+        .toSet
+      assert(batch == single, s"query $q: batch $batch != single $single")
+    }
+  }
+
   test("hybridTopK equals the manual bm25 + cosine + rrfFuse composition") {
     val vschema = StructType(Seq(StructField("id", LongType),
       StructField("text", StringType),
