@@ -286,6 +286,14 @@ object Bm25Index {
     // hygiene in-plan (no extra jobs): null ids and duplicate ids are
     // caller bugs that would silently weld/interleave rankings
     val wQ = Window.partitionBy(col(idCol))
+    // PIN the query set once (localCheckpoint): the plan executes in
+    // several driver actions (term collect, candidate pin, the final
+    // job) and a NON-DETERMINISTIC queries frame (sample/rand-derived)
+    // re-executed per action could produce terms OUTSIDE the collected
+    // range cover — pruned files the exactness semi-join cannot bring
+    // back. Pinning also runs the id-hygiene guards eagerly at call
+    // time (the documented eager contract) and stops an expensive
+    // upstream plan from recomputing per action.
     val qids = queries
       .filter(when(col(idCol).isNull, raise_error(lit(
           "topNBatch: null query id"))).otherwise(lit(true)))
@@ -295,6 +303,7 @@ object Bm25Index {
           col(idCol).cast("string")))).otherwise(lit(true)))
       .select(col(idCol).as("query_id"),
         array_distinct(col(termsCol)).as("_terms"))
+      .localCheckpoint(true)
     val qt = qids.select(col("query_id"), explode(
         when(size(col("_terms")) >= 1, col("_terms"))
           .otherwise(raise_error(concat(lit(

@@ -553,14 +553,29 @@ object IvfIndex {
         val effPool = if (pool > 0) pool else math.max(4 * k, 50)
         val pw = Window.partitionBy("query_id")
           .orderBy(col("adc_sim").desc, col("neighbor_id"))
-        val cands = keep(probes.join(lists, Seq("centroid_id"))
+        // OPQ: rotate each QUERY once on the probe side of the join
+        // (|queries|·nprobe rows) and each CENTROID once on the
+        // driver — never a per-candidate-row matvec (HOF lambdas are
+        // excluded from common-subexpression elimination, so an
+        // in-expression rotate would run m× per scanned code)
+        val probesSide = rot.fold(probes)(r =>
+          probes.withColumn("_qvr", Pq.rotate(col("qv"), r)))
+        val centsRotLit = rot.map { r =>
+          typedlit(centroids.map(c => r.map(row =>
+            row.iterator.zip(c.iterator)
+              .map { case (a, b) => a * b }.sum)))
+        }
+        val cands = keep(probesSide.join(lists, Seq("centroid_id"))
           .filter(col("query_id") =!= col("neighbor_id")))
           .select(col("query_id"), col("qv"), col("neighbor_id"),
             (if (meta.get(PqResidualKey).contains("1"))
               Pq.adcSimResidual(col("qv"), col("pq_code"),
                 element_at(typedlit(centroids), col("centroid_id") + 1),
-                model, rot)
-            else Pq.adcSim(col("qv"), col("pq_code"), model, rot))
+                model, rot.map(_ => col("_qvr")),
+                centsRotLit.map(cl =>
+                  element_at(cl, col("centroid_id") + 1)))
+            else Pq.adcSim(col("qv"), col("pq_code"), model,
+              rot.map(_ => col("_qvr"))))
               .as("adc_sim"))
           .withColumn("_pr", row_number().over(pw))
           .filter(col("_pr") <= effPool)

@@ -375,15 +375,20 @@ object Pq {
     * [[encode]]; the sub-norms are a precomputed m × ks literal).
     * Shared by [[adcTopK]] and [[IvfIndex.probe]]'s PQ path.
     *
-    * `rotation` = OPQ mode: the codes quantize R·v, so the
+    * `qvRot` = OPQ mode: the codes quantize R·v, so the
     * reconstruction lives in the ROTATED space and the dot leg reads
-    * the rotated query (cos(q, Rᵀẑ) = (Rq)·ẑ / (‖q‖·‖ẑ‖) — R
-    * orthogonal preserves the norms; one extra map-only matvec). */
+    * the PRE-ROTATED query column (cos(q, Rᵀẑ) = (Rq)·ẑ / (‖q‖·‖ẑ‖) —
+    * R orthogonal preserves the norms). The caller materializes Rq
+    * ONCE as a column on the query side of its join ([[rotate]]):
+    * HOF lambdas are excluded from Spark's common-subexpression
+    * elimination, so an in-expression rotate here would re-run the
+    * d×d matvec once PER SUBSPACE per scanned code — m× the intended
+    * cost on the exact step PQ exists to keep cheap. */
   private[ext] def adcSim(qv: Column, cd: Column, model: PqModel,
-      rotation: Option[Seq[Seq[Double]]] = None): Column = {
+      qvRot: Option[Column] = None): Column = {
     val cb = typedlit(model.codebooks) // m × ks × dsub
     val n2 = typedlit(model.codebooks.map(_.map(_.map(x => x * x).sum)))
-    val qr = rotation.fold(qv)(r => rotate(qv, r))
+    val qr = qvRot.getOrElse(qv)
     val dotJ = (0 until model.m).map { j =>
       val qsl = slice(qr, j * model.dsub + 1, model.dsub)
       val row = element_at(element_at(cb, j + 1),
@@ -411,17 +416,21 @@ object Pq {
     * precomputed-table trade, resolved for literal-size safety at
     * production nlist. Same HOF codegen shape as [[adcSim]].
     *
-    * `rotation` = OPQ mode: codes quantize R·(v − c), so the
+    * `qvRot`/`cvecRot` = OPQ mode: codes quantize R·(v − c), so the
     * reconstruction is v̂ = c + Rᵀẑ and BOTH dot-with-codeword legs
     * read rotated vectors — q·Rᵀẑ = (Rq)·ẑ and c·Rᵀẑ = (Rc)·ẑ —
-    * while ‖q‖, ‖c‖², q·c stay in the raw space (R orthogonal). */
+    * while ‖q‖, ‖c‖², q·c stay in the raw space (R orthogonal).
+    * Same pre-rotation contract as [[adcSim]]: the caller hands Rq as
+    * a once-materialized column and Rc as a DRIVER-rotated centroid
+    * literal lookup (nlist·d doubles — a gather per row, never a
+    * per-row matvec). */
   private[ext] def adcSimResidual(qv: Column, cd: Column, cvec: Column,
       model: PqModel,
-      rotation: Option[Seq[Seq[Double]]] = None): Column = {
+      qvRot: Option[Column] = None,
+      cvecRot: Option[Column] = None): Column = {
     val cb = typedlit(model.codebooks)
     val n2 = typedlit(model.codebooks.map(_.map(_.map(x => x * x).sum)))
-    def dotWithRows(v0: Column): Column = {
-      val v = rotation.fold(v0)(r => rotate(v0, r))
+    def dotWithRows(v: Column): Column =
       (0 until model.m).map { j =>
         val sl = slice(v, j * model.dsub + 1, model.dsub)
         val row = element_at(element_at(cb, j + 1),
@@ -429,7 +438,6 @@ object Pq {
         aggregate(zip_with(sl, row, (x, y) => x.cast("double") * y),
           lit(0.0), (a, b) => a + b)
       }.reduce(_ + _)
-    }
     val rnorm2 = (0 until model.m).map { j =>
       element_at(element_at(n2, j + 1), element_at(cd, j + 1) + 1)
     }.reduce(_ + _)
@@ -439,8 +447,9 @@ object Pq {
       (acc, x) => acc + x * x)
     val qNorm = sqrt(aggregate(qv, lit(0.0),
       (acc, x) => acc + x.cast("double") * x.cast("double")))
-    (dotQC + dotWithRows(qv)) /
-      (qNorm * sqrt(cnorm2 + lit(2.0) * dotWithRows(cvec) + rnorm2))
+    (dotQC + dotWithRows(qvRot.getOrElse(qv))) /
+      (qNorm * sqrt(cnorm2 +
+        lit(2.0) * dotWithRows(cvecRot.getOrElse(cvec)) + rnorm2))
   }
 
   /** Asymmetric-distance (ADC) approximate cosine: the query keeps

@@ -43,10 +43,13 @@ object Retrieval {
     * hundreds of rows; the corpus-scale work happened inside the
     * retriever (the [[Similarity.rrfFuse]] stance). That contract is
     * ENFORCED, not just documented (the [[Similarity.mmrTopK]]
-    * discipline): an input past `maxCandidates` rows fails LOUDLY
-    * in-plan — a raise_error riding the global rank, no extra count
-    * job — instead of silently serializing an unbounded feed through
-    * the one-partition window.
+    * discipline): EVERY window partition in the plan is bounded at
+    * `maxCandidates` rows in-plan — a raise_error riding each
+    * window's existing rank filter, no extra count job. A hot cluster
+    * past the bound fails at the per-cluster collapse; a survivor
+    * set (distinct clusters + unkeyed rows) past it fails at the
+    * re-cut — instead of silently serializing an unbounded partition
+    * through one task.
     *
     * `queryCol` = the BATCH form (the [[graft.ext.Bm25Index.topNBatch]]
     * shape): the input carries a whole query set's candidate lists
@@ -64,19 +67,34 @@ object Retrieval {
     require(topN > 0, s"topN must be positive: $topN")
     require(maxCandidates >= topN,
       s"maxCandidates $maxCandidates < topN $topN")
+    // a null query id in batch mode would weld unrelated candidates
+    // into one ranking (the topNBatch hazard) — refuse in-plan
+    val ranked0 = queryCol.fold(ranked)(q => ranked.filter(
+      when(col(q).isNull, raise_error(lit(
+        s"dedupTopN: null $q in batch input"))).otherwise(lit(true))))
     val qKey = queryCol.map(col).toSeq
     val wC = Window.partitionBy(qKey :+ col(clusterCol): _*)
       .orderBy(col(scoreCol).desc, col(idCol))
     val wG = Window.partitionBy(qKey: _*)
       .orderBy(col(scoreCol).desc, col(idCol))
-    val best = ranked.filter(col(clusterCol).isNotNull)
+    // per-cluster bound rides the collapse rank it already computes:
+    // a hot near-duplicate cluster past the bound is exactly the
+    // unbounded-partition hazard the contract refuses
+    val best = ranked0.filter(col(clusterCol).isNotNull)
       .withColumn("_cr", row_number().over(wC))
-      .filter(col("_cr") === 1).drop("_cr")
-    val unkeyed = ranked.filter(col(clusterCol).isNull)
-    // the guard must see EVERY ranked row, so it rides the same filter
-    // as the cut (one when-chain: rows past the bound throw before the
-    // cut could drop them)
-    val what = queryCol.fold("input")(q => s"input for a single $q")
+      .filter(when(col("_cr") > maxCandidates, raise_error(concat(
+          lit(s"dedupTopN: one duplicate cluster exceeds " +
+            s"maxCandidates=$maxCandidates rows ("),
+          col("_cr").cast("string"),
+          lit(") — feed a retriever's bounded top-N, not an unbounded " +
+            "frame"))).cast("boolean"))
+        .otherwise(col("_cr") === 1))
+      .drop("_cr")
+    val unkeyed = ranked0.filter(col(clusterCol).isNull)
+    // survivor-side bound rides the re-cut rank the same way (rows
+    // past the bound throw before the cut could drop them)
+    val what = queryCol.fold("survivor set")(q =>
+      s"survivor set for a single $q")
     best.unionByName(unkeyed)
       .withColumn("rank", row_number().over(wG))
       .filter(when(col("rank") > maxCandidates, raise_error(concat(

@@ -1176,6 +1176,11 @@ object Similarity {
       val w = Window.partitionBy(col(queryCol))
         .orderBy(col(scoreCol).desc, col(idCol))
       df.select(col(queryCol), col(idCol), col(scoreCol))
+        // a null query id would weld unrelated candidates into one
+        // ranking (the topNBatch hazard) — refuse in-plan
+        .filter(when(col(queryCol).isNull, raise_error(lit(
+            s"rrfFuseBatch: null query id in input list ${i + 1}")))
+          .otherwise(lit(true)))
         .withColumn(s"rank_${i + 1}", row_number().over(w))
         .filter(when(col(s"rank_${i + 1}") > maxCandidates,
             raise_error(concat(

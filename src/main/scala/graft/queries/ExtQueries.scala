@@ -3098,7 +3098,8 @@ object ExtQueries extends QueryPack {
         |FROM r WHERE sample_rank <= 30
         |ORDER BY source, sample_rank""".stripMargin,
     "q189_hybrid_indexed" ->
-      """WITH dbase AS (SELECT doc_id, text FROM documents),
+      """WITH dbase AS (SELECT doc_id, text FROM documents
+        |  WHERE text IS NOT NULL),
         |dgrown AS (SELECT doc_id, text FROM dbase
         |  UNION ALL SELECT doc_id + 1000000, text FROM dbase
         |  WHERE doc_id % 10 = 3),
@@ -3202,7 +3203,8 @@ object ExtQueries extends QueryPack {
         |    ORDER BY round(cs, 6) DESC, neighbor_id) AS INT) AS rank
         |FROM top5 ORDER BY query_id, rank""".stripMargin,
     "q190_asof_hybrid" ->
-      """WITH dbase AS (SELECT doc_id, text FROM documents),
+      """WITH dbase AS (SELECT doc_id, text FROM documents
+        |  WHERE text IS NOT NULL),
         |dcorpus AS (SELECT doc_id, text FROM dbase
         |  UNION ALL SELECT doc_id + 1000000, text FROM dbase
         |  WHERE doc_id % 10 = 4),
@@ -3249,7 +3251,8 @@ object ExtQueries extends QueryPack {
         |SELECT doc_id, rank_1, rank_2, rrf_score FROM fu
         |ORDER BY rrf_score DESC, doc_id LIMIT 50""".stripMargin,
     "q194_asof_filtered_hybrid" ->
-      """WITH dbase AS (SELECT doc_id, text FROM documents),
+      """WITH dbase AS (SELECT doc_id, text FROM documents
+        |  WHERE text IS NOT NULL),
         |dcorpus AS (SELECT doc_id, text FROM dbase
         |  UNION ALL SELECT doc_id + 1000000, text FROM dbase
         |  WHERE doc_id % 10 = 4),
@@ -3457,7 +3460,8 @@ object ExtQueries extends QueryPack {
         |FROM fu QUALIFY rank <= 20
         |ORDER BY query_id, rank""".stripMargin,
     "q200_asof_retrieval_eval" ->
-      """WITH dbase AS (SELECT doc_id, text FROM documents),
+      """WITH dbase AS (SELECT doc_id, text FROM documents
+        |  WHERE text IS NOT NULL),
         |dcorpus AS (SELECT doc_id, text FROM dbase
         |  UNION ALL SELECT doc_id + 1000000, text FROM dbase
         |  WHERE doc_id % 10 = 4),

@@ -117,15 +117,8 @@ object VersionedTable {
 
   /** Highest published version, or None for a non-table path. One
     * directory listing — the only metadata read a snapshot needs. */
-  def currentVersion(spark: SparkSession, root: String): Option[Long] = {
-    val dir = manifestDir(root)
-    val f = fs(spark, dir)
-    if (!f.exists(dir)) return None
-    val vs = f.listStatus(dir).map(_.getPath.getName).collect {
-      case ManifestRe(d) => d.toLong
-    }
-    if (vs.isEmpty) None else Some(vs.max)
-  }
+  def currentVersion(spark: SparkSession, root: String): Option[Long] =
+    versions(spark, root).lastOption
 
   /** The user-visible manifest meta of `root` at `version` (default
     * current) — the public face of the key-value state commits carry
@@ -883,13 +876,9 @@ object VersionedTable {
     * probed version, newest first — O(versions since ts), not
     * O(files). */
   def readAsOf(spark: SparkSession, root: String, tsMillis: Long): DataFrame = {
-    val dir = manifestDir(root)
-    val f = fs(spark, dir)
-    require(f.exists(dir), s"$root: no versioned table")
-    val versions = f.listStatus(dir).map(_.getPath.getName).collect {
-      case ManifestRe(d) => d.toLong
-    }.sorted.reverse
-    val hit = versions.iterator.map(v => readManifest(spark, root, v))
+    val retained = versions(spark, root).reverse
+    require(retained.nonEmpty, s"$root: no versioned table")
+    val hit = retained.iterator.map(v => readManifest(spark, root, v))
       .find(_.meta.get(CommitTsKey).forall(_.toLong <= tsMillis))
     hit match {
       case Some(m) =>
@@ -1435,13 +1424,9 @@ object VersionedTable {
     * O(versions), never O(files) (checkpointed file counts come from
     * the manifest arithmetic, not the list). */
   def describeHistory(spark: SparkSession, root: String): DataFrame = {
-    val dir = manifestDir(root)
-    val f = fs(spark, dir)
-    require(f.exists(dir), s"$root: no versioned table")
-    val versions = f.listStatus(dir).map(_.getPath.getName).collect {
-      case ManifestRe(d) => d.toLong
-    }.sorted.reverse.toIndexedSeq
-    val rows = versions.map { v =>
+    val retained = versions(spark, root).reverse.toIndexedSeq
+    require(retained.nonEmpty, s"$root: no versioned table")
+    val rows = retained.map { v =>
       val m = readManifest(spark, root, v)
       val capture =
         if (m.cdfNone) "none"
@@ -2441,10 +2426,7 @@ object VersionedTable {
     require(keepFrom <= cur, s"keepFrom $keepFrom is past current $cur")
     val dir = manifestDir(root)
     val f = fs(spark, dir)
-    val versions = f.listStatus(dir).map(_.getPath.getName).collect {
-      case ManifestRe(d) => d.toLong
-    }.sorted
-    val (drop, keep) = versions.partition(_ < keepFrom)
+    val (drop, keep) = versions(spark, root).partition(_ < keepFrom)
     val keptManifests = keep.map(v => readManifest(spark, root, v))
     val referenced = keptManifests.flatMap(_.files.map(_.rel)).toSet
     val referencedChanges = keptManifests.flatMap(_.changeFiles).toSet

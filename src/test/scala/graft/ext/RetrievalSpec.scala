@@ -274,6 +274,25 @@ class RetrievalSpec extends AnyFunSuite {
     val e1 = intercept[Exception](Similarity.rrfFuseBatch(
       Seq(l1 -> "s1"), "q", "d", topN = 10, maxCandidates = 29).count())
     assert(e1.getMessage.contains("maxCandidates"), e1.getMessage)
+    // a null query id would weld unrelated rankings — refused in-plan
+    // by BOTH batch operators (the topNBatch discipline)
+    val withNull = l1.unionByName(Seq((null.asInstanceOf[java.lang.Long],
+        999L, 0.5)).toDF("q", "d", "s1")
+      .select(col("q").cast("long"), col("d"), col("s1")))
+    val eN1 = intercept[Exception](Similarity.rrfFuseBatch(
+      Seq(withNull -> "s1"), "q", "d", topN = 10).count())
+    assert(eN1.getMessage.contains("null query id"), eN1.getMessage)
+    val eN2 = intercept[Exception](Retrieval.dedupTopN(
+      withNull.withColumn("fp", col("d").cast("string")),
+      "d", "s1", "fp", topN = 5, queryCol = Some("q")).count())
+    assert(eN2.getMessage.contains("null q"), eN2.getMessage)
+    // a HOT duplicate cluster past the bound refuses at the collapse
+    // (post-collapse survivor counts alone would never see it)
+    val hot = spark.range(0, 50).select(col("id").as("d"),
+      lit(1.0).as("s1"), lit("same").as("fp"))
+    val eH = intercept[Exception](Retrieval.dedupTopN(hot, "d", "s1",
+      "fp", topN = 5, maxCandidates = 49).count())
+    assert(eH.getMessage.contains("duplicate cluster"), eH.getMessage)
     // batched dedup-aware collapse: per (query, cluster), then a
     // per-query re-cut — equal to the single-query form per query
     val scored = base.select(col("q"), col("d"), col("s1"), col("fp"))
