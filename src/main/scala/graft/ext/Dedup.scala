@@ -389,7 +389,9 @@ object Dedup {
 
   /** Near-dup pair list → cluster resolution: connected components
     * over the pairs ([[Fuzzy.connectedComponents]] — hybrid driver
-    * union-find / distributed min-label propagation), each row labeled
+    * union-find / distributed large-star/small-star contraction, so a
+    * beyond-driver pair graph converges in O(log^2 n) rounds even when
+    * clusters are chain-shaped), each row labeled
     * with its cluster's smallest id, i.e. the canonical keeper. Rows
     * in no pair are their own cluster. This is the keep-one step every
     * dedup pipeline ends with, composable with ANY of the pair

@@ -105,6 +105,61 @@ object Retrieval {
         .otherwise(col("rank") <= topN))
   }
 
+  /** HARD-NEGATIVE mining — the contrastive-training sampler: per
+    * query, the `k` TOP-SCORED candidates that are NOT known
+    * positives, after skipping the `skipTop` highest-ranked
+    * non-positives (near the top of a ranking, an "un-judged" document
+    * is as likely a missing positive label as a true negative — the
+    * standard de-noising band for training dual encoders). Negatives
+    * rank (score desc, doc asc) — the [[dedupTopN]] tie discipline;
+    * pre-round float scores whose ties must break identically across
+    * engines. Output: the surviving rows with `neg_rank` 1..k per
+    * query (band-skipped rank).
+    *
+    * `run`: (queryCol, docCol, scoreCol) — a retriever's
+    * candidate-bounded lists, rows unique per (query, doc).
+    * `positives`: (queryCol, docCol) judged-relevant pairs; rows of
+    * `run` matching a positive are removed by an anti-join BEFORE
+    * ranking, so the skip band counts only non-positives.
+    *
+    * Scale shape: batch by construction — the anti-join hashes on the
+    * (query, doc) pair and the one window keys on the query id, so a
+    * 10k-query mining run is one distributed job (the
+    * [[graft.ext.Bm25Index.topNBatch]] shape). The bounded-input
+    * contract is ENFORCED in-plan (the [[Similarity.mmrTopK]]
+    * discipline): a per-query candidate list past `maxCandidates`
+    * refuses loudly via a raise_error riding the rank filter — no
+    * extra count job — instead of silently serializing an unbounded
+    * partition. Null query/doc ids refuse in-plan (a null key would
+    * weld unrelated rows, or survive every anti-join forever). */
+  def hardNegatives(run: DataFrame, positives: DataFrame,
+      queryCol: String, docCol: String, scoreCol: String, k: Int,
+      skipTop: Int = 0, maxCandidates: Int = 100000): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(skipTop >= 0, s"skipTop must be >= 0: $skipTop")
+    require(maxCandidates >= skipTop + k,
+      s"maxCandidates $maxCandidates < skipTop $skipTop + k $k")
+    val run0 = run.filter(
+      when(col(queryCol).isNull || col(docCol).isNull,
+        raise_error(lit(s"hardNegatives: null $queryCol/$docCol in " +
+          "the run — a null key welds unrelated rows or dodges the " +
+          "positives anti-join"))).otherwise(lit(true)))
+    val pos = positives.select(col(queryCol), col(docCol))
+    val nonPos = run0.join(pos, Seq(queryCol, docCol), "left_anti")
+    val w = Window.partitionBy(col(queryCol))
+      .orderBy(col(scoreCol).desc, col(docCol))
+    nonPos.withColumn("_nr", row_number().over(w))
+      .filter(when(col("_nr") > maxCandidates, raise_error(concat(
+          lit(s"hardNegatives: one query's candidate list exceeds " +
+            s"maxCandidates=$maxCandidates rows ("),
+          col("_nr").cast("string"),
+          lit(") — feed a retriever's bounded top-N, not an unbounded " +
+            "frame"))).cast("boolean"))
+        .otherwise(col("_nr") > skipTop && col("_nr") <= skipTop + k))
+      .withColumn("neg_rank", (col("_nr") - skipTop).cast("int"))
+      .drop("_nr")
+  }
+
   /** Compute recall/precision/MRR/nDCG at each cutoff in `ks`.
     *
     * `results`: (queryCol, docCol, scoreCol) ranked candidates — ranks

@@ -900,6 +900,121 @@ object TextAnalysis {
       .drop("__tok")
   }
 
+  /** Skew-proof per-group token-budget cap — [[capPerGroupBudget]]'s
+    * selection (keep a row iff its PRIOR cumulative `tokenCol` mass
+    * within the group, in (`orderCol` ASC, `idCol` ASC) order, is
+    * under `budget`) WITHOUT the widest-group wall: the windowed
+    * variant sorts each group on one task, and at web-corpus scale one
+    * stratum ("web", "en") can be half the corpus. Here the sort never
+    * touches the bulk of the data:
+    *
+    *  1. one bounded histogram — `sum(tokens)` per (group, monotone
+    *     orderCol bucket), ≤ |groups|·`buckets` rows to the driver;
+    *  2. per group, the driver finds the threshold bucket t where the
+    *     running mass first EXCEEDS the budget (and the mass `base`
+    *     strictly below it);
+    *  3. rows in buckets below t are kept by a NARROW FILTER (no sort,
+    *     no window, no exchange beyond a broadcast of the |groups|-row
+    *     threshold table); rows in buckets above t are dropped the
+    *     same way; ONLY the threshold bucket's rows — an expected
+    *     1/`buckets` of each over-budget group — pay the windowed
+    *     cumulative sum, seeded with `base`.
+    *
+    * Exactness needs strictly positive tokens (a zero-token row at an
+    * exact budget boundary would be kept by the bulk filter but
+    * dropped by the window) — enforced in-plan with a loud
+    * `raise_error`, as are NULL order keys. Returns the kept rows with
+    * the input's columns (no cum_tokens: materializing per-row prefix
+    * sums for every kept row would reintroduce the full-group window
+    * this variant exists to avoid). All-identical `orderCol` values
+    * degrade gracefully: one bucket = the windowed behavior.
+    *
+    * The histogram refuses loudly past `maxHistRows` (group-cardinality
+    * explosion — e.g. per-URL caps) and points at [[capPerGroupBudget]],
+    * whose one-exchange shape is right when groups are many and small. */
+  def capPerGroupBudgetSkew(df: org.apache.spark.sql.DataFrame,
+      groupCol: String, orderCol: String, idCol: String,
+      tokenCol: Column, budget: Long, buckets: Int = 1024,
+      maxHistRows: Int = 262144): org.apache.spark.sql.DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    require(buckets > 1, s"buckets must be > 1: $buckets")
+    val s = df.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val outCols = df.columns.map(col).toSeq
+    val tok = when(tokenCol.isNull || tokenCol.cast("long") <= 0L,
+      raise_error(lit("capPerGroupBudgetSkew: tokens must be strictly " +
+        "positive (a zero-token row at an exact budget boundary is " +
+        "ambiguous between the bulk filter and the window)")))
+      .otherwise(tokenCol.cast("long"))
+    // NULL/NaN order keys refuse loudly: a NaN would bucket to null
+    // and silently fail BOTH the bulk and the boundary filter — a
+    // vanished row, the worst failure mode for a selection operator
+    val ord = when(col(orderCol).isNull ||
+        isnan(col(orderCol).cast("double")) ||
+        abs(col(orderCol).cast("double")) === lit(Double.PositiveInfinity),
+      raise_error(lit("capPerGroupBudgetSkew: NULL/NaN/Inf order key")))
+      .otherwise(col(orderCol).cast("double"))
+    val bounds = df.agg(min(col(orderCol).cast("double")),
+      max(col(orderCol).cast("double"))).head()
+    if (bounds.isNullAt(0)) {
+      require(df.isEmpty, "capPerGroupBudgetSkew: order key all NULL")
+      return df
+    }
+    val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
+    val width = (hi - lo) / buckets
+    // floor of a monotone map — rows in a lower bucket strictly
+    // precede rows in a higher one under (orderCol, idCol); the
+    // degenerate all-equal case keeps `ord` in the expression so the
+    // NULL/NaN refusal fires on every path
+    val bucketOf =
+      if (width <= 0d || width.isNaN) (ord * lit(0d)).cast("int")
+      else least(floor((ord - lit(lo)) / lit(width)).cast("int"),
+        lit(buckets - 1))
+    val tagged = df.withColumn("__b", bucketOf).withColumn("__tok", tok)
+    val hist = tagged.groupBy(col(groupCol).as("__g"), col("__b"))
+      .agg(sum("__tok").as("__m"))
+      .limit(maxHistRows + 1).collect()
+    require(hist.length <= maxHistRows,
+      s"capPerGroupBudgetSkew: histogram past $maxHistRows rows — " +
+        "group cardinality is the scale axis here, not group width; " +
+        "use capPerGroupBudget (one exchange, per-group windows)")
+    val thresholds = hist.groupBy(_.get(0)).iterator.flatMap {
+      case (g, rows) =>
+        var acc = 0L
+        var res: Option[(Any, Int, Long)] = None
+        for (r <- rows.sortBy(_.getInt(1)) if res.isEmpty) {
+          val m = r.getLong(2)
+          if (acc + m > budget) res = Some((g, r.getInt(1), acc))
+          else acc += m
+        }
+        res
+    }.toSeq
+    if (thresholds.isEmpty) return df // every group under budget
+    val gField = df.schema(groupCol)
+    val thSchema = org.apache.spark.sql.types.StructType(Seq(
+      gField.copy(name = "__g"),
+      org.apache.spark.sql.types.StructField("__t",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("__base",
+        org.apache.spark.sql.types.LongType)))
+    val thDf = s.createDataFrame(java.util.Arrays.asList(
+      thresholds.map(t => org.apache.spark.sql.Row(t._1, t._2, t._3)): _*),
+      thSchema)
+    val joined = tagged.join(broadcast(thDf),
+      col(groupCol) <=> col("__g"), "left")
+    val bulk = joined.filter(col("__t").isNull || col("__b") < col("__t"))
+      .select(outCols: _*)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(orderCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = joined.filter(col("__b") === col("__t"))
+      .withColumn("__cum",
+        sum(col("__tok")).over(w) - col("__tok") + col("__base"))
+      .filter(col("__cum") < budget)
+      .select(outCols: _*)
+    bulk.union(boundary)
+  }
+
   // ---- DSIR: data selection via importance resampling --------------------
   // Xie et al. 2023 ("Data Selection for Language Models via Importance
   // Resampling", public): estimate hashed-feature distributions over a

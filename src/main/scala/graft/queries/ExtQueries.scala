@@ -3,8 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{Bm25Index, Dedup, IvfIndex, Multimodal, Pca, Pq,
-  Retrieval, Similarity, TextAnalysis}
+import graft.ext.{Bm25Index, Dedup, Fuzzy, IvfIndex, Multimodal, Pca,
+  Pq, Retrieval, Similarity, TextAnalysis}
 
 /** BASELINE extension queries over documents/embeddings: dedup (exact,
   * MinHash-LSH, SimHash, n-gram Jaccard), similarity search (brute-force
@@ -1983,6 +1983,129 @@ object ExtQueries extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // DISTRIBUTED connected components — duplicate-cluster resolution
+    // when the pair graph is past any driver. The edge set is
+    // chain-shaped (each doc links to its successor within a lang,
+    // segments broken where n_chars % 20 == 0): diameter ~ |lang|,
+    // the regime where min-label propagation (O(diameter) rounds —
+    // the pre-r19 distributed path) never reaches its fixpoint.
+    // driverLimit = 0 forces the alternating large-star/small-star
+    // contraction (Kiveris et al., SoCC'14): O(log^2 n) rounds
+    // regardless of diameter, each round two groupBy-min + join
+    // passes. The ORACLE replays the full transitive closure with a
+    // recursive CTE and takes each node's component minimum — the
+    // exact same labels, derived by a different algorithm. In-query
+    // pin: the largest component is wider than the old 25-round
+    // propagation budget, so this graph is the one the old path could
+    // not answer.
+    "q203_cc_star_clusters" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("doc_id")
+      val nxt = d.select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("nxt", lead(col("doc_id"), 1).over(w))
+      val edges = nxt.filter(col("nxt").isNotNull &&
+          col("n_chars") % 20 =!= 0)
+        .select(col("doc_id").as("src"), col("nxt").as("dst"))
+      val labels = Fuzzy.connectedComponents(
+          d.select(col("doc_id").as("id")), edges, driverLimit = 0L)
+        .localCheckpoint(true) // reused by the result and the pin
+      val maxComponent = labels.groupBy("label").count()
+        .agg(max("count")).head().getLong(0)
+      require(maxComponent > 25,
+        s"the largest component ($maxComponent) must exceed the old " +
+          "25-round propagation budget — otherwise this query no " +
+          "longer exercises the diameter regime star contraction fixes")
+      labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+        .orderBy("doc_id")
+    },
+
+    // SKEW-PROOF per-group budget cap — capPerGroupBudget's selection
+    // (keep while prior cumulative mass < budget, (ord, id) order)
+    // without the widest-group wall: the windowed form sorts each
+    // group on ONE task, and at corpus scale one stratum ("en") IS
+    // half the corpus. Here a bounded (group × ord-bucket) histogram
+    // places the threshold bucket per group on the driver; the bulk
+    // keep/drop is a narrow FILTER (no sort, no window) and only the
+    // threshold bucket's rows — ~1/1024 of a group — pay the window.
+    // Order key = floor(n_chars / 50): deliberately NON-unique so the
+    // doc_id tie-break is load-bearing on both engines. The oracle
+    // replays the selection with the plain window cumsum — same rows,
+    // different algorithm. In-query pins: at least one group survives
+    // uncut and one is cut (both halves of the filter are exercised).
+    "q204_group_cap_skew" -> { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"), col("lang"),
+          col("n_chars"))
+        .withColumn("ord", floor(col("n_chars") / lit(50.0)))
+      // budget from the data (60% of the widest lang's mass, integer
+      // arithmetic): the corpus's lang proportions are stable across
+      // scale factors, so the uncut/cut pin below holds at any sf —
+      // a fixed byte budget would cut EVERY lang at 10x data
+      val budget = d.groupBy("lang").agg(sum("n_chars").as("m"))
+        .agg(max("m")).head().getLong(0) * 6L / 10L
+      val out = TextAnalysis.capPerGroupBudgetSkew(d, "lang", "ord",
+          "doc_id", col("n_chars"), budget)
+        .localCheckpoint(true) // reused by the result and the pins
+      val keptPer = out.groupBy("lang").count()
+        .withColumnRenamed("count", "kept")
+      val inPer = d.groupBy("lang").count()
+      val per = inPer.join(keptPer, Seq("lang"), "left")
+        .select(col("count"), coalesce(col("kept"), lit(0L)).as("kept"))
+        .collect()
+      require(per.exists(r => r.getLong(1) == r.getLong(0)) &&
+        per.exists(r => r.getLong(1) < r.getLong(0)),
+        "the budget must leave at least one lang uncut and cut " +
+          "another — otherwise the bulk filter's two halves are " +
+          "untested")
+      out.select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // HARD-NEGATIVE mining — the contrastive-training sampler: per
+    // query, the top-scored candidates that are NOT positives, after
+    // skipping the 3 highest-ranked non-positives (near the top an
+    // unjudged doc is as likely a missing label as a true negative —
+    // the standard de-noising band for dual-encoder training).
+    // Positives derive from the embeddings' label column (same-label
+    // docs are relevant), so the judgment set is engine-independent
+    // arithmetic; scores are 1e-6-rounded cosines (the q197 parity
+    // idiom). Batch-shaped: one anti-join on (query, doc) + one
+    // query-keyed window mines all 10 queries in one job. The oracle
+    // replays scoring, the anti-join, the skip band, and every cut.
+    // In-query pins: no mined negative is a known positive; every
+    // query fills its k (the pool dwarfs skipTop + k by construction).
+    "q205_hard_negatives" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val q = e.withColumn("h", md5(concat(lit("hnq:"),
+          col("vec_id").cast("string"))))
+        .orderBy(col("h"), col("vec_id")).limit(10).drop("h")
+      val scored = e.select(col("vec_id").as("doc_id"),
+          col("embedding").as("v"), col("label").as("dl"))
+        .crossJoin(broadcast(q.select(col("vec_id").as("query_id"),
+          col("embedding").as("qv"), col("label").as("ql"))))
+        .filter(col("query_id") =!= col("doc_id"))
+        .select(col("query_id"), col("doc_id"),
+          round(Similarity.cosine(col("v"), col("qv")), 6).as("score"),
+          col("dl"), col("ql"))
+        .localCheckpoint(true) // reused by run, positives, and pins
+      val run = scored.select("query_id", "doc_id", "score")
+      val positives = scored.filter(col("dl") === col("ql"))
+        .select("query_id", "doc_id")
+      val out = Retrieval.hardNegatives(run, positives, "query_id",
+          "doc_id", "score", k = 10, skipTop = 3)
+        .localCheckpoint(true)
+      require(out.join(positives, Seq("query_id", "doc_id"),
+          "left_semi").count() == 0L,
+        "a mined negative is a known positive")
+      require(out.select("query_id").distinct().count() == 10L &&
+        out.count() == 100L,
+        "every query must fill its k — the non-positive pool dwarfs " +
+          "skipTop + k at every scale factor")
+      out.select(col("query_id"), col("doc_id"), col("score"),
+          col("neg_rank"))
+        .orderBy(col("query_id"), col("neg_rank"))
+    },
+
     // AS-OF retrieval EVALUATION — "audit the run that built dataset
     // v2": a training-data pipeline must be able to score a
     // HISTORICAL retrieval run (recall/precision/MRR/nDCG against
@@ -3382,6 +3505,64 @@ object ExtQueries extends QueryPack {
         |    ORDER BY bm25 DESC, doc_id) AS INT) AS rank
         |FROM best WHERE cr = 1
         |QUALIFY rank <= 30 ORDER BY query_id, rank""".stripMargin,
+    // same labels, different algorithm: the engine runs star
+    // contraction; the oracle computes the literal transitive closure
+    // (recursive CTE over the symmetric edges) and takes each node's
+    // component minimum
+    "q203_cc_star_clusters" ->
+      """WITH RECURSIVE nxt AS (SELECT doc_id, n_chars,
+        |    LEAD(doc_id) OVER (PARTITION BY lang ORDER BY doc_id)
+        |      AS nxt
+        |  FROM documents),
+        |e0 AS (SELECT doc_id AS src, nxt AS dst FROM nxt
+        |  WHERE nxt IS NOT NULL AND n_chars % 20 <> 0),
+        |e AS (SELECT src, dst FROM e0
+        |  UNION SELECT dst, src FROM e0),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src)
+        |SELECT id AS doc_id, MIN(r) AS cluster_id
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // same selection, different algorithm: the engine places a
+    // histogram threshold and windows only the boundary bucket; the
+    // oracle runs the plain per-group window cumsum
+    "q204_group_cap_skew" ->
+      """WITH t AS (SELECT doc_id, lang, n_chars,
+        |    floor(n_chars / 50.0) AS ord
+        |  FROM documents),
+        |b AS (SELECT (MAX(m) * 6) // 10 AS budget FROM
+        |  (SELECT CAST(SUM(n_chars) AS BIGINT) AS m FROM t
+        |   GROUP BY lang)),
+        |c AS (SELECT doc_id, lang, n_chars,
+        |    COALESCE(SUM(n_chars) OVER (PARTITION BY lang
+        |      ORDER BY ord, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS prior
+        |  FROM t)
+        |SELECT doc_id, lang, n_chars FROM c
+        |WHERE prior < (SELECT budget FROM b) ORDER BY doc_id""".stripMargin,
+    // replays scoring, the positives anti-join, the skip band, and
+    // the per-query cut
+    "q205_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+        |    label AS ql
+        |  FROM embeddings
+        |  ORDER BY md5('hnq:' || CAST(vec_id AS VARCHAR)), vec_id
+        |  LIMIT 10),
+        |sc AS (SELECT q.query_id, e.vec_id AS doc_id,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |      CAST(q.qv AS DOUBLE[])), 6) AS score,
+        |    e.label AS dl, q.ql
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.vec_id <> q.query_id),
+        |np AS (SELECT query_id, doc_id, score,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS nr
+        |  FROM sc WHERE dl <> ql)
+        |SELECT query_id, doc_id, score, CAST(nr - 3 AS INT) AS neg_rank
+        |FROM np WHERE nr > 3 AND nr <= 13
+        |ORDER BY query_id, neg_rank""".stripMargin,
     "q201_hybrid_batch" ->
       """WITH tk AS (SELECT doc_id,
         |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS t

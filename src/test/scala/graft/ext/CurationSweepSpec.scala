@@ -84,6 +84,86 @@ class CurationSweepSpec extends AnyFunSuite {
     }
   }
 
+  test("capPerGroupBudgetSkew equals the sequential reference across seeds, budgets, bucketings") {
+    val schema = StructType(Seq(StructField("g", StringType),
+      StructField("id", LongType), StructField("ord", DoubleType),
+      StructField("tok", LongType)))
+    for (seed <- Seq(5, 19, 31); budget <- Seq(10L, 37L, 5000L);
+         buckets <- Seq(4, 1024)) {
+      val rnd = new scala.util.Random(seed)
+      // non-unique order keys (quality scores collide) force the idCol
+      // tie-break; one group is 10x wider than the rest (the skew the
+      // variant exists for); budget 5000 leaves every group uncut
+      val rows = (1L to 80L).map { i =>
+        val g = if (i <= 50) "wide" else s"g${rnd.nextInt(3)}"
+        (g, i, (rnd.nextInt(12) / 3).toDouble, 1L + rnd.nextInt(20))
+      }
+      val want = rows.groupBy(_._1).flatMap { case (_, rs) =>
+        var cum = 0L
+        rs.sortBy(r => (r._3, r._2)).flatMap { case (_, id, _, tok) =>
+          val keep = cum < budget
+          cum += tok
+          if (keep) Some(id) else None
+        }
+      }.toSet
+      val df = spark.createDataFrame(
+        java.util.Arrays.asList(rows.map(Row.fromTuple): _*), schema)
+      val out = TextAnalysis.capPerGroupBudgetSkew(df, "g", "ord", "id",
+        col("tok"), budget, buckets = buckets)
+      val got = out.select("id").as[Long].collect().toSet
+      assert(got == want, s"seed=$seed budget=$budget buckets=$buckets")
+      // the whole point: at most ONE Window in the plan, fed by the
+      // threshold-bucket filter — the bulk keep/drop is a narrow filter
+      val plan = out.queryExecution.executedPlan.toString
+      assert("(?m)^\\s*[+:\\\\*-]*\\s*Window ".r.findAllIn(plan).size <= 1,
+        s"bulk path must be window-free:\n$plan")
+    }
+  }
+
+  test("capPerGroupBudgetSkew boundary discipline: exact-budget edges, loud refusals") {
+    val schema = StructType(Seq(StructField("g", StringType),
+      StructField("id", LongType), StructField("ord", DoubleType),
+      StructField("tok", LongType)))
+    def mk(rows: Seq[(String, Long, Double, Long)]) =
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows.map(Row.fromTuple): _*), schema)
+    // cumulative mass hits the budget EXACTLY at a row edge: the next
+    // row's prior == budget, not < — it must be dropped
+    val exact = mk(Seq(("a", 1L, 1.0, 5L), ("a", 2L, 2.0, 5L),
+      ("a", 3L, 3.0, 1L)))
+    assert(TextAnalysis.capPerGroupBudgetSkew(exact, "g", "ord", "id",
+        col("tok"), budget = 10L)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L))
+    // all-identical order keys: one bucket, degrades to the windowed
+    // behavior, still exact under the id tie-break
+    val flat = mk((1L to 10L).map(i => ("a", i, 7.0, 3L)))
+    assert(TextAnalysis.capPerGroupBudgetSkew(flat, "g", "ord", "id",
+        col("tok"), budget = 7L)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    // zero / NULL tokens refuse loudly (exactness depends on strict
+    // positivity), and the histogram cap points at the windowed variant
+    val zero = mk(Seq(("a", 1L, 1.0, 0L)))
+    val e1 = intercept[Exception] {
+      TextAnalysis.capPerGroupBudgetSkew(zero, "g", "ord", "id",
+        col("tok"), budget = 5L).collect()
+    }
+    assert(e1.getMessage.contains("strictly positive"))
+    // NaN order keys refuse loudly (a NaN buckets to null and would
+    // silently vanish from BOTH filter halves)
+    val nan = mk(Seq(("a", 1L, 1.0, 2L), ("a", 2L, Double.NaN, 2L)))
+    val e3 = intercept[Exception] {
+      TextAnalysis.capPerGroupBudgetSkew(nan, "g", "ord", "id",
+        col("tok"), budget = 5L).collect()
+    }
+    assert(e3.getMessage.contains("NaN"))
+    val many = mk((1L to 50L).map(i => (s"g$i", i, i.toDouble, 2L)))
+    val e2 = intercept[IllegalArgumentException] {
+      TextAnalysis.capPerGroupBudgetSkew(many, "g", "ord", "id",
+        col("tok"), budget = 1L, maxHistRows = 10)
+    }
+    assert(e2.getMessage.contains("capPerGroupBudget"))
+  }
+
   test("cdcChunks equals the sequential reference across seeds (incl. empty tokens)") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")

@@ -140,4 +140,52 @@ class FuzzySpec extends AnyFunSuite {
     assert(viaDriver == viaLoop)
     assert(viaDriver(6L) == 1L && viaDriver(9L) == 9L)
   }
+
+  test("distributed CC converges on a diameter-300 chain within O(log n) rounds") {
+    // THE case the pre-r19 distributed path (min-label propagation,
+    // O(diameter) rounds) could never finish: a chain longer than any
+    // sane round budget. Star contraction must land the fixpoint in a
+    // handful of rounds — maxIters = 15 would have failed propagation
+    // at diameter 6, let alone 300.
+    val n = 300L
+    val nodes = (0L to n).toDF("id")
+    val edges = (0L until n).map(i => (i, i + 1L)).toDF("src", "dst")
+    val labels = Fuzzy.connectedComponents(nodes, edges,
+        maxIters = 15, driverLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == n + 1 && labels.values.forall(_ == 0L))
+  }
+
+  test("distributed CC equals driver union-find on random multi-component graphs") {
+    for (seed <- Seq(7, 19)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 120
+      // ~0.8 edges/node: a mix of chains, small trees, cycles,
+      // singletons; duplicate + self edges exercise the dedup/orient
+      val edges = (1 to (n * 4 / 5)).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      } ++ Seq((3L, 3L), (5L, 9L), (9L, 5L))
+      val nodesDf = (0L until n.toLong).toDF("id")
+      val edgesDf = edges.toDF("src", "dst")
+      val viaDriver = Fuzzy.connectedComponents(nodesDf, edgesDf)
+        .as[(Long, Long)].collect().toMap
+      val viaStars = Fuzzy.connectedComponents(nodesDf, edgesDf,
+          driverLimit = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(viaDriver == viaStars, s"seed=$seed")
+    }
+  }
+
+  test("distributed CC handles string ids and empty edge sets") {
+    val nodes = Seq("kiwi", "apple", "fig", "date").toDF("id")
+    val edges = Seq(("kiwi", "fig"), ("fig", "apple")).toDF("src", "dst")
+    val labels = Fuzzy.connectedComponents(nodes, edges, driverLimit = 0L)
+      .as[(String, String)].collect().toMap
+    assert(labels == Map("kiwi" -> "apple", "fig" -> "apple",
+      "apple" -> "apple", "date" -> "date"))
+    val none = Fuzzy.connectedComponents(nodes,
+        edges.limit(0), driverLimit = 0L)
+      .as[(String, String)].collect().toMap
+    assert(none.values.toSet == none.keySet)
+  }
 }

@@ -340,4 +340,44 @@ class RetrievalSpec extends AnyFunSuite {
       "id", topN = 10).collect().toSeq
     assert(viaApi == manual && viaApi.size == 10)
   }
+
+  test("hardNegatives: positives removed, skip band counts non-positives, ties by doc id") {
+    // query 1 ranking (score desc, doc asc among the 0.8 tie):
+    //   p1(0.9, positive), n1(0.8), n2(0.8), n3(0.7), p2(0.6, positive), n4(0.5)
+    // non-positive ranks: n1=1, n2=2, n3=3, n4=4; skipTop=1, k=2 →
+    // negatives n2(neg_rank 1), n3(neg_rank 2) — p1/p2 NEVER appear,
+    // and the skip band consumed n1, not a positive
+    val run = Seq(
+      (1L, "p1", 0.9), (1L, "n2", 0.8), (1L, "n1", 0.8),
+      (1L, "n3", 0.7), (1L, "p2", 0.6), (1L, "n4", 0.5),
+      (2L, "n5", 0.4), (2L, "n6", 0.3)
+    ).toDF("query_id", "doc_id", "score")
+    val pos = Seq((1L, "p1"), (1L, "p2"), (9L, "zz"))
+      .toDF("query_id", "doc_id")
+    val out = Retrieval.hardNegatives(run, pos, "query_id", "doc_id",
+        "score", k = 2, skipTop = 1)
+      .select("query_id", "doc_id", "neg_rank")
+      .as[(Long, String, Int)].collect().toSet
+    assert(out == Set((1L, "n2", 1), (1L, "n3", 2), (2L, "n6", 1)))
+    // query 2 has only 2 non-positives: skip band eats n5, n6 is the
+    // one surviving negative (short lists yield < k, never error)
+
+    // an unbounded per-query list refuses loudly in-plan
+    val big = spark.range(0, 50).select(lit(1L).as("query_id"),
+      concat(lit("d"), col("id")).as("doc_id"),
+      (col("id") * -1.0).as("score"))
+    val e = intercept[Exception] {
+      Retrieval.hardNegatives(big, pos, "query_id", "doc_id", "score",
+        k = 2, skipTop = 0, maxCandidates = 10).collect()
+    }
+    assert(e.getMessage.contains("maxCandidates"))
+    // null doc ids refuse in-plan (they would dodge the anti-join)
+    val nullDoc = Seq((1L, null.asInstanceOf[String], 1.0))
+      .toDF("query_id", "doc_id", "score")
+    val e2 = intercept[Exception] {
+      Retrieval.hardNegatives(nullDoc, pos, "query_id", "doc_id",
+        "score", k = 1).collect()
+    }
+    assert(e2.getMessage.contains("null"))
+  }
 }
