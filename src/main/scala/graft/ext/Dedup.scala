@@ -437,6 +437,143 @@ object Dedup {
         Seq("__fp"), "left_anti")
       .drop("__fp")
 
+  // ---------- incrementally-maintained cluster table ----------
+
+  /** One [[maintainClusters]] commit's receipts, for specs and
+    * monitoring: the new label-table version, how many existing
+    * clusters the batch touched, how many existing member rows were
+    * re-resolved (the DELTA-BOUNDED work — everything else was never
+    * read), and how many arrival rows were labeled. */
+  final case class ClusterMaintenance(version: Long,
+      touchedClusters: Long, touchedRows: Long, newRows: Long)
+
+  /** Incrementally-MAINTAINED duplicate clusters — the churn-time
+    * complement of [[resolveClusters]]: a versioned (id, cluster_id)
+    * table ([[graft.sources.VersionedTable]], cluster_id = the
+    * component's smallest id) absorbs one arrival batch WITHOUT
+    * re-resolving the corpus. Re-running full CC per batch is a
+    * whole-corpus shuffle each cycle; here the work is bounded by the
+    * DELTA'S NEIGHBORHOOD:
+    *
+    *  1. `newPairs` (ida, idb — from any pair generator, e.g.
+    *     [[minhashNearDupPairs]] between arrivals and corpus) name
+    *     the only places clusters can change; their endpoint set is
+    *     delta-bounded, collected under the
+    *     [[IdPredicate.MaxCollectedIds]] cap;
+    *  2. TOUCHED clusters = labels of endpoints already in the table,
+    *     found by a stats-pruned [[graft.sources.VersionedTable.readWhere]]
+    *     through a constant-size [[IdPredicate]] range cover (+ exact
+    *     re-filter — the cover is a superset by construction);
+    *  3. the sub-graph re-resolved is (touched clusters' star edges
+    *     id→cluster_id) ∪ newPairs over (touched members ∪ endpoints
+    *     ∪ `newIds`) — [[Fuzzy.connectedComponents]] (a near-star
+    *     graph: the driver path for small deltas, star contraction
+    *     past it);
+    *  4. ONE [[graft.sources.VersionedTable.merge]] upserts the
+    *     re-resolved labels; untouched clusters are never read,
+    *     never rewritten.
+    *
+    * Min-id labels are STABLE under this maintenance: an untouched
+    * component's minimum cannot change, and a merge of touched
+    * components takes the min of their mins — exactly what full CC
+    * over the accumulated pair set would produce, so maintained
+    * labels ≡ full recompute at every version (spec-pinned, and the
+    * q206 oracle replays the full closure). Unknown pair endpoints
+    * (in neither the table nor `newIds`) refuse loudly — a silent
+    * skip would drop a merge and the invariant with it. Arrivals
+    * with no pair become singletons. `newIds` already present in the
+    * table refuse (an id is immutable corpus identity; re-arrival is
+    * the arrival screen's business, [[newAgainstCorpus]]). */
+  def maintainClusters(spark: org.apache.spark.sql.SparkSession,
+      labelRoot: String, idCol: String, newIds: DataFrame,
+      newPairs: DataFrame): ClusterMaintenance = {
+    import graft.sources.VersionedTable
+    val ends = newPairs.select(col("ida").as("id"))
+      .union(newPairs.select(col("idb").as("id")))
+      .distinct().localCheckpoint(true)
+    val arrivals = newIds.select(col(idCol).as("id")).distinct()
+      .localCheckpoint(true)
+    val endIds = ends.orderBy("id")
+      .limit(IdPredicate.MaxCollectedIds + 1)
+      .collect().map(_.get(0)).toSeq
+    require(endIds.length <= IdPredicate.MaxCollectedIds,
+      s"maintainClusters: pair endpoints past " +
+        s"${IdPredicate.MaxCollectedIds} — split the arrival batch")
+    // endpoint rows already in the table (pruned scan + exact filter)
+    val endCover = IdPredicate.predicate(col(idCol), endIds)
+      .getOrElse(lit(true))
+    val endRows =
+      if (endIds.isEmpty)
+        VersionedTable.read(spark, labelRoot).limit(0)
+      else VersionedTable.readWhere(spark, labelRoot, endCover)
+        .join(ends.select(col("id").as(idCol)), Seq(idCol), "left_semi")
+        .localCheckpoint(true)
+    // every pair endpoint must be a known doc: in the table or arriving
+    val unknown = ends
+      .join(endRows.select(col(idCol).as("id")), Seq("id"), "left_anti")
+      .join(arrivals, Seq("id"), "left_anti").count()
+    require(unknown == 0L,
+      s"maintainClusters: $unknown pair endpoint(s) in neither the " +
+        "label table nor newIds — a silently skipped pair drops a " +
+        "cluster merge")
+    val reArrival = arrivals.join(
+      VersionedTable.readWhere(spark, labelRoot,
+        IdPredicate.predicate(col(idCol), arrivals.orderBy("id")
+            .limit(IdPredicate.MaxCollectedIds).collect()
+            .map(_.get(0)).toSeq).getOrElse(lit(true)))
+        .select(col(idCol).as("id")), Seq("id"), "left_semi").count()
+    require(reArrival == 0L,
+      s"maintainClusters: $reArrival newIds already in the table — " +
+        "ids are immutable identity; screen re-arrivals upstream")
+    // touched clusters' full membership (the delta-bounded re-resolve
+    // set); the label cover is a superset — exact semi-join restores it
+    val touchedLabels = endRows.select(col("cluster_id")).distinct()
+      .localCheckpoint(true)
+    val labelIds = touchedLabels.orderBy("cluster_id")
+      .limit(IdPredicate.MaxCollectedIds + 1)
+      .collect().map(_.get(0)).toSeq
+    require(labelIds.length <= IdPredicate.MaxCollectedIds,
+      s"maintainClusters: touched clusters past " +
+        s"${IdPredicate.MaxCollectedIds} — split the arrival batch")
+    val members =
+      if (labelIds.isEmpty)
+        VersionedTable.read(spark, labelRoot).limit(0)
+      else VersionedTable.readWhere(spark, labelRoot,
+          IdPredicate.predicate(col("cluster_id"), labelIds)
+            .getOrElse(lit(true)))
+        .join(touchedLabels, Seq("cluster_id"), "left_semi")
+        .localCheckpoint(true)
+    val (touchedClusters, touchedRows) =
+      (touchedLabels.count(), members.count())
+    // near-star sub-graph: existing star edges + the delta pairs
+    val starEdges = members.filter(col(idCol) =!= col("cluster_id"))
+      .select(col(idCol).as("src"), col("cluster_id").as("dst"))
+    val edges = starEdges.union(
+      newPairs.select(col("ida").as("src"), col("idb").as("dst")))
+    val nodes = members.select(col(idCol).as("id"))
+      .union(ends).union(arrivals).distinct()
+    val relabeled = Fuzzy.connectedComponents(nodes, edges)
+      .select(col("id").as(idCol), col("label").as("cluster_id"))
+    // upsert ONLY rows whose label changed (or is new): a blanket
+    // upsert of unchanged members would COW-rewrite their files for
+    // nothing — write amplification the delta-bounding exists to avoid
+    val changed = relabeled.join(
+        members.withColumnRenamed("cluster_id", "__old"),
+        Seq(idCol), "left")
+      .filter(col("__old").isNull || col("__old") =!= col("cluster_id"))
+      .drop("__old")
+    val newRows = arrivals.count()
+    // a no-op batch (no arrivals, no label movement) commits nothing
+    val v =
+      if (changed.isEmpty)
+        VersionedTable.currentVersion(spark, labelRoot).getOrElse(
+          throw new IllegalArgumentException(
+            s"$labelRoot: no versioned label table"))
+      else VersionedTable.merge(spark, labelRoot, changed,
+        keys = Seq(idCol))
+    ClusterMaintenance(v, touchedClusters, touchedRows, newRows)
+  }
+
   // ---------- span-level exact substring dedup ----------
 
   /** Span-level exact duplicate statistics at k-token granularity — the

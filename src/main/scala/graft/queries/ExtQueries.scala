@@ -2012,7 +2012,10 @@ object ExtQueries extends QueryPack {
         .localCheckpoint(true) // reused by the result and the pin
       val maxComponent = labels.groupBy("label").count()
         .agg(max("count")).head().getLong(0)
-      require(maxComponent > 25,
+      // the diameter pin binds from the gate scale up (sf0.01's
+      // 500-doc corpus); the 50-doc smoke corpus can't host a >25
+      // chain at all, so the pin would reject the data, not the plan
+      require(maxComponent > 25 || labels.count() < 500,
         s"the largest component ($maxComponent) must exceed the old " +
           "25-round propagation budget — otherwise this query no " +
           "longer exercises the diameter regime star contraction fixes")
@@ -2104,6 +2107,68 @@ object ExtQueries extends QueryPack {
       out.select(col("query_id"), col("doc_id"), col("score"),
           col("neg_rank"))
         .orderBy(col("query_id"), col("neg_rank"))
+    },
+
+    // INCREMENTALLY-MAINTAINED duplicate clusters — full-recompute CC
+    // per arrival batch is a whole-corpus shuffle each cycle at
+    // 100 TB; Dedup.maintainClusters absorbs a batch touching only
+    // the DELTA'S NEIGHBORHOOD (pruned reads through IdPredicate
+    // covers, only touched clusters re-resolved, only changed labels
+    // upserted). Timeline: docs split into 3 waves by doc_id % 3;
+    // chain edges (consecutive doc_ids within a lang, segment break
+    // at n_chars % 15 == 0) land in the batch of their LATEST
+    // endpoint's wave — so batch 1 grows wave-0 clusters and batch 2
+    // BRIDGES clusters built earlier (the min-id merge case). The
+    // ORACLE knows nothing of the timeline: it replays the full
+    // transitive closure over ALL edges with a recursive CTE — the
+    // maintained table must land exactly there. In-query pins: the
+    // receipts show batch 2 merged existing clusters, and some
+    // maintained cluster spans all three waves.
+    "q206_maintained_clusters" -> { (s, dir) =>
+      import graft.sources.VersionedTable
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val whPath =
+        if (wh.startsWith("file:")) new java.net.URI(wh).getPath else wh
+      val root = new java.io.File(whPath,
+        s"graft_q206/${java.util.UUID.randomUUID()}/labels").toString
+      val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        col("n_chars"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("doc_id")
+      val edgesAll = d.withColumn("nxt", lead(col("doc_id"), 1).over(w))
+        .filter(col("nxt").isNotNull && col("n_chars") % 15 =!= 0)
+        .select(col("doc_id").as("ida"), col("nxt").as("idb"))
+        .localCheckpoint(true) // one timeline, three batch filters
+      def wave(c: org.apache.spark.sql.Column) = pmod(c, lit(3))
+      def batchOf = greatest(wave(col("ida")), wave(col("idb")))
+      val wave0 = d.filter(wave(col("doc_id")) === 0)
+        .select(col("doc_id").as("id"))
+      VersionedTable.create(s, root, Dedup.resolveClusters(wave0, "id",
+        edgesAll.filter(batchOf === 0)))
+      val r1 = Dedup.maintainClusters(s, root, "id",
+        d.filter(wave(col("doc_id")) === 1).select(col("doc_id").as("id")),
+        edgesAll.filter(batchOf === 1))
+      val r2 = Dedup.maintainClusters(s, root, "id",
+        d.filter(wave(col("doc_id")) === 2).select(col("doc_id").as("id")),
+        edgesAll.filter(batchOf === 2))
+      val labels = VersionedTable.read(s, root).localCheckpoint(true)
+      val nDocs = labels.count()
+      // batch 2's edges include (wave-2, wave-0) links that bridge
+      // clusters built in earlier batches — the merge path must have
+      // actually run (the 50-doc smoke corpus is pin-exempt)
+      require(r1.newRows > 0 && r2.newRows > 0, "empty waves")
+      require(r2.touchedClusters >= 2 || nDocs < 500,
+        s"batch 2 must merge existing clusters (touched " +
+          s"${r2.touchedClusters}) — otherwise the maintenance path " +
+          "under test degenerated to singleton inserts")
+      val spanning = labels.withColumn("w", wave(col("id")))
+        .groupBy("cluster_id")
+        .agg(countDistinct(col("w")).as("nw"))
+        .filter(col("nw") === 3).count()
+      require(spanning > 0 || nDocs < 500,
+        "some maintained cluster must span all three waves")
+      labels.select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")
     },
 
     // AS-OF retrieval EVALUATION — "audit the run that built dataset
@@ -3563,6 +3628,23 @@ object ExtQueries extends QueryPack {
         |SELECT query_id, doc_id, score, CAST(nr - 3 AS INT) AS neg_rank
         |FROM np WHERE nr > 3 AND nr <= 13
         |ORDER BY query_id, neg_rank""".stripMargin,
+    // the oracle knows nothing of the engine's incremental timeline:
+    // it computes the full transitive closure over ALL edges at once
+    "q206_maintained_clusters" ->
+      """WITH RECURSIVE nxt AS (SELECT doc_id, n_chars,
+        |    LEAD(doc_id) OVER (PARTITION BY lang ORDER BY doc_id)
+        |      AS nxt
+        |  FROM documents),
+        |e0 AS (SELECT doc_id AS src, nxt AS dst FROM nxt
+        |  WHERE nxt IS NOT NULL AND n_chars % 15 <> 0),
+        |e AS (SELECT src, dst FROM e0
+        |  UNION SELECT dst, src FROM e0),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src)
+        |SELECT id AS doc_id, MIN(r) AS cluster_id
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "q201_hybrid_batch" ->
       """WITH tk AS (SELECT doc_id,
         |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS t
