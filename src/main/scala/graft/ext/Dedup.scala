@@ -488,8 +488,13 @@ object Dedup {
       labelRoot: String, idCol: String, newIds: DataFrame,
       newPairs: DataFrame): ClusterMaintenance = {
     import graft.sources.VersionedTable
-    val ends = newPairs.select(col("ida").as("id"))
-      .union(newPairs.select(col("idb").as("id")))
+    // pin the pair feed ONCE: it is typically an expensive generator
+    // (banded LSH between arrivals and corpus), and it feeds both the
+    // endpoint set here and the CC edge set below
+    val pairs = newPairs.select(col("ida"), col("idb"))
+      .localCheckpoint(true)
+    val ends = pairs.select(col("ida").as("id"))
+      .union(pairs.select(col("idb").as("id")))
       .distinct().localCheckpoint(true)
     val arrivals = newIds.select(col(idCol).as("id")).distinct()
       .localCheckpoint(true)
@@ -516,11 +521,20 @@ object Dedup {
       s"maintainClusters: $unknown pair endpoint(s) in neither the " +
         "label table nor newIds — a silently skipped pair drops a " +
         "cluster merge")
+    // the arrival cover must refuse past the cap like the endpoint
+    // and label collects do — a silent truncation would let an
+    // uncovered re-arrival's row dodge the pruned scan, pass this
+    // check, and get its existing label silently overwritten
+    val arrivalIds = arrivals.orderBy("id")
+      .limit(IdPredicate.MaxCollectedIds + 1)
+      .collect().map(_.get(0)).toSeq
+    require(arrivalIds.length <= IdPredicate.MaxCollectedIds,
+      s"maintainClusters: arrivals past " +
+        s"${IdPredicate.MaxCollectedIds} — split the arrival batch")
     val reArrival = arrivals.join(
       VersionedTable.readWhere(spark, labelRoot,
-        IdPredicate.predicate(col(idCol), arrivals.orderBy("id")
-            .limit(IdPredicate.MaxCollectedIds).collect()
-            .map(_.get(0)).toSeq).getOrElse(lit(true)))
+        IdPredicate.predicate(col(idCol), arrivalIds)
+          .getOrElse(lit(true)))
         .select(col(idCol).as("id")), Seq("id"), "left_semi").count()
     require(reArrival == 0L,
       s"maintainClusters: $reArrival newIds already in the table — " +
@@ -549,7 +563,7 @@ object Dedup {
     val starEdges = members.filter(col(idCol) =!= col("cluster_id"))
       .select(col(idCol).as("src"), col("cluster_id").as("dst"))
     val edges = starEdges.union(
-      newPairs.select(col("ida").as("src"), col("idb").as("dst")))
+      pairs.select(col("ida").as("src"), col("idb").as("dst")))
     val nodes = members.select(col(idCol).as("id"))
       .union(ends).union(arrivals).distinct()
     val relabeled = Fuzzy.connectedComponents(nodes, edges)
@@ -562,6 +576,7 @@ object Dedup {
         Seq(idCol), "left")
       .filter(col("__old").isNull || col("__old") =!= col("cluster_id"))
       .drop("__old")
+      .localCheckpoint(true) // read by BOTH the isEmpty probe and merge
     val newRows = arrivals.count()
     // a no-op batch (no arrivals, no label movement) commits nothing
     val v =

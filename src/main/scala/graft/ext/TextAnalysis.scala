@@ -810,6 +810,93 @@ object TextAnalysis {
       .filter(col("sample_rank") <= n)
   }
 
+  /** Skew-proof [[quotaSample]] — same selection and same
+    * `sample_rank` output (the n ascending-md5-rank rows per group,
+    * (key, id) ties), WITHOUT the widest-stratum wall: the windowed
+    * form sorts each group on one task, and at corpus scale one
+    * stratum is billions of rows while the quota is thousands. Here
+    * the per-group rank-key THRESHOLD BUCKET comes from one bounded
+    * (group × first-byte-of-key) histogram (256 monotone buckets —
+    * the hex prefix orders exactly like the full key):
+    *
+    *  1. rows in buckets below the threshold are kept by a narrow
+    *     FILTER (their count is the driver-computed `base` ≤ n);
+    *  2. rows above are dropped the same way;
+    *  3. only the threshold bucket — an expected 1/256 of a wide
+    *     group — is sorted, taking its `n - base` smallest;
+    *  4. the final `sample_rank` window runs over SURVIVORS only:
+    *     ≤ min(n, |group|) rows per group, so the sample SIZE — not
+    *     the stratum width — is the scale axis of every sort.
+    *
+    * Survivor ranks equal global ranks because the survivors are
+    * exactly the n smallest keys. The histogram refuses loudly past
+    * `maxHistRows` (group-cardinality explosion) and points at
+    * [[quotaSample]], whose one-window shape is right when groups
+    * are many and small. */
+  def quotaSampleSkew(df: org.apache.spark.sql.DataFrame,
+      groupCol: String, idCol: String, n: Int, seed: Int,
+      maxHistRows: Int = 262144): org.apache.spark.sql.DataFrame = {
+    require(n > 0, s"quota must be positive: $n")
+    import org.apache.spark.sql.expressions.Window
+    val s = df.sparkSession
+    // one upstream pass: histogram populates the cache, both output
+    // branches read it
+    val src = df.persist(org.apache.spark.storage.StorageLevel
+      .MEMORY_AND_DISK)
+    val outCols = df.columns.map(col).toSeq
+    val key = md5(concat(lit(s"qs:$seed:"), col(idCol).cast("string")))
+    val tagged = src.withColumn("__k", key)
+      .withColumn("__b", substring(col("__k"), 1, 2))
+    val hist = tagged.groupBy(col(groupCol).as("__g"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .limit(maxHistRows + 1).collect()
+    require(hist.length <= maxHistRows,
+      s"quotaSampleSkew: histogram past $maxHistRows rows — group " +
+        "cardinality is the scale axis here, not group width; use " +
+        "quotaSample (one exchange, per-group windows)")
+    // per group, ascending bucket order: threshold = first bucket
+    // where the running count EXCEEDS n; base = count strictly below
+    val thresholds = hist.groupBy(_.get(0)).iterator.flatMap {
+      case (g, rows) =>
+        var acc = 0L
+        var res: Option[(Any, String, Long)] = None
+        for (r <- rows.sortBy(_.getString(1)) if res.isEmpty) {
+          val c = r.getLong(2)
+          if (acc + c > n) res = Some((g, r.getString(1), acc))
+          else acc += c
+        }
+        res
+    }.toSeq
+    val wRank = Window.partitionBy(col(groupCol))
+      .orderBy(col("__k"), col(idCol))
+    def ranked(survivors: org.apache.spark.sql.DataFrame) = survivors
+      .withColumn("sample_rank", row_number().over(wRank))
+      .select(outCols :+ col("sample_rank"): _*)
+    if (thresholds.isEmpty)
+      // every group fits inside the quota: survivors = everything,
+      // and every group is ≤ n rows wide — no wall to dodge
+      return ranked(tagged)
+    val gField = df.schema(groupCol)
+    val thSchema = org.apache.spark.sql.types.StructType(Seq(
+      gField.copy(name = "__g"),
+      org.apache.spark.sql.types.StructField("__t",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("__base",
+        org.apache.spark.sql.types.LongType)))
+    val thDf = s.createDataFrame(java.util.Arrays.asList(
+      thresholds.map(t => org.apache.spark.sql.Row(t._1, t._2, t._3)): _*),
+      thSchema)
+    val joined = tagged.join(broadcast(thDf),
+      col(groupCol) <=> col("__g"), "left")
+    val bulk = joined.filter(col("__t").isNull || col("__b") < col("__t"))
+    val boundary = joined.filter(col("__b") === col("__t"))
+      .withColumn("__r", row_number().over(wRank))
+      .filter(col("__r") <= lit(n) - col("__base"))
+      .drop("__r")
+    ranked(bulk.unionByName(boundary)
+      .select((outCols :+ col("__k")): _*))
+  }
+
   /** Decontamination by EXCISION: instead of dropping a document that
     * overlaps an evaluation benchmark (the q74/q96 flagging stance),
     * cut out exactly the contaminated k-token spans and keep the rest
@@ -940,6 +1027,11 @@ object TextAnalysis {
     require(buckets > 1, s"buckets must be > 1: $buckets")
     val s = df.sparkSession
     import org.apache.spark.sql.expressions.Window
+    // one pass over the (possibly expensive) upstream: the bounds
+    // aggregate populates the cache, the histogram and both output
+    // branches read it (without this the upstream lineage runs 4x)
+    val src = df.persist(org.apache.spark.storage.StorageLevel
+      .MEMORY_AND_DISK)
     val outCols = df.columns.map(col).toSeq
     val tok = when(tokenCol.isNull || tokenCol.cast("long") <= 0L,
       raise_error(lit("capPerGroupBudgetSkew: tokens must be strictly " +
@@ -954,10 +1046,11 @@ object TextAnalysis {
         abs(col(orderCol).cast("double")) === lit(Double.PositiveInfinity),
       raise_error(lit("capPerGroupBudgetSkew: NULL/NaN/Inf order key")))
       .otherwise(col(orderCol).cast("double"))
-    val bounds = df.agg(min(col(orderCol).cast("double")),
+    val bounds = src.agg(min(col(orderCol).cast("double")),
       max(col(orderCol).cast("double"))).head()
     if (bounds.isNullAt(0)) {
-      require(df.isEmpty, "capPerGroupBudgetSkew: order key all NULL")
+      require(src.isEmpty, "capPerGroupBudgetSkew: order key all NULL")
+      src.unpersist(false)
       return df
     }
     val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
@@ -970,7 +1063,7 @@ object TextAnalysis {
       if (width <= 0d || width.isNaN) (ord * lit(0d)).cast("int")
       else least(floor((ord - lit(lo)) / lit(width)).cast("int"),
         lit(buckets - 1))
-    val tagged = df.withColumn("__b", bucketOf).withColumn("__tok", tok)
+    val tagged = src.withColumn("__b", bucketOf).withColumn("__tok", tok)
     val hist = tagged.groupBy(col(groupCol).as("__g"), col("__b"))
       .agg(sum("__tok").as("__m"))
       .limit(maxHistRows + 1).collect()
@@ -989,7 +1082,9 @@ object TextAnalysis {
         }
         res
     }.toSeq
-    if (thresholds.isEmpty) return df // every group under budget
+    if (thresholds.isEmpty) return src // every group under budget
+    // (src stays persisted on the main path: both output branches
+    // read it, and the caller decides when to materialize)
     val gField = df.schema(groupCol)
     val thSchema = org.apache.spark.sql.types.StructType(Seq(
       gField.copy(name = "__g"),

@@ -2171,6 +2171,24 @@ object ExtQueries extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // SKEW-PROOF quota sampler — quotaSample's selection (the n
+    // ascending-md5-rank rows per group, the eval-set constructor)
+    // without the widest-stratum wall: the windowed form sorts each
+    // group on ONE task; here a bounded (group × key-prefix-byte)
+    // histogram places the threshold bucket per group, the bulk
+    // keep/drop is a narrow filter, only the threshold bucket sorts,
+    // and the final rank window runs over survivors (≤ n per group —
+    // the SAMPLE size is the scale axis, not the stratum width).
+    // Grouped by lang so "en" is the wide stratum. The oracle replays
+    // the plain windowed rank — same rows, same ranks, different
+    // algorithm.
+    "q207_quota_sample_skew" -> { (s, dir) =>
+      TextAnalysis.quotaSampleSkew(docs(s, dir)
+          .select(col("doc_id"), col("lang"), col("source")),
+          "lang", "doc_id", n = 25, seed = 7)
+        .orderBy(col("lang"), col("sample_rank"))
+    },
+
     // AS-OF retrieval EVALUATION — "audit the run that built dataset
     // v2": a training-data pipeline must be able to score a
     // HISTORICAL retrieval run (recall/precision/MRR/nDCG against
@@ -3645,6 +3663,19 @@ object ExtQueries extends QueryPack {
         |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src)
         |SELECT id AS doc_id, MIN(r) AS cluster_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // the engine places a histogram threshold and sorts only the
+    // boundary bucket + survivors; the oracle runs the plain
+    // windowed rank — rows AND ranks must match
+    "q207_quota_sample_skew" ->
+      """WITH r AS (SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('qs:7:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |      AS sample_rank
+        |  FROM documents)
+        |SELECT doc_id, lang, source, CAST(sample_rank AS INT)
+        |  AS sample_rank
+        |FROM r WHERE sample_rank <= 25
+        |ORDER BY lang, sample_rank""".stripMargin,
     "q201_hybrid_batch" ->
       """WITH tk AS (SELECT doc_id,
         |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS t

@@ -164,6 +164,39 @@ class CurationSweepSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("capPerGroupBudget"))
   }
 
+  test("quotaSampleSkew equals quotaSample exactly (rows AND ranks) across seeds and quotas") {
+    val schema = StructType(Seq(StructField("g", StringType),
+      StructField("id", LongType)))
+    for (seed <- Seq(3, 11); n <- Seq(5, 40)) {
+      val rnd = new scala.util.Random(seed)
+      // one group 10x wider than the rest (the wall the variant
+      // removes); some groups smaller than the quota (kept whole)
+      val rows = (1L to 150L).map { i =>
+        val g = if (i <= 100) "wide" else s"g${rnd.nextInt(8)}"
+        (g, i)
+      }
+      val df = spark.createDataFrame(
+        java.util.Arrays.asList(rows.map(Row.fromTuple): _*), schema)
+      val want = TextAnalysis.quotaSample(df, "g", "id", n, seed)
+        .select("g", "id", "sample_rank")
+        .as[(String, Long, Int)].collect().toSet
+      val got = TextAnalysis.quotaSampleSkew(df, "g", "id", n, seed)
+        .select("g", "id", "sample_rank")
+        .as[(String, Long, Int)].collect().toSet
+      assert(got == want, s"seed=$seed n=$n")
+      assert(got.count(_._1 == "wide") == math.min(n, 100),
+        s"wide group must fill its quota (seed=$seed n=$n)")
+    }
+    // histogram overflow refuses and points at the windowed variant
+    val many = spark.createDataFrame(java.util.Arrays.asList(
+      (1L to 60L).map(i => Row(s"g$i", i)): _*), schema)
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.quotaSampleSkew(many, "g", "id", n = 2, seed = 1,
+        maxHistRows = 10)
+    }
+    assert(e.getMessage.contains("quotaSample"))
+  }
+
   test("cdcChunks equals the sequential reference across seeds (incl. empty tokens)") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
