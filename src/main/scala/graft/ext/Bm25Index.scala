@@ -103,14 +103,26 @@ object Bm25Index {
       .filter(col(textCol).isNotNull)
     val meta = Map(CorpusKey -> corpusRoot, WatermarkKey -> cv.toString,
       IdKey -> idCol, TextKey -> textCol, NPartsKey -> nParts.toString)
-    val v = VersionedTable.create(spark, postingsRoot(root),
-      clustered(postingsOf(docs, idCol, textCol), nParts), meta = meta)
-    VersionedTable.create(spark, doclensRoot(root),
-      dlClustered(doclensOf(docs, idCol, textCol), nParts), meta = meta)
-    MaterializedView.create(spark, postingsRoot(root), dfRoot(root),
-      keys = Seq("term"), sums = Seq.empty)
-    MaterializedView.create(spark, doclensRoot(root), globalRoot(root),
-      keys = Seq("one"), sums = Seq("dl"))
+    // two independent chains over disjoint roots — postings → df view
+    // and doclens → global view — overlapped (guide §2.6); each chain
+    // stays internally ordered (the view defines on its base's commit)
+    val Seq(v, _) = Par[Long](
+      () => {
+        val pv = VersionedTable.create(spark, postingsRoot(root),
+          clustered(postingsOf(docs, idCol, textCol), nParts),
+          meta = meta)
+        MaterializedView.create(spark, postingsRoot(root), dfRoot(root),
+          keys = Seq("term"), sums = Seq.empty)
+        pv
+      },
+      () => {
+        val dv = VersionedTable.create(spark, doclensRoot(root),
+          dlClustered(doclensOf(docs, idCol, textCol), nParts),
+          meta = meta)
+        MaterializedView.create(spark, doclensRoot(root),
+          globalRoot(root), keys = Seq("one"), sums = Seq("dl"))
+        dv
+      })
     v
   }
 
@@ -153,27 +165,34 @@ object Bm25Index {
       val ins = ch.withColumn("_rn", row_number().over(netW))
         .filter(col("_rn") === 1 && col("_change_type") === "insert")
         .drop("_rn")
-      VersionedTable.streamingApply(spark, pRoot,
-        // the create-time partition count: a delta clustered coarser
-        // than the build layout would smear the term ranges and erode
-        // the prune over time (16 = pre-NPartsKey legacy indexes)
-        inserts = clustered(postingsOf(ins, idCol, textCol),
-          meta.get(NPartsKey).fold(16)(_.toInt)),
-        deleteKeys = postingsOf(pre, idCol, textCol)
-          .select("term", "doc_id").dropDuplicates(),
-        keys = Seq("term", "doc_id"),
-        queryName = "bm25_postings", batchId = cv, cdf = true,
-        extraMeta = Map(WatermarkKey -> cv.toString))
-      VersionedTable.streamingApply(spark, doclensRoot(root),
-        inserts = dlClustered(doclensOf(ins, idCol, textCol),
-          meta.get(NPartsKey).fold(16)(_.toInt)),
-        deleteKeys = pre.select(col(idCol).as("doc_id")).dropDuplicates(),
-        keys = Seq("doc_id"),
-        queryName = "bm25_doclens", batchId = cv, cdf = true,
-        extraMeta = Map(WatermarkKey -> cv.toString))
+      // postings and doclens advance over DISJOINT tables (the crash
+      // comment above already proves order-independence: replay from
+      // the min watermark no-ops the side already applied) — overlap
+      // the two commits (guide §2.6)
+      Par(() => VersionedTable.streamingApply(spark, pRoot,
+          // the create-time partition count: a delta clustered coarser
+          // than the build layout would smear the term ranges and erode
+          // the prune over time (16 = pre-NPartsKey legacy indexes)
+          inserts = clustered(postingsOf(ins, idCol, textCol),
+            meta.get(NPartsKey).fold(16)(_.toInt)),
+          deleteKeys = postingsOf(pre, idCol, textCol)
+            .select("term", "doc_id").dropDuplicates(),
+          keys = Seq("term", "doc_id"),
+          queryName = "bm25_postings", batchId = cv, cdf = true,
+          extraMeta = Map(WatermarkKey -> cv.toString)),
+        () => VersionedTable.streamingApply(spark, doclensRoot(root),
+          inserts = dlClustered(doclensOf(ins, idCol, textCol),
+            meta.get(NPartsKey).fold(16)(_.toInt)),
+          deleteKeys = pre.select(col(idCol).as("doc_id"))
+            .dropDuplicates(),
+          keys = Seq("doc_id"),
+          queryName = "bm25_doclens", batchId = cv, cdf = true,
+          extraMeta = Map(WatermarkKey -> cv.toString)))
     }
-    MaterializedView.refresh(spark, pRoot, dfRoot(root))
-    MaterializedView.refresh(spark, doclensRoot(root), globalRoot(root))
+    // each view folds its own base's feed — independent refreshes
+    Par(() => MaterializedView.refresh(spark, pRoot, dfRoot(root)),
+      () => MaterializedView.refresh(spark, doclensRoot(root),
+        globalRoot(root)))
     VersionedTable.currentVersion(spark, pRoot).get
   }
 

@@ -493,14 +493,23 @@ object Dedup {
     // endpoint set here and the CC edge set below
     val pairs = newPairs.select(col("ida"), col("idb"))
       .localCheckpoint(true)
-    val ends = pairs.select(col("ida").as("id"))
-      .union(pairs.select(col("idb").as("id")))
-      .distinct().localCheckpoint(true)
-    val arrivals = newIds.select(col(idCol).as("id")).distinct()
-      .localCheckpoint(true)
-    val endIds = ends.orderBy("id")
-      .limit(IdPredicate.MaxCollectedIds + 1)
-      .collect().map(_.get(0)).toSeq
+    // the endpoint set and the arrival set are independent pins, and
+    // their id-cover collects are independent too — overlap the pair
+    // (guide §2.6: this method is a chain of small driver actions;
+    // the latency is the action count, not any one job)
+    val Seq(ends, arrivals) = Par[DataFrame](
+      () => pairs.select(col("ida").as("id"))
+        .union(pairs.select(col("idb").as("id")))
+        .distinct().localCheckpoint(true),
+      () => newIds.select(col(idCol).as("id")).distinct()
+        .localCheckpoint(true))
+    val Seq(endIds, arrivalIdsE) = Par[Seq[Any]](
+      () => ends.orderBy("id")
+        .limit(IdPredicate.MaxCollectedIds + 1)
+        .collect().map(_.get(0)).toSeq,
+      () => arrivals.orderBy("id")
+        .limit(IdPredicate.MaxCollectedIds + 1)
+        .collect().map(_.get(0)).toSeq)
     require(endIds.length <= IdPredicate.MaxCollectedIds,
       s"maintainClusters: pair endpoints past " +
         s"${IdPredicate.MaxCollectedIds} — split the arrival batch")
@@ -513,29 +522,31 @@ object Dedup {
       else VersionedTable.readWhere(spark, labelRoot, endCover)
         .join(ends.select(col("id").as(idCol)), Seq(idCol), "left_semi")
         .localCheckpoint(true)
-    // every pair endpoint must be a known doc: in the table or arriving
-    val unknown = ends
-      .join(endRows.select(col(idCol).as("id")), Seq("id"), "left_anti")
-      .join(arrivals, Seq("id"), "left_anti").count()
-    require(unknown == 0L,
-      s"maintainClusters: $unknown pair endpoint(s) in neither the " +
-        "label table nor newIds — a silently skipped pair drops a " +
-        "cluster merge")
     // the arrival cover must refuse past the cap like the endpoint
     // and label collects do — a silent truncation would let an
     // uncovered re-arrival's row dodge the pruned scan, pass this
     // check, and get its existing label silently overwritten
-    val arrivalIds = arrivals.orderBy("id")
-      .limit(IdPredicate.MaxCollectedIds + 1)
-      .collect().map(_.get(0)).toSeq
+    val arrivalIds = arrivalIdsE
     require(arrivalIds.length <= IdPredicate.MaxCollectedIds,
       s"maintainClusters: arrivals past " +
         s"${IdPredicate.MaxCollectedIds} — split the arrival batch")
-    val reArrival = arrivals.join(
-      VersionedTable.readWhere(spark, labelRoot,
-        IdPredicate.predicate(col(idCol), arrivalIds)
-          .getOrElse(lit(true)))
-        .select(col(idCol).as("id")), Seq("id"), "left_semi").count()
+    // two independent hygiene counts, overlapped:
+    // every pair endpoint must be a known doc (in the table or
+    // arriving), and no arrival may already be in the table
+    val Seq(unknown, reArrival) = Par[Long](
+      () => ends
+        .join(endRows.select(col(idCol).as("id")), Seq("id"),
+          "left_anti")
+        .join(arrivals, Seq("id"), "left_anti").count(),
+      () => arrivals.join(
+        VersionedTable.readWhere(spark, labelRoot,
+          IdPredicate.predicate(col(idCol), arrivalIds)
+            .getOrElse(lit(true)))
+          .select(col(idCol).as("id")), Seq("id"), "left_semi").count())
+    require(unknown == 0L,
+      s"maintainClusters: $unknown pair endpoint(s) in neither the " +
+        "label table nor newIds — a silently skipped pair drops a " +
+        "cluster merge")
     require(reArrival == 0L,
       s"maintainClusters: $reArrival newIds already in the table — " +
         "ids are immutable identity; screen re-arrivals upstream")
@@ -557,8 +568,9 @@ object Dedup {
             .getOrElse(lit(true)))
         .join(touchedLabels, Seq("cluster_id"), "left_semi")
         .localCheckpoint(true)
-    val (touchedClusters, touchedRows) =
-      (touchedLabels.count(), members.count())
+    val Seq(touchedClusters, touchedRows, newRowsCount) = Par[Long](
+      () => touchedLabels.count(), () => members.count(),
+      () => arrivals.count())
     // near-star sub-graph: existing star edges + the delta pairs
     val starEdges = members.filter(col(idCol) =!= col("cluster_id"))
       .select(col(idCol).as("src"), col("cluster_id").as("dst"))
@@ -577,7 +589,7 @@ object Dedup {
       .filter(col("__old").isNull || col("__old") =!= col("cluster_id"))
       .drop("__old")
       .localCheckpoint(true) // read by BOTH the isEmpty probe and merge
-    val newRows = arrivals.count()
+    val newRows = newRowsCount
     // a no-op batch (no arrivals, no label movement) commits nothing
     val v =
       if (changed.isEmpty)

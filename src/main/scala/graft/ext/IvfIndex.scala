@@ -193,10 +193,11 @@ object IvfIndex {
       // per-plan (float-mean reductions), so oracle-gated queries
       // stay on 0; R persists per generation and rides rebuilds.
       pqOpqIters: Int = 0): Long = {
-    val (lists, meta) = buildState(spark, corpusRoot, idCol, vecCol,
-      nlist, path, trainIters, pq, pqSeed, pqResidual, rowsPerFile,
-      pqOpqIters)
-    VersionedTable.create(spark, listsRoot(path), lists, meta = meta)
+    val (lists, meta, release) = buildState(spark, corpusRoot, idCol,
+      vecCol, nlist, path, trainIters, pq, pqSeed, pqResidual,
+      rowsPerFile, pqOpqIters)
+    try VersionedTable.create(spark, listsRoot(path), lists, meta = meta)
+    finally release()
   }
 
   /** v − centroid(centroid_id), the quantity residual codes encode.
@@ -216,7 +217,7 @@ object IvfIndex {
       trainIters: Int, pq: Option[(Int, Int)],
       pqSeed: Int, pqResidual: Boolean,
       rowsPerFile: Long,
-      pqOpqIters: Int = 0): (DataFrame, Map[String, String]) = {
+      pqOpqIters: Int = 0): (DataFrame, Map[String, String], () => Unit) = {
     require(nlist > 0, s"need nlist > 0, got $nlist")
     val cv = VersionedTable.currentVersion(spark, corpusRoot).getOrElse(
       throw new IllegalArgumentException(s"$corpusRoot: no versioned table"))
@@ -235,12 +236,7 @@ object IvfIndex {
       .toDF("centroid_id", "weights")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/$cdir")
     val assigned = assignWithSim(corpus, "nv", centroids)
-    // build-quality baseline: mean assignment cosine over the corpus
-    // (one extra map-only pass; the drift metric's denominator)
-    val base = assigned.agg(sum(col("assign_sim")).as("s"),
-      count(lit(1)).as("n")).head()
-    val (simSum, n) = (base.getDouble(0), base.getLong(1))
-    val baseMeta = Map(
+    def baseMetaOf(simSum: Double, n: Long) = Map(
       CorpusKey -> corpusRoot,
       WatermarkKey -> cv.toString,
       NlistKey -> nlist.toString,
@@ -249,12 +245,29 @@ object IvfIndex {
       BuildSimSumKey -> simSum.toString, BuildNKey -> n.toString,
       ChurnSimSumKey -> "0.0", ChurnNKey -> "0",
       RowsPerFileKey -> rowsPerFile.toString)
-    // the corpus row count just computed sizes the layout: one range
-    // partition per centroid, sub-split past rowsPerFile (hot-centroid
-    // skew cap — see partsFor)
-    val nParts = partsFor(nlist, n, rowsPerFile)
+    // The build reads the assigned/encoded corpus SEVERAL times: the
+    // audit aggregate(s), clustered()'s repartitionByRange SAMPLING
+    // pass, and the data write itself. The nlist-way assignment and
+    // the m-way PQ encode are the most expensive expressions in the
+    // engine — pin the frame once (spills past memory at scale) so
+    // they run ONE pass instead of 3-4 (guide §1.2/§5: reuse is 3-4x
+    // recompute here, measured 13 s → ~6 s on the q199 build).
+    // Callers release via the returned cleanup thunk AFTER the commit.
     pq match {
-      case None => (clustered(assigned, nParts), baseMeta)
+      case None =>
+        val pinned = assigned
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // build-quality baseline: mean assignment cosine over the
+        // corpus (the drift metric's denominator)
+        val base = pinned.agg(sum(col("assign_sim")).as("s"),
+          count(lit(1)).as("n")).head()
+        val (simSum, n) = (base.getDouble(0), base.getLong(1))
+        // the corpus row count just computed sizes the layout: one
+        // range partition per centroid, sub-split past rowsPerFile
+        // (hot-centroid skew cap — see partsFor)
+        val nParts = partsFor(nlist, n, rowsPerFile)
+        (clustered(pinned, nParts), baseMetaOf(simSum, n),
+          () => { pinned.unpersist(); () })
       case Some((m, ks)) =>
         // the PQ codebooks are a per-generation immutable artifact,
         // named by the manifest meta exactly like the quantizer —
@@ -284,22 +297,28 @@ object IvfIndex {
         (cbRows ++ rotRows).toDF("j", "c", "weights")
           .coalesce(1).write.mode("overwrite").parquet(s"$path/$pdir")
         val encoded = Pq.encode(toCode, "_pqv", model)
-        // build-fidelity baseline: mean squared quantization error of
-        // the build encode (one extra map-only pass, mirroring the
-        // assignment-cosine baseline) — the denominator of the
-        // codebook-drift ratio [[pqDrift]] tracks per refresh
-        val errRow = encoded.agg(
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // BOTH build baselines in ONE pass over the pinned encode:
+        // mean assignment cosine (quantizer drift denominator) and
+        // mean squared quantization error of the build encode (the
+        // codebook-drift denominator [[pqDrift]] tracks per refresh)
+        val base = encoded.agg(sum(col("assign_sim")).as("ss"),
+          count(lit(1)).as("n"),
           coalesce(sum(Pq.quantErr(col("_pqv"), col("pq_code"), model)),
-            lit(0.0)).as("s"), count(lit(1)).as("n")).head()
+            lit(0.0)).as("es")).head()
+        val (simSum, n) = (base.getDouble(0), base.getLong(1))
+        val nParts = partsFor(nlist, n, rowsPerFile)
         (clustered(encoded, nParts, "pq_code"),
-          baseMeta ++ Map(PqDirKey -> pdir, PqMKey -> m.toString,
+          baseMetaOf(simSum, n) ++ Map(PqDirKey -> pdir,
+            PqMKey -> m.toString,
             PqKsKey -> ks.toString, PqDimKey -> model.dim.toString,
             PqSeedKey -> pqSeed.toString,
             PqResidualKey -> (if (pqResidual) "1" else "0"),
             PqOpqItersKey -> pqOpqIters.toString,
-            PqBuildErrSumKey -> errRow.getDouble(0).toString,
-            PqBuildNKey -> errRow.getLong(1).toString,
-            PqChurnErrSumKey -> "0.0", PqChurnNKey -> "0"))
+            PqBuildErrSumKey -> base.getDouble(2).toString,
+            PqBuildNKey -> n.toString,
+            PqChurnErrSumKey -> "0.0", PqChurnNKey -> "0"),
+          () => { encoded.unpersist(); () })
     }
   }
 
@@ -419,38 +438,48 @@ object IvfIndex {
         .filter(col("_rn") === 1 && col("_change_type") === "insert")
         .drop("_rn"),
       "nv", centroids)
-    val simRow = ins.agg(coalesce(sum(col("assign_sim")), lit(0.0)).as("s"),
-      count(lit(1)).as("n")).head()
-    val churnSum = meta(ChurnSimSumKey).toDouble + simRow.getDouble(0)
-    val churnN = meta(ChurnNKey).toLong + simRow.getLong(1)
     // IVF-PQ: the delta encodes against the FROZEN generation's
     // codebooks (same pinning as the quantizer — a crossed rebuild
     // throws StaleRefresh below before stale codes could land), and
     // its reconstruction error accumulates into the codebook-drift
-    // counters riding this same commit (replays no-op with it)
-    val (payload, insertRows, pqErrMeta) = readPq(spark, path, meta) match {
-      case Some((model, rot)) =>
-        // OPQ generations encode (and measure drift) in the SAME
-        // rotated space the codebooks were fit in
-        val rawCol =
-          if (meta.get(PqResidualKey).contains("1"))
-            residualCol("nv", centroids)
-          else transform(col("nv"), x => x.cast("double"))
-        val toCode = ins.withColumn("_pqv",
-          rot.fold(rawCol)(r => Pq.rotate(rawCol, r)))
-        val enc = Pq.encode(toCode, "_pqv", model)
-          .localCheckpoint(true) // the err agg must not re-encode
-        val er = enc.agg(coalesce(sum(
-            Pq.quantErr(col("_pqv"), col("pq_code"), model)),
-          lit(0.0)).as("s"), count(lit(1)).as("n")).head()
-        val errSum = meta.get(PqChurnErrSumKey).fold(0.0)(_.toDouble) +
-          er.getDouble(0)
-        val errN = meta.get(PqChurnNKey).fold(0L)(_.toLong) +
-          er.getLong(1)
-        ("pq_code", enc, Map(PqChurnErrSumKey -> errSum.toString,
-          PqChurnNKey -> errN.toString))
-      case None => ("nv", ins, Map.empty[String, String])
-    }
+    // counters riding this same commit (replays no-op with it).
+    // BOTH churn aggregates (assignment cosine + quantization error)
+    // fold into ONE job over the pinned delta — the buildState
+    // discipline (guide §1.2: the encode is the expensive expression;
+    // never run a second pass just to aggregate a column the first
+    // pass already carried).
+    val (payload, insertRows, pqErrMeta, simRow) =
+      readPq(spark, path, meta) match {
+        case Some((model, rot)) =>
+          // OPQ generations encode (and measure drift) in the SAME
+          // rotated space the codebooks were fit in
+          val rawCol =
+            if (meta.get(PqResidualKey).contains("1"))
+              residualCol("nv", centroids)
+            else transform(col("nv"), x => x.cast("double"))
+          val toCode = ins.withColumn("_pqv",
+            rot.fold(rawCol)(r => Pq.rotate(rawCol, r)))
+          val enc = Pq.encode(toCode, "_pqv", model)
+            .localCheckpoint(true) // the aggs must not re-encode
+          val er = enc.agg(
+            coalesce(sum(col("assign_sim")), lit(0.0)).as("ss"),
+            count(lit(1)).as("n"),
+            coalesce(sum(
+              Pq.quantErr(col("_pqv"), col("pq_code"), model)),
+              lit(0.0)).as("es")).head()
+          val errSum = meta.get(PqChurnErrSumKey).fold(0.0)(_.toDouble) +
+            er.getDouble(2)
+          val errN = meta.get(PqChurnNKey).fold(0L)(_.toLong) +
+            er.getLong(1)
+          ("pq_code", enc, Map(PqChurnErrSumKey -> errSum.toString,
+            PqChurnNKey -> errN.toString), er)
+        case None =>
+          ("nv", ins, Map.empty[String, String],
+            ins.agg(coalesce(sum(col("assign_sim")), lit(0.0)).as("s"),
+              count(lit(1)).as("n")).head())
+      }
+    val churnSum = meta(ChurnSimSumKey).toDouble + simRow.getDouble(0)
+    val churnN = meta(ChurnNKey).toLong + simRow.getLong(1)
     beforeCommit()
     // the delta clusters under the same sub-split policy as the build
     // (simRow's count is the delta size — already computed above)
@@ -553,29 +582,57 @@ object IvfIndex {
         val effPool = if (pool > 0) pool else math.max(4 * k, 50)
         val pw = Window.partitionBy("query_id")
           .orderBy(col("adc_sim").desc, col("neighbor_id"))
-        // OPQ: rotate each QUERY once on the probe side of the join
-        // (|queries|·nprobe rows) and each CENTROID once on the
-        // driver — never a per-candidate-row matvec (HOF lambdas are
-        // excluded from common-subexpression elimination, so an
-        // in-expression rotate would run m× per scanned code)
-        val probesSide = rot.fold(probes)(r =>
-          probes.withColumn("_qvr", Pq.rotate(col("qv"), r)))
+        // EVERY (query, centroid)-only ADC term is hoisted to the
+        // probes side of the join (|queries|·nprobe rows) and scoring
+        // a candidate is m table lookups ([[Pq.subDotLut]] — bit-
+        // identical to the inline form): the OPQ rotation (each query
+        // rotated once, each centroid on the driver), the query/
+        // centroid sub-dot LUTs, q·c, ‖c‖², ‖q‖. HOF lambdas are
+        // excluded from common-subexpression elimination AND from
+        // whole-stage codegen, so any of these left inline would run
+        // per scanned code — the per-candidate dim-sized work this
+        // hoist deletes was the dominant probe cost (measured: the
+        // nprobe=nlist ADC scan 4.5 s → sub-second at sf0.1).
+        val residual = meta.get(PqResidualKey).contains("1")
+        val centsLit = typedlit(centroids)
         val centsRotLit = rot.map { r =>
           typedlit(centroids.map(c => r.map(row =>
             row.iterator.zip(c.iterator)
               .map { case (a, b) => a * b }.sum)))
         }
+        // the rotated query materializes as its OWN column first:
+        // subDotLut slices its input m times and HOFs are CSE-exempt,
+        // so an in-expression rotate would run the d×d matvec m times
+        // per probe row
+        val probesRot = rot.fold(probes)(r =>
+          probes.withColumn("_qvr", Pq.rotate(col("qv"), r)))
+        val qr = rot.fold(col("qv"))(_ => col("_qvr"))
+        val probesSide0 = probesRot
+          .withColumn("_qlut", Pq.subDotLut(qr, model))
+          .withColumn("_qn", Pq.vecNorm(col("qv")))
+        val probesSide =
+          if (!residual) probesSide0
+          else {
+            val cvec = element_at(centsLit, col("centroid_id") + 1)
+            val cvr = centsRotLit.fold(cvec)(cl =>
+              element_at(cl, col("centroid_id") + 1))
+            probesSide0
+              .withColumn("_clut", Pq.subDotLut(cvr, model))
+              .withColumn("_dotqc", aggregate(zip_with(col("qv"), cvec,
+                (x, y) => x.cast("double") * y), lit(0.0),
+                (a, b) => a + b))
+              .withColumn("_cn2", aggregate(cvec, lit(0.0),
+                (acc, x) => acc + x * x))
+          }
         val cands = keep(probesSide.join(lists, Seq("centroid_id"))
           .filter(col("query_id") =!= col("neighbor_id")))
           .select(col("query_id"), col("qv"), col("neighbor_id"),
-            (if (meta.get(PqResidualKey).contains("1"))
-              Pq.adcSimResidual(col("qv"), col("pq_code"),
-                element_at(typedlit(centroids), col("centroid_id") + 1),
-                model, rot.map(_ => col("_qvr")),
-                centsRotLit.map(cl =>
-                  element_at(cl, col("centroid_id") + 1)))
-            else Pq.adcSim(col("qv"), col("pq_code"), model,
-              rot.map(_ => col("_qvr"))))
+            (if (residual)
+              Pq.adcSimResidualLut(col("_qlut"), col("_clut"),
+                col("_dotqc"), col("_cn2"), col("_qn"),
+                col("pq_code"), model)
+            else Pq.adcSimLut(col("_qlut"), col("_qn"),
+              col("pq_code"), model))
               .as("adc_sim"))
           .withColumn("_pr", row_number().over(pw))
           .filter(col("_pr") <= effPool)
@@ -737,13 +794,14 @@ object IvfIndex {
     // and codebooks (and the OPQ rotation, when one was learned) —
     // with its build-time geometry and seed
     val pq = meta0.get(PqMKey).map(m => (m.toInt, meta0(PqKsKey).toInt))
-    val (lists, meta) = buildState(spark, meta0(CorpusKey),
+    val (lists, meta, release) = buildState(spark, meta0(CorpusKey),
       meta0(IdKey), meta0(VecKey), meta0(NlistKey).toInt, path,
       trainIters, pq, meta0.get(PqSeedKey).fold(7)(_.toInt),
       meta0.get(PqResidualKey).contains("1"),
       meta0.get(RowsPerFileKey).fold(Long.MaxValue)(_.toLong),
       meta0.get(PqOpqItersKey).fold(0)(_.toInt))
-    VersionedTable.replace(spark, listsRoot(path), lists, meta = meta)
+    try VersionedTable.replace(spark, listsRoot(path), lists, meta = meta)
+    finally release()
   }
 
   /** What [[maintain]] did: the lists version it left behind, whether
@@ -844,18 +902,29 @@ object IvfIndex {
       s"ladder must be ascending distinct in (0, $nlist]: $rungs")
     def run(np: Int, p: Int): DataFrame =
       probe(queries, path, idCol, vecCol, k, np, version, p)
-    val reference = run(nlist, Int.MaxValue)
+    // every rung probes the same read-only index and [[probe]] is
+    // eager — the rungs and the covering reference are INDEPENDENT
+    // driver actions, so overlap them (guide §2.6; rung results are
+    // consumed in ladder order below, never completion order)
+    val probedAll = Par.run(
+      (() => run(nlist, Int.MaxValue)) +:
+        rungs.map(p => () => run(p, pool)))
+    val reference = probedAll.head
     val exact = reference.select(col("query_id"), col("neighbor_id"))
       .localCheckpoint(true)
     reference.unpersist()
     val total = exact.count()
     require(total > 0, "nprobe tuning needs a non-empty reference")
-    val rows = rungs.map { p =>
-      val probed = run(p, pool)
-      val hits = probed.select(col("query_id"), col("neighbor_id"))
-        .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
-        .count()
-      probed.unpersist()
+    val hitCounts = Par.run(rungs.zip(probedAll.tail).map {
+      case (_, probed) => () => {
+        val hits = probed.select(col("query_id"), col("neighbor_id"))
+          .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+          .count()
+        probed.unpersist()
+        hits
+      }
+    })
+    val rows = rungs.zip(hitCounts).map { case (p, hits) =>
       (p, hits, hits.toDouble / total)
     }
     rows.sliding(2).foreach {
@@ -917,19 +986,32 @@ object IvfIndex {
     require(probeWeight >= 0 && poolWeight >= 0 &&
       probeWeight + poolWeight > 0,
       s"need a non-degenerate cost model: $probeWeight/$poolWeight")
-    val reference = probe(queries, path, idCol, vecCol, k, nlist,
-      version, pool = Int.MaxValue)
+    // the covering reference and every grid cell probe the same
+    // read-only index and [[probe]] is eager: |grid|+1 INDEPENDENT
+    // driver actions, overlapped (guide §2.6). Cell results are
+    // consumed in grid order below — completion order never leaks
+    // into the pick, the monotonicity check, or the returned frame.
+    val gridKeys = for (np <- nprobes; p <- pools) yield (np, p)
+    val probedAll = Par.run(
+      (() => probe(queries, path, idCol, vecCol, k, nlist, version,
+        pool = Int.MaxValue)) +:
+        gridKeys.map { case (np, p) =>
+          () => probe(queries, path, idCol, vecCol, k, np, version, p)
+        })
+    val reference = probedAll.head
     val exact = reference.select(col("query_id"), col("neighbor_id"))
       .localCheckpoint(true)
     reference.unpersist()
     val total = exact.count()
     require(total > 0, "operating-point tuning needs a non-empty reference")
-    val cells = for (np <- nprobes; p <- pools) yield {
-      val probed = probe(queries, path, idCol, vecCol, k, np, version, p)
+    val hitCounts = Par.run(probedAll.tail.map(probed => () => {
       val hits = probed.select(col("query_id"), col("neighbor_id"))
         .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
         .count()
       probed.unpersist()
+      hits
+    }))
+    val cells = gridKeys.zip(hitCounts).map { case ((np, p), hits) =>
       (np, p, hits, hits.toDouble / total,
         np * probeWeight + p * poolWeight)
     }

@@ -384,6 +384,68 @@ object Pq {
     * elimination, so an in-expression rotate here would re-run the
     * d×d matvec once PER SUBSPACE per scanned code — m× the intended
     * cost on the exact step PQ exists to keep cheap. */
+  /** The per-vector ADC LOOKUP TABLE: an m × ks array of sub-dots —
+    * lut[j][c] = dot(v_j, cb[j][c]) — computed ONCE per row of the
+    * (small) side that carries `v`. The classic ADC trade: scoring a
+    * candidate then costs m table lookups instead of m slice+zip_with
+    * sub-dots over the full vector. Each table cell is the EXACT
+    * expression [[adcSim]]/[[adcSimResidual]] inlined per candidate
+    * (same zip_with/aggregate element order), and the score sums
+    * cells in the same ascending-j order — the LUT form is
+    * bit-identical to the inline form, just hoisted from the
+    * |candidates|-sized side to the |queries·nprobe|-sized side
+    * (guide §2.3 "shuffle keys and metadata instead of payloads",
+    * applied to compute: per-candidate work must not scale with dim). */
+  private[ext] def subDotLut(v: Column, model: PqModel): Column = {
+    val cb = typedlit(model.codebooks) // m × ks × dsub
+    array((0 until model.m).map { j =>
+      val sl = slice(v, j * model.dsub + 1, model.dsub)
+      transform(element_at(cb, j + 1), row =>
+        aggregate(zip_with(sl, row, (x, y) => x.cast("double") * y),
+          lit(0.0), (a, b) => a + b))
+    }: _*)
+  }
+
+  /** Σ_j lut[j][code_j] — the LUT-form sub-dot sum (ascending j, the
+    * [[adcSim]] reduce order). */
+  private[ext] def lutSum(lut: Column, cd: Column, model: PqModel): Column =
+    (0 until model.m).map { j =>
+      element_at(element_at(lut, j + 1), element_at(cd, j + 1) + 1)
+    }.reduce(_ + _)
+
+  /** Σ_j ‖cb_j[code_j]‖² from the precomputed sub-norm literal —
+    * shared by the inline and LUT score forms. */
+  private[ext] def codeNorm2(cd: Column, model: PqModel): Column = {
+    val n2 = typedlit(model.codebooks.map(_.map(_.map(x => x * x).sum)))
+    (0 until model.m).map { j =>
+      element_at(element_at(n2, j + 1), element_at(cd, j + 1) + 1)
+    }.reduce(_ + _)
+  }
+
+  /** ‖v‖ as the exact [[adcSim]] qNorm expression. */
+  private[ext] def vecNorm(v: Column): Column =
+    sqrt(aggregate(v, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** [[adcSim]] in LUT form: `qlut` = [[subDotLut]] of the (rotated)
+    * query, `qNorm` = [[vecNorm]] of the RAW query — both hoisted to
+    * the query side by the caller. Bit-identical to [[adcSim]]. */
+  private[ext] def adcSimLut(qlut: Column, qNorm: Column, cd: Column,
+      model: PqModel): Column =
+    lutSum(qlut, cd, model) / (qNorm * sqrt(codeNorm2(cd, model)))
+
+  /** [[adcSimResidual]] in LUT form — every (query, centroid)-only
+    * term hoisted by the caller: `qlut`/`clut` = [[subDotLut]] of the
+    * (rotated) query / centroid, `dotQC` = q·c, `cnorm2` = ‖c‖²,
+    * `qNorm` = ‖q‖. Per candidate: 3·m element_at lookups plus scalar
+    * arithmetic. Bit-identical to [[adcSimResidual]]. */
+  private[ext] def adcSimResidualLut(qlut: Column, clut: Column,
+      dotQC: Column, cnorm2: Column, qNorm: Column, cd: Column,
+      model: PqModel): Column =
+    (dotQC + lutSum(qlut, cd, model)) /
+      (qNorm * sqrt(cnorm2 +
+        lit(2.0) * lutSum(clut, cd, model) + codeNorm2(cd, model)))
+
   private[ext] def adcSim(qv: Column, cd: Column, model: PqModel,
       qvRot: Option[Column] = None): Column = {
     val cb = typedlit(model.codebooks) // m × ks × dsub
@@ -464,11 +526,17 @@ object Pq {
       vecCol: String, codeCol: String, model: PqModel,
       pool: Int): DataFrame = {
     require(pool > 0, s"pool must be positive: $pool")
+    // the query-only ADC terms (sub-dot LUT, ‖q‖) ride the broadcast
+    // side, computed once per query — scoring a candidate is then m
+    // lookups, not m slice+zip_with sub-dots (bit-identical values;
+    // see [[subDotLut]])
     val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("qv"))
+      col(vecCol).as("qv"),
+      subDotLut(col(vecCol), model).as("_qlut"),
+      vecNorm(col(vecCol)).as("_qn"))
     val c = encoded.select(col(idCol).as("neighbor_id"),
       col(codeCol).as("cd"))
-    val sim = adcSim(col("qv"), col("cd"), model)
+    val sim = adcSimLut(col("_qlut"), col("_qn"), col("cd"), model)
     // raw-score cut, id tie-break — the bruteForceTopK/probe family
     // discipline (ADC scores are engine-local anyway; exact replay
     // rides the re-rank, not this preselection)

@@ -3,8 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{Bm25Index, Dedup, Fuzzy, IvfIndex, Multimodal, Pca,
-  Pq, Retrieval, Similarity, TextAnalysis}
+import graft.ext.{Bm25Index, Dedup, Fuzzy, IvfIndex, Multimodal, Par,
+  Pca, Pq, Retrieval, Similarity, TextAnalysis}
 
 /** BASELINE extension queries over documents/embeddings: dedup (exact,
   * MinHash-LSH, SimHash, n-gram Jaccard), similarity search (brute-force
@@ -50,31 +50,43 @@ object ExtQueries extends QueryPack {
         s"graft_idxfix/${java.util.UUID.randomUUID()}").toString
       val p = P(s"$base/emb", s"$base/ivf", s"$base/pq_ivf",
         s"$base/docs", s"$base/bm25")
-      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
-      VersionedTable.create(s, p.emb, e) // E v1
-      IvfIndex.create(s, p.emb, "vec_id", "embedding", nlist = 8, p.ivf)
-      // the IVF-PQ sibling (q192): same corpus, same churn timeline,
-      // posting payload = 16-code PQ words instead of raw vectors
-      IvfIndex.create(s, p.emb, "vec_id", "embedding", nlist = 8,
-        p.pqIvf, pq = Some((16, 64)))
-      VersionedTable.append(s, p.emb, e.filter(col("vec_id") % 10 === 3)
-        .select((col("vec_id") + lit(100000L)).as("vec_id"),
-          col("embedding"))) // E v2
-      VersionedTable.deleteWhere(s, p.emb, col("vec_id") % 7 === 2,
-        cdf = true) // E v3
-      VersionedTable.updateWhere(s, p.emb, col("vec_id") % 13 === 5,
-        Map("embedding" -> reverse(col("embedding"))), cdf = true) // E v4
-      val d = docs(s, dir).select(col("doc_id"), col("text"))
-      VersionedTable.create(s, p.docTbl, d) // D v1
-      Bm25Index.create(s, p.docTbl, "doc_id", "text", p.bm25)
-      VersionedTable.append(s, p.docTbl, d.filter(col("doc_id") % 10 === 3)
-        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
-          col("text"))) // D v2
-      VersionedTable.deleteWhere(s, p.docTbl, col("doc_id") % 7 === 2,
-        cdf = true) // D v3
-      VersionedTable.updateWhere(s, p.docTbl, col("doc_id") % 13 === 5,
-        Map("text" -> concat(col("text"), lit(" spark spark"))),
-        cdf = true) // D v4
+      // the embedding timeline and the document timeline touch
+      // DISJOINT tables/indexes — build them concurrently, and the
+      // two index creates off emb v1 concurrently too (guide §2.6;
+      // within each timeline the commits stay strictly ordered)
+      Par(() => {
+        val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+        VersionedTable.create(s, p.emb, e) // E v1
+        // both creates read emb AT v1 and write disjoint index roots;
+        // the PQ sibling (q192): same corpus, same churn timeline,
+        // posting payload = 16-code PQ words instead of raw vectors
+        Par(() => IvfIndex.create(s, p.emb, "vec_id", "embedding",
+            nlist = 8, p.ivf),
+          () => IvfIndex.create(s, p.emb, "vec_id", "embedding",
+            nlist = 8, p.pqIvf, pq = Some((16, 64))))
+        VersionedTable.append(s, p.emb,
+          e.filter(col("vec_id") % 10 === 3)
+            .select((col("vec_id") + lit(100000L)).as("vec_id"),
+              col("embedding"))) // E v2
+        VersionedTable.deleteWhere(s, p.emb, col("vec_id") % 7 === 2,
+          cdf = true) // E v3
+        VersionedTable.updateWhere(s, p.emb, col("vec_id") % 13 === 5,
+          Map("embedding" -> reverse(col("embedding"))),
+          cdf = true) // E v4
+      }, () => {
+        val d = docs(s, dir).select(col("doc_id"), col("text"))
+        VersionedTable.create(s, p.docTbl, d) // D v1
+        Bm25Index.create(s, p.docTbl, "doc_id", "text", p.bm25)
+        VersionedTable.append(s, p.docTbl,
+          d.filter(col("doc_id") % 10 === 3)
+            .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+              col("text"))) // D v2
+        VersionedTable.deleteWhere(s, p.docTbl, col("doc_id") % 7 === 2,
+          cdf = true) // D v3
+        VersionedTable.updateWhere(s, p.docTbl, col("doc_id") % 13 === 5,
+          Map("text" -> concat(col("text"), lit(" spark spark"))),
+          cdf = true) // D v4
+      })
       p
     }
   }
@@ -106,36 +118,45 @@ object ExtQueries extends QueryPack {
         s"graft_asoffix/${java.util.UUID.randomUUID()}").toString
       val p = P(s"$base/emb", s"$base/ivf", s"$base/pq_ivf",
         s"$base/docs", s"$base/bm25")
-      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
-      VersionedTable.create(s, p.emb, e) // E v1
-      IvfIndex.create(s, p.emb, "vec_id", "embedding", nlist = 8, p.ivf)
-      // the IVF-PQ sibling (q194 composes as-of + filter + PQ): same
-      // corpus, same pivot refresh — 16-code compressed posting lists
-      IvfIndex.create(s, p.emb, "vec_id", "embedding", nlist = 8,
-        p.pqIvf, pq = Some((16, 64)))
-      val d = docs(s, dir).select(col("doc_id"), col("text"))
-      VersionedTable.create(s, p.docTbl, d) // D v1
-      Bm25Index.create(s, p.docTbl, "doc_id", "text", p.bm25)
-      // the pivot state: one appended slice, refreshed into EVERY
-      // index — corpus version 2 everywhere
-      VersionedTable.append(s, p.emb, e.filter(col("vec_id") % 10 === 4)
-        .select((col("vec_id") + lit(100000L)).as("vec_id"),
-          col("embedding"))) // E v2
-      IvfIndex.refresh(s, p.ivf) // lists v2, wm 2
-      IvfIndex.refresh(s, p.pqIvf) // pq lists v2, wm 2
-      VersionedTable.append(s, p.docTbl, d.filter(col("doc_id") % 10 === 4)
-        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
-          col("text"))) // D v2
-      Bm25Index.refresh(s, p.bm25) // postings v2, wm 2
-      // churn PAST the pivot: the as-of answer must not see any of
-      // it (one delete per corpus suffices to prove invisibility —
-      // update/preimage handling is q186/q187's LIVE-path coverage,
-      // and every extra commit here is wall-clock in q190's private
-      // fixture build)
-      VersionedTable.deleteWhere(s, p.emb, col("vec_id") % 7 === 6,
-        cdf = true) // E v3
-      VersionedTable.deleteWhere(s, p.docTbl, col("doc_id") % 7 === 6,
-        cdf = true) // D v3
+      // disjoint-corpus timelines built concurrently (guide §2.6);
+      // each timeline's commits stay strictly ordered, and the two
+      // index creates/refreshes off the SAME emb version overlap
+      Par(() => {
+        val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+        VersionedTable.create(s, p.emb, e) // E v1
+        // the IVF-PQ sibling (q194 composes as-of + filter + PQ):
+        // same corpus, same pivot refresh — compressed posting lists
+        Par(() => IvfIndex.create(s, p.emb, "vec_id", "embedding",
+            nlist = 8, p.ivf),
+          () => IvfIndex.create(s, p.emb, "vec_id", "embedding",
+            nlist = 8, p.pqIvf, pq = Some((16, 64))))
+        // the pivot state: one appended slice, refreshed into EVERY
+        // index — corpus version 2 everywhere
+        VersionedTable.append(s, p.emb,
+          e.filter(col("vec_id") % 10 === 4)
+            .select((col("vec_id") + lit(100000L)).as("vec_id"),
+              col("embedding"))) // E v2
+        Par(() => IvfIndex.refresh(s, p.ivf), // lists v2, wm 2
+          () => IvfIndex.refresh(s, p.pqIvf)) // pq lists v2, wm 2
+        // churn PAST the pivot: the as-of answer must not see any of
+        // it (one delete per corpus suffices to prove invisibility —
+        // update/preimage handling is q186/q187's LIVE-path coverage,
+        // and every extra commit here is wall-clock in q190's private
+        // fixture build)
+        VersionedTable.deleteWhere(s, p.emb, col("vec_id") % 7 === 6,
+          cdf = true) // E v3
+      }, () => {
+        val d = docs(s, dir).select(col("doc_id"), col("text"))
+        VersionedTable.create(s, p.docTbl, d) // D v1
+        Bm25Index.create(s, p.docTbl, "doc_id", "text", p.bm25)
+        VersionedTable.append(s, p.docTbl,
+          d.filter(col("doc_id") % 10 === 4)
+            .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+              col("text"))) // D v2
+        Bm25Index.refresh(s, p.bm25) // postings v2, wm 2
+        VersionedTable.deleteWhere(s, p.docTbl, col("doc_id") % 7 === 6,
+          cdf = true) // D v3
+      })
       p
     }
   }
@@ -1379,23 +1400,33 @@ object ExtQueries extends QueryPack {
       val q = a.withColumn("h",
           md5(concat(lit("pqq:"), col("vec_id").cast("string"))))
         .orderBy(col("h"), col("vec_id")).limit(20).drop("h")
-      val pool = Pq.adcTopK(q, enc, "vec_id", "v",
-        "pq_code", model, pool = 100).localCheckpoint(true)
-      val reranked = Pq.rerankExact(pool, a, q, "vec_id",
-        "v", 10).localCheckpoint(true)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("query_id")
-        .orderBy(col("score").desc, col("neighbor_id"))
-      val exact = a.select(col("vec_id").as("neighbor_id"),
-          col("v").as("cv"))
-        .crossJoin(broadcast(q.select(col("vec_id").as("query_id"),
-          col("v").as("qv"))))
-        .filter(col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          round(Similarity.cosine(col("cv"), col("qv")), 6).as("score"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
-        .localCheckpoint(true)
+      // the ADC pool→rerank chain and the exact brute-force leg are
+      // independent scans of the same corpus — overlap them
+      // (guide §2.6); both end in a pinning localCheckpoint
+      val Seq((pool, reranked), (exact, _)) = Par[(DataFrame, DataFrame)](
+        () => {
+          val p = Pq.adcTopK(q, enc, "vec_id", "v",
+            "pq_code", model, pool = 100).localCheckpoint(true)
+          (p, Pq.rerankExact(p, a, q, "vec_id", "v", 10)
+            .localCheckpoint(true))
+        },
+        () => {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("query_id")
+            .orderBy(col("score").desc, col("neighbor_id"))
+          val e = a.select(col("vec_id").as("neighbor_id"),
+              col("v").as("cv"))
+            .crossJoin(broadcast(q.select(col("vec_id").as("query_id"),
+              col("v").as("qv"))))
+            .filter(col("query_id") =!= col("neighbor_id"))
+            .select(col("query_id"), col("neighbor_id"),
+              round(Similarity.cosine(col("cv"), col("qv")), 6)
+                .as("score"))
+            .withColumn("rank", row_number().over(w))
+            .filter(col("rank") <= 10)
+            .localCheckpoint(true)
+          (e, e)
+        })
       val recall = exact.select("query_id", "neighbor_id")
         .join(pool.select(col("query_id"), col("neighbor_id"),
           lit(1).as("hit")), Seq("query_id", "neighbor_id"), "left")
@@ -1443,12 +1474,16 @@ object ExtQueries extends QueryPack {
       Bm25Index.refresh(s, idx)
       require(Bm25Index.watermark(s, idx) == 4L,
         "watermark must ride the postings commit")
-      val (kept, total) =
-        Bm25Index.pruneAudit(s, idx, Seq("hash", "join", "spark"))
+      // the prune audit and the (eager) scoring read are independent
+      // post-refresh reads — overlap them (guide §2.6)
+      val Seq(auditE, topE) = Par[Any](
+        () => Bm25Index.pruneAudit(s, idx, Seq("hash", "join", "spark")),
+        () => Bm25Index.topN(s, idx, Seq("hash", "join", "spark"), 100))
+      val (kept, total) = auditE.asInstanceOf[(Int, Int)]
       require(kept < total,
         s"term-clustered postings must file-prune the query scan: " +
           s"$kept/$total")
-      Bm25Index.topN(s, idx, Seq("hash", "join", "spark"), 100)
+      topE.asInstanceOf[DataFrame]
         .orderBy(col("bm25").desc, col("doc_id"))
     },
 
@@ -1464,20 +1499,25 @@ object ExtQueries extends QueryPack {
     "q189_hybrid_indexed" -> { (s, dir) =>
       import graft.sources.VersionedTable
       val f = IdxFixture.get(s, dir) // shared churned corpora (builder)
-      IvfIndex.refresh(s, f.ivf)
-      Bm25Index.refresh(s, f.bm25)
+      // disjoint index state, eager legs: overlap the refresh pair,
+      // then the two retrieval legs (guide §2.6)
+      Par(() => IvfIndex.refresh(s, f.ivf),
+        () => Bm25Index.refresh(s, f.bm25))
       require(IvfIndex.watermark(s, f.ivf) == 4L &&
         Bm25Index.watermark(s, f.bm25) == 4L,
         "both maintained indexes must sit at their corpus heads")
-      val lex = Bm25Index.topN(s, f.bm25,
-        Seq("hash", "join", "spark"), 100)
-      val emb = VersionedTable.read(s, f.emb)
-      // query vector: post-churn embedding of vec 42 (survives the
-      // churn untouched: 42 % 7 != 2, 42 % 13 != 5)
-      val vec = IvfIndex.probe(emb.filter(col("vec_id") === 42L),
-          f.ivf, "vec_id", "embedding", k = 100, nprobe = 8)
-        .select(col("neighbor_id").as("doc_id"),
-          round(col("cosine_sim"), 6).as("cos"))
+      val Seq(lex, vec) = Par[DataFrame](
+        () => Bm25Index.topN(s, f.bm25,
+          Seq("hash", "join", "spark"), 100),
+        () => {
+          val emb = VersionedTable.read(s, f.emb)
+          // query vector: post-churn embedding of vec 42 (survives the
+          // churn untouched: 42 % 7 != 2, 42 % 13 != 5)
+          IvfIndex.probe(emb.filter(col("vec_id") === 42L),
+              f.ivf, "vec_id", "embedding", k = 100, nprobe = 8)
+            .select(col("neighbor_id").as("doc_id"),
+              round(col("cosine_sim"), 6).as("cos"))
+        })
       Similarity.rrfFuse(Seq(lex -> "bm25", vec -> "cos"), "doc_id",
         topN = 50)
     },
@@ -1510,19 +1550,25 @@ object ExtQueries extends QueryPack {
         Set("centroid_id", "neighbor_id", "pq_code"),
         s"pq lists must carry codes, not vectors: " +
           lists.columns.mkString(","))
-      val (kept, total) = IvfIndex.pruneAudit(s, idx, Seq(0))
-      require(kept < total,
-        s"clustered pq lists must file-prune: $kept/$total")
       val corpus = VersionedTable.read(s, f.emb)
       val queries = corpus.filter(col("vec_id") >= 20 &&
         col("vec_id") < 40)
-      val bounded = IvfIndex.probe(queries, idx, "vec_id", "embedding",
-        k = 5, nprobe = 8, pool = 40)
+      // the prune audit and the two (eager) probes are independent
+      // reads of the refreshed index — overlap them (guide §2.6)
+      val Seq(auditE, boundedE, topkE) = Par[Any](
+        () => IvfIndex.pruneAudit(s, idx, Seq(0)),
+        () => IvfIndex.probe(queries, idx, "vec_id", "embedding",
+          k = 5, nprobe = 8, pool = 40),
+        () => IvfIndex.probe(queries, idx, "vec_id", "embedding",
+          k = 5, nprobe = 8, pool = Int.MaxValue))
+      val (kept, total) = auditE.asInstanceOf[(Int, Int)]
+      require(kept < total,
+        s"clustered pq lists must file-prune: $kept/$total")
+      val bounded = boundedE.asInstanceOf[DataFrame]
       require(bounded.groupBy("query_id").count()
         .filter(col("count") =!= 5).isEmpty,
         "a bounded pool must still yield k rows per query")
-      val topk = IvfIndex.probe(queries, idx, "vec_id", "embedding",
-        k = 5, nprobe = 8, pool = Int.MaxValue)
+      val topk = topkE.asInstanceOf[DataFrame]
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("query_id")
         .orderBy(round(col("cosine_sim"), 6).desc, col("neighbor_id"))
@@ -1559,9 +1605,10 @@ object ExtQueries extends QueryPack {
         .select(col("query_id"), col("neighbor_id"),
           round(col("cosine_sim"), 6).as("cosine_sim"))
         .localCheckpoint(true)
-      val (raw, pq) = (run(f.ivf), run(f.pqIvf))
-      require(raw.count() == pq.count() &&
-        raw.exceptAll(pq).isEmpty && pq.exceptAll(raw).isEmpty,
+      // both probes are eager and read disjoint indexes — overlap
+      val Seq(raw, pq) = Par[DataFrame](
+        () => run(f.ivf), () => run(f.pqIvf))
+      require(Par.sameMultiset(raw, pq),
         "raw-vector and PQ filtered probes must agree exactly")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("query_id")
@@ -1586,8 +1633,10 @@ object ExtQueries extends QueryPack {
     "q190_asof_hybrid" -> { (s, dir) =>
       import graft.sources.VersionedTable
       val f = AsOfFixture.get(s, dir) // pivot at corpus v2 (builder)
-      IvfIndex.refresh(s, f.ivf)
-      Bm25Index.refresh(s, f.bm25)
+      // the two indexes are disjoint state and both legs are eager:
+      // refresh pair, then lex+vec legs, each overlapped (guide §2.6)
+      Par(() => IvfIndex.refresh(s, f.ivf),
+        () => Bm25Index.refresh(s, f.bm25))
       require(IvfIndex.watermark(s, f.ivf) == 3L &&
         Bm25Index.watermark(s, f.bm25) == 3L,
         "both live indexes must sit PAST the asked version")
@@ -1595,16 +1644,20 @@ object ExtQueries extends QueryPack {
         VersionedTable.currentVersion(s, f.ivf + "/lists").get == 3L,
         "the as-of walk must land on the interior lists version, not " +
           "the head")
-      val lex = Bm25Index.topNAsOf(s, f.bm25,
-        Seq("hash", "join", "spark"), 100, corpusVersion = 2L)
-      // the query vector ITSELF reads as-of: vec 42 at corpus v2
-      // (later churn leaves it alive, but the read discipline matters)
-      val q42 = VersionedTable.read(s, f.emb, Some(2L))
-        .filter(col("vec_id") === 42L)
-      val vec = IvfIndex.probeAsOf(q42, f.ivf, "vec_id", "embedding",
-          k = 100, nprobe = 8, corpusVersion = 2L)
-        .select(col("neighbor_id").as("doc_id"),
-          round(col("cosine_sim"), 6).as("cos"))
+      val Seq(lex, vec) = Par[DataFrame](
+        () => Bm25Index.topNAsOf(s, f.bm25,
+          Seq("hash", "join", "spark"), 100, corpusVersion = 2L),
+        () => {
+          // the query vector ITSELF reads as-of: vec 42 at corpus v2
+          // (later churn leaves it alive, but the read discipline
+          // matters)
+          val q42 = VersionedTable.read(s, f.emb, Some(2L))
+            .filter(col("vec_id") === 42L)
+          IvfIndex.probeAsOf(q42, f.ivf, "vec_id", "embedding",
+              k = 100, nprobe = 8, corpusVersion = 2L)
+            .select(col("neighbor_id").as("doc_id"),
+              round(col("cosine_sim"), 6).as("cos"))
+        })
       Similarity.rrfFuse(Seq(lex -> "bm25", vec -> "cos"), "doc_id",
         topN = 50)
     },
@@ -1626,8 +1679,10 @@ object ExtQueries extends QueryPack {
     "q194_asof_filtered_hybrid" -> { (s, dir) =>
       import graft.sources.VersionedTable
       val f = AsOfFixture.get(s, dir) // pivot at corpus v2 (builder)
-      IvfIndex.refresh(s, f.pqIvf)
-      Bm25Index.refresh(s, f.bm25)
+      // disjoint index state, eager legs: overlap the refresh pair,
+      // then the three retrieval reads (guide §2.6)
+      Par(() => IvfIndex.refresh(s, f.pqIvf),
+        () => Bm25Index.refresh(s, f.bm25))
       require(IvfIndex.watermark(s, f.pqIvf) == 3L &&
         Bm25Index.watermark(s, f.bm25) == 3L,
         "both live indexes must sit PAST the asked version")
@@ -1637,28 +1692,34 @@ object ExtQueries extends QueryPack {
           "not the head")
       val dPred = col("doc_id") % 3 === 1
       val ePred = col("vec_id") % 3 === 1
-      val lex = Bm25Index.topNAsOf(s, f.bm25,
-          Seq("hash", "join", "spark"), 100, corpusVersion = 2L,
-          where = Some(dPred))
-        .localCheckpoint(true)
+      val Seq(lexE, postE, vecE) = Par[DataFrame](
+        () => Bm25Index.topNAsOf(s, f.bm25,
+            Seq("hash", "join", "spark"), 100, corpusVersion = 2L,
+            where = Some(dPred))
+          .localCheckpoint(true),
+        // PRE-filter proof leg: the unfiltered cut, post-filtered
+        () => Bm25Index.topNAsOf(s, f.bm25,
+            Seq("hash", "join", "spark"), 100, corpusVersion = 2L)
+          .filter(col("doc_id") % 3 === 1),
+        () => {
+          val q42 = VersionedTable.read(s, f.emb, Some(2L))
+            .filter(col("vec_id") === 42L)
+          IvfIndex.probeAsOf(q42, f.pqIvf, "vec_id", "embedding",
+              k = 100, nprobe = 8, corpusVersion = 2L,
+              pool = Int.MaxValue, where = Some(ePred))
+            .select(col("neighbor_id").as("doc_id"),
+              round(col("cosine_sim"), 6).as("cos"))
+        })
+      val lex = lexE
       require(lex.filter(col("doc_id") % 3 =!= 1).isEmpty,
         "every lexical candidate must satisfy the predicate")
       // PRE-filter proof: the filtered cut dominates post-filtering
       // the unfiltered cut (any matching doc in the global top-100 is
       // also in the top-100 AMONG matching docs, never vice versa)
-      val post = Bm25Index.topNAsOf(s, f.bm25,
-          Seq("hash", "join", "spark"), 100, corpusVersion = 2L)
-        .filter(col("doc_id") % 3 === 1).count()
+      val post = postE.count()
       require(lex.count() >= post && lex.count() > 0,
         s"where must pre-filter the cut: ${lex.count()} vs post $post")
-      val q42 = VersionedTable.read(s, f.emb, Some(2L))
-        .filter(col("vec_id") === 42L)
-      val vec = IvfIndex.probeAsOf(q42, f.pqIvf, "vec_id", "embedding",
-          k = 100, nprobe = 8, corpusVersion = 2L,
-          pool = Int.MaxValue, where = Some(ePred))
-        .select(col("neighbor_id").as("doc_id"),
-          round(col("cosine_sim"), 6).as("cos"))
-      Similarity.rrfFuse(Seq(lex -> "bm25", vec -> "cos"), "doc_id",
+      Similarity.rrfFuse(Seq(lex -> "bm25", vecE -> "cos"), "doc_id",
         topN = 50)
     },
 
@@ -1825,8 +1886,7 @@ object ExtQueries extends QueryPack {
         where = Some(pred)).select(col("doc_id"), col("bm25"))
       val batch3 = out.filter(col("query_id") === 3L)
         .select(col("doc_id"), col("bm25"))
-      require(batch3.exceptAll(single).isEmpty &&
-        single.exceptAll(batch3).isEmpty,
+      require(Par.sameMultiset(batch3, single),
         "batch rows for query 3 must equal the single-query topN")
       out.select(col("query_id"), col("doc_id"), col("bm25"),
           col("rank"))
@@ -1909,8 +1969,7 @@ object ExtQueries extends QueryPack {
       val batchOne = fused.filter(col("query_id") === qid)
         .select(col("doc_id"), col("rank_1"), col("rank_2"),
           col("rrf_score"))
-      require(batchOne.exceptAll(single).isEmpty &&
-        single.exceptAll(batchOne).isEmpty,
+      require(Par.sameMultiset(batchOne, single),
         s"batched fusion for query $qid must equal the single fusion")
       fused.select(col("query_id"), col("doc_id"), col("rank_1"),
           col("rank_2"), col("rrf_score"), col("rank"))
@@ -1960,13 +2019,16 @@ object ExtQueries extends QueryPack {
       val out = Retrieval.dedupTopN(joined, "doc_id", "bm25", "fp",
           topN = 30, queryCol = Some("query_id"))
         .localCheckpoint(true)
-      val (nCand, nClusters) = (joined.count(),
-        joined.select("query_id", "fp").distinct().count())
+      // four independent pin counts over pinned frames — one Par group
+      val Seq(nCand, nClusters, outFp, outN) = Par[Long](
+        () => joined.count(),
+        () => joined.select("query_id", "fp").distinct().count(),
+        () => out.select("query_id", "fp").distinct().count(),
+        () => out.count())
       require(nClusters < nCand,
         s"the candidate lists must contain planted twins: " +
           s"$nClusters clusters / $nCand candidates")
-      require(out.select("query_id", "fp").distinct().count()
-        == out.count(),
+      require(outFp == outN,
         "every surviving fingerprint must be unique per query")
       // probe parity: query 3's batch rows == the single-query form
       val single = Retrieval.dedupTopN(
@@ -1975,8 +2037,7 @@ object ExtQueries extends QueryPack {
         .select("doc_id", "bm25", "fp", "rank")
       val batch3 = out.filter(col("query_id") === 3L)
         .select("doc_id", "bm25", "fp", "rank")
-      require(batch3.exceptAll(single).isEmpty &&
-        single.exceptAll(batch3).isEmpty,
+      require(Par.sameMultiset(batch3, single),
         "batched dedup for query 3 must equal the single-query form")
       out.select(col("query_id"), col("doc_id"), col("bm25"),
           col("fp"), col("rank"))
@@ -2206,8 +2267,9 @@ object ExtQueries extends QueryPack {
     "q200_asof_retrieval_eval" -> { (s, dir) =>
       import graft.sources.VersionedTable
       val f = AsOfFixture.get(s, dir) // pivot at corpus v2 (builder)
-      IvfIndex.refresh(s, f.ivf)
-      Bm25Index.refresh(s, f.bm25)
+      // disjoint index state: overlap the refresh pair (guide §2.6)
+      Par(() => IvfIndex.refresh(s, f.ivf),
+        () => Bm25Index.refresh(s, f.bm25))
       require(IvfIndex.watermark(s, f.ivf) == 3L &&
         Bm25Index.watermark(s, f.bm25) == 3L,
         "both live indexes must sit PAST the asked version")
@@ -2220,8 +2282,22 @@ object ExtQueries extends QueryPack {
       val qs = (1 to 6).map(q =>
         (q.toLong, Seq(vocab(q % 6), vocab((q + 2) % 6))))
         .toDF("query_id", "terms")
-      val lexRun = Bm25Index.topNBatch(qs, f.bm25, "query_id", "terms",
-          topN = 20, corpusVersion = Some(2L))
+      // both retrieval runs are eager and read disjoint index state:
+      // overlap them (guide §2.6); metrics stay lazy and ride the
+      // final action
+      val Seq(lexRun0, vecRun0) = Par[DataFrame](
+        () => Bm25Index.topNBatch(qs, f.bm25, "query_id", "terms",
+          topN = 20, corpusVersion = Some(2L)),
+        () => {
+          val e2v = VersionedTable.read(s, f.emb, Some(2L))
+            .select(col("vec_id"), col("embedding"))
+          val vqv = e2v.withColumn("h", md5(concat(lit("aeq:"),
+              col("vec_id").cast("string"))))
+            .orderBy(col("h"), col("vec_id")).limit(5).drop("h")
+          IvfIndex.probeAsOf(vqv, f.ivf, "vec_id", "embedding",
+            k = 20, nprobe = 8, corpusVersion = 2L)
+        })
+      val lexRun = lexRun0
         .select(col("query_id"), col("doc_id"), col("bm25"))
       // judgments derive from the HISTORICAL corpus itself (graded,
       // engine-independent arithmetic; unique per (query, doc))
@@ -2242,8 +2318,7 @@ object ExtQueries extends QueryPack {
       val vq = e2.withColumn("h", md5(concat(lit("aeq:"),
           col("vec_id").cast("string"))))
         .orderBy(col("h"), col("vec_id")).limit(5).drop("h")
-      val vecRun = IvfIndex.probeAsOf(vq, f.ivf, "vec_id", "embedding",
-          k = 20, nprobe = 8, corpusVersion = 2L)
+      val vecRun = vecRun0
         .select(col("query_id"), col("neighbor_id"),
           round(col("cosine_sim"), 6).as("score"))
       val vqids = vq.select(col("vec_id").as("query_id"))

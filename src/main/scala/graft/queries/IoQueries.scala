@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.ir._
 import graft.ir.Component._
 import graft.dag.{DataFlowExec, PipelineContext}
+import graft.ext.Par
 
 /** File source/sink surface (SURVEY §2.1-2.2): each query round-trips a
   * catalog table through an engine FileDestination and reads it back
@@ -69,22 +70,27 @@ object IoQueries extends QueryPack {
         CoreQueries.cents(col("o_totalprice")).as("price_cents"))
       val cust = graft.Tables.load(s, dir, "customer")
         .select(col("c_custkey"), col("c_nationkey"))
-      VersionedTable.create(s, p.orders,
-        orders.filter(col("o_orderkey") % 3 =!= 2)) // O v1
-      VersionedTable.create(s, p.customer,
-        cust.filter(col("c_custkey") % 4 =!= 1)) // C v1
+      // disjoint-table commits overlap (guide §2.6): the two base
+      // creates, then the three root views (all defined at the same
+      // initial watermarks, disjoint roots, read-only on the bases);
+      // mv181b waits on mv181a (its base)
+      Par(() => VersionedTable.create(s, p.orders,
+          orders.filter(col("o_orderkey") % 3 =!= 2)), // O v1
+        () => VersionedTable.create(s, p.customer,
+          cust.filter(col("c_custkey") % 4 =!= 1))) // C v1
       // the views, all defined at the initial watermarks; the join
       // view disambiguates orders' custkey via the persisted rename
-      MaterializedView.createJoin(s, p.orders, p.customer, p.mv178,
-        joinKeys = Seq("c_custkey"), keys = Seq("c_nationkey"),
-        sums = Seq("price_cents"),
-        leftRename = Map("o_custkey" -> "c_custkey"))
-      MaterializedView.create(s, p.orders, p.mv180,
-        keys = Seq("o_orderpriority"), sums = Seq("price_cents"),
-        distincts = Seq("o_custkey"))
-      MaterializedView.create(s, p.orders, p.mv181a,
-        keys = Seq("bucket", "o_custkey"), sums = Seq("price_cents"),
-        cdf = true)
+      Par(() => MaterializedView.createJoin(s, p.orders, p.customer,
+          p.mv178,
+          joinKeys = Seq("c_custkey"), keys = Seq("c_nationkey"),
+          sums = Seq("price_cents"),
+          leftRename = Map("o_custkey" -> "c_custkey")),
+        () => MaterializedView.create(s, p.orders, p.mv180,
+          keys = Seq("o_orderpriority"), sums = Seq("price_cents"),
+          distincts = Seq("o_custkey")),
+        () => MaterializedView.create(s, p.orders, p.mv181a,
+          keys = Seq("bucket", "o_custkey"), sums = Seq("price_cents"),
+          cdf = true))
       MaterializedView.create(s, p.mv181a, p.mv181b,
         keys = Seq("bucket"), sums = Seq("raw_price_cents"))
       // churn
@@ -100,17 +106,24 @@ object IoQueries extends QueryPack {
       MaterializedView.refreshJoin(s, p.orders, p.customer, p.mv178)
       MaterializedView.addColumnsJoin(s, p.orders, p.customer, p.mv178,
         sums = Seq("o_orderkey"))
-      VersionedTable.updateWhere(s, p.orders, col("o_orderkey") % 5 === 0,
-        Map("price_cents" -> (col("price_cents") + lit(7L))),
-        cdf = true) // O v3
-      VersionedTable.deleteWhere(s, p.orders, col("o_custkey") % 7 === 3,
-        cdf = true) // O v4
-      VersionedTable.deleteWhere(s, p.orders,
-        col("o_orderpriority") === "1-URGENT", cdf = true) // O v5
-      VersionedTable.append(s, p.customer,
-        cust.filter(col("c_custkey") % 4 === 1)) // C v2
-      VersionedTable.deleteWhere(s, p.customer,
-        col("c_custkey") % 10 === 4, cdf = true) // C v3
+      // the O and C churn chains touch disjoint tables — overlap the
+      // chains, keep each internally ordered (final states unchanged:
+      // O at v5, C at v3)
+      Par(() => {
+        VersionedTable.updateWhere(s, p.orders,
+          col("o_orderkey") % 5 === 0,
+          Map("price_cents" -> (col("price_cents") + lit(7L))),
+          cdf = true) // O v3
+        VersionedTable.deleteWhere(s, p.orders,
+          col("o_custkey") % 7 === 3, cdf = true) // O v4
+        VersionedTable.deleteWhere(s, p.orders,
+          col("o_orderpriority") === "1-URGENT", cdf = true) // O v5
+      }, () => {
+        VersionedTable.append(s, p.customer,
+          cust.filter(col("c_custkey") % 4 === 1)) // C v2
+        VersionedTable.deleteWhere(s, p.customer,
+          col("c_custkey") % 10 === 4, cdf = true) // C v3
+      })
       // fold the remaining windows; cascade left for q181's entry
       MaterializedView.refreshJoin(s, p.orders, p.customer, p.mv178)
       MaterializedView.refresh(s, p.orders, p.mv180)
@@ -472,8 +485,7 @@ object IoQueries extends QueryPack {
         keys = Seq("c_custkey"))
       require(v2 == 2L, s"expected version 2 after merge, got $v2")
       val v1 = graft.sources.VersionedTable.read(s, root, Some(1L))
-      require(v1.join(base, Seq("c_custkey")).count() == base.count() &&
-        v1.exceptAll(base).isEmpty && base.exceptAll(v1).isEmpty,
+      require(Par.sameMultiset(v1, base),
         "time-travel v1 must equal the pre-merge dimension exactly")
       graft.sources.VersionedTable.read(s, root)
         .orderBy(col("c_custkey"))
@@ -773,8 +785,7 @@ object IoQueries extends QueryPack {
       val replayed = VersionedTable.read(s, root, Some(1L))
         .unionByName(ins).exceptAll(del)
       val cur = VersionedTable.read(s, root)
-      require(replayed.exceptAll(cur).isEmpty &&
-        cur.exceptAll(replayed).isEmpty,
+      require(Par.sameMultiset(replayed, cur),
         "CDF replay must reproduce the current snapshot exactly")
       ch.orderBy(col("_commit_version"), col("_change_type"),
         col("c_custkey"))
@@ -937,8 +948,7 @@ object IoQueries extends QueryPack {
       } finally q.stop()
       val replica = VersionedTable.read(s, dst)
       val source = VersionedTable.read(s, src)
-      require(replica.exceptAll(source).isEmpty &&
-        source.exceptAll(replica).isEmpty,
+      require(Par.sameMultiset(replica, source),
         "replica must converge to the source, key-wise and row-wise")
       replica.orderBy(col("c_custkey"))
     },
@@ -1360,9 +1370,8 @@ object IoQueries extends QueryPack {
           sum("l_linenumber").as("sum_l_linenumber"),
           min("price_cents").as("min_price_cents"),
           max("price_cents").as("max_price_cents"))
-      // multiset equality in one anti-pass: equal cardinality plus
-      // one empty difference implies the other direction
-      require(got.count() == want.count() && got.exceptAll(want).isEmpty,
+      // multiset equality in ONE action (group-count compare)
+      require(Par.sameMultiset(got, want),
         "incrementally-maintained view must equal a full recompute")
       got.orderBy(col("l_suppkey"))
     },
@@ -1399,7 +1408,7 @@ object IoQueries extends QueryPack {
         .groupBy("c_nationkey").agg(count(lit(1)).as("cnt"),
           sum("price_cents").as("sum_price_cents"),
           sum("o_orderkey").as("sum_o_orderkey"))
-      require(got.count() == want.count() && got.exceptAll(want).isEmpty,
+      require(Par.sameMultiset(got, want),
         "incrementally-maintained join view must equal a full recompute")
       got.orderBy(col("c_nationkey"))
     },
@@ -1501,15 +1510,14 @@ object IoQueries extends QueryPack {
       val wantEv = VersionedTable.read(s, f.orders)
         .groupBy("bucket", "o_custkey")
         .agg(sum("o_orderkey").as("sum_o_orderkey"))
-      require(evolved.count() == wantEv.count() &&
-        evolved.exceptAll(wantEv).isEmpty,
+      require(Par.sameMultiset(evolved, wantEv),
         "evolved mid-view column must equal a direct recompute")
       // ...and the top still equals the root recompute after crossing
       val got = MaterializedView.read(s, f.mv181b)
       val want = VersionedTable.read(s, f.orders).groupBy("bucket")
         .agg(countDistinct(col("o_custkey")).as("cnt"),
           sum("price_cents").as("sum_raw_price_cents"))
-      require(got.count() == want.count() && got.exceptAll(want).isEmpty,
+      require(Par.sameMultiset(got, want),
         "cascade top must equal a direct recompute from the root")
       got.orderBy(col("bucket"))
     }
