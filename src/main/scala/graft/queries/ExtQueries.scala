@@ -454,7 +454,11 @@ object ExtQueries extends QueryPack {
           array((element_at(col("embedding"), 1).cast("double") + lit(0.001))
             .cast("float")),
           slice(col("embedding"), 2, 1000)).as("embedding"))
-      val all = e.unionByName(pert)
+      // pinned once (guide §1.2): the sizing aggregate and BOTH verify
+      // broadcasts read this corpus-union subtree, and the broadcasts
+      // build CONCURRENTLY — without the pin each re-runs the scan +
+      // perturbation projection instead of reading stored rows
+      val all = e.unionByName(pert).localCheckpoint(true)
       Similarity.cosineNearDupPairs(all, "vec_id", "embedding", threshold = 0.99)
         .select(col("ida"), col("idb"))
         .orderBy(col("ida"), col("idb"))
@@ -472,7 +476,9 @@ object ExtQueries extends QueryPack {
           array((element_at(col("embedding"), 1).cast("double") + lit(0.001))
             .cast("float")),
           slice(col("embedding"), 2, 1000)).as("embedding"))
-      val all = e.unionByName(pert)
+      // pinned once across the sizing pass and both verify broadcasts
+      // (the q47 reasoning; two blockings read it once more)
+      val all = e.unionByName(pert).localCheckpoint(true)
       Similarity.cosineNearDupPairs(all, "vec_id", "embedding",
           threshold = 0.99, blockings = 2)
         .select(col("ida"), col("idb"))
@@ -504,7 +510,9 @@ object ExtQueries extends QueryPack {
           array((element_at(col("embedding"), 1).cast("double") + lit(0.001))
             .cast("float")),
           slice(col("embedding"), 2, 1000)).as("embedding"))
-      val all = e.unionByName(pert)
+      // pinned once: the exact truth leg, the approx generator, and
+      // their sizing passes all read this subtree (guide §1.2)
+      val all = e.unionByName(pert).localCheckpoint(true)
       // bounded-corpus brute-force truth (mirrors the oracle's own
       // x JOIN y ON id< construction); the blocked generator's
       // losslessness is certified separately (q47/q89/q128)
@@ -515,9 +523,12 @@ object ExtQueries extends QueryPack {
           "embedding", threshold = 0.99, planes = 32, bitsPerBand = 8,
           seed = 7)
         .select(col("ida"), col("idb"), lit(true).as("captured"))
+      // pinned: read by the recall aggregate AND the final crossJoin
+      // (truth-pair-bounded, ~hundreds of rows)
       val audited = exact.join(approx, Seq("ida", "idb"), "left")
         .select(col("ida"), col("idb"),
           coalesce(col("captured"), lit(false)).as("captured"))
+        .localCheckpoint(true)
       val recall = audited.agg(
         (sum(col("captured").cast("long")).cast("double") / count(lit(1)))
           .as("__recall"))
@@ -539,7 +550,10 @@ object ExtQueries extends QueryPack {
           array((element_at(col("embedding"), 1).cast("double") + lit(0.001))
             .cast("float")),
           slice(col("embedding"), 2, 1000)).as("embedding"))
-      Similarity.semanticDedupApprox(e.unionByName(pert), "vec_id",
+      // pinned once across sizing, banding, verify broadcasts, and the
+      // component resolution's node scan (guide §1.2)
+      Similarity.semanticDedupApprox(
+          e.unionByName(pert).localCheckpoint(true), "vec_id",
           "embedding", threshold = 0.99, planes = 32, bitsPerBand = 8,
           seed = 7)
         .orderBy(col("vec_id"))
@@ -612,10 +626,17 @@ object ExtQueries extends QueryPack {
                   i.cast("string"))), 32, 1), 16, 10)
                 .cast("int") % 2 === 0, lit(1.0)).otherwise(lit(-1.0)))
               .cast("float")).as("embedding"))
+      // pinned once (guide §1.2): each plant branch evaluates dim
+      // md5-parity expressions per row and the window-sampled base is
+      // itself an exchange+sort — without the pin the exact truth leg,
+      // the approx generator, and both sizing passes each re-run all
+      // four plant branches (the dominant plan-construction AND
+      // recompute cost of this audit; measured ~1.9x on the query)
       val all = e.unionByName(plant(0.20, 100000))
         .unionByName(plant(0.30, 200000))
         .unionByName(plant(0.40, 300000))
         .unionByName(plant(0.47, 400000))
+        .localCheckpoint(true)
       // bounded-corpus brute-force truth: at t=0.90 the blocked
       // generator can't prune (candidates ~ all pairs), so its
       // scaffolding is pure overhead here — and the DuckDB oracle
@@ -628,10 +649,13 @@ object ExtQueries extends QueryPack {
         .select(col("ida"), col("idb"), lit(true).as("__c"))
       val m = lit(1.0) -
         acos(least(col("cosine_sim"), lit(1.0))) / lit(math.Pi)
+      // pinned: read by the bound aggregate AND the final crossJoin
+      // (truth-pair-bounded, ~thousands of rows)
       val cap = exact.join(approx, Seq("ida", "idb"), "left")
         .select(col("ida"), col("idb"),
           coalesce(col("__c"), lit(false)).as("captured"),
           (lit(1.0) - pow(lit(1.0) - pow(m, lit(8.0)), lit(8.0))).as("__p"))
+        .localCheckpoint(true)
       val bound = cap.agg(
         sum(col("captured").cast("long")).as("__got"),
         sum(col("__p")).as("__ep"),
@@ -2595,7 +2619,10 @@ object ExtQueries extends QueryPack {
           array((element_at(col("embedding"), 1).cast("double") + lit(0.001))
             .cast("float")),
           slice(col("embedding"), 2, 1000)).as("embedding"))
-      Similarity.semanticDedup(e.unionByName(pert), "vec_id", "embedding",
+      // pinned once across sizing, blocking, verify broadcasts, and
+      // the component resolution's node scan (guide §1.2)
+      Similarity.semanticDedup(
+          e.unionByName(pert).localCheckpoint(true), "vec_id", "embedding",
           threshold = 0.99)
         .orderBy(col("vec_id"))
     },
