@@ -87,22 +87,31 @@ object Pq {
 
   /** Map-only encoder: `codeCol` = the m per-subspace nearest-centroid
     * ids (squared-L2, ties to the LOWEST centroid id — the assignWithSim
-    * discipline). The codebook ships as ONE `typedlit` literal and the
-    * per-subspace argmin runs through higher-order functions
-    * (`transform`/`zip_with`/`aggregate` compile to LOOPS over the
-    * literal, not unrolled expressions) — a literal-unrolled form blows
-    * Janino's 64 KB method limit already at m=16·ks=64 and silently
-    * drops the stage out of codegen; this shape holds to ks=256.
+    * discipline). Runs as ONE native codegen'd kernel per row
+    * ([[graft.functions.PqEncode]]; the codebook rides as a reference
+    * object) — bit-identical to the original HOF form it replaced
+    * ([[encodeHof]], pinned by PqExprsSpec and the oracle gate): same
+    * ascending-i fold per (subspace, codeword) distance, same
+    * round(·, 9) tie grid, same lowest-id tie-break. The HOF shape
+    * existed because a literal-unrolled form blows Janino's 64 KB
+    * method limit at m=16·ks=64; the native kernel holds at any
+    * (m, ks) AND stays inside whole-stage codegen, where HOF lambdas
+    * were interpreted per element.
     *
     * Null VECTORS encode to null codes (which then ADC-score null and
-    * rank last — Spark's `desc` default is NULLS LAST): the null guard
-    * is explicit below, because the per-subspace struct-min would
-    * otherwise sort a null distance FIRST and silently encode a null
-    * row as centroid-0 codes with a real ADC score (the r17 ADVICE
+    * rank last — Spark's `desc` default is NULLS LAST; the r17 ADVICE
     * finding). Vectors with null ELEMENTS must still be filtered
     * first, as [[IvfIndex]]'s build/refresh paths do; [[fit]] refuses
     * both in its sample loudly. */
   def encode(df: DataFrame, vecCol: String, model: PqModel,
+      codeCol: String = "pq_code"): DataFrame =
+    df.withColumn(codeCol, call_function("pq_encode", col(vecCol),
+      typedlit(model.codebooks)))
+
+  /** The ORIGINAL higher-order-function encode — the semantic
+    * reference [[graft.functions.PqEncode]] is pinned bit-identical
+    * to (PqExprsSpec), kept only for that parity spec. */
+  private[ext] def encodeHof(df: DataFrame, vecCol: String, model: PqModel,
       codeCol: String = "pq_code"): DataFrame = {
     val cb = typedlit(model.codebooks) // m × ks × dsub
     val codes = (0 until model.m).map { j =>
@@ -351,9 +360,17 @@ object Pq {
     * in-distribution for the coarse quantizer (assignment cosine flat)
     * but drifts for the codebooks shows up here and nowhere else —
     * bounded-pool ADC recall degrades silently otherwise
-    * ([[IvfIndex.pqDrift]] accumulates this per refresh delta). Same
-    * under-64KB HOF codegen shape as [[encode]]; map-only. */
+    * ([[IvfIndex.pqDrift]] accumulates this per refresh delta). One
+    * native codegen'd kernel per row ([[graft.functions.PqQuantErr]],
+    * bit-identical to the HOF reference [[quantErrHof]] — PqExprsSpec);
+    * map-only. */
   private[ext] def quantErr(v: Column, cd: Column,
+      model: PqModel): Column =
+    call_function("pq_quant_err", v, cd, typedlit(model.codebooks))
+
+  /** The ORIGINAL HOF quantization error — kept as [[quantErr]]'s
+    * semantic reference for the parity spec. */
+  private[ext] def quantErrHof(v: Column, cd: Column,
       model: PqModel): Column = {
     val cb = typedlit(model.codebooks) // m × ks × dsub
     (0 until model.m).map { j =>

@@ -122,6 +122,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException("vec_cosine(a, b)")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v, cb) => PqEncode(v, cb)
+        case _ => throw new IllegalArgumentException(
+          "pq_encode(vec, codebooks array-literal)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("pq_quant_err"),
+      new ExpressionInfo(classOf[PqQuantErr].getName, "pq_quant_err"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v, cd, cb) => PqQuantErr(v, cd, cb)
+        case _ => throw new IllegalArgumentException(
+          "pq_quant_err(vec, codes, codebooks array-literal)")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("bpe_tokens"),
       new ExpressionInfo(classOf[BpeTokens].getName, "bpe_tokens"),
       (args: Seq[Expression]) => args match {
