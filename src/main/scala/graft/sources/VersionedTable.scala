@@ -692,10 +692,33 @@ object VersionedTable {
     * (never the table). Delta's CDF refines this with
     * update_pre/postimage labels; consumers that need the pairing
     * join delete×insert on the key. */
-  private def changeDiff(before: DataFrame, after: DataFrame): DataFrame =
-    before.exceptAll(after).withColumn("_change_type", lit("delete"))
-      .unionByName(
-        after.exceptAll(before).withColumn("_change_type", lit("insert")))
+  private def changeDiff(before: DataFrame, after: DataFrame): DataFrame = {
+    // ONE pass over both sides (guide §2.1/§2.3): tag-and-count both
+    // multisets in a single aggregate instead of two exceptAll subplans
+    // (Spark plans each exceptAll as its own union+aggregate+replicate,
+    // so the old form scanned BOTH inputs twice and shuffled twice).
+    // Same multiset out: groupBy's null/NaN key equality matches
+    // exceptAll's, and |nb−na| copies of each row replicate through the
+    // same generate shape exceptAll itself lowers to.
+    val cols = before.columns.toSeq
+    def fresh(base: String): String = {
+      var n = base
+      while (cols.contains(n)) n += "_"
+      n
+    }
+    val (nb, na, cnt) = (fresh("__cd_nb"), fresh("__cd_na"), fresh("__cd_n"))
+    val counts = before.withColumn(nb, lit(1L)).withColumn(na, lit(0L))
+      .unionByName(after.withColumn(nb, lit(0L)).withColumn(na, lit(1L)))
+      .groupBy(cols.map(col): _*)
+      .agg(sum(col(nb)).as(nb), sum(col(na)).as(na))
+      .filter(col(nb) =!= col(na))
+    counts.select(cols.map(col) ++ Seq(
+        when(col(nb) > col(na), lit("delete")).otherwise(lit("insert"))
+          .as("_change_type"),
+        greatest(col(nb) - col(na), col(na) - col(nb)).as(cnt)): _*)
+      .withColumn(cnt, explode(sequence(lit(1L), col(cnt))))
+      .drop(cnt)
+  }
 
   /** Loud type guard for every write path that aligns by NAME: a
     * source column whose type differs from the table schema would
