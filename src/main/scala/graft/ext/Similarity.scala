@@ -1109,44 +1109,43 @@ object Similarity {
     *
     * Scale shape: every input list is already CANDIDATE-BOUNDED (a
     * top-N from its retriever), so the rank windows and the fusion
-    * join run over hundreds of rows — the single-partition window
-    * exchange here is over the candidate list, never the corpus (the
+    * join run over hundreds of rows — and since r20 they are KEYED
+    * windows (the batch shape over a constant query key), so no
+    * unpartitioned WindowExec survives anywhere in the plan (the
     * corpus-scale work happened inside each retriever, which is where
     * this operator's inputs come from by construction). The contract
     * is ENFORCED (the [[mmrTopK]] discipline): a list past
     * `maxCandidates` rows fails LOUDLY in-plan — a raise_error riding
     * each list's rank, no extra count job — instead of silently
-    * serializing an unbounded feed through a one-partition window.
+    * serializing an unbounded feed through one window partition.
     * Output: (idCol, rrf_score, rank_1..rank_n) — per-list ranks ride
     * along null-padded so downstream evals can attribute the fusion. */
   def rrfFuse(lists: Seq[(DataFrame, String)], idCol: String,
       topN: Int, rrfK: Int = 60,
       maxCandidates: Int = 100000): DataFrame = {
     require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
-    require(topN > 0 && rrfK > 0, s"bad topN=$topN / rrfK=$rrfK")
-    require(maxCandidates >= topN,
-      s"maxCandidates $maxCandidates < topN $topN")
-    val ranked = lists.zipWithIndex.map { case ((df, scoreCol), i) =>
-      val w = Window.orderBy(col(scoreCol).desc, col(idCol))
-      df.select(col(idCol), col(scoreCol))
-        .withColumn(s"rank_${i + 1}", row_number().over(w))
-        .filter(when(col(s"rank_${i + 1}") > maxCandidates,
-            raise_error(concat(
-              lit(s"rrfFuse: input list ${i + 1} exceeds " +
-                s"maxCandidates=$maxCandidates rows ("),
-              col(s"rank_${i + 1}").cast("string"),
-              lit(") — feed a retriever's bounded top-N, not an " +
-                "unbounded frame"))).cast("boolean"))
-          .otherwise(lit(true)))
-        .drop(scoreCol)
-    }
-    val joined = ranked.reduce(_.join(_, Seq(idCol), "full_outer"))
-    val rrf = (1 to lists.size).map(i =>
-        coalesce(lit(1.0) / (lit(rrfK) + col(s"rank_$i")), lit(0.0)))
-      .reduce(_ + _)
-    joined.withColumn("rrf_score", round(rrf, 9))
+    // ONE implementation: the single-query form IS the batch form over
+    // a constant query key (r20; per-query equivalence was already
+    // spec-pinned from the batch side). This retires the last
+    // UNPARTITIONED ranking windows — the keyed window plans as a hash
+    // exchange on the key instead of WindowExec's move-everything-to-
+    // one-partition shape, and the in-plan maxCandidates bound still
+    // refuses an unbounded feed loudly. Row set and output columns are
+    // unchanged: the batch rank<=topN cut under the same (rrf_score
+    // desc, id) total order equals the old orderBy+limit.
+    var qc = "__rrf_q"
+    while (lists.exists(_._1.columns.contains(qc)) || qc == idCol) qc += "_"
+    // constant-0 key DERIVED from the id column: a bare literal would
+    // be folded out of the window partition spec by the optimizer,
+    // resurrecting the unpartitioned WindowExec this migration retires
+    val batched = rrfFuseBatch(
+      lists.map { case (df, s) =>
+        (df.withColumn(qc, pmod(xxhash64(col(idCol)), lit(1L))), s) },
+      qc, idCol, topN, rrfK, maxCandidates)
+    batched.select(Seq(col(idCol)) ++
+        (1 to lists.size).map(i => col(s"rank_$i")) :+
+        col("rrf_score"): _*)
       .orderBy(col("rrf_score").desc, col(idCol))
-      .limit(topN)
   }
 
   /** BATCHED reciprocal-rank fusion — [[rrfFuse]] for a whole query
