@@ -307,7 +307,14 @@ object Bench {
       .mkString("{", ",", "}")
     val fixturesFailedJson =
       fixturesFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$shortQs,"failed":$failed,"reruns":$reruns,"fixtures":$fixturesJson,"fixtures_failed":$fixturesFailedJson,"canary":$canary,"contended":$contended,"contention_ratio":${fmt(contentionRatio)},"sf":"$sfDir"}""")
+    // TOTALS-FIRST field order (r19 verdict item 7): the ~1.8kB
+    // per-query map sits LAST so a capture that truncates the line at
+    // ~2kB still yields total/failed/reruns/fixtures/contended — the
+    // headline fields fit in the first ~500 chars, and per-query
+    // detail survives independently in the chunked queries_part lines
+    // above. Field ORDER only; every value is computed exactly as
+    // before.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","failed":$failed,"reruns":$reruns,"fixtures":$fixturesJson,"fixtures_failed":$fixturesFailedJson,"contended":$contended,"contention_ratio":${fmt(contentionRatio)},"canary":$canary,"queries":$shortQs}""")
     spark.stop()
   }
 }

@@ -75,7 +75,13 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    if (hasNanosTimestamp(spark, path))
+    // read-before-write (r19 ADVICE): load is called from concurrent
+    // Par threads, and mutating session conf mid-analysis on a sibling
+    // thread is a latent hazard — after the first (single-threaded
+    // warmup) load set it, every later call is a read-only check
+    if (hasNanosTimestamp(spark, path) &&
+        !spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+          .contains("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(path)
   }

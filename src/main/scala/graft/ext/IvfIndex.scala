@@ -909,21 +909,20 @@ object IvfIndex {
     val probedAll = Par.run(
       (() => run(nlist, Int.MaxValue)) +:
         rungs.map(p => () => run(p, pool)))
-    val reference = probedAll.head
-    val exact = reference.select(col("query_id"), col("neighbor_id"))
-      .localCheckpoint(true)
-    reference.unpersist()
-    val total = exact.count()
-    require(total > 0, "nprobe tuning needs a non-empty reference")
-    val hitCounts = Par.run(rungs.zip(probedAll.tail).map {
-      case (_, probed) => () => {
-        val hits = probed.select(col("query_id"), col("neighbor_id"))
-          .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
-          .count()
-        probed.unpersist()
-        hits
-      }
-    })
+    // release ALL pinned probes on any failure path (r19 ADVICE: a
+    // thrown sibling previously leaked the others' cached blocks)
+    val (total, hitCounts) =
+      try {
+        val exact = probedAll.head
+          .select(col("query_id"), col("neighbor_id"))
+          .localCheckpoint(true)
+        val t = exact.count()
+        require(t > 0, "nprobe tuning needs a non-empty reference")
+        (t, Par.run(probedAll.tail.map(probed => () =>
+          probed.select(col("query_id"), col("neighbor_id"))
+            .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+            .count())))
+      } finally probedAll.foreach(_.unpersist())
     val rows = rungs.zip(hitCounts).map { case (p, hits) =>
       (p, hits, hits.toDouble / total)
     }
@@ -992,25 +991,28 @@ object IvfIndex {
     // consumed in grid order below — completion order never leaks
     // into the pick, the monotonicity check, or the returned frame.
     val gridKeys = for (np <- nprobes; p <- pools) yield (np, p)
+    // every probed frame comes back pinned; release ALL survivors on
+    // any failure path (r19 ADVICE: a thrown sibling probe previously
+    // leaked the others' localCheckpoint blocks for the session)
     val probedAll = Par.run(
       (() => probe(queries, path, idCol, vecCol, k, nlist, version,
         pool = Int.MaxValue)) +:
         gridKeys.map { case (np, p) =>
           () => probe(queries, path, idCol, vecCol, k, np, version, p)
         })
-    val reference = probedAll.head
-    val exact = reference.select(col("query_id"), col("neighbor_id"))
-      .localCheckpoint(true)
-    reference.unpersist()
-    val total = exact.count()
-    require(total > 0, "operating-point tuning needs a non-empty reference")
-    val hitCounts = Par.run(probedAll.tail.map(probed => () => {
-      val hits = probed.select(col("query_id"), col("neighbor_id"))
-        .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
-        .count()
-      probed.unpersist()
-      hits
-    }))
+    val (total, hitCounts) =
+      try {
+        val exact = probedAll.head
+          .select(col("query_id"), col("neighbor_id"))
+          .localCheckpoint(true)
+        val t = exact.count()
+        require(t > 0,
+          "operating-point tuning needs a non-empty reference")
+        (t, Par.run(probedAll.tail.map(probed => () =>
+          probed.select(col("query_id"), col("neighbor_id"))
+            .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+            .count())))
+      } finally probedAll.foreach(_.unpersist())
     val cells = gridKeys.zip(hitCounts).map { case ((np, p), hits) =>
       (np, p, hits, hits.toDouble / total,
         np * probeWeight + p * poolWeight)

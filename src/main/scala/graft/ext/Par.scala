@@ -51,11 +51,28 @@ object Par {
     if (thunks.size == 1) return Seq(thunks.head())
     val results = new Array[Either[Throwable, A]](thunks.size)
     val latch = new java.util.concurrent.CountDownLatch(thunks.size)
+    // fail-fast skip flag (r19 ADVICE): once a thunk has failed,
+    // not-yet-STARTED thunks are skipped (marked with the first
+    // failure's placeholder) — running ones still settle before the
+    // rethrow, preserving the tear-down guarantee. Fatal VM errors
+    // propagate immediately on the submitting thread where possible;
+    // InterruptedException restores the interrupt flag.
+    val failed = new java.util.concurrent.atomic.AtomicReference[Throwable]
     thunks.zipWithIndex.foreach { case (th, i) =>
       def runOne(): Unit = {
         results(i) =
-          try Right(th())
-          catch { case t: Throwable => Left(t) }
+          if (failed.get() != null) Left(Skipped)
+          else
+            try Right(th())
+            catch {
+              case t: InterruptedException =>
+                Thread.currentThread().interrupt()
+                failed.compareAndSet(null, t)
+                Left(t)
+              case t: Throwable =>
+                failed.compareAndSet(null, t)
+                Left(t)
+            }
         latch.countDown()
       }
       // caller-runs when saturated: bounds concurrency without a
@@ -66,8 +83,17 @@ object Par {
       else runOne()
     }
     latch.await()
-    results.collectFirst { case Left(t) => t }.foreach(t => throw t)
+    // rethrow the first REAL failure in input order (skip markers
+    // stand in for work never started after that failure)
+    results.collectFirst { case Left(t) if t ne Skipped => t }
+      .foreach(t => throw t)
     results.iterator.map(_.toOption.get).toVector
+  }
+
+  /** Marker for thunks never started because an earlier one failed. */
+  private object Skipped extends RuntimeException(
+    "skipped: an earlier Par thunk failed") {
+    override def fillInStackTrace(): Throwable = this
   }
 
   /** Varargs sugar: `val Seq(a, b) = Par(() => x, () => y)`. */
@@ -88,13 +114,21 @@ object Par {
     val cols = a.columns.toSeq
     require(b.columns.toSeq == cols,
       s"sameMultiset: schemas differ: $cols vs ${b.columns.toSeq}")
-    val ga = a.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__na"))
-    val gb = b.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__nb"))
+    // collision-free count aliases (r19 ADVICE: an input frame already
+    // carrying __na/__nb would make the references ambiguous)
+    def fresh(base: String): String = {
+      var n = base
+      while (cols.contains(n)) n += "_"
+      n
+    }
+    val (na, nb) = (fresh("__na"), fresh("__nb"))
+    val ga = a.groupBy(cols.map(col): _*).agg(count(lit(1)).as(na))
+    val gb = b.groupBy(cols.map(col): _*).agg(count(lit(1)).as(nb))
     val cond = cols.map(c => ga(c) <=> gb(c))
       .reduceOption(_ && _).getOrElse(lit(true))
     ga.join(gb, cond, "full_outer")
-      .where(ga("__na").isNull || gb("__nb").isNull ||
-        ga("__na") =!= gb("__nb"))
+      .where(ga(na).isNull || gb(nb).isNull ||
+        ga(na) =!= gb(nb))
       .isEmpty
   }
 }
