@@ -262,17 +262,24 @@ object ExtQueries extends QueryPack {
     "q80_curation_v2" -> { (s, dir) =>
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_fp").orderBy("doc_id")
+      // pinned (guide §1.2): the repetition screen and the dedup join
+      // both read the scrubbed projection (redactPii's regex chain is
+      // the expensive leg), and the packer re-reads its input for the
+      // bounds pass and both prefix-sum phases — without the pins each
+      // consumer re-ran the full quality+redact+window pipeline
       val scrubbed = docs(s, dir)
         .filter(TextAnalysis.qualityOk(col("text")))
         .select(col("doc_id"), col("lang"),
           TextAnalysis.redactPii(col("text")).as("text"))
+        .localCheckpoint(true)
       val calm = TextAnalysis.repetitionScores(scrubbed, "doc_id", "text",
         thresholdPct = 20).filter(!col("repetitive")).select("doc_id")
       val deduped = scrubbed.join(calm, Seq("doc_id"), "left_semi")
         .withColumn("doc_fp", TextAnalysis.fingerprint(col("text")))
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       val mixed = TextAnalysis.stratifiedSample(deduped, "lang", "doc_id",
-        rates = Map("en" -> 5), defaultKeep = 10)
+          rates = Map("en" -> 5), defaultKeep = 10)
+        .localCheckpoint(true)
       TextAnalysis.packSequences(mixed, "doc_id",
           TextAnalysis.tokenCountWs(col("text")), budget = 2048, shards = 8)
         .orderBy(col("doc_id"))
