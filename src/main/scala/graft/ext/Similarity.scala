@@ -1124,6 +1124,9 @@ object Similarity {
       topN: Int, rrfK: Int = 60,
       maxCandidates: Int = 100000): DataFrame = {
     require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(topN > 0 && rrfK > 0, s"bad topN=$topN / rrfK=$rrfK")
+    require(maxCandidates >= topN,
+      s"maxCandidates $maxCandidates < topN $topN")
     // ONE implementation: the single-query form IS the batch form over
     // a constant query key (r20; per-query equivalence was already
     // spec-pinned from the batch side). This retires the last
@@ -1138,14 +1141,18 @@ object Similarity {
     // constant-0 key DERIVED from the id column: a bare literal would
     // be folded out of the window partition spec by the optimizer,
     // resurrecting the unpartitioned WindowExec this migration retires
-    val batched = rrfFuseBatch(
+    val joined = rrfJoined(
       lists.map { case (df, s) =>
         (df.withColumn(qc, pmod(xxhash64(col(idCol)), lit(1L))), s) },
-      qc, idCol, topN, rrfK, maxCandidates)
-    batched.select(Seq(col(idCol)) ++
+      qc, idCol, rrfK, maxCandidates, "rrfFuse")
+    // final cut via orderBy+limit (TakeOrdered — a partial top-N, not
+    // another window pass): with one query the (rrf_score desc, id)
+    // total order makes it row-identical to the batch form's rank cut
+    joined.select(Seq(col(idCol)) ++
         (1 to lists.size).map(i => col(s"rank_$i")) :+
         col("rrf_score"): _*)
       .orderBy(col("rrf_score").desc, col(idCol))
+      .limit(topN)
   }
 
   /** BATCHED reciprocal-rank fusion — [[rrfFuse]] for a whole query
@@ -1171,6 +1178,23 @@ object Similarity {
     require(topN > 0 && rrfK > 0, s"bad topN=$topN / rrfK=$rrfK")
     require(maxCandidates >= topN,
       s"maxCandidates $maxCandidates < topN $topN")
+    val joined = rrfJoined(lists, queryCol, idCol, rrfK, maxCandidates,
+      "rrfFuseBatch")
+    val wCut = Window.partitionBy(col(queryCol))
+      .orderBy(col("rrf_score").desc, col(idCol))
+    joined.withColumn("rank", row_number().over(wCut))
+      .filter(col("rank") <= topN)
+  }
+
+  /** Shared core of [[rrfFuse]]/[[rrfFuseBatch]]: per-(list, query)
+    * KEYED rank windows with the in-plan bound, the per-(query, id)
+    * full-outer fusion, and the rounded RRF score — everything except
+    * the final top-N cut (a keyed window in the batch form, a
+    * TakeOrdered in the single-query form). */
+  private def rrfJoined(lists: Seq[(DataFrame, String)],
+      queryCol: String, idCol: String, rrfK: Int,
+      maxCandidates: Int, what: String): DataFrame = {
+    require(rrfK > 0, s"bad rrfK=$rrfK")
     val ranked = lists.zipWithIndex.map { case ((df, scoreCol), i) =>
       val w = Window.partitionBy(col(queryCol))
         .orderBy(col(scoreCol).desc, col(idCol))
@@ -1178,12 +1202,12 @@ object Similarity {
         // a null query id would weld unrelated candidates into one
         // ranking (the topNBatch hazard) — refuse in-plan
         .filter(when(col(queryCol).isNull, raise_error(lit(
-            s"rrfFuseBatch: null query id in input list ${i + 1}")))
+            s"$what: null query id in input list ${i + 1}")))
           .otherwise(lit(true)))
         .withColumn(s"rank_${i + 1}", row_number().over(w))
         .filter(when(col(s"rank_${i + 1}") > maxCandidates,
             raise_error(concat(
-              lit(s"rrfFuseBatch: input list ${i + 1} exceeds " +
+              lit(s"$what: input list ${i + 1} exceeds " +
                 s"maxCandidates=$maxCandidates rows for query "),
               col(queryCol).cast("string"),
               lit(" — feed retrievers' bounded top-N lists"))))
@@ -1195,11 +1219,7 @@ object Similarity {
     val rrf = (1 to lists.size).map(i =>
         coalesce(lit(1.0) / (lit(rrfK) + col(s"rank_$i")), lit(0.0)))
       .reduce(_ + _)
-    val wCut = Window.partitionBy(col(queryCol))
-      .orderBy(col("rrf_score").desc, col(idCol))
     joined.withColumn("rrf_score", round(rrf, 9))
-      .withColumn("rank", row_number().over(wCut))
-      .filter(col("rank") <= topN)
   }
 
   /** Hybrid top-k retrieval: BM25 over `textCol` fused with cosine
